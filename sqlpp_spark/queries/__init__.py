@@ -1,0 +1,78 @@
+"""Query suite registry.
+
+Every implemented operator from SURVEY.md §2 (and the extension
+operators) registers here as a named query with:
+
+- a builder ``(spark, sf_dir) -> DataFrame`` (Spark-first, DataFrame API)
+- an optional DuckDB-compatible oracle SQL string (driver correctness gate)
+
+``__spark_entry__.py`` re-exports this registry to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    headline: bool = False  # included in bench.py
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, headline: bool = False):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, headline)
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from sqlpp_spark.sources.tables import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {name: spec.builder for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+
+
+def headline_queries() -> dict[str, QuerySpec]:
+    _ensure_loaded()
+    return {n: s for n, s in REGISTRY.items() if s.headline}
+
+
+_loaded = False
+
+
+def _ensure_loaded():
+    """Import every module that registers queries (idempotent)."""
+    global _loaded
+    if _loaded:
+        return
+    import sqlpp_spark.queries.relational  # noqa: F401
+
+    try:
+        import sqlpp_spark.queries.pipeline  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        import sqlpp_spark.queries.sqlpp_suite  # noqa: F401
+    except ImportError:
+        pass
+    _loaded = True

@@ -1,0 +1,30 @@
+"""Every registered query with an oracle must match DuckDB exactly —
+this mirrors the driver's CORRECTNESS gate (row-count + columns +
+order-insensitive values, floats bit-equal)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sqlpp_spark.queries import REGISTRY, _ensure_loaded
+from sqlpp_spark.testing.oracle import compare, run_oracle
+
+_ensure_loaded()
+WITH_ORACLE = sorted(n for n, s in REGISTRY.items() if s.oracle)
+ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if not s.oracle)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_match(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    sdf = spec.builder(spark, sf_dir)
+    odf = run_oracle(spec.oracle, sf_dir)
+    report = compare(sdf, odf)
+    assert report["match"], f"{name}: {report}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    n = spec.builder(spark, sf_dir).count()
+    assert n >= 0
