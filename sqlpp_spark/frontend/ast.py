@@ -1,0 +1,311 @@
+"""AST for the sqlpp dialect — raw (parser output) and elaborated
+(analyzer output) share these nodes; analysis rewrites in place the way
+the reference progressively elaborates its single AST (SURVEY.md §3).
+
+Node inventory mirrors sqlpp/syntax.ml:149-251 (selectsyn, insertsyn,
+updatesyn, deletesyn, exprsyn, decls) without copying its code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from sqlpp_spark.frontend.errors import NO_LOC, Loc
+from sqlpp_spark.frontend.types import Ty
+
+# ---------------------------------------------------------------------------
+# Expressions
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Expr:
+    loc: Loc = field(default=NO_LOC, kw_only=True)
+    ty: Optional[Ty] = field(default=None, kw_only=True)  # set by analyzer
+
+
+@dataclass
+class ELit(Expr):
+    value: object = None  # int | str | bool
+    lit_kind: str = "int"  # int | string | bool
+
+
+@dataclass
+class ENull(Expr):
+    pass
+
+
+@dataclass
+class EName(Expr):
+    name: str = ""
+
+
+@dataclass
+class ENav(Expr):
+    """scope.expr navigation; nested navs parse as ENav(a, ENav(b, e))."""
+
+    scope: str = ""
+    expr: Expr = None
+
+
+@dataclass
+class ERef(Expr):
+    """Elaborated depth-1 reference: <relation>.<field> (analyzer output)."""
+
+    rel: str = ""
+    name: str = ""
+
+
+@dataclass
+class EApp(Expr):
+    fn: str = ""
+    args: List[Expr] = field(default_factory=list)
+
+
+@dataclass
+class EIn(Expr):
+    exprs: List[Expr] = field(default_factory=list)
+    select: "Select" = None
+    negated: bool = False
+
+
+@dataclass
+class EExists(Expr):
+    select: "Select" = None
+
+
+@dataclass
+class EAscribe(Expr):
+    expr: Expr = None
+    to_ty: Ty = None
+
+
+@dataclass
+class EParam(Expr):
+    name: str = ""
+    ascribed: Optional[Ty] = None  # ?p:ty [null|not null]
+    null_spec: Optional[bool] = None  # True=not null, False=null, None=bare
+    is_expr_param: bool = False  # ?p:ty expr
+
+
+@dataclass
+class EMatchBranch:
+    tag: str = ""
+    params: List[str] = field(default_factory=list)
+    body: Expr = None
+
+
+@dataclass
+class EMatch(Expr):
+    param: str = ""
+    branches: List[EMatchBranch] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# Select & friends
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Field:
+    """One projection entry (syntax.ml:212-214)."""
+
+    expr: Expr = None
+    name: Optional[str] = None  # explicit AS name
+    is_lazy: bool = False  # `with expr as name`
+    loc: Loc = NO_LOC
+    # analyzer state:
+    out_name: Optional[str] = None  # final output name
+    is_used: bool = False
+    is_generated: bool = False
+    explicit_name: bool = False
+
+
+@dataclass
+class FieldWithScope:
+    path: List[str] = field(default_factory=list)
+    alias: str = ""
+    loc: Loc = NO_LOC
+
+
+@dataclass
+class FieldFieldset:
+    name: str = ""
+    args: List[List[str]] = field(default_factory=list)  # scope paths
+    is_lazy: bool = False
+    loc: Loc = NO_LOC
+
+
+@dataclass
+class FromTable:
+    table: str = ""
+    alias: Optional[str] = None
+    loc: Loc = NO_LOC
+
+
+@dataclass
+class FromSelect:
+    select: "Select" = None
+    alias: str = ""
+    loc: Loc = NO_LOC
+
+
+@dataclass
+class FromJoin:
+    left: object = None  # From*
+    right: object = None  # FromTable | FromSelect
+    kind: str = "inner"  # inner | left
+    on: Expr = None
+    loc: Loc = NO_LOC
+
+
+@dataclass
+class OrderItem:
+    expr: Expr = None
+    desc: bool = False
+
+
+@dataclass
+class Select:
+    fields: List[object] = field(default_factory=list)  # Field | FieldWithScope | FieldFieldset
+    from_: object = None  # From* | None
+    where: Optional[Expr] = None
+    group_by: Optional[List[Expr]] = None  # [] means GROUP BY ()
+    having: Optional[Expr] = None
+    order_by: List[OrderItem] = field(default_factory=list)
+    limit: Optional[Expr] = None
+    offset: Optional[Expr] = None
+    is_open: bool = False  # `...` present
+    distinct: bool = False  # extension (not in reference grammar)
+    loc: Loc = NO_LOC
+
+
+# ---------------------------------------------------------------------------
+# DML statements
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Insert:
+    table: str = ""
+    columns: List[str] = field(default_factory=list)
+    values: Optional[List[List[Expr]]] = None  # VALUES rows
+    select: Optional[Select] = None  # INSERT ... SELECT
+    on_conflict: Optional[str] = None  # 'ignore' | 'replace'
+    returning: List[Field] = field(default_factory=list)
+    loc: Loc = NO_LOC
+
+
+@dataclass
+class Update:
+    table: str = ""
+    alias: Optional[str] = None
+    sets: List[Tuple[str, Expr]] = field(default_factory=list)
+    from_: object = None
+    where: Optional[Expr] = None
+    returning: List[Field] = field(default_factory=list)
+    loc: Loc = NO_LOC
+
+
+@dataclass
+class Delete:
+    table: str = ""
+    alias: Optional[str] = None
+    where: Optional[Expr] = None
+    returning: List[Field] = field(default_factory=list)
+    loc: Loc = NO_LOC
+
+
+# ---------------------------------------------------------------------------
+# Declarations (schema env)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ColumnDef:
+    name: str = ""
+    ty: Ty = None
+    primary_key: bool = False
+    autoincrement: bool = False
+    default: Optional[Expr] = None
+
+
+@dataclass
+class DeclTable:
+    name: str = ""
+    columns: List[ColumnDef] = field(default_factory=list)
+    loc: Loc = NO_LOC
+
+
+@dataclass
+class DeclQuery:
+    name: str = ""
+    select: Select = None
+    src: str = ""  # original source for re-parse at use site
+    loc: Loc = NO_LOC
+
+
+@dataclass
+class STyTable:
+    table: str = ""
+
+
+@dataclass
+class STyStruct:
+    # entries: ('field', name, ty) | ('scope', name, STy)
+    entries: List[tuple] = field(default_factory=list)
+
+
+@dataclass
+class FieldsetParam:
+    sty: object = None  # STyTable | STyStruct
+    alias: str = ""
+
+
+@dataclass
+class DeclFieldset:
+    name: str = ""
+    params: List[FieldsetParam] = field(default_factory=list)
+    select: Select = None
+    src: str = ""
+    loc: Loc = NO_LOC
+
+
+# ---------------------------------------------------------------------------
+# Structural equality key (hash-consing equivalent)
+# ---------------------------------------------------------------------------
+
+
+def expr_key(e: Expr) -> tuple:
+    """Canonical structural key for elaborated expressions — the
+    engine's stand-in for the reference's Eq_class hash-consing
+    (sqlpp_std.ml:12-44): equal keys ⇒ same generated field is reused
+    and GROUP BY membership matches by expression equality."""
+    if isinstance(e, ELit):
+        return ("lit", e.lit_kind, e.value)
+    if isinstance(e, ENull):
+        return ("null",)
+    if isinstance(e, ERef):
+        return ("ref", e.rel, e.name)
+    if isinstance(e, EName):
+        return ("name", e.name)
+    if isinstance(e, ENav):
+        return ("nav", e.scope, expr_key(e.expr))
+    if isinstance(e, EApp):
+        return ("app", e.fn, tuple(expr_key(a) for a in e.args))
+    if isinstance(e, EAscribe):
+        return expr_key(e.expr)  # ascriptions are erased (printer.ml:162)
+    if isinstance(e, EParam):
+        return ("param", e.name)
+    if isinstance(e, EIn):
+        return ("in", e.negated, tuple(expr_key(x) for x in e.exprs), id(e.select))
+    if isinstance(e, EExists):
+        return ("exists", id(e.select))
+    if isinstance(e, EMatch):
+        return (
+            "match",
+            e.param,
+            tuple((b.tag, tuple(b.params), expr_key(b.body)) for b in e.branches),
+        )
+    raise TypeError(f"expr_key: {type(e)}")

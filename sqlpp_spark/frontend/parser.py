@@ -1,0 +1,663 @@
+"""Recursive-descent parser for the sqlpp dialect.
+
+Grammar per sqlpp/parser.mly (see SURVEY.md §2.1-§2.7). Operator
+precedence follows syntax.ml:373-386: OR 30 < AND 40 < NOT 50 <
+(= != IS NULL IN) 60 < comparisons 70 < (+ -) 80 < (* /) 90 <
+unary- 100. We deliberately FIX the reference's parser bug where
+binary `*` is parsed as `-` (parser.mly:355, SURVEY.md §2.11).
+
+Flexible lists (trailing commas) are allowed everywhere the reference
+allows them (flex_list in parser.mly).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from sqlpp_spark.frontend import ast as A
+from sqlpp_spark.frontend.errors import Loc, SqlppError
+from sqlpp_spark.frontend.lexer import Token, tokenize
+from sqlpp_spark.frontend.types import Ty, parse_ty_name
+
+
+class Parser:
+    def __init__(self, src: str):
+        self.src = src
+        self.toks = tokenize(src)
+        self.i = 0
+
+    # -- token helpers ----------------------------------------------------
+
+    @property
+    def cur(self) -> Token:
+        return self.toks[self.i]
+
+    def peek(self, k: int = 1) -> Token:
+        j = min(self.i + k, len(self.toks) - 1)
+        return self.toks[j]
+
+    def advance(self) -> Token:
+        t = self.cur
+        self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        return self.cur.kind == "kw" and self.cur.value in kws
+
+    def eat_kw(self, *kws: str) -> bool:
+        if self.at_kw(*kws):
+            self.advance()
+            return True
+        return False
+
+    def expect_kw(self, kw: str) -> Token:
+        if not self.at_kw(kw):
+            self.fail(f"expected {kw.upper()}")
+        return self.advance()
+
+    def at_punct(self, p: str) -> bool:
+        return self.cur.kind == "punct" and self.cur.value == p
+
+    def eat_punct(self, p: str) -> bool:
+        if self.at_punct(p):
+            self.advance()
+            return True
+        return False
+
+    def expect_punct(self, p: str) -> Token:
+        if not self.at_punct(p):
+            self.fail(f"expected {p!r}")
+        return self.advance()
+
+    def expect_ident(self) -> Token:
+        if self.cur.kind != "ident":
+            # contextual: allow non-reserved keywords as identifiers
+            if self.cur.kind == "kw" and self.cur.value not in {
+                "select", "from", "where", "group", "having", "order",
+                "limit", "offset", "join", "on", "as", "with", "withscope",
+                "end", "null", "not", "and", "or", "in", "exists", "is",
+            }:
+                return self.advance()
+            self.fail("expected identifier")
+        return self.advance()
+
+    def fail(self, msg: str):
+        raise SqlppError(msg, self.cur.loc, self.src)
+
+    # -- entry points -----------------------------------------------------
+
+    def parse_query(self):
+        q = self._query()
+        self.eat_punct(";")
+        if self.cur.kind != "eof":
+            self.fail("unexpected trailing input")
+        return q
+
+    def _query(self):
+        if self.at_kw("select"):
+            return self.select()
+        if self.at_kw("insert"):
+            return self.insert()
+        if self.at_kw("update"):
+            return self.update()
+        if self.at_kw("delete"):
+            return self.delete()
+        self.fail("expected SELECT, INSERT, UPDATE or DELETE")
+
+    def parse_decls(self) -> list:
+        decls = []
+        while self.cur.kind != "eof":
+            decls.append(self.decl())
+            self.eat_punct(";")
+        return decls
+
+    # -- declarations -----------------------------------------------------
+
+    def decl(self):
+        start = self.cur.loc
+        self.expect_kw("create")
+        if self.eat_kw("table"):
+            name = self.expect_ident().value
+            self.expect_punct("(")
+            cols = self._comma_list(self._col_def, end=")")
+            self.expect_punct(")")
+            return A.DeclTable(name, cols, loc=Loc.span(start, self.toks[self.i - 1].loc))
+        if self.eat_kw("query"):
+            name = self.expect_ident().value
+            self.expect_kw("as")
+            sel_start = self.cur.loc.start
+            sel = self.select()
+            src = self.src[sel_start : self.toks[self.i - 1].loc.end]
+            return A.DeclQuery(name, sel, src, loc=Loc.span(start, self.toks[self.i - 1].loc))
+        if self.eat_kw("fieldset"):
+            name = self.expect_ident().value
+            params: List[A.FieldsetParam] = []
+            if self.eat_punct("("):
+                params = self._comma_list(self._fieldset_param, end=")")
+                self.expect_punct(")")
+            self.expect_kw("as")
+            self.expect_kw("select")
+            fields = self._comma_list(self._fieldset_field, end=None)
+            sel = A.Select(fields=fields, loc=Loc.span(start, self.toks[self.i - 1].loc))
+            return A.DeclFieldset(name, params, sel, "", loc=sel.loc)
+        self.fail("expected TABLE, QUERY or FIELDSET")
+
+    def _col_def(self) -> A.ColumnDef:
+        name = self.expect_ident().value
+        ty = self._ty()
+        col = A.ColumnDef(name, ty)
+        while True:
+            if self.eat_kw("primary"):
+                self.expect_kw("key")
+                col.primary_key = True
+            elif self.eat_kw("autoincrement"):
+                col.autoincrement = True
+            elif self.eat_kw("default"):
+                col.default = self.expr()
+            else:
+                break
+        return col
+
+    def _fieldset_param(self) -> A.FieldsetParam:
+        self.expect_kw("from")
+        sty = self._sty()
+        if self.eat_kw("as"):
+            alias = self.expect_ident().value
+        elif isinstance(sty, A.STyTable):
+            alias = sty.table
+        else:
+            self.fail("anonymous struct scope parameter needs AS alias")
+        return A.FieldsetParam(sty, alias)
+
+    def _sty(self):
+        if self.eat_punct("("):
+            entries = []
+            while not self.at_punct(")"):
+                if self.eat_kw("from"):
+                    sty = self._sty()
+                    if self.eat_kw("as"):
+                        n = self.expect_ident().value
+                    elif isinstance(sty, A.STyTable):
+                        n = sty.table
+                    else:
+                        self.fail("anonymous nested scope needs AS alias")
+                    entries.append(("scope", n, sty))
+                else:
+                    n = self.expect_ident().value
+                    entries.append(("field", n, self._ty()))
+                if not self.eat_punct(","):
+                    break
+            self.expect_punct(")")
+            return A.STyStruct(entries)
+        return A.STyTable(self.expect_ident().value)
+
+    def _fieldset_field(self) -> A.Field:
+        loc = self.cur.loc
+        e = self.expr()
+        self.expect_kw("as")
+        n = self.expect_ident().value
+        return A.Field(expr=e, name=n, explicit_name=True, loc=loc)
+
+    _ty_had_spec = False  # whether the last _ty() saw an explicit null/not-null
+
+    def _ty(self) -> Ty:
+        t = self.expect_ident()
+        ty = parse_ty_name(t.value, t.loc, self.src)
+        if self.eat_kw("not"):
+            self.expect_kw("null")
+            self._ty_had_spec = True
+            return ty.with_non_null(True)
+        if self.eat_kw("null"):
+            self._ty_had_spec = True
+            return ty.with_non_null(False)
+        self._ty_had_spec = False
+        return ty.with_non_null(False)  # bare type defaults nullable
+
+    # -- select -----------------------------------------------------------
+
+    def select(self) -> A.Select:
+        start = self.cur.loc
+        self.expect_kw("select")
+        sel = A.Select(loc=start)
+        if self.eat_kw("distinct"):
+            sel.distinct = True
+        sel.fields = []
+        while True:
+            f = self._field(sel)
+            if f is not None:
+                sel.fields.append(f)
+            if not self.eat_punct(","):
+                break
+            if self._field_list_ends():
+                break
+        if self.eat_kw("from"):
+            sel.from_ = self._from()
+        if self.eat_kw("where"):
+            sel.where = self.expr()
+        if self.eat_kw("group"):
+            self.expect_kw("by")
+            if self.eat_punct("("):
+                self.expect_punct(")")
+                sel.group_by = []
+            else:
+                sel.group_by = self._comma_list(self.expr, end=None)
+        if self.eat_kw("having"):
+            sel.having = self.expr()
+        if self.eat_kw("order"):
+            self.expect_kw("by")
+            sel.order_by = self._comma_list(self._order_item, end=None)
+        if self.eat_kw("limit"):
+            sel.limit = self.expr()
+        if self.eat_kw("offset"):
+            sel.offset = self.expr()
+        sel.loc = Loc.span(start, self.toks[self.i - 1].loc)
+        return sel
+
+    def _field_list_ends(self) -> bool:
+        return (
+            self.cur.kind in ("eof",)
+            or self.at_kw("from", "where", "group", "having", "order", "limit", "offset")
+            or self.at_punct(")")
+            or self.at_punct(";")
+        )
+
+    def _order_item(self) -> A.OrderItem:
+        e = self.expr()
+        desc = False
+        if self.eat_kw("desc"):
+            desc = True
+        else:
+            self.eat_kw("asc")
+        return A.OrderItem(e, desc)
+
+    def _field(self, sel: A.Select):
+        loc = self.cur.loc
+        if self.cur.kind == "ellipsis":
+            self.advance()
+            if self.cur.kind == "ident":
+                return self._fieldset_splice(loc, is_lazy=False)
+            sel.is_open = True
+            return None
+        if self.at_kw("withscope"):
+            self.advance()
+            path = self._scopename()
+            self.expect_kw("as")
+            alias = self.expect_ident().value
+            return A.FieldWithScope(path, alias, loc=loc)
+        if self.at_kw("with"):
+            self.advance()
+            if self.cur.kind == "ellipsis":
+                self.advance()
+                return self._fieldset_splice(loc, is_lazy=True)
+            e = self.expr()
+            name = None
+            if self.eat_kw("as"):
+                name = self.expect_ident().value
+            return A.Field(expr=e, name=name, is_lazy=True, explicit_name=name is not None, loc=loc)
+        e = self.expr()
+        name = None
+        if self.eat_kw("as"):
+            name = self.expect_ident().value
+        return A.Field(expr=e, name=name, explicit_name=name is not None, loc=loc)
+
+    def _fieldset_splice(self, loc: Loc, is_lazy: bool) -> A.FieldFieldset:
+        name = self.expect_ident().value
+        args: List[List[str]] = []
+        if self.eat_punct("("):
+            while not self.at_punct(")"):
+                args.append(self._scopename())
+                if not self.eat_punct(","):
+                    break
+            self.expect_punct(")")
+        end = self.toks[self.i - 1].loc
+        return A.FieldFieldset(name, args, is_lazy, loc=Loc.span(loc, end))
+
+    def _scopename(self) -> List[str]:
+        parts = [self.expect_ident().value]
+        while self.at_punct(".") and self.peek().kind in ("ident", "kw"):
+            self.advance()
+            parts.append(self.expect_ident().value)
+        return parts
+
+    def _from(self):
+        item = self._from_one()
+        while True:
+            if self.at_kw("join"):
+                self.advance()
+                right = self._from_one()
+                self.expect_kw("on")
+                cond = self.expr()
+                item = A.FromJoin(item, right, "inner", cond, loc=right.loc)
+            elif self.at_kw("left"):
+                self.advance()
+                self.eat_kw("outer")
+                self.expect_kw("join")
+                right = self._from_one()
+                self.expect_kw("on")
+                cond = self.expr()
+                item = A.FromJoin(item, right, "left", cond, loc=right.loc)
+            else:
+                return item
+
+    def _from_one(self):
+        loc = self.cur.loc
+        if self.eat_punct("("):
+            sel = self.select()
+            self.expect_punct(")")
+            self.expect_kw("as")
+            alias = self.expect_ident().value
+            return A.FromSelect(sel, alias, loc=Loc.span(loc, self.toks[self.i - 1].loc))
+        table = self.expect_ident().value
+        alias = None
+        if self.eat_kw("as"):
+            alias = self.expect_ident().value
+        return A.FromTable(table, alias, loc=Loc.span(loc, self.toks[self.i - 1].loc))
+
+    # -- DML --------------------------------------------------------------
+
+    def insert(self) -> A.Insert:
+        loc = self.cur.loc
+        self.expect_kw("insert")
+        self.expect_kw("into")
+        table = self.expect_ident().value
+        ins = A.Insert(table=table, loc=loc)
+        if self.eat_punct("("):
+            ins.columns = [t.value for t in self._comma_list(self.expect_ident, end=")")]
+            self.expect_punct(")")
+            if self.eat_kw("values"):
+                ins.values = self._comma_list(self._tuple, end=None)
+            else:
+                ins.select = self.select()
+        elif self.eat_kw("set"):
+            sets = self._comma_list(self._set_item, end=None)
+            ins.columns = [n for n, _ in sets]
+            ins.values = [[e for _, e in sets]]
+        else:
+            self.fail("expected column list or SET")
+        if self.eat_kw("on"):
+            self.expect_kw("conflict")
+            if self.eat_kw("ignore"):
+                ins.on_conflict = "ignore"
+            elif self.eat_kw("replace"):
+                ins.on_conflict = "replace"
+            else:
+                self.fail("expected IGNORE or REPLACE")
+        if self.eat_kw("returning"):
+            ins.returning = self._comma_list(self._simple_field, end=None)
+        return ins
+
+    def _tuple(self) -> List[A.Expr]:
+        self.expect_punct("(")
+        es = self._comma_list(self.expr, end=")")
+        self.expect_punct(")")
+        return es
+
+    def _set_item(self):
+        n = self.expect_ident().value
+        if not (self.cur.kind == "op" and self.cur.value == "="):
+            self.fail("expected =")
+        self.advance()
+        return (n, self.expr())
+
+    def _simple_field(self) -> A.Field:
+        loc = self.cur.loc
+        e = self.expr()
+        name = None
+        if self.eat_kw("as"):
+            name = self.expect_ident().value
+        return A.Field(expr=e, name=name, is_used=True, explicit_name=name is not None, loc=loc)
+
+    def update(self) -> A.Update:
+        loc = self.cur.loc
+        self.expect_kw("update")
+        table = self.expect_ident().value
+        upd = A.Update(table=table, loc=loc)
+        self.expect_kw("set")
+        upd.sets = self._comma_list(self._set_item, end=None)
+        if self.eat_kw("from"):
+            upd.from_ = self._from()
+        if self.eat_kw("where"):
+            upd.where = self.expr()
+        if self.eat_kw("returning"):
+            upd.returning = self._comma_list(self._simple_field, end=None)
+        return upd
+
+    def delete(self) -> A.Delete:
+        loc = self.cur.loc
+        self.expect_kw("delete")
+        self.expect_kw("from")
+        table = self.expect_ident().value
+        d = A.Delete(table=table, loc=loc)
+        if self.eat_kw("where"):
+            d.where = self.expr()
+        if self.eat_kw("returning"):
+            d.returning = self._comma_list(self._simple_field, end=None)
+        return d
+
+    # -- expressions ------------------------------------------------------
+
+    BINOP_BP = {
+        "or": 30,
+        "and": 40,
+        "=": 60, "!=": 60, "<>": 60,
+        "<": 70, "<=": 70, ">": 70, ">=": 70,
+        "+": 80, "-": 80,
+        "*": 90, "/": 90,  # reference bug parsed * as -; fixed here
+    }
+
+    def expr(self, min_bp: int = 0) -> A.Expr:
+        e = self._expr_prefix()
+        while True:
+            t = self.cur
+            # postfix: IS [NOT] NULL (bp 60)
+            if t.kind == "kw" and t.value == "is" and 60 >= min_bp:
+                self.advance()
+                if self.eat_kw("not"):
+                    self.expect_kw("null")
+                    e = A.EApp("IS NOT NULL", [e], loc=Loc.span(e.loc, self.toks[self.i - 1].loc))
+                else:
+                    self.expect_kw("null")
+                    e = A.EApp("IS NULL", [e], loc=Loc.span(e.loc, self.toks[self.i - 1].loc))
+                continue
+            # postfix: ascription `: ty [expr]` (binds tight)
+            if t.kind == "punct" and t.value == ":" and 95 >= min_bp:
+                self.advance()
+                ty = self._ty()
+                if self.cur.kind == "ident" and self.cur.value.lower() == "expr":
+                    self.advance()
+                    if isinstance(e, A.EParam):
+                        e.is_expr_param = True
+                        e.ascribed = ty
+                        continue
+                    self.fail("EXPR ascription only valid on parameters")
+                if isinstance(e, A.EParam):
+                    e.ascribed = ty
+                    e.null_spec = ty.non_null if self._ty_had_spec else None
+                    continue
+                e = A.EAscribe(expr=e, to_ty=ty, loc=Loc.span(e.loc, self.toks[self.i - 1].loc))
+                continue
+            # IN (select) / NOT IN (bp 60)
+            if t.kind == "kw" and t.value == "in" and 60 >= min_bp:
+                self.advance()
+                self.expect_punct("(")
+                sel = self.select()
+                self.expect_punct(")")
+                e = A.EIn(exprs=[e], select=sel, loc=Loc.span(e.loc, self.toks[self.i - 1].loc))
+                continue
+            if (
+                t.kind == "kw"
+                and t.value == "not"
+                and self.peek().kind == "kw"
+                and self.peek().value == "in"
+                and 60 >= min_bp
+            ):
+                self.advance()
+                self.advance()
+                self.expect_punct("(")
+                sel = self.select()
+                self.expect_punct(")")
+                e = A.EIn(
+                    exprs=[e], select=sel, negated=True,
+                    loc=Loc.span(e.loc, self.toks[self.i - 1].loc),
+                )
+                continue
+            op = None
+            if t.kind == "op":
+                op = t.value
+            elif t.kind == "kw" and t.value in ("and", "or"):
+                op = t.value
+            if op is None:
+                return e
+            bp = self.BINOP_BP.get(op)
+            if bp is None or bp < min_bp:
+                return e
+            self.advance()
+            rhs = self.expr(bp + 1)  # left-assoc
+            name = {"and": "AND", "or": "OR", "<>": "!="}.get(op, op)
+            e = A.EApp(name, [e, rhs], loc=Loc.span(e.loc, rhs.loc))
+
+    def _expr_prefix(self) -> A.Expr:
+        t = self.cur
+        if t.kind == "kw" and t.value == "not":
+            self.advance()
+            inner = self.expr(50)
+            return A.EApp("NOT", [inner], loc=Loc.span(t.loc, inner.loc))
+        if t.kind == "op" and t.value == "-":
+            self.advance()
+            inner = self.expr(100)
+            return A.EApp("-u", [inner], loc=Loc.span(t.loc, inner.loc))
+        return self._expr_primary()
+
+    def _expr_primary(self) -> A.Expr:
+        t = self.cur
+        if t.kind == "int":
+            self.advance()
+            return A.ELit(int(t.value), "int", loc=t.loc)
+        if t.kind == "float":
+            self.advance()
+            return A.ELit(float(t.value), "float", loc=t.loc)
+        if t.kind == "string":
+            self.advance()
+            return A.ELit(t.value, "string", loc=t.loc)
+        if t.kind == "kw" and t.value in ("true", "false"):
+            self.advance()
+            return A.ELit(t.value == "true", "bool", loc=t.loc)
+        if t.kind == "kw" and t.value == "null":
+            self.advance()
+            return A.ENull(loc=t.loc)
+        if t.kind == "param":
+            self.advance()
+            return A.EParam(name=t.value, loc=t.loc)
+        if t.kind == "kw" and t.value == "exists":
+            self.advance()
+            self.expect_punct("(")
+            sel = self.select()
+            self.expect_punct(")")
+            return A.EExists(select=sel, loc=Loc.span(t.loc, self.toks[self.i - 1].loc))
+        if t.kind == "kw" and t.value == "match":
+            return self._match()
+        if t.kind == "punct" and t.value == "(":
+            self.advance()
+            e = self.expr()
+            if self.eat_punct(","):
+                # tuple-IN: (a, b, ...) IN (select ...)
+                es = [e] + self._comma_list(self.expr, end=")")
+                self.expect_punct(")")
+                self.expect_kw("in")
+                self.expect_punct("(")
+                sel = self.select()
+                self.expect_punct(")")
+                return A.EIn(exprs=es, select=sel, loc=Loc.span(t.loc, self.toks[self.i - 1].loc))
+            self.expect_punct(")")
+            return e
+        if t.kind in ("ident", "kw"):
+            # name | fn(args) | nav
+            name_tok = self.expect_ident()
+            if self.at_punct("("):
+                self.advance()
+                args = self._comma_list(self.expr, end=")")
+                self.expect_punct(")")
+                return A.EApp(
+                    name_tok.value, args, loc=Loc.span(name_tok.loc, self.toks[self.i - 1].loc)
+                )
+            if self.at_punct("."):
+                self.advance()
+                inner = self._nav_tail()
+                return A.ENav(
+                    scope=name_tok.value, expr=inner, loc=Loc.span(name_tok.loc, inner.loc)
+                )
+            return A.EName(name=name_tok.value, loc=name_tok.loc)
+        self.fail("expected expression")
+
+    def _nav_tail(self) -> A.Expr:
+        """After `name.` — either nested nav, an app, a paren expr, or a name."""
+        if self.at_punct("("):
+            self.advance()
+            e = self.expr()
+            self.expect_punct(")")
+            return e
+        name_tok = self.expect_ident()
+        if self.at_punct("("):
+            self.advance()
+            args = self._comma_list(self.expr, end=")")
+            self.expect_punct(")")
+            return A.EApp(
+                name_tok.value, args, loc=Loc.span(name_tok.loc, self.toks[self.i - 1].loc)
+            )
+        if self.at_punct("."):
+            self.advance()
+            inner = self._nav_tail()
+            return A.ENav(scope=name_tok.value, expr=inner, loc=Loc.span(name_tok.loc, inner.loc))
+        return A.EName(name=name_tok.value, loc=name_tok.loc)
+
+    def _match(self) -> A.EMatch:
+        start = self.cur.loc
+        self.expect_kw("match")
+        if self.cur.kind != "param":
+            self.fail("expected parameter after MATCH")
+        pname = self.advance().value
+        self.expect_kw("with")
+        self.eat_punct("|")
+        branches = []
+        while True:
+            tag = self.expect_ident().value
+            params: List[str] = []
+            if self.cur.kind == "param":
+                params = [self.advance().value]
+            elif self.eat_punct("("):
+                while self.cur.kind == "param":
+                    params.append(self.advance().value)
+                    if not self.eat_punct(","):
+                        break
+                self.expect_punct(")")
+            if self.cur.kind != "arrow":
+                self.fail("expected ->")
+            self.advance()
+            body = self.expr()
+            branches.append(A.EMatchBranch(tag, params, body))
+            if not self.eat_punct("|"):
+                break
+        self.expect_kw("end")
+        return A.EMatch(
+            param=pname, branches=branches, loc=Loc.span(start, self.toks[self.i - 1].loc)
+        )
+
+    # -- util -------------------------------------------------------------
+
+    def _comma_list(self, fn, end: Optional[str]):
+        items = [fn()]
+        while self.eat_punct(","):
+            if end is not None and self.at_punct(end):
+                break
+            if end is None and (self._field_list_ends() or self.cur.kind == "eof"):
+                break
+            items.append(fn())
+        return items
+
+
+def parse_query(src: str):
+    return Parser(src).parse_query()
+
+
+def parse_decls(src: str):
+    return Parser(src).parse_decls()
