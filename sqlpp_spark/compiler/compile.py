@@ -1,0 +1,507 @@
+"""Compiler: elaborated sqlpp AST → PySpark DataFrame plans.
+
+Where the reference prints backend SQL text (sqlpp/printer.ml) for
+SQLite/PostgreSQL/MariaDB to execute, we construct DataFrame plans and
+let Catalyst/Tungsten do the physical planning (SURVEY.md §7
+architecture decision). Design notes:
+
+- every subselect compiles to a DataFrame aliased by its scope name, so
+  elaborated ``ERef(rel, field)`` references compile to ``rel.field``
+  column references — exactly the depth-1 form the analyzer guarantees
+- GROUP BY compiles to groupBy over the elaborated group expressions
+  plus one aggregate column per distinct aggregate application; output
+  expressions are then rebuilt by substituting group-keys and agg-apps
+  with the pre-computed columns (supports arbitrary nesting like
+  ``1 + (id + id)`` over ``GROUP BY id + id``)
+- IN/EXISTS in WHERE-conjunction position lower to left-semi /
+  left-anti joins (no row duplication, no driver round-trip); in scalar
+  position they lower to a left join against the distinct subquery with
+  a match flag. Both are shuffle-based and scale; the flag form uses
+  two-valued logic (SQL's NULL-propagating IN is documented as a
+  deviation)
+- MATCH variant params select a plan branch at bind time — the Python
+  equivalent of the reference's generated OCaml match (sqlpp_ppx.ml:209-243)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlpp_spark.frontend import ast as A
+from sqlpp_spark.frontend.analyze import (
+    AGG_FNS, QueryInfo, SelectCtx, SelectRel, TableRel,
+)
+from sqlpp_spark.frontend.ast import expr_key
+from sqlpp_spark.frontend.errors import SqlppError
+from sqlpp_spark.frontend.types import Ty
+
+SPARK_TYPES = {
+    "bool": "boolean",
+    "string": "string",
+    "int": "bigint",
+    "float": "double",
+    "datetime": "timestamp",
+    "date": "date",
+    "time": "string",
+    "interval": "interval day to second",
+}
+
+
+def spark_type(ty: Optional[Ty]) -> str:
+    if ty is None:
+        return "string"
+    return SPARK_TYPES[ty.kind]
+
+
+class Bindings:
+    """Bound parameter values for one execution."""
+
+    def __init__(self, values: Dict[str, object]):
+        self.values = values
+
+    def get(self, name: str, loc=None):
+        if name not in self.values:
+            raise SqlppError(f"missing parameter: ?{name}")
+        return self.values[name]
+
+
+class Compiler:
+    def __init__(self, spark: SparkSession, catalog: Dict[str, DataFrame]):
+        self.spark = spark
+        self.catalog = catalog
+        self._subquery_n = 0
+
+    # -- entry points ------------------------------------------------------
+
+    def compile_query(self, q: QueryInfo, params: Dict[str, object] | None = None) -> DataFrame:
+        binds = Bindings(params or {})
+        return self.compile_select(q.ctx, binds)
+
+    # -- select ------------------------------------------------------------
+
+    def compile_select(self, ctx: SelectCtx, binds: Bindings) -> DataFrame:
+        sel = ctx.select
+        df = self._compile_from(ctx, sel.from_, binds)
+
+        # WHERE: route IN/EXISTS conjuncts to semi/anti joins
+        if sel.where is not None:
+            conjuncts = _split_conjuncts(sel.where)
+            for c in conjuncts:
+                df = self._apply_predicate(df, ctx, c, binds)
+
+        out_fields = [f for f in ctx.fields if f.is_used]
+
+        if sel.group_by is not None:
+            df = self._compile_grouped(df, ctx, out_fields, binds)
+        else:
+            # scalar-position subqueries in the projection
+            df, scalar_map = self._attach_scalar_subqueries(
+                df, [f.expr for f in out_fields]
+                + [o.expr for o in sel.order_by], binds
+            )
+            if sel.having is not None:
+                raise SqlppError("HAVING without GROUP BY")
+            if sel.order_by:
+                df = df.orderBy(
+                    *[
+                        self._order_col(self.expr(o.expr, binds, scalar_map), o)
+                        for o in sel.order_by
+                    ]
+                )
+            df = self._limit_offset(df, sel, binds)
+            cols = [
+                self.expr(f.expr, binds, scalar_map).alias(f.out_name) for f in out_fields
+            ]
+            if not cols:
+                cols = [F.lit(1).alias("_dummy")]
+            df = df.select(*cols)
+        if sel.distinct:
+            df = df.distinct()
+        return df
+
+    def _compile_grouped(
+        self, df: DataFrame, ctx: SelectCtx, out_fields: List[A.Field], binds: Bindings
+    ) -> DataFrame:
+        sel = ctx.select
+        # 1. collect distinct aggregate applications across outputs,
+        #    having and order-by
+        exprs: List[A.Expr] = [f.expr for f in out_fields]
+        if sel.having is not None:
+            exprs.append(sel.having)
+        exprs.extend(o.expr for o in sel.order_by)
+        agg_apps: Dict[tuple, A.EApp] = {}
+        for e in exprs:
+            for app in _iter_agg_apps(e):
+                agg_apps.setdefault(expr_key(app), app)
+        # 2. group columns (elaborated group expressions)
+        gcols = [
+            self.expr(g, binds, {}).alias(f"__g{i}") for i, g in enumerate(ctx.group_exprs)
+        ]
+        acols = [
+            self._agg_column(app, binds).alias(f"__a{j}")
+            for j, (k, app) in enumerate(agg_apps.items())
+        ]
+        subst: Dict[tuple, str] = {}
+        for i, g in enumerate(ctx.group_exprs):
+            subst[expr_key(g)] = f"__g{i}"
+        for j, k in enumerate(agg_apps.keys()):
+            subst[k] = f"__a{j}"
+        if gcols:
+            grouped = df.groupBy(*gcols).agg(*acols) if acols else df.groupBy(*gcols).agg(
+                F.count(F.lit(1)).alias("__cnt_dummy")
+            )
+        else:
+            # GROUP BY () — global aggregation (parser.mly:258)
+            grouped = df.agg(*acols) if acols else df.agg(F.count(F.lit(1)).alias("__cnt_dummy"))
+        if sel.having is not None:
+            grouped = grouped.filter(self.expr(sel.having, binds, {}, subst))
+        if sel.order_by:
+            grouped = grouped.orderBy(
+                *[
+                    self._order_col(self.expr(o.expr, binds, {}, subst), o)
+                    for o in sel.order_by
+                ]
+            )
+        grouped = self._limit_offset(grouped, sel, binds)
+        cols = [
+            self.expr(f.expr, binds, {}, subst).alias(f.out_name) for f in out_fields
+        ]
+        if not cols:
+            cols = [F.lit(1).alias("_dummy")]
+        return grouped.select(*cols)
+
+    def _limit_offset(self, df: DataFrame, sel: A.Select, binds: Bindings) -> DataFrame:
+        if sel.offset is not None:
+            df = df.offset(_const_int(sel.offset, binds))
+        if sel.limit is not None:
+            df = df.limit(_const_int(sel.limit, binds))
+        return df
+
+    @staticmethod
+    def _order_col(col: Column, o: A.OrderItem) -> Column:
+        return col.desc() if o.desc else col.asc()
+
+    # -- FROM --------------------------------------------------------------
+
+    def _compile_from(self, ctx: SelectCtx, fr, binds: Bindings) -> DataFrame:
+        if fr is None:
+            return self.spark.range(1).select(F.lit(1).alias("__one"))
+        return self._compile_from_node(ctx, fr, binds)
+
+    def _compile_from_node(self, ctx: SelectCtx, fr, binds: Bindings) -> DataFrame:
+        if isinstance(fr, A.FromJoin):
+            left = self._compile_from_node(ctx, fr.left, binds)
+            right = self._compile_from_node(ctx, fr.right, binds)
+            on = self.expr(fr.on, binds, {})
+            return left.join(right, on=on, how="left" if fr.kind == "left" else "inner")
+        if isinstance(fr, A.FromTable):
+            name = fr.alias or fr.table
+            df = self.catalog.get(fr.table)
+            if df is None:
+                raise SqlppError(f"table not registered in catalog: {fr.table}")
+            return df.alias(name)
+        if isinstance(fr, A.FromSelect):
+            rel = ctx.rels[fr.alias]
+            assert isinstance(rel, SelectRel)
+            sub = self.compile_select(rel.ctx, binds)
+            return sub.alias(fr.alias)
+        raise SqlppError(f"bad from node {type(fr).__name__}")
+
+    # -- predicates with subqueries ---------------------------------------
+
+    def _apply_predicate(self, df: DataFrame, ctx: SelectCtx, pred: A.Expr, binds: Bindings):
+        neg = False
+        inner = pred
+        if isinstance(inner, A.EApp) and inner.fn.lower() == "not" and len(inner.args) == 1:
+            if isinstance(inner.args[0], (A.EIn, A.EExists)):
+                neg = True
+                inner = inner.args[0]
+        if isinstance(inner, A.EIn):
+            sub_df = self.compile_select(inner.sub_ctx, binds)
+            sub_alias = self._fresh("__in")
+            sub_df = sub_df.alias(sub_alias)
+            sub_cols = [f.out_name for f in inner.sub_ctx.fields if f.is_used]
+            cond = None
+            for e_out, cname in zip(inner.exprs, sub_cols):
+                c = self.expr(e_out, binds, {}) == F.col(f"{sub_alias}.{cname}")
+                cond = c if cond is None else (cond & c)
+            how = "left_anti" if (neg or inner.negated) else "left_semi"
+            return df.join(sub_df, on=cond, how=how)
+        if isinstance(inner, A.EExists):
+            sub_df = self.compile_select(inner.sub_ctx, binds)
+            marker = sub_df.limit(1).select(F.lit(True).alias("__exists"))
+            joined = df.join(marker, on=F.lit(True), how="left")
+            cond = F.col("__exists").isNotNull()
+            if neg:
+                cond = ~cond
+            return joined.filter(cond).drop("__exists")
+        return df.filter(self.expr(pred, binds, {}))
+
+    def _attach_scalar_subqueries(self, df: DataFrame, exprs: List[A.Expr], binds: Bindings):
+        """Left-join distinct subquery results so scalar-position
+        IN/EXISTS compile to a match flag (two-valued semantics)."""
+        scalar_map: Dict[int, Column] = {}
+        for e in exprs:
+            for node in _iter_nodes(e):
+                if isinstance(node, A.EIn) and id(node) not in scalar_map:
+                    sub_df = self.compile_select(node.sub_ctx, binds)
+                    alias = self._fresh("__sin")
+                    flag = f"{alias}_flag"
+                    sub_cols = [f.out_name for f in node.sub_ctx.fields if f.is_used]
+                    sub_df = (
+                        sub_df.distinct()
+                        .withColumn(flag, F.lit(True))
+                        .alias(alias)
+                    )
+                    cond = None
+                    for e_in, cname in zip(node.exprs, sub_cols):
+                        c = self.expr(e_in, binds, {}) == F.col(f"{alias}.{cname}")
+                        cond = c if cond is None else (cond & c)
+                    df = df.join(sub_df, on=cond, how="left")
+                    col = F.col(flag).isNotNull()
+                    if node.negated:
+                        col = ~col
+                    scalar_map[id(node)] = col
+                elif isinstance(node, A.EExists) and id(node) not in scalar_map:
+                    sub_df = self.compile_select(node.sub_ctx, binds)
+                    flag = self._fresh("__sex")
+                    marker = sub_df.limit(1).select(F.lit(True).alias(flag))
+                    df = df.join(marker, on=F.lit(True), how="left")
+                    scalar_map[id(node)] = F.col(flag).isNotNull()
+        return df, scalar_map
+
+    def _fresh(self, prefix: str) -> str:
+        self._subquery_n += 1
+        return f"{prefix}{self._subquery_n}"
+
+    # -- expressions -------------------------------------------------------
+
+    def expr(
+        self,
+        e: A.Expr,
+        binds: Bindings,
+        scalar_map: Dict[int, Column],
+        subst: Optional[Dict[tuple, str]] = None,
+    ) -> Column:
+        if subst:
+            k = expr_key(e)
+            if k in subst:
+                return F.col(subst[k])
+        if isinstance(e, A.ELit):
+            return F.lit(e.value)
+        if isinstance(e, A.ENull):
+            return F.lit(None).cast(spark_type(e.ty))
+        if isinstance(e, A.ERef):
+            return F.col(f"{e.rel}.{e.name}")
+        if isinstance(e, A.EParam):
+            return self._param_col(e, binds)
+        if isinstance(e, A.EMatch):
+            return self._match_col(e, binds, scalar_map, subst)
+        if isinstance(e, A.EIn):
+            col = scalar_map.get(id(e))
+            if col is None:
+                raise SqlppError(
+                    "IN (subquery) is only supported in WHERE conjunctions "
+                    "or the projection of an ungrouped select"
+                )
+            return col
+        if isinstance(e, A.EExists):
+            col = scalar_map.get(id(e))
+            if col is None:
+                raise SqlppError(
+                    "EXISTS is only supported in WHERE conjunctions "
+                    "or the projection of an ungrouped select"
+                )
+            return col
+        if isinstance(e, A.EAscribe):
+            return self.expr(e.expr, binds, scalar_map, subst)
+        if isinstance(e, A.EApp):
+            return self._app_col(e, binds, scalar_map, subst)
+        raise SqlppError(f"cannot compile {type(e).__name__}")
+
+    def _param_col(self, e: A.EParam, binds: Bindings) -> Column:
+        if e.is_expr_param:
+            val = binds.get(e.name, e.loc)
+            if isinstance(val, Column):
+                return val
+            raise SqlppError(
+                f"expression parameter ?{e.name} must be bound to a Column "
+                "(use engine.compile_expr_param to build one from sqlpp source)"
+            )
+        val = binds.get(e.name, e.loc)
+        ty = e.ty or e.ascribed
+        if val is None:
+            return F.lit(None).cast(spark_type(ty))
+        return F.lit(val).cast(spark_type(ty)) if ty is not None else F.lit(val)
+
+    def _match_col(self, e: A.EMatch, binds, scalar_map, subst) -> Column:
+        """Variant param: the bound value picks which branch compiles —
+        query-shape specialization before execution (SURVEY §4)."""
+        val = binds.get(e.param, e.loc)
+        if isinstance(val, str):
+            tag, payload = val, {}
+        elif isinstance(val, tuple) and len(val) >= 1:
+            tag = val[0]
+            rest = list(val[1:])
+            payload = rest[0] if len(rest) == 1 and isinstance(rest[0], dict) else rest
+        else:
+            raise SqlppError(f"variant parameter ?{e.param} must be a tag or (tag, args)")
+        for br in e.branches:
+            if br.tag == tag:
+                inner = dict(binds.values)
+                if isinstance(payload, dict):
+                    inner.update(payload)
+                else:
+                    for pname, pval in zip(br.params, payload):
+                        inner[pname] = pval
+                return self.expr(br.body, Bindings(inner), scalar_map, subst)
+        raise SqlppError(f"no branch for variant tag {tag!r} in MATCH ?{e.param}")
+
+    def _agg_column(self, app: A.EApp, binds: Bindings) -> Column:
+        fn = app.fn.lower()
+        args = [self.expr(a, binds, {}) for a in app.args]
+        if fn == "count":
+            return F.count(args[0])
+        if fn == "sum":
+            return F.sum(args[0])
+        if fn == "max":
+            return F.max(args[0])
+        if fn == "min":
+            return F.min(args[0])
+        if fn == "avg":
+            return F.avg(args[0])
+        raise SqlppError(f"unknown aggregate {app.fn}")
+
+    def _app_col(self, e: A.EApp, binds, scalar_map, subst) -> Column:
+        fn = e.fn.lower()
+
+        def a(i):
+            return self.expr(e.args[i], binds, scalar_map, subst)
+
+        if fn in AGG_FNS:
+            # aggregates outside a grouped compile (shouldn't happen —
+            # the analyzer enforces GROUP BY)
+            return self._agg_column(e, binds)
+        if fn == "=":
+            return a(0) == a(1)
+        if fn == "!=":
+            return a(0) != a(1)
+        if fn == ">":
+            return a(0) > a(1)
+        if fn == ">=":
+            return a(0) >= a(1)
+        if fn == "<":
+            return a(0) < a(1)
+        if fn == "<=":
+            return a(0) <= a(1)
+        if fn == "and":
+            return a(0) & a(1)
+        if fn == "or":
+            return a(0) | a(1)
+        if fn == "not":
+            return ~a(0)
+        if fn == "-u":
+            return -a(0)
+        if fn in ("+", "-", "*"):
+            l, r = a(0), a(1)
+            return {"+": l + r, "-": l - r, "*": l * r}[fn]
+        if fn == "/":
+            l, r = a(0), a(1)
+            lt = e.args[0].ty
+            rt = e.args[1].ty
+            if lt is not None and rt is not None and lt.kind == "int" and rt.kind == "int":
+                # SQLite-style integer division (truncation toward zero)
+                return (l / r).cast("long")
+            return l / r
+        if fn == "is null":
+            return a(0).isNull()
+        if fn == "is not null":
+            return a(0).isNotNull()
+        if fn == "nullif":
+            return F.nullif(a(0), a(1))
+        if fn == "coalesce":
+            return F.coalesce(*[a(i) for i in range(len(e.args))])
+        if fn == "now":
+            return F.current_timestamp()
+        if fn == "tostring":
+            return a(0).cast("string")
+        if fn == "datetime":
+            return F.to_timestamp(F.replace(a(0), F.lit("T"), F.lit(" ")))
+        if fn == "date":
+            return F.to_date(a(0))
+        ext = _EXT_COMPILE.get(fn)
+        if ext is not None:
+            return ext([a(i) for i in range(len(e.args))])
+        raise SqlppError(f"cannot compile function {e.fn}")
+
+
+_EXT_COMPILE = {
+    "upper": lambda a: F.upper(a[0]),
+    "lower": lambda a: F.lower(a[0]),
+    "length": lambda a: F.length(a[0]).cast("bigint"),
+    "substring": lambda a: F.substring(a[0], a[1], a[2]),
+    "substr": lambda a: F.substring(a[0], a[1], a[2]),
+    "concat": lambda a: F.concat(*a),
+    "trim": lambda a: F.trim(a[0]),
+    "replace": lambda a: F.replace(a[0], a[1], a[2]),
+    "abs": lambda a: F.abs(a[0]),
+    "round": lambda a: F.round(a[0], 0),
+    "floor": lambda a: F.floor(a[0]).cast("bigint"),
+    "ceil": lambda a: F.ceil(a[0]).cast("bigint"),
+    "year": lambda a: F.year(a[0]).cast("bigint"),
+    "month": lambda a: F.month(a[0]).cast("bigint"),
+    "day": lambda a: F.dayofmonth(a[0]).cast("bigint"),
+}
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _split_conjuncts(e: A.Expr) -> List[A.Expr]:
+    if isinstance(e, A.EApp) and e.fn.lower() == "and":
+        return _split_conjuncts(e.args[0]) + _split_conjuncts(e.args[1])
+    return [e]
+
+
+def _iter_agg_apps(e: A.Expr):
+    if isinstance(e, A.EApp):
+        if e.fn.lower() in AGG_FNS:
+            yield e
+            return
+        for x in e.args:
+            yield from _iter_agg_apps(x)
+    elif isinstance(e, A.EAscribe):
+        yield from _iter_agg_apps(e.expr)
+    elif isinstance(e, A.EMatch):
+        for br in e.branches:
+            yield from _iter_agg_apps(br.body)
+
+
+def _iter_nodes(e: A.Expr):
+    yield e
+    if isinstance(e, A.EApp):
+        for x in e.args:
+            yield from _iter_nodes(x)
+    elif isinstance(e, A.EAscribe):
+        yield from _iter_nodes(e.expr)
+    elif isinstance(e, A.EMatch):
+        for br in e.branches:
+            yield from _iter_nodes(br.body)
+    elif isinstance(e, A.EIn):
+        for x in e.exprs:
+            yield from _iter_nodes(x)
+
+
+def _const_int(e: A.Expr, binds: Bindings) -> int:
+    if isinstance(e, A.ELit) and isinstance(e.value, int):
+        return e.value
+    if isinstance(e, A.EParam):
+        v = binds.get(e.name, e.loc)
+        if isinstance(v, int):
+            return v
+    raise SqlppError("LIMIT/OFFSET must be an integer literal or parameter")

@@ -1,0 +1,420 @@
+"""SqlppEngine — the runtime API surface of the engine.
+
+Mirrors the reference's runtime shapes (SURVEY.md §2.10):
+- ``fetch_list`` / ``fetch_option`` / ``exec`` — typed fetch API
+  (sqlpp_ppx.ml:406-497); analysis happens eagerly at ``prepare`` time
+  so type errors surface before any Spark job runs
+- ``Dynamic``-style string API: ``engine.query(src, **params)`` returns
+  a DataFrame; ``fetch_json`` returns JSON rows (sqlpp.ml:388-401)
+- schema env with CREATE TABLE/QUERY/FIELDSET decls (sqlpp.ml:81-111),
+  plus registration straight from Spark DataFrames/parquet
+- DML: INSERT / UPDATE / DELETE on parquet-backed managed tables.
+  Without a transactional table format on the classpath (Delta/Iceberg
+  jars are not in this image) mutations rewrite the table — documented
+  trade-off; the plan/row semantics (ON CONFLICT, RETURNING, joined
+  UPDATE ... FROM) match the reference (analyze.ml:826-998)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sqlpp_spark.compiler.compile import Bindings, Compiler, spark_type
+from sqlpp_spark.frontend import ast as A
+from sqlpp_spark.frontend.analyze import Analyzer, Env, QueryInfo
+from sqlpp_spark.frontend.errors import SqlppError
+from sqlpp_spark.frontend.parser import parse_query
+from sqlpp_spark.frontend.types import Ty, ty as mk_ty
+
+_SPARK_TO_SQLPP = {
+    T.BooleanType: "bool",
+    T.StringType: "string",
+    T.ByteType: "int",
+    T.ShortType: "int",
+    T.IntegerType: "int",
+    T.LongType: "int",
+    T.FloatType: "float",
+    T.DoubleType: "float",
+    T.TimestampType: "datetime",
+    T.TimestampNTZType: "datetime",  # parquet isAdjustedToUTC=false (Spark 4)
+    T.DateType: "date",
+}
+
+
+def ty_from_spark(dt: T.DataType, nullable: bool) -> Optional[Ty]:
+    if isinstance(dt, T.DecimalType):
+        return mk_ty("float", not nullable)
+    kind = _SPARK_TO_SQLPP.get(type(dt))
+    if kind is None:
+        return None  # arrays/maps/structs: not addressable from sqlpp
+    return mk_ty(kind, not nullable)
+
+
+class PreparedQuery:
+    """An analyzed query: type-checked, parameter-typed, compilable."""
+
+    def __init__(self, engine: "SqlppEngine", info: QueryInfo):
+        self.engine = engine
+        self.info = info
+
+    @property
+    def row(self):
+        return self.info.row
+
+    @property
+    def params(self):
+        return self.info.params
+
+    def df(self, **params) -> DataFrame:
+        self._check_params(params)
+        comp = Compiler(self.engine.spark, self.engine.catalog)
+        return comp.compile_query(self.info, params)
+
+    def _check_params(self, params: Dict[str, object]) -> None:
+        for name, entry in self.info.params.items():
+            if name not in params:
+                # params bound inside MATCH branches arrive via the
+                # variant payload, not at top level
+                if any(
+                    name in tags
+                    for p in self.info.params.values()
+                    for tags in p.variant.values()
+                ):
+                    continue
+                raise SqlppError(f"missing parameter: ?{name}")
+            if entry.ty is not None and entry.ty.non_null and params[name] is None:
+                raise SqlppError(f"parameter ?{name} is {entry.ty}; got None")
+
+
+class SqlppEngine:
+    def __init__(self, spark: SparkSession, env: Optional[Env] = None):
+        self.spark = spark
+        self.env = env or Env()
+        self.catalog: Dict[str, DataFrame] = {}
+        self.managed_paths: Dict[str, str] = {}  # table -> parquet dir (DML-able)
+
+    # -- registration ------------------------------------------------------
+
+    def add_decls(self, src: str) -> None:
+        self.env.add(src)
+
+    def register_df(self, name: str, df: DataFrame) -> None:
+        # an explicit CREATE TABLE decl is the source of truth (the
+        # reference's schema is declared, not inferred — SURVEY §1.3);
+        # only derive the env entry when none exists
+        if name not in self.env.tables:
+            cols = {}
+            for f in df.schema.fields:
+                ty = ty_from_spark(f.dataType, f.nullable)
+                if ty is not None:
+                    cols[f.name] = ty
+            self.env.add_table(name, cols)
+        self.catalog[name] = df
+
+    def register_parquet(self, name: str, path: str) -> None:
+        self.register_df(name, self.spark.read.parquet(path))
+
+    def create_managed(self, name: str, path: str, df: DataFrame) -> None:
+        """A parquet-backed table the engine may mutate (INSERT/UPDATE/
+        DELETE)."""
+        df.write.mode("overwrite").parquet(path)
+        self.managed_paths[name] = path
+        self.register_df(name, self.spark.read.parquet(path))
+
+    # -- query API ---------------------------------------------------------
+
+    def prepare(self, src: str) -> PreparedQuery:
+        q = parse_query(src)
+        an = Analyzer(self.env, src)
+        if isinstance(q, A.Select):
+            info = an.analyze_query(q)
+            return PreparedQuery(self, info)
+        raise SqlppError("prepare() is for SELECT; use exec() for DML")
+
+    def query(self, src: str, **params) -> DataFrame:
+        return self.prepare(src).df(**params)
+
+    def fetch_list(self, src: str, **params) -> List[Row]:
+        return self.query(src, **params).collect()
+
+    def fetch_option(self, src: str, **params) -> Optional[Row]:
+        rows = self.query(src, **params).limit(2).collect()
+        if len(rows) > 1:
+            raise SqlppError("fetch_option: query returned more than one row")
+        return rows[0] if rows else None
+
+    def fetch_json(self, src: str, **params) -> List[str]:
+        return self.query(src, **params).toJSON().collect()
+
+    def compile_expr_param(self, prepared: PreparedQuery, expr_src: str) -> Column:
+        """Build a Column for an expression parameter by analyzing
+        sqlpp source in the prepared query's scope (the reference
+        re-analyzes Pty_expr params in the captured scope,
+        sqlpp.ml:360-363)."""
+        from sqlpp_spark.frontend.parser import Parser
+
+        p = Parser(expr_src)
+        e = p.expr()
+        an = Analyzer(self.env, expr_src)
+        elab, _ = an.infer_expr(prepared.info.ctx, e)
+        comp = Compiler(self.spark, self.catalog)
+        return comp.expr(elab, Bindings({}), {})
+
+    # -- DML ---------------------------------------------------------------
+
+    def exec(self, src: str, **params) -> Optional[DataFrame]:
+        """Execute a DML statement. Returns the RETURNING DataFrame if
+        requested, else None."""
+        q = parse_query(src)
+        if isinstance(q, A.Insert):
+            return self._exec_insert(q, src, params)
+        if isinstance(q, A.Update):
+            return self._exec_update(q, src, params)
+        if isinstance(q, A.Delete):
+            return self._exec_delete(q, src, params)
+        if isinstance(q, A.Select):
+            return self.prepare(src).df(**params)
+        raise SqlppError(f"cannot exec {type(q).__name__}")
+
+    def _managed(self, table: str) -> str:
+        path = self.managed_paths.get(table)
+        if path is None:
+            raise SqlppError(
+                f"table {table} is not managed (create_managed) — DML unavailable"
+            )
+        return path
+
+    def _table_fields(self, table: str):
+        ti = self.env.tables.get(table)
+        if ti is None:
+            raise SqlppError(f"no such table: {table}")
+        return ti.columns
+
+    def _exec_insert(self, ins: A.Insert, src: str, params) -> Optional[DataFrame]:
+        path = self._managed(ins.table)
+        cols = self._table_fields(ins.table)
+        cur = self.spark.read.parquet(path)
+        an = Analyzer(self.env, src)
+        comp = Compiler(self.spark, self.catalog)
+        binds = Bindings(params)
+        if ins.values is not None:
+            from sqlpp_spark.frontend.analyze import SelectCtx
+
+            ctx = SelectCtx(A.Select())
+            row_cols = []
+            for row in ins.values:
+                if len(row) != len(ins.columns):
+                    raise SqlppError(
+                        f"INSERT arity mismatch: {len(ins.columns)} columns, "
+                        f"{len(row)} values"
+                    )
+                vals = []
+                for cname, e in zip(ins.columns, row):
+                    if cname not in cols:
+                        raise SqlppError(f"no such column: {cname}")
+                    elab, ety = an.infer_expr(ctx, e)
+                    vals.append(comp.expr(elab, binds, {}).cast(spark_type(cols[cname])).alias(cname))
+                row_cols.append(vals)
+            new_df = None
+            for vals in row_cols:
+                one = self.spark.range(1).select(*vals)
+                new_df = one if new_df is None else new_df.unionByName(one)
+        else:
+            sub = self.prepare_select_in(src, ins.select)
+            sdf = comp.compile_select(sub, binds)
+            if len(sdf.columns) != len(ins.columns):
+                raise SqlppError(
+                    f"INSERT arity mismatch: {len(ins.columns)} columns, "
+                    f"{len(sdf.columns)} select outputs"
+                )
+            new_df = sdf.toDF(*ins.columns)
+            new_df = new_df.select(
+                *[F.col(c).cast(spark_type(cols[c])).alias(c) for c in ins.columns]
+            )
+        # missing required (non-null, no default) columns check
+        for cname, cty in cols.items():
+            if cname not in ins.columns:
+                if cty.non_null:
+                    raise SqlppError(f"missing required column: {cname}")
+                new_df = new_df.withColumn(cname, F.lit(None).cast(spark_type(cty)))
+        new_df = new_df.select(*[c for c in cur.columns])
+
+        pk = self._primary_key(ins.table)
+        if ins.on_conflict and pk:
+            on = [new_df[k] == cur[k] for k in pk]
+            cond = on[0]
+            for c in on[1:]:
+                cond = cond & c
+            if ins.on_conflict == "ignore":
+                new_df = new_df.join(cur, on=cond, how="left_anti")
+                result = cur.unionByName(new_df)
+            else:  # replace: new rows win (correct upsert — unlike
+                # the reference's broken ON CONFLICT DO UPDATE printer,
+                # printer.ml:290 / SURVEY §2.11)
+                keep = cur.join(new_df, on=cond, how="left_anti")
+                result = keep.unionByName(new_df)
+        else:
+            result = cur.unionByName(new_df)
+        # materialize RETURNING before the rewrite invalidates sources
+        ret = self._returning(new_df, ins.returning, src) if ins.returning else None
+        self._rewrite(ins.table, path, result)
+        return ret
+
+    def _exec_update(self, upd: A.Update, src: str, params) -> Optional[DataFrame]:
+        path = self._managed(upd.table)
+        cols = self._table_fields(upd.table)
+        cur = self.spark.read.parquet(path)
+        # analyze SET/WHERE in the table's scope (+ optional FROM rels)
+        sel = A.Select(from_=A.FromTable(upd.table, None))
+        if upd.from_ is not None:
+            f = upd.from_
+            sel.from_ = A.FromJoin(sel.from_, f, "inner", None)
+        an = Analyzer(self.env, src)
+        from sqlpp_spark.frontend.analyze import SelectCtx, TableRel
+
+        ctx = SelectCtx(sel)
+        ctx.rels[upd.table] = TableRel(upd.table, cols, table=upd.table)
+        comp = Compiler(self.spark, self.catalog)
+        binds = Bindings(params)
+        base = cur.alias(upd.table)
+        if upd.from_ is not None:
+            # Postgres-style joined update: FROM adds relations, WHERE
+            # correlates (updatesyn, syntax.ml:164-173). One update per
+            # target row: first match wins (row_number over PK).
+            pk = self._primary_key(upd.table)
+            if not pk:
+                raise SqlppError(
+                    f"UPDATE ... FROM requires a primary key on {upd.table}"
+                )
+            self._analyze_extra_from(ctx, upd.from_, an)
+            extra = comp._compile_from_node(ctx, upd.from_, binds)
+            joined = base.join(extra, on=F.lit(True), how="inner")
+            if upd.where is not None:
+                welab, _ = an.infer_expr(ctx, upd.where)
+                joined = joined.filter(comp.expr(welab, binds, {}))
+            set_cols = self._set_columns(upd, cols, an, ctx, comp, binds)
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy(*[F.col(f"{upd.table}.{k}") for k in pk]).orderBy(F.lit(1))
+            updated = (
+                joined.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(
+                    *[
+                        set_cols.get(c, F.col(f"{upd.table}.{c}")).alias(c)
+                        for c in cur.columns
+                    ]
+                )
+            )
+            upd_keys = updated.select(*pk)
+            keep_cond = None
+            for k in pk:
+                c = F.col(f"{upd.table}.{k}") == upd_keys[k]
+                keep_cond = c if keep_cond is None else keep_cond & c
+            keep = base.join(upd_keys, on=keep_cond, how="left_anti").select(
+                *[F.col(f"{upd.table}.{c}").alias(c) for c in cur.columns]
+            )
+            result = keep.unionByName(updated)
+        else:
+            where_col = F.lit(True)
+            if upd.where is not None:
+                welab, _ = an.infer_expr(ctx, upd.where)
+                where_col = comp.expr(welab, binds, {})
+            set_cols = self._set_columns(upd, cols, an, ctx, comp, binds)
+            out_cols = []
+            for c in cur.columns:
+                if c in set_cols:
+                    out_cols.append(
+                        F.when(where_col, set_cols[c])
+                        .otherwise(F.col(f"{upd.table}.{c}"))
+                        .alias(c)
+                    )
+                else:
+                    out_cols.append(F.col(f"{upd.table}.{c}").alias(c))
+            result = base.select(*out_cols)
+            updated = base.filter(where_col).select(
+                *[set_cols.get(c, F.col(f"{upd.table}.{c}")).alias(c) for c in cur.columns]
+            )
+        ret = self._returning(updated, upd.returning, src) if upd.returning else None
+        self._rewrite(upd.table, path, result)
+        return ret
+
+    def _set_columns(self, upd, cols, an, ctx, comp, binds) -> Dict[str, Column]:
+        set_cols: Dict[str, Column] = {}
+        for cname, e in upd.sets:
+            if cname not in cols:
+                raise SqlppError(f"no such column: {cname}")
+            elab, _ = an.infer_expr(ctx, e)
+            set_cols[cname] = comp.expr(elab, binds, {}).cast(spark_type(cols[cname]))
+        return set_cols
+
+    def _analyze_extra_from(self, ctx, fr, an) -> None:
+        if isinstance(fr, A.FromJoin):
+            self._analyze_extra_from(ctx, fr.left, an)
+            self._analyze_extra_from(ctx, fr.right, an)
+            return
+        an._analyze_from(ctx, fr, nullable=False)
+
+    def _exec_delete(self, dele: A.Delete, src: str, params) -> Optional[DataFrame]:
+        path = self._managed(dele.table)
+        cols = self._table_fields(dele.table)
+        cur = self.spark.read.parquet(path).alias(dele.table)
+        an = Analyzer(self.env, src)
+        from sqlpp_spark.frontend.analyze import SelectCtx, TableRel
+
+        ctx = SelectCtx(A.Select())
+        ctx.rels[dele.table] = TableRel(dele.table, cols, table=dele.table)
+        comp = Compiler(self.spark, self.catalog)
+        binds = Bindings(params)
+        cond = F.lit(True)
+        if dele.where is not None:
+            elab, _ = an.infer_expr(ctx, dele.where)
+            cond = comp.expr(elab, binds, {})
+        deleted = cur.filter(cond)
+        remaining = cur.filter(~F.coalesce(cond, F.lit(False)))
+        ret = self._returning(deleted, dele.returning, src) if dele.returning else None
+        self._rewrite(dele.table, path, remaining)
+        return ret
+
+    def _returning(self, df: DataFrame, fields: List[A.Field], src: str) -> DataFrame:
+        cols = []
+        for i, f in enumerate(fields):
+            if isinstance(f.expr, A.EName):
+                col = F.col(f.expr.name)
+                name = f.name or f.expr.name
+            else:
+                raise SqlppError("RETURNING supports column references")
+            cols.append(col.alias(name))
+        # materialize: the caller rewrites the table right after, which
+        # would invalidate a lazy plan reading the old files
+        out = df.select(*cols)
+        return self.spark.createDataFrame(out.collect(), out.schema)
+
+    def _primary_key(self, table: str) -> List[str]:
+        ti = self.env.tables.get(table)
+        if ti is None or ti.decl is None:
+            return []
+        return [c.name for c in ti.decl.columns if c.primary_key]
+
+    def _rewrite(self, table: str, path: str, df: DataFrame) -> None:
+        """Full-table rewrite via a temp dir (plain-parquet fallback for
+        Delta-style UPDATE/DELETE — SURVEY §7 'What's hard')."""
+        tmp = tempfile.mkdtemp(prefix=f"sqlpp_{table}_")
+        try:
+            df.write.mode("overwrite").parquet(tmp)
+            fresh = self.spark.read.parquet(tmp)
+            fresh.write.mode("overwrite").parquet(path)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        self.catalog[table] = self.spark.read.parquet(path)
+
+    def prepare_select_in(self, src: str, sel: A.Select):
+        an = Analyzer(self.env, src)
+        return an.analyze_select(sel)

@@ -1,0 +1,976 @@
+"""Analyzer: scope resolution, elaboration, typing.
+
+Reproduces the reference's elaboration semantics (sqlpp/analyze.ml,
+sqlpp/scope.ml — SURVEY.md §1-§3) on our own AST:
+
+- names lower to depth-1 ``ERef(rel, field)`` references; navigation
+  through nested open subqueries *injects* generated ``_i`` fields at
+  every level, reusing structurally-equal fields (hash-consing stand-in:
+  ``ast.expr_key``)
+- LEFT JOIN marks the right-hand relation nullable; every field
+  referenced through it becomes nullable (analyze.ml:801-805)
+- ``with`` fields are lazy: same-scope references inline the defining
+  expression; cross-scope references materialize the field
+  (analyze.ml:401-407, optional_fields.t)
+- fieldsets splice re-analyzed bodies with param aliases bound to the
+  argument scopes (analyze.ml:711-752, fieldset.t)
+- aggregates require GROUP BY (even global: GROUP BY ()), may not nest,
+  and non-grouped references outside aggregates are rejected
+  (analyze.ml:271-331, group_by.t)
+- parameter types unify across uses: nullability glb, kind glb
+  (analyze.ml:120-178, infer.t)
+"""
+
+from __future__ import annotations
+
+import copy
+import re as _re
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Optional, Tuple
+
+from sqlpp_spark.frontend import ast as A
+from sqlpp_spark.frontend.ast import expr_key
+from sqlpp_spark.frontend.errors import Loc, SqlppError
+from sqlpp_spark.frontend.parser import parse_decls, parse_query
+from sqlpp_spark.frontend.types import (
+    BOOL, DATE, DATETIME, INT, NUMERIC, STRING, Ty, check_subsumes, subsumes,
+    ty_glb, ty_lub,
+)
+
+AGG_FNS = {"count", "sum", "max", "min", "avg", "count_distinct"}
+
+DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
+DATETIME_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}$")
+
+
+# ---------------------------------------------------------------------------
+# Environment (schema catalog)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TableInfo:
+    name: str
+    columns: "Dict[str, Ty]"
+    decl: Optional[A.DeclTable] = None
+
+
+@dataclass
+class FieldsetInfo:
+    name: str
+    params: List[A.FieldsetParam]
+    fields: List[A.Field]  # raw parsed projection (re-analyzed at splice)
+
+
+class Env:
+    """Schema environment: tables, named queries, fieldsets
+    (sqlpp.ml:81-111). Named queries and fieldsets store their *raw*
+    AST and are re-analyzed fresh at each use site — semantically the
+    reference's Scope.fresh deep-copy (scope.ml:66-88) without its
+    acknowledged Expr_in scope-sharing bug (README.md:260-263)."""
+
+    def __init__(self):
+        self.tables: Dict[str, TableInfo] = {}
+        self.queries: Dict[str, A.DeclQuery] = {}
+        self.fieldsets: Dict[str, FieldsetInfo] = {}
+
+    def add(self, src: str) -> None:
+        for decl in parse_decls(src):
+            self.add_decl(decl, src)
+
+    def add_decl(self, decl, src: str = "") -> None:
+        if isinstance(decl, A.DeclTable):
+            cols = {c.name: c.ty for c in decl.columns}
+            self.tables[decl.name] = TableInfo(decl.name, cols, decl)
+        elif isinstance(decl, A.DeclQuery):
+            # analyze eagerly for early errors, store raw for reuse
+            Analyzer(self, src).analyze_select(copy.deepcopy(decl.select))
+            self.queries[decl.name] = decl
+        elif isinstance(decl, A.DeclFieldset):
+            info = FieldsetInfo(decl.name, decl.params, decl.select.fields)
+            self.fieldsets[decl.name] = info
+            self._check_fieldset(decl, src)
+        else:
+            raise SqlppError(f"unknown decl {type(decl).__name__}")
+
+    def add_table(self, name: str, columns: Dict[str, Ty]) -> None:
+        self.tables[name] = TableInfo(name, dict(columns))
+
+    def _check_fieldset(self, decl: A.DeclFieldset, src: str) -> None:
+        """Decl-time check: analyze the body against scopes built from
+        the declared scope types (analyze.ml:1022-1038)."""
+        an = Analyzer(self, src)
+        sel = A.Select()
+        ctx = SelectCtx(sel)
+        for p in decl.params:
+            ctx.rels[p.alias] = self._sty_rel(p.alias, p.sty, an)
+        for f in decl.select.fields:
+            f2 = copy.deepcopy(f)
+            elab, ty = an.infer_expr(ctx, f2.expr)
+            _ = (elab, ty)
+
+    def _sty_rel(self, name: str, sty, an: "Analyzer"):
+        if isinstance(sty, A.STyTable):
+            ti = self.tables.get(sty.table)
+            if ti is None:
+                raise SqlppError(f"no such table: {sty.table}")
+            return TableRel(name, ti.columns)
+        # struct scope: synthesize an open select-like rel
+        sel = A.Select(is_open=True)
+        ctx = SelectCtx(sel)
+        for kind, n, item in sty.entries:
+            if kind == "scope":
+                ctx.rels[n] = self._sty_rel(n, item, an)
+            else:
+                ctx.own_synthetic[n] = item  # name -> Ty
+        return StructRel(name, ctx)
+
+
+# ---------------------------------------------------------------------------
+# Relations (navigable scopes bound in FROM)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TableRel:
+    name: str
+    columns: Dict[str, Ty]
+    nullable: bool = False
+    table: Optional[str] = None  # physical table name (defaults to name)
+
+
+@dataclass
+class SelectRel:
+    name: str
+    ctx: "SelectCtx"
+    nullable: bool = False
+
+
+@dataclass
+class StructRel:  # fieldset struct-typed parameter (decl-time only)
+    name: str
+    ctx: "SelectCtx"
+    nullable: bool = False
+
+
+class SelectCtx:
+    """Analysis context for one select — the reference's Scope
+    (scope.ml:3-12): child relations, withscope aliases, the mutable
+    projection (fields), and hash-cons lookup tables."""
+
+    def __init__(self, select: A.Select):
+        self.select = select
+        self.rels: Dict[str, object] = {}
+        self.aliases: Dict[str, List[str]] = {}
+        self.fields: List[A.Field] = []
+        self.by_name: Dict[str, A.Field] = {}
+        self.by_key: Dict[tuple, A.Field] = {}
+        self.group_keys: List[tuple] = []
+        self.group_exprs: List[A.Expr] = []
+        self.own_synthetic: Dict[str, Ty] = {}  # struct-sty fields (decl-time)
+
+    def add_field(self, f: A.Field) -> None:
+        self.fields.append(f)
+        if f.out_name is not None and f.out_name not in self.by_name:
+            self.by_name[f.out_name] = f
+        k = expr_key(f.expr)
+        if k not in self.by_key:
+            self.by_key[k] = f
+
+    def row(self) -> List[Tuple[str, Ty]]:
+        return [(f.out_name, f.expr.ty) for f in self.fields if f.is_used]
+
+
+@dataclass
+class ParamEntry:
+    name: str
+    ty: Optional[Ty] = None  # unified (glb) — the bind-time requirement
+    uses: List[Ty] = dc_field(default_factory=list)
+    kind: str = "value"  # value | expr | variant
+    variant: Dict[str, List[str]] = dc_field(default_factory=dict)  # tag -> params
+
+
+@dataclass
+class QueryInfo:
+    """Elaborated query — analysis output (analyze.ml:15-21)."""
+
+    select: A.Select
+    ctx: SelectCtx
+    params: Dict[str, ParamEntry]
+    src: str
+
+    @property
+    def row(self) -> List[Tuple[str, Ty]]:
+        return self.ctx.row()
+
+
+# ---------------------------------------------------------------------------
+# Analyzer
+# ---------------------------------------------------------------------------
+
+
+class Analyzer:
+    def __init__(self, env: Env, src: str = ""):
+        self.env = env
+        self.src = src
+        self.params: Dict[str, ParamEntry] = {}
+
+    def err(self, msg: str, loc: Optional[Loc] = None):
+        raise SqlppError(msg, loc, self.src or None)
+
+    # -- select ------------------------------------------------------------
+
+    def analyze_query(self, q) -> QueryInfo:
+        if isinstance(q, A.Select):
+            ctx = self.analyze_select(q)
+            return QueryInfo(q, ctx, self.params, self.src)
+        raise SqlppError(f"not a select: {type(q).__name__}")
+
+    def analyze_select(self, sel: A.Select) -> SelectCtx:
+        ctx = SelectCtx(sel)
+        # 1. FROM → relations
+        if sel.from_ is not None:
+            self._analyze_from(ctx, sel.from_, nullable=False)
+        # 2. WHERE (clauses before projection: analyze.ml:646-697)
+        if sel.where is not None:
+            sel.where, wty = self.infer_expr(ctx, sel.where)
+            check_subsumes(wty, BOOL.nullable(), sel.where.loc, self.src or None)
+            self._reject_agg(sel.where, "WHERE")
+        # 3. GROUP BY
+        if sel.group_by is not None:
+            gexprs = []
+            for g in sel.group_by:
+                ge, _ = self.infer_expr(ctx, g)
+                gexprs.append(ge)
+                ctx.group_keys.append(expr_key(ge))
+            sel.group_by = gexprs
+            ctx.group_exprs = gexprs
+        # 4. projection
+        for item in list(sel.fields):
+            self._analyze_field_item(ctx, item)
+        sel.fields = ctx.fields
+        # 5. HAVING / ORDER BY / LIMIT / OFFSET
+        if sel.having is not None:
+            sel.having, hty = self.infer_expr(ctx, sel.having)
+            check_subsumes(hty, BOOL.nullable(), sel.having.loc, self.src or None)
+        for o in sel.order_by:
+            o.expr, _ = self.infer_expr(ctx, o.expr)
+        if sel.limit is not None:
+            sel.limit, lty = self.infer_expr(ctx, sel.limit)
+            check_subsumes(lty, INT, sel.limit.loc, self.src or None)
+        if sel.offset is not None:
+            sel.offset, oty = self.infer_expr(ctx, sel.offset)
+            check_subsumes(oty, INT, sel.offset.loc, self.src or None)
+        # 6. aggregate validation (analyze.ml:271-331)
+        self._check_aggregates(ctx)
+        return ctx
+
+    # -- FROM --------------------------------------------------------------
+
+    def _analyze_from(self, ctx: SelectCtx, fr, nullable: bool) -> None:
+        if isinstance(fr, A.FromJoin):
+            self._analyze_from(ctx, fr.left, nullable)
+            right_nullable = nullable or fr.kind == "left"
+            self._analyze_from(ctx, fr.right, right_nullable)
+            fr.on, onty = self.infer_expr(ctx, fr.on)
+            check_subsumes(onty, BOOL.nullable(), fr.on.loc, self.src or None)
+            return
+        if isinstance(fr, A.FromTable):
+            name = fr.alias or fr.table
+            if name in ctx.rels:
+                self.err(f"duplicate scope name: {name}", fr.loc)
+            ti = self.env.tables.get(fr.table)
+            if ti is not None:
+                ctx.rels[name] = TableRel(name, ti.columns, nullable, table=fr.table)
+                return
+            dq = self.env.queries.get(fr.table)
+            if dq is not None:
+                # named query: fresh re-analysis per use site (view
+                # inlining, analyze.ml:814-816)
+                sub = copy.deepcopy(dq.select)
+                subctx = self.analyze_select(sub)
+                fr_sel = A.FromSelect(sub, name, loc=fr.loc)
+                fr_sel_rel = SelectRel(name, subctx, nullable)
+                ctx.rels[name] = fr_sel_rel
+                # rewrite the FROM node in place so the compiler sees a
+                # subselect
+                fr.__class__ = A.FromSelect
+                fr.__dict__.clear()
+                fr.__dict__.update(fr_sel.__dict__)
+                return
+            self.err(f"no such table: {fr.table}", fr.loc)
+        if isinstance(fr, A.FromSelect):
+            if fr.alias in ctx.rels:
+                self.err(f"duplicate scope name: {fr.alias}", fr.loc)
+            subctx = self.analyze_select(fr.select)
+            ctx.rels[fr.alias] = SelectRel(fr.alias, subctx, nullable)
+            return
+        raise SqlppError(f"bad from node {type(fr).__name__}")
+
+    # -- projection --------------------------------------------------------
+
+    def _analyze_field_item(self, ctx: SelectCtx, item) -> None:
+        if isinstance(item, A.FieldWithScope):
+            path = self._expand_alias_path(ctx, item.path)
+            self._resolve_scope_path(ctx, path, item.loc)  # validate
+            ctx.aliases[item.alias] = path
+            return
+        if isinstance(item, A.FieldFieldset):
+            self._splice_fieldset(ctx, item)
+            return
+        assert isinstance(item, A.Field)
+        elab, ty = self.infer_expr(ctx, item.expr)
+        out_name = self._field_out_name(ctx, item)
+        f = A.Field(
+            expr=elab, name=item.name, is_lazy=item.is_lazy, loc=item.loc,
+            out_name=out_name, is_used=not item.is_lazy,
+            explicit_name=item.explicit_name,
+        )
+        f.expr.ty = ty
+        ctx.add_field(f)
+
+    def _field_out_name(self, ctx: SelectCtx, item: A.Field) -> str:
+        if item.explicit_name:
+            if item.name in ctx.by_name:
+                self.err(f"column `{item.name}` is already defined", item.loc)
+            return item.name
+        # auto-name from navigation tail (syntax.ml:367-371), falling
+        # back to positional _i (analyze.ml:769-772)
+        auto = self._nav_auto_name(item.expr)
+        if auto is not None and auto not in ctx.by_name:
+            return auto
+        return f"_{len(ctx.fields)}"
+
+    @staticmethod
+    def _nav_auto_name(e: A.Expr) -> Optional[str]:
+        while isinstance(e, A.ENav):
+            e = e.expr
+        if isinstance(e, A.EName):
+            return e.name
+        if isinstance(e, A.ERef):
+            return e.name
+        return None
+
+    # -- fieldsets ---------------------------------------------------------
+
+    def _splice_fieldset(self, ctx: SelectCtx, item: A.FieldFieldset) -> None:
+        info = self.env.fieldsets.get(item.name)
+        if info is None:
+            self.err(f"no such fieldset: {item.name}", item.loc)
+        if len(item.args) != len(info.params):
+            self.err(
+                f"fieldset ...{item.name} expects {len(info.params)} arguments "
+                f"but {len(item.args)} provided",
+                item.loc,
+            )
+        # bind param aliases to the argument scope paths; the body is
+        # re-analyzed at the splice site (fieldset.t error goldens show
+        # body errors located at the splice)
+        bindings: Dict[str, List[str]] = {}
+        for p, arg in zip(info.params, item.args):
+            path = self._expand_alias_path(ctx, arg)
+            self._resolve_scope_path(ctx, path, item.loc)
+            bindings[p.alias] = path
+        for rawf in info.fields:
+            f2 = copy.deepcopy(rawf)
+            f2.expr = self._rebase_fieldset_expr(f2.expr, bindings, item.loc)
+            elab, ty = self.infer_expr(ctx, f2.expr)
+            if f2.name in ctx.by_name:
+                self.err(f"column `{f2.name}` is already defined", item.loc)
+            nf = A.Field(
+                expr=elab, name=f2.name, is_lazy=item.is_lazy, loc=item.loc,
+                out_name=f2.name, is_used=not item.is_lazy, explicit_name=True,
+            )
+            nf.expr.ty = ty
+            ctx.add_field(nf)
+
+    def _rebase_fieldset_expr(self, e: A.Expr, bindings: Dict[str, List[str]], loc: Loc):
+        """Rewrite fieldset-body references so param names point at the
+        argument scopes: nav through a param alias expands to the bound
+        path; unqualified names resolve through the first param."""
+        if isinstance(e, A.ENav) and e.scope in bindings:
+            # nav tail is analyzed in the TARGET scope — param bindings
+            # must not rewrite it
+            return _nav_chain(bindings[e.scope], e.expr, e.loc)
+        if isinstance(e, A.EName) and e.name in bindings:
+            # bare param alias is a scope, not a value — leave to error
+            return e
+        if isinstance(e, A.EName) and len(bindings) >= 1:
+            # unqualified body name → navigate through the first param
+            first = next(iter(bindings.values()))
+            return _nav_chain(first, e, e.loc)
+        if isinstance(e, A.EApp):
+            e.args = [self._rebase_fieldset_expr(a, bindings, loc) for a in e.args]
+            return e
+        if isinstance(e, A.ENav):
+            # nav through non-param scope inside a fieldset body: treat
+            # head as unqualified relative to first param
+            first = next(iter(bindings.values()), None)
+            if first is not None:
+                return _nav_chain(first, e, e.loc)
+            return e
+        if isinstance(e, A.EAscribe):
+            e.expr = self._rebase_fieldset_expr(e.expr, bindings, loc)
+            return e
+        return e
+
+    # -- scope paths / aliases ---------------------------------------------
+
+    def _expand_alias_path(self, ctx: SelectCtx, path: List[str]) -> List[str]:
+        if path and path[0] in ctx.aliases:
+            return ctx.aliases[path[0]] + path[1:]
+        return list(path)
+
+    def _resolve_scope_path(self, ctx: SelectCtx, path: List[str], loc: Loc):
+        """Check a scope path resolves to a relation (possibly nested)."""
+        if not path:
+            self.err("empty scope path", loc)
+        rel = ctx.rels.get(path[0])
+        if rel is None:
+            self.err(f"no such scope: {path[0]}", loc)
+        cur = rel
+        for name in path[1:]:
+            if isinstance(cur, TableRel):
+                self.err(f"no such scope: {name}", loc)
+            inner_ctx = cur.ctx
+            nxt = inner_ctx.rels.get(name)
+            if nxt is None:
+                alias = inner_ctx.aliases.get(name)
+                if alias is not None:
+                    nxt = self._resolve_scope_path(inner_ctx, alias, loc)
+                else:
+                    self.err(f"no such scope: {name}", loc)
+            cur = nxt
+        return cur
+
+    # -- expression inference ----------------------------------------------
+
+    def infer_expr(self, ctx: SelectCtx, e: A.Expr) -> Tuple[A.Expr, Ty]:
+        elab, ty = self._infer(ctx, e)
+        elab.ty = ty
+        return elab, ty
+
+    def _infer(self, ctx: SelectCtx, e: A.Expr) -> Tuple[A.Expr, Ty]:
+        if isinstance(e, A.ELit):
+            ty = {"int": INT, "string": STRING, "bool": BOOL, "float": Ty(frozenset({"float"}), True)}[
+                e.lit_kind
+            ]
+            return e, ty
+        if isinstance(e, A.ENull):
+            self.err("missing type annotation for NULL value", e.loc)
+        if isinstance(e, A.EAscribe):
+            if isinstance(e.expr, A.ENull):
+                return e.expr, e.to_ty.with_non_null(False)
+            inner, ity = self._infer(ctx, e.expr)
+            check_subsumes(ity, e.to_ty, e.loc, self.src or None)
+            # ascription erased from output (printer.ml:162), type kept
+            return inner, e.to_ty
+        if isinstance(e, A.EParam):
+            return self._infer_param(e)
+        if isinstance(e, A.EMatch):
+            return self._infer_match(ctx, e)
+        if isinstance(e, A.EName):
+            return self._resolve_name(ctx, e)
+        if isinstance(e, A.ENav):
+            return self._resolve_nav(ctx, e)
+        if isinstance(e, A.ERef):  # already elaborated (re-analysis path)
+            return e, e.ty
+        if isinstance(e, A.EApp):
+            return self._infer_app(ctx, e)
+        if isinstance(e, A.EIn):
+            return self._infer_in(ctx, e)
+        if isinstance(e, A.EExists):
+            sub = self.analyze_select(e.select)
+            e.sub_ctx = sub
+            return e, BOOL
+        raise SqlppError(f"cannot infer {type(e).__name__}", getattr(e, "loc", None), self.src or None)
+
+    # -- params ------------------------------------------------------------
+
+    def _param_entry(self, name: str) -> ParamEntry:
+        if name not in self.params:
+            self.params[name] = ParamEntry(name)
+        return self.params[name]
+
+    def _infer_param(self, e: A.EParam) -> Tuple[A.Expr, Ty]:
+        entry = self._param_entry(e.name)
+        if e.is_expr_param:
+            entry.kind = "expr"
+            use_ty = e.ascribed
+            return e, use_ty
+        if e.ascribed is not None:
+            # use-site nullability: explicit spec, else nullable
+            use_ty = e.ascribed if e.null_spec is not None else e.ascribed.with_non_null(False)
+            constraint = e.ascribed if e.null_spec is not None else e.ascribed.with_non_null(False)
+            self._unify_param(entry, constraint, e.loc)
+            return e, use_ty
+        # bare ?p: type adopted from context (analyze.ml:529-544); if
+        # entry already has a type from another use, use it (nullable)
+        if entry.ty is not None:
+            return e, entry.ty.with_non_null(False)
+        return e, None  # caller must adopt
+
+    def _unify_param(self, entry: ParamEntry, ty: Ty, loc: Loc) -> None:
+        entry.uses.append(ty)
+        if entry.ty is None:
+            entry.ty = ty
+        else:
+            entry.ty = ty_glb(entry.ty, ty, loc, self.src or None)
+
+    def _adopt_param(self, e: A.Expr, ty: Ty, loc: Loc) -> Ty:
+        """Give an untyped param the other operand's type (nullable at
+        the use site)."""
+        if isinstance(e, A.EParam) and e.ascribed is None:
+            entry = self._param_entry(e.name)
+            adopted = ty.with_non_null(False)
+            self._unify_param(entry, adopted, loc)
+            e.ty = adopted
+            return adopted
+        return ty
+
+    def _infer_match(self, ctx: SelectCtx, e: A.EMatch) -> Tuple[A.Expr, Ty]:
+        entry = self._param_entry(e.param)
+        entry.kind = "variant"
+        result_ty: Optional[Ty] = None
+        for br in e.branches:
+            if br.tag in entry.variant and entry.variant[br.tag] != br.params:
+                self.err(f"duplicate variant tag {br.tag}", e.loc)
+            entry.variant[br.tag] = list(br.params)
+            br.body, bty = self.infer_expr(ctx, br.body)
+            if bty is None:
+                self.err("cannot infer type of match branch", e.loc)
+            result_ty = bty if result_ty is None else ty_lub(result_ty, bty, e.loc, self.src or None)
+        return e, result_ty
+
+    # -- name/nav resolution ----------------------------------------------
+
+    def _resolve_name(self, ctx: SelectCtx, e: A.EName) -> Tuple[A.Expr, Ty]:
+        n = e.name
+        # own projection fields: inline the defining expression
+        # (same-scope `with` semantics, analyze.ml:401-407)
+        f = ctx.by_name.get(n)
+        if f is not None:
+            inlined = copy.deepcopy(f.expr)
+            return inlined, f.expr.ty
+        if n in ctx.own_synthetic:  # struct-sty field (fieldset decl check)
+            return A.ERef("", n, loc=e.loc), ctx.own_synthetic[n]
+        # child relations
+        hits = []
+        for rname, rel in ctx.rels.items():
+            got = self._rel_field(rel, n)
+            if got is not None:
+                hits.append((rname, rel, got))
+        if len(hits) > 1:
+            self.err(f"ambiguous column: {n}", e.loc)
+        if hits:
+            rname, rel, (fld, ty) = hits[0]
+            self._mark_used(rel, fld)
+            ty = ty.with_non_null(False) if rel.nullable else ty
+            return A.ERef(rname, fld_name(fld, n), loc=e.loc), ty
+        # scope aliases (with-scope.t: unqualified names search aliases)
+        for alias, path in ctx.aliases.items():
+            try:
+                return self._resolve_nav(
+                    ctx, _nav_chain(path, A.EName(name=n, loc=e.loc), e.loc)
+                )
+            except SqlppError:
+                continue
+        self.err(f"no such column: {n}", e.loc)
+
+    def _rel_field(self, rel, n: str):
+        if isinstance(rel, TableRel):
+            ty = rel.columns.get(n)
+            return (n, ty) if ty is not None else None
+        f = rel.ctx.by_name.get(n)
+        if f is not None and not f.is_generated:
+            return (f, f.expr.ty)
+        if isinstance(rel, StructRel):
+            ty = rel.ctx.own_synthetic.get(n)
+            if ty is not None:
+                return (n, ty)
+        return None
+
+    def _mark_used(self, rel, fld) -> None:
+        """Materialize a (possibly lazy) field and, transitively, the
+        fields its expression references (analyze.ml:254-269)."""
+        if not isinstance(fld, A.Field):
+            return
+        if fld.is_used:
+            return
+        fld.is_used = True
+        inner_ctx = rel.ctx if not isinstance(rel, TableRel) else None
+        if inner_ctx is None:
+            return
+        for ref in _iter_refs(fld.expr):
+            r2 = inner_ctx.rels.get(ref.rel)
+            if r2 is not None and not isinstance(r2, TableRel):
+                f2 = r2.ctx.by_name.get(ref.name)
+                if f2 is not None:
+                    self._mark_used(r2, f2)
+
+    def _resolve_nav(self, ctx: SelectCtx, e: A.ENav) -> Tuple[A.Expr, Ty]:
+        head = e.scope
+        if head in ctx.aliases:
+            path = ctx.aliases[head]
+            return self._resolve_nav(ctx, _nav_chain(path, e.expr, e.loc))
+        rel = ctx.rels.get(head)
+        if rel is None:
+            self.err(f"no such scope: {head}", e.loc)
+        if isinstance(rel, TableRel):
+            if isinstance(e.expr, A.EName):
+                col = e.expr.name
+                ty = rel.columns.get(col)
+                if ty is None:
+                    self.err(f"no such column: {col}", e.expr.loc)
+                ty = ty.with_non_null(False) if rel.nullable else ty
+                return A.ERef(rel.name, col, loc=e.loc), ty
+            self.err(
+                f"subquery `{head}` doesn't allow to build new expressions inside",
+                e.loc,
+            )
+        inner_ctx: SelectCtx = rel.ctx
+        # plain field reference into the subquery
+        if isinstance(e.expr, A.EName):
+            f = inner_ctx.by_name.get(e.expr.name)
+            if f is not None and not f.is_generated:
+                self._mark_used(rel, f)
+                ty = f.expr.ty
+                ty = ty.with_non_null(False) if rel.nullable else ty
+                return A.ERef(rel.name, f.out_name, loc=e.loc), ty
+        # navigation building a new expression inside the subquery
+        inner_elab, inner_ty = self.infer_expr(inner_ctx, e.expr)
+        if isinstance(rel, StructRel):
+            # decl-time struct scope: no physical field injection needed
+            return A.ERef(rel.name, "_struct", loc=e.loc), inner_ty
+        k = expr_key(inner_elab)
+        existing = inner_ctx.by_key.get(k)
+        if existing is not None:
+            # structurally-equal field already present — reuse, even in
+            # a closed subquery (nested.t: x.users.id over a non-open
+            # subselect reuses x.id)
+            self._mark_used(rel, existing)
+            ty = existing.expr.ty
+            ty = ty.with_non_null(False) if rel.nullable else ty
+            return A.ERef(rel.name, existing.out_name, loc=e.loc), ty
+        # injection requires an open select (analyze.ml:369-371)
+        if not inner_ctx.select.is_open:
+            self.err(
+                f"subquery `{head}` doesn't allow to build new expressions inside",
+                e.loc,
+            )
+        gen_name = f"_{len(inner_ctx.fields)}"
+        gf = A.Field(
+            expr=inner_elab, name=None, is_lazy=False, loc=e.loc,
+            out_name=gen_name, is_used=True, is_generated=True,
+        )
+        gf.expr.ty = inner_ty
+        inner_ctx.add_field(gf)
+        # ensure what the generated expr references is materialized
+        for ref in _iter_refs(inner_elab):
+            r2 = inner_ctx.rels.get(ref.rel)
+            if r2 is not None and not isinstance(r2, TableRel):
+                f2 = r2.ctx.by_name.get(ref.name)
+                if f2 is not None:
+                    self._mark_used(r2, f2)
+        ty = inner_ty.with_non_null(False) if rel.nullable else inner_ty
+        return A.ERef(rel.name, gen_name, loc=e.loc), ty
+
+    # -- applications (the builtin function table, analyze.ml:546-621) ----
+
+    def _infer_app(self, ctx: SelectCtx, e: A.EApp) -> Tuple[A.Expr, Ty]:
+        fn = e.fn
+        fnl = fn.lower()
+
+        def arg(i):
+            elab, ty = self.infer_expr(ctx, e.args[i])
+            e.args[i] = elab
+            return ty
+
+        def nargs(n):
+            if len(e.args) != n:
+                self.err(f"function {fn} expects {n} arguments", e.loc)
+
+        if fnl in ("=", "!=", ">", ">=", "<", "<="):
+            nargs(2)
+            t0, t1 = arg(0), arg(1)
+            if t0 is None and t1 is None:
+                self.err("cannot infer parameter type", e.loc)
+            if t0 is None:
+                t0 = self._adopt_param(e.args[0], t1, e.loc)
+            if t1 is None:
+                t1 = self._adopt_param(e.args[1], t0, e.loc)
+            lub = ty_lub(t0, t1, e.loc, self.src or None)
+            # operands are comparable when their kind-sets intersect or
+            # both sit in the numeric family (INT vs FLOAT compares via
+            # the NUMERIC union type, syntax.ml:89)
+            numeric_family = (t0.kinds | t1.kinds) <= frozenset({"int", "float"})
+            if not (t0.kinds & t1.kinds) and not numeric_family:
+                self.err(f"types do not match: {t0} vs {t1}", e.loc)
+            return e, BOOL.with_non_null(lub.non_null)
+        if fnl in ("and", "or"):
+            nargs(2)
+            for i in range(2):
+                t = arg(i)
+                if t is None:
+                    t = self._adopt_param(e.args[i], BOOL.with_non_null(False), e.loc)
+                check_subsumes(t, BOOL.nullable(), e.args[i].loc, self.src or None)
+            return e, BOOL
+        if fnl == "not":
+            nargs(1)
+            t = arg(0)
+            if t is None:
+                t = self._adopt_param(e.args[0], BOOL.with_non_null(False), e.loc)
+            check_subsumes(t, BOOL.nullable(), e.loc, self.src or None)
+            return e, BOOL
+        if fnl == "-u":
+            nargs(1)
+            t = arg(0)
+            if t is None:
+                t = self._adopt_param(e.args[0], NUMERIC.with_non_null(False), e.loc)
+            check_subsumes(t, NUMERIC.nullable(), e.loc, self.src or None)
+            return e, t
+        if fnl in ("+", "-", "*", "/"):
+            nargs(2)
+            t0, t1 = arg(0), arg(1)
+            if t0 is None:
+                t0 = self._adopt_param(e.args[0], t1 or NUMERIC.with_non_null(False), e.loc)
+            if t1 is None:
+                t1 = self._adopt_param(e.args[1], t0, e.loc)
+            check_subsumes(t0, NUMERIC.nullable(), e.args[0].loc, self.src or None)
+            check_subsumes(t1, NUMERIC.nullable(), e.args[1].loc, self.src or None)
+            return e, ty_lub(t0, t1, e.loc, self.src or None)
+        if fnl in ("is null", "is not null"):
+            nargs(1)
+            arg(0)
+            return e, BOOL
+        if fnl == "nullif":
+            nargs(2)
+            t0, t1 = arg(0), arg(1)
+            if t1 is None:
+                self._adopt_param(e.args[1], t0, e.loc)
+            return e, t0.with_non_null(False)
+        if fnl == "coalesce":
+            if not e.args:
+                self.err("coalesce expects at least one argument", e.loc)
+            running: Optional[Ty] = None
+            for i in range(len(e.args)):
+                t = arg(i)
+                if t is None:
+                    if running is None:
+                        self.err("cannot infer parameter type in coalesce", e.loc)
+                    t = self._adopt_param(e.args[i], running, e.loc)
+                running = t if running is None else ty_glb(running, t, e.loc, self.src or None)
+            return e, running
+        if fnl == "now":
+            nargs(0)
+            return e, DATETIME
+        if fnl == "tostring":
+            nargs(1)
+            t = arg(0)
+            return e, STRING.with_non_null(t.non_null)
+        if fnl == "datetime":
+            nargs(1)
+            if isinstance(e.args[0], A.ELit) and e.args[0].lit_kind == "string":
+                if not DATETIME_RE.match(e.args[0].value):
+                    self.err(
+                        f"invalid datetime literal: {e.args[0].value!r} "
+                        "(expected YYYY-MM-DDTHH:MM:SS)",
+                        e.loc,
+                    )
+                e.args[0].ty = STRING
+                return e, DATETIME
+            t = arg(0)
+            check_subsumes(t, STRING.nullable(), e.loc, self.src or None)
+            return e, DATETIME.with_non_null(False)
+        if fnl == "date":
+            nargs(1)
+            if isinstance(e.args[0], A.ELit) and e.args[0].lit_kind == "string":
+                if not DATE_RE.match(e.args[0].value):
+                    self.err(
+                        f"invalid date literal: {e.args[0].value!r} (expected YYYY-MM-DD)",
+                        e.loc,
+                    )
+                e.args[0].ty = STRING
+                return e, DATE
+            t = arg(0)
+            check_subsumes(t, STRING.nullable(), e.loc, self.src or None)
+            return e, DATE.with_non_null(False)
+        if fnl == "count":
+            nargs(1)
+            arg(0)
+            return e, INT
+        if fnl in ("sum", "max", "min", "avg"):
+            nargs(1)
+            t = arg(0)
+            if t is None:
+                t = self._adopt_param(e.args[0], NUMERIC.with_non_null(False), e.loc)
+            if fnl in ("sum", "avg"):
+                check_subsumes(t, NUMERIC.nullable(), e.loc, self.src or None)
+            if fnl == "avg":
+                return e, Ty(frozenset({"float"}), t.non_null)
+            return e, t
+        # -- extension scalar library (beyond reference; SURVEY §2.7) -----
+        ext = _EXT_FNS.get(fnl)
+        if ext is not None:
+            tys = [arg(i) for i in range(len(e.args))]
+            return e, ext(self, e, tys)
+        self.err(f"no such function: {fn}", e.loc)
+
+    def _infer_in(self, ctx: SelectCtx, e: A.EIn) -> Tuple[A.Expr, Ty]:
+        sub = self.analyze_select(e.select)
+        e.sub_ctx = sub
+        row = sub.row()
+        if len(e.exprs) != len(row):
+            self.err(
+                f"number of expressions ({len(e.exprs)}) doesn't match "
+                f"number of columns ({len(row)})",
+                e.loc,
+            )
+        non_null = True
+        for i, (cname, cty) in enumerate(row):
+            elab, ty = self.infer_expr(ctx, e.exprs[i])
+            e.exprs[i] = elab
+            if ty is None:
+                ty = self._adopt_param(elab, cty, e.loc)
+            numeric_family = (ty.kinds | cty.kinds) <= frozenset({"int", "float"})
+            if not (ty.kinds & cty.kinds) and not numeric_family:
+                self.err(f"expected {cty} but got {ty}", elab.loc)
+            non_null = non_null and ty.non_null and cty.non_null
+        return e, BOOL.with_non_null(non_null)
+
+    # -- aggregate validation ----------------------------------------------
+
+    def _reject_agg(self, e: A.Expr, where: str) -> None:
+        for app in _iter_apps(e):
+            if app.fn.lower() in AGG_FNS:
+                self.err(f"aggregate function `{app.fn}(..)` is not allowed in {where}", app.loc)
+
+    def _check_aggregates(self, ctx: SelectCtx) -> None:
+        grouped = ctx.select.group_by is not None
+        exprs: List[A.Expr] = [f.expr for f in ctx.fields]
+        if ctx.select.having is not None:
+            exprs.append(ctx.select.having)
+        exprs.extend(o.expr for o in ctx.select.order_by)
+        for ex in exprs:
+            self._check_agg_expr(ctx, ex, grouped, in_agg=False)
+
+    def _check_agg_expr(self, ctx: SelectCtx, e: A.Expr, grouped: bool, in_agg: bool) -> None:
+        if grouped and expr_key(e) in ctx.group_keys:
+            return
+        if isinstance(e, A.EApp):
+            if e.fn.lower() in AGG_FNS:
+                if not grouped or in_agg:
+                    self.err(
+                        f"aggregate function `{e.fn}(..)` is not allowed without GROUP BY",
+                        e.loc,
+                    )
+                for a in e.args:
+                    self._check_agg_expr(ctx, a, grouped, in_agg=True)
+                return
+            for a in e.args:
+                self._check_agg_expr(ctx, a, grouped, in_agg)
+            return
+        if isinstance(e, A.ERef):
+            if grouped and not in_agg:
+                self.err(
+                    f"expression `{e.rel}.{e.name}` is not in GROUP BY clause "
+                    "and is not under aggregate function",
+                    e.loc,
+                )
+            return
+        if isinstance(e, A.EIn):
+            for x in e.exprs:
+                self._check_agg_expr(ctx, x, grouped, in_agg)
+            return
+        if isinstance(e, A.EMatch):
+            for br in e.branches:
+                self._check_agg_expr(ctx, br.body, grouped, in_agg)
+            return
+        # literals, params, exists, null — fine
+
+
+# ---------------------------------------------------------------------------
+# Extension scalar functions (beyond-reference; typed loosely)
+# ---------------------------------------------------------------------------
+
+
+def _ext(ret_builder):
+    def rule(an: Analyzer, e: A.EApp, tys: List[Ty]) -> Ty:
+        nn = all(t is not None and t.non_null for t in tys) if tys else True
+        return ret_builder(tys).with_non_null(nn)
+
+    return rule
+
+
+_EXT_FNS = {
+    "upper": _ext(lambda tys: STRING),
+    "lower": _ext(lambda tys: STRING),
+    "length": _ext(lambda tys: INT),
+    "substring": _ext(lambda tys: STRING),
+    "substr": _ext(lambda tys: STRING),
+    "concat": _ext(lambda tys: STRING),
+    "trim": _ext(lambda tys: STRING),
+    "replace": _ext(lambda tys: STRING),
+    "abs": _ext(lambda tys: tys[0] if tys and tys[0] is not None else NUMERIC),
+    "round": _ext(lambda tys: Ty(frozenset({"float"}), True)),
+    "floor": _ext(lambda tys: INT),
+    "ceil": _ext(lambda tys: INT),
+    "year": _ext(lambda tys: INT),
+    "month": _ext(lambda tys: INT),
+    "day": _ext(lambda tys: INT),
+}
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def fld_name(fld, fallback: str) -> str:
+    if isinstance(fld, A.Field):
+        return fld.out_name
+    return fallback
+
+
+def _nav_chain(path: List[str], inner: A.Expr, loc: Loc) -> A.ENav:
+    e = inner
+    for name in reversed(path):
+        e = A.ENav(scope=name, expr=e, loc=loc)
+    return e
+
+
+def _iter_refs(e: A.Expr):
+    if isinstance(e, A.ERef):
+        yield e
+    elif isinstance(e, A.EApp):
+        for a in e.args:
+            yield from _iter_refs(a)
+    elif isinstance(e, A.EAscribe):
+        yield from _iter_refs(e.expr)
+    elif isinstance(e, A.EIn):
+        for x in e.exprs:
+            yield from _iter_refs(x)
+    elif isinstance(e, A.EMatch):
+        for br in e.branches:
+            yield from _iter_refs(br.body)
+
+
+def _iter_apps(e: A.Expr):
+    if isinstance(e, A.EApp):
+        yield e
+        for a in e.args:
+            yield from _iter_apps(a)
+    elif isinstance(e, A.EAscribe):
+        yield from _iter_apps(e.expr)
+    elif isinstance(e, A.EIn):
+        for x in e.exprs:
+            yield from _iter_apps(x)
+    elif isinstance(e, A.EMatch):
+        for br in e.branches:
+            yield from _iter_apps(br.body)
+
+
+def analyze(env: Env, src: str) -> QueryInfo:
+    q = parse_query(src)
+    an = Analyzer(env, src)
+    return an.analyze_query(q)

@@ -63,9 +63,10 @@ def tokenize(src: str) -> list[Token]:
         if kind in ("ws", "comment"):
             pass
         elif kind == "ident":
-            low = text.lower()
-            if low in KEYWORDS:
-                out.append(Token("kw", low, loc))
+            if text.lower() in KEYWORDS:
+                # keep original case: contextual keywords double as
+                # identifiers (e.g. variant tags like `All`)
+                out.append(Token("kw", text, loc))
             else:
                 out.append(Token("ident", text, loc))
         elif kind == "string":

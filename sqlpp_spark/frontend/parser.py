@@ -42,7 +42,7 @@ class Parser:
         return t
 
     def at_kw(self, *kws: str) -> bool:
-        return self.cur.kind == "kw" and self.cur.value in kws
+        return self.cur.kind == "kw" and self.cur.value.lower() in kws
 
     def eat_kw(self, *kws: str) -> bool:
         if self.at_kw(*kws):
@@ -72,7 +72,7 @@ class Parser:
     def expect_ident(self) -> Token:
         if self.cur.kind != "ident":
             # contextual: allow non-reserved keywords as identifiers
-            if self.cur.kind == "kw" and self.cur.value not in {
+            if self.cur.kind == "kw" and self.cur.value.lower() not in {
                 "select", "from", "where", "group", "having", "order",
                 "limit", "offset", "join", "on", "as", "with", "withscope",
                 "end", "null", "not", "and", "or", "in", "exists", "is",
@@ -450,7 +450,7 @@ class Parser:
         while True:
             t = self.cur
             # postfix: IS [NOT] NULL (bp 60)
-            if t.kind == "kw" and t.value == "is" and 60 >= min_bp:
+            if t.kind == "kw" and t.value.lower() == "is" and 60 >= min_bp:
                 self.advance()
                 if self.eat_kw("not"):
                     self.expect_kw("null")
@@ -477,7 +477,7 @@ class Parser:
                 e = A.EAscribe(expr=e, to_ty=ty, loc=Loc.span(e.loc, self.toks[self.i - 1].loc))
                 continue
             # IN (select) / NOT IN (bp 60)
-            if t.kind == "kw" and t.value == "in" and 60 >= min_bp:
+            if t.kind == "kw" and t.value.lower() == "in" and 60 >= min_bp:
                 self.advance()
                 self.expect_punct("(")
                 sel = self.select()
@@ -486,9 +486,9 @@ class Parser:
                 continue
             if (
                 t.kind == "kw"
-                and t.value == "not"
+                and t.value.lower() == "not"
                 and self.peek().kind == "kw"
-                and self.peek().value == "in"
+                and self.peek().value.lower() == "in"
                 and 60 >= min_bp
             ):
                 self.advance()
@@ -504,8 +504,8 @@ class Parser:
             op = None
             if t.kind == "op":
                 op = t.value
-            elif t.kind == "kw" and t.value in ("and", "or"):
-                op = t.value
+            elif t.kind == "kw" and t.value.lower() in ("and", "or"):
+                op = t.value.lower()
             if op is None:
                 return e
             bp = self.BINOP_BP.get(op)
@@ -518,7 +518,7 @@ class Parser:
 
     def _expr_prefix(self) -> A.Expr:
         t = self.cur
-        if t.kind == "kw" and t.value == "not":
+        if t.kind == "kw" and t.value.lower() == "not":
             self.advance()
             inner = self.expr(50)
             return A.EApp("NOT", [inner], loc=Loc.span(t.loc, inner.loc))
@@ -539,22 +539,22 @@ class Parser:
         if t.kind == "string":
             self.advance()
             return A.ELit(t.value, "string", loc=t.loc)
-        if t.kind == "kw" and t.value in ("true", "false"):
+        if t.kind == "kw" and t.value.lower() in ("true", "false"):
             self.advance()
-            return A.ELit(t.value == "true", "bool", loc=t.loc)
-        if t.kind == "kw" and t.value == "null":
+            return A.ELit(t.value.lower() == "true", "bool", loc=t.loc)
+        if t.kind == "kw" and t.value.lower() == "null":
             self.advance()
             return A.ENull(loc=t.loc)
         if t.kind == "param":
             self.advance()
             return A.EParam(name=t.value, loc=t.loc)
-        if t.kind == "kw" and t.value == "exists":
+        if t.kind == "kw" and t.value.lower() == "exists":
             self.advance()
             self.expect_punct("(")
             sel = self.select()
             self.expect_punct(")")
             return A.EExists(select=sel, loc=Loc.span(t.loc, self.toks[self.i - 1].loc))
-        if t.kind == "kw" and t.value == "match":
+        if t.kind == "kw" and t.value.lower() == "match":
             return self._match()
         if t.kind == "punct" and t.value == "(":
             self.advance()

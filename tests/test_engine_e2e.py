@@ -1,0 +1,364 @@
+"""End-to-end engine tests: sqlpp source → analyze → compile →
+execute on Spark, with results checked against DuckDB running the
+equivalent ANSI SQL on the same data (the reference's backend-
+integration test layer, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sqlpp_spark.engine import SqlppEngine
+from sqlpp_spark.frontend.errors import SqlppError
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    eng = SqlppEngine(spark)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        eng.register_parquet(t, f"{sf_dir}/{t}.parquet")
+    return eng
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def check(engine, duck, sqlpp_src, duck_sql, **params):
+    got = sorted(tuple(r) for r in engine.fetch_list(sqlpp_src, **params))
+    want = sorted(tuple(r) for r in duck.execute(duck_sql).fetchall())
+    assert got == want, f"\nsqlpp: {got[:5]}\nduck : {want[:5]}"
+
+
+def test_basic_select(engine, duck):
+    check(
+        engine, duck,
+        "select n_name, n_nationkey from nation where n_nationkey < 5 order by n_nationkey",
+        "SELECT n_name, n_nationkey FROM nation WHERE n_nationkey < 5",
+    )
+
+
+def test_join(engine, duck):
+    check(
+        engine, duck,
+        "select n.n_name, r.r_name from nation as n join region as r "
+        "on n.n_regionkey = r.r_regionkey",
+        "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+    )
+
+
+def test_left_join(engine, duck):
+    check(
+        engine, duck,
+        "select c.c_custkey, o.o_orderkey from customer as c "
+        "left join orders as o on c.c_custkey = o.o_custkey "
+        "where c.c_custkey < 50",
+        "SELECT c_custkey, o_orderkey FROM customer LEFT JOIN orders "
+        "ON c_custkey = o_custkey WHERE c_custkey < 50",
+    )
+
+
+def test_group_by_agg(engine, duck):
+    check(
+        engine, duck,
+        "select c_nationkey, count(1), sum(c_acctbal) from customer group by c_nationkey",
+        "SELECT c_nationkey, COUNT(*), SUM(c_acctbal) FROM customer GROUP BY c_nationkey",
+    )
+
+
+def test_global_agg(engine, duck):
+    check(
+        engine, duck,
+        "select count(1), max(o_totalprice), min(o_totalprice) from orders group by ()",
+        "SELECT COUNT(*), MAX(o_totalprice), MIN(o_totalprice) FROM orders",
+    )
+
+
+def test_having(engine, duck):
+    check(
+        engine, duck,
+        "select c_nationkey, count(1) as n from customer group by c_nationkey "
+        "having count(1) > 50",
+        "SELECT c_nationkey, COUNT(*) FROM customer GROUP BY c_nationkey "
+        "HAVING COUNT(*) > 50",
+    )
+
+
+def test_order_limit_offset(engine, duck):
+    check(
+        engine, duck,
+        "select o_orderkey from orders order by o_totalprice desc, o_orderkey "
+        "limit 10 offset 5",
+        "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC, o_orderkey "
+        "LIMIT 10 OFFSET 5",
+    )
+
+
+def test_group_by_complex_expr(engine, duck):
+    check(
+        engine, duck,
+        "select count(1), 1 + (c_nationkey + c_nationkey) from customer "
+        "group by c_nationkey + c_nationkey",
+        "SELECT COUNT(*), 1 + (c_nationkey + c_nationkey) FROM customer "
+        "GROUP BY c_nationkey + c_nationkey",
+    )
+
+
+def test_subquery_in_from(engine, duck):
+    check(
+        engine, duck,
+        "select t.n from (select count(1) as n, c_nationkey from customer "
+        "group by c_nationkey) as t where t.n > 40",
+        "SELECT n FROM (SELECT COUNT(*) AS n, c_nationkey FROM customer "
+        "GROUP BY c_nationkey) t WHERE n > 40",
+    )
+
+
+def test_where_in_subquery(engine, duck):
+    check(
+        engine, duck,
+        "select p_partkey from part where p_partkey in "
+        "(select l.l_partkey from lineitem as l where l.l_quantity >= 49)",
+        "SELECT p_partkey FROM part WHERE p_partkey IN "
+        "(SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)",
+    )
+
+
+def test_where_not_in_subquery(engine, duck):
+    check(
+        engine, duck,
+        "select c_custkey from customer where c_custkey not in "
+        "(select o.o_custkey from orders as o) and c_custkey < 200",
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders) AND c_custkey < 200",
+    )
+
+
+def test_scalar_in_projection(engine, duck):
+    check(
+        engine, duck,
+        "select c_custkey, c_custkey in (select o.o_custkey from orders as o) "
+        "from customer where c_custkey < 100",
+        "SELECT c_custkey, c_custkey IN (SELECT o_custkey FROM orders) "
+        "FROM customer WHERE c_custkey < 100",
+    )
+
+
+def test_exists_where(engine, duck):
+    check(
+        engine, duck,
+        "select r_name from region where exists(select 1 from nation)",
+        "SELECT r_name FROM region WHERE EXISTS (SELECT 1 FROM nation)",
+    )
+
+
+def test_params(engine, duck):
+    check(
+        engine, duck,
+        "select c_custkey, c_name from customer where c_custkey = ?k",
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey = 42",
+        k=42,
+    )
+
+
+def test_param_typed(engine, duck):
+    check(
+        engine, duck,
+        "select c_custkey from customer where c_acctbal > ?min:float not null "
+        "and c_nationkey = ?nat:int not null",
+        "SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0 AND c_nationkey = 3",
+        min=5000.0, nat=3,
+    )
+
+
+def test_match_variant_branches(engine, duck):
+    src = (
+        "select c_custkey from customer where "
+        "match ?f with "
+        "| ByNation ?n -> c_nationkey = ?n "
+        "| ByBalance ?b -> c_acctbal > ?b "
+        "| All -> true "
+        "end"
+    )
+    check(engine, duck, src,
+          "SELECT c_custkey FROM customer WHERE c_nationkey = 7",
+          f=("ByNation", {"n": 7}))
+    check(engine, duck, src,
+          "SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0",
+          f=("ByBalance", {"b": 9000.0}))
+    check(engine, duck, src, "SELECT c_custkey FROM customer", f="All")
+
+
+def test_scalar_functions(engine, duck):
+    check(
+        engine, duck,
+        "select upper(n_name), length(n_name), coalesce(nullif(n_name, 'FRANCE'), 'X') "
+        "from nation",
+        "SELECT UPPER(n_name), LENGTH(n_name), COALESCE(NULLIF(n_name, 'FRANCE'), 'X') "
+        "FROM nation",
+    )
+
+
+def test_int_division_truncates(engine, duck):
+    # SQLite-semantics integer division (the reference's INT type maps
+    # to backend integer division)
+    check(
+        engine, duck,
+        "select n_nationkey / 2 from nation",
+        "SELECT n_nationkey // 2 FROM nation",
+    )
+
+
+def test_tostring_and_arith(engine, duck):
+    check(
+        engine, duck,
+        "select toString(n_nationkey), n_nationkey * 2 + 1 from nation",
+        "SELECT CAST(n_nationkey AS VARCHAR), n_nationkey * 2 + 1 FROM nation",
+    )
+
+
+def test_date_literal_filter(engine, duck):
+    check(
+        engine, duck,
+        "select count(1) from orders where o_orderdate < datetime('1996-01-01T00:00:00') "
+        "group by ()",
+        "SELECT COUNT(*) FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'",
+    )
+
+
+def test_open_select_navigation(engine, duck):
+    check(
+        engine, duck,
+        "select x.(c_acctbal + c_acctbal) from (select c_custkey, ... "
+        "from customer) as x where x.c_custkey < 10",
+        "SELECT c_acctbal + c_acctbal FROM customer WHERE c_custkey < 10",
+    )
+
+
+def test_fieldset_e2e(engine, duck):
+    engine.add_decls(
+        "create fieldset cust_fields(from customer as c) as "
+        "select c.c_custkey as ck, c.c_name as cn;"
+    )
+    check(
+        engine, duck,
+        "select ...cust_fields(customer) from customer where c_custkey < 20",
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey < 20",
+    )
+
+
+def test_named_query_e2e(engine, duck):
+    engine.add_decls(
+        "create query cust_orders as "
+        "select o_custkey as ck, count(1) as n from orders group by o_custkey;"
+    )
+    check(
+        engine, duck,
+        "select c.c_name, q.n from customer as c join cust_orders as q "
+        "on c.c_custkey = q.ck where c.c_custkey < 30",
+        "SELECT c_name, n FROM customer JOIN (SELECT o_custkey AS ck, COUNT(*) AS n "
+        "FROM orders GROUP BY o_custkey) q ON c_custkey = ck WHERE c_custkey < 30",
+    )
+
+
+def test_fetch_option(engine):
+    row = engine.fetch_option("select c_name from customer where c_custkey = ?k", k=1)
+    assert row is not None
+    with pytest.raises(SqlppError, match="more than one row"):
+        engine.fetch_option("select c_custkey from customer")
+
+
+def test_missing_param_error(engine):
+    with pytest.raises(SqlppError, match="missing parameter"):
+        engine.fetch_list("select c_custkey from customer where c_custkey = ?k")
+
+
+def test_analysis_error_before_execution(engine):
+    with pytest.raises(SqlppError, match="no such column"):
+        engine.prepare("select made_up_col from customer")
+
+
+# -- DML ---------------------------------------------------------------------
+
+
+@pytest.fixture()
+def todo_engine(spark, tmp_path):
+    eng = SqlppEngine(spark)
+    eng.add_decls(
+        "create table todos (id int not null primary key, title string not null, "
+        "done bool not null);"
+    )
+    df = spark.createDataFrame(
+        [(1, "write tests", False), (2, "ship engine", False)],
+        "id long, title string, done boolean",
+    )
+    eng.create_managed("todos", str(tmp_path / "todos"), df)
+    return eng
+
+
+def test_insert_values(todo_engine):
+    todo_engine.exec("insert into todos (id, title, done) values (3, 'profile', false)")
+    rows = todo_engine.fetch_list("select id, title from todos order by id")
+    assert [tuple(r) for r in rows] == [
+        (1, "write tests"), (2, "ship engine"), (3, "profile"),
+    ]
+
+
+def test_insert_set_returning(todo_engine):
+    ret = todo_engine.exec("insert into todos set id = 9, title = 'x', done = true returning id")
+    assert [r.id for r in ret.collect()] == [9]
+
+
+def test_insert_on_conflict_ignore(todo_engine):
+    todo_engine.exec(
+        "insert into todos (id, title, done) values (1, 'dup', true) on conflict ignore"
+    )
+    rows = todo_engine.fetch_list("select title from todos where id = 1")
+    assert rows[0].title == "write tests"
+
+
+def test_insert_on_conflict_replace(todo_engine):
+    todo_engine.exec(
+        "insert into todos (id, title, done) values (1, 'replaced', true) on conflict replace"
+    )
+    rows = todo_engine.fetch_list("select title from todos where id = 1")
+    assert rows[0].title == "replaced"
+
+
+def test_update(todo_engine):
+    todo_engine.exec("update todos set done = true where id = 2")
+    rows = todo_engine.fetch_list("select done from todos order by id")
+    assert [r.done for r in rows] == [False, True]
+
+
+def test_update_returning(todo_engine):
+    ret = todo_engine.exec("update todos set title = 'renamed' where id = 1 returning id, title")
+    got = [(r.id, r.title) for r in ret.collect()]
+    assert got == [(1, "renamed")]
+
+
+def test_delete(todo_engine):
+    todo_engine.exec("delete from todos where id = 1")
+    rows = todo_engine.fetch_list("select id from todos")
+    assert [r.id for r in rows] == [2]
+
+
+def test_insert_missing_required(todo_engine):
+    with pytest.raises(SqlppError, match="missing required column"):
+        todo_engine.exec("insert into todos (id, title) values (5, 'no done')")
+
+
+def test_insert_from_select(todo_engine):
+    todo_engine.exec(
+        "insert into todos (id, title, done) "
+        "select t.id + 100, t.title, t.done from todos as t"
+    )
+    rows = todo_engine.fetch_list("select count(1) as n from todos group by ()")
+    assert rows[0].n == 4
