@@ -1,0 +1,164 @@
+"""Driver-registry queries that run THROUGH the sqlpp frontend+engine
+(parse → analyze → compile → DataFrame), each with a DuckDB oracle.
+These prove the dialect pipeline end-to-end under the driver's
+correctness gate, alongside the direct-DataFrame suite in
+relational.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sqlpp_spark.queries import register
+
+_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+_ENGINES: dict = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    from sqlpp_spark.engine import SqlppEngine
+
+    key = (id(spark), sf_dir)
+    eng = _ENGINES.get(key)
+    if eng is None:
+        eng = SqlppEngine(spark)
+        for t in _TABLES:
+            eng.register_parquet(t, f"{sf_dir}/{t}.parquet")
+        eng.add_decls(
+            "create query big_orders as "
+            "select o_custkey as ck, count(1) as n_big from orders "
+            "where o_totalprice > 200000 group by o_custkey;"
+        )
+        eng.add_decls(
+            "create fieldset nat_fields(from nation as n) as "
+            "select n.n_nationkey as nationkey, n.n_name as nation_name;"
+        )
+        _ENGINES[key] = eng
+    return eng
+
+
+def _sqlpp(name: str, src: str, oracle: str):
+    @register(name, oracle=oracle)
+    def run(spark: SparkSession, sf_dir: str, _src=src) -> DataFrame:
+        return _engine(spark, sf_dir).query(_src)
+
+    run.__name__ = name
+    return run
+
+
+_sqlpp(
+    "sqlpp_filter_project",
+    "select n_nationkey as nationkey, n_name as nation_name from nation "
+    "where n_regionkey = 2",
+    "SELECT n_nationkey AS nationkey, n_name AS nation_name FROM nation "
+    "WHERE n_regionkey = 2",
+)
+
+_sqlpp(
+    "sqlpp_join_group",
+    "select n.n_name as nation_name, count(1) as n_customers "
+    "from customer as c join nation as n on c.c_nationkey = n.n_nationkey "
+    "group by n.n_name",
+    "SELECT n_name AS nation_name, COUNT(*) AS n_customers FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+)
+
+_sqlpp(
+    "sqlpp_left_join_nullable",
+    "select c.c_custkey as custkey, o.o_orderkey as orderkey "
+    "from customer as c left join orders as o on c.c_custkey = o.o_custkey "
+    "where c.c_custkey < 100",
+    "SELECT c_custkey AS custkey, o_orderkey AS orderkey FROM customer "
+    "LEFT JOIN orders ON c_custkey = o_custkey WHERE c_custkey < 100",
+)
+
+_sqlpp(
+    "sqlpp_semi_in",
+    "select p_partkey, p_name from part where p_partkey in "
+    "(select l.l_partkey from lineitem as l where l.l_quantity >= 49)",
+    "SELECT p_partkey, p_name FROM part WHERE p_partkey IN "
+    "(SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)",
+)
+
+_sqlpp(
+    "sqlpp_open_select_nav",
+    "select x.(c_acctbal + c_acctbal) as double_bal, x.c_custkey as custkey "
+    "from (select c_custkey, c_acctbal, ... from customer) as x "
+    "where x.c_custkey < 200",
+    "SELECT c_acctbal + c_acctbal AS double_bal, c_custkey AS custkey "
+    "FROM customer WHERE c_custkey < 200",
+)
+
+_sqlpp(
+    "sqlpp_named_query_compose",
+    "select c.c_name as cname, q.n_big as n_big from customer as c "
+    "join big_orders as q on c.c_custkey = q.ck",
+    "SELECT c_name AS cname, n_big FROM customer JOIN "
+    "(SELECT o_custkey AS ck, COUNT(*) AS n_big FROM orders "
+    "WHERE o_totalprice > 200000 GROUP BY o_custkey) q ON c_custkey = ck",
+)
+
+_sqlpp(
+    "sqlpp_fieldset_splice",
+    "select ...nat_fields(nation), r.r_name as region_name "
+    "from nation join region as r on nation.n_regionkey = r.r_regionkey",
+    "SELECT n_nationkey AS nationkey, n_name AS nation_name, r_name AS region_name "
+    "FROM nation JOIN region ON n_regionkey = r_regionkey",
+)
+
+_sqlpp(
+    "sqlpp_group_having_order",
+    "select l_returnflag, count(1) as n, max(l_quantity) as max_qty "
+    "from lineitem group by l_returnflag having count(1) > 10 "
+    "order by l_returnflag",
+    "SELECT l_returnflag, COUNT(*) AS n, MAX(l_quantity) AS max_qty "
+    "FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 10 "
+    "ORDER BY l_returnflag",
+)
+
+_sqlpp(
+    "sqlpp_scalar_fns",
+    "select upper(n_name) as uname, length(n_name) as namelen, "
+    "coalesce(nullif(n_name, 'FRANCE'), 'REPLACED') as repl, "
+    "toString(n_nationkey) as keystr from nation",
+    "SELECT UPPER(n_name) AS uname, LENGTH(n_name) AS namelen, "
+    "COALESCE(NULLIF(n_name, 'FRANCE'), 'REPLACED') AS repl, "
+    "CAST(n_nationkey AS VARCHAR) AS keystr FROM nation",
+)
+
+_sqlpp(
+    "sqlpp_with_lazy_fields",
+    "select with c_acctbal + c_acctbal as double_bal, "
+    "c_custkey as custkey, double_bal as bal2 "
+    "from customer where c_custkey < 500",
+    "SELECT c_custkey AS custkey, c_acctbal + c_acctbal AS bal2 "
+    "FROM customer WHERE c_custkey < 500",
+)
+
+
+# parameterized query: bound at registration time (the driver calls with
+# no params, so we bind representative values here)
+@register(
+    "sqlpp_params_bound",
+    oracle="SELECT c_custkey AS custkey, c_acctbal AS bal FROM customer "
+    "WHERE c_acctbal > 5000.0 AND c_nationkey = 3",
+)
+def sqlpp_params_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).query(
+        "select c_custkey as custkey, c_acctbal as bal from customer "
+        "where c_acctbal > ?minbal:float not null and c_nationkey = ?nat:int not null",
+        minbal=5000.0,
+        nat=3,
+    )
+
+
+@register(
+    "sqlpp_variant_param",
+    oracle="SELECT c_custkey AS custkey FROM customer WHERE c_nationkey = 7",
+)
+def sqlpp_variant_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).query(
+        "select c_custkey as custkey from customer where "
+        "match ?f with | ByNation ?n -> c_nationkey = ?n | All -> true end",
+        f=("ByNation", {"n": 7}),
+    )
