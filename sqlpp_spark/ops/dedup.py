@@ -1,0 +1,305 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale design (100 TB):
+- every operator is a pure DataFrame composition — shuffles only on
+  hash keys (uniformly distributed by construction), partial
+  aggregation map-side, no driver materialization
+- exact dedup shuffles one 60-bit key per doc (not the text)
+- MinHash: explode→min-agg computes the signature in ONE shuffle per
+  doc (all permutations as independent agg columns); LSH banding then
+  shuffles (band_idx, band_hash) pairs — docs only meet when a band
+  collides, which is the whole point of LSH at scale
+- pair verification joins shingle sets only for candidate pairs
+- embedding near-dup: blocked cross-join; at scale replace the block
+  predicate with the LSH bucketer from similarity.py
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sqlpp_spark.ops.hashing import (
+    HASH_MOD, MINHASH_A, N_PERMS, hash64, perm_hash,
+)
+from sqlpp_spark.ops.text import normalize_text
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) docs: canonical id = min id,
+    n_dups = group size. One shuffle on the 60-bit content hash."""
+    h = hash64(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one doc per content hash (the min-id row)."""
+    groups = exact_duplicates(df, text_col, id_col)
+    return df.join(
+        groups.select(F.col("canonical_id").alias(id_col)), on=id_col, how="left_semi"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(c: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (JVM-side: split + transform + slice)."""
+    toks = F.split(normalize_text(c), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle_at = lambda i: F.array_join(F.slice(toks, i + 1, k), " ")  # noqa: E731
+    return F.when(n >= k, F.transform(idx, shingle_at)).otherwise(
+        F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def shingle_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(doc, shingle_hash) pairs, distinct per doc."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("sh"))
+        .select(id_col, hash64(F.col("sh")).alias("sh_hash"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, n_perms: int = N_PERMS,
+) -> DataFrame:
+    """One row per doc with columns mh0..mh{n-1}. Single shuffle:
+    explode shingles map-side, then groupBy(doc) with n_perms min
+    aggregates (partial aggregation keeps the shuffle tiny)."""
+    sh = shingle_hashes(df, text_col, id_col, k)
+    aggs = [
+        F.min(perm_hash(F.col("sh_hash"), i)).alias(f"mh{i}") for i in range(n_perms)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, n_perms: int = N_PERMS, bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band.
+    bands=4 over 16 perms → r=4 rows/band; P(candidate) = 1-(1-j^4)^4."""
+    rows = n_perms // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, n_perms)
+    # band hash via the cross-engine md5 primitive so the whole LSH
+    # pipeline stays oracle-checkable; swap to F.hash (murmur3) for
+    # raw throughput in production
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                hash64(
+                    F.concat_ws(",", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given candidate pairs (id_a,id_b):
+    join each side's shingle hashes, count intersection and sizes."""
+    sh = shingle_hashes(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh_hash")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh_hash")
+    inter = (
+        pairs.join(a, on="id_a")
+        .join(b, on=["id_b", "sh_hash"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), on="id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), on="id_b")
+        .select(
+            "id_a", "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash+LSH pipeline: candidates via banding, then exact
+    Jaccard verification ≥ threshold."""
+    cands = lsh_candidate_pairs(df, text_col, id_col, k)
+    verified = jaccard_pairs(df, cands, text_col, id_col, k)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (blocked all-pairs — the exact baseline MinHash approximates)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, threshold: float = 0.5, block_col: str | None = "lang",
+) -> DataFrame:
+    """Exact Jaccard over word k-grams for all pairs within a block
+    (default: same ``lang``). The block bounds the quadratic term; at
+    scale use minhash_near_duplicates instead and keep this as the
+    verification oracle."""
+    sh = shingle_hashes(df, text_col, id_col, k)
+    if block_col is not None:
+        blocks = df.select(F.col(id_col), F.col(block_col).alias("__blk"))
+        sh = sh.join(blocks, on=id_col)
+    else:
+        sh = sh.withColumn("__blk", F.lit(1))
+    sizes = sh.groupBy(id_col, "__blk").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh_hash"), F.col("__blk"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh_hash"), F.col("__blk"))
+    inter = (
+        a.join(b, on=["__blk", "sh_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, on="id_a")
+        .join(sz_b, on="id_b")
+        .select(
+            "id_a", "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash signature: sign of the per-bit sum of token-hash
+    bits (+1/-1). Pure explode + conditional-sum aggregation — one
+    shuffle, `bits` agg columns, no UDF."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).select(F.col(id_col), hash64(F.col("tok")).alias("th"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agged = toks.groupBy(id_col).agg(*bit_sums)
+    sig = reduce(
+        lambda acc, i: acc + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)),
+        range(bits),
+        F.lit(0).cast("bigint"),
+    )
+    return agged.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs whose SimHash signatures collide exactly (hamming 0). For
+    hamming ≤ d at scale, band the signature into d+1 chunks and join
+    per chunk (same LSH trick as minhash)."""
+    sigs = simhash(df, text_col, id_col)
+    return sigs.groupBy("simhash").agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs")
+    ).filter(F.col("n_docs") > 1)
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, computed JVM-side
+    with zip_with + aggregate (no UDF). Sequential accumulation gives
+    deterministic doubles."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_duplicates(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold. Quadratic candidate step —
+    at scale gate it behind the random-hyperplane LSH bucketer
+    (similarity.lsh_buckets) so only same-bucket pairs meet."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, on=F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_sim(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

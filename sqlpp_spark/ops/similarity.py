@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns.
+
+- ``brute_force_topk``: exact cosine top-k, JVM-side arithmetic
+  (zip_with/aggregate — no UDF, no Python in the hot path). The
+  queries side is small and broadcast; the corpus never shuffles.
+- ``lsh_buckets`` / ``lsh_topk``: random-hyperplane LSH — the scale
+  path. Planes are derived deterministically from a seed; each vector
+  lands in 2^n_planes buckets per table; queries probe only their own
+  bucket, cutting the candidate set by ~2^n_planes.
+
+At 100 TB the corpus is bucketed once (write-side, partitioned by
+bucket id) and each query touches |corpus| / 2^n_planes rows — an IVF
+coarse quantizer has the same shape (bucket = nearest centroid).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sqlpp_spark.ops.dedup import cosine_sim
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query (cosine). queries ⋈ corpus with
+    the small side broadcast; row_number window bounded per query."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id", cosine_sim(F.col("qv"), F.col("cv")).alias("cos")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def _planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy dependency in
+    the executor path — plain Python floats baked into the plan as
+    literals)."""
+    vals = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            # xorshift64* PRNG — reproducible across platforms
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            u = ((state * 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF) >> 11
+            row.append(u / float(1 << 53) * 2.0 - 1.0)
+        vals.append(row)
+    return vals
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-concatenation bucket id: bit i = (vec · plane_i) > 0."""
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(p) for p in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_buckets(
+    df: DataFrame, dim: int, n_planes: int = 6, seed: int = 42,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    planes = _planes(n_planes, dim, seed)
+    return df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket_col(F.col(vec_col), planes).alias("bucket")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+    n_planes: int = 6, seed: int = 42, n_tables: int = 2,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: only same-bucket candidates are scored.
+    Recall tuning: fewer planes → bigger buckets → higher recall &
+    more compute; ``n_tables`` independent hash tables union their
+    candidate sets (standard multi-table LSH), recall ≈
+    1-(1-r_single)^n_tables. Each vector appears once per table, so
+    cost scales linearly in n_tables while staying far below the
+    brute-force cross join."""
+
+    def _tables(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        parts = []
+        for t in range(n_tables):
+            bt = lsh_buckets(df, dim, n_planes, seed + 1000 * t, vec_col, id_col)
+            parts.append(
+                bt.select(
+                    F.col(id_col).alias(out_id),
+                    F.col(vec_col).alias(out_vec),
+                    F.lit(t).alias("tbl"),
+                    "bucket",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    cb = _tables(corpus, "cand_id", "cv")
+    qb = _tables(queries, "query_id", "qv")
+    cand = (
+        cb.join(F.broadcast(qb), on=["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "qv", "cand_id", "cv")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = cand.select(
+        "query_id", "cand_id", cosine_sim(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos", F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -1,0 +1,166 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+language ID, quality scoring, fingerprinting.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` (regex +
+string ops inside whole-stage codegen) — no Python in the hot path, so
+the operators scale linearly with executors and push column pruning to
+the parquet scan. Each has an exact DuckDB-SQL twin for the driver's
+correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sqlpp_spark.ops.hashing import hash64, hash64_sql
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language heuristic. Real pipelines swap in fastText etc. via a Pandas
+# UDF; the heuristic keeps the operator JVM-side and deterministic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+}
+
+_WS = r"\\s+"
+
+
+def normalize_text(c: Column) -> Column:
+    """lowercase + collapse whitespace — the canonical form used by
+    exact dedup and fingerprinting."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+NORMALIZE_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count (codegen'd split, no UDF)."""
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    ).cast("bigint")
+
+
+TOKEN_COUNT_SQL = (
+    "CAST(CASE WHEN length(trim({c})) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim({c}), '\\s+')) END AS BIGINT)"
+)
+
+
+def word_token_count(c: Column) -> Column:
+    """BPE-ish token estimate: alpha runs, digit runs, and individual
+    punctuation each count as one token."""
+    pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0)).cast("bigint")
+
+
+WORD_TOKEN_COUNT_SQL = (
+    "CAST(len(regexp_extract_all({c}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)"
+)
+
+
+def _count_word(c: Column, w: str) -> Column:
+    # occurrences of word w with word boundaries
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(rf"\b{w}\b"), 0))
+
+
+def _count_word_sql(c: str, w: str) -> str:
+    return f"len(regexp_extract_all(lower({c}), '\\b{w}\\b'))"
+
+
+def lang_scores(c: Column) -> dict[str, Column]:
+    return {
+        lang: sum((_count_word(c, w) for w in words), F.lit(0))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(c: Column) -> Column:
+    """argmax over marker-word counts; ties break by language name
+    order; all-zero scores → 'und' (undetermined)."""
+    scores = lang_scores(c)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):  # deterministic tie-break
+        s = scores[lang]
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def lang_id_sql(c: str) -> str:
+    parts = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        score = " + ".join(_count_word_sql(c, w) for w in words)
+        parts.append((lang, f"({score})"))
+    # fold in the same order with the same strict > comparison
+    expr_lang, expr_score = "'und'", "0"
+    for lang, score in parts:
+        expr_lang = f"CASE WHEN {score} > {expr_score} THEN '{lang}' ELSE {expr_lang} END"
+        expr_score = f"CASE WHEN {score} > {expr_score} THEN {score} ELSE {expr_score} END"
+    return expr_lang
+
+
+def quality_score(c: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + punctuation ratio +
+    stopword presence + mean word length band. Computed in exact
+    integer/decimal arithmetic then fixed-point scaled, so Spark and
+    DuckDB agree bit-for-bit."""
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    n_stop = sum(
+        (_count_word(c, w) for ws in LANG_MARKERS.values() for w in ws), F.lit(0)
+    )
+    len_ok = (n_chars >= 50) & (n_chars <= 10000)
+    punct_ok = n_punct * 10 <= n_chars  # <=10% punctuation
+    stop_ok = n_stop > 0
+    mean_wl_ok = (n_tokens > 0) & (n_chars <= n_tokens * 12)
+    score = (
+        len_ok.cast("int") + punct_ok.cast("int")
+        + stop_ok.cast("int") + mean_wl_ok.cast("int")
+    )
+    return (score.cast("double") / F.lit(4.0)).alias("quality")
+
+
+def quality_score_sql(c: str) -> str:
+    n_chars = f"length({c})"
+    n_tokens = TOKEN_COUNT_SQL.format(c=c)
+    n_punct = f"len(regexp_extract_all({c}, '[^\\w\\s]'))"
+    n_stop = " + ".join(
+        _count_word_sql(c, w) for ws in LANG_MARKERS.values() for w in ws
+    )
+    return (
+        f"(CAST(({n_chars} >= 50 AND {n_chars} <= 10000)::INT"
+        f" + ({n_punct} * 10 <= {n_chars})::INT"
+        f" + (({n_stop}) > 0)::INT"
+        f" + ({n_tokens} > 0 AND {n_chars} <= {n_tokens} * 12)::INT AS DOUBLE) / 4.0)"
+    )
+
+
+def fingerprint(c: Column) -> Column:
+    """64-bit-ish document fingerprint: hash of the normalized text.
+    (Rolling/shingled variants live in dedup.py via minhash.)"""
+    return hash64(normalize_text(c))
+
+
+def fingerprint_sql(c: str) -> str:
+    return hash64_sql(NORMALIZE_SQL.format(c=c))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document stats frame."""
+    c = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.length(c).cast("bigint").alias("n_chars"),
+        token_count(c).alias("n_tokens"),
+        word_token_count(c).alias("n_word_tokens"),
+        lang_id(c).alias("lang_pred"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fp"),
+    )

@@ -1,0 +1,276 @@
+"""Driver-registry entries for the data-pipeline extension operators
+(dedup, text analysis, similarity search) with DuckDB oracles built
+from the same deterministic hash/regex primitives.
+
+Oracle-ability design: every hash in these operators is the md5-based
+``hash64`` (ops/hashing.py), every permutation is explicit 30-bit-split
+modular arithmetic, and every float aggregation is a sequential
+double accumulation — so DuckDB can reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlpp_spark.ops import dedup as D
+from sqlpp_spark.ops import similarity as S
+from sqlpp_spark.ops import text as X
+from sqlpp_spark.ops.hashing import hash64_sql, perm_hash_sql
+from sqlpp_spark.queries import register, table
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_T = "text"
+_NORM = X.NORMALIZE_SQL.format(c=_T)
+
+
+@register(
+    "text_stats",
+    headline=True,
+    oracle=f"""
+SELECT doc_id,
+       CAST(length({_T}) AS BIGINT) AS n_chars,
+       {X.TOKEN_COUNT_SQL.format(c=_T)} AS n_tokens,
+       {X.WORD_TOKEN_COUNT_SQL.format(c=_T)} AS n_word_tokens,
+       {X.lang_id_sql(_T)} AS lang_pred,
+       {X.quality_score_sql(_T)} AS quality,
+       {hash64_sql(_NORM)} AS fp
+FROM documents
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: char/token counts, language ID (stopword
+    heuristic), quality score, content fingerprint — one parquet scan,
+    all codegen'd."""
+    return X.text_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lang_distribution",
+    oracle=f"""
+SELECT {X.lang_id_sql(_T)} AS lang_pred, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+)
+def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(X.lang_id(F.col(_T)).alias("lang_pred")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    headline=True,
+    oracle=f"""
+SELECT {hash64_sql(_NORM)} AS content_hash,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_dups
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(table(spark, sf_dir, "documents"))
+
+
+def _shingle_cte(k: int = 3) -> str:
+    """DuckDB CTE producing (doc_id, sh_hash) distinct word-k-gram
+    hashes — the SQL twin of ops.dedup.shingle_hashes."""
+    return f"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS ws FROM documents
+),
+shingles AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {k}
+              THEN array_to_string(ws[i : i + {k - 1}], ' ')
+              ELSE array_to_string(ws, ' ') END AS sh
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - {k - 1}, 1))) AS i) g
+  WHERE len(ws) > 0
+),
+sh_hashes AS (
+  SELECT DISTINCT doc_id, {hash64_sql('sh')} AS sh_hash FROM shingles
+)"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    headline=True,
+    oracle=f"""
+WITH {_shingle_cte(3)},
+blocked AS (
+  SELECT s.doc_id, s.sh_hash, d.lang AS blk
+  FROM sh_hashes s JOIN documents d USING (doc_id)
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM blocked GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dups, blocked by lang."""
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.5, block_col="lang"
+    )
+
+
+def _minhash_oracle(k: int = 3, n_perms: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
+    rows = n_perms // bands
+    mh_cols = ",\n         ".join(
+        f"MIN({perm_hash_sql('sh_hash', i)}) AS mh{i}" for i in range(n_perms)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {h} AS bh FROM sigs".format(
+            b=b,
+            h=hash64_sql(
+                "concat_ws(',', "
+                + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_shingle_cte(k)},
+sigs AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh_hashes GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh_hashes GROUP BY doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sh_hashes a ON a.doc_id = c.id_a
+  JOIN sh_hashes b ON b.doc_id = c.id_b AND b.sh_hash = a.sh_hash
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= {threshold}
+"""
+
+
+@register("dedup_minhash", headline=True, oracle=_minhash_oracle())
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4 bands) candidates, verified with exact
+    Jaccard ≥ 0.7. The DuckDB oracle replicates the full pipeline —
+    including LSH banding — via the shared deterministic hash
+    primitives, so even LSH false-negatives match."""
+    return D.minhash_near_duplicates(table(spark, sf_dir, "documents"), threshold=0.7)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    tok_hash = hash64_sql("tok")
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (th // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_NORM}, ' ')) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, {tok_hash} AS th FROM toks),
+bitsums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM th GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bitsums)
+SELECT simhash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
+""";
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) signature collisions."""
+    return D.simhash_duplicates(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.8
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.8)."""
+    return D.embedding_near_duplicates(
+        table(spark, sf_dir, "embeddings"), threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_bruteforce_topk",
+    headline=True,
+    oracle="""
+SELECT * FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id
+         ) AS BIGINT) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 8
+) WHERE rank <= 10
+""",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 8 query vectors over the corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
+
+
+@register("ann_lsh_topk")  # approximate — no SQL oracle; recall tested in pytest
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    dim = 64
+    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), dim=dim, k=10, n_planes=4)

@@ -1,0 +1,98 @@
+"""Semantic tests for the pipeline operators beyond the oracle gate:
+approximate methods are checked against their exact counterparts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup_keeps_one_per_group(spark, docs):
+    from sqlpp_spark.ops.dedup import dedup_exact, exact_duplicates
+
+    groups = exact_duplicates(docs).count()
+    kept = dedup_exact(docs).count()
+    assert kept == groups  # one survivor per content group
+    assert kept <= docs.count()
+
+
+def test_minhash_pairs_are_real_near_dups(spark, docs):
+    from sqlpp_spark.ops.dedup import minhash_near_duplicates, ngram_jaccard_pairs
+
+    mh = {(r.id_a, r.id_b) for r in minhash_near_duplicates(docs, threshold=0.7).collect()}
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.7, block_col=None).collect()
+    }
+    # verification step guarantees soundness: every reported pair IS a
+    # true near-dup pair
+    assert mh <= exact
+    # LSH with 16 perms / 4 bands at j>=0.7 should find a decent share
+    if exact:
+        recall = len(mh) / len(exact)
+        assert recall >= 0.3, f"minhash recall suspiciously low: {recall}"
+
+
+def test_simhash_identical_docs_collide(spark, docs):
+    from sqlpp_spark.ops.dedup import simhash
+
+    # duplicate the frame: every doc should collide with its copy
+    sig1 = simhash(docs).withColumnRenamed("simhash", "s1")
+    sig2 = simhash(docs).withColumnRenamed("simhash", "s2")
+    joined = sig1.join(sig2, on="doc_id")
+    assert joined.filter(F.col("s1") != F.col("s2")).count() == 0
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, emb):
+    from sqlpp_spark.ops.similarity import brute_force_topk, lsh_topk
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = lsh_topk(emb, queries, dim=64, k=10, n_planes=4).collect()
+    exact_set = {(r.query_id, r.cand_id) for r in exact}
+    approx_set = {(r.query_id, r.cand_id) for r in approx}
+    # 4 planes → 16 buckets over 500 vecs: recall won't be 1.0 but must
+    # beat random chance (10/500 = 2%) by a wide margin
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, f"LSH recall too low: {recall}"
+    # scored candidates must carry exact cosine values: any pair in
+    # both sets must agree on cos
+    exact_cos = {(r.query_id, r.cand_id): r.cos for r in exact}
+    for r in approx:
+        if (r.query_id, r.cand_id) in exact_cos:
+            assert abs(exact_cos[(r.query_id, r.cand_id)] - r.cos) < 1e-12
+
+
+def test_lsh_buckets_partition_corpus(spark, emb):
+    from sqlpp_spark.ops.similarity import lsh_buckets
+
+    b = lsh_buckets(emb, dim=64, n_planes=4)
+    assert b.count() == emb.count()
+    n_buckets = b.select("bucket").distinct().count()
+    assert 2 <= n_buckets <= 16
+
+
+def test_quality_score_range(spark, docs):
+    from sqlpp_spark.ops.text import text_stats
+
+    stats = text_stats(docs)
+    bad = stats.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+
+
+def test_token_counts_positive(spark, docs):
+    from sqlpp_spark.ops.text import text_stats
+
+    stats = text_stats(docs)
+    assert stats.filter(F.col("n_tokens") <= 0).count() == 0
+    assert stats.filter(F.col("n_word_tokens") < F.col("n_tokens")).count() == 0
