@@ -58,6 +58,32 @@ SQL_DISC_PRICE = (
     " * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
 )
 
+# Rates need only 8 digits; the narrow precision keeps the triple
+# product price*(1-disc)*(1+tax) within 38 digits, i.e. EXACT in both
+# Spark (18+8+1 then 27+8+1 = 36) and DuckDB (18+8=26 then 34) — a
+# wider cast overflows and each engine rounds differently mid-way.
+DECR = "decimal(8,4)"
+
+
+def _dr(c):
+    return F.col(c).cast(DECR)
+
+
+def _charge():
+    # l_extendedprice * (1 - l_discount) * (1 + l_tax), exact
+    return (
+        _d2("l_extendedprice")
+        * (F.lit(1).cast(DECR) - _dr("l_discount"))
+        * (F.lit(1).cast(DECR) + _dr("l_tax"))
+    )
+
+
+SQL_CHARGE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))"
+    " * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))"
+)
+
 
 # --------------------------------------------------------------------------
 # TPC-H-flavored headline queries
@@ -72,7 +98,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM({SQL_DISC_PRICE} * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+       CAST(ROUND(SUM({SQL_CHARGE}), 2) AS DOUBLE) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
        CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -87,7 +113,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-cardinality group keys; partial aggregation happens map-side, so
     at 100 TB the shuffle moves only (6 groups × partials)."""
     l = table(spark, sf_dir, "lineitem")
-    charge = _disc_price() * (F.lit(1).cast(DEC4) + _d4("l_tax"))
+    charge = _charge()
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -95,7 +121,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_d2("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_d2("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            # round to scale 2 first: a scale-10 sum's unscaled int128
+            # exceeds 2^53, where decimal→double double-rounds
+            # differently per engine (DuckDB int128/10^s vs JVM BigDecimal)
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             (F.sum(_d2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             (F.sum(_d2("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             (F.sum(_d4("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),

@@ -1,0 +1,160 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (SURVEY.md §2.8) — this is the
+net-new scale path: watermarked tumbling/sliding windows, session
+windows, and an ``applyInPandasWithState`` custom stateful operator.
+
+Design for scale:
+- event-time watermarks bound state: late rows beyond the watermark
+  are dropped, so state size is O(active windows × keys), independent
+  of stream length
+- aggregations are keyed by (window, event_type) / (user, session) —
+  Spark shuffles once per micro-batch with partial aggregation
+- the same transformations run in batch mode (tests assert streaming
+  output == batch groupBy on a static frame), which is how the logic
+  is validated without a long-running cluster
+
+File-source note: each ``events.parquet`` fixture is a single file;
+``readStream`` takes the file path with the batch-read schema. For a
+production deployment the source is Kafka/object-store directories —
+only the ``load`` call changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos-as-long (see sources/tables.py)
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+_STAGED: dict = {}
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """Spark's file stream source wants a DIRECTORY; the fixture is a
+    single file. Stage it into a temp dir via hard link (no copy cost),
+    once per fixture."""
+    import os
+    import shutil
+    import tempfile
+
+    d = _STAGED.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="sqlpp_events_")
+        src = os.path.join(sf_dir, "events.parquet")
+        dst = os.path.join(d, "part-00000.parquet")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy(src, dst)
+        _STAGED[sf_dir] = d
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events fixture with ts normalized to a
+    proper timestamp (micros)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session-window aggregation per user (native session_window —
+    state closes once the watermark passes a session's gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id", "n_events",
+        )
+    )
+
+
+def stateful_user_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + max value, emitted per micro-batch.
+
+    State is one row per user — the pattern for arbitrary stateful
+    logic (fraud counters, CDC reconciliation) the built-in aggs can't
+    express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, n_events long, max_value double"
+    state_schema = "n long, mx double"
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = (state.get if state.exists else (0, float("-inf")))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming frame to completion against the memory sink
+    (synchronous — for tests and smoke checks)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
