@@ -96,6 +96,50 @@ class Env:
     def add_table(self, name: str, columns: Dict[str, Ty]) -> None:
         self.tables[name] = TableInfo(name, dict(columns))
 
+    def add_ddl(self, ddl) -> None:
+        """Apply a DDL evolution statement to the env, keeping schema
+        and decl in sync (mirrors sqlpp.ml:123-196 add_ddl)."""
+        if isinstance(ddl, A.DeclTable):
+            self.add_decl(ddl)
+            return
+        ti = self.tables.get(ddl.table)
+        if ti is None:
+            raise SqlppError(f"no such table: {ddl.table}", ddl.loc)
+        if isinstance(ddl, A.DdlDropTable):
+            del self.tables[ddl.table]
+        elif isinstance(ddl, A.DdlRenameTable):
+            del self.tables[ddl.table]
+            ti.name = ddl.new_name
+            if ti.decl is not None:
+                ti.decl.name = ddl.new_name
+            self.tables[ddl.new_name] = ti
+        elif isinstance(ddl, A.DdlRenameColumn):
+            if ddl.column not in ti.columns:
+                raise SqlppError(f"no such column: {ddl.column}", ddl.loc)
+            # preserve column order through the rename
+            ti.columns = {
+                (ddl.new_name if k == ddl.column else k): v
+                for k, v in ti.columns.items()
+            }
+            if ti.decl is not None:
+                for c in ti.decl.columns:
+                    if c.name == ddl.column:
+                        c.name = ddl.new_name
+        elif isinstance(ddl, A.DdlDropColumn):
+            if ddl.column not in ti.columns:
+                raise SqlppError(f"no such column: {ddl.column}", ddl.loc)
+            del ti.columns[ddl.column]
+            if ti.decl is not None:
+                ti.decl.columns = [c for c in ti.decl.columns if c.name != ddl.column]
+        elif isinstance(ddl, A.DdlAddColumn):
+            if ddl.column.name in ti.columns:
+                raise SqlppError(f"column already exists: {ddl.column.name}", ddl.loc)
+            ti.columns[ddl.column.name] = ddl.column.ty
+            if ti.decl is not None:
+                ti.decl.columns.append(ddl.column)
+        else:
+            raise SqlppError(f"unknown DDL {type(ddl).__name__}", getattr(ddl, "loc", None))
+
     def _check_fieldset(self, decl: A.DeclFieldset, src: str) -> None:
         """Decl-time check: analyze the body against scopes built from
         the declared scope types (analyze.ml:1022-1038)."""

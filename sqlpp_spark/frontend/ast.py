@@ -273,6 +273,52 @@ class DeclFieldset:
 
 
 # ---------------------------------------------------------------------------
+# DDL evolution statements (ddl.ml:2-15; env sync sqlpp.ml:123-196)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DdlDropTable:
+    table: str = ""
+    loc: Loc = NO_LOC
+
+
+@dataclass
+class DdlRenameTable:
+    table: str = ""
+    new_name: str = ""
+    loc: Loc = NO_LOC
+
+
+@dataclass
+class DdlRenameColumn:
+    table: str = ""
+    column: str = ""
+    new_name: str = ""
+    loc: Loc = NO_LOC
+
+
+@dataclass
+class DdlDropColumn:
+    table: str = ""
+    column: str = ""
+    loc: Loc = NO_LOC
+
+
+@dataclass
+class DdlAddColumn:
+    table: str = ""
+    column: ColumnDef = None
+    loc: Loc = NO_LOC
+
+
+DDL_NODES = (
+    DeclTable, DdlDropTable, DdlRenameTable, DdlRenameColumn,
+    DdlDropColumn, DdlAddColumn,
+)
+
+
+# ---------------------------------------------------------------------------
 # Structural equality key (hash-consing equivalent)
 # ---------------------------------------------------------------------------
 

@@ -22,6 +22,7 @@ KEYWORDS = {
     "conflict", "do", "nothing", "ignore", "replace", "primary", "key",
     "autoincrement", "default", "union", "all", "intersect", "except",
     "distinct", "cross", "inner", "outer", "right", "full",
+    "alter", "drop", "rename", "add", "column", "to",
 }
 
 TOKEN_RE = re.compile(

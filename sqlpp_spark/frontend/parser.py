@@ -115,6 +115,8 @@ class Parser:
 
     def decl(self):
         start = self.cur.loc
+        if self.at_kw("drop", "alter"):
+            return self.ddl()
         self.expect_kw("create")
         if self.eat_kw("table"):
             name = self.expect_ident().value
@@ -141,6 +143,36 @@ class Parser:
             sel = A.Select(fields=fields, loc=Loc.span(start, self.toks[self.i - 1].loc))
             return A.DeclFieldset(name, params, sel, "", loc=sel.loc)
         self.fail("expected TABLE, QUERY or FIELDSET")
+
+    def ddl(self):
+        """DDL evolution statements (ddl.ml:2-15): DROP TABLE, ALTER
+        TABLE RENAME TO / RENAME COLUMN / DROP COLUMN / ADD COLUMN."""
+        start = self.cur.loc
+        if self.eat_kw("drop"):
+            self.expect_kw("table")
+            name = self.expect_ident().value
+            return A.DdlDropTable(name, loc=Loc.span(start, self.toks[self.i - 1].loc))
+        self.expect_kw("alter")
+        self.expect_kw("table")
+        table = self.expect_ident().value
+        if self.eat_kw("rename"):
+            if self.eat_kw("to"):
+                new = self.expect_ident().value
+                return A.DdlRenameTable(table, new, loc=Loc.span(start, self.toks[self.i - 1].loc))
+            self.expect_kw("column")
+            old = self.expect_ident().value
+            self.expect_kw("to")
+            new = self.expect_ident().value
+            return A.DdlRenameColumn(table, old, new, loc=Loc.span(start, self.toks[self.i - 1].loc))
+        if self.eat_kw("drop"):
+            self.expect_kw("column")
+            col = self.expect_ident().value
+            return A.DdlDropColumn(table, col, loc=Loc.span(start, self.toks[self.i - 1].loc))
+        if self.eat_kw("add"):
+            self.expect_kw("column")
+            col = self._col_def()
+            return A.DdlAddColumn(table, col, loc=Loc.span(start, self.toks[self.i - 1].loc))
+        self.fail("expected RENAME, DROP COLUMN or ADD COLUMN")
 
     def _col_def(self) -> A.ColumnDef:
         name = self.expect_ident().value

@@ -5,3 +5,19 @@ All hot paths are JVM-side `pyspark.sql.functions` compositions — no
 row-at-a-time Python. Where Python is unavoidable (embedding math at
 scale, multimodal decode) we use Arrow-batched Pandas UDFs.
 """
+
+from pyspark.sql import DataFrame
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Guard CPU-bound expression stages (shingling, hashing, vector
+    math) against under-parallelized scans: a small single-file input
+    arrives as ONE partition, serializing the work on an N-core
+    executor. Repartition to the cluster's default parallelism only in
+    that case — at real scale the scan already yields ≥ that many
+    splits (spark.sql.files.maxPartitionBytes) and this is a no-op, so
+    no extra shuffle on the 100 TB path."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -22,6 +22,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sqlpp_spark.ops import ensure_parallelism
 from sqlpp_spark.ops.hashing import (
     HASH_MOD, MINHASH_A, N_PERMS, hash64, perm_hash,
 )
@@ -36,6 +37,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     """Groups of byte-identical (normalized) docs: canonical id = min id,
     n_dups = group size. One shuffle on the 60-bit content hash."""
     h = hash64(normalize_text(F.col(text_col))).alias("content_hash")
+    df = ensure_parallelism(df)
     return (
         df.select(F.col(id_col), h)
         .groupBy("content_hash")
@@ -70,11 +72,22 @@ def word_shingles(c: Column, k: int = 3) -> Column:
     )
 
 
-def shingle_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(doc, shingle_hash) pairs, distinct per doc."""
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
+    fast_hash: bool = False,
+) -> DataFrame:
+    """(doc, shingle_hash) pairs, distinct per doc.
+
+    fast_hash=True swaps the md5-based cross-engine ``hash64`` for
+    JVM-native ``xxhash64`` (~3× cheaper). Safe whenever downstream
+    only tests shingle EQUALITY (intersection/Jaccard counts are
+    hash-agnostic); keep the default for minhash, whose signatures
+    embed the hash values themselves and must match the oracle."""
+    h = F.xxhash64 if fast_hash else hash64
+    df = ensure_parallelism(df)
     return (
         df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("sh"))
-        .select(id_col, hash64(F.col("sh")).alias("sh_hash"))
+        .select(id_col, h(F.col("sh")).alias("sh_hash"))
         .distinct()
     )
 
@@ -87,6 +100,10 @@ def minhash_signatures(
     explode shingles map-side, then groupBy(doc) with n_perms min
     aggregates (partial aggregation keeps the shuffle tiny)."""
     sh = shingle_hashes(df, text_col, id_col, k)
+    return _signatures_from_sh(sh, id_col, n_perms)
+
+
+def _signatures_from_sh(sh: DataFrame, id_col: str, n_perms: int = N_PERMS) -> DataFrame:
     aggs = [
         F.min(perm_hash(F.col("sh_hash"), i)).alias(f"mh{i}") for i in range(n_perms)
     ]
@@ -99,8 +116,15 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band.
     bands=4 over 16 perms → r=4 rows/band; P(candidate) = 1-(1-j^4)^4."""
+    sh = shingle_hashes(df, text_col, id_col, k)
+    return _lsh_pairs_from_sh(sh, id_col, n_perms, bands)
+
+
+def _lsh_pairs_from_sh(
+    sh: DataFrame, id_col: str, n_perms: int = N_PERMS, bands: int = 4,
+) -> DataFrame:
     rows = n_perms // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, n_perms)
+    sigs = _signatures_from_sh(sh, id_col, n_perms)
     # band hash via the cross-engine md5 primitive so the whole LSH
     # pipeline stays oracle-checkable; swap to F.hash (murmur3) for
     # raw throughput in production
@@ -143,6 +167,10 @@ def jaccard_pairs(
     """Exact shingle-set Jaccard for given candidate pairs (id_a,id_b):
     join each side's shingle hashes, count intersection and sizes."""
     sh = shingle_hashes(df, text_col, id_col, k)
+    return _jaccard_from_sh(sh, pairs, id_col)
+
+
+def _jaccard_from_sh(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh_hash")
     b = sh.select(F.col(id_col).alias("id_b"), "sh_hash")
@@ -170,9 +198,22 @@ def minhash_near_duplicates(
     k: int = 3, threshold: float = 0.7,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: candidates via banding, then exact
-    Jaccard verification ≥ threshold."""
-    cands = lsh_candidate_pairs(df, text_col, id_col, k)
-    verified = jaccard_pairs(df, cands, text_col, id_col, k)
+    Jaccard verification ≥ threshold.
+
+    The shingle table feeds FIVE plan branches (signatures, both sides
+    of the band self-join via sigs, both sides of the verification
+    join, sizes); without reuse Spark recomputes the explode+md5+
+    distinct each time. Persisting it (and the tiny banded table)
+    collapses that to one computation — MEMORY_AND_DISK so a 100 TB
+    corpus spills instead of OOMing."""
+    from pyspark import StorageLevel
+
+    sh = shingle_hashes(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    # eager materialization: a lazy persist lets the five downstream
+    # branches race and recompute within the first job
+    sh.count()
+    cands = _lsh_pairs_from_sh(sh, id_col)
+    verified = _jaccard_from_sh(sh, cands, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -189,12 +230,18 @@ def ngram_jaccard_pairs(
     (default: same ``lang``). The block bounds the quadratic term; at
     scale use minhash_near_duplicates instead and keep this as the
     verification oracle."""
-    sh = shingle_hashes(df, text_col, id_col, k)
+    from pyspark import StorageLevel
+
+    # hash values never leave this operator (only shingle equality
+    # matters) → xxhash64; persist: the table feeds 3 plan branches
+    sh = shingle_hashes(df, text_col, id_col, k, fast_hash=True)
     if block_col is not None:
         blocks = df.select(F.col(id_col), F.col(block_col).alias("__blk"))
         sh = sh.join(blocks, on=id_col)
     else:
         sh = sh.withColumn("__blk", F.lit(1))
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()  # eager: three downstream branches would race a lazy persist
     sizes = sh.groupBy(id_col, "__blk").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh_hash"), F.col("__blk"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh_hash"), F.col("__blk"))
@@ -229,7 +276,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """Per-doc SimHash signature: sign of the per-bit sum of token-hash
     bits (+1/-1). Pure explode + conditional-sum aggregation — one
     shuffle, `bits` agg columns, no UDF."""
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).select(F.col(id_col), hash64(F.col("tok")).alias("th"))
@@ -296,6 +343,7 @@ def embedding_near_duplicates(
     """All pairs with cosine ≥ threshold. Quadratic candidate step —
     at scale gate it behind the random-hyperplane LSH bucketer
     (similarity.lsh_buckets) so only same-bucket pairs meet."""
+    df = ensure_parallelism(df)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

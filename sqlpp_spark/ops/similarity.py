@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sqlpp_spark.ops import ensure_parallelism
 from sqlpp_spark.ops.dedup import cosine_sim
 
 
@@ -33,7 +34,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("cand_id"))
