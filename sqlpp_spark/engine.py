@@ -141,14 +141,39 @@ class SqlppEngine:
     def query(self, src: str, **params) -> DataFrame:
         return self.prepare(src).df(**params)
 
-    def fetch_list(self, src: str, **params) -> List[Row]:
-        return self.query(src, **params).collect()
+    def fetch_list(self, src: str, record: Optional[type] = None, **params) -> List[Row]:
+        """Typed fetch (sqlpp_ppx.ml:406-464). ``record=`` maps each row
+        into the given dataclass/constructor by column name — the
+        ``~record:t`` variant of the reference's fetch_list. The
+        prepared row type is validated against the record's fields
+        before any Spark job runs."""
+        rows = self._fetch_df(src, record, params).collect()
+        if record is None:
+            return rows
+        return [record(**r.asDict()) for r in rows]
 
-    def fetch_option(self, src: str, **params) -> Optional[Row]:
-        rows = self.query(src, **params).limit(2).collect()
+    def fetch_option(self, src: str, record: Optional[type] = None, **params) -> Optional[Row]:
+        rows = self._fetch_df(src, record, params).limit(2).collect()
         if len(rows) > 1:
             raise SqlppError("fetch_option: query returned more than one row")
-        return rows[0] if rows else None
+        if not rows:
+            return None
+        return record(**rows[0].asDict()) if record is not None else rows[0]
+
+    def _fetch_df(self, src: str, record: Optional[type], params) -> DataFrame:
+        prepared = self.prepare(src)
+        if record is not None:
+            import dataclasses
+
+            if dataclasses.is_dataclass(record):
+                wanted = {f.name for f in dataclasses.fields(record)}
+                got = {n for n, _ in prepared.row}
+                if wanted != got:
+                    raise SqlppError(
+                        f"record {record.__name__} fields {sorted(wanted)} "
+                        f"don't match query row {sorted(got)}"
+                    )
+        return prepared.df(**params)
 
     def fetch_json(self, src: str, **params) -> List[str]:
         return self.query(src, **params).toJSON().collect()

@@ -1,0 +1,272 @@
+"""Pretty-printer for the sqlpp dialect AST.
+
+Two modes, mirroring the reference's printer/format split:
+- ``format_query(ast)`` — source formatting (the `sqlpp-fmt` verb,
+  sqlpp_manage.ml:291-300): prints the raw parsed AST back as
+  canonical sqlpp text.
+- ``format_elaborated(info)`` — prints an ANALYZED query with the
+  analyzer's rewrites visible (the `sqlpp-analyze` verb,
+  sqlpp_manage.ml:275-289 via sqlpp.ml:32-60): scope-qualified
+  references, injected generated fields, and the inferred row type.
+  This is the golden-test workhorse format.
+
+Operator precedence mirrors the reference's classify_app'
+(syntax.ml:373-386) so parenthesization round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from sqlpp_spark.frontend import ast as A
+
+# precedence per syntax.ml:373-386
+_PREC = {
+    "u-": 100,
+    "*": 90, "/": 90,
+    "+": 80, "-": 80,
+    ">": 70, ">=": 70, "<": 70, "<=": 70,
+    "=": 60, "!=": 60, "is null": 60, "is not null": 60,
+    "not": 50,
+    "and": 40,
+    "or": 30,
+}
+_BINOPS = {"=", "!=", ">", ">=", "<", "<=", "+", "-", "*", "/", "and", "or"}
+
+
+def expr_str(e: A.Expr, prec: int = 0) -> str:
+    s, p = _expr(e)
+    if p < prec:
+        return f"({s})"
+    return s
+
+
+def _expr(e: A.Expr):
+    if isinstance(e, A.ELit):
+        if e.lit_kind == "string":
+            v = str(e.value).replace("'", "''")
+            return f"'{v}'", 1000
+        if e.lit_kind == "bool":
+            return ("true" if e.value else "false"), 1000
+        return str(e.value), 1000
+    if isinstance(e, A.ENull):
+        return "null", 1000
+    if isinstance(e, A.EName):
+        return e.name, 1000
+    if isinstance(e, A.ERef):
+        return f"{e.rel}.{e.name}", 1000
+    if isinstance(e, A.ENav):
+        inner, _ = _expr(e.expr)
+        return f"{e.scope}.{inner}", 1000
+    if isinstance(e, A.EParam):
+        s = f"?{e.name}"
+        if e.ascribed is not None:
+            s = f"{s} : {e.ascribed}"
+        return s, 1000
+    if isinstance(e, A.EAscribe):
+        return f"{expr_str(e.expr, 1000)} : {e.to_ty}", 60
+    if isinstance(e, A.EIn):
+        lhs = (
+            expr_str(e.exprs[0], 1000)
+            if len(e.exprs) == 1
+            else "(" + ", ".join(expr_str(x) for x in e.exprs) + ")"
+        )
+        kw = "not in" if e.negated else "in"
+        return f"{lhs} {kw} ({select_str(e.select)})", 60
+    if isinstance(e, A.EExists):
+        return f"exists ({select_str(e.select)})", 1000
+    if isinstance(e, A.EMatch):
+        parts = [f"match ?{e.param} with"]
+        for b in e.branches:
+            args = "".join(f" ?{p}" for p in b.params)
+            parts.append(f"| {b.tag}{args} -> {expr_str(b.body)}")
+        parts.append("end")
+        return " ".join(parts), 1000
+    if isinstance(e, A.EApp):
+        return _app(e)
+    raise TypeError(f"expr_str: {type(e).__name__}")
+
+
+def _app(e: A.EApp):
+    fn = e.fn.lower()
+    if fn in _BINOPS and len(e.args) == 2:
+        p = _PREC[fn]
+        op = e.fn if fn not in ("and", "or") else fn.upper()
+        return (
+            f"{expr_str(e.args[0], p)} {op} {expr_str(e.args[1], p + 1)}",
+            p,
+        )
+    if fn == "u-" and len(e.args) == 1:
+        return f"-{expr_str(e.args[0], 100)}", 100
+    if fn == "not" and len(e.args) == 1:
+        return f"NOT {expr_str(e.args[0], 51)}", 50
+    if fn == "is null" and len(e.args) == 1:
+        return f"{expr_str(e.args[0], 61)} IS NULL", 60
+    if fn == "is not null" and len(e.args) == 1:
+        return f"{expr_str(e.args[0], 61)} IS NOT NULL", 60
+    args = ", ".join(expr_str(a) for a in e.args)
+    return f"{e.fn}({args})", 1000
+
+
+def _field_str(f, elaborated: bool) -> str:
+    if isinstance(f, A.Field):
+        if elaborated and not f.is_used and not f.is_lazy:
+            pass  # analyze-mode still prints; emission pruning is Catalyst's
+        s = expr_str(f.expr)
+        prefix = "with " if f.is_lazy else ""
+        name = f.out_name if (elaborated and f.out_name) else f.name
+        if name:
+            return f"{prefix}{s} AS {name}"
+        return f"{prefix}{s}"
+    if isinstance(f, A.FieldWithScope):
+        return f"withscope {'.'.join(f.path)} AS {f.alias}"
+    if isinstance(f, A.FieldFieldset):
+        args = ", ".join(".".join(p) for p in f.args)
+        prefix = "with " if f.is_lazy else ""
+        return f"{prefix}...{f.name}({args})" if args else f"{prefix}...{f.name}()"
+    raise TypeError(f"_field_str: {type(f).__name__}")
+
+
+def _from_str(fr) -> str:
+    if fr is None:
+        return ""
+    if isinstance(fr, A.FromTable):
+        return f"{fr.table} AS {fr.alias}" if fr.alias else fr.table
+    if isinstance(fr, A.FromSelect):
+        return f"({select_str(fr.select)}) AS {fr.alias}"
+    if isinstance(fr, A.FromJoin):
+        kw = "LEFT JOIN" if fr.kind == "left" else "JOIN"
+        on = f" ON {expr_str(fr.on)}" if fr.on is not None else ""
+        return f"{_from_str(fr.left)} {kw} {_from_str(fr.right)}{on}"
+    raise TypeError(f"_from_str: {type(fr).__name__}")
+
+
+def select_str(sel: A.Select, elaborated: bool = False) -> str:
+    parts: List[str] = ["SELECT"]
+    if sel.distinct:
+        parts.append("DISTINCT")
+    fields = [_field_str(f, elaborated) for f in sel.fields]
+    if sel.is_open:
+        fields.append("...")
+    parts.append(", ".join(fields))
+    if sel.from_ is not None:
+        parts.append(f"FROM {_from_str(sel.from_)}")
+    if sel.where is not None:
+        parts.append(f"WHERE {expr_str(sel.where)}")
+    if sel.group_by is not None:
+        if len(sel.group_by) == 0:
+            parts.append("GROUP BY ()")
+        else:
+            parts.append("GROUP BY " + ", ".join(expr_str(g) for g in sel.group_by))
+    if sel.having is not None:
+        parts.append(f"HAVING {expr_str(sel.having)}")
+    if sel.order_by:
+        items = [
+            expr_str(o.expr) + (" DESC" if o.desc else "")
+            for o in sel.order_by
+        ]
+        parts.append("ORDER BY " + ", ".join(items))
+    if sel.limit is not None:
+        parts.append(f"LIMIT {expr_str(sel.limit)}")
+    if sel.offset is not None:
+        parts.append(f"OFFSET {expr_str(sel.offset)}")
+    return " ".join(parts)
+
+
+def _returning_str(fields) -> str:
+    if not fields:
+        return ""
+    return " RETURNING " + ", ".join(_field_str(f, False) for f in fields)
+
+
+def format_query(q) -> str:
+    """Canonical text for a parsed statement (the `fmt` verb)."""
+    if isinstance(q, A.Select):
+        return select_str(q)
+    if isinstance(q, A.Insert):
+        cols = ", ".join(q.columns)
+        if q.values is not None:
+            rows = ", ".join(
+                "(" + ", ".join(expr_str(v) for v in row) + ")" for row in q.values
+            )
+            body = f"VALUES {rows}"
+        else:
+            body = select_str(q.select)
+        oc = ""
+        if q.on_conflict:
+            oc = f" ON CONFLICT {q.on_conflict.upper()}"
+        return f"INSERT INTO {q.table}({cols}) {body}{oc}{_returning_str(q.returning)}"
+    if isinstance(q, A.Update):
+        sets = ", ".join(f"{c} = {expr_str(e)}" for c, e in q.sets)
+        fr = f" FROM {_from_str(q.from_)}" if q.from_ is not None else ""
+        wh = f" WHERE {expr_str(q.where)}" if q.where is not None else ""
+        return f"UPDATE {q.table} SET {sets}{fr}{wh}{_returning_str(q.returning)}"
+    if isinstance(q, A.Delete):
+        wh = f" WHERE {expr_str(q.where)}" if q.where is not None else ""
+        return f"DELETE FROM {q.table}{wh}{_returning_str(q.returning)}"
+    # decls / DDL
+    if isinstance(q, A.DeclTable):
+        cols = ", ".join(_col_def_str(c) for c in q.columns)
+        return f"CREATE TABLE {q.name}({cols})"
+    if isinstance(q, A.DeclQuery):
+        return f"CREATE QUERY {q.name} AS {select_str(q.select)}"
+    if isinstance(q, A.DeclFieldset):
+        ps = ", ".join(f"FROM {_sty_str(p.sty)} AS {p.alias}" for p in q.params)
+        fields = ", ".join(_field_str(f, False) for f in q.select.fields)
+        return f"CREATE FIELDSET {q.name}({ps}) AS SELECT {fields}"
+    if isinstance(q, A.DdlDropTable):
+        return f"DROP TABLE {q.table}"
+    if isinstance(q, A.DdlRenameTable):
+        return f"ALTER TABLE {q.table} RENAME TO {q.new_name}"
+    if isinstance(q, A.DdlRenameColumn):
+        return f"ALTER TABLE {q.table} RENAME COLUMN {q.column} TO {q.new_name}"
+    if isinstance(q, A.DdlDropColumn):
+        return f"ALTER TABLE {q.table} DROP COLUMN {q.column}"
+    if isinstance(q, A.DdlAddColumn):
+        return f"ALTER TABLE {q.table} ADD COLUMN {_col_def_str(q.column)}"
+    raise TypeError(f"format_query: {type(q).__name__}")
+
+
+def _col_def_str(c: A.ColumnDef) -> str:
+    s = f"{c.name} {c.ty}"
+    if c.primary_key:
+        s += " PRIMARY KEY"
+    if c.autoincrement:
+        s += " AUTOINCREMENT"
+    if c.default is not None:
+        s += f" DEFAULT {expr_str(c.default)}"
+    return s
+
+
+def _sty_str(sty) -> str:
+    if isinstance(sty, A.STyTable):
+        return sty.table
+    entries = []
+    for kind, n, item in sty.entries:
+        if kind == "scope":
+            entries.append(f"from {_sty_str(item)} as {n}")
+        else:
+            entries.append(f"{n} {item}")
+    return "(" + ", ".join(entries) + ")"
+
+
+def format_elaborated(info) -> str:
+    """Analyzed-query text + inferred row type — the `analyze` verb.
+
+    Shows the elaborated projection (scope-qualified ERef navigation,
+    generated ``_i`` fields the analyzer injected into open subqueries)
+    followed by the inferred row, nullability included — the format the
+    reference's golden tests diff (test/sqlpp/nested.t etc.)."""
+    import copy as _copy
+
+    sel = _copy.copy(info.ctx.select)
+    sel.fields = info.ctx.fields  # elaborated projection incl. generated _i
+    lines = [select_str(sel, elaborated=True)]
+    row = ", ".join(f"{n}: {t}" for n, t in info.row)
+    lines.append(f"row: ({row})")
+    if info.params:
+        ps = ", ".join(
+            f"?{n}: {e.ty if e.ty is not None else '_'}" for n, e in info.params.items()
+        )
+        lines.append(f"params: ({ps})")
+    return "\n".join(lines)

@@ -275,6 +275,28 @@ def test_fetch_option(engine):
         engine.fetch_option("select c_custkey from customer")
 
 
+def test_fetch_record_dataclass(engine):
+    from dataclasses import dataclass
+
+    @dataclass
+    class Cust:
+        c_custkey: int
+        c_name: str
+
+    rows = engine.fetch_list(
+        "select c_custkey, c_name from customer where c_custkey < ?k order by c_custkey",
+        record=Cust, k=3,
+    )
+    assert rows and isinstance(rows[0], Cust) and rows[0].c_custkey == 0
+
+    @dataclass
+    class Wrong:
+        nope: int
+
+    with pytest.raises(SqlppError, match="don't match"):
+        engine.fetch_list("select c_custkey from customer", record=Wrong)
+
+
 def test_missing_param_error(engine):
     with pytest.raises(SqlppError, match="missing parameter"):
         engine.fetch_list("select c_custkey from customer where c_custkey = ?k")

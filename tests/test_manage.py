@@ -1,0 +1,262 @@
+"""DDL evolution, migrations, printer, and CLI verbs (SURVEY.md §2.9).
+
+Mirrors the reference's migration test shape (test/sqlpp_sqlite/db.ml:
+chained migrations incl. column-type change via add/copy/drop) without
+copying it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sqlpp_spark.engine import SqlppEngine
+from sqlpp_spark.frontend import ast as A
+from sqlpp_spark.frontend.analyze import Env, analyze
+from sqlpp_spark.frontend.errors import SqlppError
+from sqlpp_spark.frontend.parser import parse_decls, parse_query
+from sqlpp_spark.frontend.printer import format_elaborated, format_query
+from sqlpp_spark.manage import Define, Exec, Migrate, Migration
+
+SCHEMA = "create table users(id int not null primary key, name string not null, age int)"
+
+
+# ---------------------------------------------------------------------------
+# DDL parsing + env evolution (no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_ddl_parse_forms():
+    decls = parse_decls(
+        "drop table t; alter table t rename to u;"
+        " alter table t rename column a to b;"
+        " alter table t drop column c;"
+        " alter table t add column d int not null default 7"
+    )
+    kinds = [type(d).__name__ for d in decls]
+    assert kinds == [
+        "DdlDropTable", "DdlRenameTable", "DdlRenameColumn",
+        "DdlDropColumn", "DdlAddColumn",
+    ]
+    add = decls[-1]
+    assert add.column.name == "d" and add.column.ty.non_null
+    assert add.column.default.value == 7
+
+
+def test_env_ddl_evolution():
+    env = Env()
+    env.add(SCHEMA)
+    env.add_ddl(parse_decls("alter table users add column email string")[0])
+    assert "email" in env.tables["users"].columns
+    env.add_ddl(parse_decls("alter table users rename column email to mail")[0])
+    assert "mail" in env.tables["users"].columns
+    assert "email" not in env.tables["users"].columns
+    env.add_ddl(parse_decls("alter table users drop column mail")[0])
+    assert "mail" not in env.tables["users"].columns
+    env.add_ddl(parse_decls("alter table users rename to people")[0])
+    assert "people" in env.tables and "users" not in env.tables
+    env.add_ddl(parse_decls("drop table people")[0])
+    assert env.tables == {}
+
+
+def test_env_ddl_errors():
+    env = Env()
+    env.add(SCHEMA)
+    with pytest.raises(SqlppError, match="no such column"):
+        env.add_ddl(parse_decls("alter table users drop column nope")[0])
+    with pytest.raises(SqlppError, match="already exists"):
+        env.add_ddl(parse_decls("alter table users add column name string")[0])
+    with pytest.raises(SqlppError, match="no such table"):
+        env.add_ddl(parse_decls("drop table ghost")[0])
+
+
+# ---------------------------------------------------------------------------
+# Printer (fmt + analyze verbs, no Spark)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        (
+            "select id, name from users where id = 1 order by name desc limit 3",
+            "SELECT id, name FROM users WHERE id = 1 ORDER BY name DESC LIMIT 3",
+        ),
+        (
+            "select count(id) as n from users group by ()",
+            "SELECT count(id) AS n FROM users GROUP BY ()",
+        ),
+        (
+            "select a + b * c as x from t",
+            "SELECT a + b * c AS x FROM t",
+        ),
+        (
+            "select (a + b) * c as x from t",
+            "SELECT (a + b) * c AS x FROM t",
+        ),
+        (
+            "insert into users(id, name) values (1, 'ann') on conflict ignore",
+            "INSERT INTO users(id, name) VALUES (1, 'ann') ON CONFLICT IGNORE",
+        ),
+        (
+            "update users set age = age + 1 where id = 2 returning id",
+            "UPDATE users SET age = age + 1 WHERE id = 2 RETURNING id",
+        ),
+        ("delete from users where age is null", "DELETE FROM users WHERE age IS NULL"),
+        (
+            "alter table users add column email string default 'x'",
+            "ALTER TABLE users ADD COLUMN email STRING NULL DEFAULT 'x'",
+        ),
+    ],
+)
+def test_fmt_round_trip(src, expected):
+    q = parse_query(src) if not src.startswith("alter") else parse_decls(src)[0]
+    out = format_query(q)
+    assert out == expected
+    # canonical output re-parses to the same canonical output (fixpoint)
+    q2 = parse_query(out) if not out.startswith("ALTER") else parse_decls(out)[0]
+    assert format_query(q2) == out
+
+
+def test_analyze_prints_row_and_nullability():
+    env = Env()
+    env.add(SCHEMA)
+    out = format_elaborated(analyze(env, "select id, age from users where id = ?x"))
+    assert "row: (id: INT NOT NULL, age: INT NULL)" in out
+    assert "?x: INT NULL" in out
+
+
+def test_analyze_left_join_nullable_row():
+    env = Env()
+    env.add(SCHEMA)
+    env.add("create table pets(owner_id int not null, pet string not null)")
+    out = format_elaborated(
+        analyze(
+            env,
+            "select u.id as id, p.pet as pet from users as u "
+            "left join pets as p on u.id = p.owner_id",
+        )
+    )
+    # LEFT JOIN nullifies the right scope (analyze.ml:801-805)
+    assert "pet: STRING NULL" in out
+
+
+# ---------------------------------------------------------------------------
+# Migrations over managed parquet (Spark)
+# ---------------------------------------------------------------------------
+
+
+MIGRATIONS = [
+    Migration("init", [Define(SCHEMA)]),
+    Migration(
+        "seed",
+        [Exec("insert into users(id, name, age) values (1, 'ann', 30), (2, 'bob', 41)")],
+    ),
+    Migration(
+        "add-email",
+        [
+            Define("alter table users add column email string"),
+            Exec("update users set email = 'unknown' where email is null"),
+        ],
+    ),
+]
+
+
+@pytest.fixture()
+def mig(spark, tmp_path):
+    engine = SqlppEngine(spark)
+    return Migrate(engine, str(tmp_path / "db")), engine
+
+
+def test_migrate_applies_in_order(mig):
+    m, engine = mig
+    applied = m.migrate(MIGRATIONS)
+    assert applied == ["init", "seed", "add-email"]
+    rows = {r.id: r for r in engine.fetch_list("select id, name, email from users")}
+    assert rows[1].email == "unknown" and rows[2].name == "bob"
+    # idempotent: second run applies nothing
+    assert m.migrate(MIGRATIONS) == []
+    assert m.ls(MIGRATIONS) == [("init", True), ("seed", True), ("add-email", True)]
+
+
+def test_migrate_incremental_and_divergence(mig):
+    m, engine = mig
+    assert m.migrate(MIGRATIONS[:2]) == ["init", "seed"]
+    assert m.migrate(MIGRATIONS) == ["add-email"]
+    with pytest.raises(SqlppError, match="diverged"):
+        m.migrate([MIGRATIONS[0], Migration("other", [])])
+
+
+def test_migrate_column_type_change_chain(mig, spark):
+    """The reference's hardest migration shape: change a column's type
+    via add + copy + drop + rename (test/sqlpp_sqlite/db.ml)."""
+    m, engine = mig
+    chain = MIGRATIONS[:2] + [
+        Migration(
+            "age-to-string",
+            [
+                Define("alter table users add column age2 string"),
+                Exec("update users set age2 = toString(age)"),
+                Define(
+                    "alter table users drop column age;"
+                    " alter table users rename column age2 to age"
+                ),
+            ],
+        )
+    ]
+    m.migrate(chain)
+    assert engine.env.tables["users"].columns["age"].kind == "string"
+    rows = {r.id: r.age for r in engine.fetch_list("select id, age from users")}
+    assert rows == {1: "30", 2: "41"}
+
+
+def test_migrate_show(mig):
+    m, _ = mig
+    out = m.show(MIGRATIONS, "add-email")
+    assert "alter table users add column email" in out
+    assert "-- exec" in out and "-- define" in out
+
+
+def test_ddl_drop_table_removes_storage(mig, tmp_path):
+    m, engine = mig
+    m.migrate([MIGRATIONS[0]])
+    path = engine.managed_paths["users"]
+    assert os.path.isdir(path)
+    m.migrate([MIGRATIONS[0], Migration("drop", [Define("drop table users")])])
+    assert not os.path.isdir(path)
+    assert "users" not in engine.env.tables
+
+
+# ---------------------------------------------------------------------------
+# CLI (frontend verbs in-process; no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_cli_fmt(capsys, tmp_path):
+    from sqlpp_spark.__main__ import main
+
+    rc = main(["fmt", "select id from users where id=1"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "SELECT id FROM users WHERE id = 1"
+
+
+def test_cli_analyze_with_require(capsys, tmp_path):
+    from sqlpp_spark.__main__ import main
+
+    decls = tmp_path / "schema.sqlpp"
+    decls.write_text(SCHEMA)
+    rc = main(["analyze", "--require", str(decls), "select id, age from users"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "row: (id: INT NOT NULL, age: INT NULL)" in out
+
+
+def test_cli_error_exit_code(capsys, tmp_path):
+    from sqlpp_spark.__main__ import main
+
+    decls = tmp_path / "schema.sqlpp"
+    decls.write_text(SCHEMA)
+    rc = main(["analyze", "--require", str(decls), "select nope from users"])
+    assert rc == 1
+    assert "nope" in capsys.readouterr().err
