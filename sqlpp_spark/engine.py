@@ -178,6 +178,16 @@ class SqlppEngine:
     def fetch_json(self, src: str, **params) -> List[str]:
         return self.query(src, **params).toJSON().collect()
 
+    def fold(self, src: str, init, f, **params):
+        """Streamed row fold — the reference's primary result sink
+        (``fold : init -> f -> db -> query -> 'a``, sqlpp.ml:264).
+        Rows stream through ``toLocalIterator`` so the driver holds one
+        partition at a time, not the whole result."""
+        acc = init
+        for row in self.query(src, **params).toLocalIterator():
+            acc = f(row, acc)
+        return acc
+
     def compile_expr_param(self, prepared: PreparedQuery, expr_src: str) -> Column:
         """Build a Column for an expression parameter by analyzing
         sqlpp source in the prepared query's scope (the reference

@@ -75,4 +75,8 @@ def _ensure_loaded():
         import sqlpp_spark.queries.sqlpp_suite  # noqa: F401
     except ImportError:
         pass
+    try:
+        import sqlpp_spark.queries.extensions  # noqa: F401
+    except ImportError:
+        pass
     _loaded = True

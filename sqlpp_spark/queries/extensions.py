@@ -1,0 +1,92 @@
+"""Driver-registry entries for the Structured Streaming and multimodal
+extension operators (SURVEY.md §2.8 — net-new over the reference,
+which has no streaming or UDF surface).
+
+The streaming entries run a REAL readStream → watermark → window →
+memory-sink pipeline to completion and return the sink contents as a
+batch DataFrame, so the driver's correctness gate exercises the
+streaming engine itself; the oracle is the equivalent batch SQL (a
+completed bounded stream must agree with the batch computation).
+
+The multimodal entry has no SQL oracle (mapInPandas binary decode is
+not SQL-expressible) — the driver records the weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlpp_spark.queries import register, table
+
+_STREAM_SEQ = 0
+
+
+def _unique_name(prefix: str) -> str:
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    return f"{prefix}_{_STREAM_SEQ}"
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts, executed through Structured
+    Streaming (file source → memory sink, run to completion). Equals
+    the batch aggregation on a bounded input — which is exactly what
+    the oracle checks."""
+    from sqlpp_spark.streaming.events import (
+        read_events_stream, run_stream_to_memory, tumbling_counts,
+    )
+
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    # complete mode: append would withhold windows the watermark hasn't
+    # passed yet (i.e. the stream's trailing hour would be missing)
+    out = run_stream_to_memory(stream, _unique_name("tumbling"), "complete")
+    return out.select("window_start", "event_type", "n", "total_value")
+
+
+@register("stream_session_windows")  # session assignment is stateful —
+# kept rows-only (session_window start/end semantics differ from any
+# single batch SQL formulation when sessions merge across batches)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqlpp_spark.streaming.events import (
+        read_events_stream, run_stream_to_memory, session_windows,
+    )
+
+    stream = session_windows(read_events_stream(spark, sf_dir))
+    return run_stream_to_memory(stream, _unique_name("sessions"), "append")
+
+
+@register("multimodal_features")  # mapInPandas decode — no SQL oracle
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: synthesize media payloads from the
+    documents fixture, then decode/feature-extract via Arrow-batched
+    mapInPandas (deterministic stand-in for a PIL/ffmpeg decoder)."""
+    from sqlpp_spark.ops.multimodal import fake_decode, synthesize_media
+
+    docs = table(spark, sf_dir, "documents")
+    return fake_decode(synthesize_media(docs))
+
+
+@register("multimodal_metadata_prune")  # width derives from crc32,
+# which DuckDB lacks — rows-only check
+def multimodal_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only pruning BEFORE decode (the scale pattern: filter on
+    cheap typed columns so the expensive binary decode touches fewer
+    rows)."""
+    from sqlpp_spark.ops.multimodal import synthesize_media
+
+    media = synthesize_media(table(spark, sf_dir, "documents"))
+    return media.filter(F.col("width") >= 256).select(
+        F.count(F.lit(1)).cast("bigint").alias("n_large")
+    )

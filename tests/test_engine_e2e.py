@@ -275,6 +275,14 @@ def test_fetch_option(engine):
         engine.fetch_option("select c_custkey from customer")
 
 
+def test_fold_sink(engine):
+    total = engine.fold(
+        "select c_custkey from customer where c_custkey < ?k",
+        0, lambda row, acc: acc + row.c_custkey, k=5,
+    )
+    assert total == 0 + 1 + 2 + 3 + 4
+
+
 def test_fetch_record_dataclass(engine):
     from dataclasses import dataclass
 
