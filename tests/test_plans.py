@@ -1,0 +1,123 @@
+"""Physical-plan assertions — the scale contract.
+
+Correctness tests prove the operators give right answers at small SF;
+these prove the PLANS are the ones that survive a 100×/1000× scale-up:
+filters reach the parquet scan, scans prune columns, small dimensions
+broadcast instead of shuffling, aggregations combine map-side, and
+LIMIT queries use TakeOrderedAndProject instead of a global sort.
+If a refactor regresses any of these, the suite fails even though
+row-level results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from sqlpp_spark.queries import REGISTRY, _ensure_loaded
+
+
+def shuffle_count(p: str) -> int:
+    """Number of shuffle exchanges (formatted plans print each node in
+    the tree AND the detail list — count detail headers only)."""
+    return len(re.findall(r"\(\d+\) Exchange\b", p))
+
+
+def exchange_sections(p: str) -> list:
+    """Detail-section bodies of shuffle Exchange nodes."""
+    return [
+        m.group(1)
+        for m in re.finditer(r"\(\d+\) Exchange\n((?:.+\n)*?)\n", p)
+    ]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _loaded():
+    _ensure_loaded()
+
+
+def plan_of(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        REGISTRY[name].builder(spark, sf_dir).explain(mode)
+    return buf.getvalue()
+
+
+def test_q1_pushdown_prune_partial_agg(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q1_pricing_summary")
+    # predicate pushdown to the parquet scan
+    assert "LessThanOrEqual(l_shipdate" in p
+    # column pruning: comment/orderkey never leave the scan
+    assert "l_comment" not in p and "l_orderkey" not in p
+    # map-side combine: partial_sum before the exchange
+    assert "partial_sum" in p
+    # exactly one shuffle (the 6-group aggregate)
+    assert shuffle_count(p) == 1
+
+
+def test_q3_broadcast_join_topk(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q3_shipping_priority")
+    # both dimension joins broadcast — no shuffle join on the fact table
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    # ORDER BY + LIMIT compiles to a bounded top-k, not a global sort
+    assert "TakeOrderedAndProject" in p
+    # every scan gets its filter pushed
+    assert "GreaterThan(l_shipdate" in p
+    assert "LessThan(o_orderdate" in p
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q5_local_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 4  # customer/supplier/nation/region
+    assert "SortMergeJoin" not in p
+
+
+def test_q6_single_scan_no_join(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q6_revenue_forecast")
+    assert "Join" not in p
+    assert "PushedFilters" in p and "l_discount" in p.split("PushedFilters")[1][:400]
+
+
+def test_dedup_exact_shuffles_hash_not_text(spark, sf_dir):
+    """The whole point of hashing before grouping: the shuffle carries a
+    60-bit key per doc, never the document text."""
+    p = plan_of(spark, sf_dir, "dedup_exact")
+    sections = [
+        b for b in exchange_sections(p) if "ENSURE_REQUIREMENTS" in b
+    ]  # the ensure_parallelism round-robin (local small-file mitigation,
+    # no-op at scale) legitimately moves text; the AGG shuffles must not
+    assert sections, "expected a shuffle for the hash groupBy"
+    for body in sections:
+        assert "text#" not in body, f"shuffle carries raw text: {body}"
+
+
+def test_ann_broadcasts_queries_side(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "ann_bruteforce_topk")
+    assert "BroadcastExchange" in p  # corpus never shuffles
+
+
+def test_window_topk_single_shuffle(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_window_topk_per_group")
+    # partitionBy window → one hash exchange, no extra repartitions
+    assert shuffle_count(p) <= 2
+
+
+def test_text_stats_no_shuffle(spark, sf_dir):
+    """Pure per-row computation — a narrow map, zero exchanges."""
+    p = plan_of(spark, sf_dir, "text_stats")
+    assert shuffle_count(p) == 0
+
+
+def test_whole_stage_codegen_covers_relational(spark, sf_dir):
+    """The hot path stays inside whole-stage codegen (no Python, no
+    codegen fallback) for the relational suite."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        REGISTRY["q1_pricing_summary"].builder(spark, sf_dir).explain("codegen")
+    out = buf.getvalue()
+    assert "Found 2 WholeStageCodegen subtrees" in out or "WholeStageCodegen" in out
+    assert "BatchEvalPython" not in out
