@@ -55,6 +55,36 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("window_start", "event_type", "n", "total_value")
 
 
+@register(
+    "stream_sliding_counts",
+    oracle="""
+WITH offsets AS (SELECT 0 AS k UNION ALL SELECT 1),
+assigned AS (
+  SELECT CAST(date_trunc('hour', ts)
+              + CASE WHEN extract(minute FROM ts) >= 30
+                     THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+              - k * INTERVAL 30 MINUTE
+         AS TIMESTAMP) AS window_start,
+         event_type
+  FROM events, offsets
+)
+SELECT window_start, event_type, COUNT(*) AS n
+FROM assigned GROUP BY 1, 2
+""",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h span / 30m slide): every event counts in two
+    overlapping windows. Oracle assigns each event to its two
+    half-hour-aligned window starts in plain SQL."""
+    from sqlpp_spark.streaming.events import (
+        read_events_stream, run_stream_to_memory, sliding_counts,
+    )
+
+    stream = sliding_counts(read_events_stream(spark, sf_dir))
+    out = run_stream_to_memory(stream, _unique_name("sliding"), "complete")
+    return out.select("window_start", "event_type", "n")
+
+
 @register("stream_session_windows")  # session assignment is stateful —
 # kept rows-only (session_window start/end semantics differ from any
 # single batch SQL formulation when sessions merge across batches)

@@ -94,6 +94,25 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def sliding_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in window/slide
+    overlapping windows (2 for 1h/30m). State stays bounded by the
+    watermark exactly as for tumbling windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n",
+        )
+    )
+
+
 def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     """Session-window aggregation per user (native session_window —
     state closes once the watermark passes a session's gap)."""

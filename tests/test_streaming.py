@@ -14,6 +14,7 @@ from sqlpp_spark.streaming import (
     stateful_user_counts,
     tumbling_counts,
 )
+from sqlpp_spark.streaming.events import sliding_counts
 
 
 @pytest.fixture(scope="module")
@@ -48,6 +49,49 @@ def test_tumbling_counts_matches_batch(spark, sf_dir, batch_events):
     max_ws = max(ws for ws, _ in want)
     for ws, et in set(want) - set(got):
         assert ws >= max_ws - timedelta(hours=2), f"non-trailing window missing: {ws} {et}"
+
+
+def test_sliding_counts_each_event_in_two_windows(spark, sf_dir, batch_events):
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(
+        sliding_counts(stream), "t_sliding", output_mode="complete"
+    )
+    total = out.agg(F.sum("n")).first()[0]
+    n_events = batch_events.count()
+    assert total == 2 * n_events  # 1h span / 30m slide → 2 windows each
+    # windows align to the 30-minute grid and span exactly one hour
+    for r in out.limit(50).collect():
+        assert r.window_start.minute in (0, 30) and r.window_start.second == 0
+        assert (r.window_end - r.window_start).total_seconds() == 3600
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Feed two files: current data, then a row 3h older than the
+    watermark high-mark. Append-mode output must never include the
+    late row's window."""
+    import os
+
+    d = str(tmp_path / "latestream")
+    os.makedirs(d)
+    df1 = spark.createDataFrame(
+        [(1, "2024-01-01 12:10:00", 1, "click", 1.0, "{}"),
+         (2, "2024-01-01 12:20:00", 1, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df2 = spark.createDataFrame(
+        [(3, "2024-01-01 18:00:00", 1, "click", 1.0, "{}"),  # advances watermark to 16:00
+         (4, "2024-01-01 09:00:00", 1, "late", 1.0, "{}")],  # 7h late: dropped
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df1.write.parquet(f"{d}/f1.parquet")
+    df2.write.parquet(f"{d}/f2.parquet")
+    stream = (
+        spark.readStream.schema(df1.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    agg = tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    out = run_stream_to_memory(agg, "t_late", output_mode="append")
+    types = {r.event_type for r in out.collect()}
+    assert "late" not in types  # the 09:00 row arrived past the watermark
 
 
 def test_session_windows_run(spark, sf_dir):
