@@ -1,0 +1,106 @@
+"""Skew-salting and bucketing: result equality with the plain plans,
+plus the plan-shape properties that justify them at scale."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlpp_spark.ops.partitioning import (
+    bucketed_join, salted_groupby, salted_join, write_bucketed,
+)
+from sqlpp_spark.sources.tables import read_table
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """90% of rows share one key — the shape that melts one reducer."""
+    hot = spark.range(9000).select(
+        F.lit(1).alias("k"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    cold = spark.range(1000).select(
+        (F.col("id") % 50 + 2).alias("k"), F.lit(1.0).alias("v")
+    )
+    return hot.unionByName(cold)
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.range(60).select(
+        (F.col("id") + 1).alias("k"), F.concat(F.lit("d"), F.col("id")).alias("label")
+    )
+
+
+def test_salted_join_equals_plain(skewed, dim):
+    plain = skewed.join(dim, on="k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    salted = salted_join(skewed, dim, "k", n_salt=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left(skewed, dim):
+    extra = skewed.unionByName(
+        skewed.sparkSession.range(1).select(F.lit(999).alias("k"), F.lit(0.0).alias("v"))
+    )
+    out = salted_join(extra, dim, "k", n_salt=4, how="left")
+    unmatched = out.filter(F.col("k") == 999).collect()
+    assert len(unmatched) == 1 and unmatched[0].label is None
+
+
+def test_salted_join_spreads_hot_key(skewed, dim):
+    """The hot key's rows land in every salt bucket (the whole point)."""
+    salt = (F.abs(F.xxhash64(*[F.col(c) for c in skewed.columns])) % 8)
+    n_buckets = (
+        skewed.filter(F.col("k") == 1)
+        .select(salt.alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets == 8
+
+
+def test_salted_groupby_equals_plain(skewed):
+    plain = skewed.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v")
+    )
+    salted = salted_groupby(skewed, ["k"], "v", n_salt=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    """Both sides bucketed by the key → SortMergeJoin with zero shuffle
+    exchanges (write-side shuffle paid once, amortized per join)."""
+    wh = tmp_path_factory.mktemp("warehouse")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=4, path=str(wh / "o"))
+    write_bucketed(lineitem, "b_lineitem", "o_orderkey", n_buckets=4, path=str(wh / "l"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        import re
+
+        assert not re.search(r"\(\d+\) Exchange\b", plan), plan
+        # and it actually runs
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
