@@ -274,3 +274,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     dim = 64
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), dim=dim, k=10, n_planes=4)
+
+
+@register("ann_ivf_topk")  # approximate — recall pinned in tests/test_ops.py
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans coarse quantizer) top-k: probe 4 of 16 cells."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=10, n_cells=16, n_probe=4)

@@ -43,6 +43,34 @@ def test_minhash_pairs_are_real_near_dups(spark, docs):
         assert recall >= 0.3, f"minhash recall suspiciously low: {recall}"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, emb):
+    from sqlpp_spark.ops.similarity import brute_force_topk, ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4).collect()
+    exact_set = {(r.query_id, r.cand_id) for r in exact}
+    approx_set = {(r.query_id, r.cand_id) for r in approx}
+    # probing 4/16 cells scans ~25% of the corpus; near neighbors
+    # cluster into the query's own cells so recall must far exceed that
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    exact_cos = {(r.query_id, r.cand_id): r.cos for r in exact}
+    for r in approx:
+        if (r.query_id, r.cand_id) in exact_cos:
+            assert abs(exact_cos[(r.query_id, r.cand_id)] - r.cos) < 1e-12
+
+
+def test_ivf_full_probe_is_exact(spark, emb):
+    """n_probe = n_cells degrades gracefully to the exact result."""
+    from sqlpp_spark.ops.similarity import brute_force_topk, ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    exact = {(r.query_id, r.cand_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    full = {(r.query_id, r.cand_id) for r in ivf_topk(emb, queries, k=5, n_cells=8, n_probe=8).collect()}
+    assert exact == full
+
+
 def test_simhash_identical_docs_collide(spark, docs):
     from sqlpp_spark.ops.dedup import simhash
 
