@@ -82,12 +82,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(table(spark, sf_dir, "documents"))
 
 
-def _shingle_cte(k: int = 3) -> str:
+def _shingle_cte(k: int = 3, base: str = "documents") -> str:
     """DuckDB CTE producing (doc_id, sh_hash) distinct word-k-gram
     hashes — the SQL twin of ops.dedup.shingle_hashes."""
     return f"""
 toks AS (
-  SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS ws FROM documents
+  SELECT doc_id, regexp_split_to_array({_NORM}, ' ') AS ws FROM {base}
 ),
 shingles AS (
   SELECT doc_id,
@@ -193,6 +193,100 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     including LSH banding — via the shared deterministic hash
     primitives, so even LSH false-negatives match."""
     return D.minhash_near_duplicates(table(spark, sf_dir, "documents"), threshold=0.7)
+
+
+def _clean_corpus_oracle(k: int = 3, n_perms: int = 16, bands: int = 4,
+                         threshold: float = 0.7, min_quality: float = 0.5) -> str:
+    """SQL twin of the full composed pipeline: quality filter → exact
+    dedup (min id per content hash) → MinHash+LSH near-dup removal
+    (drop the higher id of every verified pair)."""
+    rows = n_perms // bands
+    q = X.quality_score_sql(_T)
+    mh_cols = ",\n         ".join(
+        f"MIN({perm_hash_sql('sh_hash', i)}) AS mh{i}" for i in range(n_perms)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {h} AS bh FROM sigs".format(
+            b=b,
+            h=hash64_sql(
+                "concat_ws(',', "
+                + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH quality_pass AS (
+  SELECT doc_id, text, lang FROM documents WHERE {q} >= {min_quality}
+),
+hashed AS (
+  SELECT doc_id, {hash64_sql(_NORM)} AS h FROM quality_pass
+),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM hashed GROUP BY h),
+kept AS (SELECT p.* FROM quality_pass p JOIN canon USING (doc_id)),
+{_shingle_cte(k, 'kept').lstrip()},
+sigs AS (
+  SELECT doc_id, {mh_cols}
+  FROM sh_hashes GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh_hashes GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sh_hashes a ON a.doc_id = c.id_a
+  JOIN sh_hashes b ON b.doc_id = c.id_b AND b.sh_hash = a.sh_hash
+  GROUP BY 1, 2
+),
+removed AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= {threshold}
+)
+SELECT k.doc_id, {X.lang_id_sql('k.text')} AS lang_pred, {X.quality_score_sql('k.text')} AS quality
+FROM kept k LEFT JOIN removed r ON k.doc_id = r.doc_id
+WHERE r.doc_id IS NULL
+"""
+
+
+@register("pipeline_clean_corpus", headline=True, oracle=_clean_corpus_oracle())
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end-to-end in one plan:
+    quality filter (cheap, codegen'd, prunes before any shuffle) →
+    exact dedup (hash shuffle) → MinHash+LSH near-dup removal (drop
+    the higher id of each verified pair). Returns the surviving
+    corpus with language + quality annotations."""
+    from pyspark import StorageLevel
+
+    docs = table(spark, sf_dir, "documents")
+    # annotate ONCE: the quality/lang regex trees are the widest
+    # expressions in the pipeline — computing them a single time before
+    # the persist means every downstream branch (and the final
+    # projection) reads cached columns instead of re-running ~25
+    # regexes per doc
+    annotated = docs.select(
+        "doc_id", _T, "lang",
+        X.quality_score(F.col(_T)).alias("quality"),
+        X.lang_id(F.col(_T)).alias("lang_pred"),
+    )
+    base = annotated.filter(F.col("quality") >= 0.5)
+    kept = D.dedup_exact(base).persist(StorageLevel.MEMORY_AND_DISK)
+    kept.count()  # eager, so minhash branches don't race the persist
+    pairs = D.minhash_near_duplicates(kept, threshold=0.7)
+    removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return kept.join(removed, on="doc_id", how="left_anti").select(
+        "doc_id", "lang_pred", "quality"
+    )
 
 
 def _simhash_oracle(bits: int = 32) -> str:
