@@ -90,7 +90,7 @@ def main(argv=None) -> int:
 
         if args.verb == "plan":
             df = engine.query(src, **params)
-            print(df._jdf.queryExecution().explainString("formatted"))
+            df.explain("formatted")  # prints to stdout
             return 0
 
         df = engine.exec(src, **params)

@@ -252,6 +252,62 @@ def test_cli_analyze_with_require(capsys, tmp_path):
     assert "row: (id: INT NOT NULL, age: INT NULL)" in out
 
 
+def test_cli_plan_and_query_verbs(capsys, spark, sf_dir, tmp_path):
+    """plan prints a physical plan; query executes and prints JSON rows.
+    Reuses the session fixture (getOrCreate inside the CLI)."""
+    from sqlpp_spark.__main__ import main
+
+    rc = main(
+        ["plan", "--sf-dir", sf_dir,
+         "select r_name from region where r_regionkey = 1"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "Physical Plan" in out and "PushedFilters" in out
+
+    rc = main(
+        ["query", "--sf-dir", sf_dir, "--param", "k=1",
+         "select r_regionkey, r_name from region where r_regionkey = ?k"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    import json
+
+    rows = [json.loads(line) for line in out.strip().splitlines()]
+    assert rows and rows[0]["r_regionkey"] == 1
+
+
+def test_fmt_parse_print_fixpoint_property():
+    """Property: for generated well-formed selects, format∘parse is a
+    fixpoint (canonical text re-parses to itself)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.sampled_from(["a", "b", "c", "tbl", "x1"])
+    lits = st.one_of(
+        st.integers(0, 99).map(str),
+        st.sampled_from(["'s'", "true", "false", "null : int"]),
+    )
+    atoms = st.one_of(names, lits)
+
+    def binop(children):
+        return st.tuples(
+            children, st.sampled_from(["+", "-", "*", "/", "=", "<", "and", "or"]), children
+        ).map(lambda t: f"({t[0]} {t[1]} {t[2]})")
+
+    exprs = st.recursive(atoms, binop, max_leaves=6)
+
+    @settings(max_examples=60, deadline=None)
+    @given(e1=exprs, e2=exprs, desc=st.booleans(), lim=st.integers(1, 9))
+    def check(e1, e2, desc, lim):
+        src = f"select {e1} as f1, {e2} as f2 from t where {e1} = {e2} " \
+              f"order by f1 {'desc' if desc else ''} limit {lim}"
+        once = format_query(parse_query(src))
+        twice = format_query(parse_query(once))
+        assert once == twice
+
+    check()
+
+
 def test_cli_error_exit_code(capsys, tmp_path):
     from sqlpp_spark.__main__ import main
 
