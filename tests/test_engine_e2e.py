@@ -275,6 +275,29 @@ def test_fetch_option(engine):
         engine.fetch_option("select c_custkey from customer")
 
 
+def test_expression_param(engine):
+    """?p : ty EXPR — the parameter is a whole expression re-analyzed in
+    the query's captured scope (Pty_expr, analyze.ml:468-473 /
+    sqlpp.ml:360-363)."""
+    prepared = engine.prepare(
+        "select c_custkey, c_acctbal from customer where ?cond : bool expr"
+    )
+    cond = engine.compile_expr_param(prepared, "c_acctbal > 1000 and c_custkey < 100")
+    got = sorted((r.c_custkey, r.c_acctbal) for r in prepared.df(cond=cond).collect())
+    want = sorted(
+        (r.c_custkey, r.c_acctbal)
+        for r in engine.fetch_list(
+            "select c_custkey, c_acctbal from customer "
+            "where c_acctbal > 1000 and c_custkey < 100"
+        )
+    )
+    assert got == want and got
+    # the expression is analyzed against the captured scope: bad
+    # columns are rejected before execution
+    with pytest.raises(SqlppError, match="no such column"):
+        engine.compile_expr_param(prepared, "made_up > 1")
+
+
 def test_fold_sink(engine):
     total = engine.fold(
         "select c_custkey from customer where c_custkey < ?k",
