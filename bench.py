@@ -26,18 +26,35 @@ def main() -> None:
     spark = get_spark("sqlpp_spark_bench")
 
     specs = headline_queries()
-    # Warm the JVM + parquet footers once with the cheapest query so
-    # per-query timings measure execution, not session startup.
-    first = next(iter(specs.values()))
-    first.builder(spark, sf_dir).limit(1).collect()
+    # Warmup pass at the smallest SF: compiles every query's plan once
+    # (whole-stage codegen + JIT are keyed on plan shape, not data), so
+    # the timed pass below measures steady-state execution at the
+    # target SF instead of first-run compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for spec in specs.values():
+        try:
+            spec.builder(spark, warm_dir).count()
+        except Exception:
+            pass
 
+    # Two timed runs per query, report the min (steady-state: AQE
+    # re-plans per input size, so the sf0.001 warmup doesn't compile
+    # the sf-target stage plans; run 1 pays that residual JIT, run 2
+    # measures execution). clearCache between queries keeps each
+    # measurement independent of earlier queries' persisted blocks.
     timings: dict[str, float] = {}
     for name, spec in specs.items():
-        t0 = time.perf_counter()
-        df = spec.builder(spark, sf_dir)
-        n = df.count() if df.isStreaming is False else -1
-        timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = spec.builder(spark, sf_dir)
+            n = df.count() if df.isStreaming is False else -1
+            best = min(best, time.perf_counter() - t0)
+            _ = n
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
