@@ -152,15 +152,76 @@ def fingerprint_sql(c: str) -> str:
     return hash64_sql(NORMALIZE_SQL.format(c=c))
 
 
-def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass per-document stats frame."""
+# -- shared-marker formulation ----------------------------------------------
+# quality_score and lang_id both scan the text once per marker word
+# (12 regexes each, half of them identical). The two-stage select
+# computes each UNIQUE marker regex once and derives both outputs from
+# the shared count columns — same values, ~half the regex work when
+# both are needed (text_stats, pipeline_clean_corpus).
+
+_UNIQUE_MARKERS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+_MC = {w: f"__mc_{i}" for i, w in enumerate(_UNIQUE_MARKERS)}
+
+
+def _with_marker_counts(df: DataFrame, text_col: str) -> DataFrame:
     c = F.col(text_col)
     return df.select(
+        "*", *[_count_word(c, w).alias(col) for w, col in _MC.items()]
+    )
+
+
+def _lang_id_from_counts() -> Column:
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_MARKERS):  # same fold order as lang_id
+        s = sum((F.col(_MC[w]) for w in LANG_MARKERS[lang]), F.lit(0))
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def _quality_from_counts(c: Column) -> Column:
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    # same pair iteration as quality_score: shared words count per pair
+    n_stop = sum(
+        (F.col(_MC[w]) for ws in LANG_MARKERS.values() for w in ws), F.lit(0)
+    )
+    len_ok = (n_chars >= 50) & (n_chars <= 10000)
+    punct_ok = n_punct * 10 <= n_chars
+    stop_ok = n_stop > 0
+    mean_wl_ok = (n_tokens > 0) & (n_chars <= n_tokens * 12)
+    score = (
+        len_ok.cast("int") + punct_ok.cast("int")
+        + stop_ok.cast("int") + mean_wl_ok.cast("int")
+    )
+    return score.cast("double") / F.lit(4.0)
+
+
+def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``lang_pred`` and ``quality`` columns with the shared-marker
+    formulation (identical values to lang_id/quality_score)."""
+    c = F.col(text_col)
+    out = _with_marker_counts(df, text_col).select(
+        *df.columns,
+        _lang_id_from_counts().alias("lang_pred"),
+        _quality_from_counts(c).alias("quality"),
+    )
+    return out
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document stats frame (markers computed once,
+    shared between lang_pred and quality)."""
+    c = F.col(text_col)
+    return _with_marker_counts(df, text_col).select(
         "doc_id",
         F.length(c).cast("bigint").alias("n_chars"),
         token_count(c).alias("n_tokens"),
         word_token_count(c).alias("n_word_tokens"),
-        lang_id(c).alias("lang_pred"),
-        quality_score(c).alias("quality"),
+        _lang_id_from_counts().alias("lang_pred"),
+        _quality_from_counts(c).alias("quality"),
         fingerprint(c).alias("fp"),
     )

@@ -274,11 +274,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the persist means every downstream branch (and the final
     # projection) reads cached columns instead of re-running ~25
     # regexes per doc
-    annotated = docs.select(
-        "doc_id", _T, "lang",
-        X.quality_score(F.col(_T)).alias("quality"),
-        X.lang_id(F.col(_T)).alias("lang_pred"),
-    )
+    annotated = X.annotate(docs.select("doc_id", _T, "lang"))
     base = annotated.filter(F.col("quality") >= 0.5)
     kept = D.dedup_exact(base).persist(StorageLevel.MEMORY_AND_DISK)
     kept.count()  # eager, so minhash branches don't race the persist
