@@ -152,6 +152,62 @@ def fingerprint_sql(c: str) -> str:
     return hash64_sql(NORMALIZE_SQL.format(c=c))
 
 
+# -- rolling-hash fingerprint (winnowing-style) ------------------------------
+
+ROLL_K = 8  # character k-gram width
+ROLL_B = 257  # polynomial base
+ROLL_M = (1 << 31) - 1  # Mersenne modulus keeps arithmetic in int64
+
+
+def rolling_hashes(c: Column, k: int = ROLL_K) -> Column:
+    """Array of polynomial rolling hashes over character k-grams of the
+    normalized text: h_i = sum(code(ch_{i+j}) * B^(k-1-j)) mod M.
+    Computed entirely JVM-side (transform over a substring window) —
+    per-row cost O(len·k) which is fine for documents; a true O(len)
+    rolling recurrence needs stateful iteration that SQL lacks, and
+    the constant is tiny."""
+    s = normalize_text(c)
+    n = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    pows = [pow(ROLL_B, k - 1 - j, ROLL_M) for j in range(k)]
+
+    def gram_hash(i):
+        acc = F.lit(0).cast("bigint")
+        for j in range(k):
+            code = F.ascii(F.substr(s, i + F.lit(j), F.lit(1)))
+            acc = (acc + code.cast("bigint") * F.lit(pows[j])) % F.lit(ROLL_M)
+        return acc
+
+    return F.when(n >= k, F.transform(idx, gram_hash)).otherwise(
+        F.array(F.lit(0).cast("bigint"))
+    )
+
+
+def rolling_fingerprint(c: Column, k: int = ROLL_K) -> Column:
+    """Winnowing-style fingerprint: the MINIMUM rolling k-gram hash of
+    the document. Documents sharing long substrings tend to share the
+    minimizing gram, so equal fingerprints flag likely overlap —
+    the classic local fingerprint (cf. MOSS winnowing) reduced to one
+    selected gram per doc."""
+    return F.array_min(rolling_hashes(c, k))
+
+
+def rolling_fingerprint_sql(c: str, k: int = ROLL_K) -> str:
+    """DuckDB twin — identical polynomial arithmetic."""
+    s = NORMALIZE_SQL.format(c=c)
+    pows = [pow(ROLL_B, k - 1 - j, ROLL_M) for j in range(k)]
+    terms = " + ".join(
+        f"(CAST(ascii(substr({s}, CAST(i + {j} AS INT), 1)) AS BIGINT)"
+        f" * {pows[j]}) % {ROLL_M}"
+        for j in range(k)
+    )
+    return (
+        f"(SELECT CASE WHEN length({s}) >= {k} THEN "
+        f"MIN(({terms}) % {ROLL_M}) ELSE 0 END "
+        f"FROM unnest(generate_series(1, greatest(length({s}) - {k - 1}, 1))) AS t(i))"
+    )
+
+
 # -- shared-marker formulation ----------------------------------------------
 # quality_score and lang_id both scan the text once per marker word
 # (12 regexes each, half of them identical). The two-stage select

@@ -49,6 +49,37 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_rolling_fingerprint",
+    oracle=f"""
+SELECT doc_id, {X.rolling_fingerprint_sql(_T)} AS roll_fp
+FROM documents
+""",
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint (min polynomial hash
+    over character 8-grams) per document."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", X.rolling_fingerprint(F.col(_T)).alias("roll_fp")
+    )
+
+
+@register(
+    "ann_approx_distinct_labels",
+    # HLL sketches differ across engines by design — accuracy is pinned
+    # against the exact count in tests/test_ops.py instead
+)
+def ann_approx_distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the sketch path for
+    distinct counting at 100 TB (fixed-size state vs a full shuffle
+    of the distinct values)."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        F.approx_count_distinct("label", rsd=0.02).alias("n_labels_approx")
+    )
+
+
+@register(
     "text_lang_distribution",
     oracle=f"""
 SELECT {X.lang_id_sql(_T)} AS lang_pred, COUNT(*) AS n_docs

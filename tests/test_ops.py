@@ -43,6 +43,40 @@ def test_minhash_pairs_are_real_near_dups(spark, docs):
         assert recall >= 0.3, f"minhash recall suspiciously low: {recall}"
 
 
+def test_rolling_fingerprint_detects_shared_substring(spark):
+    from sqlpp_spark.ops.text import rolling_fingerprint
+
+    shared = "a very long shared passage that dominates the minimum hash value"
+    df = spark.createDataFrame(
+        [(1, f"prefix one {shared}"), (2, f"{shared} and a different suffix"),
+         (3, "completely unrelated content with nothing in common here")],
+        "doc_id long, text string",
+    )
+    from sqlpp_spark.ops.text import rolling_hashes
+
+    rows = df.select(
+        "doc_id",
+        rolling_fingerprint(F.col("text")).alias("fp"),
+        rolling_hashes(F.col("text")).alias("hs"),
+    ).collect()
+    fps = {r.doc_id: r.fp for r in rows}
+    hs = {r.doc_id: set(r.hs) for r in rows}
+    # identical text → identical fingerprint (determinism)
+    assert fps[1] == df.filter("doc_id=1").select(
+        rolling_fingerprint(F.col("text"))).first()[0]
+    # sharing a long substring → large rolling-hash set overlap;
+    # unrelated text → (near) zero overlap
+    assert len(hs[1] & hs[2]) > 40
+    assert len(hs[1] & hs[3]) <= 2
+    assert fps[3] != fps[2]
+
+
+def test_approx_count_distinct_accuracy(spark, emb):
+    exact = emb.select(F.countDistinct("label")).first()[0]
+    approx = emb.select(F.approx_count_distinct("label", rsd=0.02)).first()[0]
+    assert abs(approx - exact) <= max(1, 0.05 * exact)
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark, emb):
     from sqlpp_spark.ops.similarity import brute_force_topk, ivf_topk
 
