@@ -305,10 +305,26 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the persist means every downstream branch (and the final
     # projection) reads cached columns instead of re-running ~25
     # regexes per doc
+    from pyspark.sql import Window as W
+
+    from sqlpp_spark.ops.hashing import hash64
+    from sqlpp_spark.ops.text import normalize_text
+
     annotated = X.annotate(docs.select("doc_id", _T, "lang"))
     base = annotated.filter(F.col("quality") >= 0.5)
-    kept = D.dedup_exact(base).persist(StorageLevel.MEMORY_AND_DISK)
-    kept.count()  # eager, so minhash branches don't race the persist
+    # exact dedup via window (keep min doc_id per content hash): ONE
+    # pass over the regex-annotated base — the groupBy+semi-join
+    # formulation (dedup_exact) would compute `base` twice
+    w = W.partitionBy(hash64(normalize_text(F.col(_T)))).orderBy("doc_id")
+    kept = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # no eager count needed: minhash's internal shingle materialization
+    # is the first (single, linear) job that touches `kept`, which
+    # populates the cache for the later branches
     pairs = D.minhash_near_duplicates(kept, threshold=0.7)
     removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return kept.join(removed, on="doc_id", how="left_anti").select(
