@@ -14,11 +14,13 @@ architecture decision). Design notes:
   with the pre-computed columns (supports arbitrary nesting like
   ``1 + (id + id)`` over ``GROUP BY id + id``)
 - IN/EXISTS in WHERE-conjunction position lower to left-semi /
-  left-anti joins (no row duplication, no driver round-trip); in scalar
-  position they lower to a left join against the distinct subquery with
-  a match flag. Both are shuffle-based and scale; the flag form uses
-  two-valued logic (SQL's NULL-propagating IN is documented as a
-  deviation)
+  left-anti joins (no row duplication, no driver round-trip). NOT IN
+  over nullable operands compiles the NULL-aware anti-join condition
+  (equal-or-either-NULL), reproducing SQL's three-valued NOT IN; with
+  analyzer-proven non-null operands the plain anti-join is kept. In
+  scalar position they lower to a left join against the distinct
+  subquery with a match flag; the flag form uses two-valued logic
+  (documented deviation)
 - MATCH variant params select a plan branch at bind time — the Python
   equivalent of the reference's generated OCaml match (sqlpp_ppx.ml:209-243)
 """
@@ -223,12 +225,30 @@ class Compiler:
             sub_df = self.compile_select(inner.sub_ctx, binds)
             sub_alias = self._fresh("__in")
             sub_df = sub_df.alias(sub_alias)
-            sub_cols = [f.out_name for f in inner.sub_ctx.fields if f.is_used]
+            sub_fields = [f for f in inner.sub_ctx.fields if f.is_used]
+            sub_cols = [f.out_name for f in sub_fields]
+            negated = neg or inner.negated
+            # NULL-aware NOT IN: SQL's three-valued NOT IN yields
+            # UNKNOWN (row filtered) when the probe is NULL or the
+            # subquery contains NULL in a compared column. An anti-join
+            # must therefore treat "equal OR either side NULL" as a
+            # match — exactly Spark's own null-aware anti join shape.
+            # When the analyzer proves BOTH sides non-null we keep the
+            # plain (faster, broadcastable) anti-join condition.
+            nullable = any(
+                (e_out.ty is not None and not e_out.ty.non_null)
+                or (f.expr.ty is not None and not f.expr.ty.non_null)
+                for e_out, f in zip(inner.exprs, sub_fields)
+            )
             cond = None
             for e_out, cname in zip(inner.exprs, sub_cols):
-                c = self.expr(e_out, binds, {}) == F.col(f"{sub_alias}.{cname}")
+                probe = self.expr(e_out, binds, {})
+                sub_c = F.col(f"{sub_alias}.{cname}")
+                c = probe == sub_c
+                if negated and nullable:
+                    c = c | probe.isNull() | sub_c.isNull()
                 cond = c if cond is None else (cond & c)
-            how = "left_anti" if (neg or inner.negated) else "left_semi"
+            how = "left_anti" if negated else "left_semi"
             return df.join(sub_df, on=cond, how=how)
         if isinstance(inner, A.EExists):
             sub_df = self.compile_select(inner.sub_ctx, binds)

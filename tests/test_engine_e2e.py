@@ -268,6 +268,48 @@ def test_named_query_e2e(engine, duck):
     )
 
 
+def test_not_in_null_aware(spark, tmp_path):
+    """SQL three-valued NOT IN: a NULL anywhere in the compared
+    subquery column eliminates EVERY probe row; a NULL probe never
+    passes (unless the subquery is empty). DuckDB is the semantics
+    oracle."""
+    eng = SqlppEngine(spark)
+    eng.add_decls(
+        "create table probe(id int not null, v int);"
+        "create table sub(v int)"
+    )
+    probe_df = spark.createDataFrame([(1, 10), (2, 20), (3, None)], "id long, v long")
+    sub_with_null = spark.createDataFrame([(10,), (None,)], "v long")
+    sub_plain = spark.createDataFrame([(10,), (30,)], "v long")
+    eng.register_df("probe", probe_df)
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE probe(id BIGINT, v BIGINT)")
+    con.execute("INSERT INTO probe VALUES (1,10),(2,20),(3,NULL)")
+
+    for sub_df, sub_rows, label in (
+        (sub_with_null, "(10),(NULL)", "null-in-sub"),
+        (sub_plain, "(10),(30)", "plain"),
+    ):
+        eng.register_df("sub", sub_df)
+        got = sorted(
+            r.id for r in eng.fetch_list(
+                "select id from probe where not v in (select v from sub)"
+            )
+        )
+        con.execute("CREATE OR REPLACE TABLE sub(v BIGINT)")
+        con.execute(f"INSERT INTO sub VALUES {sub_rows}")
+        want = sorted(
+            r[0] for r in con.execute(
+                "SELECT id FROM probe WHERE v NOT IN (SELECT v FROM sub)"
+            ).fetchall()
+        )
+        assert got == want, f"{label}: {got} != {want}"
+    con.close()
+
+
 def test_fetch_option(engine):
     row = engine.fetch_option("select c_name from customer where c_custkey = ?k", k=1)
     assert row is not None
