@@ -262,7 +262,11 @@ class Compiler:
 
     def _attach_scalar_subqueries(self, df: DataFrame, exprs: List[A.Expr], binds: Bindings):
         """Left-join distinct subquery results so scalar-position
-        IN/EXISTS compile to a match flag (two-valued semantics)."""
+        IN/EXISTS compile to a match flag. Single-column IN gets full
+        SQL three-valued semantics (match → TRUE; no match with a NULL
+        probe or a NULL in a non-empty subquery → NULL; else FALSE) via
+        a broadcast one-row aggregate marker; multi-column tuples keep
+        the two-valued flag (documented deviation)."""
         scalar_map: Dict[int, Column] = {}
         for e in exprs:
             for node in _iter_nodes(e):
@@ -271,7 +275,17 @@ class Compiler:
                     alias = self._fresh("__sin")
                     flag = f"{alias}_flag"
                     sub_cols = [f.out_name for f in node.sub_ctx.fields if f.is_used]
-                    sub_df = (
+                    probe0 = self.expr(node.exprs[0], binds, {})
+                    if len(sub_cols) == 1:
+                        # broadcast 1-row marker: does the subquery have
+                        # rows / contain NULL in the compared column?
+                        nn, hn = f"{alias}_n", f"{alias}_hasnull"
+                        marker = sub_df.agg(
+                            F.count(F.lit(1)).alias(nn),
+                            F.max(F.col(sub_cols[0]).isNull()).alias(hn),
+                        )
+                        df = df.join(F.broadcast(marker), on=F.lit(True), how="left")
+                    sub_aliased = (
                         sub_df.distinct()
                         .withColumn(flag, F.lit(True))
                         .alias(alias)
@@ -280,8 +294,18 @@ class Compiler:
                     for e_in, cname in zip(node.exprs, sub_cols):
                         c = self.expr(e_in, binds, {}) == F.col(f"{alias}.{cname}")
                         cond = c if cond is None else (cond & c)
-                    df = df.join(sub_df, on=cond, how="left")
-                    col = F.col(flag).isNotNull()
+                    df = df.join(sub_aliased, on=cond, how="left")
+                    matched = F.col(flag).isNotNull()
+                    if len(sub_cols) == 1:
+                        non_empty = F.coalesce(F.col(nn), F.lit(0)) > 0
+                        unknown = non_empty & (
+                            probe0.isNull() | F.coalesce(F.col(hn), F.lit(False))
+                        )
+                        col = F.when(matched, F.lit(True)).otherwise(
+                            F.when(unknown, F.lit(None).cast("boolean")).otherwise(F.lit(False))
+                        )
+                    else:
+                        col = matched
                     if node.negated:
                         col = ~col
                     scalar_map[id(node)] = col

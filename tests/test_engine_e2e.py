@@ -310,6 +310,37 @@ def test_not_in_null_aware(spark, tmp_path):
     con.close()
 
 
+def test_scalar_in_three_valued(spark):
+    """Scalar-position IN: NULL probe / NULL-bearing subquery produce
+    SQL's NULL, not FALSE. DuckDB is the semantics oracle."""
+    eng = SqlppEngine(spark)
+    eng.add_decls("create table probe(id int not null, v int); create table sub(v int)")
+    eng.register_df(
+        "probe", spark.createDataFrame([(1, 10), (2, 20), (3, None)], "id long, v long")
+    )
+    eng.register_df("sub", spark.createDataFrame([(10,), (None,)], "v long"))
+    got = {
+        r.id: r.b
+        for r in eng.fetch_list(
+            "select id, v in (select v from sub) as b from probe"
+        )
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE probe(id BIGINT, v BIGINT)")
+    con.execute("INSERT INTO probe VALUES (1,10),(2,20),(3,NULL)")
+    con.execute("CREATE TABLE sub(v BIGINT); INSERT INTO sub VALUES (10),(NULL)")
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            "SELECT id, v IN (SELECT v FROM sub) AS b FROM probe"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want  # {1: True, 2: None, 3: None}
+
+
 def test_fetch_option(engine):
     row = engine.fetch_option("select c_name from customer where c_custkey = ?k", k=1)
     assert row is not None
