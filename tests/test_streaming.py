@@ -104,6 +104,45 @@ def test_session_windows_run(spark, sf_dir):
         assert r.n_events >= 1
 
 
+def test_session_windows_match_batch_sessionization(spark, sf_dir, batch_events):
+    """Streaming session_window sessions must coincide with the batch
+    lag-gap sessionization: same (user, start, last-event, count) for
+    every watermark-closed session. (session_window's `end` is
+    last_event + gap, so subtract the 30m gap before comparing.)"""
+    from datetime import timedelta
+
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(session_windows(stream), "t_sessions_eq")
+    got = {
+        (r.user_id, r.session_start, r.session_end - timedelta(minutes=30), r.n_events)
+        for r in out.collect()
+    }
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(win))
+    sess = (
+        batch_events.withColumn(
+            "new_s", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+        )
+        .withColumn("sid", F.sum("new_s").over(cum))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s"), F.max("ts").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    want = {(r.user_id, r.s, r.e, r.n) for r in sess.collect()}
+    # append mode withholds sessions the watermark hasn't closed;
+    # everything emitted must be a real batch session, and coverage of
+    # the non-trailing sessions must be high
+    assert got <= want
+    assert len(got) >= 0.8 * len(want)
+
+
 def test_stateful_user_counts(spark, sf_dir, batch_events):
     stream = read_events_stream(spark, sf_dir)
     out = run_stream_to_memory(
