@@ -120,7 +120,7 @@ def test_lsh_topk_recall_vs_bruteforce(spark, emb):
 
     queries = emb.filter(F.col("vec_id") < 8)
     exact = brute_force_topk(emb, queries, k=10).collect()
-    approx = lsh_topk(emb, queries, dim=64, k=10, n_planes=4).collect()
+    approx = lsh_topk(emb, queries, dim=64, k=10, n_planes=4, n_tables=4).collect()
     exact_set = {(r.query_id, r.cand_id) for r in exact}
     approx_set = {(r.query_id, r.cand_id) for r in approx}
     # 4 planes → 16 buckets over 500 vecs: recall won't be 1.0 but must
