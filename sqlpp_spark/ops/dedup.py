@@ -130,8 +130,14 @@ def lsh_candidate_pairs(
 def _lsh_pairs_from_sh(
     sh: DataFrame, id_col: str, n_perms: int = N_PERMS, bands: int = 4,
 ) -> DataFrame:
-    rows = n_perms // bands
     sigs = _signatures_from_sh(sh, id_col, n_perms)
+    return _band_pairs(sigs, id_col, n_perms, bands)
+
+
+def _band_pairs(
+    sigs: DataFrame, id_col: str, n_perms: int = N_PERMS, bands: int = 4,
+) -> DataFrame:
+    rows = n_perms // bands
     # band hash via the cross-engine md5 primitive so the whole LSH
     # pipeline stays oracle-checkable; swap to F.hash (murmur3) for
     # raw throughput in production
@@ -200,6 +206,21 @@ def _jaccard_from_sh(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def shingle_hash_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
+) -> DataFrame:
+    """One row per doc with the DISTINCT shingle-hash ARRAY. md5 runs
+    once per shingle (inside the transform); docs with no shingles are
+    dropped, mirroring the exploded form's absence of rows."""
+    arr = F.array_distinct(
+        F.transform(word_shingles(F.col(text_col), k), lambda sh: hash64(sh))
+    )
+    return (
+        df.select(F.col(id_col), arr.alias("shs"))
+        .filter(F.size("shs") > 0)
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 3, threshold: float = 0.7,
@@ -207,21 +228,46 @@ def minhash_near_duplicates(
     """Full MinHash+LSH pipeline: candidates via banding, then exact
     Jaccard verification ≥ threshold.
 
-    The shingle table feeds FIVE plan branches (signatures, both sides
-    of the band self-join via sigs, both sides of the verification
-    join, sizes); without reuse Spark recomputes the explode+md5+
-    distinct each time. Persisting it (and the tiny banded table)
-    collapses that to one computation — MEMORY_AND_DISK so a 100 TB
-    corpus spills instead of OOMing."""
+    Array formulation — the scale design: signatures are per-ROW
+    ``array_min(transform(shs, perm_i))`` over the doc's shingle-hash
+    array, so the signature stage needs NO shuffle at all (the
+    explode→groupBy formulation shuffles every (doc, shingle) pair).
+    The only shuffles left are the tiny (band, band_hash) candidate
+    join and the per-candidate array fetch; Jaccard verification is
+    per-pair ``array_intersect`` arithmetic. The persisted array table
+    is read by three branches (banding + both verification sides)."""
     from pyspark import StorageLevel
 
-    sh = shingle_hashes(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
-    # eager materialization: a lazy persist lets the five downstream
-    # branches race and recompute within the first job
-    sh.count()
-    cands = _lsh_pairs_from_sh(sh, id_col)
-    verified = _jaccard_from_sh(sh, cands, id_col)
-    return verified.filter(F.col("jaccard") >= threshold)
+    sha = shingle_hash_arrays(df, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sha.count()  # eager: three branches would race a lazy persist
+    def _perm_lambda(i: int):
+        # NB: a two-arg lambda would receive (element, index) from
+        # transform — keep it unary and close over i
+        return lambda h: perm_hash(h, i)
+
+    sigs = sha.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform("shs", _perm_lambda(i))).alias(f"mh{i}")
+            for i in range(N_PERMS)
+        ],
+    )
+    cands = _band_pairs(sigs, id_col)
+    a = sha.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
+    b = sha.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - inter
+    return (
+        cands.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select(
+            "id_a", "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

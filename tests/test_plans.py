@@ -95,6 +95,14 @@ def test_dedup_exact_shuffles_hash_not_text(spark, sf_dir):
         assert "text#" not in body, f"shuffle carries raw text: {body}"
 
 
+def test_minhash_signature_stage_no_shuffle(spark, sf_dir):
+    """Array-formulated MinHash: signatures are per-row array_min
+    (no explode→groupBy), so the whole pipeline carries at most the
+    band-candidate shuffle plus broadcast exchanges."""
+    p = plan_of(spark, sf_dir, "dedup_minhash")
+    assert shuffle_count(p) <= 2, p
+
+
 def test_ann_broadcasts_queries_side(spark, sf_dir):
     p = plan_of(spark, sf_dir, "ann_bruteforce_topk")
     assert "BroadcastExchange" in p  # corpus never shuffles
