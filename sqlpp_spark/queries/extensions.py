@@ -19,13 +19,13 @@ from pyspark.sql import functions as F
 
 from sqlpp_spark.queries import register, table
 
-_STREAM_SEQ = 0
+import itertools
+
+_STREAM_SEQ = itertools.count(1)  # thread-safe under the GIL
 
 
 def _unique_name(prefix: str) -> str:
-    global _STREAM_SEQ
-    _STREAM_SEQ += 1
-    return f"{prefix}_{_STREAM_SEQ}"
+    return f"{prefix}_{next(_STREAM_SEQ)}"
 
 
 @register(

@@ -119,6 +119,21 @@ def test_fmt_round_trip(src, expected):
     assert format_query(q2) == out
 
 
+def test_fmt_decls():
+    decls = parse_decls(
+        "create table t(a int not null primary key, b string);"
+        " create query q as select a from t;"
+        " create fieldset fs(from t as x) as select x.a as a"
+    )
+    assert format_query(decls[0]) == (
+        "CREATE TABLE t(a INT NOT NULL PRIMARY KEY, b STRING NULL)"
+    )
+    assert format_query(decls[1]) == "CREATE QUERY q AS SELECT a FROM t"
+    assert format_query(decls[2]) == (
+        "CREATE FIELDSET fs(FROM t AS x) AS SELECT x.a AS a"
+    )
+
+
 def test_analyze_prints_row_and_nullability():
     env = Env()
     env.add(SCHEMA)
