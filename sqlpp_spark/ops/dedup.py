@@ -17,8 +17,6 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -326,26 +324,36 @@ def ngram_jaccard_pairs(
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
-    """Per-doc SimHash signature: sign of the per-bit sum of token-hash
-    bits (+1/-1). Pure explode + conditional-sum aggregation — one
-    shuffle, `bits` agg columns, no UDF."""
-    toks = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
-    ).select(F.col(id_col), hash64(F.col("tok")).alias("th"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    agged = toks.groupBy(id_col).agg(*bit_sums)
-    sig = reduce(
-        lambda acc, i: acc + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)),
-        range(bits),
-        F.lit(0).cast("bigint"),
+    """Per-doc SimHash signature, computed per-ROW with a single array
+    aggregate: fold the token-hash array into `bits` running ±1 sums
+    (zip_with against the bit-mask literal array), then collapse signs
+    into the signature. NO shuffle, no explode — each token's md5 is
+    computed exactly once inside the fold. The explode→groupBy
+    formulation this replaces shuffled every (doc, token) pair."""
+    pows = F.array(*[F.lit(1 << i).cast("bigint") for i in range(bits)])
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+
+    def step(acc, tok):
+        th = hash64(tok)
+        signs = F.transform(
+            pows,
+            lambda p: F.when(th.bitwiseAND(p) != 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("bigint"),
+        )
+        return F.zip_with(acc, signs, lambda a, b: a + b)
+
+    sums = F.aggregate(
+        toks, F.array_repeat(F.lit(0).cast("bigint"), bits), step
     )
-    return agged.select(F.col(id_col), sig.alias("simhash"))
+    sig = F.aggregate(
+        F.zip_with(
+            sums, pows, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint"))
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+    return ensure_parallelism(df).select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
