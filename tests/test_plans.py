@@ -114,6 +114,20 @@ def test_window_topk_single_shuffle(spark, sf_dir):
     assert shuffle_count(p) <= 2
 
 
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """One shuffle on user_id serves the lag window, the cumulative
+    sum, AND the final group — Spark reuses the partitioning."""
+    p = plan_of(spark, sf_dir, "q_events_sessionize")
+    assert shuffle_count(p) == 1
+
+
+def test_simhash_signature_per_row(spark, sf_dir):
+    """SimHash signatures fold per-row (no token explode): only the
+    parallelism guard + the collision groupBy shuffle remain."""
+    p = plan_of(spark, sf_dir, "dedup_simhash")
+    assert shuffle_count(p) <= 2
+
+
 def test_text_stats_no_shuffle(spark, sf_dir):
     """Pure per-row computation — a narrow map, zero exchanges."""
     p = plan_of(spark, sf_dir, "text_stats")
