@@ -476,6 +476,11 @@ class Compiler:
             return F.to_timestamp(F.replace(a(0), F.lit("T"), F.lit(" ")))
         if fn == "date":
             return F.to_date(a(0))
+        if fn == "like":
+            pat = e.args[1]
+            if isinstance(pat, A.ELit) and pat.lit_kind == "string":
+                return a(0).like(pat.value)
+            raise SqlppError("like() pattern must be a string literal", pat.loc)
         ext = _EXT_COMPILE.get(fn)
         if ext is not None:
             return ext([a(i) for i in range(len(e.args))])
@@ -498,6 +503,11 @@ _EXT_COMPILE = {
     "year": lambda a: F.year(a[0]).cast("bigint"),
     "month": lambda a: F.month(a[0]).cast("bigint"),
     "day": lambda a: F.dayofmonth(a[0]).cast("bigint"),
+    "mod": lambda a: a[0] % a[1],
+    "sqrt": lambda a: F.sqrt(a[0]),
+    "pow": lambda a: F.pow(a[0], a[1]),
+    "exp": lambda a: F.exp(a[0]),
+    "ln": lambda a: F.log(a[0]),
 }
 
 

@@ -962,6 +962,12 @@ _EXT_FNS = {
     "year": _ext(lambda tys: INT),
     "month": _ext(lambda tys: INT),
     "day": _ext(lambda tys: INT),
+    "like": _ext(lambda tys: BOOL),
+    "mod": _ext(lambda tys: tys[0] if tys and tys[0] is not None else NUMERIC),
+    "sqrt": _ext(lambda tys: Ty(frozenset({"float"}), True)),
+    "pow": _ext(lambda tys: Ty(frozenset({"float"}), True)),
+    "exp": _ext(lambda tys: Ty(frozenset({"float"}), True)),
+    "ln": _ext(lambda tys: Ty(frozenset({"float"}), True)),
 }
 
 

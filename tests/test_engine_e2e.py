@@ -310,6 +310,17 @@ def test_not_in_null_aware(spark, tmp_path):
     con.close()
 
 
+def test_extension_scalar_fns(engine, duck):
+    check(
+        engine, duck,
+        "select c_custkey, like(c_name, 'Customer%') as m, mod(c_custkey, 7) as md,"
+        " sqrt(c_acctbal * c_acctbal) as sq"
+        " from customer where c_custkey < 20",
+        "SELECT c_custkey, c_name LIKE 'Customer%' AS m, c_custkey % 7 AS md,"
+        " sqrt(c_acctbal * c_acctbal) AS sq FROM customer WHERE c_custkey < 20",
+    )
+
+
 def test_scalar_in_three_valued(spark):
     """Scalar-position IN: NULL probe / NULL-bearing subquery produce
     SQL's NULL, not FALSE. DuckDB is the semantics oracle."""
