@@ -41,6 +41,15 @@ def _parse_param(v: str):
 
 
 def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] in ("migrate", "migrate-ls", "migrate-show"):
+        mp = argparse.ArgumentParser(prog="sqlpp_spark")
+        mp.add_argument("verb", choices=["migrate", "migrate-ls", "migrate-show"])
+        mp.add_argument("src", nargs="?", default=None, help="migration name (migrate-show)")
+        mp.add_argument("--migrations", required=True, help="python file defining MIGRATIONS")
+        mp.add_argument("--root", required=True, help="managed-table directory")
+        return _migrate_verbs(mp.parse_args(argv))
+
     ap = argparse.ArgumentParser(prog="sqlpp_spark")
     ap.add_argument("verb", choices=["fmt", "analyze", "plan", "query"])
     ap.add_argument("src", help="sqlpp statement text (or - for stdin)")
@@ -97,6 +106,45 @@ def main(argv=None) -> int:
         if df is not None:
             for line in df.toJSON().collect():
                 print(line)
+        return 0
+    except SqlppError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+
+
+def _migrate_verbs(args) -> int:
+    """migrate / migrate-ls / migrate-show (sqlpp_manage.ml:259-312):
+    the migrations file is a python module defining ``MIGRATIONS``
+    (a list of sqlpp_spark.manage.Migration)."""
+    import runpy
+
+    from sqlpp_spark.frontend.errors import SqlppError
+
+    ns = runpy.run_path(args.migrations)
+    migrations = ns.get("MIGRATIONS")
+    if migrations is None:
+        print(f"{args.migrations} defines no MIGRATIONS list", file=sys.stderr)
+        return 2
+
+    from sqlpp_spark.engine import SqlppEngine
+    from sqlpp_spark.manage import Migrate
+    from sqlpp_spark.session import get_spark
+
+    engine = SqlppEngine(get_spark("sqlpp_spark_migrate"))
+    m = Migrate(engine, args.root)
+    try:
+        if args.verb == "migrate":
+            for name in m.migrate(migrations):
+                print(f"applied {name}")
+            return 0
+        if args.verb == "migrate-ls":
+            for name, done in m.ls(migrations):
+                print(f"[{'x' if done else ' '}] {name}")
+            return 0
+        if args.src is None:
+            print("migrate-show needs a migration name", file=sys.stderr)
+            return 2
+        print(m.show(migrations, args.src))
         return 0
     except SqlppError as e:
         print(str(e), file=sys.stderr)

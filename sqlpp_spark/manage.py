@@ -102,7 +102,10 @@ class Migrate:
     def migrate(self, migrations: Iterable[Migration]) -> List[str]:
         """Apply pending migrations in order; returns the names applied
         this run. Errors if recorded history diverges from the given
-        list (same ordered-prefix rule as the reference runner)."""
+        list (same ordered-prefix rule as the reference runner).
+        Already-applied migrations replay their ENV effects only (a
+        fresh engine resuming an existing root must see the evolved
+        schema without re-touching storage)."""
         migrations = list(migrations)
         done = self.applied()
         for i, name in enumerate(done):
@@ -111,6 +114,7 @@ class Migrate:
                     f"migration history diverged: applied {name!r} not at "
                     f"position {i} of the migration list"
                 )
+            self._replay_env(migrations[i])
         newly: List[str] = []
         for i in range(len(done), len(migrations)):
             m = migrations[i]
@@ -135,6 +139,47 @@ class Migrate:
                     out.append(f"-- {tag}\n{act.src.strip()}")
                 return "\n".join(out)
         raise SqlppError(f"no such migration: {name}")
+
+    def _replay_env(self, m: Migration) -> None:
+        """Re-apply a previously-applied migration's schema effects to
+        the (fresh) engine env + catalog, without touching storage."""
+        eng = self.engine
+        for act in m.actions:
+            if not isinstance(act, Define):
+                continue  # Exec effects live in the data already
+            for ddl in parse_decls(act.src):
+                if isinstance(ddl, A.DeclTable):
+                    if ddl.name not in eng.env.tables:
+                        eng.env.add_decl(ddl)
+                elif isinstance(ddl, (A.DeclQuery, A.DeclFieldset)):
+                    eng.env.add_decl(ddl)
+                elif not self._env_ddl_applied(ddl):
+                    eng.env.add_ddl(ddl)
+        # (re)bind managed storage for every table now in the env
+        for name in list(eng.env.tables):
+            path = os.path.join(self.root, f"{name}.parquet")
+            if os.path.isdir(path) and name not in eng.managed_paths:
+                eng.managed_paths[name] = path
+                eng.catalog[name] = eng.spark.read.parquet(path)
+
+    def _env_ddl_applied(self, ddl) -> bool:
+        """Replay idempotence: did this evolution already reach the
+        env (same engine ran the migration earlier in-process)?"""
+        tables = self.engine.env.tables
+        if isinstance(ddl, A.DdlDropTable):
+            return ddl.table not in tables
+        if isinstance(ddl, A.DdlRenameTable):
+            return ddl.table not in tables and ddl.new_name in tables
+        ti = tables.get(ddl.table)
+        if ti is None:
+            return False
+        if isinstance(ddl, A.DdlRenameColumn):
+            return ddl.column not in ti.columns and ddl.new_name in ti.columns
+        if isinstance(ddl, A.DdlDropColumn):
+            return ddl.column not in ti.columns
+        if isinstance(ddl, A.DdlAddColumn):
+            return ddl.column.name in ti.columns
+        return False
 
     def _apply_action(self, act) -> None:
         if isinstance(act, Exec):

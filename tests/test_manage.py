@@ -233,6 +233,47 @@ def test_migrate_show(mig):
     assert "-- exec" in out and "-- define" in out
 
 
+def test_migrate_resume_fresh_engine(spark, tmp_path):
+    """A NEW engine pointed at an existing migration root replays env
+    effects (schema incl. later DDL) without re-running storage
+    actions — queries work immediately."""
+    root = str(tmp_path / "db")
+    e1 = SqlppEngine(spark)
+    Migrate(e1, root).migrate(MIGRATIONS)
+
+    e2 = SqlppEngine(spark)
+    m2 = Migrate(e2, root)
+    assert m2.migrate(MIGRATIONS) == []  # nothing new
+    assert "email" in e2.env.tables["users"].columns  # DDL replayed
+    rows = {r.id: r.email for r in e2.fetch_list("select id, email from users")}
+    assert rows == {1: "unknown", 2: "unknown"}
+
+
+def test_cli_migrate_verbs(capsys, spark, tmp_path):
+    from sqlpp_spark.__main__ import main
+
+    mig_file = tmp_path / "migs.py"
+    mig_file.write_text(
+        "from sqlpp_spark.manage import Define, Exec, Migration\n"
+        "MIGRATIONS = [\n"
+        "    Migration('init', [Define(\"create table t(id int not null primary key, v string)\")]),\n"
+        "    Migration('seed', [Exec(\"insert into t(id, v) values (1, 'a')\")]),\n"
+        "]\n"
+    )
+    root = str(tmp_path / "db")
+    rc = main(["migrate", "--migrations", str(mig_file), "--root", root])
+    out = capsys.readouterr().out
+    assert rc == 0 and "applied init" in out and "applied seed" in out
+
+    rc = main(["migrate-ls", "--migrations", str(mig_file), "--root", root])
+    out = capsys.readouterr().out
+    assert rc == 0 and "[x] init" in out and "[x] seed" in out
+
+    rc = main(["migrate-show", "seed", "--migrations", str(mig_file), "--root", root])
+    out = capsys.readouterr().out
+    assert rc == 0 and "insert into t" in out
+
+
 def test_ddl_drop_table_removes_storage(mig, tmp_path):
     m, engine = mig
     m.migrate([MIGRATIONS[0]])
