@@ -289,6 +289,24 @@ def test_ddl_drop_table_removes_storage(mig, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_error_caret_rendering():
+    """Located errors render a source excerpt with a caret at the
+    offending range (report.ml:39-72 semantics) — multi-line sources
+    get the right line number and column."""
+    env = Env()
+    env.add(SCHEMA)
+    with pytest.raises(SqlppError) as e:
+        analyze(env, "select id, nope from users")
+    msg = str(e.value)
+    assert "line 1, characters 11-15" in msg
+    assert "│            ⮬ no such column: nope" in msg
+
+    with pytest.raises(SqlppError) as e:
+        analyze(env, "select id,\n       count(id)\nfrom users")
+    msg = str(e.value)
+    assert "line 2," in msg and "count(id)" in msg and "⮬" in msg
+
+
 def test_cli_fmt(capsys, tmp_path):
     from sqlpp_spark.__main__ import main
 
