@@ -178,6 +178,43 @@ def ivf_topk(
     )
 
 
+def lsh_near_duplicate_pairs(
+    df: DataFrame, dim: int, threshold: float = 0.95, n_planes: int = 4,
+    n_tables: int = 2, seed: int = 42,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH bucketing —
+    the scale path for ``dedup.embedding_near_duplicates``: only
+    same-bucket pairs (per table) are scored, so the candidate set is
+    ~|corpus|²/2^n_planes per table instead of |corpus|². Multi-table
+    union recovers pairs a single table's buckets split. High-cosine
+    pairs collide with probability (1 - θ/π)^n_planes per table, so
+    recall on ≥0.95-cosine pairs is high by construction."""
+    df = ensure_parallelism(df)
+    parts = []
+    for t in range(n_tables):
+        bt = lsh_buckets(df, dim, n_planes, seed + 1000 * t, vec_col, id_col)
+        parts.append(bt.select(id_col, vec_col, F.lit(t).alias("tbl"), "bucket"))
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "tbl", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "tbl", "bucket"
+    )
+    cands = (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select("id_a", "id_b", cosine_sim(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     n_planes: int = 6, seed: int = 42, n_tables: int = 2,

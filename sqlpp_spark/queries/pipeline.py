@@ -406,6 +406,16 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
 
 
+@register("dedup_embedding_lsh")  # approximate (bucketed) — precision
+# + recall vs the exact pair set pinned in tests/test_ops.py
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: LSH-bucketed candidate pairs
+    (cos ≥ 0.8), |corpus|²/2^planes work per table instead of all
+    pairs."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.lsh_near_duplicate_pairs(emb, dim=64, threshold=0.8)
+
+
 @register("ann_lsh_topk")  # approximate — no SQL oracle; recall tested in pytest
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")

@@ -43,6 +43,30 @@ def test_minhash_pairs_are_real_near_dups(spark, docs):
         assert recall >= 0.3, f"minhash recall suspiciously low: {recall}"
 
 
+def test_lsh_near_dup_pairs_subset_of_exact(spark, emb):
+    """Bucketed near-dup pairs: perfect precision (every reported pair
+    really has cos ≥ t — it's verified post-bucket) and high recall on
+    the high-cosine pairs LSH is built for."""
+    from sqlpp_spark.ops.dedup import embedding_near_duplicates
+    from sqlpp_spark.ops.similarity import lsh_near_duplicate_pairs
+
+    t = 0.8
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_near_duplicates(emb, threshold=t).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cos
+        for r in lsh_near_duplicate_pairs(emb, dim=64, threshold=t).collect()
+    }
+    assert set(approx) <= set(exact)  # precision 1.0 by construction
+    for k, cos in approx.items():
+        assert abs(exact[k] - cos) < 1e-12
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.5, f"LSH near-dup recall too low: {recall}"
+
+
 def test_rolling_fingerprint_detects_shared_substring(spark):
     from sqlpp_spark.ops.text import rolling_fingerprint
 
