@@ -301,9 +301,13 @@ class Analyzer:
             o.expr, _ = self.infer_expr(ctx, o.expr)
         if sel.limit is not None:
             sel.limit, lty = self.infer_expr(ctx, sel.limit)
+            if lty is None:  # bare param adopts non_null INT (analyze.ml:680-688)
+                lty = self._adopt_param_non_null(sel.limit, INT, sel.limit.loc)
             check_subsumes(lty, INT, sel.limit.loc, self.src or None)
         if sel.offset is not None:
             sel.offset, oty = self.infer_expr(ctx, sel.offset)
+            if oty is None:
+                oty = self._adopt_param_non_null(sel.offset, INT, sel.offset.loc)
             check_subsumes(oty, INT, sel.offset.loc, self.src or None)
         # 6. aggregate validation (analyze.ml:271-331)
         self._check_aggregates(ctx)
@@ -560,6 +564,17 @@ class Analyzer:
             entry.ty = ty
         else:
             entry.ty = ty_glb(entry.ty, ty, loc, self.src or None)
+
+    def _adopt_param_non_null(self, e: A.Expr, ty: Ty, loc: Loc) -> Ty:
+        """LIMIT/OFFSET position: the param must be a non-null value
+        (binding None is a prepare-time error)."""
+        if isinstance(e, A.EParam) and e.ascribed is None:
+            entry = self._param_entry(e.name)
+            adopted = ty.with_non_null(True)
+            self._unify_param(entry, adopted, loc)
+            e.ty = adopted
+            return adopted
+        return ty
 
     def _adopt_param(self, e: A.Expr, ty: Ty, loc: Loc) -> Ty:
         """Give an untyped param the other operand's type (nullable at

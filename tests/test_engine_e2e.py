@@ -359,6 +359,20 @@ def test_fetch_option(engine):
         engine.fetch_option("select c_custkey from customer")
 
 
+def test_param_limit_offset(engine):
+    """LIMIT/OFFSET accept ?params, unified to INT NOT NULL
+    (analyze.ml:680-697); binding None is rejected pre-execution."""
+    rows = engine.fetch_list(
+        "select c_custkey from customer order by c_custkey limit ?n offset ?o",
+        n=3, o=2,
+    )
+    assert [r.c_custkey for r in rows] == [2, 3, 4]
+    with pytest.raises(SqlppError):
+        engine.fetch_list(
+            "select c_custkey from customer limit ?n", n=None
+        )
+
+
 def test_expression_param(engine):
     """?p : ty EXPR — the parameter is a whole expression re-analyzed in
     the query's captured scope (Pty_expr, analyze.ml:468-473 /
