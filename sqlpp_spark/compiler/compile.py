@@ -456,10 +456,12 @@ class Compiler:
             l, r = a(0), a(1)
             lt = e.args[0].ty
             rt = e.args[1].ty
+            # try_divide: NULL on division by zero — the reference's
+            # SQLite backend semantics; Spark's ANSI mode would raise
             if lt is not None and rt is not None and lt.kind == "int" and rt.kind == "int":
                 # SQLite-style integer division (truncation toward zero)
-                return (l / r).cast("long")
-            return l / r
+                return F.try_divide(l, r).cast("long")
+            return F.try_divide(l, r)
         if fn == "is null":
             return a(0).isNull()
         if fn == "is not null":
@@ -503,7 +505,7 @@ _EXT_COMPILE = {
     "year": lambda a: F.year(a[0]).cast("bigint"),
     "month": lambda a: F.month(a[0]).cast("bigint"),
     "day": lambda a: F.dayofmonth(a[0]).cast("bigint"),
-    "mod": lambda a: a[0] % a[1],
+    "mod": lambda a: F.try_mod(a[0], a[1]),
     "sqrt": lambda a: F.sqrt(a[0]),
     "pow": lambda a: F.pow(a[0], a[1]),
     "exp": lambda a: F.exp(a[0]),

@@ -359,6 +359,16 @@ def test_fetch_option(engine):
         engine.fetch_option("select c_custkey from customer")
 
 
+def test_division_by_zero_yields_null(engine):
+    """SQLite-backend semantics (the reference's executor): x/0 and
+    mod(x,0) are NULL, not an ANSI runtime error."""
+    row = engine.fetch_option(
+        "select c_custkey / 0 as d, mod(c_custkey, 0) as m "
+        "from customer where c_custkey = 1"
+    )
+    assert row.d is None and row.m is None
+
+
 def test_param_limit_offset(engine):
     """LIMIT/OFFSET accept ?params, unified to INT NOT NULL
     (analyze.ml:680-697); binding None is rejected pre-execution."""
