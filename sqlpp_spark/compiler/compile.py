@@ -475,9 +475,13 @@ class Compiler:
         if fn == "tostring":
             return a(0).cast("string")
         if fn == "datetime":
-            return F.to_timestamp(F.replace(a(0), F.lit("T"), F.lit(" ")))
+            # try_*: malformed dynamic strings yield NULL — matching the
+            # analyzer's nullable result type for dynamic args
+            # (analyze.ml:601-610) and SQLite behavior; literals were
+            # validated at analysis time
+            return F.try_to_timestamp(F.replace(a(0), F.lit("T"), F.lit(" ")))
         if fn == "date":
-            return F.to_date(a(0))
+            return F.to_date(F.try_to_timestamp(a(0), F.lit("yyyy-MM-dd")))
         if fn == "like":
             pat = e.args[1]
             if isinstance(pat, A.ELit) and pat.lit_kind == "string":

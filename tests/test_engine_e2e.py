@@ -359,6 +359,22 @@ def test_fetch_option(engine):
         engine.fetch_option("select c_custkey from customer")
 
 
+def test_dynamic_date_parse_failure_yields_null(spark):
+    """datetime()/date() on malformed DYNAMIC strings yield NULL (the
+    analyzer types them nullable for exactly this reason); literal
+    args were already validated at analysis time."""
+    eng = SqlppEngine(spark)
+    eng.add_decls("create table t(s string not null)")
+    eng.register_df(
+        "t", spark.createDataFrame([("nope",), ("2024-03-05",)], "s string")
+    )
+    rows = {r.s: (r.dt, r.d) for r in eng.fetch_list(
+        "select s, datetime(s) as dt, date(s) as d from t"
+    )}
+    assert rows["nope"] == (None, None)
+    assert rows["2024-03-05"][1] is not None
+
+
 def test_division_by_zero_yields_null(engine):
     """SQLite-backend semantics (the reference's executor): x/0 and
     mod(x,0) are NULL, not an ANSI runtime error."""
