@@ -359,6 +359,37 @@ def test_fetch_option(engine):
         engine.fetch_option("select c_custkey from customer")
 
 
+def test_compose_open_view_aggregate_injection(spark):
+    """The reference's compose.t scenario: navigate an AGGREGATE
+    expression into an open, grouped named query (`stats.max(id)` —
+    id re-resolves inside the view's scope), with the view
+    instantiated twice under different aliases (fresh scopes). Output
+    naming matches the reference's elaboration (_1 for the injected
+    field, `count` for the lazy field)."""
+    eng = SqlppEngine(spark)
+    eng.add_decls(
+        "create table users (id int not null, name string, info string not null,"
+        " created_at float not null);"
+        "create query user_stats as select id as user_id, with count(1) as count,"
+        " ... from users group by id"
+    )
+    eng.register_df(
+        "users",
+        spark.createDataFrame(
+            [(1, "a", "x", 1.0), (2, "b", "y", 2.0)],
+            "id long, name string, info string, created_at double",
+        ),
+    )
+    rows = eng.fetch_list(
+        "select users.id, stats.max(id), stats.count, "
+        "from users "
+        "join user_stats as stats on users.id = stats.user_id "
+        "join user_stats as stats2 on users.id = stats2.user_id"
+    )
+    assert sorted(tuple(r) for r in rows) == [(1, 1, 1), (2, 2, 1)]
+    assert rows[0].__fields__ == ["id", "_1", "count"]
+
+
 def test_dynamic_date_parse_failure_yields_null(spark):
     """datetime()/date() on malformed DYNAMIC strings yield NULL (the
     analyzer types them nullable for exactly this reason); literal
