@@ -524,6 +524,22 @@ def test_insert_set_returning(todo_engine):
     assert [r.id for r in ret.collect()] == [9]
 
 
+def test_insert_untyped_param(todo_engine):
+    """insert.t: VALUES params need no annotation — the column type
+    supplies it."""
+    todo_engine.exec(
+        "insert into todos(id, title, done) values (?id, ?t, false)",
+        id=77, t="param row",
+    )
+    rows = todo_engine.fetch_list("select title from todos where id = 77")
+    assert rows[0].title == "param row"
+
+
+def test_insert_select_arity_error(todo_engine):
+    with pytest.raises(SqlppError, match="arity|columns"):
+        todo_engine.exec("insert into todos(id, title, done) select 1, 'x'")
+
+
 def test_insert_on_conflict_ignore(todo_engine):
     todo_engine.exec(
         "insert into todos (id, title, done) values (1, 'dup', true) on conflict ignore"
