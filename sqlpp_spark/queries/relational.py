@@ -524,6 +524,23 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — one aggregation pass computes the
+    per-returnflag, per-shipmode, and grand totals."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "q_cube",
     oracle="""
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
