@@ -17,7 +17,12 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     that case — at real scale the scan already yields ≥ that many
     splits (spark.sql.files.maxPartitionBytes) and this is a no-op, so
     no extra shuffle on the 100 TB path."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+    except Exception:
+        # Spark Connect has no RDD/sparkContext access; there the input
+        # is a real cluster scan that maxPartitionBytes already splits
+        pass
     return df

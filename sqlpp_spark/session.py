@@ -63,7 +63,10 @@ def get_spark(app_name: str = "sqlpp_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.setLogLevel("WARN")
+    except Exception:
+        pass  # Spark Connect session: no local sparkContext
     return spark
 
 

@@ -1,0 +1,67 @@
+"""Seeded fuzz: the frontend must fail ONLY with located SqlppError —
+never a raw Python exception — on arbitrary token soup (parser) or
+semi-valid selects (analyzer). No Spark needed."""
+
+from __future__ import annotations
+
+import random
+
+from sqlpp_spark.frontend.analyze import Env, analyze
+from sqlpp_spark.frontend.errors import SqlppError
+from sqlpp_spark.frontend.parser import parse_query
+
+VOCAB = [
+    "select", "from", "where", "group", "by", "with", "...", "?p", "(",
+    ")", ",", ".", "*", "+", "'s'", "1", "x", "match", "end", "|", "->",
+    ":", "int", "null", "insert", "into", "values", "set", "order",
+    "limit", ";", "alter", "drop", "join", "on", "as", "exists", "in",
+]
+
+
+def test_parser_never_crashes():
+    rng = random.Random(7)
+    for _ in range(1500):
+        src = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 12)))
+        try:
+            parse_query(src)
+        except SqlppError:
+            pass  # the only acceptable failure mode
+
+
+def _env() -> Env:
+    env = Env()
+    env.add(
+        "create table users(id int not null, name string, created_at float not null);"
+        "create query q1 as select id as uid, with count(1) as c, ... from users group by id;"
+        "create fieldset fs(from users) as select users.id as fid"
+    )
+    return env
+
+
+def test_analyzer_never_crashes():
+    env = _env()
+    rng = random.Random(11)
+    exprs = [
+        "id", "name", "users.id", "q.uid", "q.c", "count(id)", "sum(id)",
+        "id + 1", "?p", "null : int", "nullif(id, 1)", "coalesce(name, 'x')",
+        "q.max(id)", "not_a_col", "bad.path", "...fs(users)", "?p : int expr",
+        "match ?m with | A -> 1 | B ?x -> ?x end",
+    ]
+    froms = [
+        "users", "users as u", "q1 as q",
+        "users as a join q1 as q on a.id = q.uid",
+        "(select id from users) as s",
+        "users as a left join users as b on a.id = b.id",
+    ]
+    tails = [
+        "", "where id > 0", "group by id", "group by ()", "order by 1",
+        "limit 5", "where name is null", "having count(1) > 1",
+        "where id in (select id from users)",
+    ]
+    for _ in range(1500):
+        es = ", ".join(rng.sample(exprs, rng.randint(1, 3)))
+        src = f"select {es} from {rng.choice(froms)} {rng.choice(tails)}"
+        try:
+            analyze(env, src)
+        except SqlppError:
+            pass
