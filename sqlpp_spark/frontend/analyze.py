@@ -547,11 +547,15 @@ class Analyzer:
             use_ty = e.ascribed
             return e, use_ty
         if e.ascribed is not None:
-            # use-site nullability: explicit spec, else nullable
-            use_ty = e.ascribed if e.null_spec is not None else e.ascribed.with_non_null(False)
+            # use-site type = the RUNNING unified (glb) type after this
+            # use's constraint folds in — infer.t pins the left-to-right
+            # behavior: `?x:int not null as x, ?x:int null as y` gives
+            # y:int NOT NULL (the bound value is already non-null),
+            # while `?x:int null as x, ?x:int not null as y` keeps
+            # x:int NULL (at x's analysis point the entry was nullable)
             constraint = e.ascribed if e.null_spec is not None else e.ascribed.with_non_null(False)
             self._unify_param(entry, constraint, e.loc)
-            return e, use_ty
+            return e, entry.ty
         # bare ?p: type adopted from context (analyze.ml:529-544); if
         # entry already has a type from another use, use it (nullable)
         if entry.ty is not None:

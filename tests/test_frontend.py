@@ -106,6 +106,28 @@ def test_param_unification_mixed(env):
     assert [(n, str(t)) for n, t in info.row] == [("x", "INT NULL"), ("y", "INT NOT NULL")]
 
 
+@pytest.mark.parametrize(
+    "src,row_tys,param_ty",
+    [
+        # use-site = running glb nullability (infer.t:78-150)
+        ("select ?x:int null as x, ?x:int not null as y",
+         ["INT NULL", "INT NOT NULL"], "INT NOT NULL"),
+        ("select ?x:int not null as x, ?x:int null as y",
+         ["INT NOT NULL", "INT NOT NULL"], "INT NOT NULL"),
+        ("select ?x:int as x, ?x:int not null as y",
+         ["INT NULL", "INT NOT NULL"], "INT NOT NULL"),
+        ("select ?x:int not null as x, ?x:int as y",
+         ["INT NOT NULL", "INT NOT NULL"], "INT NOT NULL"),
+        ("select ?x:int null as x, ?x:int as y",
+         ["INT NULL", "INT NULL"], "INT NULL"),
+    ],
+)
+def test_param_nullability_running_glb(env, src, row_tys, param_ty):
+    info = analyze(env, src)
+    assert [str(t) for _, t in info.row] == row_tys
+    assert str(info.params["x"].ty) == param_ty
+
+
 def test_param_bare_then_not_null(env):
     assert param_sig(env, "select ?x:int as x, ?x:int not null as y") == {"x": "INT NOT NULL"}
 
