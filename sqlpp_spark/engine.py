@@ -298,7 +298,7 @@ class SqlppEngine:
         else:
             result = cur.unionByName(new_df)
         # materialize RETURNING before the rewrite invalidates sources
-        ret = self._returning(new_df, ins.returning, src) if ins.returning else None
+        ret = self._returning(new_df, ins.returning, src, ins.table) if ins.returning else None
         self._rewrite(ins.table, path, result)
         return ret
 
@@ -377,7 +377,7 @@ class SqlppEngine:
             updated = base.filter(where_col).select(
                 *[set_cols.get(c, F.col(f"{upd.table}.{c}")).alias(c) for c in cur.columns]
             )
-        ret = self._returning(updated, upd.returning, src) if upd.returning else None
+        ret = self._returning(updated, upd.returning, src, upd.table) if upd.returning else None
         self._rewrite(upd.table, path, result)
         return ret
 
@@ -414,22 +414,38 @@ class SqlppEngine:
             cond = comp.expr(elab, binds, {})
         deleted = cur.filter(cond)
         remaining = cur.filter(~F.coalesce(cond, F.lit(False)))
-        ret = self._returning(deleted, dele.returning, src) if dele.returning else None
+        ret = self._returning(deleted, dele.returning, src, dele.table) if dele.returning else None
         self._rewrite(dele.table, path, remaining)
         return ret
 
-    def _returning(self, df: DataFrame, fields: List[A.Field], src: str) -> DataFrame:
+    def _returning(
+        self, df: DataFrame, fields: List[A.Field], src: str, table: str
+    ) -> DataFrame:
+        """RETURNING projects arbitrary expressions over the affected
+        rows, analyzed in the target table's scope (updatesyn/insertsyn
+        field lists, syntax.ml:164-196)."""
+        from sqlpp_spark.frontend.analyze import Analyzer, SelectCtx, TableRel
+
+        tcols = self._table_fields(table)
+        an = Analyzer(self.env, src)
+        ctx = SelectCtx(A.Select(from_=A.FromTable(table, None)))
+        ctx.rels[table] = TableRel(table, tcols, table=table)
+        comp = Compiler(self.spark, self.catalog)
+        binds = Bindings({})
+        base = df.alias(table)
         cols = []
         for i, f in enumerate(fields):
-            if isinstance(f.expr, A.EName):
-                col = F.col(f.expr.name)
-                name = f.name or f.expr.name
+            elab, _ = an.infer_expr(ctx, f.expr)
+            if f.name:
+                name = f.name
+            elif isinstance(f.expr, A.EName):
+                name = f.expr.name
             else:
-                raise SqlppError("RETURNING supports column references")
-            cols.append(col.alias(name))
+                name = f"_{i}"
+            cols.append(comp.expr(elab, binds, {}).alias(name))
         # materialize: the caller rewrites the table right after, which
         # would invalidate a lazy plan reading the old files
-        out = df.select(*cols)
+        out = base.select(*cols)
         return self.spark.createDataFrame(out.collect(), out.schema)
 
     def _primary_key(self, table: str) -> List[str]:

@@ -524,6 +524,17 @@ def test_insert_set_returning(todo_engine):
     assert [r.id for r in ret.collect()] == [9]
 
 
+def test_returning_expressions(todo_engine):
+    """RETURNING accepts full expressions analyzed in the target
+    table's scope, with the reference's positional _i naming."""
+    ret = todo_engine.exec(
+        "update todos set done = true where id = 1 "
+        "returning id, concat(title, '!') as loud, id + 100"
+    )
+    row = ret.collect()[0]
+    assert row.id == 1 and row.loud.endswith("!") and row._2 == 101
+
+
 def test_insert_untyped_param(todo_engine):
     """insert.t: VALUES params need no annotation — the column type
     supplies it."""
