@@ -268,6 +268,77 @@ def minhash_near_duplicates(
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Min-label propagation connected components over an edge list —
+    the iterative-algorithm pattern Spark SQL alone can't express.
+    Each round every node adopts the minimum label among itself and
+    its neighbors; convergence in ≤ component-diameter rounds (near-dup
+    clusters are tiny, so a handful). Each iteration is ONE shuffle
+    (join + min-agg); intermediate labels persist so lineage doesn't
+    re-grow; loop exits when no label changes.
+
+    Returns (node, component) with component = min node id reachable.
+    """
+    from pyspark import StorageLevel
+
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
+    )
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels.count()
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, on=sym.s == labels.node)
+            .select(F.col("t").alias("node"), F.col("comp"))
+        )
+        new_labels = (
+            labels.select("node", "comp").unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "old"), on="node")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_duplicate_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash+LSH verified pairs → connected
+    components → (doc_id, cluster_id, cluster_size), cluster_id = the
+    component's minimum doc id (its canonical representative). The
+    real-world dedup output: keep cluster_id rows, drop the rest."""
+    pairs = minhash_near_duplicates(df, text_col, id_col, k, threshold)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, on="comp")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (blocked all-pairs — the exact baseline MinHash approximates)
 # ---------------------------------------------------------------------------

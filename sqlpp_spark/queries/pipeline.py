@@ -332,6 +332,42 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_oracle(k: int = 3, n_perms: int = 16, bands: int = 4,
+                    threshold: float = 0.7) -> str:
+    """DuckDB twin of the ITERATIVE clustering: the Spark side runs
+    min-label propagation to a fixpoint; the oracle computes the same
+    components with a recursive CTE (transitive closure of reachable
+    labels, then MIN per node)."""
+    pairs_sql = _minhash_oracle(k, n_perms, bands, threshold).strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS t FROM pairs
+),
+reach(node, lab) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.t, r.lab FROM reach r JOIN edges e ON e.s = r.node
+),
+comp AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.node AS doc_id, c.cluster_id, s.cluster_size
+FROM comp c JOIN sizes s USING (cluster_id)
+"""
+
+
+@register("dedup_clusters", oracle=_cluster_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash pairs → iterative connected
+    components (driver-side fixpoint loop — the one operator shape a
+    single SQL query can't express; the oracle uses a recursive CTE)."""
+    return D.near_duplicate_clusters(table(spark, sf_dir, "documents"), threshold=0.7)
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     tok_hash = hash64_sql("tok")
     bit_sums = ",\n         ".join(

@@ -43,6 +43,19 @@ def test_minhash_pairs_are_real_near_dups(spark, docs):
         assert recall >= 0.3, f"minhash recall suspiciously low: {recall}"
 
 
+def test_connected_components_chain_and_triangle(spark):
+    """Chain 1-2-3-4 (diameter > 1 → needs multiple propagation
+    rounds), triangle 10-11-12, isolated edge 20-21."""
+    from sqlpp_spark.ops.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_lsh_near_dup_pairs_subset_of_exact(spark, emb):
     """Bucketed near-dup pairs: perfect precision (every reported pair
     really has cos ≥ t — it's verified post-bucket) and high recall on
