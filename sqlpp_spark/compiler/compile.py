@@ -106,6 +106,27 @@ class Compiler:
             )
             if sel.having is not None:
                 raise SqlppError("HAVING without GROUP BY")
+            cols = [
+                self.expr(f.expr, binds, scalar_map).alias(f.out_name) for f in out_fields
+            ]
+            if not cols:
+                cols = [F.lit(1).alias("_dummy")]
+            if sel.distinct:
+                # Standard SQL: DISTINCT dedups the projected rows
+                # BEFORE ORDER BY/LIMIT apply (so LIMIT n returns n
+                # distinct rows, and ordering survives the dedup
+                # shuffle). ORDER BY must reference select-list items.
+                df = df.select(*cols).distinct()
+                if sel.order_by:
+                    df = df.orderBy(
+                        *[
+                            self._order_col(
+                                self._distinct_order_ref(o, out_fields), o
+                            )
+                            for o in sel.order_by
+                        ]
+                    )
+                return self._limit_offset(df, sel, binds)
             if sel.order_by:
                 df = df.orderBy(
                     *[
@@ -114,15 +135,20 @@ class Compiler:
                     ]
                 )
             df = self._limit_offset(df, sel, binds)
-            cols = [
-                self.expr(f.expr, binds, scalar_map).alias(f.out_name) for f in out_fields
-            ]
-            if not cols:
-                cols = [F.lit(1).alias("_dummy")]
             df = df.select(*cols)
-        if sel.distinct:
-            df = df.distinct()
         return df
+
+    @staticmethod
+    def _distinct_order_ref(o: A.OrderItem, out_fields: List[A.Field]) -> Column:
+        k = expr_key(o.expr)
+        for f in out_fields:
+            if expr_key(f.expr) == k:
+                return F.col(f.out_name)
+        raise SqlppError(
+            "for SELECT DISTINCT, ORDER BY expressions must appear in the "
+            "select list",
+            getattr(o.expr, "loc", None),
+        )
 
     def _compile_grouped(
         self, df: DataFrame, ctx: SelectCtx, out_fields: List[A.Field], binds: Bindings
@@ -160,6 +186,21 @@ class Compiler:
             grouped = df.agg(*acols) if acols else df.agg(F.count(F.lit(1)).alias("__cnt_dummy"))
         if sel.having is not None:
             grouped = grouped.filter(self.expr(sel.having, binds, {}, subst))
+        cols = [
+            self.expr(f.expr, binds, {}, subst).alias(f.out_name) for f in out_fields
+        ]
+        if not cols:
+            cols = [F.lit(1).alias("_dummy")]
+        if sel.distinct:
+            grouped = grouped.select(*cols).distinct()
+            if sel.order_by:
+                grouped = grouped.orderBy(
+                    *[
+                        self._order_col(self._distinct_order_ref(o, out_fields), o)
+                        for o in sel.order_by
+                    ]
+                )
+            return self._limit_offset(grouped, sel, binds)
         if sel.order_by:
             grouped = grouped.orderBy(
                 *[
@@ -168,11 +209,6 @@ class Compiler:
                 ]
             )
         grouped = self._limit_offset(grouped, sel, binds)
-        cols = [
-            self.expr(f.expr, binds, {}, subst).alias(f.out_name) for f in out_fields
-        ]
-        if not cols:
-            cols = [F.lit(1).alias("_dummy")]
         return grouped.select(*cols)
 
     def _limit_offset(self, df: DataFrame, sel: A.Select, binds: Bindings) -> DataFrame:

@@ -31,7 +31,7 @@ from sqlpp_spark.frontend import ast as A
 from sqlpp_spark.frontend.analyze import Analyzer, Env, QueryInfo
 from sqlpp_spark.frontend.errors import SqlppError
 from sqlpp_spark.frontend.parser import parse_query
-from sqlpp_spark.frontend.types import Ty, ty as mk_ty
+from sqlpp_spark.frontend.types import Ty, check_subsumes, ty as mk_ty
 
 _SPARK_TO_SQLPP = {
     T.BooleanType: "bool",
@@ -255,6 +255,7 @@ class SqlppEngine:
                     if cname not in cols:
                         raise SqlppError(f"no such column: {cname}")
                     elab, ety = an.infer_expr(ctx, e)
+                    ety = self._check_column_assign(an, elab, ety, cols[cname], src)
                     vals.append(comp.expr(elab, binds, {}).cast(spark_type(cols[cname])).alias(cname))
                 row_cols.append(vals)
             new_df = None
@@ -263,6 +264,19 @@ class SqlppEngine:
                 new_df = one if new_df is None else new_df.unionByName(one)
         else:
             sub = self.prepare_select_in(src, ins.select)
+            sub_fields = [f for f in sub.fields if f.is_used]
+            if len(sub_fields) != len(ins.columns):
+                raise SqlppError(
+                    f"INSERT arity mismatch: {len(ins.columns)} columns, "
+                    f"{len(sub_fields)} select outputs"
+                )
+            # analysis-time kind/nullability check per output column
+            # (reference analyze.ml:857-880 rejects before execution)
+            for cname, f in zip(ins.columns, sub_fields):
+                if cname not in cols:
+                    raise SqlppError(f"no such column: {cname}")
+                if f.expr.ty is not None:
+                    check_subsumes(f.expr.ty, cols[cname], getattr(f.expr, "loc", None), src)
             sdf = comp.compile_select(sub, binds)
             if len(sdf.columns) != len(ins.columns):
                 raise SqlppError(
@@ -282,6 +296,12 @@ class SqlppEngine:
         new_df = new_df.select(*[c for c in cur.columns])
 
         pk = self._primary_key(ins.table)
+        if ins.on_conflict and not pk:
+            # silently appending duplicates would invalidate the upsert
+            # contract — reject like the reference's analyzer would
+            raise SqlppError(
+                f"ON CONFLICT requires a primary key on {ins.table}"
+            )
         if ins.on_conflict and pk:
             on = [new_df[k] == cur[k] for k in pk]
             cond = on[0]
@@ -386,9 +406,28 @@ class SqlppEngine:
         for cname, e in upd.sets:
             if cname not in cols:
                 raise SqlppError(f"no such column: {cname}")
-            elab, _ = an.infer_expr(ctx, e)
+            elab, ety = an.infer_expr(ctx, e)
+            self._check_column_assign(an, elab, ety, cols[cname], an.src)
             set_cols[cname] = comp.expr(elab, binds, {}).cast(spark_type(cols[cname]))
         return set_cols
+
+    @staticmethod
+    def _check_column_assign(an: Analyzer, elab: A.Expr, ety: Optional[Ty], cty: Ty, src: str) -> Ty:
+        """Analysis-time subsumption check for a value assigned to a
+        declared column (INSERT VALUES / UPDATE SET), mirroring the
+        reference's per-expression check (analyze.ml:857-880): kind
+        mismatches and nullable values flowing into NOT NULL columns
+        are rejected before any Spark job runs. Bare params adopt the
+        column's declared type (including its non-null bit)."""
+        loc = getattr(elab, "loc", None)
+        if ety is None:
+            # untyped ?param: adopt the column type outright
+            if cty.non_null:
+                ety = an._adopt_param_non_null(elab, cty, loc)
+            else:
+                ety = an._adopt_param(elab, cty, loc)
+        check_subsumes(ety, cty, loc, src)
+        return ety
 
     def _analyze_extra_from(self, ctx, fr, an) -> None:
         if isinstance(fr, A.FromJoin):

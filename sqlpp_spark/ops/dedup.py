@@ -281,7 +281,11 @@ def connected_components(
     re-grow; loop exits when no label changes.
 
     Returns (node, component) with component = min node id reachable.
+    The returned DataFrame is persisted — callers should ``unpersist()``
+    it when done.
     """
+    import warnings
+
     from pyspark import StorageLevel
 
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).unionByName(
@@ -295,6 +299,7 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels.count()
+    changed = 0
     for _ in range(max_iter):
         msgs = (
             sym.join(labels, on=sym.s == labels.node)
@@ -315,6 +320,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()
+    if changed > 0:
+        # long-diameter chains can exhaust the round budget; a silent
+        # partial answer would split one component into several
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — components may be split; "
+            "raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

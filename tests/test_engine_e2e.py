@@ -597,3 +597,87 @@ def test_insert_from_select(todo_engine):
     )
     rows = todo_engine.fetch_list("select count(1) as n from todos group by ()")
     assert rows[0].n == 4
+
+
+# -- DISTINCT ordering (standard SQL: dedup before ORDER BY/LIMIT) ----------
+
+
+def test_select_distinct_order_limit(engine):
+    """DISTINCT applies to projected rows BEFORE LIMIT: limit 3 must
+    return 3 *distinct* region keys (not 3 copies of the max)."""
+    rows = engine.fetch_list(
+        "select distinct n.n_regionkey as rk from nation as n "
+        "order by n.n_regionkey desc limit 3"
+    )
+    assert [r.rk for r in rows] == [4, 3, 2]
+
+
+def test_select_distinct_order_by_requires_select_item(engine):
+    with pytest.raises(SqlppError, match="select list"):
+        engine.fetch_list(
+            "select distinct n.n_regionkey as rk from nation as n order by n.n_name"
+        )
+
+
+def test_select_distinct_grouped_order_limit(engine):
+    """Grouped path: DISTINCT over aggregated rows before LIMIT."""
+    rows = engine.fetch_list(
+        "select distinct count(c.c_custkey) as n from customer as c "
+        "group by c.c_nationkey order by count(c.c_custkey) desc limit 2"
+    )
+    ns = [r.n for r in rows]
+    assert len(ns) == len(set(ns)) == 2 and ns == sorted(ns, reverse=True)
+
+
+# -- DML analysis-time type checks (reference analyze.ml:857-880) ------------
+
+
+def test_insert_kind_mismatch_rejected(todo_engine):
+    with pytest.raises(SqlppError, match="expected"):
+        todo_engine.exec(
+            "insert into todos (id, title, done) values ('oops', 't', false)"
+        )
+
+
+def test_insert_nullable_into_not_null_rejected(todo_engine):
+    with pytest.raises(SqlppError, match="expected"):
+        todo_engine.exec(
+            "insert into todos (id, title, done) values (null:int, 't', false)"
+        )
+
+
+def test_insert_select_nullable_rejected(todo_engine):
+    with pytest.raises(SqlppError, match="expected"):
+        todo_engine.exec(
+            "insert into todos (id, title, done) "
+            "select t.id + 200, t.title, null:bool from todos as t"
+        )
+
+
+def test_insert_select_kind_mismatch_rejected(todo_engine):
+    with pytest.raises(SqlppError, match="expected"):
+        todo_engine.exec(
+            "insert into todos (id, title, done) select t.id, t.done, t.done "
+            "from todos as t"
+        )
+
+
+def test_update_set_kind_mismatch_rejected(todo_engine):
+    with pytest.raises(SqlppError, match="expected"):
+        todo_engine.exec("update todos set done = 5 where id = 1")
+
+
+def test_update_set_nullable_into_not_null_rejected(todo_engine):
+    with pytest.raises(SqlppError, match="expected"):
+        todo_engine.exec("update todos set title = null:string where id = 1")
+
+
+def test_on_conflict_requires_primary_key(spark, tmp_path):
+    eng = SqlppEngine(spark)
+    eng.add_decls("create table notes (id int not null, body string not null);")
+    df = spark.createDataFrame([(1, "a")], "id long, body string")
+    eng.create_managed("notes", str(tmp_path / "notes"), df)
+    with pytest.raises(SqlppError, match="primary key"):
+        eng.exec(
+            "insert into notes (id, body) values (1, 'dup') on conflict ignore"
+        )
