@@ -76,6 +76,10 @@ def _ensure_loaded():
     except ImportError:
         pass
     try:
+        import sqlpp_spark.queries.tpch_extra  # noqa: F401
+    except ImportError:
+        pass
+    try:
         import sqlpp_spark.queries.extensions  # noqa: F401
     except ImportError:
         pass

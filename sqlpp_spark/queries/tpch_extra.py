@@ -1,0 +1,597 @@
+"""TPC-H-adapted query suite, part 2 — the remaining TPC-H query
+shapes expressible over the driver's trimmed star schema (no partsupp,
+no commit/receipt dates, no shipmode/phone, so Q2/Q11/Q16/Q20/Q21 have
+no equivalent; Q4/Q12/Q22 are adapted to the columns that exist).
+
+Every query follows the determinism contract of relational.py:
+monetary aggregates over exact decimals cast to double at the end,
+ratios as double divisions of exact decimal sums (identical IEEE
+op sequence in Spark and DuckDB), total-order tiebreaks under LIMIT.
+
+Scale notes (100 TB):
+- nation/region are broadcast explicitly (constant-size dims);
+  supplier/part/customer joins are left to AQE, which will pick
+  broadcast at small SF and shuffle-hash at large
+- every aggregation is partial-aggregable (sum/count of decimals) —
+  the shuffle moves per-group partials, not rows
+- EXISTS/NOT EXISTS compile to left-semi/left-anti joins on the join
+  key — no row duplication, no correlated per-row subquery
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlpp_spark.queries import register, table
+from sqlpp_spark.queries.relational import (
+    DEC2, DEC4, SQL_DISC_PRICE, _d2, _d4, _disc_price,
+)
+
+
+def _n(spark, sf_dir):
+    return F.broadcast(table(spark, sf_dir, "nation"))
+
+
+# ---------------------------------------------------------------------------
+# Q4 (adapted): order-priority checking. TPC-H counts orders with a
+# late lineitem (commitdate < receiptdate); without those columns we
+# count orders with any lineitem shipped after the order date.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join on the join key + theta condition; the
+    quarter filter prunes orders before the join."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    sem = o.join(
+        l,
+        on=[o.o_orderkey == l.l_orderkey, l.l_shipdate > o.o_orderdate],
+        how="left_semi",
+    )
+    return (
+        sem.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7: volume shipping between two nations (supplier nation ↔ customer
+# nation, both directions), revenue per year.
+# ---------------------------------------------------------------------------
+
+_N1, _N2 = "NATION_1", "NATION_2"
+
+
+@register(
+    "q7_nation_trade",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         {SQL_DISC_PRICE} AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = '{_N1}' AND n2.n_name = '{_N2}')
+     OR (n1.n_name = '{_N2}' AND n2.n_name = '{_N1}')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way join; the two-nation disjunction is applied AFTER the
+    broadcast nation joins so Catalyst pushes each side's IN-filter
+    into the semi-joined dimension."""
+    s = table(spark, sf_dir, "supplier")
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = _n(spark, sf_dir).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _n(spark, sf_dir).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        s.join(l, s.s_suppkey == l.l_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == _N1) & (F.col("cust_nation") == _N2))
+            | ((F.col("supp_nation") == _N2) & (F.col("cust_nation") == _N1))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            _disc_price().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8: market share of one supplier nation within one customer region
+# for one part type, by order year.
+# ---------------------------------------------------------------------------
+
+_Q8_NATION, _Q8_REGION, _Q8_TYPE = "NATION_7", "REGION_1", "ECONOMY"
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = '{_Q8_NATION}' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         {SQL_DISC_PRICE} AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_TYPE}'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-sum ratio per year; both sums are exact decimals, so
+    the double division is order-independent."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_TYPE)
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = _n(spark, sf_dir).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = F.broadcast(table(spark, sf_dir, "region")).filter(F.col("r_name") == _Q8_REGION)
+    n2 = _n(spark, sf_dir).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    j = (
+        p.join(l, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("cn_key"))
+        .join(r, F.col("cn_region") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("sn_key"))
+    )
+    vol = _disc_price()
+    zero = F.lit(0).cast(DEC2)
+    base = j.select(
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        vol.alias("volume"),
+        F.col("nation"),
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == _Q8_NATION, F.col("volume")).otherwise(zero)).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 (adapted): profit by supplier nation and order year. Without
+# ps_supplycost, profit = discounted revenue.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q9_profit_by_nation",
+    oracle=f"""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         {SQL_DISC_PRICE} AS amount
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    n = _n(spark, sf_dir)
+    j = (
+        s.join(l, s.s_suppkey == l.l_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            _disc_price().alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 (adapted): priority classification. TPC-H buckets by shipmode;
+# we bucket 1997 shipments by return flag, counting urgent vs other
+# order priorities.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q12_priority_class",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13: customer order-count distribution (two-level aggregation over a
+# left join — customers with zero orders count in the c_count=0 bucket).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14: promotion revenue share for one month.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+SELECT 100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_DISC_PRICE}
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    vol = _disc_price()
+    zero = F.lit(0).cast(DEC2)
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.00)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15: top supplier(s) by quarterly revenue — scalar-max equality join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS tr
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE tr = (SELECT MAX(tr) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The max is compared on the exact DECIMAL revenue (bit-stable in
+    both engines); only the output casts to double."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price()).alias("tr")
+    )
+    mx = rev.agg(F.max("tr").alias("mx"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.tr == mx.mx)
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", F.col("tr").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17: small-quantity-order revenue — per-part average threshold.
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#13"
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+WITH part_avg AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_q
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN part_avg ON pk = l_partkey
+WHERE p_brand = '{_Q17_BRAND}' AND l_quantity < 0.2 * avg_q
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated avg-per-part subquery becomes a groupBy + equi
+    join; the threshold avg is an exact-decimal sum divided in double
+    (same op order both engines)."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == _Q17_BRAND)
+    pa = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(_d2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_q")
+    )
+    return (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_q"))
+        .agg(
+            (F.sum(_d2("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18: large-volume customers (HAVING-filtered subaggregate join).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_d2("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 300)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19: bracketed discount revenue (OR of brand/size/quantity brackets —
+# the whole disjunction pushes into the scan).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q19_bracketed_revenue",
+    oracle=f"""
+SELECT CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 15 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 25 AND 50)
+""",
+)
+def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+
+    def bracket(brand, s_lo, s_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    cond = (
+        bracket("Brand#1", 1, 15, 1, 21)
+        | bracket("Brand#2", 10, 30, 15, 35)
+        | bracket("Brand#3", 20, 50, 25, 50)
+    )
+    return (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 (adapted): rich customers gone idle — balance above the positive
+# average, no orders since 2000, grouped by nation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-aggregate threshold (broadcast one-row join) + NOT EXISTS
+    (left-anti join against the date-filtered orders)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    n = _n(spark, sf_dir)
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_d2("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    rich = (
+        c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    )
+    return (
+        rich.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_d2("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )
