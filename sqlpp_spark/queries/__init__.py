@@ -80,6 +80,10 @@ def _ensure_loaded():
     except ImportError:
         pass
     try:
+        import sqlpp_spark.queries.temporal_stats  # noqa: F401
+    except ImportError:
+        pass
+    try:
         import sqlpp_spark.queries.extensions  # noqa: F401
     except ImportError:
         pass

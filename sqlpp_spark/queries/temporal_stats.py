@@ -1,0 +1,210 @@
+"""Temporal-join and statistical-aggregate registry entries.
+
+As-of join and bounded range join (ops/temporal.py) run over the
+events table; the DuckDB oracles express the same semantics as
+correlated subqueries (fine at oracle SF; the Spark side is the scale
+formulation — see ops/temporal.py docstring).
+
+Statistical moments are computed from exact decimal sums with the
+identical double-arithmetic formula on both engines, so results are
+bit-equal regardless of partitioning (a direct stddev()/corr() call
+would be order-dependent in floating point and engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlpp_spark.ops.temporal import asof_join, range_count
+from sqlpp_spark.queries import register, table
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase sees the latest click by the same user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_last_click",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT MAX(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts <= p.ts) AS asof_ts,
+       (SELECT c.value FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_value
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-inclusive as-of join, union+window formulation (one
+    shuffle on user_id, no range explosion)."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return asof_join(
+        purchases, clicks, on=["user_id"], payload=["ts", "value"],
+        right_order="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded range join: clicks in the hour before each purchase
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_click_count",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       CAST((SELECT COUNT(*) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts) AS BIGINT)
+       AS n_clicks
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+)
+def range_click_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: equi-join on (user, hour-bucket) with a
+    residual range filter — 2× left expansion instead of a per-user
+    cross product."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return range_count(
+        purchases, clicks, on=["user_id"], window_seconds=3600,
+        count_col="n_clicks",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical moments from exact decimal sums
+# ---------------------------------------------------------------------------
+
+_QD = "CAST(l_quantity AS DECIMAL(9,2))"
+_PD = "CAST(l_extendedprice AS DECIMAL(12,2))"
+
+
+@register(
+    "q_stat_moments",
+    oracle=f"""
+SELECT l_returnflag,
+       n,
+       s_q / nd AS mean_qty,
+       (nd * s_qq - s_q * s_q) / (nd * (nd - 1.0)) AS var_qty,
+       sqrt((nd * s_qq - s_q * s_q) / (nd * (nd - 1.0))) AS stddev_qty,
+       (nd * s_qp - s_q * s_p)
+         / sqrt((nd * s_qq - s_q * s_q) * (nd * s_pp - s_p * s_p)) AS corr_qty_price
+FROM (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) AS DOUBLE) AS nd,
+         CAST(SUM({_QD}) AS DOUBLE) AS s_q,
+         CAST(SUM({_PD}) AS DOUBLE) AS s_p,
+         CAST(SUM({_QD} * {_QD}) AS DOUBLE) AS s_qq,
+         CAST(SUM({_PD} * {_PD}) AS DOUBLE) AS s_pp,
+         CAST(SUM({_QD} * {_PD}) AS DOUBLE) AS s_qp
+  FROM lineitem GROUP BY l_returnflag
+) sums
+ORDER BY l_returnflag
+""",
+)
+def q_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev / Pearson correlation per return flag.
+    All five sufficient statistics come out of ONE partial-aggregable
+    shuffle as exact decimals; the moments are then identical double
+    expressions on both engines."""
+    l = table(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(9,2)")
+    pd_ = F.col("l_extendedprice").cast("decimal(12,2)")
+    sums = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(qd).cast("double").alias("s_q"),
+        F.sum(pd_).cast("double").alias("s_p"),
+        F.sum(qd * qd).cast("double").alias("s_qq"),
+        F.sum(pd_ * pd_).cast("double").alias("s_pp"),
+        F.sum(qd * pd_).cast("double").alias("s_qp"),
+    )
+    nd, s_q, s_p = F.col("nd"), F.col("s_q"), F.col("s_p")
+    s_qq, s_pp, s_qp = F.col("s_qq"), F.col("s_pp"), F.col("s_qp")
+    var_q = (nd * s_qq - s_q * s_q) / (nd * (nd - F.lit(1.0)))
+    return (
+        sums.select(
+            "l_returnflag",
+            "n",
+            (s_q / nd).alias("mean_qty"),
+            var_q.alias("var_qty"),
+            F.sqrt(var_q).alias("stddev_qty"),
+            (
+                (nd * s_qp - s_q * s_p)
+                / F.sqrt((nd * s_qq - s_q * s_q) * (nd * s_pp - s_p * s_p))
+            ).alias("corr_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_quantity_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (Spark ``percentile``, not approx): the
+    baseline for quantile work; at 100 TB swap to approx_percentile
+    and widen the oracle tolerance."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+            F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_value_histogram",
+    # DuckDB has no width_bucket — the CASE below is its exact
+    # definition for (min=0, max=100, n=20): bucket width is 5.0
+    # exactly, so floor(v/5.0)+1 is bit-identical to Spark's
+    # floor((v-min)/((max-min)/n))+1
+    oracle="""
+SELECT CASE WHEN value < 0.0 THEN 0
+            WHEN value >= 100.0 THEN 21
+            ELSE CAST(floor(value / 5.0) AS BIGINT) + 1 END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via width_bucket — single shuffle on the
+    bucket id."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(20))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )

@@ -1,0 +1,94 @@
+"""Unit tests for ops/temporal.py (as-of join, bounded range join) —
+edge cases the registry oracle can't isolate: no-match NULLs,
+inclusive boundaries, right-timestamp ties, window boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from sqlpp_spark.ops.temporal import asof_join, range_count
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),
+            (2, 10, _ts("2024-01-01 12:00:00")),
+            (3, 20, _ts("2024-01-01 09:00:00")),  # no right rows for key 20 before
+            (4, 30, _ts("2024-01-01 09:00:00")),  # key 30 has no right rows at all
+        ],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01 09:30:00"), 1.0),
+            (101, 10, _ts("2024-01-01 10:00:00"), 2.0),  # tie with left id=1
+            (102, 10, _ts("2024-01-01 10:00:00"), 3.0),  # same ts, larger rid wins
+            (103, 10, _ts("2024-01-01 11:59:00"), 4.0),
+            (104, 20, _ts("2024-01-01 09:30:00"), 5.0),  # after left id=3
+        ],
+        "rid long, k long, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive_and_ties(tiny):
+    left, right = tiny
+    out = asof_join(
+        left, right, on=["k"], payload=["ts", "v"], right_order="rid"
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert len(rows) == 4
+    # id=1: ties at 10:00 resolve to the larger rid (102, v=3.0)
+    assert rows[1].asof_v == 3.0 and rows[1].asof_ts == _ts("2024-01-01 10:00:00")
+    # id=2: latest at-or-before 12:00 is 11:59
+    assert rows[2].asof_v == 4.0
+    # id=3: right row exists but only AFTER the left ts -> NULL
+    assert rows[3].asof_v is None and rows[3].asof_ts is None
+    # id=4: no right rows for the key at all -> NULL
+    assert rows[4].asof_v is None
+
+
+def test_asof_keeps_all_left_columns(tiny):
+    left, right = tiny
+    out = asof_join(left, right, on=["k"], payload=["v"])
+    assert set(out.columns) == {"id", "k", "ts", "asof_v"}
+    assert out.count() == left.count()
+
+
+def test_range_count_window_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, 5, _ts("2024-01-01 10:00:00"))], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (5, _ts("2024-01-01 09:00:00")),   # exactly window start: INCLUDED
+            (5, _ts("2024-01-01 08:59:59")),   # before window: excluded
+            (5, _ts("2024-01-01 09:30:00")),   # inside: included
+            (5, _ts("2024-01-01 10:00:00")),   # == left ts: EXCLUDED (half-open)
+            (6, _ts("2024-01-01 09:30:00")),   # other key: excluded
+        ],
+        "k long, ts timestamp",
+    )
+    out = range_count(left, right, on=["k"], window_seconds=3600, count_col="n")
+    assert out.collect()[0].n == 2
+
+
+def test_range_count_zero_matches_kept(spark):
+    left = spark.createDataFrame(
+        [(1, 5, _ts("2024-01-01 10:00:00")), (2, 7, _ts("2024-01-01 10:00:00"))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(5, _ts("2024-01-01 09:30:00"))], "k long, ts timestamp"
+    )
+    out = range_count(left, right, on=["k"], window_seconds=3600, count_col="n")
+    got = {r.id: r.n for r in out.collect()}
+    assert got == {1: 1, 2: 0}
