@@ -19,6 +19,19 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     no extra shuffle on the 100 TB path."""
     try:
         target = df.sparkSession.sparkContext.defaultParallelism
+        # inputFiles() is a cheap driver-side plan walk: a plan reading
+        # >= target files yields enough splits no matter what sits
+        # above the scan, so the 100 TB path skips the precise probe.
+        # Otherwise fall through to df.rdd (~0.2 s driver latency) —
+        # it alone knows the true partition count of derived plans
+        # (e.g. an input that a window already shuffled to N
+        # partitions must NOT be repartitioned again).
+        try:
+            files = df.inputFiles()
+        except Exception:
+            files = []
+        if len(files) >= target:
+            return df
         if df.rdd.getNumPartitions() < target:
             return df.repartition(target)
     except Exception:

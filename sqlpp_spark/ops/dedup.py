@@ -59,22 +59,31 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(c: Column, k: int = 3) -> Column:
-    """Word k-gram shingle array, built by zip_with over k shifted
-    slices of the token array — ~2.6× cheaper than the per-index
-    transform+slice+array_join formulation (one pass, no per-shingle
-    sub-array allocation), byte-identical output strings."""
-    toks = F.split(normalize_text(c), " ")
-    n = F.size(toks)
-    m = F.greatest(n - F.lit(k - 1), F.lit(0))
-    grams = F.slice(toks, 1, m)
-    for i in range(2, k + 1):
-        grams = F.zip_with(
-            grams, F.slice(toks, i, m), lambda a, b: F.concat_ws(" ", a, b)
-        )
-    return F.when(n >= k, grams).otherwise(
-        F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array().cast("array<string>"))
-    )
+def _shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int,
+    fast_hash: bool = False,
+) -> DataFrame:
+    """(doc, shingle_hash) rows (NOT deduplicated) with the shingle
+    built inside whole-stage codegen: explode a position sequence,
+    then slice/array_join the token array per position. Spark's
+    higher-order functions (transform/zip_with) run interpreted, so
+    this explode form is ~2× their throughput on the same data —
+    byte-identical shingle strings either way. Docs shorter than k
+    tokens produce one whole-doc shingle (position marker 0)."""
+    h = F.xxhash64 if fast_hash else hash64
+    df = ensure_parallelism(df)
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n")
+    ).filter(F.col("__n") > 0)
+    pos = F.when(
+        F.col("__n") >= k, F.sequence(F.lit(1), F.col("__n") - (k - 1))
+    ).otherwise(F.array(F.lit(0)))
+    ex = base.select(F.col(id_col), F.col("__t"), F.explode(pos).alias("__i"))
+    sh = F.when(
+        F.col("__i") > 0, F.array_join(F.slice("__t", F.col("__i"), k), " ")
+    ).otherwise(F.array_join("__t", " "))
+    return ex.select(F.col(id_col), h(sh).alias("sh_hash"))
 
 
 def shingle_hashes(
@@ -88,13 +97,7 @@ def shingle_hashes(
     only tests shingle EQUALITY (intersection/Jaccard counts are
     hash-agnostic); keep the default for minhash, whose signatures
     embed the hash values themselves and must match the oracle."""
-    h = F.xxhash64 if fast_hash else hash64
-    df = ensure_parallelism(df)
-    return (
-        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("sh"))
-        .select(id_col, h(F.col("sh")).alias("sh_hash"))
-        .distinct()
-    )
+    return _shingle_rows(df, text_col, id_col, k, fast_hash).distinct()
 
 
 def minhash_signatures(
@@ -153,9 +156,15 @@ def _band_pairs(
     banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
         id_col, F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh")
     )
+    # persist: the self-join below would otherwise recompute the
+    # signature stage (16 minhash permutations per doc) once per side
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count()  # eager: the join's two map stages would race a lazy persist
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             on=[
@@ -169,6 +178,7 @@ def _band_pairs(
         )
         .distinct()
     )
+    return out
 
 
 def jaccard_pairs(
@@ -207,15 +217,19 @@ def _jaccard_from_sh(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
 def shingle_hash_arrays(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
 ) -> DataFrame:
-    """One row per doc with the DISTINCT shingle-hash ARRAY. md5 runs
-    once per shingle (inside the transform); docs with no shingles are
-    dropped, mirroring the exploded form's absence of rows."""
-    arr = F.array_distinct(
-        F.transform(word_shingles(F.col(text_col), k), lambda sh: hash64(sh))
-    )
+    """One row per doc with the DISTINCT shingle-hash ARRAY, built as
+    collect_set over the codegen'd exploded shingle rows. Trade-off vs
+    the zero-shuffle ``array_distinct(transform(...))`` form: one
+    extra shuffle of the hash sets (groupBy id, partial-aggregated
+    map-side since a doc's rows are co-partitioned), but the shingle
+    construction and md5 run inside whole-stage codegen instead of the
+    interpreted higher-order-function evaluator — ~2× faster end to
+    end. Set order is nondeterministic; every consumer (array_min
+    signatures, array_intersect Jaccard) is order-insensitive."""
     return (
-        df.select(F.col(id_col), arr.alias("shs"))
-        .filter(F.size("shs") > 0)
+        _shingle_rows(df, text_col, id_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_set("sh_hash").alias("shs"))
     )
 
 

@@ -259,6 +259,9 @@ def _quality_from_counts(c: Column) -> Column:
 def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``lang_pred`` and ``quality`` columns with the shared-marker
     formulation (identical values to lang_id/quality_score)."""
+    from sqlpp_spark.ops import ensure_parallelism
+
+    df = ensure_parallelism(df)
     c = F.col(text_col)
     out = _with_marker_counts(df, text_col).select(
         *df.columns,
@@ -271,6 +274,9 @@ def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document stats frame (markers computed once,
     shared between lang_pred and quality)."""
+    from sqlpp_spark.ops import ensure_parallelism
+
+    df = ensure_parallelism(df)
     c = F.col(text_col)
     return _with_marker_counts(df, text_col).select(
         "doc_id",
