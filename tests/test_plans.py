@@ -95,12 +95,17 @@ def test_dedup_exact_shuffles_hash_not_text(spark, sf_dir):
         assert "text#" not in body, f"shuffle carries raw text: {body}"
 
 
-def test_minhash_signature_stage_no_shuffle(spark, sf_dir):
-    """Array-formulated MinHash: signatures are per-row array_min
-    (no explode→groupBy), so the whole pipeline carries at most the
-    band-candidate shuffle plus broadcast exchanges."""
+def test_minhash_signature_stage_bounded_shuffles(spark, sf_dir):
+    """MinHash pipeline shuffle budget: (1) the parallelism guard on
+    the single-file scan (no-op on a many-file scan at scale), (2) the
+    collect_set groupBy building the per-doc hash arrays — narrow
+    (id, hash64) rows, partially aggregated map-side, (3) the band
+    self-join and (4) its candidate distinct — both over the tiny
+    banded table. All four move hash-width rows, never text; the
+    codegen'd exploded shingle stage this buys back is ~2× the
+    interpreted higher-order-function form it replaced."""
     p = plan_of(spark, sf_dir, "dedup_minhash")
-    assert shuffle_count(p) <= 2, p
+    assert shuffle_count(p) <= 5, p
 
 
 def test_ann_broadcasts_queries_side(spark, sf_dir):
@@ -128,10 +133,14 @@ def test_simhash_signature_per_row(spark, sf_dir):
     assert shuffle_count(p) <= 2
 
 
-def test_text_stats_no_shuffle(spark, sf_dir):
-    """Pure per-row computation — a narrow map, zero exchanges."""
+def test_text_stats_single_guard_shuffle(spark, sf_dir):
+    """Pure per-row computation: the only allowed exchange is the
+    parallelism guard's round-robin repartition of the single-file
+    scan (the fixture parquet has one row group, so Spark cannot
+    split it; on a real many-file scan ensure_parallelism is a no-op
+    and this plan has zero exchanges)."""
     p = plan_of(spark, sf_dir, "text_stats")
-    assert shuffle_count(p) == 0
+    assert shuffle_count(p) <= 1
 
 
 def test_whole_stage_codegen_covers_relational(spark, sf_dir):
