@@ -1,0 +1,184 @@
+"""Corpus-preparation operators for training-data pipelines:
+deterministic sampling, document chunking, sequence packing, TF-IDF.
+
+Scale design (100 TB):
+- sampling is HASH-deterministic (md5 of the key), never ``rand()``:
+  re-runs, retries and audits see the same sample; no RNG state to
+  coordinate across executors, and the filter pushes into the scan
+  stage (no shuffle at all)
+- chunking explodes a position sequence and slices the token array —
+  whole-stage codegen, output rows carry only (id, chunk_id, text)
+- packing is ONE window over the doc ordering: cumulative token count
+  → bin id by integer division. No driver loop, no iterative
+  bin-packing — the greedy-in-order assignment is what pretraining
+  packers actually do
+- TF-IDF is two partial-aggregable shuffles (term-frequency, document
+  frequency) + a broadcast scalar; top-k per doc is one window
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from sqlpp_spark.ops import ensure_parallelism
+from sqlpp_spark.ops.hashing import hash64
+from sqlpp_spark.ops.text import normalize_text
+
+# ---------------------------------------------------------------------------
+# Deterministic (hash-based) sampling
+# ---------------------------------------------------------------------------
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", salt: str = "s0",
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction: rows whose salted key
+    hash lands below rate*2^60. Same rows on every run/engine."""
+    from sqlpp_spark.ops.hashing import HASH_MOD
+
+    bound = int(rate * HASH_MOD)
+    h = hash64(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    return df.filter(h < F.lit(bound))
+
+
+def stratified_sample(
+    df: DataFrame, rates: dict[str, float], default_rate: float,
+    key_col: str = "doc_id", stratum_col: str = "lang", salt: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages). The per-row bound is a CASE over the stratum column;
+    the whole predicate evaluates in the scan stage."""
+    from sqlpp_spark.ops.hashing import HASH_MOD
+
+    bound = None
+    for stratum, rate in sorted(rates.items()):
+        b = F.lit(int(rate * HASH_MOD))
+        bound = (
+            F.when(F.col(stratum_col) == stratum, b)
+            if bound is None
+            else bound.when(F.col(stratum_col) == stratum, b)
+        )
+    bound = (
+        bound.otherwise(F.lit(int(default_rate * HASH_MOD)))
+        if bound is not None
+        else F.lit(int(default_rate * HASH_MOD))
+    )
+    h = hash64(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    return df.filter(h < bound)
+
+
+# ---------------------------------------------------------------------------
+# Chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    chunk_tokens: int = 64, overlap: int = 16,
+) -> DataFrame:
+    """Split each document into word chunks of ``chunk_tokens`` with
+    ``overlap`` tokens of context between consecutive chunks (stride =
+    chunk - overlap). Documents shorter than one chunk yield a single
+    chunk. Output: (id, chunk_id, chunk_text, n_chunk_tokens)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    df = ensure_parallelism(df)
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n"))
+    n_chunks = F.when(F.col("__n") <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((F.col("__n") - chunk_tokens) / F.lit(float(stride))).cast("bigint")
+        + 1
+    )
+    ex = base.select(
+        F.col(id_col), F.col("__t"), F.col("__n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride + 1  # 1-based slice start
+    length = F.least(start + (chunk_tokens - 1), F.col("__n")) - start + 1
+    piece = F.slice("__t", start, length)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    budget: int = 2048,
+) -> DataFrame:
+    """Greedy in-order packing of documents into fixed token-budget
+    training sequences: documents are laid out consecutively in
+    ``id_col`` order; each doc's sequence id is its start offset
+    divided by the budget (docs may straddle a boundary, exactly like
+    a pretraining packer that splits at sequence edges).
+
+    Output: (id, n_tokens, seq_id, seq_offset). One window over the
+    global ordering — at scale, swap the single global window for a
+    per-shard window keyed by a partition column (the packing is then
+    deterministic within each shard)."""
+    toks = F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("bigint")
+    base = ensure_parallelism(df).select(
+        F.col(id_col), toks.alias("n_tokens")
+    )
+    w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return base.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.floor(start / F.lit(budget)).cast("bigint").alias("seq_id"),
+        (start % F.lit(budget)).cast("bigint").alias("seq_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    top_k: int = 3, min_len: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf with
+    idf = ln((N+1)/(df+1)). Ties break on the term string, so the
+    result is fully deterministic. Terms shorter than ``min_len``
+    characters are dropped (stop-word-ish noise)."""
+    df = ensure_parallelism(df)
+    terms = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+        )
+        .filter(F.length("term") >= min_len)
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .join(F.broadcast(n_docs), on=F.lit(True))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            (
+                F.col("tf").cast("double")
+                * F.log((F.col("n_docs") + F.lit(1)).cast("double") / (F.col("df") + F.lit(1)).cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "score", F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -84,6 +84,10 @@ def _ensure_loaded():
     except ImportError:
         pass
     try:
+        import sqlpp_spark.queries.corpus_queries  # noqa: F401
+    except ImportError:
+        pass
+    try:
         import sqlpp_spark.queries.extensions  # noqa: F401
     except ImportError:
         pass

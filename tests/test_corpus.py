@@ -1,0 +1,91 @@
+"""Unit tests for ops/corpus.py — chunk boundary arithmetic, packing
+offsets, sampling determinism, tf-idf ranking."""
+
+from __future__ import annotations
+
+import pytest
+
+from sqlpp_spark.ops import corpus as C
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    return spark.createDataFrame(
+        [
+            (1, words(64, "a"), "en"),
+            (2, words(65, "b"), "en"),
+            (3, words(10, "c"), "de"),
+            (4, words(200, "d"), "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_chunk_counts_and_overlap(docs):
+    out = C.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # exactly one chunk at 64 tokens; two at 65 (stride 48)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_chunk_tokens == 64
+    assert len(by_doc[2]) == 2
+    # short doc: single whole-doc chunk
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_chunk_tokens == 10
+    # 200 tokens: ceil((200-64)/48)+1 = 4 chunks
+    assert len(by_doc[4]) == 4
+    # consecutive chunks share exactly `overlap` tokens
+    c0, c1 = sorted(by_doc[4], key=lambda r: r.chunk_id)[:2]
+    t0, t1 = c0.chunk_text.split(" "), c1.chunk_text.split(" ")
+    assert t0[-16:] == t1[:16]
+
+
+def test_chunk_rejects_bad_overlap(docs):
+    with pytest.raises(ValueError):
+        C.chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_packing_offsets_continuous(docs):
+    out = C.pack_sequences(docs, budget=100).orderBy("doc_id").collect()
+    # layout: 64 | 65 | 10 | 200 at starts 0, 64, 129, 139
+    assert [(r.seq_id, r.seq_offset) for r in out] == [
+        (0, 0), (0, 64), (1, 29), (1, 39),
+    ]
+    assert [r.n_tokens for r in out] == [64, 65, 10, 200]
+
+
+def test_stratified_sample_deterministic(docs):
+    a = C.stratified_sample(docs, rates={"en": 1.0}, default_rate=0.0)
+    b = C.stratified_sample(docs, rates={"en": 1.0}, default_rate=0.0)
+    ids_a = sorted(r.doc_id for r in a.collect())
+    assert ids_a == sorted(r.doc_id for r in b.collect())
+    assert ids_a == [1, 2]  # rate 1.0 keeps every 'en', 0.0 drops the rest
+
+
+def test_hash_sample_rate(spark):
+    big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    kept = C.hash_sample(big, rate=0.25, key_col="doc_id").count()
+    assert 0.18 * 2000 < kept < 0.32 * 2000  # ~25% within tolerance
+
+
+def test_tfidf_rank_and_min_len(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "zebra zebra zebra common xx"),
+            (2, "common words here"),
+            (3, "words words again"),
+        ],
+        "doc_id long, text string",
+    )
+    out = C.tfidf_top_terms(d, top_k=2, min_len=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 'xx' filtered by min_len; doc 1's top term is the repeated rare word
+    top1 = sorted(by_doc[1], key=lambda r: r.rank)[0]
+    assert top1.term == "zebra"
+    assert all(len(r.term) >= 3 for r in out)
+    assert all(r.rank in (1, 2) for r in out)
