@@ -97,6 +97,43 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(stream, _unique_name("sessions"), "append")
 
 
+@register(
+    "stream_purchase_click_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.ts AS click_ts, c.value AS click_value
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+""",
+)
+def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream self-join (purchases × same-user clicks in the
+    preceding hour) run through Structured Streaming; inner-join
+    matches on a bounded input equal the batch range join, which is
+    what the oracle checks."""
+    from sqlpp_spark.streaming.events import (
+        purchase_click_join, read_events_stream, run_stream_to_memory,
+    )
+
+    stream = purchase_click_join(read_events_stream(spark, sf_dir))
+    return run_stream_to_memory(stream, _unique_name("pcjoin"), "append")
+
+
+@register("stream_dedup_events")  # which row survives per key is
+# processing-order-dependent — rows-only (count pinned in tests)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-at-ingest: first row per (user_id, event_type)
+    within the watermark horizon (dropDuplicatesWithinWatermark)."""
+    from sqlpp_spark.streaming.events import (
+        dedup_events_stream, read_events_stream, run_stream_to_memory,
+    )
+
+    stream = dedup_events_stream(read_events_stream(spark, sf_dir))
+    return run_stream_to_memory(stream, _unique_name("sdedup"), "append")
+
+
 @register("multimodal_features")  # mapInPandas decode — no SQL oracle
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: synthesize media payloads from the

@@ -161,6 +161,58 @@ def stateful_user_counts(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def purchase_click_join(
+    events: DataFrame, window_seconds: int = 3600, watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner self-join: each purchase pairs with the
+    same user's clicks from the preceding ``window_seconds``.
+
+    The event-time range condition plus the per-side watermarks give
+    Spark a state eviction bound: a buffered click can be dropped once
+    the purchase-side watermark passes click_ts + window, so state is
+    O(events inside the window horizon), independent of stream length.
+    Inner-join matches emit as soon as both sides arrive (no
+    watermark-closure wait)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {window_seconds} SECOND"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+    )
+    return purchases.join(clicks, on=cond, how="inner").select(
+        "purchase_id", "user_id", "purchase_ts", "click_ts", "click_value"
+    )
+
+
+def dedup_events_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication: keep the first-seen row per key within
+    the watermark horizon (dropDuplicatesWithinWatermark bounds state
+    by event time — a key's dedup state is dropped once the watermark
+    passes it, so reappearing keys far apart both survive, which is
+    the semantics a 100 TB dedup-at-ingest actually wants)."""
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

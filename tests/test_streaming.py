@@ -160,3 +160,48 @@ def test_stateful_user_counts(spark, sf_dir, batch_events):
     )
     want = {r.user_id: (r.n, r.mx) for r in want_df.collect()}
     assert got == want
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, batch_events):
+    from sqlpp_spark.streaming.events import (
+        purchase_click_join, read_events_stream, run_stream_to_memory,
+    )
+
+    out = run_stream_to_memory(
+        purchase_click_join(read_events_stream(spark, sf_dir)),
+        "t_pcjoin", "append",
+    )
+    got = {
+        (r.purchase_id, r.click_ts) for r in out.collect()
+    }
+    p = batch_events.filter(F.col("event_type") == "purchase").alias("p")
+    c = batch_events.filter(F.col("event_type") == "click").alias("c")
+    want_df = p.join(
+        c,
+        on=(
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c.ts") < F.col("p.ts"))
+        ),
+    ).select(F.col("p.event_id").alias("purchase_id"), F.col("c.ts").alias("click_ts"))
+    want = {(r.purchase_id, r.click_ts) for r in want_df.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_stream_dedup_one_row_per_key(spark, sf_dir, batch_events):
+    from sqlpp_spark.streaming.events import (
+        dedup_events_stream, read_events_stream, run_stream_to_memory,
+    )
+
+    out = run_stream_to_memory(
+        dedup_events_stream(read_events_stream(spark, sf_dir)),
+        "t_sdedup", "append",
+    )
+    # one survivor per (user, type): the fixture spans < the watermark
+    # horizon, so every duplicate key is suppressed
+    n_keys = batch_events.select("user_id", "event_type").distinct().count()
+    assert out.count() == n_keys
+    assert (
+        out.groupBy("user_id", "event_type").count().filter(F.col("count") > 1).count()
+        == 0
+    )
