@@ -296,39 +296,41 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality filter (cheap, codegen'd, prunes before any shuffle) →
     exact dedup (hash shuffle) → MinHash+LSH near-dup removal (drop
     the higher id of each verified pair). Returns the surviving
-    corpus with language + quality annotations."""
-    from pyspark import StorageLevel
+    corpus with language + quality annotations.
 
-    docs = table(spark, sf_dir, "documents")
-    # annotate ONCE: the quality/lang regex trees are the widest
-    # expressions in the pipeline — computing them a single time before
-    # the persist means every downstream branch (and the final
-    # projection) reads cached columns instead of re-running ~25
-    # regexes per doc
-    from pyspark.sql import Window as W
+    Scale design — TEXT NEVER SHUFFLES: the dedup decision runs over a
+    narrow (doc_id, content_hash, lang_pred, quality) frame (one regex
+    + md5 pass in the scan stage, then a 16-byte-row groupBy); the
+    minhash stage re-reads the parquet for the surviving docs instead
+    of dragging text through a shuffle — a columnar re-scan is cheaper
+    than shuffling text at any scale, and the semi-join that prunes it
+    is broadcast locally / shuffled-by-id at 100 TB (AQE's call)."""
+    from pyspark import StorageLevel
 
     from sqlpp_spark.ops.hashing import hash64
     from sqlpp_spark.ops.text import normalize_text
 
-    annotated = X.annotate(docs.select("doc_id", _T, "lang"))
-    base = annotated.filter(F.col("quality") >= 0.5)
-    # exact dedup via window (keep min doc_id per content hash): ONE
-    # pass over the regex-annotated base — the groupBy+semi-join
-    # formulation (dedup_exact) would compute `base` twice
-    w = W.partitionBy(hash64(normalize_text(F.col(_T)))).orderBy("doc_id")
-    kept = (
-        base.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    docs = table(spark, sf_dir, "documents")
+    ann = X.annotate(docs.select("doc_id", _T, "lang"))
+    meta = (
+        ann.select(
+            "doc_id",
+            hash64(normalize_text(F.col(_T))).alias("__ch"),
+            "lang_pred",
+            "quality",
+        )
+        .filter(F.col("quality") >= 0.5)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # no eager count needed: minhash's internal shingle materialization
-    # is the first (single, linear) job that touches `kept`, which
-    # populates the cache for the later branches
-    pairs = D.minhash_near_duplicates(kept, threshold=0.7)
+    meta.count()  # eager: keep_ids and the final projection both read it
+    keep_ids = meta.groupBy("__ch").agg(F.min("doc_id").alias("doc_id"))
+    kept_docs = docs.join(keep_ids, on="doc_id", how="left_semi")
+    pairs = D.minhash_near_duplicates(kept_docs, threshold=0.7)
     removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    return kept.join(removed, on="doc_id", how="left_anti").select(
-        "doc_id", "lang_pred", "quality"
+    return (
+        meta.join(keep_ids, on="doc_id", how="left_semi")
+        .join(removed, on="doc_id", how="left_anti")
+        .select("doc_id", "lang_pred", "quality")
     )
 
 

@@ -103,8 +103,8 @@ SELECT l_returnflag,
        s_q / nd AS mean_qty,
        (nd * s_qq - s_q * s_q) / (nd * (nd - 1.0)) AS var_qty,
        sqrt((nd * s_qq - s_q * s_q) / (nd * (nd - 1.0))) AS stddev_qty,
-       (nd * s_qp - s_q * s_p)
-         / sqrt((nd * s_qq - s_q * s_q) * (nd * s_pp - s_p * s_p)) AS corr_qty_price
+       ROUND((nd * s_qp - s_q * s_p)
+         / sqrt((nd * s_qq - s_q * s_q) * (nd * s_pp - s_p * s_p)), 12) AS corr_qty_price
 FROM (
   SELECT l_returnflag,
          CAST(COUNT(*) AS BIGINT) AS n,
@@ -123,7 +123,10 @@ def q_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample variance / stddev / Pearson correlation per return flag.
     All five sufficient statistics come out of ONE partial-aggregable
     shuffle as exact decimals; the moments are then identical double
-    expressions on both engines."""
+    expressions on both engines. corr is ROUND(·,12): its s_pp/s_qp
+    inputs exceed 2^53 unscaled, so the decimal→double conversion
+    itself is 1-ulp engine-dependent (the other moments only consume
+    sub-2^53 sums and stay bit-exact unrounded)."""
     l = table(spark, sf_dir, "lineitem")
     qd = F.col("l_quantity").cast("decimal(9,2)")
     pd_ = F.col("l_extendedprice").cast("decimal(12,2)")
@@ -146,9 +149,10 @@ def q_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s_q / nd).alias("mean_qty"),
             var_q.alias("var_qty"),
             F.sqrt(var_q).alias("stddev_qty"),
-            (
+            F.round(
                 (nd * s_qp - s_q * s_p)
-                / F.sqrt((nd * s_qq - s_q * s_q) * (nd * s_pp - s_p * s_p))
+                / F.sqrt((nd * s_qq - s_q * s_q) * (nd * s_pp - s_p * s_p)),
+                12,
             ).alias("corr_qty_price"),
         )
         .orderBy("l_returnflag")
