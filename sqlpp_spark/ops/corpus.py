@@ -182,3 +182,99 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_k)
         .select(id_col, "term", "score", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level boilerplate removal (CCNet-style common-span dedup)
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, ord, ngram) rows — overlapping word n-grams built with the
+    explode-positions + slice idiom (whole-stage codegen; see
+    dedup._shingle_rows for the HOF-vs-explode trade). Documents
+    shorter than n words yield no rows."""
+    df = ensure_parallelism(df)
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n"))
+    ex = base.filter(F.col("__n") >= n).select(
+        F.col(id_col), F.col("__t"),
+        F.explode(F.sequence(F.lit(1), F.col("__n") - (n - 1))).alias("ord"),
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("ord").cast("bigint").alias("ord"),
+        F.array_join(F.slice("__t", F.col("ord"), n), " ").alias("ngram"),
+    )
+
+
+def strip_common_spans(
+    df: DataFrame, span_tokens: int = 3, min_docs: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate removal, the fixed-span form of CCNet's
+    shared-paragraph dedup: split every document into consecutive
+    ``span_tokens``-word spans, find spans occurring in at least
+    ``min_docs`` DISTINCT documents, drop those spans from every
+    document, and reassemble the survivors in order. Documents whose
+    spans are all common disappear (CCNet drops empty docs too).
+
+    Scale shape: the corpus-wide occurrence count runs over span
+    HASHES (narrow rows, two-level partial aggregation for the
+    distinct); the resulting common-span set is small by construction
+    (thresholded) so the membership join broadcasts; document text
+    itself shuffles exactly once — surviving spans re-keyed by doc for
+    ordered reassembly.
+
+    Output: (id, n_spans, n_dropped, clean_text).
+    """
+    df = ensure_parallelism(df)
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n"))
+    n_spans = F.ceil(F.col("__n") / F.lit(float(span_tokens))).cast("bigint")
+    ex = base.filter(F.col("__n") > 0).select(
+        F.col(id_col), F.col("__t"),
+        F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("ord"),
+    )
+    spans = ex.select(
+        F.col(id_col),
+        F.col("ord").cast("bigint").alias("ord"),
+        F.array_join(
+            F.slice("__t", F.col("ord") * span_tokens + 1, span_tokens), " "
+        ).alias("span"),
+    ).withColumn("__sh", hash64(F.col("span")))
+    common = (
+        spans.select("__sh", id_col)
+        .distinct()
+        .groupBy("__sh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("__sh")
+    )
+    marked = spans.join(
+        F.broadcast(common.withColumn("__common", F.lit(True))), on="__sh", how="left"
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.col("__common").isNotNull().cast("long")).cast("bigint").alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__common").isNull(),
+                                F.struct(F.col("ord"), F.col("span")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("span"),
+                ),
+            ).alias("clean_text"),
+        )
+        .filter(F.col("n_dropped") < F.col("n_spans"))
+    )

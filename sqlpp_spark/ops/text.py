@@ -287,3 +287,98 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         _quality_from_counts(c).alias("quality"),
         fingerprint(c).alias("fp"),
     )
+
+
+# -- Gopher-style quality rules + repetition signals -------------------------
+#
+# Rule structure follows the published Gopher/MassiveText filtering recipe
+# (word-count band, mean-word-length band, lexical-diversity floor); the
+# reference repo has no text operators at all, so these are pure extension
+# surface. All arithmetic is integer counts + single double divisions —
+# bit-equal across engines without rounding.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3.0
+GOPHER_MAX_MEAN_WL = 10.0
+GOPHER_MIN_DISTINCT = 0.2
+
+
+def gopher_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document Gopher-rule statistics, computed entirely per-row
+    (scan-stage codegen, zero shuffles): word count, mean word length
+    (total word chars = normalized length minus separators — no second
+    pass over the tokens), distinct-word ratio, and the combined pass
+    flag. At 100 TB this is a mapper you fuse with ingestion."""
+    from sqlpp_spark.ops import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    norm = normalize_text(F.col(text_col))
+    toks = F.split(norm, " ")
+    n = F.size(toks).cast("bigint")
+    mean_wl = (F.length(norm) - (n - F.lit(1))).cast("double") / n.cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    passes = (
+        (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MEAN_WL) & (mean_wl <= GOPHER_MAX_MEAN_WL)
+        & (distinct_ratio >= GOPHER_MIN_DISTINCT)
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        distinct_ratio.alias("distinct_ratio"),
+        passes.alias("gopher_pass"),
+    )
+
+
+def gopher_stats_sql(c: str) -> dict[str, str]:
+    """DuckDB twins of the gopher_stats columns (same arithmetic)."""
+    norm = NORMALIZE_SQL.format(c=c)
+    n = f"CAST(len(string_split({norm}, ' ')) AS BIGINT)"
+    mean_wl = f"(CAST(length({norm}) - ({n} - 1) AS DOUBLE) / CAST({n} AS DOUBLE))"
+    distinct_ratio = (
+        f"(CAST(len(list_distinct(string_split({norm}, ' '))) AS DOUBLE)"
+        f" / CAST({n} AS DOUBLE))"
+    )
+    passes = (
+        f"({n} >= {GOPHER_MIN_WORDS} AND {n} <= {GOPHER_MAX_WORDS}"
+        f" AND {mean_wl} >= {GOPHER_MIN_MEAN_WL} AND {mean_wl} <= {GOPHER_MAX_MEAN_WL}"
+        f" AND {distinct_ratio} >= {GOPHER_MIN_DISTINCT})"
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": mean_wl,
+        "distinct_ratio": distinct_ratio,
+        "gopher_pass": passes,
+    }
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals: duplicate-word fraction and
+    the share of the single most frequent word. Formulated as
+    explode → (doc, word) count → per-doc aggregate: two shuffles of
+    narrow integer rows, both partially aggregated map-side — the
+    per-row ``transform(distinct, w -> count)`` alternative is O(n·|vocab|)
+    CPU per document and loses at any scale."""
+    from sqlpp_spark.ops import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    )
+    per_word = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_word.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("max_count"),
+    )
+    nw = F.col("n_words").cast("double")
+    return agg.select(
+        F.col(id_col),
+        "n_words",
+        "n_distinct",
+        ((nw - F.col("n_distinct")) / nw).alias("dup_word_frac"),
+        (F.col("max_count") / nw).alias("top_word_share"),
+    )

@@ -91,4 +91,12 @@ def _ensure_loaded():
         import sqlpp_spark.queries.extensions  # noqa: F401
     except ImportError:
         pass
+    try:
+        import sqlpp_spark.queries.quality  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        import sqlpp_spark.queries.analytic_extra  # noqa: F401
+    except ImportError:
+        pass
     _loaded = True

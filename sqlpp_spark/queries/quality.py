@@ -1,0 +1,144 @@
+"""Text-quality and corpus-hygiene registry entries (round 2):
+Gopher-style rule filtering, within-document repetition signals,
+CCNet-style common-span boilerplate removal, and corpus-wide n-gram
+counts. The reference has no text operators (it is a typed-SQL
+compiler — see SURVEY.md §2); these extend the training-data-pipeline
+surface alongside ops/dedup.py and ops/corpus.py.
+
+Determinism contract: every ratio is a single IEEE division of exact
+integer counts (bit-equal across engines, no rounding needed); every
+LIMIT carries a total-order tiebreak; reassembled text is joined in
+explicit ``ord`` order on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlpp_spark.ops import corpus as C
+from sqlpp_spark.ops import text as X
+from sqlpp_spark.queries import register, table
+
+_NORM = X.NORMALIZE_SQL.format(c="text")
+
+_G = X.gopher_stats_sql("text")
+
+
+@register(
+    "text_gopher_quality",
+    oracle=f"""
+SELECT doc_id,
+       {_G['n_words']} AS n_words,
+       {_G['mean_word_len']} AS mean_word_len,
+       {_G['distinct_ratio']} AS distinct_ratio,
+       {_G['gopher_pass']} AS gopher_pass
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style rule filter: word-count band, mean-
+    word-length band, lexical-diversity floor — all per-row scan-stage
+    expressions (zero shuffles; the orderBy exists for the oracle)."""
+    return X.gopher_stats(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents
+), per_word AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+), agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS max_count
+  FROM per_word GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_distinct,
+       (CAST(n_words AS DOUBLE) - n_distinct) / CAST(n_words AS DOUBLE)
+         AS dup_word_frac,
+       max_count / CAST(n_words AS DOUBLE) AS top_word_share
+FROM agg ORDER BY doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: duplicate-word fraction + top-word
+    share (the Gopher repetition signals), via two partially-aggregated
+    narrow shuffles — see ops/text.repetition_stats for the CPU trade."""
+    return X.repetition_stats(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_SPAN_K, _SPAN_MIN_DOCS = 3, 3
+
+
+@register(
+    "dedup_common_spans",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), spans AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS ord,
+         array_to_string(t[i*{_SPAN_K}+1 : (i+1)*{_SPAN_K}], ' ') AS span
+  FROM toks, unnest(range(0, CAST(ceil(len(t)/{_SPAN_K}.0) AS BIGINT))) AS u(i)
+  WHERE len(t) > 0
+), common AS (
+  SELECT span FROM (
+    SELECT span, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY span
+  ) WHERE nd >= {_SPAN_MIN_DOCS}
+), marked AS (
+  SELECT s.doc_id, s.ord, s.span, (c.span IS NOT NULL) AS is_common
+  FROM spans s LEFT JOIN common c ON s.span = c.span
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(is_common::INT) AS BIGINT) AS n_dropped,
+       COALESCE(string_agg(CASE WHEN NOT is_common THEN span END, ' ' ORDER BY ord), '')
+         AS clean_text
+FROM marked
+GROUP BY doc_id
+HAVING CAST(SUM(is_common::INT) AS BIGINT) < CAST(COUNT(*) AS BIGINT)
+ORDER BY doc_id
+""",
+)
+def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style shared-boilerplate removal: drop every {k}-word span
+    occurring in >= {m} distinct documents, reassemble the survivors in
+    order. Occurrence counting runs over span hashes; the thresholded
+    common set broadcasts; text shuffles exactly once (reassembly)."""
+    return C.strip_common_spans(
+        table(spark, sf_dir, "documents"),
+        span_tokens=_SPAN_K, min_docs=_SPAN_MIN_DOCS,
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_bigram_top",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), grams AS (
+  SELECT array_to_string(t[i : i+1], ' ') AS ngram
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n
+FROM grams GROUP BY ngram
+ORDER BY n DESC, ngram ASC
+LIMIT 20
+""",
+)
+def corpus_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams (LM-analysis staple): overlapping
+    bigrams via the codegen explode+slice idiom, one partially-
+    aggregated groupBy on short strings, total-order tiebreak."""
+    grams = C.word_ngrams(table(spark, sf_dir, "documents"), n=2)
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(20)
+    )

@@ -152,3 +152,47 @@ def test_whole_stage_codegen_covers_relational(spark, sf_dir):
     out = buf.getvalue()
     assert "Found 2 WholeStageCodegen subtrees" in out or "WholeStageCodegen" in out
     assert "BatchEvalPython" not in out
+
+
+def test_correlated_scalar_fully_decorrelated(spark, sf_dir):
+    """Catalyst rewrites both correlated scalar subqueries into
+    aggregate+join — no per-row subquery execution survives in the
+    physical plan (a Subquery node would mean driver-side re-execution
+    per outer row)."""
+    p = plan_of(spark, sf_dir, "q_correlated_scalar")
+    assert "Subquery" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_common_spans_broadcasts_common_set(spark, sf_dir):
+    """The thresholded common-span set is small by construction and
+    must broadcast; a SortMergeJoin here would shuffle every span of
+    every document."""
+    p = plan_of(spark, sf_dir, "dedup_common_spans")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pivot_is_single_aggregate_not_per_year_scans(spark, sf_dir):
+    """PIVOT compiles to hash aggregates over (nation, year) with the
+    dimension broadcast — never one scan/join per pivot column."""
+    p = plan_of(spark, sf_dir, "q_pivot_nation_year")
+    # formatted mode prints each scan twice (tree node + detail block)
+    assert p.count("Scan parquet") <= 6  # orders + customer + nation
+    assert "BroadcastHashJoin" in p
+
+
+def test_unpivot_is_expand_not_union_of_rescans(spark, sf_dir):
+    """UNPIVOT lowers to an Expand node over one aggregate — a UNION
+    formulation would rescan/reaggregate once per metric."""
+    p = plan_of(spark, sf_dir, "q_unpivot_priority_metrics")
+    assert "Expand" in p
+    assert "Union" not in p
+
+
+def test_gopher_stats_zero_shuffle(spark, sf_dir):
+    """Gopher rule stats are pure scan-stage expressions: at most the
+    single-file parallelism guard's exchange, nothing else (the orderBy
+    adds a range exchange for the oracle — allow <= 2 total)."""
+    p = plan_of(spark, sf_dir, "text_gopher_quality")
+    assert shuffle_count(p) <= 2
