@@ -137,6 +137,7 @@ def _lsh_pairs_from_sh(
 
 def _band_pairs(
     sigs: DataFrame, id_col: str, n_perms: int = N_PERMS, bands: int = 4,
+    persist_banded: bool = True,
 ) -> DataFrame:
     rows = n_perms // bands
     # band hash via the cross-engine md5 primitive so the whole LSH
@@ -156,12 +157,14 @@ def _band_pairs(
     banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
         id_col, F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh")
     )
-    # persist: the self-join below would otherwise recompute the
-    # signature stage (16 minhash permutations per doc) once per side
-    from pyspark import StorageLevel
+    # persist unless the caller already cached the signature stage
+    # (then re-deriving band hashes per side is just md5s, and the
+    # extra eager job costs more than the recompute)
+    if persist_banded:
+        from pyspark import StorageLevel
 
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    banded.count()  # eager: the join's two map stages would race a lazy persist
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded.count()  # eager: the join's two map stages would race a lazy persist
     a = banded.alias("a")
     b = banded.alias("b")
     out = (
@@ -246,29 +249,35 @@ def minhash_near_duplicates(
     explode→groupBy formulation shuffles every (doc, shingle) pair).
     The only shuffles left are the tiny (band, band_hash) candidate
     join and the per-candidate array fetch; Jaccard verification is
-    per-pair ``array_intersect`` arithmetic. The persisted array table
-    is read by three branches (banding + both verification sides)."""
+    per-pair ``array_intersect`` arithmetic.
+
+    ONE persist, ONE eager job: the arrays and the 16 signature
+    columns are materialized together, so banding (both self-join
+    sides) and verification (both array fetches) all read the same
+    cached frame. Re-deriving band hashes from cached signatures is
+    16 cheap md5s per doc per side — persisting the banded rows too
+    (a second eager job) costs more in job latency than it saves."""
     from pyspark import StorageLevel
 
-    sha = shingle_hash_arrays(df, text_col, id_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sha.count()  # eager: three branches would race a lazy persist
+    sha = shingle_hash_arrays(df, text_col, id_col, k)
     def _perm_lambda(i: int):
         # NB: a two-arg lambda would receive (element, index) from
         # transform — keep it unary and close over i
         return lambda h: perm_hash(h, i)
 
-    sigs = sha.select(
+    enriched = sha.select(
         F.col(id_col),
+        F.col("shs"),
         *[
             F.array_min(F.transform("shs", _perm_lambda(i))).alias(f"mh{i}")
             for i in range(N_PERMS)
         ],
-    )
-    cands = _band_pairs(sigs, id_col)
-    a = sha.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
-    b = sha.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    enriched.count()  # eager: four branches would race a lazy persist
+    sigs = enriched.drop("shs")
+    cands = _band_pairs(sigs, id_col, persist_banded=False)
+    a = enriched.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
+    b = enriched.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
     union = F.size("shs_a") + F.size("shs_b") - inter
     return (
