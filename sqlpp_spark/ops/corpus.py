@@ -278,3 +278,82 @@ def strip_common_spans(
         )
         .filter(F.col("n_dropped") < F.col("n_spans"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination + domain mixture
+# ---------------------------------------------------------------------------
+
+
+def contamination(
+    docs: DataFrame, benchmark: DataFrame, n: int = 8,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, count
+    the distinct word n-grams it shares with the benchmark corpus
+    (docs with a nonzero count are dropped or flagged before
+    training). Standard practice uses 8-13-gram overlap.
+
+    Scale shape: both sides reduce to DISTINCT n-gram rows; the
+    benchmark set is small by definition (eval suites, not corpora) so
+    its grams BROADCAST — the training side never shuffles, and the
+    per-doc count is a partial-aggregated groupBy on ids. Grams meet
+    on equality only, so the join key is the raw gram string locally /
+    its xxhash64 at scale (swap via ``hash_grams=True``) — either way
+    the semantics are string equality.
+
+    Output: (id, n_contaminated_grams) for contaminated docs only.
+    """
+    d_grams = word_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
+    b_grams = word_ngrams(benchmark, n=n, text_col=text_col, id_col=id_col)
+    bench_set = b_grams.select("ngram").distinct()
+    return (
+        d_grams.select(id_col, "ngram")
+        .distinct()
+        .join(F.broadcast(bench_set), on="ngram", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated_grams"))
+    )
+
+
+def mixture_weights(
+    docs: DataFrame, group_col: str = "source",
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixture table: per group, document and token counts, the
+    group's share of corpus tokens, and the resampling weight that
+    would equalize the mixture (uniform target). One partial-aggregated
+    shuffle on the group key + a broadcast of the two global scalars;
+    weights are single divisions of exact integer counts (bit-equal
+    across engines)."""
+    per = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("bigint").alias("__nt"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+    totals = per.select(
+        F.sum("n_tokens").cast("bigint").alias("__total"),
+        F.count(F.lit(1)).cast("bigint").alias("__ngroups"),
+    )
+    return (
+        per.join(F.broadcast(totals), on=F.lit(True))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("__total").cast("double")).alias(
+                "token_share"
+            ),
+            (
+                F.col("__total").cast("double")
+                / (F.col("__ngroups") * F.col("n_tokens")).cast("double")
+            ).alias("mix_weight"),
+        )
+    )

@@ -142,3 +142,65 @@ def corpus_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("ngram").asc())
         .limit(20)
     )
+
+
+_DECON_K, _DECON_MOD = 4, 23
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i : i+{_DECON_K}-1], ' ') AS ngram
+  FROM toks, unnest(range(1, len(t)-{_DECON_K}+2)) AS u(i)
+  WHERE len(t) >= {_DECON_K}
+), bench AS (
+  SELECT DISTINCT ngram FROM grams WHERE doc_id % {_DECON_MOD} = 0
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
+FROM (SELECT DISTINCT doc_id, ngram FROM grams WHERE doc_id % {_DECON_MOD} != 0)
+WHERE ngram IN (SELECT ngram FROM bench)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any {k}-gram
+    with the held-out benchmark slice (doc_id % {m} == 0 stands in for
+    an eval suite). The benchmark gram set broadcasts; the training
+    side never shuffles text — see ops/corpus.contamination."""
+    d = table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % _DECON_MOD != 0)
+    bench = d.filter(F.col("doc_id") % _DECON_MOD == 0)
+    return C.contamination(train, bench, n=_DECON_K).orderBy("doc_id")
+
+
+@register(
+    "corpus_mixture_weights",
+    oracle=f"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS ngroups
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share,
+       CAST(total AS DOUBLE) / CAST(ngroups * n_tokens AS DOUBLE) AS mix_weight
+FROM per, tot
+ORDER BY source
+""",
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture table per source: token share of the corpus and
+    the uniform-target resampling weight — the bookkeeping step before
+    weighted interleaving of training shards."""
+    return C.mixture_weights(table(spark, sf_dir, "documents"), group_col="source").orderBy(
+        "source"
+    )
