@@ -406,13 +406,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.8
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine ≥ 0.8)."""
+    """Embedding near-duplicate pairs (cosine ≥ 0.4 — the driver's
+    synthetic embeddings are near-orthogonal, max pairwise cosine
+    ≈0.51 at sf0.01, so a production-style 0.8 threshold would make
+    the oracle a vacuous 0-row check)."""
     return D.embedding_near_duplicates(
-        table(spark, sf_dir, "embeddings"), threshold=0.8
+        table(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
 
@@ -444,18 +447,98 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
 
 
-@register("dedup_embedding_lsh")  # approximate (bucketed) — precision
-# + recall vs the exact pair set pinned in tests/test_ops.py
+def _lsh_bucket_sql(n_planes: int, dim: int, seed: int) -> str:
+    """DuckDB expression computing the SAME sign-concatenation bucket
+    as ``similarity.lsh_bucket_col``: the hyperplanes are Python
+    floats generated by the shared xorshift PRNG and embedded here as
+    literals (repr() round-trips doubles exactly), and both engines
+    fold the dot product left-to-right in element order, so the
+    bucket ids are bit-identical (pinned by
+    tests/test_ops.py::test_lsh_bucket_cross_engine_bit_equal)."""
+    from sqlpp_spark.ops.similarity import _planes
+
+    terms = []
+    for i, plane in enumerate(_planes(n_planes, dim, seed)):
+        lits = ",".join(repr(x) for x in plane)
+        terms.append(
+            f"CASE WHEN list_inner_product(v, [{lits}]::DOUBLE[]) > 0"
+            f" THEN {1 << i} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _lsh_tables_cte(n_planes: int, dim: int, seed: int, n_tables: int) -> str:
+    """UNION ALL of one bucket assignment per hash table (seed offset
+    1000·t, matching lsh_near_duplicate_pairs / lsh_topk)."""
+    parts = [
+        f"SELECT vec_id, {t} AS tbl, "
+        f"{_lsh_bucket_sql(n_planes, dim, seed + 1000 * t)} AS bucket FROM e"
+        for t in range(n_tables)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _lsh_pairs_oracle(
+    n_planes: int = 4, dim: int = 64, seed: int = 42, n_tables: int = 2,
+    threshold: float = 0.8,
+) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS ({_lsh_tables_cte(n_planes, dim, seed, n_tables)}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT p.id_a, p.id_b, list_cosine_similarity(x.v, y.v) AS cos
+FROM pairs p JOIN e x ON x.vec_id = p.id_a JOIN e y ON y.vec_id = p.id_b
+WHERE list_cosine_similarity(x.v, y.v) >= {threshold}
+"""
+
+
+@register("dedup_embedding_lsh", oracle=_lsh_pairs_oracle(threshold=0.4))
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup: LSH-bucketed candidate pairs
-    (cos ≥ 0.8), |corpus|²/2^planes work per table instead of all
-    pairs."""
+    (cos ≥ 0.4, see dedup_embedding_cosine for why), |corpus|²/2^planes
+    work per table instead of all pairs. Fully oracled: the DuckDB
+    side replays the identical hyperplane literals, so even the
+    approximate candidate set is deterministic and hash-checked
+    (recall vs the exact pair set is separately pinned in
+    tests/test_ops.py)."""
     emb = table(spark, sf_dir, "embeddings")
-    return S.lsh_near_duplicate_pairs(emb, dim=64, threshold=0.8)
+    return S.lsh_near_duplicate_pairs(emb, dim=64, threshold=0.4)
 
 
-@register("ann_lsh_topk")  # approximate — no SQL oracle; recall tested in pytest
+def _lsh_topk_oracle(
+    n_planes: int = 4, dim: int = 64, seed: int = 42, n_tables: int = 2,
+    k: int = 10, n_queries: int = 8,
+) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS ({_lsh_tables_cte(n_planes, dim, seed, n_tables)}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM b c JOIN b q ON c.tbl = q.tbl AND c.bucket = q.bucket
+  WHERE q.vec_id < {n_queries} AND q.vec_id != c.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.cand_id, list_cosine_similarity(x.v, y.v) AS cos
+  FROM cand JOIN e x ON x.vec_id = cand.query_id JOIN e y ON y.vec_id = cand.cand_id
+)
+SELECT * FROM (
+  SELECT query_id, cand_id, cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, cand_id
+         ) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@register("ann_lsh_topk", oracle=_lsh_topk_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN top-10 — oracled end to end (bucketing
+    replayed from identical plane literals in DuckDB); recall vs
+    brute force separately pinned in tests/test_ops.py."""
     emb = table(spark, sf_dir, "embeddings")
     dim = 64
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), dim=dim, k=10, n_planes=4)

@@ -181,6 +181,29 @@ def test_lsh_buckets_partition_corpus(spark, emb):
     assert 2 <= n_buckets <= 16
 
 
+def test_lsh_bucket_cross_engine_bit_equal(spark, sf_dir, emb):
+    """The LSH oracle replays the hyperplane literals in DuckDB — the
+    whole construction is only hash-checkable if both engines agree on
+    every dot-product SIGN. Pin bucket-id bit-equality per vector."""
+    import duckdb
+
+    from sqlpp_spark.ops.similarity import lsh_buckets
+    from sqlpp_spark.queries.pipeline import _lsh_bucket_sql
+
+    sbuckets = {
+        r.vec_id: r.bucket
+        for r in lsh_buckets(emb, dim=64, n_planes=4, seed=42).collect()
+    }
+    con = duckdb.connect()
+    dd = con.execute(
+        f"SELECT vec_id, {_lsh_bucket_sql(4, 64, 42)} AS bucket FROM ("
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet'))"
+    ).fetchall()
+    assert len(dd) == len(sbuckets)
+    assert all(sbuckets[vid] == bk for vid, bk in dd)
+
+
 def test_quality_score_range(spark, docs):
     from sqlpp_spark.ops.text import text_stats
 
