@@ -382,3 +382,58 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         ((nw - F.col("n_distinct")) / nw).alias("dup_word_frac"),
         (F.col("max_count") / nw).alias("top_word_share"),
     )
+
+
+# -- PII redaction -----------------------------------------------------------
+#
+# Patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+# interpret identically: explicit character classes, bounded
+# quantifiers, \b word boundaries — no lookaround, no backrefs. Each
+# pattern is the single source of truth for BOTH engines, so the
+# redacted text is bit-comparable in the driver's oracle gate.
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (kind, regex, replacement token) — applied in order; email first
+    # so its host part is never half-eaten by the IP rule.
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+]
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace emails, IPv4 addresses, and phone numbers with typed
+    placeholder tokens — pure chained ``regexp_replace`` in the scan
+    stage: zero shuffles, zero Python, safe at any scale."""
+    out = c
+    for _, pat, tok in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tok)
+    return out
+
+
+def redact_pii_sql(c: str) -> str:
+    # DuckDB single-quoted literals keep backslashes as-is (standard
+    # SQL) — pass the pattern through verbatim, only quotes doubled.
+    out = c
+    for _, pat, tok in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{tok}', 'g')"
+    return out
+
+
+def pii_counts(c: Column) -> dict[str, Column]:
+    """Per-kind match counts (taken BEFORE redaction)."""
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("bigint")
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_counts_sql(c: str) -> dict[str, str]:
+    out = {}
+    for kind, pat, _ in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        out[f"n_{kind}"] = (
+            f"CAST(len(regexp_extract_all({c}, '{sql_pat}')) AS BIGINT)"
+        )
+    return out
