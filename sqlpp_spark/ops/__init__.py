@@ -9,6 +9,20 @@ scale, multimodal decode) we use Arrow-batched Pandas UDFs.
 from pyspark.sql import DataFrame
 
 
+def release_intermediates(df: DataFrame) -> None:
+    """Unpersist the intermediate frames an operator recorded on its
+    result (``df._sqlpp_persisted``). Call once the result has been
+    materialized (written / collected) — repeated operator invocations
+    without it accumulate cached blocks until LRU eviction. The
+    attribute lives on the returned object only; if you transform the
+    result further, release via the ORIGINAL handle."""
+    for f in getattr(df, "_sqlpp_persisted", ()):
+        try:
+            f.unpersist()
+        except Exception:
+            pass
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Guard CPU-bound expression stages (shingling, hashing, vector
     math) against under-parallelized scans: a small single-file input
@@ -22,6 +36,11 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         # inputFiles() is a cheap driver-side plan walk: a plan reading
         # >= target files yields enough splits no matter what sits
         # above the scan, so the 100 TB path skips the precise probe.
+        # HEURISTIC caveat: a coalesce(1)/repartition(1) ABOVE a
+        # many-file scan defeats it (we skip, parallelism stays low) —
+        # acceptable because sqlpp_spark never coalesces before the
+        # CPU-bound stages this guards; callers that do should
+        # repartition explicitly.
         # Otherwise fall through to df.rdd (~0.2 s driver latency) —
         # it alone knows the true partition count of derived plans
         # (e.g. an input that a window already shuffled to N

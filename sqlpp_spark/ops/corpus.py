@@ -288,6 +288,7 @@ def strip_common_spans(
 def contamination(
     docs: DataFrame, benchmark: DataFrame, n: int = 8,
     text_col: str = "text", id_col: str = "doc_id",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: for every training document, count
     the distinct word n-grams it shares with the benchmark corpus
@@ -306,6 +307,12 @@ def contamination(
     """
     d_grams = word_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
     b_grams = word_ngrams(benchmark, n=n, text_col=text_col, id_col=id_col)
+    if hash_grams:
+        # 8 bytes per gram instead of the n-word string — smaller
+        # broadcast + dedup state at scale; xxhash64 collisions at
+        # benchmark-set cardinality (≤10⁷ grams) are ~2⁻⁴⁰ per pair.
+        d_grams = d_grams.withColumn("ngram", F.xxhash64("ngram"))
+        b_grams = b_grams.withColumn("ngram", F.xxhash64("ngram"))
     bench_set = b_grams.select("ngram").distinct()
     return (
         d_grams.select(id_col, "ngram")

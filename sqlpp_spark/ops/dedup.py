@@ -181,6 +181,9 @@ def _band_pairs(
         )
         .distinct()
     )
+    if persist_banded:
+        # caller releases via ops.release_intermediates(result)
+        out._sqlpp_persisted = [banded]
     return out
 
 
@@ -280,7 +283,7 @@ def minhash_near_duplicates(
     b = enriched.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
     union = F.size("shs_a") + F.size("shs_b") - inter
-    return (
+    out = (
         cands.join(a, on="id_a")
         .join(b, on="id_b")
         .select(
@@ -289,6 +292,10 @@ def minhash_near_duplicates(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # caller releases the cached enriched frame via
+    # ops.release_intermediates(result) after materializing
+    out._sqlpp_persisted = [enriched]
+    return out
 
 
 def connected_components(
@@ -368,7 +375,7 @@ def near_duplicate_clusters(
     pairs = minhash_near_duplicates(df, text_col, id_col, k, threshold)
     comp = connected_components(pairs.select("id_a", "id_b"))
     sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
+    out = (
         comp.join(sizes, on="comp")
         .select(
             F.col("node").alias(id_col),
@@ -376,6 +383,11 @@ def near_duplicate_clusters(
             "cluster_size",
         )
     )
+    out._sqlpp_persisted = [
+        *getattr(pairs, "_sqlpp_persisted", ()),
+        comp,  # connected_components returns its labels persisted
+    ]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -414,7 +426,7 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
+    out = (
         inter.join(sz_a, on="id_a")
         .join(sz_b, on="id_b")
         .select(
@@ -426,6 +438,8 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    out._sqlpp_persisted = [sh]  # release via ops.release_intermediates
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -78,8 +78,18 @@ def asof_join(
     u = l_tag.unionByName(r_tag)
     for c in payload:
         u = u.withColumn(f"__asof_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w))
+    # A NULL join key matches nothing in a real join (NULL != NULL),
+    # but partitionBy groups all-NULL keys together — mask the asof
+    # payload back to NULL for those rows to keep join semantics.
+    any_key_null = None
+    for k in on:
+        cond = F.col(k).isNull()
+        any_key_null = cond if any_key_null is None else (any_key_null | cond)
     out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns] + [
-        F.col(f"__asof_{c}").alias(f"{prefix}{c}") for c in payload
+        F.when(any_key_null, F.lit(None).cast(pay_types[c]))
+        .otherwise(F.col(f"__asof_{c}"))
+        .alias(f"{prefix}{c}")
+        for c in payload
     ]
     return u.filter(F.col("__is_left") == 1).select(*out_cols)
 
@@ -99,25 +109,35 @@ def range_count(
     so no per-key cross product ever materializes.
     """
     w_us = int(window_seconds) * 1_000_000
+    # Unique row id so (a) duplicate left rows each get their OWN count
+    # instead of the group total, and (b) the count join matches by
+    # identity, never by (possibly NULL) payload columns. Only
+    # (id, keys, ts) flows through the explode+join — payload columns
+    # stay out of the bucketed join and move once, in the final
+    # narrow id-equi-join.
+    l_id = left.withColumn("__rid", F.monotonically_increasing_id())
     r_b = right.select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__rts"),
         F.floor(F.unix_micros(F.col(right_ts)) / F.lit(w_us)).alias("__bucket"),
     )
-    l_b = left.withColumn(
+    l_b = l_id.select("__rid", *on, F.col(left_ts).alias("__lts")).withColumn(
         "__bucket",
         F.explode(
             F.array(
-                F.floor(F.unix_micros(F.col(left_ts)) / F.lit(w_us)) - 1,
-                F.floor(F.unix_micros(F.col(left_ts)) / F.lit(w_us)),
+                F.floor(F.unix_micros(F.col("__lts")) / F.lit(w_us)) - 1,
+                F.floor(F.unix_micros(F.col("__lts")) / F.lit(w_us)),
             )
         ),
     )
+    # NULL join keys never match (standard join semantics) -> count 0.
     joined = l_b.join(r_b, on=[*on, "__bucket"]).filter(
-        (F.col("__rts") >= F.col(left_ts) - F.expr(f"INTERVAL {window_seconds} SECOND"))
-        & (F.col("__rts") < F.col(left_ts))
+        (F.col("__rts") >= F.col("__lts") - F.expr(f"INTERVAL {window_seconds} SECOND"))
+        & (F.col("__rts") < F.col("__lts"))
     )
-    counts = joined.groupBy(*left.columns).agg(F.count(F.lit(1)).alias(count_col))
-    return left.join(counts, on=list(left.columns), how="left").withColumn(
-        count_col, F.coalesce(F.col(count_col), F.lit(0))
+    counts = joined.groupBy("__rid").agg(F.count(F.lit(1)).alias(count_col))
+    return (
+        l_id.join(counts, on="__rid", how="left")
+        .withColumn(count_col, F.coalesce(F.col(count_col), F.lit(0)))
+        .drop("__rid")
     )

@@ -99,4 +99,8 @@ def _ensure_loaded():
         import sqlpp_spark.queries.analytic_extra  # noqa: F401
     except ImportError:
         pass
+    try:
+        import sqlpp_spark.queries.web_queries  # noqa: F401
+    except ImportError:
+        pass
     _loaded = True

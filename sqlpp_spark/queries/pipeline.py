@@ -327,11 +327,14 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_docs = docs.join(keep_ids, on="doc_id", how="left_semi")
     pairs = D.minhash_near_duplicates(kept_docs, threshold=0.7)
     removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    return (
+    out = (
         meta.join(keep_ids, on="doc_id", how="left_semi")
         .join(removed, on="doc_id", how="left_anti")
         .select("doc_id", "lang_pred", "quality")
     )
+    # release via ops.release_intermediates(out) once materialized
+    out._sqlpp_persisted = [meta, *getattr(pairs, "_sqlpp_persisted", ())]
+    return out
 
 
 def _cluster_oracle(k: int = 3, n_perms: int = 16, bands: int = 4,

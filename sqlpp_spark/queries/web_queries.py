@@ -1,0 +1,147 @@
+"""Registry entries for web-corpus hygiene (ops/web.py) and PII
+redaction (ops/text.py).
+
+The ``documents`` table has no URL or PII columns, so both queries
+first derive deterministic synthetic columns from (doc_id, source)
+with expressions written identically in Spark and in the DuckDB
+oracle — the interesting part (regex host extraction, subdomain
+anti-join, chained redaction) then runs on real variety:
+
+- urls: 4 shapes (userinfo+port / subdomain / .org / non-URL garbage)
+- pii: email / IPv4 / phone injected on doc_id % {3,5,7} == 0 rows
+
+Oracle notes: DuckDB ``ends_with(host, '.' || domain)`` replicates the
+subdomain rule; the PII regexes are the single source of truth shared
+by both engines (ops/text.py PII_PATTERNS — RE2/Java-compatible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlpp_spark.ops import web as W
+from sqlpp_spark.ops.text import pii_counts, pii_counts_sql, redact_pii, redact_pii_sql
+from sqlpp_spark.queries import register, table
+
+BLOCKED_DOMAINS = ["src1.example.com", "src3.example.org", "spam.example.net"]
+
+# -- deterministic URL synthesis (identical Spark / DuckDB text) -------------
+
+_URL_SQL = """CASE CAST(doc_id % 4 AS INTEGER)
+  WHEN 0 THEN 'https://user@' || source || '.example.com:8443/d/' || CAST(doc_id AS VARCHAR)
+  WHEN 1 THEN 'http://sub.' || source || '.example.com/p?q=' || CAST(doc_id AS VARCHAR)
+  WHEN 2 THEN 'https://crawl.' || source || '.example.org/x'
+  ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+END"""
+
+
+def _with_url(d: DataFrame) -> DataFrame:
+    m = (F.col("doc_id") % 4).cast("int")
+    did = F.col("doc_id").cast("string")
+    return d.withColumn(
+        "url",
+        F.when(m == 0, F.concat(F.lit("https://user@"), F.col("source"),
+                                F.lit(".example.com:8443/d/"), did))
+        .when(m == 1, F.concat(F.lit("http://sub."), F.col("source"),
+                               F.lit(".example.com/p?q="), did))
+        .when(m == 2, F.concat(F.lit("https://crawl."), F.col("source"),
+                               F.lit(".example.org/x")))
+        .otherwise(F.concat(F.lit("not a url "), did)),
+    )
+
+
+_BLOCK_VALUES = ", ".join(f"('{d}')" for d in BLOCKED_DOMAINS)
+
+@register(
+    "web_domain_filter",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, source, {_URL_SQL} AS url FROM documents
+), h AS (
+  SELECT doc_id, source, url, {W.url_domain_sql('url')} AS domain FROM u
+), blocklist(blocked) AS (VALUES {_BLOCK_VALUES})
+SELECT doc_id, url, domain FROM h
+WHERE NOT EXISTS (
+  SELECT 1 FROM blocklist
+  WHERE h.domain = blocked OR ends_with(h.domain, '.' || blocked)
+)
+ORDER BY doc_id
+""",
+)
+def web_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filter over synthesized crawl URLs: host extraction in
+    the scan stage, then one broadcast HASH anti-join per distinct
+    blocklist label count (ops/web.py) — no nested-loop node, corpus
+    never shuffles."""
+    d = _with_url(table(spark, sf_dir, "documents"))
+    blocklist = spark.createDataFrame(
+        [(x,) for x in BLOCKED_DOMAINS], "domain string"
+    )
+    kept = W.filter_blocked_domains(d, blocklist)
+    return (
+        kept.select(
+            "doc_id", "url", W.url_domain(F.col("url")).alias("domain")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -- PII injection + redaction ----------------------------------------------
+
+_PII_SQL = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN ' contact user'"
+    " || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.1.2.'"
+    " || CAST(doc_id % 256 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+
+def _with_pii(d: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@mail.example.com"))).otherwise(""),
+            F.when(did % 5 == 0, F.concat(
+                F.lit(" from 10.1.2."), (did % 256).cast("string"))
+            ).otherwise(""),
+            F.when(did % 7 == 0, F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(""),
+        ),
+    )
+
+
+_CNT_SQL = ",\n       ".join(
+    f"{expr} AS {name}"
+    for name, expr in pii_counts_sql(f"({_PII_SQL})").items()
+)
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+SELECT doc_id,
+       {redact_pii_sql(f'({_PII_SQL})')} AS redacted,
+       {_CNT_SQL}
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inject synthetic PII deterministically, then redact with chained
+    scan-stage regexp_replace and count matches per kind — zero
+    shuffles, zero Python; the regex set is shared verbatim with the
+    DuckDB oracle."""
+    d = _with_pii(table(spark, sf_dir, "documents"))
+    counts = pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("redacted"),
+        *[c.alias(n) for n, c in counts.items()],
+    ).orderBy("doc_id")

@@ -218,3 +218,51 @@ def test_token_counts_positive(spark, docs):
     stats = text_stats(docs)
     assert stats.filter(F.col("n_tokens") <= 0).count() == 0
     assert stats.filter(F.col("n_word_tokens") < F.col("n_tokens")).count() == 0
+
+
+def test_blocked_domain_filter_semantics(spark):
+    from sqlpp_spark.ops.web import filter_blocked_domains
+
+    rows = [
+        (1, "https://bad.com/x"),            # exact match -> drop
+        (2, "https://a.bad.com/x"),          # subdomain -> drop
+        (3, "https://deep.a.bad.com/x"),     # deep subdomain -> drop
+        (4, "https://notbad.com/x"),         # suffix but not subdomain -> keep
+        (5, "https://bad.com.evil.org/x"),   # blocked string mid-host -> keep
+        (6, "https://x.co.uk/x"),            # 3-label blocklist exact -> drop
+        (7, "https://sub.x.co.uk/x"),        # 3-label subdomain -> drop
+        (8, "not a url"),                    # host '' -> keep
+        (9, "https://good.org/x"),           # -> keep
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    block = spark.createDataFrame(
+        [("bad.com",), ("x.co.uk",)], "domain string"
+    )
+    kept = sorted(
+        r.doc_id for r in filter_blocked_domains(df, block).collect()
+    )
+    assert kept == [4, 5, 8, 9]
+
+
+def test_release_intermediates_unpersists(spark, docs):
+    from sqlpp_spark.ops import release_intermediates
+    from sqlpp_spark.ops.dedup import minhash_near_duplicates
+
+    out = minhash_near_duplicates(docs.limit(50))
+    out.count()
+    cached = out._sqlpp_persisted
+    assert cached and all(f.storageLevel.useMemory for f in cached)
+    release_intermediates(out)
+    assert all(not f.storageLevel.useMemory for f in cached)
+
+
+def test_contamination_hash_grams_same_result(spark, docs):
+    from sqlpp_spark.ops.corpus import contamination
+
+    d = docs.limit(60)
+    bench = docs.limit(5)
+    plain = {(r.doc_id, r.n_contaminated_grams)
+             for r in contamination(d, bench, n=3).collect()}
+    hashed = {(r.doc_id, r.n_contaminated_grams)
+              for r in contamination(d, bench, n=3, hash_grams=True).collect()}
+    assert plain == hashed and plain

@@ -196,3 +196,25 @@ def test_gopher_stats_zero_shuffle(spark, sf_dir):
     adds a range exchange for the oracle — allow <= 2 total)."""
     p = plan_of(spark, sf_dir, "text_gopher_quality")
     assert shuffle_count(p) <= 2
+
+
+def test_web_filter_hash_anti_join_no_nested_loop(spark, sf_dir):
+    """Blocklist filtering must be broadcast HASH anti-joins (one per
+    distinct label count), never a nested-loop scan of the blocklist
+    per corpus row, and the corpus side must not shuffle."""
+    p = plan_of(spark, sf_dir, "web_domain_filter")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", p)
+    # the only exchange allowed is the final orderBy's range partition
+    for body in exchange_sections(p):
+        assert "rangepartitioning" in body.lower(), body
+
+
+def test_pii_redaction_zero_shuffle(spark, sf_dir):
+    """Redaction + per-kind counts are pure scan-stage expressions."""
+    p = plan_of(spark, sf_dir, "text_pii_redaction")
+    assert "Join" not in p
+    for body in exchange_sections(p):
+        assert "rangepartitioning" in body.lower(), body

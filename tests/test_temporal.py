@@ -92,3 +92,61 @@ def test_range_count_zero_matches_kept(spark):
     out = range_count(left, right, on=["k"], window_seconds=3600, count_col="n")
     got = {r.id: r.n for r in out.collect()}
     assert got == {1: 1, 2: 0}
+
+
+def test_range_count_duplicate_left_rows_counted_individually(spark):
+    """Two identical left rows must EACH get their own count (3), not
+    the group total (6) — regression for the all-columns group/join."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [("a", t0), ("a", t0)], "k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", t0 - dt.timedelta(minutes=m)) for m in (1, 2, 3)],
+        "k string, ts timestamp",
+    )
+    out = range_count(left, right, on=["k"], window_seconds=3600, count_col="n")
+    assert [r.n for r in out.collect()] == [3, 3]
+    assert out.count() == 2
+
+
+def test_range_count_null_key_matches_nothing(spark):
+    """A left row with a NULL key joins nothing (NULL != NULL) and its
+    count coalesces to 0; NULL payload columns don't break the rejoin."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(None, t0, None), ("a", t0, "p")],
+        "k string, ts timestamp, payload string",
+    )
+    right = spark.createDataFrame(
+        [(None, t0 - dt.timedelta(minutes=1)), ("a", t0 - dt.timedelta(minutes=1))],
+        "k string, ts timestamp",
+    )
+    out = {(r.k, r.payload): r.n for r in range_count(
+        left, right, on=["k"], window_seconds=3600, count_col="n"
+    ).collect()}
+    assert out[(None, None)] == 0
+    assert out[("a", "p")] == 1
+
+
+def test_asof_null_key_yields_null_payload(spark):
+    """NULL-key left rows must NOT pick up NULL-key right rows."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(None, t0), ("a", t0)], "k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(None, t0 - dt.timedelta(minutes=1), 99), ("a", t0 - dt.timedelta(minutes=1), 7)],
+        "k string, ts timestamp, v int",
+    )
+    out = {r.k: r.asof_v for r in asof_join(
+        left, right, on=["k"], payload=["v"]
+    ).collect()}
+    assert out[None] is None
+    assert out["a"] == 7
