@@ -398,12 +398,25 @@ def near_duplicate_clusters(
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 3, threshold: float = 0.5, block_col: str | None = "lang",
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over word k-grams for all pairs within a block
     (default: same ``lang``). The block bounds the quadratic term; at
     scale use minhash_near_duplicates instead and keep this as the
-    verification oracle."""
+    verification oracle — on a BOUNDED sample: even one lang-block is
+    O(n²) at corpus scale.
+
+    Guard: ``block_col=None`` means a single global block — refuse
+    unless the caller passes ``allow_quadratic=True``, acknowledging
+    the all-pairs cost on their (sampled) input."""
     from pyspark import StorageLevel
+
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "ngram_jaccard_pairs with block_col=None is all-pairs "
+            "quadratic; pass allow_quadratic=True for a bounded sample "
+            "or use minhash_near_duplicates at scale"
+        )
 
     # hash values never leave this operator (only shingle equality
     # matters) → xxhash64; persist: the table feeds 3 plan branches
@@ -523,11 +536,34 @@ def cosine_sim(a: Column, b: Column) -> Column:
 
 def embedding_near_duplicates(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
-    threshold: float = 0.95,
+    threshold: float = 0.95, exact: bool = False,
+    dim: int | None = None, n_planes: int = 4, n_tables: int = 2,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold. Quadratic candidate step —
-    at scale gate it behind the random-hyperplane LSH bucketer
-    (similarity.lsh_buckets) so only same-bucket pairs meet."""
+    """Pairs with cosine ≥ threshold.
+
+    DEFAULT is the random-hyperplane LSH bucketed path
+    (similarity.lsh_near_duplicate_pairs): only same-bucket pairs are
+    scored — ~|corpus|²/2^n_planes candidates per table instead of
+    all pairs, the shape that survives 100 TB. Perfect precision
+    (candidates are verified), recall tunable via n_planes/n_tables.
+
+    ``exact=True`` runs the all-pairs quadratic baseline — a
+    VERIFICATION mode for bounded samples (recall measurement, oracle
+    checks), never the default: its candidate step is a nested-loop
+    cross product.
+
+    ``dim`` (LSH path) is inferred from the first row when omitted —
+    one tiny driver probe; pass it explicitly in pipelines.
+    """
+    if not exact:
+        from sqlpp_spark.ops.similarity import lsh_near_duplicate_pairs
+
+        if dim is None:
+            dim = df.select(F.size(F.col(vec_col))).first()[0]
+        return lsh_near_duplicate_pairs(
+            df, dim=dim, threshold=threshold, n_planes=n_planes,
+            n_tables=n_tables, vec_col=vec_col, id_col=id_col,
+        )
     df = ensure_parallelism(df)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

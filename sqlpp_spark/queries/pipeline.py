@@ -403,22 +403,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_duplicates(table(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle="""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
-""",
-)
+def _embedding_cosine_oracle() -> str:
+    # replay of embedding_near_duplicates' DEFAULT (LSH) path at its
+    # high-recall setting: n_planes=3, n_tables=3 — defined after
+    # _lsh_pairs_oracle below, wired via late registration
+    return _lsh_pairs_oracle(n_planes=3, n_tables=3, threshold=0.4)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine ≥ 0.4 — the driver's
-    synthetic embeddings are near-orthogonal, max pairwise cosine
-    ≈0.51 at sf0.01, so a production-style 0.8 threshold would make
-    the oracle a vacuous 0-row check)."""
+    """Embedding near-duplicate pairs through the operator's DEFAULT
+    path — LSH-bucketed candidates (no all-pairs nested loop anywhere
+    in the plan; pinned by tests/test_plans.py), here at a
+    higher-recall setting (3 planes × 3 tables) than the
+    dedup_embedding_lsh entry's 4×2. cos ≥ 0.4 because the driver's
+    synthetic embeddings are near-orthogonal (max pairwise cosine
+    ≈0.51 at sf0.01) — a production-style 0.8 threshold would make the
+    oracle a vacuous 0-row check. The exact all-pairs baseline remains
+    available as embedding_near_duplicates(exact=True), used for
+    recall measurement in tests/test_ops.py only."""
     return D.embedding_near_duplicates(
-        table(spark, sf_dir, "embeddings"), threshold=0.4
+        table(spark, sf_dir, "embeddings"), threshold=0.4,
+        dim=64, n_planes=3, n_tables=3,
     )
 
 
@@ -509,6 +514,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ops.py)."""
     emb = table(spark, sf_dir, "embeddings")
     return S.lsh_near_duplicate_pairs(emb, dim=64, threshold=0.4)
+
+
+# late registration: the oracle replays _lsh_pairs_oracle, defined above
+register("dedup_embedding_cosine", oracle=_embedding_cosine_oracle())(
+    dedup_embedding_cosine
+)
 
 
 def _lsh_topk_oracle(

@@ -32,7 +32,9 @@ def test_minhash_pairs_are_real_near_dups(spark, docs):
     mh = {(r.id_a, r.id_b) for r in minhash_near_duplicates(docs, threshold=0.7).collect()}
     exact = {
         (r.id_a, r.id_b)
-        for r in ngram_jaccard_pairs(docs, threshold=0.7, block_col=None).collect()
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.7, block_col=None, allow_quadratic=True
+        ).collect()
     }
     # verification step guarantees soundness: every reported pair IS a
     # true near-dup pair
@@ -66,7 +68,7 @@ def test_lsh_near_dup_pairs_subset_of_exact(spark, emb):
     t = 0.8
     exact = {
         (r.id_a, r.id_b): r.cos
-        for r in embedding_near_duplicates(emb, threshold=t).collect()
+        for r in embedding_near_duplicates(emb, threshold=t, exact=True).collect()
     }
     approx = {
         (r.id_a, r.id_b): r.cos
@@ -266,3 +268,10 @@ def test_contamination_hash_grams_same_result(spark, docs):
     hashed = {(r.doc_id, r.n_contaminated_grams)
               for r in contamination(d, bench, n=3, hash_grams=True).collect()}
     assert plain == hashed and plain
+
+
+def test_ngram_jaccard_unblocked_requires_opt_in(spark, docs):
+    from sqlpp_spark.ops.dedup import ngram_jaccard_pairs
+
+    with pytest.raises(ValueError, match="quadratic"):
+        ngram_jaccard_pairs(docs, block_col=None)

@@ -218,3 +218,11 @@ def test_pii_redaction_zero_shuffle(spark, sf_dir):
     assert "Join" not in p
     for body in exchange_sections(p):
         assert "rangepartitioning" in body.lower(), body
+
+
+def test_embedding_dedup_default_is_bucketed_not_all_pairs(spark, sf_dir):
+    """The default embedding near-dup path must never contain an
+    all-pairs candidate step (VERDICT r2 #3)."""
+    p = plan_of(spark, sf_dir, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
