@@ -483,9 +483,16 @@ class SqlppEngine:
                 name = f"_{i}"
             cols.append(comp.expr(elab, binds, {}).alias(name))
         # materialize: the caller rewrites the table right after, which
-        # would invalidate a lazy plan reading the old files
+        # would invalidate a lazy plan reading the old files. Checkpoint
+        # to temp parquet and re-read — rows stay distributed on the
+        # executors (a collect() here would funnel every RETURNING row
+        # through the driver). The temp dir lives until the session
+        # ends; RETURNING frames are small relative to the rewrite the
+        # caller performs anyway.
         out = base.select(*cols)
-        return self.spark.createDataFrame(out.collect(), out.schema)
+        tmp = tempfile.mkdtemp(prefix="sqlpp_returning_")
+        out.write.mode("overwrite").parquet(tmp)
+        return self.spark.read.parquet(tmp)
 
     def _primary_key(self, table: str) -> List[str]:
         ti = self.env.tables.get(table)

@@ -681,3 +681,21 @@ def test_on_conflict_requires_primary_key(spark, tmp_path):
         eng.exec(
             "insert into notes (id, body) values (1, 'dup') on conflict ignore"
         )
+
+
+def test_returning_stays_off_driver(todo_engine):
+    """RETURNING materializes via a temp-parquet checkpoint, not a
+    driver-side collect: the returned frame must read from files
+    (distributed scan), never a LocalTableScan of collected rows."""
+    ret = todo_engine.exec(
+        "update todos set done = true where id = 2 returning id, title"
+    )
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ret.explain()
+    plan = buf.getvalue()
+    assert "LocalTableScan" not in plan
+    assert "parquet" in plan.lower()
+    assert [r.id for r in ret.collect()] == [2]
