@@ -38,9 +38,43 @@ def test_fake_decode_roundtrips_header(spark, media):
     assert feats.filter(F.col("mean_byte") <= 0).count() == 0
 
 
-def test_real_decoder_is_stubbed(media):
+def test_decode_image_both_environments(spark, media):
+    """decode_image works whether or not pillow is installed: with PIL
+    it decodes real bytes (SYNM payloads still parse as synthetic, so
+    output equals fake_decode on this corpus); without PIL it
+    auto-falls back to the synthetic decoder. Either way the result
+    must match fake_decode row for row here."""
+    from sqlpp_spark.ops.multimodal import HAS_PIL
+
+    real = {r.media_id: (r.width, r.height, r.channels, r.payload_bytes,
+                         round(r.mean_byte, 9))
+            for r in decode_image(media).collect()}
+    fake = {r.media_id: (r.width, r.height, r.channels, r.payload_bytes,
+                         round(r.mean_byte, 9))
+            for r in fake_decode(media).collect()}
+    assert real == fake and real
+    if HAS_PIL:
+        # a genuine (non-SYNM) image must decode through PIL
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (11, 7), color=(10, 20, 30)).save(buf, format="PNG")
+        png = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue()))], "media_id long, payload binary"
+        )
+        row = decode_image(png).collect()[0]
+        assert (row.width, row.height, row.channels) == (11, 7, 3)
+
+
+def test_decode_image_no_fallback_raises_without_pil(media):
+    from sqlpp_spark.ops.multimodal import HAS_PIL
+
+    if HAS_PIL:
+        pytest.skip("pillow installed - stub boundary not reachable")
     with pytest.raises(NotImplementedError, match="pillow|decode"):
-        decode_image(media)
+        decode_image(media, fallback=False)
 
 
 def test_resize_metadata(media):
