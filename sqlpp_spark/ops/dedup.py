@@ -495,12 +495,73 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
 def simhash_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Docs whose SimHash signatures collide exactly (hamming 0). For
-    hamming ≤ d at scale, band the signature into d+1 chunks and join
-    per chunk (same LSH trick as minhash)."""
+    hamming ≤ d, see ``simhash_near_duplicates`` (banded join)."""
     sigs = simhash(df, text_col, id_col)
     return sigs.groupBy("simhash").agg(
         F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs")
     ).filter(F.col("n_docs") > 1)
+
+
+def _simhash_chunk_bounds(bits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """(low_bit, width) per chunk; remainder bits go to the last chunk."""
+    base = bits // n_chunks
+    bounds, lo = [], 0
+    for c in range(n_chunks):
+        width = base + (bits - base * n_chunks if c == n_chunks - 1 else 0)
+        bounds.append((lo, width))
+        lo += width
+    return bounds
+
+
+def simhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = 32, max_hamming: int = 3,
+) -> DataFrame:
+    """EXACT hamming ≤ d pairs via the banded LSH trick: split the
+    signature into d+1 chunks — two signatures within hamming d must
+    agree on at least one chunk (pigeonhole), so an equi self-join per
+    chunk finds EVERY qualifying pair; XOR-popcount verification then
+    drops the false candidates. No all-pairs step anywhere: candidate
+    volume is same-chunk-value collisions only (~n²/2^(bits/(d+1))
+    per band for uniform signatures).
+
+    Returns (id_a, id_b, hamming) with hamming ≤ max_hamming.
+    """
+    from pyspark import StorageLevel
+
+    sigs = simhash(df, text_col, id_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count()  # eager: both self-join sides read it
+    n_chunks = max_hamming + 1
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band"),
+                F.shiftright(F.col("simhash"), lo)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk"),
+            )
+            for c, (lo, width) in enumerate(_simhash_chunk_bounds(bits, n_chunks))
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("bc")
+    ).select(id_col, "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"), "band", "chunk"
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    out = (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    out._sqlpp_persisted = [sigs]  # release via ops.release_intermediates
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -373,7 +373,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_duplicate_clusters(table(spark, sf_dir, "documents"), threshold=0.7)
 
 
-def _simhash_oracle(bits: int = 32) -> str:
+def _simhash_sigs_cte(bits: int = 32) -> str:
+    """Shared WITH-chain computing per-doc SimHash signatures (twin of
+    ops.dedup.simhash) — terminates in a ``sigs(doc_id, simhash)``."""
     tok_hash = hash64_sql("tok")
     bit_sums = ",\n         ".join(
         f"SUM(CASE WHEN (th // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
@@ -391,7 +393,12 @@ bitsums AS (
          {bit_sums}
   FROM th GROUP BY doc_id
 ),
-sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bitsums)
+sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bitsums)"""
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    return f"""
+{_simhash_sigs_cte(bits)}
 SELECT simhash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
 FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
 """;
@@ -401,6 +408,42 @@ FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32-bit) signature collisions."""
     return D.simhash_duplicates(table(spark, sf_dir, "documents"))
+
+
+def _simhash_h3_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    from sqlpp_spark.ops.dedup import _simhash_chunk_bounds
+
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS band, "
+        f"(simhash // {1 << lo}) % {1 << width} AS chunk FROM sigs"
+        for c, (lo, width) in enumerate(
+            _simhash_chunk_bounds(bits, max_hamming + 1)
+        )
+    )
+    return f"""
+{_simhash_sigs_cte(bits)},
+bands AS ({bands}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sa,
+                  b.doc_id AS id_b, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cands WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+@register("dedup_simhash_h3", oracle=_simhash_h3_oracle())
+def dedup_simhash_h3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming ≤ 3 — banded d+1-chunk
+    self-join (pigeonhole-complete, so the result is EXACT) + XOR
+    popcount verification; no all-pairs step (ops/dedup.py
+    simhash_near_duplicates). Oracle replays the identical banding in
+    DuckDB."""
+    return D.simhash_near_duplicates(
+        table(spark, sf_dir, "documents"), max_hamming=3
+    )
 
 
 def _embedding_cosine_oracle() -> str:

@@ -275,3 +275,27 @@ def test_ngram_jaccard_unblocked_requires_opt_in(spark, docs):
 
     with pytest.raises(ValueError, match="quadratic"):
         ngram_jaccard_pairs(docs, block_col=None)
+
+
+def test_simhash_banded_equals_bruteforce_hamming(spark, docs):
+    """The banded hamming<=d join is pigeonhole-complete: result must
+    EQUAL the brute-force all-pairs hamming computation."""
+    from sqlpp_spark.ops.dedup import simhash, simhash_near_duplicates
+
+    sample = docs.limit(120)
+    d = 3
+    banded = {(r.id_a, r.id_b): r.hamming
+              for r in simhash_near_duplicates(sample, max_hamming=d).collect()}
+    sigs = simhash(sample)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.id_a, r.id_b): r.hamming
+        for r in a.join(b, on=F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+                .cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= d)
+        .collect()
+    }
+    assert banded == brute
