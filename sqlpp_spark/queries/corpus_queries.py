@@ -80,28 +80,37 @@ def corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_SHARDS = 8
+_SHARD = f"{hash64_sql('CAST(doc_id AS VARCHAR)')} % {_PACK_SHARDS}"
+
 @register(
     "corpus_packing",
     oracle=f"""
 WITH tok AS (
-  SELECT doc_id, CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
+  SELECT doc_id, {_SHARD} AS shard,
+         CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens
   FROM documents
 ), c AS (
-  SELECT doc_id, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY doc_id
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS s
   FROM tok
 )
-SELECT doc_id, n_tokens,
+SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
        CAST(floor(s / 2048) AS BIGINT) AS seq_id,
        CAST(s % 2048 AS BIGINT) AS seq_offset
 FROM c
 """,
 )
 def corpus_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy in-order packing into 2048-token training sequences
-    (cumulative-sum window + integer division)."""
-    return C.pack_sequences(table(spark, sf_dir, "documents"), budget=2048)
+    """Greedy packing into 2048-token training sequences WITHIN hash
+    shards — the window is partitioned so every shard packs in
+    parallel (the unsharded global window serializes on one task at
+    scale); sequence key = (shard, seq_id), per-shard tail waste
+    < budget tokens (see ops/corpus.py pack_sequences)."""
+    return C.pack_sequences(
+        table(spark, sf_dir, "documents"), budget=2048, n_shards=_PACK_SHARDS
+    )
 
 
 @register(

@@ -226,3 +226,12 @@ def test_embedding_dedup_default_is_bucketed_not_all_pairs(spark, sf_dir):
     p = plan_of(spark, sf_dir, "dedup_embedding_cosine")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_packing_window_is_sharded_not_global(spark, sf_dir):
+    """Sequence packing must pack within hash shards: the window's
+    exchange is a hash partitioning on shard, never SinglePartition
+    (the global-window serial bottleneck)."""
+    p = plan_of(spark, sf_dir, "corpus_packing")
+    assert "hashpartitioning(shard" in p
+    assert "SinglePartition" not in p
