@@ -123,9 +123,15 @@ def ivf_index(
     return assigned, centroids
 
 
-def _nearest_cells(vec: Column, centroids: list, n_probe: int) -> Column:
+def _nearest_cells(
+    vec: Column, centroids: list, n_probe: int, cell_ids: list | None = None
+) -> Column:
     """Array of the n_probe nearest centroid ids by squared L2 —
-    computed JVM-side from centroid literals (no UDF, no shuffle)."""
+    computed JVM-side from centroid literals (no UDF, no shuffle).
+    ``cell_ids`` overrides the default 0..k-1 cell labels (the pivot
+    quantizer labels cells by pivot row id so the DuckDB oracle can
+    reproduce them)."""
+    ids = cell_ids if cell_ids is not None else list(range(len(centroids)))
     dists = F.array(
         *[
             F.struct(
@@ -138,7 +144,7 @@ def _nearest_cells(vec: Column, centroids: list, n_probe: int) -> Column:
                     F.lit(0.0),
                     lambda acc, v: acc + v,
                 ).alias("d"),
-                F.lit(i).alias("cell"),
+                F.lit(int(ids[i])).alias("cell"),
             )
             for i, c in enumerate(centroids)
         ]
@@ -147,23 +153,61 @@ def _nearest_cells(vec: Column, centroids: list, n_probe: int) -> Column:
     return F.transform(ranked, lambda s: s["cell"])
 
 
+def pivot_centroids(
+    corpus: DataFrame, n_cells: int = 16,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> tuple[list, list]:
+    """Deterministic IVF coarse quantizer: the cells are the
+    embeddings of the ``n_cells`` smallest row ids (sampled-point
+    initialization, as in IVF-Flat with random init — but with a
+    DETERMINISTIC sample so the DuckDB oracle can re-derive the exact
+    centroids from the table). Returns (centroids, cell_ids); cells
+    are labeled by pivot row id.
+
+    At 100 TB the collect is k rows of k×dim floats — plan literals,
+    same shipping story as the KMeans centroids."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[1]] for r in rows]
+    cell_ids = [int(r[0]) for r in rows]
+    return centroids, cell_ids
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10, n_cells: int = 16,
     n_probe: int = 4, seed: int = 42,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    quantizer: str = "kmeans",
 ) -> DataFrame:
     """Approximate top-k via IVF: score only corpus vectors whose cell
     is among the query's n_probe nearest cells — cost drops from
     |corpus| to ~|corpus| × n_probe / n_cells per query. Recall is
-    tunable via n_probe (n_probe = n_cells ⇒ exact)."""
-    assigned, centroids = ivf_index(corpus, n_cells, seed, vec_col, id_col)
+    tunable via n_probe (n_probe = n_cells ⇒ exact).
+
+    ``quantizer``: "kmeans" (default, best cells) or "pivot"
+    (deterministic sampled-point cells — bit-reproducible in SQL, the
+    oracle-checkable variant; same plan shape and scale behavior)."""
+    if quantizer == "pivot":
+        centroids, cell_ids = pivot_centroids(corpus, n_cells, vec_col, id_col)
+        assigned = corpus.withColumn(
+            "cell", _nearest_cells(F.col(vec_col), centroids, 1, cell_ids)[0]
+        )
+    else:
+        assigned, centroids = ivf_index(corpus, n_cells, seed, vec_col, id_col)
+        cell_ids = None
     c = assigned.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "cell"
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(_nearest_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
+        F.explode(
+            _nearest_cells(F.col(vec_col), centroids, n_probe, cell_ids)
+        ).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), on="cell")

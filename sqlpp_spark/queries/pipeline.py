@@ -601,8 +601,69 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), dim=dim, k=10, n_planes=4)
 
 
-@register("ann_ivf_topk")  # approximate — recall pinned in tests/test_ops.py
+def _sqdist_sql(a: str, b: str, dim: int) -> str:
+    """Explicit left-associated squared-L2 chain — the SAME float
+    addition order as Spark's sequential F.aggregate fold, so cell
+    distances are bit-equal across engines."""
+    return " + ".join(
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+        for i in range(1, dim + 1)
+    )
+
+
+def _ivf_topk_oracle(
+    n_cells: int = 16, n_probe: int = 4, k: int = 10, n_queries: int = 8,
+    dim: int = 64,
+) -> str:
+    d = _sqdist_sql("e.v", "piv.pv", dim)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+piv AS (SELECT vec_id AS cell, v AS pv FROM e ORDER BY vec_id LIMIT {n_cells}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, piv.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d}, piv.cell) AS rn
+    FROM e CROSS JOIN piv
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT e.vec_id, piv.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d}, piv.cell) AS rn
+    FROM e CROSS JOIN piv
+    WHERE e.vec_id < {n_queries}
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT q.query_id, a.vec_id AS cand_id
+  FROM qcells q JOIN assign a ON a.cell = q.cell
+  WHERE a.vec_id != q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.cand_id, list_cosine_similarity(x.v, y.v) AS cos
+  FROM cand c JOIN e x ON x.vec_id = c.query_id JOIN e y ON y.vec_id = c.cand_id
+)
+SELECT * FROM (
+  SELECT query_id, cand_id, cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, cand_id
+         ) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@register("ann_ivf_topk", oracle=_ivf_topk_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (KMeans coarse quantizer) top-k: probe 4 of 16 cells."""
+    """IVF top-k, probe 4 of 16 cells — FULLY ORACLED via the
+    deterministic pivot quantizer (cells = embeddings of the 16
+    smallest vec_ids; DuckDB re-derives the identical centroids from
+    the table and replays cell assignment with a bit-equal explicit
+    squared-L2 chain). The KMeans quantizer remains the production
+    default (ops/similarity.ivf_index); its recall is pinned in
+    tests/test_ops.py."""
     emb = table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=10, n_cells=16, n_probe=4)
+    return S.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=10, n_cells=16, n_probe=4,
+        quantizer="pivot",
+    )
