@@ -8,11 +8,11 @@ Mirrors the reference's runtime shapes (SURVEY.md §2.10):
   a DataFrame; ``fetch_json`` returns JSON rows (sqlpp.ml:388-401)
 - schema env with CREATE TABLE/QUERY/FIELDSET decls (sqlpp.ml:81-111),
   plus registration straight from Spark DataFrames/parquet
-- DML: INSERT / UPDATE / DELETE on parquet-backed managed tables.
-  Without a transactional table format on the classpath (Delta/Iceberg
-  jars are not in this image) mutations rewrite the table — documented
-  trade-off; the plan/row semantics (ON CONFLICT, RETURNING, joined
-  UPDATE ... FROM) match the reference (analyze.ml:826-998)
+- DML: INSERT / UPDATE / DELETE on parquet-backed managed tables,
+  crash-atomic via the versioned commit protocol below (or real Delta
+  ACID commits when delta-spark is on the classpath); the plan/row
+  semantics (ON CONFLICT, RETURNING, joined UPDATE ... FROM) match the
+  reference (analyze.ml:826-998)
 """
 
 from __future__ import annotations
@@ -32,6 +32,84 @@ from sqlpp_spark.frontend.analyze import Analyzer, Env, QueryInfo
 from sqlpp_spark.frontend.errors import SqlppError
 from sqlpp_spark.frontend.parser import parse_query
 from sqlpp_spark.frontend.types import Ty, check_subsumes, ty as mk_ty
+
+# -- managed-table storage: versioned commit protocol ------------------------
+#
+# Plain-parquet ``overwrite`` is NOT crash-atomic: a failure between the
+# delete and the write leaves a truncated table. Managed tables therefore
+# use a versioned layout mirroring the reference's transactional migration
+# apply (/root/reference/sqlpp_manage.ml:40-131):
+#
+#   <table>.parquet/
+#     _v_0/ _v_1/ ...   immutable parquet version directories
+#     _CURRENT          text file naming the active version
+#
+# A rewrite WRITES a fresh version dir (readers of the old version are
+# untouched), then flips _CURRENT with os.replace — the POSIX-atomic
+# commit point. Crash before the flip: the old version stays active and
+# the orphan dir is garbage-collected on the next commit. Crash after:
+# the new version is active. The previous version is kept for one commit
+# cycle (open readers), older ones are GC'd.
+#
+# When delta-spark is importable (not in this container), managed tables
+# use format("delta") instead and every mutation is a real ACID commit —
+# same call sites, gated by _HAS_DELTA.
+
+try:  # pragma: no cover - delta not in this image
+    import importlib.util as _ilu
+
+    _HAS_DELTA = _ilu.find_spec("delta") is not None
+except Exception:  # pragma: no cover
+    _HAS_DELTA = False
+
+_CURRENT = "_CURRENT"
+
+
+def managed_data_dir(path: str) -> str:
+    """Active data directory of a managed table (versioned layout), or
+    ``path`` itself for legacy flat layouts / plain registered parquet."""
+    cur = os.path.join(path, _CURRENT)
+    if os.path.isfile(cur):
+        with open(cur) as fh:
+            return os.path.join(path, fh.read().strip())
+    return path
+
+
+def commit_version(path: str, write) -> str:
+    """Run ``write(new_version_dir)`` then atomically flip _CURRENT to
+    it. Returns the committed data dir. GC: removes version dirs other
+    than the new one and its immediate predecessor, and (on first
+    migration from a flat layout) the stale flat parquet files."""
+    os.makedirs(path, exist_ok=True)
+    cur = os.path.join(path, _CURRENT)
+    prev = None
+    if os.path.isfile(cur):
+        with open(cur) as fh:
+            prev = fh.read().strip()
+    versions = [
+        int(d[3:]) for d in os.listdir(path)
+        if d.startswith("_v_") and d[3:].isdigit()
+    ]
+    vdir = f"_v_{max(versions) + 1 if versions else 0}"
+    write(os.path.join(path, vdir))
+    tmp = cur + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(vdir)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, cur)  # commit point
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if d.startswith("_v_") and d not in (vdir, prev):
+            shutil.rmtree(full, ignore_errors=True)
+        elif prev is None and os.path.isfile(full) and d not in (_CURRENT,):
+            # first commit over a legacy flat layout: drop stale files
+            try:
+                os.remove(full)
+            except OSError:
+                pass
+    return os.path.join(path, vdir)
+
 
 _SPARK_TO_SQLPP = {
     T.BooleanType: "bool",
@@ -123,10 +201,20 @@ class SqlppEngine:
 
     def create_managed(self, name: str, path: str, df: DataFrame) -> None:
         """A parquet-backed table the engine may mutate (INSERT/UPDATE/
-        DELETE)."""
-        df.write.mode("overwrite").parquet(path)
+        DELETE) — stored under the versioned commit protocol (or as a
+        Delta table when delta-spark is on the classpath)."""
+        if _HAS_DELTA:  # pragma: no cover - delta not in this image
+            df.write.format("delta").mode("overwrite").save(path)
+        else:
+            commit_version(path, lambda d: df.write.parquet(d))
         self.managed_paths[name] = path
-        self.register_df(name, self.spark.read.parquet(path))
+        self.register_df(name, self._read_managed_path(path))
+
+    def _read_managed_path(self, path: str) -> DataFrame:
+        """Read a managed table's ACTIVE version."""
+        if _HAS_DELTA:  # pragma: no cover
+            return self.spark.read.format("delta").load(path)
+        return self.spark.read.parquet(managed_data_dir(path))
 
     # -- query API ---------------------------------------------------------
 
@@ -235,7 +323,7 @@ class SqlppEngine:
     def _exec_insert(self, ins: A.Insert, src: str, params) -> Optional[DataFrame]:
         path = self._managed(ins.table)
         cols = self._table_fields(ins.table)
-        cur = self.spark.read.parquet(path)
+        cur = self._read_managed_path(path)
         an = Analyzer(self.env, src)
         comp = Compiler(self.spark, self.catalog)
         binds = Bindings(params)
@@ -325,7 +413,7 @@ class SqlppEngine:
     def _exec_update(self, upd: A.Update, src: str, params) -> Optional[DataFrame]:
         path = self._managed(upd.table)
         cols = self._table_fields(upd.table)
-        cur = self.spark.read.parquet(path)
+        cur = self._read_managed_path(path)
         # analyze SET/WHERE in the table's scope (+ optional FROM rels)
         sel = A.Select(from_=A.FromTable(upd.table, None))
         if upd.from_ is not None:
@@ -439,7 +527,7 @@ class SqlppEngine:
     def _exec_delete(self, dele: A.Delete, src: str, params) -> Optional[DataFrame]:
         path = self._managed(dele.table)
         cols = self._table_fields(dele.table)
-        cur = self.spark.read.parquet(path).alias(dele.table)
+        cur = self._read_managed_path(path).alias(dele.table)
         an = Analyzer(self.env, src)
         from sqlpp_spark.frontend.analyze import SelectCtx, TableRel
 
@@ -501,16 +589,17 @@ class SqlppEngine:
         return [c.name for c in ti.decl.columns if c.primary_key]
 
     def _rewrite(self, table: str, path: str, df: DataFrame) -> None:
-        """Full-table rewrite via a temp dir (plain-parquet fallback for
-        Delta-style UPDATE/DELETE — SURVEY §7 'What's hard')."""
-        tmp = tempfile.mkdtemp(prefix=f"sqlpp_{table}_")
-        try:
-            df.write.mode("overwrite").parquet(tmp)
-            fresh = self.spark.read.parquet(tmp)
-            fresh.write.mode("overwrite").parquet(path)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
-        self.catalog[table] = self.spark.read.parquet(path)
+        """Crash-atomic full-table rewrite: write a fresh version dir,
+        then flip the _CURRENT pointer (commit_version protocol above).
+        The plan reading the old version is untouched while the new one
+        writes, and a crash anywhere leaves the old version active.
+        With delta-spark on the classpath this is a real ACID overwrite
+        commit instead."""
+        if _HAS_DELTA:  # pragma: no cover - delta not in this image
+            df.write.format("delta").mode("overwrite").save(path)
+        else:
+            commit_version(path, lambda d: df.write.parquet(d))
+        self.catalog[table] = self._read_managed_path(path)
 
     def prepare_select_in(self, src: str, sel: A.Select):
         an = Analyzer(self.env, src)

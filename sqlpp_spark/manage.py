@@ -160,7 +160,7 @@ class Migrate:
             path = os.path.join(self.root, f"{name}.parquet")
             if os.path.isdir(path) and name not in eng.managed_paths:
                 eng.managed_paths[name] = path
-                eng.catalog[name] = eng.spark.read.parquet(path)
+                eng.catalog[name] = eng._read_managed_path(path)
 
     def _env_ddl_applied(self, ddl) -> bool:
         """Replay idempotence: did this evolution already reach the
@@ -227,14 +227,14 @@ class Migrate:
         path = eng.managed_paths.get(ddl.table)
         if path is None:
             return  # env-only table (no storage to evolve)
-        df = eng.spark.read.parquet(path)
+        df = eng._read_managed_path(path)
         if isinstance(ddl, A.DdlRenameTable):
             new_path = os.path.join(os.path.dirname(path), f"{ddl.new_name}.parquet")
             del eng.managed_paths[ddl.table]
             eng.catalog.pop(ddl.table, None)
             shutil.move(path, new_path)
             eng.managed_paths[ddl.new_name] = new_path
-            eng.catalog[ddl.new_name] = eng.spark.read.parquet(new_path)
+            eng.catalog[ddl.new_name] = eng._read_managed_path(new_path)
             return
         if isinstance(ddl, A.DdlRenameColumn):
             out = df.withColumnRenamed(ddl.column, ddl.new_name)

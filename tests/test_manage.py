@@ -390,3 +390,74 @@ def test_cli_error_exit_code(capsys, tmp_path):
     rc = main(["analyze", "--require", str(decls), "select nope from users"])
     assert rc == 1
     assert "nope" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# Versioned commit protocol (crash atomicity)
+# ---------------------------------------------------------------------------
+
+
+def _mk_users(spark, tmp_path):
+    root = str(tmp_path / "db")
+    eng = SqlppEngine(spark)
+    Migrate(eng, root).migrate([
+        Migration("init", [
+            Define(SCHEMA),
+            Exec("insert into users(id, name, age) values (1, 'ann', 30)"),
+        ]),
+    ])
+    return eng, root
+
+
+def test_rewrite_commits_new_version_and_gcs_old(spark, tmp_path):
+    eng, root = _mk_users(spark, tmp_path)
+    path = eng.managed_paths["users"]
+    cur = os.path.join(path, "_CURRENT")
+    v_before = open(cur).read().strip()
+    eng.exec("update users set age = 31 where id = 1")
+    v_after = open(cur).read().strip()
+    assert v_after != v_before
+    # predecessor kept one cycle for open readers, nothing older
+    versions = sorted(d for d in os.listdir(path) if d.startswith("_v_"))
+    assert versions == sorted([v_before, v_after])
+    assert [r.age for r in eng.fetch_list("select age from users")] == [31]
+
+
+def test_crash_before_pointer_flip_preserves_old_version(spark, tmp_path):
+    """An orphan version dir (crash between data write and pointer
+    flip) must be invisible to readers and GC'd by the next commit."""
+    eng, root = _mk_users(spark, tmp_path)
+    path = eng.managed_paths["users"]
+    cur = os.path.join(path, "_CURRENT")
+    committed = open(cur).read().strip()
+    # simulate the crash: a newer version dir exists, pointer unmoved
+    orphan = os.path.join(path, "_v_999")
+    eng.spark.range(1).write.parquet(orphan)
+
+    e2 = SqlppEngine(spark)
+    Migrate(e2, root).migrate([Migration("init", [Define(SCHEMA)])])
+    rows = e2.fetch_list("select id, name, age from users")
+    assert [tuple(r) for r in rows] == [(1, "ann", 30)]  # old version served
+    assert open(cur).read().strip() == committed
+    e2.exec("delete from users where id = 99")  # no-op DML -> new commit
+    assert not os.path.isdir(orphan)  # orphan GC'd at commit
+    assert [r.id for r in e2.fetch_list("select id from users")] == [1]
+
+
+def test_failed_rewrite_leaves_table_intact(spark, tmp_path):
+    """If the new version's write job dies, the pointer never moves and
+    the table still serves the last committed version."""
+    from sqlpp_spark.engine import commit_version
+
+    eng, root = _mk_users(spark, tmp_path)
+    path = eng.managed_paths["users"]
+    cur = os.path.join(path, "_CURRENT")
+    committed = open(cur).read().strip()
+
+    def boom(_d):
+        raise RuntimeError("executor lost")
+
+    with pytest.raises(RuntimeError, match="executor lost"):
+        commit_version(path, boom)
+    assert open(cur).read().strip() == committed
+    assert [r.id for r in eng.fetch_list("select id from users")] == [1]
