@@ -385,3 +385,80 @@ def mixture_weights(
             ).alias("mix_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    df: DataFrame, query_terms: DataFrame, k1: float = 1.2, b: float = 0.75,
+    top_k: int = 10, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k documents per query (Robertson/Sparck-Jones, the
+    Lucene idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+    ``query_terms``: (query_id, term) rows — the tokenized queries.
+
+    Scale shape: identical to TF-IDF — the corpus is tokenized once in
+    the scan stage; ONLY terms appearing in some query survive the
+    broadcast semi-join, so tf/df aggregation shuffles a set bounded by
+    |queries|·|corpus-matches|, never the full term stream; doc length
+    and the global (N, avgdl) scalars broadcast. Per-(query, doc)
+    scores sum term contributions as DECIMAL(28,12) — exact, order-free
+    addition, so results are reproducible across engines and partition
+    orders (FP addition is not associative; decimal addition is).
+    """
+    df = ensure_parallelism(df)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # exact integer totals -> bit-equal avgdl in any engine
+    g = dl.agg(
+        F.sum("dl").alias("tot_dl"), F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        (F.col("tot_dl").cast("double") / F.col("n_docs").cast("double")).alias("avgdl"),
+        F.col("n_docs"),
+    )
+    q = F.broadcast(query_terms.select("query_id", "term"))
+    qterms = F.broadcast(query_terms.select("term").distinct())
+    tf = (
+        toks.join(qterms, on="term", how="left_semi")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tfd = F.col("tf").cast("double")
+    dfd = F.col("df").cast("double")
+    nd = F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0) + (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    )
+    denom = tfd + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    contrib = idf * tfd * F.lit(k1 + 1.0) / denom
+    scored = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .join(dl, on=id_col)
+        .join(F.broadcast(g), on=F.lit(True))
+        .join(q, on="term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(contrib.cast("decimal(28,12)")).alias("score_dec"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score_dec").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            id_col,
+            F.round(F.col("score_dec").cast("double"), 6).alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -151,3 +151,123 @@ def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "term", F.round("score", 6).alias("score"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    (0, ["spark", "window"]),
+    (1, ["merge", "filter", "key"]),
+    (2, ["vector"]),
+]
+
+_BM25_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+)
+
+
+@register(
+    "corpus_bm25_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+), g AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM dl
+), q(query_id, term) AS (VALUES {_BM25_VALUES}),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(
+           ln(1.0 + (CAST(g.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+                    / (CAST(dfreq.df AS DOUBLE) + 0.5))
+           * CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / g.avgdl))
+           AS DECIMAL(28,12)) AS c
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN g
+  JOIN q ON q.term = tf.term
+), scored AS (
+  SELECT query_id, doc_id, SUM(c) AS score_dec FROM contrib GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       ROUND(CAST(score_dec AS DOUBLE), 6) AS score, rank
+FROM (
+  SELECT query_id, doc_id, score_dec,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score_dec DESC, doc_id
+         ) AS BIGINT) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+""",
+)
+def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 docs for three fixed keyword queries — the text
+    retrieval step of a data pipeline (contamination lookup, targeted
+    subset extraction). Term contributions sum as DECIMAL(28,12) so
+    the score is exact and order-free (see ops/corpus.py bm25_topk)."""
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id long, term string",
+    )
+    return C.bm25_topk(table(spark, sf_dir, "documents"), qt, top_k=10)
+
+
+_DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@register(
+    "corpus_length_deciles",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n
+  FROM documents
+), q AS (
+  SELECT lang, quantile_cont(n, {_DECILES}) AS qs FROM tok GROUP BY 1
+)
+SELECT lang, CAST(r.i AS BIGINT) AS decile, ROUND(qs[r.i], 6) AS value
+FROM q CROSS JOIN (SELECT unnest(range(1, 10)) AS i) r
+ORDER BY lang, decile
+""",
+)
+def corpus_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length deciles (exact, interpolated) — the
+    length-distribution audit before choosing chunk/packing budgets.
+    EXACT percentile sorts within each lang partition; at 100 TB swap
+    to approx_percentile (t-digest sketch, partial-aggregable) — same
+    call site, documented trade-off."""
+    d = table(spark, sf_dir, "documents")
+    from sqlpp_spark.ops.text import normalize_text
+
+    tok = d.select(
+        "lang",
+        F.size(F.split(normalize_text(F.col("text")), " ")).cast("bigint").alias("n"),
+    )
+    q = tok.groupBy("lang").agg(
+        F.percentile("n", F.array(*[F.lit(p) for p in _DECILES])).alias("qs")
+    )
+    return (
+        q.select(
+            "lang",
+            F.posexplode("qs").alias("pos", "value"),
+        )
+        .select(
+            "lang",
+            (F.col("pos") + 1).cast("bigint").alias("decile"),
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy("lang", "decile")
+    )

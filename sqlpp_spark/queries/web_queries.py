@@ -145,3 +145,46 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii(F.col("text")).alias("redacted"),
         *[c.alias(n) for n, c in counts.items()],
     ).orderBy("doc_id")
+
+
+@register(
+    "web_domain_stats",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, n_chars, lang, {_URL_SQL} AS url FROM documents
+), h AS (
+  SELECT doc_id, n_chars, lang, {W.url_domain_sql('url')} AS domain FROM u
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM h GROUP BY domain
+ORDER BY domain
+""",
+)
+def web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl statistics (doc counts, char volume, language
+    spread) — the aggregation behind per-domain quotas and crawl
+    prioritization. One partial-aggregated shuffle on the domain key;
+    avg derives from exact integer totals (bit-equal cross-engine)."""
+    d = _with_url(table(spark, sf_dir, "documents"))
+    host = W.url_domain(F.col("url"))
+    return (
+        d.select(host.alias("domain"), "n_chars", "lang")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "total_chars",
+            (F.col("total_chars").cast("double") / F.col("n_docs").cast("double")).alias("avg_chars"),
+            "n_langs",
+        )
+        .orderBy("domain")
+    )
