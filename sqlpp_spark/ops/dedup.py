@@ -262,20 +262,26 @@ def minhash_near_duplicates(
     (a second eager job) costs more in job latency than it saves."""
     from pyspark import StorageLevel
 
-    sha = shingle_hash_arrays(df, text_col, id_col, k)
-    def _perm_lambda(i: int):
-        # NB: a two-arg lambda would receive (element, index) from
-        # transform — keep it unary and close over i
-        return lambda h: perm_hash(h, i)
-
-    enriched = sha.select(
-        F.col(id_col),
-        F.col("shs"),
-        *[
-            F.array_min(F.transform("shs", _perm_lambda(i))).alias(f"mh{i}")
-            for i in range(N_PERMS)
-        ],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE groupBy computes both the shingle-hash set (for Jaccard
+    # verification) and the 16 signature mins: perm_hash evaluates in
+    # whole-stage codegen on the exploded rows and each min is
+    # partial-aggregated map-side, so the signatures cost no extra
+    # shuffle AND no interpreted higher-order-function pass (the
+    # previous array_min(transform(...)) form ran 16 interpreted array
+    # walks per doc). min over the multiset equals min over the set —
+    # perm_hash is a pure function of the shingle hash.
+    enriched = (
+        _shingle_rows(df, text_col, id_col, k)
+        .groupBy(id_col)
+        .agg(
+            F.collect_set("sh_hash").alias("shs"),
+            *[
+                F.min(perm_hash(F.col("sh_hash"), i)).alias(f"mh{i}")
+                for i in range(N_PERMS)
+            ],
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     enriched.count()  # eager: four branches would race a lazy persist
     sigs = enriched.drop("shs")
     cands = _band_pairs(sigs, id_col, persist_banded=False)
