@@ -462,3 +462,121 @@ def bm25_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity filtering & PMI association
+# ---------------------------------------------------------------------------
+
+
+def perplexity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bucket_width: float = 5.0, max_bucket: int = 19,
+) -> DataFrame:
+    """Per-document unigram-LM perplexity (the CCNet/KenLM filtering
+    idea with the corpus's own unigram model): ppl = exp(-mean log p),
+    plus a coarse bucket for mixture balancing.
+
+    Determinism across engines: per-TERM log-probs are rounded to
+    DECIMAL(18,9) (the vocab is small, so a libm 1-ulp divergence has
+    ~no chance to cross a 1e-9 rounding boundary), and the per-doc SUM
+    runs over decimals — exact and order-independent, immune to float
+    reassociation across partitions. Only the final exp / divide are
+    float, in a fixed expression order; the exposed ppl is ROUND(·,6).
+
+    100 TB: vocab is a partial-agg shuffle on short terms; the model
+    broadcasts (unigram vocab ≪ memory); per-doc scoring is one more
+    partial-agg shuffle of (id, decimal) rows — text never shuffles."""
+    df = ensure_parallelism(df)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    )
+    totals = toks.agg(F.count(F.lit(1)).alias("__total"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("__total").cast("double")), 9
+            )
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), on="term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("lp").alias("slp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    ppl = F.exp(-(F.col("slp").cast("double") / F.col("n_tokens").cast("double")))
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(ppl, 6).alias("perplexity"),
+        F.least(
+            F.floor(ppl / F.lit(float(bucket_width))).cast("bigint"),
+            F.lit(max_bucket).cast("bigint"),
+        ).alias("bucket"),
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_count: int = 5, top_k: int = 20,
+) -> DataFrame:
+    """Top-k word bigrams by pointwise-mutual-information LIFT
+    p(ab)/(p(a)p(b)) — collocation mining for tokenizer/vocab design.
+    Lift is rank-equivalent to PMI (ln is monotone) but computable as
+    a fixed-order chain of integer→double divides, so the score is
+    bit-deterministic with no transcendental at all.
+
+    100 TB: two partial-agg shuffles (unigrams, bigrams) + two
+    broadcast joins of the (small) unigram vocab; no text shuffle."""
+    df = ensure_parallelism(df)
+    grams = word_ngrams(df, n=2, text_col=text_col, id_col=id_col).select(
+        F.split("ngram", " ").alias("__ws"), "ngram"
+    )
+    big = (
+        grams.select(
+            F.col("__ws")[0].alias("w1"), F.col("__ws")[1].alias("w2"), "ngram"
+        )
+        .groupBy("w1", "w2", "ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    toks = df.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term")
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    totals = toks.agg(F.count(F.lit(1)).cast("bigint").alias("__n_uni"))
+    n_big = big.agg(F.sum("n_ab").cast("bigint").alias("__n_big"))
+    # lift spelled as the exact divide/multiply chain the oracle uses:
+    # ((((n_ab / n_a) / n_b) * N_uni) * N_uni) / N_big
+    lift = (
+        F.col("n_ab").cast("double")
+        / F.col("na").cast("double")
+        / F.col("nb").cast("double")
+        * F.col("__n_uni").cast("double")
+        * F.col("__n_uni").cast("double")
+        / F.col("__n_big").cast("double")
+    )
+    scored = (
+        big.filter(F.col("n_ab") >= min_count)
+        .join(F.broadcast(uni.select(F.col("term").alias("w1"), F.col("n").alias("na"))), on="w1")
+        .join(F.broadcast(uni.select(F.col("term").alias("w2"), F.col("n").alias("nb"))), on="w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_big))
+        .select("ngram", "n_ab", lift.alias("lift"))
+    )
+    return (
+        scored.orderBy(F.col("lift").desc(), F.col("ngram").asc())
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(
+            W.orderBy(F.col("lift").desc(), F.col("ngram").asc())
+        ).cast("bigint"))
+    )

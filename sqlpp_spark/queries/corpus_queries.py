@@ -271,3 +271,78 @@ def corpus_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity & PMI collocations
+# ---------------------------------------------------------------------------
+
+_PPL_EXPR = "exp(-(CAST(slp AS DOUBLE) / CAST(n_tokens AS DOUBLE)))"
+
+
+@register(
+    "text_perplexity",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+), tot AS (SELECT COUNT(*) AS total FROM toks),
+vocab AS (
+  SELECT term,
+         CAST(round(ln(CAST(COUNT(*) AS DOUBLE)
+                       / CAST((SELECT total FROM tot) AS DOUBLE)), 9)
+              AS DECIMAL(18,9)) AS lp
+  FROM toks GROUP BY term
+),
+per_doc AS (
+  SELECT t.doc_id, SUM(v.lp) AS slp, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM toks t JOIN vocab v USING (term) GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       round({_PPL_EXPR}, 6) AS perplexity,
+       least(CAST(floor({_PPL_EXPR} / 5.0) AS BIGINT), 19) AS bucket
+FROM per_doc
+""",
+)
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM perplexity + mixture bucket
+    (ops/corpus.py perplexity). Log-probs are decimal-rounded at the
+    vocab level so the per-doc sums are exact and order-independent —
+    the oracle replays the identical model."""
+    return C.perplexity(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_pmi_bigrams",
+    oracle=f"""
+WITH t AS (SELECT string_split({_NORM}, ' ') AS t FROM documents),
+toks AS (SELECT unnest(t) AS term FROM t),
+grams AS (
+  SELECT array_to_string(t[i : i+1], ' ') AS ngram
+  FROM t, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2
+),
+big AS (
+  SELECT string_split(ngram, ' ')[1] AS w1, string_split(ngram, ' ')[2] AS w2,
+         ngram, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM grams GROUP BY 1, 2, 3
+),
+uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY term),
+nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_uni FROM toks),
+nb AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_big FROM big),
+scored AS (
+  SELECT b.ngram, b.n_ab,
+         CAST(b.n_ab AS DOUBLE) / CAST(a.n AS DOUBLE) / CAST(c.n AS DOUBLE)
+           * CAST(nu.n_uni AS DOUBLE) * CAST(nu.n_uni AS DOUBLE)
+           / CAST(nb.n_big AS DOUBLE) AS lift
+  FROM big b JOIN uni a ON a.term = b.w1 JOIN uni c ON c.term = b.w2, nu, nb
+  WHERE b.n_ab >= 5
+)
+SELECT ngram, n_ab, lift,
+       CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, ngram ASC) AS BIGINT) AS rank
+FROM scored ORDER BY lift DESC, ngram ASC LIMIT 20
+""",
+)
+def corpus_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI lift (ops/corpus.py
+    pmi_bigrams) — rank-equivalent to PMI with zero transcendentals,
+    so the score itself is bit-oracled."""
+    return C.pmi_bigrams(table(spark, sf_dir, "documents"))

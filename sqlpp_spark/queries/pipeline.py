@@ -667,3 +667,77 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 8), k=10, n_cells=16, n_probe=4,
         quantizer="pivot",
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8)
+# ---------------------------------------------------------------------------
+
+_QSCALE_SQL = (
+    "SELECT max(list_max(list_transform(CAST(embedding AS DOUBLE[]),"
+    " x -> abs(x)))) AS scale FROM embeddings"
+)
+# NB: DuckDB forbids subqueries inside lambdas, so the scale CTE is
+# cross-joined and referenced as a plain column
+_QVEC_SQL = (
+    "list_transform(CAST(embedding AS DOUBLE[]),"
+    " x -> CAST(floor(x * 127.0 / scale + 0.5) AS INT))"
+)
+
+
+@register(
+    "emb_quantize",
+    oracle=f"""
+WITH s AS ({_QSCALE_SQL})
+SELECT vec_id,
+       array_to_string({_QVEC_SQL}, ',') AS qvec,
+       scale
+FROM embeddings, s
+""",
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric max-abs int8 scalar quantization of the embedding
+    corpus (ops/similarity.py quantize_embeddings) — 4× smaller at
+    rest, integer-exact dot products downstream. The oracle replays
+    the identical floor(x·127/scale + 0.5) arithmetic in DuckDB; the
+    vector is exposed as a joined string so the comparison is
+    type-unambiguous."""
+    q = S.quantize_embeddings(table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias(
+            "qvec"
+        ),
+        "scale",
+    )
+
+
+@register(
+    "ann_quantized_topk",
+    oracle=f"""
+WITH s AS ({_QSCALE_SQL}),
+q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings, s)
+SELECT * FROM (
+  SELECT a.vec_id AS query_id, c.vec_id AS cand_id,
+         list_inner_product(a.qv, c.qv)
+           / (sqrt(list_inner_product(a.qv, a.qv))
+              * sqrt(list_inner_product(c.qv, c.qv))) AS qcos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_inner_product(a.qv, c.qv)
+                      / (sqrt(list_inner_product(a.qv, a.qv))
+                         * sqrt(list_inner_product(c.qv, c.qv))) DESC,
+                    c.vec_id
+         ) AS BIGINT) AS rank
+  FROM q a JOIN q c ON a.vec_id != c.vec_id
+  WHERE a.vec_id < 8
+) WHERE rank <= 10
+""",
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 over int8-quantized vectors — the compressed
+    scorer (integer dots are exact in both engines, so even this
+    APPROXIMATE operator is bit-oracled; recall vs the float exact
+    top-k is pinned in tests/test_ops.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.quantized_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)

@@ -299,3 +299,58 @@ def test_simhash_banded_equals_bruteforce_hamming(spark, docs):
         .collect()
     }
     assert banded == brute
+
+
+def test_quantize_roundtrip_error_bounded(spark, emb):
+    """int8 max-abs quantization: dequantized values within scale/254
+    of the originals (half a quantization step), ids preserved."""
+    from sqlpp_spark.ops.similarity import quantize_embeddings
+
+    q = quantize_embeddings(emb)
+    rows = q.join(emb, on="vec_id").select("vec_id", "qvec", "scale", "embedding").collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        step = r.scale / 127.0
+        for qv, xv in zip(r.qvec, r.embedding):
+            assert abs(qv * step - float(xv)) <= step / 2 + 1e-9
+        assert max(abs(v) for v in r.qvec) <= 127
+
+
+def test_quantized_topk_recall_vs_bruteforce(spark, emb):
+    """int8 cosine ranking must nearly reproduce the float top-10 —
+    quantization noise may swap close neighbors but not destroy the
+    neighborhood."""
+    from sqlpp_spark.ops.similarity import brute_force_topk, quantized_topk
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.cand_id) for r in brute_force_topk(emb, queries, k=10).collect()}
+    quant = {(r.query_id, r.cand_id) for r in quantized_topk(emb, queries, k=10).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"quantized recall too low: {recall}"
+
+
+def test_perplexity_bounds_and_buckets(spark, docs):
+    """ppl of a unigram model lies in [1, vocab-size-ish]; buckets are
+    consistent with the rounded ppl."""
+    from sqlpp_spark.ops.corpus import perplexity
+
+    rows = perplexity(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r.perplexity >= 1.0
+        assert 0 <= r.bucket <= 19
+        # bucket must equal floor(ppl/5) capped (rounded ppl is within
+        # 1e-6 of the bucket source, so allow the boundary row)
+        expect = min(int(r.perplexity // 5.0), 19)
+        assert abs(r.bucket - expect) <= 1
+
+
+def test_pmi_bigrams_scores_positive_and_ranked(spark, docs):
+    from sqlpp_spark.ops.corpus import pmi_bigrams
+
+    rows = pmi_bigrams(docs, min_count=2, top_k=10).collect()
+    assert 0 < len(rows) <= 10
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    assert all(r.n_ab >= 2 for r in rows)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
