@@ -55,3 +55,35 @@ def test_convert_to_parquet_partitioned(spark, region, tmp_path):
     back = spark.read.parquet(out)
     # partition column round-trips (type widens via hive partitioning)
     assert back.count() == region.count()
+
+
+def test_partition_pruning_reads_only_matching_dirs(spark, tmp_path):
+    """Hive-partitioned layout + a partition-column filter must prune
+    at PLANNING time: the scan's file list contains only the matching
+    partition directory, and the physical plan carries the predicate
+    as a PartitionFilter (zero data read from other partitions — the
+    100 TB point of partitioned writes)."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    from sqlpp_spark.sources.tables import read_table
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "events_by_type")
+    convert_to_parquet(events, out, partition_by=["event_type"])
+
+    one = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    # NB: inputFiles() lists the base relation BEFORE pruning — the
+    # contract lives in the physical plan's PartitionFilters
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        one.explain("formatted")
+    plan = buf.getvalue()
+    pf_line = next(
+        (l for l in plan.splitlines() if "PartitionFilters" in l), ""
+    )
+    assert "event_type" in pf_line, plan
+    # and the pruned scan returns exactly the partition's rows
+    expect = events.filter(F.col("event_type") == "click").count()
+    assert one.count() == expect > 0
