@@ -18,6 +18,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sqlpp_spark.ops import ensure_parallelism
@@ -404,19 +405,38 @@ def near_duplicate_clusters(
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 3, threshold: float = 0.5, block_col: str | None = "lang",
-    allow_quadratic: bool = False,
+    allow_quadratic: bool = False, strategy: str = "join",
 ) -> DataFrame:
-    """Exact Jaccard over word k-grams for all pairs within a block
-    (default: same ``lang``). The block bounds the quadratic term; at
-    scale use minhash_near_duplicates instead and keep this as the
-    verification oracle — on a BOUNDED sample: even one lang-block is
-    O(n²) at corpus scale.
+    """Exact Jaccard over word k-grams within a block (default: same
+    ``lang``). Two exact candidate strategies, identical results
+    (pinned by tests/test_ops.py::test_ngram_jaccard_strategies_agree):
+
+    - ``strategy="join"`` (default): shingle-equality self-join +
+      per-pair count. One partial-aggregated shuffle; fastest when the
+      shingle document-frequency distribution is flat (measured ~2×
+      the prefix path on the synthetic fixtures, whose tiny vocabulary
+      has no Zipf head).
+    - ``strategy="prefix"``: PREFIX FILTERING (AllPairs/PPJoin). Order
+      every doc's shingles by global document frequency (rarest
+      first); join candidates only on each doc's first
+      ``|d| − ⌈t·|d|⌉ + 1`` shingles — any pair with Jaccard ≥ t must
+      share a prefix shingle (pigeonhole on the ≥ t·|A∪B| common
+      shingles), so the result is EXACT while the join never touches
+      the hot head of the distribution. Candidates verify with one
+      array_intersect over per-doc hash sets. On real (Zipf) web text
+      the hot head is what makes the equality join quadratic — at
+      100 TB this is the strategy to pick.
+
+    Still, at corpus scale use minhash_near_duplicates and keep this
+    as the verification oracle on a bounded sample.
 
     Guard: ``block_col=None`` means a single global block — refuse
     unless the caller passes ``allow_quadratic=True``, acknowledging
-    the all-pairs cost on their (sampled) input."""
+    the worst case on their (sampled) input."""
     from pyspark import StorageLevel
 
+    if strategy not in ("join", "prefix"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
     if block_col is None and not allow_quadratic:
         raise ValueError(
             "ngram_jaccard_pairs with block_col=None is all-pairs "
@@ -434,21 +454,79 @@ def ngram_jaccard_pairs(
         sh = sh.withColumn("__blk", F.lit(1))
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()  # eager: three downstream branches would race a lazy persist
-    sizes = sh.groupBy(id_col, "__blk").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh_hash"), F.col("__blk"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh_hash"), F.col("__blk"))
-    inter = (
-        a.join(b, on=["__blk", "sh_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+
+    if strategy == "prefix":
+        freq = sh.groupBy("__blk", "sh_hash").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        w = W.partitionBy("__blk", id_col)
+        ranked = sh.join(freq, on=["__blk", "sh_hash"]).select(
+            F.col(id_col), F.col("__blk"), F.col("sh_hash"),
+            F.row_number()
+            .over(w.orderBy(F.col("__df").asc(), F.col("sh_hash").asc()))
+            .alias("__rn"),
+            F.count(F.lit(1)).over(w).alias("sz"),
+        )
+        prefix = ranked.filter(
+            F.col("__rn")
+            <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+        )
+        cand = (
+            prefix.select(F.col(id_col).alias("id_a"), "__blk", "sh_hash")
+            .join(
+                prefix.select(F.col(id_col).alias("id_b"), "__blk", "sh_hash"),
+                on=["__blk", "sh_hash"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        # verify: per-doc hash sets, candidate side hash-joined twice
+        sets = sh.groupBy(id_col).agg(
+            F.collect_set("sh_hash").alias("shs"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        inter = (
+            cand.join(
+                sets.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col("shs").alias("__sa"),
+                    F.col("sz").alias("sz_a"),
+                ),
+                on="id_a",
+            )
+            .join(
+                sets.select(
+                    F.col(id_col).alias("id_b"),
+                    F.col("shs").alias("__sb"),
+                    F.col("sz").alias("sz_b"),
+                ),
+                on="id_b",
+            )
+            .select(
+                "id_a", "id_b", "sz_a", "sz_b",
+                F.size(F.array_intersect("__sa", "__sb")).alias("n_inter"),
+            )
+        )
+    else:
+        sizes = sh.groupBy(id_col, "__blk").agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh_hash"), F.col("__blk"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh_hash"), F.col("__blk"))
+        pair_counts = (
+            a.join(b, on=["__blk", "sh_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        inter = pair_counts.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+            on="id_a",
+        ).join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+            on="id_b",
+        )
     out = (
-        inter.join(sz_a, on="id_a")
-        .join(sz_b, on="id_b")
-        .select(
+        inter.select(
             "id_a", "id_b",
             (
                 F.col("n_inter").cast("double")

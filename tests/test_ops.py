@@ -354,3 +354,20 @@ def test_pmi_bigrams_scores_positive_and_ranked(spark, docs):
     assert lifts == sorted(lifts, reverse=True)
     assert all(r.n_ab >= 2 for r in rows)
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_ngram_jaccard_strategies_agree(spark, docs):
+    """The prefix-filtered (AllPairs/PPJoin) candidate path must return
+    exactly the pairs the shingle-equality join returns — prefix
+    filtering is an EXACT optimization, not an approximation."""
+    from sqlpp_spark.ops.dedup import ngram_jaccard_pairs
+
+    base = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, strategy="prefix").collect()
+    }
+    assert base == pref and len(base) > 0
