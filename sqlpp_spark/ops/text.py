@@ -437,3 +437,96 @@ def pii_counts_sql(c: str) -> dict[str, str]:
             f"CAST(len(regexp_extract_all({c}, '{sql_pat}')) AS BIGINT)"
         )
     return out
+
+
+# -- model-based quality classifier ------------------------------------------
+#
+# FineWeb/CCNet-style "model" filtering: a pretrained linear classifier
+# over cheap lexical features, evaluated entirely in the scan stage.
+# Real pipelines load learned weights (fastText, logistic regression) —
+# the weights below stand in for that artifact; the evaluation plan is
+# identical either way (per-row arithmetic, zero shuffles, prunable to
+# the two columns it reads).
+#
+# Bit-equality contract with the DuckDB oracle: every feature is
+# rational arithmetic over exact integer counts (IEEE-deterministic in
+# any engine), the logit is a fixed left-associated chain, and the ONLY
+# transcendental (exp in the sigmoid) is rounded to 6 decimals; the
+# keep/drop decision tests the logit against 0 so no rounding boundary
+# can flip it.
+
+CLF_STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+_CLF_STOP_RE = r"\b(" + "|".join(CLF_STOPWORDS) + r")\b"
+# (bias, len, stopword-ratio, type-token-ratio, mean-word-len)
+CLF_WEIGHTS = (-3.0, 2.0, 6.0, 1.5, 0.8)
+CLF_LEN_CAP = 512  # tokens; saturating length feature
+
+
+def classifier_features(c: Column) -> dict[str, Column]:
+    """Feature columns from the normalized text. `sum_len` uses the
+    collapsed-whitespace identity sum(len(tok)) == len(norm) - n + 1,
+    so mean word length needs no array aggregation."""
+    norm = normalize_text(c)
+    n = F.size(F.split(norm, " "))
+    nd = F.size(F.array_distinct(F.split(norm, " ")))
+    stop = F.size(F.regexp_extract_all(norm, F.lit(_CLF_STOP_RE), 0))
+    sum_len = F.length(norm) - n + F.lit(1)
+    return {"n": n, "nd": nd, "stop": stop, "sum_len": sum_len}
+
+
+def classifier_logit(c: Column) -> Column:
+    f = classifier_features(c)
+    n_d = f["n"].cast("double")
+    x_len = F.least(f["n"], F.lit(CLF_LEN_CAP)).cast("double") / float(CLF_LEN_CAP)
+    x_stop = f["stop"].cast("double") / n_d
+    x_ttr = f["nd"].cast("double") / n_d
+    x_wl = (f["sum_len"].cast("double") / n_d) / 8.0
+    w0, w1, w2, w3, w4 = CLF_WEIGHTS
+    return (
+        F.lit(w0) + F.lit(w1) * x_len + F.lit(w2) * x_stop
+        + F.lit(w3) * x_ttr + F.lit(w4) * x_wl
+    )
+
+
+def classifier_score(c: Column) -> Column:
+    """round(sigmoid(logit), 6) — see bit-equality contract above."""
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-classifier_logit(c))), 6)
+
+
+def classifier_sql(c: str) -> dict[str, str]:
+    """DuckDB twins keyed logit/score/keep — same op sequence."""
+    norm = NORMALIZE_SQL.format(c=c)
+    n = f"len(string_split({norm}, ' '))"
+    nd = f"len(list_distinct(string_split({norm}, ' ')))"
+    stop_pat = _CLF_STOP_RE.replace("'", "''")
+    stop = f"len(regexp_extract_all({norm}, '{stop_pat}'))"
+    sum_len = f"(length({norm}) - {n} + 1)"
+    n_d = f"CAST({n} AS DOUBLE)"
+    x_len = f"(CAST(least({n}, {CLF_LEN_CAP}) AS DOUBLE) / {float(CLF_LEN_CAP)})"
+    x_stop = f"(CAST({stop} AS DOUBLE) / {n_d})"
+    x_ttr = f"(CAST({nd} AS DOUBLE) / {n_d})"
+    x_wl = f"((CAST({sum_len} AS DOUBLE) / {n_d}) / 8.0)"
+    w0, w1, w2, w3, w4 = CLF_WEIGHTS
+    logit = (
+        f"({w0} + {w1} * {x_len} + {w2} * {x_stop}"
+        f" + {w3} * {x_ttr} + {w4} * {x_wl})"
+    )
+    return {
+        "logit": logit,
+        "score": f"round(1.0 / (1.0 + exp(-{logit})), 6)",
+        "keep": f"({logit} >= 0.0)",
+    }
+
+
+def classify_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id, lang, n_tokens, logit, score, keep — scan-stage only."""
+    c = F.col(text_col)
+    logit = classifier_logit(c)
+    return df.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(normalize_text(c), " ")).cast("bigint").alias("n_tokens"),
+        logit.alias("logit"),
+        classifier_score(c).alias("score"),
+        (logit >= 0.0).alias("keep"),
+    )

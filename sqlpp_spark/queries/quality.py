@@ -204,3 +204,29 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.mixture_weights(table(spark, sf_dir, "documents"), group_col="source").orderBy(
         "source"
     )
+
+
+_CLF = X.classifier_sql("text")
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens,
+       {_CLF['logit']} AS logit,
+       {_CLF['score']} AS score,
+       {_CLF['keep']} AS keep
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (ops/text.py classify_quality):
+    a pretrained linear classifier evaluated row-wise in the scan
+    stage — the FineWeb/CCNet "quality model" stage with the learned
+    weights inlined as plan literals. Zero shuffles; at 100 TB this is
+    a pure map over the corpus scan, and the keep flag tests the
+    bit-exact logit (not the rounded sigmoid) so the decision is
+    engine-independent."""
+    return X.classify_quality(table(spark, sf_dir, "documents")).orderBy("doc_id")

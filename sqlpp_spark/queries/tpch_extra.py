@@ -1,7 +1,7 @@
 """TPC-H-adapted query suite, part 2 — the remaining TPC-H query
 shapes expressible over the driver's trimmed star schema (no partsupp,
-no commit/receipt dates, no shipmode/phone, so Q2/Q11/Q16/Q20/Q21 have
-no equivalent; Q4/Q12/Q22 are adapted to the columns that exist).
+no commit/receipt dates, no shipmode/phone, so Q2/Q11/Q16/Q20 have
+no equivalent; Q4/Q12/Q21/Q22 are adapted to the columns that exist).
 
 Every query follows the determinism contract of relational.py:
 monetary aggregates over exact decimals cast to double at the end,
@@ -594,4 +594,90 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_d2("c_acctbal")).cast("double").alias("totacctbal"),
         )
         .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 (adapted): suppliers who kept orders waiting. TPC-H marks a
+# lineitem late when l_receiptdate > l_commitdate; without those
+# columns a lineitem is late when it ships more than 30 days after the
+# order date. The reference shape (EXISTS another supplier in the same
+# order, NOT EXISTS another LATE supplier) is what the oracle runs;
+# the Spark plan uses the equivalent per-order aggregate rewrite.
+# ---------------------------------------------------------------------------
+
+_Q21_NATION = "NATION_3"
+_Q21_LATE_DAYS = 30
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle=f"""
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name = '{_Q21_NATION}'
+  AND l1.l_shipdate > o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference q21 correlates lineitem against itself twice (EXISTS /
+    NOT EXISTS with a supplier inequality) — at 100 TB that is two extra
+    shuffles of the fact table. The equivalent per-order aggregate
+    rewrite computes, in ONE pass over the order's lineitems,
+
+      n_supp      = COUNT(DISTINCT l_suppkey)
+      n_late_supp = COUNT(DISTINCT l_suppkey) FILTER (WHERE late)
+
+    and a late row qualifies iff n_supp >= 2 (some other supplier
+    exists) and n_late_supp = 1 (the only late supplier is this row's
+    own — it is late, so it is IN the set; cardinality 1 means no
+    OTHER late supplier). One orderkey shuffle replaces both
+    correlated self-joins; the DuckDB oracle runs the literal
+    EXISTS/NOT EXISTS form, so the gate proves the rewrite.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    li = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    waiting = (
+        li.filter(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = _n(spark, sf_dir).filter(F.col("n_name") == _Q21_NATION)
+    return (
+        waiting.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )

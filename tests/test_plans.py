@@ -235,3 +235,33 @@ def test_packing_window_is_sharded_not_global(spark, sf_dir):
     p = plan_of(spark, sf_dir, "corpus_packing")
     assert "hashpartitioning(shard" in p
     assert "SinglePartition" not in p
+
+
+def test_quality_classifier_scan_stage_only(spark, sf_dir):
+    """The model-based quality filter must stay a pure map over the
+    corpus scan: zero shuffles before the presentation sort, and only
+    the columns it reads leave the parquet scan."""
+    from sqlpp_spark.ops.text import classify_quality
+    from sqlpp_spark.queries import table
+    import contextlib, io
+
+    df = classify_quality(table(spark, sf_dir, "documents"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert shuffle_count(p) == 0
+    assert "source" not in p.split("ReadSchema")[1][:200]  # pruned
+    assert "codegen id" in p
+
+
+def test_q21_single_fact_shuffle(spark, sf_dir):
+    """The per-order aggregate rewrite must not re-shuffle lineitem for
+    each correlated EXISTS: the plan joins lineitem to orders, aggregates
+    per order, and joins back — supplier/nation stay broadcast, and no
+    BroadcastNestedLoopJoin / CartesianProduct appears."""
+    p = plan_of(spark, sf_dir, "q21_waiting_suppliers")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # count-distinct rewrite: partial aggregation before the exchange
+    assert "partial_count" in p or "count(distinct" in p
