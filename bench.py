@@ -39,15 +39,17 @@ def main() -> None:
         except Exception:
             pass
 
-    # Two timed runs per query, report the min (steady-state: AQE
+    # Three timed runs per query, report the min (steady-state: AQE
     # re-plans per input size, so the sf0.001 warmup doesn't compile
-    # the sf-target stage plans; run 1 pays that residual JIT, run 2
-    # measures execution). clearCache between queries keeps each
-    # measurement independent of earlier queries' persisted blocks.
+    # the sf-target stage plans; run 1 pays that residual JIT, later
+    # runs measure execution). Min-of-3 because the shared box's load
+    # swings individual runs ±30% — two samples regularly report a
+    # load spike as a 2× "regression". clearCache between queries
+    # keeps each measurement independent of earlier persisted blocks.
     timings: dict[str, float] = {}
     for name, spec in specs.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = spec.builder(spark, sf_dir)

@@ -580,3 +580,51 @@ def pmi_bigrams(
             W.orderBy(F.col("lift").desc(), F.col("ngram").asc())
         ).cast("bigint"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate mining (vocabulary induction, first iteration)
+# ---------------------------------------------------------------------------
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """Top adjacent character-pair counts within words — the argmax of
+    the first BPE merge iteration (Sennrich et al. 2016), the corpus
+    statistic a tokenizer-training pipeline computes over the full
+    dataset. The pair extraction runs per-row with higher-order
+    functions (filter/transform/sequence — codegen'd, zero Python), so
+    the only shuffle carries (2-char pair, partial count) rows: at
+    100 TB the shuffle is bounded by the pair-vocabulary size × the
+    map-task count, not the corpus size. Subsequent BPE iterations
+    rewrite the token stream and re-count — same plan, driver loop."""
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda w: F.length(w) >= 2,
+    )
+    grams = F.flatten(
+        F.transform(
+            words,
+            lambda w: F.transform(
+                F.sequence(F.lit(1), F.length(w) - 1),
+                lambda i: w.substr(i, F.lit(2)),
+            ),
+        )
+    )
+    counts = (
+        ensure_parallelism(df)
+        .select(F.explode(grams).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_k)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.col("n").desc(), F.col("pair").asc()))
+            .cast("bigint"),
+        )
+    )

@@ -409,3 +409,107 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "qcos", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via coarse-quantizer cells
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame, n_cells: int = 16, threshold: float = 0.4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    quantizer: str = "pivot", seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with a
+    coarse quantizer, then find near-duplicate pairs ONLY within each
+    cell — the cluster step bounds the quadratic: with k cells the
+    candidate volume is ~Σ|cell|² ≈ n²/k instead of n², and each cell's
+    pair join is an equi-join on ``cell`` (shuffle-partitionable), never
+    a global nested loop. At 100 TB: fit the quantizer on a sample,
+    write the corpus partitioned by cell, and each cell's pairs job
+    reads one partition.
+
+    ``quantizer="pivot"`` (deterministic sampled-point cells) is
+    bit-reproducible in SQL — the driver oracle replays it;
+    ``"kmeans"`` gives better cells and is the production default for
+    real corpora (same plan shape).
+
+    Returns (cell, id_a, id_b, cos) pairs with cos ≥ threshold.
+    The returned frame carries its persisted input in
+    ``_sqlpp_persisted`` — release via ops.release_intermediates."""
+    from pyspark import StorageLevel
+
+    if quantizer == "pivot":
+        centroids, cell_ids = pivot_centroids(corpus, n_cells, vec_col, id_col)
+    else:
+        _, centroids = ivf_index(corpus, n_cells, seed, vec_col, id_col)
+        cell_ids = None
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        _nearest_cells(F.col(vec_col), centroids, 1, cell_ids)[0].alias("cell"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned.count()  # eager: both join sides read it
+    a = assigned.select(
+        F.col("cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    out = (
+        a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cell", "id_a", "id_b",
+            cosine_sim(F.col("va"), F.col("vb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    out._sqlpp_persisted = [assigned]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training pairs
+# ---------------------------------------------------------------------------
+
+
+def hard_negative_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per query: the k most-similar corpus vectors with a DIFFERENT
+    label — the classic hard-negative miner for contrastive /
+    embedding training (high-similarity, wrong-class examples). Same
+    plan as brute_force_topk (broadcast queries, corpus never
+    shuffles, bounded per-query window); swap in lsh/ivf candidates at
+    scale exactly as for ANN."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("query_id") != F.col("cand_id"))
+            & (F.col("q_label") != F.col("c_label"))
+        )
+        .select(
+            "query_id", "cand_id", "c_label",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "cand_id", "c_label", "cos",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

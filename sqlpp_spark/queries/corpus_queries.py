@@ -346,3 +346,28 @@ def corpus_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     pmi_bigrams) — rank-equivalent to PMI with zero transcendentals,
     so the score itself is bit-oracled."""
     return C.pmi_bigrams(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_bpe_merges",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+),
+pairs AS (
+  SELECT substring(w, CAST(i AS INT), 2) AS pair
+  FROM words, unnest(range(1, length(w))) AS u(i)
+  WHERE length(w) >= 2
+),
+counts AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair)
+SELECT pair, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rank
+FROM counts ORDER BY n DESC, pair ASC LIMIT 20
+""",
+)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training statistic: top-20 BPE merge candidates
+    (adjacent character pairs within words) over the corpus
+    (ops/corpus.py bpe_merge_candidates). Per-row HOF extraction, one
+    partial-aggregated shuffle of (pair, count)."""
+    return C.bpe_merge_candidates(table(spark, sf_dir, "documents"))

@@ -741,3 +741,68 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is pinned in tests/test_ops.py)."""
     emb = table(spark, sf_dir, "embeddings")
     return S.quantized_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
+
+
+def _semantic_dedup_oracle(
+    n_cells: int = 16, threshold: float = 0.4, dim: int = 64
+) -> str:
+    d = _sqdist_sql("e.v", "piv.pv", dim)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+piv AS (SELECT vec_id AS cell, v AS pv FROM e ORDER BY vec_id LIMIT {n_cells}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, piv.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d}, piv.cell) AS rn
+    FROM e CROSS JOIN piv
+  ) WHERE rn = 1
+)
+SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+       list_cosine_similarity(x.v, y.v) AS cos
+FROM assign a
+JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+JOIN e x ON x.vec_id = a.vec_id
+JOIN e y ON y.vec_id = b.vec_id
+WHERE list_cosine_similarity(x.v, y.v) >= {threshold}
+"""
+
+
+@register("dedup_semantic", oracle=_semantic_dedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: coarse-quantizer cells bound the pairwise-cosine
+    search to within-cell candidates (ops/similarity.py
+    semantic_dedup_pairs) — the cluster-then-dedup shape of Abbas et
+    al. 2023. Oracled via the deterministic pivot quantizer (same
+    replay as ann_ivf_topk); KMeans cells are the production default.
+    cos ≥ 0.4 matches dedup_embedding_cosine's threshold rationale
+    (synthetic embeddings are near-orthogonal)."""
+    return S.semantic_dedup_pairs(
+        table(spark, sf_dir, "embeddings"), n_cells=16, threshold=0.4,
+        quantizer="pivot",
+    )
+
+
+@register(
+    "ann_hard_negatives",
+    oracle="""
+SELECT * FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS c_label,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id
+         ) AS BIGINT) AS rank
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id != c.vec_id AND q.label != c.label
+  WHERE q.vec_id < 8
+) WHERE rank <= 10
+""",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: per query, the 10 most
+    cosine-similar corpus vectors with a DIFFERENT label
+    (ops/similarity.py hard_negative_topk). Broadcast queries, corpus
+    scan never shuffles, bounded per-query window."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.hard_negative_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)

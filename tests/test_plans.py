@@ -265,3 +265,22 @@ def test_q21_single_fact_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in p
     # count-distinct rewrite: partial aggregation before the exchange
     assert "partial_count" in p or "count(distinct" in p
+
+
+def test_semantic_dedup_cell_equijoin(spark, sf_dir):
+    """SemDeDup's pair search must be an equi-join on cell — never a
+    global nested loop; the quantizer bounds the quadratic."""
+    p = plan_of(spark, sf_dir, "dedup_semantic")
+    assert "CartesianProduct" not in p
+    # the only nested-loop allowed is none: pairs join on cell
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bpe_merges_single_pair_shuffle(spark, sf_dir):
+    """BPE pair counting: per-row HOF extraction, map-side combine,
+    one (pair, count) shuffle + the bounded top-k."""
+    p = plan_of(spark, sf_dir, "corpus_bpe_merges")
+    assert "partial_count" in p
+    assert "TakeOrderedAndProject" in p
+    # one shuffle for the groupBy; the top-k adds no global sort
+    assert shuffle_count(p) <= 2
