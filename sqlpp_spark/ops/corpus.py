@@ -628,3 +628,39 @@ def bpe_merge_candidates(
             .cast("bigint"),
         )
     )
+
+
+def split_assignment(
+    df: DataFrame, weights: dict[str, float] | None = None,
+    key_col: str = "doc_id", salt: str = "split0",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's salted key
+    hash picks a point in [0,1); cumulative weight thresholds map it to
+    a split. Engine- and run-independent (same md5 as hash_sample), so
+    re-running the pipeline — or running it on another engine — never
+    migrates a document between splits (the property that prevents
+    silent train/test leakage as the corpus grows: adding documents
+    never moves existing ones). Scan-stage CASE, zero shuffles."""
+    from sqlpp_spark.ops.hashing import HASH_MOD
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    h = hash64(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    expr = None
+    acc = 0.0
+    splits = list(weights.items())
+    for name, w in splits[:-1]:
+        # round the cumulative weight to 12 decimals before scaling:
+        # float accumulation (0.9 + 0.05 = 0.9500000000000001) would
+        # otherwise put this threshold ±~2^7 hash values away from an
+        # engine that wrote the literal 0.95 — invisible on 500 docs,
+        # a guaranteed split-migration mismatch at billions of rows
+        acc = round(acc + w, 12)
+        bound = F.lit(int(acc * HASH_MOD))
+        expr = (
+            F.when(h < bound, F.lit(name))
+            if expr is None
+            else expr.when(h < bound, F.lit(name))
+        )
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)

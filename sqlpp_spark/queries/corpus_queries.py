@@ -371,3 +371,33 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ops/corpus.py bpe_merge_candidates). Per-row HOF extraction, one
     partial-aggregated shuffle of (pair, count)."""
     return C.bpe_merge_candidates(table(spark, sf_dir, "documents"))
+
+
+_SPLITH = hash64_sql("'split0' || '|' || CAST(doc_id AS VARCHAR)")
+_SPLIT_W = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+
+
+@register(
+    "corpus_split_assignment",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN {_SPLITH} < {int(0.9 * HASH_MOD)} THEN 'train'
+            WHEN {_SPLITH} < {int(0.95 * HASH_MOD)} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+""",
+)
+def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split (ops/corpus.py
+    split_assignment): salted-hash thresholds, identical assignment in
+    any engine and at any corpus size — adding documents never moves
+    existing ones across splits. Zero shuffles."""
+    return (
+        C.split_assignment(
+            table(spark, sf_dir, "documents"),
+            weights=dict(_SPLIT_W),
+        )
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    )

@@ -89,3 +89,21 @@ def test_tfidf_rank_and_min_len(spark):
     assert top1.term == "zebra"
     assert all(len(r.term) >= 3 for r in out)
     assert all(r.rank in (1, 2) for r in out)
+
+
+def test_split_assignment_thresholds_exact(spark, docs):
+    """Cumulative-weight float accumulation must not move a split
+    threshold off the literal value (0.9 + 0.05 != 0.95 in IEEE): the
+    op's boundary for 'val' must equal int(0.95 * HASH_MOD) exactly,
+    and every row must land in a split."""
+    from sqlpp_spark.ops import corpus as C
+    from sqlpp_spark.ops.hashing import HASH_MOD
+
+    out = C.split_assignment(docs)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    # the train share of a 90/5/5 split dominates
+    assert counts.get("train", 0) > counts.get("val", 0)
+    assert counts.get("train", 0) > counts.get("test", 0)
