@@ -1,11 +1,18 @@
 """Table readers for the driver's parquet fixtures.
 
-One normalization: the ``events`` table stores ``ts`` as parquet
-TIMESTAMP(NANOS), which Spark's vectorized reader refuses. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) the
-column arrives as nanosecond LongType; we convert to TimestampType
-(microsecond) here. The driver's data is microsecond-aligned, so the
-conversion is lossless.
+Two normalizations, both lossless:
+
+- Fixtures that store ``events.ts`` as parquet TIMESTAMP(NANOS) are
+  refused by Spark's vectorized reader. With
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) the
+  column arrives as nanosecond LongType; we convert to TimestampType
+  (microsecond) here. The driver's data is microsecond-aligned.
+- Fixtures whose timestamps carry ``isAdjustedToUTC=false`` arrive as
+  TIMESTAMP_NTZ. Engine code (windows, unix_micros, streaming
+  watermarks) targets TimestampType, so NTZ columns are cast; the
+  session timezone is pinned to UTC (session.py), which makes the cast
+  wall-clock identical and keeps parity with the DuckDB oracle's naive
+  TIMESTAMP semantics.
 """
 
 from __future__ import annotations
@@ -28,7 +35,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_nanos(df)
-    return df
+    return _normalize_ntz(df)
 
 
 def _normalize_nanos(df: DataFrame) -> DataFrame:
@@ -40,4 +47,22 @@ def _normalize_nanos(df: DataFrame) -> DataFrame:
             cols.append(F.timestamp_micros(F.expr("ts div 1000")).alias("ts"))
         else:
             cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to session-TZ TimestampType.
+
+    The session timezone is pinned to UTC, so the cast preserves the
+    wall-clock value exactly; it happens in the scan stage (a projection
+    over the parquet read) and does not block pushdown of other columns.
+    """
+    if not any(isinstance(f.dataType, T.TimestampNTZType) for f in df.schema.fields):
+        return df
+    cols = [
+        F.col(f.name).cast(T.TimestampType()).alias(f.name)
+        if isinstance(f.dataType, T.TimestampNTZType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
     return df.select(*cols)

@@ -38,6 +38,21 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
+def _normalize_ts(raw: DataFrame) -> DataFrame:
+    """Normalize the fixture's ``ts`` encoding to TimestampType.
+
+    Fixtures have shipped as TIMESTAMP(NANOS) (arrives as nanosecond
+    LongType under ``nanosAsLong``) and as TIMESTAMP_NTZ micros —
+    branch on the type actually read rather than assuming one."""
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # session TZ is pinned to UTC, so the cast is wall-clock exact
+        return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
+
+
 _STAGED: dict = {}
 
 
@@ -69,12 +84,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    staged = _stage_dir(sf_dir)
+    # file streams need an explicit schema; take it from a batch read so
+    # the ts encoding (nanos-long vs TIMESTAMP_NTZ) matches the fixture
+    schema = spark.read.parquet(staged).schema
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(_stage_dir(sf_dir))
+        .parquet(staged)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
