@@ -405,13 +405,24 @@ def near_duplicate_clusters(
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 3, threshold: float = 0.5, block_col: str | None = "lang",
-    allow_quadratic: bool = False, strategy: str = "join",
+    allow_quadratic: bool = False, strategy: str = "auto",
+    skew_factor: float = 4.0,
 ) -> DataFrame:
     """Exact Jaccard over word k-grams within a block (default: same
     ``lang``). Two exact candidate strategies, identical results
-    (pinned by tests/test_ops.py::test_ngram_jaccard_strategies_agree):
+    (pinned by tests/test_ops.py::test_ngram_jaccard_strategies_agree),
+    plus ``"auto"`` (default) which picks between them from the
+    measured shingle document-frequency skew: the equality join's cost
+    on a shingle with document frequency d is d² pairs, so ``auto``
+    reads ``max(df)`` off the frequency agg (which the prefix path
+    needs anyway) and chooses ``"prefix"`` when
+    ``max(df)² > skew_factor × total shingle rows`` — i.e. when the
+    single hottest shingle alone would blow the join up by more than
+    ``skew_factor`` rewrites of the input. On real Zipf web text that
+    head is exactly what makes the join quadratic at 100 TB; on flat
+    (synthetic / pre-deduped) distributions the join stays cheaper.
 
-    - ``strategy="join"`` (default): shingle-equality self-join +
+    - ``strategy="join"``: shingle-equality self-join +
       per-pair count. One partial-aggregated shuffle; fastest when the
       shingle document-frequency distribution is flat (measured ~2×
       the prefix path on the synthetic fixtures, whose tiny vocabulary
@@ -435,7 +446,7 @@ def ngram_jaccard_pairs(
     the worst case on their (sampled) input."""
     from pyspark import StorageLevel
 
-    if strategy not in ("join", "prefix"):
+    if strategy not in ("auto", "join", "prefix"):
         raise ValueError(f"unknown strategy: {strategy!r}")
     if block_col is None and not allow_quadratic:
         raise ValueError(
@@ -455,10 +466,26 @@ def ngram_jaccard_pairs(
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()  # eager: three downstream branches would race a lazy persist
 
-    if strategy == "prefix":
+    freq = None
+    if strategy in ("auto", "prefix"):
+        # the prefix path needs this agg anyway; auto reads two scalars
+        # off it to decide, so the decision costs one narrow (hash, df)
+        # shuffle over the already-persisted shingle table
         freq = sh.groupBy("__blk", "sh_hash").agg(
             F.count(F.lit(1)).alias("__df")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    if strategy == "auto":
+        stats = freq.agg(
+            F.max("__df").alias("max_df"), F.sum("__df").alias("n_rows")
+        ).first()
+        hot = (
+            stats["max_df"] is not None
+            and stats["max_df"] * stats["max_df"]
+            > skew_factor * stats["n_rows"]
         )
+        strategy = "prefix" if hot else "join"
+
+    if strategy == "prefix":
         w = W.partitionBy("__blk", id_col)
         ranked = sh.join(freq, on=["__blk", "sh_hash"]).select(
             F.col(id_col), F.col("__blk"), F.col("sh_hash"),
@@ -535,7 +562,9 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    out._sqlpp_persisted = [sh]  # release via ops.release_intermediates
+    # release via ops.release_intermediates
+    out._sqlpp_persisted = [sh] if freq is None else [sh, freq]
+    out._sqlpp_jaccard_strategy = strategy  # observable for tests/tuning
     return out
 
 

@@ -66,10 +66,27 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_approx_distinct_labels",
-    # HLL sketches differ across engines by design — accuracy is pinned
-    # against the exact count in tests/test_ops.py instead
+    oracle="SELECT COUNT(DISTINCT label) AS n_labels FROM embeddings",
 )
 def ann_approx_distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-label count — the oracled exact form.
+
+    The production sketch path is ``ann_hll_distinct_labels`` below
+    (HyperLogLog++, fixed-size state at 100 TB); sketch values differ
+    across engines by design, so the exact count carries the driver
+    oracle and the HLL twin's accuracy is pinned against it in
+    tests/test_ops.py.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(F.count_distinct("label").alias("n_labels"))
+
+
+@register(
+    "ann_hll_distinct_labels",
+    # HLL sketches differ across engines by design — rows-only in the
+    # driver gate; accuracy vs the exact twin pinned in tests/test_ops.py
+)
+def ann_hll_distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the sketch path for
     distinct counting at 100 TB (fixed-size state vs a full shuffle
     of the distinct values)."""

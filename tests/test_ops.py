@@ -364,10 +364,38 @@ def test_ngram_jaccard_strategies_agree(spark, docs):
 
     base = {
         (r.id_a, r.id_b, round(r.jaccard, 12))
-        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, strategy="join").collect()
     }
     pref = {
         (r.id_a, r.id_b, round(r.jaccard, 12))
         for r in ngram_jaccard_pairs(docs, threshold=0.3, strategy="prefix").collect()
     }
     assert base == pref and len(base) > 0
+
+
+def test_ngram_jaccard_auto_picks_prefix_on_zipf_head(spark):
+    """strategy="auto" must engage prefix filtering when the shingle
+    document-frequency head is hot (a shared boilerplate phrase in
+    every doc — the Zipf shape of real web text), and fall back to the
+    equality join on a flat distribution. Result equality between the
+    two paths is pinned by test_ngram_jaccard_strategies_agree."""
+    from sqlpp_spark.ops.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved by the site operator"
+    zipf = spark.createDataFrame(
+        [(i, f"{boiler} unique tail {i} alpha beta", "en") for i in range(120)],
+        "doc_id long, text string, lang string",
+    )
+    out = ngram_jaccard_pairs(zipf, threshold=0.9)
+    assert out._sqlpp_jaccard_strategy == "prefix"
+    out.collect()
+
+    flat = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}x{j}" for j in range(8)), "en")
+            for i in range(120)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out2 = ngram_jaccard_pairs(flat, threshold=0.9)
+    assert out2._sqlpp_jaccard_strategy == "join"
