@@ -58,6 +58,24 @@ def test_connected_components_chain_and_triangle(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_path_graph_log_rounds(spark):
+    """1000-node path graph (diameter 999): pointer jumping must label
+    the whole chain with node 0 in O(log diameter) rounds — one-hop
+    propagation alone would need 999 and trip the max_iter warning."""
+    from sqlpp_spark.ops.dedup import connected_components
+
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    ).coalesce(4)
+    labels = connected_components(edges, max_iter=25)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r.comp == 0 for r in rows)
+    assert labels._sqlpp_cc_rounds <= 15, labels._sqlpp_cc_rounds
+    labels.unpersist()
+
+
 def test_lsh_near_dup_pairs_subset_of_exact(spark, emb):
     """Bucketed near-dup pairs: perfect precision (every reported pair
     really has cos ≥ t — it's verified post-bucket) and high recall on
