@@ -1,12 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary columns with
 typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The container has no image/audio libraries, so the actual decoders are
-STUBBED (SURVEY-mandated): ``decode_image`` raises NotImplementedError
-unless PIL is importable, and ``fake_decode`` provides a deterministic
-stand-in that parses our synthetic header. Everything around the stub
-is real and tested: the schema contract, binary batch shapes, the
-mapInPandas iterator protocol, and partition sizing.
+Decode is REAL without any third-party image library: PNG payloads go
+through the pure-numpy codec in ops/imagecodec.py (chunk walk → zlib
+inflate → scanline unfilter), JPEG payloads yield exact
+width/height/channels from their SOF marker, and the synthetic SYNM
+format parses as before. PIL is used when importable (JPEG pixels,
+exotic formats); the ONLY remaining stub boundary is JPEG *pixel*
+decode without pillow — geometry is still real, ``decoded=false``
+marks the rows, and ``fallback=False`` raises NotImplementedError
+there. ``resize_images`` really resamples pixels (nearest/bilinear)
+and re-encodes PNG.
 
 Scale notes:
 - binary payloads ride the Arrow stream in record batches; keep
@@ -85,68 +89,99 @@ except ImportError:  # pragma: no cover - exercised when pillow installed
     HAS_PIL = False
 
 
-def decode_image(df: DataFrame, fallback: bool = True) -> DataFrame:
-    """REAL decoder path: PIL bytes→pixels inside the same Arrow-batched
-    mapInPandas shape as ``fake_decode`` — (media_id, payload) in,
-    FEATURE_SCHEMA out, one pandas batch per Arrow record batch.
+FEATURE_SCHEMA = (
+    "media_id long, width int, height int, channels int, "
+    "payload_bytes long, mean_byte double, decoded boolean"
+)
 
-    Payloads carrying the synthetic SYNM header are parsed as synthetic
-    (mixed corpora keep working); anything else goes through
-    ``PIL.Image.open``. When pillow is not importable the function
-    auto-falls back to the deterministic synthetic decoder
-    (``fallback=True``, the default) or raises ``NotImplementedError``
-    (``fallback=False``) — the clearly-marked stub boundary."""
-    if not HAS_PIL:
-        if fallback:
-            return fake_decode(df)
-        raise NotImplementedError(
-            "image decoding requires pillow; use fake_decode for the "
-            "deterministic synthetic path"
-        )
+
+def _decode_one(b: bytes, fallback: bool):
+    """One payload → (w, h, ch, mean_byte, decoded). Pure function so
+    both the Spark batch iterator and tests share the dispatch."""
+    import io
+
+    import numpy as np
+
+    from sqlpp_spark.ops import imagecodec as IC
+
+    if len(b) >= 9 and b[:4] == _MAGIC:
+        w, h = struct.unpack(">HH", b[4:8])
+        ch = b[8]
+        body = np.frombuffer(b, dtype=np.uint8)[9:]
+        return w, h, ch, (float(body.mean()) if body.size else 0.0), True
+    if b[:8] == IC.PNG_SIGNATURE:
+        try:
+            arr = IC.decode_png(b)
+            h, w, ch = arr.shape
+            return w, h, ch, float(arr.mean()), True
+        except IC.ImageCodecError:
+            if not HAS_PIL and not fallback:
+                raise
+            # fall through to PIL / raw-stats path below
+    if b[:3] == IC.JPEG_SIGNATURE and not HAS_PIL:
+        # geometry is REAL (SOF marker); pixel decode is the one
+        # remaining stub boundary without pillow
+        if not fallback:
+            raise NotImplementedError(
+                "JPEG pixel decode requires pillow; SOF geometry is "
+                "available via fallback=True"
+            )
+        try:
+            w, h, ch = IC.jpeg_info(b)
+        except IC.ImageCodecError:
+            w = h = ch = 0
+        raw = np.frombuffer(b, dtype=np.uint8)
+        return w, h, ch, (float(raw.mean()) if raw.size else 0.0), False
+    if HAS_PIL:
+        try:
+            img = _PILImage.open(io.BytesIO(b))
+            w, h = img.size
+            arr = np.asarray(img)
+            ch = arr.shape[2] if arr.ndim == 3 else 1
+            return w, h, ch, (float(arr.mean()) if arr.size else 0.0), True
+        except Exception:
+            pass
+    if not fallback:
+        raise NotImplementedError("undecodable payload (no known format)")
+    raw = np.frombuffer(b, dtype=np.uint8)
+    return 0, 0, 0, (float(raw.mean()) if raw.size else 0.0), False
+
+
+def decode_image(df: DataFrame, fallback: bool = True) -> DataFrame:
+    """REAL decoder path inside the same Arrow-batched mapInPandas shape
+    as ``fake_decode`` — (media_id, payload) in, FEATURE_SCHEMA out,
+    one pandas batch per Arrow record batch. Per-payload dispatch:
+
+    - SYNM synthetic header → parsed directly (mixed corpora work)
+    - PNG → pure-numpy codec (ops/imagecodec.py): real pixels, real
+      mean, no pillow needed
+    - JPEG → PIL pixels when pillow is importable; otherwise REAL
+      geometry from the SOF marker with ``decoded=false``
+      (``fallback=False`` raises NotImplementedError — the one
+      remaining stub boundary)
+    - anything else → PIL when available, else zeroed metadata with
+      raw byte stats and ``decoded=false``
+    """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-
-        import numpy as np
-
         for pdf in batches:
             out = {
                 "media_id": [], "width": [], "height": [], "channels": [],
-                "payload_bytes": [], "mean_byte": [],
+                "payload_bytes": [], "mean_byte": [], "decoded": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                if len(b) >= 9 and b[:4] == _MAGIC:
-                    w, h = struct.unpack(">HH", b[4:8])
-                    ch = b[8]
-                    body = np.frombuffer(b, dtype=np.uint8)[9:]
-                    mean = float(body.mean()) if body.size else 0.0
-                else:
-                    try:
-                        img = _PILImage.open(io.BytesIO(b))
-                        w, h = img.size
-                        arr = np.asarray(img)
-                        ch = arr.shape[2] if arr.ndim == 3 else 1
-                        mean = float(arr.mean()) if arr.size else 0.0
-                    except Exception:
-                        w = h = ch = 0
-                        arr = np.frombuffer(b, dtype=np.uint8)
-                        mean = float(arr.mean()) if arr.size else 0.0
+                w, h, ch, mean, dec = _decode_one(b, fallback)
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["channels"].append(ch)
                 out["payload_bytes"].append(len(b))
                 out["mean_byte"].append(mean)
+                out["decoded"].append(dec)
             yield pd.DataFrame(out)
 
     return df.select("media_id", "payload").mapInPandas(decode_batches, FEATURE_SCHEMA)
-
-
-FEATURE_SCHEMA = (
-    "media_id long, width int, height int, channels int, "
-    "payload_bytes long, mean_byte double"
-)
 
 
 def fake_decode(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
@@ -160,7 +195,7 @@ def fake_decode(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
         for pdf in batches:
             out = {
                 "media_id": [], "width": [], "height": [], "channels": [],
-                "payload_bytes": [], "mean_byte": [],
+                "payload_bytes": [], "mean_byte": [], "decoded": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
@@ -168,24 +203,108 @@ def fake_decode(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
                     w, h = struct.unpack(">HH", b[4:8])
                     ch = b[8]
                     body = np.frombuffer(b, dtype=np.uint8)[9:]
+                    dec = True
                 else:
                     w = h = ch = 0
                     body = np.frombuffer(b, dtype=np.uint8)
+                    dec = False
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["channels"].append(ch)
                 out["payload_bytes"].append(len(b))
                 out["mean_byte"].append(float(body.mean()) if body.size else 0.0)
+                out["decoded"].append(dec)
             yield pd.DataFrame(out)
 
     return df.select("media_id", "payload").mapInPandas(decode_batches, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, width int, height int, "
+    "resize_scale_x double, resize_scale_y double, resized boolean"
+)
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, method: str = "bilinear"
+) -> DataFrame:
+    """REAL pixel resize through the standard Arrow-batched mapInPandas
+    shape: PNG payloads decode (pure-numpy codec), resample
+    (nearest/bilinear, ops/imagecodec.resize_array) and re-encode as
+    PNG; SYNM payloads rewrite their header geometry (they carry no
+    pixels by construction); anything else goes through PIL when
+    importable, else passes through with ``resized=false``.
+    scale_x/scale_y = original/target, matching ``resize_stub``.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sqlpp_spark.ops import imagecodec as IC
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "payload": [], "width": [], "height": [],
+                "resize_scale_x": [], "resize_scale_y": [], "resized": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                w0 = h0 = None
+                new_payload, resized = b, False
+                if len(b) >= 9 and b[:4] == _MAGIC:
+                    w0, h0 = struct.unpack(">HH", b[4:8])
+                    new_payload = (
+                        _MAGIC
+                        + struct.pack(">HH", target_w, target_h)
+                        + b[8:]
+                    )
+                    resized = True
+                elif b[:8] == IC.PNG_SIGNATURE:
+                    try:
+                        arr = IC.decode_png(b)
+                        h0, w0 = arr.shape[0], arr.shape[1]
+                        new_payload = IC.encode_png(
+                            IC.resize_array(arr, target_w, target_h, method)
+                        )
+                        resized = True
+                    except IC.ImageCodecError:
+                        pass
+                elif HAS_PIL:
+                    try:
+                        import io
+
+                        import numpy as np
+
+                        img = _PILImage.open(io.BytesIO(b))
+                        w0, h0 = img.size
+                        arr = np.asarray(img.convert("RGB"))
+                        new_payload = IC.encode_png(
+                            IC.resize_array(arr, target_w, target_h, method)
+                        )
+                        resized = True
+                    except Exception:
+                        pass
+                out["media_id"].append(mid)
+                out["payload"].append(new_payload)
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["resize_scale_x"].append(
+                    float(w0) / target_w if w0 else None
+                )
+                out["resize_scale_y"].append(
+                    float(h0) / target_h if h0 else None
+                )
+                out["resized"].append(resized)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        resize_batches, RESIZED_SCHEMA
+    )
+
+
 def resize_stub(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize: metadata transform is real (new dims, scale factors);
-    pixel resampling is the stubbed step (payload passes through —
-    a real build calls PIL.Image.resize inside the same mapInPandas)."""
+    """Metadata-only resize PLAN (no pixel movement): new dims + scale
+    factors on the metadata columns. Use before decode to prune by
+    target geometry; ``resize_images`` is the real pixel path."""
     return df.withColumn(
         "resize_scale_x", F.col("width").cast("double") / F.lit(float(target_w))
     ).withColumn(

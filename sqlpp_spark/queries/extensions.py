@@ -138,11 +138,27 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: synthesize media payloads from the
     documents fixture, then decode/feature-extract via Arrow-batched
-    mapInPandas (deterministic stand-in for a PIL/ffmpeg decoder)."""
-    from sqlpp_spark.ops.multimodal import fake_decode, synthesize_media
+    mapInPandas. decode_image dispatches per payload format — real
+    pure-numpy PNG decode, JPEG SOF geometry, SYNM synthetic parse
+    (ops/imagecodec.py; PIL used when importable)."""
+    from sqlpp_spark.ops.multimodal import decode_image, synthesize_media
 
     docs = table(spark, sf_dir, "documents")
-    return fake_decode(synthesize_media(docs))
+    return decode_image(synthesize_media(docs))
+
+
+@register("multimodal_resize")  # mapInPandas pixel resample — no SQL oracle
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real resize path (decode → resample → re-encode for PNG;
+    header-geometry rewrite for pixel-free SYNM payloads), returning
+    the typed metadata of the resized corpus."""
+    from sqlpp_spark.ops.multimodal import resize_images, synthesize_media
+
+    media = synthesize_media(table(spark, sf_dir, "documents"))
+    return resize_images(media, 224, 224).select(
+        "media_id", "width", "height", "resize_scale_x", "resize_scale_y",
+        "resized",
+    )
 
 
 @register("multimodal_metadata_prune")  # width derives from crc32,

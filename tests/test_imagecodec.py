@@ -1,0 +1,115 @@
+"""Unit tests for the pure-numpy image codec (no Spark session)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from sqlpp_spark.ops.imagecodec import (
+    PNG_SIGNATURE,
+    ImageCodecError,
+    decode_png,
+    encode_png,
+    jpeg_info,
+    png_info,
+    resize_array,
+)
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2])
+def test_png_roundtrip_exact(ch, filter_type):
+    rng = np.random.default_rng(7 * ch + filter_type)
+    a = rng.integers(0, 256, (13, 17, ch), dtype=np.uint8)
+    b = encode_png(a, filter_type=filter_type)
+    assert png_info(b) == (17, 13, ch)
+    d = decode_png(b)
+    assert d.shape == (13, 17, ch) and (d == a).all()
+
+
+def test_png_decode_average_and_paeth_filters():
+    """Foreign PNG streams use Average/Paeth; hand-build one per the
+    spec's filter equations and require exact reconstruction."""
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+    h, w, ch = a.shape
+    flat = a.reshape(h, w * ch).astype(int)
+    rows = []
+    for y in range(h):
+        ftype = 3 if y % 2 == 0 else 4
+        prev = flat[y - 1] if y > 0 else np.zeros(w * ch, int)
+        cur = flat[y]
+        line = []
+        for x in range(w * ch):
+            left = cur[x - ch] if x >= ch else 0
+            ul = prev[x - ch] if x >= ch else 0
+            up = prev[x]
+            if ftype == 3:
+                line.append((cur[x] - ((left + up) >> 1)) & 0xFF)
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                line.append((cur[x] - pred) & 0xFF)
+        rows.append(bytes([ftype]) + bytes(line))
+
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body)) + t + body
+            + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == a).all()
+
+
+def test_png_grayscale_2d_input():
+    a = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    d = decode_png(encode_png(a))
+    assert d.shape == (8, 8, 1) and (d[:, :, 0] == a).all()
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ImageCodecError):
+        decode_png(b"not a png at all")
+    with pytest.raises(ImageCodecError):
+        png_info(b"\x89PNG\r\n\x1a\n" + b"\x00" * 10)
+
+
+def test_jpeg_sof_parse():
+    jpg = (
+        b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+        + b"\x00" * 9
+        + b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xc2" + struct.pack(">H", 17)  # progressive SOF2
+        + struct.pack(">BHHB", 8, 1080, 1920, 3) + b"\x00" * 9
+        + b"\xff\xd9"
+    )
+    assert jpeg_info(jpg) == (1920, 1080, 3)
+    with pytest.raises(ImageCodecError):
+        jpeg_info(b"\xff\xd8\xff\xd9")
+
+
+def test_resize_nearest_quadrants():
+    a = np.array([[[0], [255]], [[255], [0]]], dtype=np.uint8)
+    n = resize_array(a, 4, 4, "nearest")
+    assert n.shape == (4, 4, 1)
+    assert (n[:2, :2] == 0).all() and (n[:2, 2:] == 255).all()
+    assert (n[2:, :2] == 255).all() and (n[2:, 2:] == 0).all()
+
+
+def test_resize_bilinear_identity_and_bounds():
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, (32, 24, 3), dtype=np.uint8)
+    assert (resize_array(a, 24, 32, "bilinear") == a).all()
+    up = resize_array(a, 48, 64, "bilinear")
+    assert up.shape == (64, 48, 3)
+    assert up.min() >= a.min() and up.max() <= a.max()

@@ -39,42 +39,98 @@ def test_fake_decode_roundtrips_header(spark, media):
 
 
 def test_decode_image_both_environments(spark, media):
-    """decode_image works whether or not pillow is installed: with PIL
-    it decodes real bytes (SYNM payloads still parse as synthetic, so
-    output equals fake_decode on this corpus); without PIL it
-    auto-falls back to the synthetic decoder. Either way the result
-    must match fake_decode row for row here."""
-    from sqlpp_spark.ops.multimodal import HAS_PIL
-
+    """decode_image works whether or not pillow is installed: SYNM
+    payloads parse as synthetic in both, so output equals fake_decode
+    on this corpus, with decoded=true everywhere."""
     real = {r.media_id: (r.width, r.height, r.channels, r.payload_bytes,
-                         round(r.mean_byte, 9))
+                         round(r.mean_byte, 9), r.decoded)
             for r in decode_image(media).collect()}
     fake = {r.media_id: (r.width, r.height, r.channels, r.payload_bytes,
-                         round(r.mean_byte, 9))
+                         round(r.mean_byte, 9), r.decoded)
             for r in fake_decode(media).collect()}
     assert real == fake and real
-    if HAS_PIL:
-        # a genuine (non-SYNM) image must decode through PIL
-        import io
-
-        from PIL import Image
-
-        buf = io.BytesIO()
-        Image.new("RGB", (11, 7), color=(10, 20, 30)).save(buf, format="PNG")
-        png = spark.createDataFrame(
-            [(1, bytearray(buf.getvalue()))], "media_id long, payload binary"
-        )
-        row = decode_image(png).collect()[0]
-        assert (row.width, row.height, row.channels) == (11, 7, 3)
+    assert all(v[-1] for v in real.values())
 
 
-def test_decode_image_no_fallback_raises_without_pil(media):
+def test_decode_image_real_png_without_pil(spark):
+    """Genuine encoded PNG bytes decode for REAL regardless of pillow:
+    exact dimensions, channel count, and pixel mean come back through
+    the mapInPandas batch path (pure-numpy codec)."""
+    import numpy as np
+
+    from sqlpp_spark.ops.imagecodec import encode_png
+
+    rng = np.random.default_rng(42)
+    imgs = {i: rng.integers(0, 256, (7 + i, 11 + i, 3), dtype=np.uint8)
+            for i in range(4)}
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_png(a))) for i, a in imgs.items()],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in decode_image(df).collect()}
+    assert len(rows) == 4
+    for i, a in imgs.items():
+        r = rows[i]
+        assert (r.width, r.height, r.channels) == (11 + i, 7 + i, 3)
+        assert r.decoded is True
+        assert abs(r.mean_byte - float(a.mean())) < 1e-9
+
+
+def test_decode_image_jpeg_sof_geometry_without_pil(spark):
+    """JPEG without pillow: SOF geometry is real, pixels are the one
+    remaining stub boundary (decoded=false; fallback=False raises)."""
+    import struct as st
+
     from sqlpp_spark.ops.multimodal import HAS_PIL
 
     if HAS_PIL:
         pytest.skip("pillow installed - stub boundary not reachable")
-    with pytest.raises(NotImplementedError, match="pillow|decode"):
-        decode_image(media, fallback=False)
+    jpg = (
+        b"\xff\xd8\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + st.pack(">H", 17) + st.pack(">BHHB", 8, 480, 640, 3)
+        + b"\x00" * 9 + b"\xff\xd9"
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(jpg))], "media_id long, payload binary"
+    )
+    row = decode_image(df).collect()[0]
+    assert (row.width, row.height, row.channels) == (640, 480, 3)
+    assert row.decoded is False
+    with pytest.raises(Exception, match="pillow"):
+        decode_image(df, fallback=False).collect()
+
+
+def test_resize_images_real_pixels(spark):
+    """resize_images really resamples: a 2x2 checkerboard PNG upscaled
+    4x4 nearest keeps exact quadrant values; the payload round-trips
+    through the codec; SYNM payloads rewrite header geometry."""
+    import numpy as np
+
+    from sqlpp_spark.ops.imagecodec import decode_png, encode_png
+    from sqlpp_spark.ops.multimodal import resize_images
+
+    checker = np.array(
+        [[[0, 0, 0], [255, 255, 255]], [[255, 255, 255], [0, 0, 0]]],
+        dtype=np.uint8,
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(checker)))], "media_id long, payload binary"
+    )
+    row = resize_images(df, 4, 4, method="nearest").collect()[0]
+    assert (row.width, row.height, row.resized) == (4, 4, True)
+    assert row.resize_scale_x == 0.5 and row.resize_scale_y == 0.5
+    out = decode_png(bytes(row.payload))
+    assert out.shape == (4, 4, 3)
+    assert (out[:2, :2] == 0).all() and (out[:2, 2:] == 255).all()
+    assert (out[2:, :2] == 255).all() and (out[2:, 2:] == 0).all()
+
+
+def test_resize_images_synm_header_rewrite(media):
+    from sqlpp_spark.ops.multimodal import resize_images
+
+    row = resize_images(media.limit(1), 224, 224).collect()[0]
+    assert (row.width, row.height, row.resized) == (224, 224, True)
+    assert row.resize_scale_x > 0 and bytes(row.payload)[:4] == b"SYNM"
 
 
 def test_resize_metadata(media):
