@@ -75,40 +75,93 @@ def managed_data_dir(path: str) -> str:
     return path
 
 
-def commit_version(path: str, write) -> str:
-    """Run ``write(new_version_dir)`` then atomically flip _CURRENT to
-    it. Returns the committed data dir. GC: removes version dirs other
-    than the new one and its immediate predecessor, and (on first
-    migration from a flat layout) the stale flat parquet files."""
+def stage_version(path: str, write) -> str:
+    """Write a fresh version dir WITHOUT flipping _CURRENT — invisible
+    to readers until ``flip_current``. Returns the version dir name.
+    Orphans from a crashed transaction are GC'd by the next flip."""
     os.makedirs(path, exist_ok=True)
-    cur = os.path.join(path, _CURRENT)
-    prev = None
-    if os.path.isfile(cur):
-        with open(cur) as fh:
-            prev = fh.read().strip()
     versions = [
         int(d[3:]) for d in os.listdir(path)
         if d.startswith("_v_") and d[3:].isdigit()
     ]
     vdir = f"_v_{max(versions) + 1 if versions else 0}"
     write(os.path.join(path, vdir))
+    return vdir
+
+
+def flip_current(path: str, vdir: str) -> None:
+    """Atomically point _CURRENT at ``vdir`` (idempotent: a re-run
+    after a crash mid-recovery is a no-op). GC: removes version dirs
+    other than the new one and its immediate predecessor, and (on
+    first migration from a flat layout) the stale flat files."""
+    cur = os.path.join(path, _CURRENT)
+    prev = None
+    if os.path.isfile(cur):
+        with open(cur) as fh:
+            prev = fh.read().strip()
+    if prev == vdir:
+        return
+    if not os.path.isdir(os.path.join(path, vdir)):
+        raise FileNotFoundError(f"staged version missing: {path}/{vdir}")
     tmp = cur + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(vdir)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, cur)  # commit point
+    target = int(vdir[3:]) if vdir[3:].isdigit() else None
     for d in os.listdir(path):
         full = os.path.join(path, d)
         if d.startswith("_v_") and d not in (vdir, prev):
-            shutil.rmtree(full, ignore_errors=True)
+            # GC only OLDER versions: a multi-intent transaction may
+            # have staged newer dirs this same flip must not eat
+            if target is None or (d[3:].isdigit() and int(d[3:]) < target):
+                shutil.rmtree(full, ignore_errors=True)
         elif prev is None and os.path.isfile(full) and d not in (_CURRENT,):
             # first commit over a legacy flat layout: drop stale files
             try:
                 os.remove(full)
             except OSError:
                 pass
+
+
+def commit_version(path: str, write) -> str:
+    """Run ``write(new_version_dir)`` then atomically flip _CURRENT to
+    it. Returns the committed data dir."""
+    vdir = stage_version(path, write)
+    flip_current(path, vdir)
     return os.path.join(path, vdir)
+
+
+class StagedTxn:
+    """Write-ahead intent log for an all-or-nothing multi-table commit
+    (the migration runner's transaction; sqlpp applies each migration's
+    action list inside one DB transaction —
+    /root/reference/sqlpp_manage.ml:40-131 — and this is the parquet
+    equivalent). Storage writes stage version dirs without flipping
+    _CURRENT; drops/renames defer entirely. The caller serializes the
+    intent list to a manifest file (the single commit point) and then
+    applies it — see manage.Migrate._commit_txn. A crash before the
+    manifest exists leaves every table's _CURRENT untouched (rollback);
+    a crash after it rolls forward on recovery, each step idempotent.
+    """
+
+    def __init__(self):
+        self.intents: list = []
+
+    def stage_write(self, path: str, df: DataFrame) -> str:
+        fresh = not os.path.exists(path)
+        vdir = stage_version(path, lambda d: df.write.parquet(d))
+        self.intents.append(
+            {"op": "flip", "path": path, "version": vdir, "fresh": fresh}
+        )
+        return os.path.join(path, vdir)
+
+    def add_drop(self, path: str) -> None:
+        self.intents.append({"op": "drop", "path": path})
+
+    def add_rename(self, src: str, dst: str) -> None:
+        self.intents.append({"op": "rename", "src": src, "dst": dst})
 
 
 _SPARK_TO_SQLPP = {
@@ -177,6 +230,9 @@ class SqlppEngine:
         self.env = env or Env()
         self.catalog: Dict[str, DataFrame] = {}
         self.managed_paths: Dict[str, str] = {}  # table -> parquet dir (DML-able)
+        # active migration transaction (manage.Migrate sets/clears it);
+        # when set, storage writes stage instead of committing
+        self._txn: Optional[StagedTxn] = None
 
     # -- registration ------------------------------------------------------
 
@@ -203,6 +259,13 @@ class SqlppEngine:
         """A parquet-backed table the engine may mutate (INSERT/UPDATE/
         DELETE) — stored under the versioned commit protocol (or as a
         Delta table when delta-spark is on the classpath)."""
+        if self._txn is not None and not _HAS_DELTA:
+            staged = self._txn.stage_write(path, df)
+            self.managed_paths[name] = path
+            # read-your-writes inside the transaction: the catalog sees
+            # the staged version while on-disk _CURRENT stays put
+            self.register_df(name, self.spark.read.parquet(staged))
+            return
         if _HAS_DELTA:  # pragma: no cover - delta not in this image
             df.write.format("delta").mode("overwrite").save(path)
         else:
@@ -215,6 +278,15 @@ class SqlppEngine:
         if _HAS_DELTA:  # pragma: no cover
             return self.spark.read.format("delta").load(path)
         return self.spark.read.parquet(managed_data_dir(path))
+
+    def _managed_df(self, table: str, path: str) -> DataFrame:
+        """Current contents of a managed table for DML: inside a
+        migration transaction the catalog entry points at staged
+        (uncommitted) data — read-your-writes; otherwise read the
+        committed _CURRENT version."""
+        if self._txn is not None and table in self.catalog:
+            return self.catalog[table]
+        return self._read_managed_path(path)
 
     # -- query API ---------------------------------------------------------
 
@@ -323,7 +395,7 @@ class SqlppEngine:
     def _exec_insert(self, ins: A.Insert, src: str, params) -> Optional[DataFrame]:
         path = self._managed(ins.table)
         cols = self._table_fields(ins.table)
-        cur = self._read_managed_path(path)
+        cur = self._managed_df(ins.table, path)
         an = Analyzer(self.env, src)
         comp = Compiler(self.spark, self.catalog)
         binds = Bindings(params)
@@ -413,7 +485,7 @@ class SqlppEngine:
     def _exec_update(self, upd: A.Update, src: str, params) -> Optional[DataFrame]:
         path = self._managed(upd.table)
         cols = self._table_fields(upd.table)
-        cur = self._read_managed_path(path)
+        cur = self._managed_df(upd.table, path)
         # analyze SET/WHERE in the table's scope (+ optional FROM rels)
         sel = A.Select(from_=A.FromTable(upd.table, None))
         if upd.from_ is not None:
@@ -527,7 +599,7 @@ class SqlppEngine:
     def _exec_delete(self, dele: A.Delete, src: str, params) -> Optional[DataFrame]:
         path = self._managed(dele.table)
         cols = self._table_fields(dele.table)
-        cur = self._read_managed_path(path).alias(dele.table)
+        cur = self._managed_df(dele.table, path).alias(dele.table)
         an = Analyzer(self.env, src)
         from sqlpp_spark.frontend.analyze import SelectCtx, TableRel
 
@@ -594,7 +666,13 @@ class SqlppEngine:
         The plan reading the old version is untouched while the new one
         writes, and a crash anywhere leaves the old version active.
         With delta-spark on the classpath this is a real ACID overwrite
-        commit instead."""
+        commit instead. Inside a migration transaction the write only
+        STAGES (no _CURRENT flip); the catalog reads the staged version
+        so later actions in the same migration see it."""
+        if self._txn is not None and not _HAS_DELTA:
+            staged = self._txn.stage_write(path, df)
+            self.catalog[table] = self.spark.read.parquet(staged)
+            return
         if _HAS_DELTA:  # pragma: no cover - delta not in this image
             df.write.format("delta").mode("overwrite").save(path)
         else:

@@ -12,11 +12,20 @@ and applies each migration's actions transactionally
   (id, name, applied_at); ``migrate()`` skips already-applied ones and
   errors on history divergence (a recorded name missing from the
   migration list), like the reference's ordered-prefix check
-- there is no cross-table transaction on plain parquet: each action is
-  applied atomically (full-table rewrite), and a failure stops the run
-  at that action — documented trade-off vs the reference's SQLite
-  transactional apply. On Delta/Iceberg the same runner gains real
-  transactions with no code change at call sites.
+- each migration applies as ONE transaction over the managed root,
+  matching the reference's per-migration DB transaction
+  (sqlpp_manage.ml:40-131): every storage write STAGES a version dir
+  without flipping the table's _CURRENT pointer (engine.StagedTxn),
+  drops/renames defer entirely, and the _migrate record joins the same
+  intent list. A root-level ``_TXN`` manifest written atomically is the
+  single commit point; the intents then apply (each step idempotent).
+  Crash before the manifest → nothing visible changed, staged dirs are
+  garbage (rolled back; GC'd by the next commit). Crash after → the
+  next ``migrate()`` rolls FORWARD from the manifest before reading
+  history. In-process failure mid-migration restores the engine's
+  catalog/managed-path view of committed state and deletes staged
+  dirs; the in-memory env may retain the failed migration's schema
+  changes, so rebuild the engine before retrying in-process.
 
 DDL application to storage:
 - ADD COLUMN  → project existing data with the new column (default
@@ -28,6 +37,7 @@ DDL application to storage:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from dataclasses import dataclass
@@ -35,7 +45,12 @@ from typing import Iterable, List, Optional
 
 from pyspark.sql import DataFrame, functions as F
 
-from sqlpp_spark.engine import SqlppEngine
+from sqlpp_spark.engine import (
+    SqlppEngine,
+    StagedTxn,
+    flip_current,
+    managed_data_dir,
+)
 from sqlpp_spark.frontend import ast as A
 from sqlpp_spark.frontend.errors import SqlppError
 from sqlpp_spark.frontend.parser import parse_decls
@@ -62,6 +77,30 @@ class Migration:
     actions: List[object]  # Define | Exec
 
 
+def _translate(path: str, trans: dict) -> str:
+    """Rewrite ``path`` through rename translations (exact or prefix)."""
+    for src, dst in trans.items():
+        if path == src or path.startswith(src + os.sep):
+            path = dst + path[len(src):]
+    return path
+
+
+def _has_committed_data(path: str) -> bool:
+    """True if a managed dir holds COMMITTED data: a _CURRENT pointer
+    (versioned layout) or loose files (legacy flat layout). A dir with
+    only staged ``_v_*`` orphans from a rolled-back transaction does
+    not count."""
+    if not os.path.isdir(path):
+        return False
+    if os.path.isfile(os.path.join(path, "_CURRENT")):
+        return True
+    return any(
+        os.path.isfile(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f != "_CURRENT"
+    )
+
+
 class Migrate:
     """Ordered-migration runner over a SqlppEngine."""
 
@@ -79,23 +118,35 @@ class Migrate:
 
     def applied(self) -> List[str]:
         path = self._track_path()
-        if not os.path.isdir(path):
+        if not _has_committed_data(path):
             return []
         rows = (
-            self.engine.spark.read.parquet(path)
+            self.engine.spark.read.parquet(managed_data_dir(path))
             .orderBy("id")
             .select("name")
             .collect()
         )
         return [r.name for r in rows]
 
-    def _record(self, idx: int, name: str) -> None:
+    def _record(self, idx: int, name: str, txn: Optional[StagedTxn]) -> None:
+        """Stage (or commit) the full track table with the new row —
+        the record rides the migration's transaction, so 'applied' and
+        'storage effects visible' flip together."""
         spark = self.engine.spark
         row = spark.createDataFrame(
             [(idx, name)], "id int, name string"
         ).withColumn("applied_at", F.current_timestamp())
-        mode = "append" if os.path.isdir(self._track_path()) else "overwrite"
-        row.write.mode(mode).parquet(self._track_path())
+        path = self._track_path()
+        if _has_committed_data(path):
+            full = spark.read.parquet(managed_data_dir(path)).unionByName(row)
+        else:
+            full = row
+        if txn is not None:
+            txn.stage_write(path, full)
+        else:
+            from sqlpp_spark.engine import commit_version
+
+            commit_version(path, lambda d: full.write.parquet(d))
 
     # -- apply -------------------------------------------------------------
 
@@ -105,8 +156,12 @@ class Migrate:
         list (same ordered-prefix rule as the reference runner).
         Already-applied migrations replay their ENV effects only (a
         fresh engine resuming an existing root must see the evolved
-        schema without re-touching storage)."""
+        schema without re-touching storage). Each pending migration
+        applies in its own all-or-nothing transaction (module
+        docstring); an interrupted commit from a previous run rolls
+        forward before history is read."""
         migrations = list(migrations)
+        self._recover()
         done = self.applied()
         for i, name in enumerate(done):
             if i >= len(migrations) or migrations[i].name != name:
@@ -118,11 +173,101 @@ class Migrate:
         newly: List[str] = []
         for i in range(len(done), len(migrations)):
             m = migrations[i]
-            for act in m.actions:
-                self._apply_action(act)
-            self._record(i, m.name)
+            self._begin_txn()
+            try:
+                for act in m.actions:
+                    self._apply_action(act)
+                self._record(i, m.name, self.engine._txn)
+            except BaseException:
+                self._abort_txn()
+                raise
+            self._commit_txn()
             newly.append(m.name)
         return newly
+
+    # -- transaction protocol ---------------------------------------------
+
+    TXN = "_TXN"
+
+    def _txn_manifest(self) -> str:
+        return os.path.join(self.root, self.TXN)
+
+    def _begin_txn(self) -> None:
+        eng = self.engine
+        self._snap_catalog = dict(eng.catalog)
+        self._snap_paths = dict(eng.managed_paths)
+        eng._txn = StagedTxn()
+
+    def _commit_txn(self) -> None:
+        eng = self.engine
+        txn, eng._txn = eng._txn, None
+        manifest = self._txn_manifest()
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"intents": txn.intents}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, manifest)  # THE commit point for the migration
+        trans = self._apply_intents(txn.intents)
+        os.remove(manifest)
+        # rebind any paths a rename moved, then refresh the catalog to
+        # read the now-committed _CURRENT pointers
+        if trans:
+            for name, p in list(eng.managed_paths.items()):
+                eng.managed_paths[name] = _translate(p, trans)
+        for name, p in eng.managed_paths.items():
+            eng.catalog[name] = eng._read_managed_path(p)
+
+    def _abort_txn(self) -> None:
+        """In-process failure before the manifest: delete staged dirs
+        and restore the engine's view of committed state."""
+        eng = self.engine
+        txn, eng._txn = eng._txn, None
+        if txn is not None:
+            for it in txn.intents:
+                if it["op"] != "flip":
+                    continue
+                staged = os.path.join(it["path"], it["version"])
+                shutil.rmtree(staged, ignore_errors=True)
+                if it.get("fresh") and os.path.isdir(it["path"]) and not os.listdir(
+                    it["path"]
+                ):
+                    os.rmdir(it["path"])
+        eng.catalog = self._snap_catalog
+        eng.managed_paths = self._snap_paths
+
+    def _recover(self) -> None:
+        """Roll an interrupted commit forward: the manifest exists ⇒
+        the transaction committed; every intent is idempotent."""
+        manifest = self._txn_manifest()
+        if not os.path.isfile(manifest):
+            return
+        with open(manifest) as fh:
+            intents = json.load(fh)["intents"]
+        self._apply_intents(intents)
+        os.remove(manifest)
+
+    @staticmethod
+    def _apply_intents(intents: List[dict]) -> dict:
+        """Apply flips/drops/renames in recorded order. Renames build a
+        path-translation map so later intents (and the caller's
+        managed-path rebind) follow the moved directories. Returns the
+        translation map."""
+        trans: dict = {}
+        for it in intents:
+            if it["op"] == "flip":
+                flip_current(_translate(it["path"], trans), it["version"])
+            elif it["op"] == "drop":
+                shutil.rmtree(_translate(it["path"], trans), ignore_errors=True)
+            elif it["op"] == "rename":
+                src = _translate(it["src"], trans)
+                dst = it["dst"]
+                if os.path.isdir(src) and not os.path.isdir(dst):
+                    shutil.move(src, dst)  # same-fs rename: atomic
+                trans[it["src"]] = dst
+            else:
+                raise SqlppError(f"unknown txn intent {it['op']!r}")
+        return trans
 
     def ls(self, migrations: Iterable[Migration]) -> List[tuple]:
         """(name, applied?) pairs — the `migrate-ls` verb."""
@@ -156,9 +301,11 @@ class Migrate:
                 elif not self._env_ddl_applied(ddl):
                     eng.env.add_ddl(ddl)
         # (re)bind managed storage for every table now in the env
+        # (_has_committed_data: a dir holding only staged orphans from
+        # a rolled-back transaction must not bind)
         for name in list(eng.env.tables):
             path = os.path.join(self.root, f"{name}.parquet")
-            if os.path.isdir(path) and name not in eng.managed_paths:
+            if _has_committed_data(path) and name not in eng.managed_paths:
                 eng.managed_paths[name] = path
                 eng.catalog[name] = eng._read_managed_path(path)
 
@@ -197,7 +344,7 @@ class Migrate:
         if isinstance(ddl, A.DeclTable):
             eng.env.add_decl(ddl)
             path = os.path.join(self.root, f"{ddl.name}.parquet")
-            if not os.path.isdir(path):
+            if not _has_committed_data(path):
                 from sqlpp_spark.compiler.compile import spark_type
                 from pyspark.sql import types as T
 
@@ -217,21 +364,35 @@ class Migrate:
 
         # evolution statements need the current managed data
         eng.env.add_ddl(ddl)
+        txn = eng._txn
         if isinstance(ddl, A.DdlDropTable):
             path = eng.managed_paths.pop(ddl.table, None)
             eng.catalog.pop(ddl.table, None)
             if path and os.path.isdir(path):
-                shutil.rmtree(path)
+                if txn is not None:
+                    txn.add_drop(path)  # deferred to commit
+                else:
+                    shutil.rmtree(path)
             return
 
         path = eng.managed_paths.get(ddl.table)
         if path is None:
             return  # env-only table (no storage to evolve)
-        df = eng._read_managed_path(path)
+        df = eng._managed_df(ddl.table, path)
         if isinstance(ddl, A.DdlRenameTable):
             new_path = os.path.join(os.path.dirname(path), f"{ddl.new_name}.parquet")
             del eng.managed_paths[ddl.table]
-            eng.catalog.pop(ddl.table, None)
+            moved = eng.catalog.pop(ddl.table, None)
+            if txn is not None:
+                # defer the move; the table keeps its OLD physical path
+                # until commit (later staged writes land there and the
+                # intent translation follows them through the rename)
+                txn.add_rename(path, new_path)
+                eng.managed_paths[ddl.new_name] = path
+                eng.catalog[ddl.new_name] = (
+                    moved if moved is not None else df
+                )
+                return
             shutil.move(path, new_path)
             eng.managed_paths[ddl.new_name] = new_path
             eng.catalog[ddl.new_name] = eng._read_managed_path(new_path)

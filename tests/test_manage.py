@@ -461,3 +461,149 @@ def test_failed_rewrite_leaves_table_intact(spark, tmp_path):
         commit_version(path, boom)
     assert open(cur).read().strip() == committed
     assert [r.id for r in eng.fetch_list("select id from users")] == [1]
+
+
+# -- migration-level transaction (all-or-nothing apply) ---------------------
+
+
+def test_migration_crash_between_actions_rolls_back(spark, tmp_path):
+    """A failure between two actions of ONE migration must leave no
+    trace: the first action's write stays invisible (no _CURRENT flip),
+    the migration is unrecorded, and a clean re-run applies everything
+    — matching the reference's per-migration DB transaction
+    (sqlpp_manage.ml:40-131)."""
+    eng, root = _mk_users(spark, tmp_path)
+
+    class Boom(Exception):
+        pass
+
+    class FailingAction:
+        """Duck-typed action that detonates mid-migration."""
+        src = "boom"
+
+    mig = Migrate(eng, root)
+    bad = Migration("grow", [
+        Exec("insert into users(id, name, age) values (2, 'bob', 40)"),
+        FailingAction(),
+    ])
+    with pytest.raises(SqlppError, match="unknown migration action"):
+        mig.migrate([Migration("init", [
+            Define(SCHEMA),
+            Exec("insert into users(id, name, age) values (1, 'ann', 30)"),
+        ]), bad])
+
+    # fresh engine sees NOTHING of the failed migration
+    e2 = SqlppEngine(spark)
+    m2 = Migrate(e2, root)
+    assert m2.applied() == ["init"]
+    m2._replay_env(Migration("init", [Define(SCHEMA)]))
+    rows = [tuple(r) for r in e2.fetch_list("select id, name, age from users")]
+    assert rows == [(1, "ann", 30)]
+
+    # and the migration applies cleanly once fixed
+    good = Migration("grow", [
+        Exec("insert into users(id, name, age) values (2, 'bob', 40)"),
+        Exec("update users set age = 31 where id = 1"),
+    ])
+    e3 = SqlppEngine(spark)
+    applied = Migrate(e3, root).migrate([
+        Migration("init", [
+            Define(SCHEMA),
+            Exec("insert into users(id, name, age) values (1, 'ann', 30)"),
+        ]),
+        good,
+    ])
+    assert applied == ["grow"]
+    rows = sorted(
+        tuple(r) for r in e3.fetch_list("select id, name, age from users")
+    )
+    assert rows == [(1, "ann", 31), (2, "bob", 40)]
+
+
+def test_migration_crash_after_manifest_rolls_forward(spark, tmp_path):
+    """Once the _TXN manifest exists the migration is committed: a
+    crash before the intents finish applying must roll FORWARD on the
+    next migrate() — storage effects and the history record appear
+    together."""
+    import json as _json
+
+    eng, root = _mk_users(spark, tmp_path)
+    mig = Migrate(eng, root)
+
+    # run the second migration but "crash" before intents apply:
+    # capture the manifest the commit would write, then bail
+    eng2 = SqlppEngine(spark)
+    mig2 = Migrate(eng2, root)
+    mig2._recover()
+    done = mig2.applied()
+    assert done == ["init"]
+    mig2._replay_env(Migration("init", [Define(SCHEMA)]))
+    m = Migration("grow", [
+        Exec("insert into users(id, name, age) values (2, 'bob', 40)"),
+        Exec("update users set age = 99 where id = 2"),
+    ])
+    mig2._begin_txn()
+    for act in m.actions:
+        mig2._apply_action(act)
+    mig2._record(1, m.name, eng2._txn)
+    txn = eng2._txn
+    eng2._txn = None
+    manifest = mig2._txn_manifest()
+    with open(manifest, "w") as fh:
+        _json.dump({"intents": txn.intents}, fh)
+    # crash here: manifest on disk, no _CURRENT flipped yet
+
+    e3 = SqlppEngine(spark)
+    m3 = Migrate(e3, root)
+    applied = m3.migrate([
+        Migration("init", [
+            Define(SCHEMA),
+            Exec("insert into users(id, name, age) values (1, 'ann', 30)"),
+        ]),
+        m,
+    ])
+    assert applied == []  # rolled forward, not re-run
+    assert m3.applied() == ["init", "grow"]
+    rows = sorted(
+        tuple(r) for r in e3.fetch_list("select id, name, age from users")
+    )
+    assert rows == [(1, "ann", 30), (2, "bob", 99)]
+
+
+def test_migration_txn_rename_then_write_translates_paths(spark, tmp_path):
+    """RENAME TABLE deferred to commit: a later write in the SAME
+    migration stages into the old physical path and the intent
+    translation carries it through the move."""
+    eng, root = _mk_users(spark, tmp_path)
+    mig = Migrate(eng, root)
+    applied = mig.migrate([
+        Migration("init", [
+            Define(SCHEMA),
+            Exec("insert into users(id, name, age) values (1, 'ann', 30)"),
+        ]),
+        Migration("rename-and-write", [
+            Define("alter table users rename to people"),
+            Exec("insert into people(id, name, age) values (2, 'bob', 40)"),
+        ]),
+    ])
+    assert applied == ["rename-and-write"]
+    assert not os.path.isdir(os.path.join(root, "users.parquet"))
+    assert os.path.isfile(
+        os.path.join(root, "people.parquet", "_CURRENT")
+    )
+    rows = sorted(tuple(r) for r in eng.fetch_list("select id, name from people"))
+    assert rows == [(1, "ann"), (2, "bob")]
+
+    # a fresh engine resumes against the renamed table
+    e2 = SqlppEngine(spark)
+    Migrate(e2, root).migrate([
+        Migration("init", [
+            Define(SCHEMA),
+            Exec("insert into users(id, name, age) values (1, 'ann', 30)"),
+        ]),
+        Migration("rename-and-write", [
+            Define("alter table users rename to people"),
+            Exec("insert into people(id, name, age) values (2, 'bob', 40)"),
+        ]),
+    ])
+    assert sorted(r.id for r in e2.fetch_list("select id from people")) == [1, 2]
