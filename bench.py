@@ -39,24 +39,31 @@ def main() -> None:
         except Exception:
             pass
 
-    # Three timed runs per query, report the min (steady-state: AQE
+    # Five timed runs per query, report the min (steady-state: AQE
     # re-plans per input size, so the sf0.001 warmup doesn't compile
     # the sf-target stage plans; run 1 pays that residual JIT, later
-    # runs measure execution). Min-of-3 because the shared box's load
-    # swings individual runs ±30% — two samples regularly report a
+    # runs measure execution). Min-of-5 because the shared box's load
+    # swings individual runs ±30% — fewer samples regularly report a
     # load spike as a 2× "regression". clearCache between queries
     # keeps each measurement independent of earlier persisted blocks.
+    # Per-query spread = (max - min) / min over the timed runs is
+    # reported so a round-over-round delta can be judged against the
+    # measured noise floor instead of assumed real.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, spec in specs.items():
-        best = float("inf")
-        for _ in range(3):
+        samples: list[float] = []
+        for _ in range(runs):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = spec.builder(spark, sf_dir)
             n = df.count() if df.isStreaming is False else -1
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
             _ = n
+        best = min(samples)
         timings[name] = round(best, 4)
+        spreads[name] = round((max(samples) - best) / best, 3) if best else 0.0
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -66,6 +73,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": runs,
+                "spread": spreads,
             }
         )
     )
