@@ -770,3 +770,120 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", cosine_sim(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication rate (Lee et al. 2021, arXiv:2107.06499)
+# ---------------------------------------------------------------------------
+
+
+def substring_duplication_rate(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 8, sample_mod: int = 1,
+) -> DataFrame:
+    """Per-document EXACT-substring duplication rate: the fraction of a
+    document's distinct character-k-gram hashes that occur in at least
+    one other document ("Deduplicating Training Data Makes Language
+    Models Better" measures cross-document substring duplication this
+    way; suffix arrays find the spans, this finds the rate).
+
+    Scale shape: only (doc_id, 8-byte gram hash) rows ever shuffle —
+    the text stays in the scan stage (rolling hashes are computed
+    per-row JVM-side, ops/text.rolling_hashes). One partial-aggregated
+    shuffle for gram document-frequency, one hash join back (AQE reuses
+    the gram partitioning), one doc_id agg. ``sample_mod > 1`` keeps
+    only hashes ≡ 0 (mod sample_mod) on BOTH the numerator and
+    denominator — winnowing-style 1/m sampling that cuts the exploded
+    volume by m at 100 TB with an unbiased rate estimate.
+
+    Documents shorter than k characters (after normalization) have no
+    k-grams: they return ``n_grams = 0, dup_rate = 0.0``.
+
+    Returns (id_col, n_grams, n_dup, dup_rate).
+    """
+    from sqlpp_spark.ops.text import rolling_hashes
+
+    base = df.select(F.col(id_col), F.col(text_col))
+    eligible = base.filter(F.length(normalize_text(F.col(text_col))) >= k)
+    grams = eligible.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(rolling_hashes(F.col(text_col), k))
+        ).alias("g"),
+    )
+    if sample_mod > 1:
+        grams = grams.filter(F.col("g") % sample_mod == 0)
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__nd"))
+    stats = (
+        grams.join(freq, on="g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__nd") > 1).cast("bigint")).alias("n_dup"),
+        )
+    )
+    return (
+        base.select(id_col)
+        .join(stats, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0).cast("bigint")).alias("n_dup"),
+            F.coalesce(
+                F.col("n_dup").cast("double") / F.col("n_grams").cast("double"),
+                F.lit(0.0),
+            ).alias("dup_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-based canonical selection (production dedup retention policy)
+# ---------------------------------------------------------------------------
+
+
+def canonical_by_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup clustering with a RETENTION POLICY: instead of keeping
+    each cluster's minimum id, keep its highest-quality member
+    (ops/text.quality_score; ties break to the smaller id). This is
+    what production pipelines actually do — the canonical doc should
+    be the best copy, not an arbitrary one.
+
+    Docs outside any near-dup cluster are their own singleton cluster
+    and are always kept. Only cluster labels and (id, quality) pairs
+    shuffle; the clustering itself is minhash-LSH + pointer-jumped
+    connected components.
+
+    Returns (id_col, cluster_id, cluster_size, quality, keep).
+    """
+    from sqlpp_spark.ops.text import quality_score
+
+    clusters = near_duplicate_clusters(df, text_col, id_col, k, threshold)
+    scored = df.select(
+        F.col(id_col), quality_score(F.col(text_col)).alias("quality")
+    )
+    full = (
+        scored.join(
+            clusters.select(id_col, "cluster_id", "cluster_size"),
+            on=id_col, how="left",
+        )
+        .select(
+            id_col, "quality",
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            F.coalesce(
+                "cluster_size", F.lit(1).cast("bigint")
+            ).alias("cluster_size"),
+        )
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    out = full.select(
+        id_col, "cluster_id", "cluster_size", "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+    out._sqlpp_persisted = getattr(clusters, "_sqlpp_persisted", [])
+    return out

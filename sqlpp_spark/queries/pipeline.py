@@ -390,6 +390,78 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_duplicate_clusters(table(spark, sf_dir, "documents"), threshold=0.7)
 
 
+def _substring_rate_oracle(k: int = 8) -> str:
+    """DuckDB twin of ops.dedup.substring_duplication_rate — identical
+    polynomial gram hashes (ops/text.rolling_hashes arithmetic)."""
+    from sqlpp_spark.ops.text import NORMALIZE_SQL, ROLL_B, ROLL_M
+
+    s = NORMALIZE_SQL.format(c="text")
+    pows = [pow(ROLL_B, k - 1 - j, ROLL_M) for j in range(k)]
+    terms = " + ".join(
+        f"(CAST(ascii(substr(s, CAST(i + {j} AS INT), 1)) AS BIGINT)"
+        f" * {pows[j]}) % {ROLL_M}"
+        for j in range(k)
+    )
+    return f"""
+WITH norm AS (SELECT doc_id, {s} AS s FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, ({terms}) % {ROLL_M} AS g
+  FROM norm, unnest(generate_series(1, length(s) - {k - 1})) AS t(i)
+  WHERE length(s) >= {k}
+),
+freq AS (SELECT g, COUNT(*) AS nd FROM grams GROUP BY g),
+stats AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM grams JOIN freq USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(CAST(st.n_grams AS BIGINT), 0) AS n_grams,
+       COALESCE(CAST(st.n_dup AS BIGINT), 0) AS n_dup,
+       COALESCE(CAST(st.n_dup AS DOUBLE) / CAST(st.n_grams AS DOUBLE), 0.0)
+         AS dup_rate
+FROM documents d LEFT JOIN stats st USING (doc_id)
+"""
+
+
+@register("dedup_substring_rate", oracle=_substring_rate_oracle())
+def dedup_substring_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication rate per document (Lee et al.
+    arXiv:2107.06499 metric): fraction of a doc's distinct char-8-gram
+    hashes appearing in ≥1 other doc. Only 8-byte gram keys shuffle."""
+    return D.substring_duplication_rate(table(spark, sf_dir, "documents"))
+
+
+def _canonical_oracle() -> str:
+    """DuckDB twin of ops.dedup.canonical_by_quality: the recursive-CTE
+    cluster oracle + bit-exact quality score + per-cluster argmax."""
+    from sqlpp_spark.ops.text import quality_score_sql
+
+    return f"""
+WITH clust AS ({_cluster_oracle()}),
+scored AS (SELECT doc_id, {quality_score_sql("text")} AS quality FROM documents),
+full_t AS (
+  SELECT s.doc_id, s.quality,
+         COALESCE(c.cluster_id, s.doc_id) AS cluster_id,
+         COALESCE(CAST(c.cluster_size AS BIGINT), 1) AS cluster_size
+  FROM scored s LEFT JOIN clust c USING (doc_id)
+)
+SELECT doc_id, cluster_id, cluster_size, quality,
+       (ROW_NUMBER() OVER (
+          PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) = 1)
+         AS keep
+FROM full_t
+"""
+
+
+@register("dedup_canonical_keep", oracle=_canonical_oracle())
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters with the production retention policy: keep the
+    HIGHEST-QUALITY member of each cluster (ties → smaller id);
+    singletons always kept."""
+    return D.canonical_by_quality(table(spark, sf_dir, "documents"), threshold=0.7)
+
+
 def _simhash_sigs_cte(bits: int = 32) -> str:
     """Shared WITH-chain computing per-doc SimHash signatures (twin of
     ops.dedup.simhash) — terminates in a ``sigs(doc_id, simhash)``."""

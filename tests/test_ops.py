@@ -417,3 +417,68 @@ def test_ngram_jaccard_auto_picks_prefix_on_zipf_head(spark):
     )
     out2 = ngram_jaccard_pairs(flat, threshold=0.9)
     assert out2._sqlpp_jaccard_strategy == "join"
+
+
+def test_substring_duplication_rate_semantics(spark):
+    """Identical docs → dup_rate 1.0; a unique doc → 0.0; a doc shorter
+    than k (after normalization) → no grams at all."""
+    from sqlpp_spark.ops.dedup import substring_duplication_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different words never repeated anywhere here"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in substring_duplication_rate(docs, k=8).collect()}
+    assert rows[1].dup_rate == 1.0 and rows[2].dup_rate == 1.0
+    assert rows[3].dup_rate == 0.0 and rows[3].n_grams > 0
+    assert rows[4].n_grams == 0 and rows[4].dup_rate == 0.0
+
+
+def test_substring_duplication_rate_sampling_unbiased_on_full_dup(spark):
+    """sample_mod thins numerator and denominator identically: a fully
+    duplicated doc still reports rate 1.0 under sampling."""
+    from sqlpp_spark.ops.dedup import substring_duplication_rate
+
+    text = "many shared words in this rather long duplicated document body"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in substring_duplication_rate(docs, k=8, sample_mod=4).collect()
+    }
+    for r in rows.values():
+        assert r.dup_rate == 1.0 and r.n_grams > 0
+
+
+def test_canonical_by_quality_keeps_best_member(spark):
+    """In a near-dup cluster the highest-quality doc wins, NOT the
+    minimum id; singletons are their own kept cluster."""
+    from sqlpp_spark.ops.dedup import canonical_by_quality
+
+    # 10 and 11 are near-dups (long shared base, short suffixes keep
+    # Jaccard high); 11 scores higher quality, 10 fails the ≤10%
+    # punctuation rule
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs across "
+        "the wide green field before it rests under the old oak tree near "
+        "the river"
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, base + " !!!!!!!!!! ?????????? !!!!!!!!!!"),
+            (11, base + " every single day"),
+            (30, "unrelated singleton document standing entirely alone"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in canonical_by_quality(docs, threshold=0.5).collect()}
+    assert rows[10].cluster_id == rows[11].cluster_id == 10
+    assert rows[11].keep is True and rows[10].keep is False
+    assert rows[11].quality > rows[10].quality
+    assert rows[30].keep is True and rows[30].cluster_size == 1
