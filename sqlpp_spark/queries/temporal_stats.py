@@ -212,3 +212,71 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured (JSON) column extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column path: promote a JSON attribute
+    (``props.k``) to a typed column in the SCAN stage via
+    ``get_json_object`` (JVM-side Jackson parse, no Python), then
+    aggregate. At 100 TB the promotion runs once per row in
+    whole-stage codegen and only the typed 8-byte value shuffles —
+    never the JSON text. For a stable schema, land the promoted column
+    to parquet at ingest (sources/files.convert_to_parquet) so later
+    queries skip the parse entirely."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "events_json_schema_promote",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_parsed,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
+FROM (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+)
+""",
+)
+def events_json_schema_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit schema (the declared-schema stance,
+    SURVEY §1.3, applied to semi-structured data): malformed documents
+    become NULL fields instead of runtime errors — count them so data
+    quality is observable."""
+    e = table(spark, sf_dir, "events")
+    parsed = e.select(
+        F.from_json("props", "k bigint").alias("p")
+    ).select(F.col("p.k").alias("k"))
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_parsed"),
+        F.sum(F.col("k").isNull().cast("bigint")).alias("n_null_k"),
+    )
