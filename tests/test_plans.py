@@ -284,3 +284,26 @@ def test_bpe_merges_single_pair_shuffle(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
     # one shuffle for the groupBy; the top-k adds no global sort
     assert shuffle_count(p) <= 2
+
+
+def test_substring_rate_shuffles_gram_keys_not_text(spark, sf_dir):
+    """Exact-substring duplication rate: the text column must never
+    enter a shuffle — only (doc_id, 8-byte gram hash) rows move. The
+    gram document-frequency agg combines map-side."""
+    p = plan_of(spark, sf_dir, "dedup_substring_rate")
+    assert "partial_count" in p  # map-side combine on the freq agg
+    for body in exchange_sections(p):
+        assert "text" not in body, f"text column in a shuffle:\n{body}"
+
+
+def test_json_extract_scan_stage_parse_single_shuffle(spark, sf_dir):
+    """JSON promotion runs in the scan stage: one shuffle (the
+    event_type agg) whose payload is typed values, never the props
+    JSON text; unused event columns pruned from the scan."""
+    p = plan_of(spark, sf_dir, "events_json_extract")
+    assert shuffle_count(p) == 1
+    for body in exchange_sections(p):
+        assert "props" not in body, f"JSON text in a shuffle:\n{body}"
+    # scan reads only what the query needs
+    m = re.search(r"ReadSchema: (.+)", p)
+    assert m and "user_id" not in m.group(1) and "value" not in m.group(1)
