@@ -134,6 +134,46 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(stream, _unique_name("sdedup"), "append")
 
 
+@register(
+    "stream_exactly_once_sink",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(SUM(event_id) AS BIGINT) AS sum_id
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming file sink: events stream →
+    foreachBatch with per-batch overwrite dirs + an atomically-replaced
+    commit ledger (streaming/events.write_stream_exactly_once) → read
+    back committed batches. n == n_distinct per type proves neither
+    loss nor duplication; the oracle is the straight batch aggregate."""
+    import tempfile
+
+    from sqlpp_spark.streaming.events import (
+        read_events_stream,
+        read_exactly_once_output,
+        write_stream_exactly_once,
+    )
+
+    base = tempfile.mkdtemp(prefix="sqlpp_e1s_")
+    write_stream_exactly_once(
+        read_events_stream(spark, sf_dir), f"{base}/out", f"{base}/ckpt"
+    )
+    return (
+        read_exactly_once_output(spark, f"{base}/out")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("event_id").alias("n_distinct"),
+            F.sum("event_id").alias("sum_id"),
+        )
+    )
+
+
 @register("multimodal_features")  # mapInPandas decode — no SQL oracle
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: synthesize media payloads from the

@@ -205,3 +205,41 @@ def test_stream_dedup_one_row_per_key(spark, sf_dir, batch_events):
         out.groupBy("user_id", "event_type").count().filter(F.col("count") > 1).count()
         == 0
     )
+
+
+def test_exactly_once_sink_matches_batch_and_survives_redelivery(
+    spark, sf_dir, batch_events, tmp_path
+):
+    """End-to-end exactly-once: sink output equals the batch table; a
+    full redelivery (fresh checkpoint, same output dir) is a no-op via
+    the batch ledger; torn uncommitted writes stay invisible."""
+    import os
+
+    from sqlpp_spark.streaming.events import (
+        read_events_stream,
+        read_exactly_once_output,
+        write_stream_exactly_once,
+    )
+
+    out = str(tmp_path / "sink")
+    write_stream_exactly_once(
+        read_events_stream(spark, sf_dir), out, str(tmp_path / "ckpt1")
+    )
+    got = read_exactly_once_output(spark, out)
+    assert got.count() == batch_events.count()
+    assert (
+        got.agg(F.sum("event_id")).first()[0]
+        == batch_events.agg(F.sum("event_id")).first()[0]
+    )
+
+    # redelivery: fresh checkpoint re-sends every batch with the same
+    # ids; the ledger makes each a no-op — still no duplicates
+    write_stream_exactly_once(
+        read_events_stream(spark, sf_dir), out, str(tmp_path / "ckpt2")
+    )
+    assert read_exactly_once_output(spark, out).count() == batch_events.count()
+
+    # a torn write of an uncommitted batch must be invisible
+    junk = batch_events.limit(5)
+    junk.write.mode("overwrite").parquet(os.path.join(out, "batch_id=999"))
+    assert read_exactly_once_output(spark, out).count() == batch_events.count()
