@@ -387,6 +387,52 @@ def mixture_weights(
     )
 
 
+def temperature_mixture(
+    docs: DataFrame, group_col: str = "source",
+    text_col: str = "text", inv_temperature: int = 2,
+) -> DataFrame:
+    """Temperature-scaled mixture shares (the mT5/XLM-R resampling
+    rule): a group's sampling share is proportional to
+    token_share^(1/T). With integer ``inv_temperature`` k = 1/T the
+    share reduces to n_tokens^k / SUM(n_tokens^k) — exact integer
+    powers divided once, so the result is bit-equal across engines
+    (fractional temperatures need pow(), whose last ulp is
+    engine-specific; rates are indistinguishable in practice, but this
+    engine prefers oracle-checkable formulations). Low temperature
+    (k > 1) sharpens toward big groups; k = 1 is proportional
+    sampling. Guard: n_tokens^k must fit int64 — k ≤ 3 keeps corpora
+    up to ~2M tokens/group safe.
+
+    Returns (group_col, n_docs, n_tokens, token_share, temp_share,
+    boost) where boost = temp_share / token_share is the per-group
+    up/down-sampling factor to feed stratified_sample.
+    """
+    if not isinstance(inv_temperature, int) or not 1 <= inv_temperature <= 3:
+        raise ValueError("inv_temperature must be an int in [1, 3]")
+    w = mixture_weights(docs, group_col, text_col)
+    powed = F.col("n_tokens")
+    for _ in range(inv_temperature - 1):
+        powed = powed * F.col("n_tokens")
+    scaled = w.select(
+        group_col, "n_docs", "n_tokens", "token_share",
+        powed.cast("bigint").alias("__p"),
+    )
+    tot = scaled.select(F.sum("__p").cast("bigint").alias("__tp"))
+    return (
+        scaled.join(F.broadcast(tot), on=F.lit(True))
+        .select(
+            group_col, "n_docs", "n_tokens", "token_share",
+            (F.col("__p").cast("double") / F.col("__tp").cast("double")).alias(
+                "temp_share"
+            ),
+            (
+                (F.col("__p").cast("double") / F.col("__tp").cast("double"))
+                / F.col("token_share")
+            ).alias("boost"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # BM25 retrieval
 # ---------------------------------------------------------------------------

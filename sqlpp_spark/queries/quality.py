@@ -206,6 +206,40 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_temperature_mixture",
+    oracle=f"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+         CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS total_p
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share,
+       CAST(n_tokens * n_tokens AS DOUBLE) / CAST(total_p AS DOUBLE)
+         AS temp_share,
+       (CAST(n_tokens * n_tokens AS DOUBLE) / CAST(total_p AS DOUBLE))
+         / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)) AS boost
+FROM per, tot
+ORDER BY source
+""",
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture shares (share ∝ token_share^(1/T);
+    here T=0.5, i.e. exact integer squares, sharpening toward
+    high-resource groups — the same power rule multilingual
+    pretraining tunes in the other direction to lift low-resource
+    languages). boost feeds stratified_sample as per-group rates."""
+    return C.temperature_mixture(
+        table(spark, sf_dir, "documents"), group_col="source"
+    ).orderBy("source")
+
+
 _CLF = X.classifier_sql("text")
 
 

@@ -107,3 +107,24 @@ def test_split_assignment_thresholds_exact(spark, docs):
     # the train share of a 90/5/5 split dominates
     assert counts.get("train", 0) > counts.get("val", 0)
     assert counts.get("train", 0) > counts.get("test", 0)
+
+
+def test_temperature_mixture_shares_and_direction(spark, docs):
+    """temp_share sums to 1; with 1/T = 2 the boost is monotonically
+    increasing in group size (sharpening); 1/T = 1 is proportional
+    (boost == 1 everywhere)."""
+    from sqlpp_spark.ops.corpus import temperature_mixture
+
+    rows = temperature_mixture(docs, group_col="lang").collect()
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-12
+    by_size = sorted(rows, key=lambda r: r.n_tokens)
+    boosts = [r.boost for r in by_size]
+    assert boosts == sorted(boosts)  # bigger group -> bigger boost
+    flat = temperature_mixture(docs, group_col="lang", inv_temperature=1).collect()
+    for r in flat:
+        assert abs(r.boost - 1.0) < 1e-12
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_mixture(docs, group_col="lang", inv_temperature=4)
