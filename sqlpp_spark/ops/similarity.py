@@ -513,3 +513,61 @@ def hard_negative_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def knn_graph(
+    corpus: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 2,
+    seed: int = 42, vec_col: str = "embedding", id_col: str = "vec_id",
+    quantizer: str = "kmeans",
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH of the corpus with itself — the
+    building block for graph-based curation: SemDeDup-style cluster
+    pruning, embedding label propagation, kNN density/outlier scoring.
+
+    Unlike ``ivf_topk`` (whose query side broadcasts), BOTH sides here
+    are the full corpus, so candidates meet through a cell EQUI-JOIN:
+    every vector is assigned its nearest cell, probes its ``n_probe``
+    nearest cells, and the join co-partitions both sides on the cell
+    id. Pairwise work drops from n² to ~n²·n_probe/n_cells, nothing
+    broadcasts, and the shuffle payload is (cell, id, vector) rows —
+    the formulation that scales out with executors. Grow ``n_cells``
+    ~√n so each cell stays executor-sized; recall is tunable via
+    ``n_probe`` (= n_cells ⇒ exact graph).
+
+    Returns (query_id, cand_id, cos, rank), rank 1..k per query.
+    """
+    if quantizer == "pivot":
+        centroids, cell_ids = pivot_centroids(corpus, n_cells, vec_col, id_col)
+    else:
+        _assigned, centroids = ivf_index(corpus, n_cells, seed, vec_col, id_col)
+        cell_ids = None
+    corpus = ensure_parallelism(corpus)
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        _nearest_cells(F.col(vec_col), centroids, 1, cell_ids)[0].alias("cell"),
+    )
+    q = corpus.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            _nearest_cells(F.col(vec_col), centroids, n_probe, cell_ids)
+        ).alias("cell"),
+    )
+    scored = (
+        q.join(c, on="cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "cand_id", "cos",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

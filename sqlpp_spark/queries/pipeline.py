@@ -742,6 +742,60 @@ SELECT * FROM (
 """
 
 
+def _knn_graph_oracle(n_cells: int = 16, n_probe: int = 2, k: int = 5,
+                      dim: int = 64) -> str:
+    """Self-KNN twin of _ivf_topk_oracle: the query side is the whole
+    corpus (no vec_id cutoff) — every vector probes its n_probe
+    nearest pivot cells."""
+    d = _sqdist_sql("e.v", "piv.pv", dim)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+piv AS (SELECT vec_id AS cell, v AS pv FROM e ORDER BY vec_id LIMIT {n_cells}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, piv.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d}, piv.cell) AS rn
+    FROM e CROSS JOIN piv
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT e.vec_id, piv.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d}, piv.cell) AS rn
+    FROM e CROSS JOIN piv
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT q.query_id, a.vec_id AS cand_id
+  FROM qcells q JOIN assign a ON a.cell = q.cell
+  WHERE a.vec_id != q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.cand_id, list_cosine_similarity(x.v, y.v) AS cos
+  FROM cand c JOIN e x ON x.vec_id = c.query_id JOIN e y ON y.vec_id = c.cand_id
+)
+SELECT * FROM (
+  SELECT query_id, cand_id, cos,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, cand_id
+         ) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+@register("ann_knn_graph", oracle=_knn_graph_oracle())
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus self-KNN graph (every vector queries its 2 nearest of 16
+    pivot cells, top-5 neighbors) — both join sides are the corpus, so
+    candidates meet via a co-partitioned cell equi-join instead of a
+    broadcast; fully oracled via the deterministic pivot quantizer.
+    KMeans cells stay the production default (recall pinned in
+    tests/test_ops.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, k=5, n_cells=16, n_probe=2, quantizer="pivot")
+
+
 @register("ann_ivf_topk", oracle=_ivf_topk_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k, probe 4 of 16 cells — FULLY ORACLED via the

@@ -482,3 +482,33 @@ def test_canonical_by_quality_keeps_best_member(spark):
     assert rows[11].keep is True and rows[10].keep is False
     assert rows[11].quality > rows[10].quality
     assert rows[30].keep is True and rows[30].cluster_size == 1
+
+
+def test_knn_graph_recall_and_exactness_at_full_probe(spark, emb):
+    """Self-KNN graph: probing all cells degrades to the exact graph;
+    default probing keeps good recall; every vector appears as a query
+    with at most k neighbors and never lists itself."""
+    from sqlpp_spark.ops.similarity import brute_force_topk, knn_graph
+
+    k = 5
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in brute_force_topk(emb, emb, k=k).collect()
+    }
+    full = {
+        (r.query_id, r.cand_id)
+        for r in knn_graph(emb, k=k, n_cells=8, n_probe=8,
+                           quantizer="pivot").collect()
+    }
+    assert full == exact
+
+    g = knn_graph(emb, k=k, n_cells=16, n_probe=4, quantizer="pivot").collect()
+    assert all(r.query_id != r.cand_id for r in g)
+    per_q: dict = {}
+    for r in g:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert len(per_q) == emb.count()
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    approx = {(r.query_id, r.cand_id) for r in g}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.4, f"knn_graph recall too low: {recall}"
