@@ -571,3 +571,93 @@ def knn_graph(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def knn_density(
+    corpus: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 2,
+    seed: int = 42, vec_col: str = "embedding", id_col: str = "vec_id",
+    quantizer: str = "kmeans",
+) -> DataFrame:
+    """Per-vector kNN density: mean cosine to the k nearest neighbors
+    (from ``knn_graph``). Low density ⇒ isolated point (noise/outlier
+    candidate); high density ⇒ redundancy hotspot (prune first) — the
+    prototype-pruning signal SemDeDup/SSL-curation methods rank by.
+    The mean is an exact decimal sum of ROUND(cos, 9) values divided
+    once, so it is order-independent and bit-equal across engines.
+
+    Returns (id_col, n_neighbors, density).
+    """
+    g = knn_graph(
+        corpus, k, n_cells, n_probe, seed, vec_col, id_col, quantizer
+    )
+    return g.groupBy(F.col("query_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        (
+            F.sum(F.round(F.col("cos"), 9).cast("decimal(20,9)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("density"),
+    )
+
+
+def label_centroid_outliers(
+    emb: DataFrame, top_n: int = 10, vec_col: str = "embedding",
+    id_col: str = "vec_id", label_col: str = "label",
+) -> DataFrame:
+    """Noisy-label candidate mining: each label's centroid, then every
+    vector's squared L2 distance to its OWN label's centroid, ranked
+    descending per label — the farthest members are the mislabeled /
+    out-of-distribution suspects (the confident-learning-style signal,
+    computed geometrically).
+
+    Determinism: per-dimension centroid sums are exact decimals over
+    ROUND(v_i, 9) (order-independent), divided once to doubles; the
+    distance folds dimensions sequentially (left-associated), so DuckDB
+    replays it bit-equally with an explicit chain. Scale: the explode
+    shuffles (label, pos, 8-byte value) rows once; centroids are a
+    labels×dim table (tiny, broadcast); the corpus itself never
+    shuffles.
+
+    Returns (id_col, label_col, d2, rank) for rank ≤ top_n.
+    """
+    ex = emb.select(
+        F.col(label_col).alias("__lbl"),
+        F.posexplode(F.col(vec_col)).alias("pos", "__v"),
+    ).select(
+        "__lbl", "pos",
+        F.round(F.col("__v").cast("double"), 9).alias("__v"),
+    )
+    sums = ex.groupBy("__lbl", "pos").agg(
+        F.sum(F.col("__v").cast("decimal(30,9)")).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    cent = (
+        sums.select(
+            "__lbl", "pos",
+            (F.col("__s").cast("double") / F.col("__n")).alias("__c"),
+        )
+        .groupBy("__lbl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__c"))),
+                lambda s: s["__c"],
+            ).alias("__cv")
+        )
+    )
+    j = emb.join(
+        F.broadcast(cent), on=F.col(label_col) == F.col("__lbl")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("__cv"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = W.partitionBy(label_col).orderBy(F.desc("d2"), F.asc(id_col))
+    return (
+        j.select(F.col(id_col), F.col(label_col), d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_n)
+    )

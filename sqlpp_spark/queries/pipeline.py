@@ -796,6 +796,69 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_graph(emb, k=5, n_cells=16, n_probe=2, quantizer="pivot")
 
 
+@register(
+    "ann_knn_density",
+    oracle=f"""
+WITH g AS ({_knn_graph_oracle()})
+SELECT query_id AS vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       CAST(SUM(CAST(ROUND(cos, 9) AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*)
+         AS density
+FROM g GROUP BY query_id
+""",
+)
+def ann_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN density per vector (mean cos to the 5 nearest via the
+    self-KNN graph): the redundancy/outlier signal prototype-pruning
+    curation ranks by. Decimal-exact mean → bit-equal oracle."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.knn_density(emb, k=5, n_cells=16, n_probe=2, quantizer="pivot")
+
+
+def _centroid_outlier_oracle(top_n: int = 10, dim: int = 64) -> str:
+    chain = " + ".join(
+        f"(e.v[{i}] - c.cv[{i}]) * (e.v[{i}] - c.cv[{i}])"
+        for i in range(1, dim + 1)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ex AS (
+  SELECT label, i AS pos, ROUND(v[i], 9) AS val
+  FROM e, unnest(generate_series(1, {dim})) AS t(i)
+),
+sums AS (
+  SELECT label, pos, SUM(CAST(val AS DECIMAL(30,9))) AS s, COUNT(*) AS n
+  FROM ex GROUP BY label, pos
+),
+cent AS (
+  SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS cv
+  FROM sums GROUP BY label
+),
+d AS (
+  SELECT e.vec_id, e.label, {chain} AS d2
+  FROM e JOIN cent c USING (label)
+)
+SELECT vec_id, label, d2, rank FROM (
+  SELECT vec_id, label, d2,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY label ORDER BY d2 DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM d
+) WHERE rank <= {top_n}
+"""
+
+
+@register("emb_label_outliers", oracle=_centroid_outlier_oracle())
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy-label mining: top-10 vectors farthest (squared L2) from
+    their own label's centroid — mislabel/OOD suspects. Centroids from
+    order-independent decimal sums; distances fold left-associated, so
+    DuckDB replays bit-equally."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.label_centroid_outliers(emb, top_n=10)
+
+
 @register("ann_ivf_topk", oracle=_ivf_topk_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k, probe 4 of 16 cells — FULLY ORACLED via the

@@ -512,3 +512,34 @@ def test_knn_graph_recall_and_exactness_at_full_probe(spark, emb):
     approx = {(r.query_id, r.cand_id) for r in g}
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.4, f"knn_graph recall too low: {recall}"
+
+
+def test_knn_density_bounds_and_coverage(spark, emb):
+    from sqlpp_spark.ops.similarity import knn_density
+
+    rows = knn_density(emb, k=5, quantizer="pivot").collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert 1 <= r.n_neighbors <= 5
+        assert -1.0 - 1e-9 <= r.density <= 1.0 + 1e-9
+
+
+def test_label_centroid_outliers_finds_planted_outlier(spark):
+    """A label cluster near the origin plus one far-away member: the
+    far point must rank 1 for that label."""
+    from sqlpp_spark.ops.similarity import label_centroid_outliers
+
+    rows = [
+        (i, [0.1 * (i % 3), 0.1, 0.0, 0.1], 0) for i in range(10)
+    ] + [(99, [5.0, 5.0, 5.0, 5.0], 0)] + [
+        (200 + i, [1.0, 0.0, 1.0, 0.0], 1) for i in range(4)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {(r.label, r.rank): r for r in
+           label_centroid_outliers(emb, top_n=3).collect()}
+    assert out[(0, 1)].vec_id == 99
+    assert out[(0, 1)].d2 > out[(0, 2)].d2
+    # label 1 members are identical -> all distances 0, ties by id
+    assert out[(1, 1)].vec_id == 200 and out[(1, 1)].d2 < 1e-12
