@@ -322,3 +322,125 @@ def frame_sample_indices(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias("frame_idx"),
     ).withColumn("frame_ms", F.col("frame_idx") * F.lit(every_ms))
+
+
+# ---------------------------------------------------------------------------
+# Audio: real WAV decode (stdlib wave module — no third-party libs)
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_ms long, rms double, zero_crossings long, decoded boolean"
+)
+
+
+def synthesize_audio(
+    df: DataFrame, id_col: str = "doc_id", freq_from: str = "doc_id",
+    sample_rate: int = 8000, duration_ms: int = 250,
+) -> DataFrame:
+    """Deterministic WAV corpus: one mono 16-bit PCM sine per row,
+    frequency derived from ``freq_from`` (110 + (id % 880) Hz). Encoded
+    with the stdlib ``wave`` writer inside mapInPandas — genuine RIFF
+    bytes, so the decode path is exercised for real."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as wavmod
+
+        import numpy as np
+
+        n = int(sample_rate * duration_ms / 1000)
+        t = np.arange(n) / sample_rate
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "payload": []}
+            for mid, src in zip(pdf[id_col], pdf[freq_from]):
+                f = 110.0 + (int(src) % 880)
+                pcm = (np.sin(2 * np.pi * f * t) * 16000).astype("<i2")
+                buf = io.BytesIO()
+                with wavmod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(pcm.tobytes())
+                out["media_id"].append(mid)
+                out["kind"].append("audio")
+                out["payload"].append(buf.getvalue())
+            yield pd.DataFrame(out)
+
+    cols = {id_col, freq_from}
+    return df.select(*cols).mapInPandas(
+        synth, "media_id long, kind string, payload binary"
+    )
+
+
+def decode_audio(df: DataFrame, fallback: bool = True) -> DataFrame:
+    """REAL audio decode through the standard Arrow-batched mapInPandas
+    shape: WAV (RIFF PCM) payloads parse with the stdlib ``wave``
+    module — sample rate, channels, duration, RMS amplitude
+    (normalized to [0,1]) and zero-crossing count, all from actual
+    samples. Non-WAV payloads report byte stats with ``decoded=false``
+    (compressed codecs need ffmpeg — that boundary raises under
+    ``fallback=False``)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as wavmod
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "n_channels": [],
+                "n_samples": [], "duration_ms": [], "rms": [],
+                "zero_crossings": [], "decoded": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                sr = ch = 0
+                ns = dur = zc = 0
+                rms = 0.0
+                dec = False
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    try:
+                        with wavmod.open(io.BytesIO(b), "rb") as w:
+                            sr = w.getframerate()
+                            ch = w.getnchannels()
+                            width = w.getsampwidth()
+                            ns = w.getnframes()
+                            raw = w.readframes(ns)
+                        if width == 2:
+                            x = np.frombuffer(raw, dtype="<i2").astype(
+                                np.float64
+                            ) / 32768.0
+                        elif width == 1:  # 8-bit WAV is unsigned
+                            x = (
+                                np.frombuffer(raw, dtype=np.uint8).astype(
+                                    np.float64
+                                )
+                                - 128.0
+                            ) / 128.0
+                        else:
+                            raise ValueError(f"width {width}")
+                        dur = int(ns * 1000 / sr) if sr else 0
+                        rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+                        zc = int(np.count_nonzero(np.diff(np.signbit(x))))
+                        dec = True
+                    except Exception:
+                        if not fallback:
+                            raise
+                elif not fallback:
+                    raise NotImplementedError(
+                        "compressed audio decode requires ffmpeg; only RIFF "
+                        "WAV decodes natively"
+                    )
+                out["media_id"].append(mid)
+                out["sample_rate"].append(sr)
+                out["n_channels"].append(ch)
+                out["n_samples"].append(ns)
+                out["duration_ms"].append(dur)
+                out["rms"].append(rms)
+                out["zero_crossings"].append(zc)
+                out["decoded"].append(dec)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(decode, AUDIO_SCHEMA)

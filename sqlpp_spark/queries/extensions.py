@@ -201,6 +201,19 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_audio_features")  # mapInPandas WAV decode — no SQL oracle
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline: synthesize genuine RIFF/WAV payloads (stdlib
+    wave writer) from the documents fixture, then decode real samples
+    via Arrow-batched mapInPandas — sample rate, duration, RMS,
+    zero-crossing rate. Decode accuracy pinned in
+    tests/test_multimodal.py (RMS/ZCR match the synthesized sines)."""
+    from sqlpp_spark.ops.multimodal import decode_audio, synthesize_audio
+
+    docs = table(spark, sf_dir, "documents")
+    return decode_audio(synthesize_audio(docs))
+
+
 @register("multimodal_metadata_prune")  # width derives from crc32,
 # which DuckDB lacks — rows-only check
 def multimodal_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:

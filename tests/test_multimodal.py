@@ -150,3 +150,43 @@ def test_frame_sampling(spark):
         by_id.setdefault(r.media_id, []).append(r.frame_ms)
     assert by_id[1] == [0, 1000, 2000, 3000, 4000]
     assert by_id[2] == [0]
+
+
+def test_audio_wav_decode_real_samples(spark):
+    """Genuine RIFF/WAV bytes decode for real: synthesized sines round
+    trip through the stdlib wave writer/reader with correct sample
+    rate, duration, RMS ≈ 16000/32768/√2, and a zero-crossing count
+    matching the sine frequency."""
+    from sqlpp_spark.ops.multimodal import decode_audio, synthesize_audio
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (881, "c")], "doc_id long, text string"
+    )
+    wav = synthesize_audio(docs, sample_rate=8000, duration_ms=250)
+    rows = {r.media_id: r for r in decode_audio(wav).collect()}
+    assert len(rows) == 3
+    for mid, r in rows.items():
+        assert r.decoded is True
+        assert r.sample_rate == 8000 and r.n_channels == 1
+        assert r.n_samples == 2000 and r.duration_ms == 250
+        expected_rms = (16000 / 32768.0) / (2 ** 0.5)
+        assert abs(r.rms - expected_rms) < 0.01
+        freq = 110.0 + (mid % 880)
+        # a sine at f Hz crosses zero ~2f times/sec
+        expected_zc = 2 * freq * 0.25
+        assert abs(r.zero_crossings - expected_zc) <= 3, (mid, r.zero_crossings)
+
+
+def test_audio_non_wav_fallback_and_boundary(spark):
+    from sqlpp_spark.ops.multimodal import decode_audio
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ID3\x04not really audio"))],
+        "media_id long, payload binary",
+    )
+    row = decode_audio(df).collect()[0]
+    assert row.decoded is False and row.sample_rate == 0
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="ffmpeg|RIFF"):
+        decode_audio(df, fallback=False).collect()
