@@ -113,3 +113,58 @@ def test_resize_bilinear_identity_and_bounds():
     up = resize_array(a, 48, 64, "bilinear")
     assert up.shape == (64, 48, 3)
     assert up.min() >= a.min() and up.max() <= a.max()
+
+
+# -- property-based (hypothesis) --------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAS_HYPOTHESIS = False
+
+if HAS_HYPOTHESIS:
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        filter_type=st.sampled_from([0, 1, 2]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_png_roundtrip_property(h, w, ch, filter_type, seed):
+        """encode→decode is the identity for every shape/channel/filter
+        combination, including 1-pixel and single-row/column images."""
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        d = decode_png(encode_png(a, filter_type=filter_type))
+        assert d.shape == (h, w, ch) and (d == a).all()
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        h=st.integers(1, 16), w=st.integers(1, 16),
+        th=st.integers(1, 32), tw=st.integers(1, 32),
+        method=st.sampled_from(["nearest", "bilinear"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_resize_property_shape_and_range(h, w, th, tw, method, seed):
+        """resize always produces the requested shape with values
+        inside the input's range (both methods are interpolating)."""
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = resize_array(a, tw, th, method)
+        assert out.shape == (th, tw, 3)
+        assert out.min() >= a.min() and out.max() <= a.max()
+
+    @settings(max_examples=20, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=200))
+    def test_codec_rejects_arbitrary_bytes_cleanly(data):
+        """Garbage never crashes with anything but ImageCodecError."""
+        for fn in (decode_png, png_info, jpeg_info):
+            try:
+                fn(data)
+            except ImageCodecError:
+                pass
