@@ -109,3 +109,88 @@ def bucketed_join(
     r = spark.table(right)
     out = l.join(r, on=key, how=how)
     return out.select(*select) if select else out
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout keys — multi-column file-skipping locality
+# ---------------------------------------------------------------------------
+
+
+def zorder_key(
+    x, y, x_min: float, x_max: float, y_min: float, y_max: float,
+    bits: int = 16,
+):
+    """Morton (Z-order) key interleaving the quantized bits of two
+    columns — entirely JVM-side shift/mask arithmetic (whole-stage
+    codegen, no UDF). Sorting/range-partitioning files by this key
+    gives every file a tight bounding box in BOTH columns, so parquet
+    min/max stats (or Delta/Iceberg file stats) can skip files for
+    predicates on either column — the layout lever single-column sort
+    can't provide. Bounds are plan literals: compute them once with a
+    narrow min/max agg (exact) or use fixed domain knowledge.
+
+    Quantization: v → floor((v - min) / (max - min) * (2^bits - 1)),
+    clamped — deterministic and replayed bit-for-bit by the DuckDB
+    oracle twin.
+    """
+    scale = (1 << bits) - 1
+
+    def quant(c, lo, hi):
+        # multiply BEFORE dividing: (v-lo)*scale/(hi-lo) keeps integer
+        # grids exact ((1-0)*3/3 == 1.0; the other order rounds 1/3
+        # first and floors to 0)
+        q = F.floor(
+            (c.cast("double") - F.lit(float(lo)))
+            * F.lit(float(scale))
+            / F.lit(float(hi) - float(lo))
+        ).cast("bigint")
+        return F.greatest(F.lit(0), F.least(F.lit(scale), q))
+
+    qx, qy = quant(x, x_min, x_max), quant(y, y_min, y_max)
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        # Column.bitwiseOR, not `|` (PySpark maps `|` to boolean OR)
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(qx, b) % 2, 2 * b)
+        ).bitwiseOR(F.shiftleft(F.shiftright(qy, b) % 2, 2 * b + 1))
+    return z
+
+
+def zorder_key_sql(
+    x: str, y: str, x_min: float, x_max: float, y_min: float, y_max: float,
+    bits: int = 16,
+) -> str:
+    """DuckDB twin of ``zorder_key`` — identical quantization and bit
+    interleave."""
+    scale = (1 << bits) - 1
+
+    def quant(c, lo, hi):
+        return (
+            f"GREATEST(0, LEAST({scale}, CAST(floor((CAST({c} AS DOUBLE) - "
+            f"{float(lo)}) * {float(scale)} / {float(hi) - float(lo)}) "
+            f"AS BIGINT)))"
+        )
+
+    qx, qy = quant(x, x_min, x_max), quant(y, y_min, y_max)
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({qx} >> {b}) % 2) << {2 * b})")
+        terms.append(f"((({qy} >> {b}) % 2) << {2 * b + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def layout_zorder(
+    df: DataFrame, z, n_partitions: int = 32,
+) -> DataFrame:
+    """Apply the Z-order layout: range-partition on the Morton key and
+    sort within partitions, so a subsequent parquet write produces
+    files whose min/max stats are tight in both dimensions. The range
+    partitioner samples key quantiles (one lightweight pass) — the
+    standard layout-rewrite shape; at 100 TB this is the periodic
+    OPTIMIZE job, not a per-query cost."""
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

@@ -280,3 +280,39 @@ def events_json_schema_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parsed"),
         F.sum(F.col("k").isNull().cast("bigint")).alias("n_null_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 12
+
+
+def _zorder_oracle() -> str:
+    from sqlpp_spark.ops.partitioning import zorder_key_sql
+
+    z = zorder_key_sql(
+        "CAST(user_id AS DOUBLE)", "value", 0.0, 1000.0, 0.0, 100.0,
+        bits=_Z_BITS,
+    )
+    return f"""
+SELECT event_id, {z} AS zkey FROM events
+"""
+
+
+@register("events_zorder_key", oracle=_zorder_oracle())
+def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) layout key over (user_id, value) — the
+    file-skipping layout lever: range-partitioning + sorting a write by
+    this key gives every file a tight bounding box in BOTH columns, so
+    min/max stats prune files for predicates on either. Pure
+    shift/mask codegen, bounds as plan literals; bit-for-bit oracled."""
+    from sqlpp_spark.ops.partitioning import zorder_key
+
+    e = table(spark, sf_dir, "events")
+    z = zorder_key(
+        F.col("user_id"), F.col("value"), 0.0, 1000.0, 0.0, 100.0,
+        bits=_Z_BITS,
+    )
+    return e.select("event_id", z.alias("zkey"))

@@ -104,3 +104,56 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_zorder_key_matches_morton_pattern(spark):
+    """2-bit Z-key over a 4x4 integer grid must equal the textbook
+    Morton numbers (bit interleave), proving quantization exactness on
+    integer grids and correct bit placement."""
+    from sqlpp_spark.ops.partitioning import zorder_key
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x long, y long"
+    )
+    z = zorder_key(F.col("x"), F.col("y"), 0, 3, 0, 3, bits=2)
+    got = {(r.x, r.y): r.z for r in grid.select("x", "y", z.alias("z")).collect()}
+
+    def morton(x, y):
+        out = 0
+        for b in range(2):
+            out |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    assert got == {(x, y): morton(x, y) for x in range(4) for y in range(4)}
+
+
+def test_zorder_layout_tightens_both_dimensions(spark):
+    """Partitioning by the Z-key must bound BOTH coordinates per
+    partition: every Z-range partition of a uniform grid covers a far
+    smaller (x, y) bounding box than the single-column-sorted layout,
+    which leaves the second dimension's range at full width."""
+    from sqlpp_spark.ops.partitioning import layout_zorder, zorder_key
+
+    n = 32
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    z = zorder_key(F.col("x"), F.col("y"), 0, n - 1, 0, n - 1, bits=5)
+    parts = (
+        layout_zorder(grid, z, n_partitions=16)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xr"),
+            (F.max("y") - F.min("y")).alias("yr"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 1)
+        .collect()
+    )
+    assert parts
+    # x-sorted layout: every 64-row slice spans the full y range (31).
+    # Z-order: both ranges stay near sqrt(partition size).
+    avg_xr = sum(p.xr for p in parts) / len(parts)
+    avg_yr = sum(p.yr for p in parts) / len(parts)
+    assert avg_xr <= 16 and avg_yr <= 16, (avg_xr, avg_yr)
