@@ -75,6 +75,56 @@ def managed_data_dir(path: str) -> str:
     return path
 
 
+def list_versions(path: str) -> list:
+    """Version numbers present under a managed table dir, ascending.
+    The commit protocol retains the active version plus its immediate
+    predecessor (plus any not-yet-flipped staged dirs)."""
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        int(d[3:]) for d in os.listdir(path)
+        if d.startswith("_v_") and d[3:].isdigit()
+    )
+
+
+def read_managed_version(
+    spark: SparkSession, path: str, version: Optional[int] = None
+) -> DataFrame:
+    """TIME-TRAVEL read of a managed table: ``version=None`` reads the
+    active version; otherwise reads the requested retained version
+    (the predecessor survives one commit cycle — long-horizon travel
+    is Delta/Iceberg territory, but one-version-back covers the
+    'compare against pre-migration data' and 'open reader during
+    rewrite' cases the protocol is built for)."""
+    if version is None:
+        return spark.read.parquet(managed_data_dir(path))
+    vdir = os.path.join(path, f"_v_{version}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"version {version} not retained under {path} "
+            f"(have: {list_versions(path)})"
+        )
+    return spark.read.parquet(vdir)
+
+
+def vacuum_managed(path: str) -> list:
+    """Drop every retained version except the active one (the VACUUM /
+    OPTIMIZE-retention verb). Safe only when no reader still holds the
+    predecessor — same contract as Delta VACUUM. Returns the removed
+    version numbers."""
+    cur = os.path.join(path, _CURRENT)
+    if not os.path.isfile(cur):
+        return []
+    with open(cur) as fh:
+        active = fh.read().strip()
+    removed = []
+    for d in os.listdir(path):
+        if d.startswith("_v_") and d != active and d[3:].isdigit():
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            removed.append(int(d[3:]))
+    return sorted(removed)
+
+
 def stage_version(path: str, write) -> str:
     """Write a fresh version dir WITHOUT flipping _CURRENT — invisible
     to readers until ``flip_current``. Returns the version dir name.

@@ -607,3 +607,31 @@ def test_migration_txn_rename_then_write_translates_paths(spark, tmp_path):
         ]),
     ])
     assert sorted(r.id for r in e2.fetch_list("select id from people")) == [1, 2]
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    """Version utilities: the predecessor version stays readable after
+    a rewrite (time travel one back); vacuum drops everything but the
+    active version and the table still serves correctly."""
+    from sqlpp_spark.engine import (
+        list_versions,
+        read_managed_version,
+        vacuum_managed,
+    )
+
+    eng, root = _mk_users(spark, tmp_path)
+    path = eng.managed_paths["users"]
+    eng.exec("update users set age = 31 where id = 1")
+    versions = list_versions(path)
+    assert len(versions) == 2  # active + predecessor
+    old = read_managed_version(spark, path, versions[0]).collect()
+    new = read_managed_version(spark, path, versions[1]).collect()
+    assert [r.age for r in old] == [30] and [r.age for r in new] == [31]
+    assert [r.age for r in read_managed_version(spark, path).collect()] == [31]
+
+    removed = vacuum_managed(path)
+    assert removed == [versions[0]]
+    assert list_versions(path) == [versions[1]]
+    assert [r.age for r in eng.fetch_list("select age from users")] == [31]
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        read_managed_version(spark, path, versions[0])
