@@ -42,6 +42,20 @@ def _parse_param(v: str):
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] in ("versions", "vacuum"):
+        vp = argparse.ArgumentParser(prog="sqlpp_spark")
+        vp.add_argument("verb", choices=["versions", "vacuum"])
+        vp.add_argument("table_dir", help="managed <table>.parquet directory")
+        vargs = vp.parse_args(argv)
+        from sqlpp_spark.engine import list_versions, vacuum_managed
+
+        if vargs.verb == "versions":
+            for v in list_versions(vargs.table_dir):
+                print(v)
+            return 0
+        for v in vacuum_managed(vargs.table_dir):
+            print(f"removed _v_{v}")
+        return 0
     if argv and argv[0] in ("migrate", "migrate-ls", "migrate-show"):
         mp = argparse.ArgumentParser(prog="sqlpp_spark")
         mp.add_argument("verb", choices=["migrate", "migrate-ls", "migrate-show"])

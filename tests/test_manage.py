@@ -635,3 +635,21 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     assert [r.age for r in eng.fetch_list("select age from users")] == [31]
     with pytest.raises(FileNotFoundError, match="not retained"):
         read_managed_version(spark, path, versions[0])
+
+
+def test_cli_versions_and_vacuum(capsys, spark, tmp_path):
+    from sqlpp_spark.__main__ import main
+
+    eng, root = _mk_users(spark, tmp_path)
+    eng.exec("update users set age = 31 where id = 1")
+    path = eng.managed_paths["users"]
+
+    assert main(["versions", path]) == 0
+    vs = [int(x) for x in capsys.readouterr().out.split()]
+    assert len(vs) == 2
+
+    assert main(["vacuum", path]) == 0
+    out = capsys.readouterr().out
+    assert f"removed _v_{vs[0]}" in out
+    assert main(["versions", path]) == 0
+    assert [int(x) for x in capsys.readouterr().out.split()] == [vs[1]]
