@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 
+from sqlpp_spark.ops import release_intermediates
 from sqlpp_spark.queries import REGISTRY, _ensure_loaded
 from sqlpp_spark.testing.oracle import compare, run_oracle
 
@@ -20,11 +21,16 @@ def test_oracle_match(spark, sf_dir, name):
     sdf = spec.builder(spark, sf_dir)
     odf = run_oracle(spec.oracle, sf_dir)
     report = compare(sdf, odf)
+    # drop per-query persisted intermediates so 120 parametrized runs
+    # in one session don't accumulate cached blocks
+    release_intermediates(sdf)
     assert report["match"], f"{name}: {report}"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, sf_dir, name):
     spec = REGISTRY[name]
-    n = spec.builder(spark, sf_dir).count()
+    df = spec.builder(spark, sf_dir)
+    n = df.count()
+    release_intermediates(df)
     assert n >= 0
