@@ -68,6 +68,31 @@ def stratified_sample(
     return df.filter(h < bound)
 
 
+def exact_k_sample(
+    df: DataFrame, k: int, group_col: str = "lang",
+    key_col: str = "doc_id", salt: str = "s0",
+) -> DataFrame:
+    """EXACTLY k rows per group (or all rows of smaller groups),
+    deterministically: rank rows inside each group by their salted key
+    hash and keep the first k. Unlike rate-based ``hash_sample`` /
+    ``stratified_sample`` (whose output size is binomial), this is the
+    fixed-size shape eval-set and few-shot-pool construction needs —
+    and adding NEW rows to a group can only displace existing picks,
+    never reshuffle the survivors' relative hash order (the salted
+    hash is a stable priority). One window shuffle on the group key;
+    salting the hash, not the key, keeps group locality intact.
+    """
+    from pyspark.sql import Window as W
+
+    h = hash64(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    w = W.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Chunking
 # ---------------------------------------------------------------------------

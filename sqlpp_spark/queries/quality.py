@@ -240,6 +240,30 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _exact_k_oracle(k: int = 20) -> str:
+    from sqlpp_spark.ops.hashing import hash64_sql
+
+    h = hash64_sql("concat('s0', '|', CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY {h} ASC, doc_id ASC) AS rk
+  FROM documents
+) WHERE rk <= {k}
+"""
+
+
+@register("corpus_exact_k_sample", oracle=_exact_k_oracle())
+def corpus_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-k-per-group sample (20 docs per lang) —
+    the fixed-size eval-set construction rate-based sampling can't
+    guarantee; salted-hash priority makes picks stable under corpus
+    growth."""
+    d = table(spark, sf_dir, "documents")
+    return C.exact_k_sample(d, k=20, group_col="lang").select("doc_id", "lang")
+
+
 _CLF = X.classifier_sql("text")
 
 

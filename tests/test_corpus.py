@@ -128,3 +128,37 @@ def test_temperature_mixture_shares_and_direction(spark, docs):
 
     with _pytest.raises(ValueError):
         temperature_mixture(docs, group_col="lang", inv_temperature=4)
+
+
+def test_exact_k_sample_size_and_stability(spark, docs):
+    """Exactly k per group (all rows of smaller groups); growing the
+    corpus never reshuffles the relative priority of existing picks —
+    survivors of the bigger corpus restricted to old rows are a prefix
+    of the old picks."""
+    from pyspark.sql import functions as F
+
+    from sqlpp_spark.ops.corpus import exact_k_sample
+
+    k = 5
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").count()
+             .withColumnRenamed("count", "n").collect()}
+    picked = exact_k_sample(docs, k=k, group_col="lang").collect()
+    per = {}
+    for r in picked:
+        per.setdefault(r.lang, set()).add(r.doc_id)
+    for lang, ids in per.items():
+        assert len(ids) == min(k, sizes[lang])
+
+    # stability: the same call on half the corpus picks a superset-
+    # consistent set (old picks that survive are picked again)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    half_picked = {
+        (r.lang, r.doc_id)
+        for r in exact_k_sample(half, k=k, group_col="lang").collect()
+    }
+    full_ranked = {
+        (r.lang, r.doc_id) for r in picked if r.doc_id % 2 == 0
+    }
+    # every even-id pick of the full corpus must be picked from the
+    # even-only corpus too (its priority could only improve)
+    assert full_ranked <= half_picked
