@@ -887,3 +887,40 @@ def canonical_by_quality(
     )
     out._sqlpp_persisted = getattr(clusters, "_sqlpp_persisted", [])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (ingest batches against an existing corpus index)
+# ---------------------------------------------------------------------------
+
+
+def content_hash_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The persistent dedup index of a corpus: its distinct normalized
+    content hashes. At 100 TB, write this bucketed by content_hash so
+    ingest anti-joins co-locate with zero shuffle of the index side."""
+    return (
+        df.select(hash64(normalize_text(F.col(text_col))).alias("content_hash"))
+        .distinct()
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame, index: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time exact dedup AGAINST an existing corpus: drop new
+    rows whose content hash already appears in the index, keep one row
+    per new hash (min id — batches carry their own internal dups too).
+    This is the incremental shape: the existing corpus is never
+    re-read, only its hash index joins. One anti-join on the 8-byte
+    hash (broadcast when the index is small, bucket-co-located at
+    scale) + one min-id agg over the batch."""
+    h = hash64(normalize_text(F.col(text_col))).alias("content_hash")
+    hashed = new_docs.select(F.col(id_col), h)
+    fresh = hashed.join(index, on="content_hash", how="left_anti")
+    keep = fresh.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return new_docs.join(
+        keep.select(id_col), on=id_col, how="left_semi"
+    )

@@ -390,6 +390,38 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_duplicate_clusters(table(spark, sf_dir, "documents"), threshold=0.7)
 
 
+@register(
+    "dedup_incremental_ingest",
+    oracle=f"""
+WITH idx AS (
+  SELECT DISTINCT {hash64_sql(_NORM)} AS content_hash
+  FROM documents WHERE doc_id % 3 = 0
+),
+batch AS (
+  SELECT doc_id, {hash64_sql(_NORM)} AS content_hash
+  FROM documents WHERE doc_id % 3 != 0
+),
+fresh AS (
+  SELECT b.* FROM batch b ANTI JOIN idx USING (content_hash)
+),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY content_hash
+)
+SELECT d.doc_id, d.lang FROM documents d SEMI JOIN keep USING (doc_id)
+""",
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a new batch (doc_id % 3 != 0)
+    anti-joins the EXISTING corpus's content-hash index (doc_id % 3 =
+    0) — the existing corpus text is never re-read — then keeps one
+    row per new hash. The daily-ingest shape at 100 TB: only 8-byte
+    hashes move."""
+    d = table(spark, sf_dir, "documents")
+    index = D.content_hash_index(d.filter(F.col("doc_id") % 3 == 0))
+    batch = d.filter(F.col("doc_id") % 3 != 0)
+    return D.dedup_against_index(batch, index).select("doc_id", "lang")
+
+
 def _substring_rate_oracle(k: int = 8) -> str:
     """DuckDB twin of ops.dedup.substring_duplication_rate — identical
     polynomial gram hashes (ops/text.rolling_hashes arithmetic)."""

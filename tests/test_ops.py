@@ -543,3 +543,28 @@ def test_label_centroid_outliers_finds_planted_outlier(spark):
     assert out[(0, 1)].d2 > out[(0, 2)].d2
     # label 1 members are identical -> all distances 0, ties by id
     assert out[(1, 1)].vec_id == 200 and out[(1, 1)].d2 < 1e-12
+
+
+def test_dedup_against_index_semantics(spark):
+    """Rows colliding with the index drop; batch-internal dups keep
+    the min id; genuinely new content survives."""
+    from sqlpp_spark.ops.dedup import content_hash_index, dedup_against_index
+
+    corpus = spark.createDataFrame(
+        [(1, "already seen text"), (2, "other old text")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "already seen text"),   # collides with index -> drop
+            (11, "brand new content"),   # new -> keep
+            (12, "brand new content"),   # batch-internal dup -> drop
+            (13, "another new one"),     # new -> keep
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        r.doc_id
+        for r in dedup_against_index(batch, content_hash_index(corpus)).collect()
+    )
+    assert out == [11, 13]
