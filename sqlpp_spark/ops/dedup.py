@@ -924,3 +924,89 @@ def dedup_against_index(
     return new_docs.join(
         keep.select(id_col), on=id_col, how="left_semi"
     )
+
+
+def minhash_band_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, n_perms: int = N_PERMS, bands: int = 4,
+) -> DataFrame:
+    """Persistent NEAR-dup index: one row per (doc, LSH band) carrying
+    the band hash plus the doc's shingle-hash set and size (for exact
+    verification at probe time). Write it bucketed by (band, bh) so
+    ingest probes co-locate with zero index-side shuffle; the text
+    itself never enters the index. Incremental companion of
+    ``minhash_near_duplicates``."""
+    rows = n_perms // bands
+    enriched = (
+        _shingle_rows(df, text_col, id_col, k)
+        .groupBy(id_col)
+        .agg(
+            F.collect_set("sh_hash").alias("shs"),
+            *[
+                F.min(perm_hash(F.col("sh_hash"), i)).alias(f"mh{i}")
+                for i in range(n_perms)
+            ],
+        )
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                hash64(
+                    F.concat_ws(
+                        ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        enriched.select(
+            F.col(id_col), F.col("shs"), F.size("shs").alias("sz"),
+            F.explode(band_structs).alias("bs"),
+        )
+        .select(
+            id_col, "shs", "sz",
+            F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"),
+        )
+    )
+
+
+def near_duplicates_against_index(
+    new_docs: DataFrame, index: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, n_perms: int = N_PERMS, bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Ingest-time NEAR-dup detection: band the new batch, probe the
+    stored index on (band, band_hash), and verify exact Jaccard with
+    the index's stored shingle sets — the existing corpus text is
+    never re-read, and the probe join touches only colliding bands.
+    Returns (id_new, id_idx, jaccard) for verified pairs ≥ threshold."""
+    batch = minhash_band_index(new_docs, text_col, id_col, k, n_perms, bands)
+    b = batch.select(
+        F.col(id_col).alias("id_new"), F.col("shs").alias("shs_new"),
+        F.col("sz").alias("sz_new"), "band", "bh",
+    )
+    i = index.select(
+        F.col(id_col).alias("id_idx"), F.col("shs").alias("shs_idx"),
+        F.col("sz").alias("sz_idx"), "band", "bh",
+    )
+    cand = b.join(i, on=["band", "bh"]).dropDuplicates(["id_new", "id_idx"])
+    inter = F.size(F.array_intersect("shs_new", "shs_idx"))
+    return (
+        cand.select(
+            "id_new", "id_idx", "sz_new", "sz_idx", inter.alias("n_inter")
+        )
+        .select(
+            "id_new", "id_idx",
+            (
+                F.col("n_inter").cast("double")
+                / (
+                    F.col("sz_new") + F.col("sz_idx") - F.col("n_inter")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

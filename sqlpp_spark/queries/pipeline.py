@@ -422,6 +422,75 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_against_index(batch, index).select("doc_id", "lang")
 
 
+def _minhash_ingest_oracle(
+    k: int = 3, n_perms: int = 16, bands: int = 4, threshold: float = 0.7
+) -> str:
+    """Incremental twin of _minhash_oracle: bands are per-doc
+    independent, so banding the whole table and restricting the
+    candidate join to (batch × index) halves replays exactly what the
+    Spark side computes per half."""
+    rows = n_perms // bands
+    mh_cols = ",\n         ".join(
+        f"MIN({perm_hash_sql('sh_hash', i)}) AS mh{i}" for i in range(n_perms)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {h} AS bh FROM sigs".format(
+            b=b,
+            h=hash64_sql(
+                "concat_ws(',', "
+                + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_shingle_cte(k)},
+sigs AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM sh_hashes GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+cands AS (
+  SELECT DISTINCT n.doc_id AS id_new, x.doc_id AS id_idx
+  FROM banded n JOIN banded x
+    ON n.band = x.band AND n.bh = x.bh
+  WHERE n.doc_id % 3 != 0 AND x.doc_id % 3 = 0
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh_hashes GROUP BY doc_id
+),
+inter AS (
+  SELECT c.id_new, c.id_idx, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sh_hashes a ON a.doc_id = c.id_new
+  JOIN sh_hashes b ON b.doc_id = c.id_idx AND b.sh_hash = a.sh_hash
+  GROUP BY 1, 2
+)
+SELECT id_new, id_idx,
+       CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_new
+JOIN sizes sb ON sb.doc_id = id_idx
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= {threshold}
+"""
+
+
+@register("dedup_minhash_ingest", oracle=_minhash_ingest_oracle())
+def dedup_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup at ingest: the new batch (doc_id % 3 != 0)
+    probes the existing corpus's banded MinHash index (doc_id % 3 = 0)
+    on (band, band_hash) and verifies exact Jaccard from the index's
+    stored shingle sets — corpus text never re-read."""
+    d = table(spark, sf_dir, "documents")
+    index = D.minhash_band_index(d.filter(F.col("doc_id") % 3 == 0))
+    batch = d.filter(F.col("doc_id") % 3 != 0)
+    return D.near_duplicates_against_index(batch, index)
+
+
 def _substring_rate_oracle(k: int = 8) -> str:
     """DuckDB twin of ops.dedup.substring_duplication_rate — identical
     polynomial gram hashes (ops/text.rolling_hashes arithmetic)."""

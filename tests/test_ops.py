@@ -568,3 +568,29 @@ def test_dedup_against_index_semantics(spark):
         for r in dedup_against_index(batch, content_hash_index(corpus)).collect()
     )
     assert out == [11, 13]
+
+
+def test_near_dup_ingest_matches_full_pipeline(spark, docs):
+    """Incremental near-dup (batch probes a stored band index) must
+    find exactly the cross-half pairs the full-corpus pipeline finds —
+    banding is per-doc, so splitting the corpus changes nothing."""
+    from sqlpp_spark.ops.dedup import (
+        minhash_band_index,
+        minhash_near_duplicates,
+        near_duplicates_against_index,
+    )
+
+    full = {
+        frozenset((r.id_a, r.id_b)): round(r.jaccard, 12)
+        for r in minhash_near_duplicates(docs, threshold=0.7).collect()
+        if (r.id_a % 3 == 0) != (r.id_b % 3 == 0)
+    }
+    index = minhash_band_index(docs.filter(F.col("doc_id") % 3 == 0))
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    inc = {
+        frozenset((r.id_new, r.id_idx)): round(r.jaccard, 12)
+        for r in near_duplicates_against_index(
+            batch, index, threshold=0.7
+        ).collect()
+    }
+    assert inc == full
