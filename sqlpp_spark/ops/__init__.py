@@ -58,3 +58,27 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         # is a real cluster scan that maxPartitionBytes already splits
         pass
     return df
+
+
+def observed_filter(df: DataFrame, cond, name: str = "filter"):
+    """Filter with FREE observability: attach a named ``Observation``
+    so total/kept/dropped row counts are recorded during the SAME
+    action that materializes the result — no second pass over the
+    data, which at 100 TB is the difference between 'we log our yield'
+    and 'we re-scan the corpus to count'. Returns ``(filtered_df,
+    observation)``; read ``observation.get`` AFTER an action ran.
+
+    The pattern every quality gate in a production pipeline should
+    wear: yields become monitorable per-stage for the cost of two agg
+    expressions folded into the existing scan.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("total"),
+        F.sum(cond.cast("long")).alias("kept"),
+    )
+    return observed.filter(cond), obs

@@ -594,3 +594,14 @@ def test_near_dup_ingest_matches_full_pipeline(spark, docs):
         ).collect()
     }
     assert inc == full
+
+
+def test_observed_filter_counts_without_extra_pass(spark):
+    from sqlpp_spark.ops import observed_filter
+
+    df = spark.range(0, 100).withColumnRenamed("id", "n")
+    out, obs = observed_filter(df, F.col("n") % 4 == 0, name="mod4")
+    kept_rows = out.count()  # the one action — metrics ride along
+    assert kept_rows == 25
+    got = obs.get
+    assert got["total"] == 100 and got["kept"] == 25
