@@ -68,9 +68,35 @@ def stratified_sample(
     return df.filter(h < bound)
 
 
+def _exact_k_candidates(
+    df: DataFrame, k: int, group_col: str, key_col: str, salt: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Phase 1 of ``exact_k_sample``: per-(group, hash-bucket) top-k.
+
+    Bucketing by ``hash % n_buckets`` splits each group's window into
+    ``n_buckets`` independent partitions of ~n/B rows each, so no task
+    ever sorts a whole group. The union of per-bucket top-k PROVABLY
+    contains the group-global top-k: each globally-kept row is, within
+    its own bucket, still among the k smallest (a subset can only
+    improve a row's rank). Output carries ``__h`` so phase 2 need not
+    recompute the hash.
+    """
+    h = hash64(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    wb = W.partitionBy(group_col, F.col("__h") % n_buckets).orderBy(
+        F.col("__h").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rk", F.row_number().over(wb))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def exact_k_sample(
     df: DataFrame, k: int, group_col: str = "lang",
-    key_col: str = "doc_id", salt: str = "s0",
+    key_col: str = "doc_id", salt: str = "s0", n_buckets: int = 64,
 ) -> DataFrame:
     """EXACTLY k rows per group (or all rows of smaller groups),
     deterministically: rank rows inside each group by their salted key
@@ -79,17 +105,28 @@ def exact_k_sample(
     fixed-size shape eval-set and few-shot-pool construction needs —
     and adding NEW rows to a group can only displace existing picks,
     never reshuffle the survivors' relative hash order (the salted
-    hash is a stable priority). One window shuffle on the group key;
-    salting the hash, not the key, keeps group locality intact.
-    """
-    from pyspark.sql import Window as W
+    hash is a stable priority).
 
-    h = hash64(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
-    w = W.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    Scale: TWO-phase exact top-k. A single ``row_number`` window per
+    group would funnel each whole group through one reducer task — with
+    a Zipf language mix at 100 TB, one task sorts most of the corpus.
+    Phase 1 ranks within (group, hash%n_buckets) — n_buckets parallel
+    partitions of ~n/B rows per group — and keeps k per bucket; phase 2
+    runs the exact group window over the ≤ B*k survivors. The union of
+    per-bucket top-k always contains the global top-k (rank in a subset
+    is never worse), so the result is IDENTICAL to the single-window
+    formulation — exact, not probabilistic — while the largest sort any
+    task performs is max(n_group/B, B*k) rows. ``n_buckets=1``
+    degenerates to the classic single window.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    cand = _exact_k_candidates(df, k, group_col, key_col, salt, n_buckets)
+    w = W.partitionBy(group_col).orderBy(F.col("__h").asc(), F.col(key_col).asc())
     return (
-        df.withColumn("__rk", F.row_number().over(w))
+        cand.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
-        .drop("__rk")
+        .drop("__rk", "__h")
     )
 
 

@@ -162,3 +162,45 @@ def test_exact_k_sample_size_and_stability(spark, docs):
     # every even-id pick of the full corpus must be picked from the
     # even-only corpus too (its priority could only improve)
     assert full_ranked <= half_picked
+
+
+def test_exact_k_sample_two_phase_exact_and_bounded(spark):
+    """The bucketed two-phase top-k (a) yields IDENTICAL rows to the
+    classic single-window formulation for any n_buckets, and (b) its
+    phase-1 candidate frame is bounded by n_buckets*k rows per group —
+    the scale property: no task ever sorts a whole group (a Zipf-skewed
+    2000-row 'en' group never meets a window wider than B*k)."""
+    from pyspark.sql import functions as F
+
+    from sqlpp_spark.ops.corpus import _exact_k_candidates, exact_k_sample
+
+    # Zipf-ish mix: en dominates, exactly the 100 TB skew shape.
+    big = spark.range(2600).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 2000, F.lit("en"))
+        .when(F.col("id") < 2500, F.lit("de"))
+        .otherwise(F.lit("fr"))
+        .alias("lang"),
+    )
+    k, B = 7, 16
+    single = {
+        (r.lang, r.doc_id)
+        for r in exact_k_sample(big, k=k, group_col="lang", n_buckets=1).collect()
+    }
+    multi = {
+        (r.lang, r.doc_id)
+        for r in exact_k_sample(big, k=k, group_col="lang", n_buckets=B).collect()
+    }
+    assert single == multi
+    assert len(multi) == 3 * k
+
+    cand = _exact_k_candidates(
+        big, k, group_col="lang", key_col="doc_id", salt="s0", n_buckets=B
+    )
+    per_group = {r["lang"]: r["n"] for r in
+                 cand.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per_group.items():
+        assert n <= B * k  # phase-2 window input is O(B*k), not O(group)
+
+    with pytest.raises(ValueError):
+        exact_k_sample(big, k=k, n_buckets=0)
