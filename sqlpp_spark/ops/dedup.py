@@ -136,14 +136,27 @@ def _lsh_pairs_from_sh(
     return _band_pairs(sigs, id_col, n_perms, bands)
 
 
-def _band_pairs(
+def _check_bands(n_perms: int, bands: int) -> None:
+    """LSH banding is only well-defined when every permutation lands in
+    exactly one band; silently dropping the remainder (n_perms=16,
+    bands=5 → 15 used) would weaken band hashes vs the requested
+    config and diverge from a same-parameter oracle."""
+    if bands < 1 or n_perms % bands != 0:
+        raise ValueError(
+            f"n_perms ({n_perms}) must be a positive multiple of bands ({bands})"
+        )
+
+
+def _banded_rows(
     sigs: DataFrame, id_col: str, n_perms: int = N_PERMS, bands: int = 4,
-    persist_banded: bool = True,
 ) -> DataFrame:
+    """(id, band, bh) rows from a signature frame — the LSH banding
+    primitive shared by the batch pair-join and the persistent probe
+    index. Band hash via the cross-engine md5 primitive so the whole
+    LSH pipeline stays oracle-checkable; swap to F.hash (murmur3) for
+    raw throughput in production."""
+    _check_bands(n_perms, bands)
     rows = n_perms // bands
-    # band hash via the cross-engine md5 primitive so the whole LSH
-    # pipeline stays oracle-checkable; swap to F.hash (murmur3) for
-    # raw throughput in production
     band_structs = F.array(
         *[
             F.struct(
@@ -155,9 +168,16 @@ def _band_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
+    return sigs.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
         id_col, F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh")
     )
+
+
+def _band_pairs(
+    sigs: DataFrame, id_col: str, n_perms: int = N_PERMS, bands: int = 4,
+    persist_banded: bool = True,
+) -> DataFrame:
+    banded = _banded_rows(sigs, id_col, n_perms, bands)
     # persist unless the caller already cached the signature stage
     # (then re-deriving band hashes per side is just md5s, and the
     # extra eager job costs more than the recompute)
@@ -930,73 +950,66 @@ def minhash_band_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 3, n_perms: int = N_PERMS, bands: int = 4,
 ) -> DataFrame:
-    """Persistent NEAR-dup index: one row per (doc, LSH band) carrying
-    the band hash plus the doc's shingle-hash set and size (for exact
-    verification at probe time). Write it bucketed by (band, bh) so
-    ingest probes co-locate with zero index-side shuffle; the text
-    itself never enters the index. Incremental companion of
-    ``minhash_near_duplicates``."""
-    rows = n_perms // bands
-    enriched = (
-        _shingle_rows(df, text_col, id_col, k)
-        .groupBy(id_col)
-        .agg(
-            F.collect_set("sh_hash").alias("shs"),
-            *[
-                F.min(perm_hash(F.col("sh_hash"), i)).alias(f"mh{i}")
-                for i in range(n_perms)
-            ],
-        )
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                hash64(
-                    F.concat_ws(
-                        ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
-                    )
-                ).alias("bh"),
-            )
-            for b in range(bands)
-        ]
-    )
+    """Persistent NEAR-dup PROBE index: one SLIM row per (doc, LSH
+    band) — (id, band, bh), 3 fixed-width columns. The doc's shingle
+    set lives in the separate doc-keyed ``shingle_set_index`` so it is
+    stored ONCE per doc, not duplicated across its ``bands`` rows, and
+    the probe join shuffles 8-byte ids, never arrays. Write this
+    bucketed by (band, bh) so ingest probes co-locate with zero
+    index-side shuffle; text never enters the index. Incremental
+    companion of ``minhash_near_duplicates``."""
+    sh = shingle_hashes(df, text_col, id_col, k)
+    sigs = _signatures_from_sh(sh, id_col, n_perms)
+    return _banded_rows(sigs, id_col, n_perms, bands)
+
+
+def shingle_set_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
+) -> DataFrame:
+    """Doc-keyed verification companion of ``minhash_band_index``:
+    (id, shs, sz), each doc's distinct shingle-hash set stored exactly
+    once. At 100 TB, write bucketed by id so candidate-verification
+    fetches co-locate."""
     return (
-        enriched.select(
-            F.col(id_col), F.col("shs"), F.size("shs").alias("sz"),
-            F.explode(band_structs).alias("bs"),
-        )
-        .select(
-            id_col, "shs", "sz",
-            F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"),
-        )
+        shingle_hash_arrays(df, text_col, id_col, k)
+        .select(F.col(id_col), F.col("shs"), F.size("shs").alias("sz"))
     )
 
 
 def near_duplicates_against_index(
-    new_docs: DataFrame, index: DataFrame,
+    new_docs: DataFrame, index: DataFrame, sets: DataFrame,
     text_col: str = "text", id_col: str = "doc_id",
     k: int = 3, n_perms: int = N_PERMS, bands: int = 4,
     threshold: float = 0.7,
 ) -> DataFrame:
     """Ingest-time NEAR-dup detection: band the new batch, probe the
-    stored index on (band, band_hash), and verify exact Jaccard with
-    the index's stored shingle sets — the existing corpus text is
-    never re-read, and the probe join touches only colliding bands.
+    SLIM stored index on (band, band_hash), dedupe candidate id pairs,
+    and only then fetch shingle sets (batch side computed here, corpus
+    side from the stored ``sets`` table) for exact Jaccard — the
+    existing corpus text is never re-read, the probe join moves only
+    (band, bh, id) triples, and set arrays are joined once per DISTINCT
+    candidate pair rather than once per band collision.
     Returns (id_new, id_idx, jaccard) for verified pairs ≥ threshold."""
-    batch = minhash_band_index(new_docs, text_col, id_col, k, n_perms, bands)
-    b = batch.select(
+    batch_slim = minhash_band_index(new_docs, text_col, id_col, k, n_perms, bands)
+    b = batch_slim.select(F.col(id_col).alias("id_new"), "band", "bh")
+    i = index.select(F.col(id_col).alias("id_idx"), "band", "bh")
+    cand = (
+        b.join(i, on=["band", "bh"])
+        .select("id_new", "id_idx")
+        .dropDuplicates(["id_new", "id_idx"])
+    )
+    batch_sets = shingle_set_index(new_docs, text_col, id_col, k).select(
         F.col(id_col).alias("id_new"), F.col("shs").alias("shs_new"),
-        F.col("sz").alias("sz_new"), "band", "bh",
+        F.col("sz").alias("sz_new"),
     )
-    i = index.select(
+    idx_sets = sets.select(
         F.col(id_col).alias("id_idx"), F.col("shs").alias("shs_idx"),
-        F.col("sz").alias("sz_idx"), "band", "bh",
+        F.col("sz").alias("sz_idx"),
     )
-    cand = b.join(i, on=["band", "bh"]).dropDuplicates(["id_new", "id_idx"])
+    verified = cand.join(batch_sets, on="id_new").join(idx_sets, on="id_idx")
     inter = F.size(F.array_intersect("shs_new", "shs_idx"))
     return (
-        cand.select(
+        verified.select(
             "id_new", "id_idx", "sz_new", "sz_idx", inter.alias("n_inter")
         )
         .select(
@@ -1010,3 +1023,37 @@ def near_duplicates_against_index(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Index maintenance — close the daily-ingest loop
+# ---------------------------------------------------------------------------
+
+
+def updated_content_index(
+    index: DataFrame, accepted: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """The content-hash index AFTER absorbing an accepted batch: union
+    of the old index and the batch's hashes, distinct. Incremental by
+    construction — the old index is passed through, never rebuilt from
+    corpus text; at 100 TB this is an append of ~batch-sized 8-byte
+    hashes into the hash-bucketed index table (the distinct collapses
+    within buckets, no corpus-wide shuffle)."""
+    return index.unionByName(content_hash_index(accepted, text_col, id_col)).distinct()
+
+
+def updated_band_index(
+    index: DataFrame, sets: DataFrame, accepted: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, n_perms: int = N_PERMS, bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """(index', sets') after absorbing an accepted batch into the
+    banded MinHash index: both tables grow by exactly the accepted
+    docs' rows — an append into the (band, bh)- and id-bucketed
+    layouts, no rebuild. Because band hashes are per-doc independent,
+    indexing two batches sequentially equals indexing their union
+    (pinned by the consistency test)."""
+    new_slim = minhash_band_index(accepted, text_col, id_col, k, n_perms, bands)
+    new_sets = shingle_set_index(accepted, text_col, id_col, k)
+    return index.unionByName(new_slim), sets.unionByName(new_sets)

@@ -486,9 +486,11 @@ def dedup_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (band, band_hash) and verifies exact Jaccard from the index's
     stored shingle sets — corpus text never re-read."""
     d = table(spark, sf_dir, "documents")
-    index = D.minhash_band_index(d.filter(F.col("doc_id") % 3 == 0))
+    corpus = d.filter(F.col("doc_id") % 3 == 0)
+    index = D.minhash_band_index(corpus)
+    sets = D.shingle_set_index(corpus)
     batch = d.filter(F.col("doc_id") % 3 != 0)
-    return D.near_duplicates_against_index(batch, index)
+    return D.near_duplicates_against_index(batch, index, sets)
 
 
 def _substring_rate_oracle(k: int = 8) -> str:

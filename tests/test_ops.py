@@ -578,6 +578,7 @@ def test_near_dup_ingest_matches_full_pipeline(spark, docs):
         minhash_band_index,
         minhash_near_duplicates,
         near_duplicates_against_index,
+        shingle_set_index,
     )
 
     full = {
@@ -585,15 +586,71 @@ def test_near_dup_ingest_matches_full_pipeline(spark, docs):
         for r in minhash_near_duplicates(docs, threshold=0.7).collect()
         if (r.id_a % 3 == 0) != (r.id_b % 3 == 0)
     }
-    index = minhash_band_index(docs.filter(F.col("doc_id") % 3 == 0))
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    index = minhash_band_index(corpus)
+    sets = shingle_set_index(corpus)
     batch = docs.filter(F.col("doc_id") % 3 != 0)
     inc = {
         frozenset((r.id_new, r.id_idx)): round(r.jaccard, 12)
         for r in near_duplicates_against_index(
-            batch, index, threshold=0.7
+            batch, index, sets, threshold=0.7
         ).collect()
     }
     assert inc == full
+
+    # the slim probe index carries NO array payload — 3 fixed-width
+    # columns only; sets live once per doc in the companion table
+    assert set(index.columns) == {"doc_id", "band", "bh"}
+    assert set(sets.columns) == {"doc_id", "shs", "sz"}
+    assert sets.count() == corpus.count()
+
+
+def test_band_validation_rejects_nondivisible(spark, docs):
+    """n_perms must be a positive multiple of bands — silently dropping
+    leftover permutations would weaken band hashes vs the config."""
+    from sqlpp_spark.ops.dedup import lsh_candidate_pairs, minhash_band_index
+
+    with pytest.raises(ValueError):
+        minhash_band_index(docs, n_perms=16, bands=5)
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(docs, n_perms=16, bands=3)
+    with pytest.raises(ValueError):
+        minhash_band_index(docs, n_perms=16, bands=0)
+
+
+def test_index_maintenance_sequential_equals_combined(spark, docs):
+    """Daily-ingest loop closure: absorbing batch A then batch B into
+    the indexes yields the same index contents as absorbing A∪B at
+    once — for both the content-hash index and the banded MinHash
+    index + set table."""
+    from sqlpp_spark.ops.dedup import (
+        content_hash_index,
+        minhash_band_index,
+        shingle_set_index,
+        updated_band_index,
+        updated_content_index,
+    )
+
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    a = docs.filter(F.col("doc_id") % 3 == 1)
+    b = docs.filter(F.col("doc_id") % 3 == 2)
+    both = docs.filter(F.col("doc_id") % 3 != 0)
+
+    # exact index: sequential == combined
+    seq = updated_content_index(updated_content_index(content_hash_index(base), a), b)
+    comb = updated_content_index(content_hash_index(base), both)
+    assert {r.content_hash for r in seq.collect()} == \
+           {r.content_hash for r in comb.collect()}
+
+    # banded index + sets: sequential == combined (rows as multisets)
+    i0, s0 = minhash_band_index(base), shingle_set_index(base)
+    i1, s1 = updated_band_index(i0, s0, a)
+    i2, s2 = updated_band_index(i1, s1, b)
+    ic, sc = updated_band_index(i0, s0, both)
+    assert sorted(map(tuple, i2.collect())) == sorted(map(tuple, ic.collect()))
+    key = lambda r: (r.doc_id, frozenset(r.shs), r.sz)  # noqa: E731
+    assert sorted(map(key, s2.collect()), key=str) == \
+           sorted(map(key, sc.collect()), key=str)
 
 
 def test_observed_filter_counts_without_extra_pass(spark):
