@@ -59,48 +59,39 @@ def headline_queries() -> dict[str, QuerySpec]:
 
 _loaded = False
 
+# Every module that registers queries. A failed import here must FAIL
+# LOUDLY: swallowing it would silently shrink the registry and let the
+# driver's correctness gate sample a smaller suite and pass vacuously.
+# All modules depend only on pyspark (no optional deps to tolerate).
+QUERY_MODULES = (
+    "relational",
+    "pipeline",
+    "sqlpp_suite",
+    "tpch_extra",
+    "temporal_stats",
+    "corpus_queries",
+    "extensions",
+    "quality",
+    "analytic_extra",
+    "web_queries",
+)
+
 
 def _ensure_loaded():
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent).
+    Raises ImportError — annotated with the failing module — on any
+    breakage rather than dropping that module's queries."""
     global _loaded
     if _loaded:
         return
-    import sqlpp_spark.queries.relational  # noqa: F401
+    import importlib
 
-    try:
-        import sqlpp_spark.queries.pipeline  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        import sqlpp_spark.queries.sqlpp_suite  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        import sqlpp_spark.queries.tpch_extra  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        import sqlpp_spark.queries.temporal_stats  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        import sqlpp_spark.queries.corpus_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        import sqlpp_spark.queries.extensions  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        import sqlpp_spark.queries.quality  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        import sqlpp_spark.queries.analytic_extra  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        import sqlpp_spark.queries.web_queries  # noqa: F401
-    except ImportError:
-        pass
+    for mod in QUERY_MODULES:
+        try:
+            importlib.import_module(f"sqlpp_spark.queries.{mod}")
+        except ImportError as e:
+            raise ImportError(
+                f"query module sqlpp_spark.queries.{mod} failed to import "
+                f"({e}); refusing to serve a silently-shrunken registry"
+            ) from e
     _loaded = True

@@ -34,3 +34,15 @@ def test_rows_only_runs(spark, sf_dir, name):
     n = df.count()
     release_intermediates(df)
     assert n >= 0
+
+
+def test_registry_import_errors_propagate(monkeypatch):
+    """A broken query module must raise at _ensure_loaded(), never
+    silently shrink the registry (the driver gate would then sample a
+    smaller suite and pass vacuously)."""
+    import sqlpp_spark.queries as Q
+
+    monkeypatch.setattr(Q, "_loaded", False)
+    monkeypatch.setattr(Q, "QUERY_MODULES", ("relational", "no_such_module"))
+    with pytest.raises(ImportError, match="no_such_module"):
+        Q._ensure_loaded()
