@@ -85,16 +85,45 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("window_start", "event_type", "n")
 
 
-@register("stream_session_windows")  # session assignment is stateful —
-# kept rows-only (session_window start/end semantics differ from any
-# single batch SQL formulation when sessions merge across batches)
+@register(
+    "stream_session_windows",
+    oracle="""
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+)
+SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30m gap), FULLY emitted: the source
+    appends two far-future sentinel micro-batches (flush=True) so the
+    watermark closes every real session before the stream drains —
+    append-mode output is then exactly the batch gaps-and-islands
+    sessionization (new session when the gap STRICTLY exceeds 30m;
+    session_end = last event + gap), which is the oracle."""
     from sqlpp_spark.streaming.events import (
-        read_events_stream, run_stream_to_memory, session_windows,
+        FLUSH_USER_ID, read_events_stream, run_stream_to_memory, session_windows,
     )
 
-    stream = session_windows(read_events_stream(spark, sf_dir))
-    return run_stream_to_memory(stream, _unique_name("sessions"), "append")
+    stream = session_windows(read_events_stream(spark, sf_dir, flush=True))
+    out = run_stream_to_memory(stream, _unique_name("sessions"), "append")
+    return out.filter(F.col("user_id") != FLUSH_USER_ID)
 
 
 @register(
@@ -121,17 +150,25 @@ def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(stream, _unique_name("pcjoin"), "append")
 
 
-@register("stream_dedup_events")  # which row survives per key is
-# processing-order-dependent — rows-only (count pinned in tests)
+@register(
+    "stream_dedup_events",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup-at-ingest: first row per (user_id, event_type)
-    within the watermark horizon (dropDuplicatesWithinWatermark)."""
+    within the watermark horizon (dropDuplicatesWithinWatermark).
+    WHICH physical row survives per key is processing-order-dependent,
+    but the operator's deterministic contract — exactly one emission
+    per key within the horizon (the fixture spans less than it) — is
+    the key set itself, so the query projects the keys and the oracle
+    is the batch DISTINCT."""
     from sqlpp_spark.streaming.events import (
         dedup_events_stream, read_events_stream, run_stream_to_memory,
     )
 
     stream = dedup_events_stream(read_events_stream(spark, sf_dir))
-    return run_stream_to_memory(stream, _unique_name("sdedup"), "append")
+    out = run_stream_to_memory(stream, _unique_name("sdedup"), "append")
+    return out.select("user_id", "event_type")
 
 
 @register(

@@ -55,16 +55,66 @@ def _normalize_ts(raw: DataFrame) -> DataFrame:
 
 _STAGED: dict = {}
 
+FLUSH_USER_ID = -1  # sentinel rows carry this user_id; filter them out
 
-def _stage_dir(sf_dir: str) -> str:
+
+def _sentinel_value(field):
+    """A schema-generic sentinel cell for a flush row."""
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(field.type):
+        return None  # filled by caller
+    if pa.types.is_integer(field.type):
+        return FLUSH_USER_ID
+    if pa.types.is_floating(field.type):
+        return 0.0
+    return "__flush__"
+
+
+def _write_flush_files(d: str, src: str) -> None:
+    """Append two far-future sentinel rows (as two extra files = two
+    extra micro-batches) after the real fixture. Batch N's watermark is
+    applied during batch N+1, so sentinel #1 advances the watermark
+    past every real session and sentinel #2 triggers the batch in which
+    those now-closed sessions are EMITTED — append-mode output then
+    contains every real session deterministically. Sentinel rows use
+    user_id = FLUSH_USER_ID for filtering."""
+    import os
+    import time
+    from datetime import timedelta
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(src)
+    mx = pc.max(pq.read_table(src, columns=["ts"])["ts"]).as_py()
+    now = max(time.time(), os.stat(src).st_mtime)
+    for i, days in enumerate((365, 366)):
+        cells = {}
+        for f in schema:
+            v = _sentinel_value(f)
+            if v is None:
+                v = mx + timedelta(days=days)
+            cells[f.name] = [v]
+        path = os.path.join(d, f"part-0000{i + 1}-flush.parquet")
+        pq.write_table(pa.table(cells, schema=schema), path)
+        # file source processes oldest-mtime first: keep sentinels
+        # strictly after the fixture and in order
+        os.utime(path, (now + 10 * (i + 1), now + 10 * (i + 1)))
+
+
+def _stage_dir(sf_dir: str, flush: bool = False) -> str:
     """Spark's file stream source wants a DIRECTORY; the fixture is a
     single file. Stage it into a temp dir via hard link (no copy cost),
-    once per fixture."""
+    once per fixture. ``flush=True`` stages a separate dir that also
+    carries two far-future sentinel files (see _write_flush_files)."""
     import os
     import shutil
     import tempfile
 
-    d = _STAGED.get(sf_dir)
+    key = (sf_dir, flush)
+    d = _STAGED.get(key)
     if d is None or not os.path.isdir(d):
         d = tempfile.mkdtemp(prefix="sqlpp_events_")
         src = os.path.join(sf_dir, "events.parquet")
@@ -73,18 +123,25 @@ def _stage_dir(sf_dir: str) -> str:
             os.link(src, dst)
         except OSError:
             shutil.copy(src, dst)
-        _STAGED[sf_dir] = d
+        if flush:
+            _write_flush_files(d, src)
+        _STAGED[key] = d
     return d
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, flush: bool = False
+) -> DataFrame:
     """Streaming read of the events fixture with ts normalized to a
-    proper timestamp (micros)."""
+    proper timestamp (micros). ``flush=True`` appends two far-future
+    sentinel micro-batches so watermark-gated append-mode operators
+    (session windows) emit every real window before the stream drains —
+    callers filter ``user_id = FLUSH_USER_ID`` rows out."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    staged = _stage_dir(sf_dir)
+    staged = _stage_dir(sf_dir, flush)
     # file streams need an explicit schema; take it from a batch read so
     # the ts encoding (nanos-long vs TIMESTAMP_NTZ) matches the fixture
     schema = spark.read.parquet(staged).schema
