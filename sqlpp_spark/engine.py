@@ -108,18 +108,25 @@ def read_managed_version(
 
 
 def vacuum_managed(path: str) -> list:
-    """Drop every retained version except the active one (the VACUUM /
+    """Drop RETAINED versions older than the active one (the VACUUM /
     OPTIMIZE-retention verb). Safe only when no reader still holds the
-    predecessor — same contract as Delta VACUUM. Returns the removed
-    version numbers."""
+    predecessor — same contract as Delta VACUUM. Versions NEWER than
+    the active one are never touched: they are staged dirs of an
+    in-flight (or crashed-pending) migration transaction, and deleting
+    them would wedge ``Migrate._recover``'s roll-forward. Returns the
+    removed version numbers."""
     cur = os.path.join(path, _CURRENT)
     if not os.path.isfile(cur):
         return []
     with open(cur) as fh:
         active = fh.read().strip()
+    active_n = int(active[3:]) if active.startswith("_v_") else -1
     removed = []
     for d in os.listdir(path):
-        if d.startswith("_v_") and d != active and d[3:].isdigit():
+        if (
+            d.startswith("_v_") and d != active and d[3:].isdigit()
+            and int(d[3:]) < active_n
+        ):
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
             removed.append(int(d[3:]))
     return sorted(removed)

@@ -238,13 +238,26 @@ class Migrate:
 
     def _recover(self) -> None:
         """Roll an interrupted commit forward: the manifest exists ⇒
-        the transaction committed; every intent is idempotent."""
+        the transaction committed; every intent is idempotent. If a
+        staged dir the manifest references is GONE (external deletion —
+        engine.vacuum_managed refuses to touch staged dirs precisely to
+        keep this impossible), fail with remediation instead of wedging
+        every subsequent migrate() on a bare FileNotFoundError."""
         manifest = self._txn_manifest()
         if not os.path.isfile(manifest):
             return
         with open(manifest) as fh:
             intents = json.load(fh)["intents"]
-        self._apply_intents(intents)
+        try:
+            self._apply_intents(intents)
+        except FileNotFoundError as e:
+            raise SqlppError(
+                f"cannot roll forward interrupted migration transaction: {e}. "
+                f"A staged version referenced by {manifest} was deleted "
+                f"externally. Remediate by restoring the staged dir, or — "
+                f"accepting loss of that transaction — deleting the manifest "
+                f"file and re-running the migration."
+            ) from e
         os.remove(manifest)
 
     @staticmethod

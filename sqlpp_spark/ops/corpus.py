@@ -462,8 +462,14 @@ def temperature_mixture(
     engine-specific; rates are indistinguishable in practice, but this
     engine prefers oracle-checkable formulations). Low temperature
     (k > 1) sharpens toward big groups; k = 1 is proportional
-    sampling. Guard: n_tokens^k must fit int64 — k ≤ 3 keeps corpora
-    up to ~2M tokens/group safe.
+    sampling.
+
+    Overflow safety: powers are computed in DECIMAL(38,0), not int64,
+    and guarded IN-PLAN — a group whose n_tokens exceeds the
+    exact-arithmetic bound for k (3.3e12 at k=3; any int64 at k ≤ 2)
+    raises at execution, and a power TOTAL overflowing decimal38
+    (NULL with ANSI off) raises too, instead of silently wrapping into
+    wrong or negative shares.
 
     Returns (group_col, n_docs, n_tokens, token_share, temp_share,
     boost) where boost = temp_share / token_share is the per-group
@@ -471,15 +477,39 @@ def temperature_mixture(
     """
     if not isinstance(inv_temperature, int) or not 1 <= inv_temperature <= 3:
         raise ValueError("inv_temperature must be an int in [1, 3]")
+    lim = {1: (1 << 63) - 1, 2: (1 << 63) - 1, 3: 3_300_000_000_000}[
+        inv_temperature
+    ]
     w = mixture_weights(docs, group_col, text_col)
-    powed = F.col("n_tokens")
+    p = F.col("n_tokens").cast("decimal(38,0)")
+    powed = p
     for _ in range(inv_temperature - 1):
-        powed = powed * F.col("n_tokens")
+        powed = powed * p
+    guarded = F.when(
+        F.col("n_tokens") > F.lit(lim),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"temperature_mixture: n_tokens exceeds the exact bound "
+                    f"{lim} for inv_temperature={inv_temperature}: "
+                ),
+                F.col("n_tokens").cast("string"),
+            )
+        ).cast("decimal(38,0)"),
+    ).otherwise(powed)
     scaled = w.select(
-        group_col, "n_docs", "n_tokens", "token_share",
-        powed.cast("bigint").alias("__p"),
+        group_col, "n_docs", "n_tokens", "token_share", guarded.alias("__p"),
     )
-    tot = scaled.select(F.sum("__p").cast("bigint").alias("__tp"))
+    tot = scaled.select(F.sum("__p").alias("__tp0")).select(
+        F.when(
+            F.col("__tp0").isNull(),
+            F.raise_error(
+                F.lit("temperature_mixture: power total overflowed decimal(38,0)")
+            ).cast("decimal(38,0)"),
+        )
+        .otherwise(F.col("__tp0"))
+        .alias("__tp")
+    )
     return (
         scaled.join(F.broadcast(tot), on=F.lit(True))
         .select(

@@ -116,6 +116,16 @@ def bucketed_join(
 # ---------------------------------------------------------------------------
 
 
+def _check_zorder_bounds(
+    x_min: float, x_max: float, y_min: float, y_max: float
+) -> None:
+    if not (float(x_max) > float(x_min) and float(y_max) > float(y_min)):
+        raise ValueError(
+            f"zorder bounds must satisfy min < max per dimension, got "
+            f"x=[{x_min}, {x_max}], y=[{y_min}, {y_max}]"
+        )
+
+
 def zorder_key(
     x, y, x_min: float, x_max: float, y_min: float, y_max: float,
     bits: int = 16,
@@ -131,8 +141,11 @@ def zorder_key(
 
     Quantization: v → floor((v - min) / (max - min) * (2^bits - 1)),
     clamped — deterministic and replayed bit-for-bit by the DuckDB
-    oracle twin.
+    oracle twin. Degenerate bounds (hi <= lo) raise up front: a
+    zero/negative denominator would emit NULL/garbage keys silently
+    and the layout would quietly lose both-dimension locality.
     """
+    _check_zorder_bounds(x_min, x_max, y_min, y_max)
     scale = (1 << bits) - 1
 
     def quant(c, lo, hi):
@@ -162,6 +175,7 @@ def zorder_key_sql(
 ) -> str:
     """DuckDB twin of ``zorder_key`` — identical quantization and bit
     interleave."""
+    _check_zorder_bounds(x_min, x_max, y_min, y_max)
     scale = (1 << bits) - 1
 
     def quant(c, lo, hi):

@@ -527,7 +527,7 @@ FROM documents d LEFT JOIN stats st USING (doc_id)
 """
 
 
-@register("dedup_substring_rate", oracle=_substring_rate_oracle())
+@register("dedup_substring_rate", oracle=_substring_rate_oracle(), headline=True)
 def dedup_substring_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication rate per document (Lee et al.
     arXiv:2107.06499 metric): fraction of a doc's distinct char-8-gram
@@ -887,7 +887,7 @@ SELECT * FROM (
 """
 
 
-@register("ann_knn_graph", oracle=_knn_graph_oracle())
+@register("ann_knn_graph", oracle=_knn_graph_oracle(), headline=True)
 def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus self-KNN graph (every vector queries its 2 nearest of 16
     pivot cells, top-5 neighbors) — both join sides are the corpus, so

@@ -331,8 +331,37 @@ def write_stream_exactly_once(
     This is the same stage-then-flip protocol as the engine's managed
     tables (engine.commit_version), applied per micro-batch. At scale
     the ledger write is O(#batches) metadata; data volume is untouched.
+
+    Identity guard: the ledger is keyed by micro-batch id, and batch
+    ids RESTART at 0 under a fresh checkpoint — reusing an out_dir with
+    a different checkpoint would silently treat new batches as
+    redeliveries and drop them. A ``_STREAM_ID`` marker records the
+    owning streaming query id (stable across restarts from the same
+    checkpoint); a mismatch fails fast instead.
     """
+    import json
     import os
+
+    def _checkpoint_query_id() -> str | None:
+        meta = os.path.join(checkpoint_dir, "metadata")
+        if os.path.isfile(meta):
+            with open(meta) as fh:
+                return json.load(fh).get("id")
+        return None
+
+    marker = os.path.join(out_dir, "_STREAM_ID")
+    owner = None
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            owner = fh.read().strip()
+    qid = _checkpoint_query_id()
+    if owner is not None and qid != owner:
+        raise ValueError(
+            f"out_dir {out_dir} is owned by streaming query {owner}, but "
+            f"checkpoint {checkpoint_dir} "
+            f"{'is fresh (batch ids would restart at 0 and collide with the ledger)' if qid is None else f'belongs to query {qid}'}. "
+            f"Reuse the original checkpoint, or write to a new out_dir."
+        )
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         ledger = os.path.join(out_dir, "_BATCHES")
@@ -359,6 +388,10 @@ def write_stream_exactly_once(
         .start()
     )
     try:
+        if owner is None:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(marker, "w") as fh:
+                fh.write(str(q.id))
         q.processAllAvailable()
     finally:
         q.stop()

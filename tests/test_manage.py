@@ -570,6 +570,83 @@ def test_migration_crash_after_manifest_rolls_forward(spark, tmp_path):
     assert rows == [(1, "ann", 30), (2, "bob", 99)]
 
 
+def _crash_after_manifest(spark, tmp_path):
+    """Build the crash-window state: _TXN manifest on disk, staged
+    version dirs not yet flipped. Returns (root, users_path, grow)."""
+    import json as _json
+
+    eng, root = _mk_users(spark, tmp_path)
+    eng2 = SqlppEngine(spark)
+    mig2 = Migrate(eng2, root)
+    mig2._recover()
+    mig2._replay_env(Migration("init", [Define(SCHEMA)]))
+    m = Migration("grow", [
+        Exec("insert into users(id, name, age) values (2, 'bob', 40)"),
+    ])
+    mig2._begin_txn()
+    for act in m.actions:
+        mig2._apply_action(act)
+    mig2._record(1, m.name, eng2._txn)
+    txn = eng2._txn
+    eng2._txn = None
+    with open(mig2._txn_manifest(), "w") as fh:
+        _json.dump({"intents": txn.intents}, fh)
+    return root, eng2.managed_paths["users"], m
+
+
+def test_vacuum_skips_staged_versions_of_pending_txn(spark, tmp_path):
+    """vacuum_managed drops only versions OLDER than the active one;
+    staged dirs of a crashed-pending transaction (always newer) must
+    survive a vacuum run inside the crash window so roll-forward still
+    works."""
+    from sqlpp_spark.engine import vacuum_managed
+
+    root, path, m = _crash_after_manifest(spark, tmp_path)
+    active = open(os.path.join(path, "_CURRENT")).read().strip()
+    staged = [
+        d for d in os.listdir(path)
+        if d.startswith("_v_") and int(d[3:]) > int(active[3:])
+    ]
+    assert staged  # the pending txn staged at least one newer version
+    removed = vacuum_managed(path)
+    assert all(f"_v_{n}" not in staged for n in removed)
+    for d in staged:
+        assert os.path.isdir(os.path.join(path, d))
+
+    # roll-forward still works after the vacuum
+    e3 = SqlppEngine(spark)
+    m3 = Migrate(e3, root)
+    m3.migrate([
+        Migration("init", [
+            Define(SCHEMA),
+            Exec("insert into users(id, name, age) values (1, 'ann', 30)"),
+        ]),
+        m,
+    ])
+    assert m3.applied() == ["init", "grow"]
+    rows = sorted(tuple(r) for r in e3.fetch_list("select id, name from users"))
+    assert rows == [(1, "ann"), (2, "bob")]
+
+
+def test_recover_surfaces_remediation_when_staged_dir_lost(spark, tmp_path):
+    """If a staged dir referenced by the pending manifest is deleted
+    externally, migrate() raises a clear remediation error (restore the
+    dir or delete the manifest) rather than a bare FileNotFoundError
+    forever."""
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    root, path, m = _crash_after_manifest(spark, tmp_path)
+    active = open(os.path.join(path, "_CURRENT")).read().strip()
+    for d in os.listdir(path):
+        if d.startswith("_v_") and int(d[3:]) > int(active[3:]):
+            _shutil.rmtree(os.path.join(path, d))
+    e3 = SqlppEngine(spark)
+    with _pytest.raises(SqlppError, match="roll forward|Remediate"):
+        Migrate(e3, root).migrate([Migration("init", [Define(SCHEMA)]), m])
+
+
 def test_migration_txn_rename_then_write_translates_paths(spark, tmp_path):
     """RENAME TABLE deferred to commit: a later write in the SAME
     migration stages into the old physical path and the intent

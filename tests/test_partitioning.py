@@ -127,6 +127,21 @@ def test_zorder_key_matches_morton_pattern(spark):
     assert got == {(x, y): morton(x, y) for x in range(4) for y in range(4)}
 
 
+def test_zorder_degenerate_bounds_raise(spark):
+    """hi <= lo per dimension would divide by zero and emit NULL keys
+    silently (layout quietly loses locality) — must raise instead, in
+    both the Spark expression and the DuckDB twin."""
+    import pytest
+
+    from sqlpp_spark.ops.partitioning import zorder_key, zorder_key_sql
+
+    for bounds in ((5, 5, 0, 3), (3, 0, 0, 3), (0, 3, 7, 7)):
+        with pytest.raises(ValueError, match="min < max"):
+            zorder_key(F.col("x"), F.col("y"), *bounds)
+        with pytest.raises(ValueError, match="min < max"):
+            zorder_key_sql("x", "y", *bounds)
+
+
 def test_zorder_layout_tightens_both_dimensions(spark):
     """Partitioning by the Z-key must bound BOTH coordinates per
     partition: every Z-range partition of a uniform grid covers a far

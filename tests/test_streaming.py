@@ -211,8 +211,10 @@ def test_exactly_once_sink_matches_batch_and_survives_redelivery(
     spark, sf_dir, batch_events, tmp_path
 ):
     """End-to-end exactly-once: sink output equals the batch table; a
-    full redelivery (fresh checkpoint, same output dir) is a no-op via
-    the batch ledger; torn uncommitted writes stay invisible."""
+    restart from the SAME checkpoint is a no-op via the batch ledger; a
+    FOREIGN checkpoint (fresh or different query) against the same
+    out_dir fails fast instead of silently colliding batch ids; torn
+    uncommitted writes stay invisible."""
     import os
 
     from sqlpp_spark.streaming.events import (
@@ -232,12 +234,19 @@ def test_exactly_once_sink_matches_batch_and_survives_redelivery(
         == batch_events.agg(F.sum("event_id")).first()[0]
     )
 
-    # redelivery: fresh checkpoint re-sends every batch with the same
-    # ids; the ledger makes each a no-op — still no duplicates
+    # restart from the same checkpoint: a redelivered batch is a no-op
+    # via the ledger — still no duplicates
     write_stream_exactly_once(
-        read_events_stream(spark, sf_dir), out, str(tmp_path / "ckpt2")
+        read_events_stream(spark, sf_dir), out, str(tmp_path / "ckpt1")
     )
     assert read_exactly_once_output(spark, out).count() == batch_events.count()
+
+    # a FRESH checkpoint restarts batch ids at 0 — colliding with the
+    # ledger would silently drop new data, so the sink must refuse
+    with pytest.raises(ValueError, match="owned by streaming query"):
+        write_stream_exactly_once(
+            read_events_stream(spark, sf_dir), out, str(tmp_path / "ckpt2")
+        )
 
     # a torn write of an uncommitted batch must be invisible
     junk = batch_events.limit(5)
