@@ -1,13 +1,14 @@
-"""Pure-Python/numpy image codec: real PNG decode/encode and JPEG
-header parsing with zero third-party image libraries.
+"""Pure-Python/numpy image codec: real PNG decode/encode and real
+baseline JPEG decode/encode with zero third-party image libraries.
 
 The container ships no pillow, but "multimodal decode" must still be
 real — PNG is fully decodable with stdlib ``zlib`` plus numpy (chunk
-walk → inflate → per-scanline unfilter), and JPEG dimensions/channels
-are exactly recoverable from the SOF marker without a DCT pass. This
-module is driver/executor-agnostic plain Python: the Spark plumbing
-(Arrow batching, schema, partitioning) lives in ops/multimodal.py and
-calls into these functions per payload.
+walk → inflate → per-scanline unfilter), and baseline-sequential JPEG
+(ITU-T T.81) is decodable with a marker walk, canonical Huffman
+tables, dequantization and a matrix IDCT. This module is
+driver/executor-agnostic plain Python: the Spark plumbing (Arrow
+batching, schema, partitioning) lives in ops/multimodal.py and calls
+into these functions per payload.
 
 Supported PNG subset (covers everything our encoder and common ML
 corpora emit): bit depth 8, color types 0 (gray), 2 (RGB), 4
@@ -15,6 +16,14 @@ corpora emit): bit depth 8, color types 0 (gray), 2 (RGB), 4
 Filters None/Sub/Up are numpy-vectorized per row (Sub via per-channel
 cumsum); Average/Paeth fall back to a per-pixel loop — our encoder
 never emits them, they exist so foreign PNGs decode correctly.
+
+Supported JPEG subset: baseline sequential DCT (SOF0), 8-bit, 1 or 3
+components, any sampling factors with h,v ∈ {1,2} (4:4:4, 4:2:2,
+4:2:0), restart intervals, standard or custom Huffman/quant tables.
+Progressive (SOF2) and arithmetic coding raise ImageCodecError —
+``jpeg_info`` still recovers geometry from any SOF variant for
+metadata-only pruning. All constant tables (zigzag order, Annex K
+quantization and Huffman specs) are from the public T.81 standard.
 
 Reference capability analog: none — the reference (andreypopp/sqlpp)
 has no multimodal support; this is the brief's net-new requirement.
@@ -228,6 +237,535 @@ def jpeg_info(data: bytes) -> tuple[int, int, int]:
             break
         pos += 2 + seg_len
     raise ImageCodecError("JPEG SOF marker not found")
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81) — real decode and encode in numpy
+# ---------------------------------------------------------------------------
+
+# zigzag scan order: index i of the scan reads natural position ZIGZAG[i]
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1 quantization tables (quality 50 base)
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 Huffman specs: (BITS[1..16], HUFFVAL)
+_DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman assignment (T.81 C.2): symbol → (code, size)."""
+    out = {}
+    code = 0
+    k = 0
+    for size in range(1, 17):
+        for _ in range(bits[size - 1]):
+            out[vals[k]] = (code, size)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals):
+    """(size, code) → symbol map for sequential decoding."""
+    out = {}
+    code = 0
+    k = 0
+    for size in range(1, 17):
+        for _ in range(bits[size - 1]):
+            out[(size, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# orthonormal 8x8 DCT-II basis: forward F = C @ b @ C.T, inverse C.T @ F @ C
+_DCT_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _DCT_C[_k, _n] = np.sqrt((1 if _k else 0.5) / 4.0) * np.cos(
+            (2 * _n + 1) * _k * np.pi / 16.0
+        )
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at restart/other markers (caller handles)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker = None  # set when a non-stuffing marker is hit
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):  # truncated stream: zero-pad
+            self.bitbuf <<= 8
+            self.nbits += 8
+            return
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF literal
+            else:
+                self.marker = nxt  # RSTn / EOI / next segment
+                b = 0  # pad with zero bits past the marker
+                self.bitbuf = (self.bitbuf << 8) | b
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self) -> None:
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def skip_marker(self) -> int:
+        """Consume the pending marker (positions past 0xFF xx)."""
+        m = self.marker
+        self.marker = None
+        # find the marker bytes from current pos (we never advanced past)
+        i = self.data.index(b"\xff", self.pos)
+        while self.data[i + 1] == 0xFF:
+            i += 1
+        self.pos = i + 2
+        self.byte_align()
+        return m
+
+    def restart(self) -> None:
+        """Byte-align and consume an expected RSTn marker."""
+        if self.marker is not None:
+            self.skip_marker()
+            return
+        self.byte_align()
+        i = self.pos
+        while not (
+            self.data[i] == 0xFF and self.data[i + 1] not in (0x00, 0xFF)
+        ):
+            i += 1
+        self.pos = i + 2
+
+
+def _decode_huff_symbol(br: _BitReader, table) -> int:
+    code = 0
+    for size in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((size, code))
+        if sym is not None:
+            return sym
+    raise ImageCodecError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 sign extension of a size-bit magnitude."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline-sequential JPEG bytes → uint8 array (h, w, channels).
+
+    Real decode: marker walk (DQT/DHT/SOF0/DRI/SOS), canonical Huffman
+    entropy decode, dequantize + inverse zigzag, matrix IDCT per 8x8
+    block, chroma upsample, YCbCr→RGB. Raises ImageCodecError on
+    progressive/arithmetic streams, unsupported sampling, and any
+    malformed/truncated structure."""
+    try:
+        return _decode_jpeg_inner(data)
+    except (IndexError, ValueError, KeyError, StopIteration, struct.error) as e:
+        if isinstance(e, ImageCodecError):
+            raise
+        raise ImageCodecError(f"malformed JPEG stream: {e}") from e
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
+    if data[:3] != JPEG_SIGNATURE:
+        raise ImageCodecError("not a JPEG")
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    comps = None  # list of (cid, h, v, tq)
+    w = h = None
+    restart_interval = 0
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq == 0:
+                    tab = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                else:
+                    tab = np.frombuffer(body[i : i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                qtabs[tq] = tab  # zigzag order
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                htabs[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            _prec, h, w, ncomp = struct.unpack(">BHHB", body[0:6])
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker in _SOF_MARKERS:  # any other SOF variant
+            raise ImageCodecError(
+                f"unsupported JPEG coding (SOF{marker - 0xC0}): baseline only"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[0:2])
+        elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise ImageCodecError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []  # (comp_index, dc_table, ac_table)
+            for s in range(ns):
+                cs, tda = body[1 + 2 * s], body[2 + 2 * s]
+                ci = next(
+                    i for i, c in enumerate(comps) if c[0] == cs
+                )
+                scan.append((ci, tda >> 4, tda & 0xF))
+            return _decode_scan(
+                data, pos + 2 + seg_len, w, h, comps, scan, qtabs, htabs,
+                restart_interval,
+            )
+        elif marker == 0xD9:
+            break
+        pos += 2 + seg_len
+    raise ImageCodecError("JPEG SOS marker not found")
+
+
+def _decode_scan(
+    data, pos, w, h, comps, scan, qtabs, htabs, restart_interval
+) -> np.ndarray:
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any(c[1] not in (1, 2) or c[2] not in (1, 2) for c in comps):
+        raise ImageCodecError("unsupported JPEG sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component block grids (blocks across the padded image)
+    planes = []
+    for _cid, ch, cv, _tq in comps:
+        planes.append(
+            np.zeros((mcuy * cv, mcux * ch, 8, 8), dtype=np.float64)
+        )
+    br = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                br.restart()
+                preds = [0] * len(comps)
+            for si, (ci, tdc, tac) in enumerate(scan):
+                _cid, ch, cv, tq = comps[ci]
+                q = qtabs[tq]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _decode_huff_symbol(br, htabs[(0, tdc)])
+                        diff = _extend(br.read_bits(s), s)
+                        preds[si] += diff
+                        zz[0] = preds[si]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff_symbol(br, htabs[(1, tac)])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ImageCodecError("JPEG AC index overflow")
+                            zz[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[ZIGZAG] = (zz * q).astype(np.float64)
+                        blk = blk.reshape(8, 8)
+                        planes[ci][my * cv + by, mx * ch + bx] = (
+                            _DCT_C.T @ blk @ _DCT_C
+                        )
+            mcu_i += 1
+    # assemble planes: blocks → pixel grids, upsample to full res
+    out = []
+    for ci, (_cid, ch, cv, _tq) in enumerate(comps):
+        grid = planes[ci]
+        by, bx = grid.shape[0], grid.shape[1]
+        px = grid.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        px = np.repeat(np.repeat(px, vmax // cv, axis=0), hmax // ch, axis=1)
+        out.append(px[:h, :w])
+    img = np.stack(out, axis=-1) + 128.0
+    if len(comps) == 3:
+        y, cb, cr = img[..., 0], img[..., 1] - 128.0, img[..., 2] - 128.0
+        img = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+    return np.clip(np.rint(img), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, size: int) -> None:
+        self.acc = (self.acc << size) | (code & ((1 << size) - 1))
+        self.nbits += size
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+def _quality_scale(tab: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((tab * scale + 50) // 100, 1, 255)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (h, w[, 1|3]) → baseline JFIF bytes (4:4:4, standard
+    Annex K Huffman tables). Companion of ``decode_jpeg`` — lossy, so
+    tests assert tolerance, not equality."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3):
+        raise ImageCodecError(f"cannot JPEG-encode array of shape {arr.shape}")
+    h, w, ncomp = a.shape
+    af = a.astype(np.float64)
+    if ncomp == 3:
+        r, g, b = af[..., 0], af[..., 1], af[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    else:
+        planes = [af[..., 0]]
+    # tables are defined in natural order; the bitstream (DQT) and the
+    # quantization of zigzag-scanned coefficients both use zigzag order
+    ql = _quality_scale(_Q_LUMA, quality)[ZIGZAG]
+    qc = _quality_scale(_Q_CHROMA, quality)[ZIGZAG]
+    qtabs = [ql] + ([qc] if ncomp == 3 else [])
+    dc_specs = [_DC_LUMA_SPEC] + ([_DC_CHROMA_SPEC] if ncomp == 3 else [])
+    ac_specs = [_AC_LUMA_SPEC] + ([_AC_CHROMA_SPEC] if ncomp == 3 else [])
+    dc_codes = [_huff_codes(*s) for s in dc_specs]
+    ac_codes = [_huff_codes(*s) for s in ac_specs]
+
+    # pad to 8x8 blocks by edge replication
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    by, bx = ph // 8, pw // 8
+    blocks_per_comp = []
+    for ci, plane in enumerate(planes):
+        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("km,yxmn,ln->yxkl", _DCT_C, blocks, _DCT_C)
+        ti = min(ci, 1)
+        q = qtabs[ti].astype(np.float64)  # zigzag order, matching the scan
+        qz = np.rint(
+            coef.reshape(by, bx, 64)[:, :, ZIGZAG] / q[None, None, :]
+        ).astype(np.int64)
+        blocks_per_comp.append(qz)
+    for yb in range(by):
+        for xb in range(bx):
+            for ci in range(ncomp):
+                ti = min(ci, 1)
+                zz = blocks_per_comp[ci][yb, xb]
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                size = int(diff != 0 and int(abs(diff)).bit_length())
+                code, clen = dc_codes[ti][size]
+                bw.write(code, clen)
+                if size:
+                    v = diff if diff >= 0 else diff + (1 << size) - 1
+                    bw.write(v, size)
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if k > last_nz:
+                        code, clen = ac_codes[ti][0x00]  # EOB
+                        bw.write(code, clen)
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, clen = ac_codes[ti][0xF0]  # ZRL
+                        bw.write(code, clen)
+                        run -= 16
+                    size = int(abs(v)).bit_length()
+                    code, clen = ac_codes[ti][(run << 4) | size]
+                    bw.write(code, clen)
+                    ev = v if v >= 0 else v + (1 << size) - 1
+                    bw.write(ev, size)
+                    run = 0
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, q in enumerate(qtabs):
+        out += seg(0xDB, bytes([ti]) + bytes(int(x) for x in q))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, min(ci, 1)])  # 1x1 sampling (4:4:4)
+    out += seg(0xC0, sof)
+    for ti, (bits, vals) in enumerate(dc_specs):
+        out += seg(0xC4, bytes([ti]) + bytes(bits) + bytes(vals))
+    for ti, (bits, vals) in enumerate(ac_specs):
+        out += seg(0xC4, bytes([0x10 | ti]) + bytes(bits) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        ti = min(ci, 1)
+        sos += bytes([ci + 1, (ti << 4) | ti])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

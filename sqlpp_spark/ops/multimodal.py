@@ -119,12 +119,19 @@ def _decode_one(b: bytes, fallback: bool):
                 raise
             # fall through to PIL / raw-stats path below
     if b[:3] == IC.JPEG_SIGNATURE and not HAS_PIL:
-        # geometry is REAL (SOF marker); pixel decode is the one
-        # remaining stub boundary without pillow
+        # real baseline decode (pure-numpy Huffman + IDCT); progressive
+        # or otherwise unsupported streams keep the REAL SOF geometry
+        # with decoded=false
+        try:
+            arr = IC.decode_jpeg(b)
+            h, w, ch = arr.shape
+            return w, h, ch, float(arr.mean()), True
+        except IC.ImageCodecError:
+            pass
         if not fallback:
             raise NotImplementedError(
-                "JPEG pixel decode requires pillow; SOF geometry is "
-                "available via fallback=True"
+                "non-baseline JPEG pixel decode requires pillow; SOF "
+                "geometry is available via fallback=True"
             )
         try:
             w, h, ch = IC.jpeg_info(b)
@@ -155,10 +162,11 @@ def decode_image(df: DataFrame, fallback: bool = True) -> DataFrame:
     - SYNM synthetic header → parsed directly (mixed corpora work)
     - PNG → pure-numpy codec (ops/imagecodec.py): real pixels, real
       mean, no pillow needed
-    - JPEG → PIL pixels when pillow is importable; otherwise REAL
-      geometry from the SOF marker with ``decoded=false``
-      (``fallback=False`` raises NotImplementedError — the one
-      remaining stub boundary)
+    - JPEG → pure-numpy BASELINE decode (canonical Huffman + IDCT,
+      ops/imagecodec.decode_jpeg): real pixels without pillow;
+      progressive/arithmetic streams keep REAL SOF geometry with
+      ``decoded=false`` (``fallback=False`` raises — that is the
+      remaining pillow/ffmpeg boundary)
     - anything else → PIL when available, else zeroed metadata with
       raw byte stats and ``decoded=false``
     """
@@ -263,6 +271,16 @@ def resize_images(
                         arr = IC.decode_png(b)
                         h0, w0 = arr.shape[0], arr.shape[1]
                         new_payload = IC.encode_png(
+                            IC.resize_array(arr, target_w, target_h, method)
+                        )
+                        resized = True
+                    except IC.ImageCodecError:
+                        pass
+                elif b[:3] == IC.JPEG_SIGNATURE and not HAS_PIL:
+                    try:
+                        arr = IC.decode_jpeg(b)
+                        h0, w0 = arr.shape[0], arr.shape[1]
+                        new_payload = IC.encode_jpeg(
                             IC.resize_array(arr, target_w, target_h, method)
                         )
                         resized = True

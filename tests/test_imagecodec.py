@@ -11,7 +11,9 @@ import pytest
 from sqlpp_spark.ops.imagecodec import (
     PNG_SIGNATURE,
     ImageCodecError,
+    decode_jpeg,
     decode_png,
+    encode_jpeg,
     encode_png,
     jpeg_info,
     png_info,
@@ -98,6 +100,63 @@ def test_jpeg_sof_parse():
         jpeg_info(b"\xff\xd8\xff\xd9")
 
 
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [xx * 255 // max(w - 1, 1), yy * 255 // max(h - 1, 1),
+         (xx + yy) * 255 // max(h + w - 2, 1)],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_gradient_tolerance():
+    """Baseline JPEG is lossy but must stay close on smooth content:
+    encode→decode of a gradient at q90 within a few code values, and
+    the SOF geometry of our own streams parses exactly."""
+    img = _gradient(41, 57)
+    data = encode_jpeg(img, quality=90)
+    assert jpeg_info(data) == (57, 41, 3)
+    out = decode_jpeg(data)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_jpeg_roundtrip_grayscale_and_odd_sizes():
+    for h, w in ((8, 8), (1, 1), (9, 17), (16, 5)):
+        g = _gradient(h, w)[..., 0]
+        out = decode_jpeg(encode_jpeg(g, quality=92))
+        assert out.shape == (h, w, 1)
+        assert np.abs(out[..., 0].astype(int) - g.astype(int)).max() <= 6
+
+
+def test_jpeg_quality_monotonic_error():
+    """Lower quality ⇒ no smaller mean reconstruction error (and far
+    smaller payload) — pins that the quality knob actually scales the
+    quantization tables."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    errs, sizes = [], []
+    for q in (95, 50, 10):
+        d = encode_jpeg(img, quality=q)
+        o = decode_jpeg(d)
+        errs.append(float(np.abs(o.astype(int) - img.astype(int)).mean()))
+        sizes.append(len(d))
+    assert errs[0] <= errs[1] <= errs[2]
+    assert sizes[0] > sizes[1] > sizes[2]
+
+
+def test_jpeg_rejects_progressive_but_parses_geometry():
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + struct.pack(">H", 17)  # SOF2 progressive
+        + struct.pack(">BHHB", 8, 10, 20, 3) + b"\x00" * 9
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ImageCodecError, match="baseline"):
+        decode_jpeg(jpg)
+    assert jpeg_info(jpg) == (20, 10, 3)
+
+
 def test_resize_nearest_quadrants():
     a = np.array([[[0], [255]], [[255], [0]]], dtype=np.uint8)
     n = resize_array(a, 4, 4, "nearest")
@@ -159,11 +218,30 @@ if HAS_HYPOTHESIS:
         assert out.shape == (th, tw, 3)
         assert out.min() >= a.min() and out.max() <= a.max()
 
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        ch=st.sampled_from([1, 3]),
+        quality=st.integers(60, 98),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_jpeg_roundtrip_property(h, w, ch, quality, seed):
+        """encode→decode never errors, preserves shape exactly, and —
+        on constant images, which quantize losslessly at any quality —
+        reconstructs within a small tolerance."""
+        rng = np.random.default_rng(seed)
+        flat = np.full((h, w, ch), int(rng.integers(0, 256)), dtype=np.uint8)
+        a = flat.squeeze(-1) if ch == 1 else flat
+        out = decode_jpeg(encode_jpeg(a, quality=quality))
+        assert out.shape == (h, w, ch)
+        assert np.abs(out.astype(int) - flat.astype(int)).max() <= 3
+
     @settings(max_examples=20, deadline=None)
     @given(data=st.binary(min_size=0, max_size=200))
     def test_codec_rejects_arbitrary_bytes_cleanly(data):
         """Garbage never crashes with anything but ImageCodecError."""
-        for fn in (decode_png, png_info, jpeg_info):
+        for fn in (decode_png, png_info, jpeg_info, decode_jpeg):
             try:
                 fn(data)
             except ImageCodecError:

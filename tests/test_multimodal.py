@@ -76,9 +76,39 @@ def test_decode_image_real_png_without_pil(spark):
         assert abs(r.mean_byte - float(a.mean())) < 1e-9
 
 
-def test_decode_image_jpeg_sof_geometry_without_pil(spark):
-    """JPEG without pillow: SOF geometry is real, pixels are the one
-    remaining stub boundary (decoded=false; fallback=False raises)."""
+def test_decode_image_real_jpeg_without_pil(spark):
+    """Genuine baseline JPEG bytes decode for REAL without pillow:
+    exact geometry and a pixel mean within JPEG-loss tolerance come
+    back through the mapInPandas batch path (pure-numpy Huffman+IDCT
+    codec)."""
+    import numpy as np
+
+    from sqlpp_spark.ops.imagecodec import encode_jpeg
+
+    imgs = {}
+    for i in range(3):
+        h, w = 17 + 8 * i, 23 + 8 * i
+        yy, xx = np.mgrid[0:h, 0:w]
+        imgs[i] = np.stack(
+            [xx * 255 // (w - 1), yy * 255 // (h - 1), np.full((h, w), 64 + i)],
+            axis=-1,
+        ).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_jpeg(a, quality=90))) for i, a in imgs.items()],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in decode_image(df).collect()}
+    for i, a in imgs.items():
+        r = rows[i]
+        assert (r.width, r.height, r.channels) == (a.shape[1], a.shape[0], 3)
+        assert r.decoded is True
+        assert abs(r.mean_byte - float(a.mean())) < 2.0  # lossy tolerance
+
+
+def test_decode_image_nonbaseline_jpeg_keeps_sof_geometry(spark):
+    """A JPEG the baseline decoder can't handle (here: SOF0 header with
+    no scan) still reports REAL SOF geometry with decoded=false;
+    fallback=False raises the pillow/ffmpeg-boundary error."""
     import struct as st
 
     from sqlpp_spark.ops.multimodal import HAS_PIL
@@ -98,6 +128,30 @@ def test_decode_image_jpeg_sof_geometry_without_pil(spark):
     assert row.decoded is False
     with pytest.raises(Exception, match="pillow"):
         decode_image(df, fallback=False).collect()
+
+
+def test_resize_images_real_jpeg_pixels(spark):
+    """resize_images decodes, resamples and re-encodes JPEG payloads
+    for real: a flat-color JPEG upscaled stays flat within tolerance
+    and round-trips through the JPEG codec."""
+    import numpy as np
+
+    from sqlpp_spark.ops.imagecodec import decode_jpeg, encode_jpeg
+    from sqlpp_spark.ops.multimodal import HAS_PIL, resize_images
+
+    if HAS_PIL:
+        pytest.skip("pillow path takes precedence when installed")
+    flat = np.full((10, 14, 3), 200, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(flat, quality=90)))],
+        "media_id long, payload binary",
+    )
+    row = resize_images(df, 28, 20, method="nearest").collect()[0]
+    assert (row.width, row.height, row.resized) == (28, 20, True)
+    assert row.resize_scale_x == 0.5 and row.resize_scale_y == 0.5
+    out = decode_jpeg(bytes(row.payload))
+    assert out.shape == (20, 28, 3)
+    assert np.abs(out.astype(int) - 200).max() <= 4
 
 
 def test_resize_images_real_pixels(spark):
