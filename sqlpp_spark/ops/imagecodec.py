@@ -661,10 +661,49 @@ def _quality_scale(tab: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((tab * scale + 50) // 100, 1, 255)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
-    """uint8 (h, w[, 1|3]) → baseline JFIF bytes (4:4:4, standard
-    Annex K Huffman tables). Companion of ``decode_jpeg`` — lossy, so
-    tests assert tolerance, not equality."""
+def _encode_block(bw, zz, pred, dc_code, ac_code) -> int:
+    """Huffman-encode one zigzag-quantized block; returns the new DC
+    predictor."""
+    diff = int(zz[0]) - pred
+    size = int(diff != 0 and int(abs(diff)).bit_length())
+    code, clen = dc_code[size]
+    bw.write(code, clen)
+    if size:
+        v = diff if diff >= 0 else diff + (1 << size) - 1
+        bw.write(v, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            code, clen = ac_code[0x00]  # EOB
+            bw.write(code, clen)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, clen = ac_code[0xF0]  # ZRL
+            bw.write(code, clen)
+            run -= 16
+        size = int(abs(v)).bit_length()
+        code, clen = ac_code[(run << 4) | size]
+        bw.write(code, clen)
+        ev = v if v >= 0 else v + (1 << size) - 1
+        bw.write(ev, size)
+        run = 0
+    return int(zz[0])
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """uint8 (h, w[, 1|3]) → baseline JFIF bytes (standard Annex K
+    Huffman tables). ``subsampling`` ∈ {"444", "420"}: 4:2:0
+    box-averages chroma 2×2 and interleaves 4 luma + 2 chroma blocks
+    per MCU — the layout common ML corpora actually ship, exercising
+    the decoder's upsample path. Companion of ``decode_jpeg`` — lossy,
+    so tests assert tolerance, not equality."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -680,6 +719,16 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
         planes = [y, cb, cr]
     else:
         planes = [af[..., 0]]
+    if subsampling not in ("444", "420"):
+        raise ImageCodecError(f"unsupported subsampling {subsampling!r}")
+    if ncomp == 3 and subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * ncomp
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     # tables are defined in natural order; the bitstream (DQT) and the
     # quantization of zigzag-scanned coefficients both use zigzag order
     ql = _quality_scale(_Q_LUMA, quality)[ZIGZAG]
@@ -690,14 +739,18 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     dc_codes = [_huff_codes(*s) for s in dc_specs]
     ac_codes = [_huff_codes(*s) for s in ac_specs]
 
-    # pad to 8x8 blocks by edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    bw = _BitWriter()
-    preds = [0] * ncomp
-    by, bx = ph // 8, pw // 8
     blocks_per_comp = []
     for ci, plane in enumerate(planes):
-        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        ch_, cv_ = samp[ci]
+        fx, fy = hmax // ch_, vmax // cv_
+        if fx > 1 or fy > 1:  # box-average chroma downsample
+            ph0, pw0 = -(-h // fy) * fy, -(-w // fx) * fx
+            p0 = np.pad(plane, ((0, ph0 - h), (0, pw0 - w)), mode="edge")
+            plane = p0.reshape(ph0 // fy, fy, pw0 // fx, fx).mean(axis=(1, 3))
+        th, tw = plane.shape
+        ph, pw = mcuy * cv_ * 8, mcux * ch_ * 8  # MCU-aligned pad
+        p = np.pad(plane, ((0, ph - th), (0, pw - tw)), mode="edge") - 128.0
+        by, bx = ph // 8, pw // 8
         blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
         coef = np.einsum("km,yxmn,ln->yxkl", _DCT_C, blocks, _DCT_C)
         ti = min(ci, 1)
@@ -706,40 +759,19 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
             coef.reshape(by, bx, 64)[:, :, ZIGZAG] / q[None, None, :]
         ).astype(np.int64)
         blocks_per_comp.append(qz)
-    for yb in range(by):
-        for xb in range(bx):
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci in range(ncomp):
+                ch_, cv_ = samp[ci]
                 ti = min(ci, 1)
-                zz = blocks_per_comp[ci][yb, xb]
-                diff = int(zz[0]) - preds[ci]
-                preds[ci] = int(zz[0])
-                size = int(diff != 0 and int(abs(diff)).bit_length())
-                code, clen = dc_codes[ti][size]
-                bw.write(code, clen)
-                if size:
-                    v = diff if diff >= 0 else diff + (1 << size) - 1
-                    bw.write(v, size)
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if k > last_nz:
-                        code, clen = ac_codes[ti][0x00]  # EOB
-                        bw.write(code, clen)
-                        break
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, clen = ac_codes[ti][0xF0]  # ZRL
-                        bw.write(code, clen)
-                        run -= 16
-                    size = int(abs(v)).bit_length()
-                    code, clen = ac_codes[ti][(run << 4) | size]
-                    bw.write(code, clen)
-                    ev = v if v >= 0 else v + (1 << size) - 1
-                    bw.write(ev, size)
-                    run = 0
+                for byy in range(cv_):
+                    for bxx in range(ch_):
+                        zz = blocks_per_comp[ci][my * cv_ + byy, mx * ch_ + bxx]
+                        preds[ci] = _encode_block(
+                            bw, zz, preds[ci], dc_codes[ti], ac_codes[ti]
+                        )
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -751,7 +783,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
         out += seg(0xDB, bytes([ti]) + bytes(int(x) for x in q))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, min(ci, 1)])  # 1x1 sampling (4:4:4)
+        ch_, cv_ = samp[ci]
+        sof += bytes([ci + 1, (ch_ << 4) | cv_, min(ci, 1)])
     out += seg(0xC0, sof)
     for ti, (bits, vals) in enumerate(dc_specs):
         out += seg(0xC4, bytes([ti]) + bytes(bits) + bytes(vals))

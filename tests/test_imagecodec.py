@@ -129,6 +129,32 @@ def test_jpeg_roundtrip_grayscale_and_odd_sizes():
         assert np.abs(out[..., 0].astype(int) - g.astype(int)).max() <= 6
 
 
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 exercises the decoder's MCU interleave (4Y+Cb+Cr) and
+    chroma-upsample path: constant-chroma content round-trips nearly
+    exactly; colorful gradients stay within chroma-averaging
+    tolerance; the stream is smaller than 4:4:4."""
+    h, w = 37, 51
+    yy, xx = np.mgrid[0:h, 0:w]
+    gray3 = np.repeat(
+        ((xx + yy) * 255 // (h + w - 2)).astype(np.uint8)[:, :, None], 3, axis=2
+    )
+    d420 = encode_jpeg(gray3, quality=90, subsampling="420")
+    assert jpeg_info(d420) == (w, h, 3)
+    o = decode_jpeg(d420)
+    assert np.abs(o.astype(int) - gray3.astype(int)).max() <= 2
+
+    img = _gradient(h, w)
+    d420c = encode_jpeg(img, quality=90, subsampling="420")
+    d444c = encode_jpeg(img, quality=90, subsampling="444")
+    assert len(d420c) < len(d444c)
+    oc = decode_jpeg(d420c)
+    assert np.abs(oc.astype(int) - img.astype(int)).mean() <= 4.0
+
+    with pytest.raises(ImageCodecError, match="subsampling"):
+        encode_jpeg(img, subsampling="411")
+
+
 def test_jpeg_quality_monotonic_error():
     """Lower quality ⇒ no smaller mean reconstruction error (and far
     smaller payload) — pins that the quality knob actually scales the
