@@ -910,6 +910,82 @@ def canonical_by_quality(
 
 
 # ---------------------------------------------------------------------------
+# Passage-level dedup (remove duplicated passages, keep documents)
+# ---------------------------------------------------------------------------
+
+
+def passage_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    passage_tokens: int = 32,
+) -> DataFrame:
+    """Corpus-level PASSAGE dedup (the Dolma/RefinedWeb paragraph-dedup
+    shape, over fixed ``passage_tokens``-word windows when the corpus
+    has no paragraph marks): every passage that appears verbatim
+    elsewhere in the corpus is removed except its FIRST occurrence
+    (min (doc, position)), and documents are rewritten from their
+    surviving passages. Returns (id, clean_text, n_kept, n_dropped) —
+    docs whose every passage is duplicated elsewhere come back with
+    empty clean_text, for the caller to drop or keep.
+
+    Scale: the winner per passage hash is a ``min(struct(doc, pos))``
+    partial aggregation over (hash, ids) rows — map-side combined,
+    8-byte hash keys only, so a passage duplicated a million times
+    never funnels its text through one task (a window over the hash
+    would). Text moves exactly once: the semi-join of winners back to
+    passage rows and the per-doc reassembly are both keyed by the doc
+    id, and only surviving passages shuffle.
+    """
+    from sqlpp_spark.ops.corpus import chunk_documents
+
+    ch = chunk_documents(
+        df, text_col=text_col, id_col=id_col,
+        chunk_tokens=passage_tokens, overlap=0,
+    )
+    hashed = ch.select(
+        F.col(id_col), "chunk_id", hash64(F.col("chunk_text")).alias("__ph"),
+    )
+    winners = (
+        hashed.groupBy("__ph")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("i"), F.col("chunk_id").alias("c")
+                )
+            ).alias("w")
+        )
+        .select(F.col("w.i").alias(id_col), F.col("w.c").alias("chunk_id"))
+    )
+    kept = ch.join(winners, on=[id_col, "chunk_id"], how="left_semi")
+    kept_agg = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "chunk_text"))
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    totals = ch.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_total"))
+    return (
+        totals.join(kept_agg, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("__n_total") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup (ingest batches against an existing corpus index)
 # ---------------------------------------------------------------------------
 

@@ -52,6 +52,114 @@ def url_domain_sql(c: str) -> str:
     return f"regexp_extract({c}, '{URL_DOMAIN_RE}', 1)"
 
 
+# URL component regexes — shared verbatim with the DuckDB twins (no
+# lookaround, so Java regex and RE2 agree)
+_URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/?#]+)"
+_URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_URL_QUERY_RE = r"\?([^#]*)"
+
+# tracking parameters every crawl pipeline strips before URL-keyed dedup
+_TRACKING_PREFIXES = ("utm_",)
+_TRACKING_KEYS = ("fbclid", "gclid", "msclkid", "ref")
+
+
+def _is_tracking_param(x: Column) -> Column:
+    cond = x.startswith(_TRACKING_PREFIXES[0])
+    for k in _TRACKING_KEYS:
+        cond = cond | x.startswith(f"{k}=") | (x == k)
+    return cond
+
+
+def normalize_url(c: Column) -> Column:
+    """Canonical URL form for URL-keyed dedup: lowercase scheme+host,
+    default :80/:443 ports stripped, fragment dropped, tracking
+    parameters (utm_*, fbclid, gclid, msclkid, ref) removed, remaining
+    query parameters SORTED, trailing path slashes trimmed (bare host
+    keeps '/'). Pure JVM string/array functions — runs in the scan
+    stage, no UDF; identical arithmetic in ``normalize_url_sql`` so
+    URL dedup stays oracle-checkable."""
+    scheme = F.lower(F.regexp_extract(c, _URL_SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(c, _URL_HOSTPORT_RE, 1))
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).when(
+        scheme == "https", F.regexp_replace(host, ":443$", "")
+    ).otherwise(host)
+    path = F.regexp_extract(c, _URL_PATH_RE, 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(c, _URL_QUERY_RE, 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~_is_tracking_param(x),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+
+
+def normalize_url_sql(c: str) -> str:
+    """DuckDB twin of ``normalize_url`` (identical component regexes,
+    filter set and sort)."""
+    scheme = f"lower(regexp_extract({c}, '{_URL_SCHEME_RE}', 1))"
+    host0 = f"lower(regexp_extract({c}, '{_URL_HOSTPORT_RE}', 1))"
+    host = (
+        f"(CASE WHEN {scheme} = 'http' THEN regexp_replace({host0}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host0}, ':443$', '') "
+        f"ELSE {host0} END)"
+    )
+    path0 = f"regexp_replace(regexp_extract({c}, '{_URL_PATH_RE}', 1), '/+$', '')"
+    path = f"(CASE WHEN {path0} = '' THEN '/' ELSE {path0} END)"
+    query = f"regexp_extract({c}, '\\?([^#]*)', 1)"
+    track = (
+        "x LIKE 'utm\\_%' ESCAPE '\\' OR x LIKE 'fbclid=%' OR x = 'fbclid' "
+        "OR x LIKE 'gclid=%' OR x = 'gclid' OR x LIKE 'msclkid=%' "
+        "OR x = 'msclkid' OR x LIKE 'ref=%' OR x = 'ref'"
+    )
+    params = (
+        f"list_filter(string_split({query}, '&'), "
+        f"x -> NOT (x = '' OR {track}))"
+    )
+    # COALESCE: DuckDB's array_to_string(list_sort([])) is NULL where
+    # Spark's array_join([]) is ''
+    qs = f"COALESCE(array_to_string(list_sort({params}), '&'), '')"
+    return (
+        f"({scheme} || '://' || {host} || {path} || "
+        f"(CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END))"
+    )
+
+
+def dedup_by_url(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-keyed exact dedup: one row per NORMALIZED url (min id wins).
+    Only (id, normalized-url-hash-sized strings) shuffle for the argmin
+    — the row payload joins back by id. The crawl-ingest step that runs
+    before any content dedup."""
+    norm = df.select(F.col(id_col), normalize_url(F.col(url_col)).alias("__u"))
+    keep = norm.groupBy("__u").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+def domain_cap(
+    df: DataFrame, cap: int, url_col: str = "url", id_col: str = "doc_id",
+    salt: str = "s0", n_buckets: int = 64,
+) -> DataFrame:
+    """At most ``cap`` documents per registered host — the per-domain
+    quota every crawl corpus applies so no single site dominates.
+    Deterministic salted-hash priority via the two-phase exact-k
+    machinery (ops/corpus.exact_k_sample): no task ever sorts a whole
+    domain's rows, picks are stable under corpus growth."""
+    from sqlpp_spark.ops.corpus import exact_k_sample
+
+    with_host = df.withColumn("__host", url_domain(F.col(url_col)))
+    return exact_k_sample(
+        with_host, k=cap, group_col="__host", key_col=id_col,
+        salt=salt, n_buckets=n_buckets,
+    ).drop("__host")
+
+
 def filter_blocked_domains(
     df: DataFrame, blocklist: DataFrame, url_col: str = "url",
     domain_col: str = "domain",

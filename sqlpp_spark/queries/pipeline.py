@@ -493,6 +493,63 @@ def dedup_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_duplicates_against_index(batch, index, sets)
 
 
+def _passage_dedup_oracle(p: int = 8) -> str:
+    """DuckDB twin of ops.dedup.passage_dedup — identical chunking
+    (fixed p-word windows over normalized text), winner-per-hash by
+    min (doc, position), ordered reassembly."""
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM norm),
+chunks AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_id,
+         array_to_string(
+           t[CAST(g.i*{p}+1 AS BIGINT):CAST(least((g.i+1)*{p}, len(t)) AS BIGINT)],
+           ' ') AS chunk_text
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(t)/{p}.0) AS BIGINT) - 1)) AS g(i)
+),
+hashed AS (
+  SELECT doc_id, chunk_id, {hash64_sql("chunk_text")} AS ph FROM chunks
+),
+winners AS (
+  SELECT doc_id, chunk_id FROM (
+    SELECT doc_id, chunk_id,
+           ROW_NUMBER() OVER (PARTITION BY ph ORDER BY doc_id, chunk_id) AS rk
+    FROM hashed
+  ) WHERE rk = 1
+),
+kept AS (
+  SELECT c.doc_id, c.chunk_id, c.chunk_text
+  FROM chunks c SEMI JOIN winners w
+    ON c.doc_id = w.doc_id AND c.chunk_id = w.chunk_id
+),
+agg AS (
+  SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total FROM chunks GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       t.n_total - COALESCE(a.n_kept, 0) AS n_dropped
+FROM totals t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("dedup_passages", oracle=_passage_dedup_oracle())
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup (Dolma/RefinedWeb paragraph-dedup shape over
+    fixed 8-word windows): every passage appearing verbatim elsewhere
+    keeps only its first (doc, position) occurrence; documents are
+    rewritten from survivors. Winner selection is a min-struct partial
+    agg over 8-byte hashes — no per-cluster window, text moves once."""
+    return D.passage_dedup(
+        table(spark, sf_dir, "documents"), passage_tokens=8
+    )
+
+
 def _substring_rate_oracle(k: int = 8) -> str:
     """DuckDB twin of ops.dedup.substring_duplication_rate — identical
     polynomial gram hashes (ops/text.rolling_hashes arithmetic)."""

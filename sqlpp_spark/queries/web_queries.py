@@ -147,6 +147,100 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# -- URL normalization / URL dedup / per-domain caps -------------------------
+# second URL synthesis exercising every normalization rule: case, default
+# ports, fragments, tracking params, unsorted params, trailing slashes
+
+_URL2_SQL = """CASE CAST(doc_id % 5 AS INTEGER)
+  WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/a/b/?utm_source=x&q=' || CAST(doc_id % 7 AS VARCHAR) || '#frag'
+  WHEN 1 THEN 'https://www.' || source || '.example.com/a/b?q=' || CAST(doc_id % 7 AS VARCHAR)
+  WHEN 2 THEN 'http://' || source || '.example.com:80/'
+  WHEN 3 THEN 'http://' || source || '.example.com'
+  ELSE 'https://' || source || '.example.com/x/' || CAST(doc_id % 11 AS VARCHAR) || '/?gclid=abc&b=2&a=1'
+END"""
+
+
+def _with_url2(d: DataFrame) -> DataFrame:
+    m = (F.col("doc_id") % 5).cast("int")
+    q7 = (F.col("doc_id") % 7).cast("string")
+    p11 = (F.col("doc_id") % 11).cast("string")
+    s = F.col("source")
+    return d.withColumn(
+        "url",
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://WWW."), s, F.lit(".Example.COM:443/a/b/?utm_source=x&q="),
+            q7, F.lit("#frag")))
+        .when(m == 1, F.concat(
+            F.lit("https://www."), s, F.lit(".example.com/a/b?q="), q7))
+        .when(m == 2, F.concat(F.lit("http://"), s, F.lit(".example.com:80/")))
+        .when(m == 3, F.concat(F.lit("http://"), s, F.lit(".example.com")))
+        .otherwise(F.concat(
+            F.lit("https://"), s, F.lit(".example.com/x/"), p11,
+            F.lit("/?gclid=abc&b=2&a=1"))),
+    )
+
+
+@register(
+    "web_url_normalize",
+    oracle=f"""
+WITH u AS (SELECT doc_id, {_URL2_SQL} AS url FROM documents)
+SELECT doc_id, url, {W.normalize_url_sql('url')} AS norm_url
+FROM u ORDER BY doc_id
+""",
+)
+def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization bit-for-bit against DuckDB: lowercase
+    scheme/host, default-port strip, fragment drop, tracking-param
+    removal, param sort, trailing-slash trim — all scan-stage string
+    functions, no UDF."""
+    d = _with_url2(table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", "url", W.normalize_url(F.col("url")).alias("norm_url")
+    ).orderBy("doc_id")
+
+
+@register(
+    "web_url_dedup",
+    oracle=f"""
+WITH u AS (SELECT doc_id, lang, {_URL2_SQL} AS url FROM documents),
+n AS (SELECT doc_id, lang, {W.normalize_url_sql('url')} AS nu FROM u),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM n GROUP BY nu)
+SELECT n.doc_id, n.lang FROM n SEMI JOIN keep USING (doc_id)
+""",
+)
+def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup after canonicalization (one row per normalized
+    URL, min id wins): distinct shapes of the same logical URL —
+    case/port/fragment/tracking-param variants — collapse. Only ids and
+    normalized URLs shuffle for the argmin."""
+    d = _with_url2(table(spark, sf_dir, "documents"))
+    return W.dedup_by_url(d).select("doc_id", "lang")
+
+
+def _domain_cap_oracle(cap: int) -> str:
+    from sqlpp_spark.ops.hashing import hash64_sql
+
+    h = hash64_sql("concat('s0', '|', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH u AS (SELECT doc_id, lang, {_URL2_SQL} AS url FROM documents),
+hst AS (SELECT doc_id, lang, {W.url_domain_sql('url')} AS host FROM u)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY {h} ASC, doc_id ASC) AS rk
+  FROM hst
+) WHERE rk <= {cap}
+"""
+
+
+@register("web_domain_cap", oracle=_domain_cap_oracle(25))
+def web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota (at most 25 docs per host, deterministic
+    salted-hash priority) — the anti-dominance cap crawl corpora apply.
+    Two-phase exact-k underneath: no task sorts a whole domain."""
+    d = _with_url2(table(spark, sf_dir, "documents"))
+    return W.domain_cap(d, cap=25).select("doc_id", "lang")
+
+
 @register(
     "web_domain_stats",
     oracle=f"""

@@ -264,6 +264,35 @@ def test_blocked_domain_filter_semantics(spark):
     assert kept == [4, 5, 8, 9]
 
 
+def test_normalize_url_and_dedup_semantics(spark):
+    """Canonicalization rules one by one, and URL dedup collapsing the
+    variants to the min id."""
+    from sqlpp_spark.ops.web import dedup_by_url, normalize_url
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&q=1#frag"),
+        (2, "https://www.example.com/a/b?q=1"),           # same as 1
+        (3, "http://example.com:80/"),
+        (4, "http://example.com"),                        # same as 3
+        (5, "https://example.com/x/?b=2&a=1&gclid=zzz"),  # params sorted
+        (6, "https://example.com/x/?a=1&b=2"),            # same as 5
+        (7, "https://example.com:8443/x"),                # non-default port kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    norm = {r.doc_id: r.n for r in
+            df.select("doc_id", normalize_url(F.col("url")).alias("n")).collect()}
+    assert norm[1] == "https://www.example.com/a/b?q=1"
+    assert norm[1] == norm[2]
+    assert norm[3] == "http://example.com/"
+    assert norm[3] == norm[4]
+    assert norm[5] == "https://example.com/x?a=1&b=2"
+    assert norm[5] == norm[6]
+    assert norm[7] == "https://example.com:8443/x"
+
+    kept = sorted(r.doc_id for r in dedup_by_url(df).collect())
+    assert kept == [1, 3, 5, 7]
+
+
 def test_release_intermediates_unpersists(spark, docs):
     from sqlpp_spark.ops import release_intermediates
     from sqlpp_spark.ops.dedup import minhash_near_duplicates
@@ -543,6 +572,32 @@ def test_label_centroid_outliers_finds_planted_outlier(spark):
     assert out[(0, 1)].d2 > out[(0, 2)].d2
     # label 1 members are identical -> all distances 0, ties by id
     assert out[(1, 1)].vec_id == 200 and out[(1, 1)].d2 < 1e-12
+
+
+def test_passage_dedup_semantics(spark):
+    """A passage duplicated across docs survives only at its first
+    (doc, position); unique passages all survive; a doc made entirely
+    of seen passages comes back empty (n_kept=0)."""
+    from sqlpp_spark.ops.dedup import passage_dedup
+
+    p1 = "a b c d"          # 4-token passage, duplicated everywhere
+    p2 = "e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p1} {p2}"),       # keeps both (first occurrences)
+            (2, f"{p1} x y z w"),    # loses p1, keeps its unique tail
+            (3, p1),                 # entirely duplicated -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           passage_dedup(docs, passage_tokens=4).collect()}
+    assert out[1].clean_text == f"{p1} {p2}"
+    assert (out[1].n_kept, out[1].n_dropped) == (2, 0)
+    assert out[2].clean_text == "x y z w"
+    assert (out[2].n_kept, out[2].n_dropped) == (1, 1)
+    assert out[3].clean_text == ""
+    assert (out[3].n_kept, out[3].n_dropped) == (0, 1)
 
 
 def test_dedup_against_index_semantics(spark):
