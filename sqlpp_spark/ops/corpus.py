@@ -168,6 +168,41 @@ def chunk_documents(
     )
 
 
+def top_ngrams(
+    df: DataFrame, n: int = 3, top_k: int = 20,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide most frequent word n-grams — the diagnostic behind
+    boilerplate thresholds and contamination screens. Returns
+    (ngram, n_occurrences, n_docs) for the ``top_k`` by occurrence
+    count (ties broken by ngram text, deterministic).
+
+    Scale: n-grams explode map-side and aggregate with partial
+    aggregation on the gram STRING key; the global top-k is a single
+    ``orderBy().limit()`` — Spark runs it as per-partition TakeOrdered
+    + a driver merge of k-row partials, never a full sort-shuffle."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = ensure_parallelism(df).select(
+        F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n")
+    )
+    idx = F.explode(F.sequence(F.lit(1), F.greatest(F.col("__n") - (n - 1), F.lit(0))))
+    grams = base.filter(F.col("__n") >= n).select(
+        F.col(id_col), idx.alias("__i"), F.col("__t")
+    ).select(
+        F.col(id_col),
+        F.array_join(F.slice("__t", F.col("__i"), n), " ").alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+        .limit(top_k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------

@@ -985,6 +985,69 @@ def passage_dedup(
     )
 
 
+def boilerplate_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    passage_tokens: int = 8, max_doc_frequency: int = 3,
+) -> DataFrame:
+    """Boilerplate removal (the C4/RefinedWeb hygiene stage): drop
+    every passage that appears in MORE than ``max_doc_frequency``
+    distinct documents — navigation chrome, cookie banners, license
+    footers — from ALL documents (unlike ``passage_dedup``, no first
+    occurrence survives; boilerplate is noise, not content). Returns
+    (id, clean_text, n_kept, n_dropped).
+
+    Scale: passage doc-frequency is a count-distinct-by-hash partial
+    aggregation over (hash, doc) pairs — 8-byte keys only; the verdict
+    joins back to passage rows by hash (broadcast when the boilerplate
+    set is small, which it is by definition: passages above a
+    doc-frequency threshold are few), and text shuffles once for the
+    per-doc reassembly."""
+    from sqlpp_spark.ops.corpus import chunk_documents
+
+    ch = chunk_documents(
+        df, text_col=text_col, id_col=id_col,
+        chunk_tokens=passage_tokens, overlap=0,
+    )
+    hashed = ch.select(
+        F.col(id_col), "chunk_id", "chunk_text",
+        hash64(F.col("chunk_text")).alias("__ph"),
+    )
+    bad = (
+        hashed.groupBy("__ph")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") > max_doc_frequency)
+        .select("__ph")
+    )
+    kept = hashed.join(F.broadcast(bad), on="__ph", how="left_anti")
+    kept_agg = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "chunk_text"))
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    totals = ch.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_total"))
+    return (
+        totals.join(kept_agg, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("__n_total") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup (ingest batches against an existing corpus index)
 # ---------------------------------------------------------------------------

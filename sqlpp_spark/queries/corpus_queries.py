@@ -401,3 +401,36 @@ def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "split")
         .orderBy("doc_id")
     )
+
+
+# -- corpus-wide top n-grams (boilerplate / contamination diagnostics) -------
+
+
+@register(
+    "corpus_top_ngrams",
+    oracle=f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM norm),
+grams AS (
+  SELECT doc_id,
+         array_to_string(t[CAST(g.i AS BIGINT):CAST(g.i + 2 AS BIGINT)], ' ')
+           AS ngram
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 3
+)
+SELECT ngram,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM grams GROUP BY ngram
+ORDER BY n_occurrences DESC, ngram ASC
+LIMIT 20
+""",
+)
+def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide most frequent word trigrams (ops/corpus.top_ngrams)
+    — the diagnostic behind boilerplate thresholds and contamination
+    screens. Deterministic tie-break on the gram string makes the
+    top-k set unique, so the oracle's LIMIT agrees; Spark executes the
+    global top-k as TakeOrdered (per-partition k-row partials), never a
+    full sort."""
+    return C.top_ngrams(table(spark, sf_dir, "documents"), n=3, top_k=20)

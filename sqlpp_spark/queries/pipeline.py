@@ -550,6 +550,56 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _boilerplate_oracle(p: int = 8, max_df: int = 1) -> str:
+    """DuckDB twin of ops.dedup.boilerplate_filter — identical chunking;
+    passages in more than ``max_df`` distinct docs drop EVERYWHERE."""
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS s FROM documents),
+toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM norm),
+chunks AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_id,
+         array_to_string(
+           t[CAST(g.i*{p}+1 AS BIGINT):CAST(least((g.i+1)*{p}, len(t)) AS BIGINT)],
+           ' ') AS chunk_text
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(t)/{p}.0) AS BIGINT) - 1)) AS g(i)
+),
+hashed AS (
+  SELECT doc_id, chunk_id, chunk_text, {hash64_sql("chunk_text")} AS ph
+  FROM chunks
+),
+bad AS (
+  SELECT ph FROM hashed GROUP BY ph
+  HAVING COUNT(DISTINCT doc_id) > {max_df}
+),
+kept AS (SELECT h.* FROM hashed h ANTI JOIN bad USING (ph)),
+agg AS (
+  SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total FROM chunks GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       t.n_total - COALESCE(a.n_kept, 0) AS n_dropped
+FROM totals t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("text_boilerplate_filter", oracle=_boilerplate_oracle())
+def text_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (C4/RefinedWeb hygiene): passages appearing
+    in 2+ distinct documents drop from ALL of them (boilerplate is
+    noise, not content — unlike dedup_passages no first copy survives).
+    Doc-frequency is a partial agg over 8-byte hashes; the small
+    over-threshold set broadcasts back as an anti-join."""
+    return D.boilerplate_filter(
+        table(spark, sf_dir, "documents"), passage_tokens=8, max_doc_frequency=1
+    )
+
+
 def _substring_rate_oracle(k: int = 8) -> str:
     """DuckDB twin of ops.dedup.substring_duplication_rate — identical
     polynomial gram hashes (ops/text.rolling_hashes arithmetic)."""

@@ -600,6 +600,46 @@ def test_passage_dedup_semantics(spark):
     assert (out[3].n_kept, out[3].n_dropped) == (0, 1)
 
 
+def test_boilerplate_filter_semantics(spark):
+    """Passages above the doc-frequency threshold drop from EVERY doc
+    (no surviving first copy); content passages stay."""
+    from sqlpp_spark.ops.dedup import boilerplate_filter
+
+    footer = "c o o k i e"  # 6-token boilerplate, in all 3 docs
+    docs = spark.createDataFrame(
+        [
+            (1, f"{footer} u n i q u e"),
+            (2, f"{footer} o t h e r x"),
+            (3, footer),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           boilerplate_filter(docs, passage_tokens=6, max_doc_frequency=2)
+           .collect()}
+    assert out[1].clean_text == "u n i q u e"
+    assert out[2].clean_text == "o t h e r x"
+    assert out[3].clean_text == "" and out[3].n_dropped == 1
+    # threshold 3: nothing exceeds it, everything kept
+    kept_all = {r.doc_id: r.n_dropped for r in
+                boilerplate_filter(docs, passage_tokens=6, max_doc_frequency=3)
+                .collect()}
+    assert set(kept_all.values()) == {0}
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    from sqlpp_spark.ops.corpus import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c d"), (3, "z z z")],
+        "doc_id long, text string",
+    )
+    rows = top_ngrams(docs, n=3, top_k=3).collect()
+    assert (rows[0].ngram, rows[0].n_occurrences, rows[0].n_docs) == ("a b c", 3, 2)
+    # ties (all count 1) break on the gram string ascending
+    assert [r.ngram for r in rows[1:]] == sorted(r.ngram for r in rows[1:])
+
+
 def test_dedup_against_index_semantics(spark):
     """Rows colliding with the index drop; batch-internal dups keep
     the min id; genuinely new content survives."""
