@@ -288,3 +288,30 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact logit (not the rounded sigmoid) so the decision is
     engine-independent."""
     return X.classify_quality(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "text_length_percentiles",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars,
+       quantile_cont(n_chars, 0.99) AS p99_chars
+FROM documents GROUP BY lang
+""",
+)
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length percentiles — the distribution scan
+    behind length-filter thresholds. Spark's exact ``percentile`` (sort
+    per group) is bit-equal to DuckDB's quantile_cont (same linear
+    interpolation); at 100 TB swap to ``approx_percentile`` (t-digest
+    style GK sketch, fixed memory, no per-group sort) — a one-line
+    change with the same output columns."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+        F.expr("percentile(n_chars, 0.99)").alias("p99_chars"),
+    )
