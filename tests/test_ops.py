@@ -293,6 +293,37 @@ def test_normalize_url_and_dedup_semantics(spark):
     assert kept == [1, 3, 5, 7]
 
 
+def test_normalize_url_idempotent(spark):
+    """normalize ∘ normalize == normalize over a seeded zoo of URL
+    shapes (one Spark job, 200 URLs) — canonical forms must be fixed
+    points or URL-keyed dedup is unstable across pipeline stages."""
+    import random
+
+    from sqlpp_spark.ops.web import normalize_url
+
+    rng = random.Random(13)
+    schemes = ["http", "HTTPS", "https", "ftp"]
+    hosts = ["Example.COM", "a.b.example.org:8080", "example.com:80",
+             "x.co.uk:443", "user@pw.example.net"]
+    paths = ["", "/", "/a/b/", "/a//", "/x"]
+    queries = ["", "?q=1", "?utm_source=x&b=2&a=1", "?gclid=z",
+               "?b=2&a=1&utm_campaign=c#frag", "#frag"]
+    urls = [
+        (i, rng.choice(schemes) + "://" + rng.choice(hosts)
+         + rng.choice(paths) + rng.choice(queries))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(urls, "i long, url string")
+    once = normalize_url(F.col("url"))
+    bad = (
+        df.select(once.alias("n1"))
+        .select("n1", normalize_url(F.col("n1")).alias("n2"))
+        .filter(F.col("n1") != F.col("n2"))
+        .collect()
+    )
+    assert bad == [], bad[:5]
+
+
 def test_release_intermediates_unpersists(spark, docs):
     from sqlpp_spark.ops import release_intermediates
     from sqlpp_spark.ops.dedup import minhash_near_duplicates

@@ -307,3 +307,25 @@ def test_json_extract_scan_stage_parse_single_shuffle(spark, sf_dir):
     # scan reads only what the query needs
     m = re.search(r"ReadSchema: (.+)", p)
     assert m and "user_id" not in m.group(1) and "value" not in m.group(1)
+
+
+def test_passage_dedup_no_window_partial_agg(spark, sf_dir):
+    """Winner-per-passage-hash must be a partial-aggregated min-struct,
+    NOT a window over the hash partition — a window would funnel every
+    copy of a hot passage through one task. Also pins the global top-k
+    shape of corpus_top_ngrams (TakeOrdered, no global sort)."""
+    p = plan_of(spark, sf_dir, "dedup_passages")
+    assert "Window" not in p
+    assert "partial_min" in p  # map-side combine on the winner agg
+
+    p2 = plan_of(spark, sf_dir, "corpus_top_ngrams")
+    assert "TakeOrderedAndProject" in p2
+    assert "Window" not in p2
+
+
+def test_boilerplate_filter_broadcasts_bad_set(spark, sf_dir):
+    """The over-threshold passage set joins back as a broadcast
+    anti-join — corpus rows never shuffle for the filter decision."""
+    p = plan_of(spark, sf_dir, "text_boilerplate_filter")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "Window" not in p
