@@ -10,6 +10,8 @@ double accumulation — so DuckDB can reproduce results bit-for-bit.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -795,6 +797,66 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for 8 query vectors over the corpus."""
     emb = table(spark, sf_dir, "embeddings")
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
+
+
+def _jl_proj_sql(out_dim: int, dim: int, seed: int) -> str:
+    """DuckDB list literal computing the SAME JL projection as
+    similarity.jl_project — plane literals via repr() (exact double
+    round-trip), left-to-right fold in both engines."""
+    from sqlpp_spark.ops.similarity import _planes
+
+    scale = repr(1.0 / math.sqrt(out_dim))
+    comps = []
+    for plane in _planes(out_dim, dim, seed):
+        lits = ",".join(repr(x) for x in plane)
+        comps.append(f"list_inner_product(v, [{lits}]::DOUBLE[]) * {scale}")
+    return "[" + ", ".join(comps) + "]"
+
+
+def _projected_rerank_oracle(
+    k: int = 10, shortlist: int = 150, out_dim: int = 32, dim: int = 64,
+    seed: int = 7,
+) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT vec_id, v, {_jl_proj_sql(out_dim, dim, seed)} AS pv FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, pv AS qp FROM p WHERE vec_id < 8),
+s1 AS (
+  SELECT query_id, c.vec_id AS cand_id, qv, c.v AS cv,
+         list_cosine_similarity(qp, c.pv) AS pcos
+  FROM p c, q WHERE c.vec_id != query_id
+),
+short AS (
+  SELECT query_id, cand_id, qv, cv FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY pcos DESC, cand_id ASC) AS r1
+    FROM s1
+  ) WHERE r1 <= {shortlist}
+)
+SELECT query_id, cand_id, cos, rank FROM (
+  SELECT query_id, cand_id,
+         list_cosine_similarity(qv, cv) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id ASC) AS rank
+  FROM short
+) WHERE rank <= {k}
+"""
+
+
+@register("ann_projected_rerank", oracle=_projected_rerank_oracle())
+def ann_projected_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: JL-projected (64→32) cosine shortlist of
+    150 per query, exact full-dimension rerank to top-10 — the
+    production recall/cost dial (recall@10 ≥ 0.9 even on near-uniform
+    synthetic vectors, the adversarial case for JL; clustered real
+    embeddings need far smaller shortlists), fully oracled because the
+    deterministic xorshift planes make even the approximate stage
+    bit-reproducible."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.projected_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=10, shortlist=150
+    )
 
 
 def _lsh_bucket_sql(n_planes: int, dim: int, seed: int) -> str:

@@ -293,6 +293,29 @@ def test_normalize_url_and_dedup_semantics(spark):
     assert kept == [1, 3, 5, 7]
 
 
+def test_projected_rerank_recall_and_exactness(spark, sf_dir):
+    """shortlist = corpus ⇒ identical to exact brute force; a 40-row
+    shortlist over the 16-dim JL projection recovers high recall@10 of
+    the exact 64-dim neighbors."""
+    from sqlpp_spark.ops.similarity import brute_force_topk, projected_rerank_topk
+    from sqlpp_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.cand_id) for r in
+             brute_force_topk(emb, queries, k=10).collect()}
+
+    n = emb.count()
+    full = {(r.query_id, r.cand_id) for r in
+            projected_rerank_topk(emb, queries, k=10, shortlist=n).collect()}
+    assert full == exact  # full shortlist degenerates to exact search
+
+    approx = {(r.query_id, r.cand_id) for r in
+              projected_rerank_topk(emb, queries, k=10, shortlist=150).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, recall
+
+
 def test_normalize_url_idempotent(spark):
     """normalize ∘ normalize == normalize over a seeded zoo of URL
     shapes (one Spark job, 200 URLs) — canonical forms must be fixed
