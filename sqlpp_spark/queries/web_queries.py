@@ -282,3 +282,79 @@ def web_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# -- composed crawl-prepare pipeline (round-6 ops chained) --------------------
+
+
+def _web_prepare_oracle(p: int = 8) -> str:
+    from sqlpp_spark.ops.hashing import hash64_sql
+    from sqlpp_spark.ops.text import NORMALIZE_SQL, quality_score_sql
+
+    norm_txt = NORMALIZE_SQL.format(c="text")
+    return f"""
+WITH u AS (SELECT doc_id, text, {_URL2_SQL} AS url FROM documents),
+nu AS (SELECT doc_id, text, {W.normalize_url_sql('url')} AS canon FROM u),
+keepid AS (SELECT MIN(doc_id) AS doc_id FROM nu GROUP BY canon),
+base AS (SELECT n.doc_id, n.text FROM nu n SEMI JOIN keepid USING (doc_id)),
+norm AS (SELECT doc_id, {norm_txt} AS s FROM base),
+toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM norm),
+chunks AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_id,
+         array_to_string(
+           t[CAST(g.i*{p}+1 AS BIGINT):CAST(least((g.i+1)*{p}, len(t)) AS BIGINT)],
+           ' ') AS chunk_text
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(t)/{p}.0) AS BIGINT) - 1)) AS g(i)
+),
+hashed AS (
+  SELECT doc_id, chunk_id, {hash64_sql("chunk_text")} AS ph FROM chunks
+),
+winners AS (
+  SELECT doc_id, chunk_id FROM (
+    SELECT doc_id, chunk_id,
+           ROW_NUMBER() OVER (PARTITION BY ph ORDER BY doc_id, chunk_id) AS rk
+    FROM hashed
+  ) WHERE rk = 1
+),
+kept AS (
+  SELECT c.doc_id, c.chunk_id, c.chunk_text
+  FROM chunks c SEMI JOIN winners w
+    ON c.doc_id = w.doc_id AND c.chunk_id = w.chunk_id
+),
+agg AS (
+  SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total FROM chunks GROUP BY doc_id
+)
+SELECT t.doc_id, a.clean_text, a.n_kept,
+       t.n_total - a.n_kept AS n_dropped,
+       {quality_score_sql('a.clean_text')} AS quality
+FROM totals t JOIN agg a USING (doc_id)
+WHERE a.n_kept > 0
+"""
+
+
+@register("pipeline_web_prepare", oracle=_web_prepare_oracle(), headline=True)
+def pipeline_web_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-prepare pipeline chaining the round-6 operators
+    in one lazy plan: URL canonicalization + URL-keyed dedup (ids and
+    normalized URLs shuffle, text stays put) → corpus-wide passage
+    dedup over the survivors (min-struct winners on 8-byte hashes,
+    text moves once for reassembly) → quality annotation of the
+    rewritten text (scan-stage integer arithmetic). Docs reduced to
+    zero passages drop. The whole chain is one Catalyst plan — filters
+    compose, nothing materializes between stages."""
+    from sqlpp_spark.ops import dedup as D
+    from sqlpp_spark.ops import text as X
+
+    d = _with_url2(table(spark, sf_dir, "documents"))
+    survivors = W.dedup_by_url(d)
+    cleaned = D.passage_dedup(survivors, passage_tokens=8)
+    return cleaned.filter(F.col("n_kept") > 0).select(
+        "doc_id", "clean_text", "n_kept", "n_dropped",
+        X.quality_score(F.col("clean_text")).alias("quality"),
+    )
