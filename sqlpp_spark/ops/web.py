@@ -150,10 +150,11 @@ def domain_cap(
     quota every crawl corpus applies so no single site dominates.
     Deterministic salted-hash priority via the two-phase exact-k
     machinery (ops/corpus.exact_k_sample): no task ever sorts a whole
-    domain's rows, picks are stable under corpus growth."""
+    domain's rows, picks are stable under corpus growth. Hosts are
+    lowercased so case variants of one domain share a quota."""
     from sqlpp_spark.ops.corpus import exact_k_sample
 
-    with_host = df.withColumn("__host", url_domain(F.col(url_col)))
+    with_host = df.withColumn("__host", F.lower(url_domain(F.col(url_col))))
     return exact_k_sample(
         with_host, k=cap, group_col="__host", key_col=id_col,
         salt=salt, n_buckets=n_buckets,

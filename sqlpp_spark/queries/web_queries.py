@@ -223,7 +223,7 @@ def _domain_cap_oracle(cap: int) -> str:
     h = hash64_sql("concat('s0', '|', CAST(doc_id AS VARCHAR))")
     return f"""
 WITH u AS (SELECT doc_id, lang, {_URL2_SQL} AS url FROM documents),
-hst AS (SELECT doc_id, lang, {W.url_domain_sql('url')} AS host FROM u)
+hst AS (SELECT doc_id, lang, lower({W.url_domain_sql('url')}) AS host FROM u)
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          ROW_NUMBER() OVER (PARTITION BY host ORDER BY {h} ASC, doc_id ASC) AS rk
