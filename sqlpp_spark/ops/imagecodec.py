@@ -699,9 +699,9 @@ def encode_jpeg(
     arr: np.ndarray, quality: int = 85, subsampling: str = "444"
 ) -> bytes:
     """uint8 (h, w[, 1|3]) → baseline JFIF bytes (standard Annex K
-    Huffman tables). ``subsampling`` ∈ {"444", "420"}: 4:2:0
+    Huffman tables). ``subsampling`` ∈ {"444", "422", "420"}: 4:2:0
     box-averages chroma 2×2 and interleaves 4 luma + 2 chroma blocks
-    per MCU — the layout common ML corpora actually ship, exercising
+    per MCU; 4:2:2 halves chroma horizontally only — the layout common ML corpora actually ship, exercising
     the decoder's upsample path. Companion of ``decode_jpeg`` — lossy,
     so tests assert tolerance, not equality."""
     a = np.asarray(arr, dtype=np.uint8)
@@ -719,10 +719,12 @@ def encode_jpeg(
         planes = [y, cb, cr]
     else:
         planes = [af[..., 0]]
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise ImageCodecError(f"unsupported subsampling {subsampling!r}")
     if ncomp == 3 and subsampling == "420":
         samp = [(2, 2), (1, 1), (1, 1)]
+    elif ncomp == 3 and subsampling == "422":
+        samp = [(2, 1), (1, 1), (1, 1)]
     else:
         samp = [(1, 1)] * ncomp
     hmax = max(s[0] for s in samp)

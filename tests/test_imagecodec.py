@@ -151,6 +151,11 @@ def test_jpeg_420_subsampling_roundtrip():
     oc = decode_jpeg(d420c)
     assert np.abs(oc.astype(int) - img.astype(int)).mean() <= 4.0
 
+    # 4:2:2 exercises the asymmetric (h=2, v=1) MCU/upsample path
+    o422 = decode_jpeg(encode_jpeg(img, quality=90, subsampling="422"))
+    assert o422.shape == img.shape
+    assert np.abs(o422.astype(int) - img.astype(int)).mean() <= 3.0
+
     with pytest.raises(ImageCodecError, match="subsampling"):
         encode_jpeg(img, subsampling="411")
 
