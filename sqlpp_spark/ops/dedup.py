@@ -997,11 +997,13 @@ def boilerplate_filter(
     (id, clean_text, n_kept, n_dropped).
 
     Scale: passage doc-frequency is a count-distinct-by-hash partial
-    aggregation over (hash, doc) pairs — 8-byte keys only; the verdict
-    joins back to passage rows by hash (broadcast when the boilerplate
-    set is small, which it is by definition: passages above a
-    doc-frequency threshold are few), and text shuffles once for the
-    per-doc reassembly."""
+    aggregation over (hash, doc) pairs — 8-byte keys only. The verdict
+    joins back to passage rows as a hash-keyed anti-join with NO
+    forced broadcast: at a high threshold the over-threshold set is
+    tiny and AQE broadcasts it at runtime, but at ``max_doc_frequency
+    = 1`` it is every cross-doc duplicated passage — corpus-scale — and
+    the join must be allowed to shuffle its 8-byte hashes instead of
+    broadcasting. Text shuffles once, for the per-doc reassembly."""
     from sqlpp_spark.ops.corpus import chunk_documents
 
     ch = chunk_documents(
@@ -1018,7 +1020,7 @@ def boilerplate_filter(
         .filter(F.col("__df") > max_doc_frequency)
         .select("__ph")
     )
-    kept = hashed.join(F.broadcast(bad), on="__ph", how="left_anti")
+    kept = hashed.join(bad, on="__ph", how="left_anti")
     kept_agg = (
         kept.groupBy(id_col)
         .agg(

@@ -595,8 +595,9 @@ def text_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate removal (C4/RefinedWeb hygiene): passages appearing
     in 2+ distinct documents drop from ALL of them (boilerplate is
     noise, not content — unlike dedup_passages no first copy survives).
-    Doc-frequency is a partial agg over 8-byte hashes; the small
-    over-threshold set broadcasts back as an anti-join."""
+    Doc-frequency is a partial agg over 8-byte hashes; the anti-join
+    carries no forced broadcast (at this threshold the duplicated-
+    passage set scales with the corpus — AQE handles the small case)."""
     return D.boilerplate_filter(
         table(spark, sf_dir, "documents"), passage_tokens=8, max_doc_frequency=1
     )
