@@ -149,19 +149,19 @@ def projected_rerank_topk(
     bucketing (project the bucketed candidates, not the full corpus)."""
     pc = jl_project(
         ensure_parallelism(corpus), out_dim, dim, seed, vec_col, id_col
-    ).select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
-        F.col("proj").alias("cp"),
-    )
+    ).select(F.col(id_col).alias("cand_id"), F.col("proj").alias("cp"))
     pq = jl_project(queries, out_dim, dim, seed, vec_col, id_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.col("proj").alias("qp"),
+        F.col(id_col).alias("query_id"), F.col("proj").alias("qp")
     )
+    # stage 1 window moves (query_id, cand_id, pcos) ONLY — full
+    # vectors stay out of the shuffle; the shortlist is queries×S rows
+    # (broadcast-sized), so the rescore fetches vectors with zero
+    # corpus-side shuffle
     s1 = (
         pc.crossJoin(F.broadcast(pq))
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
-            "query_id", "cand_id", "qv", "cv",
+            "query_id", "cand_id",
             cosine_sim(F.col("qp"), F.col("cp")).alias("pcos"),
         )
     )
@@ -169,9 +169,21 @@ def projected_rerank_topk(
     short = (
         s1.withColumn("__r1", F.row_number().over(w1))
         .filter(F.col("__r1") <= shortlist)
+        .select("query_id", "cand_id")
     )
-    rescored = short.select(
-        "query_id", "cand_id", cosine_sim(F.col("qv"), F.col("cv")).alias("cos")
+    cvecs = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    rescored = (
+        cvecs.join(F.broadcast(short), on="cand_id")
+        .join(F.broadcast(qvecs), on="query_id")
+        .select(
+            "query_id", "cand_id",
+            cosine_sim(F.col("qv"), F.col("cv")).alias("cos"),
+        )
     )
     w2 = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
