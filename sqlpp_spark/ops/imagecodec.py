@@ -409,7 +409,10 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
+        bit = (self.bitbuf >> self.nbits) & 1
+        # drop consumed high bits so bitbuf stays bounded on long scans
+        self.bitbuf &= (1 << self.nbits) - 1
+        return bit
 
     def read_bits(self, n: int) -> int:
         v = 0
@@ -648,6 +651,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # keep acc bounded (drained high bits would otherwise pile up
+        # into an ever-growing bigint — O(n²) on long streams)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:
