@@ -315,3 +315,52 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
         F.expr("percentile(n_chars, 0.99)").alias("p99_chars"),
     )
+
+
+def _temperature_resample_oracle(base_rate: float = 0.3) -> str:
+    from sqlpp_spark.ops.hashing import HASH_MOD, hash64_sql
+
+    h = hash64_sql("concat('s0', '|', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH per AS (
+  SELECT lang,
+         CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+         CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS total_p
+  FROM per
+), rates AS (
+  SELECT lang,
+         least(1.0, {base_rate!r} * (
+           (CAST(n_tokens * n_tokens AS DOUBLE) / CAST(total_p AS DOUBLE))
+           / (CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)))) AS rate
+  FROM per, tot
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r USING (lang)
+WHERE {h} < CAST(r.rate * {HASH_MOD} AS BIGINT)
+"""
+
+
+@register("corpus_temperature_resample", oracle=_temperature_resample_oracle())
+def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END temperature resampling (the mT5/XLM-R loop closed):
+    per-language mixture boosts (share ∝ token_share², T=0.5) become
+    per-stratum deterministic sampling rates (rate = min(1, 0.3·boost))
+    fed straight into ``stratified_sample``. The boost table is
+    group-cardinality-sized — collected once at plan-build time and
+    baked into the sampling predicate as literals (the same
+    broadcast-sized-metadata pattern as pivot centroids); the sample
+    itself is a scan-stage hash filter, zero shuffles. Bit-equal to the
+    oracle because boosts are exact integer-power ratios and the
+    rate→threshold conversion is the same IEEE multiply+truncate in
+    both engines."""
+    d = table(spark, sf_dir, "documents")
+    w = C.temperature_mixture(d, group_col="lang", inv_temperature=2)
+    rates = {
+        r["lang"]: min(1.0, 0.3 * r["boost"]) for r in w.collect()
+    }
+    return C.stratified_sample(
+        d, rates, default_rate=0.3, stratum_col="lang"
+    ).select("doc_id", "lang")
