@@ -702,7 +702,8 @@ def _encode_block(bw, zz, pred, dc_code, ac_code) -> int:
 
 
 def encode_jpeg(
-    arr: np.ndarray, quality: int = 85, subsampling: str = "444"
+    arr: np.ndarray, quality: int = 85, subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 (h, w[, 1|3]) → baseline JFIF bytes (standard Annex K
     Huffman tables). ``subsampling`` ∈ {"444", "422", "420"}: 4:2:0
@@ -769,8 +770,16 @@ def encode_jpeg(
         blocks_per_comp.append(qz)
     bw = _BitWriter()
     preds = [0] * ncomp
+    mcu_i = 0
+    n_rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # byte-align (1-bit padding), emit RSTn, reset DC preds
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                n_rst += 1
+                preds = [0] * ncomp
             for ci in range(ncomp):
                 ch_, cv_ = samp[ci]
                 ti = min(ci, 1)
@@ -780,6 +789,7 @@ def encode_jpeg(
                         preds[ci] = _encode_block(
                             bw, zz, preds[ci], dc_codes[ti], ac_codes[ti]
                         )
+            mcu_i += 1
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -798,6 +808,8 @@ def encode_jpeg(
         out += seg(0xC4, bytes([ti]) + bytes(bits) + bytes(vals))
     for ti, (bits, vals) in enumerate(ac_specs):
         out += seg(0xC4, bytes([0x10 | ti]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         ti = min(ci, 1)

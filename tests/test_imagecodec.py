@@ -160,6 +160,23 @@ def test_jpeg_420_subsampling_roundtrip():
         encode_jpeg(img, subsampling="411")
 
 
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn streams decode correctly: byte-aligned restart markers
+    and DC-predictor resets at every interval, for both 4:4:4 and
+    4:2:0 (multi-block MCUs) and for back-to-back restarts (ri=1)."""
+    img = _gradient(33, 47)  # 5x6 MCUs at 4:4:4
+    for ri in (1, 2, 7):
+        for ss in ("444", "420"):
+            data = encode_jpeg(img, quality=90, subsampling=ss,
+                               restart_interval=ri)
+            out = decode_jpeg(data)
+            assert out.shape == img.shape
+            assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+    # a restart stream must actually contain RST markers
+    d = encode_jpeg(img, quality=90, restart_interval=2)
+    assert any(b"\xff" + bytes([0xD0 + i]) in d for i in range(8))
+
+
 def test_jpeg_quality_monotonic_error():
     """Lower quality ⇒ no smaller mean reconstruction error (and far
     smaller payload) — pins that the quality knob actually scales the
