@@ -69,6 +69,35 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL PNG payloads with CLOSED-FORM pixel content: per doc, a
+    grayscale w×h image with pixel(x, y) = (x + 3y + doc_id) mod 256,
+    w = doc_id%13+4, h = doc_id%11+4, encoded by the pure-numpy codec
+    inside mapInPandas. Because the pixels are a formula, the decoded
+    geometry and EXACT pixel mean are computable in plain SQL — this is
+    what lets a DuckDB oracle verify real image decode end-to-end
+    (something a corpus of opaque bytes can never offer)."""
+    import numpy as np
+
+    from sqlpp_spark.ops import imagecodec as IC
+
+    schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 13 + 4, did % 11 + 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = ((xx + 3 * yy + did) % 256).astype(np.uint8)
+                out["media_id"].append(did)
+                out["payload"].append(IC.encode_png(img))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(gen, schema)
+
+
 def _u16_bytes(c):
     hi = (c / F.lit(256)).cast("int") % 256
     lo = c % 256

@@ -263,3 +263,43 @@ def multimodal_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.filter(F.col("width") >= 256).select(
         F.count(F.lit(1)).cast("bigint").alias("n_large")
     )
+
+
+@register(
+    "multimodal_png_decode_oracle",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         SUM((x.i + 3 * y.i + d.doc_id) % 256) AS s
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS i) x,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS i) y
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       CAST(s AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_byte,
+       CAST(1 AS BIGINT) AS decoded
+FROM px
+""",
+)
+def multimodal_png_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED real-pixel image decode: PNG payloads whose pixels are a
+    closed formula ((x + 3y + id) mod 256) are encoded by the
+    pure-numpy codec in one mapInPandas pass and decoded back in
+    another; DuckDB recomputes the exact decoded geometry AND pixel
+    mean from the formula alone. A hash-green row here proves the
+    binary decode path (chunk walk, inflate, unfilter, mean) end to
+    end — the assurance plain rows-only multimodal entries can't give."""
+    from sqlpp_spark.ops.multimodal import decode_image, synthesize_png_media
+
+    d = table(spark, sf_dir, "documents")
+    return decode_image(synthesize_png_media(d)).select(
+        "media_id", "width", "height", "channels", "mean_byte",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )
