@@ -98,6 +98,43 @@ def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(gen, schema)
 
 
+def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL baseline-JPEG payloads (4:2:0) per doc: a w×h RGB gradient
+    with w = doc_id%13+9, h = doc_id%11+9, encoded by the pure-numpy
+    codec in mapInPandas. JPEG is lossy so the decoded mean is not
+    SQL-recomputable, but the decoded GEOMETRY and the decode-success
+    flag are — a hash-green oracle row proves the Huffman+IDCT decode
+    path runs and recovers exact dimensions."""
+    import numpy as np
+
+    from sqlpp_spark.ops import imagecodec as IC
+
+    schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 13 + 9, did % 11 + 9
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (xx * 255 // max(w - 1, 1)),
+                        (yy * 255 // max(h - 1, 1)),
+                        ((xx + yy + did) % 256),
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                out["media_id"].append(did)
+                out["payload"].append(
+                    IC.encode_jpeg(img, quality=85, subsampling="420")
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(gen, schema)
+
+
 def _u16_bytes(c):
     hi = (c / F.lit(256)).cast("int") % 256
     lo = c % 256

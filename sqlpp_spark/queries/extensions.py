@@ -303,3 +303,30 @@ def multimodal_png_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "width", "height", "channels", "mean_byte",
         F.col("decoded").cast("bigint").alias("decoded"),
     )
+
+
+@register(
+    "multimodal_jpeg_decode_oracle",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(doc_id % 13 + 9 AS INT) AS width,
+       CAST(doc_id % 11 + 9 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(1 AS BIGINT) AS decoded
+FROM documents
+""",
+)
+def multimodal_jpeg_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED baseline-JPEG decode: real 4:2:0 JPEG payloads (pure-
+    numpy encoder) decode back through the pure-numpy Huffman+IDCT
+    path; JPEG is lossy so only the deterministic outputs project —
+    geometry and the decode-success flag. decoded=1 holds ONLY if the
+    full entropy decode succeeded (header-only parsing reports false),
+    so a hash-green row certifies real JPEG pixel decode driver-side."""
+    from sqlpp_spark.ops.multimodal import decode_image, synthesize_jpeg_media
+
+    d = table(spark, sf_dir, "documents")
+    return decode_image(synthesize_jpeg_media(d)).select(
+        "media_id", "width", "height", "channels",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )
