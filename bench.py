@@ -3,10 +3,27 @@
 
 Prints ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Self-adjudication fields (so a round-over-round delta can be judged
+without re-running anything):
+
+- ``median``: per-query median of the timed runs (the min is the
+  headline number; min vs median gap exposes load-spike pollution).
+- ``loadavg``: the box's 1-minute load average sampled before and
+  after the timed pass — a busy shared box shows up here directly.
+- ``shared_subtotal`` / ``shared_queries``: subtotal over the
+  intersection of this run's query set with the previous round's
+  ``BENCH_r{N}.json`` query set, so growth of the headline set never
+  masquerades as a regression (and vice versa).
+
+``SPARK_GRAFT_BENCH_QUERIES`` (comma-separated names) restricts the
+run — used by tools/ab_bench.py to interleave two checkouts over the
+same query subset.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -19,6 +36,28 @@ from sqlpp_spark.queries import headline_queries  # noqa: E402
 from sqlpp_spark.session import get_spark  # noqa: E402
 
 
+def _previous_round_queries() -> tuple[int | None, set[str]]:
+    """Query names from the latest BENCH_r{N}.json next to this file."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, names = None, set()
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best_n is not None and n <= best_n:
+            continue
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            q = doc.get("parsed", doc).get("queries") or {}
+            if q:
+                best_n, names = n, set(q)
+        except Exception:
+            continue
+    return best_n, names
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -26,6 +65,10 @@ def main() -> None:
     spark = get_spark("sqlpp_spark_bench")
 
     specs = headline_queries()
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        specs = {n: s for n, s in specs.items() if n in keep}
     # Warmup pass at the smallest SF: compiles every query's plan once
     # (whole-stage codegen + JIT are keyed on plan shape, not data), so
     # the timed pass below measures steady-state execution at the
@@ -50,7 +93,12 @@ def main() -> None:
     # reported so a round-over-round delta can be judged against the
     # measured noise floor instead of assumed real.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    try:
+        load_before = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_before = None
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name, spec in specs.items():
         samples: list[float] = []
@@ -62,22 +110,39 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
             _ = n
         best = min(samples)
-        timings[name] = round(best, 4)
-        spreads[name] = round((max(samples) - best) / best, 3) if best else 0.0
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs": runs,
-                "spread": spreads,
-            }
+        ordered = sorted(samples)
+        mid = len(ordered) // 2
+        med = (
+            ordered[mid]
+            if len(ordered) % 2
+            else (ordered[mid - 1] + ordered[mid]) / 2
         )
-    )
+        timings[name] = round(best, 4)
+        medians[name] = round(med, 4)
+        spreads[name] = round((max(samples) - best) / best, 3) if best else 0.0
+    try:
+        load_after = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_after = None
+    total = round(sum(timings.values()), 4)
+    prev_round, prev_names = _previous_round_queries()
+    shared = sorted(set(timings) & prev_names)
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": runs,
+        "spread": spreads,
+        "median": medians,
+        "loadavg": {"before": load_before, "after": load_after},
+    }
+    if shared:
+        out["shared_subtotal"] = round(sum(timings[n] for n in shared), 4)
+        out["shared_with_round"] = prev_round
+        out["shared_queries"] = shared
+    print(json.dumps(out))
     spark.stop()
 
 

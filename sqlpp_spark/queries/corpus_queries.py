@@ -246,18 +246,21 @@ ORDER BY lang, decile
 def corpus_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-length deciles (exact, interpolated) — the
     length-distribution audit before choosing chunk/packing budgets.
-    EXACT percentile sorts within each lang partition; at 100 TB swap
-    to approx_percentile (t-digest sketch, partial-aggregable) — same
-    call site, documented trade-off."""
+    Histogram quantile (``ops/stats.py``): exact quantile_cont over
+    the (lang, n_tokens) value histogram, so the shuffle is bounded by
+    the token-length domain, not the corpus row count — no per-group
+    row sort at 100 TB."""
     d = table(spark, sf_dir, "documents")
+    from sqlpp_spark.ops.stats import quantile_cont_hist
     from sqlpp_spark.ops.text import normalize_text
 
     tok = d.select(
         "lang",
         F.size(F.split(normalize_text(F.col("text")), " ")).cast("bigint").alias("n"),
     )
-    q = tok.groupBy("lang").agg(
-        F.percentile("n", F.array(*[F.lit(p) for p in _DECILES])).alias("qs")
+    names = [f"__d{i}" for i in range(1, 10)]
+    q = quantile_cont_hist(tok, ["lang"], "n", _DECILES, names).select(
+        "lang", F.array(*names).alias("qs")
     )
     return (
         q.select(

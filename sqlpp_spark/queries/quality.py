@@ -303,18 +303,23 @@ FROM documents GROUP BY lang
 )
 def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language document-length percentiles — the distribution scan
-    behind length-filter thresholds. Spark's exact ``percentile`` (sort
-    per group) is bit-equal to DuckDB's quantile_cont (same linear
-    interpolation); at 100 TB swap to ``approx_percentile`` (t-digest
-    style GK sketch, fixed memory, no per-group sort) — a one-line
-    change with the same output columns."""
+    behind length-filter thresholds. Computed with the histogram
+    quantile (``ops/stats.py quantile_cont_hist``): exact,
+    bit-equal to DuckDB's quantile_cont, and — unlike ``F.percentile``,
+    which buffers and sorts every row of a group in one aggregation
+    buffer — the shuffle carries only distinct (lang, n_chars) counts,
+    so the plan survives 100 TB without a per-group row sort."""
+    from sqlpp_spark.ops.stats import quantile_cont_hist
+
     d = table(spark, sf_dir, "documents")
-    return d.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
-        F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
-        F.expr("percentile(n_chars, 0.99)").alias("p99_chars"),
-    )
+    return quantile_cont_hist(
+        d,
+        ["lang"],
+        "n_chars",
+        [0.5, 0.9, 0.99],
+        ["p50_chars", "p90_chars", "p99_chars"],
+        count_name="n_docs",
+    ).select("lang", "n_docs", "p50_chars", "p90_chars", "p99_chars")
 
 
 def _temperature_resample_oracle(base_rate: float = 0.3) -> str:

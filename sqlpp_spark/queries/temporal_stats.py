@@ -170,19 +170,21 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
 )
 def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT percentiles (Spark ``percentile``, not approx): the
-    baseline for quantile work; at 100 TB swap to approx_percentile
-    and widen the oracle tolerance."""
+    """EXACT percentiles via the histogram quantile
+    (``ops/stats.py quantile_cont_hist``): l_quantity has ~50 distinct
+    values, so the histogram collapses map-side and the quantile is
+    exact with no per-group row sort — the form that survives 100 TB
+    where ``F.percentile``'s single sort buffer would not."""
+    from sqlpp_spark.ops.stats import quantile_cont_hist
+
     l = table(spark, sf_dir, "lineitem")
-    return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
-            F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
-            F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
-        )
-        .orderBy("l_returnflag")
-    )
+    return quantile_cont_hist(
+        l,
+        ["l_returnflag"],
+        "l_quantity",
+        [0.25, 0.50, 0.75],
+        ["p25", "p50", "p75"],
+    ).orderBy("l_returnflag")
 
 
 @register(

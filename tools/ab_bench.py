@@ -1,0 +1,105 @@
+"""Interleaved A/B bench: round-5 commit vs HEAD over the shared
+headline-query set, alternating in one session so both sides sample
+the same box conditions (VERDICT r6 ask #1).
+
+Usage:  python tools/ab_bench.py [r5_commit] [pairs]
+
+Design: each side runs as its own subprocess (own SparkSession) with
+SPARK_GRAFT_BENCH_RUNS=2, in counterbalanced order A B B A A B B A …
+so slow box drift cancels instead of biasing one side. Per query we
+take the min across all of a side's invocations (same estimator as
+bench.py's min-of-5). Output: a table + JSON written to AB_BENCH.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SHARED_13 = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q_window_topk_per_group",
+    "q_events_tumbling",
+    "text_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "pipeline_clean_corpus",
+    "ann_bruteforce_topk",
+]
+
+
+def run_side(workdir: str, label: str, runs_per_call: int) -> dict[str, float]:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_RUNS"] = str(runs_per_call)
+    env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(SHARED_13)  # ignored by r5
+    env.setdefault("SPARK_GRAFT_CPUS", "32")
+    p = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=workdir,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+    if not line:
+        raise RuntimeError(f"{label}: no JSON line\n{p.stdout[-2000:]}\n{p.stderr[-2000:]}")
+    doc = json.loads(line[-1])
+    return {k: v for k, v in doc["queries"].items() if k in SHARED_13}
+
+
+def main() -> None:
+    commit = sys.argv[1] if len(sys.argv) > 1 else "324000e"
+    pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    wt = os.path.join(REPO, ".ab", "r5")
+    if not os.path.isdir(wt):
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, commit],
+            cwd=REPO,
+            check=True,
+        )
+    sides = {"r5": wt, "head": REPO}
+    samples: dict[str, dict[str, list[float]]] = {s: {} for s in sides}
+    # counterbalanced: A B B A repeated
+    order = []
+    for i in range(pairs):
+        order += (["r5", "head"] if i % 2 == 0 else ["head", "r5"])
+    for i, side in enumerate(order):
+        try:
+            load = os.getloadavg()[0]
+        except OSError:
+            load = -1.0
+        print(f"[{i + 1}/{len(order)}] {side}  load1={load:.2f}", flush=True)
+        t = run_side(sides[side], side, runs_per_call=2)
+        for q, v in t.items():
+            samples[side].setdefault(q, []).append(v)
+    result = {"commit_r5": commit, "pairs": pairs, "queries": {}}
+    print(f"\n{'query':34s} {'r5':>8s} {'head':>8s} {'ratio':>7s}")
+    tot5 = toth = 0.0
+    for q in SHARED_13:
+        a = min(samples["r5"].get(q, [float('nan')]))
+        b = min(samples["head"].get(q, [float('nan')]))
+        tot5 += a
+        toth += b
+        result["queries"][q] = {"r5": round(a, 4), "head": round(b, 4),
+                                "ratio": round(b / a, 3) if a else None}
+        print(f"{q:34s} {a:8.3f} {b:8.3f} {b / a:7.2f}")
+    result["subtotal"] = {"r5": round(tot5, 4), "head": round(toth, 4),
+                          "ratio": round(toth / tot5, 3)}
+    print(f"{'SUBTOTAL':34s} {tot5:8.3f} {toth:8.3f} {toth / tot5:7.2f}")
+    with open(os.path.join(REPO, "AB_BENCH.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print("wrote AB_BENCH.json")
+
+
+if __name__ == "__main__":
+    main()
