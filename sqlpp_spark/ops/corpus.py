@@ -535,8 +535,18 @@ def temperature_mixture(
     scaled = w.select(
         group_col, "n_docs", "n_tokens", "token_share", guarded.alias("__p"),
     )
-    tot = scaled.select(F.sum("__p").alias("__tp0")).select(
+    # SUM over zero rows is also NULL — count() distinguishes a
+    # genuinely empty corpus (error its own way) from decimal overflow.
+    tot = scaled.select(
+        F.sum("__p").alias("__tp0"), F.count(F.lit(1)).alias("__ng")
+    ).select(
         F.when(
+            F.col("__ng") == 0,
+            F.raise_error(
+                F.lit("temperature_mixture: no groups (empty input)")
+            ).cast("decimal(38,0)"),
+        )
+        .when(
             F.col("__tp0").isNull(),
             F.raise_error(
                 F.lit("temperature_mixture: power total overflowed decimal(38,0)")

@@ -437,9 +437,15 @@ class _BitReader:
         return m
 
     def restart(self) -> None:
-        """Byte-align and consume an expected RSTn marker."""
+        """Byte-align and consume an expected RSTn marker. Any other
+        marker here (EOI, a segment marker) means the stream lost sync
+        — error out instead of decoding garbage past it."""
         if self.marker is not None:
-            self.skip_marker()
+            m = self.skip_marker()
+            if not (0xD0 <= m <= 0xD7):
+                raise ImageCodecError(
+                    f"expected RSTn at restart boundary, got 0xFF{m:02X}"
+                )
             return
         self.byte_align()
         i = self.pos
@@ -447,6 +453,10 @@ class _BitReader:
             self.data[i] == 0xFF and self.data[i + 1] not in (0x00, 0xFF)
         ):
             i += 1
+        if not (0xD0 <= self.data[i + 1] <= 0xD7):
+            raise ImageCodecError(
+                f"expected RSTn at restart boundary, got 0xFF{self.data[i + 1]:02X}"
+            )
         self.pos = i + 2
 
 
@@ -529,6 +539,12 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 i += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             _prec, h, w, ncomp = struct.unpack(">BHHB", body[0:6])
+            if _prec != 8:
+                # SOF1 permits 12-bit samples; decoding those as uint8
+                # would silently produce garbage pixels.
+                raise ImageCodecError(
+                    f"unsupported JPEG sample precision {_prec} (8 only)"
+                )
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]

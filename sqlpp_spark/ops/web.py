@@ -57,7 +57,10 @@ def url_domain_sql(c: str) -> str:
 _URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _URL_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/?#]+)"
 _URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_URL_QUERY_RE = r"\?([^#]*)"
+# Anchored scan from the start past non-'?'/'#' chars: the query is
+# captured only when a '?' occurs BEFORE any '#', so a '?' inside the
+# fragment ('http://h/p#frag?x=1') is not mistaken for a query.
+_URL_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 # tracking parameters every crawl pipeline strips before URL-keyed dedup
 _TRACKING_PREFIXES = ("utm_",)
@@ -111,7 +114,7 @@ def normalize_url_sql(c: str) -> str:
     )
     path0 = f"regexp_replace(regexp_extract({c}, '{_URL_PATH_RE}', 1), '/+$', '')"
     path = f"(CASE WHEN {path0} = '' THEN '/' ELSE {path0} END)"
-    query = f"regexp_extract({c}, '\\?([^#]*)', 1)"
+    query = f"regexp_extract({c}, '^[^#?]*\\?([^#]*)', 1)"
     track = (
         "x LIKE 'utm\\_%' ESCAPE '\\' OR x LIKE 'fbclid=%' OR x = 'fbclid' "
         "OR x LIKE 'gclid=%' OR x = 'gclid' OR x LIKE 'msclkid=%' "
@@ -130,6 +133,54 @@ def normalize_url_sql(c: str) -> str:
     )
 
 
+# Public-suffix-lite: multi-label public suffixes under which the
+# registrable domain (eTLD+1) needs one extra label. Subset of the
+# public suffix list (publicsuffix.org) covering the common ccTLD
+# second-level registries; single-label TLDs are the default case.
+# Inlined as plan literals (like the tracking keys) so both the Spark
+# expression and the DuckDB twin stay UDF-free and bit-identical.
+_PSL2 = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "org.mx", "net.mx",
+    "co.za", "org.za", "net.za", "web.za",
+    "co.nz", "net.nz", "org.nz",
+    "co.kr", "or.kr", "ne.kr", "go.kr",
+    "com.tw", "org.tw", "idv.tw",
+    "com.sg", "org.sg", "net.sg",
+    "com.hk", "org.hk", "net.hk",
+    "com.ar", "org.ar", "net.ar",
+    "com.tr", "org.tr", "net.tr",
+    "co.il", "org.il", "net.il",
+    "com.ua", "net.ua", "org.ua",
+)
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 of a (lowercased) host: the last two labels, or three
+    when the last two form a multi-label public suffix (PSL-lite).
+    Pure ``substring_index`` arithmetic — scan stage, no UDF, no join.
+    A host with fewer labels than needed resolves to itself (both
+    Spark's substring_index and DuckDB's list_slice clamp)."""
+    last2 = F.substring_index(host, ".", -2)
+    return F.when(
+        last2.isin(*_PSL2), F.substring_index(host, ".", -3)
+    ).otherwise(last2)
+
+
+def registrable_domain_sql(host: str) -> str:
+    """DuckDB twin of ``registrable_domain`` (list_slice clamps at the
+    list bounds exactly like substring_index — verified)."""
+    last2 = f"array_to_string(list_slice(string_split({host}, '.'), -2, -1), '.')"
+    last3 = f"array_to_string(list_slice(string_split({host}, '.'), -3, -1), '.')"
+    vals = ", ".join(f"'{s}'" for s in _PSL2)
+    return f"(CASE WHEN {last2} IN ({vals}) THEN {last3} ELSE {last2} END)"
+
+
 def dedup_by_url(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id",
 ) -> DataFrame:
@@ -146,15 +197,20 @@ def domain_cap(
     df: DataFrame, cap: int, url_col: str = "url", id_col: str = "doc_id",
     salt: str = "s0", n_buckets: int = 64,
 ) -> DataFrame:
-    """At most ``cap`` documents per registered host — the per-domain
-    quota every crawl corpus applies so no single site dominates.
+    """At most ``cap`` documents per REGISTRABLE domain (eTLD+1) — the
+    per-domain quota every crawl corpus applies so no single site
+    dominates. Quotas key on ``registrable_domain`` (PSL-lite), not the
+    full host, so ``a.example.com`` and ``b.example.com`` share one
+    quota and a site cannot evade the cap by minting subdomains.
     Deterministic salted-hash priority via the two-phase exact-k
     machinery (ops/corpus.exact_k_sample): no task ever sorts a whole
     domain's rows, picks are stable under corpus growth. Hosts are
     lowercased so case variants of one domain share a quota."""
     from sqlpp_spark.ops.corpus import exact_k_sample
 
-    with_host = df.withColumn("__host", F.lower(url_domain(F.col(url_col))))
+    with_host = df.withColumn(
+        "__host", registrable_domain(F.lower(url_domain(F.col(url_col))))
+    )
     return exact_k_sample(
         with_host, k=cap, group_col="__host", key_col=id_col,
         salt=salt, n_buckets=n_buckets,

@@ -221,9 +221,10 @@ def _domain_cap_oracle(cap: int) -> str:
     from sqlpp_spark.ops.hashing import hash64_sql
 
     h = hash64_sql("concat('s0', '|', CAST(doc_id AS VARCHAR))")
+    rd = W.registrable_domain_sql(f"lower({W.url_domain_sql('url')})")
     return f"""
 WITH u AS (SELECT doc_id, lang, {_URL2_SQL} AS url FROM documents),
-hst AS (SELECT doc_id, lang, lower({W.url_domain_sql('url')}) AS host FROM u)
+hst AS (SELECT doc_id, lang, {rd} AS host FROM u)
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          ROW_NUMBER() OVER (PARTITION BY host ORDER BY {h} ASC, doc_id ASC) AS rk
@@ -234,9 +235,12 @@ SELECT doc_id, lang FROM (
 
 @register("web_domain_cap", oracle=_domain_cap_oracle(25))
 def web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain quota (at most 25 docs per host, deterministic
-    salted-hash priority) — the anti-dominance cap crawl corpora apply.
-    Two-phase exact-k underneath: no task sorts a whole domain."""
+    """Per-domain quota (at most 25 docs per REGISTRABLE domain
+    (eTLD+1), deterministic salted-hash priority) — the anti-dominance
+    cap crawl corpora apply. The synthetic URLs put every doc on a
+    subdomain of example.com, so the whole fixture shares ONE quota:
+    exactly the subdomain-evasion shape the eTLD+1 grouping exists to
+    stop. Two-phase exact-k underneath: no task sorts a whole domain."""
     d = _with_url2(table(spark, sf_dir, "documents"))
     return W.domain_cap(d, cap=25).select("doc_id", "lang")
 

@@ -93,9 +93,17 @@ def _write_flush_files(d: str, src: str) -> None:
     for i, days in enumerate((365, 366)):
         cells = {}
         for f in schema:
-            v = _sentinel_value(f)
-            if v is None:
-                v = mx + timedelta(days=days)
+            if f.name == "ts":
+                # ts must be FAR-FUTURE regardless of its physical
+                # encoding — as int64 nanos (the nanosAsLong fixture
+                # shape) a generic integer sentinel would set ts=-1 and
+                # the watermark flush would silently never fire.
+                if pa.types.is_integer(f.type):
+                    v = int(mx) + days * 86_400 * 1_000_000_000
+                else:
+                    v = mx + timedelta(days=days)
+            else:
+                v = _sentinel_value(f)
             cells[f.name] = [v]
         path = os.path.join(d, f"part-0000{i + 1}-flush.parquet")
         pq.write_table(pa.table(cells, schema=schema), path)

@@ -293,6 +293,72 @@ def test_normalize_url_and_dedup_semantics(spark):
     assert kept == [1, 3, 5, 7]
 
 
+def test_normalize_url_fragment_query_not_confused(spark):
+    """A '?' inside the fragment is NOT a query: the whole fragment
+    drops, and distinct URLs don't collide via their fragments."""
+    from sqlpp_spark.ops.web import normalize_url
+
+    rows = [
+        (1, "http://h/p#frag?x=1"),    # no query at all
+        (2, "http://h/p?x=1"),         # real query
+        (3, "http://h/p?a=1#s?x=9"),   # query a=1; '#s?x=9' dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    norm = {r.doc_id: r.n for r in
+            df.select("doc_id", normalize_url(F.col("url")).alias("n")).collect()}
+    assert norm[1] == "http://h/p"
+    assert norm[2] == "http://h/p?x=1"
+    assert norm[3] == "http://h/p?a=1"
+
+
+def test_registrable_domain_matches_duckdb_twin(spark):
+    """eTLD+1 derivation bit-equal between Spark and the DuckDB SQL
+    twin across PSL-lite suffixes, bare TLDs, deep subdomains, and
+    clamping edge cases."""
+    import duckdb
+
+    from sqlpp_spark.ops.web import registrable_domain, registrable_domain_sql
+
+    hosts = [
+        "a.b.example.co.uk", "example.co.uk", "co.uk", "uk",
+        "deep.sub.example.com", "example.com", "com", "",
+        "www.gov.uk", "x.com.au", "only-label", "a.b.c.d.e.org",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r.host: r.rd for r in
+           df.select("host", registrable_domain(F.col("host")).alias("rd")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TEMP TABLE hosts(host VARCHAR)")
+    con.executemany("INSERT INTO hosts VALUES (?)", [[h] for h in hosts])
+    exp_rows = con.execute(
+        f"SELECT host, {registrable_domain_sql('host')} FROM hosts"
+    ).fetchall()
+    for h, exp in exp_rows:
+        assert got[h] == exp, (h, got[h], exp)
+    # spot semantics, not just parity
+    assert got["a.b.example.co.uk"] == "example.co.uk"
+    assert got["deep.sub.example.com"] == "example.com"
+    # gov.uk is itself a public suffix -> www.gov.uk IS an eTLD+1
+    assert got["www.gov.uk"] == "www.gov.uk"
+
+
+def test_domain_cap_resists_subdomain_evasion(spark):
+    """100 docs spread over 100 distinct subdomains of one registrable
+    domain must share ONE quota (the evasion the eTLD+1 grouping
+    stops), while another registrable domain keeps its own."""
+    from sqlpp_spark.ops.web import domain_cap
+
+    rows = [(i, f"https://sub{i}.evader.com/p") for i in range(100)] + [
+        (100 + i, f"https://ok{i}.honest.org/p") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = domain_cap(df, cap=10).collect()
+    evader = [r for r in out if "evader" in r.url]
+    honest = [r for r in out if "honest" in r.url]
+    assert len(evader) == 10  # capped as one domain, not 100
+    assert len(honest) == 3   # under cap, untouched
+
+
 def test_projected_rerank_recall_and_exactness(spark, sf_dir):
     """shortlist = corpus ⇒ identical to exact brute force; a 40-row
     shortlist over the 16-dim JL projection recovers high recall@10 of
