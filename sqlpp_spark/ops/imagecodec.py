@@ -17,13 +17,20 @@ Filters None/Sub/Up are numpy-vectorized per row (Sub via per-channel
 cumsum); Average/Paeth fall back to a per-pixel loop — our encoder
 never emits them, they exist so foreign PNGs decode correctly.
 
-Supported JPEG subset: baseline sequential DCT (SOF0), 8-bit, 1 or 3
+Supported JPEG subset: baseline sequential DCT (SOF0/SOF1) AND
+progressive DCT (SOF2 — spectral selection, successive approximation,
+EOB runs, AC refinement correction bits per Annex G.2), 8-bit, 1 or 3
 components, any sampling factors with h,v ∈ {1,2} (4:4:4, 4:2:2,
 4:2:0), restart intervals, standard or custom Huffman/quant tables.
-Progressive (SOF2) and arithmetic coding raise ImageCodecError —
-``jpeg_info`` still recovers geometry from any SOF variant for
-metadata-only pruning. All constant tables (zigzag order, Annex K
-quantization and Huffman specs) are from the public T.81 standard.
+The encoder side emits both families too (``encode_jpeg`` baseline,
+``encode_jpeg_progressive`` with per-scan optimal Huffman tables via
+the Annex K.2 algorithm — both share one quantizer, so the two
+streams decode bit-identically, which is what the round-trip tests
+pin). Arithmetic coding and lossless/hierarchical SOFs raise
+ImageCodecError — ``jpeg_info`` still recovers geometry from any SOF
+variant for metadata-only pruning. All constant tables (zigzag order,
+Annex K quantization and Huffman specs) are from the public T.81
+standard.
 
 Reference capability analog: none — the reference (andreypopp/sqlpp)
 has no multimodal support; this is the brief's net-new requirement.
@@ -478,12 +485,16 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline-sequential JPEG bytes → uint8 array (h, w, channels).
+    """JPEG bytes → uint8 array (h, w, channels).
 
-    Real decode: marker walk (DQT/DHT/SOF0/DRI/SOS), canonical Huffman
-    entropy decode, dequantize + inverse zigzag, matrix IDCT per 8x8
-    block, chroma upsample, YCbCr→RGB. Raises ImageCodecError on
-    progressive/arithmetic streams, unsupported sampling, and any
+    Real decode of both Huffman DCT families: baseline sequential
+    (SOF0/SOF1) and PROGRESSIVE (SOF2 — spectral selection and
+    successive approximation, per ITU-T T.81 Annex G.2, including EOB
+    runs and AC refinement correction bits). Marker walk
+    (DQT/DHT/SOF/DRI/SOS×N), canonical Huffman entropy decode,
+    dequantize + inverse zigzag, matrix IDCT, chroma upsample,
+    YCbCr→RGB. Raises ImageCodecError on arithmetic coding,
+    hierarchical/lossless SOFs, unsupported sampling, and any
     malformed/truncated structure."""
     try:
         return _decode_jpeg_inner(data)
@@ -491,6 +502,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if isinstance(e, ImageCodecError):
             raise
         raise ImageCodecError(f"malformed JPEG stream: {e}") from e
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """First byte of the next real marker at/after ``pos`` (skips
+    entropy padding, stuffed 0xFF00 and 0xFF fill bytes)."""
+    i, n = pos, len(data)
+    while i + 1 < n:
+        if data[i] == 0xFF and data[i + 1] not in (0x00, 0xFF):
+            return i
+        i += 1
+    return n
 
 
 def _decode_jpeg_inner(data: bytes) -> np.ndarray:
@@ -501,6 +523,9 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     comps = None  # list of (cid, h, v, tq)
     w = h = None
     restart_interval = 0
+    progressive = False
+    coefs = None  # progressive: per-comp (BY, BX, 64) zigzag coef arrays
+    geom = None  # (hmax, vmax, mcux, mcuy) once comps known
     pos = 2
     n = len(data)
     while pos + 4 <= n:
@@ -537,7 +562,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + nv])
                 htabs[(tc, th)] = _huff_decode_table(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             _prec, h, w, ncomp = struct.unpack(">BHHB", body[0:6])
             if _prec != 8:
                 # SOF1 permits 12-bit samples; decoding those as uint8
@@ -545,13 +570,15 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 raise ImageCodecError(
                     f"unsupported JPEG sample precision {_prec} (8 only)"
                 )
+            progressive = marker == 0xC2
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
         elif marker in _SOF_MARKERS:  # any other SOF variant
             raise ImageCodecError(
-                f"unsupported JPEG coding (SOF{marker - 0xC0}): baseline only"
+                f"unsupported JPEG coding (SOF{marker - 0xC0}): "
+                "baseline and progressive Huffman only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[0:2])
@@ -566,14 +593,215 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                     i for i, c in enumerate(comps) if c[0] == cs
                 )
                 scan.append((ci, tda >> 4, tda & 0xF))
-            return _decode_scan(
-                data, pos + 2 + seg_len, w, h, comps, scan, qtabs, htabs,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, pos + 2 + seg_len, w, h, comps, scan, qtabs,
+                    htabs, restart_interval,
+                )
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if geom is None:
+                if any(c[1] not in (1, 2) or c[2] not in (1, 2) for c in comps):
+                    raise ImageCodecError("unsupported JPEG sampling factors")
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                geom = (hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax)))
+                coefs = [
+                    np.zeros((geom[3] * cv, geom[2] * ch, 64), dtype=np.int32)
+                    for _cid, ch, cv, _tq in comps
+                ]
+            pos = _decode_prog_scan(
+                data, pos + 2 + seg_len, coefs, comps, scan,
+                ss, se, ahal >> 4, ahal & 0xF,
+                geom, w, h, restart_interval, htabs,
             )
+            continue
         elif marker == 0xD9:
             break
         pos += 2 + seg_len
+    if progressive and coefs is not None:
+        return _finish_progressive(coefs, comps, qtabs, w, h, geom)
     raise ImageCodecError("JPEG SOS marker not found")
+
+
+def _decode_prog_scan(
+    data, pos, coefs, comps, scan, ss, se, ah, al,
+    geom, w, h, restart_interval, htabs,
+):
+    """One progressive scan (T.81 G.2): DC first/refine (interleaved or
+    single-component), AC first/refine with EOB runs (single-component
+    only, per the standard). Mutates ``coefs`` in place; returns the
+    byte position of the marker after the scan's entropy data."""
+    hmax, vmax, mcux, mcuy = geom
+    br = _BitReader(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise ImageCodecError("progressive DC scan must have Se=0")
+        _decode_prog_dc(
+            br, coefs, comps, scan, ah, al, geom, w, h, restart_interval,
+            htabs,
+        )
+    else:
+        if len(scan) != 1:
+            raise ImageCodecError("progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ImageCodecError("invalid progressive spectral band")
+        _decode_prog_ac(
+            br, coefs, comps, scan[0], ss, se, ah, al, geom, w, h,
+            restart_interval, htabs,
+        )
+    return _next_marker_pos(data, br.pos)
+
+
+def _comp_block_dims(comp, hmax, vmax, w, h):
+    """Non-interleaved block grid of one component (real, not
+    MCU-padded): ceil(ceil(size * sampling / max_sampling) / 8)."""
+    _cid, ch, cv, _tq = comp
+    comp_w = -(-(w * ch) // hmax)
+    comp_h = -(-(h * cv) // vmax)
+    return -(-comp_w // 8), -(-comp_h // 8)
+
+
+def _decode_prog_dc(
+    br, coefs, comps, scan, ah, al, geom, w, h, restart_interval, htabs
+):
+    hmax, vmax, mcux, mcuy = geom
+    preds = [0] * len(scan)
+
+    def one_block(si, ci, by, bx):
+        arr = coefs[ci]
+        if ah == 0:
+            tdc = scan[si][1]
+            s = _decode_huff_symbol(br, htabs[(0, tdc)])
+            preds[si] += _extend(br.read_bits(s), s)
+            arr[by, bx, 0] = preds[si] << al
+        elif br.read_bit():
+            arr[by, bx, 0] |= 1 << al
+
+    if len(scan) > 1:  # interleaved MCU order over all scan components
+        mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    br.restart()
+                    preds[:] = [0] * len(scan)
+                for si, (ci, _tdc, _tac) in enumerate(scan):
+                    _cid, ch, cv, _tq = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            one_block(si, ci, my * cv + by, mx * ch + bx)
+                mcu_i += 1
+    else:  # single component: its own (unpadded) block raster
+        ci = scan[0][0]
+        bw_c, bh_c = _comp_block_dims(comps[ci], hmax, vmax, w, h)
+        blk_i = 0
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                if restart_interval and blk_i and blk_i % restart_interval == 0:
+                    br.restart()
+                    preds[:] = [0]
+                one_block(0, ci, by, bx)
+                blk_i += 1
+
+
+def _decode_prog_ac(
+    br, coefs, comps, scomp, ss, se, ah, al, geom, w, h,
+    restart_interval, htabs,
+):
+    hmax, vmax, _mcux, _mcuy = geom
+    ci, _tdc, tac = scomp
+    ac_tab = htabs[(1, tac)]
+    arr = coefs[ci]
+    bw_c, bh_c = _comp_block_dims(comps[ci], hmax, vmax, w, h)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    blk_i = 0
+    for by in range(bh_c):
+        for bx in range(bw_c):
+            if restart_interval and blk_i and blk_i % restart_interval == 0:
+                br.restart()
+                eobrun = 0
+            blk_i += 1
+            coef = arr[by, bx]
+            if ah == 0:  # first scan of this band (G.2.2)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_huff_symbol(br, ac_tab)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                    else:
+                        k += r
+                        if k > se:
+                            raise ImageCodecError("JPEG AC index overflow")
+                        coef[k] = _extend(br.read_bits(s), s) << al
+                        k += 1
+            else:  # refinement scan of this band (G.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_huff_symbol(br, ac_tab)
+                        r, s = rs >> 4, rs & 0xF
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            # r == 15: ZRL — pass 16 zero-history coefs
+                        else:
+                            if s != 1:
+                                raise ImageCodecError(
+                                    "invalid JPEG AC refinement symbol"
+                                )
+                            newval = p1 if br.read_bit() else m1
+                        # advance past r zero-history coefficients,
+                        # appending correction bits to nonzero ones
+                        while k <= se:
+                            c = int(coef[k])
+                            if c != 0:
+                                if br.read_bit() and (c & p1) == 0:
+                                    coef[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if newval and k <= se:
+                            coef[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # EOB logic: correction bits for the rest of the band
+                    while k <= se:
+                        c = int(coef[k])
+                        if c != 0:
+                            if br.read_bit() and (c & p1) == 0:
+                                coef[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+
+def _finish_progressive(coefs, comps, qtabs, w, h, geom):
+    """Dequantize accumulated coefficients and run one batched IDCT per
+    component, then reuse the shared plane assembly."""
+    hmax, vmax, _mcux, _mcuy = geom
+    planes = []
+    for ci, (_cid, _ch, _cv, tq) in enumerate(comps):
+        zz = coefs[ci].astype(np.float64) * qtabs[tq][None, None, :]
+        nat = np.zeros_like(zz)
+        nat[..., ZIGZAG] = zz  # inverse zigzag scatter
+        by, bx = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(by, bx, 8, 8)
+        planes.append(np.einsum("ij,yxjk,kl->yxil", _DCT_C.T, blocks, _DCT_C))
+    return _finish_planes(planes, comps, w, h, hmax, vmax)
 
 
 def _decode_scan(
@@ -630,7 +858,13 @@ def _decode_scan(
                             _DCT_C.T @ blk @ _DCT_C
                         )
             mcu_i += 1
-    # assemble planes: blocks → pixel grids, upsample to full res
+    return _finish_planes(planes, comps, w, h, hmax, vmax)
+
+
+def _finish_planes(planes, comps, w, h, hmax, vmax) -> np.ndarray:
+    """Shared decode tail: per-component (BY, BX, 8, 8) spatial blocks
+    → pixel grids, upsample to full resolution, level shift, YCbCr→RGB
+    for 3-component frames."""
     out = []
     for ci, (_cid, ch, cv, _tq) in enumerate(comps):
         grid = planes[ci]
@@ -717,16 +951,11 @@ def _encode_block(bw, zz, pred, dc_code, ac_code) -> int:
     return int(zz[0])
 
 
-def encode_jpeg(
-    arr: np.ndarray, quality: int = 85, subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """uint8 (h, w[, 1|3]) → baseline JFIF bytes (standard Annex K
-    Huffman tables). ``subsampling`` ∈ {"444", "422", "420"}: 4:2:0
-    box-averages chroma 2×2 and interleaves 4 luma + 2 chroma blocks
-    per MCU; 4:2:2 halves chroma horizontally only — the layout common ML corpora actually ship, exercising
-    the decoder's upsample path. Companion of ``decode_jpeg`` — lossy,
-    so tests assert tolerance, not equality."""
+def _quantize_image(arr: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: color convert, subsample, pad,
+    forward DCT, quantize. Returns (h, w, ncomp, samp, hmax, vmax,
+    mcux, mcuy, qtabs, blocks_per_comp) — blocks_per_comp[ci] is the
+    (BY, BX, 64) zigzag-quantized coefficient grid."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -754,16 +983,9 @@ def encode_jpeg(
     vmax = max(s[1] for s in samp)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    # tables are defined in natural order; the bitstream (DQT) and the
-    # quantization of zigzag-scanned coefficients both use zigzag order
     ql = _quality_scale(_Q_LUMA, quality)[ZIGZAG]
     qc = _quality_scale(_Q_CHROMA, quality)[ZIGZAG]
     qtabs = [ql] + ([qc] if ncomp == 3 else [])
-    dc_specs = [_DC_LUMA_SPEC] + ([_DC_CHROMA_SPEC] if ncomp == 3 else [])
-    ac_specs = [_AC_LUMA_SPEC] + ([_AC_CHROMA_SPEC] if ncomp == 3 else [])
-    dc_codes = [_huff_codes(*s) for s in dc_specs]
-    ac_codes = [_huff_codes(*s) for s in ac_specs]
-
     blocks_per_comp = []
     for ci, plane in enumerate(planes):
         ch_, cv_ = samp[ci]
@@ -784,6 +1006,44 @@ def encode_jpeg(
             coef.reshape(by, bx, 64)[:, :, ZIGZAG] / q[None, None, :]
         ).astype(np.int64)
         blocks_per_comp.append(qz)
+    return h, w, ncomp, samp, hmax, vmax, mcux, mcuy, qtabs, blocks_per_comp
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _headers(h, w, ncomp, samp, qtabs, sof_marker: int) -> bytearray:
+    """SOI + JFIF + DQT + SOF (baseline 0xC0 or progressive 0xC2)."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, q in enumerate(qtabs):
+        out += _seg(0xDB, bytes([ti]) + bytes(int(x) for x in q))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        ch_, cv_ = samp[ci]
+        sof += bytes([ci + 1, (ch_ << 4) | cv_, min(ci, 1)])
+    out += _seg(sof_marker, sof)
+    return out
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 85, subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (h, w[, 1|3]) → baseline JFIF bytes (standard Annex K
+    Huffman tables). ``subsampling`` ∈ {"444", "422", "420"}: 4:2:0
+    box-averages chroma 2×2 and interleaves 4 luma + 2 chroma blocks
+    per MCU; 4:2:2 halves chroma horizontally only — the layout common ML corpora actually ship, exercising
+    the decoder's upsample path. Companion of ``decode_jpeg`` — lossy,
+    so tests assert tolerance, not equality."""
+    (h, w, ncomp, samp, hmax, vmax, mcux, mcuy, qtabs, blocks_per_comp) = (
+        _quantize_image(arr, quality, subsampling)
+    )
+    dc_specs = [_DC_LUMA_SPEC] + ([_DC_CHROMA_SPEC] if ncomp == 3 else [])
+    ac_specs = [_AC_LUMA_SPEC] + ([_AC_CHROMA_SPEC] if ncomp == 3 else [])
+    dc_codes = [_huff_codes(*s) for s in dc_specs]
+    ac_codes = [_huff_codes(*s) for s in ac_specs]
     bw = _BitWriter()
     preds = [0] * ncomp
     mcu_i = 0
@@ -808,32 +1068,384 @@ def encode_jpeg(
             mcu_i += 1
     bw.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for ti, q in enumerate(qtabs):
-        out += seg(0xDB, bytes([ti]) + bytes(int(x) for x in q))
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        ch_, cv_ = samp[ci]
-        sof += bytes([ci + 1, (ch_ << 4) | cv_, min(ci, 1)])
-    out += seg(0xC0, sof)
+    out = _headers(h, w, ncomp, samp, qtabs, 0xC0)
     for ti, (bits, vals) in enumerate(dc_specs):
-        out += seg(0xC4, bytes([ti]) + bytes(bits) + bytes(vals))
+        out += _seg(0xC4, bytes([ti]) + bytes(bits) + bytes(vals))
     for ti, (bits, vals) in enumerate(ac_specs):
-        out += seg(0xC4, bytes([0x10 | ti]) + bytes(bits) + bytes(vals))
+        out += _seg(0xC4, bytes([0x10 | ti]) + bytes(bits) + bytes(vals))
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         ti = min(ci, 1)
         sos += bytes([ci + 1, (ti << 4) | ti])
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG encoder (T.81 Annex G.1): spectral selection +
+# successive approximation scans with per-scan optimal Huffman tables
+# (Annex K.2 code-length algorithm — EOBn symbols aren't in the Annex
+# K.3 baseline tables, so progressive tables must be generated).
+# ---------------------------------------------------------------------------
+
+
+def _gen_optimal_table(freq: dict) -> tuple[list, list]:
+    """Optimal Huffman (BITS, HUFFVAL) from symbol frequencies per the
+    T.81 Annex K.2 procedure: pairwise merge of least-frequent chains,
+    16-bit length limiting, reserved all-ones code removed via the
+    256-dummy symbol."""
+    freqs = [0] * 257
+    for s, c in freq.items():
+        freqs[s] = c
+    freqs[256] = 1  # dummy: guarantees no real code is all 1-bits
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1, v = -1, None
+        for i in range(257):
+            if freqs[i] > 0 and (v is None or freqs[i] <= v):
+                v, c1 = freqs[i], i
+        c2, v = -1, None
+        for i in range(257):
+            if i != c1 and freqs[i] > 0 and (v is None or freqs[i] <= v):
+                v, c2 = freqs[i], i
+        if c2 < 0:
+            break
+        freqs[c1] += freqs[c2]
+        freqs[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    for i in range(32, 16, -1):  # length-limit to 16 bits
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the dummy's code
+    huffval = [s for _cs, s in sorted((codesize[s], s) for s in range(256) if codesize[s])]
+    return bits[1:17], huffval
+
+
+class _SymCounter:
+    """Counting sink for the stats pass (symbols only; bits are free)."""
+
+    def __init__(self):
+        self.freq: dict = {}
+
+    def symbol(self, s: int) -> None:
+        self.freq[s] = self.freq.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+    def restart(self) -> None:
+        pass
+
+
+class _SymWriter:
+    """Emitting sink: Huffman symbol + raw bits through a _BitWriter."""
+
+    def __init__(self, bw: "_BitWriter", codes: dict):
+        self.bw = bw
+        self.codes = codes
+        self.n_rst = 0
+
+    def symbol(self, s: int) -> None:
+        code, clen = self.codes[s]
+        self.bw.write(code, clen)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v, n)
+
+    def restart(self) -> None:
+        self.bw.flush()
+        self.bw.out += bytes([0xFF, 0xD0 + (self.n_rst % 8)])
+        self.n_rst += 1
+
+
+def _mag_bits(v: int):
+    """(nbits, emitted-bit-pattern) for a signed coefficient value —
+    the T.81 sign-magnitude convention shared by DC diffs and AC
+    values (negatives emit the one's complement of the magnitude)."""
+    if v >= 0:
+        n = int(v).bit_length()
+        return n, v
+    m = -v
+    n = int(m).bit_length()
+    return n, (~m) & ((1 << n) - 1)
+
+
+def _enc_dc_scan(sink, blocks, comps_samp, scan_cis, ah, al, mcux, mcuy,
+                 restart_interval):
+    """DC scan: first (Ah=0 — Huffman-coded point-transformed diffs) or
+    refinement (one raw bit per block). Interleaved MCU order when the
+    scan has several components, else the component's block raster."""
+    preds = {ci: 0 for ci in scan_cis}
+
+    def one(ci, by, bx):
+        v = int(blocks[ci][by, bx, 0]) >> al  # arithmetic shift
+        if ah == 0:
+            diff = v - preds[ci]
+            preds[ci] = v
+            n, pat = _mag_bits(diff)
+            sink.symbol(n)
+            sink.bits(pat, n)
+        else:
+            sink.bits(v & 1, 1)  # bit Al of the magnitude pattern
+
+    if len(scan_cis) > 1:
+        mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    sink.restart()
+                    preds.update({ci: 0 for ci in scan_cis})
+                for ci in scan_cis:
+                    ch_, cv_ = comps_samp[ci]
+                    for by in range(cv_):
+                        for bx in range(ch_):
+                            one(ci, my * cv_ + by, mx * ch_ + bx)
+                mcu_i += 1
+    else:
+        ci = scan_cis[0]
+        bh_c, bw_c = blocks[ci].shape[0], blocks[ci].shape[1]
+        blk_i = 0
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                if restart_interval and blk_i and blk_i % restart_interval == 0:
+                    sink.restart()
+                    preds[ci] = 0
+                one(ci, by, bx)
+                blk_i += 1
+
+
+class _EobState:
+    """EOB-run + buffered-correction-bit state shared across blocks of
+    one AC scan (T.81 G.1.2.2-3)."""
+
+    def __init__(self, sink):
+        self.sink = sink
+        self.run = 0
+        self.corr: list = []  # correction bits deferred with the run
+
+    def flush(self) -> None:
+        if self.run > 0:
+            n = self.run.bit_length() - 1
+            self.sink.symbol(n << 4)
+            self.sink.bits(self.run - (1 << n), n)
+            self.run = 0
+        for b in self.corr:
+            self.sink.bits(b, 1)
+        self.corr = []
+
+
+def _enc_ac_first_block(sink, eob, coef, ss, se, al):
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(coef[k])
+        mag = (-t >> al) if t < 0 else (t >> al)
+        if mag == 0:
+            r += 1
+            continue
+        eob.flush()
+        while r > 15:
+            sink.symbol(0xF0)  # ZRL
+            r -= 16
+        n = mag.bit_length()
+        pat = mag if t >= 0 else (~mag) & ((1 << n) - 1)
+        sink.symbol((r << 4) | n)
+        sink.bits(pat, n)
+        r = 0
+    if r > 0:
+        eob.run += 1
+        if eob.run == 0x7FFF:
+            eob.flush()
+
+
+def _enc_ac_refine_block(sink, eob, coef, ss, se, al):
+    mags = [
+        ((-int(coef[k]) if coef[k] < 0 else int(coef[k])) >> al)
+        for k in range(ss, se + 1)
+    ]
+    last_new = ss - 1  # index of last NEWLY-nonzero coefficient
+    for i, m in enumerate(mags):
+        if m == 1:
+            last_new = ss + i
+    r = 0
+    br: list = []  # correction bits pending within this block
+    for k in range(ss, se + 1):
+        m = mags[k - ss]
+        if m == 0:
+            r += 1
+            continue
+        # The ZRL fold must happen at the FIRST nonzero coefficient
+        # after r crosses 16 — history or new — so that each ZRL's
+        # attached correction bits all lie inside the 16-zero span the
+        # decoder advances over for that ZRL. (Folding only at the
+        # next newly-nonzero would batch bits across spans and desync
+        # the decoder's interleaved bit reads.) No fold past the last
+        # newly-nonzero: those zeros belong to the EOB run.
+        while r > 15 and k <= last_new:
+            eob.flush()
+            sink.symbol(0xF0)
+            for b in br:
+                sink.bits(b, 1)
+            br = []
+            r -= 16
+        if m > 1:  # history-nonzero: correction bit rides along
+            br.append(m & 1)
+            continue
+        # newly-nonzero (m == 1): (run, 1) symbol + sign + pending bits
+        eob.flush()
+        sink.symbol((r << 4) | 1)
+        sink.bits(1 if coef[k] >= 0 else 0, 1)
+        for b in br:
+            sink.bits(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        eob.run += 1
+        eob.corr.extend(br)
+        if eob.run == 0x7FFF or len(eob.corr) > 937:
+            eob.flush()
+
+
+def _enc_ac_scan(sink, blocks, ci, ss, se, ah, al, restart_interval):
+    coef_grid = blocks[ci]
+    eob = _EobState(sink)
+    blk_i = 0
+    for by in range(coef_grid.shape[0]):
+        for bx in range(coef_grid.shape[1]):
+            if restart_interval and blk_i and blk_i % restart_interval == 0:
+                eob.flush()
+                sink.restart()
+            blk_i += 1
+            if ah == 0:
+                _enc_ac_first_block(sink, eob, coef_grid[by, bx], ss, se, al)
+            else:
+                _enc_ac_refine_block(sink, eob, coef_grid[by, bx], ss, se, al)
+    eob.flush()
+
+
+def _default_scan_script(ncomp: int) -> list:
+    """libjpeg's default progressive script shape: DC at Al=1, luma AC
+    split into two bands, chroma AC whole-band, then DC + AC
+    refinements — exercises spectral selection, successive
+    approximation, EOB runs and AC correction bits."""
+    if ncomp == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, subsampling: str = "444",
+    scans: list | None = None, restart_interval: int = 0,
+) -> bytes:
+    """uint8 (h, w[, 1|3]) → PROGRESSIVE JFIF bytes (SOF2).
+
+    ``scans``: list of (comp_indices, Ss, Se, Ah, Al); default is the
+    libjpeg-shaped script from ``_default_scan_script``. Each scan
+    gets an optimal Huffman table (two-pass: count then emit) — the
+    Annex K.3 baseline tables lack the EOBn symbols progressive AC
+    coding requires. Quantization is identical to ``encode_jpeg``, so
+    a progressive stream decodes to EXACTLY the same pixels as the
+    baseline stream of the same image/quality/subsampling — the
+    round-trip tests assert bit-equality between the two paths."""
+    (h, w, ncomp, samp, _hmax, _vmax, mcux, mcuy, qtabs, blocks) = (
+        _quantize_image(arr, quality, subsampling)
+    )
+    if scans is None:
+        scans = _default_scan_script(ncomp)
+    # non-interleaved scans cover only the component's REAL block grid
+    # (the MCU-padded edge blocks are interleaved-only): slice views
+    real_blocks = []
+    for ci in range(ncomp):
+        ch_, cv_ = samp[ci]
+        comp = (ci, ch_, cv_, 0)
+        bw_c, bh_c = _comp_block_dims(comp, max(s[0] for s in samp),
+                                      max(s[1] for s in samp), w, h)
+        real_blocks.append(blocks[ci][:bh_c, :bw_c])
+    out = _headers(h, w, ncomp, samp, qtabs, 0xC2)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    for cis, ss, se, ah, al in scans:
+        if ss == 0 and se != 0:
+            raise ImageCodecError("progressive DC scan must have Se=0")
+        if ss > 0 and len(cis) != 1:
+            raise ImageCodecError("progressive AC scan must be single-component")
+        use_blocks = blocks if (ss == 0 and len(cis) > 1) else real_blocks
+
+        def run(sink):
+            if ss == 0:
+                _enc_dc_scan(sink, use_blocks, samp, cis, ah, al,
+                             mcux, mcuy, restart_interval)
+            else:
+                _enc_ac_scan(sink, use_blocks, cis[0], ss, se, ah, al,
+                             restart_interval)
+
+        counter = _SymCounter()
+        run(counter)
+        needs_table = bool(counter.freq)  # DC refine scans are table-free
+        if needs_table:
+            bits, vals = _gen_optimal_table(counter.freq)
+            tclass = 0 if ss == 0 else 1
+            out += _seg(
+                0xC4, bytes([(tclass << 4) | 0]) + bytes(bits) + bytes(vals)
+            )
+            codes = _huff_codes(bits, vals)
+        else:
+            codes = {}
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([ci + 1, 0])  # Td=Ta=0 (re-defined per scan)
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        bw = _BitWriter()
+        run(_SymWriter(bw, codes))
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 

@@ -185,9 +185,9 @@ def _decode_one(b: bytes, fallback: bool):
                 raise
             # fall through to PIL / raw-stats path below
     if b[:3] == IC.JPEG_SIGNATURE and not HAS_PIL:
-        # real baseline decode (pure-numpy Huffman + IDCT); progressive
-        # or otherwise unsupported streams keep the REAL SOF geometry
-        # with decoded=false
+        # real decode (pure-numpy Huffman + IDCT), baseline AND
+        # progressive; arithmetic/lossless/12-bit streams keep the
+        # REAL SOF geometry with decoded=false
         try:
             arr = IC.decode_jpeg(b)
             h, w, ch = arr.shape
@@ -196,8 +196,8 @@ def _decode_one(b: bytes, fallback: bool):
             pass
         if not fallback:
             raise NotImplementedError(
-                "non-baseline JPEG pixel decode requires pillow; SOF "
-                "geometry is available via fallback=True"
+                "arithmetic/lossless JPEG pixel decode requires pillow; "
+                "SOF geometry is available via fallback=True"
             )
         try:
             w, h, ch = IC.jpeg_info(b)
@@ -228,9 +228,10 @@ def decode_image(df: DataFrame, fallback: bool = True) -> DataFrame:
     - SYNM synthetic header → parsed directly (mixed corpora work)
     - PNG → pure-numpy codec (ops/imagecodec.py): real pixels, real
       mean, no pillow needed
-    - JPEG → pure-numpy BASELINE decode (canonical Huffman + IDCT,
+    - JPEG → pure-numpy decode, BASELINE and PROGRESSIVE (canonical
+      Huffman + IDCT + T.81 G.2 scan accumulation,
       ops/imagecodec.decode_jpeg): real pixels without pillow;
-      progressive/arithmetic streams keep REAL SOF geometry with
+      arithmetic/lossless streams keep REAL SOF geometry with
       ``decoded=false`` (``fallback=False`` raises — that is the
       remaining pillow/ffmpeg boundary)
     - anything else → PIL when available, else zeroed metadata with

@@ -193,16 +193,115 @@ def test_jpeg_quality_monotonic_error():
     assert sizes[0] > sizes[1] > sizes[2]
 
 
-def test_jpeg_rejects_progressive_but_parses_geometry():
+def test_jpeg_rejects_scanless_progressive_and_lossless_sof():
+    # progressive is SUPPORTED now, but a SOF2 stream with no scan data
+    # must still error (not return uninitialized pixels)...
     jpg = (
         b"\xff\xd8"
         + b"\xff\xc2" + struct.pack(">H", 17)  # SOF2 progressive
         + struct.pack(">BHHB", 8, 10, 20, 3) + b"\x00" * 9
         + b"\xff\xd9"
     )
-    with pytest.raises(ImageCodecError, match="baseline"):
+    with pytest.raises(ImageCodecError, match="SOS"):
         decode_jpeg(jpg)
     assert jpeg_info(jpg) == (20, 10, 3)
+    # ...and non-DCT SOF families (e.g. SOF3 lossless) still reject
+    # while jpeg_info still recovers geometry.
+    jpg3 = (
+        b"\xff\xd8"
+        + b"\xff\xc3" + struct.pack(">H", 17)  # SOF3 lossless
+        + struct.pack(">BHHB", 8, 10, 20, 3) + b"\x00" * 9
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ImageCodecError, match="SOF3"):
+        decode_jpeg(jpg3)
+    assert jpeg_info(jpg3) == (20, 10, 3)
+
+
+def test_progressive_decodes_bit_equal_to_baseline():
+    """Progressive and baseline encoders share the quantizer, so the
+    decoded pixels must be IDENTICAL — any deviation is a bug in the
+    scan coding (spectral selection, successive approximation, EOB
+    runs or correction bits), not quantization noise."""
+    from sqlpp_spark.ops.imagecodec import encode_jpeg_progressive
+
+    for sub in ("444", "422", "420"):
+        for h, w in ((16, 16), (41, 57), (9, 17)):
+            img = _gradient(h, w)
+            base = decode_jpeg(encode_jpeg(img, quality=85, subsampling=sub))
+            prog_bytes = encode_jpeg_progressive(img, quality=85, subsampling=sub)
+            assert jpeg_info(prog_bytes) == (w, h, 3)
+            prog = decode_jpeg(prog_bytes)
+            assert np.array_equal(base, prog), (sub, h, w)
+
+
+def test_progressive_grayscale_and_noise_bit_equal():
+    from sqlpp_spark.ops.imagecodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    for img in (noise, _gradient(19, 23)[..., 0]):
+        base = decode_jpeg(encode_jpeg(img, quality=75))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=75))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_spectral_only_script():
+    """A spectral-selection-only script (no successive approximation)
+    also reproduces baseline pixels — isolates the band-splitting path
+    from the refinement path."""
+    from sqlpp_spark.ops.imagecodec import encode_jpeg_progressive
+
+    img = _gradient(20, 26)
+    scans = [
+        ([0, 1, 2], 0, 0, 0, 0),  # DC, no point transform
+        ([0], 1, 9, 0, 0),
+        ([0], 10, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+    ]
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=85, scans=scans))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_eob_runs_exercised():
+    """A smooth dark image makes most high-frequency bands all-zero →
+    long EOB runs (EOBn, n>0) in the AC scans; decode must still be
+    bit-equal, proving the EOBn accumulate/flush paths on both sides."""
+    from sqlpp_spark.ops.imagecodec import encode_jpeg_progressive
+
+    img = np.full((64, 64, 3), 40, dtype=np.uint8)
+    img[10:14, 10:14] = 200  # one feature so not everything is EOB
+    data = encode_jpeg_progressive(img, quality=85)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    assert np.array_equal(base, decode_jpeg(data))
+
+
+def test_progressive_restart_intervals():
+    from sqlpp_spark.ops.imagecodec import encode_jpeg_progressive
+
+    img = _gradient(33, 49)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=85, restart_interval=3)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_truncation_rejected_cleanly():
+    """Truncating a progressive stream anywhere must raise
+    ImageCodecError or still decode (prefix scans are valid previews) —
+    never crash with a foreign exception."""
+    from sqlpp_spark.ops.imagecodec import encode_jpeg_progressive
+
+    data = encode_jpeg_progressive(_gradient(17, 13), quality=80)
+    for cut in range(2, len(data), 97):
+        try:
+            out = decode_jpeg(data[:cut])
+            assert out.shape == (17, 13, 3)  # decoded from prefix scans
+        except ImageCodecError:
+            pass
 
 
 def test_resize_nearest_quadrants():
@@ -292,5 +391,57 @@ if HAS_HYPOTHESIS:
         for fn in (decode_png, png_info, jpeg_info, decode_jpeg):
             try:
                 fn(data)
+            except ImageCodecError:
+                pass
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        ch=st.sampled_from([1, 3]),
+        quality=st.integers(50, 98),
+        sub=st.sampled_from(["444", "422", "420"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_progressive_equals_baseline_property(h, w, ch, quality, sub, seed):
+        """Random content, size, quality, subsampling: the progressive
+        stream must decode to EXACTLY the baseline stream's pixels —
+        the two encoders share the quantizer, so any pixel delta is a
+        scan-coding bug (not quantization noise)."""
+        from sqlpp_spark.ops.imagecodec import encode_jpeg_progressive
+
+        rng = np.random.default_rng(seed)
+        # piecewise-smooth + noise: exercises EOB runs AND dense bands
+        a = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        a[: h // 2, : w // 2] = 30
+        img = a.squeeze(-1) if ch == 1 else a
+        base = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=quality, subsampling=sub)
+        )
+        assert np.array_equal(base, prog)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        cut_frac=st.floats(0.05, 0.99),
+        flip_pos=st.integers(0, 10_000),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_progressive_corruption_never_crashes(cut_frac, flip_pos, seed):
+        """Truncated or bit-flipped progressive streams either decode
+        (prefix scans / benign flip) or raise ImageCodecError — never a
+        foreign exception or hang."""
+        from sqlpp_spark.ops.imagecodec import encode_jpeg_progressive
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (17, 21, 3), dtype=np.uint8)
+        data = bytearray(encode_jpeg_progressive(img, quality=80))
+        trunc = bytes(data[: max(2, int(len(data) * cut_frac))])
+        flipped = bytearray(data)
+        flipped[flip_pos % len(data)] ^= 0x41
+        for payload in (trunc, bytes(flipped)):
+            try:
+                out = decode_jpeg(payload)
+                assert out.shape[2] in (1, 3)
             except ImageCodecError:
                 pass

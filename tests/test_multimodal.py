@@ -105,6 +105,36 @@ def test_decode_image_real_jpeg_without_pil(spark):
         assert abs(r.mean_byte - float(a.mean())) < 2.0  # lossy tolerance
 
 
+def test_decode_image_progressive_jpeg_real_pixels(spark):
+    """PROGRESSIVE JPEG payloads (SOF2, the common web-crawl shape)
+    decode for REAL through the mapInPandas batch path — identical
+    pixels to the baseline stream of the same image, so the feature
+    rows must match a baseline-encoded twin exactly."""
+    import numpy as np
+
+    from sqlpp_spark.ops.imagecodec import encode_jpeg, encode_jpeg_progressive
+
+    h, w = 25, 33
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), np.full((h, w), 77)],
+        axis=-1,
+    ).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_jpeg(img, quality=88))),
+            (2, bytearray(encode_jpeg_progressive(img, quality=88))),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in decode_image(df).collect()}
+    for mid in (1, 2):
+        assert (rows[mid].width, rows[mid].height) == (w, h)
+        assert rows[mid].decoded is True
+    # same quantizer ⇒ bit-identical pixels ⇒ identical mean
+    assert rows[1].mean_byte == rows[2].mean_byte
+
+
 def test_decode_image_nonbaseline_jpeg_keeps_sof_geometry(spark):
     """A JPEG the baseline decoder can't handle (here: SOF0 header with
     no scan) still reports REAL SOF geometry with decoded=false;
