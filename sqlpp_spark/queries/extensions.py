@@ -8,8 +8,12 @@ batch DataFrame, so the driver's correctness gate exercises the
 streaming engine itself; the oracle is the equivalent batch SQL (a
 completed bounded stream must agree with the batch computation).
 
-The multimodal entry has no SQL oracle (mapInPandas binary decode is
-not SQL-expressible) — the driver records the weaker rows-only check.
+Multimodal entries are oracled wherever the payloads can be built
+with CLOSED-FORM pixels (decode, resize, metadata-prune: DuckDB
+recomputes exact geometry and pixel means from the generating
+formula). Only ``multimodal_features`` (crc32-derived mixed-format
+corpus) and ``multimodal_audio_features`` (libm-sin sample synthesis,
+not bit-portable across engines) remain rows-only by nature.
 """
 
 from __future__ import annotations
@@ -224,17 +228,52 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(synthesize_media(docs))
 
 
-@register("multimodal_resize")  # mapInPandas pixel resample — no SQL oracle
+@register(
+    "multimodal_resize",
+    # nearest-neighbor index mapping is exact integer arithmetic over
+    # the closed-form pixels, so DuckDB recomputes the RESIZED image's
+    # exact mean: ys[i] = min(floor((i+.5)*h/TH), h-1), same for xs,
+    # pixel = (xs + 3*ys + id) mod 256 — identical to
+    # ops/imagecodec.resize_array's nearest path.
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents
+),
+px AS (
+  SELECT d.doc_id,
+         SUM((least(CAST(floor((x.i + 0.5) * d.w / 16.0) AS BIGINT), d.w - 1)
+              + 3 * least(CAST(floor((y.i + 0.5) * d.h / 12.0) AS BIGINT), d.h - 1)
+              + d.doc_id) % 256) AS s
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, 15)) AS i) x,
+       LATERAL (SELECT unnest(generate_series(0, 11)) AS i) y
+  GROUP BY 1
+)
+SELECT doc_id AS media_id,
+       CAST(16 AS INT) AS width,
+       CAST(12 AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       CAST(s AS DOUBLE) / 192.0 AS mean_byte,
+       CAST(1 AS BIGINT) AS decoded
+FROM px
+""",
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real resize path (decode → resample → re-encode for PNG;
-    header-geometry rewrite for pixel-free SYNM payloads), returning
-    the typed metadata of the resized corpus."""
-    from sqlpp_spark.ops.multimodal import resize_images, synthesize_media
+    """ORACLED real resize: closed-form PNG payloads decode →
+    nearest-resample to 16×12 → re-encode (one mapInPandas pass), then
+    decode AGAIN and project the resized mean. DuckDB recomputes the
+    exact post-resize pixel mean from the formula + the nearest index
+    map, so a hash-green row certifies genuine pixel resampling (not
+    header rewriting) through the Arrow batch path end to end."""
+    from sqlpp_spark.ops.multimodal import (
+        decode_image, resize_images, synthesize_png_media,
+    )
 
-    media = synthesize_media(table(spark, sf_dir, "documents"))
-    return resize_images(media, 224, 224).select(
-        "media_id", "width", "height", "resize_scale_x", "resize_scale_y",
-        "resized",
+    media = synthesize_png_media(table(spark, sf_dir, "documents"))
+    resized = resize_images(media, 16, 12, method="nearest")
+    return decode_image(resized.select("media_id", "payload")).select(
+        "media_id", "width", "height", "channels", "mean_byte",
+        F.col("decoded").cast("bigint").alias("decoded"),
     )
 
 
@@ -251,17 +290,52 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(synthesize_audio(docs))
 
 
-@register("multimodal_metadata_prune")  # width derives from crc32,
-# which DuckDB lacks — rows-only check
+@register(
+    "multimodal_metadata_prune",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents
+),
+keep AS (SELECT * FROM dims WHERE w * h >= 100),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         SUM((x.i + 3 * y.i + d.doc_id) % 256) AS s
+  FROM keep d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS i) x,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS i) y
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(s AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_byte,
+       CAST(1 AS BIGINT) AS decoded
+FROM px
+""",
+)
 def multimodal_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata-only pruning BEFORE decode (the scale pattern: filter on
-    cheap typed columns so the expensive binary decode touches fewer
-    rows)."""
-    from sqlpp_spark.ops.multimodal import synthesize_media
+    """ORACLED metadata-only pruning BEFORE decode — the scale pattern:
+    filter on cheap typed columns so the expensive binary decode only
+    touches surviving rows. The metadata (closed-form geometry) prunes
+    small images; only survivors' payloads run through the mapInPandas
+    decode, and DuckDB recomputes the surviving set AND their exact
+    pixel means, so a hash-green row checks both the prune semantics
+    and that the decode really ran on exactly the pruned corpus."""
+    from sqlpp_spark.ops.multimodal import decode_image, synthesize_png_media
 
-    media = synthesize_media(table(spark, sf_dir, "documents"))
-    return media.filter(F.col("width") >= 256).select(
-        F.count(F.lit(1)).cast("bigint").alias("n_large")
+    d = table(spark, sf_dir, "documents")
+    meta = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 13 + 4).cast("int").alias("m_width"),
+        (F.col("doc_id") % 11 + 4).cast("int").alias("m_height"),
+    )
+    pruned = meta.filter(F.col("m_width") * F.col("m_height") >= 100)
+    media = synthesize_png_media(d).join(
+        pruned.select("media_id"), on="media_id", how="left_semi"
+    )
+    return decode_image(media).select(
+        "media_id", "width", "height", "mean_byte",
+        F.col("decoded").cast("bigint").alias("decoded"),
     )
 
 
