@@ -540,7 +540,7 @@ FROM totals t LEFT JOIN agg a USING (doc_id)
 """
 
 
-@register("dedup_passages", oracle=_passage_dedup_oracle())
+@register("dedup_passages", oracle=_passage_dedup_oracle(), headline=True)
 def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level dedup (Dolma/RefinedWeb paragraph-dedup shape over
     fixed 8-word windows): every passage appearing verbatim elsewhere
@@ -590,7 +590,7 @@ FROM totals t LEFT JOIN agg a USING (doc_id)
 """
 
 
-@register("text_boilerplate_filter", oracle=_boilerplate_oracle())
+@register("text_boilerplate_filter", oracle=_boilerplate_oracle(), headline=True)
 def text_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate removal (C4/RefinedWeb hygiene): passages appearing
     in 2+ distinct documents drop from ALL of them (boilerplate is

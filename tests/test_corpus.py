@@ -204,3 +204,103 @@ def test_exact_k_sample_two_phase_exact_and_bounded(spark):
 
     with pytest.raises(ValueError):
         exact_k_sample(big, k=k, n_buckets=0)
+
+
+def test_exact_k_sample_adversarial_shapes(spark):
+    """Directed edge shapes for the two-phase equivalence: groups
+    smaller than k, n_buckets larger than every group, k=0, singleton
+    groups, and duplicate keys (full (hash, key) ties) — each must
+    yield IDENTICAL row multisets to the single-window formulation."""
+    from pyspark.sql import functions as F
+
+    from sqlpp_spark.ops.corpus import exact_k_sample
+
+    rows = (
+        [(i, "tiny") for i in range(3)]          # group smaller than k
+        + [(100 + i, "mid") for i in range(17)]  # mid-size
+        + [(999, "one")]                         # singleton
+        + [(500, "ties")] * 5                    # duplicate keys: all ties
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    for k in (0, 1, 5, 50):
+        for B in (1, 3, 64, 1024):  # n_buckets >> any group size
+            single = sorted(
+                (r.lang, r.doc_id)
+                for r in exact_k_sample(
+                    df, k=k, group_col="lang", n_buckets=1
+                ).collect()
+            )
+            multi = sorted(
+                (r.lang, r.doc_id)
+                for r in exact_k_sample(
+                    df, k=k, group_col="lang", n_buckets=B
+                ).collect()
+            )
+            assert single == multi, (k, B)
+            if k == 0:
+                assert multi == []
+            else:
+                per_group: dict = {}
+                for g, _ in multi:
+                    per_group[g] = per_group.get(g, 0) + 1
+                assert per_group.get("tiny", 0) == min(k, 3)
+                assert per_group.get("one", 0) == 1
+                assert per_group.get("ties", 0) == min(k, 5)
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sizes=st.lists(st.integers(0, 120), min_size=1, max_size=4),
+        k=st.integers(0, 25),
+        n_buckets=st.integers(1, 200),
+        salt=st.sampled_from(["s0", "zz"]),
+    )
+    def test_exact_k_sample_equivalence_property(spark, sizes, k, n_buckets, salt):
+        """Hypothesis grid over (group sizes, k, B, salt): the bucketed
+        two-phase result must equal the single-window result EXACTLY,
+        and the phase-1 candidate count must respect the min(n, B*k)
+        per-group bound — the proof obligation from the docstring as a
+        regression guard."""
+        from pyspark.sql import functions as F
+
+        from sqlpp_spark.ops.corpus import _exact_k_candidates, exact_k_sample
+
+        rows = [
+            (g * 1000 + i, f"g{g}")
+            for g, n in enumerate(sizes)
+            for i in range(n)
+        ]
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        single = sorted(
+            (r.lang, r.doc_id)
+            for r in exact_k_sample(
+                df, k=k, group_col="lang", salt=salt, n_buckets=1
+            ).collect()
+        )
+        multi = sorted(
+            (r.lang, r.doc_id)
+            for r in exact_k_sample(
+                df, k=k, group_col="lang", salt=salt, n_buckets=n_buckets
+            ).collect()
+        )
+        assert single == multi
+        cand = _exact_k_candidates(
+            df, k, group_col="lang", key_col="doc_id", salt=salt,
+            n_buckets=n_buckets,
+        )
+        got = {r["lang"]: r["n"] for r in
+               cand.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        for g, n in enumerate(sizes):
+            assert got.get(f"g{g}", 0) <= min(n, n_buckets * k)
+except ImportError:  # pragma: no cover
+    pass
