@@ -47,12 +47,23 @@ MEDIA_SCHEMA = T.StructType(
 _MAGIC = b"SYNM"  # synthetic media header: MAGIC | u16 w | u16 h | u8 ch
 
 
-def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def synthesize_media(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    width: "F.Column | None" = None, height: "F.Column | None" = None,
+) -> DataFrame:
     """Build a deterministic synthetic media table from the documents
     fixture: payload = SYNM header + utf8 text bytes. Lets every
-    pipeline stage run for real against binary columns."""
-    w = (F.crc32(F.col(text_col)) % 1920 + 16).cast("int")
-    h = (F.crc32(F.reverse(F.col(text_col))) % 1080 + 16).cast("int")
+    pipeline stage run for real against binary columns. ``width``/
+    ``height`` columns override the default crc32-derived geometry —
+    SQL-expressible dims make the SYNM rows oracle-able."""
+    w = (
+        (F.crc32(F.col(text_col)) % 1920 + 16).cast("int")
+        if width is None else width.cast("int")
+    )
+    h = (
+        (F.crc32(F.reverse(F.col(text_col))) % 1080 + 16).cast("int")
+        if height is None else height.cast("int")
+    )
     header = F.concat(
         F.lit(_MAGIC),
         # big-endian u16s via two bytes each
@@ -415,7 +426,8 @@ def frame_sample_indices(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 AUDIO_SCHEMA = (
     "media_id long, sample_rate int, n_channels int, n_samples long, "
-    "duration_ms long, rms double, zero_crossings long, decoded boolean"
+    "duration_ms long, rms double, energy long, zero_crossings long, "
+    "decoded boolean"
 )
 
 
@@ -458,6 +470,46 @@ def synthesize_audio(
     )
 
 
+def synthesize_wave_formula(
+    df: DataFrame, id_col: str = "doc_id", n_samples: int = 160,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """REAL WAV payloads with CLOSED-FORM integer samples: per doc a
+    mono 16-bit PCM waveform sample[t] = ((a*t + b) mod 65536) - 32768
+    with a = 2*(id mod 997)+1, b = id mod 251 — pure integer
+    arithmetic, so a SQL oracle can recompute the decoded sample
+    energy (exact int64 sum of squares) and zero-crossing count
+    bit-for-bit. The sine corpus (``synthesize_audio``) stays the
+    realistic path; this is the oracle-able one — same trick as
+    ``synthesize_png_media`` for images."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as wavmod
+
+        import numpy as np
+
+        t = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for mid in pdf[id_col]:
+                did = int(mid)
+                a = 2 * (did % 997) + 1
+                b = did % 251
+                pcm = (((a * t + b) % 65536) - 32768).astype("<i2")
+                buf = io.BytesIO()
+                with wavmod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(pcm.tobytes())
+                out["media_id"].append(did)
+                out["payload"].append(buf.getvalue())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(synth, "media_id long, payload binary")
+
+
 def decode_audio(df: DataFrame, fallback: bool = True) -> DataFrame:
     """REAL audio decode through the standard Arrow-batched mapInPandas
     shape: WAV (RIFF PCM) payloads parse with the stdlib ``wave``
@@ -477,13 +529,14 @@ def decode_audio(df: DataFrame, fallback: bool = True) -> DataFrame:
             out = {
                 "media_id": [], "sample_rate": [], "n_channels": [],
                 "n_samples": [], "duration_ms": [], "rms": [],
-                "zero_crossings": [], "decoded": [],
+                "energy": [], "zero_crossings": [], "decoded": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 sr = ch = 0
                 ns = dur = zc = 0
                 rms = 0.0
+                energy = 0
                 dec = False
                 if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     try:
@@ -494,20 +547,28 @@ def decode_audio(df: DataFrame, fallback: bool = True) -> DataFrame:
                             ns = w.getnframes()
                             raw = w.readframes(ns)
                         if width == 2:
-                            x = np.frombuffer(raw, dtype="<i2").astype(
-                                np.float64
-                            ) / 32768.0
+                            s_int = np.frombuffer(raw, dtype="<i2").astype(
+                                np.int64
+                            )
+                            x = s_int.astype(np.float64) / 32768.0
                         elif width == 1:  # 8-bit WAV is unsigned
-                            x = (
+                            s_int = (
                                 np.frombuffer(raw, dtype=np.uint8).astype(
-                                    np.float64
+                                    np.int64
                                 )
-                                - 128.0
-                            ) / 128.0
+                                - 128
+                            )
+                            x = s_int.astype(np.float64) / 128.0
                         else:
                             raise ValueError(f"width {width}")
                         dur = int(ns * 1000 / sr) if sr else 0
                         rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+                        # exact integer sum of squared RAW samples: the
+                        # sufficient statistic behind rms that IS
+                        # bit-portable across engines (no float-sum
+                        # ordering sensitivity) — what the SQL oracle
+                        # for formula waveforms checks
+                        energy = int(np.sum(s_int * s_int))
                         zc = int(np.count_nonzero(np.diff(np.signbit(x))))
                         dec = True
                     except Exception:
@@ -524,6 +585,7 @@ def decode_audio(df: DataFrame, fallback: bool = True) -> DataFrame:
                 out["n_samples"].append(ns)
                 out["duration_ms"].append(dur)
                 out["rms"].append(rms)
+                out["energy"].append(energy)
                 out["zero_crossings"].append(zc)
                 out["decoded"].append(dec)
             yield pd.DataFrame(out)

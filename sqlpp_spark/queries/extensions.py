@@ -215,17 +215,68 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # mapInPandas decode — no SQL oracle
+@register(
+    "multimodal_features",
+    # three formats, one oracle: geometry per format family is a pure
+    # id formula; the exact pixel mean is additionally checkable for
+    # the PNG third (closed-form pixels); JPEG means are lossy and
+    # SYNM means are byte-level — both NULLed symmetrically.
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents
+  WHERE doc_id % 3 = 1
+),
+px AS (
+  SELECT d.doc_id, SUM((x.i + 3 * y.i + d.doc_id) % 256) AS s,
+         d.w * d.h AS n
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS i) x,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS i) y
+  GROUP BY 1, 3
+)
+SELECT doc_id AS media_id,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 13 + 9
+                 ELSE doc_id % 13 + 4 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 11 + 9
+                 ELSE doc_id % 11 + 4 END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS INT) AS channels,
+       CASE WHEN doc_id % 3 = 1
+            THEN (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                  FROM px WHERE px.doc_id = documents.doc_id)
+       END AS mean_png,
+       CAST(1 AS BIGINT) AS decoded
+FROM documents
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column pipeline: synthesize media payloads from the
-    documents fixture, then decode/feature-extract via Arrow-batched
-    mapInPandas. decode_image dispatches per payload format — real
-    pure-numpy PNG decode, JPEG SOF geometry, SYNM synthetic parse
-    (ops/imagecodec.py; PIL used when importable)."""
-    from sqlpp_spark.ops.multimodal import decode_image, synthesize_media
+    """ORACLED mixed-format binary pipeline: one corpus carrying THREE
+    payload formats (SYNM synthetic headers, real PNG, real 4:2:0
+    JPEG, assigned by id mod 3) decoded in a single Arrow-batched
+    mapInPandas pass — the per-payload format dispatch is the thing
+    under test. All geometry is closed-form; the PNG third also
+    oracles its exact pixel mean (JPEG means are lossy, SYNM means are
+    byte-level — NULLed on both sides). crc32-geometry SYNM corpora
+    stay covered by unit tests."""
+    from sqlpp_spark.ops.multimodal import (
+        decode_image, synthesize_jpeg_media, synthesize_media,
+        synthesize_png_media,
+    )
 
-    docs = table(spark, sf_dir, "documents")
-    return decode_image(synthesize_media(docs))
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    synm = synthesize_media(
+        d.filter(did % 3 == 0),
+        width=(did % 13 + 4), height=(did % 11 + 4),
+    ).select("media_id", "payload")
+    png = synthesize_png_media(d.filter(did % 3 == 1))
+    jpg = synthesize_jpeg_media(d.filter(did % 3 == 2))
+    out = decode_image(synm.unionByName(png).unionByName(jpg))
+    mid = F.col("media_id")
+    return out.select(
+        "media_id", "width", "height", "channels",
+        F.when(mid % 3 == 1, F.col("mean_byte")).alias("mean_png"),
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )
 
 
 @register(
@@ -335,6 +386,59 @@ def multimodal_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return decode_image(media).select(
         "media_id", "width", "height", "mean_byte",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )
+
+
+@register(
+    "multimodal_audio_decode_oracle",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 2 * (doc_id % 997) + 1 AS a, doc_id % 251 AS b FROM documents
+),
+s AS (
+  SELECT p.doc_id, t.i,
+         ((p.a * t.i + p.b) % 65536) - 32768 AS v
+  FROM p, LATERAL (SELECT unnest(generate_series(0, 159)) AS i) t
+),
+lagged AS (
+  SELECT doc_id, v,
+         LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM s
+),
+agg AS (
+  SELECT doc_id,
+         SUM(v * v) AS energy,
+         SUM(CASE WHEN prev IS NOT NULL AND (v < 0) <> (prev < 0)
+                  THEN 1 ELSE 0 END) AS zc
+  FROM lagged GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(160 AS BIGINT) AS n_samples,
+       CAST(20 AS BIGINT) AS duration_ms,
+       CAST(energy AS BIGINT) AS energy,
+       CAST(zc AS BIGINT) AS zero_crossings,
+       CAST(1 AS BIGINT) AS decoded
+FROM agg
+""",
+)
+def multimodal_audio_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED real audio decode: WAV payloads whose 16-bit samples are
+    a closed integer formula (((a*t+b) mod 2^16) - 2^15) decode through
+    the stdlib-wave mapInPandas path; DuckDB recomputes the exact
+    sample ENERGY (int64 sum of squares — the bit-portable sufficient
+    statistic behind RMS) and zero-crossing count from the formula.
+    A hash-green row certifies sample-level WAV decode driver-side —
+    the float RMS stays off the projection because float-sum ordering
+    (numpy pairwise vs SQL sequential) is not bit-portable."""
+    from sqlpp_spark.ops.multimodal import decode_audio, synthesize_wave_formula
+
+    d = table(spark, sf_dir, "documents")
+    return decode_audio(synthesize_wave_formula(d)).select(
+        "media_id", "sample_rate", "n_channels", "n_samples", "duration_ms",
+        "energy", "zero_crossings",
         F.col("decoded").cast("bigint").alias("decoded"),
     )
 
