@@ -477,6 +477,17 @@ def _decode_huff_symbol(br: _BitReader, table) -> int:
     raise ImageCodecError("invalid JPEG Huffman code")
 
 
+def _decode_dc_size(br: _BitReader, table) -> int:
+    """DC magnitude-category symbol, bounds-checked: T.81 caps DC
+    categories at 11 bits for 8-bit precision — a corrupt stream's
+    Huffman table could otherwise demand hundreds of magnitude bits
+    and blow the coefficient out of int range."""
+    s = _decode_huff_symbol(br, table)
+    if s > 16:
+        raise ImageCodecError(f"invalid JPEG DC magnitude category {s}")
+    return s
+
+
 def _extend(v: int, size: int) -> int:
     """T.81 F.2.2.1 sign extension of a size-bit magnitude."""
     if size == 0:
@@ -498,7 +509,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     malformed/truncated structure."""
     try:
         return _decode_jpeg_inner(data)
-    except (IndexError, ValueError, KeyError, StopIteration, struct.error) as e:
+    except (
+        IndexError, ValueError, KeyError, StopIteration, struct.error,
+        OverflowError,
+    ) as e:
         if isinstance(e, ImageCodecError):
             raise
         raise ImageCodecError(f"malformed JPEG stream: {e}") from e
@@ -671,7 +685,7 @@ def _decode_prog_dc(
         arr = coefs[ci]
         if ah == 0:
             tdc = scan[si][1]
-            s = _decode_huff_symbol(br, htabs[(0, tdc)])
+            s = _decode_dc_size(br, htabs[(0, tdc)])
             preds[si] += _extend(br.read_bits(s), s)
             arr[by, bx, 0] = preds[si] << al
         elif br.read_bit():
@@ -833,7 +847,7 @@ def _decode_scan(
                 for by in range(cv):
                     for bx in range(ch):
                         zz = np.zeros(64, dtype=np.int64)
-                        s = _decode_huff_symbol(br, htabs[(0, tdc)])
+                        s = _decode_dc_size(br, htabs[(0, tdc)])
                         diff = _extend(br.read_bits(s), s)
                         preds[si] += diff
                         zz[0] = preds[si]
