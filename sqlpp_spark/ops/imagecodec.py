@@ -633,7 +633,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
             break
         pos += 2 + seg_len
     if progressive and coefs is not None:
-        return _finish_progressive(coefs, comps, qtabs, w, h, geom)
+        return _finish_coefficients(coefs, comps, qtabs, w, h, geom)
     raise ImageCodecError("JPEG SOS marker not found")
 
 
@@ -803,9 +803,10 @@ def _decode_prog_ac(
                     eobrun -= 1
 
 
-def _finish_progressive(coefs, comps, qtabs, w, h, geom):
-    """Dequantize accumulated coefficients and run one batched IDCT per
-    component, then reuse the shared plane assembly."""
+def _finish_coefficients(coefs, comps, qtabs, w, h, geom):
+    """Shared decode finisher (baseline AND progressive): dequantize
+    the accumulated zigzag coefficients and run ONE batched IDCT per
+    component, then the shared plane assembly."""
     hmax, vmax, _mcux, _mcuy = geom
     planes = []
     for ci, (_cid, _ch, _cv, tq) in enumerate(comps):
@@ -827,12 +828,14 @@ def _decode_scan(
         raise ImageCodecError("unsupported JPEG sampling factors")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    # per-component block grids (blocks across the padded image)
-    planes = []
-    for _cid, ch, cv, _tq in comps:
-        planes.append(
-            np.zeros((mcuy * cv, mcux * ch, 8, 8), dtype=np.float64)
-        )
+    # Entropy-decode into per-component zigzag coefficient grids; the
+    # dequant + IDCT runs afterwards as ONE batched einsum per
+    # component (shared with the progressive finisher) instead of a
+    # small matmul per 8x8 block — the Python-loop part stays minimal.
+    coefs = [
+        np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+        for _cid, ch, cv, _tq in comps
+    ]
     br = _BitReader(data, pos)
     preds = [0] * len(comps)
     mcu_i = 0
@@ -843,17 +846,17 @@ def _decode_scan(
                 preds = [0] * len(comps)
             for si, (ci, tdc, tac) in enumerate(scan):
                 _cid, ch, cv, tq = comps[ci]
-                q = qtabs[tq]
+                ac_tab = htabs[(1, tac)]
                 for by in range(cv):
                     for bx in range(ch):
-                        zz = np.zeros(64, dtype=np.int64)
+                        zz = coefs[ci][my * cv + by, mx * ch + bx]
                         s = _decode_dc_size(br, htabs[(0, tdc)])
                         diff = _extend(br.read_bits(s), s)
                         preds[si] += diff
                         zz[0] = preds[si]
                         k = 1
                         while k < 64:
-                            rs = _decode_huff_symbol(br, htabs[(1, tac)])
+                            rs = _decode_huff_symbol(br, ac_tab)
                             r, s = rs >> 4, rs & 0xF
                             if s == 0:
                                 if r == 15:
@@ -865,14 +868,8 @@ def _decode_scan(
                                 raise ImageCodecError("JPEG AC index overflow")
                             zz[k] = _extend(br.read_bits(s), s)
                             k += 1
-                        blk = np.zeros(64, dtype=np.float64)
-                        blk[ZIGZAG] = (zz * q).astype(np.float64)
-                        blk = blk.reshape(8, 8)
-                        planes[ci][my * cv + by, mx * ch + bx] = (
-                            _DCT_C.T @ blk @ _DCT_C
-                        )
             mcu_i += 1
-    return _finish_planes(planes, comps, w, h, hmax, vmax)
+    return _finish_coefficients(coefs, comps, qtabs, w, h, (hmax, vmax, mcux, mcuy))
 
 
 def _finish_planes(planes, comps, w, h, hmax, vmax) -> np.ndarray:
