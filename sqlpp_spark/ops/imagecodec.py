@@ -358,17 +358,27 @@ def _huff_codes(bits, vals):
 
 
 def _huff_decode_table(bits, vals):
-    """(size, code) → symbol map for sequential decoding."""
-    out = {}
+    """Flat 16-bit-prefix LUT: (symbol_array, length_array). JPEG codes
+    are ≤ 16 bits, so every 16-bit window resolves its leading code in
+    ONE table probe instead of a dict lookup per bit — the entropy loop
+    is the Python-side bottleneck of decode, and this is the standard
+    fast path. Unassigned prefixes hold symbol -1 (invalid code)."""
+    sym = np.full(1 << 16, -1, dtype=np.int32)
+    ln = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
     for size in range(1, 17):
         for _ in range(bits[size - 1]):
-            out[(size, code)] = vals[k]
+            lo = code << (16 - size)
+            hi = lo + (1 << (16 - size))
+            sym[lo:hi] = vals[k]
+            ln[lo:hi] = size
             code += 1
             k += 1
         code <<= 1
-    return out
+    # plain Python lists: C-array indexing beats numpy scalar access
+    # in the per-symbol hot loop
+    return sym.tolist(), ln.tolist()
 
 
 # orthonormal 8x8 DCT-II basis: forward F = C @ b @ C.T, inverse C.T @ F @ C
@@ -392,24 +402,32 @@ class _BitReader:
         self.marker = None  # set when a non-stuffing marker is hit
 
     def _fill(self) -> None:
-        if self.pos >= len(self.data):  # truncated stream: zero-pad
+        """Load at least 8 more bits. Marker-free stretches batch-load
+        up to 8 bytes in one int.from_bytes (the hot path); 0xFF bytes
+        fall back to byte-at-a-time stuffing/marker handling."""
+        data, pos, n = self.data, self.pos, len(self.data)
+        if pos >= n:  # truncated stream: zero-pad
             self.bitbuf <<= 8
             self.nbits += 8
             return
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
-            if nxt == 0x00:
-                self.pos += 2  # stuffed 0xFF literal
-            else:
-                self.marker = nxt  # RSTn / EOI / next segment
-                b = 0  # pad with zero bits past the marker
-                self.bitbuf = (self.bitbuf << 8) | b
-                self.nbits += 8
-                return
+        b = data[pos]
+        if b != 0xFF:
+            end = data.find(0xFF, pos + 1, pos + 8)
+            if end == -1:
+                end = min(pos + 8, n)
+            chunk = data[pos:end]
+            self.pos = end
+            nb = 8 * len(chunk)
+            self.bitbuf = (self.bitbuf << nb) | int.from_bytes(chunk, "big")
+            self.nbits += nb
+            return
+        nxt = data[pos + 1] if pos + 1 < n else 0xD9
+        if nxt == 0x00:
+            self.pos += 2  # stuffed 0xFF literal
+            self.bitbuf = (self.bitbuf << 8) | 0xFF
         else:
-            self.pos += 1
-        self.bitbuf = (self.bitbuf << 8) | b
+            self.marker = nxt  # RSTn / EOI / next segment
+            self.bitbuf <<= 8  # pad with zero bits past the marker
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -422,10 +440,25 @@ class _BitReader:
         return bit
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n <= 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+        self.bitbuf &= (1 << self.nbits) - 1
         return v
+
+    def peek16(self) -> int:
+        """Next 16 bits WITHOUT consuming (zero-padded past markers /
+        stream end, same as read_bit's fill) — feeds the Huffman LUT."""
+        while self.nbits < 16:
+            self._fill()
+        return (self.bitbuf >> (self.nbits - 16)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        self.nbits -= n
+        self.bitbuf &= (1 << self.nbits) - 1
 
     def byte_align(self) -> None:
         self.bitbuf = 0
@@ -468,13 +501,14 @@ class _BitReader:
 
 
 def _decode_huff_symbol(br: _BitReader, table) -> int:
-    code = 0
-    for size in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((size, code))
-        if sym is not None:
-            return sym
-    raise ImageCodecError("invalid JPEG Huffman code")
+    sym_arr, len_arr = table
+    v = br.peek16()
+    s = sym_arr[v]
+    if s < 0:
+        raise ImageCodecError("invalid JPEG Huffman code")
+    br.nbits -= len_arr[v]
+    br.bitbuf &= (1 << br.nbits) - 1
+    return s
 
 
 def _decode_dc_size(br: _BitReader, table) -> int:
