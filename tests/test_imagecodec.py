@@ -278,6 +278,30 @@ def test_progressive_eob_runs_exercised():
     assert np.array_equal(base, decode_jpeg(data))
 
 
+def test_progressive_per_component_dc_scans():
+    """DC scans may be NON-interleaved (one component per SOS): with
+    4:2:0 chroma the per-component block raster differs from the
+    MCU-padded grid, so this pins the decoder's single-component DC
+    path (and its _comp_block_dims arithmetic) against baseline."""
+    from sqlpp_spark.ops.imagecodec import encode_jpeg_progressive
+
+    img = _gradient(21, 37)
+    scans = [
+        ([0], 0, 0, 0, 0),   # per-component DC, no point transform
+        ([1], 0, 0, 0, 0),
+        ([2], 0, 0, 0, 0),
+        ([0], 1, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+    ]
+    for sub in ("444", "420"):
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=85, subsampling=sub, scans=scans)
+        )
+        assert np.array_equal(base, prog), sub
+
+
 def test_progressive_restart_intervals():
     from sqlpp_spark.ops.imagecodec import encode_jpeg_progressive
 

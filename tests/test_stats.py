@@ -94,3 +94,37 @@ def test_hist_quantile_no_row_sort_in_plan(spark, sf_dir):
     # The partial (map-side) hash aggregate over (lang, n_chars) must
     # exist before any exchange — that is what bounds the shuffle.
     assert "HashAggregate" in plan
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.one_of(
+                    st.none(),
+                    st.integers(-50, 50).map(float),
+                    st.floats(-1e6, 1e6, allow_nan=False),
+                ),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def test_hist_quantile_property(spark, data):
+        """Random groups/values (ties, negatives, nulls, mixed
+        magnitudes): histogram quantiles stay bit-equal to
+        F.percentile."""
+        df = spark.createDataFrame(data, "g string, v double")
+        got = quantile_cont_hist(df, ["g"], "v", PS, NAMES)
+        _assert_bit_equal(got, _reference(df, "g", "v"), "g")
+except ImportError:  # pragma: no cover
+    pass
