@@ -759,6 +759,9 @@ def pmi_bigrams(
     return (
         scored.orderBy(F.col("lift").desc(), F.col("ngram").asc())
         .limit(top_k)
+        # global-order window runs AFTER limit(top_k): its input is k
+        # rows (driver-bounded), so the single-partition WindowExec is
+        # deliberate, not a scale hazard
         .withColumn("rank", F.row_number().over(
             W.orderBy(F.col("lift").desc(), F.col("ngram").asc())
         ).cast("bigint"))
@@ -804,6 +807,7 @@ def bpe_merge_candidates(
     return (
         counts.orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(top_k)
+        # k-row input after limit: single-partition window is deliberate
         .withColumn(
             "rank",
             F.row_number()

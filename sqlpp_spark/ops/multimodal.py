@@ -29,6 +29,8 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from sqlpp_spark.ops import ensure_parallelism
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -106,7 +108,7 @@ def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["payload"].append(IC.encode_png(img))
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(gen, schema)
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
 
 
 def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -143,7 +145,7 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(gen, schema)
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
 
 
 def _u16_bytes(c):
@@ -267,7 +269,9 @@ def decode_image(df: DataFrame, fallback: bool = True) -> DataFrame:
                 out["decoded"].append(dec)
             yield pd.DataFrame(out)
 
-    return df.select("media_id", "payload").mapInPandas(decode_batches, FEATURE_SCHEMA)
+    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
+        decode_batches, FEATURE_SCHEMA
+    )
 
 
 def fake_decode(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
@@ -303,7 +307,9 @@ def fake_decode(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
                 out["decoded"].append(dec)
             yield pd.DataFrame(out)
 
-    return df.select("media_id", "payload").mapInPandas(decode_batches, FEATURE_SCHEMA)
+    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
+        decode_batches, FEATURE_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = (
@@ -392,7 +398,7 @@ def resize_images(
                 out["resized"].append(resized)
             yield pd.DataFrame(out)
 
-    return df.select("media_id", "payload").mapInPandas(
+    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
         resize_batches, RESIZED_SCHEMA
     )
 
@@ -507,7 +513,9 @@ def synthesize_wave_formula(
                 out["payload"].append(buf.getvalue())
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(synth, "media_id long, payload binary")
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        synth, "media_id long, payload binary"
+    )
 
 
 def decode_audio(df: DataFrame, fallback: bool = True) -> DataFrame:
@@ -590,4 +598,6 @@ def decode_audio(df: DataFrame, fallback: bool = True) -> DataFrame:
                 out["decoded"].append(dec)
             yield pd.DataFrame(out)
 
-    return df.select("media_id", "payload").mapInPandas(decode, AUDIO_SCHEMA)
+    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
+        decode, AUDIO_SCHEMA
+    )

@@ -126,7 +126,11 @@ def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank functions (rank/dense_rank/percent_rank/cume_dist) order by
     the value alone so ties produce identical outputs on both engines.
     percent_rank/cume_dist are single divisions of exact integer
-    counts — bit-equal unrounded."""
+    counts — bit-equal unrounded. Scale note: a GLOBAL rank is a total
+    order by definition — the single-partition window here operates on
+    the per-customer aggregate (|customers| rows, not the fact table);
+    at 100 TB one would segment ranks by a partition key or accept the
+    aggregate-sized sort, exactly as in any engine."""
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC2)).cast("double").alias("spend")

@@ -8,12 +8,13 @@ batch DataFrame, so the driver's correctness gate exercises the
 streaming engine itself; the oracle is the equivalent batch SQL (a
 completed bounded stream must agree with the batch computation).
 
-Multimodal entries are oracled wherever the payloads can be built
-with CLOSED-FORM pixels (decode, resize, metadata-prune: DuckDB
-recomputes exact geometry and pixel means from the generating
-formula). Only ``multimodal_features`` (crc32-derived mixed-format
-corpus) and ``multimodal_audio_features`` (libm-sin sample synthesis,
-not bit-portable across engines) remain rows-only by nature.
+Multimodal entries are oracled via CLOSED-FORM payloads (mixed-format
+decode, resize, metadata-prune, integer-waveform audio: DuckDB
+recomputes exact geometry, pixel means, sample energy and zero
+crossings from the generating formulas). Only
+``multimodal_audio_features`` (libm-sin sample synthesis, not
+bit-portable across engines) remains rows-only, with the oracled
+``multimodal_audio_decode_oracle`` as its exact-decode twin.
 """
 
 from __future__ import annotations
@@ -485,6 +486,7 @@ def multimodal_png_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_jpeg_decode_oracle",
+    headline=True,  # the binary-decode perf row: mapInPandas fan-out
     oracle="""
 SELECT doc_id AS media_id,
        CAST(doc_id % 13 + 9 AS INT) AS width,
