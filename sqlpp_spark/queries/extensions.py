@@ -392,6 +392,43 @@ def multimodal_metadata_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id % 9000 + 500 AS dur FROM documents
+)
+SELECT media_id,
+       CAST(f.i AS BIGINT) AS frame_idx,
+       CAST(f.i * 1000 AS BIGINT) AS frame_ms
+FROM m,
+     LATERAL (
+       SELECT unnest(generate_series(
+         0, greatest(CAST(floor(dur / 1000.0) AS BIGINT) - 1, 0))) AS i
+     ) f
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling PLAN (metadata-only, pre-decode): explode
+    the frame indices a decoder would extract at 1 fps from each
+    clip's duration — the pruning stage that keeps an actual video
+    decoder from touching frames nobody asked for. Pure
+    explode(sequence(...)) over typed metadata, zero Python; the
+    oracle recomputes the index set from the closed-form durations."""
+    from sqlpp_spark.ops.multimodal import frame_sample_indices
+
+    d = table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 9000 + 500).cast("long").alias("duration_ms"),
+    )
+    return frame_sample_indices(media, every_ms=1000).select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("frame_ms").cast("bigint").alias("frame_ms"),
+    )
+
+
+@register(
     "multimodal_audio_decode_oracle",
     oracle="""
 WITH p AS (
