@@ -128,3 +128,24 @@ try:
         _assert_bit_equal(got, _reference(df, "g", "v"), "g")
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_hist_quantile_multiple_group_cols(spark):
+    """group_cols is a LIST — two-key grouping must work and match the
+    reference per composite group."""
+    rows = [
+        ("a", 1, 1.0), ("a", 1, 3.0), ("a", 2, 5.0),
+        ("b", 1, 2.0), ("b", 1, 4.0), ("b", 2, 9.0), ("b", 2, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "g1 string, g2 int, v double")
+    got = {
+        (r.g1, r.g2): r.p50
+        for r in quantile_cont_hist(df, ["g1", "g2"], "v", [0.5], ["p50"]).collect()
+    }
+    exp = {
+        (r.g1, r.g2): r.p50
+        for r in df.groupBy("g1", "g2")
+        .agg(F.percentile("v", F.lit(0.5)).alias("p50"))
+        .collect()
+    }
+    assert got == exp
