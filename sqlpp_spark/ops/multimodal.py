@@ -111,20 +111,30 @@ def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
 
 
-def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """REAL baseline-JPEG payloads (4:2:0) per doc: a w×h RGB gradient
-    with w = doc_id%13+9, h = doc_id%11+9, encoded by the pure-numpy
-    codec in mapInPandas. JPEG is lossy so the decoded mean is not
-    SQL-recomputable, but the decoded GEOMETRY and the decode-success
-    flag are — a hash-green oracle row proves the Huffman+IDCT decode
-    path runs and recovers exact dimensions."""
+def synthesize_jpeg_media(
+    df: DataFrame, id_col: str = "doc_id", family: str = "mixed",
+) -> DataFrame:
+    """REAL JPEG payloads per doc: a w×h RGB gradient with
+    w = doc_id%13+9, h = doc_id%11+9, encoded by the pure-numpy codec
+    in mapInPandas. ``family``: "baseline", "progressive", or "mixed"
+    (default — coding family by id parity, subsampling rotating
+    through 4:2:0/4:2:2/4:4:4 by id mod 3, so ONE corpus exercises
+    every decode path the codec ships, including SOF2 spectral
+    selection + successive approximation). JPEG is lossy so the
+    decoded mean is not SQL-recomputable, but the decoded GEOMETRY and
+    the decode-success flag are — a hash-green oracle row proves the
+    corresponding entropy-decode paths run and recover exact
+    dimensions."""
     import numpy as np
 
     from sqlpp_spark.ops import imagecodec as IC
 
+    if family not in ("baseline", "progressive", "mixed"):
+        raise ValueError(f"unknown JPEG family {family!r}")
     schema = "media_id long, payload binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        subs = ("420", "422", "444")
         for pdf in batches:
             out = {"media_id": [], "payload": []}
             for did in pdf[id_col]:
@@ -139,10 +149,13 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     ],
                     axis=-1,
                 ).astype(np.uint8)
-                out["media_id"].append(did)
-                out["payload"].append(
-                    IC.encode_jpeg(img, quality=85, subsampling="420")
+                prog = family == "progressive" or (
+                    family == "mixed" and did % 2 == 1
                 )
+                sub = subs[did % 3] if family == "mixed" else "420"
+                enc = IC.encode_jpeg_progressive if prog else IC.encode_jpeg
+                out["media_id"].append(did)
+                out["payload"].append(enc(img, quality=85, subsampling=sub))
             yield pd.DataFrame(out)
 
     return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)

@@ -534,12 +534,14 @@ FROM documents
 """,
 )
 def multimodal_jpeg_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORACLED baseline-JPEG decode: real 4:2:0 JPEG payloads (pure-
-    numpy encoder) decode back through the pure-numpy Huffman+IDCT
-    path; JPEG is lossy so only the deterministic outputs project —
-    geometry and the decode-success flag. decoded=1 holds ONLY if the
-    full entropy decode succeeded (header-only parsing reports false),
-    so a hash-green row certifies real JPEG pixel decode driver-side."""
+    """ORACLED JPEG decode over a MIXED corpus: baseline AND
+    progressive (SOF2) payloads by id parity, subsampling rotating
+    4:2:0/4:2:2/4:4:4 — one corpus walks every entropy-decode path the
+    codec ships. JPEG is lossy so only the deterministic outputs
+    project — geometry and the decode-success flag. decoded=1 holds
+    ONLY if the full entropy decode succeeded (header-only parsing
+    reports false), so a hash-green row certifies real baseline AND
+    progressive pixel decode driver-side."""
     from sqlpp_spark.ops.multimodal import decode_image, synthesize_jpeg_media
 
     d = table(spark, sf_dir, "documents")
