@@ -332,3 +332,18 @@ def test_boilerplate_filter_anti_join_no_window(spark, sf_dir):
     p = plan_of(spark, sf_dir, "text_boilerplate_filter")
     assert "LeftAnti" in p
     assert "Window" not in p
+
+
+def test_multimodal_decode_stage_parallelism(spark, sf_dir):
+    """The binary decode stage must fan out across executor cores even
+    when the input is a tiny single-file scan (1-3 natural splits):
+    ensure_parallelism guards every multimodal mapInPandas entry. A
+    1-partition Python decode stage on a 32-core executor — or a
+    1000-executor cluster — silently serializes the corpus."""
+    from sqlpp_spark.ops.multimodal import synthesize_png_media
+    from sqlpp_spark.sources.tables import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    media = synthesize_png_media(d)
+    target = spark.sparkContext.defaultParallelism
+    assert media.rdd.getNumPartitions() >= min(target, d.count())
