@@ -38,6 +38,7 @@ has no multimodal support; this is the brief's net-new requirement.
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
@@ -362,7 +363,21 @@ def _huff_decode_table(bits, vals):
     are ≤ 16 bits, so every 16-bit window resolves its leading code in
     ONE table probe instead of a dict lookup per bit — the entropy loop
     is the Python-side bottleneck of decode, and this is the standard
-    fast path. Unassigned prefixes hold symbol -1 (invalid code)."""
+    fast path. Unassigned prefixes hold symbol -1 (invalid code).
+
+    Cached per (bits, vals): a decode corpus repeats the same handful
+    of tables (Annex K), so repeated builds cost nothing. Progressive
+    streams carry one OPTIMAL table per scan — never a cache hit — so
+    the build itself is kept cheap too: the LUTs are array('i') C-int
+    buffers filled with one frombytes bulk copy (~30× faster than
+    .tolist()) while scalar indexing stays list-speed."""
+    return _huff_decode_table_cached(bytes(bits), bytes(vals))
+
+
+@functools.lru_cache(maxsize=256)
+def _huff_decode_table_cached(bits: bytes, vals: bytes):
+    from array import array
+
     sym = np.full(1 << 16, -1, dtype=np.int32)
     ln = np.zeros(1 << 16, dtype=np.int32)
     code = 0
@@ -376,9 +391,11 @@ def _huff_decode_table(bits, vals):
             code += 1
             k += 1
         code <<= 1
-    # plain Python lists: C-array indexing beats numpy scalar access
-    # in the per-symbol hot loop
-    return sym.tolist(), ln.tolist()
+    sym_a = array("i")
+    sym_a.frombytes(sym.tobytes())
+    ln_a = array("i")
+    ln_a.frombytes(ln.tobytes())
+    return sym_a, ln_a
 
 
 # orthonormal 8x8 DCT-II basis: forward F = C @ b @ C.T, inverse C.T @ F @ C
@@ -455,10 +472,6 @@ class _BitReader:
         while self.nbits < 16:
             self._fill()
         return (self.bitbuf >> (self.nbits - 16)) & 0xFFFF
-
-    def consume(self, n: int) -> None:
-        self.nbits -= n
-        self.bitbuf &= (1 << self.nbits) - 1
 
     def byte_align(self) -> None:
         self.bitbuf = 0
@@ -567,7 +580,8 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if data[:3] != JPEG_SIGNATURE:
         raise ImageCodecError("not a JPEG")
     qtabs: dict[int, np.ndarray] = {}
-    htabs: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    # (class 0=DC/1=AC, id) -> (symbol_list, length_list) 16-bit LUT
+    htabs: dict[tuple[int, int], tuple] = {}
     comps = None  # list of (cid, h, v, tq)
     w = h = None
     restart_interval = 0

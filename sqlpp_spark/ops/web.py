@@ -160,16 +160,25 @@ _PSL2 = (
 )
 
 
+# IPv4 literal: label arithmetic must not apply (1.2.3.4 and 5.6.3.4
+# would otherwise collapse into one '3.4' quota key)
+_IPV4_RE = r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$"
+
+
 def registrable_domain(host: Column) -> Column:
     """eTLD+1 of a (lowercased) host: the last two labels, or three
     when the last two form a multi-label public suffix (PSL-lite).
-    Pure ``substring_index`` arithmetic — scan stage, no UDF, no join.
-    A host with fewer labels than needed resolves to itself (both
-    Spark's substring_index and DuckDB's list_slice clamp)."""
+    IP-literal hosts are their own registrable domain (no label
+    arithmetic — real PSL implementations special-case IPs). Pure
+    ``substring_index``/regexp arithmetic — scan stage, no UDF, no
+    join. A host with fewer labels than needed resolves to itself
+    (both Spark's substring_index and DuckDB's list_slice clamp)."""
     last2 = F.substring_index(host, ".", -2)
-    return F.when(
-        last2.isin(*_PSL2), F.substring_index(host, ".", -3)
-    ).otherwise(last2)
+    return (
+        F.when(host.rlike(_IPV4_RE), host)
+        .when(last2.isin(*_PSL2), F.substring_index(host, ".", -3))
+        .otherwise(last2)
+    )
 
 
 def registrable_domain_sql(host: str) -> str:
@@ -178,7 +187,10 @@ def registrable_domain_sql(host: str) -> str:
     last2 = f"array_to_string(list_slice(string_split({host}, '.'), -2, -1), '.')"
     last3 = f"array_to_string(list_slice(string_split({host}, '.'), -3, -1), '.')"
     vals = ", ".join(f"'{s}'" for s in _PSL2)
-    return f"(CASE WHEN {last2} IN ({vals}) THEN {last3} ELSE {last2} END)"
+    return (
+        f"(CASE WHEN regexp_matches({host}, '{_IPV4_RE}') THEN {host} "
+        f"WHEN {last2} IN ({vals}) THEN {last3} ELSE {last2} END)"
+    )
 
 
 def dedup_by_url(

@@ -323,6 +323,7 @@ def test_registrable_domain_matches_duckdb_twin(spark):
         "a.b.example.co.uk", "example.co.uk", "co.uk", "uk",
         "deep.sub.example.com", "example.com", "com", "",
         "www.gov.uk", "x.com.au", "only-label", "a.b.c.d.e.org",
+        "1.2.3.4", "5.6.3.4", "192.168.0.1",
     ]
     df = spark.createDataFrame([(h,) for h in hosts], "host string")
     got = {r.host: r.rd for r in
@@ -340,6 +341,9 @@ def test_registrable_domain_matches_duckdb_twin(spark):
     assert got["deep.sub.example.com"] == "example.com"
     # gov.uk is itself a public suffix -> www.gov.uk IS an eTLD+1
     assert got["www.gov.uk"] == "www.gov.uk"
+    # IP literals keep the full host: distinct IPs never share a quota
+    assert got["1.2.3.4"] == "1.2.3.4"
+    assert got["5.6.3.4"] == "5.6.3.4"
 
 
 def test_domain_cap_resists_subdomain_evasion(spark):
