@@ -374,7 +374,10 @@ def _huff_decode_table(bits, vals):
     return _huff_decode_table_cached(bytes(bits), bytes(vals))
 
 
-@functools.lru_cache(maxsize=256)
+# 512 KB per entry (two 65536×int32 buffers): 64 entries caps the
+# cache at ~32 MB per executor process — far above the handful of
+# standard tables that actually repeat, far below memory that matters.
+@functools.lru_cache(maxsize=64)
 def _huff_decode_table_cached(bits: bytes, vals: bytes):
     from array import array
 
