@@ -50,7 +50,7 @@ def _previous_round_queries() -> tuple[int | None, set[str]]:
         try:
             with open(path) as f:
                 doc = json.load(f)
-            q = doc.get("parsed", doc).get("queries") or {}
+            q = (doc.get("parsed") or doc).get("queries") or {}
             if q:
                 best_n, names = n, set(q)
         except Exception:
@@ -142,8 +142,20 @@ def main() -> None:
         out["shared_subtotal"] = round(sum(timings[n] for n in shared), 4)
         out["shared_with_round"] = prev_round
         out["shared_queries"] = shared
-    print(json.dumps(out))
+    # The driver captures a bounded tail of stdout; round 7's record was
+    # lost when Spark's console-progress \r spam pushed the JSON line out
+    # of the window ("parsed": null). Three defenses: console progress is
+    # disabled in get_spark(), the session is stopped BEFORE printing so
+    # no JVM shutdown chatter can follow the record, and the same object
+    # is written to BENCH_LOCAL.json so the record never depends on tail
+    # capture at all.
+    line = json.dumps(out, separators=(",", ":"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        f.write(line + "\n")
     spark.stop()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

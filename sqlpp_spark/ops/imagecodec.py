@@ -482,12 +482,15 @@ class _BitReader:
 
     def skip_marker(self) -> int:
         """Consume the pending marker (positions past 0xFF xx)."""
-        m = self.marker
         self.marker = None
         # find the marker bytes from current pos (we never advanced past)
         i = self.data.index(b"\xff", self.pos)
         while self.data[i + 1] == 0xFF:
             i += 1
+        # Return the marker actually found after any 0xFF fill bytes
+        # (T.81 B.1.1.2 allows them), not the cached value: _fill caches
+        # 0xFF when it sees 0xFF 0xFF, which is a fill byte, not a code.
+        m = self.data[i + 1]
         self.pos = i + 2
         self.byte_align()
         return m
@@ -533,7 +536,7 @@ def _decode_dc_size(br: _BitReader, table) -> int:
     Huffman table could otherwise demand hundreds of magnitude bits
     and blow the coefficient out of int range."""
     s = _decode_huff_symbol(br, table)
-    if s > 16:
+    if s > 11:
         raise ImageCodecError(f"invalid JPEG DC magnitude category {s}")
     return s
 

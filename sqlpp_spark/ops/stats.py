@@ -46,6 +46,7 @@ def quantile_cont_hist(
     percentiles: Sequence[float],
     out_names: Sequence[str],
     count_name: str | None = None,
+    max_distinct: int | None = None,
 ) -> DataFrame:
     """Exact per-group quantiles via value histogram.
 
@@ -54,12 +55,26 @@ def quantile_cont_hist(
     non-null value — same as ``percentile``). Rows with a null value
     count toward ``count_name`` (COUNT(*) semantics) but are excluded
     from the quantile index, matching aggregate-null semantics.
+
+    The histogram is keyed on the NATIVE value (cast to double only in
+    the interpolation arithmetic), so bigint domains with |v| > 2^53
+    keep exact per-value counts instead of collapsing nearby longs
+    into one double bucket. Interpolated OUTPUT is still a double —
+    matching ``F.percentile`` / ``quantile_cont``, whose results are
+    doubles — so the usual < 2^53 caveat applies to the returned
+    quantile value itself, not to which rows it was computed from.
+
+    ``max_distinct`` guards the bounded-domain precondition at runtime:
+    when set, any group whose histogram exceeds that many distinct
+    values fails the job (a plan-side ``assert_true``, no extra action)
+    instead of silently inflating the shuffle. For genuinely unbounded
+    continuous domains, quantize first or use ``approx_percentile``.
     """
     if len(percentiles) != len(out_names):
         raise ValueError("percentiles and out_names must align")
     gcols = list(group_cols)
     v = F.col(value_col) if isinstance(value_col, str) else value_col
-    hist = df.groupBy(*gcols, v.cast("double").alias("__v")).agg(
+    hist = df.groupBy(*gcols, v.alias("__v")).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
     # Nulls sort first so the cumulative count over non-null rows
@@ -75,6 +90,29 @@ def quantile_cont_hist(
         hist.withColumn("__cum", F.sum(cnt_nn).over(w_cum))
         .withColumn("__n", F.sum(cnt_nn).over(w_all))
     )
+    if max_distinct is not None:
+        # count() over the unordered full-group window counts histogram
+        # rows = distinct values in the group. assert_true returns null
+        # when the bound holds (so the filter keeps every row) and
+        # raises at execution time when it doesn't — a lazy, fully
+        # distributed guard that Catalyst cannot prune away.
+        h = (
+            h.withColumn("__nd", F.count(F.col("__v")).over(w_all))
+            .where(
+                F.assert_true(
+                    F.col("__nd") <= F.lit(int(max_distinct)),
+                    F.concat(
+                        F.lit(
+                            "quantile_cont_hist: group exceeds max_distinct="
+                            f"{int(max_distinct)} distinct values ("
+                        ),
+                        F.col("__nd").cast("string"),
+                        F.lit("); quantize the column or use approx_percentile"),
+                    ),
+                ).isNull()
+            )
+            .drop("__nd")
+        )
     aggs: list[Column] = []
     if count_name is not None:
         aggs.append(F.sum("__cnt").cast("bigint").alias(count_name))
@@ -87,8 +125,11 @@ def quantile_cont_hist(
         in_range = lambda idx: (  # noqa: E731 — row covers index iff
             ((F.col("__cum") - F.col("__cnt")) <= idx) & (idx < F.col("__cum"))
         )
-        v_lo = F.max(F.when(in_range(lo) & F.col("__v").isNotNull(), F.col("__v")))
-        v_hi = F.max(F.when(in_range(hi) & F.col("__v").isNotNull(), F.col("__v")))
+        # Cast to double HERE (not in the histogram key): the engine
+        # formula and its output type are double either way.
+        vd = F.col("__v").cast("double")
+        v_lo = F.max(F.when(in_range(lo) & F.col("__v").isNotNull(), vd))
+        v_hi = F.max(F.when(in_range(hi) & F.col("__v").isNotNull(), vd))
         # Bit-for-bit the engine formula (Spark Percentile /
         # DuckDB quantile_cont): no interpolation when pos is integral,
         # else (hi - pos)·v_lo + (pos - lo)·v_hi — NOT the algebraic

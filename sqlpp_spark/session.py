@@ -57,6 +57,9 @@ def get_spark(app_name: str = "sqlpp_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # No \r progress-bar spam on stdout: the bench's one-line JSON
+        # record must be the last thing a tail-capture sees.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # driver fixtures store events.ts as TIMESTAMP(NANOS); read as
         # long and convert in sources/tables.py

@@ -469,3 +469,36 @@ if HAS_HYPOTHESIS:
                 assert out.shape[2] in (1, 3)
             except ImageCodecError:
                 pass
+
+
+def test_jpeg_fill_bytes_before_restart_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker. Foreign encoders pad restart markers this way; the decoder
+    must skip the padding and still validate/consume the RSTn (ADVICE
+    r7: skip_marker used to return the cached 0xFF instead of the real
+    marker found after the fill bytes)."""
+    img = _gradient(33, 47)
+    data = encode_jpeg(img, quality=90, subsampling="444", restart_interval=2)
+    ref = decode_jpeg(data)
+    # pad every restart marker in the entropy-coded segment (after SOS)
+    sos = data.index(b"\xff\xda")
+    head, scan = data[:sos], bytearray(data[sos:])
+    padded = bytearray()
+    i = 0
+    n_padded = 0
+    while i < len(scan):
+        if (
+            scan[i] == 0xFF
+            and i + 1 < len(scan)
+            and 0xD0 <= scan[i + 1] <= 0xD7
+        ):
+            padded += b"\xff\xff"  # two fill bytes before the marker
+            padded += scan[i : i + 2]
+            i += 2
+            n_padded += 1
+        else:
+            padded.append(scan[i])
+            i += 1
+    assert n_padded > 0, "fixture must actually contain restart markers"
+    out = decode_jpeg(bytes(head) + bytes(padded))
+    assert np.array_equal(out, ref)

@@ -149,3 +149,45 @@ def test_hist_quantile_multiple_group_cols(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_hist_quantile_max_distinct_guard(spark):
+    """A continuous double column (every value distinct) must trip the
+    max_distinct guard at execution time instead of silently building
+    an unbounded histogram; the same data under a generous bound works."""
+    import pytest
+
+    rows = [("g", float(i) * 1.000001) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    guarded = quantile_cont_hist(df, ["g"], "v", [0.5], ["p50"], max_distinct=50)
+    with pytest.raises(Exception, match="max_distinct"):
+        guarded.collect()
+    ok = quantile_cont_hist(df, ["g"], "v", [0.5], ["p50"], max_distinct=500)
+    exp = df.groupBy("g").agg(F.percentile("v", F.lit(0.5)).alias("p50"))
+    assert ok.collect()[0].p50 == exp.collect()[0].p50
+
+
+def test_hist_quantile_bigint_beyond_double_precision(spark):
+    """bigints with |v| > 2^53: the histogram keys on the NATIVE long,
+    so values that collapse to the same double stay distinct rows and
+    the quantile index counts them separately (ADVICE r7 fix). The
+    interpolated output is a double either way — compare against
+    F.percentile, which shares that output type."""
+    base = 1 << 55
+    # base, base+1, base+2, base+3 are 4 distinct longs but only 2
+    # distinct doubles (1-ulp spacing at 2^55 is 4)
+    rows = [("g", base + i) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = quantile_cont_hist(df, ["g"], "v", [0.0, 0.5, 1.0], ["p0", "p50", "p100"])
+    exp = df.groupBy("g").agg(
+        *[F.percentile("v", F.lit(p)).alias(n)
+          for p, n in zip([0.0, 0.5, 1.0], ["p0", "p50", "p100"])]
+    )
+    g, e = got.collect()[0], exp.collect()[0]
+    assert (g.p0, g.p50, g.p100) == (e.p0, e.p50, e.p100)
+    # and the histogram itself kept 4 distinct buckets: a double-keyed
+    # histogram would have merged to 2 and shifted the p50 index
+    hist_rows = (
+        df.groupBy("g", F.col("v").alias("val")).count().collect()
+    )
+    assert len(hist_rows) == 4

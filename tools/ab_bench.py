@@ -86,16 +86,27 @@ def main() -> None:
     print(f"\n{'query':34s} {'r5':>8s} {'head':>8s} {'ratio':>7s}")
     tot5 = toth = 0.0
     for q in SHARED_13:
-        a = min(samples["r5"].get(q, [float('nan')]))
-        b = min(samples["head"].get(q, [float('nan')]))
+        # A query absent from one side (e.g. the pinned checkout never
+        # registered it) is recorded as null, excluded from the
+        # subtotal, and never becomes NaN — bare NaN is invalid JSON.
+        a_s, b_s = samples["r5"].get(q), samples["head"].get(q)
+        if not a_s or not b_s:
+            result["queries"][q] = {"r5": None, "head": None, "ratio": None,
+                                    "missing_from": [s for s, v in
+                                                     (("r5", a_s), ("head", b_s))
+                                                     if not v]}
+            print(f"{q:34s} {'--':>8s} {'--':>8s} {'--':>7s}")
+            continue
+        a, b = min(a_s), min(b_s)
         tot5 += a
         toth += b
         result["queries"][q] = {"r5": round(a, 4), "head": round(b, 4),
                                 "ratio": round(b / a, 3) if a else None}
         print(f"{q:34s} {a:8.3f} {b:8.3f} {b / a:7.2f}")
     result["subtotal"] = {"r5": round(tot5, 4), "head": round(toth, 4),
-                          "ratio": round(toth / tot5, 3)}
-    print(f"{'SUBTOTAL':34s} {tot5:8.3f} {toth:8.3f} {toth / tot5:7.2f}")
+                          "ratio": round(toth / tot5, 3) if tot5 else None}
+    if tot5:
+        print(f"{'SUBTOTAL':34s} {tot5:8.3f} {toth:8.3f} {toth / tot5:7.2f}")
     with open(os.path.join(REPO, "AB_BENCH.json"), "w") as f:
         json.dump(result, f, indent=1)
     print("wrote AB_BENCH.json")
