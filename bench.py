@@ -149,13 +149,19 @@ def main() -> None:
     # no JVM shutdown chatter can follow the record, and the same object
     # is written to BENCH_LOCAL.json so the record never depends on tail
     # capture at all.
-    line = json.dumps(out, separators=(",", ":"))
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
-        f.write(line + "\n")
+        f.write(json.dumps(out, separators=(",", ":")) + "\n")
+    # The printed line drops the per-query median/spread maps (they
+    # live in BENCH_LOCAL.json) so it stays well inside the driver's
+    # tail-capture window; everything the driver parses is present.
+    slim = {
+        k: v for k, v in out.items() if k not in ("median", "spread")
+    }
+    slim["median_total"] = round(sum(medians.values()), 4)
     spark.stop()
     sys.stderr.flush()
-    print(line, flush=True)
+    print(json.dumps(slim, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -205,9 +205,114 @@ def dedup_by_url(
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
 
 
+def psl_rules_df(spark, rules) -> DataFrame:
+    """Parse public-suffix-list rule lines (publicsuffix.org format)
+    into the frame ``with_registrable_domain`` consumes: one row per
+    rule with ``(suffix, kind)``, kind ∈ {rule, wildcard, exception}.
+    Comments (``//``) and blank lines are skipped, so a file's lines
+    can be passed verbatim. Only leading-``*`` wildcards are supported
+    (the only form the real PSL contains)."""
+    parsed = []
+    for line in rules:
+        r = line.strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        if r.startswith("!"):
+            parsed.append((r[1:], "exception"))
+        elif r.startswith("*."):
+            parsed.append((r[2:], "wildcard"))
+        elif "*" in r:
+            raise ValueError(f"unsupported wildcard position in PSL rule: {line!r}")
+        else:
+            parsed.append((r, "rule"))
+    return spark.createDataFrame(parsed, "suffix string, kind string")
+
+
+def with_registrable_domain(
+    df: DataFrame, host_col: str, psl: DataFrame, out_col: str,
+) -> DataFrame:
+    """Add ``out_col`` = eTLD+1 of ``host_col`` resolved against a
+    full public-suffix list — wildcard (``*.ck``) and exception
+    (``!www.ck``) rules included, per the publicsuffix.org algorithm
+    (exception rule prevails; else the matching rule with most labels;
+    else the implicit ``*`` default). ``psl`` is a ``psl_rules_df``
+    frame: (suffix, kind ∈ {rule, wildcard, exception}).
+
+    Scale shape mirrors ``filter_blocked_domains``: one broadcast
+    HASH left-join per distinct suffix label count in the list (the
+    real PSL has ≤ 5), each an O(1) probe per corpus row keyed on
+    ``substring_index(host, '.', -L)`` — no UDF, no shuffle of the
+    corpus, no nested loop. The tiny distinct-label-count enumeration
+    runs on the broadcast-sized PSL only.
+
+    Matched-rule → public-suffix label count: a plain rule of L labels
+    yields L; a wildcard whose base has L labels yields L+1 (the ``*``
+    consumes one host label, so it only applies when the host has
+    > L labels); an exception of L labels yields L-1. A host that IS
+    a public suffix (or an IPv4 literal) resolves to itself, same as
+    ``registrable_domain``."""
+    host = F.col(host_col)
+    rules = psl.select(
+        F.col("suffix"),
+        F.size(F.split(F.col("suffix"), r"\.")).alias("__nl"),
+        F.col("kind"),
+    )
+    # per (label-count, suffix): the public-suffix label count each
+    # kind would imply, pre-aggregated so the join key is unique
+    per_key = rules.groupBy("__nl", "suffix").agg(
+        F.min(F.when(F.col("kind") == "exception", F.col("__nl") - 1)).alias("__exc"),
+        F.max(
+            F.when(F.col("kind") == "rule", F.col("__nl")).when(
+                F.col("kind") == "wildcard", F.col("__nl") + 1
+            )
+        ).alias("__ps"),
+        F.max((F.col("kind") == "wildcard").cast("int")).alias("__wild"),
+    )
+    label_counts = sorted(r[0] for r in per_key.select("__nl").distinct().collect())
+    out = df.withColumn("__hn", F.size(F.split(host, r"\.")))
+    exc_cols, ps_cols = [], []
+    for n in label_counts:
+        p_n = F.broadcast(
+            per_key.filter(F.col("__nl") == n).select(
+                F.col("suffix").alias(f"__sfx{n}"),
+                F.col("__exc").alias(f"__exc{n}"),
+                F.col("__ps").alias(f"__ps{n}"),
+                F.col("__wild").alias(f"__wild{n}"),
+            )
+        )
+        out = out.join(
+            p_n, F.substring_index(host, ".", -n) == F.col(f"__sfx{n}"), "left"
+        )
+        exc_cols.append(F.col(f"__exc{n}"))
+        # a wildcard needs a host label for the '*' itself plus one
+        # more for the registrable part to exist beyond the suffix
+        ps_cols.append(
+            F.when(
+                (F.col(f"__wild{n}") == 1) & (F.col("__hn") <= n),
+                F.lit(None).cast("int"),
+            ).otherwise(F.col(f"__ps{n}"))
+        )
+    # exception prevails (most-labels first), else deepest match, else
+    # the implicit '*' default rule (public suffix = last label)
+    ps = F.coalesce(
+        *reversed(exc_cols), F.greatest(*ps_cols, F.lit(1))
+        if ps_cols
+        else F.lit(1),
+    )
+    take = F.least(F.col("__hn"), ps + F.lit(1))
+    rd = F.array_join(F.slice(F.split(host, r"\."), -take, take), ".")
+    out = out.withColumn(
+        out_col, F.when(host.rlike(_IPV4_RE), host).otherwise(rd)
+    )
+    drop = ["__hn"] + [
+        c for n in label_counts for c in (f"__sfx{n}", f"__exc{n}", f"__ps{n}", f"__wild{n}")
+    ]
+    return out.drop(*drop)
+
+
 def domain_cap(
     df: DataFrame, cap: int, url_col: str = "url", id_col: str = "doc_id",
-    salt: str = "s0", n_buckets: int = 64,
+    salt: str = "s0", n_buckets: int = 64, psl: DataFrame | None = None,
 ) -> DataFrame:
     """At most ``cap`` documents per REGISTRABLE domain (eTLD+1) — the
     per-domain quota every crawl corpus applies so no single site
@@ -217,12 +322,25 @@ def domain_cap(
     Deterministic salted-hash priority via the two-phase exact-k
     machinery (ops/corpus.exact_k_sample): no task ever sorts a whole
     domain's rows, picks are stable under corpus growth. Hosts are
-    lowercased so case variants of one domain share a quota."""
+    lowercased so case variants of one domain share a quota.
+
+    ``psl``: an optional ``psl_rules_df`` frame carrying a full public
+    suffix list (wildcard/exception rules, private suffixes like
+    github.io). When given, quotas key on the list-resolved eTLD+1 via
+    broadcast hash joins; the no-argument default stays the inlined
+    PSL-lite literals so the registered oracle remains UDF- and
+    join-free on both engines."""
     from sqlpp_spark.ops.corpus import exact_k_sample
 
-    with_host = df.withColumn(
-        "__host", registrable_domain(F.lower(url_domain(F.col(url_col))))
-    )
+    if psl is not None:
+        with_host = with_registrable_domain(
+            df.withColumn("__h0", F.lower(url_domain(F.col(url_col)))),
+            "__h0", psl, "__host",
+        ).drop("__h0")
+    else:
+        with_host = df.withColumn(
+            "__host", registrable_domain(F.lower(url_domain(F.col(url_col))))
+        )
     return exact_k_sample(
         with_host, k=cap, group_col="__host", key_col=id_col,
         salt=salt, n_buckets=n_buckets,
