@@ -671,11 +671,19 @@ class Analyzer:
                 if f2 is not None:
                     self._mark_used(r2, f2)
 
-    def _resolve_nav(self, ctx: SelectCtx, e: A.ENav) -> Tuple[A.Expr, Ty]:
+    def _resolve_nav(
+        self, ctx: SelectCtx, e: A.ENav, expand_alias: bool = True
+    ) -> Tuple[A.Expr, Ty]:
         head = e.scope
-        if head in ctx.aliases:
+        if expand_alias and head in ctx.aliases:
+            # Alias paths are pre-expanded at definition time (their
+            # head names a relation of THIS scope), so expand exactly
+            # once — a self-named alias (with-scope.t: `withscope x.z
+            # as x`) would otherwise re-expand forever.
             path = ctx.aliases[head]
-            return self._resolve_nav(ctx, _nav_chain(path, e.expr, e.loc))
+            return self._resolve_nav(
+                ctx, _nav_chain(path, e.expr, e.loc), expand_alias=False
+            )
         rel = ctx.rels.get(head)
         if rel is None:
             self.err(f"no such scope: {head}", e.loc)

@@ -699,3 +699,46 @@ def test_returning_stays_off_driver(todo_engine):
     assert "LocalTableScan" not in plan
     assert "parquet" in plan.lower()
     assert [r.id for r in ret.collect()] == [2]
+
+
+def test_bare_offset_executes(engine, duck):
+    """select-limit-offset.t: OFFSET without LIMIT compiles and runs
+    (df.offset with no limit node)."""
+    check(
+        engine, duck,
+        "select n_nationkey from nation order by n_nationkey offset 20",
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey OFFSET 20",
+    )
+
+
+def test_withscope_self_named_alias_executes(engine, duck):
+    """with-scope.t case 1 shape end-to-end: self-shadowing scope
+    aliases + aggregate navigation into a grouped subquery."""
+    check(
+        engine, duck,
+        """
+        select
+          withscope x.z as x,
+          withscope agg.y as agg,
+          x.n_nationkey,
+          agg.count(1)
+        from (
+          select withscope y.nation as z, ...
+          from (
+            select ...
+            from nation) as y) as x
+        join (
+          select ...
+          from (
+            select n_regionkey, ...
+            from nation
+            group by n_regionkey) as y
+        ) as agg
+        on x.n_regionkey = agg.y.n_regionkey
+        """,
+        """
+        SELECT n.n_nationkey, a.c FROM nation n
+        JOIN (SELECT n_regionkey, count(1) AS c FROM nation GROUP BY n_regionkey) a
+        ON n.n_regionkey = a.n_regionkey
+        """,
+    )

@@ -378,3 +378,190 @@ def test_ambiguous_column(env):
 def test_limit_type_checked(env):
     with pytest.raises(SqlppError, match="expected INT"):
         analyze(env, "select id from users limit 'x'")
+
+
+def test_withscope_self_named_alias_with_agg_nav(env):
+    """with-scope.t case 1: scope aliases that SHADOW the source alias
+    they navigate through (`withscope x.z as x`), plus aggregate
+    navigation into a grouped subquery. Previously infinite-recursed:
+    alias expansion must apply exactly once (paths are pre-expanded at
+    definition time, so the expanded head names a relation)."""
+    src = """
+    select
+      withscope x.z as x,
+      withscope agg.y as agg,
+      x.id,
+      agg.count(1)
+    from (
+      select withscope y.users as z, ...
+      from (
+        select ...
+        from users) as y) as x
+    join (
+      select ...
+      from (
+        select id, ...
+        from users
+        group by id) as y
+    ) as agg
+    on x.y.id = agg.y.id
+    """
+    assert row_sig(env, src) == [("id", "INT NOT NULL"), ("_1", "INT NOT NULL")]
+
+
+def test_withscope_chained_nested_aliases(env):
+    """with-scope.t case 3: `withscope <sub>.users as users` chained at
+    every nesting level — each level's alias shadows the table name and
+    forwards navigation one level deeper."""
+    src = """
+    select withscope x.users as users, users.name as name
+    from (
+      select withscope y.users as users, ... from (
+        select withscope z.users as users, ... from (select ... from users) as z) as y) as x
+    """
+    assert row_sig(env, src) == [("name", "STRING NULL")]
+
+
+# -- select-limit-offset.t ---------------------------------------------------
+
+
+def test_bare_offset_without_limit(env):
+    """select-limit-offset.t: OFFSET with no LIMIT is accepted (the
+    reference emits `... OFFSET 1` with no LIMIT clause)."""
+    assert row_sig(env, "select id from users offset 1") == [
+        ("id", "INT NOT NULL")
+    ]
+
+
+# -- cram coverage map (reference test/sqlpp/*.t -> tests here) --------------
+#
+#   infer.t                : test_select_lit_*, test_match_variant_param,
+#                            test_param_unification_goldens, duplicate-name
+#                            error test, + tests/test_type_lattice.py
+#                            (property-tested superset of the 9 pairwise
+#                            ?x unification goldens)
+#   group_by.t             : test_agg_without_group_by,
+#                            test_global_agg_group_by_unit,
+#                            test_nested_agg_error,
+#                            test_non_grouped_column_error, test_grouped_column_ok,
+#                            test_group_by_golden_shapes
+#   optional_fields.t      : test_with_field_*, test_optional_fields_goldens
+#   nested.t               : test_open_select_navigation (e2e),
+#                            test_nested_navigation_goldens
+#   with-scope.t           : test_withscope_alias, test_withscope_shadowing,
+#                            test_withscope_self_named_alias_with_agg_nav,
+#                            test_withscope_chained_nested_aliases
+#   fieldset.t             : test_fieldset_* (splice, lazy, alias, arity,
+#                            bad-arg)
+#   compose.t              : test_named_query_compose,
+#                            test_named_query_e2e (engine)
+#   expr-in.t / expr-exists.t : test_in_*, test_scalar_in, test_exists
+#   select-limit-offset.t  : test_limit_type_checked,
+#                            test_bare_offset_without_limit,
+#                            test_order_limit_offset (engine e2e)
+#   insert.t / update.t / delete.t : tests/test_engine_e2e.py DML tests
+#                            (INSERT VALUES/SELECT/SET/ON CONFLICT/
+#                            RETURNING, UPDATE [FROM], DELETE)
+
+
+def test_param_unification_goldens(env):
+    """infer.t parameter-unification goldens: the bind-time parameter
+    type is the glb across uses (NOT NULL wins); each USE keeps its own
+    written nullability in the row."""
+    cases = [
+        ("select ?x:int not null as x, ?x:int not null as y",
+         "INT NOT NULL", ["INT NOT NULL", "INT NOT NULL"]),
+        ("select ?x:int null as x, ?x:int null as y",
+         "INT NULL", ["INT NULL", "INT NULL"]),
+        ("select ?x:int null as x, ?x:int not null as y",
+         "INT NOT NULL", ["INT NULL", "INT NOT NULL"]),
+        ("select ?x:int as x, ?x:int null as y",
+         "INT NULL", ["INT NULL", "INT NULL"]),
+        ("select ?x:int not null as x, ?x:int as y",
+         "INT NOT NULL", ["INT NOT NULL", "INT NOT NULL"]),
+    ]
+    for src, bind_ty, row_tys in cases:
+        assert param_sig(env, src) == {"x": bind_ty}, src
+        assert [t for _, t in row_sig(env, src)] == row_tys, src
+
+
+def test_group_by_golden_shapes(env):
+    """group_by.t: grouped columns usable directly and inside further
+    expressions; non-grouped columns only under aggregates; grouping by
+    a complex expression admits structurally-equal uses."""
+    assert row_sig(env, "select count(1), id from users group by id") == [
+        ("_0", "INT NOT NULL"), ("id", "INT NOT NULL")]
+    assert row_sig(env, "select count(1), id + id from users group by id") == [
+        ("_0", "INT NOT NULL"), ("_1", "INT NOT NULL")]
+    assert row_sig(
+        env, "select count(1), id, max(created_at) from users group by id"
+    ) == [("_0", "INT NOT NULL"), ("id", "INT NOT NULL"), ("_2", "FLOAT NOT NULL")]
+    assert row_sig(
+        env, "select count(1), id + id from users group by id + id"
+    ) == [("_0", "INT NOT NULL"), ("_1", "INT NOT NULL")]
+    assert row_sig(
+        env, "select count(1), 1 + (id + id) from users group by id + id"
+    ) == [("_0", "INT NOT NULL"), ("_1", "INT NOT NULL")]
+    with pytest.raises(SqlppError, match="not in GROUP BY"):
+        analyze(env, "select count(1), id, created_at from users group by id")
+
+
+def test_optional_fields_goldens(env):
+    """optional_fields.t: lazy fields referenced across scopes
+    materialize; unreferenced ones stay lazy; same-scope uses inline
+    the defining expression."""
+    assert row_sig(env, """
+      select q.id
+      from (
+        select id, with x + x as x,
+        from (select id, with id as x from users) as u
+      ) as q""") == [("id", "INT NOT NULL")]
+    assert row_sig(env, """
+      select q.id, x
+      from (
+        select id, with x + x as x,
+        from (select id, with id as x from users) as u
+      ) as q""") == [("id", "INT NOT NULL"), ("x", "INT NOT NULL")]
+    assert row_sig(env, """
+      select with 1 as x, with x + user_id as y, x + y as x_plus_y
+      from (select with id as user_id from users) as u""") == [
+        ("x_plus_y", "INT NOT NULL")]
+
+
+def test_nested_navigation_goldens(env):
+    """nested.t: deep navigation (x.y.users.id), generated-field reuse
+    (structurally-equal expressions share one injected field), computed
+    expressions inside open selects, aggregate navigation into a
+    grouped subquery — exact output names and types of the golden."""
+    assert row_sig(
+        env, "select id, x.id, x.users.id from (select id, ... from users) as x"
+    ) == [("id", "INT NOT NULL"), ("_1", "INT NOT NULL"), ("_2", "INT NOT NULL")]
+    with pytest.raises(SqlppError, match="new expressions"):
+        analyze(env, "select x.(id + id) from (select id from users) as x")
+    src = """
+    select
+      x.y.users.id,
+      x.y.id,
+      x.id,
+      x.(id + y.id + y.users.id),
+      x.y.users.created_at,
+      stats.count(1),
+      stats.max(id),
+    from (
+      select y.id as id, ...
+      from (
+        select users.id as id, ... from users
+      ) as y
+    ) as x
+    join (
+      select id, ...
+      from users
+      group by id
+    ) as stats
+    on x.id = stats.id
+    """
+    assert row_sig(env, src) == [
+        ("id", "INT NOT NULL"), ("_1", "INT NOT NULL"), ("_2", "INT NOT NULL"),
+        ("_3", "INT NOT NULL"), ("created_at", "FLOAT NOT NULL"),
+        ("_5", "INT NOT NULL"), ("_6", "INT NOT NULL"),
+    ]
