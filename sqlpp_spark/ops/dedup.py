@@ -456,15 +456,18 @@ def ngram_jaccard_pairs(
     ``lang``). Two exact candidate strategies, identical results
     (pinned by tests/test_ops.py::test_ngram_jaccard_strategies_agree),
     plus ``"auto"`` (default) which picks between them from the
-    measured shingle document-frequency skew: the equality join's cost
-    on a shingle with document frequency d is d² pairs, so ``auto``
-    reads ``max(df)`` off the frequency agg (which the prefix path
-    needs anyway) and chooses ``"prefix"`` when
-    ``max(df)² > skew_factor × total shingle rows`` — i.e. when the
-    single hottest shingle alone would blow the join up by more than
-    ``skew_factor`` rewrites of the input. On real Zipf web text that
-    head is exactly what makes the join quadratic at 100 TB; on flat
-    (synthetic / pre-deduped) distributions the join stays cheaper.
+    measured shingle document-frequency distribution: the equality
+    join EMITS exactly ``Σ_shingle df²`` rows, so ``auto`` reads that
+    sum off the frequency agg (which the prefix path needs anyway) and
+    chooses ``"prefix"`` when ``Σ df² > skew_factor × total shingle
+    rows`` — i.e. when the join would rewrite the input more than
+    ``skew_factor`` times over. The earlier ``max(df)²`` form of this
+    test caught only a Zipf hot head; the 10× scale rehearsal
+    (SCALING.md) showed a FLAT distribution also goes quadratic as a
+    fixed-vocabulary corpus grows (every df ∝ corpus ⇒ Σ df² ∝ n²)
+    while max(df)² stays far below the threshold — Σ df² is the
+    join's actual output-row count, so the decision now tracks the
+    real cost on any distribution.
 
     - ``strategy="join"``: shingle-equality self-join +
       per-pair count. One partial-aggregated shuffle; fastest when the
@@ -520,12 +523,12 @@ def ngram_jaccard_pairs(
         ).persist(StorageLevel.MEMORY_AND_DISK)
     if strategy == "auto":
         stats = freq.agg(
-            F.max("__df").alias("max_df"), F.sum("__df").alias("n_rows")
+            F.sum(F.col("__df") * F.col("__df")).alias("sum_df2"),
+            F.sum("__df").alias("n_rows"),
         ).first()
         hot = (
-            stats["max_df"] is not None
-            and stats["max_df"] * stats["max_df"]
-            > skew_factor * stats["n_rows"]
+            stats["sum_df2"] is not None
+            and stats["sum_df2"] > skew_factor * stats["n_rows"]
         )
         strategy = "prefix" if hot else "join"
 

@@ -981,3 +981,24 @@ def test_domain_cap_with_psl_private_suffix_quotas(spark):
     merged = domain_cap(df, cap=10).collect()
     n_gh = sum(1 for r in merged if "github.io" in r.url)
     assert n_gh == 10
+
+
+def test_ngram_jaccard_auto_picks_prefix_on_flat_collision_growth(spark):
+    """10× rehearsal finding (SCALING.md): a FLAT distribution over a
+    FIXED vocabulary goes quadratic as the corpus grows — every
+    shingle's df rises ∝ corpus so Σ df² ∝ n², while max(df)² stays
+    small. auto now decides on Σ df² (the join's exact output rows)
+    and must pick prefix here even though no single shingle is hot."""
+    from sqlpp_spark.ops.dedup import ngram_jaccard_pairs
+
+    # 300 docs drawing 6-word texts from a 12-word vocabulary: every
+    # trigram recurs ~constant × docs times, none dominates
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(vocab[(i + j) % 12] for j in range(6)), "en")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ngram_jaccard_pairs(df, threshold=0.95)
+    assert out._sqlpp_jaccard_strategy == "prefix"
+    out.collect()
