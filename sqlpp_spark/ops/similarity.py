@@ -614,7 +614,7 @@ def hard_negative_topk(
 
 
 def knn_graph(
-    corpus: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 2,
+    corpus: DataFrame, k: int = 5, n_cells: int | str = 16, n_probe: int = 2,
     seed: int = 42, vec_col: str = "embedding", id_col: str = "vec_id",
     quantizer: str = "kmeans",
 ) -> DataFrame:
@@ -632,8 +632,17 @@ def knn_graph(
     ~√n so each cell stays executor-sized; recall is tunable via
     ``n_probe`` (= n_cells ⇒ exact graph).
 
+    ``n_cells="auto"`` sets ``max(16, round(√n))`` from one cheap
+    ``count()`` (metadata-scale driver action) — the √n rule that
+    keeps total pairwise work at O(n^1.5·n_probe) as the corpus
+    grows. The 10× rehearsal (SCALING.md) measured the failure mode
+    this prevents: fixed cells left shuffle linear but wall 20.5× at
+    10× data; grown cells restored ~linear wall growth.
+
     Returns (query_id, cand_id, cos, rank), rank 1..k per query.
     """
+    if n_cells == "auto":
+        n_cells = max(16, round(corpus.count() ** 0.5))
     if quantizer == "pivot":
         centroids, cell_ids = pivot_centroids(corpus, n_cells, vec_col, id_col)
     else:

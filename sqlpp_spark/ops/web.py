@@ -212,20 +212,9 @@ def psl_rules_df(spark, rules) -> DataFrame:
     Comments (``//``) and blank lines are skipped, so a file's lines
     can be passed verbatim. Only leading-``*`` wildcards are supported
     (the only form the real PSL contains)."""
-    parsed = []
-    for line in rules:
-        r = line.strip().lower()
-        if not r or r.startswith("//"):
-            continue
-        if r.startswith("!"):
-            parsed.append((r[1:], "exception"))
-        elif r.startswith("*."):
-            parsed.append((r[2:], "wildcard"))
-        elif "*" in r:
-            raise ValueError(f"unsupported wildcard position in PSL rule: {line!r}")
-        else:
-            parsed.append((r, "rule"))
-    return spark.createDataFrame(parsed, "suffix string, kind string")
+    return spark.createDataFrame(
+        _parse_psl_rules(rules), "suffix string, kind string"
+    )
 
 
 def with_registrable_domain(
@@ -261,12 +250,10 @@ def with_registrable_domain(
     # kind would imply, pre-aggregated so the join key is unique
     per_key = rules.groupBy("__nl", "suffix").agg(
         F.min(F.when(F.col("kind") == "exception", F.col("__nl") - 1)).alias("__exc"),
+        F.max(F.when(F.col("kind") == "rule", F.col("__nl"))).alias("__ps"),
         F.max(
-            F.when(F.col("kind") == "rule", F.col("__nl")).when(
-                F.col("kind") == "wildcard", F.col("__nl") + 1
-            )
-        ).alias("__ps"),
-        F.max((F.col("kind") == "wildcard").cast("int")).alias("__wild"),
+            F.when(F.col("kind") == "wildcard", F.col("__nl") + 1)
+        ).alias("__wps"),
     )
     label_counts = sorted(r[0] for r in per_key.select("__nl").distinct().collect())
     out = df.withColumn("__hn", F.size(F.split(host, r"\.")))
@@ -277,20 +264,18 @@ def with_registrable_domain(
                 F.col("suffix").alias(f"__sfx{n}"),
                 F.col("__exc").alias(f"__exc{n}"),
                 F.col("__ps").alias(f"__ps{n}"),
-                F.col("__wild").alias(f"__wild{n}"),
+                F.col("__wps").alias(f"__wps{n}"),
             )
         )
         out = out.join(
             p_n, F.substring_index(host, ".", -n) == F.col(f"__sfx{n}"), "left"
         )
         exc_cols.append(F.col(f"__exc{n}"))
-        # a wildcard needs a host label for the '*' itself plus one
-        # more for the registrable part to exist beyond the suffix
+        ps_cols.append(F.col(f"__ps{n}"))
+        # a wildcard only applies when the host has a label for the
+        # '*' itself beyond the matched base
         ps_cols.append(
-            F.when(
-                (F.col(f"__wild{n}") == 1) & (F.col("__hn") <= n),
-                F.lit(None).cast("int"),
-            ).otherwise(F.col(f"__ps{n}"))
+            F.when(F.col("__hn") > n, F.col(f"__wps{n}"))
         )
     # exception prevails (most-labels first), else deepest match, else
     # the implicit '*' default rule (public suffix = last label)
@@ -305,9 +290,76 @@ def with_registrable_domain(
         out_col, F.when(host.rlike(_IPV4_RE), host).otherwise(rd)
     )
     drop = ["__hn"] + [
-        c for n in label_counts for c in (f"__sfx{n}", f"__exc{n}", f"__ps{n}", f"__wild{n}")
+        c for n in label_counts for c in (f"__sfx{n}", f"__exc{n}", f"__ps{n}", f"__wps{n}")
     ]
     return out.drop(*drop)
+
+
+def _parse_psl_rules(rules):
+    """Shared rule-line parser for psl_rules_df / the SQL twin."""
+    parsed = []
+    for line in rules:
+        r = line.strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        if r.startswith("!"):
+            parsed.append((r[1:], "exception"))
+        elif r.startswith("*."):
+            parsed.append((r[2:], "wildcard"))
+        elif "*" in r:
+            raise ValueError(f"unsupported wildcard position in PSL rule: {line!r}")
+        else:
+            parsed.append((r, "rule"))
+    return parsed
+
+
+def registrable_domain_psl_sql(host: str, rules) -> str:
+    """DuckDB twin of ``with_registrable_domain`` for a FIXED rule
+    list — pure CASE/list arithmetic (no joins), so an oracle can
+    verify the Spark-side broadcast-join machinery against an
+    INDEPENDENT formulation of the publicsuffix.org algorithm."""
+    from collections import defaultdict
+
+    plain, wild, exc = defaultdict(list), defaultdict(list), defaultdict(list)
+    for s, kind in _parse_psl_rules(rules):
+        n = s.count(".") + 1
+        {"rule": plain, "wildcard": wild, "exception": exc}[kind][n].append(s)
+    hn = f"len(string_split({host}, '.'))"
+
+    def lastn(n: int) -> str:
+        return (
+            f"array_to_string(list_slice(string_split({host}, '.'), "
+            f"-{n}, -1), '.')"
+        )
+
+    exc_terms, ps_terms = [], []
+    for n in sorted(set(plain) | set(wild) | set(exc), reverse=True):
+        ln = lastn(n)
+        if n in exc:
+            vals = ", ".join(f"'{s}'" for s in sorted(exc[n]))
+            exc_terms.append(f"CASE WHEN {ln} IN ({vals}) THEN {n - 1} END")
+        if n in plain:
+            vals = ", ".join(f"'{s}'" for s in sorted(plain[n]))
+            ps_terms.append(f"CASE WHEN {ln} IN ({vals}) THEN {n} END")
+        if n in wild:
+            vals = ", ".join(f"'{s}'" for s in sorted(wild[n]))
+            ps_terms.append(
+                f"CASE WHEN {ln} IN ({vals}) AND {hn} > {n} THEN {n + 1} END"
+            )
+    # exception prevails (most labels first), else deepest match, else
+    # the implicit '*' default; GREATEST ignores NULLs in DuckDB and
+    # Spark alike
+    ps_all = ", ".join(ps_terms + ["1"])
+    ps = "COALESCE(" + ", ".join(exc_terms + [f"GREATEST({ps_all})"]) + ")"
+    take = f"LEAST({hn}, {ps} + 1)"
+    rd = (
+        f"array_to_string(list_slice(string_split({host}, '.'), "
+        f"-({take}), -1), '.')"
+    )
+    return (
+        f"(CASE WHEN regexp_matches({host}, '{_IPV4_RE}') "
+        f"THEN {host} ELSE {rd} END)"
+    )
 
 
 def domain_cap(

@@ -362,3 +362,72 @@ def pipeline_web_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "clean_text", "n_kept", "n_dropped",
         X.quality_score(F.col("clean_text")).alias("quality"),
     )
+
+
+# -- data-driven PSL domain cap (wildcard/exception/private rules) -----------
+
+_PSL_RULES = ["com", "uk", "co.uk", "io", "github.io", "*.ck", "!www.ck"]
+
+_URL4_SQL = """CASE CAST(doc_id % 5 AS INTEGER)
+  WHEN 0 THEN 'https://user' || CAST(doc_id % 7 AS VARCHAR) || '.github.io/p/' || CAST(doc_id AS VARCHAR)
+  WHEN 1 THEN 'http://' || source || '.web.ck/x'
+  WHEN 2 THEN 'https://www.ck/y/' || CAST(doc_id AS VARCHAR)
+  WHEN 3 THEN 'http://sub' || CAST(doc_id % 3 AS VARCHAR) || '.' || source || '.co.uk/z'
+  ELSE 'https://192.168.' || CAST(doc_id % 3 AS VARCHAR) || '.' || CAST(doc_id % 9 AS VARCHAR) || '/ip'
+END"""
+
+
+def _with_url4(d: DataFrame) -> DataFrame:
+    m = (F.col("doc_id") % 5).cast("int")
+    did = F.col("doc_id").cast("string")
+    u7 = (F.col("doc_id") % 7).cast("string")
+    s3 = (F.col("doc_id") % 3).cast("string")
+    s9 = (F.col("doc_id") % 9).cast("string")
+    s = F.col("source")
+    return d.withColumn(
+        "url",
+        F.when(m == 0, F.concat(F.lit("https://user"), u7,
+                                F.lit(".github.io/p/"), did))
+        .when(m == 1, F.concat(F.lit("http://"), s, F.lit(".web.ck/x")))
+        .when(m == 2, F.concat(F.lit("https://www.ck/y/"), did))
+        .when(m == 3, F.concat(F.lit("http://sub"), s3, F.lit("."), s,
+                               F.lit(".co.uk/z")))
+        .otherwise(F.concat(F.lit("https://192.168."), s3, F.lit("."), s9,
+                            F.lit("/ip"))),
+    )
+
+
+def _domain_cap_psl_oracle(cap: int) -> str:
+    from sqlpp_spark.ops.hashing import hash64_sql
+
+    h = hash64_sql("concat('s0', '|', CAST(doc_id AS VARCHAR))")
+    rd = W.registrable_domain_psl_sql(
+        f"lower({W.url_domain_sql('url')})", _PSL_RULES
+    )
+    return f"""
+WITH u AS (SELECT doc_id, lang, {_URL4_SQL} AS url FROM documents),
+hst AS (SELECT doc_id, lang, {rd} AS host FROM u)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY {h} ASC, doc_id ASC) AS rk
+  FROM hst
+) WHERE rk <= {cap}
+"""
+
+
+@register("web_domain_cap_psl", oracle=_domain_cap_psl_oracle(10))
+def web_domain_cap_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota resolved against a DATA-DRIVEN public suffix
+    list — wildcard (*.ck), exception (!www.ck) and private
+    (github.io) rules included. The synthetic URLs hit every rule
+    kind plus IPv4 literals: per-user github.io pages get separate
+    quotas (the over-merge PSL-lite would cause), *.ck subtrees key on
+    <label>.ck, www.ck is carved back out by the exception, and co.uk
+    subdomains share per-site quotas. The Spark side resolves eTLD+1
+    via broadcast hash joins over the rule frame
+    (ops/web.with_registrable_domain); the oracle re-derives it with
+    an independent pure-CASE DuckDB formulation — so the join
+    machinery itself is what the hash check verifies."""
+    d = _with_url4(table(spark, sf_dir, "documents"))
+    psl = W.psl_rules_df(spark, _PSL_RULES)
+    return W.domain_cap(d, cap=10, psl=psl).select("doc_id", "lang")

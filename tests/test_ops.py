@@ -1002,3 +1002,21 @@ def test_ngram_jaccard_auto_picks_prefix_on_flat_collision_growth(spark):
     out = ngram_jaccard_pairs(df, threshold=0.95)
     assert out._sqlpp_jaccard_strategy == "prefix"
     out.collect()
+
+
+def test_knn_graph_auto_cells(spark, emb):
+    """n_cells="auto" applies the √n rule (min 16) and produces a
+    valid graph: every vector is a query, ranks are 1..k dense, no
+    self-pairs. The rule is the scale knob the 10× rehearsal showed
+    fixed-cell configs need (SCALING.md)."""
+    from sqlpp_spark.ops.similarity import knn_graph
+
+    n = emb.count()
+    g = knn_graph(emb, k=3, n_cells="auto", n_probe=2, quantizer="pivot")
+    rows = g.collect()
+    assert all(r.query_id != r.cand_id for r in rows)
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert len(per_q) == n
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
