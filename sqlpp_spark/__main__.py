@@ -65,7 +65,7 @@ def main(argv=None) -> int:
         return _migrate_verbs(mp.parse_args(argv))
 
     ap = argparse.ArgumentParser(prog="sqlpp_spark")
-    ap.add_argument("verb", choices=["fmt", "analyze", "plan", "query"])
+    ap.add_argument("verb", choices=["fmt", "analyze", "sql", "plan", "query"])
     ap.add_argument("src", help="sqlpp statement text (or - for stdin)")
     ap.add_argument("--require", action="append", default=[], help="decls file")
     ap.add_argument("--param", action="append", default=[], metavar="NAME=VALUE")
@@ -95,6 +95,21 @@ def main(argv=None) -> int:
             if args.sf_dir:
                 _register_testdata_env(env, args.sf_dir)
             print(format_elaborated(analyze(env, src)))
+            return 0
+
+        if args.verb == "sql":
+            # the reference's sqlpp-sql verb: print the elaborated
+            # query as ANSI (DuckDB-compatible) SQL
+            from sqlpp_spark.compiler.sqlgen import select_sql
+            from sqlpp_spark.frontend.analyze import analyze
+
+            if args.sf_dir:
+                _register_testdata_env(env, args.sf_dir)
+            params = {}
+            for p in args.param:
+                name, _, value = p.partition("=")
+                params[name] = _parse_param(value)
+            print(select_sql(analyze(env, src), params))
             return 0
 
         # plan / query need Spark

@@ -294,6 +294,17 @@ class Compiler:
             if neg:
                 cond = ~cond
             return joined.filter(cond).drop("__exists")
+        # IN/EXISTS NESTED inside a non-conjunct predicate (under OR,
+        # inside arithmetic, ...): the semi/anti-join lowering above
+        # only fits top-level conjuncts, so route through the scalar
+        # match-flag machinery and filter on the composed expression —
+        # the flag's three-valued NULL propagates through OR exactly
+        # like SQL (NULL rows are dropped by the filter).
+        if any(
+            isinstance(n, (A.EIn, A.EExists)) for n in _iter_nodes(pred)
+        ):
+            df, scalar_map = self._attach_scalar_subqueries(df, [pred], binds)
+            return df.filter(self.expr(pred, binds, scalar_map))
         return df.filter(self.expr(pred, binds, {}))
 
     def _attach_scalar_subqueries(self, df: DataFrame, exprs: List[A.Expr], binds: Bindings):

@@ -1,0 +1,281 @@
+"""Elaborated sqlpp AST → ANSI SQL text (DuckDB-compatible).
+
+The reference's primary backend IS a SQL printer (sqlpp/printer.ml:
+the ``sqlpp-sql`` CLI verb prints the elaborated query as backend SQL
+for SQLite/PostgreSQL/MariaDB). This module restores that surface for
+the Spark port: ``select_sql(info)`` renders the ANALYZED query — the
+same elaborated ctx the Spark compiler consumes — as one ANSI SQL
+string, with subselects, IN/EXISTS subqueries, GROUP BY/HAVING,
+ORDER BY/LIMIT/OFFSET and the full scalar/extension function table.
+
+Besides CLI parity (``python -m sqlpp_spark sql '<query>'``), this is
+the engine's DIFFERENTIAL-TESTING lever: the same sqlpp source can run
+through the Spark compiler AND through DuckDB via this printer, and
+the results compared row-for-row (tests/test_sqlgen.py does exactly
+that, including a hypothesis-driven random-query fuzzer). Two
+engines, two independent lowerings, one elaborated AST.
+
+Dialect notes (targeting DuckDB as the oracle engine):
+- int ÷ int renders ``CAST(trunc(CAST(a AS DOUBLE) / b) AS BIGINT)``
+  — truncation toward zero like the engine's ``try_divide().cast
+  ("long")``; both yield NULL on ÷0. (Beyond 2⁵³ the double round-trip
+  can lose ulps — same caveat as the engine's own cast chain.)
+- ``datetime()``/``date()`` on dynamic strings render ``try_``-style
+  casts so malformed input yields NULL, matching the analyzer's
+  nullable result typing.
+- scalar-position multi-column tuple IN keeps SQL's three-valued
+  logic here while the Spark compiler documents a two-valued
+  deviation; WHERE-conjunct position agrees between both lowerings.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from sqlpp_spark.frontend import ast as A
+from sqlpp_spark.frontend.analyze import (
+    AGG_FNS, QueryInfo, SelectCtx, SelectRel,
+)
+from sqlpp_spark.frontend.errors import SqlppError
+
+SQL_TYPES = {
+    "bool": "BOOLEAN",
+    "string": "VARCHAR",
+    "int": "BIGINT",
+    "float": "DOUBLE",
+    "datetime": "TIMESTAMP",
+    "date": "DATE",
+    "time": "VARCHAR",
+    "interval": "INTERVAL",
+}
+
+
+def _q(ident: str) -> str:
+    return '"' + ident.replace('"', '""') + '"'
+
+
+def _str_lit(v: str) -> str:
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+class SqlGen:
+    def __init__(self, params: Optional[Dict[str, object]] = None):
+        self.params = params or {}
+
+    # -- select ------------------------------------------------------------
+
+    def select(self, ctx: SelectCtx) -> str:
+        sel = ctx.select
+        parts: List[str] = []
+        fields = [f for f in ctx.fields if f.is_used]
+        cols = (
+            ", ".join(f"{self.expr(f.expr)} AS {_q(f.out_name)}" for f in fields)
+            or "1 AS _dummy"
+        )
+        parts.append(f"SELECT {'DISTINCT ' if sel.distinct else ''}{cols}")
+        if sel.from_ is not None:
+            parts.append(f"FROM {self._from(ctx, sel.from_)}")
+        if sel.where is not None:
+            parts.append(f"WHERE {self.expr(sel.where)}")
+        if sel.group_by is not None and ctx.group_exprs:
+            parts.append(
+                "GROUP BY " + ", ".join(self.expr(g) for g in ctx.group_exprs)
+            )
+        # GROUP BY () — global aggregation: plain aggregate query (the
+        # analyzer guarantees every output is under an aggregate)
+        if sel.having is not None:
+            parts.append(f"HAVING {self.expr(sel.having)}")
+        if sel.order_by:
+            parts.append(
+                "ORDER BY "
+                + ", ".join(
+                    f"{self.expr(o.expr)} {'DESC' if o.desc else 'ASC'}"
+                    for o in sel.order_by
+                )
+            )
+        if sel.limit is not None:
+            parts.append(f"LIMIT {self._const_int(sel.limit)}")
+        if sel.offset is not None:
+            parts.append(f"OFFSET {self._const_int(sel.offset)}")
+        return " ".join(parts)
+
+    def _from(self, ctx: SelectCtx, fr) -> str:
+        if isinstance(fr, A.FromJoin):
+            left = self._from(ctx, fr.left)
+            right = self._from(ctx, fr.right)
+            kw = "LEFT JOIN" if fr.kind == "left" else "JOIN"
+            return f"{left} {kw} {right} ON {self.expr(fr.on)}"
+        if isinstance(fr, A.FromTable):
+            alias = fr.alias or fr.table
+            t = _q(fr.table)
+            return t if alias == fr.table else f"{t} AS {_q(alias)}"
+        if isinstance(fr, A.FromSelect):
+            rel = ctx.rels[fr.alias]
+            assert isinstance(rel, SelectRel)
+            return f"({self.select(rel.ctx)}) AS {_q(fr.alias)}"
+        raise SqlppError(f"bad from node {type(fr).__name__}")
+
+    def _const_int(self, e: A.Expr) -> int:
+        if isinstance(e, A.ELit) and isinstance(e.value, int):
+            return e.value
+        if isinstance(e, A.EParam):
+            v = self.params.get(e.name)
+            if isinstance(v, int):
+                return v
+        raise SqlppError("LIMIT/OFFSET must be an int literal or bound int param")
+
+    # -- expressions -------------------------------------------------------
+
+    def expr(self, e: A.Expr) -> str:
+        if isinstance(e, A.ELit):
+            if e.lit_kind == "string":
+                return _str_lit(e.value)
+            if e.lit_kind == "bool":
+                return "TRUE" if e.value else "FALSE"
+            return repr(e.value)
+        if isinstance(e, A.ENull):
+            ty = SQL_TYPES.get(e.ty.kind, "VARCHAR") if e.ty is not None else "VARCHAR"
+            return f"CAST(NULL AS {ty})"
+        if isinstance(e, A.ERef):
+            return f"{_q(e.rel)}.{_q(e.name)}"
+        if isinstance(e, A.EName):
+            return _q(e.name)
+        if isinstance(e, A.EParam):
+            return self._param(e)
+        if isinstance(e, A.EMatch):
+            return self._match(e)
+        if isinstance(e, A.EAscribe):
+            return self.expr(e.expr)
+        if isinstance(e, A.EIn):
+            lhs = ", ".join(self.expr(x) for x in e.exprs)
+            if len(e.exprs) > 1:
+                lhs = f"({lhs})"
+            op = "NOT IN" if e.negated else "IN"
+            return f"({lhs} {op} ({self.select(e.sub_ctx)}))"
+        if isinstance(e, A.EExists):
+            return f"EXISTS ({self.select(e.sub_ctx)})"
+        if isinstance(e, A.EApp):
+            return self._app(e)
+        raise SqlppError(f"cannot render {type(e).__name__} as SQL")
+
+    def _param(self, e: A.EParam) -> str:
+        if e.name not in self.params:
+            raise SqlppError(f"missing parameter: ?{e.name}")
+        v = self.params[e.name]
+        ty = e.ty or e.ascribed
+        if v is None:
+            t = SQL_TYPES.get(ty.kind, "VARCHAR") if ty is not None else "VARCHAR"
+            return f"CAST(NULL AS {t})"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return _str_lit(str(v))
+
+    def _match(self, e: A.EMatch) -> str:
+        val = self.params.get(e.param)
+        if val is None:
+            raise SqlppError(f"missing variant parameter: ?{e.param}")
+        if isinstance(val, str):
+            tag, payload = val, {}
+        elif isinstance(val, tuple) and len(val) >= 1:
+            tag = val[0]
+            rest = list(val[1:])
+            payload = rest[0] if len(rest) == 1 and isinstance(rest[0], dict) else rest
+        else:
+            raise SqlppError(f"variant parameter ?{e.param} must be a tag or (tag, args)")
+        for br in e.branches:
+            if br.tag == tag:
+                inner = dict(self.params)
+                if isinstance(payload, dict):
+                    inner.update(payload)
+                else:
+                    for pname, pval in zip(br.params, payload):
+                        inner[pname] = pval
+                return SqlGen(inner).expr(br.body)
+        raise SqlppError(f"no branch for variant tag {tag!r} in MATCH ?{e.param}")
+
+    def _app(self, e: A.EApp) -> str:
+        fn = e.fn.lower()
+
+        def a(i: int) -> str:
+            return self.expr(e.args[i])
+
+        if fn in AGG_FNS:
+            return f"{fn}({a(0)})"
+        if fn in ("=", "!=", ">", ">=", "<", "<="):
+            op = "<>" if fn == "!=" else fn
+            return f"({a(0)} {op} {a(1)})"
+        if fn in ("and", "or"):
+            return f"({a(0)} {fn.upper()} {a(1)})"
+        if fn == "not":
+            return f"(NOT {a(0)})"
+        if fn == "-u":
+            return f"(- {a(0)})"
+        if fn in ("+", "-", "*"):
+            return f"({a(0)} {fn} {a(1)})"
+        if fn == "/":
+            lt, rt = e.args[0].ty, e.args[1].ty
+            if lt is not None and rt is not None and lt.kind == "int" and rt.kind == "int":
+                # truncation toward zero, NULL on /0 — the engine's
+                # try_divide().cast("long") semantics
+                return f"CAST(trunc(CAST({a(0)} AS DOUBLE) / {a(1)}) AS BIGINT)"
+            return f"({a(0)} / {a(1)})"
+        if fn == "is null":
+            return f"({a(0)} IS NULL)"
+        if fn == "is not null":
+            return f"({a(0)} IS NOT NULL)"
+        if fn == "nullif":
+            return f"nullif({a(0)}, {a(1)})"
+        if fn == "coalesce":
+            args = ", ".join(a(i) for i in range(len(e.args)))
+            return f"coalesce({args})"
+        if fn == "now":
+            return "now()"
+        if fn == "tostring":
+            return f"CAST({a(0)} AS VARCHAR)"
+        if fn == "datetime":
+            return f"try_cast(replace({a(0)}, 'T', ' ') AS TIMESTAMP)"
+        if fn == "date":
+            return f"try_cast({a(0)} AS DATE)"
+        if fn == "like":
+            pat = e.args[1]
+            if isinstance(pat, A.ELit) and pat.lit_kind == "string":
+                return f"({a(0)} LIKE {_str_lit(pat.value)})"
+            raise SqlppError("like() pattern must be a string literal", pat.loc)
+        ext = _EXT_SQL.get(fn)
+        if ext is not None:
+            return ext([a(i) for i in range(len(e.args))])
+        raise SqlppError(f"cannot render function {e.fn} as SQL")
+
+
+_EXT_SQL = {
+    "upper": lambda a: f"upper({a[0]})",
+    "lower": lambda a: f"lower({a[0]})",
+    "length": lambda a: f"CAST(length({a[0]}) AS BIGINT)",
+    "substring": lambda a: f"substring({a[0]}, {a[1]}, {a[2]})",
+    "substr": lambda a: f"substring({a[0]}, {a[1]}, {a[2]})",
+    "concat": lambda a: "(" + " || ".join(a) + ")",
+    "trim": lambda a: f"trim({a[0]})",
+    "replace": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
+    "abs": lambda a: f"abs({a[0]})",
+    "round": lambda a: f"round(CAST({a[0]} AS DOUBLE), 0)",
+    "floor": lambda a: f"CAST(floor({a[0]}) AS BIGINT)",
+    "ceil": lambda a: f"CAST(ceil({a[0]}) AS BIGINT)",
+    "year": lambda a: f"CAST(year({a[0]}) AS BIGINT)",
+    "month": lambda a: f"CAST(month({a[0]}) AS BIGINT)",
+    "day": lambda a: f"CAST(day({a[0]}) AS BIGINT)",
+    # try-mod: NULL on mod 0 in BOTH engines (DuckDB % yields NULL)
+    "mod": lambda a: f"({a[0]} % {a[1]})",
+    "sqrt": lambda a: f"sqrt({a[0]})",
+    "pow": lambda a: f"pow({a[0]}, {a[1]})",
+    "exp": lambda a: f"exp({a[0]})",
+    "ln": lambda a: f"ln({a[0]})",
+}
+
+
+def select_sql(info: QueryInfo, params: Optional[Dict[str, object]] = None) -> str:
+    """Render an analyzed query (frontend.analyze.analyze output) as
+    one ANSI SQL string. ``params`` inlines bound values for ?params /
+    MATCH variants (same binding rules as the Spark compiler)."""
+    return SqlGen(params).select(info.ctx)
