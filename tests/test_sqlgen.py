@@ -184,23 +184,58 @@ try:
     @st.composite
     def query(draw):
         where = draw(pred())
-        if draw(st.booleans()):
+        shape = draw(st.sampled_from(
+            ["project", "project", "group", "group", "left_join",
+             "scalar_in", "from_sub", "distinct"]
+        ))
+        if shape == "project":
             exprs = draw(st.lists(int_expr(), min_size=1, max_size=3))
             cols = ", ".join(f"{e} as c{i}" for i, e in enumerate(exprs))
             return f"select n_name, {cols} from nation where {where}"
-        gcol = draw(st.sampled_from(INT_COLS))
-        aggs = ["count(1) as cnt", f"sum({draw(int_expr())}) as s",
-                f"max({draw(int_expr())}) as mx", f"min({draw(int_expr())}) as mn"]
-        n_aggs = draw(st.integers(1, 4))
-        having = (
-            f" having count(1) > {draw(st.integers(0, 3))}"
-            if draw(st.booleans())
-            else ""
-        )
-        return (
-            f"select {gcol} as g, {', '.join(aggs[:n_aggs])} "
-            f"from nation where {where} group by {gcol}{having}"
-        )
+        if shape == "group":
+            gcol = draw(st.sampled_from(INT_COLS))
+            aggs = ["count(1) as cnt", f"sum({draw(int_expr())}) as s",
+                    f"max({draw(int_expr())}) as mx", f"min({draw(int_expr())}) as mn"]
+            n_aggs = draw(st.integers(1, 4))
+            having = (
+                f" having count(1) > {draw(st.integers(0, 3))}"
+                if draw(st.booleans())
+                else ""
+            )
+            return (
+                f"select {gcol} as g, {', '.join(aggs[:n_aggs])} "
+                f"from nation where {where} group by {gcol}{having}"
+            )
+        if shape == "left_join":
+            # nullable right side: IS NULL / three-valued comparisons
+            k = draw(st.integers(0, 4))
+            post = draw(st.sampled_from([
+                "r.r_name is null",
+                "r.r_name is not null",
+                f"coalesce(r.r_regionkey, 9) > {draw(st.integers(0, 8))}",
+            ]))
+            return (
+                f"select n.n_name, r.r_name from nation as n "
+                f"left join region as r "
+                f"on n.n_regionkey = r.r_regionkey and r.r_regionkey < {k} "
+                f"where {post}"
+            )
+        if shape == "scalar_in":
+            rop = draw(st.sampled_from(["=", "<", ">"]))
+            rv = draw(st.integers(0, 4))
+            return (
+                f"select n_name, n_regionkey in (select r_regionkey from "
+                f"region where r_regionkey {rop} {rv}) as hit "
+                f"from nation where {where}"
+            )
+        if shape == "from_sub":
+            inner_where = draw(pred())
+            return (
+                f"select q.a, q.b from (select n_nationkey as a, "
+                f"{draw(int_expr())} as b from nation where {inner_where}) as q "
+                f"where q.a > {draw(st.integers(0, 20))}"
+            )
+        return f"select distinct {draw(st.sampled_from(INT_COLS))} from nation where {where}"
 
     @settings(max_examples=40, deadline=None, derandomize=True)
     @given(query())
