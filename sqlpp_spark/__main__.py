@@ -100,8 +100,7 @@ def main(argv=None) -> int:
         if args.verb == "sql":
             # the reference's sqlpp-sql verb: print the elaborated
             # query as ANSI (DuckDB-compatible) SQL
-            from sqlpp_spark.compiler.sqlgen import select_sql
-            from sqlpp_spark.frontend.analyze import analyze
+            from sqlpp_spark.compiler.sqlgen import statement_sql
 
             if args.sf_dir:
                 _register_testdata_env(env, args.sf_dir)
@@ -109,7 +108,7 @@ def main(argv=None) -> int:
             for p in args.param:
                 name, _, value = p.partition("=")
                 params[name] = _parse_param(value)
-            print(select_sql(analyze(env, src), params))
+            print(statement_sql(env, src, params))
             return 0
 
         # plan / query need Spark

@@ -138,6 +138,11 @@ class SqlGen:
             return f"CAST(NULL AS {ty})"
         if isinstance(e, A.ERef):
             return f"{_q(e.rel)}.{_q(e.name)}"
+        if isinstance(e, A.ENav):
+            # raw (pre-elaboration) qualified reference in DML position
+            if isinstance(e.expr, A.EName):
+                return f"{_q(e.scope)}.{_q(e.expr.name)}"
+            return f"{_q(e.scope)}.{self.expr(e.expr)}"
         if isinstance(e, A.EName):
             return _q(e.name)
         if isinstance(e, A.EParam):
@@ -279,3 +284,82 @@ def select_sql(info: QueryInfo, params: Optional[Dict[str, object]] = None) -> s
     one ANSI SQL string. ``params`` inlines bound values for ?params /
     MATCH variants (same binding rules as the Spark compiler)."""
     return SqlGen(params).select(info.ctx)
+
+
+def statement_sql(env, src: str, params: Optional[Dict[str, object]] = None) -> str:
+    """Render any sqlpp statement — SELECT (elaborated), INSERT
+    VALUES/SELECT (+ SET sugar, ON CONFLICT, RETURNING), UPDATE
+    [FROM], DELETE — as DuckDB-compatible SQL. SELECTs (top-level and
+    nested in DML) print their ELABORATED form; DML scaffolding prints
+    from the parsed AST, mirroring the reference's printer.ml split."""
+    from sqlpp_spark.frontend.analyze import Analyzer, analyze
+    from sqlpp_spark.frontend.parser import parse_query
+
+    q = parse_query(src)
+    g = SqlGen(params)
+    if isinstance(q, A.Select):
+        return g.select(analyze(env, src).ctx)
+
+    def returning(fields) -> str:
+        if not fields:
+            return ""
+        cols = ", ".join(
+            g.expr(f.expr) + (f" AS {_q(f.name)}" if f.name else "")
+            for f in fields
+        )
+        return f" RETURNING {cols}"
+
+    if isinstance(q, A.Insert):
+        cols = "(" + ", ".join(_q(c) for c in q.columns) + ")"
+        head = (
+            "INSERT OR REPLACE INTO"
+            if q.on_conflict == "replace"
+            else "INSERT INTO"
+        )
+        if q.values is not None:
+            rows = ", ".join(
+                "(" + ", ".join(g.expr(e) for e in row) + ")"
+                for row in q.values
+            )
+            body = f"VALUES {rows}"
+        else:
+            an = Analyzer(env, src)
+            body = g.select(an.analyze_select(q.select))
+        tail = " ON CONFLICT DO NOTHING" if q.on_conflict == "ignore" else ""
+        return f"{head} {_q(q.table)}{cols} {body}{tail}{returning(q.returning)}"
+    if isinstance(q, A.Update):
+        alias = f" AS {_q(q.alias)}" if q.alias else ""
+        sets = ", ".join(f"{_q(c)} = {g.expr(e)}" for c, e in q.sets)
+        out = f"UPDATE {_q(q.table)}{alias} SET {sets}"
+        if q.from_ is not None:
+            an = Analyzer(env, src)
+
+            def from_raw(fr) -> str:
+                if isinstance(fr, A.FromJoin):
+                    kw = "LEFT JOIN" if fr.kind == "left" else "JOIN"
+                    return (
+                        f"{from_raw(fr.left)} {kw} {from_raw(fr.right)} "
+                        f"ON {g.expr(fr.on)}"
+                    )
+                if isinstance(fr, A.FromTable):
+                    alias2 = fr.alias or fr.table
+                    t = _q(fr.table)
+                    return t if alias2 == fr.table else f"{t} AS {_q(alias2)}"
+                if isinstance(fr, A.FromSelect):
+                    return (
+                        f"({g.select(an.analyze_select(fr.select))}) "
+                        f"AS {_q(fr.alias)}"
+                    )
+                raise SqlppError(f"bad from node {type(fr).__name__}")
+
+            out += f" FROM {from_raw(q.from_)}"
+        if q.where is not None:
+            out += f" WHERE {g.expr(q.where)}"
+        return out + returning(q.returning)
+    if isinstance(q, A.Delete):
+        alias = f" AS {_q(q.alias)}" if q.alias else ""
+        out = f"DELETE FROM {_q(q.table)}{alias}"
+        if q.where is not None:
+            out += f" WHERE {g.expr(q.where)}"
+        return out + returning(q.returning)
+    raise SqlppError(f"cannot render {type(q).__name__} as SQL")

@@ -248,3 +248,91 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+# -- DML rendering (insert.t / update.t / delete.t printer parity) -----------
+
+def test_sqlgen_dml_statements(engine):
+    """statement_sql renders the reference's DML golden shapes, and
+    the printed SQL is actually EXECUTABLE by DuckDB against a real
+    table (not just string-shaped)."""
+    from sqlpp_spark.compiler.sqlgen import statement_sql
+    from sqlpp_spark.frontend.analyze import Env
+
+    env = Env()
+    env.add("""
+    create table profiles (
+      user_id int not null primary key,
+      settings string not null,
+      info string not null
+    );
+    create table users (id int not null, name string);
+    """)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE profiles (user_id BIGINT PRIMARY KEY, "
+        "settings VARCHAR, info VARCHAR)"
+    )
+    con.execute("CREATE TABLE users (id BIGINT, name VARCHAR)")
+    con.execute("INSERT INTO users VALUES (1, 'ann'), (2, 'bob')")
+
+    sql = statement_sql(
+        env, "insert into profiles(user_id, settings, info) values (1, 's', 'i')"
+    )
+    assert sql.startswith('INSERT INTO "profiles"("user_id", "settings", "info")')
+    con.execute(sql)
+
+    # multi-row VALUES + param
+    sql = statement_sql(
+        env,
+        "insert into profiles(user_id, settings, info) "
+        "values (?id, 's1', 'i1'), (3, 's2', 'i2')",
+        {"id": 2},
+    )
+    assert "VALUES (2, 's1', 'i1'), (3, 's2', 'i2')" in sql
+    con.execute(sql)
+
+    # SET sugar prints as column-list VALUES (reference insert.t)
+    sql = statement_sql(
+        env, "insert into profiles set user_id=4, settings='s', info='i'"
+    )
+    assert '("user_id", "settings", "info") VALUES (4' in sql
+    con.execute(sql)
+
+    # INSERT ... SELECT prints the ELABORATED select
+    sql = statement_sql(
+        env,
+        "insert into profiles(user_id, settings, info) "
+        "select id + 10, 's', 'i' from users",
+    )
+    assert 'SELECT ("users"."id" + 10)' in sql
+    con.execute(sql)
+
+    # ON CONFLICT forms
+    sql = statement_sql(
+        env,
+        "insert into profiles(user_id, settings, info) values (1, 'x', 'y') "
+        "on conflict ignore",
+    )
+    assert sql.endswith("ON CONFLICT DO NOTHING")
+    con.execute(sql)
+
+    # UPDATE / DELETE run against a PK-free scratch table (DuckDB's
+    # documented index limitation rejects rewriting rows under a PK)
+    con.execute("CREATE TABLE plain AS SELECT * FROM profiles")
+    sql = statement_sql(
+        env,
+        "update profiles set settings = 'z' where user_id = 1 returning user_id",
+    )
+    assert sql == (
+        'UPDATE "profiles" SET "settings" = \'z\' '
+        'WHERE ("user_id" = 1) RETURNING "user_id"'
+    )
+    assert con.execute(sql.replace('"profiles"', '"plain"')).fetchall() == [(1,)]
+
+    # DELETE
+    sql = statement_sql(env, "delete from profiles where user_id > 2")
+    assert sql == 'DELETE FROM "profiles" WHERE ("user_id" > 2)'
+    con.execute(sql.replace('"profiles"', '"plain"'))
+    assert con.execute("SELECT count(*) FROM plain").fetchone()[0] == 2
+    con.close()
