@@ -237,8 +237,41 @@ try:
             )
         return f"select distinct {draw(st.sampled_from(INT_COLS))} from nation where {where}"
 
+    @st.composite
+    def nav_query(draw):
+        """Open-select navigation / lazy fields / withscope — the
+        analyzer's elaboration machinery (generated-field injection,
+        used-field marking, alias resolution) differentially checked
+        through both lowerings."""
+        lazy = draw(st.booleans())
+        inner_cols = "n_nationkey as k, ..."
+        if lazy:
+            inner_cols = f"with n_regionkey + {draw(st.integers(0, 3))} as lz, " + inner_cols
+        inner = f"select {inner_cols} from nation"
+        two_level = draw(st.booleans())
+        if two_level:
+            inner = f"select y.k as k, ... from ({inner}) as y"
+        fields = []
+        if draw(st.booleans()):
+            fields.append("withscope x.nation as nn" if not two_level
+                          else "withscope x.y as nn")
+        fields.append("x.k")
+        if not two_level and draw(st.booleans()):
+            fields.append("x.nation.n_regionkey")
+        if draw(st.booleans()):
+            fields.append(f"x.(k + {draw(st.integers(0, 5))})")
+        if lazy and not two_level and draw(st.booleans()):
+            fields.append("x.lz")
+        if fields[0].startswith("withscope"):
+            fields.append("nn.k" if two_level else "nn.n_name")
+        op = draw(st.sampled_from(["<", ">", "=", "!="]))
+        return (
+            f"select {', '.join(fields)} from ({inner}) as x "
+            f"where x.k {op} {draw(st.integers(0, 24))}"
+        )
+
     @settings(max_examples=40, deadline=None, derandomize=True)
-    @given(query())
+    @given(st.one_of(query(), nav_query()))
     def test_sqlgen_fuzz(engine, duck, src):
         """Random valid sqlpp queries must produce row-identical
         results through the Spark compiler and the printed-SQL/DuckDB
