@@ -176,9 +176,16 @@ try:
             return f"(not {draw(pred(depth + 1))})"
         rop = draw(st.sampled_from(["=", "<", ">"]))
         rv = draw(st.integers(0, 4))
+        col = draw(st.sampled_from(INT_COLS))
+        neg = draw(st.sampled_from(["", "not "]))
+        # nullif sometimes injects NULL into the subquery column —
+        # NOT IN must then go three-valued (null-aware anti join)
+        sub_col = draw(st.sampled_from(
+            ["r_regionkey", f"nullif(r_regionkey, {draw(st.integers(0, 4))})"]
+        ))
         return (
-            f"({draw(st.sampled_from(INT_COLS))} in "
-            f"(select r_regionkey from region where r_regionkey {rop} {rv}))"
+            f"({neg}{col} in "
+            f"(select {sub_col} from region where r_regionkey {rop} {rv}))"
         )
 
     @st.composite
@@ -369,3 +376,20 @@ def test_sqlgen_dml_statements(engine):
     con.execute(sql.replace('"profiles"', '"plain"'))
     assert con.execute("SELECT count(*) FROM plain").fetchone()[0] == 2
     con.close()
+
+
+def test_sqlgen_not_in_with_null_subquery(engine, duck):
+    """SQL's three-valued NOT IN: a NULL in the subquery column makes
+    NOT IN yield UNKNOWN for every non-matching probe — zero rows
+    survive. Both lowerings must agree (null-aware anti join on the
+    Spark side, native NOT IN in DuckDB)."""
+    differ(
+        engine, duck,
+        "select n_name from nation where not (n_regionkey in "
+        "(select nullif(r_regionkey, 2) from region))",
+    )
+    differ(
+        engine, duck,
+        "select n_name from nation where not (n_regionkey in "
+        "(select nullif(r_regionkey, 2) from region where r_regionkey < 2))",
+    )
