@@ -37,6 +37,10 @@ def _write_local_correctness(sf_dir):
     yield
     if set(_LOCAL_ROWS) != set(REGISTRY):
         return
+    # only the driver-gate SF produces the committed artifact — a
+    # default sf0.001 run must not clobber the sf0.01 record
+    if not sf_dir.rstrip("/").endswith("sf0.01"):
+        return
     doc = {"_meta": {"source": "tests/test_queries_oracle.py", "sf_dir": sf_dir}}
     doc.update({n: _LOCAL_ROWS[n] for n in sorted(_LOCAL_ROWS)})
     with open(_LOCAL_PATH, "w") as f:
