@@ -37,7 +37,15 @@ def _engine(spark: SparkSession, sf_dir: str):
     return eng
 
 
+# (name -> (sqlpp source, bound params)) — consumed by
+# tests/test_sqlgen.py to cross-check the ANSI printer against every
+# hand-written oracle in this file
+SQLPP_SOURCES: dict = {}
+
+
 def _sqlpp(name: str, src: str, oracle: str):
+    SQLPP_SOURCES[name] = (src, {})
+
     @register(name, oracle=oracle)
     def run(spark: SparkSession, sf_dir: str, _src=src) -> DataFrame:
         return _engine(spark, sf_dir).query(_src)
@@ -152,6 +160,13 @@ def sqlpp_params_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQLPP_SOURCES["sqlpp_params_bound"] = (
+    "select c_custkey as custkey, c_acctbal as bal from customer "
+    "where c_acctbal > ?minbal:float not null and c_nationkey = ?nat:int not null",
+    {"minbal": 5000.0, "nat": 3},
+)
+
+
 @register(
     "sqlpp_variant_param",
     oracle="SELECT c_custkey AS custkey FROM customer WHERE c_nationkey = 7",
@@ -162,3 +177,10 @@ def sqlpp_variant_param(spark: SparkSession, sf_dir: str) -> DataFrame:
         "match ?f with | ByNation ?n -> c_nationkey = ?n | All -> true end",
         f=("ByNation", {"n": 7}),
     )
+
+
+SQLPP_SOURCES["sqlpp_variant_param"] = (
+    "select c_custkey as custkey from customer where "
+    "match ?f with | ByNation ?n -> c_nationkey = ?n | All -> true end",
+    {"f": ("ByNation", {"n": 7})},
+)

@@ -393,3 +393,32 @@ def test_sqlgen_not_in_with_null_subquery(engine, duck):
         "select n_name from nation where not (n_regionkey in "
         "(select nullif(r_regionkey, 2) from region where r_regionkey < 2))",
     )
+
+
+def test_sqlgen_agrees_with_handwritten_oracles(spark, sf_dir):
+    """Cross-check the printer against every hand-written oracle in
+    queries/sqlpp_suite.py: the generated SQL and the hand-written SQL
+    must return identical rows on DuckDB for the same sqlpp source —
+    a third independent formulation of each query's semantics."""
+    from sqlpp_spark.compiler.sqlgen import statement_sql
+    from sqlpp_spark.queries import REGISTRY, _ensure_loaded
+    from sqlpp_spark.queries.sqlpp_suite import SQLPP_SOURCES, _engine
+
+    _ensure_loaded()
+    eng = _engine(spark, sf_dir)
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    key = lambda row: tuple(repr(v) for v in row)  # noqa: E731
+    for name, (src, params) in sorted(SQLPP_SOURCES.items()):
+        gen_sql = statement_sql(eng.env, src, params or None)
+        got = sorted((tuple(r) for r in con.execute(gen_sql).fetchall()), key=key)
+        want = sorted(
+            (tuple(r) for r in con.execute(REGISTRY[name].oracle).fetchall()),
+            key=key,
+        )
+        assert got == want, f"{name}:\ngen : {gen_sql}\nwant: {REGISTRY[name].oracle}"
+    con.close()
