@@ -1020,3 +1020,58 @@ def test_knn_graph_auto_cells(spark, emb):
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert len(per_q) == n
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _LABELS = ["a", "b", "cc", "io"]
+
+    @st.composite
+    def _psl_case(draw):
+        rules = set()
+        for _ in range(draw(st.integers(1, 6))):
+            depth = draw(st.integers(1, 3))
+            base = ".".join(draw(st.sampled_from(_LABELS)) for _ in range(depth))
+            kind = draw(st.sampled_from(["", "", "*.", "!"]))
+            rules.add(f"{kind}{base}")
+        hosts = set()
+        for _ in range(draw(st.integers(1, 8))):
+            depth = draw(st.integers(1, 5))
+            hosts.add(
+                ".".join(draw(st.sampled_from(_LABELS)) for _ in range(depth))
+            )
+        return sorted(rules), sorted(hosts)
+
+    @settings(max_examples=25, deadline=None, derandomize=True)
+    @given(_psl_case())
+    def test_registrable_domain_psl_property(spark, case):
+        """Random rule sets (plain/wildcard/exception, overlapping
+        suffixes) × random hosts: the Spark broadcast-join resolution
+        and the independent pure-CASE DuckDB formulation must agree on
+        every host."""
+        import duckdb
+
+        from sqlpp_spark.ops.web import (
+            psl_rules_df,
+            registrable_domain_psl_sql,
+            with_registrable_domain,
+        )
+
+        rules, hosts = case
+        psl = psl_rules_df(spark, rules)
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        got = {
+            r.host: r.rd
+            for r in with_registrable_domain(df, "host", psl, "rd").collect()
+        }
+        sql = registrable_domain_psl_sql("host", rules)
+        vals = ", ".join(f"('{h}')" for h in hosts)
+        want = dict(
+            duckdb.sql(f"SELECT host, {sql} FROM (VALUES {vals}) t(host)").fetchall()
+        )
+        assert got == want, (rules, {h: (got[h], want[h]) for h in hosts if got[h] != want[h]})
+
+except ImportError:  # pragma: no cover
+    pass
