@@ -531,6 +531,47 @@ def synthesize_wave_formula(
     )
 
 
+def synthesize_g711_formula(
+    df: DataFrame, id_col: str = "doc_id", law: str = "mulaw",
+    n_samples: int = 160, sample_rate: int = 8000,
+) -> DataFrame:
+    """REAL compressed-audio WAV payloads (G.711 u-law or A-law,
+    WAVE format 7/6) whose CODE bytes are a closed integer formula
+    u(t) = (a*t + b) mod 256 with a = 2*(id mod 97) + 1, b = id mod
+    53 — so a SQL oracle can expand the exact G.711 decode formula
+    per code and recompute decoded-sample energy and zero crossings
+    bit-for-bit. The compressed-audio analogue of
+    ``synthesize_wave_formula``."""
+    if law not in ("mulaw", "alaw"):
+        raise ValueError(f"unknown companding law: {law!r}")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from sqlpp_spark.ops.audiocodec import (
+            WAVE_ALAW, WAVE_MULAW, write_wav,
+        )
+
+        fmt = WAVE_MULAW if law == "mulaw" else WAVE_ALAW
+        t = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for mid in pdf[id_col]:
+                did = int(mid)
+                a = 2 * (did % 97) + 1
+                b = did % 53
+                codes = ((a * t + b) % 256).astype(np.uint8)
+                out["media_id"].append(mid)
+                out["payload"].append(
+                    write_wav(codes.tobytes(), sample_rate, fmt)
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+
+
 def decode_audio(df: DataFrame, fallback: bool = True) -> DataFrame:
     """REAL audio decode through the standard Arrow-batched mapInPandas
     shape: WAV (RIFF PCM) payloads parse with the stdlib ``wave``
@@ -593,12 +634,33 @@ def decode_audio(df: DataFrame, fallback: bool = True) -> DataFrame:
                         zc = int(np.count_nonzero(np.diff(np.signbit(x))))
                         dec = True
                     except Exception:
-                        if not fallback:
-                            raise
+                        # stdlib wave only reads PCM — compressed WAV
+                        # formats (G.711 u-law/A-law, IMA ADPCM)
+                        # decode through ops/audiocodec
+                        try:
+                            from sqlpp_spark.ops.audiocodec import decode_wav
+
+                            s_int16, sr, ch = decode_wav(b)
+                            s_int = s_int16.astype(np.int64)
+                            x = s_int.astype(np.float64) / 32768.0
+                            ns = len(s_int) // max(ch, 1)
+                            dur = int(ns * 1000 / sr) if sr else 0
+                            rms = (
+                                float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+                            )
+                            energy = int(np.sum(s_int * s_int))
+                            zc = int(
+                                np.count_nonzero(np.diff(np.signbit(x)))
+                            )
+                            dec = True
+                        except Exception:
+                            if not fallback:
+                                raise
                 elif not fallback:
                     raise NotImplementedError(
-                        "compressed audio decode requires ffmpeg; only RIFF "
-                        "WAV decodes natively"
+                        "MP3/AAC/Vorbis-class audio decode requires ffmpeg; "
+                        "RIFF WAV (PCM, G.711 u-law/A-law, IMA ADPCM) "
+                        "decodes natively"
                     )
                 out["media_id"].append(mid)
                 out["sample_rate"].append(sr)

@@ -549,3 +549,113 @@ def multimodal_jpeg_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame
         "media_id", "width", "height", "channels",
         F.col("decoded").cast("bigint").alias("decoded"),
     )
+
+
+_G711_MULAW_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 2 * (doc_id % 97) + 1 AS a, doc_id % 53 AS b FROM documents
+),
+s AS (
+  SELECT p.doc_id, t.i,
+         255 - ((p.a * t.i + p.b) % 256) AS uc
+  FROM p, LATERAL (SELECT unnest(generate_series(0, 159)) AS i) t
+),
+v AS (
+  SELECT doc_id, i,
+         CASE WHEN uc >= 128 THEN -(((uc % 16) * 8 + 132) * (1 << ((uc // 16) % 8)) - 132)
+              ELSE (((uc % 16) * 8 + 132) * (1 << ((uc // 16) % 8)) - 132) END AS v
+  FROM s
+),
+lagged AS (
+  SELECT doc_id, v, LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM v
+),
+agg AS (
+  SELECT doc_id,
+         SUM(v * v) AS energy,
+         SUM(CASE WHEN prev IS NOT NULL AND (v < 0) <> (prev < 0)
+                  THEN 1 ELSE 0 END) AS zc
+  FROM lagged GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(160 AS BIGINT) AS n_samples,
+       CAST(20 AS BIGINT) AS duration_ms,
+       CAST(energy AS BIGINT) AS energy,
+       CAST(zc AS BIGINT) AS zero_crossings,
+       CAST(1 AS BIGINT) AS decoded
+FROM agg
+"""
+
+
+@register("multimodal_audio_mulaw_oracle", oracle=_G711_MULAW_ORACLE)
+def multimodal_audio_mulaw_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED COMPRESSED-audio decode: G.711 mu-law WAV payloads
+    (WAVE format tag 7, ops/audiocodec.py) whose code bytes are the
+    closed formula u(t) = (a*t + b) mod 256. DuckDB expands the exact
+    ITU-T G.711 formula per code — sign/exponent/mantissa integer
+    arithmetic, bit-equal to the audioop reference tables — and
+    recomputes decoded-sample energy + zero crossings. A hash-green
+    row certifies the compressed decode path itself, shrinking the
+    round-7 'compressed audio' boundary to the ffmpeg-class codecs
+    (MP3/AAC/Vorbis)."""
+    from sqlpp_spark.ops.multimodal import decode_audio, synthesize_g711_formula
+
+    d = table(spark, sf_dir, "documents")
+    return decode_audio(synthesize_g711_formula(d, law="mulaw")).select(
+        "media_id", "sample_rate", "n_channels", "n_samples", "duration_ms",
+        "energy", "zero_crossings",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )
+
+
+_G711_ALAW_ORACLE = """
+WITH p AS (
+  SELECT doc_id, 2 * (doc_id % 97) + 1 AS a, doc_id % 53 AS b FROM documents
+),
+s AS (
+  SELECT p.doc_id, t.i,
+         xor((p.a * t.i + p.b) % 256, 85) AS ac
+  FROM p, LATERAL (SELECT unnest(generate_series(0, 159)) AS i) t
+),
+v AS (
+  SELECT doc_id, i,
+         CASE WHEN ac >= 128 THEN 1 ELSE -1 END *
+         (CASE WHEN (ac // 16) % 8 = 0 THEN (ac % 16) * 16 + 8
+               ELSE ((ac % 16) * 16 + 264) * (1 << (((ac // 16) % 8) - 1)) END) AS v
+  FROM s
+),
+lagged AS (
+  SELECT doc_id, v, LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM v
+),
+agg AS (
+  SELECT doc_id,
+         SUM(v * v) AS energy,
+         SUM(CASE WHEN prev IS NOT NULL AND (v < 0) <> (prev < 0)
+                  THEN 1 ELSE 0 END) AS zc
+  FROM lagged GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(160 AS BIGINT) AS n_samples,
+       CAST(20 AS BIGINT) AS duration_ms,
+       CAST(energy AS BIGINT) AS energy,
+       CAST(zc AS BIGINT) AS zero_crossings,
+       CAST(1 AS BIGINT) AS decoded
+FROM agg
+"""
+
+
+@register("multimodal_audio_alaw_oracle", oracle=_G711_ALAW_ORACLE)
+def multimodal_audio_alaw_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 A-law twin of ``multimodal_audio_mulaw_oracle`` (WAVE
+    format tag 6; even-bit-inverted codes, 13-bit segmented expand)."""
+    from sqlpp_spark.ops.multimodal import decode_audio, synthesize_g711_formula
+
+    d = table(spark, sf_dir, "documents")
+    return decode_audio(synthesize_g711_formula(d, law="alaw")).select(
+        "media_id", "sample_rate", "n_channels", "n_samples", "duration_ms",
+        "energy", "zero_crossings",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )

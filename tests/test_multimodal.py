@@ -321,3 +321,117 @@ def test_pil_fast_path_differential():
         assert diff.mean() <= 0.6, f"mean pixel diff {diff.mean():.3f}"
     # informational: the fast-path speedup the production story claims
     print(f"\nPIL fast path speedup over pure-numpy: {t_np / t_pil:.1f}x")
+
+
+def test_g711_tables_match_audioop_reference():
+    """The G.711 expand AND compress tables must be bit-equal to the
+    stdlib audioop reference on the full domain (audioop is deprecated
+    for removal — which is why ops/audiocodec implements the ITU-T
+    formulas directly; this pins equivalence while the reference is
+    still importable)."""
+    audioop = pytest.importorskip("audioop")
+    import numpy as np
+
+    from sqlpp_spark.ops import audiocodec as AC
+
+    codes = bytes(range(256))
+    assert np.array_equal(
+        AC.MULAW_DECODE, np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+    )
+    assert np.array_equal(
+        AC.ALAW_DECODE, np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+    )
+    s = np.arange(-32768, 32768, dtype="<i2")
+    assert np.array_equal(
+        AC.MULAW_ENCODE,
+        np.frombuffer(audioop.lin2ulaw(s.tobytes(), 2), dtype=np.uint8),
+    )
+    assert np.array_equal(
+        AC.ALAW_ENCODE,
+        np.frombuffer(audioop.lin2alaw(s.tobytes(), 2), dtype=np.uint8),
+    )
+
+
+def test_ima_adpcm_core_matches_audioop():
+    """The IMA ADPCM nibble core decodes audioop's DVI-ADPCM stream
+    bit-for-bit (same step/index tables, high-nibble-first packing on
+    the audioop side)."""
+    audioop = pytest.importorskip("audioop")
+    import numpy as np
+
+    from sqlpp_spark.ops import audiocodec as AC
+
+    rng = np.random.default_rng(7)
+    sig = np.cumsum(rng.integers(-400, 400, 2000)).clip(-32000, 32000).astype("<i2")
+    data, _state = audioop.lin2adpcm(sig.tobytes(), 2, None)
+    ref = np.frombuffer(audioop.adpcm2lin(data, 2, None)[0], dtype="<i2")
+    raw = np.frombuffer(data, dtype=np.uint8)
+    nibs = np.empty(len(raw) * 2, dtype=np.uint8)
+    nibs[0::2] = raw >> 4
+    nibs[1::2] = raw & 0xF
+    mine, _, _ = AC._ima_core_decode(nibs[: len(ref)], 0, 0)
+    assert np.array_equal(mine, ref)
+
+
+def test_compressed_wav_roundtrips():
+    """WAV container round-trips for G.711 (lossless at the code
+    level) and IMA ADPCM (lossy; error bounded by the step ramp)."""
+    import numpy as np
+
+    from sqlpp_spark.ops import audiocodec as AC
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(-32768, 32768, 3000).astype(np.int16)
+    for law, enc, dec in (
+        ("mulaw", AC.mulaw_encode, AC.mulaw_decode),
+        ("alaw", AC.alaw_encode, AC.alaw_decode),
+    ):
+        fmt = AC.WAVE_MULAW if law == "mulaw" else AC.WAVE_ALAW
+        codes = enc(x)
+        out, sr, ch = AC.decode_wav(AC.write_wav(bytes(codes), 8000, fmt))
+        assert (sr, ch) == (8000, 1)
+        assert np.array_equal(out, dec(codes))
+        # companding round-trip: re-encoding the decoded signal is a
+        # fixed point (decode∘encode is idempotent on the code lattice)
+        assert np.array_equal(enc(dec(codes)), codes)
+    t = np.arange(4000)
+    sig = (3000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16)
+    out, sr, ch = AC.decode_wav(AC.write_wav(sig, 8000, AC.WAVE_IMA_ADPCM))
+    assert len(out) == len(sig)
+    err = np.abs(out.astype(int) - sig.astype(int))
+    assert err.mean() < 100 and err.max() < 3200  # ADPCM ramp overload
+
+
+def test_decode_audio_compressed_formats(spark):
+    """decode_audio handles G.711 and IMA ADPCM WAV payloads through
+    the same mapInPandas path (decoded=true, real stats); a truly
+    unsupported WAVE format stays decoded=false under fallback."""
+    import struct
+
+    import numpy as np
+
+    from sqlpp_spark.ops import audiocodec as AC
+    from sqlpp_spark.ops.multimodal import decode_audio
+
+    t = np.arange(800)
+    sig = (5000 * np.sin(2 * np.pi * 220 * t / 8000)).astype(np.int16)
+    payloads = {
+        1: AC.write_wav(bytes(AC.mulaw_encode(sig)), 8000, AC.WAVE_MULAW),
+        2: AC.write_wav(bytes(AC.alaw_encode(sig)), 8000, AC.WAVE_ALAW),
+        3: AC.write_wav(sig, 8000, AC.WAVE_IMA_ADPCM),
+    }
+    # format tag 0x55 (MP3-in-WAV): must stay undecoded, not crash
+    mp3ish = bytearray(AC.write_wav(sig, 8000, AC.WAVE_PCM))
+    mp3ish[20:22] = struct.pack("<H", 0x55)
+    payloads[4] = bytes(mp3ish)
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in decode_audio(df).collect()}
+    for mid in (1, 2, 3):
+        r = rows[mid]
+        assert r.decoded and r.sample_rate == 8000 and r.n_samples == 800
+        assert r.zero_crossings > 30  # 220 Hz over 100 ms ≈ 44 crossings
+        assert 0.08 < r.rms < 0.13  # 5000/32768 / sqrt(2) ≈ 0.108
+    assert rows[4].decoded is False
