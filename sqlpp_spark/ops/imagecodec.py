@@ -26,8 +26,9 @@ The encoder side emits both families too (``encode_jpeg`` baseline,
 ``encode_jpeg_progressive`` with per-scan optimal Huffman tables via
 the Annex K.2 algorithm — both share one quantizer, so the two
 streams decode bit-identically, which is what the round-trip tests
-pin). Arithmetic coding and lossless/hierarchical SOFs raise
-ImageCodecError — ``jpeg_info`` still recovers geometry from any SOF
+pin). LOSSLESS JPEG (SOF3, T.81 Annex H) encodes and decodes
+bit-exactly (all 7 predictors, 2-16 bit precision, 1x1 sampling).
+Arithmetic coding and hierarchical SOFs raise ImageCodecError — ``jpeg_info`` still recovers geometry from any SOF
 variant for metadata-only pruning. All constant tables (zigzag order,
 Annex K quantization and Huffman specs) are from the public T.81
 standard.
@@ -592,6 +593,8 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     w = h = None
     restart_interval = 0
     progressive = False
+    lossless = False
+    precision = 8
     coefs = None  # progressive: per-comp (BY, BX, 64) zigzag coef arrays
     geom = None  # (hmax, vmax, mcux, mcuy) once comps known
     pos = 2
@@ -630,23 +633,30 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + nv])
                 htabs[(tc, th)] = _huff_decode_table(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # baseline / progressive / lossless
             _prec, h, w, ncomp = struct.unpack(">BHHB", body[0:6])
-            if _prec != 8:
+            lossless = marker == 0xC3
+            if lossless:
+                if not 2 <= _prec <= 16:
+                    raise ImageCodecError(
+                        f"lossless JPEG precision {_prec} out of range 2..16"
+                    )
+            elif _prec != 8:
                 # SOF1 permits 12-bit samples; decoding those as uint8
                 # would silently produce garbage pixels.
                 raise ImageCodecError(
                     f"unsupported JPEG sample precision {_prec} (8 only)"
                 )
+            precision = _prec
             progressive = marker == 0xC2
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in _SOF_MARKERS:  # any other SOF variant
+        elif marker in _SOF_MARKERS:  # arithmetic / hierarchical variants
             raise ImageCodecError(
                 f"unsupported JPEG coding (SOF{marker - 0xC0}): "
-                "baseline and progressive Huffman only"
+                "baseline, progressive and lossless Huffman only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[0:2])
@@ -661,6 +671,13 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                     i for i, c in enumerate(comps) if c[0] == cs
                 )
                 scan.append((ci, tda >> 4, tda & 0xF))
+            if lossless:
+                pred_sel = body[1 + 2 * ns]
+                ahal2 = body[3 + 2 * ns]
+                return _decode_lossless_scan(
+                    data, pos + 2 + seg_len, w, h, comps, scan, htabs,
+                    pred_sel, ahal2 & 0xF, precision, restart_interval,
+                )
             if not progressive:
                 return _decode_scan(
                     data, pos + 2 + seg_len, w, h, comps, scan, qtabs,
@@ -1550,3 +1567,185 @@ def resize_array(
     bot = af[y1[:, None], x0[None, :]] * (1 - wx) + af[y1[:, None], x1[None, :]] * wx
     out = top * (1 - wy) + bot * wy
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3) — T.81 Annex H: Huffman-coded predictive coding
+# ---------------------------------------------------------------------------
+#
+# The DCT-free JPEG family (medical DICOM, DNG raw thumbnails): each
+# sample is predicted from decoded neighbors (7 selectable predictors),
+# the difference is coded with exactly the DC-magnitude-category
+# machinery the baseline decoder already has, modulo-2^16 arithmetic
+# reconstructs the sample. Precision 2-16 bits; 1x1 sampling (the only
+# layout the lossless process commonly uses); restart markers are not
+# emitted by the encoder and rejected by the decoder (documented
+# boundary — their predictor-reset rules add little beyond tests).
+
+
+def _lossless_predict(v: "np.ndarray", sel: int, default: int) -> "np.ndarray":
+    """Vectorized prediction plane for one component: v is the
+    RECONSTRUCTED (== original, lossless) Pt-shifted plane."""
+    h, w = v.shape
+    a = np.empty_like(v)  # left
+    b = np.empty_like(v)  # above
+    c = np.empty_like(v)  # above-left
+    a[:, 1:] = v[:, :-1]
+    a[:, 0] = 0
+    b[1:, :] = v[:-1, :]
+    b[0, :] = 0
+    c[1:, 1:] = v[:-1, :-1]
+    c[0, :] = 0
+    c[:, 0] = 0
+    if sel == 1:
+        p = a.copy()
+    elif sel == 2:
+        p = b.copy()
+    elif sel == 3:
+        p = c.copy()
+    elif sel == 4:
+        p = a + b - c
+    elif sel == 5:
+        p = a + ((b - c) >> 1)
+    elif sel == 6:
+        p = b + ((a - c) >> 1)
+    elif sel == 7:
+        p = (a + b) >> 1
+    else:
+        raise ImageCodecError(f"invalid lossless predictor {sel}")
+    # boundary rules (T.81 H.1.2): first sample -> default; rest of
+    # first line -> Ra; first column of other lines -> Rb
+    p[0, 1:] = a[0, 1:]
+    if h > 1:
+        p[1:, 0] = b[1:, 0]
+    p[0, 0] = default
+    return p
+
+
+def encode_jpeg_lossless(
+    img: "np.ndarray", predictor: int = 4, point_transform: int = 0,
+    precision: int | None = None,
+) -> bytes:
+    """uint8/uint16 (h, w[, ch]) → lossless JPEG (SOF3) bytes with one
+    optimal Huffman table per component. decode_jpeg round-trips it
+    BIT-EXACTLY (the point of the lossless process)."""
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
+        raise ImageCodecError("expected (h, w[, 1..4 channels]) array")
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ImageCodecError(f"lossless precision {precision} out of range 2..16")
+    if not 1 <= predictor <= 7:
+        raise ImageCodecError(f"invalid lossless predictor {predictor}")
+    pt = int(point_transform)
+    h, w, ncomp = arr.shape
+    default = 1 << (precision - pt - 1)
+    # per-component (category, extra-bit) streams, sample-interleaved
+    cats = []
+    extras = []
+    for ci in range(ncomp):
+        v = arr[:, :, ci].astype(np.int64) >> pt
+        p = _lossless_predict(v, predictor, default)
+        d_mod = (v - p) & 0xFFFF
+        signed = np.where(d_mod < 32768, d_mod, d_mod - 65536)
+        cat = np.zeros_like(d_mod)
+        nz = d_mod != 0
+        cat[nz] = np.ceil(np.log2(np.abs(signed[nz]) + 1)).astype(np.int64)
+        cat[d_mod == 32768] = 16
+        cats.append(cat)
+        extras.append(signed)
+    tables = []
+    for ci in range(ncomp):
+        freq: dict = {}
+        for s in cats[ci].ravel():
+            freq[int(s)] = freq.get(int(s), 0) + 1
+        tables.append(_gen_optimal_table(freq))
+    codes = [_huff_codes(bits, vals) for bits, vals in tables]
+    bw = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncomp):
+                s = int(cats[ci][y, x])
+                code, clen = codes[ci][s]
+                bw.write(code, clen)
+                if 0 < s < 16:
+                    n, pattern = _mag_bits(int(extras[ci][y, x]))
+                    bw.write(pattern, n)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")
+    for ci, (bits, vals) in enumerate(tables):
+        out += _seg(0xC4, bytes([0x00 | ci] + bits + vals))
+    sof = bytearray(struct.pack(">BHHB", precision, h, w, ncomp))
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += _seg(0xC3, bytes(sof))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, ci << 4])
+    sos += bytes([predictor, 0, pt])
+    out += _seg(0xDA, bytes(sos))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_lossless_scan(
+    data, pos, w, h, comps, scan, htabs, predictor, pt, precision,
+    restart_interval,
+):
+    if restart_interval:
+        raise ImageCodecError(
+            "lossless JPEG restart intervals unsupported (not emitted "
+            "by this encoder)"
+        )
+    if any(c[1] != 1 or c[2] != 1 for c in comps):
+        raise ImageCodecError("lossless JPEG: only 1x1 sampling supported")
+    ncomp = len(scan)
+    default = 1 << (precision - pt - 1)
+    tables = []
+    for ci, dc_t, _ac in scan:
+        t = htabs.get((0, dc_t))
+        if t is None:
+            raise ImageCodecError(f"missing lossless Huffman table {dc_t}")
+        tables.append(t)
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in scan]
+    br = _BitReader(data, pos)
+    for y in range(h):
+        for x in range(w):
+            for si in range(ncomp):
+                s = _decode_huff_symbol(br, tables[si])
+                if s > 16:
+                    raise ImageCodecError(
+                        f"invalid lossless magnitude category {s}"
+                    )
+                if s == 16:
+                    diff = 32768
+                elif s:
+                    diff = _extend(br.read_bits(s), s)
+                else:
+                    diff = 0
+                v = planes[si]
+                if y == 0 and x == 0:
+                    p = default
+                elif y == 0:
+                    p = v[0, x - 1]
+                elif x == 0:
+                    p = v[y - 1, 0]
+                else:
+                    a, b, c = v[y, x - 1], v[y - 1, x], v[y - 1, x - 1]
+                    p = (
+                        a if predictor == 1 else
+                        b if predictor == 2 else
+                        c if predictor == 3 else
+                        a + b - c if predictor == 4 else
+                        a + ((b - c) >> 1) if predictor == 5 else
+                        b + ((a - c) >> 1) if predictor == 6 else
+                        (a + b) >> 1
+                    )
+                v[y, x] = (int(p) + diff) & 0xFFFF
+    out = np.stack(planes, axis=-1) << pt
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    return out.astype(dtype)

@@ -111,6 +111,36 @@ def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
 
 
+def synthesize_jpeg_lossless_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL lossless-JPEG (SOF3) payloads with CLOSED-FORM pixels —
+    same formula as ``synthesize_png_media`` ((x + 3y + id) mod 256),
+    encoded with the predictive lossless codec. Because SOF3 is
+    bit-exact, the decoded MEAN is SQL-recomputable — full pixel
+    verification for a real JPEG family (lossy DCT JPEGs can only
+    oracle geometry)."""
+    import numpy as np
+
+    from sqlpp_spark.ops import imagecodec as IC
+
+    schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 13 + 4, did % 11 + 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = ((xx + 3 * yy + did) % 256).astype(np.uint8)
+                out["media_id"].append(did)
+                out["payload"].append(
+                    IC.encode_jpeg_lossless(img, predictor=1 + did % 7)
+                )
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
 def synthesize_jpeg_media(
     df: DataFrame, id_col: str = "doc_id", family: str = "mixed",
 ) -> DataFrame:

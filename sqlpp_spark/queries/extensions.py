@@ -659,3 +659,43 @@ def multimodal_audio_alaw_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "energy", "zero_crossings",
         F.col("decoded").cast("bigint").alias("decoded"),
     )
+
+
+@register(
+    "multimodal_jpeg_lossless_oracle",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         SUM((x.i + 3 * y.i + d.doc_id) % 256) AS s
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS i) x,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS i) y
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       CAST(s AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_byte,
+       CAST(1 AS BIGINT) AS decoded
+FROM px
+""",
+)
+def multimodal_jpeg_lossless_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED LOSSLESS-JPEG decode (SOF3, T.81 Annex H): predictive
+    payloads rotating through all 7 predictors decode bit-exactly, so
+    DuckDB verifies geometry AND the exact pixel mean — the full-pixel
+    check the lossy JPEG entry can't offer. Closes the round-7
+    'lossless JPEG' codec boundary."""
+    from sqlpp_spark.ops.multimodal import (
+        decode_image, synthesize_jpeg_lossless_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return decode_image(synthesize_jpeg_lossless_media(d)).select(
+        "media_id", "width", "height", "channels", "mean_byte",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )

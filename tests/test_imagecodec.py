@@ -14,6 +14,7 @@ from sqlpp_spark.ops.imagecodec import (
     decode_jpeg,
     decode_png,
     encode_jpeg,
+    encode_jpeg_lossless,
     encode_png,
     jpeg_info,
     png_info,
@@ -205,17 +206,28 @@ def test_jpeg_rejects_scanless_progressive_and_lossless_sof():
     with pytest.raises(ImageCodecError, match="SOS"):
         decode_jpeg(jpg)
     assert jpeg_info(jpg) == (20, 10, 3)
-    # ...and non-DCT SOF families (e.g. SOF3 lossless) still reject
-    # while jpeg_info still recovers geometry.
+    # ...SOF3 lossless is SUPPORTED now: a scanless stream errors the
+    # same way (no uninitialized pixels), geometry still recovers...
     jpg3 = (
         b"\xff\xd8"
         + b"\xff\xc3" + struct.pack(">H", 17)  # SOF3 lossless
         + struct.pack(">BHHB", 8, 10, 20, 3) + b"\x00" * 9
         + b"\xff\xd9"
     )
-    with pytest.raises(ImageCodecError, match="SOF3"):
+    with pytest.raises(ImageCodecError, match="SOS"):
         decode_jpeg(jpg3)
     assert jpeg_info(jpg3) == (20, 10, 3)
+    # ...and the remaining non-supported families (hierarchical SOF5)
+    # still reject while jpeg_info recovers geometry.
+    jpg5 = (
+        b"\xff\xd8"
+        + b"\xff\xc5" + struct.pack(">H", 17)  # SOF5 hierarchical
+        + struct.pack(">BHHB", 8, 10, 20, 3) + b"\x00" * 9
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ImageCodecError, match="SOF5"):
+        decode_jpeg(jpg5)
+    assert jpeg_info(jpg5) == (20, 10, 3)
 
 
 def test_progressive_decodes_bit_equal_to_baseline():
@@ -502,3 +514,55 @@ def test_jpeg_fill_bytes_before_restart_markers():
     assert n_padded > 0, "fixture must actually contain restart markers"
     out = decode_jpeg(bytes(head) + bytes(padded))
     assert np.array_equal(out, ref)
+
+
+def test_jpeg_lossless_roundtrip_all_predictors():
+    """SOF3 lossless: encode → decode is BIT-EXACT for every predictor
+    (1-7), grayscale and RGB, random content."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+    g = rng.integers(0, 256, (17, 19), dtype=np.uint8)
+    for pred in range(1, 8):
+        out = decode_jpeg(encode_jpeg_lossless(img, predictor=pred))
+        assert out.dtype == np.uint8 and np.array_equal(out, img), pred
+    out = decode_jpeg(encode_jpeg_lossless(g, predictor=4))
+    assert np.array_equal(out[:, :, 0], g)
+
+
+def test_jpeg_lossless_high_precision():
+    """SOF3 carries 2-16 bit samples: 12-bit (DICOM-style) and full
+    16-bit planes round-trip bit-exactly as uint16."""
+    rng = np.random.default_rng(6)
+    img16 = rng.integers(0, 65536, (12, 14), dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg_lossless(img16, predictor=7))
+    assert out.dtype == np.uint16 and np.array_equal(out[:, :, 0], img16)
+    img12 = rng.integers(0, 4096, (9, 11)).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg_lossless(img12, predictor=4, precision=12))
+    assert np.array_equal(out[:, :, 0], img12)
+
+
+def test_jpeg_lossless_compresses_smooth_content():
+    """Predictive coding must actually compress: a smooth gradient
+    codes far below raw size (and still round-trips exactly)."""
+    yy, xx = np.mgrid[0:64, 0:64]
+    grad = ((xx + yy) % 256).astype(np.uint8)
+    d = encode_jpeg_lossless(grad, predictor=4)
+    assert len(d) < 64 * 64 // 4
+    assert np.array_equal(decode_jpeg(d)[:, :, 0], grad)
+
+
+def test_jpeg_lossless_point_transform():
+    """Pt > 0 (near-lossless mode): decode returns the Pt-shifted
+    reconstruction ((v >> Pt) << Pt) exactly."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (10, 12), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_lossless(img, predictor=4, point_transform=2))
+    assert np.array_equal(out[:, :, 0], (img >> 2) << 2)
+
+
+def test_jpeg_lossless_rejects_bad_args():
+    img = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(ImageCodecError, match="predictor"):
+        encode_jpeg_lossless(img, predictor=0)
+    with pytest.raises(ImageCodecError, match="precision"):
+        encode_jpeg_lossless(img, precision=1)
