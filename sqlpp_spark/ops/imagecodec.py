@@ -72,73 +72,46 @@ def png_info(data: bytes) -> tuple[int, int, int]:
     return w, h, _COLOR_TYPE_CHANNELS[color_type]
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → uint8 array of shape (h, w, channels).
+_ADAM7 = (  # x0, y0, dx, dy per pass (PNG spec 8.2)
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Real decode: walks the chunk stream, inflates concatenated IDATs,
-    and reverses the per-scanline filter. Raises ImageCodecError on
-    anything outside the supported subset (interlace, depth != 8,
-    palette images).
-    """
-    if data[:8] != PNG_SIGNATURE:
-        raise ImageCodecError("not a PNG")
-    pos, w = 8, None
-    idat = bytearray()
-    h = depth = color_type = interlace = None
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
-            raise ImageCodecError("truncated PNG chunk")
-        if ctype == b"IHDR":
-            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # len + type + data + crc
-    if w is None or not idat:
-        raise ImageCodecError("PNG missing IHDR/IDAT")
-    if depth != 8:
-        raise ImageCodecError(f"unsupported PNG bit depth {depth}")
-    if interlace != 0:
-        raise ImageCodecError("interlaced PNG not supported")
-    if color_type not in _COLOR_TYPE_CHANNELS:
-        raise ImageCodecError(f"unsupported PNG color type {color_type}")
-    ch = _COLOR_TYPE_CHANNELS[color_type]
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = w * ch
-    if raw.size != h * (stride + 1):
+
+def _unfilter(raw: np.ndarray, nrows: int, row_bytes: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering for one (sub)image: raw is the
+    flat uint8 stream of nrows*(row_bytes+1) bytes; bpp is the filter
+    byte distance (max(1, bits_per_pixel // 8))."""
+    if raw.size != nrows * (row_bytes + 1):
         raise ImageCodecError("PNG pixel data size mismatch")
-    raw = raw.reshape(h, stride + 1)
+    raw = raw.reshape(nrows, row_bytes + 1)
     filters = raw[:, 0]
     lines = raw[:, 1:].astype(np.int32)
-    recon = np.zeros((h, stride), dtype=np.int32)
-    for y in range(h):
+    recon = np.zeros((nrows, row_bytes), dtype=np.int32)
+    for y in range(nrows):
         ft = filters[y]
         line = lines[y]
-        prev = recon[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        prev = recon[y - 1] if y > 0 else np.zeros(row_bytes, dtype=np.int32)
         if ft == 0:  # None
             recon[y] = line
-        elif ft == 1:  # Sub: cumulative sum per channel position
-            recon[y] = np.cumsum(line.reshape(w, ch), axis=0).reshape(stride)
+        elif ft == 1:  # Sub: cumulative sum per byte position mod bpp
+            recon[y] = np.cumsum(
+                line[: row_bytes - row_bytes % bpp].reshape(-1, bpp), axis=0
+            ).reshape(-1) if row_bytes % bpp == 0 else _sub_loop(line, bpp)
         elif ft == 2:  # Up
             recon[y] = line + prev
-        elif ft == 3:  # Average — left-dependency, per-pixel loop
+        elif ft == 3:  # Average — left-dependency, per-byte loop
             cur = recon[y]
-            for x in range(stride):
-                left = cur[x - ch] if x >= ch else 0
+            for x in range(row_bytes):
+                left = cur[x - bpp] if x >= bpp else 0
                 cur[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
             continue
-        elif ft == 4:  # Paeth — left-dependency, per-pixel loop
+        elif ft == 4:  # Paeth — left-dependency, per-byte loop
             cur = recon[y]
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
+            for x in range(row_bytes):
+                a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 if pa <= pb and pa <= pc:
@@ -152,7 +125,131 @@ def decode_png(data: bytes) -> np.ndarray:
         else:
             raise ImageCodecError(f"unknown PNG filter type {ft}")
         recon[y] &= 0xFF
-    return recon.astype(np.uint8).reshape(h, w, ch)
+    return recon.astype(np.uint8)
+
+
+def _sub_loop(line, bpp):
+    out = line.copy()
+    for x in range(bpp, len(out)):
+        out[x] = (out[x] + out[x - bpp]) & 0xFF
+    return out
+
+
+def _rows_to_samples(rows: np.ndarray, pw: int, depth: int, ch_raw: int) -> np.ndarray:
+    """(ph, row_bytes) unfiltered bytes → (ph, pw, ch_raw) integer
+    samples (uint16 domain; palette indices stay unscaled)."""
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(ph, -1)[:, : pw * ch_raw].reshape(ph, pw, ch_raw).astype(np.uint16)
+    if depth == 16:
+        u16 = rows.reshape(ph, -1).view(">u2").astype(np.uint16)
+        return u16[:, : pw * ch_raw].reshape(ph, pw, ch_raw)
+    # sub-byte: bit-unpack each padded row, group depth bits per sample
+    bits = np.unpackbits(rows, axis=1)[:, : pw * ch_raw * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    return (
+        bits.reshape(ph, pw * ch_raw, depth).astype(np.uint16) @ weights
+    ).reshape(ph, pw, ch_raw)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → pixel array of shape (h, w, channels).
+
+    Real decode of the FULL core format: chunk walk, concatenated-IDAT
+    inflate, all five scanline filters, bit depths 1/2/4/8/16,
+    grayscale / RGB / gray+alpha / RGBA / PALETTE color types (PLTE,
+    with tRNS promoting palette to RGBA), and Adam7 INTERLACE. Returns
+    uint8 (uint16 for 16-bit depth); sub-byte grayscale scales to the
+    full 8-bit range per the spec's sample expansion; palette images
+    return looked-up RGB(A)."""
+    if data[:8] != PNG_SIGNATURE:
+        raise ImageCodecError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    h = depth = color_type = interlace = None
+    plte = None
+    trns = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ImageCodecError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ImageCodecError("PLTE length not divisible by 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if w is None or not idat:
+        raise ImageCodecError("PNG missing IHDR/IDAT")
+    is_palette = color_type == 3
+    if not is_palette and color_type not in _COLOR_TYPE_CHANNELS:
+        raise ImageCodecError(f"unsupported PNG color type {color_type}")
+    ch_raw = 1 if is_palette else _COLOR_TYPE_CHANNELS[color_type]
+    valid_depths = (
+        (1, 2, 4, 8) if is_palette
+        else (1, 2, 4, 8, 16) if color_type == 0
+        else (8, 16)
+    )
+    if depth not in valid_depths:
+        raise ImageCodecError(
+            f"invalid PNG bit depth {depth} for color type {color_type}"
+        )
+    if interlace not in (0, 1):
+        raise ImageCodecError(f"unknown PNG interlace method {interlace}")
+    bits_pp = depth * ch_raw
+    bpp = max(1, bits_pp // 8)
+
+    def row_bytes(width: int) -> int:
+        return (width * bits_pp + 7) // 8
+
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if interlace == 0:
+        rows = _unfilter(raw, h, row_bytes(w), bpp)
+        samples = _rows_to_samples(rows, w, depth, ch_raw)
+    else:
+        samples = np.zeros((h, w, ch_raw), dtype=np.uint16)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            rb = row_bytes(pw)
+            n = ph * (rb + 1)
+            rows = _unfilter(raw[off : off + n], ph, rb, bpp)
+            off += n
+            samples[y0::dy, x0::dx] = _rows_to_samples(rows, pw, depth, ch_raw)
+        if off != raw.size:
+            raise ImageCodecError("PNG interlaced data size mismatch")
+    if is_palette:
+        if plte is None:
+            raise ImageCodecError("palette PNG missing PLTE")
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ImageCodecError("palette index out of range")
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        alpha[: len(trns)] = trns
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=-1)
+    if depth == 16:
+        return samples.astype(np.uint16)
+    if depth < 8:  # grayscale sample expansion to 8-bit
+        scale = 255 // ((1 << depth) - 1)
+        return (samples * scale).astype(np.uint8)
+    return samples.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -165,46 +262,159 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
-    """uint8 array (h, w) or (h, w, ch∈{1,2,3,4}) → PNG bytes.
+def _filter_rows(flat: np.ndarray, bpp: int, filter_type: int) -> np.ndarray:
+    """(nrows, row_bytes) uint8 → filtered scanlines with the leading
+    filter byte, for filter_type ∈ {0 None, 1 Sub, 2 Up}."""
+    f = flat.astype(np.int32)
+    if filter_type == 0:
+        filtered = f
+    elif filter_type == 1:  # Sub
+        left = np.zeros_like(f)
+        left[:, bpp:] = f[:, :-bpp]
+        filtered = (f - left) & 0xFF
+    elif filter_type == 2:  # Up
+        up = np.zeros_like(f)
+        up[1:] = f[:-1]
+        filtered = (f - up) & 0xFF
+    else:
+        raise ImageCodecError(f"unsupported encode filter {filter_type}")
+    return np.concatenate(
+        [np.full((flat.shape[0], 1), filter_type, dtype=np.uint8),
+         filtered.astype(np.uint8)],
+        axis=1,
+    )
 
-    ``filter_type`` ∈ {0 None, 1 Sub, 2 Up} applies one filter to every
-    scanline — 1/2 exist mostly so tests can exercise the decoder's
-    unfilter paths with genuinely foreign-shaped streams.
-    """
-    a = np.asarray(arr, dtype=np.uint8)
+
+def _png_emit(rows_bytes_fn, w, h, depth, color_type, bpp, filter_type,
+              level, interlace, extra_chunks=()):
+    """Shared PNG emission: rows_bytes_fn(y_idx, x_idx) returns the
+    packed raw bytes (nrows, row_bytes) for the given row/col index
+    arrays — called once for the whole image or once per Adam7 pass."""
+    if not interlace:
+        scan = _filter_rows(
+            rows_bytes_fn(np.arange(h), np.arange(w)), bpp, filter_type
+        )
+        payload = scan.tobytes()
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            ys = np.arange(y0, h, dy)
+            xs = np.arange(x0, w, dx)
+            if ys.size == 0 or xs.size == 0:
+                continue
+            parts.append(
+                _filter_rows(rows_bytes_fn(ys, xs), bpp, filter_type).tobytes()
+            )
+        payload = b"".join(parts)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    out = PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+    for ctype, body in extra_chunks:
+        out += _chunk(ctype, body)
+    out += _chunk(b"IDAT", zlib.compress(payload, level))
+    return out + _chunk(b"IEND", b"")
+
+
+def _pack_bits(vals: np.ndarray, depth: int) -> np.ndarray:
+    """(nrows, n_samples) sample values < 2^depth → packed big-endian
+    rows (nrows, row_bytes), zero-padded to the byte boundary."""
+    nrows, n = vals.shape
+    bits = (
+        (vals[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(nrows, n * depth).astype(np.uint8)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.concatenate(
+            [bits, np.zeros((nrows, pad), dtype=np.uint8)], axis=1
+        )
+    return np.packbits(bits, axis=1)
+
+
+def encode_png(
+    arr: np.ndarray, filter_type: int = 0, level: int = 6,
+    interlace: bool = False,
+) -> bytes:
+    """(h, w[, ch∈{1,2,3,4}]) array → PNG bytes. uint8 input writes
+    8-bit depth; uint16 writes 16-bit (big-endian samples). Adam7
+    interlacing via ``interlace=True``. ``filter_type`` ∈ {0 None,
+    1 Sub, 2 Up} applies one filter to every scanline — 1/2 exist
+    mostly so tests can exercise the decoder's unfilter paths."""
+    a = np.asarray(arr)
+    depth = 16 if a.dtype == np.uint16 else 8
+    a = a.astype(np.uint16 if depth == 16 else np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
     if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
         raise ImageCodecError(f"cannot encode array of shape {arr.shape}")
     h, w, ch = a.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    flat = a.reshape(h, w * ch).astype(np.int32)
-    if filter_type == 0:
-        filtered = flat
-    elif filter_type == 1:  # Sub
-        left = np.zeros_like(flat)
-        left[:, ch:] = flat[:, :-ch]
-        filtered = (flat - left) & 0xFF
-    elif filter_type == 2:  # Up
-        up = np.zeros_like(flat)
-        up[1:] = flat[:-1]
-        filtered = (flat - up) & 0xFF
-    else:
-        raise ImageCodecError(f"unsupported encode filter {filter_type}")
-    scan = np.concatenate(
-        [np.full((h, 1), filter_type, dtype=np.uint8),
-         filtered.astype(np.uint8)],
-        axis=1,
-    )
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    idat = zlib.compress(scan.tobytes(), level)
-    return (
-        PNG_SIGNATURE
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", idat)
-        + _chunk(b"IEND", b"")
-    )
+    bpp = ch * depth // 8
+
+    def rows(ys, xs):
+        sub = a[np.ix_(ys, xs)]
+        if depth == 16:
+            return (
+                sub.astype(">u2").view(np.uint8).reshape(len(ys), -1)
+            )
+        return sub.reshape(len(ys), -1)
+
+    return _png_emit(rows, w, h, depth, color_type, bpp, filter_type,
+                     level, interlace)
+
+
+def encode_png_palette(
+    arr: np.ndarray, depth: int = 8, trns: "np.ndarray | None" = None,
+    filter_type: int = 0, level: int = 6, interlace: bool = False,
+) -> bytes:
+    """(h, w, 3) uint8 RGB → palette (color type 3) PNG: unique colors
+    become the PLTE (must fit 2^depth entries, depth ∈ {1,2,4,8});
+    ``trns`` optionally supplies per-palette-entry alpha (tRNS)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ImageCodecError("palette encode expects (h, w, 3) RGB")
+    if depth not in (1, 2, 4, 8):
+        raise ImageCodecError(f"invalid palette depth {depth}")
+    h, w, _ = a.shape
+    colors, idx = np.unique(a.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > (1 << depth):
+        raise ImageCodecError(
+            f"{len(colors)} colors exceed {1 << depth}-entry palette"
+        )
+    idx = idx.reshape(h, w).astype(np.uint16)
+    extra = [(b"PLTE", colors.astype(np.uint8).tobytes())]
+    if trns is not None:
+        extra.append((b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes()))
+
+    def rows(ys, xs):
+        sub = idx[np.ix_(ys, xs)]
+        if depth == 8:
+            return sub.astype(np.uint8)
+        return _pack_bits(sub, depth)
+
+    return _png_emit(rows, w, h, depth, 3, 1, filter_type, level,
+                     interlace, extra)
+
+
+def encode_png_gray(
+    arr: np.ndarray, depth: int, filter_type: int = 0, level: int = 6,
+    interlace: bool = False,
+) -> bytes:
+    """(h, w) sample values < 2^depth → sub-byte grayscale PNG
+    (depth ∈ {1, 2, 4})."""
+    if depth not in (1, 2, 4):
+        raise ImageCodecError(f"invalid sub-byte gray depth {depth}")
+    a = np.asarray(arr).astype(np.uint16)
+    if a.ndim != 2:
+        raise ImageCodecError("sub-byte gray encode expects (h, w)")
+    if int(a.max(initial=0)) >= (1 << depth):
+        raise ImageCodecError(f"sample exceeds {depth}-bit range")
+    h, w = a.shape
+
+    def rows(ys, xs):
+        return _pack_bits(a[np.ix_(ys, xs)], depth)
+
+    return _png_emit(rows, w, h, depth, 0, 1, filter_type, level, interlace)
 
 
 # ---------------------------------------------------------------------------

@@ -566,3 +566,66 @@ def test_jpeg_lossless_rejects_bad_args():
         encode_jpeg_lossless(img, predictor=0)
     with pytest.raises(ImageCodecError, match="precision"):
         encode_jpeg_lossless(img, precision=1)
+
+
+def test_png_full_format_matrix():
+    """PNG core-format completeness: bit depths 1/2/4/8/16, palette
+    (PLTE + tRNS), Adam7 interlace, every encode filter — all
+    round-trip bit-exactly (Adam7 coverage itself is asserted: each
+    pixel in exactly one pass)."""
+    from sqlpp_spark.ops.imagecodec import (
+        _ADAM7, encode_png_gray, encode_png_palette,
+    )
+
+    cover = np.zeros((16, 16), dtype=int)
+    for x0, y0, dx, dy in _ADAM7:
+        cover[y0::dy, x0::dx] += 1
+    assert (cover == 1).all()
+
+    rng = np.random.default_rng(1)
+    for shape in ((7, 9), (8, 8, 3), (5, 6, 4), (1, 1), (9, 1), (1, 9)):
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        exp = a if a.ndim == 3 else a[:, :, None]
+        for ft in (0, 1, 2):
+            for il in (False, True):
+                out = decode_png(encode_png(a, filter_type=ft, interlace=il))
+                assert np.array_equal(out, exp), (shape, ft, il)
+
+    a16 = rng.integers(0, 65536, (9, 7, 3), dtype=np.uint16)
+    for il in (False, True):
+        out = decode_png(encode_png(a16, interlace=il))
+        assert out.dtype == np.uint16 and np.array_equal(out, a16)
+
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], dtype=np.uint8
+    )
+    rgb = pal[rng.integers(0, 4, (11, 13), dtype=np.uint8)]
+    for depth in (2, 4, 8):
+        for il in (False, True):
+            out = decode_png(encode_png_palette(rgb, depth=depth, interlace=il))
+            assert np.array_equal(out, rgb), (depth, il)
+    out = decode_png(
+        encode_png_palette(rgb, depth=4, trns=np.array([255, 128, 0, 7]))
+    )
+    assert out.shape == (11, 13, 4) and np.array_equal(out[:, :, :3], rgb)
+
+    for depth in (1, 2, 4):
+        g = rng.integers(0, 1 << depth, (6, 10), dtype=np.uint8)
+        scale = 255 // ((1 << depth) - 1)
+        for il in (False, True):
+            out = decode_png(encode_png_gray(g, depth, interlace=il))
+            assert np.array_equal(out[:, :, 0], g * scale), (depth, il)
+
+
+def test_png_rejects_malformed_palette_and_depth():
+    from sqlpp_spark.ops.imagecodec import encode_png_palette
+
+    rng = np.random.default_rng(2)
+    many = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ImageCodecError, match="palette"):
+        encode_png_palette(many, depth=2)  # >4 unique colors
+    # invalid depth/color-type combination rejects at decode
+    bad = bytearray(encode_png(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)))
+    bad[24] = 4  # IHDR bit depth byte: RGB at depth 4 is invalid
+    with pytest.raises(ImageCodecError):
+        decode_png(bytes(bad))
