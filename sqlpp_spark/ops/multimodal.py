@@ -111,6 +111,53 @@ def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
 
 
+def synthesize_png_variants_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """CLOSED-FORM pixels through the HARD PNG paths: per doc the
+    formula image ((x + 3y + id) mod 256) is encoded rotating through
+    Adam7 interlacing, palette color (the formula's row-0 values as a
+    256-entry palette — i.e. a palette image whose looked-up gray
+    equals the formula), 16-bit samples (value << 8, so mean_byte is
+    mean*256), and the plain baseline — one corpus exercising
+    deinterlacing, PLTE lookup and 16-bit unpacking with
+    SQL-recomputable decoded stats."""
+    import numpy as np
+
+    from sqlpp_spark.ops import imagecodec as IC
+
+    schema = "media_id long, variant int, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gray_palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        for pdf in batches:
+            out = {"media_id": [], "variant": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 13 + 4, did % 11 + 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = ((xx + 3 * yy + did) % 256).astype(np.uint8)
+                variant = did % 4
+                if variant == 0:
+                    payload = IC.encode_png(img, interlace=True)
+                elif variant == 1:
+                    # gray palette: palette index == gray value, so the
+                    # decoded RGB planes all equal the formula
+                    payload = IC.encode_png_palette(
+                        gray_palette[img], interlace=did % 2 == 1
+                    )
+                elif variant == 2:
+                    payload = IC.encode_png(
+                        (img.astype(np.uint16) << 8), interlace=True
+                    )
+                else:
+                    payload = IC.encode_png(img)
+                out["media_id"].append(did)
+                out["variant"].append(variant)
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
 def synthesize_jpeg_lossless_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL lossless-JPEG (SOF3) payloads with CLOSED-FORM pixels —
     same formula as ``synthesize_png_media`` ((x + 3y + id) mod 256),

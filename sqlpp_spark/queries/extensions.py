@@ -699,3 +699,51 @@ def multimodal_jpeg_lossless_oracle(spark: SparkSession, sf_dir: str) -> DataFra
         "media_id", "width", "height", "channels", "mean_byte",
         F.col("decoded").cast("bigint").alias("decoded"),
     )
+
+
+@register(
+    "multimodal_png_variants_oracle",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 4 AS variant,
+         doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.variant, d.w, d.h,
+         SUM((x.i + 3 * y.i + d.doc_id) % 256) AS s
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS i) x,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS i) y
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id AS media_id,
+       CAST(variant AS INT) AS variant,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(CASE WHEN variant = 1 THEN 3 ELSE 1 END AS INT) AS channels,
+       CAST(s * (CASE WHEN variant = 2 THEN 256 ELSE 1 END) AS DOUBLE)
+         / CAST(w * h AS DOUBLE) AS mean_byte,
+       CAST(1 AS BIGINT) AS decoded
+FROM px
+""",
+)
+def multimodal_png_variants_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED decode of the HARD PNG paths — Adam7 interlacing,
+    palette (PLTE lookup), 16-bit samples — with closed-form pixels:
+    DuckDB recomputes geometry, channel count and the exact decoded
+    mean per variant (the 16-bit variant's mean is the formula mean
+    × 256; the palette variant's gray palette makes all three decoded
+    channels equal the formula). A hash-green row certifies
+    deinterlacing, palette lookup and 16-bit unpacking driver-side."""
+    from sqlpp_spark.ops.multimodal import (
+        decode_image, synthesize_png_variants_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return decode_image(synthesize_png_variants_media(d)).select(
+        "media_id",
+        (F.col("media_id") % 4).cast("int").alias("variant"),
+        "width", "height", "channels", "mean_byte",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )
