@@ -1,0 +1,309 @@
+"""GIF87a/89a codec in pure numpy/python — LZW decode + encode,
+global/local color tables, row interlacing, GCE transparency.
+
+Extends the multimodal decode surface to the third big crawl-corpus
+image format (after PNG and JPEG, ops/imagecodec.py). Spec: W3C/
+CompuServe GIF89a. Static images (first frame); animation frames
+beyond the first are ignored by ``decode_gif`` (documented: a frame
+iterator is a composition away, the container walk already parses
+every block).
+
+LZW here is the GIF variant: variable code width starting at
+min_code_size+1, CLEAR and EOI codes, dictionary grows to 4096 then
+the encoder emits CLEAR and resets. The decoder is a straight table
+of byte strings; the encoder keeps a dict keyed by (prefix_code,
+next_byte). Both are per-image Python loops — interpreter-bound but
+embarrassingly parallel across payloads in the mapInPandas batch
+path, same story as the JPEG entropy loop.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class GifCodecError(ValueError):
+    pass
+
+
+GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+# ---------------------------------------------------------------------------
+# LZW
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+
+    width = min_code_size + 1
+    reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits  # GIF packs codes LSB-first
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return np.frombuffer(bytes(out), dtype=np.uint8)[:expected]
+            if prev is None:
+                if code >= len(table):
+                    raise GifCodecError("LZW first code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise GifCodecError("LZW code out of range")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expected:
+                return np.frombuffer(bytes(out), dtype=np.uint8)[:expected]
+    if len(out) < expected:
+        raise GifCodecError("LZW stream truncated")
+    return np.frombuffer(bytes(out), dtype=np.uint8)[:expected]
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict = {}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prev = -1
+    for b in indices.astype(np.int64):
+        b = int(b)
+        if prev < 0:
+            prev = b
+            continue
+        key = (prev, b)
+        code = table.get(key)
+        if code is not None:
+            prev = code
+            continue
+        emit(prev, width)
+        table[key] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table.clear()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prev = b
+    if prev >= 0:
+        emit(prev, width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Container
+# ---------------------------------------------------------------------------
+
+
+def gif_info(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the header without LZW decode
+    (channels: 4 when the first frame's GCE sets transparency)."""
+    if data[:6] not in GIF_SIGNATURES:
+        raise GifCodecError("not a GIF")
+    w, h = struct.unpack("<HH", data[6:10])
+    return w, h, 4 if _first_gce_transparent(data) else 3
+
+
+def _first_gce_transparent(data: bytes) -> bool:
+    pos = 10
+    packed = data[pos]
+    pos += 3
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 7))
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21 and pos + 1 < len(data) and data[pos + 1] == 0xF9:
+            return bool(data[pos + 3] & 1)
+        if b in (0x2C, 0x3B):
+            return False
+        if b == 0x21:  # other extension: skip sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        raise GifCodecError(f"unexpected GIF block 0x{b:02X}")
+    return False
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF bytes → uint8 (h, w, 3) — or (h, w, 4) when the first
+    frame's graphic control extension declares a transparent index.
+    First frame only; interlaced row order handled."""
+    try:
+        return _decode_gif_inner(data)
+    except (IndexError, struct.error) as e:  # truncated container
+        raise GifCodecError(f"truncated GIF stream: {e}") from None
+
+
+def _decode_gif_inner(data: bytes) -> np.ndarray:
+    if data[:6] not in GIF_SIGNATURES:
+        raise GifCodecError("not a GIF")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    packed, bg, _ar = data[10], data[11], data[12]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    transparent = None
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:
+                flags = data[pos + 1]
+                if flags & 1:
+                    transparent = data[pos + 4]
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise GifCodecError(f"unexpected GIF block 0x{b:02X}")
+        # image descriptor
+        ix, iy, iw, ih = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+        ipacked = data[pos + 9]
+        pos += 10
+        lct = None
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            lct = np.frombuffer(
+                data[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        interlaced = bool(ipacked & 0x40)
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos]:
+            sz = data[pos]
+            lzw += data[pos + 1 : pos + 1 + sz]
+            pos += 1 + sz
+        pos += 1
+        table = lct if lct is not None else gct
+        if table is None:
+            raise GifCodecError("GIF image with no color table")
+        idx = _lzw_decode(bytes(lzw), min_code, iw * ih).astype(np.int64)
+        if idx.size != iw * ih:
+            raise GifCodecError("GIF pixel data size mismatch")
+        if int(idx.max(initial=0)) >= len(table):
+            raise GifCodecError("GIF color index out of range")
+        idx = idx.reshape(ih, iw)
+        if interlaced:
+            de = np.empty_like(idx)
+            row = 0
+            for start, step in _INTERLACE_PASSES:
+                nrows = len(range(start, ih, step))
+                de[start::step] = idx[row : row + nrows]
+                row += nrows
+            idx = de
+        rgb = table[idx]
+        if transparent is not None:
+            alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+            out = np.concatenate([rgb, alpha[:, :, None]], axis=-1)
+        else:
+            out = rgb
+        if (ix, iy, iw, ih) != (0, 0, sw, sh):
+            # first frame smaller than the screen: place on background
+            full = np.zeros((sh, sw, out.shape[2]), dtype=np.uint8)
+            if gct is not None and transparent is None:
+                full[:, :, :3] = gct[min(bg, len(gct) - 1)]
+            full[iy : iy + ih, ix : ix + iw] = out
+            return full
+        return out
+    raise GifCodecError("GIF contains no image data")
+
+
+def encode_gif(
+    rgb: np.ndarray, interlace: bool = False,
+    transparent: "int | None" = None, loop_frames: int = 1,
+) -> bytes:
+    """uint8 (h, w, 3) RGB (≤256 unique colors) → GIF89a bytes.
+    ``transparent`` marks that palette index in a GCE. ``loop_frames``
+    repeats the frame to exercise the multi-frame container walk."""
+    a = np.asarray(rgb, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise GifCodecError("expected (h, w, 3) RGB")
+    h, w, _ = a.shape
+    colors, idx = np.unique(a.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise GifCodecError(f"{len(colors)} colors exceed GIF's 256")
+    idx = idx.reshape(h, w)
+    depth = max(1, int(len(colors) - 1).bit_length())
+    n = 1 << depth
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    out += pal.tobytes()
+    min_code = max(2, depth)
+    for _f in range(max(1, loop_frames)):
+        if transparent is not None:
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+        rows = idx
+        if interlace:
+            parts = [idx[start::step] for start, step in _INTERLACE_PASSES]
+            rows = np.concatenate(parts, axis=0)
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x40 if interlace else 0x00, min_code])
+        lzw = _lzw_encode(rows.reshape(-1), min_code)
+        for off in range(0, len(lzw), 255):
+            block = lzw[off : off + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)

@@ -158,6 +158,39 @@ def synthesize_png_variants_media(df: DataFrame, id_col: str = "doc_id") -> Data
     return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
 
 
+def synthesize_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL GIF payloads with CLOSED-FORM pixels: the formula image
+    ((x + 3y + id) mod 256) indexed through a gray palette (so every
+    decoded RGB channel equals the formula), interlaced on odd ids,
+    with a second identical frame on ids % 3 == 0 (first-frame decode
+    must ignore it). SQL recomputes geometry and the exact mean."""
+    import numpy as np
+
+    from sqlpp_spark.ops import gifcodec as GC
+
+    schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 13 + 4, did % 11 + 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = gray[((xx + 3 * yy + did) % 256)]
+                out["media_id"].append(did)
+                out["payload"].append(
+                    GC.encode_gif(
+                        img, interlace=did % 2 == 1,
+                        loop_frames=2 if did % 3 == 0 else 1,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
 def synthesize_jpeg_lossless_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL lossless-JPEG (SOF3) payloads with CLOSED-FORM pixels —
     same formula as ``synthesize_png_media`` ((x + 3y + id) mod 256),
@@ -308,6 +341,17 @@ def _decode_one(b: bytes, fallback: bool):
             w = h = ch = 0
         raw = np.frombuffer(b, dtype=np.uint8)
         return w, h, ch, (float(raw.mean()) if raw.size else 0.0), False
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from sqlpp_spark.ops.gifcodec import GifCodecError, decode_gif
+
+        try:
+            arr = decode_gif(b)
+            h, w, ch = arr.shape
+            return w, h, ch, float(arr.mean()), True
+        except GifCodecError:
+            if not HAS_PIL and not fallback:
+                raise
+            # fall through to PIL / raw-stats path below
     if HAS_PIL:
         try:
             img = _PILImage.open(io.BytesIO(b))

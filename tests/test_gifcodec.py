@@ -1,0 +1,90 @@
+"""GIF codec (ops/gifcodec.py): LZW, palettes, interlacing,
+transparency, multi-frame container walk."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sqlpp_spark.ops.gifcodec import (
+    GifCodecError,
+    decode_gif,
+    encode_gif,
+    gif_info,
+)
+
+
+def test_gif_roundtrip_plain_and_interlaced():
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    for shape in ((7, 9), (33, 47), (1, 1), (64, 64)):
+        img = pal[rng.integers(0, 256, shape)]
+        for il in (False, True):
+            d = encode_gif(img, interlace=il)
+            assert np.array_equal(decode_gif(d), img), (shape, il)
+            assert gif_info(d) == (shape[1], shape[0], 3)
+
+
+def test_gif_small_palette_depth():
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_transparency_yields_rgba():
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]],
+        dtype=np.uint8,
+    )
+    d = encode_gif(img, transparent=0)
+    out = decode_gif(d)
+    assert out.shape[2] == 4
+    assert gif_info(d)[2] == 4
+    assert np.array_equal(out[:, :, :3], img)
+    # exactly the pixels carrying palette index 0 are transparent
+    assert (out[:, :, 3] == 0).sum() >= 1
+
+
+def test_gif_multiframe_first_frame_decoded():
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 64, (12, 18))]
+    assert np.array_equal(decode_gif(encode_gif(img, loop_frames=4)), img)
+
+
+def test_gif_lzw_dictionary_reset():
+    """A big noisy image forces > 4096 LZW codes — the encoder must
+    emit CLEAR + reset and the decoder must follow."""
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 256, (128, 128))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_compresses_smooth_content():
+    yy, xx = np.mgrid[0:64, 0:64]
+    gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    img = gray[((xx + yy) // 8) % 256]
+    d = encode_gif(img)
+    assert len(d) < 64 * 64 // 2
+    assert np.array_equal(decode_gif(d), img)
+
+
+def test_gif_rejects_garbage_and_too_many_colors():
+    with pytest.raises(GifCodecError, match="not a GIF"):
+        decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    rng = np.random.default_rng(6)
+    noisy = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    with pytest.raises(GifCodecError, match="256"):
+        encode_gif(noisy)  # ~1024 unique colors
+
+
+def test_gif_truncated_stream_errors():
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 16, (10, 10))]
+    d = encode_gif(img)
+    with pytest.raises(GifCodecError):
+        decode_gif(d[: len(d) // 2])
