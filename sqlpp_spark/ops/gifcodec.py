@@ -72,8 +72,9 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
-                table.append(prev + entry[:1])
-            elif code == len(table):
+                if len(table) < 4096:  # deferred-clear streams freeze
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
                 entry = prev + prev[:1]
                 table.append(entry)
             else:

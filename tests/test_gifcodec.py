@@ -88,3 +88,56 @@ def test_gif_truncated_stream_errors():
     d = encode_gif(img)
     with pytest.raises(GifCodecError):
         decode_gif(d[: len(d) // 2])
+
+
+def test_gif_deferred_clear_stream():
+    """Foreign encoders may NEVER emit CLEAR once the dictionary
+    fills ('deferred clear'): codes stay ≤ 4095 and both sides freeze
+    the table at 4096 entries. Hand-roll a literal-only stream long
+    enough to fill the table and check the decoder tracks it."""
+    import struct
+
+    rng = np.random.default_rng(8)
+    idx = rng.integers(0, 256, 6000, dtype=np.uint8)
+    min_code = 8
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code + 1
+    emit(clear, width)
+    table_len = eoi + 1
+    prev = None
+    for b in idx:
+        emit(int(b), width)
+        if prev is not None and table_len < 4096:
+            table_len += 1
+            if table_len == (1 << width) and width < 12:
+                width += 1
+        prev = int(b)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+
+    # wrap in a minimal GIF container: 6000 = 100 x 60 image
+    w, h = 100, 60
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    gif = bytearray(b"GIF89a") + struct.pack("<HH", w, h)
+    gif += bytes([0x80 | 7, 0, 0]) + pal.tobytes()
+    gif += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h)
+    gif += bytes([0x00, min_code])
+    for off in range(0, len(out), 255):
+        block = out[off : off + 255]
+        gif += bytes([len(block)]) + block
+    gif += b"\x00\x3B"
+    decoded = decode_gif(bytes(gif))
+    assert np.array_equal(decoded[:, :, 0], idx.reshape(h, w))
