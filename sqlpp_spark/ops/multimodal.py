@@ -191,6 +191,42 @@ def synthesize_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
 
 
+def synthesize_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL BMP payloads with CLOSED-FORM pixels — the formula image
+    through a gray palette, rotating 8-bit plain / 8-bit RLE8 /
+    24-bit / top-down variants by id, all decoding to the same
+    SQL-recomputable stats."""
+    import numpy as np
+
+    from sqlpp_spark.ops import bmpcodec as BC
+
+    schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 13 + 4, did % 11 + 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                idx = ((xx + 3 * yy + did) % 256).astype(np.uint8)
+                variant = did % 4
+                if variant == 0:
+                    payload = BC.encode_bmp(idx, palette=gray)
+                elif variant == 1:
+                    payload = BC.encode_bmp(idx, palette=gray, rle=True)
+                elif variant == 2:
+                    payload = BC.encode_bmp(gray[idx])
+                else:
+                    payload = BC.encode_bmp(gray[idx], top_down=True)
+                out["media_id"].append(did)
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
 def synthesize_jpeg_lossless_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL lossless-JPEG (SOF3) payloads with CLOSED-FORM pixels —
     same formula as ``synthesize_png_media`` ((x + 3y + id) mod 256),
@@ -341,6 +377,16 @@ def _decode_one(b: bytes, fallback: bool):
             w = h = ch = 0
         raw = np.frombuffer(b, dtype=np.uint8)
         return w, h, ch, (float(raw.mean()) if raw.size else 0.0), False
+    if b[:2] == b"BM":
+        from sqlpp_spark.ops.bmpcodec import BmpCodecError, decode_bmp
+
+        try:
+            arr = decode_bmp(b)
+            h, w, ch = arr.shape
+            return w, h, ch, float(arr.mean()), True
+        except BmpCodecError:
+            if not HAS_PIL and not fallback:
+                raise
     if b[:6] in (b"GIF87a", b"GIF89a"):
         from sqlpp_spark.ops.gifcodec import GifCodecError, decode_gif
 
