@@ -227,6 +227,39 @@ def synthesize_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
 
 
+def synthesize_tiff_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL TIFF payloads with CLOSED-FORM pixels — formula grayscale
+    rotating through uncompressed / TIFF-LZW / PackBits compression,
+    II / MM byte orders and multi-strip layouts by id."""
+    import numpy as np
+
+    from sqlpp_spark.ops import tiffcodec as TC
+
+    schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        comps = (1, 5, 32773)
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 13 + 4, did % 11 + 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = ((xx + 3 * yy + did) % 256).astype(np.uint8)
+                out["media_id"].append(did)
+                out["payload"].append(
+                    TC.encode_tiff(
+                        img,
+                        compression=comps[did % 3],
+                        byte_order="II" if did % 2 == 0 else "MM",
+                        rows_per_strip=3 + did % 5,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
 def synthesize_jpeg_lossless_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL lossless-JPEG (SOF3) payloads with CLOSED-FORM pixels —
     same formula as ``synthesize_png_media`` ((x + 3y + id) mod 256),
@@ -377,6 +410,16 @@ def _decode_one(b: bytes, fallback: bool):
             w = h = ch = 0
         raw = np.frombuffer(b, dtype=np.uint8)
         return w, h, ch, (float(raw.mean()) if raw.size else 0.0), False
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from sqlpp_spark.ops.tiffcodec import TiffCodecError, decode_tiff
+
+        try:
+            arr = decode_tiff(b)
+            h, w, ch = arr.shape
+            return w, h, ch, float(arr.mean()), True
+        except TiffCodecError:
+            if not HAS_PIL and not fallback:
+                raise
     if b[:2] == b"BM":
         from sqlpp_spark.ops.bmpcodec import BmpCodecError, decode_bmp
 

@@ -823,3 +823,40 @@ def multimodal_bmp_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "width", "height", "channels", "mean_byte",
         F.col("decoded").cast("bigint").alias("decoded"),
     )
+
+
+@register(
+    "multimodal_tiff_decode_oracle",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         SUM((x.i + 3 * y.i + d.doc_id) % 256) AS s
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS i) x,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS i) y
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       CAST(s AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_byte,
+       CAST(1 AS BIGINT) AS decoded
+FROM px
+""",
+)
+def multimodal_tiff_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED TIFF decode (ops/tiffcodec.py): formula grayscale
+    rotating through no-compression / TIFF-LZW (MSB-first,
+    early-change) / PackBits, both byte orders, varying strip
+    heights; DuckDB verifies geometry and the exact decoded mean."""
+    from sqlpp_spark.ops.multimodal import decode_image, synthesize_tiff_media
+
+    d = table(spark, sf_dir, "documents")
+    return decode_image(synthesize_tiff_media(d)).select(
+        "media_id", "width", "height", "channels", "mean_byte",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )
