@@ -39,8 +39,10 @@ def decode_bmp(data: bytes) -> np.ndarray:
     """BMP bytes → uint8 (h, w, 3|4) RGB(A)."""
     try:
         return _decode_inner(data)
-    except (IndexError, struct.error) as e:
-        raise BmpCodecError(f"truncated BMP stream: {e}") from None
+    except BmpCodecError:
+        raise
+    except (IndexError, ValueError, struct.error) as e:
+        raise BmpCodecError(f"malformed BMP stream: {e}") from None
 
 
 def _decode_inner(data: bytes) -> np.ndarray:

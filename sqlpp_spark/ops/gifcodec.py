@@ -181,8 +181,10 @@ def decode_gif(data: bytes) -> np.ndarray:
     First frame only; interlaced row order handled."""
     try:
         return _decode_gif_inner(data)
-    except (IndexError, struct.error) as e:  # truncated container
-        raise GifCodecError(f"truncated GIF stream: {e}") from None
+    except GifCodecError:
+        raise
+    except (IndexError, ValueError, struct.error) as e:  # malformed container
+        raise GifCodecError(f"malformed GIF stream: {e}") from None
 
 
 def _decode_gif_inner(data: bytes) -> np.ndarray:

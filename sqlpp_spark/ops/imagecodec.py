@@ -95,9 +95,9 @@ def _unfilter(raw: np.ndarray, nrows: int, row_bytes: int, bpp: int) -> np.ndarr
         if ft == 0:  # None
             recon[y] = line
         elif ft == 1:  # Sub: cumulative sum per byte position mod bpp
-            recon[y] = np.cumsum(
-                line[: row_bytes - row_bytes % bpp].reshape(-1, bpp), axis=0
-            ).reshape(-1) if row_bytes % bpp == 0 else _sub_loop(line, bpp)
+            # row_bytes is always a multiple of bpp: sub-byte depths
+            # have bpp=1, and 8/16-bit rows are w*ch resp. 2*w*ch
+            recon[y] = np.cumsum(line.reshape(-1, bpp), axis=0).reshape(-1)
         elif ft == 2:  # Up
             recon[y] = line + prev
         elif ft == 3:  # Average — left-dependency, per-byte loop
@@ -128,13 +128,6 @@ def _unfilter(raw: np.ndarray, nrows: int, row_bytes: int, bpp: int) -> np.ndarr
     return recon.astype(np.uint8)
 
 
-def _sub_loop(line, bpp):
-    out = line.copy()
-    for x in range(bpp, len(out)):
-        out[x] = (out[x] + out[x - bpp]) & 0xFF
-    return out
-
-
 def _rows_to_samples(rows: np.ndarray, pw: int, depth: int, ch_raw: int) -> np.ndarray:
     """(ph, row_bytes) unfiltered bytes → (ph, pw, ch_raw) integer
     samples (uint16 domain; palette indices stay unscaled)."""
@@ -153,6 +146,19 @@ def _rows_to_samples(rows: np.ndarray, pw: int, depth: int, ch_raw: int) -> np.n
 
 
 def decode_png(data: bytes) -> np.ndarray:
+    """PNG decode with the malformed-input contract the other codecs
+    share: anything a corrupt stream can raise (zlib.error, numpy
+    shape/value errors, short reads) surfaces as ImageCodecError."""
+    try:
+        return _decode_png_inner(data)
+    except ImageCodecError:
+        raise
+    except (zlib.error, ValueError, IndexError, KeyError, struct.error,
+            OverflowError) as e:
+        raise ImageCodecError(f"malformed PNG stream: {e}") from None
+
+
+def _decode_png_inner(data: bytes) -> np.ndarray:
     """PNG bytes → pixel array of shape (h, w, channels).
 
     Real decode of the FULL core format: chunk walk, concatenated-IDAT
@@ -425,6 +431,33 @@ _SOF_MARKERS = {  # all Start-Of-Frame variants carry the same geometry
     0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
 }
+
+
+def jpeg_sof_marker(data: bytes) -> int:
+    """The frame type (0xC0-0xCF SOF marker code) of a JPEG stream —
+    cheap marker walk, no entropy decode. Lets dispatch route SOF3
+    (lossless) to the native codec even when a libjpeg-class fast
+    path is available (libjpeg cannot decode SOF3)."""
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in _SOF_MARKERS:
+            return marker
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        pos += 2 + seg_len
+    raise ImageCodecError("JPEG SOF marker not found")
 
 
 def jpeg_info(data: bytes) -> tuple[int, int, int]:
@@ -1869,9 +1902,8 @@ def encode_jpeg_lossless(
         extras.append(signed)
     tables = []
     for ci in range(ncomp):
-        freq: dict = {}
-        for s in cats[ci].ravel():
-            freq[int(s)] = freq.get(int(s), 0) + 1
+        counts = np.bincount(cats[ci].ravel(), minlength=17)
+        freq = {int(s): int(c) for s, c in enumerate(counts) if c}
         tables.append(_gen_optimal_table(freq))
     codes = [_huff_codes(bits, vals) for bits, vals in tables]
     bw = _BitWriter()

@@ -366,6 +366,15 @@ FEATURE_SCHEMA = (
 )
 
 
+def _is_lossless_jpeg(b: bytes) -> bool:
+    from sqlpp_spark.ops import imagecodec as IC
+
+    try:
+        return IC.jpeg_sof_marker(b) == 0xC3
+    except IC.ImageCodecError:
+        return False
+
+
 def _decode_one(b: bytes, fallback: bool):
     """One payload → (w, h, ch, mean_byte, decoded). Pure function so
     both the Spark batch iterator and tests share the dispatch."""
@@ -389,10 +398,15 @@ def _decode_one(b: bytes, fallback: bool):
             if not HAS_PIL and not fallback:
                 raise
             # fall through to PIL / raw-stats path below
-    if b[:3] == IC.JPEG_SIGNATURE and not HAS_PIL:
-        # real decode (pure-numpy Huffman + IDCT), baseline AND
-        # progressive; arithmetic/lossless/12-bit streams keep the
-        # REAL SOF geometry with decoded=false
+    if b[:3] == IC.JPEG_SIGNATURE and (
+        not HAS_PIL or _is_lossless_jpeg(b)
+    ):
+        # real decode (pure-numpy Huffman + IDCT + predictive), all
+        # three supported families. With pillow present only SOF3
+        # routes here — libjpeg cannot decode lossless JPEG, so the
+        # native codec must run for it regardless of the fast path.
+        # Arithmetic/hierarchical/12-bit DCT streams keep the REAL
+        # SOF geometry with decoded=false
         try:
             arr = IC.decode_jpeg(b)
             h, w, ch = arr.shape
@@ -554,6 +568,8 @@ def resize_images(
     """
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         from sqlpp_spark.ops import imagecodec as IC
 
         for pdf in batches:
@@ -576,6 +592,12 @@ def resize_images(
                 elif b[:8] == IC.PNG_SIGNATURE:
                     try:
                         arr = IC.decode_png(b)
+                        if arr.dtype != np.uint8:
+                            # 16-bit PNG: take the high byte (the
+                            # standard 16→8 conversion) before the
+                            # uint8 resampler — clipping to 255 would
+                            # saturate every pixel
+                            arr = (arr >> 8).astype(np.uint8)
                         h0, w0 = arr.shape[0], arr.shape[1]
                         new_payload = IC.encode_png(
                             IC.resize_array(arr, target_w, target_h, method)
@@ -583,7 +605,9 @@ def resize_images(
                         resized = True
                     except IC.ImageCodecError:
                         pass
-                elif b[:3] == IC.JPEG_SIGNATURE and not HAS_PIL:
+                elif b[:3] == IC.JPEG_SIGNATURE and (
+                    not HAS_PIL or _is_lossless_jpeg(b)
+                ):
                     try:
                         arr = IC.decode_jpeg(b)
                         h0, w0 = arr.shape[0], arr.shape[1]

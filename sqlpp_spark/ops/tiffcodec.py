@@ -60,6 +60,8 @@ def _tlzw_decode(data: bytes, expected: int) -> bytes:
                 prev = None
                 continue
             if code == _EOI:
+                if len(out) < expected:
+                    raise TiffCodecError("LZW strip ended short of row data")
                 return bytes(out[:expected])
             if prev is None:
                 if code >= len(table):
@@ -230,7 +232,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
     layout; II and MM byte orders."""
     try:
         return _decode_inner(data)
-    except (IndexError, struct.error, KeyError) as ex:
+    except TiffCodecError:
+        raise
+    except (IndexError, ValueError, struct.error, KeyError) as ex:
         raise TiffCodecError(f"malformed TIFF: {ex!r}") from None
 
 

@@ -435,3 +435,69 @@ def test_decode_audio_compressed_formats(spark):
         assert r.zero_crossings > 30  # 220 Hz over 100 ms ≈ 44 crossings
         assert 0.08 < r.rms < 0.13  # 5000/32768 / sqrt(2) ≈ 0.108
     assert rows[4].decoded is False
+
+
+def test_malformed_payloads_fall_back_not_crash(spark):
+    """The fallback=True contract (round-8 review findings): ANY
+    malformed payload — corrupt PNG IDAT (zlib.error), truncated GIF
+    color table, truncated BMP palette, a TIFF LZW strip that ends at
+    EOI short of its rows — must surface as the codec's own error
+    class and therefore hit decode_image's decoded=false fallback
+    instead of killing the Spark task."""
+    import numpy as np
+
+    from sqlpp_spark.ops import bmpcodec as BC
+    from sqlpp_spark.ops import gifcodec as GC
+    from sqlpp_spark.ops import imagecodec as IC
+    from sqlpp_spark.ops import tiffcodec as TC
+    from sqlpp_spark.ops.multimodal import decode_image
+
+    rng = np.random.default_rng(20)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+
+    png = bytearray(IC.encode_png(img))
+    png[60] ^= 0xFF  # corrupt inside IDAT → zlib.error underneath
+    gif = GC.encode_gif(pal[img])[:20]  # cut inside the color table
+    bmp = BC.encode_bmp(img, palette=pal)[:80]  # cut inside the palette
+    # TIFF truncated inside its LZW strip data
+    tiff = TC.encode_tiff(img, compression=5)[:-100]
+
+    for name, payload, err in (
+        ("png", bytes(png), IC.ImageCodecError),
+        ("gif", bytes(gif), GC.GifCodecError),
+        ("bmp", bytes(bmp), BC.BmpCodecError),
+        ("tiff", tiff, TC.TiffCodecError),
+    ):
+        decoder = {
+            "png": IC.decode_png, "gif": GC.decode_gif,
+            "bmp": BC.decode_bmp, "tiff": TC.decode_tiff,
+        }[name]
+        with pytest.raises(err):
+            decoder(payload)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(png))), (2, bytearray(gif)),
+         (3, bytearray(bmp)), (4, bytearray(tiff))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in decode_image(df, fallback=True).collect()}
+    assert len(rows) == 4
+    assert not any(r.decoded for r in rows.values())
+
+
+def test_lossless_jpeg_routes_native_even_with_pil():
+    """SOF3 must reach the native codec regardless of pillow (libjpeg
+    cannot decode lossless JPEG) — pinned via the dispatch probe."""
+    import numpy as np
+
+    from sqlpp_spark.ops.imagecodec import (
+        encode_jpeg, encode_jpeg_lossless, jpeg_sof_marker,
+    )
+    from sqlpp_spark.ops.multimodal import _is_lossless_jpeg
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert _is_lossless_jpeg(encode_jpeg_lossless(img))
+    assert jpeg_sof_marker(encode_jpeg_lossless(img)) == 0xC3
+    assert not _is_lossless_jpeg(encode_jpeg(np.stack([img] * 3, axis=-1)))
+    assert not _is_lossless_jpeg(b"\xff\xd8garbage")
