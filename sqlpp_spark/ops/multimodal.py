@@ -617,6 +617,35 @@ def resize_images(
                         resized = True
                     except IC.ImageCodecError:
                         pass
+                elif (
+                    b[:6] in (b"GIF87a", b"GIF89a")
+                    or b[:2] == b"BM"
+                    or b[:4] in (b"II*\x00", b"MM\x00*")
+                ) and not HAS_PIL:
+                    # GIF/BMP/TIFF: native decode, resample, re-encode
+                    # as PNG (the pipeline's canonical lossless output)
+                    try:
+                        if b[:2] == b"BM":
+                            from sqlpp_spark.ops.bmpcodec import decode_bmp
+
+                            arr = decode_bmp(b)
+                        elif b[:4] in (b"II*\x00", b"MM\x00*"):
+                            from sqlpp_spark.ops.tiffcodec import decode_tiff
+
+                            arr = decode_tiff(b)
+                        else:
+                            from sqlpp_spark.ops.gifcodec import decode_gif
+
+                            arr = decode_gif(b)
+                        if arr.shape[2] == 4:
+                            arr = arr[:, :, :3]
+                        h0, w0 = arr.shape[0], arr.shape[1]
+                        new_payload = IC.encode_png(
+                            IC.resize_array(arr, target_w, target_h, method)
+                        )
+                        resized = True
+                    except ValueError:  # all three codec errors subclass it
+                        pass
                 elif HAS_PIL:
                     try:
                         import io

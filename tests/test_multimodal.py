@@ -501,3 +501,36 @@ def test_lossless_jpeg_routes_native_even_with_pil():
     assert jpeg_sof_marker(encode_jpeg_lossless(img)) == 0xC3
     assert not _is_lossless_jpeg(encode_jpeg(np.stack([img] * 3, axis=-1)))
     assert not _is_lossless_jpeg(b"\xff\xd8garbage")
+
+
+def test_resize_images_gif_bmp_tiff(spark):
+    """resize_images handles every native format: GIF/BMP/TIFF decode,
+    resample and re-encode as PNG with real scale factors."""
+    import numpy as np
+
+    from sqlpp_spark.ops import bmpcodec as BC
+    from sqlpp_spark.ops import gifcodec as GC
+    from sqlpp_spark.ops import imagecodec as IC
+    from sqlpp_spark.ops import tiffcodec as TC
+    from sqlpp_spark.ops.multimodal import resize_images
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    idx = rng.integers(0, 64, (20, 30), dtype=np.uint8)
+    rgb = pal[idx]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(GC.encode_gif(rgb))),
+            (2, bytearray(BC.encode_bmp(idx, palette=pal, rle=True))),
+            (3, bytearray(TC.encode_tiff(rgb, compression=5))),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in resize_images(df, 10, 8).collect()}
+    for mid in (1, 2, 3):
+        r = rows[mid]
+        assert r.resized and (r.width, r.height) == (10, 8)
+        assert abs(r.resize_scale_x - 3.0) < 1e-9
+        assert abs(r.resize_scale_y - 2.5) < 1e-9
+        out = IC.decode_png(bytes(r.payload))
+        assert out.shape == (8, 10, 3)
