@@ -180,14 +180,38 @@ def decode_gif(data: bytes) -> np.ndarray:
     frame's graphic control extension declares a transparent index.
     First frame only; interlaced row order handled."""
     try:
-        return _decode_gif_inner(data)
+        for frame in _iter_gif_frames(data):
+            return frame
+        raise GifCodecError("GIF contains no image data")
     except GifCodecError:
         raise
     except (IndexError, ValueError, struct.error) as e:  # malformed container
         raise GifCodecError(f"malformed GIF stream: {e}") from None
 
 
-def _decode_gif_inner(data: bytes) -> np.ndarray:
+def decode_gif_frames(data: bytes, max_frames: int | None = None) -> list:
+    """ALL frames of an animated GIF as uint8 arrays — sub-screen
+    frames composite over the previous frame at their (left, top)
+    offset (disposal methods 0/1; the restore-to-background and
+    restore-to-previous methods are approximated the same way, the
+    common treatment for frame *sampling*). This is the real decode
+    behind the video-modality frame extractor."""
+    try:
+        frames = []
+        for frame in _iter_gif_frames(data):
+            frames.append(frame)
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+        if not frames:
+            raise GifCodecError("GIF contains no image data")
+        return frames
+    except GifCodecError:
+        raise
+    except (IndexError, ValueError, struct.error) as e:
+        raise GifCodecError(f"malformed GIF stream: {e}") from None
+
+
+def _iter_gif_frames(data: bytes):
     if data[:6] not in GIF_SIGNATURES:
         raise GifCodecError("not a GIF")
     sw, sh = struct.unpack("<HH", data[6:10])
@@ -199,17 +223,18 @@ def _decode_gif_inner(data: bytes) -> np.ndarray:
         gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
     transparent = None
+    canvas = None
+    first = True
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:  # trailer
-            break
+            return
         if b == 0x21:  # extension
             label = data[pos + 1]
             pos += 2
             if label == 0xF9 and data[pos] >= 4:
                 flags = data[pos + 1]
-                if flags & 1:
-                    transparent = data[pos + 4]
+                transparent = data[pos + 4] if flags & 1 else None
             while pos < len(data) and data[pos]:
                 pos += 1 + data[pos]
             pos += 1
@@ -254,20 +279,88 @@ def _decode_gif_inner(data: bytes) -> np.ndarray:
                 row += nrows
             idx = de
         rgb = table[idx]
-        if transparent is not None:
-            alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
-            out = np.concatenate([rgb, alpha[:, :, None]], axis=-1)
-        else:
-            out = rgb
-        if (ix, iy, iw, ih) != (0, 0, sw, sh):
-            # first frame smaller than the screen: place on background
-            full = np.zeros((sh, sw, out.shape[2]), dtype=np.uint8)
+        ch = 4 if transparent is not None else 3
+        if canvas is None:
+            canvas = np.zeros((sh, sw, ch), dtype=np.uint8)
             if gct is not None and transparent is None:
-                full[:, :, :3] = gct[min(bg, len(gct) - 1)]
-            full[iy : iy + ih, ix : ix + iw] = out
-            return full
-        return out
-    raise GifCodecError("GIF contains no image data")
+                canvas[:, :, :3] = gct[min(bg, len(gct) - 1)]
+            if ch == 4:
+                canvas[:, :, 3] = 255
+        elif canvas.shape[2] != ch:  # GCE transparency changed mid-file
+            if ch == 4:
+                canvas = np.concatenate(
+                    [canvas, np.full((sh, sw, 1), 255, dtype=np.uint8)],
+                    axis=-1,
+                )
+            else:
+                ch = 4  # keep RGBA once established
+        if ix + iw > sw or iy + ih > sh:
+            raise GifCodecError("GIF frame exceeds screen bounds")
+        region = canvas[iy : iy + ih, ix : ix + iw]
+        if transparent is not None:
+            opaque = idx != transparent
+            if first:
+                # first-frame contract (matches PNG tRNS): every pixel
+                # carries its palette RGB, transparent ones alpha 0
+                region[:, :, :3] = rgb
+                region[:, :, 3] = np.where(opaque, 255, 0)
+            else:
+                # later frames: transparency shows the prior frame
+                region[:, :, :3][opaque] = rgb[opaque]
+                if canvas.shape[2] == 4:
+                    region[:, :, 3][opaque] = 255
+        else:
+            region[:, :, :3] = rgb
+        first = False
+        yield canvas.copy()
+
+
+def encode_gif_animated(
+    frames, interlace: bool = False, delay_cs: int = 10,
+) -> bytes:
+    """List of uint8 (h, w, 3) RGB frames (shared ≤256-color palette
+    across ALL frames) → animated GIF89a with per-frame GCE delays."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise GifCodecError("no frames")
+    h, w, _ = frames[0].shape
+    if any(f.shape != (h, w, 3) for f in frames):
+        raise GifCodecError("all frames must share (h, w, 3)")
+    stacked = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors, inv = np.unique(stacked, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise GifCodecError(f"{len(colors)} colors exceed GIF's 256")
+    depth = max(1, int(len(colors) - 1).bit_length())
+    n = 1 << depth
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    out += pal.tobytes()
+    # Netscape loop extension (standard for animations)
+    out += bytes([0x21, 0xFF, 11]) + b"NETSCAPE2.0"
+    out += bytes([3, 1, 0, 0, 0])
+    min_code = max(2, depth)
+    per = h * w
+    for i in range(len(frames)):
+        idx = inv[i * per : (i + 1) * per].reshape(h, w)
+        out += bytes([0x21, 0xF9, 4, 0x00]) + struct.pack("<H", delay_cs)
+        out += bytes([0, 0])
+        rows = idx
+        if interlace:
+            rows = np.concatenate(
+                [idx[s0::st] for s0, st in _INTERLACE_PASSES], axis=0
+            )
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x40 if interlace else 0x00, min_code])
+        lzw = _lzw_encode(rows.reshape(-1).astype(np.uint8), min_code)
+        for off in range(0, len(lzw), 255):
+            block = lzw[off : off + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
 
 
 def encode_gif(

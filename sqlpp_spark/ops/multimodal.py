@@ -260,6 +260,95 @@ def synthesize_tiff_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
 
 
+def synthesize_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL video-modality payloads: animated GIFs whose frame f has
+    CLOSED-FORM pixels ((x + 3y + id + 7f) mod 256 through a gray
+    palette), 2 + id%4 frames each, interlaced on odd ids — so frame
+    EXTRACTION (not just metadata sampling) is SQL-verifiable."""
+    import numpy as np
+
+    from sqlpp_spark.ops import gifcodec as GC
+
+    schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 13 + 4, did % 11 + 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = [
+                    gray[((xx + 3 * yy + did + 7 * f) % 256)]
+                    for f in range(2 + did % 4)
+                ]
+                out["media_id"].append(did)
+                out["payload"].append(
+                    GC.encode_gif_animated(frames, interlace=did % 2 == 1)
+                )
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, "
+    "mean_byte double, decoded boolean"
+)
+
+
+def extract_video_frames(
+    df: DataFrame, every_n: int = 1, max_frames: int | None = None,
+) -> DataFrame:
+    """REAL frame extraction for the video modality: decode every
+    ``every_n``-th frame of animated-GIF payloads through the standard
+    Arrow-batched mapInPandas shape — the decode step
+    ``frame_sample_indices`` (metadata-only planning) feeds at scale.
+    Non-GIF payloads yield one decoded=false row (MP4/WebM need
+    ffmpeg — that boundary stands)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from sqlpp_spark.ops.gifcodec import GifCodecError, decode_gif_frames
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_idx": [], "width": [], "height": [],
+                "mean_byte": [], "decoded": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                frames = None
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        frames = decode_gif_frames(b, max_frames)
+                    except GifCodecError:
+                        frames = None
+                if frames is None:
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(-1)
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["mean_byte"].append(0.0)
+                    out["decoded"].append(False)
+                    continue
+                for i in range(0, len(frames), every_n):
+                    arr = frames[i]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["width"].append(arr.shape[1])
+                    out["height"].append(arr.shape[0])
+                    out["mean_byte"].append(float(arr.mean()))
+                    out["decoded"].append(True)
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
+        extract, FRAME_SCHEMA
+    )
+
+
 def synthesize_jpeg_lossless_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL lossless-JPEG (SOF3) payloads with CLOSED-FORM pixels —
     same formula as ``synthesize_png_media`` ((x + 3y + id) mod 256),

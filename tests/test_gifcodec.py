@@ -141,3 +141,48 @@ def test_gif_deferred_clear_stream():
     gif += b"\x00\x3B"
     decoded = decode_gif(bytes(gif))
     assert np.array_equal(decoded[:, :, 0], idx.reshape(h, w))
+
+
+def test_gif_animated_frames_roundtrip():
+    """encode_gif_animated → decode_gif_frames reproduces every frame
+    bit-exactly (shared palette, plain + interlaced), and decode_gif
+    still returns frame 0."""
+    from sqlpp_spark.ops.gifcodec import decode_gif_frames, encode_gif_animated
+
+    gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    yy, xx = np.mgrid[0:9, 0:12]
+    frames = [gray[((xx + 3 * yy + 5 + 7 * f) % 256)] for f in range(4)]
+    for il in (False, True):
+        d = encode_gif_animated(frames, interlace=il)
+        out = decode_gif_frames(d)
+        assert len(out) == 4
+        for f, (a, b) in enumerate(zip(out, frames)):
+            assert np.array_equal(a, b), (il, f)
+        assert np.array_equal(decode_gif(d), frames[0])
+
+
+def test_gif_frames_composite_subframes():
+    """A later frame covering only part of the screen composites over
+    the previous frame (disposal none)."""
+    import struct
+
+    from sqlpp_spark.ops.gifcodec import _lzw_encode, decode_gif_frames
+
+    pal = np.array([[10, 10, 10], [200, 50, 50]], dtype=np.uint8)
+    # frame 1: full 4x4 of color 0; frame 2: 2x2 of color 1 at (1,1)
+    gif = bytearray(b"GIF89a") + struct.pack("<HH", 4, 4)
+    gif += bytes([0x80 | 0, 0, 0]) + pal.tobytes() + bytes(2)  # pad to 2 entries? depth0 -> 2 colors
+    # depth 0 => 2<<0 = 2 entries = 6 bytes; pal has exactly 2 rows
+    gif = bytearray(b"GIF89a") + struct.pack("<HH", 4, 4)
+    gif += bytes([0x80 | 0, 0, 0]) + pal.tobytes()
+    for (x0, y0, w, h, color) in ((0, 0, 4, 4, 0), (1, 1, 2, 2, 1)):
+        gif += bytes([0x2C]) + struct.pack("<HHHH", x0, y0, w, h)
+        gif += bytes([0x00, 2])
+        lzw = _lzw_encode(np.full(w * h, color, dtype=np.uint8), 2)
+        gif += bytes([len(lzw)]) + lzw + b"\x00"
+    gif += b"\x3B"
+    frames = decode_gif_frames(bytes(gif))
+    assert len(frames) == 2
+    assert (frames[0] == pal[0]).all()
+    assert np.array_equal(frames[1][1:3, 1:3], np.broadcast_to(pal[1], (2, 2, 3)))
+    assert np.array_equal(frames[1][0, :], np.broadcast_to(pal[0], (4, 3)))
