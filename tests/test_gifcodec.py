@@ -169,10 +169,8 @@ def test_gif_frames_composite_subframes():
     from sqlpp_spark.ops.gifcodec import _lzw_encode, decode_gif_frames
 
     pal = np.array([[10, 10, 10], [200, 50, 50]], dtype=np.uint8)
-    # frame 1: full 4x4 of color 0; frame 2: 2x2 of color 1 at (1,1)
-    gif = bytearray(b"GIF89a") + struct.pack("<HH", 4, 4)
-    gif += bytes([0x80 | 0, 0, 0]) + pal.tobytes() + bytes(2)  # pad to 2 entries? depth0 -> 2 colors
-    # depth 0 => 2<<0 = 2 entries = 6 bytes; pal has exactly 2 rows
+    # frame 1: full 4x4 of color 0; frame 2: 2x2 of color 1 at (1,1);
+    # depth 0 → a 2-entry (6-byte) global color table
     gif = bytearray(b"GIF89a") + struct.pack("<HH", 4, 4)
     gif += bytes([0x80 | 0, 0, 0]) + pal.tobytes()
     for (x0, y0, w, h, color) in ((0, 0, 4, 4, 0), (1, 1, 2, 2, 1)):
