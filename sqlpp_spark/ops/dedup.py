@@ -523,7 +523,10 @@ def ngram_jaccard_pairs(
         ).persist(StorageLevel.MEMORY_AND_DISK)
     if strategy == "auto":
         stats = freq.agg(
-            F.sum(F.col("__df") * F.col("__df")).alias("sum_df2"),
+            # double, not bigint: at the web scale this guard exists
+            # for, Σ df² exceeds 2^63 and a long sum would wrap
+            # silently (threshold test needs magnitude, not exactness)
+            F.sum(F.col("__df").cast("double") * F.col("__df")).alias("sum_df2"),
             F.sum("__df").alias("n_rows"),
         ).first()
         hot = (

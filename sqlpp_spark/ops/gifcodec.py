@@ -149,8 +149,13 @@ def gif_info(data: bytes) -> tuple[int, int, int]:
     (channels: 4 when the first frame's GCE sets transparency)."""
     if data[:6] not in GIF_SIGNATURES:
         raise GifCodecError("not a GIF")
-    w, h = struct.unpack("<HH", data[6:10])
-    return w, h, 4 if _first_gce_transparent(data) else 3
+    try:
+        w, h = struct.unpack("<HH", data[6:10])
+        return w, h, 4 if _first_gce_transparent(data) else 3
+    except GifCodecError:
+        raise
+    except (IndexError, struct.error) as e:
+        raise GifCodecError(f"truncated GIF header: {e}") from None
 
 
 def _first_gce_transparent(data: bytes) -> bool:
@@ -311,6 +316,10 @@ def _iter_gif_frames(data: bytes):
                     region[:, :, 3][opaque] = 255
         else:
             region[:, :, :3] = rgb
+            if canvas.shape[2] == 4:
+                # an opaque frame painted over previously transparent
+                # pixels makes them opaque again
+                region[:, :, 3] = 255
         first = False
         yield canvas.copy()
 

@@ -67,6 +67,8 @@ def png_info(data: bytes) -> tuple[int, int, int]:
     if data[12:16] != b"IHDR":
         raise ImageCodecError("PNG missing IHDR")
     w, h, depth, color_type = struct.unpack(">IIBB", data[16:26])
+    if color_type == 3:  # palette: decodes to RGB (RGBA with tRNS)
+        return w, h, 3
     if color_type not in _COLOR_TYPE_CHANNELS:
         raise ImageCodecError(f"unsupported PNG color type {color_type}")
     return w, h, _COLOR_TYPE_CHANNELS[color_type]

@@ -644,6 +644,17 @@ RESIZED_SCHEMA = (
 )
 
 
+def _resample_ready(arr):
+    """16-bit planes (PNG depth-16, lossless JPEG precision > 8) take
+    the high byte — the standard 16→8 conversion — before the uint8
+    resampler; clipping would saturate every pixel to 255."""
+    import numpy as np
+
+    if arr.dtype != np.uint8:
+        return (arr >> 8).astype(np.uint8)
+    return arr
+
+
 def resize_images(
     df: DataFrame, target_w: int, target_h: int, method: str = "bilinear"
 ) -> DataFrame:
@@ -680,13 +691,7 @@ def resize_images(
                     resized = True
                 elif b[:8] == IC.PNG_SIGNATURE:
                     try:
-                        arr = IC.decode_png(b)
-                        if arr.dtype != np.uint8:
-                            # 16-bit PNG: take the high byte (the
-                            # standard 16→8 conversion) before the
-                            # uint8 resampler — clipping to 255 would
-                            # saturate every pixel
-                            arr = (arr >> 8).astype(np.uint8)
+                        arr = _resample_ready(IC.decode_png(b))
                         h0, w0 = arr.shape[0], arr.shape[1]
                         new_payload = IC.encode_png(
                             IC.resize_array(arr, target_w, target_h, method)
@@ -698,7 +703,7 @@ def resize_images(
                     not HAS_PIL or _is_lossless_jpeg(b)
                 ):
                     try:
-                        arr = IC.decode_jpeg(b)
+                        arr = _resample_ready(IC.decode_jpeg(b))
                         h0, w0 = arr.shape[0], arr.shape[1]
                         new_payload = IC.encode_jpeg(
                             IC.resize_array(arr, target_w, target_h, method)
@@ -919,7 +924,7 @@ def synthesize_g711_formula(
                 )
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
         synth, "media_id long, payload binary"
     )
 

@@ -234,7 +234,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
         return _decode_inner(data)
     except TiffCodecError:
         raise
-    except (IndexError, ValueError, struct.error, KeyError) as ex:
+    except (IndexError, ValueError, TypeError, struct.error, KeyError) as ex:
         raise TiffCodecError(f"malformed TIFF: {ex!r}") from None
 
 

@@ -145,26 +145,24 @@ _sqlpp(
 
 
 # parameterized query: bound at registration time (the driver calls with
-# no params, so we bind representative values here)
+# no params, so we bind representative values here). ONE source
+# constant feeds both the registered builder and the sqlgen
+# cross-check — duplicating it would let the two drift apart.
+_PARAMS_SRC = (
+    "select c_custkey as custkey, c_acctbal as bal from customer "
+    "where c_acctbal > ?minbal:float not null and c_nationkey = ?nat:int not null"
+)
+_PARAMS_BINDS = {"minbal": 5000.0, "nat": 3}
+SQLPP_SOURCES["sqlpp_params_bound"] = (_PARAMS_SRC, _PARAMS_BINDS)
+
+
 @register(
     "sqlpp_params_bound",
     oracle="SELECT c_custkey AS custkey, c_acctbal AS bal FROM customer "
     "WHERE c_acctbal > 5000.0 AND c_nationkey = 3",
 )
 def sqlpp_params_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _engine(spark, sf_dir).query(
-        "select c_custkey as custkey, c_acctbal as bal from customer "
-        "where c_acctbal > ?minbal:float not null and c_nationkey = ?nat:int not null",
-        minbal=5000.0,
-        nat=3,
-    )
-
-
-SQLPP_SOURCES["sqlpp_params_bound"] = (
-    "select c_custkey as custkey, c_acctbal as bal from customer "
-    "where c_acctbal > ?minbal:float not null and c_nationkey = ?nat:int not null",
-    {"minbal": 5000.0, "nat": 3},
-)
+    return _engine(spark, sf_dir).query(_PARAMS_SRC, **_PARAMS_BINDS)
 
 
 @register(
@@ -172,15 +170,12 @@ SQLPP_SOURCES["sqlpp_params_bound"] = (
     oracle="SELECT c_custkey AS custkey FROM customer WHERE c_nationkey = 7",
 )
 def sqlpp_variant_param(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _engine(spark, sf_dir).query(
-        "select c_custkey as custkey from customer where "
-        "match ?f with | ByNation ?n -> c_nationkey = ?n | All -> true end",
-        f=("ByNation", {"n": 7}),
-    )
+    return _engine(spark, sf_dir).query(_VARIANT_SRC, **_VARIANT_BINDS)
 
 
-SQLPP_SOURCES["sqlpp_variant_param"] = (
+_VARIANT_SRC = (
     "select c_custkey as custkey from customer where "
-    "match ?f with | ByNation ?n -> c_nationkey = ?n | All -> true end",
-    {"f": ("ByNation", {"n": 7})},
+    "match ?f with | ByNation ?n -> c_nationkey = ?n | All -> true end"
 )
+_VARIANT_BINDS = {"f": ("ByNation", {"n": 7})}
+SQLPP_SOURCES["sqlpp_variant_param"] = (_VARIANT_SRC, _VARIANT_BINDS)

@@ -184,3 +184,40 @@ def test_gif_frames_composite_subframes():
     assert (frames[0] == pal[0]).all()
     assert np.array_equal(frames[1][1:3, 1:3], np.broadcast_to(pal[1], (2, 2, 3)))
     assert np.array_equal(frames[1][0, :], np.broadcast_to(pal[0], (4, 3)))
+
+
+def test_gif_opaque_frame_restores_alpha():
+    """Round-8 review finding: an opaque frame painted over previously
+    transparent pixels must make them opaque again (alpha 255)."""
+    import struct
+
+    from sqlpp_spark.ops.gifcodec import _lzw_encode, decode_gif_frames
+
+    pal = np.array([[10, 10, 10], [200, 50, 50]], dtype=np.uint8)
+    gif = bytearray(b"GIF89a") + struct.pack("<HH", 4, 4)
+    gif += bytes([0x80 | 0, 0, 0]) + pal.tobytes()
+    # frame 1: transparent index 0 everywhere (GCE transparency on)
+    gif += bytes([0x21, 0xF9, 4, 0x01, 0, 0, 0, 0])
+    gif += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 4, 4)
+    gif += bytes([0x00, 2])
+    lzw = _lzw_encode(np.zeros(16, dtype=np.uint8), 2)
+    gif += bytes([len(lzw)]) + lzw + b"\x00"
+    # frame 2: fully opaque color 1, NO transparency flag
+    gif += bytes([0x21, 0xF9, 4, 0x00, 0, 0, 0, 0])
+    gif += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 4, 4)
+    gif += bytes([0x00, 2])
+    lzw = _lzw_encode(np.ones(16, dtype=np.uint8), 2)
+    gif += bytes([len(lzw)]) + lzw + b"\x00"
+    gif += b"\x3B"
+    frames = decode_gif_frames(bytes(gif))
+    assert len(frames) == 2
+    assert (frames[0][:, :, 3] == 0).all()  # frame 1 all-transparent
+    assert (frames[1][:, :, 3] == 255).all()  # frame 2 fully opaque
+    assert (frames[1][:, :, :3] == pal[1]).all()
+
+
+def test_gif_info_truncated_header_raises_codec_error():
+    from sqlpp_spark.ops.gifcodec import GifCodecError, gif_info
+
+    with pytest.raises(GifCodecError):
+        gif_info(b"GIF89a" + b"\x00\x01\x00\x01")

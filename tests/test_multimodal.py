@@ -534,3 +534,27 @@ def test_resize_images_gif_bmp_tiff(spark):
         assert abs(r.resize_scale_y - 2.5) < 1e-9
         out = IC.decode_png(bytes(r.payload))
         assert out.shape == (8, 10, 3)
+
+
+def test_resize_16bit_lossless_jpeg_not_saturated(spark):
+    """Round-8 review finding: 16-bit lossless JPEG through resize
+    takes the high byte (like 16-bit PNG) instead of clipping every
+    pixel to 255."""
+    import numpy as np
+
+    from sqlpp_spark.ops import imagecodec as IC
+    from sqlpp_spark.ops.multimodal import HAS_PIL, resize_images
+
+    if HAS_PIL:
+        pytest.skip("native JPEG resize path exercised without pillow")
+    img16 = (np.arange(400, dtype=np.uint16).reshape(20, 20) * 150)
+    payload = IC.encode_jpeg_lossless(img16.astype(np.uint16))
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    r = resize_images(df, 10, 10).collect()[0]
+    assert r.resized
+    out = IC.decode_jpeg(bytes(r.payload))
+    # high-byte conversion keeps the gradient; saturation would be 255
+    assert out.mean() < 200
+    assert out.min() < 50

@@ -70,3 +70,24 @@ def test_tiff_rejects_garbage_and_truncation():
         decode_tiff(d[:50])
     with pytest.raises(TiffCodecError):
         decode_tiff(d[:-30])
+
+
+def test_tiff_wrong_tag_type_raises_codec_error():
+    """Round-8 review finding: a tag with an unexpected TYPE (e.g.
+    ImageWidth stored as RATIONAL) must raise TiffCodecError, not a
+    bare TypeError that escapes the malformed-payload contract."""
+    import struct
+
+    rng = np.random.default_rng(15)
+    d = bytearray(encode_tiff(rng.integers(0, 256, (8, 8), dtype=np.uint8)))
+    # IFD starts at offset 8: entries are (tag, type, count, value);
+    # find the ImageWidth (256) entry and corrupt its type to RATIONAL
+    n_ent = struct.unpack("<H", d[8:10])[0]
+    for i in range(n_ent):
+        off = 10 + 12 * i
+        tag = struct.unpack("<H", d[off : off + 2])[0]
+        if tag == 256:
+            d[off + 2 : off + 4] = struct.pack("<H", 5)  # RATIONAL
+            break
+    with pytest.raises(TiffCodecError):
+        decode_tiff(bytes(d))
