@@ -321,6 +321,10 @@ def _iter_gif_frames(data: bytes):
                 # pixels makes them opaque again
                 region[:, :, 3] = 255
         first = False
+        # GIF89a: a Graphic Control Extension's scope is exactly the one
+        # rendering block that follows it — a later frame without its own
+        # GCE must not inherit this frame's transparent index.
+        transparent = None
         yield canvas.copy()
 
 

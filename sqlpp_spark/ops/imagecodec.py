@@ -68,6 +68,17 @@ def png_info(data: bytes) -> tuple[int, int, int]:
         raise ImageCodecError("PNG missing IHDR")
     w, h, depth, color_type = struct.unpack(">IIBB", data[16:26])
     if color_type == 3:  # palette: decodes to RGB (RGBA with tRNS)
+        # Match decode_png's palette→RGBA promotion: a tRNS chunk means
+        # the decoded array will carry an alpha channel.
+        pos = 8
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            ctype = data[pos + 4 : pos + 8]
+            if ctype == b"tRNS":
+                return w, h, 4
+            if ctype in (b"IDAT", b"IEND"):  # tRNS must precede IDAT
+                break
+            pos += 12 + length
         return w, h, 3
     if color_type not in _COLOR_TYPE_CHANNELS:
         raise ImageCodecError(f"unsupported PNG color type {color_type}")

@@ -322,8 +322,14 @@ def extract_video_frames(
                 b = bytes(payload) if payload is not None else b""
                 frames = None
                 if b[:6] in (b"GIF87a", b"GIF89a"):
+                    # max_frames bounds EMITTED (sampled) frames, so decode
+                    # up to max_frames * every_n source frames — the stride
+                    # below then yields exactly max_frames rows.
+                    decode_cap = (
+                        None if max_frames is None else max_frames * every_n
+                    )
                     try:
-                        frames = decode_gif_frames(b, max_frames)
+                        frames = decode_gif_frames(b, decode_cap)
                     except GifCodecError:
                         frames = None
                 if frames is None:

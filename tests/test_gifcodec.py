@@ -216,6 +216,38 @@ def test_gif_opaque_frame_restores_alpha():
     assert (frames[1][:, :, :3] == pal[1]).all()
 
 
+def test_gif_gce_scope_is_one_rendering_block():
+    """Round-8 ADVICE finding: a GCE's transparent index applies only
+    to the single next rendering block (GIF89a 23(c)).  A second frame
+    with NO GCE of its own must not inherit frame 1's transparent
+    index — it is fully opaque and repaints every pixel."""
+    import struct
+
+    from sqlpp_spark.ops.gifcodec import _lzw_encode, decode_gif_frames
+
+    pal = np.array([[10, 10, 10], [200, 50, 50]], dtype=np.uint8)
+    gif = bytearray(b"GIF89a") + struct.pack("<HH", 4, 4)
+    gif += bytes([0x80 | 0, 0, 0]) + pal.tobytes()
+    # frame 1: GCE with transparent index 0, all pixels index 0
+    gif += bytes([0x21, 0xF9, 4, 0x01, 0, 0, 0, 0])
+    gif += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 4, 4)
+    gif += bytes([0x00, 2])
+    lzw = _lzw_encode(np.zeros(16, dtype=np.uint8), 2)
+    gif += bytes([len(lzw)]) + lzw + b"\x00"
+    # frame 2: NO GCE at all, all pixels index 0 (same index that was
+    # transparent in frame 1 — now plain opaque color 0)
+    gif += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 4, 4)
+    gif += bytes([0x00, 2])
+    gif += bytes([len(lzw)]) + lzw + b"\x00"
+    gif += b"\x3B"
+    frames = decode_gif_frames(bytes(gif))
+    assert len(frames) == 2
+    assert (frames[0][:, :, 3] == 0).all()  # frame 1 all-transparent
+    # frame 2 inherited NO transparency: fully opaque, color 0 painted
+    assert (frames[1][:, :, 3] == 255).all()
+    assert (frames[1][:, :, :3] == pal[0]).all()
+
+
 def test_gif_info_truncated_header_raises_codec_error():
     from sqlpp_spark.ops.gifcodec import GifCodecError, gif_info
 

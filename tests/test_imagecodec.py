@@ -80,6 +80,24 @@ def test_png_grayscale_2d_input():
     assert d.shape == (8, 8, 1) and (d[:, :, 0] == a).all()
 
 
+def test_png_info_palette_trns_reports_rgba():
+    """Round-8 ADVICE finding: png_info must agree with decode_png on
+    channel count for palette PNGs — a tRNS chunk promotes the decode
+    to RGBA, so the metadata must say 4 channels."""
+    from sqlpp_spark.ops.imagecodec import encode_png_palette
+
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]],
+        dtype=np.uint8,
+    )
+    plain = encode_png_palette(img)
+    assert png_info(plain)[2] == 3
+    assert decode_png(plain).shape[2] == 3
+    with_trns = encode_png_palette(img, trns=np.array([0, 255, 255]))
+    assert png_info(with_trns)[2] == 4
+    assert decode_png(with_trns).shape[2] == 4
+
+
 def test_png_rejects_garbage():
     with pytest.raises(ImageCodecError):
         decode_png(b"not a png at all")

@@ -558,3 +558,28 @@ def test_resize_16bit_lossless_jpeg_not_saturated(spark):
     # high-byte conversion keeps the gradient; saturation would be 255
     assert out.mean() < 200
     assert out.min() < 50
+
+
+def test_extract_video_frames_max_frames_bounds_sampled_count(spark):
+    """Round-8 ADVICE finding: max_frames bounds the EMITTED (sampled)
+    frame count, not the pre-stride decode count — with every_n=2 and
+    max_frames=3, a 10-frame GIF yields 3 rows at source indices
+    0, 2, 4 (not ~max_frames/every_n)."""
+    import numpy as np
+
+    from sqlpp_spark.ops.gifcodec import encode_gif_animated
+    from sqlpp_spark.ops.multimodal import extract_video_frames
+
+    gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    yy, xx = np.mgrid[0:6, 0:8]
+    frames = [gray[((xx + 3 * yy + 7 * f) % 256)] for f in range(10)]
+    payload = encode_gif_animated(frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = extract_video_frames(df, every_n=2, max_frames=3).collect()
+    assert sorted(r.frame_idx for r in rows) == [0, 2, 4]
+    assert all(r.decoded for r in rows)
+    # stride-only still walks the full animation
+    rows_all = extract_video_frames(df, every_n=3).collect()
+    assert sorted(r.frame_idx for r in rows_all) == [0, 3, 6, 9]
