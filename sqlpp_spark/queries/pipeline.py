@@ -1015,15 +1015,30 @@ SELECT * FROM (
 """
 
 
-def _knn_graph_oracle(n_cells: int = 16, n_probe: int = 2, k: int = 5,
-                      dim: int = 64) -> str:
+def _knn_graph_oracle(n_cells: "int | str" = 16, n_probe: int = 2,
+                      k: int = 5, dim: int = 64) -> str:
     """Self-KNN twin of _ivf_topk_oracle: the query side is the whole
     corpus (no vec_id cutoff) — every vector probes its n_probe
-    nearest pivot cells."""
+    nearest pivot cells. ``n_cells="auto"`` replays the operator's
+    auto-√n rule (max(16, round(√count))) in SQL: √n is never exactly
+    .5 for integer n, so SQL ROUND (half-away) and Python round
+    (half-even) always agree."""
     d = _sqdist_sql("e.v", "piv.pv", dim)
+    if n_cells == "auto":
+        nc = ("SELECT GREATEST(16, CAST(ROUND(SQRT(COUNT(*)), 0) AS BIGINT))"
+              " AS n FROM e")
+    else:
+        nc = f"SELECT {int(n_cells)} AS n"
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-piv AS (SELECT vec_id AS cell, v AS pv FROM e ORDER BY vec_id LIMIT {n_cells}),
+nc AS ({nc}),
+piv AS (
+  SELECT cell, pv FROM (
+    SELECT vec_id AS cell, v AS pv,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS prn
+    FROM e
+  ) JOIN nc ON prn <= nc.n
+),
 assign AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, piv.cell,
@@ -1067,6 +1082,23 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ops.py)."""
     emb = table(spark, sf_dir, "embeddings")
     return S.knn_graph(emb, k=5, n_cells=16, n_probe=2, quantizer="pivot")
+
+
+@register("ann_knn_graph_auto", oracle=_knn_graph_oracle("auto"),
+          headline=True)
+def ann_knn_graph_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-KNN graph with the SCALE-RECOMMENDED cell count:
+    n_cells="auto" = max(16, round(√n)) from one metadata-scale
+    count() — the √n rule the 10× rehearsal proved necessary (fixed
+    cells kept shuffle linear but wall went 20.5× at 10× data;
+    SCALING.md). The oracle recomputes the same cell count in SQL
+    (GREATEST(16, ROUND(SQRT(COUNT(*))))) over the same
+    smallest-vec_id pivots, so the auto configuration — the one a
+    100 TB deployment would run — is itself hash-verified, closing
+    the bench-vs-scale configuration gap (round-8 ask #3)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, k=5, n_cells="auto", n_probe=2,
+                       quantizer="pivot")
 
 
 @register(
