@@ -431,3 +431,96 @@ def web_domain_cap_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _with_url4(table(spark, sf_dir, "documents"))
     psl = W.psl_rules_df(spark, _PSL_RULES)
     return W.domain_cap(d, cap=10, psl=psl).select("doc_id", "lang")
+
+
+# -- composed crawl-prepare with the DATA-DRIVEN PSL cap (round-9) -----------
+
+
+def _web_prepare_psl_oracle(cap: int = 10, p: int = 8) -> str:
+    from sqlpp_spark.ops.hashing import hash64_sql
+    from sqlpp_spark.ops.text import NORMALIZE_SQL, quality_score_sql
+
+    norm_txt = NORMALIZE_SQL.format(c="text")
+    h = hash64_sql("concat('s0', '|', CAST(doc_id AS VARCHAR))")
+    rd = W.registrable_domain_psl_sql(
+        f"lower({W.url_domain_sql('url')})", _PSL_RULES
+    )
+    return f"""
+WITH u AS (SELECT doc_id, text, {_URL4_SQL} AS url FROM documents),
+nu AS (SELECT doc_id, {W.normalize_url_sql('url')} AS canon FROM u),
+keepid AS (SELECT MIN(doc_id) AS doc_id FROM nu GROUP BY canon),
+base AS (SELECT u.doc_id, u.text, u.url FROM u SEMI JOIN keepid USING (doc_id)),
+hst AS (SELECT doc_id, text, {rd} AS host FROM base),
+capped AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY host ORDER BY {h} ASC, doc_id ASC)
+             AS rk
+    FROM hst
+  ) WHERE rk <= {cap}
+),
+norm AS (SELECT doc_id, {norm_txt} AS s FROM capped),
+toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM norm),
+chunks AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_id,
+         array_to_string(
+           t[CAST(g.i*{p}+1 AS BIGINT):CAST(least((g.i+1)*{p}, len(t)) AS BIGINT)],
+           ' ') AS chunk_text
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(t)/{p}.0) AS BIGINT) - 1)) AS g(i)
+),
+hashed AS (
+  SELECT doc_id, chunk_id, {hash64_sql("chunk_text")} AS ph FROM chunks
+),
+winners AS (
+  SELECT doc_id, chunk_id FROM (
+    SELECT doc_id, chunk_id,
+           ROW_NUMBER() OVER (PARTITION BY ph ORDER BY doc_id, chunk_id) AS rk
+    FROM hashed
+  ) WHERE rk = 1
+),
+kept AS (
+  SELECT c.doc_id, c.chunk_id, c.chunk_text
+  FROM chunks c SEMI JOIN winners w
+    ON c.doc_id = w.doc_id AND c.chunk_id = w.chunk_id
+),
+agg AS (
+  SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total FROM chunks GROUP BY doc_id
+)
+SELECT t.doc_id, a.clean_text, a.n_kept,
+       t.n_total - a.n_kept AS n_dropped,
+       {quality_score_sql('a.clean_text')} AS quality
+FROM totals t JOIN agg a USING (doc_id)
+WHERE a.n_kept > 0
+"""
+
+
+@register("pipeline_web_prepare_psl", oracle=_web_prepare_psl_oracle())
+def pipeline_web_prepare_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl-prepare pipeline with the PRODUCTION domain
+    policy wired in (round-8 ask #7): URL canonicalization + URL-keyed
+    dedup → per-domain quota resolved against a DATA-DRIVEN public
+    suffix list (wildcard *.ck, exception !www.ck, private github.io —
+    ops/web.with_registrable_domain's broadcast hash joins, cap 10 via
+    two-phase exact-k) → passage dedup over the survivors → quality
+    annotation. One lazy Catalyst plan end-to-end; the corpus never
+    shuffles for PSL resolution (plan pinned BroadcastHashJoin-only in
+    tests/test_plans.py). The oracle re-derives the whole chain —
+    including an independent pure-CASE PSL formulation — in DuckDB."""
+    from sqlpp_spark.ops import dedup as D
+    from sqlpp_spark.ops import text as X
+
+    d = _with_url4(table(spark, sf_dir, "documents"))
+    survivors = W.dedup_by_url(d)
+    psl = W.psl_rules_df(spark, _PSL_RULES)
+    capped = W.domain_cap(survivors, cap=10, psl=psl)
+    cleaned = D.passage_dedup(capped, passage_tokens=8)
+    return cleaned.filter(F.col("n_kept") > 0).select(
+        "doc_id", "clean_text", "n_kept", "n_dropped",
+        X.quality_score(F.col("clean_text")).alias("quality"),
+    )

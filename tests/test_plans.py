@@ -212,6 +212,32 @@ def test_web_filter_hash_anti_join_no_nested_loop(spark, sf_dir):
         assert "rangepartitioning" in body.lower(), body
 
 
+def test_web_prepare_psl_cap_adds_no_shuffle_join(spark, sf_dir):
+    """The composed crawl pipeline with the data-driven PSL cap must
+    resolve eTLD+1 entirely through broadcast hash joins: no nested
+    loop, no cartesian, and EXACTLY as many shuffle joins as the
+    PSL-free base pipeline (the cap stage itself shuffles only the
+    two-phase exact-k keys, never the corpus for PSL resolution)."""
+    p = plan_of(spark, sf_dir, "pipeline_web_prepare_psl")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # one broadcast hash join per distinct PSL label count ({1,2} here)
+    assert p.count("BroadcastHashJoin") >= 2
+    # Every suffix-keyed (substring_index) join must be a broadcast
+    # hash join — never a shuffle join.  (The passage-dedup chain's
+    # doc_id joins may plan as SortMergeJoin once the cap window hides
+    # size stats — correct at scale, AQE re-plans them small — but PSL
+    # resolution itself must never shuffle the corpus.)
+    found_psl_bhj = False
+    for para in p.split("\n\n"):
+        head = para.split("\n", 1)[0]
+        if "SortMergeJoin" in head:
+            assert "substring_index" not in para, para[:300]
+        if "substring_index" in para and "BroadcastHashJoin" in head:
+            found_psl_bhj = True
+    assert found_psl_bhj, "no BroadcastHashJoin on substring_index keys"
+
+
 def test_pii_redaction_zero_shuffle(spark, sf_dir):
     """Redaction + per-kind counts are pure scan-stage expressions."""
     p = plan_of(spark, sf_dir, "text_pii_redaction")
