@@ -14,7 +14,7 @@ from sqlpp_spark.streaming import (
     stateful_user_counts,
     tumbling_counts,
 )
-from sqlpp_spark.streaming.events import sliding_counts
+from sqlpp_spark.streaming.events import FLUSH_USER_ID, sliding_counts
 
 
 @pytest.fixture(scope="module")
@@ -252,3 +252,86 @@ def test_exactly_once_sink_matches_batch_and_survives_redelivery(
     junk = batch_events.limit(5)
     junk.write.mode("overwrite").parquet(os.path.join(out, "batch_id=999"))
     assert read_exactly_once_output(spark, out).count() == batch_events.count()
+
+
+def test_session_windows_restart_from_checkpoint_equals_uninterrupted(
+    spark, sf_dir, tmp_path,
+):
+    """The production failure mode (round-8 ask #6): a session-window
+    query is STOPPED between micro-batches and restarted on the same
+    checkpoint. Watermark + session state must recover so the final
+    output (through the exactly-once sink) equals an uninterrupted run
+    over the identical file/batch sequence.
+
+    Determinism: the fixture is staged as two half-files plus the two
+    far-future flush sentinels (all mtime-ordered), maxFilesPerTrigger
+    = 1, so BOTH runs see the same four micro-batches; the interrupted
+    run stops after draining phase-1 files (a between-batches stop)
+    and resumes with the rest of the files present."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from sqlpp_spark.streaming.events import (
+        _normalize_ts,
+        _write_flush_files,
+        read_exactly_once_output,
+        session_windows,
+        write_stream_exactly_once,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    t = pq.read_table(src)
+    half = t.num_rows // 2
+
+    def stage_phase1(d):
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(t.slice(0, half), os.path.join(d, "part-00000.parquet"))
+        now = os.stat(src).st_mtime
+        os.utime(os.path.join(d, "part-00000.parquet"), (now, now))
+
+    def stage_phase2(d):
+        pq.write_table(t.slice(half), os.path.join(d, "part-00000b.parquet"))
+        now = os.stat(src).st_mtime
+        os.utime(os.path.join(d, "part-00000b.parquet"), (now + 5, now + 5))
+        _write_flush_files(d, src)  # sentinels land at now+10 / now+20
+
+    def stream_of(d):
+        schema = spark.read.parquet(d).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        return session_windows(_normalize_ts(raw))
+
+    def rows_of(out_dir):
+        return sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in read_exactly_once_output(spark, out_dir)
+            .filter(F.col("user_id") != FLUSH_USER_ID)
+            .collect()
+        )
+
+    # uninterrupted run: all four files, one query lifetime
+    d_a = str(tmp_path / "src_a")
+    stage_phase1(d_a)
+    stage_phase2(d_a)
+    out_a, cp_a = str(tmp_path / "out_a"), str(tmp_path / "cp_a")
+    write_stream_exactly_once(stream_of(d_a), out_a, cp_a)
+
+    # interrupted run: drain phase 1, STOP, add files, restart on the
+    # SAME checkpoint + sink
+    d_b = str(tmp_path / "src_b")
+    stage_phase1(d_b)
+    out_b, cp_b = str(tmp_path / "out_b"), str(tmp_path / "cp_b")
+    write_stream_exactly_once(stream_of(d_b), out_b, cp_b)
+    stage_phase2(d_b)
+    write_stream_exactly_once(stream_of(d_b), out_b, cp_b)
+
+    got_a, got_b = rows_of(out_a), rows_of(out_b)
+    assert len(got_a) > 0
+    assert got_a == got_b
+    shutil.rmtree(d_a, ignore_errors=True)
+    shutil.rmtree(d_b, ignore_errors=True)
