@@ -70,6 +70,8 @@ def main(argv=None) -> int:
     ap.add_argument("--require", action="append", default=[], help="decls file")
     ap.add_argument("--param", action="append", default=[], metavar="NAME=VALUE")
     ap.add_argument("--sf-dir", default=None, help="register driver parquet tables")
+    ap.add_argument("--dialect", default="duckdb", choices=["duckdb", "sqlite"],
+                    help="SQL dialect for the sql verb")
     args = ap.parse_args(argv)
 
     src = sys.stdin.read() if args.src == "-" else args.src
@@ -108,7 +110,7 @@ def main(argv=None) -> int:
             for p in args.param:
                 name, _, value = p.partition("=")
                 params[name] = _parse_param(value)
-            print(statement_sql(env, src, params))
+            print(statement_sql(env, src, params, dialect=args.dialect))
             return 0
 
         # plan / query need Spark

@@ -58,9 +58,49 @@ def _str_lit(v: str) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+# Dialect divergence table (mirroring the reference's per-backend
+# printers, sqlpp_sqlite.ml:177-186 / sqlpp_postgresql.ml): everything
+# not listed here renders identically in both dialects.
+#
+#   int_div   int ÷ int with truncation toward zero, NULL on ÷ 0.
+#             DuckDB's `/` is float division → explicit trunc chain;
+#             SQLite's integer `/` already has the engine's semantics
+#             natively (and yields NULL on ÷ 0).
+#   text_ty   the CAST target for toString().
+#   datetime  literal/dynamic → timestamp with NULL on malformed input.
+#             SQLite has no timestamp type: its datetime() returns the
+#             canonical 'YYYY-MM-DD HH:MM:SS' TEXT (or NULL), which
+#             compares correctly against ISO-stored columns.
+#   date      same for dates.
+#   substring SQLite guarantees substr() (substring() only >= 3.34).
+_DIALECTS = {
+    "duckdb": {
+        "int_div": lambda a, b: f"CAST(trunc(CAST({a} AS DOUBLE) / {b}) AS BIGINT)",
+        "text_ty": "VARCHAR",
+        "datetime": lambda a: f"try_cast(replace({a}, 'T', ' ') AS TIMESTAMP)",
+        "date": lambda a: f"try_cast({a} AS DATE)",
+        "substring": lambda a: f"substring({a[0]}, {a[1]}, {a[2]})",
+    },
+    "sqlite": {
+        "int_div": lambda a, b: f"({a} / {b})",
+        "text_ty": "TEXT",
+        "datetime": lambda a: f"datetime(replace({a}, 'T', ' '))",
+        "date": lambda a: f"date({a})",
+        "substring": lambda a: f"substr({a[0]}, {a[1]}, {a[2]})",
+    },
+}
+
+
 class SqlGen:
-    def __init__(self, params: Optional[Dict[str, object]] = None):
+    def __init__(
+        self, params: Optional[Dict[str, object]] = None,
+        dialect: str = "duckdb",
+    ):
         self.params = params or {}
+        if dialect not in _DIALECTS:
+            raise SqlppError(f"unknown SQL dialect: {dialect}")
+        self.dialect = dialect
+        self.d = _DIALECTS[dialect]
 
     # -- select ------------------------------------------------------------
 
@@ -197,7 +237,7 @@ class SqlGen:
                 else:
                     for pname, pval in zip(br.params, payload):
                         inner[pname] = pval
-                return SqlGen(inner).expr(br.body)
+                return SqlGen(inner, self.dialect).expr(br.body)
         raise SqlppError(f"no branch for variant tag {tag!r} in MATCH ?{e.param}")
 
     def _app(self, e: A.EApp) -> str:
@@ -223,8 +263,8 @@ class SqlGen:
             lt, rt = e.args[0].ty, e.args[1].ty
             if lt is not None and rt is not None and lt.kind == "int" and rt.kind == "int":
                 # truncation toward zero, NULL on /0 — the engine's
-                # try_divide().cast("long") semantics
-                return f"CAST(trunc(CAST({a(0)} AS DOUBLE) / {a(1)}) AS BIGINT)"
+                # try_divide().cast("long") semantics (see _DIALECTS)
+                return self.d["int_div"](a(0), a(1))
             return f"({a(0)} / {a(1)})"
         if fn == "is null":
             return f"({a(0)} IS NULL)"
@@ -238,16 +278,18 @@ class SqlGen:
         if fn == "now":
             return "now()"
         if fn == "tostring":
-            return f"CAST({a(0)} AS VARCHAR)"
+            return f"CAST({a(0)} AS {self.d['text_ty']})"
         if fn == "datetime":
-            return f"try_cast(replace({a(0)}, 'T', ' ') AS TIMESTAMP)"
+            return self.d["datetime"](a(0))
         if fn == "date":
-            return f"try_cast({a(0)} AS DATE)"
+            return self.d["date"](a(0))
         if fn == "like":
             pat = e.args[1]
             if isinstance(pat, A.ELit) and pat.lit_kind == "string":
                 return f"({a(0)} LIKE {_str_lit(pat.value)})"
             raise SqlppError("like() pattern must be a string literal", pat.loc)
+        if fn in ("substring", "substr"):
+            return self.d["substring"]([a(i) for i in range(len(e.args))])
         ext = _EXT_SQL.get(fn)
         if ext is not None:
             return ext([a(i) for i in range(len(e.args))])
@@ -258,8 +300,6 @@ _EXT_SQL = {
     "upper": lambda a: f"upper({a[0]})",
     "lower": lambda a: f"lower({a[0]})",
     "length": lambda a: f"CAST(length({a[0]}) AS BIGINT)",
-    "substring": lambda a: f"substring({a[0]}, {a[1]}, {a[2]})",
-    "substr": lambda a: f"substring({a[0]}, {a[1]}, {a[2]})",
     "concat": lambda a: "(" + " || ".join(a) + ")",
     "trim": lambda a: f"trim({a[0]})",
     "replace": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
@@ -279,14 +319,23 @@ _EXT_SQL = {
 }
 
 
-def select_sql(info: QueryInfo, params: Optional[Dict[str, object]] = None) -> str:
+def select_sql(
+    info: QueryInfo, params: Optional[Dict[str, object]] = None,
+    dialect: str = "duckdb",
+) -> str:
     """Render an analyzed query (frontend.analyze.analyze output) as
     one ANSI SQL string. ``params`` inlines bound values for ?params /
-    MATCH variants (same binding rules as the Spark compiler)."""
-    return SqlGen(params).select(info.ctx)
+    MATCH variants (same binding rules as the Spark compiler).
+    ``dialect`` selects the backend divergence table (_DIALECTS) —
+     duckdb (default) or sqlite, mirroring the reference's per-backend
+    printers."""
+    return SqlGen(params, dialect).select(info.ctx)
 
 
-def statement_sql(env, src: str, params: Optional[Dict[str, object]] = None) -> str:
+def statement_sql(
+    env, src: str, params: Optional[Dict[str, object]] = None,
+    dialect: str = "duckdb",
+) -> str:
     """Render any sqlpp statement — SELECT (elaborated), INSERT
     VALUES/SELECT (+ SET sugar, ON CONFLICT, RETURNING), UPDATE
     [FROM], DELETE — as DuckDB-compatible SQL. SELECTs (top-level and
@@ -296,7 +345,7 @@ def statement_sql(env, src: str, params: Optional[Dict[str, object]] = None) -> 
     from sqlpp_spark.frontend.parser import parse_query
 
     q = parse_query(src)
-    g = SqlGen(params)
+    g = SqlGen(params, dialect)
     if isinstance(q, A.Select):
         return g.select(analyze(env, src).ctx)
 
