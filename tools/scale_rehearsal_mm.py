@@ -1,0 +1,181 @@
+"""Multimodal 10× scale rehearsal (round-8 ask #5): extend the
+shuffle/wall rehearsal to the binary DECODE rows, and measure the
+Arrow batch-sizing guard directly.
+
+Part 1 — decode entries at 10× payload count: the jpeg/png/gif/video
+decode oracles synthesize payloads per ``documents`` row, so the
+/tmp/scale10 fixture (10 id-shifted copies) yields exactly 10× the
+payloads. Per query and scale we record wall seconds, rows, shuffle
+and input bytes (Spark UI REST), plus the executor peak-memory
+snapshot (JVM heap + python worker RSS via processTreeMetrics).
+Decode is embarrassingly parallel — wall growth should be ~linear and
+shuffle ~zero beyond the tiny result rows.
+
+Part 2 — the ``maxRecordsPerBatch`` guard (SCALING.md, Multimodal):
+with MB-scale payloads the claim is that Arrow batch memory is
+bounded by records-per-batch, not partition size. We synthesize 96
+incompressible ~0.75 MB PNGs in 4 partitions (24 rows each) and run
+the SAME decode under maxRecordsPerBatch = 4 vs 10000, measuring
+inside the worker: the max pandas batch rows actually delivered and
+the worker's peak RSS (resource.ru_maxrss). The low setting must cap
+batch rows at 4 and hold peak RSS well below the high setting's.
+
+Output: SCALING_REHEARSAL_MM.json + markdown on stdout (for
+SCALING.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scale_rehearsal import (  # noqa: E402
+    SCALE10, SF01, build_fixture, get_spark_with_ui, run_one,
+)
+
+from sqlpp_spark.queries import REGISTRY, _ensure_loaded  # noqa: E402
+
+MM_QUERIES = [
+    "multimodal_jpeg_decode_oracle",
+    "multimodal_png_decode_oracle",
+    "multimodal_gif_decode_oracle",
+    "multimodal_video_frames_oracle",
+]
+
+
+def executor_peaks(spark) -> dict:
+    """Peak-memory snapshot over all executors (monotonic per executor
+    lifetime — meaningful as 'high-water mark so far')."""
+    base = spark.sparkContext.uiWebUrl
+    apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
+    url = f"{base}/api/v1/applications/{apps[0]['id']}/executors"
+    peaks = {"jvm_heap_mb": 0.0, "python_rss_mb": 0.0}
+    for ex in json.load(urllib.request.urlopen(url)):
+        pm = ex.get("peakMemoryMetrics") or {}
+        peaks["jvm_heap_mb"] = max(
+            peaks["jvm_heap_mb"], pm.get("JVMHeapMemory", 0) / 2**20
+        )
+        peaks["python_rss_mb"] = max(
+            peaks["python_rss_mb"],
+            pm.get("ProcessTreePythonRSSMemory", 0) / 2**20,
+        )
+    return {k: round(v, 1) for k, v in peaks.items()}
+
+
+def batch_guard_probe(spark, n_rows=96, side=512, n_parts=4) -> dict:
+    """MB-scale payloads through decode_image with the worker itself
+    reporting max batch rows and peak RSS, per maxRecordsPerBatch."""
+    import numpy as np
+    import pandas as pd
+
+    from sqlpp_spark.ops import imagecodec as IC
+
+    gen_schema = "media_id long, payload binary"
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for mid in pdf["media_id"]:
+                rng = np.random.default_rng(int(mid))
+                img = rng.integers(0, 256, (side, side, 3), dtype=np.uint8)
+                out["media_id"].append(int(mid))
+                out["payload"].append(IC.encode_png(img, level=1))
+            yield pd.DataFrame(out)
+
+    probe_schema = "media_id long, decoded boolean, batch_rows long, rss_mb double"
+
+    def decode_probe(batches):
+        import resource
+
+        from sqlpp_spark.ops.imagecodec import decode_png
+
+        for pdf in batches:
+            ok = []
+            for payload in pdf["payload"]:
+                arr = decode_png(bytes(payload))
+                ok.append(arr.shape == (side, side, 3))
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "decoded": ok,
+                "batch_rows": [len(pdf)] * len(pdf),
+                "rss_mb": [rss] * len(pdf),
+            })
+
+    base = (
+        spark.range(n_rows).repartition(n_parts)
+        .selectExpr("id AS media_id")
+        .mapInPandas(gen, gen_schema)
+    )
+    payload_mb = None
+    results = {}
+    for setting in (4, 10000):
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(setting)
+        )
+        t0 = time.perf_counter()
+        rows = base.mapInPandas(decode_probe, probe_schema).collect()
+        dt = time.perf_counter() - t0
+        if payload_mb is None:
+            import numpy as np  # noqa: F811
+
+            one = base.limit(1).collect()[0]
+            payload_mb = round(len(one.payload) / 2**20, 3)
+        assert all(r.decoded for r in rows)
+        results[f"maxRecordsPerBatch_{setting}"] = {
+            "sec": round(dt, 2),
+            "max_batch_rows": max(r.batch_rows for r in rows),
+            "worker_peak_rss_mb": round(max(r.rss_mb for r in rows), 1),
+        }
+    spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    results["payload_mb"] = payload_mb
+    results["rows"] = n_rows
+    results["partitions"] = n_parts
+    return results
+
+
+def main() -> None:
+    spark = get_spark_with_ui()
+    spark.conf.set("spark.executor.processTreeMetrics.enabled", "true")
+    build_fixture(spark)
+    _ensure_loaded()
+    results = {}
+    for name in MM_QUERIES:
+        builder = REGISTRY[name].builder
+        try:
+            builder(spark, "/root/testdata/sf0.001").count()  # plan warmup
+        except Exception:
+            pass
+        a = run_one(spark, builder, SF01)
+        a["peaks"] = executor_peaks(spark)
+        b = run_one(spark, builder, SCALE10)
+        b["peaks"] = executor_peaks(spark)
+        results[name] = {"sf01": a, "x10": b}
+        print(name, json.dumps(results[name]), flush=True)
+
+    results["arrow_batch_guard"] = batch_guard_probe(spark)
+    print("arrow_batch_guard", json.dumps(results["arrow_batch_guard"]),
+          flush=True)
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "SCALING_REHEARSAL_MM.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+    print("\n| query | sf0.1 s | 10x s | ratio | 10x shuffle MB | peak py RSS MB (after 10x) |")
+    print("|---|---|---|---|---|---|")
+    for name in MM_QUERIES:
+        r = results[name]
+        sa, sb = r["sf01"], r["x10"]
+        ratio = round(sb["sec"] / sa["sec"], 1) if sa["sec"] else None
+        print(f"| {name} | {sa['sec']} | {sb['sec']} | {ratio} | "
+              f"{sb['shuffle_mb']} | {sb['peaks']['python_rss_mb']} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
