@@ -1,0 +1,342 @@
+"""ISO Base Media File Format (MP4) container metadata — from scratch.
+
+Implements the box (atom) structure of ISO/IEC 14496-12 (public spec;
+reference behavior: the metadata-first multimodal pattern of
+SCALING.md — prune/plan on typed metadata BEFORE any expensive
+decode). This is the container half of the MP4/H.264 boundary named
+in VERDICT r8: a training-data pipeline over crawl video needs track
+geometry, duration, sample counts and KEYFRAME positions to plan
+frame sampling and filter junk — all of which live in `moov` and are
+parseable without any codec work. The H.264 *pixel* decode itself
+remains the documented ffmpeg boundary.
+
+Parsed surface:
+- box walk incl. 64-bit largesize and size-0 (to-EOF) boxes
+- `ftyp` major brand
+- `mvhd` movie timescale/duration (versions 0 and 1)
+- per `trak`: `tkhd` track id + presentation width/height (16.16
+  fixed point, versions 0/1), `mdhd` media timescale/duration,
+  `hdlr` handler type, `stsd` sample-entry fourcc (+ coded
+  width/height for visual entries), `stts` sample count/total delta,
+  `stsz` sample sizes, `stss` sync-sample (keyframe) numbers (absent
+  table = every sample is a keyframe, per spec 8.6.2).
+
+The writer emits minimal-but-valid streams (ftyp + mvhd + one video
+trak + mdat) for round-trip tests and the closed-form Spark/DuckDB
+oracle (queries/extensions.py multimodal_mp4_metadata_oracle).
+"""
+
+from __future__ import annotations
+
+import struct
+
+FTYP_SIGNATURES = (b"ftyp",)
+
+
+class Mp4BoxError(ValueError):
+    """Malformed or unsupported ISO-BMFF payload."""
+
+
+def _u32(b: bytes, off: int) -> int:
+    return struct.unpack_from(">I", b, off)[0]
+
+
+def _u64(b: bytes, off: int) -> int:
+    return struct.unpack_from(">Q", b, off)[0]
+
+
+def iter_boxes(data: bytes, start: int = 0, end: int | None = None):
+    """Yield (type, payload_start, payload_end) for each box in
+    [start, end) — the fundamental 14496-12 §4.2 walk."""
+    end = len(data) if end is None else end
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise Mp4BoxError("truncated box header")
+        size = _u32(data, pos)
+        btype = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise Mp4BoxError("truncated largesize header")
+            size = _u64(data, pos + 8)
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise Mp4BoxError(f"box {btype!r} overruns its container")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find(data: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in iter_boxes(data, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def _fullbox(data: bytes, s: int):
+    """(version, flags, payload offset after the FullBox header)."""
+    return data[s], _u32(data, s) & 0xFFFFFF, s + 4
+
+
+def _parse_mvhd(data: bytes, s: int, e: int):
+    v, _fl, p = _fullbox(data, s)
+    if v == 1:
+        return _u32(data, p + 16), _u64(data, p + 20)  # timescale, duration
+    return _u32(data, p + 8), _u32(data, p + 12)
+
+
+def _parse_tkhd(data: bytes, s: int, e: int):
+    v, _fl, p = _fullbox(data, s)
+    if v == 1:
+        track_id = _u32(data, p + 16)
+        rest = p + 24  # creation+modification (8+8) + id + reserved
+    else:
+        track_id = _u32(data, p + 8)
+        rest = p + 16
+    # duration (4 or 8 bytes by version) sits at `rest`; reserved(8),
+    # layer/group/volume/reserved(8) and matrix(36) precede w/h
+    rest += 8 if v == 1 else 4
+    rest += 8 + 8 + 36  # reserved[2], layer/group/volume/reserved, matrix
+    width = _u32(data, rest) >> 16  # 16.16 fixed
+    height = _u32(data, rest + 4) >> 16
+    return track_id, width, height
+
+
+def _parse_mdhd(data: bytes, s: int, e: int):
+    v, _fl, p = _fullbox(data, s)
+    if v == 1:
+        return _u32(data, p + 16), _u64(data, p + 20)
+    return _u32(data, p + 8), _u32(data, p + 12)
+
+
+def _parse_stts(data: bytes, s: int, e: int):
+    _v, _fl, p = _fullbox(data, s)
+    n = _u32(data, p)
+    total_samples = total_delta = 0
+    for i in range(n):
+        cnt = _u32(data, p + 4 + 8 * i)
+        delta = _u32(data, p + 8 + 8 * i)
+        total_samples += cnt
+        total_delta += cnt * delta
+    return total_samples, total_delta
+
+
+def _parse_stss(data: bytes, s: int, e: int):
+    _v, _fl, p = _fullbox(data, s)
+    n = _u32(data, p)
+    return [_u32(data, p + 4 + 4 * i) for i in range(n)]
+
+
+def _parse_stsz(data: bytes, s: int, e: int):
+    _v, _fl, p = _fullbox(data, s)
+    uniform = _u32(data, p)
+    n = _u32(data, p + 4)
+    if uniform:
+        return n, uniform * n
+    return n, sum(_u32(data, p + 8 + 4 * i) for i in range(n))
+
+
+def mp4_info(data: bytes) -> dict:
+    """Container metadata of an ISO-BMFF stream: brand, movie
+    timescale/duration, and one dict per track (id, handler, codec
+    fourcc, width/height, sample count/total size, keyframes)."""
+    try:
+        if len(data) < 12 or data[4:8] != b"ftyp":
+            raise Mp4BoxError("not an ISO-BMFF stream (no ftyp)")
+        out: dict = {"brand": data[8:12].decode("latin1"), "tracks": []}
+        moov = _find(data, 0, len(data), b"moov")
+        if moov is None:
+            raise Mp4BoxError("no moov box")
+        ms, me = moov
+        mvhd = _find(data, ms, me, b"mvhd")
+        if mvhd is None:
+            raise Mp4BoxError("no mvhd box")
+        ts, dur = _parse_mvhd(data, *mvhd)
+        if ts == 0:
+            raise Mp4BoxError("mvhd timescale is zero")
+        out["timescale"] = ts
+        out["duration_ms"] = dur * 1000 // ts
+        for t, s, e in iter_boxes(data, ms, me):
+            if t != b"trak":
+                continue
+            tr: dict = {}
+            tkhd = _find(data, s, e, b"tkhd")
+            if tkhd:
+                tr["track_id"], tr["width"], tr["height"] = _parse_tkhd(
+                    data, *tkhd
+                )
+            mdia = _find(data, s, e, b"mdia")
+            if mdia is None:
+                raise Mp4BoxError("trak without mdia")
+            ds, de = mdia
+            mdhd = _find(data, ds, de, b"mdhd")
+            if mdhd:
+                mts, mdur = _parse_mdhd(data, *mdhd)
+                tr["media_timescale"] = mts
+                tr["media_duration"] = mdur
+            hdlr = _find(data, ds, de, b"hdlr")
+            if hdlr:
+                hs, _he = hdlr
+                tr["handler"] = data[hs + 8 : hs + 12].decode("latin1")
+            minf = _find(data, ds, de, b"minf")
+            if minf is None:
+                raise Mp4BoxError("mdia without minf")
+            stbl = _find(data, minf[0], minf[1], b"stbl")
+            if stbl is None:
+                raise Mp4BoxError("minf without stbl")
+            bs, be = stbl
+            stsd = _find(data, bs, be, b"stsd")
+            if stsd:
+                ss, _se = stsd
+                # FullBox + entry_count, then the first sample entry
+                entry = ss + 8
+                tr["codec"] = data[entry + 4 : entry + 8].decode("latin1")
+                if tr.get("handler") == "vide":
+                    # VisualSampleEntry: 8 hdr + 6 reserved + 2 dri +
+                    # 16 predefined/reserved, then width/height u16
+                    tr["coded_width"] = struct.unpack_from(
+                        ">H", data, entry + 32
+                    )[0]
+                    tr["coded_height"] = struct.unpack_from(
+                        ">H", data, entry + 34
+                    )[0]
+            stts = _find(data, bs, be, b"stts")
+            n_samples = total_delta = 0
+            if stts:
+                n_samples, total_delta = _parse_stts(data, *stts)
+            tr["n_samples"] = n_samples
+            tr["total_delta"] = total_delta
+            stsz = _find(data, bs, be, b"stsz")
+            if stsz:
+                _n, total_bytes = _parse_stsz(data, *stsz)
+                tr["sample_bytes"] = total_bytes
+            stss = _find(data, bs, be, b"stss")
+            if stss is not None:
+                tr["keyframes"] = _parse_stss(data, *stss)
+            else:
+                # spec 8.6.2: no stss ⇒ every sample is a sync sample
+                tr["keyframes"] = list(range(1, n_samples + 1))
+            out["tracks"].append(tr)
+        if not out["tracks"]:
+            raise Mp4BoxError("moov without trak")
+        return out
+    except Mp4BoxError:
+        raise
+    except (IndexError, struct.error) as e:
+        raise Mp4BoxError(f"malformed ISO-BMFF stream: {e}") from None
+
+
+# ---------------------------------------------------------------------------
+# Writer (minimal valid streams for tests + oracles)
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def encode_mp4(
+    width: int, height: int, n_samples: int, sample_delta: int,
+    keyframe_every: int, timescale: int = 1000, track_id: int = 1,
+    codec: bytes = b"avc1", brand: bytes = b"isom", version: int = 0,
+) -> bytes:
+    """Minimal valid ISO-BMFF stream: ftyp + moov(mvhd, one video trak
+    with tkhd/mdhd/hdlr/stbl) + a stub mdat. Sample table: uniform
+    deltas, 100+i-byte samples, a keyframe every ``keyframe_every``
+    samples (always including sample 1). ``version=1`` exercises the
+    64-bit mvhd/tkhd/mdhd forms."""
+    if n_samples < 1 or keyframe_every < 1:
+        raise Mp4BoxError("need n_samples >= 1 and keyframe_every >= 1")
+    duration = n_samples * sample_delta
+
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+
+    if version == 1:
+        mvhd_body = (
+            struct.pack(">QQIQ", 0, 0, timescale, duration)
+            + struct.pack(">i", 0x00010000) + struct.pack(">h", 0x0100)
+            + b"\x00" * 10 + _MATRIX + b"\x00" * 24
+            + struct.pack(">I", track_id + 1)
+        )
+        tkhd_body = (
+            struct.pack(">QQI", 0, 0, track_id) + b"\x00" * 4
+            + struct.pack(">Q", duration) + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0) + _MATRIX
+            + struct.pack(">II", width << 16, height << 16)
+        )
+        mdhd_body = (
+            struct.pack(">QQIQ", 0, 0, timescale, duration)
+            + struct.pack(">HH", 0x55C4, 0)
+        )
+    else:
+        mvhd_body = (
+            struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">i", 0x00010000) + struct.pack(">h", 0x0100)
+            + b"\x00" * 10 + _MATRIX + b"\x00" * 24
+            + struct.pack(">I", track_id + 1)
+        )
+        tkhd_body = (
+            struct.pack(">III", 0, 0, track_id) + b"\x00" * 4
+            + struct.pack(">I", duration) + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0) + _MATRIX
+            + struct.pack(">II", width << 16, height << 16)
+        )
+        mdhd_body = (
+            struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">HH", 0x55C4, 0)
+        )
+
+    hdlr = _full(b"hdlr", 0, 0,
+                 b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"graft\x00")
+    # VisualSampleEntry: reserved[6] + data_reference_index, then the
+    # 16 predefined/reserved bytes, width/height, resolution, etc.
+    sample_entry = _box(
+        codec,
+        b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x00" * 32 + struct.pack(">H", 0x18) + struct.pack(">h", -1),
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _full(b"stts", 0, 0,
+                 struct.pack(">III", 1, n_samples, sample_delta))
+    keyframes = list(range(1, n_samples + 1, keyframe_every))
+    stss = _full(
+        b"stss", 0, 0,
+        struct.pack(">I", len(keyframes))
+        + b"".join(struct.pack(">I", k) for k in keyframes),
+    )
+    sizes = [100 + i for i in range(n_samples)]
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n_samples)
+        + b"".join(struct.pack(">I", sz) for sz in sizes),
+    )
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", 0))
+    stco = _full(b"stco", 0, 0, struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stts + stss + stsz + stsc + stco)
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = _box(b"dinf", _full(b"dref", 0, 0, struct.pack(">I", 1)
+                               + _full(b"url ", 0, 1, b"")))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(
+        b"mdia",
+        _full(b"mdhd", version, 0, mdhd_body) + hdlr + minf,
+    )
+    trak = _box(b"trak", _full(b"tkhd", version, 7, tkhd_body) + mdia)
+    moov = _box(b"moov", _full(b"mvhd", version, 0, mvhd_body) + trak)
+    mdat = _box(b"mdat", b"\x00" * 16)
+    return ftyp + moov + mdat
+
+
+_MATRIX = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)

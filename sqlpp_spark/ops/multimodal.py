@@ -1039,3 +1039,131 @@ def decode_audio(df: DataFrame, fallback: bool = True) -> DataFrame:
     return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
         decode, AUDIO_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 container metadata (ISO 14496-12 — ops/mp4box.py)
+# ---------------------------------------------------------------------------
+
+
+def synthesize_mp4_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL ISO-BMFF (MP4) container payloads with CLOSED-FORM box
+    content: per doc_id a minimal valid stream (ftyp + mvhd + one avc1
+    video trak + mdat) whose geometry, sample table and keyframe
+    spacing are formulas of the id — so container-metadata extraction
+    (the pruning/planning step before any H.264 decode) is fully
+    SQL-verifiable. Odd ids use the 64-bit (version 1) box forms."""
+    from sqlpp_spark.ops.mp4box import encode_mp4
+
+    schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                out["media_id"].append(did)
+                out["payload"].append(encode_mp4(
+                    width=did % 13 + 16, height=did % 11 + 16,
+                    n_samples=did % 29 + 2, sample_delta=40,
+                    keyframe_every=did % 5 + 1, timescale=1000,
+                    version=did % 2,
+                ))
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
+MP4_META_SCHEMA = (
+    "media_id long, brand string, duration_ms long, n_tracks int, "
+    "codec string, width int, height int, n_samples long, "
+    "n_keyframes long, sample_bytes long, decoded boolean"
+)
+
+
+def mp4_metadata(df: DataFrame) -> DataFrame:
+    """Container-metadata extraction over binary MP4 payloads via
+    Arrow-batched mapInPandas: the metadata-first multimodal pattern —
+    geometry/duration/keyframe statistics come from the ~KB `moov`
+    box, so filtering and frame-sample planning happen BEFORE any
+    pixel decode touches the (at crawl scale, MB-GB) `mdat`. Non-BMFF
+    payloads yield decoded=false rows instead of failing the task."""
+    from sqlpp_spark.ops.mp4box import Mp4BoxError, mp4_info
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "brand", "duration_ms", "n_tracks", "codec",
+                "width", "height", "n_samples", "n_keyframes",
+                "sample_bytes", "decoded",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    info = mp4_info(b)
+                    t = info["tracks"][0]
+                    out["brand"].append(info["brand"])
+                    out["duration_ms"].append(info["duration_ms"])
+                    out["n_tracks"].append(len(info["tracks"]))
+                    out["codec"].append(t.get("codec", ""))
+                    out["width"].append(t.get("width", 0))
+                    out["height"].append(t.get("height", 0))
+                    out["n_samples"].append(t.get("n_samples", 0))
+                    out["n_keyframes"].append(len(t.get("keyframes", [])))
+                    out["sample_bytes"].append(t.get("sample_bytes", 0))
+                    out["decoded"].append(True)
+                except Mp4BoxError:
+                    out["brand"].append("")
+                    out["duration_ms"].append(0)
+                    out["n_tracks"].append(0)
+                    out["codec"].append("")
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["n_samples"].append(0)
+                    out["n_keyframes"].append(0)
+                    out["sample_bytes"].append(0)
+                    out["decoded"].append(False)
+                out["media_id"].append(mid)
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
+        extract, MP4_META_SCHEMA
+    )
+
+
+MP4_KEYFRAME_SCHEMA = "media_id long, sample_no long, sample_ms long"
+
+
+def mp4_keyframe_plan(df: DataFrame) -> DataFrame:
+    """Frame-sample PLANNING from container metadata alone: one row
+    per sync sample (keyframe) with its 1-based sample number and
+    presentation time — the exact seek list a downstream ffmpeg/
+    hardware decoder would be handed. Uniform-delta streams (this
+    synthesizer's shape) give sample_ms = (sample_no-1) * delta; for
+    general stts tables the walk is the same cumulative sum."""
+    from sqlpp_spark.ops.mp4box import Mp4BoxError, mp4_info
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "sample_no": [], "sample_ms": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    info = mp4_info(b)
+                    t = info["tracks"][0]
+                    n = t.get("n_samples", 0)
+                    mts = t.get("media_timescale", 1000) or 1000
+                    delta = (t.get("total_delta", 0) // n) if n else 0
+                    for k in t.get("keyframes", []):
+                        out["media_id"].append(mid)
+                        out["sample_no"].append(k)
+                        out["sample_ms"].append(
+                            (k - 1) * delta * 1000 // mts
+                        )
+                except Mp4BoxError:
+                    pass
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
+        plan, MP4_KEYFRAME_SCHEMA
+    )

@@ -35,7 +35,7 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scale_rehearsal import (  # noqa: E402
-    SCALE10, SF01, build_fixture, get_spark_with_ui, run_one,
+    SCALE10, SF01, build_fixture, run_one,
 )
 
 from sqlpp_spark.queries import REGISTRY, _ensure_loaded  # noqa: E402
@@ -139,9 +139,32 @@ def batch_guard_probe(spark, n_rows=96, side=512, n_parts=4) -> dict:
     return results
 
 
+def get_spark_mm():
+    """The rehearsal session plus processTreeMetrics (a STATIC conf —
+    python RSS in the executor peak snapshot needs it at JVM start)."""
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale_rehearsal_mm")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.executor.processTreeMetrics.enabled", "true")
+        .getOrCreate()
+    )
+
+
 def main() -> None:
-    spark = get_spark_with_ui()
-    spark.conf.set("spark.executor.processTreeMetrics.enabled", "true")
+    spark = get_spark_mm()
     build_fixture(spark)
     _ensure_loaded()
     results = {}
