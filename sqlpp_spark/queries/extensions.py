@@ -907,3 +907,76 @@ def multimodal_video_frames_oracle(spark: SparkSession, sf_dir: str) -> DataFram
         "media_id", "frame_idx", "width", "height", "mean_byte",
         F.col("decoded").cast("bigint").alias("decoded"),
     )
+
+
+@register(
+    "multimodal_mp4_metadata_oracle",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 29 + 2 AS n,
+         doc_id % 5 + 1 AS ke
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       'isom' AS brand,
+       CAST(n * 40 AS BIGINT) AS duration_ms,
+       CAST(1 AS INT) AS n_tracks,
+       'avc1' AS codec,
+       CAST(doc_id % 13 + 16 AS INT) AS width,
+       CAST(doc_id % 11 + 16 AS INT) AS height,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST((n + ke - 1) // ke AS BIGINT) AS n_keyframes,
+       CAST(100 * n + n * (n - 1) // 2 AS BIGINT) AS sample_bytes,
+       CAST(1 AS BIGINT) AS decoded
+FROM p
+""",
+)
+def multimodal_mp4_metadata_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED MP4 container-metadata extraction (ISO 14496-12 box
+    walk, ops/mp4box.py — the metadata-first half of the video
+    modality): per-doc minimal-but-valid streams with closed-form
+    geometry/sample-table/keyframe content (odd ids use the 64-bit
+    version-1 box forms) are parsed back via Arrow-batched
+    mapInPandas, and DuckDB recomputes every field — duration from the
+    stts walk, keyframe count from the stss spacing, total sample
+    bytes from the stsz sum — from the formulas alone. H.264 pixel
+    decode stays the documented ffmpeg boundary; this is the pruning/
+    planning surface a crawl pipeline needs BEFORE that boundary."""
+    from sqlpp_spark.ops.multimodal import mp4_metadata, synthesize_mp4_media
+
+    d = table(spark, sf_dir, "documents")
+    return mp4_metadata(synthesize_mp4_media(d)).select(
+        "media_id", "brand", "duration_ms", "n_tracks", "codec",
+        "width", "height", "n_samples", "n_keyframes", "sample_bytes",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )
+
+
+@register(
+    "multimodal_mp4_keyframe_plan_oracle",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 29 + 2 AS n,
+         doc_id % 5 + 1 AS ke
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(g.k AS BIGINT) AS sample_no,
+       CAST((g.k - 1) * 40 AS BIGINT) AS sample_ms
+FROM p, unnest(generate_series(1, CAST(n AS BIGINT), CAST(ke AS BIGINT))) AS g(k)
+""",
+)
+def multimodal_mp4_keyframe_plan_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample PLANNING from the container alone: one row per
+    sync sample (stss keyframe) with its sample number and
+    presentation time — the seek list handed to a downstream decoder,
+    derived without touching mdat. DuckDB replays the keyframe
+    arithmetic (every ke-th sample from 1) per document."""
+    from sqlpp_spark.ops.multimodal import (
+        mp4_keyframe_plan, synthesize_mp4_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return mp4_keyframe_plan(synthesize_mp4_media(d))
