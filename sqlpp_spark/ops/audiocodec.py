@@ -343,3 +343,74 @@ def write_wav(
         chunks.append(b"\x00")
     body = b"".join(chunks)
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+# ---------------------------------------------------------------------------
+# FLAC STREAMINFO metadata (container half of the FLAC boundary)
+# ---------------------------------------------------------------------------
+#
+# The FLAC format (public spec, xiph.org / RFC 9639) opens with the
+# "fLaC" marker and a chain of metadata blocks; the mandatory first
+# block is STREAMINFO, a fixed 34-byte record carrying everything a
+# pipeline needs to prune/plan audio work — sample rate, channels,
+# bit depth, total samples, an MD5 of the raw audio. Parsing it needs
+# no codec work, so (like mp4box.py for video) the metadata-first
+# surface is real while the subframe/residual DECODE stays the
+# documented boundary.
+
+FLAC_SIGNATURE = b"fLaC"
+
+
+def flac_streaminfo(data: bytes) -> dict:
+    """Parse the STREAMINFO block of a FLAC stream (RFC 9639 §8.2):
+    returns min/max block size, min/max frame size, sample_rate,
+    channels, bits_per_sample, total_samples, md5 (hex)."""
+    if data[:4] != FLAC_SIGNATURE or len(data) < 8:
+        raise AudioCodecError("not a FLAC stream")
+    btype = data[4] & 0x7F
+    blen = int.from_bytes(data[5:8], "big")
+    if btype != 0:
+        raise AudioCodecError("first FLAC metadata block must be STREAMINFO")
+    if blen != 34 or len(data) < 8 + 34:
+        raise AudioCodecError("malformed STREAMINFO block")
+    b = data[8 : 8 + 34]
+    packed = int.from_bytes(b[10:18], "big")
+    return {
+        "min_block": int.from_bytes(b[0:2], "big"),
+        "max_block": int.from_bytes(b[2:4], "big"),
+        "min_frame": int.from_bytes(b[4:7], "big"),
+        "max_frame": int.from_bytes(b[7:10], "big"),
+        "sample_rate": packed >> 44,
+        "channels": ((packed >> 41) & 0x7) + 1,
+        "bits_per_sample": ((packed >> 36) & 0x1F) + 1,
+        "total_samples": packed & ((1 << 36) - 1),
+        "md5": b[18:34].hex(),
+    }
+
+
+def write_flac_header(
+    sample_rate: int, channels: int, bits_per_sample: int,
+    total_samples: int, block_size: int = 4096, md5: bytes = b"\x00" * 16,
+) -> bytes:
+    """fLaC marker + a last-flagged STREAMINFO block (no audio
+    frames — the metadata container tests/oracles need, not a playable
+    stream; frame encode is the documented codec boundary)."""
+    if not (1 <= channels <= 8):
+        raise AudioCodecError("FLAC channels must be 1..8")
+    if not (4 <= bits_per_sample <= 32):
+        raise AudioCodecError("FLAC bits per sample must be 4..32")
+    if sample_rate >= 1 << 20 or total_samples >= 1 << 36:
+        raise AudioCodecError("sample_rate/total_samples out of field range")
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | total_samples
+    )
+    body = (
+        block_size.to_bytes(2, "big") + block_size.to_bytes(2, "big")
+        + (0).to_bytes(3, "big") + (0).to_bytes(3, "big")
+        + packed.to_bytes(8, "big") + md5
+    )
+    assert len(body) == 34
+    return FLAC_SIGNATURE + bytes([0x80]) + len(body).to_bytes(3, "big") + body

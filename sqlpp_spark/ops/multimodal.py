@@ -1167,3 +1167,81 @@ def mp4_keyframe_plan(df: DataFrame) -> DataFrame:
     return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
         plan, MP4_KEYFRAME_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# FLAC container metadata (ops/audiocodec.py flac_streaminfo)
+# ---------------------------------------------------------------------------
+
+
+def synthesize_flac_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """FLAC headers with CLOSED-FORM STREAMINFO fields per doc_id:
+    sample rate rotates 8000/16000/22050/44100, channels 1-2, bit
+    depth 16/20/24, total samples (id%97+1)*1000 — so container-
+    metadata extraction is SQL-verifiable (frame decode remains the
+    documented codec boundary, as for MP4/H.264)."""
+    from sqlpp_spark.ops.audiocodec import write_flac_header
+
+    schema = "media_id long, payload binary"
+    rates = (8000, 16000, 22050, 44100)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                out["media_id"].append(did)
+                out["payload"].append(write_flac_header(
+                    sample_rate=rates[did % 4],
+                    channels=did % 2 + 1,
+                    bits_per_sample=(did % 3) * 4 + 16,
+                    total_samples=(did % 97 + 1) * 1000,
+                ))
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
+FLAC_META_SCHEMA = (
+    "media_id long, sample_rate long, channels int, bits_per_sample int, "
+    "total_samples long, duration_ms long, decoded boolean"
+)
+
+
+def flac_metadata(df: DataFrame) -> DataFrame:
+    """STREAMINFO extraction over binary FLAC payloads (metadata-first
+    audio pruning: rate/depth/duration filters run on the 42-byte
+    header, never the frames). Non-FLAC payloads yield decoded=false
+    rows instead of failing the task."""
+    from sqlpp_spark.ops.audiocodec import AudioCodecError, flac_streaminfo
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "channels", "bits_per_sample",
+                "total_samples", "duration_ms", "decoded",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    i = flac_streaminfo(b)
+                    out["sample_rate"].append(i["sample_rate"])
+                    out["channels"].append(i["channels"])
+                    out["bits_per_sample"].append(i["bits_per_sample"])
+                    out["total_samples"].append(i["total_samples"])
+                    out["duration_ms"].append(
+                        i["total_samples"] * 1000 // i["sample_rate"]
+                        if i["sample_rate"] else 0
+                    )
+                    out["decoded"].append(True)
+                except AudioCodecError:
+                    for k in ("sample_rate", "channels", "bits_per_sample",
+                              "total_samples", "duration_ms"):
+                        out[k].append(0)
+                    out["decoded"].append(False)
+                out["media_id"].append(mid)
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
+        extract, FLAC_META_SCHEMA
+    )

@@ -980,3 +980,37 @@ def multimodal_mp4_keyframe_plan_oracle(spark: SparkSession, sf_dir: str) -> Dat
 
     d = table(spark, sf_dir, "documents")
     return mp4_keyframe_plan(synthesize_mp4_media(d))
+
+
+@register(
+    "multimodal_flac_metadata_oracle",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 8000 WHEN 1 THEN 16000
+         WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) AS sample_rate,
+       CAST(doc_id % 2 + 1 AS INT) AS channels,
+       CAST((doc_id % 3) * 4 + 16 AS INT) AS bits_per_sample,
+       CAST((doc_id % 97 + 1) * 1000 AS BIGINT) AS total_samples,
+       CAST((doc_id % 97 + 1) * 1000 * 1000 // (CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 8000 WHEN 1 THEN 16000
+         WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT) AS duration_ms,
+       CAST(1 AS BIGINT) AS decoded
+FROM documents
+""",
+)
+def multimodal_flac_metadata_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED FLAC STREAMINFO extraction (RFC 9639 §8.2 bit fields,
+    ops/audiocodec.flac_streaminfo): closed-form headers per doc are
+    parsed back through Arrow-batched mapInPandas and DuckDB
+    recomputes every field — incl. the 20/3/5/36-bit packed record and
+    floor-division duration — from the formulas. The metadata-first
+    audio surface; frame decode stays the documented boundary."""
+    from sqlpp_spark.ops.multimodal import flac_metadata, synthesize_flac_media
+
+    d = table(spark, sf_dir, "documents")
+    return flac_metadata(synthesize_flac_media(d)).select(
+        "media_id", "sample_rate", "channels", "bits_per_sample",
+        "total_samples", "duration_ms",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )

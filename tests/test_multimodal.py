@@ -583,3 +583,51 @@ def test_extract_video_frames_max_frames_bounds_sampled_count(spark):
     # stride-only still walks the full animation
     rows_all = extract_video_frames(df, every_n=3).collect()
     assert sorted(r.frame_idx for r in rows_all) == [0, 3, 6, 9]
+
+
+def test_flac_streaminfo_roundtrip_and_malformed():
+    """RFC 9639 STREAMINFO bit fields round-trip through the writer/
+    parser pair, including field-boundary values; malformed payloads
+    raise AudioCodecError."""
+    import pytest as _pytest
+
+    from sqlpp_spark.ops.audiocodec import (
+        AudioCodecError, flac_streaminfo, write_flac_header,
+    )
+
+    for rate, ch, bps, total in [
+        (44100, 2, 16, 1234567),
+        (8000, 1, 24, 0),
+        ((1 << 20) - 1, 8, 32, (1 << 36) - 1),
+        (22050, 3, 20, 999),
+    ]:
+        i = flac_streaminfo(write_flac_header(rate, ch, bps, total))
+        assert (i["sample_rate"], i["channels"], i["bits_per_sample"],
+                i["total_samples"]) == (rate, ch, bps, total)
+    for bad in (
+        b"", b"fLaX" + b"\x00" * 40,
+        b"fLaC\x81\x00\x00\x22" + b"\x00" * 34,  # first block not STREAMINFO
+        b"fLaC\x80\x00\x00\x21" + b"\x00" * 33,  # wrong block length
+        write_flac_header(8000, 1, 16, 10)[:20],  # truncated
+    ):
+        with _pytest.raises(AudioCodecError):
+            flac_streaminfo(bad)
+    with _pytest.raises(AudioCodecError):
+        write_flac_header(1 << 20, 1, 16, 10)  # rate out of field range
+    with _pytest.raises(AudioCodecError):
+        write_flac_header(8000, 9, 16, 10)  # channels out of range
+
+
+def test_flac_metadata_spark_mixed_frame(spark):
+    from sqlpp_spark.ops.audiocodec import write_flac_header
+    from sqlpp_spark.ops.multimodal import flac_metadata
+
+    rows = [
+        (1, bytearray(write_flac_header(16000, 2, 24, 48000))),
+        (2, bytearray(b"RIFFnotflac")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in flac_metadata(df).collect()}
+    assert got[1].decoded and got[1].sample_rate == 16000
+    assert got[1].duration_ms == 3000
+    assert not got[2].decoded and got[2].sample_rate == 0
