@@ -251,6 +251,51 @@ def _nearest_cells(
     return F.transform(ranked, lambda s: s["cell"])
 
 
+# Above this cell count the centroid literals leave the expression
+# tree: a k-wide array-of-structs expression costs O(k) codegen per
+# query and is impossible at the √n rule's real-scale k (≈31k cells at
+# 10⁹ vectors). The column path ships the centroids as ONE broadcast
+# row instead — expression size O(1), identical float math (same
+# zip_with/aggregate chain, same (dist, cell) array_sort tie-break),
+# so results are bit-equal to the literal path (pinned in
+# tests/test_ops.py).
+CELL_EXPR_MAX = 32
+
+
+def _with_probe_cells(
+    df: DataFrame, vec_col: str, centroids: list, cell_ids: list | None,
+    n_probe: int, out_col: str,
+) -> DataFrame:
+    """Column-path nearest-cells: broadcast-crossJoin a single row
+    holding array<struct<cell,cv>> and rank with HOFs row-locally —
+    no shuffle, no per-centroid expression growth."""
+    ids = cell_ids if cell_ids is not None else list(range(len(centroids)))
+    cells = [(int(i), [float(x) for x in c]) for i, c in zip(ids, centroids)]
+    spark = df.sparkSession
+    cf = F.broadcast(spark.createDataFrame(
+        [(cells,)], "__cells array<struct<cell:int,cv:array<double>>>"
+    ))
+    vec = F.col(vec_col)
+    dists = F.transform(
+        F.col("__cells"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec, c["cv"],
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["cell"]
+    )
+    return df.crossJoin(cf).withColumn(out_col, probes).drop("__cells")
+
+
 def pivot_centroids(
     corpus: DataFrame, n_cells: int = 16,
     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -649,18 +694,35 @@ def knn_graph(
         _assigned, centroids = ivf_index(corpus, n_cells, seed, vec_col, id_col)
         cell_ids = None
     corpus = ensure_parallelism(corpus)
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cv"),
-        _nearest_cells(F.col(vec_col), centroids, 1, cell_ids)[0].alias("cell"),
-    )
-    q = corpus.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.explode(
-            _nearest_cells(F.col(vec_col), centroids, n_probe, cell_ids)
-        ).alias("cell"),
-    )
+    if len(centroids) > CELL_EXPR_MAX:
+        # √n-grown cell counts: centroids ride a broadcast column, not
+        # the expression tree (see CELL_EXPR_MAX) — bit-equal results
+        base = corpus.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+        )
+        probed = _with_probe_cells(base, "v", centroids, cell_ids,
+                                   n_probe, "__probes")
+        c = probed.select(
+            F.col("vid").alias("cand_id"), F.col("v").alias("cv"),
+            F.element_at("__probes", 1).alias("cell"),
+        )
+        q = probed.select(
+            F.col("vid").alias("query_id"), F.col("v").alias("qv"),
+            F.explode("__probes").alias("cell"),
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("cv"),
+            _nearest_cells(F.col(vec_col), centroids, 1, cell_ids)[0].alias("cell"),
+        )
+        q = corpus.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(
+                _nearest_cells(F.col(vec_col), centroids, n_probe, cell_ids)
+            ).alias("cell"),
+        )
     scored = (
         q.join(c, on="cell")
         .filter(F.col("query_id") != F.col("cand_id"))

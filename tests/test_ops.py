@@ -1075,3 +1075,32 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_knn_graph_column_path_bit_equal_to_literal_path(spark, sf_dir):
+    """The CELL_EXPR_MAX column path (centroids as a broadcast array
+    column — the form that survives sqrt(n)-grown cell counts) must be
+    BIT-equal to the literal-expression path: same zip_with/aggregate
+    float chain, same (dist, cell) tie-break."""
+    import sqlpp_spark.ops.similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = sim.CELL_EXPR_MAX
+    try:
+        sim.CELL_EXPR_MAX = 0  # force column path
+        a = sorted(
+            tuple(r)
+            for r in sim.knn_graph(
+                emb, k=5, n_cells=20, n_probe=2, quantizer="pivot"
+            ).collect()
+        )
+        sim.CELL_EXPR_MAX = 10**9  # force literal path
+        b = sorted(
+            tuple(r)
+            for r in sim.knn_graph(
+                emb, k=5, n_cells=20, n_probe=2, quantizer="pivot"
+            ).collect()
+        )
+    finally:
+        sim.CELL_EXPR_MAX = old
+    assert a == b and len(a) > 0
