@@ -73,6 +73,8 @@ def main(argv=None) -> int:
     ap.add_argument("--dialect", default="duckdb", choices=["duckdb", "sqlite"],
                     help="SQL dialect for the sql verb")
     args = ap.parse_args(argv)
+    if args.dialect != "duckdb" and args.verb != "sql":
+        ap.error("--dialect applies only to the sql verb")
 
     src = sys.stdin.read() if args.src == "-" else args.src
 

@@ -87,6 +87,17 @@ _DIALECTS = {
         "datetime": lambda a: f"datetime(replace({a}, 'T', ' '))",
         "date": lambda a: f"date({a})",
         "substring": lambda a: f"substr({a[0]}, {a[1]}, {a[2]})",
+        # SQLite has no year()/month()/day()/now(); strftime on the
+        # ISO TEXT representation is the native spelling
+        "year": lambda a: f"strftime('%Y', {a})",
+        "month": lambda a: f"strftime('%m', {a})",
+        "day": lambda a: f"strftime('%d', {a})",
+        "now": "datetime('now')",
+        # CAST(bool AS TEXT) is '1'/'0' in SQLite but 'true'/'false'
+        # in Spark/DuckDB — render the words (NULL propagates)
+        "tostring_bool": lambda a: (
+            f"(CASE WHEN {a} THEN 'true' WHEN NOT {a} THEN 'false' END)"
+        ),
     },
 }
 
@@ -276,8 +287,11 @@ class SqlGen:
             args = ", ".join(a(i) for i in range(len(e.args)))
             return f"coalesce({args})"
         if fn == "now":
-            return "now()"
+            return self.d.get("now", "now()")
         if fn == "tostring":
+            ty = e.args[0].ty
+            if ty is not None and ty.kind == "bool" and "tostring_bool" in self.d:
+                return self.d["tostring_bool"](a(0))
             return f"CAST({a(0)} AS {self.d['text_ty']})"
         if fn == "datetime":
             return self.d["datetime"](a(0))
@@ -290,6 +304,8 @@ class SqlGen:
             raise SqlppError("like() pattern must be a string literal", pat.loc)
         if fn in ("substring", "substr"):
             return self.d["substring"]([a(i) for i in range(len(e.args))])
+        if fn in ("year", "month", "day") and fn in self.d:
+            return f"CAST({self.d[fn](a(0))} AS BIGINT)"
         ext = _EXT_SQL.get(fn)
         if ext is not None:
             return ext([a(i) for i in range(len(e.args))])

@@ -607,7 +607,9 @@ class Parser:
             name_tok = self.expect_ident()
             if self.at_punct("("):
                 self.advance()
-                args = self._comma_list(self.expr, end=")")
+                # zero-arg application — the reference's own tests use
+                # now() (analyze.ml:597 types "now", [])
+                args = [] if self.at_punct(")") else self._comma_list(self.expr, end=")")
                 self.expect_punct(")")
                 return A.EApp(
                     name_tok.value, args, loc=Loc.span(name_tok.loc, self.toks[self.i - 1].loc)
@@ -631,7 +633,7 @@ class Parser:
         name_tok = self.expect_ident()
         if self.at_punct("("):
             self.advance()
-            args = self._comma_list(self.expr, end=")")
+            args = [] if self.at_punct(")") else self._comma_list(self.expr, end=")")
             self.expect_punct(")")
             return A.EApp(
                 name_tok.value, args, loc=Loc.span(name_tok.loc, self.toks[self.i - 1].loc)

@@ -83,6 +83,8 @@ def _fullbox(data: bytes, s: int):
 
 def _parse_mvhd(data: bytes, s: int, e: int):
     v, _fl, p = _fullbox(data, s)
+    if e - p < (28 if v == 1 else 16):
+        raise Mp4BoxError("mvhd box too small for its version")
     if v == 1:
         return _u32(data, p + 16), _u64(data, p + 20)  # timescale, duration
     return _u32(data, p + 8), _u32(data, p + 12)
@@ -90,6 +92,8 @@ def _parse_mvhd(data: bytes, s: int, e: int):
 
 def _parse_tkhd(data: bytes, s: int, e: int):
     v, _fl, p = _fullbox(data, s)
+    if e - p < (92 if v == 1 else 80):
+        raise Mp4BoxError("tkhd box too small for its version")
     if v == 1:
         track_id = _u32(data, p + 16)
         rest = p + 24  # creation+modification (8+8) + id + reserved
@@ -107,14 +111,27 @@ def _parse_tkhd(data: bytes, s: int, e: int):
 
 def _parse_mdhd(data: bytes, s: int, e: int):
     v, _fl, p = _fullbox(data, s)
+    if e - p < (28 if v == 1 else 16):
+        raise Mp4BoxError("mdhd box too small for its version")
     if v == 1:
         return _u32(data, p + 16), _u64(data, p + 20)
     return _u32(data, p + 8), _u32(data, p + 12)
 
 
+def _check_entries(n: int, entry_bytes: int, p: int, e: int, box: str) -> None:
+    """A declared entry count must FIT inside its own box — without
+    this, a corrupted 32-bit count silently reads adjacent boxes'
+    bytes (still inside ``data``, so no struct.error fires) and can
+    materialize a multi-GB list from a ~KB box, breaking the
+    decoded=false malformed-payload contract downstream."""
+    if n < 0 or p + n * entry_bytes > e:
+        raise Mp4BoxError(f"{box} entry count {n} overruns its box")
+
+
 def _parse_stts(data: bytes, s: int, e: int):
     _v, _fl, p = _fullbox(data, s)
     n = _u32(data, p)
+    _check_entries(n, 8, p + 4, e, "stts")
     total_samples = total_delta = 0
     for i in range(n):
         cnt = _u32(data, p + 4 + 8 * i)
@@ -127,6 +144,7 @@ def _parse_stts(data: bytes, s: int, e: int):
 def _parse_stss(data: bytes, s: int, e: int):
     _v, _fl, p = _fullbox(data, s)
     n = _u32(data, p)
+    _check_entries(n, 4, p + 4, e, "stss")
     return [_u32(data, p + 4 + 4 * i) for i in range(n)]
 
 
@@ -136,6 +154,7 @@ def _parse_stsz(data: bytes, s: int, e: int):
     n = _u32(data, p + 4)
     if uniform:
         return n, uniform * n
+    _check_entries(n, 4, p + 8, e, "stsz")
     return n, sum(_u32(data, p + 8 + 4 * i) for i in range(n))
 
 

@@ -322,11 +322,13 @@ def extract_video_frames(
                 b = bytes(payload) if payload is not None else b""
                 frames = None
                 if b[:6] in (b"GIF87a", b"GIF89a"):
-                    # max_frames bounds EMITTED (sampled) frames, so decode
-                    # up to max_frames * every_n source frames — the stride
-                    # below then yields exactly max_frames rows.
+                    # max_frames bounds EMITTED (sampled) frames; the last
+                    # sampled source index is (max_frames-1)*every_n, so
+                    # decode exactly that many + 1 — no wasted LZW work
+                    # on frames the stride below can never emit.
                     decode_cap = (
-                        None if max_frames is None else max_frames * every_n
+                        None if max_frames is None
+                        else (max_frames - 1) * every_n + 1
                     )
                     try:
                         frames = decode_gif_frames(b, decode_cap)

@@ -209,16 +209,31 @@ def ivf_index(
     cell — queries then touch only n_probe / n_cells of the data.
     Centroids are tiny (cells × dim floats) and ship as plan literals.
     """
+    centroids = ivf_centroids(corpus, n_cells, seed, vec_col)
+    if len(centroids) > CELL_EXPR_MAX:
+        assigned = _with_probe_cells(
+            corpus, vec_col, centroids, None, 1, "__probe1"
+        ).withColumn("cell", F.element_at("__probe1", 1)).drop("__probe1")
+    else:
+        assigned = corpus.withColumn(
+            "cell", _nearest_cells(F.col(vec_col), centroids, 1)[0]
+        )
+    return assigned, centroids
+
+
+def ivf_centroids(
+    corpus: DataFrame, n_cells: int = 16, seed: int = 42,
+    vec_col: str = "embedding",
+) -> list:
+    """KMeans centroids only — callers that never use the assignment
+    (knn_graph builds its own probe columns) skip the O(k·dim)
+    assignment-expression construction entirely."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     train = corpus.select(array_to_vector(F.col(vec_col).cast("array<float>")).alias("features"))
     model = KMeans(k=n_cells, seed=seed, initMode="k-means||").fit(train)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    assigned = corpus.withColumn(
-        "cell", _nearest_cells(F.col(vec_col), centroids, 1)[0]
-    )
-    return assigned, centroids
+    return [list(map(float, c)) for c in model.clusterCenters()]
 
 
 def _nearest_cells(
@@ -273,7 +288,7 @@ def _with_probe_cells(
     cells = [(int(i), [float(x) for x in c]) for i, c in zip(ids, centroids)]
     spark = df.sparkSession
     cf = F.broadcast(spark.createDataFrame(
-        [(cells,)], "__cells array<struct<cell:int,cv:array<double>>>"
+        [(cells,)], "__cells array<struct<cell:bigint,cv:array<double>>>"
     ))
     vec = F.col(vec_col)
     dists = F.transform(
@@ -691,7 +706,7 @@ def knn_graph(
     if quantizer == "pivot":
         centroids, cell_ids = pivot_centroids(corpus, n_cells, vec_col, id_col)
     else:
-        _assigned, centroids = ivf_index(corpus, n_cells, seed, vec_col, id_col)
+        centroids = ivf_centroids(corpus, n_cells, seed, vec_col)
         cell_ids = None
     corpus = ensure_parallelism(corpus)
     if len(centroids) > CELL_EXPR_MAX:

@@ -422,3 +422,21 @@ def test_sqlgen_agrees_with_handwritten_oracles(spark, sf_dir):
         )
         assert got == want, f"{name}:\ngen : {gen_sql}\nwant: {REGISTRY[name].oracle}"
     con.close()
+
+
+def test_zero_arg_application_now(engine, duck):
+    """Round-9 review chain: the reference's own tests write
+    toString(now()) (db.ml:42; analyze.ml:597 types "now", []), but
+    the parser rejected every zero-arg application. Pin parse,
+    analysis, both printer dialects, and engine execution (value is
+    non-deterministic — only shape is asserted)."""
+    from sqlpp_spark.compiler.sqlgen import select_sql
+    from sqlpp_spark.frontend.analyze import analyze
+
+    src = "select n_nationkey, toString(now()) as ts from nation " \
+          "where n_nationkey < 3"
+    info = analyze(engine.env, src)
+    assert "now()" in select_sql(info)
+    assert "datetime('now')" in select_sql(info, dialect="sqlite")
+    rows = engine.fetch_list(src)
+    assert len(rows) == 3 and all(r.ts and r.ts[:2] == "20" for r in rows)

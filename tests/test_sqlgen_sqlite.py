@@ -89,18 +89,12 @@ def differ_lite(engine, lite, src, **params):
     )
 
 
-def _directed():
-    import test_sqlgen as TS  # sibling module (pytest sys.path)
-
-    return TS.DIRECTED
+import test_sqlgen as TS  # sibling module (pytest sys.path)
 
 
-@pytest.mark.parametrize("i", range(22))
+@pytest.mark.parametrize("i", range(len(TS.DIRECTED)))
 def test_sqlite_directed(engine, lite, i):
-    directed = _directed()
-    if i >= len(directed):
-        pytest.skip("directed battery shorter than parametrization")
-    differ_lite(engine, lite, directed[i])
+    differ_lite(engine, lite, TS.DIRECTED[i])
 
 
 def test_sqlite_params(engine, lite):
@@ -142,3 +136,30 @@ def test_sqlite_cli_dialect_flag(capsys):
     assert rc == 0
     # the sqlite rendering uses native integer division, no trunc chain
     assert "trunc" not in out and '/ 3' in out
+
+
+def test_sqlite_temporal_and_bool_rendering(engine, lite):
+    """Round-9 review finding: year()/month()/day() must render as
+    strftime (SQLite has no year()), and toString(bool) must yield
+    'true'/'false' (CAST AS TEXT gives '1'/'0')."""
+    differ_lite(
+        engine, lite,
+        "select o_orderkey, year(o_orderdate), month(o_orderdate), "
+        "day(o_orderdate) from orders where o_orderkey < 30",
+    )
+    differ_lite(
+        engine, lite,
+        "select n_nationkey, toString(n_nationkey > 10) from nation",
+    )
+
+
+def test_sqlite_now_renders_native():
+    from sqlpp_spark.frontend.analyze import Env, analyze
+    from sqlpp_spark.compiler.sqlgen import select_sql
+
+    env = Env()
+    env.add("create table t (x int not null);")
+    sql = select_sql(
+        analyze(env, "select toString(now()) as n from t"), dialect="sqlite"
+    )
+    assert "datetime('now')" in sql and "now()" not in sql
