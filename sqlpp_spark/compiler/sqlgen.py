@@ -362,6 +362,27 @@ def statement_sql(
 
     q = parse_query(src)
     g = SqlGen(params, dialect)
+
+    def where_sql(table: str, where) -> str:
+        if where is None:
+            return ""
+        if A.expr_has_subquery(where):
+            # IN/EXISTS need elaboration (sub_ctx) before printing —
+            # analyze the predicate in the target table's scope, as
+            # the engine's subquery DML path does
+            from sqlpp_spark.frontend.analyze import (
+                Analyzer, SelectCtx, TableRel,
+            )
+
+            ti = env.tables.get(table)
+            if ti is None:
+                raise SqlppError(f"no such table: {table}")
+            an = Analyzer(env, src)
+            ctx = SelectCtx(A.Select(from_=A.FromTable(table, None)))
+            ctx.rels[table] = TableRel(table, ti.columns, table=table)
+            welab, _ = an.infer_expr(ctx, where)
+            return f" WHERE {g.expr(welab)}"
+        return f" WHERE {g.expr(where)}"
     if isinstance(q, A.Select):
         return g.select(analyze(env, src).ctx)
 
@@ -399,7 +420,7 @@ def statement_sql(
         if q.from_ is not None:
             an = Analyzer(env, src)
 
-            def from_raw(fr) -> str:
+            def from_raw(fr) -> str:  # noqa: ANN202
                 if isinstance(fr, A.FromJoin):
                     kw = "LEFT JOIN" if fr.kind == "left" else "JOIN"
                     return (
@@ -418,13 +439,14 @@ def statement_sql(
                 raise SqlppError(f"bad from node {type(fr).__name__}")
 
             out += f" FROM {from_raw(q.from_)}"
-        if q.where is not None:
-            out += f" WHERE {g.expr(q.where)}"
+            if q.where is not None:
+                out += f" WHERE {g.expr(q.where)}"
+        else:
+            out += where_sql(q.table, q.where)
         return out + returning(q.returning)
     if isinstance(q, A.Delete):
         alias = f" AS {_q(q.alias)}" if q.alias else ""
         out = f"DELETE FROM {_q(q.table)}{alias}"
-        if q.where is not None:
-            out += f" WHERE {g.expr(q.where)}"
+        out += where_sql(q.table, q.where)
         return out + returning(q.returning)
     raise SqlppError(f"cannot render {type(q).__name__} as SQL")

@@ -594,6 +594,23 @@ class SqlppEngine:
                 *[F.col(f"{upd.table}.{c}").alias(c) for c in cur.columns]
             )
             result = keep.unionByName(updated)
+        elif upd.where is not None and self._expr_has_subquery(upd.where):
+            # subquery predicate: matching rows come from the full
+            # query compiler (join-rewritten IN/EXISTS), SET applies
+            # to exactly those; untouched rows pass through unchanged
+            set_cols = self._set_columns(upd, cols, an, ctx, comp, binds)
+            matching = self._matching_rows(
+                upd.table, cur.columns, upd.where, src, binds
+            ).alias(upd.table)
+            updated = matching.select(
+                *[
+                    set_cols.get(c, F.col(f"{upd.table}.{c}")).alias(c)
+                    for c in cur.columns
+                ]
+            )
+            result = base.exceptAll(
+                matching.select(*cur.columns)
+            ).unionByName(updated)
         else:
             where_col = F.lit(True)
             if upd.where is not None:
@@ -653,6 +670,29 @@ class SqlppEngine:
             return
         an._analyze_from(ctx, fr, nullable=False)
 
+    @staticmethod
+    def _expr_has_subquery(e) -> bool:
+        return A.expr_has_subquery(e)
+
+    def _matching_rows(
+        self, table: str, columns, where, src: str, binds
+    ) -> DataFrame:
+        """Rows of ``table`` satisfying a WHERE that contains
+        subqueries: compile a synthetic single-table SELECT through
+        the full query compiler (whose IN/EXISTS machinery rewrites
+        subqueries into joins — reference parity: the reference's
+        printer-backends hand any analyzable predicate to SQL, so
+        `delete from t where id in (select ...)` works there).
+        Multiset semantics are preserved (no dedup)."""
+        sel = A.Select(
+            fields=[A.Field(expr=A.EName(name=c), name=c) for c in columns],
+            from_=A.FromTable(table, None),
+            where=where,
+        )
+        info = self.prepare_select_in(src, sel)
+        comp = Compiler(self.spark, self.catalog)
+        return comp.compile_select(info, binds).toDF(*columns)
+
     def _exec_delete(self, dele: A.Delete, src: str, params) -> Optional[DataFrame]:
         path = self._managed(dele.table)
         cols = self._table_fields(dele.table)
@@ -664,12 +704,20 @@ class SqlppEngine:
         ctx.rels[dele.table] = TableRel(dele.table, cols, table=dele.table)
         comp = Compiler(self.spark, self.catalog)
         binds = Bindings(params)
-        cond = F.lit(True)
-        if dele.where is not None:
-            elab, _ = an.infer_expr(ctx, dele.where)
-            cond = comp.expr(elab, binds, {})
-        deleted = cur.filter(cond)
-        remaining = cur.filter(~F.coalesce(cond, F.lit(False)))
+        if dele.where is not None and self._expr_has_subquery(dele.where):
+            deleted = self._matching_rows(
+                dele.table, cur.columns, dele.where, src, binds
+            ).alias(dele.table)
+            # SQL EXCEPT-style null-safe row equality; every duplicate
+            # of a matching row matches too, so ALL copies delete
+            remaining = cur.exceptAll(deleted)
+        else:
+            cond = F.lit(True)
+            if dele.where is not None:
+                elab, _ = an.infer_expr(ctx, dele.where)
+                cond = comp.expr(elab, binds, {})
+            deleted = cur.filter(cond)
+            remaining = cur.filter(~F.coalesce(cond, F.lit(False)))
         ret = self._returning(deleted, dele.returning, src, dele.table) if dele.returning else None
         self._rewrite(dele.table, path, remaining)
         return ret

@@ -355,3 +355,21 @@ def expr_key(e: Expr) -> tuple:
             tuple((b.tag, tuple(b.params), expr_key(b.body)) for b in e.branches),
         )
     raise TypeError(f"expr_key: {type(e)}")
+
+
+def expr_has_subquery(e) -> bool:
+    """IN (subquery) / EXISTS anywhere below ``e`` — such expressions
+    need elaboration (sub_ctx) before SQL printing, and DataFrame-level
+    join rewrites instead of a scalar Column in the engine."""
+    if e is None:
+        return False
+    if isinstance(e, (EIn, EExists)):
+        return True
+    for child in getattr(e, "args", None) or []:
+        if expr_has_subquery(child):
+            return True
+    if isinstance(e, (EAscribe, ENav)):
+        return expr_has_subquery(e.expr)
+    if isinstance(e, EMatch):
+        return any(expr_has_subquery(b.body) for b in e.branches)
+    return False

@@ -199,6 +199,19 @@ DIRECTED_PROGRAMS = [
         ("update items set tag = 'hasval' where val > 20", {}),
         ("delete from items where val < 25 returning id", {}),
     ],
+    # subquery predicates (select-based DML matching path): IN, NOT IN
+    # against a NULL-bearing subquery column (three-valued: matches
+    # nothing), uncorrelated EXISTS gate
+    [
+        ("delete from items where id in (select id from src) returning id",
+         {}),
+        ("update items set tag = 'notin' "
+         "where not (val in (select val from src)) returning id, tag", {}),
+        ("update items set grp = grp + 1 "
+         "where id in (select id + 3 from src where grp > 5)", {}),
+        ("delete from items where exists (select true from src "
+         "where grp > 99) returning id", {}),
+    ],
 ]
 
 
@@ -245,7 +258,7 @@ try:
     @st.composite
     def _pred(draw, depth=0):
         kind = draw(st.sampled_from(
-            ["cmp", "cmp", "and", "or", "not", "null"]
+            ["cmp", "cmp", "and", "or", "not", "null", "in_sub", "exists"]
             if depth < 2 else ["cmp", "null"]
         ))
         if kind == "cmp":
@@ -254,6 +267,20 @@ try:
             return f"({lhs} {op} {draw(st.integers(-2, 12))})"
         if kind == "null":
             return draw(st.sampled_from(["(val is null)", "(val is not null)"]))
+        if kind == "in_sub":
+            # subquery predicates route DML through the select-based
+            # matching path (round-9 parity work); the nullable src.val
+            # column makes NOT IN go three-valued
+            neg = draw(st.sampled_from(["", "not "]))
+            col = draw(st.sampled_from(["id", "grp", "val"]))
+            sub = draw(st.sampled_from(["id", "grp", "val", "id + 1"]))
+            w = (f" where grp {draw(st.sampled_from(['<', '>', '=']))}"
+                 f" {draw(st.integers(4, 8))}"
+                 if draw(st.booleans()) else "")
+            return f"({neg}{col} in (select {sub} from src{w}))"
+        if kind == "exists":
+            return (f"(exists (select true from src where grp > "
+                    f"{draw(st.integers(3, 9))}))")
         if kind == "not":
             return f"(not {draw(_pred(depth + 1))})"
         return f"({draw(_pred(depth + 1))} {kind} {draw(_pred(depth + 1))})"
