@@ -524,3 +524,89 @@ def pipeline_web_prepare_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "clean_text", "n_kept", "n_dropped",
         X.quality_score(F.col("clean_text")).alias("quality"),
     )
+
+
+# -- WARC crawl-archive extraction (round-9) ---------------------------------
+
+
+def _warc_extract_oracle() -> str:
+    from sqlpp_spark.ops.warc import html_text_sql
+
+    html = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>"
+        "<style>p {color: red}</style></head>"
+        "<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>"
+        "<!-- c' || CAST(doc_id AS VARCHAR) || ' -->"
+        "<p>' || text || '</p>"
+        "<script>var x = ' || CAST(doc_id AS VARCHAR) || ';</script>"
+        "</body></html>'"
+    )
+    extracted = html_text_sql("html")
+    return f"""
+WITH h AS (SELECT doc_id, {html} AS html FROM documents),
+x AS (SELECT doc_id, {extracted} AS text FROM h)
+SELECT doc_id,
+       'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       CAST(200 AS INT) AS http_status,
+       text,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM x
+"""
+
+
+@register("web_warc_extract", oracle=_warc_extract_oracle())
+def web_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED WARC → text extraction (ISO 28500 + HTML strip — the
+    first mile of a crawl training-data pipeline): per-document
+    archives (warcinfo + request + response records, closed-form HTML
+    bodies) parse through Arrow-batched mapInPandas (ops/warc.py),
+    HTTP responses split status/headers/body, and the body runs the
+    JVM-side html_text regexp chain (script/style/head/comment
+    removal, tag strip, entity decode, whitespace collapse — zero
+    Python in the extraction hot path). DuckDB rebuilds the identical
+    HTML from `documents` and applies the same RE2-compatible chain,
+    so Content-Length slicing, CRLF discipline, HTTP splitting and
+    every extraction stage are hash-verified end to end."""
+    from sqlpp_spark.ops.warc import (
+        html_text_col, synthesize_warc_media, warc_records,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    recs = warc_records(synthesize_warc_media(d))
+    return (
+        recs.filter((F.col("rec_type") == "response")
+                    & (F.col("http_status") == 200))
+        .select(
+            F.col("archive_id").alias("doc_id"),
+            "target_uri",
+            "http_status",
+            html_text_col(F.col("body")).alias("text"),
+        )
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+    )
+
+
+@register(
+    "web_warc_stats",
+    oracle="""
+SELECT rec_type, CAST(COUNT(*) AS BIGINT) AS n_records
+FROM (
+  SELECT doc_id, unnest(['warcinfo', 'request', 'response']) AS rec_type
+  FROM documents
+) GROUP BY rec_type ORDER BY rec_type
+""",
+)
+def web_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-type census over the parsed archives (the sanity pass a
+    crawl ingest runs before extraction) — every synthetic archive
+    carries exactly one warcinfo/request/response triple, which the
+    oracle replays with an unnest."""
+    from sqlpp_spark.ops.warc import synthesize_warc_media, warc_records
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        warc_records(synthesize_warc_media(d))
+        .groupBy("rec_type")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .orderBy("rec_type")
+    )

@@ -1,0 +1,110 @@
+"""WARC container + HTML extraction (ops/warc.py): record grammar,
+HTTP splitting, regex-chain parity, malformed contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from sqlpp_spark.ops.warc import (
+    WarcError,
+    html_text_sql,
+    http_response_block,
+    parse_warc,
+    split_http_response,
+    write_warc,
+)
+
+
+def test_warc_roundtrip_multi_record():
+    body = http_response_block(404, "text/html", "<p>café</p>".encode())
+    data = write_warc([
+        ({"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:1>"},
+         b"software: x\r\n"),
+        ({"WARC-Type": "request", "WARC-Target-URI": "http://e.com/a"},
+         b"GET /a HTTP/1.1\r\n\r\n"),
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://e.com/a"},
+         body),
+    ])
+    recs = parse_warc(data)
+    assert [h["WARC-Type"] for h, _ in recs] == [
+        "warcinfo", "request", "response"
+    ]
+    assert all(h["__version__"] == "WARC/1.0" for h, _ in recs)
+    st, hh, b = split_http_response(recs[2][1])
+    assert st == 404 and hh["content-type"] == "text/html"
+    assert b.decode() == "<p>café</p>"
+    # binary-safe: a body containing CRLFCRLF must NOT split records
+    tricky = write_warc([
+        ({"WARC-Type": "resource"}, b"a\r\n\r\nb\r\n\r\nc"),
+    ])
+    (h, blk), = parse_warc(tricky)
+    assert blk == b"a\r\n\r\nb\r\n\r\nc"
+
+
+def test_warc_malformed_payloads_raise():
+    good = write_warc([({"WARC-Type": "resource"}, b"xyz")])
+    for bad in (
+        b"NOT A WARC\r\n",
+        good[:20],  # truncated header block
+        good.replace(b"Content-Length: 3", b"Content-Length: 999"),
+        good.replace(b"Content-Length: 3", b"Content-Length: nan"),
+        b"WARC/1.0\r\nNoColonHere\r\n\r\n",
+    ):
+        with pytest.raises(WarcError):
+            parse_warc(bad)
+
+
+def test_html_text_chain_spark_duckdb_parity(spark):
+    """The extraction chain must produce IDENTICAL text under Java
+    regex (Spark) and RE2 (DuckDB) — nested tags, mixed case, lazy
+    block ends, entities (incl. the double-escape &amp;lt; case),
+    multi-line scripts."""
+    import duckdb
+
+    from sqlpp_spark.ops.warc import html_text_col
+
+    cases = [
+        "<html><head><title>T</title></head><body><p>hi</p></body></html>",
+        "<SCRIPT>\nvar a = '<p>not text</p>';\n</SCRIPT>ok",
+        "<style media=x>p { color: red }</style>Real <b>bold</b> text",
+        "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;end",
+        "double &amp;lt; escape",  # must yield literal '&lt;'
+        "<!-- a <p>comment</p> -->visible",
+        "line\n\n\t breaks   collapse",
+        "<p class='x' data-y=\"z\">attrs</p>",
+        "unclosed <scriptish>tag-like</scriptish> names",
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(c,) for c in cases], "html string")
+    got = [r.t for r in df.select(html_text_col(F.col("html")).alias("t"))
+           .collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT {html_text_sql('?')}", [c]
+        ).fetchone()[0]
+        for c in cases
+    ]
+    con.close()
+    assert got == want, list(zip(cases, got, want))
+    assert got[4] == "double &lt; escape"
+
+
+def test_warc_records_spark_malformed_contract(spark):
+    from sqlpp_spark.ops.warc import warc_records
+
+    good = write_warc([
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://e.com/1"},
+         http_response_block(200, "text/plain", b"hello")),
+    ])
+    rows = warc_records(
+        spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"junk"))],
+            "archive_id long, payload binary",
+        )
+    ).collect()
+    by_id = {r.archive_id: r for r in rows}
+    assert by_id[1].decoded and by_id[1].http_status == 200
+    assert by_id[1].body == "hello"
+    assert not by_id[2].decoded
