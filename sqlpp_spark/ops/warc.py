@@ -237,6 +237,7 @@ def warc_records(df: DataFrame) -> DataFrame:
 
 def synthesize_warc_media(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    uri_col: "str | None" = None,
 ) -> DataFrame:
     """One WARC archive per document with CLOSED-FORM content:
     warcinfo + request + response records, the response carrying an
@@ -248,7 +249,8 @@ def synthesize_warc_media(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"archive_id": [], "payload": []}
-            for did, text in zip(pdf[id_col], pdf[text_col]):
+            uris = pdf[uri_col] if uri_col else [None] * len(pdf)
+            for did, text, uri in zip(pdf[id_col], pdf[text_col], uris):
                 did = int(did)
                 html = (
                     f"<html><head><title>Doc {did}</title>"
@@ -260,7 +262,8 @@ def synthesize_warc_media(
                 resp = http_response_block(
                     200, "text/html; charset=utf-8", html
                 )
-                uri = f"http://example.com/doc/{did}"
+                if uri is None:
+                    uri = f"http://example.com/doc/{did}"
                 records = [
                     ({"WARC-Type": "warcinfo",
                       "WARC-Record-ID": f"<urn:uuid:{did}-info>"},
@@ -279,6 +282,5 @@ def synthesize_warc_media(
                 out["payload"].append(write_warc(records))
             yield pd.DataFrame(out)
 
-    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
-        gen, schema
-    )
+    cols = [id_col, text_col] + ([uri_col] if uri_col else [])
+    return ensure_parallelism(df.select(*cols)).mapInPandas(gen, schema)

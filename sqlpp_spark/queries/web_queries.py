@@ -610,3 +610,116 @@ def web_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_records"))
         .orderBy("rec_type")
     )
+
+
+def _crawl_ingest_oracle(cap: int = 10, p: int = 8) -> str:
+    from sqlpp_spark.ops.hashing import hash64_sql
+    from sqlpp_spark.ops.text import NORMALIZE_SQL, quality_score_sql
+    from sqlpp_spark.ops.warc import html_text_sql
+
+    html = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>"
+        "<style>p {color: red}</style></head>"
+        "<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>"
+        "<!-- c' || CAST(doc_id AS VARCHAR) || ' -->"
+        "<p>' || text || '</p>"
+        "<script>var x = ' || CAST(doc_id AS VARCHAR) || ';</script>"
+        "</body></html>'"
+    )
+    extracted = html_text_sql("html")
+    h = hash64_sql("concat('s0', '|', CAST(doc_id AS VARCHAR))")
+    rd = W.registrable_domain_psl_sql(
+        f"lower({W.url_domain_sql('url')})", _PSL_RULES
+    )
+    norm_txt = NORMALIZE_SQL.format(c="text")
+    return f"""
+WITH u AS (SELECT doc_id, text, {_URL4_SQL} AS url FROM documents),
+hdoc AS (SELECT doc_id, url, {html} AS html FROM u),
+ext AS (SELECT doc_id, url, {extracted} AS text FROM hdoc),
+hst AS (SELECT doc_id, text, {rd} AS host FROM ext),
+capped AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY host ORDER BY {h} ASC, doc_id ASC)
+             AS rk
+    FROM hst
+  ) WHERE rk <= {cap}
+),
+norm AS (SELECT doc_id, {norm_txt} AS s FROM capped),
+toks AS (SELECT doc_id, string_split(s, ' ') AS t FROM norm),
+chunks AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_id,
+         array_to_string(
+           t[CAST(g.i*{p}+1 AS BIGINT):CAST(least((g.i+1)*{p}, len(t)) AS BIGINT)],
+           ' ') AS chunk_text
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(t)/{p}.0) AS BIGINT) - 1)) AS g(i)
+),
+hashed AS (
+  SELECT doc_id, chunk_id, {hash64_sql("chunk_text")} AS ph FROM chunks
+),
+winners AS (
+  SELECT doc_id, chunk_id FROM (
+    SELECT doc_id, chunk_id,
+           ROW_NUMBER() OVER (PARTITION BY ph ORDER BY doc_id, chunk_id) AS rk
+    FROM hashed
+  ) WHERE rk = 1
+),
+kept AS (
+  SELECT c.doc_id, c.chunk_id, c.chunk_text
+  FROM chunks c SEMI JOIN winners w
+    ON c.doc_id = w.doc_id AND c.chunk_id = w.chunk_id
+),
+agg AS (
+  SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total FROM chunks GROUP BY doc_id
+)
+SELECT t.doc_id, a.clean_text, a.n_kept,
+       t.n_total - a.n_kept AS n_dropped,
+       {quality_score_sql('a.clean_text')} AS quality
+FROM totals t JOIN agg a USING (doc_id)
+WHERE a.n_kept > 0
+"""
+
+
+@register("pipeline_crawl_ingest", oracle=_crawl_ingest_oracle(),
+          headline=True)
+def pipeline_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE crawl-ingest pipeline, first mile to training
+    corpus in ONE lazy plan: WARC archives (ISO 28500, PSL-variety
+    target URIs) → record parse + HTTP split (Arrow-batched
+    mapInPandas) → JVM-side HTML text extraction → per-domain quota on
+    the DATA-DRIVEN public suffix list (broadcast hash joins, two-phase
+    exact-k) → corpus-wide passage dedup → quality annotation. This is
+    the composition a real Common-Crawl-style preparation runs; every
+    stage's math is replayed independently by DuckDB (HTML rebuild +
+    same RE2 chain + pure-CASE PSL + hash ranks + passage chain), so
+    the end-to-end hash check covers container parsing, extraction,
+    capping and dedup TOGETHER."""
+    from sqlpp_spark.ops import dedup as D
+    from sqlpp_spark.ops import text as X
+    from sqlpp_spark.ops.warc import (
+        html_text_col, synthesize_warc_media, warc_records,
+    )
+
+    d = _with_url4(table(spark, sf_dir, "documents"))
+    archives = synthesize_warc_media(d, uri_col="url")
+    recs = warc_records(archives).filter(
+        (F.col("rec_type") == "response") & (F.col("http_status") == 200)
+    )
+    docs = recs.select(
+        F.col("archive_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        html_text_col(F.col("body")).alias("text"),
+    )
+    psl = W.psl_rules_df(spark, _PSL_RULES)
+    capped = W.domain_cap(docs, cap=10, psl=psl).drop("url")
+    cleaned = D.passage_dedup(capped, passage_tokens=8)
+    return cleaned.filter(F.col("n_kept") > 0).select(
+        "doc_id", "clean_text", "n_kept", "n_dropped",
+        X.quality_score(F.col("clean_text")).alias("quality"),
+    )
