@@ -108,3 +108,68 @@ def test_warc_records_spark_malformed_contract(spark):
     assert by_id[1].decoded and by_id[1].http_status == 200
     assert by_id[1].body == "hello"
     assert not by_id[2].decoded
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _SOUP = st.text(
+        alphabet="<>&/;#abc pqs\"'!-=\n\t0123456789", min_size=0, max_size=80,
+    )
+
+    @st.composite
+    def _html_soup(draw):
+        """Tag soup: random fragments interleaved with real-ish tags,
+        entities and blocks — anything Java regex and RE2 could
+        plausibly disagree on."""
+        parts = []
+        for _ in range(draw(st.integers(1, 6))):
+            kind = draw(st.integers(0, 5))
+            if kind == 0:
+                parts.append(draw(_SOUP))
+            elif kind == 1:
+                parts.append(f"<{draw(st.sampled_from(['p', 'b', 'div', 'scriptish', 'P']))}>")
+            elif kind == 2:
+                t = draw(st.sampled_from(["script", "style", "head", "SCRIPT"]))
+                parts.append(f"<{t}>{draw(_SOUP)}</{t}>")
+            elif kind == 3:
+                parts.append(draw(st.sampled_from(
+                    ["&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;",
+                     "&amp;lt;", "&bogus;"]
+                )))
+            elif kind == 4:
+                parts.append(f"<!--{draw(_SOUP)}-->")
+            else:
+                parts.append(f"</{draw(st.sampled_from(['p', 'head']))}>")
+        return "".join(parts)
+
+    @settings(max_examples=150, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(_html_soup(), min_size=1, max_size=8))
+    def test_html_text_chain_fuzz_parity(spark, soups):
+        """Random tag soup must extract to IDENTICAL text under the
+        Spark (Java regex) and DuckDB (RE2) renderings of the chain."""
+        import duckdb
+        import pyspark.sql.functions as F
+
+        from sqlpp_spark.ops.warc import html_text_col
+
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(soups)], "i long, html string"
+        )
+        got = {
+            r.i: r.t
+            for r in df.select("i", html_text_col(F.col("html")).alias("t"))
+            .collect()
+        }
+        con = duckdb.connect()
+        for i, c in enumerate(soups):
+            want = con.execute(
+                f"SELECT {html_text_sql('?')}", [c]
+            ).fetchone()[0]
+            assert got[i] == want, (c, got[i], want)
+        con.close()
+
+except ImportError:  # pragma: no cover
+    pass
