@@ -440,6 +440,11 @@ def statement_sql(
 
             out += f" FROM {from_raw(q.from_)}"
             if q.where is not None:
+                if A.expr_has_subquery(q.where):
+                    raise SqlppError(
+                        "IN/EXISTS subqueries are not supported in "
+                        "UPDATE ... FROM"
+                    )
                 out += f" WHERE {g.expr(q.where)}"
         else:
             out += where_sql(q.table, q.where)

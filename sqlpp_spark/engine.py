@@ -560,6 +560,12 @@ class SqlppEngine:
             # Postgres-style joined update: FROM adds relations, WHERE
             # correlates (updatesyn, syntax.ml:164-173). One update per
             # target row: first match wins (row_number over PK).
+            if A.expr_has_subquery(upd.where):
+                raise SqlppError(
+                    "IN/EXISTS subqueries are not supported in "
+                    "UPDATE ... FROM (drop the FROM clause or express "
+                    "the subquery as a joined relation)"
+                )
             pk = self._primary_key(upd.table)
             if not pk:
                 raise SqlppError(
@@ -594,7 +600,7 @@ class SqlppEngine:
                 *[F.col(f"{upd.table}.{c}").alias(c) for c in cur.columns]
             )
             result = keep.unionByName(updated)
-        elif upd.where is not None and self._expr_has_subquery(upd.where):
+        elif upd.where is not None and A.expr_has_subquery(upd.where):
             # subquery predicate: matching rows come from the full
             # query compiler (join-rewritten IN/EXISTS), SET applies
             # to exactly those; untouched rows pass through unchanged
@@ -670,10 +676,6 @@ class SqlppEngine:
             return
         an._analyze_from(ctx, fr, nullable=False)
 
-    @staticmethod
-    def _expr_has_subquery(e) -> bool:
-        return A.expr_has_subquery(e)
-
     def _matching_rows(
         self, table: str, columns, where, src: str, binds
     ) -> DataFrame:
@@ -704,7 +706,7 @@ class SqlppEngine:
         ctx.rels[dele.table] = TableRel(dele.table, cols, table=dele.table)
         comp = Compiler(self.spark, self.catalog)
         binds = Bindings(params)
-        if dele.where is not None and self._expr_has_subquery(dele.where):
+        if dele.where is not None and A.expr_has_subquery(dele.where):
             deleted = self._matching_rows(
                 dele.table, cur.columns, dele.where, src, binds
             ).alias(dele.table)

@@ -75,8 +75,14 @@ def parse_warc(data: bytes) -> list:
             headers[name.decode("ascii", "replace").strip()] = (
                 value.decode("utf-8", "replace").strip()
             )
-        length = headers.get("Content-Length")
-        if length is None or not length.isdigit():
+        # ISO 28500 field names are case-insensitive; validate as
+        # ASCII digits (str.isdigit also accepts Unicode digits that
+        # int() then rejects with a plain ValueError)
+        length = next(
+            (v for k, v in headers.items()
+             if k.lower() == "content-length"), None,
+        )
+        if length is None or not (length.isascii() and length.isdigit()):
             raise WarcError("missing/invalid Content-Length")
         length = int(length)
         if pos + length > n:
@@ -121,7 +127,7 @@ def write_warc(records) -> bytes:
     for headers, block in records:
         out += b"WARC/1.0" + CRLF
         for k, v in headers.items():
-            if k in ("__version__", "Content-Length"):
+            if k.lower() in ("__version__", "content-length"):
                 continue
             out += k.encode("ascii") + b": " + str(v).encode("utf-8") + CRLF
         out += b"Content-Length: " + str(len(block)).encode() + CRLF
@@ -143,13 +149,25 @@ def http_response_block(status: int, content_type: str, body: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 # Each stage is a (pattern, replacement) evaluated identically by Java
-# regex and RE2: (?is) flags, lazy block matches, plain char classes.
+# regex and RE2. Two engine divergences are avoided EXPLICITLY
+# (round-9 second review): Java's \s matches \x0B where RE2's does
+# not — so whitespace is the spelled-out ASCII class _WS — and RE2's
+# (?i) case-folds Unicode (ſ matches s) where Java's is
+# ASCII-only — so tag names use explicit [sS]-style classes instead
+# of a case-insensitive flag.
+_WS = r"[ \t\n\r\f\x0B]"
+
+
+def _ci(word: str) -> str:
+    return "".join(f"[{c}{c.upper()}]" for c in word)
+
+
 _HTML_STAGES = [
-    (r"(?is)<script\b.*?</script\s*>", " "),
-    (r"(?is)<style\b.*?</style\s*>", " "),
-    (r"(?is)<head\b.*?</head\s*>", " "),
-    (r"(?is)<!--.*?-->", " "),
-    (r"(?is)<[^>]*>", " "),
+    (rf"(?s)<{_ci('script')}\b.*?</{_ci('script')}{_WS}*>", " "),
+    (rf"(?s)<{_ci('style')}\b.*?</{_ci('style')}{_WS}*>", " "),
+    (rf"(?s)<{_ci('head')}\b.*?</{_ci('head')}{_WS}*>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]*>", " "),
 ]
 _HTML_ENTITIES = [
     ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
@@ -165,7 +183,7 @@ def html_text_col(c: Column) -> Column:
         out = F.regexp_replace(out, pat, repl)
     for ent, ch in _HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.trim(F.regexp_replace(out, _WS + "+", " "))
 
 
 def html_text_sql(c: str) -> str:
@@ -177,7 +195,7 @@ def html_text_sql(c: str) -> str:
     for ent, ch in _HTML_ENTITIES:
         ch_sql = ch.replace("'", "''")
         out = f"replace({out}, '{ent}', '{ch_sql}')"
-    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace({out}, '{_WS}+', ' ', 'g'))"
 
 
 # ---------------------------------------------------------------------------
@@ -213,6 +231,7 @@ def warc_records(df: DataFrame) -> DataFrame:
 
             for aid, payload in zip(pdf["archive_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
+                emitted = 0
                 try:
                     for headers, block in parse_warc(b):
                         lower = {k.lower(): v for k, v in headers.items()}
@@ -226,7 +245,14 @@ def warc_records(df: DataFrame) -> DataFrame:
                             len(block), status,
                             body.decode("utf-8", "replace"), True,
                         )
+                        emitted += 1
                 except WarcError:
+                    emit(aid, "", "", 0, None, "", False)
+                    emitted += 1
+                if emitted == 0:
+                    # empty/record-less payload: parse_warc returns []
+                    # without raising — the contract is still one
+                    # decoded=false row per bad archive
                     emit(aid, "", "", 0, None, "", False)
             yield pd.DataFrame(out)
 
@@ -251,6 +277,13 @@ def synthesize_warc_media(
             out = {"archive_id": [], "payload": []}
             uris = pdf[uri_col] if uri_col else [None] * len(pdf)
             for did, text, uri in zip(pdf[id_col], pdf[text_col], uris):
+                if did is None or pd.isna(did) or text is None:
+                    # a NULL would silently diverge from the oracle's
+                    # NULL-propagating SQL concat — fail loudly instead
+                    raise WarcError(
+                        "synthesize_warc_media requires non-null "
+                        f"{id_col}/{text_col}"
+                    )
                 did = int(did)
                 html = (
                     f"<html><head><title>Doc {did}</title>"

@@ -173,3 +173,62 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_warc_second_review_regressions(spark):
+    """Round-9 second review pins: case-insensitive Content-Length,
+    Unicode-digit rejection, empty/record-less payloads still yield a
+    decoded=false row, and the extraction chain's engine-divergence
+    characters (\\x0B whitespace, Unicode case-foldable tag chars)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from sqlpp_spark.ops.warc import html_text_col, warc_records
+
+    # lowercase content-length is spec-valid (ISO 28500 names are
+    # case-insensitive)
+    lc = (b"WARC/1.0\r\nwarc-type: resource\r\ncontent-length: 3\r\n"
+          b"\r\nxyz\r\n\r\n")
+    (h, blk), = parse_warc(lc)
+    assert blk == b"xyz"
+    # a Unicode superscript digit passes str.isdigit but must reject
+    uni = ("WARC/1.0\r\nContent-Length: ³\r\n\r\n").encode("utf-8")
+    with pytest.raises(WarcError):
+        parse_warc(uni)
+    # empty payload -> exactly one decoded=false row (not zero rows)
+    rows = warc_records(
+        spark.createDataFrame(
+            [(1, bytearray(b"")), (2, None)],
+            "archive_id long, payload binary",
+        )
+    ).collect()
+    assert sorted((r.archive_id, r.decoded) for r in rows) == [
+        (1, False), (2, False)
+    ]
+    # engine-divergence characters extract IDENTICALLY
+    cases = ["a\x0bb", "<ſcript>hidden</ſcript>ok",
+             "<SCRIPT>h</SCRIPT> v\x0b w"]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "i long, html string")
+    got = {r.i: r.t for r in
+           df.select("i", html_text_col(F.col("html")).alias("t")).collect()}
+    con = duckdb.connect()
+    for i, c in enumerate(cases):
+        want = con.execute(f"SELECT {html_text_sql('?')}", [c]).fetchone()[0]
+        assert got[i] == want, (c, got[i], want)
+    con.close()
+
+
+def test_update_from_subquery_where_rejected_clearly(spark, tmp_path):
+    from sqlpp_spark.compiler.sqlgen import statement_sql
+    from sqlpp_spark.frontend.errors import SqlppError
+
+    import test_fuzz_dml as FZ
+
+    eng = FZ._fresh_spark_engine(spark, str(tmp_path))
+    src = ("update items set grp = s.grp from src as s "
+           "where s.id = items.id and items.id in (select id from src)")
+    with pytest.raises(SqlppError, match="UPDATE ... FROM"):
+        eng.exec(src)
+    with pytest.raises(SqlppError, match="UPDATE ... FROM"):
+        statement_sql(eng.env, src)
