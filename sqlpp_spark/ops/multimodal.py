@@ -1247,3 +1247,76 @@ def flac_metadata(df: DataFrame) -> DataFrame:
     return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
         extract, FLAC_META_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Ogg Opus container metadata (ops/oggcodec.py)
+# ---------------------------------------------------------------------------
+
+
+def synthesize_ogg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Ogg Opus streams with CLOSED-FORM container content per doc_id
+    (channels, pre-skip, informational rate, frame count — granules
+    cumulative in 48 kHz units, real page CRCs) so metadata extraction
+    is SQL-verifiable; packet payloads are stubs (SILK/CELT frame
+    decode is the documented boundary)."""
+    from sqlpp_spark.ops.oggcodec import encode_ogg_opus
+
+    schema = "media_id long, payload binary"
+    rates = (8000, 16000, 24000, 48000)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                out["media_id"].append(did)
+                out["payload"].append(encode_ogg_opus(
+                    channels=did % 2 + 1,
+                    pre_skip=312 + did % 50,
+                    input_rate=rates[did % 4],
+                    n_frames=did % 25 + 1,
+                ))
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
+OGG_META_SCHEMA = (
+    "media_id long, channels int, pre_skip int, input_sample_rate long, "
+    "n_pages long, duration_ms long, decoded boolean"
+)
+
+
+def ogg_metadata(df: DataFrame) -> DataFrame:
+    """OpusHead + page-walk metadata over binary Ogg payloads (CRC
+    verified per page); non-Ogg payloads yield decoded=false rows."""
+    from sqlpp_spark.ops.oggcodec import OggCodecError, ogg_opus_info
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "channels", "pre_skip", "input_sample_rate",
+                "n_pages", "duration_ms", "decoded",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    i = ogg_opus_info(b)
+                    out["channels"].append(i["channels"])
+                    out["pre_skip"].append(i["pre_skip"])
+                    out["input_sample_rate"].append(i["input_sample_rate"])
+                    out["n_pages"].append(i["n_pages"])
+                    out["duration_ms"].append(i["duration_ms"] or 0)
+                    out["decoded"].append(True)
+                except OggCodecError:
+                    for k in ("channels", "pre_skip", "input_sample_rate",
+                              "n_pages", "duration_ms"):
+                        out[k].append(0)
+                    out["decoded"].append(False)
+                out["media_id"].append(mid)
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
+        extract, OGG_META_SCHEMA
+    )

@@ -1014,3 +1014,36 @@ def multimodal_flac_metadata_oracle(spark: SparkSession, sf_dir: str) -> DataFra
         "total_samples", "duration_ms",
         F.col("decoded").cast("bigint").alias("decoded"),
     )
+
+
+@register(
+    "multimodal_ogg_opus_metadata_oracle",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(doc_id % 2 + 1 AS INT) AS channels,
+       CAST(312 + doc_id % 50 AS INT) AS pre_skip,
+       CAST(CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 8000 WHEN 1 THEN 16000
+         WHEN 2 THEN 24000 ELSE 48000 END AS BIGINT) AS input_sample_rate,
+       CAST(doc_id % 25 + 3 AS BIGINT) AS n_pages,
+       CAST((doc_id % 25 + 1) * 20 AS BIGINT) AS duration_ms,
+       CAST(1 AS BIGINT) AS decoded
+FROM documents
+""",
+)
+def multimodal_ogg_opus_metadata_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED Ogg Opus container metadata (RFC 3533 page walk with
+    per-page CRC verification + RFC 7845 OpusHead and duration rule):
+    closed-form streams per doc parse back through Arrow-batched
+    mapInPandas, and DuckDB recomputes every field — page count =
+    frames + BOS + tags, duration = frames × 960/48 ms net of
+    pre-skip. Completes the audio-container trio (WAV native, FLAC
+    STREAMINFO, Ogg Opus); frame decode stays the codec boundary."""
+    from sqlpp_spark.ops.multimodal import ogg_metadata, synthesize_ogg_media
+
+    d = table(spark, sf_dir, "documents")
+    return ogg_metadata(synthesize_ogg_media(d)).select(
+        "media_id", "channels", "pre_skip", "input_sample_rate",
+        "n_pages", "duration_ms",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )

@@ -631,3 +631,45 @@ def test_flac_metadata_spark_mixed_frame(spark):
     assert got[1].decoded and got[1].sample_rate == 16000
     assert got[1].duration_ms == 3000
     assert not got[2].decoded and got[2].sample_rate == 0
+
+
+def test_ogg_opus_roundtrip_crc_and_malformed(spark):
+    """RFC 3533/7845: page walk with CRC verification, lacing >255
+    packets, duration rule, malformed contract; Spark-side
+    decoded=false on junk."""
+    import pytest as _pytest
+
+    from sqlpp_spark.ops.multimodal import ogg_metadata
+    from sqlpp_spark.ops.oggcodec import (
+        OggCodecError, encode_ogg_opus, iter_ogg_pages, ogg_opus_info,
+    )
+
+    b = encode_ogg_opus(channels=1, pre_skip=0, input_rate=16000,
+                        n_frames=3, frame_samples=480)
+    i = ogg_opus_info(b)
+    assert (i["channels"], i["pre_skip"], i["input_sample_rate"]) == (
+        1, 0, 16000)
+    assert i["n_pages"] == 5 and i["duration_ms"] == 3 * 480 * 1000 // 48000
+    # a >255-byte packet exercises multi-lacing-value reassembly
+    from sqlpp_spark.ops.oggcodec import _page
+
+    big = b"OpusHead" + bytes([1, 2]) + (100).to_bytes(2, "little") \
+        + (48000).to_bytes(4, "little") + b"\x00" * 300
+    pages = _page(0x02, 0, 7, 0, [big]) + _page(0x04, 1060, 7, 1, [b"\xfc"])
+    info = ogg_opus_info(pages)
+    assert info["channels"] == 2 and info["pre_skip"] == 100
+    # corruption -> CRC mismatch
+    bad = bytearray(b)
+    bad[70] ^= 0x01
+    with _pytest.raises(OggCodecError, match="CRC"):
+        list(iter_ogg_pages(bytes(bad)))
+    for junk in (b"", b"OggX" + b"\x00" * 40, b[:20]):
+        with _pytest.raises(OggCodecError):
+            ogg_opus_info(junk)
+    rows = ogg_metadata(spark.createDataFrame(
+        [(1, bytearray(b)), (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )).collect()
+    by = {r.media_id: r for r in rows}
+    assert by[1].decoded and by[1].duration_ms == 30
+    assert not by[2].decoded
