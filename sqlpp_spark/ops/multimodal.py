@@ -1320,3 +1320,91 @@ def ogg_metadata(df: DataFrame) -> DataFrame:
     return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
         extract, OGG_META_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata (ops/exif.py)
+# ---------------------------------------------------------------------------
+
+
+def synthesize_exif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """JPEG payloads (real baseline encode of the formula image)
+    carrying CLOSED-FORM EXIF APP1 segments: orientation rotates 1-8,
+    camera make cycles 5 values, capture date walks January 2026 —
+    so EXIF extraction (the prune/correct step before decode) is
+    SQL-verifiable."""
+    import numpy as np
+
+    from sqlpp_spark.ops import imagecodec as IC
+    from sqlpp_spark.ops.exif import build_exif_tiff, insert_exif_app1
+
+    schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 13 + 9, did % 11 + 9
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = ((xx + 3 * yy + did) % 256).astype(np.uint8)
+                jpg = IC.encode_jpeg(np.stack([img] * 3, axis=-1))
+                ex = build_exif_tiff(
+                    orientation=did % 8 + 1,
+                    make=f"Cam{did % 5}",
+                    datetime_str=f"2026:01:{did % 28 + 1:02d} 00:00:00",
+                    pixel_x=w, pixel_y=h,
+                )
+                out["media_id"].append(did)
+                out["payload"].append(insert_exif_app1(jpg, ex))
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
+EXIF_META_SCHEMA = (
+    "media_id long, orientation int, make string, taken_at string, "
+    "pixel_x long, pixel_y long, decoded boolean"
+)
+
+
+def image_exif(df: DataFrame) -> DataFrame:
+    """EXIF extraction over binary JPEG payloads via Arrow-batched
+    mapInPandas — orientation/camera/date/dimensions from the ~200-byte
+    APP1 segment, never the entropy-coded scan. Payloads without EXIF
+    yield decoded=false rows."""
+    from sqlpp_spark.ops.exif import (
+        TAG_DATETIME, TAG_MAKE, TAG_ORIENTATION, TAG_PIXEL_X, TAG_PIXEL_Y,
+        ExifError, exif_from_jpeg,
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "orientation", "make", "taken_at",
+                "pixel_x", "pixel_y", "decoded",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    t = exif_from_jpeg(b)
+                    out["orientation"].append(
+                        (t.get(TAG_ORIENTATION) or [0])[0])
+                    out["make"].append(t.get(TAG_MAKE, ""))
+                    out["taken_at"].append(t.get(TAG_DATETIME, ""))
+                    out["pixel_x"].append((t.get(TAG_PIXEL_X) or [0])[0])
+                    out["pixel_y"].append((t.get(TAG_PIXEL_Y) or [0])[0])
+                    out["decoded"].append(True)
+                except ExifError:
+                    out["orientation"].append(0)
+                    out["make"].append("")
+                    out["taken_at"].append("")
+                    out["pixel_x"].append(0)
+                    out["pixel_y"].append(0)
+                    out["decoded"].append(False)
+                out["media_id"].append(mid)
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
+        extract, EXIF_META_SCHEMA
+    )

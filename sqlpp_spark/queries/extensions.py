@@ -1047,3 +1047,34 @@ def multimodal_ogg_opus_metadata_oracle(spark: SparkSession, sf_dir: str) -> Dat
         "n_pages", "duration_ms",
         F.col("decoded").cast("bigint").alias("decoded"),
     )
+
+
+@register(
+    "multimodal_exif_metadata_oracle",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(doc_id % 8 + 1 AS INT) AS orientation,
+       'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+       '2026:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         || ' 00:00:00' AS taken_at,
+       CAST(doc_id % 13 + 9 AS BIGINT) AS pixel_x,
+       CAST(doc_id % 11 + 9 AS BIGINT) AS pixel_y,
+       CAST(1 AS BIGINT) AS decoded
+FROM documents
+""",
+)
+def multimodal_exif_metadata_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED EXIF extraction (EXIF 2.3 / TIFF 6.0 IFD grammar,
+    ops/exif.py): real baseline JPEGs carry closed-form APP1 segments
+    (orientation, make, capture date, Exif-sub-IFD pixel dims) and
+    DuckDB recomputes every field from the formulas. The prune/correct
+    metadata surface real image pipelines gate on BEFORE pixel
+    decode; apply_orientation covers the correction transforms (unit-
+    tested inverses)."""
+    from sqlpp_spark.ops.multimodal import image_exif, synthesize_exif_media
+
+    d = table(spark, sf_dir, "documents")
+    return image_exif(synthesize_exif_media(d)).select(
+        "media_id", "orientation", "make", "taken_at", "pixel_x", "pixel_y",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )

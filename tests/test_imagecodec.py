@@ -647,3 +647,42 @@ def test_png_rejects_malformed_palette_and_depth():
     bad[24] = 4  # IHDR bit depth byte: RGB at depth 4 is invalid
     with pytest.raises(ImageCodecError):
         decode_png(bytes(bad))
+
+
+def test_exif_roundtrip_orientations_and_malformed():
+    """EXIF 2.3 IFD grammar: write/parse round-trip (inline + offset
+    string values, sub-IFD pointer, both endians), all 8 orientation
+    transforms invert correctly, malformed contract."""
+    import numpy as np
+
+    from sqlpp_spark.ops.exif import (
+        TAG_DT_ORIGINAL, TAG_MAKE, TAG_ORIENTATION, TAG_PIXEL_X,
+        ExifError, apply_orientation, build_exif_tiff, exif_from_jpeg,
+        insert_exif_app1, parse_exif_tiff,
+    )
+
+    img = np.arange(80, dtype=np.uint8).reshape(8, 10)
+    jpg = encode_jpeg(np.stack([img] * 3, axis=-1))
+    for o in range(1, 9):
+        ex = build_exif_tiff(o, "A" * 20, "2026:02:03 04:05:06", 10, 8,
+                             dt_original="2026:02:02 01:01:01")
+        tags = exif_from_jpeg(insert_exif_app1(jpg, ex))
+        assert tags[TAG_ORIENTATION] == [o]
+        assert tags[TAG_MAKE] == "A" * 20  # offset-stored ASCII
+        assert tags[TAG_DT_ORIGINAL] == "2026:02:02 01:01:01"
+        assert tags[TAG_PIXEL_X] == [10]
+    # short make stays inline (<= 4 bytes incl. NUL)
+    ex = build_exif_tiff(1, "abc", "2026:01:01 00:00:00", 3, 3)
+    assert exif_from_jpeg(insert_exif_app1(jpg, ex))[TAG_MAKE] == "abc"
+    # orientation transforms invert (6 <-> 8, 2/3/4 self-ish)
+    a = np.arange(12).reshape(3, 4)
+    assert (apply_orientation(apply_orientation(a, 6), 8) == a).all()
+    for o in (2, 3, 4):
+        assert (apply_orientation(apply_orientation(a, o), o) == a).all()
+    with pytest.raises(ExifError):
+        apply_orientation(a, 9)
+    for bad in (b"", b"\xff\xd8no markers", jpg):  # jpg lacks APP1
+        with pytest.raises(ExifError):
+            exif_from_jpeg(bad)
+    with pytest.raises(ExifError):
+        parse_exif_tiff(b"II\x2b\x00\x08\x00\x00\x00")  # bad magic
