@@ -80,7 +80,12 @@ def parse_exif_tiff(data: bytes) -> dict:
     (ifd0,) = struct.unpack_from(e + "I", data, 4)
     tags = _read_ifd(data, e, ifd0)
     sub = tags.get(TAG_EXIF_IFD)
-    if sub:
+    if sub is not None:
+        # the pointer must be a LONG/SHORT value — a wrongly-typed tag
+        # (ASCII/RATIONAL) is malformed, not a TypeError crash
+        if not (isinstance(sub, list) and sub
+                and isinstance(sub[0], int)):
+            raise ExifError("ExifIFD pointer has a non-integer type")
         tags.update(_read_ifd(data, e, sub[0]))
     return tags
 
@@ -174,6 +179,8 @@ def insert_exif_app1(jpeg: bytes, exif_tiff: bytes) -> bytes:
     """Insert an APP1 Exif segment right after SOI."""
     if jpeg[:2] != b"\xff\xd8":
         raise ExifError("not a JPEG")
+    if len(exif_tiff) > 65525:  # 16-bit segment length minus overhead
+        raise ExifError("EXIF blob exceeds the APP1 segment limit")
     payload = b"Exif\x00\x00" + exif_tiff
     seg = b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
     return jpeg[:2] + seg + jpeg[2:]

@@ -1044,6 +1044,62 @@ def decode_audio(df: DataFrame, fallback: bool = True) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shared container-metadata extractor (round-9 third review)
+# ---------------------------------------------------------------------------
+
+
+def _req_int(v):
+    if isinstance(v, bool) or not isinstance(v, int):
+        raise TypeError(f"expected int, got {type(v).__name__}")
+    return v
+
+
+def _req_str(v):
+    if not isinstance(v, str):
+        raise TypeError(f"expected str, got {type(v).__name__}")
+    return v
+
+
+def _metadata_extractor(df: DataFrame, schema: str, fields, parse_row,
+                        error_cls) -> DataFrame:
+    """One mapInPandas extractor shared by every container-metadata
+    operator (MP4/FLAC/Ogg/EXIF): ``parse_row(bytes) -> dict`` does
+    the format work; ``fields`` is an ordered list of
+    ``(name, default, coerce)``. A parse failure (``error_cls``) OR a
+    wrongly-TYPED parsed value (coerce raises — e.g. an EXIF
+    orientation stored as ASCII) yields the contractual
+    decoded=false row for THAT payload instead of poisoning the typed
+    Arrow batch and failing the task."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": []}
+            out.update({name: [] for name, _, _ in fields})
+            out["decoded"] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    vals = parse_row(b)
+                    row = {
+                        name: coerce(vals[name])
+                        for name, _, coerce in fields
+                    }
+                    ok = True
+                except (error_cls, KeyError, TypeError, ValueError):
+                    row = {name: dflt for name, dflt, _ in fields}
+                    ok = False
+                out["media_id"].append(mid)
+                for name, _, _ in fields:
+                    out[name].append(row[name])
+                out["decoded"].append(ok)
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
+        extract, schema
+    )
+
+
+# ---------------------------------------------------------------------------
 # MP4 container metadata (ISO 14496-12 — ops/mp4box.py)
 # ---------------------------------------------------------------------------
 
@@ -1092,45 +1148,30 @@ def mp4_metadata(df: DataFrame) -> DataFrame:
     payloads yield decoded=false rows instead of failing the task."""
     from sqlpp_spark.ops.mp4box import Mp4BoxError, mp4_info
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in (
-                "media_id", "brand", "duration_ms", "n_tracks", "codec",
-                "width", "height", "n_samples", "n_keyframes",
-                "sample_bytes", "decoded",
-            )}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload) if payload is not None else b""
-                try:
-                    info = mp4_info(b)
-                    t = info["tracks"][0]
-                    out["brand"].append(info["brand"])
-                    out["duration_ms"].append(info["duration_ms"])
-                    out["n_tracks"].append(len(info["tracks"]))
-                    out["codec"].append(t.get("codec", ""))
-                    out["width"].append(t.get("width", 0))
-                    out["height"].append(t.get("height", 0))
-                    out["n_samples"].append(t.get("n_samples", 0))
-                    out["n_keyframes"].append(len(t.get("keyframes", [])))
-                    out["sample_bytes"].append(t.get("sample_bytes", 0))
-                    out["decoded"].append(True)
-                except Mp4BoxError:
-                    out["brand"].append("")
-                    out["duration_ms"].append(0)
-                    out["n_tracks"].append(0)
-                    out["codec"].append("")
-                    out["width"].append(0)
-                    out["height"].append(0)
-                    out["n_samples"].append(0)
-                    out["n_keyframes"].append(0)
-                    out["sample_bytes"].append(0)
-                    out["decoded"].append(False)
-                out["media_id"].append(mid)
-            yield pd.DataFrame(out)
+    def parse_row(b: bytes) -> dict:
+        info = mp4_info(b)
+        t = info["tracks"][0]
+        return {
+            "brand": info["brand"],
+            "duration_ms": info["duration_ms"],
+            "n_tracks": len(info["tracks"]),
+            "codec": t.get("codec", ""),
+            "width": t.get("width", 0),
+            "height": t.get("height", 0),
+            "n_samples": t.get("n_samples", 0),
+            "n_keyframes": len(t.get("keyframes", [])),
+            "sample_bytes": t.get("sample_bytes", 0),
+        }
 
-    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
-        extract, MP4_META_SCHEMA
-    )
+    fields = [
+        ("brand", "", _req_str), ("duration_ms", 0, _req_int),
+        ("n_tracks", 0, _req_int), ("codec", "", _req_str),
+        ("width", 0, _req_int), ("height", 0, _req_int),
+        ("n_samples", 0, _req_int), ("n_keyframes", 0, _req_int),
+        ("sample_bytes", 0, _req_int),
+    ]
+    return _metadata_extractor(df, MP4_META_SCHEMA, fields, parse_row,
+                               Mp4BoxError)
 
 
 MP4_KEYFRAME_SCHEMA = "media_id long, sample_no long, sample_ms long"
@@ -1217,36 +1258,26 @@ def flac_metadata(df: DataFrame) -> DataFrame:
     rows instead of failing the task."""
     from sqlpp_spark.ops.audiocodec import AudioCodecError, flac_streaminfo
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in (
-                "media_id", "sample_rate", "channels", "bits_per_sample",
-                "total_samples", "duration_ms", "decoded",
-            )}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload) if payload is not None else b""
-                try:
-                    i = flac_streaminfo(b)
-                    out["sample_rate"].append(i["sample_rate"])
-                    out["channels"].append(i["channels"])
-                    out["bits_per_sample"].append(i["bits_per_sample"])
-                    out["total_samples"].append(i["total_samples"])
-                    out["duration_ms"].append(
-                        i["total_samples"] * 1000 // i["sample_rate"]
-                        if i["sample_rate"] else 0
-                    )
-                    out["decoded"].append(True)
-                except AudioCodecError:
-                    for k in ("sample_rate", "channels", "bits_per_sample",
-                              "total_samples", "duration_ms"):
-                        out[k].append(0)
-                    out["decoded"].append(False)
-                out["media_id"].append(mid)
-            yield pd.DataFrame(out)
+    def parse_row(b: bytes) -> dict:
+        i = flac_streaminfo(b)
+        return {
+            "sample_rate": i["sample_rate"],
+            "channels": i["channels"],
+            "bits_per_sample": i["bits_per_sample"],
+            "total_samples": i["total_samples"],
+            "duration_ms": (
+                i["total_samples"] * 1000 // i["sample_rate"]
+                if i["sample_rate"] else 0
+            ),
+        }
 
-    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
-        extract, FLAC_META_SCHEMA
-    )
+    fields = [
+        ("sample_rate", 0, _req_int), ("channels", 0, _req_int),
+        ("bits_per_sample", 0, _req_int), ("total_samples", 0, _req_int),
+        ("duration_ms", 0, _req_int),
+    ]
+    return _metadata_extractor(df, FLAC_META_SCHEMA, fields, parse_row,
+                               AudioCodecError)
 
 
 # ---------------------------------------------------------------------------
@@ -1293,33 +1324,23 @@ def ogg_metadata(df: DataFrame) -> DataFrame:
     verified per page); non-Ogg payloads yield decoded=false rows."""
     from sqlpp_spark.ops.oggcodec import OggCodecError, ogg_opus_info
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in (
-                "media_id", "channels", "pre_skip", "input_sample_rate",
-                "n_pages", "duration_ms", "decoded",
-            )}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload) if payload is not None else b""
-                try:
-                    i = ogg_opus_info(b)
-                    out["channels"].append(i["channels"])
-                    out["pre_skip"].append(i["pre_skip"])
-                    out["input_sample_rate"].append(i["input_sample_rate"])
-                    out["n_pages"].append(i["n_pages"])
-                    out["duration_ms"].append(i["duration_ms"] or 0)
-                    out["decoded"].append(True)
-                except OggCodecError:
-                    for k in ("channels", "pre_skip", "input_sample_rate",
-                              "n_pages", "duration_ms"):
-                        out[k].append(0)
-                    out["decoded"].append(False)
-                out["media_id"].append(mid)
-            yield pd.DataFrame(out)
+    def parse_row(b: bytes) -> dict:
+        i = ogg_opus_info(b)
+        return {
+            "channels": i["channels"],
+            "pre_skip": i["pre_skip"],
+            "input_sample_rate": i["input_sample_rate"],
+            "n_pages": i["n_pages"],
+            "duration_ms": i["duration_ms"] or 0,
+        }
 
-    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
-        extract, OGG_META_SCHEMA
-    )
+    fields = [
+        ("channels", 0, _req_int), ("pre_skip", 0, _req_int),
+        ("input_sample_rate", 0, _req_int), ("n_pages", 0, _req_int),
+        ("duration_ms", 0, _req_int),
+    ]
+    return _metadata_extractor(df, OGG_META_SCHEMA, fields, parse_row,
+                               OggCodecError)
 
 
 # ---------------------------------------------------------------------------
@@ -1372,39 +1393,27 @@ def image_exif(df: DataFrame) -> DataFrame:
     """EXIF extraction over binary JPEG payloads via Arrow-batched
     mapInPandas — orientation/camera/date/dimensions from the ~200-byte
     APP1 segment, never the entropy-coded scan. Payloads without EXIF
-    yield decoded=false rows."""
+    — or with wrongly-TYPED tag values (an orientation stored as
+    ASCII) — yield decoded=false rows."""
     from sqlpp_spark.ops.exif import (
         TAG_DATETIME, TAG_MAKE, TAG_ORIENTATION, TAG_PIXEL_X, TAG_PIXEL_Y,
         ExifError, exif_from_jpeg,
     )
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in (
-                "media_id", "orientation", "make", "taken_at",
-                "pixel_x", "pixel_y", "decoded",
-            )}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload) if payload is not None else b""
-                try:
-                    t = exif_from_jpeg(b)
-                    out["orientation"].append(
-                        (t.get(TAG_ORIENTATION) or [0])[0])
-                    out["make"].append(t.get(TAG_MAKE, ""))
-                    out["taken_at"].append(t.get(TAG_DATETIME, ""))
-                    out["pixel_x"].append((t.get(TAG_PIXEL_X) or [0])[0])
-                    out["pixel_y"].append((t.get(TAG_PIXEL_Y) or [0])[0])
-                    out["decoded"].append(True)
-                except ExifError:
-                    out["orientation"].append(0)
-                    out["make"].append("")
-                    out["taken_at"].append("")
-                    out["pixel_x"].append(0)
-                    out["pixel_y"].append(0)
-                    out["decoded"].append(False)
-                out["media_id"].append(mid)
-            yield pd.DataFrame(out)
+    def parse_row(b: bytes) -> dict:
+        t = exif_from_jpeg(b)
+        return {
+            "orientation": (t.get(TAG_ORIENTATION) or [0])[0],
+            "make": t.get(TAG_MAKE, ""),
+            "taken_at": t.get(TAG_DATETIME, ""),
+            "pixel_x": (t.get(TAG_PIXEL_X) or [0])[0],
+            "pixel_y": (t.get(TAG_PIXEL_Y) or [0])[0],
+        }
 
-    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
-        extract, EXIF_META_SCHEMA
-    )
+    fields = [
+        ("orientation", 0, _req_int), ("make", "", _req_str),
+        ("taken_at", "", _req_str), ("pixel_x", 0, _req_int),
+        ("pixel_y", 0, _req_int),
+    ]
+    return _metadata_extractor(df, EXIF_META_SCHEMA, fields, parse_row,
+                               ExifError)

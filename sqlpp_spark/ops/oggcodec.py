@@ -155,6 +155,10 @@ def encode_ogg_opus(
     the codec boundary)."""
     if not (1 <= channels <= 8):
         raise OggCodecError("channels must be 1..8")
+    if not (0 <= pre_skip < 1 << 16):
+        raise OggCodecError("pre_skip out of the 16-bit field range")
+    if not (0 <= input_rate < 1 << 32):
+        raise OggCodecError("input_rate out of the 32-bit field range")
     head = (
         b"OpusHead" + bytes([1, channels])
         + struct.pack("<HIhB", pre_skip, input_rate, 0, 0)

@@ -673,3 +673,45 @@ def test_ogg_opus_roundtrip_crc_and_malformed(spark):
     by = {r.media_id: r for r in rows}
     assert by[1].decoded and by[1].duration_ms == 30
     assert not by[2].decoded
+
+
+def test_metadata_extractors_reject_wrongly_typed_values(spark):
+    """Round-9 third review: a PARSEABLE payload whose tag values have
+    the wrong TIFF type (orientation stored as ASCII, ExifIFD pointer
+    as ASCII) must yield a decoded=false row — not poison the typed
+    Arrow batch or raise TypeError through mapInPandas."""
+    import struct
+
+    import pytest as _pytest
+
+    from sqlpp_spark.ops.exif import ExifError, insert_exif_app1, parse_exif_tiff
+    from sqlpp_spark.ops.imagecodec import encode_jpeg
+    from sqlpp_spark.ops.multimodal import image_exif
+    import numpy as np
+
+    def entry(tag, typ, n, val4):
+        return struct.pack("<HHI", tag, typ, n) + val4
+
+    # orientation as ASCII "6\0" (type 2) — parses, wrong type
+    bad_orient = (b"II" + struct.pack("<HI", 42, 8)
+                  + struct.pack("<H", 1)
+                  + entry(274, 2, 2, b"6\x00\x00\x00")
+                  + struct.pack("<I", 0))
+    # ExifIFD pointer as ASCII — must raise ExifError, not TypeError
+    bad_ptr = (b"II" + struct.pack("<HI", 42, 8)
+               + struct.pack("<H", 1)
+               + entry(34665, 2, 4, b"abc\x00")
+               + struct.pack("<I", 0))
+    with _pytest.raises(ExifError):
+        parse_exif_tiff(bad_ptr)
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    jpg = encode_jpeg(img)
+    rows = image_exif(spark.createDataFrame(
+        [(1, bytearray(insert_exif_app1(jpg, bad_orient))),
+         (2, bytearray(insert_exif_app1(jpg, bad_ptr)))],
+        "media_id long, payload binary",
+    )).collect()
+    by = {r.media_id: r for r in rows}
+    assert not by[1].decoded and by[1].orientation == 0
+    assert not by[2].decoded
