@@ -1417,3 +1417,69 @@ def image_exif(df: DataFrame) -> DataFrame:
     ]
     return _metadata_extractor(df, EXIF_META_SCHEMA, fields, parse_row,
                                ExifError)
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header metadata (ops/mp3box.py)
+# ---------------------------------------------------------------------------
+
+
+def synthesize_mp3_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MPEG1 Layer III streams with CLOSED-FORM header content per
+    doc_id: bitrate rotates 64/128/192/320, samplerate 44100/48000/
+    32000, frame count 1-40, mono on odd ids, an ID3v2 tag on 4 of 5
+    ids — so the frame walk (sync, tables, lengths, ID3 skip) is
+    SQL-verifiable. Frame payloads are zeroed (decode boundary)."""
+    from sqlpp_spark.ops.mp3box import encode_mp3
+
+    schema = "media_id long, payload binary"
+    rates = (44100, 48000, 32000)
+    brs = (64, 128, 192, 320)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                out["media_id"].append(did)
+                out["payload"].append(encode_mp3(
+                    n_frames=did % 40 + 1,
+                    bitrate_kbps=brs[did % 4],
+                    samplerate=rates[did % 3],
+                    mono=did % 2 == 1,
+                    id3_size=(did % 5) * 16,
+                ))
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
+MP3_META_SCHEMA = (
+    "media_id long, bitrate_kbps int, samplerate long, channels int, "
+    "n_frames long, duration_ms long, id3v2_bytes long, decoded boolean"
+)
+
+
+def mp3_metadata(df: DataFrame) -> DataFrame:
+    """Frame-walk metadata over binary MP3 payloads; non-MPEG payloads
+    yield decoded=false rows."""
+    from sqlpp_spark.ops.mp3box import Mp3BoxError, mp3_info
+
+    def parse_row(b: bytes) -> dict:
+        i = mp3_info(b)
+        return {
+            "bitrate_kbps": i["bitrate_kbps"],
+            "samplerate": i["samplerate"],
+            "channels": i["channels"],
+            "n_frames": i["n_frames"],
+            "duration_ms": i["duration_ms"],
+            "id3v2_bytes": i["id3v2_bytes"],
+        }
+
+    fields = [
+        ("bitrate_kbps", 0, _req_int), ("samplerate", 0, _req_int),
+        ("channels", 0, _req_int), ("n_frames", 0, _req_int),
+        ("duration_ms", 0, _req_int), ("id3v2_bytes", 0, _req_int),
+    ]
+    return _metadata_extractor(df, MP3_META_SCHEMA, fields, parse_row,
+                               Mp3BoxError)

@@ -1078,3 +1078,47 @@ def multimodal_exif_metadata_oracle(spark: SparkSession, sf_dir: str) -> DataFra
         "media_id", "orientation", "make", "taken_at", "pixel_x", "pixel_y",
         F.col("decoded").cast("bigint").alias("decoded"),
     )
+
+
+@register(
+    "multimodal_mp3_metadata_oracle",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 40 + 1 AS n,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 192 ELSE 320
+         END AS kbps,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000
+         END AS rate
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(kbps AS INT) AS bitrate_kbps,
+       CAST(rate AS BIGINT) AS samplerate,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS INT) AS channels,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(n * 1152 * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+            ELSE 10 + (doc_id % 5) * 16 END AS BIGINT) AS id3v2_bytes,
+       CAST(1 AS BIGINT) AS decoded
+FROM p
+""",
+)
+def multimodal_mp3_metadata_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED MP3 frame-header metadata (ISO 11172-3 sync walk,
+    bitrate/samplerate tables, frame-length arithmetic, syncsafe ID3v2
+    skip — ops/mp3box.py): closed-form MPEG1 Layer III streams parse
+    back through the shared metadata extractor and DuckDB recomputes
+    every field, incl. the integer-exact duration
+    (frames × 1152 × 1000 // rate). Frame decode stays the boundary;
+    the container quartet (MP4, FLAC, Ogg Opus, MP3) is complete."""
+    from sqlpp_spark.ops.multimodal import mp3_metadata, synthesize_mp3_media
+
+    d = table(spark, sf_dir, "documents")
+    return mp3_metadata(synthesize_mp3_media(d)).select(
+        "media_id", "bitrate_kbps", "samplerate", "channels", "n_frames",
+        "duration_ms", "id3v2_bytes",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )

@@ -39,6 +39,7 @@ def _targets():
         ExifError, build_exif_tiff, exif_from_jpeg, insert_exif_app1,
     )
     from sqlpp_spark.ops.gifcodec import GifCodecError, decode_gif_frames, encode_gif
+    from sqlpp_spark.ops.mp3box import Mp3BoxError, encode_mp3, mp3_info
     from sqlpp_spark.ops.mp4box import Mp4BoxError, encode_mp4, mp4_info
     from sqlpp_spark.ops.oggcodec import (
         OggCodecError, encode_ogg_opus, ogg_opus_info,
@@ -80,11 +81,15 @@ def _targets():
             encode_gif(np.stack([img] * 3, axis=-1)),
             decode_gif_frames, GifCodecError,
         ),
+        "mp3": (
+            encode_mp3(7, 128, 44100, id3_size=32, pad_every=3),
+            mp3_info, Mp3BoxError,
+        ),
     }
     return targets
 
 
-NAMES = ["mp4", "flac", "ogg", "exif", "warc", "gif"]
+NAMES = ["mp4", "flac", "ogg", "exif", "warc", "gif", "mp3"]
 
 
 if HAS_HYP:

@@ -715,3 +715,44 @@ def test_metadata_extractors_reject_wrongly_typed_values(spark):
     by = {r.media_id: r for r in rows}
     assert not by[1].decoded and by[1].orientation == 0
     assert not by[2].decoded
+
+
+def test_mp3_frame_walk_and_malformed(spark):
+    """ISO 11172-3 header grammar: CBR/VBR walks, padding frames,
+    ID3v2 skip (syncsafe), Xing frame count, malformed contract,
+    Spark decoded=false leg."""
+    import struct
+
+    import pytest as _pytest
+
+    from sqlpp_spark.ops.mp3box import Mp3BoxError, encode_mp3, mp3_info
+    from sqlpp_spark.ops.multimodal import mp3_metadata
+
+    i = mp3_info(encode_mp3(12, 192, 48000, pad_every=2))
+    assert (i["bitrate_kbps"], i["samplerate"], i["n_frames"]) == (
+        192, 48000, 12)
+    assert i["duration_ms"] == 12 * 1152 * 1000 // 48000
+    v = mp3_info(encode_mp3(9, samplerate=44100, bitrate_pattern=[64, 320]))
+    assert v["vbr"] and v["bitrate_kbps"] == 64
+    # hand-build a Xing header in the first frame (stereo MPEG1:
+    # 4-byte header + 32-byte side info, then the tag)
+    b = bytearray(encode_mp3(3, 128, 44100))
+    off = 4 + 32
+    b[off : off + 12] = b"Xing" + struct.pack(">II", 1, 777)
+    x = mp3_info(bytes(b))
+    assert x["xing_frames"] == 777 and x["n_frames"] == 3
+    for bad in (
+        b"", b"\xff\xfb\x00",
+        b"ID3\x04\x00\x00\x00\x00\x80\x00",  # non-syncsafe size byte
+        encode_mp3(2)[:-3],  # truncated final frame
+        b"\xff\xe6" + b"\x00" * 40,  # layer II reserved-ish header
+    ):
+        with _pytest.raises(Mp3BoxError):
+            mp3_info(bad)
+    rows = mp3_metadata(spark.createDataFrame(
+        [(1, bytearray(encode_mp3(5))), (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )).collect()
+    by = {r.media_id: r for r in rows}
+    assert by[1].decoded and by[1].n_frames == 5
+    assert not by[2].decoded
