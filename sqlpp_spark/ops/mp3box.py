@@ -50,6 +50,7 @@ def _parse_frame_header(data: bytes, pos: int):
     layer = (h >> 17) & 3
     if version == 1 or layer != 1:  # only Layer III
         raise Mp3BoxError("not an MPEG Layer III frame")
+    protected = ((h >> 16) & 1) == 0  # bit 16 low => 16-bit CRC present
     bidx = (h >> 12) & 0xF
     sidx = (h >> 10) & 3
     padding = (h >> 9) & 1
@@ -65,16 +66,20 @@ def _parse_frame_header(data: bytes, pos: int):
     frame_bytes = coef * kbps * 1000 // rate + padding
     spf = 1152 if version == 3 else 576
     channels = 1 if mode == 3 else 2
-    return version, kbps, rate, padding, channels, frame_bytes, spf
+    return (version, kbps, rate, padding, channels, frame_bytes, spf,
+            protected)
 
 
-def _xing_frame_count(data: bytes, pos: int, version: int, channels: int):
-    """Frame count from a Xing/Info tag in the first frame, if any."""
+def _xing_frame_count(data: bytes, pos: int, version: int, channels: int,
+                      protected: bool):
+    """Frame count from a Xing/Info tag in the first frame, if any.
+    A protected frame carries a 16-bit CRC between the header and the
+    side info, shifting the tag by 2."""
     if version == 3:
         side = 17 if channels == 1 else 32
     else:
         side = 9 if channels == 1 else 17
-    off = pos + 4 + side
+    off = pos + 4 + (2 if protected else 0) + side
     tag = data[off : off + 4]
     if tag not in (b"Xing", b"Info"):
         return None
@@ -100,14 +105,20 @@ def mp3_info(data: bytes) -> dict:
         n_frames = 0
         total_samples = 0
         bitrates = set()
+        id3v1 = False
         while pos + 4 <= n:
-            (version, kbps, rate, _pad, channels, frame_bytes, spf
-             ) = _parse_frame_header(data, pos)
+            if n_frames and data[pos : pos + 3] == b"TAG" and n - pos == 128:
+                id3v1 = True  # trailing ID3v1 tag — extremely common
+                pos = n
+                break
+            (version, kbps, rate, _pad, channels, frame_bytes, spf,
+             protected) = _parse_frame_header(data, pos)
             if pos + frame_bytes > n:
                 raise Mp3BoxError("frame overruns the stream")
             if first is None:
                 first = (version, kbps, rate, channels)
-                xing = _xing_frame_count(data, pos, version, channels)
+                xing = _xing_frame_count(data, pos, version, channels,
+                                         protected)
             elif rate != first[2]:
                 # frames virtually never change samplerate mid-stream;
                 # a stream that does is malformed for our purposes
@@ -118,6 +129,11 @@ def mp3_info(data: bytes) -> dict:
             pos += frame_bytes
         if first is None or n_frames == 0:
             raise Mp3BoxError("no MPEG frames")
+        if pos != n:
+            # symmetric strictness: ANY trailing remainder that is not
+            # an ID3v1 tag is malformed (previously 1-3 bytes slipped
+            # through while >= 4 raised)
+            raise Mp3BoxError("trailing bytes after the last frame")
         _v, kbps0, rate0, ch0 = first
         return {
             "bitrate_kbps": kbps0,
@@ -131,6 +147,7 @@ def mp3_info(data: bytes) -> dict:
             "vbr": len(bitrates) > 1,
             "xing_frames": xing,
             "id3v2_bytes": id3,
+            "id3v1": id3v1,
         }
     except Mp3BoxError:
         raise

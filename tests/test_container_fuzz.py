@@ -28,6 +28,10 @@ except ImportError:  # pragma: no cover
 pytestmark = pytest.mark.skipif(not HAS_HYP, reason="hypothesis required")
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _targets():
     import numpy as np
 

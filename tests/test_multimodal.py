@@ -756,3 +756,28 @@ def test_mp3_frame_walk_and_malformed(spark):
     by = {r.media_id: r for r in rows}
     assert by[1].decoded and by[1].n_frames == 5
     assert not by[2].decoded
+
+
+def test_mp3_real_world_trailers_and_crc_xing():
+    """Round-9 fourth review: trailing ID3v1 tags (ubiquitous in real
+    MP3s) parse cleanly; ANY other trailing remainder is rejected
+    symmetrically (1-3 stray bytes used to slip through); a
+    CRC-protected first frame shifts the Xing tag by 2."""
+    import struct
+
+    import pytest as _pytest
+
+    from sqlpp_spark.ops.mp3box import Mp3BoxError, encode_mp3, mp3_info
+
+    b = encode_mp3(5, 128, 44100)
+    i = mp3_info(b + b"TAG" + b"\x00" * 125)
+    assert i["id3v1"] and i["n_frames"] == 5
+    for tail in (b"\x00", b"\x00" * 3, b"\x00" * 4, b"TAG"):  # short TAG too
+        with _pytest.raises(Mp3BoxError):
+            mp3_info(b + tail)
+    bb = bytearray(encode_mp3(3, 128, 44100))
+    h = struct.unpack_from(">I", bb, 0)[0]
+    struct.pack_into(">I", bb, 0, h & ~(1 << 16))  # CRC present
+    off = 4 + 2 + 32
+    bb[off : off + 12] = b"Xing" + struct.pack(">II", 1, 55)
+    assert mp3_info(bytes(bb))["xing_frames"] == 55
