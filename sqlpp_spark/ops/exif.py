@@ -100,6 +100,14 @@ def exif_from_jpeg(data: bytes) -> dict:
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise ExifError("bad JPEG marker alignment")
+        # T.81 §B.1.1.2: any marker may be preceded by 0xFF fill
+        # bytes — skip the run so the marker byte is the first
+        # non-0xFF (previously fill degraded spec-valid files to
+        # decoded=false via a bogus segment-length read)
+        while pos + 4 <= n and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = data[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2

@@ -71,15 +71,21 @@ def _parse_frame_header(data: bytes, pos: int):
 
 
 def _xing_frame_count(data: bytes, pos: int, version: int, channels: int,
-                      protected: bool):
+                      protected: bool, frame_bytes: int):
     """Frame count from a Xing/Info tag in the first frame, if any.
     A protected frame carries a 16-bit CRC between the header and the
-    side info, shifting the tag by 2."""
+    side info, shifting the tag by 2. The probe is bounded to the
+    first frame's own bytes: a minimum-size frame (e.g. MPEG2 8 kbps)
+    has no room for the 12-byte tag, and without the bound the read
+    would extend into the NEXT frame where coincidental/crafted
+    'Xing' bytes yield a bogus count."""
     if version == 3:
         side = 17 if channels == 1 else 32
     else:
         side = 9 if channels == 1 else 17
     off = pos + 4 + (2 if protected else 0) + side
+    if off + 12 > pos + frame_bytes:
+        return None  # tag cannot fit inside this frame
     tag = data[off : off + 4]
     if tag not in (b"Xing", b"Info"):
         return None
@@ -118,7 +124,7 @@ def mp3_info(data: bytes) -> dict:
             if first is None:
                 first = (version, kbps, rate, channels)
                 xing = _xing_frame_count(data, pos, version, channels,
-                                         protected)
+                                         protected, frame_bytes)
             elif rate != first[2]:
                 # frames virtually never change samplerate mid-stream;
                 # a stream that does is malformed for our purposes

@@ -133,12 +133,30 @@ def _parse_stts(data: bytes, s: int, e: int):
     n = _u32(data, p)
     _check_entries(n, 8, p + 4, e, "stts")
     total_samples = total_delta = 0
+    entries = []
     for i in range(n):
         cnt = _u32(data, p + 4 + 8 * i)
         delta = _u32(data, p + 8 + 8 * i)
         total_samples += cnt
         total_delta += cnt * delta
-    return total_samples, total_delta
+        entries.append((cnt, delta))
+    return total_samples, total_delta, entries
+
+
+def sample_decode_time(entries, sample_no: int) -> int:
+    """Decode time (in media-timescale units) of 1-based ``sample_no``
+    from an stts run-length table — the cumulative sum of the deltas of
+    all preceding samples (ISO/IEC 14496-12 §8.6.1.2: DT(n+1) =
+    DT(n) + delta(n)). Exact for mixed-delta tables, unlike an average-
+    delta approximation. Samples beyond the table clamp to its end."""
+    t = 0
+    remaining = sample_no - 1
+    for cnt, delta in entries:
+        if remaining <= cnt:
+            return t + remaining * delta
+        t += cnt * delta
+        remaining -= cnt
+    return t
 
 
 def _parse_stss(data: bytes, s: int, e: int):
@@ -224,10 +242,14 @@ def mp4_info(data: bytes) -> dict:
                     )[0]
             stts = _find(data, bs, be, b"stts")
             n_samples = total_delta = 0
+            stts_entries: list = []
             if stts:
-                n_samples, total_delta = _parse_stts(data, *stts)
+                n_samples, total_delta, stts_entries = _parse_stts(
+                    data, *stts
+                )
             tr["n_samples"] = n_samples
             tr["total_delta"] = total_delta
+            tr["stts_entries"] = stts_entries
             stsz = _find(data, bs, be, b"stsz")
             if stsz:
                 _n, total_bytes = _parse_stsz(data, *stsz)
@@ -265,15 +287,24 @@ def encode_mp4(
     width: int, height: int, n_samples: int, sample_delta: int,
     keyframe_every: int, timescale: int = 1000, track_id: int = 1,
     codec: bytes = b"avc1", brand: bytes = b"isom", version: int = 0,
+    stts_runs=None,
 ) -> bytes:
     """Minimal valid ISO-BMFF stream: ftyp + moov(mvhd, one video trak
     with tkhd/mdhd/hdlr/stbl) + a stub mdat. Sample table: uniform
     deltas, 100+i-byte samples, a keyframe every ``keyframe_every``
     samples (always including sample 1). ``version=1`` exercises the
-    64-bit mvhd/tkhd/mdhd forms."""
+    64-bit mvhd/tkhd/mdhd forms. ``stts_runs`` replaces the uniform
+    table with an explicit [(count, delta), ...] run-length list
+    (counts must sum to n_samples) — mixed-delta streams for the
+    cumulative decode-time walk."""
     if n_samples < 1 or keyframe_every < 1:
         raise Mp4BoxError("need n_samples >= 1 and keyframe_every >= 1")
-    duration = n_samples * sample_delta
+    if stts_runs is not None:
+        if sum(c for c, _d in stts_runs) != n_samples:
+            raise Mp4BoxError("stts_runs counts must sum to n_samples")
+        duration = sum(c * d for c, d in stts_runs)
+    else:
+        duration = n_samples * sample_delta
 
     ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand)
 
@@ -325,8 +356,11 @@ def encode_mp4(
         + b"\x00" * 32 + struct.pack(">H", 0x18) + struct.pack(">h", -1),
     )
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    runs = stts_runs if stts_runs is not None else [(n_samples,
+                                                     sample_delta)]
     stts = _full(b"stts", 0, 0,
-                 struct.pack(">III", 1, n_samples, sample_delta))
+                 struct.pack(">I", len(runs))
+                 + b"".join(struct.pack(">II", c, d) for c, d in runs))
     keyframes = list(range(1, n_samples + 1, keyframe_every))
     stss = _full(
         b"stss", 0, 0,

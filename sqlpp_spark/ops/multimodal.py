@@ -1181,10 +1181,13 @@ def mp4_keyframe_plan(df: DataFrame) -> DataFrame:
     """Frame-sample PLANNING from container metadata alone: one row
     per sync sample (keyframe) with its 1-based sample number and
     presentation time — the exact seek list a downstream ffmpeg/
-    hardware decoder would be handed. Uniform-delta streams (this
-    synthesizer's shape) give sample_ms = (sample_no-1) * delta; for
-    general stts tables the walk is the same cumulative sum."""
-    from sqlpp_spark.ops.mp4box import Mp4BoxError, mp4_info
+    hardware decoder would be handed. Times come from a cumulative
+    walk of the stts run-length table (ISO/IEC 14496-12 §8.6.1.2), so
+    mixed-delta streams get exact timestamps, not an average-delta
+    approximation."""
+    from sqlpp_spark.ops.mp4box import (
+        Mp4BoxError, mp4_info, sample_decode_time,
+    )
 
     def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1194,14 +1197,13 @@ def mp4_keyframe_plan(df: DataFrame) -> DataFrame:
                 try:
                     info = mp4_info(b)
                     t = info["tracks"][0]
-                    n = t.get("n_samples", 0)
                     mts = t.get("media_timescale", 1000) or 1000
-                    delta = (t.get("total_delta", 0) // n) if n else 0
+                    entries = t.get("stts_entries", [])
                     for k in t.get("keyframes", []):
                         out["media_id"].append(mid)
                         out["sample_no"].append(k)
                         out["sample_ms"].append(
-                            (k - 1) * delta * 1000 // mts
+                            sample_decode_time(entries, k) * 1000 // mts
                         )
                 except Mp4BoxError:
                     pass

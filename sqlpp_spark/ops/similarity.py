@@ -692,7 +692,7 @@ def knn_graph(
     ~√n so each cell stays executor-sized; recall is tunable via
     ``n_probe`` (= n_cells ⇒ exact graph).
 
-    ``n_cells="auto"`` sets ``max(16, round(√n))`` from one cheap
+    ``n_cells="auto"`` sets ``max(16, ⌊√n + 0.5⌋)`` from one cheap
     ``count()`` (metadata-scale driver action) — the √n rule that
     keeps total pairwise work at O(n^1.5·n_probe) as the corpus
     grows. The 10× rehearsal (SCALING.md) measured the failure mode
@@ -702,7 +702,12 @@ def knn_graph(
     Returns (query_id, cand_id, cos, rank), rank 1..k per query.
     """
     if n_cells == "auto":
-        n_cells = max(16, round(corpus.count() ** 0.5))
+        # floor(√n + 0.5), not round(): tie-free, so the DuckDB oracle's
+        # FLOOR(SQRT(n) + 0.5) agrees unconditionally — round() is
+        # half-even while SQL ROUND is half-away, and although √n of an
+        # integer is never exactly .5, the correctly-rounded DOUBLE
+        # result can land on x.5 and make the engines differ by 1 cell
+        n_cells = max(16, int(corpus.count() ** 0.5 + 0.5))
     if quantizer == "pivot":
         centroids, cell_ids = pivot_centroids(corpus, n_cells, vec_col, id_col)
     else:

@@ -1020,13 +1020,14 @@ def _knn_graph_oracle(n_cells: "int | str" = 16, n_probe: int = 2,
     """Self-KNN twin of _ivf_topk_oracle: the query side is the whole
     corpus (no vec_id cutoff) — every vector probes its n_probe
     nearest pivot cells. ``n_cells="auto"`` replays the operator's
-    auto-√n rule (max(16, round(√count))) in SQL: √n is never exactly
-    .5 for integer n, so SQL ROUND (half-away) and Python round
-    (half-even) always agree."""
+    auto-√n rule (max(16, ⌊√count + 0.5⌋)) in SQL. FLOOR(x + 0.5)
+    rather than ROUND: tie-free, so SQL half-away and Python
+    half-even rounding can never disagree even when the correctly-
+    rounded DOUBLE √n lands exactly on x.5."""
     d = _sqdist_sql("e.v", "piv.pv", dim)
     if n_cells == "auto":
-        nc = ("SELECT GREATEST(16, CAST(ROUND(SQRT(COUNT(*)), 0) AS BIGINT))"
-              " AS n FROM e")
+        nc = ("SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*)) + 0.5)"
+              " AS BIGINT)) AS n FROM e")
     else:
         nc = f"SELECT {int(n_cells)} AS n"
     return f"""
@@ -1088,11 +1089,11 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
           headline=True)
 def ann_knn_graph_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-KNN graph with the SCALE-RECOMMENDED cell count:
-    n_cells="auto" = max(16, round(√n)) from one metadata-scale
+    n_cells="auto" = max(16, ⌊√n + 0.5⌋) from one metadata-scale
     count() — the √n rule the 10× rehearsal proved necessary (fixed
     cells kept shuffle linear but wall went 20.5× at 10× data;
     SCALING.md). The oracle recomputes the same cell count in SQL
-    (GREATEST(16, ROUND(SQRT(COUNT(*))))) over the same
+    (GREATEST(16, FLOOR(SQRT(COUNT(*)) + 0.5))) over the same
     smallest-vec_id pivots, so the auto configuration — the one a
     100 TB deployment would run — is itself hash-verified, closing
     the bench-vs-scale configuration gap (round-8 ask #3)."""

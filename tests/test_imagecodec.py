@@ -686,3 +686,32 @@ def test_exif_roundtrip_orientations_and_malformed():
             exif_from_jpeg(bad)
     with pytest.raises(ExifError):
         parse_exif_tiff(b"II\x2b\x00\x08\x00\x00\x00")  # bad magic
+
+
+def test_exif_jpeg_fill_bytes_before_markers():
+    """T.81 §B.1.1.2: markers may be preceded by any number of 0xFF
+    fill bytes. ADVICE r9: the walk used to treat the fill as the
+    marker byte and read a bogus segment length, so spec-valid files
+    degraded to decoded=false; now fill runs are skipped."""
+    import numpy as np
+
+    from sqlpp_spark.ops.exif import (
+        TAG_MAKE, TAG_ORIENTATION, build_exif_tiff, exif_from_jpeg,
+        insert_exif_app1,
+    )
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    jpg = insert_exif_app1(
+        encode_jpeg(img),
+        build_exif_tiff(6, "fillco", "2026:01:01 00:00:00", 8, 8),
+    )
+    # inject 0xFF fill runs after SOI (before APP1) and again before
+    # the next marker after the APP1 segment
+    assert jpg[:2] == b"\xff\xd8" and jpg[2:4] == b"\xff\xe1"
+    seglen = int.from_bytes(jpg[4:6], "big")
+    app1_end = 2 + 2 + seglen
+    filled = (jpg[:2] + b"\xff" * 3 + jpg[2:app1_end]
+              + b"\xff" * 5 + jpg[app1_end:])
+    tags = exif_from_jpeg(filled)
+    assert tags[TAG_ORIENTATION] == [6]
+    assert tags[TAG_MAKE] == "fillco"

@@ -12,7 +12,30 @@ from sqlpp_spark.ops.mp4box import (
     encode_mp4,
     iter_boxes,
     mp4_info,
+    sample_decode_time,
 )
+
+
+def test_sample_decode_time_mixed_deltas():
+    """Cumulative stts walk (14496-12 §8.6.1.2): mixed-delta tables
+    give exact per-sample times, where the old average-delta
+    approximation was wrong for every sample after the first run."""
+    runs = [(3, 10), (2, 50), (4, 5)]
+    # decode times: s1=0 s2=10 s3=20 s4=30 s5=80 s6=130 s7=135 ...
+    expect = [0, 10, 20, 30, 80, 130, 135, 140, 145]
+    assert [sample_decode_time(runs, k) for k in range(1, 10)] == expect
+    # beyond the table clamps to its end
+    assert sample_decode_time(runs, 99) == 150
+    # uniform table reduces to (k-1)*delta
+    assert sample_decode_time([(10, 40)], 7) == 240
+
+
+def test_mp4_mixed_delta_stts_roundtrip():
+    b = encode_mp4(64, 48, 9, 40, 4, stts_runs=[(3, 10), (2, 50), (4, 5)])
+    t = mp4_info(b)["tracks"][0]
+    assert t["n_samples"] == 9
+    assert t["total_delta"] == 3 * 10 + 2 * 50 + 4 * 5
+    assert t["stts_entries"] == [(3, 10), (2, 50), (4, 5)]
 
 
 @pytest.mark.parametrize("version", [0, 1])
@@ -110,3 +133,19 @@ def test_mp4_spark_metadata_and_plan(spark):
     assert sorted(by_id[1]) == [(1, 0), (4, 120), (7, 240), (10, 360)]
     assert sorted(by_id[2]) == [(1, 0), (3, 80)]
     assert 3 not in by_id
+
+
+def test_mp4_keyframe_plan_mixed_delta_exact(spark):
+    """Keyframe timestamps come from the cumulative stts walk, not an
+    average delta: for runs [(3,100),(2,500),(4,50)] at timescale 1000
+    sample 4 starts at t=300 and sample 7 at t=1350, while the old
+    avg-delta (1700/9≈188) formula would have said 566 and 1133."""
+    from sqlpp_spark.ops.multimodal import mp4_keyframe_plan
+
+    b = encode_mp4(64, 48, 9, 40, 3,
+                   stts_runs=[(3, 100), (2, 500), (4, 50)])
+    df = spark.createDataFrame([(1, bytearray(b))],
+                               "media_id long, payload binary")
+    got = sorted((r.sample_no, r.sample_ms)
+                 for r in mp4_keyframe_plan(df).collect())
+    assert got == [(1, 0), (4, 300), (7, 1350)]

@@ -781,3 +781,31 @@ def test_mp3_real_world_trailers_and_crc_xing():
     off = 4 + 2 + 32
     bb[off : off + 12] = b"Xing" + struct.pack(">II", 1, 55)
     assert mp3_info(bytes(bb))["xing_frames"] == 55
+
+
+def test_mp3_xing_probe_bounded_to_first_frame():
+    """ADVICE r9: the Xing probe must not read past the first frame.
+    A minimum-size MPEG2 mono 8 kbps 24 kHz frame is 24 bytes; the
+    tag window (off 13 + 12 = 25) overruns it, so even when 'Xing' +
+    FRAMES-flag bytes sit inside the frame, the count's last byte
+    would come from the NEXT frame's header — the probe must return
+    None rather than a bogus count assembled across the boundary."""
+    import struct
+
+    from sqlpp_spark.ops.mp3box import mp3_info
+
+    # MPEG2 (version=2), Layer III (layer=1), no CRC, bitrate idx 1
+    # (8 kbps in the V2 table), samplerate idx 1 (24000), mono mode=3
+    h = (0x7FF << 21) | (2 << 19) | (1 << 17) | (1 << 16) \
+        | (1 << 12) | (1 << 10) | (3 << 6)
+    frame_bytes = 72 * 8 * 1000 // 24000  # 24
+    frame1 = bytearray(struct.pack(">I", h) + b"\x00" * (frame_bytes - 4))
+    # plant a crafted tag at the side-info offset (4 + 9 = 13): tag +
+    # flags fit in frame 1, but the 4-byte count at 21..25 spans into
+    # frame 2 whose first byte is the 0xFF sync
+    frame1[13:21] = b"Xing" + struct.pack(">I", 1)
+    frame1[21:24] = b"\x00\x00\x07"
+    frame2 = struct.pack(">I", h) + b"\x00" * (frame_bytes - 4)
+    i = mp3_info(bytes(frame1) + frame2)
+    assert i["n_frames"] == 2
+    assert i["xing_frames"] is None  # bounded probe, no cross-frame read
