@@ -152,9 +152,12 @@ LIMIT 10
 """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: selective dim filter → join → top-k. customer is tiny
-    relative to lineitem, so it broadcasts (no shuffle of the fact
-    table for that join at any scale)."""
+    """TPC-H Q3: selective dim filter → join → top-k. customer is NOT
+    broadcast-hinted: it scales WITH the fact tables (1:10 with
+    orders), so a hard hint becomes an executor OOM at the 100 TB
+    north star. AQE broadcasts it while its post-filter size fits
+    autoBroadcastJoinThreshold and switches to shuffle-hash beyond —
+    the plan you want at every scale (round-9 verdict ask #2)."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -164,7 +167,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -192,9 +195,10 @@ ORDER BY revenue DESC
 """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: 6-way star join. All dimension sides (supplier, nation,
-    region, customer) broadcast; only orders⋈lineitem shuffles on
-    orderkey."""
+    """TPC-H Q5: 6-way star join. True dimensions (supplier, nation,
+    region) carry broadcast hints; customer does NOT — it scales with
+    the facts, so AQE decides (broadcast while it fits, shuffle-hash
+    at 100×). Only orders⋈lineitem must shuffle on orderkey."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -206,7 +210,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
@@ -273,7 +277,10 @@ LIMIT 20
 """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10: returned-item revenue per customer, top 20."""
+    """TPC-H Q10: returned-item revenue per customer, top 20.
+    nation keeps its broadcast hint (true dimension, 25 rows at any
+    SF); customer is unhinted — it scales with the facts, AQE picks
+    broadcast vs shuffle-hash by measured size."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -283,7 +290,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))

@@ -293,6 +293,39 @@ def test_q21_single_fact_shuffle(spark, sf_dir):
     assert "partial_count" in p or "count(distinct" in p
 
 
+def test_customer_joins_unhinted_still_broadcast_at_sf01(spark):
+    """Round-9 verdict ask #2: customer scales WITH the fact tables
+    (1:10 with orders), so q3/q5/q10 must NOT carry a hard
+    F.broadcast(customer) hint — at the 100 TB north star that hint
+    is an executor OOM. This pins both halves of the fix at sf0.1:
+    (a) no broadcast hint exists on the customer side (the analyzed
+    plan has exactly the true-dimension hint count), and (b) Spark's
+    size-based planning still broadcasts customer while it fits
+    autoBroadcastJoinThreshold, so dropping the hint costs nothing
+    at benched scales — AQE switches to shuffle-hash only when it
+    outgrows the threshold."""
+    sf01 = "/root/testdata/sf0.1"
+    expected_hints = {
+        # true dimensions only: q3 none, q5 supplier/nation/region,
+        # q10 nation
+        "q3_shipping_priority": 0,
+        "q5_local_supplier_volume": 3,
+        "q10_returned_items": 1,
+    }
+    for name, n_hints in expected_hints.items():
+        df = REGISTRY[name].builder(spark, sf01)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("UnresolvedHint") == 0
+        assert analyzed.count("ResolvedHint") == n_hints, (name, analyzed)
+        # customer must still reach a broadcast join by SIZE at sf0.1
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" not in p, name
+        assert "BroadcastHashJoin" in p, name
+
+
 def test_semantic_dedup_cell_equijoin(spark, sf_dir):
     """SemDeDup's pair search must be an equi-join on cell — never a
     global nested loop; the quantizer bounds the quadratic."""
