@@ -940,11 +940,13 @@ def synthesize_g711_formula(
 def decode_audio(df: DataFrame, fallback: bool = True) -> DataFrame:
     """REAL audio decode through the standard Arrow-batched mapInPandas
     shape: WAV (RIFF PCM) payloads parse with the stdlib ``wave``
-    module — sample rate, channels, duration, RMS amplitude
-    (normalized to [0,1]) and zero-crossing count, all from actual
-    samples. Non-WAV payloads report byte stats with ``decoded=false``
-    (compressed codecs need ffmpeg — that boundary raises under
-    ``fallback=False``)."""
+    module, FLAC payloads frame-decode through ``ops/flaccodec``
+    (RFC 9639: constant/verbatim/fixed/LPC subframes, Rice residuals,
+    stereo decorrelation, CRC + MD5 verified) — sample rate, channels,
+    duration, RMS amplitude (normalized to [0,1]) and zero-crossing
+    count, all from actual samples. Other payloads report byte stats
+    with ``decoded=false`` (MP3/AAC/Vorbis frame decode needs ffmpeg —
+    that boundary raises under ``fallback=False``)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -1021,11 +1023,28 @@ def decode_audio(df: DataFrame, fallback: bool = True) -> DataFrame:
                         except Exception:
                             if not fallback:
                                 raise
+                elif b[:4] == b"fLaC":
+                    try:
+                        from sqlpp_spark.ops.flaccodec import decode_flac
+
+                        arr, sr, bps = decode_flac(b)
+                        ch = arr.shape[1]
+                        ns = arr.shape[0]
+                        s_int = arr.reshape(-1).astype(np.int64)
+                        x = s_int.astype(np.float64) / float(1 << (bps - 1))
+                        dur = int(ns * 1000 / sr) if sr else 0
+                        rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+                        energy = int(np.sum(s_int * s_int))
+                        zc = int(np.count_nonzero(np.diff(np.signbit(x))))
+                        dec = True
+                    except Exception:
+                        if not fallback:
+                            raise
                 elif not fallback:
                     raise NotImplementedError(
                         "MP3/AAC/Vorbis-class audio decode requires ffmpeg; "
-                        "RIFF WAV (PCM, G.711 u-law/A-law, IMA ADPCM) "
-                        "decodes natively"
+                        "RIFF WAV (PCM, G.711 u-law/A-law, IMA ADPCM) and "
+                        "FLAC decode natively"
                     )
                 out["media_id"].append(mid)
                 out["sample_rate"].append(sr)
@@ -1245,6 +1264,44 @@ def synthesize_flac_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
+def synthesize_flac_formula(
+    df: DataFrame, id_col: str = "doc_id", n_samples: int = 160,
+    sample_rate: int = 8000, block_size: int = 64, lpc_order: int = 0,
+) -> DataFrame:
+    """REAL FLAC payloads (compressed frames, not headers) whose
+    16-bit samples are the same closed integer formula as
+    ``synthesize_wave_formula`` — sample[t] = ((a*t + b) mod 65536) -
+    32768, a = 2*(id mod 997)+1, b = id mod 251 — so the one DuckDB
+    oracle certifies FLAC FRAME decode (fixed/verbatim subframes,
+    Rice residuals, CRC-8/16, STREAMINFO MD5) bit-for-bit, the way
+    the PNG/JPEG formula corpora certify image decode. block_size=64
+    over 160 samples gives multiple frames plus a short last block."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from sqlpp_spark.ops.flaccodec import encode_flac
+
+        t = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for mid in pdf[id_col]:
+                did = int(mid)
+                a = 2 * (did % 997) + 1
+                b = did % 251
+                pcm = ((a * t + b) % 65536) - 32768
+                out["media_id"].append(did)
+                out["payload"].append(encode_flac(
+                    pcm, sample_rate, 16, block_size=block_size,
+                    lpc_order=lpc_order,
+                ))
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        synth, "media_id long, payload binary"
+    )
 
 
 FLAC_META_SCHEMA = (

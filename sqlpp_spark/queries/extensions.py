@@ -482,6 +482,63 @@ def multimodal_audio_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "multimodal_flac_decode_oracle",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 2 * (doc_id % 997) + 1 AS a, doc_id % 251 AS b FROM documents
+),
+s AS (
+  SELECT p.doc_id, t.i,
+         ((p.a * t.i + p.b) % 65536) - 32768 AS v
+  FROM p, LATERAL (SELECT unnest(generate_series(0, 159)) AS i) t
+),
+lagged AS (
+  SELECT doc_id, v,
+         LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM s
+),
+agg AS (
+  SELECT doc_id,
+         SUM(v * v) AS energy,
+         SUM(CASE WHEN prev IS NOT NULL AND (v < 0) <> (prev < 0)
+                  THEN 1 ELSE 0 END) AS zc
+  FROM lagged GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(160 AS BIGINT) AS n_samples,
+       CAST(20 AS BIGINT) AS duration_ms,
+       CAST(energy AS BIGINT) AS energy,
+       CAST(zc AS BIGINT) AS zero_crossings,
+       CAST(1 AS BIGINT) AS decoded
+FROM agg
+""",
+)
+def multimodal_flac_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED FLAC FRAME decode (round-9 verdict ask #3 — the last
+    tractable audio-decode boundary): payloads are real compressed
+    FLAC streams (ops/flaccodec.py encode: fixed/verbatim subframes,
+    Rice residuals, CRC-8/16, STREAMINFO MD5) whose 16-bit samples
+    are the same closed formula as the WAV corpus; the mapInPandas
+    decode path frame-decodes them and DuckDB recomputes exact sample
+    ENERGY (int64 sum of squares) + zero crossings from the formula.
+    A hash-green row certifies sample-level losslessness of the whole
+    encode→decode chain, like multimodal_audio_decode_oracle for WAV
+    and multimodal_png_decode_oracle for images."""
+    from sqlpp_spark.ops.multimodal import (
+        decode_audio, synthesize_flac_formula,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return decode_audio(synthesize_flac_formula(d)).select(
+        "media_id", "sample_rate", "n_channels", "n_samples", "duration_ms",
+        "energy", "zero_crossings",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )
+
+
+@register(
     "multimodal_png_decode_oracle",
     oracle="""
 WITH dims AS (

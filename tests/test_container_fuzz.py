@@ -48,6 +48,7 @@ def _targets():
     from sqlpp_spark.ops.oggcodec import (
         OggCodecError, encode_ogg_opus, ogg_opus_info,
     )
+    from sqlpp_spark.ops.flaccodec import FlacError, decode_flac, encode_flac
     from sqlpp_spark.ops.warc import (
         WarcError, http_response_block, parse_warc, write_warc,
     )
@@ -89,11 +90,20 @@ def _targets():
             encode_mp3(7, 128, 44100, id3_size=32, pad_every=3),
             mp3_info, Mp3BoxError,
         ),
+        "flac_frames": (
+            encode_flac(
+                ((np.arange(200, dtype=np.int64) * 37 + 11) % 4096) - 2048,
+                8000, 16, block_size=64, lpc_order=4,
+            ),
+            decode_flac, AudioCodecError,  # FlacError subclasses it
+        ),
     }
+    assert issubclass(FlacError, AudioCodecError)
     return targets
 
 
-NAMES = ["mp4", "flac", "ogg", "exif", "warc", "gif", "mp3"]
+NAMES = ["mp4", "flac", "ogg", "exif", "warc", "gif", "mp3",
+         "flac_frames"]
 
 
 if HAS_HYP:
