@@ -441,11 +441,35 @@ def statement_sql(
             out += f" FROM {from_raw(q.from_)}"
             if q.where is not None:
                 if A.expr_has_subquery(q.where):
-                    raise SqlppError(
-                        "IN/EXISTS subqueries are not supported in "
-                        "UPDATE ... FROM"
+                    # r10 (reference parity, printer.ml:312-329):
+                    # elaborate IN/EXISTS in the JOINED scope (target
+                    # table + FROM relations) and print the result
+                    from sqlpp_spark.frontend.analyze import (
+                        SelectCtx, TableRel,
                     )
-                out += f" WHERE {g.expr(q.where)}"
+
+                    ti = env.tables.get(q.table)
+                    if ti is None:
+                        raise SqlppError(f"no such table: {q.table}")
+                    ctx = SelectCtx(
+                        A.Select(from_=A.FromTable(q.table, None))
+                    )
+                    ctx.rels[q.table] = TableRel(
+                        q.table, ti.columns, table=q.table
+                    )
+
+                    def add_rels(fr) -> None:
+                        if isinstance(fr, A.FromJoin):
+                            add_rels(fr.left)
+                            add_rels(fr.right)
+                        else:
+                            an._analyze_from(ctx, fr, nullable=False)
+
+                    add_rels(q.from_)
+                    welab, _ = an.infer_expr(ctx, q.where)
+                    out += f" WHERE {g.expr(welab)}"
+                else:
+                    out += f" WHERE {g.expr(q.where)}"
         else:
             out += where_sql(q.table, q.where)
         return out + returning(q.returning)

@@ -560,22 +560,42 @@ class SqlppEngine:
             # Postgres-style joined update: FROM adds relations, WHERE
             # correlates (updatesyn, syntax.ml:164-173). One update per
             # target row: first match wins (row_number over PK).
-            if A.expr_has_subquery(upd.where):
-                raise SqlppError(
-                    "IN/EXISTS subqueries are not supported in "
-                    "UPDATE ... FROM (drop the FROM clause or express "
-                    "the subquery as a joined relation)"
-                )
             pk = self._primary_key(upd.table)
             if not pk:
                 raise SqlppError(
                     f"UPDATE ... FROM requires a primary key on {upd.table}"
                 )
+            # r10 (reference parity, printer.ml:312-329 prints any
+            # analyzable predicate): IN/EXISTS conjuncts route through
+            # the same _matching_rows synthetic-select machinery as the
+            # plain UPDATE case — they narrow the TARGET side before
+            # the join; plain conjuncts stay in the joined filter.
+            # AND-conjuncts with subqueries must reference only the
+            # target table (they are evaluated before the FROM join).
+            target = base
+            plain_where = upd.where
+            if A.expr_has_subquery(upd.where):
+                sub_conjs, plain_conjs = [], []
+                for conj in self._split_conjuncts(upd.where):
+                    (sub_conjs if A.expr_has_subquery(conj)
+                     else plain_conjs).append(conj)
+                try:
+                    target = self._matching_rows(
+                        upd.table, cur.columns,
+                        self._and_conjuncts(sub_conjs), src, binds,
+                    ).alias(upd.table)
+                except SqlppError as e:
+                    raise SqlppError(
+                        "a subquery conjunct in UPDATE ... FROM may "
+                        "reference only the target table (it narrows "
+                        f"{upd.table} before the join): {e}"
+                    ) from None
+                plain_where = self._and_conjuncts(plain_conjs)
             self._analyze_extra_from(ctx, upd.from_, an)
             extra = comp._compile_from_node(ctx, upd.from_, binds)
-            joined = base.join(extra, on=F.lit(True), how="inner")
-            if upd.where is not None:
-                welab, _ = an.infer_expr(ctx, upd.where)
+            joined = target.join(extra, on=F.lit(True), how="inner")
+            if plain_where is not None:
+                welab, _ = an.infer_expr(ctx, plain_where)
                 joined = joined.filter(comp.expr(welab, binds, {}))
             set_cols = self._set_columns(upd, cols, an, ctx, comp, binds)
             from pyspark.sql import Window as W
@@ -675,6 +695,24 @@ class SqlppEngine:
             self._analyze_extra_from(ctx, fr.right, an)
             return
         an._analyze_from(ctx, fr, nullable=False)
+
+    @staticmethod
+    def _split_conjuncts(e):
+        """Flatten a WHERE into its top-level AND-conjuncts."""
+        if isinstance(e, A.EApp) and e.fn.upper() == "AND":
+            return (SqlppEngine._split_conjuncts(e.args[0])
+                    + SqlppEngine._split_conjuncts(e.args[1]))
+        return [e] if e is not None else []
+
+    @staticmethod
+    def _and_conjuncts(conjs):
+        """Rebuild a left-assoc AND tree (None when empty)."""
+        if not conjs:
+            return None
+        out = conjs[0]
+        for c in conjs[1:]:
+            out = A.EApp("AND", [out, c], loc=getattr(out, "loc", A.NO_LOC))
+        return out
 
     def _matching_rows(
         self, table: str, columns, where, src: str, binds

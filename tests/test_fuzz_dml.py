@@ -199,6 +199,21 @@ DIRECTED_PROGRAMS = [
         ("update items set tag = 'hasval' where val > 20", {}),
         ("delete from items where val < 25 returning id", {}),
     ],
+    # r10: UPDATE ... FROM with IN/EXISTS conjuncts in WHERE (the
+    # subquery narrows the TARGET side before the join; plain
+    # conjuncts stay in the joined filter) — reference prints any
+    # analyzable predicate (printer.ml:312-329)
+    [
+        ("update items set grp = s.grp + 20, val = s.val from src as s "
+         "where s.id = items.id and items.id in (select id from src "
+         "where grp > 5) returning id, grp, val", {}),
+        ("update items set tag = concat(items.tag, '+') from src as s "
+         "where s.id = items.id and not (items.id in "
+         "(select id + 1 from src)) returning id, tag", {}),
+        ("update items set val = s.val from src as s "
+         "where s.id = items.id and exists (select true from src "
+         "where grp > 6) returning id, val", {}),
+    ],
     # subquery predicates (select-based DML matching path): IN, NOT IN
     # against a NULL-bearing subquery column (three-valued: matches
     # nothing), uncorrelated EXISTS gate
@@ -375,6 +390,17 @@ try:
             k = draw(st.integers(0, 9))
             extra = (f" and items.grp < {draw(st.integers(0, 12))}"
                      if draw(st.booleans()) else "")
+            # r10: IN/EXISTS conjuncts in UPDATE ... FROM WHERE — they
+            # must reference only the TARGET table (engine narrows the
+            # target side before the join); qualified to avoid the
+            # id-name ambiguity DuckDB would reject in the joined scope
+            if draw(st.booleans()):
+                neg = draw(st.sampled_from(["", "not "]))
+                sub = draw(st.sampled_from(["id", "grp", "id + 1"]))
+                w = (f" where grp > {draw(st.integers(4, 8))}"
+                     if draw(st.booleans()) else "")
+                extra += (f" and ({neg}items.id in "
+                          f"(select {sub} from src{w}))")
             return (f"update items set grp = s.grp + {k}, val = s.val "
                     f"from src as s where s.id = items.id{extra}{ret}"), params
         # delete — always guarded by a predicate

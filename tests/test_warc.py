@@ -219,7 +219,13 @@ def test_warc_second_review_regressions(spark):
     con.close()
 
 
-def test_update_from_subquery_where_rejected_clearly(spark, tmp_path):
+def test_update_from_subquery_where_supported(spark, tmp_path):
+    """r10 (round-9 verdict ask #4): UPDATE ... FROM with IN/EXISTS in
+    WHERE executes (the r9 raise is gone) — target-only subquery
+    conjuncts narrow the target before the join; the printer renders
+    the same form (reference printer.ml:312-329 prints any analyzable
+    predicate). A subquery conjunct referencing the FROM relation
+    still errors, with a message naming the restriction."""
     from sqlpp_spark.compiler.sqlgen import statement_sql
     from sqlpp_spark.frontend.errors import SqlppError
 
@@ -227,8 +233,16 @@ def test_update_from_subquery_where_rejected_clearly(spark, tmp_path):
 
     eng = FZ._fresh_spark_engine(spark, str(tmp_path))
     src = ("update items set grp = s.grp from src as s "
-           "where s.id = items.id and items.id in (select id from src)")
-    with pytest.raises(SqlppError, match="UPDATE ... FROM"):
-        eng.exec(src)
-    with pytest.raises(SqlppError, match="UPDATE ... FROM"):
-        statement_sql(eng.env, src)
+           "where s.id = items.id and items.id in (select id from src) "
+           "returning id, grp")
+    ret = sorted((r.id, r.grp) for r in eng.exec(src).collect())
+    # src ids 1-3 join items 1-3; grp comes from src (5, 6, 7)
+    assert ret == [(1, 5), (2, 6), (3, 7)]
+    sql = statement_sql(eng.env, src)
+    assert "IN" in sql.upper() and "FROM" in sql.upper()
+    # correlated-with-FROM subquery conjunct: clear error, not silence
+    with pytest.raises(SqlppError, match="target table"):
+        eng.exec(
+            "update items set grp = 0 from src as s "
+            "where s.id = items.id and s.grp in (select grp from src)"
+        )
