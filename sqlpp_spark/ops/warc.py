@@ -98,6 +98,86 @@ def parse_warc(data: bytes) -> list:
     return records
 
 
+def iter_warc_offsets(data: bytes) -> Iterator:
+    """Yield (start, end) byte offsets of each record in a WARC stream
+    WITHOUT materializing header dicts or blocks — the boundary
+    scanner behind ``segment_warc``. The grammar is self-delimiting
+    (version line + header block + Content-Length-counted block +
+    CRLF CRLF), so a linear walk finds every record edge."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while data[pos : pos + 2] == CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        start = pos
+        eol = data.find(CRLF, pos)
+        if eol < 0 or not data[pos:eol].startswith(b"WARC/"):
+            raise WarcError("expected WARC/ version line")
+        pos = eol + 2
+        length = None
+        while True:
+            eol = data.find(CRLF, pos)
+            if eol < 0:
+                raise WarcError("unterminated WARC header block")
+            line = data[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            if b":" not in line:
+                raise WarcError(f"malformed WARC header line: {line[:40]!r}")
+            name, _, value = line.partition(b":")
+            if name.strip().lower() == b"content-length":
+                v = value.strip()
+                if not (v.isascii() and v.isdigit()):
+                    raise WarcError("missing/invalid Content-Length")
+                length = int(v)
+        if length is None:
+            raise WarcError("missing/invalid Content-Length")
+        if pos + length > n:
+            raise WarcError("Content-Length overruns the stream")
+        pos += length
+        if data[pos : pos + 4] not in (CRLF + CRLF, b""):
+            if pos + 4 <= n:
+                raise WarcError("missing record separator")
+        pos = min(pos + 4, n)
+        yield start, pos
+
+
+def segment_warc(data: bytes, max_chunk_bytes: int,
+                 strict: bool = False) -> list:
+    """Split a WARC stream AT RECORD BOUNDARIES into chunks of at most
+    ``max_chunk_bytes`` each — every chunk is itself a valid WARC
+    stream, so downstream parsing is unchanged. A single record larger
+    than the cap becomes its own chunk (the grammar cannot split finer
+    than a record) unless ``strict=True``, which raises instead —
+    the loud-error mode for pipelines that must bound worst-case
+    per-task bytes. Returns a list of (start, end) chunk offsets."""
+    if max_chunk_bytes <= 0:
+        raise WarcError("max_chunk_bytes must be positive")
+    chunks = []
+    cur_start = None
+    cur_end = None
+    for start, end in iter_warc_offsets(data):
+        rec_len = end - start
+        if rec_len > max_chunk_bytes and strict:
+            raise WarcError(
+                f"single WARC record of {rec_len} bytes exceeds the "
+                f"{max_chunk_bytes}-byte chunk cap"
+            )
+        if cur_start is None:
+            cur_start, cur_end = start, end
+        elif end - cur_start <= max_chunk_bytes:
+            cur_end = end
+        else:
+            chunks.append((cur_start, cur_end))
+            cur_start, cur_end = start, end
+    if cur_start is not None:
+        chunks.append((cur_start, cur_end))
+    return chunks
+
+
 def split_http_response(block: bytes):
     """(status_code, http_headers dict, body bytes) of an HTTP
     response payload block; (None, {}, block) if not HTTP."""
@@ -259,6 +339,60 @@ def warc_records(df: DataFrame) -> DataFrame:
     return ensure_parallelism(df.select("archive_id", "payload")).mapInPandas(
         extract, WARC_RECORD_SCHEMA
     )
+
+
+def segment_warc_archives(
+    df: DataFrame, max_chunk_bytes: int = 1 << 20, strict: bool = False,
+) -> DataFrame:
+    """(archive_id, payload) -> (archive_id, chunk_no, payload) with
+    each output payload a stand-alone WARC stream of at most
+    ``max_chunk_bytes`` (record-boundary splits; an oversized single
+    record is its own chunk, or a loud error under ``strict``).
+
+    This bounds the round-9 single-row payload hazard: a ~1 GB
+    Common-Crawl segment as ONE Arrow row defeats the
+    maxRecordsPerBatch guard (it caps rows, not bytes). Segment first,
+    then ``repartition`` spreads chunks across tasks, so the
+    record-parse stage sees bounded per-batch bytes AND recovers
+    parallelism for big archives. Malformed archives pass through
+    un-split (chunk_no 0) so warc_records still yields their
+    decoded=false row."""
+    schema = "archive_id long, chunk_no long, payload binary"
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"archive_id": [], "chunk_no": [], "payload": []}
+            for aid, payload in zip(pdf["archive_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    chunks = segment_warc(b, max_chunk_bytes, strict)
+                except WarcError:
+                    if strict:
+                        raise
+                    chunks = [(0, len(b))] if b else []
+                if not chunks:
+                    chunks = [(0, len(b))]
+                for i, (s, e) in enumerate(chunks):
+                    out["archive_id"].append(aid)
+                    out["chunk_no"].append(i)
+                    out["payload"].append(b[s:e])
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select("archive_id", "payload")).mapInPandas(
+        seg, schema
+    )
+
+
+def warc_records_segmented(
+    df: DataFrame, max_chunk_bytes: int = 1 << 20, strict: bool = False,
+) -> DataFrame:
+    """``warc_records`` over a record-boundary-segmented archive frame:
+    identical rows to the direct parse (each chunk is a valid WARC
+    stream and archive_id is preserved), with per-batch parse bytes
+    bounded by ``max_chunk_bytes`` and chunks repartitioned so one
+    huge archive no longer serializes onto one task."""
+    segs = segment_warc_archives(df, max_chunk_bytes, strict)
+    return warc_records(segs.repartition("archive_id", "chunk_no"))
 
 
 def synthesize_warc_media(

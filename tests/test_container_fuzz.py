@@ -90,6 +90,18 @@ def _targets():
             encode_mp3(7, 128, 44100, id3_size=32, pad_every=3),
             mp3_info, Mp3BoxError,
         ),
+        "warc_seg": (
+            write_warc([
+                ({"WARC-Type": "response", "WARC-Target-URI": "http://e/1"},
+                 http_response_block(200, "text/html", b"<p>x</p>" * 40)),
+                ({"WARC-Type": "resource"}, b"abc" * 100),
+                ({"WARC-Type": "resource"}, b"q" * 500),
+            ]),
+            lambda b: __import__(
+                "sqlpp_spark.ops.warc", fromlist=["segment_warc"]
+            ).segment_warc(b, 300),
+            WarcError,
+        ),
         "flac_frames": (
             encode_flac(
                 ((np.arange(200, dtype=np.int64) * 37 + 11) % 4096) - 2048,
@@ -103,7 +115,7 @@ def _targets():
 
 
 NAMES = ["mp4", "flac", "ogg", "exif", "warc", "gif", "mp3",
-         "flac_frames"]
+         "flac_frames", "warc_seg"]
 
 
 if HAS_HYP:

@@ -41,6 +41,82 @@ def test_warc_roundtrip_multi_record():
     assert blk == b"a\r\n\r\nb\r\n\r\nc"
 
 
+def test_warc_segmentation_record_boundaries():
+    """segment_warc (round-9 verdict ask #5): chunks split exactly at
+    record edges, each chunk is a valid stand-alone WARC stream, all
+    chunks stay under the cap (except a lone oversized record), and
+    re-parsing the chunks yields the identical record sequence."""
+    from sqlpp_spark.ops.warc import iter_warc_offsets, segment_warc
+
+    recs = [
+        ({"WARC-Type": "resource", "WARC-Record-ID": f"<urn:{i}>"},
+         bytes([65 + i % 26]) * (50 + 37 * i % 400))
+        for i in range(40)
+    ]
+    data = write_warc(recs)
+    offs = list(iter_warc_offsets(data))
+    assert len(offs) == 40
+    assert offs[0][0] == 0 and offs[-1][1] == len(data)
+    assert all(a[1] == b[0] for a, b in zip(offs, offs[1:]))
+    cap = 1200
+    chunks = segment_warc(data, cap)
+    assert len(chunks) > 1
+    reparsed = []
+    for s, e in chunks:
+        assert e - s <= cap
+        reparsed.extend(parse_warc(data[s:e]))
+    assert chunks[0][0] == 0 and chunks[-1][1] == len(data)
+    assert [h["WARC-Record-ID"] for h, _ in reparsed] == [
+        h["WARC-Record-ID"] for h, _ in recs
+    ]
+    assert [b for _h, b in reparsed] == [b for _h, b in recs]
+    # an oversized single record: its own chunk by default, loud
+    # error under strict
+    big = write_warc([({"WARC-Type": "resource"}, b"z" * 5000),
+                      ({"WARC-Type": "resource"}, b"q" * 10)])
+    got = segment_warc(big, 1000)
+    assert len(got) == 2 and got[0][1] - got[0][0] > 1000
+    with pytest.raises(WarcError, match="chunk cap"):
+        segment_warc(big, 1000, strict=True)
+
+
+def test_warc_segmented_spark_parse_bounded(spark):
+    """A multi-MB synthetic archive (one binary row — the shape that
+    defeats the rows-not-bytes maxRecordsPerBatch guard) parses
+    through the segmented reader into the same records as the direct
+    path, with every chunk bounded; a junk archive still yields its
+    one decoded=false row."""
+    from sqlpp_spark.ops.warc import (
+        segment_warc_archives, warc_records, warc_records_segmented,
+    )
+
+    n_rec = 300
+    recs = [
+        ({"WARC-Type": "response", "WARC-Target-URI": f"http://e/{i}"},
+         http_response_block(200, "text/html",
+                             (f"<p>doc {i} " + "x" * 9000 + "</p>").encode()))
+        for i in range(n_rec)
+    ]
+    data = write_warc(recs)  # ~2.7 MB as ONE row
+    assert len(data) > 2_000_000
+    df = spark.createDataFrame(
+        [(1, bytearray(data)), (2, bytearray(b"junk"))],
+        "archive_id long, payload binary",
+    )
+    cap = 256 * 1024
+    segs = segment_warc_archives(df, cap).collect()
+    seg_rows = [r for r in segs if r.archive_id == 1]
+    assert len(seg_rows) > 8  # genuinely spread across many chunks
+    assert all(len(r.payload) <= cap for r in seg_rows)
+    assert sum(len(r.payload) for r in seg_rows) == len(data)
+    direct = warc_records(df).collect()
+    segmented = warc_records_segmented(df, cap).collect()
+    key = lambda r: (r.archive_id, r.target_uri, r.content_length,  # noqa: E731
+                     r.http_status, r.body, r.decoded)
+    assert sorted(map(key, segmented)) == sorted(map(key, direct))
+    assert sum(1 for r in segmented if not r.decoded) == 1  # the junk row
+
+
 def test_warc_malformed_payloads_raise():
     good = write_warc([({"WARC-Type": "resource"}, b"xyz")])
     for bad in (
