@@ -70,7 +70,8 @@ def main(argv=None) -> int:
     ap.add_argument("--require", action="append", default=[], help="decls file")
     ap.add_argument("--param", action="append", default=[], metavar="NAME=VALUE")
     ap.add_argument("--sf-dir", default=None, help="register driver parquet tables")
-    ap.add_argument("--dialect", default="duckdb", choices=["duckdb", "sqlite"],
+    ap.add_argument("--dialect", default="duckdb",
+                    choices=["duckdb", "sqlite", "postgres"],
                     help="SQL dialect for the sql verb")
     args = ap.parse_args(argv)
     if args.dialect != "duckdb" and args.verb != "sql":
