@@ -600,9 +600,10 @@ def _lpc_residual(samples, coefs, shift: int):
 
 
 def _encode_subframe(bw: _BitWriter, samples, bps: int,
-                     try_lpc_order: int = 0) -> None:
+                     try_lpc_order: int = 0,
+                     force_lpc: bool = False) -> None:
     n = len(samples)
-    if n and all(s == samples[0] for s in samples):
+    if not force_lpc and n and all(s == samples[0] for s in samples):
         bw.write(0, 1)
         bw.write(0, 6)  # CONSTANT
         bw.write(0, 1)
@@ -624,7 +625,7 @@ def _encode_subframe(bw: _BitWriter, samples, bps: int,
             method, param, cost = _best_rice_param(res)
             total = (try_lpc_order * bps + 4 + 5 + 12 * len(coefs)
                      + 2 + 4 + (4 if method == 0 else 5) + cost)
-            if total < best[0]:
+            if total < best[0] or force_lpc:
                 best = (total, "lpc", try_lpc_order,
                         (method, param, res, coefs, shift))
     verbatim_cost = n * bps
@@ -660,15 +661,18 @@ def _encode_subframe(bw: _BitWriter, samples, bps: int,
 def encode_flac(
     samples: np.ndarray, sample_rate: int, bits_per_sample: int = 16,
     block_size: int = 4096, stereo_mode: str = "independent",
-    lpc_order: int = 0,
+    lpc_order: int = 0, force_lpc: bool = False,
 ) -> bytes:
     """Spec-conformant FLAC stream from an (n, channels) or (n,)
     integer sample array. Per-block, per-channel subframe choice by
     bit cost (constant / fixed 0-4 [/ LPC when ``lpc_order``>0] /
     verbatim), Rice partition order 0, fixed blocking strategy.
     ``stereo_mode`` in {independent, mid_side, left_side,
-    right_side} exercises the decorrelation paths. STREAMINFO
-    carries the real decoded-audio MD5."""
+    right_side} exercises the decorrelation paths. ``force_lpc``
+    emits the LPC candidate whenever one is computable regardless of
+    cost — the knob the LPC-path oracle uses to guarantee LPC
+    subframes are what gets hash-verified. STREAMINFO carries the
+    real decoded-audio MD5."""
     arr = np.asarray(samples)
     if arr.ndim == 1:
         arr = arr[:, None]
@@ -743,7 +747,8 @@ def encode_flac(
                 chans = [(mid, bits_per_sample),
                          (side, bits_per_sample + 1)]
         for ch_samples, ch_bps in chans:
-            _encode_subframe(bw, ch_samples, ch_bps, lpc_order)
+            _encode_subframe(bw, ch_samples, ch_bps, lpc_order,
+                             force_lpc)
         bw.align()
         frame = hdr + bw.getvalue()
         frame += struct.pack(">H", crc16(frame))

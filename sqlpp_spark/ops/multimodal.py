@@ -1269,15 +1269,24 @@ def synthesize_flac_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def synthesize_flac_formula(
     df: DataFrame, id_col: str = "doc_id", n_samples: int = 160,
     sample_rate: int = 8000, block_size: int = 64, lpc_order: int = 0,
+    waveform: str = "ramp", force_lpc: bool = False,
 ) -> DataFrame:
     """REAL FLAC payloads (compressed frames, not headers) whose
-    16-bit samples are the same closed integer formula as
-    ``synthesize_wave_formula`` — sample[t] = ((a*t + b) mod 65536) -
-    32768, a = 2*(id mod 997)+1, b = id mod 251 — so the one DuckDB
-    oracle certifies FLAC FRAME decode (fixed/verbatim subframes,
-    Rice residuals, CRC-8/16, STREAMINFO MD5) bit-for-bit, the way
-    the PNG/JPEG formula corpora certify image decode. block_size=64
-    over 160 samples gives multiple frames plus a short last block."""
+    16-bit samples are a closed integer formula, so a DuckDB oracle
+    certifies FLAC FRAME decode bit-for-bit the way the PNG/JPEG
+    formula corpora certify image decode. block_size=64 over 160
+    samples gives multiple frames plus a short last block.
+
+    ``waveform="ramp"`` reuses the WAV corpus formula (sample[t] =
+    ((a*t + b) mod 65536) - 32768; noise-like, exercises fixed/
+    verbatim subframes + hot Rice params). ``waveform="triangle"``
+    is |2*((t+b) mod p) - p|*400 - 8000 with p = 20 + 2*(id mod 13),
+    b = id mod 17 — smooth and periodic, the shape LPC models well;
+    with ``force_lpc`` the encoder emits LPC subframes regardless of
+    cost, so the oracle pins the quantized-coefficient prediction
+    path itself."""
+    if waveform not in ("ramp", "triangle"):
+        raise ValueError(f"unknown waveform: {waveform!r}")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1289,13 +1298,18 @@ def synthesize_flac_formula(
             out = {"media_id": [], "payload": []}
             for mid in pdf[id_col]:
                 did = int(mid)
-                a = 2 * (did % 997) + 1
-                b = did % 251
-                pcm = ((a * t + b) % 65536) - 32768
+                if waveform == "ramp":
+                    a = 2 * (did % 997) + 1
+                    b = did % 251
+                    pcm = ((a * t + b) % 65536) - 32768
+                else:
+                    p = 20 + 2 * (did % 13)
+                    b = did % 17
+                    pcm = np.abs(2 * ((t + b) % p) - p) * 400 - 8000
                 out["media_id"].append(did)
                 out["payload"].append(encode_flac(
                     pcm, sample_rate, 16, block_size=block_size,
-                    lpc_order=lpc_order,
+                    lpc_order=lpc_order, force_lpc=force_lpc,
                 ))
             yield pd.DataFrame(out)
 

@@ -539,6 +539,66 @@ def multimodal_flac_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_flac_lpc_decode_oracle",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 20 + 2 * (doc_id % 13) AS p, doc_id % 17 AS b
+  FROM documents
+),
+s AS (
+  SELECT p.doc_id, t.i,
+         ABS(2 * ((t.i + p.b) % p.p) - p.p) * 400 - 8000 AS v
+  FROM p, LATERAL (SELECT unnest(generate_series(0, 159)) AS i) t
+),
+lagged AS (
+  SELECT doc_id, v,
+         LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM s
+),
+agg AS (
+  SELECT doc_id,
+         SUM(v * v) AS energy,
+         SUM(CASE WHEN prev IS NOT NULL AND (v < 0) <> (prev < 0)
+                  THEN 1 ELSE 0 END) AS zc
+  FROM lagged GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(160 AS BIGINT) AS n_samples,
+       CAST(20 AS BIGINT) AS duration_ms,
+       CAST(energy AS BIGINT) AS energy,
+       CAST(zc AS BIGINT) AS zero_crossings,
+       CAST(1 AS BIGINT) AS decoded
+FROM agg
+""",
+)
+def multimodal_flac_lpc_decode_oracle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORACLED FLAC **LPC** decode: triangle waveforms (smooth, the
+    shape linear prediction models well) encoded with force_lpc, so
+    every subframe is an order-4 LPC subframe — quantized Levinson-
+    Durbin coefficients, shift, integer prediction, Rice residuals —
+    and the hash certifies THAT path specifically (the ramp-formula
+    twin exercises fixed/verbatim). DuckDB recomputes energy + zero
+    crossings from the closed triangle formula."""
+    from sqlpp_spark.ops.multimodal import (
+        decode_audio, synthesize_flac_formula,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    flac = synthesize_flac_formula(
+        d, waveform="triangle", lpc_order=4, force_lpc=True
+    )
+    return decode_audio(flac).select(
+        "media_id", "sample_rate", "n_channels", "n_samples", "duration_ms",
+        "energy", "zero_crossings",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )
+
+
+@register(
     "multimodal_png_decode_oracle",
     oracle="""
 WITH dims AS (

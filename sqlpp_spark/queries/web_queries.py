@@ -17,6 +17,7 @@ by both engines (ops/text.py PII_PATTERNS — RE2/Java-compatible).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -578,6 +579,50 @@ def web_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("http_status") == 200))
         .select(
             F.col("archive_id").alias("doc_id"),
+            "target_uri",
+            "http_status",
+            html_text_col(F.col("body")).alias("text"),
+        )
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+    )
+
+
+@register("web_warc_extract_segmented", oracle=_warc_extract_oracle())
+def web_warc_extract_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED segmented-reader twin of ``web_warc_extract`` (round-10,
+    verdict ask #5): per-document archives are BUNDLED into 8 large
+    multi-record archives (WARC streams concatenate trivially), then
+    parsed through ``warc_records_segmented`` with a deliberately tiny
+    4 KB chunk cap — so record-boundary splitting, chunk validity and
+    the repartition path all sit inside the hash-verified plan. The
+    oracle is the SAME SQL as the direct extract: segmentation must be
+    invisible to the record stream. doc_id comes back out of the
+    target URI (the bundle id replaces the per-doc archive_id)."""
+    from sqlpp_spark.ops.warc import (
+        html_text_col, synthesize_warc_media, warc_records_segmented,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    per_doc = synthesize_warc_media(d)
+
+    def bundle(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("archive_id")
+        payload = b"".join(bytes(p) for p in pdf["payload"])
+        return pd.DataFrame(
+            {"archive_id": [int(pdf["archive_id"].iloc[0]) % 8],
+             "payload": [payload]}
+        )
+
+    bundled = per_doc.groupBy(
+        (F.col("archive_id") % 8).alias("__bundle")
+    ).applyInPandas(bundle, "archive_id long, payload binary")
+    recs = warc_records_segmented(bundled, max_chunk_bytes=4096)
+    return (
+        recs.filter((F.col("rec_type") == "response")
+                    & (F.col("http_status") == 200))
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("bigint").alias("doc_id"),
             "target_uri",
             "http_status",
             html_text_col(F.col("body")).alias("text"),

@@ -77,6 +77,32 @@ def test_roundtrip_subframe_kinds():
     _roundtrip(rng.integers(-100, 100, (40000,)), block_size=256)
 
 
+def test_force_lpc_emits_lpc_subframes():
+    """force_lpc (the LPC-oracle knob) must emit LPC subframes even
+    where fixed would be cheaper, and stay bit-exact — including on a
+    triangle wave (the oracle corpus shape) and on a constant block
+    (degenerate autocorrelation falls back safely)."""
+    t = np.arange(160, dtype=np.int64)
+    p, b = 20 + 2 * (7 % 13), 7 % 17
+    tri = np.abs(2 * ((t + b) % p) - p) * 400 - 8000
+    plain = encode_flac(tri, 8000, 16, block_size=64, lpc_order=4)
+    forced = encode_flac(tri, 8000, 16, block_size=64, lpc_order=4,
+                         force_lpc=True)
+    assert forced != plain  # the knob changed the chosen subframes
+    for stream in (plain, forced):
+        dec, _, _ = decode_flac(stream)
+        assert (dec.reshape(-1) == tri).all()
+    # LPC subframe header: type bits 1xxxxx = 32 + order-1 = 0x23 for
+    # order 4; the first subframe byte after the frame header carries
+    # it as 0<type><wasted> = 0x46 — present in forced, not in plain
+    assert any(0x46 == x for x in forced)
+    # degenerate: constant signal, force_lpc must not crash
+    const = encode_flac(np.full(100, 7), 8000, 16, force_lpc=True,
+                        lpc_order=4)
+    dec, _, _ = decode_flac(const)
+    assert (dec.reshape(-1) == 7).all()
+
+
 @pytest.mark.parametrize("sr", [8000, 11025, 44100, 88200, 655350])
 def test_roundtrip_sample_rates(sr):
     """Covers the fixed-table, 16-bit-Hz and Hz/10 header codings."""
