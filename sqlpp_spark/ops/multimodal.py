@@ -111,6 +111,55 @@ def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
 
 
+def synthesize_webp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL WebP (VP8L lossless) payloads with CLOSED-FORM pixels: per
+    doc a w×h RGB image with gray value ((x + 3y + id) mod 8) * 36,
+    w = id%13+4, h = id%11+4, encoded by ops/webpcodec.py. The encoder
+    configuration ROTATES by id mod 6 — plain literals, subtract-green
+    + LZ77, packed palette (8 colors → 4-bit pixel bundling), predictor
+    transform + color cache, cross-channel color transform + cache +
+    LZ77, and a meta-prefix (huffman-image) stream — so ONE SQL oracle
+    certifies every inverse-transform decode path at once (all six
+    variants decode to the identical formula)."""
+    import numpy as np
+
+    from sqlpp_spark.ops import webpcodec as WC
+
+    schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 13 + 4, did % 11 + 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                gray = (((xx + 3 * yy + did) % 8) * 36).astype(np.uint8)
+                img = np.stack([gray, gray, gray], axis=-1)
+                variant = did % 6
+                if variant == 0:
+                    data = WC.encode_webp_lossless(img, use_lz77=False)
+                elif variant == 1:
+                    data = WC.encode_webp_lossless(img, subtract_green=True)
+                elif variant == 2:
+                    data = WC.encode_webp_lossless(img, palette=True)
+                elif variant == 3:
+                    data = WC.encode_webp_lossless(
+                        img, predictor_mode=(did // 6) % 14, cache_bits=4
+                    )
+                elif variant == 4:
+                    data = WC.encode_webp_lossless(
+                        img, color_transform=(37, 220, 100), cache_bits=3
+                    )
+                else:
+                    data = WC.encode_webp_lossless(img, huffman_bits=2)
+                out["media_id"].append(did)
+                out["payload"].append(data)
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
 def synthesize_png_variants_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """CLOSED-FORM pixels through the HARD PNG paths: per doc the
     formula image ((x + 3y + id) mod 256) is encoded rotating through
@@ -552,6 +601,18 @@ def _decode_one(b: bytes, fallback: bool):
             if not HAS_PIL and not fallback:
                 raise
             # fall through to PIL / raw-stats path below
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from sqlpp_spark.ops.webpcodec import WebpCodecError, decode_webp
+
+        try:
+            arr = decode_webp(b)
+            h, w, ch = arr.shape
+            return w, h, ch, float(arr.mean()), True
+        except WebpCodecError:
+            # lossy VP8 pixel decode stays the documented PIL/ffmpeg
+            # boundary; VP8L failures fall through like other codecs
+            if not HAS_PIL and not fallback:
+                raise
     if HAS_PIL:
         try:
             img = _PILImage.open(io.BytesIO(b))

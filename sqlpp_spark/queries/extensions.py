@@ -599,6 +599,50 @@ def multimodal_flac_lpc_decode_oracle(
 
 
 @register(
+    "multimodal_webp_decode_oracle",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         SUM(((x.i + 3 * y.i + d.doc_id) % 8) * 36) AS s
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS i) x,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS i) y
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(s AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_byte,
+       CAST(1 AS BIGINT) AS decoded
+FROM px
+""",
+)
+def multimodal_webp_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED WebP (VP8L lossless) decode — closing the WebP half of
+    the round-9 codec-boundary list the way FLAC closed the audio one:
+    payloads are real VP8L streams (ops/webpcodec.py: canonical prefix
+    codes, LZ77 + distance plane codes, color cache, and all FOUR
+    transforms) whose pixels are the closed formula
+    ((x + 3y + id) mod 8) * 36. The encoder configuration rotates by
+    id mod 6 across plain/subtract-green/packed-palette/predictor/
+    color-transform/meta-prefix streams, yet every variant must decode
+    to the identical formula — so this ONE hash-green row certifies
+    every inverse-transform path, the cache, and the huffman machinery
+    end to end against DuckDB's recomputation from the formula alone."""
+    from sqlpp_spark.ops.multimodal import decode_image, synthesize_webp_media
+
+    d = table(spark, sf_dir, "documents")
+    return decode_image(synthesize_webp_media(d)).select(
+        "media_id", "width", "height", "channels", "mean_byte",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )
+
+
+@register(
     "multimodal_png_decode_oracle",
     oracle="""
 WITH dims AS (

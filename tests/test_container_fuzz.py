@@ -52,6 +52,9 @@ def _targets():
     from sqlpp_spark.ops.warc import (
         WarcError, http_response_block, parse_warc, write_warc,
     )
+    from sqlpp_spark.ops.webpcodec import (
+        WebpCodecError, decode_webp, encode_webp_lossless,
+    )
 
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
     jpeg = IC.encode_jpeg(np.stack([img] * 3, axis=-1))
@@ -109,13 +112,20 @@ def _targets():
             ),
             decode_flac, AudioCodecError,  # FlacError subclasses it
         ),
+        "webp": (
+            encode_webp_lossless(
+                np.stack([img] * 3, axis=-1),
+                subtract_green=True, cache_bits=4,
+            ),
+            decode_webp, WebpCodecError,
+        ),
     }
     assert issubclass(FlacError, AudioCodecError)
     return targets
 
 
 NAMES = ["mp4", "flac", "ogg", "exif", "warc", "gif", "mp3",
-         "flac_frames", "warc_seg"]
+         "flac_frames", "warc_seg", "webp"]
 
 
 if HAS_HYP:
