@@ -850,6 +850,8 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     restart_interval = 0
     progressive = False
     lossless = False
+    arithmetic = False
+    arith_cond: dict = {}  # DAC conditioning, keyed ("dc"|"ac", table)
     precision = 8
     coefs = None  # progressive: per-comp (BY, BX, 64) zigzag coef arrays
     geom = None  # (hmax, vmax, mcux, mcuy) once comps known
@@ -889,7 +891,8 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + nv])
                 htabs[(tc, th)] = _huff_decode_table(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # baseline / progressive / lossless
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
+            # baseline / extended / progressive / lossless / arithmetic
             _prec, h, w, ncomp = struct.unpack(">BHHB", body[0:6])
             lossless = marker == 0xC3
             if lossless:
@@ -905,15 +908,24 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 )
             precision = _prec
             progressive = marker == 0xC2
+            arithmetic = marker == 0xC9
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in _SOF_MARKERS:  # arithmetic / hierarchical variants
+        elif marker in _SOF_MARKERS:  # arith-progressive / hierarchical
             raise ImageCodecError(
                 f"unsupported JPEG coding (SOF{marker - 0xC0}): "
-                "baseline, progressive and lossless Huffman only"
+                "baseline/progressive/lossless Huffman and sequential "
+                "arithmetic (SOF9) only"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            from sqlpp_spark.ops.jpegarith import JpegArithError, parse_dac
+
+            try:
+                parse_dac(body, arith_cond)
+            except JpegArithError as e:
+                raise ImageCodecError(str(e)) from None
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[0:2])
         elif marker == 0xDA:  # SOS
@@ -933,6 +945,30 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 return _decode_lossless_scan(
                     data, pos + 2 + seg_len, w, h, comps, scan, htabs,
                     pred_sel, ahal2 & 0xF, precision, restart_interval,
+                )
+            if arithmetic:
+                from sqlpp_spark.ops.jpegarith import (
+                    JpegArithError, decode_arith_scan,
+                )
+
+                if any(c[1] not in (1, 2) or c[2] not in (1, 2) for c in comps):
+                    raise ImageCodecError("unsupported JPEG sampling factors")
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+                coefs = [
+                    np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+                    for _cid, ch, cv, _tq in comps
+                ]
+                try:
+                    decode_arith_scan(
+                        data, pos + 2 + seg_len, coefs, comps, scan,
+                        mcux, mcuy, restart_interval, arith_cond,
+                    )
+                except JpegArithError as e:
+                    raise ImageCodecError(str(e)) from None
+                return _finish_coefficients(
+                    coefs, comps, qtabs, w, h, (hmax, vmax, mcux, mcuy)
                 )
             if not progressive:
                 return _decode_scan(
