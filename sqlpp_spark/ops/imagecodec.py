@@ -1752,6 +1752,48 @@ def _default_scan_script(ncomp: int) -> list:
     ]
 
 
+def encode_jpeg_arithmetic(
+    arr: np.ndarray, quality: int = 85, subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (h, w[, 1|3]) → sequential ARITHMETIC-coded JFIF bytes
+    (SOF9, T.81 Annexes D & F). Shares ``_quantize_image`` with the
+    Huffman encoder, so an arithmetic stream and a Huffman stream of
+    the same image decode to bit-identical pixels; the entropy layer
+    lives in ops/jpegarith.py. Emits an explicit DAC segment carrying
+    the default conditioning (DC L=0/U=1, AC Kx=5) so conforming
+    decoders — including libjpeg-turbo, see tests/test_jpegarith.py —
+    need no out-of-band assumptions."""
+    from sqlpp_spark.ops.jpegarith import (
+        DEFAULT_AC_KX, DEFAULT_DC_L, DEFAULT_DC_U, encode_arith_scan,
+    )
+
+    (h, w, ncomp, samp, _hmax, _vmax, mcux, mcuy, qtabs, blocks_per_comp) = (
+        _quantize_image(arr, quality, subsampling)
+    )
+    scan_tables = [(min(ci, 1), min(ci, 1)) for ci in range(ncomp)]
+    scan = encode_arith_scan(
+        blocks_per_comp, samp, mcux, mcuy, scan_tables, restart_interval
+    )
+    out = _headers(h, w, ncomp, samp, qtabs, 0xC9)
+    dac = bytearray()
+    for ti in range(min(ncomp, 2)):
+        dac += bytes([ti, (DEFAULT_DC_U << 4) | DEFAULT_DC_L])  # Tc=0: DC
+        dac += bytes([0x10 | ti, DEFAULT_AC_KX])  # Tc=1: AC
+    out += _seg(0xCC, bytes(dac))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        ti = min(ci, 1)
+        sos += bytes([ci + 1, (ti << 4) | ti])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_progressive(
     arr: np.ndarray, quality: int = 85, subsampling: str = "444",
     scans: list | None = None, restart_interval: int = 0,

@@ -14,13 +14,20 @@ BIT-IDENTICAL pixels.
 
 Everything here derives from the PUBLIC T.81 specification. The
 Table D.3 values are the spec's published Qe/NMPS/NLPS/SWITCH rows
-(state 113 is the fixed x'5A1D' non-adapting bin used for AC signs).
-Conformance is not taken on faith: tests/test_jpegarith.py compiles a
-small C harness against the system libjpeg-turbo (which implements the
-same annexes) and proves byte-level interop in BOTH directions —
-libjpeg decodes our arithmetic streams to the same pixels as our
-Huffman streams, and our decoder recovers coefficient-exact data from
-libjpeg-transcoded arithmetic streams.
+(state 113 is the fixed x'5A1D' non-adapting bin used for AC signs);
+round 11 found and fixed a transcription error (an extra row near
+state 88 shifting the tail) that self-round-trip could not catch
+because encoder and decoder shared the broken table.
+Conformance is enforced by tests/test_jpegarith.py three ways:
+(1) committed known-answer vectors — libjpeg-turbo-produced
+arithmetic and Huffman streams of the same image that must decode
+bit-identically (no toolchain needed); (2) a SHA-256 pin of the
+Table D.3 rows as dumped from the system libjpeg's jpeg_aritab;
+(3) when gcc + jpeglib.h are present, a compiled C harness proving
+live interop in BOTH directions — libjpeg decodes our arithmetic
+streams (incl. restart markers and 4:2:0) to the same pixels as our
+Huffman streams, and our decoder recovers coefficient-exact data
+from libjpeg-encoded arithmetic streams.
 
 The reference engine (andreypopp/sqlpp) ships no codecs; this extends
 the multimodal decode surface (same role as ops/webpcodec.py and
@@ -59,19 +66,18 @@ _QE_TABLE = (
     (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
     (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
     (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
-    (0x0BB6, 79, 77, 0), (0x0A40, 48, 80, 0), (0x5832, 81, 81, 1),
-    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3A4D, 84, 90, 0),
-    (0x3268, 85, 91, 0), (0x2B67, 86, 93, 0), (0x2577, 87, 93, 0),
-    (0x1FE2, 71, 94, 0), (0x5C48, 89, 89, 1), (0x543D, 90, 95, 0),
-    (0x4CA9, 91, 96, 0), (0x44D9, 92, 97, 0), (0x3E22, 93, 99, 0),
-    (0x3824, 94, 99, 0), (0x32B4, 86, 100, 0), (0x2E17, 96, 93, 0),
-    (0x56A8, 97, 97, 1), (0x4F46, 98, 101, 0), (0x47E5, 99, 102, 0),
-    (0x41CF, 100, 103, 0), (0x3C3D, 101, 104, 0), (0x375E, 102, 99, 0),
-    (0x5231, 103, 105, 0), (0x4C0F, 104, 106, 0), (0x4639, 105, 107, 0),
-    (0x415E, 106, 103, 0), (0x5627, 107, 105, 1), (0x50E7, 108, 108, 0),
-    (0x4B85, 103, 109, 0), (0x5597, 109, 110, 0), (0x504F, 107, 111, 0),
-    (0x5A10, 111, 110, 1), (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1),
-    (0x5A1D, 113, 113, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
 )
 
 # T.81 F.1.4.4.1.3 / F.1.4.4.2: statistics areas. One byte per bin:
