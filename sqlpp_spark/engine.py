@@ -565,31 +565,42 @@ class SqlppEngine:
                 raise SqlppError(
                     f"UPDATE ... FROM requires a primary key on {upd.table}"
                 )
-            # r10 (reference parity, printer.ml:312-329 prints any
-            # analyzable predicate): IN/EXISTS conjuncts route through
-            # the same _matching_rows synthetic-select machinery as the
-            # plain UPDATE case — they narrow the TARGET side before
-            # the join; plain conjuncts stay in the joined filter.
-            # AND-conjuncts with subqueries must reference only the
-            # target table (they are evaluated before the FROM join).
+            # Reference parity (printer.ml:312-329 prints any
+            # analyzable predicate): IN/EXISTS conjuncts that resolve
+            # against the target alone narrow the TARGET side before
+            # the join (cheapest — the subquery semi-join runs on the
+            # small side); conjuncts referencing the FROM relations
+            # (r11, closes the r10 residual gap) are applied AFTER the
+            # join through the same IN/EXISTS semi/anti-join lowering
+            # the select compiler uses. Plain conjuncts stay in the
+            # joined filter.
             target = base
             plain_where = upd.where
+            post_join_subs: list = []
             if A.expr_has_subquery(upd.where):
                 sub_conjs, plain_conjs = [], []
                 for conj in self._split_conjuncts(upd.where):
                     (sub_conjs if A.expr_has_subquery(conj)
                      else plain_conjs).append(conj)
-                try:
+                target_subs = []
+                for conj in sub_conjs:
+                    probe = A.Select(
+                        fields=[A.Field(expr=A.EName(name=c), name=c)
+                                for c in cur.columns],
+                        from_=A.FromTable(upd.table, None),
+                        where=conj,
+                    )
+                    try:
+                        self.prepare_select_in(src, probe)
+                    except SqlppError:
+                        post_join_subs.append(conj)
+                    else:
+                        target_subs.append(conj)
+                if target_subs:
                     target = self._matching_rows(
                         upd.table, cur.columns,
-                        self._and_conjuncts(sub_conjs), src, binds,
+                        self._and_conjuncts(target_subs), src, binds,
                     ).alias(upd.table)
-                except SqlppError as e:
-                    raise SqlppError(
-                        "a subquery conjunct in UPDATE ... FROM may "
-                        "reference only the target table (it narrows "
-                        f"{upd.table} before the join): {e}"
-                    ) from None
                 plain_where = self._and_conjuncts(plain_conjs)
             self._analyze_extra_from(ctx, upd.from_, an)
             extra = comp._compile_from_node(ctx, upd.from_, binds)
@@ -597,6 +608,11 @@ class SqlppEngine:
             if plain_where is not None:
                 welab, _ = an.infer_expr(ctx, plain_where)
                 joined = joined.filter(comp.expr(welab, binds, {}))
+            for conj in post_join_subs:
+                # analyzed in the joined scope: probe exprs may now
+                # reference both the target and the FROM relations
+                celab, _ = an.infer_expr(ctx, conj)
+                joined = comp._apply_predicate(joined, ctx, celab, binds)
             set_cols = self._set_columns(upd, cols, an, ctx, comp, binds)
             from pyspark.sql import Window as W
 

@@ -629,7 +629,10 @@ def _encode_subframe(bw: _BitWriter, samples, bps: int,
                 best = (total, "lpc", try_lpc_order,
                         (method, param, res, coefs, shift))
     verbatim_cost = n * bps
-    if best[0] >= verbatim_cost:
+    # force_lpc is a test/oracle contract: when an LPC candidate was
+    # selected it must actually be emitted as LPC, even if the cost
+    # estimate says VERBATIM would be cheaper.
+    if best[0] >= verbatim_cost and not (force_lpc and best[1] == "lpc"):
         bw.write(0, 1)
         bw.write(1, 6)  # VERBATIM
         bw.write(0, 1)

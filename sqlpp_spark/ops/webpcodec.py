@@ -38,6 +38,12 @@ class WebpCodecError(Exception):
     """Malformed, truncated, or unsupported WebP payload."""
 
 
+# Pure-Python per-pixel decode: bound attacker-declared dimensions so a
+# tiny crafted header can't demand a 268M-pixel allocation (see
+# decode_webp). 64M pixels ≈ an 8192x8192 RGBA frame.
+_MAX_PIXELS = 1 << 26
+
+
 # ---------------------------------------------------------------------------
 # Bit I/O — VP8L packs bits LSB-first within little-endian bytes.
 # ---------------------------------------------------------------------------
@@ -1134,6 +1140,15 @@ def decode_webp(data: bytes) -> np.ndarray:
         raise WebpCodecError("bad VP8L signature")
     w = br.read(14) + 1
     h = br.read(14) + 1
+    if w * h > _MAX_PIXELS:
+        # decode_webp is reachable from decode_image on untrusted
+        # payloads; header dims can claim up to 16384x16384 (268M px)
+        # and LZ77 copies would then demand GBs of pure-Python lists
+        # before any later error — bound the allocation up front.
+        raise WebpCodecError(
+            f"VP8L dimensions {w}x{h} exceed the {_MAX_PIXELS} pixel "
+            "decode limit"
+        )
     alpha_hint = br.read_bit()
     if br.read(3) != 0:
         raise WebpCodecError("unsupported VP8L version")

@@ -103,6 +103,25 @@ def test_force_lpc_emits_lpc_subframes():
     assert (dec.reshape(-1) == 7).all()
 
 
+def test_force_lpc_beats_verbatim_override():
+    """Full-range white noise makes the LPC cost estimate exceed the
+    VERBATIM cost; the verbatim fallback must not silently override a
+    force_lpc selection (the LPC oracle contract guarantees LPC
+    subframes hash-verify as LPC)."""
+    rng = np.random.default_rng(9)
+    noise = rng.integers(-30000, 30000, 64).astype(np.int64)
+    forced = encode_flac(noise, 8000, 16, block_size=64, lpc_order=4,
+                         force_lpc=True)
+    dec, _, _ = decode_flac(forced)
+    assert (dec.reshape(-1) == noise).all()
+    # subframe header byte for LPC order 4: 0 + (32+3) + wasted=0 -> 0x46
+    assert 0x46 in forced
+    # and the plain encoder is free to pick VERBATIM here (0x02 header)
+    plain = encode_flac(noise, 8000, 16, block_size=64, lpc_order=4)
+    dec2, _, _ = decode_flac(plain)
+    assert (dec2.reshape(-1) == noise).all()
+
+
 @pytest.mark.parametrize("sr", [8000, 11025, 44100, 88200, 655350])
 def test_roundtrip_sample_rates(sr):
     """Covers the fixed-table, 16-bit-Hz and Hz/10 header codings."""

@@ -214,6 +214,22 @@ DIRECTED_PROGRAMS = [
          "where s.id = items.id and exists (select true from src "
          "where grp > 6) returning id, val", {}),
     ],
+    # r11: subquery conjuncts REFERENCING THE FROM RELATIONS — applied
+    # after the join via the select compiler's semi/anti-join lowering
+    # (previously an explicit engine error; the sql printer dialects
+    # always accepted the form)
+    [
+        ("update items set grp = s.grp + 30 from src as s "
+         "where s.id = items.id and s.grp in (select grp from src "
+         "where grp > 5) returning id, grp", {}),
+        ("update items set tag = concat(items.tag, '#') from src as s "
+         "where s.id = items.id and not (s.val in "
+         "(select val from src where val > 30)) returning id, tag", {}),
+        ("update items set val = s.val + 1 from src as s "
+         "where s.id = items.id and s.grp in (select grp from src) "
+         "and items.id in (select id from src where grp > 3) "
+         "returning id, val", {}),
+    ],
     # subquery predicates (select-based DML matching path): IN, NOT IN
     # against a NULL-bearing subquery column (three-valued: matches
     # nothing), uncorrelated EXISTS gate
@@ -390,16 +406,20 @@ try:
             k = draw(st.integers(0, 9))
             extra = (f" and items.grp < {draw(st.integers(0, 12))}"
                      if draw(st.booleans()) else "")
-            # r10: IN/EXISTS conjuncts in UPDATE ... FROM WHERE — they
-            # must reference only the TARGET table (engine narrows the
-            # target side before the join); qualified to avoid the
-            # id-name ambiguity DuckDB would reject in the joined scope
+            # IN/EXISTS conjuncts in UPDATE ... FROM WHERE: target-
+            # probing forms narrow before the join; r11 also allows
+            # probes referencing the FROM relation (applied after the
+            # join); qualified to avoid the id-name ambiguity DuckDB
+            # would reject in the joined scope
             if draw(st.booleans()):
                 neg = draw(st.sampled_from(["", "not "]))
                 sub = draw(st.sampled_from(["id", "grp", "id + 1"]))
                 w = (f" where grp > {draw(st.integers(4, 8))}"
                      if draw(st.booleans()) else "")
-                extra += (f" and ({neg}items.id in "
+                probe = draw(st.sampled_from(
+                    ["items.id", "s.id", "s.grp"]
+                ))
+                extra += (f" and ({neg}{probe} in "
                           f"(select {sub} from src{w}))")
             return (f"update items set grp = s.grp + {k}, val = s.val "
                     f"from src as s where s.id = items.id{extra}{ret}"), params

@@ -276,6 +276,20 @@ def test_bad_container_and_truncation_contract():
             pass
 
 
+def test_oversized_dimensions_rejected_before_allocation():
+    """A 5-byte crafted VP8L payload can declare 16384x16384 (268M
+    pixels); the decoder must reject it up front instead of feeding
+    per-pixel Python loops and LZ77 copies gigabytes of lists."""
+    import time
+
+    payload = b"\x2f\xff\xff\xff\xff"  # sig + w-1=16383, h-1=16383, ...
+    data = W._riff_wrap([(b"VP8L", payload)])
+    t0 = time.monotonic()
+    with pytest.raises(WebpCodecError, match="pixel"):
+        decode_webp(data)
+    assert time.monotonic() - t0 < 1.0  # failed fast, no allocation
+
+
 def test_version_and_signature_rejected():
     img = np.zeros((2, 2, 3), np.uint8)
     data = bytearray(encode_webp_lossless(img))
