@@ -297,13 +297,13 @@ def test_warc_second_review_regressions(spark):
 
 def test_update_from_subquery_where_supported(spark, tmp_path):
     """r10 (round-9 verdict ask #4): UPDATE ... FROM with IN/EXISTS in
-    WHERE executes (the r9 raise is gone) — target-only subquery
-    conjuncts narrow the target before the join; the printer renders
-    the same form (reference printer.ml:312-329 prints any analyzable
-    predicate). A subquery conjunct referencing the FROM relation
-    still errors, with a message naming the restriction."""
+    WHERE executes — target-only subquery conjuncts narrow the target
+    before the join; the printer renders the same form (reference
+    printer.ml:312-329 prints any analyzable predicate). r11: a
+    subquery conjunct referencing the FROM relation (the r10 residual
+    error) now also executes, applied after the join via the select
+    compiler's semi/anti-join lowering."""
     from sqlpp_spark.compiler.sqlgen import statement_sql
-    from sqlpp_spark.frontend.errors import SqlppError
 
     import test_fuzz_dml as FZ
 
@@ -316,9 +316,14 @@ def test_update_from_subquery_where_supported(spark, tmp_path):
     assert ret == [(1, 5), (2, 6), (3, 7)]
     sql = statement_sql(eng.env, src)
     assert "IN" in sql.upper() and "FROM" in sql.upper()
-    # correlated-with-FROM subquery conjunct: clear error, not silence
-    with pytest.raises(SqlppError, match="target table"):
-        eng.exec(
+    # FROM-referencing subquery conjunct: src grp 6 is the only one in
+    # (select grp from src where val is null) -> only item 2 updates
+    ret2 = sorted(
+        (r.id, r.grp)
+        for r in eng.exec(
             "update items set grp = 0 from src as s "
-            "where s.id = items.id and s.grp in (select grp from src)"
-        )
+            "where s.id = items.id and s.grp in "
+            "(select grp from src where val is null) returning id, grp"
+        ).collect()
+    )
+    assert ret2 == [(2, 0)]
