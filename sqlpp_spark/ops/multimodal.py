@@ -486,6 +486,67 @@ def synthesize_jpeg_media(
     return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
 
 
+def jpeg_arith_equivalence(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per doc: encode the closed-form gradient image BOTH as an
+    arithmetic-coded JPEG (SOF9, T.81 Annexes D & F) and as the
+    Huffman baseline, decode both with the pure-numpy codec, and
+    report whether the pixels are bit-identical. The two encoders
+    share ``_quantize_image`` (identical quantized coefficients), so
+    identical=1 holds iff the QM entropy decode is COEFFICIENT-EXACT —
+    the property the round-10 Qe-table transcription bug silently
+    broke while self-round-trips stayed green. One scan-stage
+    mapInPandas pass; nothing but the tiny result rows move."""
+    import numpy as np
+
+    from sqlpp_spark.ops import imagecodec as IC
+
+    schema = (
+        "media_id long, width int, height int, identical long, decoded long"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        subs = ("420", "422", "444")
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "identical", "decoded")}
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 13 + 9, did % 11 + 9
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (xx * 255 // max(w - 1, 1)),
+                        (yy * 255 // max(h - 1, 1)),
+                        ((xx + yy + did) % 256),
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                sub = subs[did % 3]
+                rst = 3 if did % 5 == 0 else 0  # restart-marker path too
+                try:
+                    pa = IC.decode_jpeg(IC.encode_jpeg_arithmetic(
+                        img, quality=85, subsampling=sub,
+                        restart_interval=rst,
+                    ))
+                    ph = IC.decode_jpeg(IC.encode_jpeg(
+                        img, quality=85, subsampling=sub,
+                        restart_interval=rst,
+                    ))
+                    ident = int(np.array_equal(pa, ph))
+                    dh, dw = pa.shape[:2]
+                    dec = 1
+                except IC.ImageCodecError:
+                    ident, dec, dh, dw = 0, 0, 0, 0
+                out["media_id"].append(did)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["identical"].append(ident)
+                out["decoded"].append(dec)
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
 def _u16_bytes(c):
     hi = (c / F.lit(256)).cast("int") % 256
     lo = c % 256

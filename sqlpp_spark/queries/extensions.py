@@ -863,6 +863,33 @@ def multimodal_jpeg_lossless_oracle(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "multimodal_jpeg_arith_oracle",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(doc_id % 13 + 9 AS INT) AS width,
+       CAST(doc_id % 11 + 9 AS INT) AS height,
+       CAST(1 AS BIGINT) AS identical,
+       CAST(1 AS BIGINT) AS decoded
+FROM documents
+""",
+)
+def multimodal_jpeg_arith_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED ARITHMETIC-JPEG decode (SOF9, T.81 Annexes D & F,
+    r11): per doc the corpus encodes the gradient image BOTH with the
+    QM arithmetic coder and the Huffman baseline (shared quantizer ⇒
+    identical coefficients), rotating subsampling and exercising the
+    restart-marker resync path, and asserts the decoded pixels are
+    BIT-IDENTICAL. identical=1 certifies coefficient-exact QM entropy
+    decode — the invariant the round-10 Qe-table transcription bug
+    broke while self-round-trips stayed green (tests/test_jpegarith.py
+    additionally pins this against the system libjpeg-turbo)."""
+    from sqlpp_spark.ops.multimodal import jpeg_arith_equivalence
+
+    d = table(spark, sf_dir, "documents")
+    return jpeg_arith_equivalence(d)
+
+
+@register(
     "multimodal_png_variants_oracle",
     oracle="""
 WITH dims AS (
