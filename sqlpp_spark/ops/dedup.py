@@ -618,6 +618,108 @@ def ngram_jaccard_pairs(
     return out
 
 
+def shingle_containment_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, threshold: float = 0.5, block_col: str | None = "lang",
+    allow_quadratic: bool = False,
+) -> DataFrame:
+    """DIRECTIONAL near-duplication: containment(A→B) =
+    |S(A) ∩ S(B)| / |S(A)| — the fraction of A's word-k-gram shingles
+    that also occur in B. Unlike (symmetric) Jaccard, containment
+    detects a SMALL document living inside a big one — quoted
+    passages, boilerplate-wrapped copies, article-in-aggregator pages
+    — which resemblance misses because the size imbalance crushes the
+    union term. Emits ordered pairs (id_a = the contained side) with
+    both set sizes so callers can distinguish wrap (sz_b >> sz_a)
+    from mutual near-dup (also caught by ngram_jaccard_pairs).
+
+    Scale path: PPJoin-style prefix filtering applied to the CONTAINED
+    side only (the asymmetry means the container side cannot be
+    pruned by its own size). Order each doc's shingles rarest-first by
+    global document frequency; if containment ≥ t then B must share
+    at least one of A's first ``sz_a - ceil(t·sz_a) + 1`` shingles —
+    otherwise at most ``ceil(t·sz_a) - 1`` could intersect. Candidates
+    are therefore prefix(A) equi-joined to the full shingle table
+    (bounded by Σ_s df_prefix(s)·df(s); rarest-first keeps
+    df_prefix small), then verified exactly via per-doc hash sets.
+    Same blocking/guard contract as ``ngram_jaccard_pairs``."""
+    from pyspark import StorageLevel
+
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "shingle_containment_pairs with block_col=None is all-pairs "
+            "quadratic; pass allow_quadratic=True for a bounded sample"
+        )
+    sh = shingle_hashes(df, text_col, id_col, k, fast_hash=True)
+    if block_col is not None:
+        blocks = df.select(F.col(id_col), F.col(block_col).alias("__blk"))
+        sh = sh.join(blocks, on=id_col)
+    else:
+        sh = sh.withColumn("__blk", F.lit(1))
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()  # eager: prefix + verify branches would race a lazy persist
+    freq = sh.groupBy("__blk", "sh_hash").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    w = W.partitionBy("__blk", id_col)
+    ranked = sh.join(freq, on=["__blk", "sh_hash"]).select(
+        F.col(id_col), F.col("__blk"), F.col("sh_hash"),
+        F.row_number()
+        .over(w.orderBy(F.col("__df").asc(), F.col("sh_hash").asc()))
+        .alias("__rn"),
+        F.count(F.lit(1)).over(w).alias("sz"),
+    )
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+    )
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "__blk", "sh_hash")
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), "__blk", "sh_hash"),
+            on=["__blk", "sh_hash"],
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = sh.groupBy(id_col).agg(
+        F.collect_set("sh_hash").alias("shs"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    inter = (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("shs").alias("__sa"),
+                F.col("sz").alias("sz_a"),
+            ),
+            on="id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("shs").alias("__sb"),
+                F.col("sz").alias("sz_b"),
+            ),
+            on="id_b",
+        )
+        .select(
+            "id_a", "id_b", "sz_a", "sz_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("n_inter"),
+        )
+    )
+    out = inter.select(
+        "id_a", "id_b",
+        (F.col("n_inter").cast("double") / F.col("sz_a").cast("double"))
+        .alias("containment"),
+        F.col("sz_a").cast("long").alias("sz_a"),
+        F.col("sz_b").cast("long").alias("sz_b"),
+    ).filter(F.col("containment") >= threshold)
+    out._sqlpp_persisted = [sh]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -390,9 +390,25 @@ def warc_records_segmented(
     identical rows to the direct parse (each chunk is a valid WARC
     stream and archive_id is preserved), with per-batch parse bytes
     bounded by ``max_chunk_bytes`` and chunks repartitioned so one
-    huge archive no longer serializes onto one task."""
-    segs = segment_warc_archives(df, max_chunk_bytes, strict)
-    return warc_records(segs.repartition("archive_id", "chunk_no"))
+    huge archive no longer serializes onto one task.
+
+    SIZE-GATED (r11): archives already under the chunk cap take the
+    direct parse path untouched — segmenting them is a no-op, and the
+    unconditional chunk repartition was a full shuffle of every
+    payload byte (measured ~20% on the sf0.1 crawl capstone, whose
+    per-doc archives are ~1 KB). Only oversized archives pay the
+    segmentation pass + repartition; both branches stay lazy (the
+    gate is a filter on ``length(payload)``, no driver action), and
+    the union preserves the exact record rows of the direct parse."""
+    src = df.select("archive_id", "payload")
+    small = src.filter(
+        F.length("payload") <= F.lit(int(max_chunk_bytes))
+    )
+    big = src.filter(F.length("payload") > F.lit(int(max_chunk_bytes)))
+    segs = segment_warc_archives(big, max_chunk_bytes, strict)
+    return warc_records(small).unionByName(
+        warc_records(segs.repartition("archive_id", "chunk_no"))
+    )
 
 
 def synthesize_warc_media(

@@ -186,6 +186,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH {_shingle_cte(3)},
+blocked AS (
+  SELECT s.doc_id, s.sh_hash, d.lang AS blk
+  FROM sh_hashes s JOIN documents d USING (doc_id)
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM blocked GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.sh_hash = b.sh_hash AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment,
+       CAST(sa.sz AS BIGINT) AS sz_a,
+       CAST(sb.sz AS BIGINT) AS sz_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.5
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL shingle containment (|S(A)∩S(B)|/|S(A)| ≥ 0.5,
+    word-3-grams, lang blocks): catches a small document living inside
+    a larger one (quotes, boilerplate wraps, aggregator pages), which
+    symmetric Jaccard misses when the size imbalance crushes the union
+    term. PPJoin-style prefix filtering on the contained side; DuckDB
+    replays the exact set arithmetic."""
+    return D.shingle_containment_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.5, block_col="lang"
+    )
+
+
 def _minhash_oracle(k: int = 3, n_perms: int = 16, bands: int = 4, threshold: float = 0.7) -> str:
     rows = n_perms // bands
     mh_cols = ",\n         ".join(

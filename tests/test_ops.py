@@ -448,6 +448,57 @@ def test_ngram_jaccard_unblocked_requires_opt_in(spark, docs):
         ngram_jaccard_pairs(docs, block_col=None)
 
 
+def test_containment_prefix_filter_is_exact(spark, docs):
+    """The prefix-filtered containment candidates must reproduce the
+    brute-force result exactly — the prefix bound on the contained
+    side is an optimization, not an approximation — and a document
+    embedded verbatim inside a larger one must score containment 1.0
+    in that direction only (the property symmetric Jaccard misses)."""
+    from sqlpp_spark.ops.dedup import shingle_containment_pairs
+
+    sample = docs.limit(80)
+    got = {
+        (r.id_a, r.id_b): (round(r.containment, 12), r.sz_a, r.sz_b)
+        for r in shingle_containment_pairs(
+            sample, threshold=0.3, block_col="lang"
+        ).collect()
+    }
+    # brute force in local python over the same shingle definition
+    from sqlpp_spark.ops.dedup import shingle_hashes
+
+    sh = shingle_hashes(sample, fast_hash=True).join(
+        sample.select("doc_id", "lang"), on="doc_id"
+    ).collect()
+    sets: dict = {}
+    lang: dict = {}
+    for r in sh:
+        sets.setdefault(r.doc_id, set()).add(r.sh_hash)
+        lang[r.doc_id] = r.lang
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b or lang[a] != lang[b]:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= 0.3:
+                want[(a, b)] = (round(c, 12), len(sa), len(sb))
+    assert got == want
+
+    # directional: small doc embedded in a big one
+    rows = [(1, "alpha beta gamma delta epsilon", "en"),
+            (2, "zero one two alpha beta gamma delta epsilon nine ten "
+                "eleven twelve thirteen fourteen fifteen", "en")]
+    d2 = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        (r.id_a, r.id_b): r.containment
+        for r in shingle_containment_pairs(
+            d2, threshold=0.9, block_col="lang"
+        ).collect()
+    }
+    assert out.get((1, 2)) == 1.0
+    assert (2, 1) not in out  # the big doc is NOT contained in the small
+
+
 def test_simhash_banded_equals_bruteforce_hamming(spark, docs):
     """The banded hamming<=d join is pigeonhole-complete: result must
     EQUAL the brute-force all-pairs hamming computation."""
