@@ -119,13 +119,21 @@ def _targets():
             ),
             decode_webp, WebpCodecError,
         ),
+        # r11: the QM arithmetic entropy path (SOF9 + DAC + restarts)
+        "jpeg_arith": (
+            IC.encode_jpeg_arithmetic(
+                np.stack([img] * 3, axis=-1), quality=85,
+                subsampling="420", restart_interval=2,
+            ),
+            IC.decode_jpeg, IC.ImageCodecError,
+        ),
     }
     assert issubclass(FlacError, AudioCodecError)
     return targets
 
 
 NAMES = ["mp4", "flac", "ogg", "exif", "warc", "gif", "mp3",
-         "flac_frames", "warc_seg", "webp"]
+         "flac_frames", "warc_seg", "webp", "jpeg_arith"]
 
 
 if HAS_HYP:
