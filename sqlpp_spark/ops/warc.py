@@ -344,7 +344,8 @@ def warc_records(df: DataFrame) -> DataFrame:
 def segment_warc_archives(
     df: DataFrame, max_chunk_bytes: int = 1 << 20, strict: bool = False,
 ) -> DataFrame:
-    """(archive_id, payload) -> (archive_id, chunk_no, payload) with
+    """(archive_id, payload) -> (archive_id, chunk_no, n_chunks,
+    payload) with
     each output payload a stand-alone WARC stream of at most
     ``max_chunk_bytes`` (record-boundary splits; an oversized single
     record is its own chunk, or a loud error under ``strict``).
@@ -357,11 +358,14 @@ def segment_warc_archives(
     parallelism for big archives. Malformed archives pass through
     un-split (chunk_no 0) so warc_records still yields their
     decoded=false row."""
-    schema = "archive_id long, chunk_no long, payload binary"
+    schema = (
+        "archive_id long, chunk_no long, n_chunks long, payload binary"
+    )
 
     def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"archive_id": [], "chunk_no": [], "payload": []}
+            out = {"archive_id": [], "chunk_no": [], "n_chunks": [],
+                   "payload": []}
             for aid, payload in zip(pdf["archive_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 try:
@@ -375,6 +379,7 @@ def segment_warc_archives(
                 for i, (s, e) in enumerate(chunks):
                     out["archive_id"].append(aid)
                     out["chunk_no"].append(i)
+                    out["n_chunks"].append(len(chunks))
                     out["payload"].append(b[s:e])
             yield pd.DataFrame(out)
 
@@ -385,6 +390,7 @@ def segment_warc_archives(
 
 def warc_records_segmented(
     df: DataFrame, max_chunk_bytes: int = 1 << 20, strict: bool = False,
+    spread: bool = True,
 ) -> DataFrame:
     """``warc_records`` over a record-boundary-segmented archive frame:
     identical rows to the direct parse (each chunk is a valid WARC
@@ -392,23 +398,23 @@ def warc_records_segmented(
     bounded by ``max_chunk_bytes`` and chunks repartitioned so one
     huge archive no longer serializes onto one task.
 
-    SIZE-GATED (r11): archives already under the chunk cap take the
-    direct parse path untouched — segmenting them is a no-op, and the
-    unconditional chunk repartition was a full shuffle of every
-    payload byte (measured ~20% on the sf0.1 crawl capstone, whose
-    per-doc archives are ~1 KB). Only oversized archives pay the
-    segmentation pass + repartition; both branches stay lazy (the
-    gate is a filter on ``length(payload)``, no driver action), and
-    the union preserves the exact record rows of the direct parse."""
-    src = df.select("archive_id", "payload")
-    small = src.filter(
-        F.length("payload") <= F.lit(int(max_chunk_bytes))
-    )
-    big = src.filter(F.length("payload") > F.lit(int(max_chunk_bytes)))
-    segs = segment_warc_archives(big, max_chunk_bytes, strict)
-    return warc_records(small).unionByName(
-        warc_records(segs.repartition("archive_id", "chunk_no"))
-    )
+    ``spread`` (r11): the chunk repartition is a full shuffle of the
+    payload bytes whose ONLY purpose is intra-archive parallelism —
+    letting one GB-scale archive's chunks parse across tasks (the
+    rehearsal-measured win for huge archives). The Arrow batch-bytes
+    bound itself comes from the segmentation, not the shuffle, so
+    callers whose archives are individually small (e.g. the
+    per-document crawl capstone, where the blanket shuffle measured
+    ~20% of the whole pipeline) pass ``spread=False`` and parse
+    chunks in place with zero shuffle. Filter-based routing (split
+    archives shuffle, solo archives don't) was evaluated and
+    rejected: a DataFrame consumed by two union branches re-executes
+    its whole lineage, so the "gate" re-ran the upstream synthesis/
+    scan twice and cost more than it saved at both corpus shapes."""
+    segs = segment_warc_archives(df, max_chunk_bytes, strict)
+    if spread:
+        segs = segs.repartition("archive_id", "chunk_no")
+    return warc_records(segs)
 
 
 def synthesize_warc_media(

@@ -580,7 +580,9 @@ def web_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
-    recs = warc_records_segmented(synthesize_warc_media(d))
+    # spread=False: per-document archives never split, so the chunk
+    # repartition would be a pure payload shuffle with nothing to gain
+    recs = warc_records_segmented(synthesize_warc_media(d), spread=False)
     return (
         recs.filter((F.col("rec_type") == "response")
                     & (F.col("http_status") == 200))
@@ -768,7 +770,7 @@ def pipeline_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _with_url4(table(spark, sf_dir, "documents"))
     archives = synthesize_warc_media(d, uri_col="url")
-    recs = warc_records_segmented(archives).filter(
+    recs = warc_records_segmented(archives, spread=False).filter(
         (F.col("rec_type") == "response") & (F.col("http_status") == 200)
     )
     docs = recs.select(
