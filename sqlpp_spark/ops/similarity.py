@@ -714,35 +714,38 @@ def knn_graph(
         centroids = ivf_centroids(corpus, n_cells, seed, vec_col)
         cell_ids = None
     corpus = ensure_parallelism(corpus)
+    base = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
     if len(centroids) > CELL_EXPR_MAX:
         # √n-grown cell counts: centroids ride a broadcast column, not
         # the expression tree (see CELL_EXPR_MAX) — bit-equal results
-        base = corpus.select(
-            F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
-        )
         probed = _with_probe_cells(base, "v", centroids, cell_ids,
                                    n_probe, "__probes")
-        c = probed.select(
-            F.col("vid").alias("cand_id"), F.col("v").alias("cv"),
-            F.element_at("__probes", 1).alias("cell"),
-        )
-        q = probed.select(
-            F.col("vid").alias("query_id"), F.col("v").alias("qv"),
-            F.explode("__probes").alias("cell"),
-        )
     else:
-        c = corpus.select(
-            F.col(id_col).alias("cand_id"),
-            F.col(vec_col).alias("cv"),
-            _nearest_cells(F.col(vec_col), centroids, 1, cell_ids)[0].alias("cell"),
+        probed = base.withColumn(
+            "__probes",
+            _nearest_cells(F.col("v"), centroids, n_probe, cell_ids),
         )
-        q = corpus.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            F.explode(
-                _nearest_cells(F.col(vec_col), centroids, n_probe, cell_ids)
-            ).alias("cell"),
-        )
+    # r11: BOTH join sides derive from `probed`; unpersisted, each
+    # branch re-executed the per-row distance fold over every centroid
+    # (the dominant per-row cost — 2× at k cells). Persist + eager
+    # count so the fold runs once; released via _sqlpp_persisted.
+    # element_at(probes, 1) on the shared array is the same nearest
+    # cell the candidate side used to compute separately (identical
+    # (dist, cell) array_sort tie-break), so results are unchanged.
+    from pyspark import StorageLevel
+
+    probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
+    probed.count()
+    c = probed.select(
+        F.col("vid").alias("cand_id"), F.col("v").alias("cv"),
+        F.element_at("__probes", 1).alias("cell"),
+    )
+    q = probed.select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv"),
+        F.explode("__probes").alias("cell"),
+    )
     scored = (
         q.join(c, on="cell")
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -752,7 +755,7 @@ def knn_graph(
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -760,6 +763,8 @@ def knn_graph(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+    out._sqlpp_persisted = [probed]
+    return out
 
 
 def knn_density(
@@ -779,7 +784,7 @@ def knn_density(
     g = knn_graph(
         corpus, k, n_cells, n_probe, seed, vec_col, id_col, quantizer
     )
-    return g.groupBy(F.col("query_id").alias(id_col)).agg(
+    out = g.groupBy(F.col("query_id").alias(id_col)).agg(
         F.count(F.lit(1)).alias("n_neighbors"),
         (
             F.sum(F.round(F.col("cos"), 9).cast("decimal(20,9)"))
@@ -787,6 +792,9 @@ def knn_density(
             / F.count(F.lit(1))
         ).alias("density"),
     )
+    # propagate the graph's persisted probe frame to the new handle
+    out._sqlpp_persisted = getattr(g, "_sqlpp_persisted", [])
+    return out
 
 
 def label_centroid_outliers(
