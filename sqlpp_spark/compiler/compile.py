@@ -160,6 +160,12 @@ class Compiler:
         if sel.having is not None:
             exprs.append(sel.having)
         exprs.extend(o.expr for o in sel.order_by)
+        for e in exprs:
+            if any(isinstance(n, A.EScalarSub) for n in _iter_nodes(e)):
+                raise SqlppError(
+                    "scalar subqueries are not supported in the "
+                    "projection/HAVING/ORDER BY of a grouped select"
+                )
         agg_apps: Dict[tuple, A.EApp] = {}
         for e in exprs:
             for app in _iter_agg_apps(e):
@@ -301,7 +307,8 @@ class Compiler:
         # the flag's three-valued NULL propagates through OR exactly
         # like SQL (NULL rows are dropped by the filter).
         if any(
-            isinstance(n, (A.EIn, A.EExists)) for n in _iter_nodes(pred)
+            isinstance(n, (A.EIn, A.EExists, A.EScalarSub))
+            for n in _iter_nodes(pred)
         ):
             df, scalar_map = self._attach_scalar_subqueries(df, [pred], binds)
             return df.filter(self.expr(pred, binds, scalar_map))
@@ -362,7 +369,66 @@ class Compiler:
                     marker = sub_df.limit(1).select(F.lit(True).alias(flag))
                     df = df.join(marker, on=F.lit(True), how="left")
                     scalar_map[id(node)] = F.col(flag).isNotNull()
+                elif (
+                    isinstance(node, A.EScalarSub)
+                    and id(node) not in scalar_map
+                ):
+                    df = self._attach_one_scalar_sub(
+                        df, node, binds, scalar_map
+                    )
         return df, scalar_map
+
+    def _attach_one_scalar_sub(
+        self, df: DataFrame, node: "A.EScalarSub", binds: Bindings,
+        scalar_map: Dict[int, Column],
+    ) -> DataFrame:
+        """Scalar subquery attachment (r11, beyond reference).
+
+        Uncorrelated: the analyzer guarantees a single global-aggregate
+        field, so the compiled subquery is EXACTLY one row — broadcast
+        cross join, no marker machinery needed. Correlated: textbook
+        equality decorrelation — the subquery's FROM + residual WHERE
+        (the analyzer re-inserted correlation conjuncts are marked
+        ``_corr`` and skipped here) grouped by the inner correlation
+        expressions, left-joined to the outer frame on the outer
+        expressions. An unmatched outer row reads NULL, except count
+        aggregates which coalesce to 0 (SQL's empty-group count)."""
+        alias = self._fresh("__ssq")
+        val = f"{alias}_v"
+        sub_ctx = node.sub_ctx
+        if not node.corr:
+            sub_df = self.compile_select(sub_ctx, binds).toDF(val)
+            scalar_map[id(node)] = F.col(val)
+            return df.join(
+                F.broadcast(sub_df), on=F.lit(True), how="left"
+            )
+        sub_sel = sub_ctx.select
+        inner = self._compile_from(sub_ctx, sub_sel.from_, binds)
+        if sub_sel.where is not None:
+            for conj in _split_conjuncts(sub_sel.where):
+                if getattr(conj, "_corr", False):
+                    continue
+                inner = self._apply_predicate(inner, sub_ctx, conj, binds)
+        keys = [
+            self.expr(ie, binds, {}).alias(f"{alias}_k{i}")
+            for i, (ie, _oe) in enumerate(node.corr)
+        ]
+        fexpr = next(f for f in sub_ctx.fields if f.is_used).expr
+        sub_df = inner.groupBy(*keys).agg(
+            self._agg_column(fexpr, binds).alias(val)
+        )
+        cond = None
+        for i, (_ie, oe) in enumerate(node.corr):
+            c = self.expr(oe, binds, {}) == F.col(f"{alias}_k{i}")
+            cond = c if cond is None else (cond & c)
+        df = df.join(sub_df, on=cond, how="left").drop(
+            *[f"{alias}_k{i}" for i in range(len(node.corr))]
+        )
+        col = F.col(val)
+        if node.agg_fn in ("count", "count_distinct"):
+            col = F.coalesce(col, F.lit(0))  # empty group counts as 0
+        scalar_map[id(node)] = col
+        return df
 
     def _fresh(self, prefix: str) -> str:
         self._subquery_n += 1
@@ -405,6 +471,14 @@ class Compiler:
                 raise SqlppError(
                     "EXISTS is only supported in WHERE conjunctions "
                     "or the projection of an ungrouped select"
+                )
+            return col
+        if isinstance(e, A.EScalarSub):
+            col = scalar_map.get(id(e))
+            if col is None:
+                raise SqlppError(
+                    "scalar subqueries are supported in WHERE and in the "
+                    "projection/ORDER BY of an ungrouped select"
                 )
             return col
         if isinstance(e, A.EAscribe):
@@ -602,6 +676,8 @@ def _iter_nodes(e: A.Expr):
     elif isinstance(e, A.EIn):
         for x in e.exprs:
             yield from _iter_nodes(x)
+    # EScalarSub: yielded as a node (first line); its select is a
+    # separate scope — never descended into
 
 
 def _const_int(e: A.Expr, binds: Bindings) -> int:

@@ -249,6 +249,11 @@ class SqlGen:
             return f"({lhs} {op} ({self.select(e.sub_ctx)}))"
         if isinstance(e, A.EExists):
             return f"EXISTS ({self.select(e.sub_ctx)})"
+        if isinstance(e, A.EScalarSub):
+            # the analyzer re-inserted elaborated correlation conjuncts
+            # into the sub's WHERE (marked _corr), so this prints the
+            # ordinary correlated scalar-subquery SQL
+            return f"({self.select(e.sub_ctx)})"
         if isinstance(e, A.EApp):
             return self._app(e)
         raise SqlppError(f"cannot render {type(e).__name__} as SQL")

@@ -531,6 +531,8 @@ class Analyzer:
             sub = self.analyze_select(e.select)
             e.sub_ctx = sub
             return e, BOOL
+        if isinstance(e, A.EScalarSub):
+            return self._infer_scalar_sub(ctx, e)
         raise SqlppError(f"cannot infer {type(e).__name__}", getattr(e, "loc", None), self.src or None)
 
     # -- params ------------------------------------------------------------
@@ -909,6 +911,127 @@ class Analyzer:
             non_null = non_null and ty.non_null and cty.non_null
         return e, BOOL.with_non_null(non_null)
 
+    def _infer_scalar_sub(
+        self, ctx: SelectCtx, e: A.EScalarSub
+    ) -> Tuple[A.Expr, Ty]:
+        """Scalar subquery (beyond-reference extension, r11 — see
+        ast.EScalarSub). The select must project exactly ONE field
+        holding a single global aggregate (``group by ()``), so the
+        result is one row by construction. Correlation: when analysis
+        fails on an unresolved column that a top-level ``=`` conjunct
+        mentions, that conjunct is lifted out and analysis retried;
+        lifted conjuncts become (inner, outer) equality pairs — inner
+        side elaborated in the subquery scope, outer side in the
+        ENCLOSING scope — compiled by the backend as a grouped left
+        join (the textbook equality decorrelation). The elaborated
+        conjuncts are re-inserted into the analyzed WHERE marked
+        ``_corr`` so SQL printers emit the ordinary correlated form
+        while the Spark compiler skips them in the residual filter."""
+        conjs = _split_and(e.select.where)
+        lifted: set = set()
+        sub_ctx = None
+        last_err = None
+        saved_params = {k: v for k, v in self.params.items()}
+        for _ in range(len(conjs) + 1):
+            trial = copy.deepcopy(e.select)
+            tconjs = _split_and(trial.where)
+            trial.where = _join_and(
+                [c for i, c in enumerate(tconjs) if i not in lifted]
+            )
+            self.params = {k: v for k, v in saved_params.items()}
+            try:
+                sub_ctx = self.analyze_select(trial)
+                break
+            except SqlppError as err:
+                last_err = err
+                m = _re.search(
+                    r"(?:no such column|ambiguous column|no such scope)"
+                    r": (\w+)", str(err)
+                )
+                if m is None:
+                    raise
+                name = m.group(1)
+                pick = None
+                for i, c in enumerate(conjs):
+                    if i in lifted or not (
+                        isinstance(c, A.EApp) and c.fn == "="
+                        and len(c.args) == 2
+                    ):
+                        continue
+                    if any(
+                        (isinstance(n, A.EName) and n.name == name)
+                        or (isinstance(n, A.ENav) and n.scope == name)
+                        for a in c.args for n in _iter_subnodes(a)
+                    ):
+                        pick = i
+                        break
+                if pick is None:
+                    raise
+                lifted.add(pick)
+        if sub_ctx is None:
+            raise last_err  # pragma: no cover — loop always resolves
+        fields = [f for f in sub_ctx.fields if f.is_used]
+        if len(fields) != 1:
+            self.err(
+                "scalar subquery must select exactly one column", e.loc
+            )
+        fexpr = fields[0].expr
+        if not (
+            isinstance(fexpr, A.EApp) and fexpr.fn.lower() in AGG_FNS
+        ):
+            self.err(
+                "scalar subquery must select a single aggregate "
+                "(count/sum/max/min/avg)", e.loc,
+            )
+        if e.select.group_by is None or sub_ctx.group_exprs:
+            self.err(
+                "scalar subquery must aggregate globally — "
+                "add `group by ()`", e.loc,
+            )
+        e.agg_fn = fexpr.fn.lower()
+        for i in sorted(lifted):
+            conj = conjs[i]
+            l, r = conj.args
+            li = self._try_infer(sub_ctx, l)
+            ri = self._try_infer(sub_ctx, r)
+            lo = self._try_infer(ctx, l)
+            ro = self._try_infer(ctx, r)
+            if li is not None and ro is not None:
+                (inner, ity), (outer, oty) = li, ro
+            elif ri is not None and lo is not None:
+                (inner, ity), (outer, oty) = ri, lo
+            else:
+                self.err(
+                    "unsupported correlation in scalar subquery: only "
+                    "`inner = outer` equality conjuncts may reference "
+                    "the enclosing scope", conj.loc,
+                )
+            numeric = (ity.kinds | oty.kinds) <= frozenset({"int", "float"})
+            if not (ity.kinds & oty.kinds) and not numeric:
+                self.err(f"expected {ity} but got {oty}", conj.loc)
+            e.corr.append((inner, outer))
+            marked = A.EApp("=", [inner, outer], loc=conj.loc)
+            marked.ty = BOOL
+            marked._corr = True
+            w = sub_ctx.select.where
+            sub_ctx.select.where = (
+                marked if w is None else A.EApp("and", [w, marked])
+            )
+            sub_ctx.select.where.ty = BOOL
+        e.sub_ctx = sub_ctx
+        fty = fexpr.ty
+        if e.agg_fn in ("count", "count_distinct"):
+            fty = fty.with_non_null(True)  # missing group coalesces to 0
+        elif e.corr:
+            fty = fty.with_non_null(False)  # unmatched outer row → NULL
+        return e, fty
+
+    def _try_infer(self, ctx: SelectCtx, expr: A.Expr):
+        try:
+            return self.infer_expr(ctx, copy.deepcopy(expr))
+        except SqlppError:
+            return None
+
     # -- aggregate validation ----------------------------------------------
 
     def _reject_agg(self, e: A.Expr, where: str) -> None:
@@ -1014,6 +1137,33 @@ def _nav_chain(path: List[str], inner: A.Expr, loc: Loc) -> A.ENav:
     for name in reversed(path):
         e = A.ENav(scope=name, expr=e, loc=loc)
     return e
+
+
+def _split_and(e):
+    """Top-level AND conjuncts of an (unelaborated) predicate."""
+    if e is None:
+        return []
+    if isinstance(e, A.EApp) and e.fn.lower() == "and" and len(e.args) == 2:
+        return _split_and(e.args[0]) + _split_and(e.args[1])
+    return [e]
+
+
+def _join_and(conjs):
+    out = None
+    for c in conjs:
+        out = c if out is None else A.EApp("and", [out, c], loc=c.loc)
+    return out
+
+
+def _iter_subnodes(e):
+    """Every expression node below ``e`` (raw AST walk, subqueries not
+    entered — used to match an unresolved-name error to the conjunct
+    that mentions it)."""
+    yield e
+    for child in getattr(e, "args", None) or []:
+        yield from _iter_subnodes(child)
+    if isinstance(e, (A.EAscribe, A.ENav)):
+        yield from _iter_subnodes(e.expr)
 
 
 def _iter_refs(e: A.Expr):

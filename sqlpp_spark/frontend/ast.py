@@ -76,6 +76,25 @@ class EExists(Expr):
 
 
 @dataclass
+class EScalarSub(Expr):
+    """Scalar-position subquery ``(select agg(..) from .. group by ())``
+    — a BEYOND-REFERENCE extension (r11): the reference's subselects
+    appear only in FROM/IN/EXISTS positions (analyze.ml:430-442).
+    The select must project exactly one field, a single global
+    aggregate (``group by ()``, the dialect's global-agg spelling), so
+    the ≤1-row property holds by construction — no runtime multi-row
+    error path. Equality conjuncts referencing the OUTER scope are
+    decorrelated by the analyzer into ``corr`` (inner_expr,
+    outer_expr) pairs, compiled as a grouped left join; they are
+    re-inserted into the analyzed select's WHERE (marked ``_corr``)
+    so the SQL printers emit the standard correlated form."""
+
+    select: "Select" = None
+    corr: list = field(default_factory=list)  # [(inner_elab, outer_elab)]
+    agg_fn: str = ""  # lowercase fn of the lone aggregate (count → 0)
+
+
+@dataclass
 class EAscribe(Expr):
     expr: Expr = None
     to_ty: Ty = None
@@ -348,6 +367,8 @@ def expr_key(e: Expr) -> tuple:
         return ("in", e.negated, tuple(expr_key(x) for x in e.exprs), id(e.select))
     if isinstance(e, EExists):
         return ("exists", id(e.select))
+    if isinstance(e, EScalarSub):
+        return ("scalarsub", id(e.select))
     if isinstance(e, EMatch):
         return (
             "match",
@@ -363,7 +384,7 @@ def expr_has_subquery(e) -> bool:
     join rewrites instead of a scalar Column in the engine."""
     if e is None:
         return False
-    if isinstance(e, (EIn, EExists)):
+    if isinstance(e, (EIn, EExists, EScalarSub)):
         return True
     for child in getattr(e, "args", None) or []:
         if expr_has_subquery(child):

@@ -590,6 +590,15 @@ class Parser:
             return self._match()
         if t.kind == "punct" and t.value == "(":
             self.advance()
+            # scalar subquery: (select ...) in expression position
+            # (beyond-reference extension; see ast.EScalarSub)
+            if self.cur.kind == "kw" and self.cur.value.lower() == "select":
+                sel = self.select()
+                self.expect_punct(")")
+                return A.EScalarSub(
+                    select=sel,
+                    loc=Loc.span(t.loc, self.toks[self.i - 1].loc),
+                )
             e = self.expr()
             if self.eat_punct(","):
                 # tuple-IN: (a, b, ...) IN (select ...)

@@ -179,3 +179,36 @@ _VARIANT_SRC = (
 )
 _VARIANT_BINDS = {"f": ("ByNation", {"n": 7})}
 SQLPP_SOURCES["sqlpp_variant_param"] = (_VARIANT_SRC, _VARIANT_BINDS)
+
+
+# -- scalar subqueries (beyond-reference extension, r11) ---------------------
+# A scalar-position (select agg(..) .. group by ()) — uncorrelated
+# compiles to a broadcast one-row cross join; equality-correlated
+# forms decorrelate to a grouped left join (frontend/analyze.py
+# _infer_scalar_sub, compiler/compile.py _attach_one_scalar_sub).
+
+_sqlpp(
+    "sqlpp_scalar_subquery",
+    "select n_name as nation_name, "
+    "(select max(s.s_acctbal) from supplier as s group by ()) as max_bal "
+    "from nation where n_regionkey = 1",
+    "SELECT n_name AS nation_name, "
+    "(SELECT MAX(s_acctbal) FROM supplier) AS max_bal "
+    "FROM nation WHERE n_regionkey = 1",
+)
+
+_sqlpp(
+    "sqlpp_scalar_subquery_corr",
+    "select n.n_nationkey as nationkey, n.n_name as nation_name, "
+    "(select count(1) from supplier as s "
+    "where s.s_nationkey = n.n_nationkey group by ()) as n_suppliers, "
+    "(select max(s.s_acctbal) from supplier as s "
+    "where s.s_nationkey = n.n_nationkey group by ()) as max_bal "
+    "from nation as n",
+    "SELECT n_nationkey AS nationkey, n_name AS nation_name, "
+    "(SELECT COUNT(*) FROM supplier s "
+    "WHERE s.s_nationkey = n.n_nationkey) AS n_suppliers, "
+    "(SELECT MAX(s_acctbal) FROM supplier s "
+    "WHERE s.s_nationkey = n.n_nationkey) AS max_bal "
+    "FROM nation n",
+)
