@@ -289,7 +289,8 @@ try:
     @st.composite
     def _pred(draw, depth=0):
         kind = draw(st.sampled_from(
-            ["cmp", "cmp", "and", "or", "not", "null", "in_sub", "exists"]
+            ["cmp", "cmp", "and", "or", "not", "null", "in_sub", "exists",
+             "scalar_sub"]
             if depth < 2 else ["cmp", "null"]
         ))
         if kind == "cmp":
@@ -312,6 +313,18 @@ try:
         if kind == "exists":
             return (f"(exists (select true from src where grp > "
                     f"{draw(st.integers(3, 9))}))")
+        if kind == "scalar_sub":
+            # r11 scalar subqueries: uncorrelated global aggregate in a
+            # comparison (group by () is the dialect's global-agg form)
+            agg = draw(st.sampled_from(
+                ["max(grp)", "min(grp)", "count(1)", "min(id)"]
+            ))
+            op = draw(st.sampled_from(["<", "<=", ">", ">=", "="]))
+            col = draw(st.sampled_from(["id", "grp", "val"]))
+            w = (f" where grp > {draw(st.integers(3, 8))}"
+                 if draw(st.booleans()) else "")
+            return (f"({col} {op} (select {agg} from src{w} "
+                    f"group by ()))")
         if kind == "not":
             return f"(not {draw(_pred(depth + 1))})"
         return f"({draw(_pred(depth + 1))} {kind} {draw(_pred(depth + 1))})"
