@@ -931,14 +931,16 @@ class Analyzer:
         lifted: set = set()
         sub_ctx = None
         last_err = None
-        saved_params = {k: v for k, v in self.params.items()}
+        saved_params = copy.deepcopy(self.params)
         for _ in range(len(conjs) + 1):
             trial = copy.deepcopy(e.select)
             tconjs = _split_and(trial.where)
             trial.where = _join_and(
                 [c for i, c in enumerate(tconjs) if i not in lifted]
             )
-            self.params = {k: v for k, v in saved_params.items()}
+            # deep restore: a failed trial may have recorded param uses
+            # (ParamEntry mutates in place) before raising
+            self.params = copy.deepcopy(saved_params)
             try:
                 sub_ctx = self.analyze_select(trial)
                 break
