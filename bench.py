@@ -9,8 +9,10 @@ without re-running anything):
 
 - ``median``: per-query median of the timed runs (the min is the
   headline number; min vs median gap exposes load-spike pollution).
-- ``loadavg``: the box's 1-minute load average sampled before and
-  after the timed pass — a busy shared box shows up here directly.
+- ``loadavg``: the box's 1-minute load average sampled at process
+  launch (before the SparkSession/warmup exist — ``before``) and after
+  the timed pass (``after``) — a busy shared box shows up directly in
+  ``before``; ``after`` mostly reflects our own 32-thread run.
 - ``shared_subtotal`` / ``shared_queries``: subtotal over the
   intersection of this run's query set with the previous round's
   ``BENCH_r{N}.json`` query set, so growth of the headline set never
@@ -62,6 +64,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # Sample BEFORE the SparkSession exists: the warmup pass below runs
+    # every query across 32 threads, so a sample taken after it reflects
+    # our own warmup, not whether the box was quiet at launch.
+    try:
+        load_before = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_before = None
     spark = get_spark("sqlpp_spark_bench")
 
     specs = headline_queries()
@@ -93,10 +102,6 @@ def main() -> None:
     # reported so a round-over-round delta can be judged against the
     # measured noise floor instead of assumed real.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    try:
-        load_before = round(os.getloadavg()[0], 2)
-    except OSError:
-        load_before = None
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
