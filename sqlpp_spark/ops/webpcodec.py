@@ -22,6 +22,14 @@ the same way ops/imagecodec.py (PNG/JPEG) and ops/flaccodec.py (FLAC)
 do, so ``decode_image`` handles real WebP payloads without third-party
 libraries.
 
+Conformance is proven against the system libwebp 1.2.4 in BOTH
+directions (tests/test_webp_interop.py, the jpegarith/libpng bar):
+every encoder transform knob produces streams `WebPDecodeRGBA`
+recovers pixel-exactly, and our decoder recovers exact pixels from
+`WebPEncodeLosslessRGBA` streams (whose adaptive per-block predictors,
+LZ77 cost model, and palette orderings our encoder never emits);
+committed known-answer vectors keep the anchor with no library present.
+
 Scale note: everything here is called from Arrow-batched mapInPandas
 (ops/multimodal.py) — embarrassingly parallel per payload, no state
 shared across rows, no shuffle.
