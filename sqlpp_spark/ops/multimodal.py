@@ -160,6 +160,37 @@ def synthesize_webp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
 
 
+def synthesize_webp_lossy_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One of the three committed VP8 LOSSY conformance streams per
+    doc (rotating by id mod 3). Unlike the lossless synthesizers there
+    is no closed pixel formula for a lossy decode, so the oracle
+    contract is known-answer: each stream's reconstruction was proven
+    BIT-EXACT against the system libwebp (tests/test_vp8_interop.py),
+    and the registry oracle pins the decoded geometry and exact pixel
+    mean per variant. The three streams cover B_PRED-heavy noise,
+    16x16-mode + strong-loop-filter gradients, and odd-geometry
+    partial edge macroblocks."""
+    import base64
+
+    from sqlpp_spark.ops.vp8codec import CONFORMANCE_STREAMS
+
+    streams = [
+        base64.b64decode(CONFORMANCE_STREAMS[k])
+        for k in ("noise48_q75", "grad64x80_q40", "mixed33x47_q90")
+    ]
+    schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(d) for d in pdf[id_col]]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": [streams[d % 3] for d in ids],
+            })
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
 def synthesize_png_variants_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """CLOSED-FORM pixels through the HARD PNG paths: per doc the
     formula image ((x + 3y + id) mod 256) is encoded rotating through

@@ -191,6 +191,10 @@ def _parse_header(data: bytes) -> _FrameHeader:
     hdr.height = (data[8] | (data[9] << 8)) & 0x3FFF
     if hdr.width == 0 or hdr.height == 0:
         raise Vp8CodecError("zero VP8 frame dimension")
+    if hdr.first_part_size == 0:
+        # libwebp rejects this too: a zero-length first partition
+        # cannot carry the mandatory compressed header fields.
+        raise Vp8CodecError("empty first partition")
     if 10 + hdr.first_part_size > len(data):
         raise Vp8CodecError("first partition overruns payload")
     br = _BoolReader(data[10:10 + hdr.first_part_size])
@@ -976,9 +980,10 @@ def _loop_filter(hdr, yp, up, vp, mbs, has_coeffs_map, mb_w, mb_h):
             sub_elimit = level * 2 + interior
             inner = has_coeffs_map[mb_y, mb_x] or ymode == 4
             if simple:
-                _filter_mb_simple(
-                    yp, mb_x, mb_y, (level + 2) * 2, level * 2, inner
-                )
+                # The simple filter uses the same edge limits as the
+                # normal filter (interior-limit term included).
+                _filter_mb_simple(yp, mb_x, mb_y, mb_elimit, sub_elimit,
+                                  inner)
             else:
                 _filter_mb_full(
                     yp, up, vp, mb_x, mb_y,
@@ -1094,3 +1099,88 @@ def vp8_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
     out = np.stack([r, g, b], axis=-1)
     np.clip(out, 0, 255, out=out)
     return out.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Committed conformance streams: libwebp 1.2.4 lossy encodes whose
+# decode was verified BIT-EXACT against WebPDecodeYUV (see
+# tests/test_vp8_interop.py). They anchor the known-answer tests, the
+# container mutation fuzzer, and the multimodal_webp_lossy_oracle
+# registry row in environments without the library. Shapes (h, w):
+# noise48_q75 (48, 48) B_PRED-heavy; grad64x80_q40 (64, 80)
+# 16x16-mode + strong loop filter; mixed33x47_q90 (33, 47) odd
+# geometry, partial edge macroblocks.
+# ---------------------------------------------------------------------------
+
+CONFORMANCE_STREAMS = {
+    "noise48_q75": (
+        b'UklGRogGAABXRUJQVlA4IHwGAACwGwCdASowADAAAgA0JbACdMoQQFqY6FYW8gQY'
+        b'DlgPUB5gOgB6AH9z/rvqV+oB+03sAeaz/r/3g+Ab+y/6v2B/21///sAegBpgu0rE'
+        b'Fx9+qfz/gCeAeAH1bjBOZOCf2BWb/0bvlfqj4YWoF3l/03qi/l3mX/LfAG+ef2T2'
+        b'AP41/Sf+N/g/cq/XP+Z/aPML+Sf0z/qf334Af5P/TP+p/ePZs9aX6veyJ+tB5Voz'
+        b'0jQWPHTWgko0o9l1t1I1SvuoQRL/7sKKfJMnWhFyrA8x27URQddXQ0dPN2IbaDdu'
+        b'VceVQNzWOwZXAADfVRwrfDLbyYf/GvaC+hwxOukpYumw91NeUP4QHRpQzg8e72d/'
+        b'L16jTNpfWlFRthEgA3SlupTeItorLYaaL/BYatJqLHdQGwZDobuV0K+PSij/pgHV'
+        b'C1ioNwXCymtUxdFTIRDPtIYINUZhMtCqbreMTD7Tz/ktPY/9kwKKeq8pGDyltK56'
+        b'HrgeW/01TT2Ch6IsLGXjmsBM6bB3PTiGNNItnHvvlS74bDRYt7xDy8rdvvokZRt1'
+        b'pqbhxK+GWkL9ik9T/0+fjqcv1kghkJmUSyVne6+3NZcZAyAbJHq/aoAuROpr0eHA'
+        b'od5V3VgwNp9eSkpLPPzFuU8nRXB+4yZ7J0MjM9iA+KEhIN/O1+V3ZwvY4UvD3Jvc'
+        b'PVV8EwJN4hNPcYqmGSPErg3PwIduRYDt+4nt5hTibYtXNGwNM1RrFZa1DwA4XyGE'
+        b'dBI7ieM3iNpGcMXFPM1ff0lHtgdszj3dj30AjlYqvIc8Se4M5altOz+8GE/r9nEB'
+        b'nvvkseZb+AdACPw0su0OGznvpZPOCuyXH5fKLxN9gltwOMGc2PYUxi+RDTL3CZR+'
+        b'/gx8If+MLpUOV1Tl7X/8exCPvmplcjMyTKffqOAsdTFx4r1MGhA9q28ngBoY+Nrl'
+        b'ctFxs1oUAOWvdfPD9oullYE3mVbnYu8FqOxs7wHON4idoly60GAuEXHkT+BNLGW2'
+        b'wr82QaWD1LtITy3JrkshqLdR1TBCFFRqNWg/SktYJ0hBBjfInKJmSr6rYkRAiBvD'
+        b'qjGLnapwIWYKmejL82kRao1c4wKJJW5PL9cd7eR38HWthxoR/WbK8pggtTtL7NOL'
+        b'UNWylrM97QHGSAfNJITSI5g3NOqDhWisLeWlZZEjiDrmF2slTZgoziEasokKye6m'
+        b'w9R/qNtlw9wkzIWyYTsblivJki80kjOkbwNEYzFsVLd17p2uodmnmV+q9V5PepnS'
+        b'BZ5qYk3KlV92Eo535gZQOY0e0LwDgt2vUVxexr1G0UZm6G1Kkqbok+YtoDrPxpzm'
+        b'SgOrN6NMXQC45aYCrbVFjciru2AKTE+63EeoB5UuP5U/0qwRYboGd4I+q/9QzXVF'
+        b'BxjMXZnd/meGybBfzUWuy7V7U2vcuTFaEed0gzuClWEDiJteZc+evrVCk/oh4atQ'
+        b'2wu1nqtNHcznKY/6oXwdWYyn6cKLE4ggNydhtaGURJQl0gq8tAhgcE4X3F8HrkXT'
+        b'UUeaxdtGCIOpIcn/pku1ccRYB1HhlYlYfdWZXBvknhKTkFlpg1htINrT6DTUACwD'
+        b'gzrG120rUTq2cXmi0TV0cleWdOzDvkMcpg//SFj7q3agVYnwgHq7HIp1fI+zXPOa'
+        b'ITPjZWfeX1njxZ607X2jfEVqkvNxWnDL2nh/dUw8N2y5Wgu6VH2W/QfBNtvyk9FH'
+        b'T4fhYlKI228zbTLCh76l9ZK3C7QSEikFbCL9818Lwp+H+askBzbQm4D7WE69e+A9'
+        b'4oLRqY29Kelb4Nt/wGhcusDmXzK6Q4jhfaDEYZFWzfRgwqoEHkAiQXj8K7j4b/dp'
+        b'+tE5XDVppY0aZRmZt4bPipLtAJvsWZfJ1xqdaK6y6ZOhprNGu6DxbiqTgybxZLu1'
+        b'qMcUQhoLo3XIrS/mErlL/iYguLo9IbIlMm92Q+ANo3DBpas/qiu8SGzbI9mD88lz'
+        b'5iR73NEc8N2C//mwainbFgi1mcWf+P3Sb9RXDb7xx32kEiQ/Rt4fnXy3jtX3z1Tf'
+        b'wYVrSqsLjHIV7LCg2j9ILGb13mNodvFNTSEDQEnBXvtsiw9/waKuxbj1yzdtKjVp'
+        b'/MUYSx/swjQBUZ1NtGoPtIAYXQE9gAJ7papfxUWf37JhSkuTfsOqWvqb4dNRc6JE'
+        b'jJTI3zKfaklnD7kO5J2eZy5MkSH8JG73stySv5bHY2j/esoVHaVM3d8fDGwpvcAA'
+    ),
+    "grad64x80_q40": (
+        b'UklGRswAAABXRUJQVlA4IMAAAADwBgCdASpQAEAAPu12s1Qpv6S/pnQIA/AdiWIG'
+        b'WAWKuDriiZisiYAAl2zERZ2u//9XmGOhX//r6yv9itDH85NgAP7zusvzE4vxWhwV'
+        b'NAQfOty+A4TpMbihFqpdcwYd9cfryGzf3WkCurCW/6AYyv/RYewtwlOddHrVZ53j'
+        b'HcDQdrMVFsfN0mqyi4jyyiHFdhGVC3DYknZDDYbd1keYa43yj9RH5ZSA7eJl8+0g'
+        b'v69m9qGUB5ZoWh4Gq1H3KwrOQAA='
+    ),
+    "mixed33x47_q90": (
+        b'UklGRnQEAABXRUJQVlA4IGgEAAAwFgCdASovACEAPi0ShkKhoQ1XVgAMAWJbACdM'
+        b'oR9V53+DX5HfIJRf5h+F/xg3REgXZFpg9AH+13SHmA8lv/G/y/3AeTN1m3oAfrd1'
+        b'lv9y/53o3XcTiC5WwAzgPrGGB2BHd/MDiM/0XgDeO+Vv7J/8j+z/mU+gf2V+A/ys'
+        b'/WZ+tnsufrkPtpMvMCXx1nb9KzqrK9tNy3VsSIDuxMVElxqaD+3LcK9sKovwSTed'
+        b'zmML0dtKM9phf4ijpYAA/sMuj+mEbqW1yMHzC3VE6cJtq7O4qSz9zVs+MUier/bU'
+        b'6GAMylnfvb6Ov+ns9HSuFav64+nyHLJXmStd97zi5VvSF03HAtJVjvIHDw5Wzxrr'
+        b'bYP3u58cnb/SWf/4ZY3jzzsfBQxcpC2ekcs//9JOiHnZ36DGAOVmbYHkwKxrY+4p'
+        b'Qe7Z25TMg57AYu4gqm55Dx3pDYUwzx9eO86W3tOWiGOBMaX0A+OrtDzoTjiP46vK'
+        b'WgFY3po2kkTPmQKwz1x6v3gIhsmH0yXuo1mqSRLlXhyztLnEDBTVjmBLLJGhC1/e'
+        b'2odLIH5vXxaBEsyaG3yVU1VWcw14YPKRUfgKLvzmR83FKz1xnFtW+w0p0IQTmSx3'
+        b'1nGziRGUEocbUOnC6xi5Vl/XMPIVkgkvJVCvcxVWnoDCtuDJlO2P2ovSad33QpZj'
+        b'5unYYGS7MCssB5EyHhBiOlQ7xW0jxnJqEArbk9dhh6CX//9msPfXHHrJpVywnmOq'
+        b'z+F++0nJruy3/HbSRPD/IupA5ySP36WXQlcJezyRlNbL9gM9HbDtViriRSAGH7T0'
+        b'akHWfG+xwtYKO/hmcqnIY+bYIRJUxnITBupsdnLdxuZJnBqoRn4jEosY5rHWONK/'
+        b'16+HQQ14JXmH/Sno+UaJpn2u2Itwdlh0Rz3F/wn6xJD8ALVxhz507TA8mdeO/2ch'
+        b'MVl4+bqfRU8GemYK6HCKPt4L9UGyz/GqbDFsZWKkarf3Z8kqNbEPqXuvxwTaxsKy'
+        b'zwMZDnN/NyZ59so6V0GFvSH9IcCphEA664QHMIqgfAeOAXJ9gCpuH94QqyttwPo7'
+        b'ZtJ+3WXTIdwKoXEIHJJYZF3HhLdxFtn4ioW74XRuznNwN8+xeNuU32lO/pP5Iq9T'
+        b'uQUzwC7ov6XGlcDh7afOwNxfHXZFtj3FL6R16MCHZR5hJGsxizKxkDPxd/KPJPt2'
+        b'zR6triIDGt4w4jlw9kdgF4UMWrNYDRm8yLZ2Sm3rFXfNGJyla3P8Fzp5S+ybndpa'
+        b'fzAKpmRxeiCTl8XgTsHSTBajDUeHSJW7IKn5ItO8OMkAeivKb/EC91JCxwFaUoSi'
+        b'hVFiY0i1+jAAaaFLunx0Z9i6n7BoMY/YXYXfCjP/bABZSxAdavLBQ5F5ieO8m/uo'
+        b'7Z0XQm6bjr5/+MgXXUBWvSw5m2Atc5Hv9pQ2NvJf+0/+rCjhFdZVd/9WFHCSfPJo'
+        b'qLvOSQXu9+vrLr/uycC/BEF5AfWx6wN6O/0J3oKeAKBR5AEFKE2AyxDZIAA='
+    ),
+}

@@ -1127,20 +1127,26 @@ def _iter_chunks(data: bytes):
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """Decode a lossless WebP to (h, w, 3|4) uint8 (RGB[A] per the
-    header's alpha hint). Lossy VP8 payloads raise — that pixel path is
-    the documented ffmpeg/PIL boundary; their METADATA parses via
-    ``webp_info``."""
+    """Decode a WebP to (h, w, 3|4) uint8 pixels.
+
+    Lossless (VP8L) payloads decode to RGB[A] per the header's alpha
+    hint. Lossy (VP8) key frames decode via ops/vp8codec.py (bit-exact
+    YUV reconstruction, libwebp-conformance-tested) and convert to RGB
+    with the standard BT.601 integer conversion — the YUV planes are
+    the normative surface; RGB conversion is application-defined per
+    RFC 6386 §2 (libwebp's fancy upsampler yields slightly different
+    RGB from identical YUV). Lossy alpha (VP8X/ALPH) is not decoded."""
     vp8l = None
     for tag, payload in _iter_chunks(data):
         if tag == b"VP8L":
             vp8l = payload
             break
         if tag == b"VP8 ":
-            raise WebpCodecError(
-                "lossy VP8 pixel decode is not implemented "
-                "(metadata available via webp_info)"
-            )
+            from .vp8codec import Vp8CodecError, decode_vp8, vp8_to_rgb
+            try:
+                return vp8_to_rgb(*decode_vp8(payload))
+            except Vp8CodecError as e:
+                raise WebpCodecError(f"VP8: {e}") from e
     if vp8l is None:
         raise WebpCodecError("no VP8L chunk in WebP container")
     br = _BitReader(vp8l)

@@ -119,6 +119,17 @@ def _targets():
             ),
             decode_webp, WebpCodecError,
         ),
+        # r11: the VP8 lossy pixel path (committed libwebp stream —
+        # mutations must decode or raise the module error)
+        "vp8_lossy": (
+            __import__("base64").b64decode(
+                __import__(
+                    "sqlpp_spark.ops.vp8codec",
+                    fromlist=["CONFORMANCE_STREAMS"],
+                ).CONFORMANCE_STREAMS["mixed33x47_q90"]
+            ),
+            decode_webp, WebpCodecError,
+        ),
         # r11: the QM arithmetic entropy path (SOF9 + DAC + restarts)
         "jpeg_arith": (
             IC.encode_jpeg_arithmetic(
@@ -133,7 +144,7 @@ def _targets():
 
 
 NAMES = ["mp4", "flac", "ogg", "exif", "warc", "gif", "mp3",
-         "flac_frames", "warc_seg", "webp", "jpeg_arith"]
+         "flac_frames", "warc_seg", "webp", "vp8_lossy", "jpeg_arith"]
 
 
 if HAS_HYP:

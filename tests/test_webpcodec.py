@@ -254,9 +254,12 @@ def test_webp_info_vp8x_extended_and_frames():
     assert info["n_frames"] == 2
 
 
-def test_lossy_pixel_decode_raises_cleanly():
+def test_lossy_decode_malformed_raises_module_error():
+    # A bare synthetic key-frame header with no coefficient data must
+    # fail with the module error (the VP8 pixel path now decodes real
+    # streams — see tests/test_vp8_interop.py for conformance).
     data = W._riff_wrap([(b"VP8 ", _vp8_lossy_chunk(64, 48) + b"\x00" * 8)])
-    with pytest.raises(WebpCodecError, match="lossy"):
+    with pytest.raises(WebpCodecError):
         decode_webp(data)
 
 
