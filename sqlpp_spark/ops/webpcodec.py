@@ -1135,18 +1135,26 @@ def decode_webp(data: bytes) -> np.ndarray:
     with the standard BT.601 integer conversion — the YUV planes are
     the normative surface; RGB conversion is application-defined per
     RFC 6386 §2 (libwebp's fancy upsampler yields slightly different
-    RGB from identical YUV). Lossy alpha (VP8X/ALPH) is not decoded."""
+    RGB from identical YUV). A VP8X container's ALPH chunk (lossless
+    alpha over a lossy frame) decodes too and yields RGBA."""
     vp8l = None
+    alph = None
     for tag, payload in _iter_chunks(data):
         if tag == b"VP8L":
             vp8l = payload
             break
+        if tag == b"ALPH":
+            alph = payload
         if tag == b"VP8 ":
             from .vp8codec import Vp8CodecError, decode_vp8, vp8_to_rgb
             try:
-                return vp8_to_rgb(*decode_vp8(payload))
+                rgb = vp8_to_rgb(*decode_vp8(payload))
             except Vp8CodecError as e:
                 raise WebpCodecError(f"VP8: {e}") from e
+            if alph is None:
+                return rgb
+            h, w = rgb.shape[:2]
+            return np.dstack([rgb, _decode_alpha(alph, w, h)])
     if vp8l is None:
         raise WebpCodecError("no VP8L chunk in WebP container")
     br = _BitReader(vp8l)
@@ -1166,6 +1174,21 @@ def decode_webp(data: bytes) -> np.ndarray:
     alpha_hint = br.read_bit()
     if br.read(3) != 0:
         raise WebpCodecError("unsupported VP8L version")
+    pix = _decode_argb(br, w, h)
+    packed = np.array(pix, dtype=np.uint32).reshape(h, w)
+    rgba = np.empty((h, w, 4), np.uint8)
+    rgba[:, :, 0] = (packed >> 16) & 0xFF
+    rgba[:, :, 1] = (packed >> 8) & 0xFF
+    rgba[:, :, 2] = packed & 0xFF
+    rgba[:, :, 3] = (packed >> 24) & 0xFF
+    return rgba if alpha_hint else rgba[:, :, :3]
+
+
+def _decode_argb(br: _BitReader, w: int, h: int) -> list[int]:
+    """The VP8L image body shared by stand-alone VP8L chunks and
+    headerless ALPH alpha streams: the transform loop, the (possibly
+    meta-prefix) coded image, and the inverse transforms in reverse
+    order. Returns w*h packed ARGB ints."""
     transforms = []
     seen = set()
     w_cur = w
@@ -1205,13 +1228,59 @@ def decode_webp(data: bytes) -> np.ndarray:
         w_cur = w_at
     if w_cur != w:
         raise WebpCodecError("transform geometry mismatch")
-    packed = np.array(pix, dtype=np.uint32).reshape(h, w)
-    rgba = np.empty((h, w, 4), np.uint8)
-    rgba[:, :, 0] = (packed >> 16) & 0xFF
-    rgba[:, :, 1] = (packed >> 8) & 0xFF
-    rgba[:, :, 2] = packed & 0xFF
-    rgba[:, :, 3] = (packed >> 24) & 0xFF
-    return rgba if alpha_hint else rgba[:, :, :3]
+    return pix
+
+
+def _decode_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk (lossy-WebP alpha plane, RFC 9649 §Alpha): one
+    method byte (reserved(2) | preprocessing(2) | filtering(2) |
+    compression(2)), then either w*h raw bytes or a HEADERLESS VP8L
+    image stream whose green channel carries alpha; the per-row
+    prediction filter (none/horizontal/vertical/gradient) is inverted
+    afterwards with libwebp's border rules (first row unfilters
+    horizontally from 0). Preprocessing is encoder-side level
+    reduction — decode is unchanged."""
+    if not payload:
+        raise WebpCodecError("empty ALPH chunk")
+    b0 = payload[0]
+    compression = b0 & 3
+    filt = (b0 >> 2) & 3
+    if (b0 >> 6) != 0:
+        raise WebpCodecError("reserved ALPH bits set")
+    if compression == 0:
+        if len(payload) - 1 < w * h:
+            raise WebpCodecError("raw ALPH plane truncated")
+        plane = np.frombuffer(
+            payload, np.uint8, count=w * h, offset=1
+        ).reshape(h, w).copy()
+    elif compression == 1:
+        br = _BitReader(payload[1:])
+        pix = _decode_argb(br, w, h)
+        packed = np.array(pix, dtype=np.uint32).reshape(h, w)
+        plane = ((packed >> 8) & 0xFF).astype(np.uint8)
+    else:
+        raise WebpCodecError("unknown ALPH compression method")
+    if filt == 0:
+        return plane
+    out = np.empty_like(plane)
+    for y in range(h):
+        if y == 0 or filt == 1:  # horizontal (also row 0 of every filter)
+            acc = 0 if y == 0 else int(out[y - 1, 0])
+            for x in range(w):
+                acc = (acc + int(plane[y, x])) & 0xFF
+                out[y, x] = acc
+        elif filt == 2:  # vertical
+            out[y] = plane[y] + out[y - 1]  # uint8 wraps mod 256
+        else:  # gradient
+            left = top_left = int(out[y - 1, 0])
+            for x in range(w):
+                top = int(out[y - 1, x])
+                g = left + top - top_left
+                g = 0 if g < 0 else 255 if g > 255 else g
+                left = (int(plane[y, x]) + g) & 0xFF
+                top_left = top
+                out[y, x] = left
+    return out
 
 
 def webp_info(data: bytes) -> dict:

@@ -358,3 +358,72 @@ def test_interop_advanced_paths(libwebp):
         assert np.array_equal(my, ry), kw
         assert np.array_equal(mu, ru), kw
         assert np.array_equal(mv, rv), kw
+
+
+# ---------------------------------------------------------------------------
+# ALPH alpha-plane decode (lossy frame + lossless alpha → RGBA).
+# ---------------------------------------------------------------------------
+
+
+def _decode_rgba_ref(libwebp, data: bytes) -> np.ndarray:
+    lib = libwebp.lib
+    lib.WebPDecodeRGBA.restype = ctypes.c_void_p
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = lib.WebPDecodeRGBA(data, len(data), ctypes.byref(w),
+                           ctypes.byref(h))
+    assert p, "libwebp RGBA decode failed"
+    try:
+        raw = ctypes.string_at(p, w.value * h.value * 4)
+    finally:
+        lib.WebPFree(p)
+    return np.frombuffer(raw, np.uint8).reshape(h.value, w.value, 4).copy()
+
+
+def test_interop_alpha_plane(libwebp):
+    """The ALPH chunk's alpha plane is LOSSLESS: our decoded channel
+    must equal libwebp's RGBA alpha bit-exactly (and hence the source
+    alpha). Content classes drive different row filters."""
+    rng = np.random.default_rng(3)
+    planes = {
+        "smooth": lambda h, w: np.clip(
+            100 + 80 * np.sin(np.mgrid[0:h, 0:w][1] / 7.0)
+            + rng.integers(0, 30, (h, w)), 0, 255),
+        "noise": lambda h, w: rng.integers(1, 256, (h, w)),
+        "binary": lambda h, w: (np.mgrid[0:h, 0:w][0] % 8 < 4) * 255,
+    }
+    for mk in planes.values():
+        for (h, w) in [(48, 64), (33, 47)]:
+            y, x = np.mgrid[0:h, 0:w]
+            arr = np.dstack(
+                [(x * 4) % 256, (y * 5) % 256, ((x + y) * 3) % 256,
+                 mk(h, w)]
+            ).astype(np.uint8)
+            data = libwebp.encode(arr, 80)
+            ref = _decode_rgba_ref(libwebp, data)
+            mine = decode_webp(data)
+            assert mine.shape[2] == 4
+            assert np.array_equal(mine[:, :, 3], ref[:, :, 3])
+            assert np.array_equal(mine[:, :, 3], arr[:, :, 3])
+
+
+def test_interop_alpha_raw_and_filter_modes(libwebp):
+    """Advanced API: alpha_compression=0 forces the RAW ALPH path;
+    alpha_filtering 0/2 steer the row-filter choice."""
+    rng = np.random.default_rng(13)
+    y, x = np.mgrid[0:40, 0:56]
+    arr = np.dstack(
+        [(x * 3) % 256, (y * 7) % 256, (x + y) % 256,
+         np.clip(60 + x * 2 + rng.integers(0, 40, (40, 56)), 0, 255)]
+    ).astype(np.uint8)
+    for kw in (dict(alpha_compression=0), dict(alpha_filtering=0),
+               dict(alpha_filtering=2)):
+        data = _encode_advanced(libwebp.lib, arr, 75.0, **kw)
+        ref = _decode_rgba_ref(libwebp, data)
+        mine = decode_webp(data)
+        assert mine.shape[2] == 4, kw
+        assert np.array_equal(mine[:, :, 3], ref[:, :, 3]), kw
