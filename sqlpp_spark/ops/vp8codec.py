@@ -589,90 +589,100 @@ def _pred_b(plane, x, y, mode, tr):
 # ---------------------------------------------------------------------------
 
 
-def _filter_common(p, i1, i0, j0, j1, use_outer):
-    """4-tap adjustment on pixel indices (i1,i0,j0,j1) of 1-D view p.
-    Returns Filter1 for the outer-tap path."""
-    p1 = p[i1] - 128
-    p0 = p[i0] - 128
-    q0 = p[j0] - 128
-    q1 = p[j1] - 128
-    a = 3 * (q0 - p0)
-    if use_outer:
-        a += _clamp_s8(p1 - q1)
-    a = _clamp_s8(a)
-    f1 = _clamp_s8(a + 4) >> 3
-    f2 = _clamp_s8(a + 3) >> 3
-    p[j0] = _clamp_s8(q0 - f1) + 128
-    p[i0] = _clamp_s8(p0 + f2) + 128
-    return f1
-
-
-def _normal_mask(p, i3, i2, i1, i0, j0, j1, j2, j3, elimit, ilimit):
-    return (
-        abs(p[i0] - p[j0]) * 2 + (abs(p[i1] - p[j1]) >> 1) <= elimit
-        and abs(p[i3] - p[i2]) <= ilimit
-        and abs(p[i2] - p[i1]) <= ilimit
-        and abs(p[i1] - p[i0]) <= ilimit
-        and abs(p[j1] - p[j0]) <= ilimit
-        and abs(p[j2] - p[j1]) <= ilimit
-        and abs(p[j3] - p[j2]) <= ilimit
+def _edge_normal(seg, elimit, ilimit, thresh, mb_edge):
+    """Vectorized normal-filter for one edge. ``seg`` is an (n, 8)
+    int32 array of [p3 p2 p1 p0 q0 q1 q2 q3] per crossing line;
+    modified in place (RFC 6386 §15.2-15.3, exact integer)."""
+    d = np.diff(seg, axis=1)
+    ad = np.abs(d)
+    mask = (
+        (np.abs(seg[:, 3] - seg[:, 4]) * 2
+         + (np.abs(seg[:, 2] - seg[:, 5]) >> 1) <= elimit)
+        & (ad[:, 0] <= ilimit) & (ad[:, 1] <= ilimit)
+        & (ad[:, 2] <= ilimit) & (ad[:, 4] <= ilimit)
+        & (ad[:, 5] <= ilimit) & (ad[:, 6] <= ilimit)
     )
-
-
-def _hev(p, i1, i0, j0, j1, thresh):
-    return abs(p[i1] - p[i0]) > thresh or abs(p[j1] - p[j0]) > thresh
-
-
-def _filter_sub_normal(p, off, step, elimit, ilimit, thresh):
-    i3, i2, i1, i0 = off - 4 * step, off - 3 * step, off - 2 * step, off - step
-    j0, j1, j2, j3 = off, off + step, off + 2 * step, off + 3 * step
-    if not _normal_mask(p, i3, i2, i1, i0, j0, j1, j2, j3, elimit, ilimit):
+    if not mask.any():
         return
-    if _hev(p, i1, i0, j0, j1, thresh):
-        _filter_common(p, i1, i0, j0, j1, True)
-    else:
-        f = _filter_common(p, i1, i0, j0, j1, False)
-        a = (f + 1) >> 1
-        p[j1] = _clamp_s8((p[j1] - 128) - a) + 128
-        p[i1] = _clamp_s8((p[i1] - 128) + a) + 128
+    hev = (ad[:, 2] > thresh) | (ad[:, 4] > thresh)
+    s = seg - 128
+    p2, p1, p0 = s[:, 1], s[:, 2], s[:, 3]
+    q0, q1, q2 = s[:, 4], s[:, 5], s[:, 6]
 
+    def c8(v):
+        return np.clip(v, -128, 127)
 
-def _filter_mb_normal(p, off, step, elimit, ilimit, thresh):
-    i3, i2, i1, i0 = off - 4 * step, off - 3 * step, off - 2 * step, off - step
-    j0, j1, j2, j3 = off, off + step, off + 2 * step, off + 3 * step
-    if not _normal_mask(p, i3, i2, i1, i0, j0, j1, j2, j3, elimit, ilimit):
+    # Outer-tap adjustment: hev lines of both filters, and ALL masked
+    # lines of the sub-block filter get (a+1)>>1 applied to p1/q1 too.
+    a = c8(c8(p1 - q1) + 3 * (q0 - p0))
+    f1 = c8(a + 4) >> 3
+    f2 = c8(a + 3) >> 3
+    sel = mask & hev
+    if not mb_edge:
+        # Sub-block filter: non-hev lines drop the outer tap and also
+        # nudge p1/q1 by (F1+1)>>1.
+        a_in = c8(3 * (q0 - p0))
+        f1_in = c8(a_in + 4) >> 3
+        f2_in = c8(a_in + 3) >> 3
+        f1 = np.where(hev, f1, f1_in)
+        f2 = np.where(hev, f2, f2_in)
+        sel = mask
+    nq0 = np.where(sel, c8(q0 - f1), q0)
+    np0 = np.where(sel, c8(p0 + f2), p0)
+    if not mb_edge:
+        nudge = (f1 + 1) >> 1
+        inner = mask & ~hev
+        seg[:, 5] = np.where(inner, c8(q1 - nudge), q1) + 128
+        seg[:, 2] = np.where(inner, c8(p1 + nudge), p1) + 128
+        seg[:, 4] = nq0 + 128
+        seg[:, 3] = np0 + 128
         return
-    if _hev(p, i1, i0, j0, j1, thresh):
-        _filter_common(p, i1, i0, j0, j1, True)
+    # MB edge: hev lines got the 4-tap adjustment above; non-hev lines
+    # take the 6-tap wide filter on p2..q2.
+    wide = mask & ~hev
+    w = c8(c8(p1 - q1) + 3 * (q0 - p0))
+    a27 = (27 * w + 63) >> 7
+    a18 = (18 * w + 63) >> 7
+    a9 = (9 * w + 63) >> 7
+    seg[:, 4] = np.where(wide, c8(q0 - a27), nq0) + 128
+    seg[:, 3] = np.where(wide, c8(p0 + a27), np0) + 128
+    seg[:, 5] = np.where(wide, c8(q1 - a18), q1) + 128
+    seg[:, 2] = np.where(wide, c8(p1 + a18), p1) + 128
+    seg[:, 6] = np.where(wide, c8(q2 - a9), q2) + 128
+    seg[:, 1] = np.where(wide, c8(p2 + a9), p2) + 128
+
+
+def _edge_simple(seg4, limit):
+    """Vectorized simple filter: (n, 4) int32 [p1 p0 q0 q1]."""
+    mask = (np.abs(seg4[:, 1] - seg4[:, 2]) * 2
+            + (np.abs(seg4[:, 0] - seg4[:, 3]) >> 1) <= limit)
+    if not mask.any():
         return
-    p2 = p[i2] - 128
-    p1 = p[i1] - 128
-    p0 = p[i0] - 128
-    q0 = p[j0] - 128
-    q1 = p[j1] - 128
-    q2 = p[j2] - 128
-    w = _clamp_s8(_clamp_s8(p1 - q1) + 3 * (q0 - p0))
-    a = (27 * w + 63) >> 7
-    q0 = _clamp_s8(q0 - a)
-    p0 = _clamp_s8(p0 + a)
-    a = (18 * w + 63) >> 7
-    q1 = _clamp_s8(q1 - a)
-    p1 = _clamp_s8(p1 + a)
-    a = (9 * w + 63) >> 7
-    q2 = _clamp_s8(q2 - a)
-    p2 = _clamp_s8(p2 + a)
-    p[i2] = p2 + 128
-    p[i1] = p1 + 128
-    p[i0] = p0 + 128
-    p[j0] = q0 + 128
-    p[j1] = q1 + 128
-    p[j2] = q2 + 128
+    s = seg4 - 128
+    p1, p0, q0, q1 = s[:, 0], s[:, 1], s[:, 2], s[:, 3]
+
+    def c8(v):
+        return np.clip(v, -128, 127)
+
+    a = c8(c8(p1 - q1) + 3 * (q0 - p0))
+    f1 = c8(a + 4) >> 3
+    f2 = c8(a + 3) >> 3
+    seg4[:, 2] = np.where(mask, c8(q0 - f1), q0) + 128
+    seg4[:, 1] = np.where(mask, c8(p0 + f2), p0) + 128
 
 
-def _filter_sub_simple(p, off, step, limit):
-    i1, i0, j0, j1 = off - 2 * step, off - step, off, off + step
-    if abs(p[i0] - p[j0]) * 2 + (abs(p[i1] - p[j1]) >> 1) <= limit:
-        _filter_common(p, i1, i0, j0, j1, True)
+def _filter_v(plane, r0, r1, x, elimit, ilimit, thresh, mb_edge):
+    """Normal-filter the vertical edge at column x, rows [r0, r1)."""
+    seg = plane[r0:r1, x - 4:x + 4].astype(np.int32)
+    _edge_normal(seg, elimit, ilimit, thresh, mb_edge)
+    plane[r0:r1, x - 4:x + 4] = seg
+
+
+def _filter_h(plane, y, c0, c1, elimit, ilimit, thresh, mb_edge):
+    """Normal-filter the horizontal edge at row y, cols [c0, c1)."""
+    seg = plane[y - 4:y + 4, c0:c1].T.astype(np.int32)
+    _edge_normal(seg, elimit, ilimit, thresh, mb_edge)
+    plane[y - 4:y + 4, c0:c1] = seg.T
 
 
 # ---------------------------------------------------------------------------
@@ -996,89 +1006,50 @@ def _filter_mb_full(yp, up, vp, mb_x, mb_y, mbe, sube, ilim, hev_t, inner):
     bx = mb_x * 16 + 1
     cy = mb_y * 8 + 1
     cx = mb_x * 8 + 1
-    yrow = yp.shape[1]
-    crow = up.shape[1]
-    yflat = yp.reshape(-1)
-    uflat = up.reshape(-1)
-    vflat = vp.reshape(-1)
-    # Vertical edges (filter across columns, step 1).
+    # Vertical edges (across columns), then horizontal — per MB, in
+    # raster order, matching the normative filtering sequence. Each
+    # edge's crossing lines are independent → vectorized.
     if mb_x > 0:
-        for r in range(16):
-            _filter_mb_normal(
-                yflat, (by + r) * yrow + bx, 1, mbe, ilim, hev_t
-            )
-        for r in range(8):
-            _filter_mb_normal(
-                uflat, (cy + r) * crow + cx, 1, mbe, ilim, hev_t
-            )
-            _filter_mb_normal(
-                vflat, (cy + r) * crow + cx, 1, mbe, ilim, hev_t
-            )
+        _filter_v(yp, by, by + 16, bx, mbe, ilim, hev_t, True)
+        _filter_v(up, cy, cy + 8, cx, mbe, ilim, hev_t, True)
+        _filter_v(vp, cy, cy + 8, cx, mbe, ilim, hev_t, True)
     if inner:
         for dx in (4, 8, 12):
-            for r in range(16):
-                _filter_sub_normal(
-                    yflat, (by + r) * yrow + bx + dx, 1, sube, ilim, hev_t
-                )
-        for r in range(8):
-            _filter_sub_normal(
-                uflat, (cy + r) * crow + cx + 4, 1, sube, ilim, hev_t
-            )
-            _filter_sub_normal(
-                vflat, (cy + r) * crow + cx + 4, 1, sube, ilim, hev_t
-            )
-    # Horizontal edges (filter across rows, step = row stride).
+            _filter_v(yp, by, by + 16, bx + dx, sube, ilim, hev_t, False)
+        _filter_v(up, cy, cy + 8, cx + 4, sube, ilim, hev_t, False)
+        _filter_v(vp, cy, cy + 8, cx + 4, sube, ilim, hev_t, False)
     if mb_y > 0:
-        for c in range(16):
-            _filter_mb_normal(
-                yflat, by * yrow + bx + c, yrow, mbe, ilim, hev_t
-            )
-        for c in range(8):
-            _filter_mb_normal(
-                uflat, cy * crow + cx + c, crow, mbe, ilim, hev_t
-            )
-            _filter_mb_normal(
-                vflat, cy * crow + cx + c, crow, mbe, ilim, hev_t
-            )
+        _filter_h(yp, by, bx, bx + 16, mbe, ilim, hev_t, True)
+        _filter_h(up, cy, cx, cx + 8, mbe, ilim, hev_t, True)
+        _filter_h(vp, cy, cx, cx + 8, mbe, ilim, hev_t, True)
     if inner:
         for dy in (4, 8, 12):
-            for c in range(16):
-                _filter_sub_normal(
-                    yflat, (by + dy) * yrow + bx + c, yrow,
-                    sube, ilim, hev_t
-                )
-        for c in range(8):
-            _filter_sub_normal(
-                uflat, (cy + 4) * crow + cx + c, crow, sube, ilim, hev_t
-            )
-            _filter_sub_normal(
-                vflat, (cy + 4) * crow + cx + c, crow, sube, ilim, hev_t
-            )
+            _filter_h(yp, by + dy, bx, bx + 16, sube, ilim, hev_t, False)
+        _filter_h(up, cy + 4, cx, cx + 8, sube, ilim, hev_t, False)
+        _filter_h(vp, cy + 4, cx, cx + 8, sube, ilim, hev_t, False)
 
 
 def _filter_mb_simple(yp, mb_x, mb_y, mbe, sube, inner):
     by = mb_y * 16 + 1
     bx = mb_x * 16 + 1
-    yrow = yp.shape[1]
-    yflat = yp.reshape(-1)
     if mb_x > 0:
-        for r in range(16):
-            _filter_sub_simple(yflat, (by + r) * yrow + bx, 1, mbe)
+        seg = yp[by:by + 16, bx - 2:bx + 2].astype(np.int32)
+        _edge_simple(seg, mbe)
+        yp[by:by + 16, bx - 2:bx + 2] = seg
     if inner:
         for dx in (4, 8, 12):
-            for r in range(16):
-                _filter_sub_simple(
-                    yflat, (by + r) * yrow + bx + dx, 1, sube
-                )
+            seg = yp[by:by + 16, bx + dx - 2:bx + dx + 2].astype(np.int32)
+            _edge_simple(seg, sube)
+            yp[by:by + 16, bx + dx - 2:bx + dx + 2] = seg
     if mb_y > 0:
-        for c in range(16):
-            _filter_sub_simple(yflat, by * yrow + bx + c, yrow, mbe)
+        seg = yp[by - 2:by + 2, bx:bx + 16].T.astype(np.int32)
+        _edge_simple(seg, mbe)
+        yp[by - 2:by + 2, bx:bx + 16] = seg.T
     if inner:
         for dy in (4, 8, 12):
-            for c in range(16):
-                _filter_sub_simple(
-                    yflat, (by + dy) * yrow + bx + c, yrow, sube
-                )
+            seg = yp[by + dy - 2:by + dy + 2, bx:bx + 16].T.astype(np.int32)
+            _edge_simple(seg, sube)
+            yp[by + dy - 2:by + dy + 2, bx:bx + 16] = seg.T
 
 
 def vp8_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
