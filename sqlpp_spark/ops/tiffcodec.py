@@ -77,10 +77,15 @@ def _tlzw_decode(data: bytes, expected: int) -> bytes:
                 raise TiffCodecError("LZW code out of range")
             out += entry
             prev = entry
-            # early change (TIFF6 §13): the decoder's table lags the
-            # encoder's by one entry, so it must widen one entry
-            # earlier for the code stream to stay in sync
-            if len(table) == (1 << width) - 2 and width < 12:
+            # Early change (TIFF6 §13): the decoder widens as soon as
+            # its table holds 2^width - 1 entries — one entry earlier
+            # than plain LZW because its table lags the encoder's by
+            # one. Threshold determined EMPIRICALLY against libtiff
+            # streams (tests/test_tiff_interop.py): -2 here desyncs
+            # exactly at the 9→10 boundary yet self-round-trips if the
+            # encoder carries the mirrored error, which is how the bug
+            # this replaces survived until the interop tests existed.
+            if len(table) == (1 << width) - 1 and width < 12:
                 width += 1
             if len(out) >= expected:
                 return bytes(out[:expected])
@@ -118,7 +123,11 @@ def _tlzw_encode(data: bytes) -> bytes:
         emit(prev, width)
         table[(prev, b)] = next_code
         next_code += 1
-        if next_code == (1 << width) - 1 and width < 12:
+        # Mirror of the decoder's early change: the encoder starts
+        # emitting (width+1)-bit codes once code 2^width - 1 has been
+        # ASSIGNED (next_code reaches 2^width) — verified against
+        # libtiff's decoder in tests/test_tiff_interop.py.
+        if next_code == (1 << width) and width < 12:
             width += 1
         if next_code >= 4094:
             emit(_CLEAR, width)
@@ -280,6 +289,14 @@ def _decode_inner(data: bytes) -> np.ndarray:
     if row < h:
         raise TiffCodecError("TIFF strips cover fewer rows than ImageLength")
     arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, spp)
+    predictor = tags.get(317, [1])[0]
+    if predictor == 2:
+        # Horizontal differencing (TIFF6 §14): each sample stores the
+        # delta to the same sample one pixel left; invert with a
+        # wrapping cumulative sum along the row.
+        arr = np.cumsum(arr, axis=1, dtype=np.uint32).astype(np.uint8)
+    elif predictor != 1:
+        raise TiffCodecError(f"unsupported TIFF predictor {predictor}")
     if photo == 0:  # WhiteIsZero
         arr = 255 - arr
     if photo == 3:
