@@ -157,14 +157,6 @@ def _clamp_q(q: int) -> int:
     return 0 if q < 0 else 127 if q > 127 else q
 
 
-def _clamp255(v: int) -> int:
-    return 0 if v < 0 else 255 if v > 255 else v
-
-
-def _clamp_s8(v: int) -> int:
-    return -128 if v < -128 else 127 if v > 127 else v
-
-
 # ---------------------------------------------------------------------------
 # Frame header (RFC 6386 §9, §19.2).
 # ---------------------------------------------------------------------------
@@ -894,8 +886,13 @@ def decode_vp8(data: bytes):
                         if block_nz[sy * 4 + sx]:
                             _idct4x4(blk)
                             sub = yp[y + 1:y + 5, x + 1:x + 5]
-                            res = np.array(blk, np.int16).reshape(4, 4)
-                            np.clip(sub + res, 0, 255, out=sub)
+                            # int32: hostile streams can code values
+                            # whose dequantized magnitude overflows
+                            # int16 (pixels are clipped either way,
+                            # but the math must not wrap).
+                            res = np.array(blk, np.int32).reshape(4, 4)
+                            sub[:] = np.clip(sub.astype(np.int32) + res,
+                                             0, 255)
             else:
                 if ymode == 0:
                     _pred_dc(yp, bx, by, 16, have_above, have_left)
@@ -915,8 +912,8 @@ def decode_vp8(data: bytes):
                         x = bx + sx * 4
                         y = by + sy * 4
                         sub = yp[y + 1:y + 5, x + 1:x + 5]
-                        res = np.array(blk, np.int16).reshape(4, 4)
-                        np.clip(sub + res, 0, 255, out=sub)
+                        res = np.array(blk, np.int32).reshape(4, 4)
+                        sub[:] = np.clip(sub.astype(np.int32) + res, 0, 255)
             # Chroma.
             cx = mb_x * 8
             cy = mb_y * 8
@@ -939,8 +936,8 @@ def decode_vp8(data: bytes):
                         x = cx + sx * 4
                         y = cy + sy * 4
                         sub = plane[y + 1:y + 5, x + 1:x + 5]
-                        res = np.array(blk, np.int16).reshape(4, 4)
-                        np.clip(sub + res, 0, 255, out=sub)
+                        res = np.array(blk, np.int32).reshape(4, 4)
+                        sub[:] = np.clip(sub.astype(np.int32) + res, 0, 255)
         # Extend each reconstructed row past the right edge with its
         # last macroblock pixel: the above-right pixels of the next
         # MB row's rightmost macroblock read from these columns.
