@@ -191,6 +191,42 @@ def synthesize_webp_lossy_media(df: DataFrame, id_col: str = "doc_id") -> DataFr
     return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
 
 
+def synthesize_webp_anim_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Animated WebP with CLOSED-FORM frames: per doc, nf = 2 + id%4
+    full-canvas RGBA frames whose gray value is
+    ((x + 3y + id + 7*frame) mod 256) with opaque alpha, VP8L-coded so
+    every composited frame decodes EXACTLY (ANMF no-blend overwrite).
+    The oracle recomputes each frame's mean as (3*f + 255)/4 over the
+    four channels."""
+    import numpy as np
+
+    from sqlpp_spark.ops import webpcodec as WC
+
+    schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 13 + 4, did % 11 + 4
+                nf = 2 + did % 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                frames = []
+                for k in range(nf):
+                    g = ((xx + 3 * yy + did + 7 * k) % 256).astype(np.uint8)
+                    frames.append(np.dstack(
+                        [g, g, g, np.full_like(g, 255)]
+                    ))
+                out["media_id"].append(did)
+                out["payload"].append(
+                    WC.encode_webp_animated(frames, duration_ms=33)
+                )
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
 def synthesize_png_variants_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """CLOSED-FORM pixels through the HARD PNG paths: per doc the
     formula image ((x + 3y + id) mod 256) is encoded rotating through
@@ -382,16 +418,20 @@ def extract_video_frames(
     df: DataFrame, every_n: int = 1, max_frames: int | None = None,
 ) -> DataFrame:
     """REAL frame extraction for the video modality: decode every
-    ``every_n``-th frame of animated-GIF payloads through the standard
-    Arrow-batched mapInPandas shape — the decode step
-    ``frame_sample_indices`` (metadata-only planning) feeds at scale.
-    Non-GIF payloads yield one decoded=false row (MP4/WebM need
-    ffmpeg — that boundary stands)."""
+    ``every_n``-th frame of animated-GIF or animated-WebP payloads
+    (ANMF compositing over the canvas, frames VP8L or VP8+ALPH)
+    through the standard Arrow-batched mapInPandas shape — the decode
+    step ``frame_sample_indices`` (metadata-only planning) feeds at
+    scale. Other containers yield one decoded=false row (MP4/WebM
+    need ffmpeg — that boundary stands)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         from sqlpp_spark.ops.gifcodec import GifCodecError, decode_gif_frames
+        from sqlpp_spark.ops.webpcodec import (
+            WebpCodecError, decode_webp_frames,
+        )
 
         for pdf in batches:
             out = {
@@ -401,18 +441,23 @@ def extract_video_frames(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 frames = None
+                # max_frames bounds EMITTED (sampled) frames; the last
+                # sampled source index is (max_frames-1)*every_n, so
+                # decode exactly that many + 1 — no wasted decode work
+                # on frames the stride below can never emit.
+                decode_cap = (
+                    None if max_frames is None
+                    else (max_frames - 1) * every_n + 1
+                )
                 if b[:6] in (b"GIF87a", b"GIF89a"):
-                    # max_frames bounds EMITTED (sampled) frames; the last
-                    # sampled source index is (max_frames-1)*every_n, so
-                    # decode exactly that many + 1 — no wasted LZW work
-                    # on frames the stride below can never emit.
-                    decode_cap = (
-                        None if max_frames is None
-                        else (max_frames - 1) * every_n + 1
-                    )
                     try:
                         frames = decode_gif_frames(b, decode_cap)
                     except GifCodecError:
+                        frames = None
+                elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                    try:
+                        frames = decode_webp_frames(b, decode_cap)
+                    except WebpCodecError:
                         frames = None
                 if frames is None:
                     out["media_id"].append(mid)

@@ -1283,6 +1283,120 @@ def _decode_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
     return out
 
 
+def encode_webp_animated(
+    frames, duration_ms: int = 100, offsets=None, dispose=False,
+) -> bytes:
+    """Animated WebP (RFC 9649 VP8X/ANIM/ANMF) from uint8 (h, w, 3|4)
+    RGBA frames, each VP8L-lossless-coded so decode is EXACT. All
+    frames share the canvas size unless ``offsets`` supplies per-frame
+    (x, y) positions (must be even, per the spec's /2 coding) for
+    sub-canvas frames. ``dispose`` selects dispose-to-background for
+    every frame; blending is always OFF (overwrite), which keeps
+    compositing closed-form for the oracles."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise WebpCodecError("no frames")
+    if offsets is None:
+        offsets = [(0, 0)] * len(frames)
+    cw = max(o[0] + f.shape[1] for o, f in zip(offsets, frames))
+    ch = max(o[1] + f.shape[0] for o, f in zip(offsets, frames))
+    flags = 0x02 | 0x10  # animation + alpha hint
+    vp8x = bytes([flags, 0, 0, 0])
+    vp8x += (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    anim = b"\x00\x00\x00\x00" + (0).to_bytes(2, "little")  # bg, loop=∞
+    chunks = [(b"VP8X", vp8x), (b"ANIM", anim)]
+    for (x, y), f in zip(offsets, frames):
+        if x % 2 or y % 2:
+            raise WebpCodecError("ANMF offsets must be even")
+        sub = encode_webp_lossless(f)
+        # strip the inner RIFF container: ANMF embeds bare chunks
+        inner = sub[12:]
+        h, w = f.shape[:2]
+        anmf = (x // 2).to_bytes(3, "little")
+        anmf += (y // 2).to_bytes(3, "little")
+        anmf += (w - 1).to_bytes(3, "little")
+        anmf += (h - 1).to_bytes(3, "little")
+        anmf += int(duration_ms).to_bytes(3, "little")
+        anmf += bytes([0x02 | (0x01 if dispose else 0x00)])  # no-blend
+        anmf += inner
+        chunks.append((b"ANMF", anmf))
+    return _riff_wrap(chunks)
+
+
+def decode_webp_frames(data: bytes, max_frames: int | None = None) -> list:
+    """ALL frames of a WebP as composited (canvas_h, canvas_w, 4)
+    RGBA arrays. Still images yield one frame. Animations composite
+    per the ANMF flags: frames either overwrite their rectangle
+    (no-blend) or alpha-blend over the canvas, and dispose-to-
+    background clears the rectangle afterwards. Frame image data may
+    be VP8L or VP8 (+ALPH) — both decode through the conformance-
+    tested pixel paths."""
+    chunks = list(_iter_chunks(data))
+    anmfs = [p for t, p in chunks if t == b"ANMF"]
+    if not anmfs:
+        arr = decode_webp(data)
+        if arr.shape[2] == 3:
+            arr = np.dstack(
+                [arr, np.full(arr.shape[:2], 255, np.uint8)]
+            )
+        return [arr]
+    vp8x = next((p for t, p in chunks if t == b"VP8X"), None)
+    if vp8x is None or len(vp8x) < 10:
+        raise WebpCodecError("animation without VP8X header")
+    cw = int.from_bytes(vp8x[4:7], "little") + 1
+    ch = int.from_bytes(vp8x[7:10], "little") + 1
+    if cw * ch > _MAX_PIXELS:
+        raise WebpCodecError("animation canvas exceeds the decode limit")
+    canvas = np.zeros((ch, cw, 4), np.uint8)
+    out = []
+    for payload in anmfs:
+        if len(payload) < 16:
+            raise WebpCodecError("short ANMF header")
+        x = int.from_bytes(payload[0:3], "little") * 2
+        y = int.from_bytes(payload[3:6], "little") * 2
+        fw = int.from_bytes(payload[6:9], "little") + 1
+        fh = int.from_bytes(payload[9:12], "little") + 1
+        flags = payload[15]
+        no_blend = bool(flags & 0x02)
+        dispose_bg = bool(flags & 0x01)
+        if x + fw > cw or y + fh > ch:
+            raise WebpCodecError("ANMF frame exceeds canvas")
+        frame = decode_webp(_riff_wrap_raw(payload[16:]))
+        if frame.shape[:2] != (fh, fw):
+            raise WebpCodecError("ANMF geometry mismatch")
+        if frame.shape[2] == 3:
+            frame = np.dstack(
+                [frame, np.full(frame.shape[:2], 255, np.uint8)]
+            )
+        rect = canvas[y:y + fh, x:x + fw]
+        if no_blend:
+            rect[:] = frame
+        else:
+            # RFC 9649 alpha compositing (src OVER dst), integer form.
+            sa = frame[..., 3].astype(np.uint32)
+            da = rect[..., 3].astype(np.uint32)
+            oa = sa * 255 + da * (255 - sa)  # alpha * 255^2 / 255
+            src = frame[..., :3].astype(np.uint32)
+            dst = rect[..., :3].astype(np.uint32)
+            num = (src * (sa * 255)[..., None]
+                   + dst * (da * (255 - sa))[..., None])
+            rgb = np.where(oa[..., None] > 0,
+                           num // np.maximum(oa, 1)[..., None], 0)
+            rect[..., :3] = rgb.astype(np.uint8)
+            rect[..., 3] = (oa // 255).astype(np.uint8)
+        out.append(canvas.copy())
+        if dispose_bg:
+            canvas[y:y + fh, x:x + fw] = 0
+        if max_frames is not None and len(out) >= max_frames:
+            break
+    return out
+
+
+def _riff_wrap_raw(body: bytes) -> bytes:
+    """Re-wrap an ANMF's bare frame chunks as a stand-alone WebP."""
+    return b"RIFF" + (len(body) + 4).to_bytes(4, "little") + b"WEBP" + body
+
+
 def webp_info(data: bytes) -> dict:
     """Metadata-first parse (the pattern production pipelines use at
     the codec boundary): width/height/format/alpha/animation without

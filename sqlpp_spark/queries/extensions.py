@@ -1093,6 +1093,57 @@ def multimodal_tiff_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_webp_anim_frames_oracle",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h,
+         2 + doc_id % 4 AS nf
+  FROM documents
+),
+frames AS (
+  SELECT d.doc_id, d.w, d.h, f.i AS frame_idx
+  FROM dims d, LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS i) f
+),
+px AS (
+  SELECT fr.doc_id, fr.frame_idx, fr.w, fr.h,
+         SUM((x.i + 3 * y.i + fr.doc_id + 7 * fr.frame_idx) % 256) AS s
+  FROM frames fr,
+       LATERAL (SELECT unnest(generate_series(0, fr.w - 1)) AS i) x,
+       LATERAL (SELECT unnest(generate_series(0, fr.h - 1)) AS i) y
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id AS media_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 * s + 255 * w * h AS DOUBLE)
+           / CAST(4 * w * h AS DOUBLE) AS mean_byte,
+       CAST(1 AS BIGINT) AS decoded
+FROM px
+""",
+)
+def multimodal_webp_anim_frames_oracle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORACLED animated-WebP frame extraction (r11): ANMF-composited
+    frames with closed-form VP8L-lossless pixels decode through
+    extract_video_frames — the same verified-frame-decode surface the
+    GIF twin provides, now for WebP's animation container (RFC 9649
+    VP8X/ANIM/ANMF, no-blend overwrite compositing). DuckDB recomputes
+    every frame's geometry and exact four-channel mean (gray frames
+    with opaque alpha: (3f + 255)/4)."""
+    from sqlpp_spark.ops.multimodal import (
+        extract_video_frames, synthesize_webp_anim_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_video_frames(synthesize_webp_anim_media(d)).select(
+        "media_id", "frame_idx", "width", "height", "mean_byte",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )
+
+
+@register(
     "multimodal_video_frames_oracle",
     oracle="""
 WITH dims AS (

@@ -53,7 +53,8 @@ def _targets():
         WarcError, http_response_block, parse_warc, write_warc,
     )
     from sqlpp_spark.ops.webpcodec import (
-        WebpCodecError, decode_webp, encode_webp_lossless,
+        WebpCodecError, decode_webp, encode_webp_animated,
+        encode_webp_lossless,
     )
 
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
@@ -130,6 +131,17 @@ def _targets():
             ),
             decode_webp, WebpCodecError,
         ),
+        # r11: animated container compositing (VP8X/ANIM/ANMF walk)
+        "webp_anim": (
+            encode_webp_animated(
+                [np.stack([img] * 3, axis=-1)[:10, :10]] * 3, 25
+            ),
+            lambda b: __import__(
+                "sqlpp_spark.ops.webpcodec",
+                fromlist=["decode_webp_frames"],
+            ).decode_webp_frames(b, 4),
+            WebpCodecError,
+        ),
         # r11: the QM arithmetic entropy path (SOF9 + DAC + restarts)
         "jpeg_arith": (
             IC.encode_jpeg_arithmetic(
@@ -144,7 +156,8 @@ def _targets():
 
 
 NAMES = ["mp4", "flac", "ogg", "exif", "warc", "gif", "mp3",
-         "flac_frames", "warc_seg", "webp", "vp8_lossy", "jpeg_arith"]
+         "flac_frames", "warc_seg", "webp", "vp8_lossy", "webp_anim",
+         "jpeg_arith"]
 
 
 if HAS_HYP:

@@ -319,3 +319,109 @@ def test_decode_image_handles_webp(spark, sf_dir):
         assert r.width == r.media_id % 13 + 4
         assert r.height == r.media_id % 11 + 4
         assert r.channels == 3
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (VP8X/ANIM/ANMF) — r11.
+# ---------------------------------------------------------------------------
+
+
+def test_animated_roundtrip_full_canvas():
+    rng = np.random.default_rng(4)
+    frames = [rng.integers(0, 256, (18, 26, 4), dtype=np.uint8)
+              for _ in range(3)]
+    for f in frames:
+        f[..., 3] = 255
+    data = W.encode_webp_animated(frames, 50)
+    got = W.decode_webp_frames(data)
+    assert len(got) == 3
+    for g, f in zip(got, frames):
+        assert np.array_equal(g, f)
+    assert len(W.decode_webp_frames(data, max_frames=2)) == 2
+
+
+def test_animated_subcanvas_offsets_and_dispose():
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (20, 30, 4), dtype=np.uint8)
+    base[..., 3] = 255
+    patch = rng.integers(0, 256, (8, 10, 4), dtype=np.uint8)
+    patch[..., 3] = 255
+    data = W.encode_webp_animated([base, patch], 40,
+                                  offsets=[(0, 0), (4, 6)])
+    g = W.decode_webp_frames(data)
+    exp = base.copy()
+    exp[6:14, 4:14] = patch
+    assert np.array_equal(g[0], base) and np.array_equal(g[1], exp)
+    data2 = W.encode_webp_animated([base, patch], 40,
+                                   offsets=[(0, 0), (4, 6)], dispose=True)
+    g2 = W.decode_webp_frames(data2)
+    exp2 = np.zeros_like(base)
+    exp2[6:14, 4:14] = patch
+    assert np.array_equal(g2[1], exp2)
+
+
+def test_animated_blend_compositing():
+    """Hand-build a blending (B=0) ANMF over a known canvas and pin
+    the integer src-OVER-dst arithmetic."""
+    base = np.full((16, 16, 4), (40, 80, 120, 255), np.uint8)
+    overlay = np.full((16, 16, 4), (200, 100, 0, 128), np.uint8)
+    anm = W.encode_webp_animated([base, overlay], 30)
+    # flip frame 2's no-blend flag off (byte 15 of its ANMF payload)
+    raw = bytearray(anm)
+    pos = 12
+    seen = 0
+    while pos + 8 <= len(raw):
+        tag = bytes(raw[pos:pos + 4])
+        size = int.from_bytes(raw[pos + 4:pos + 8], "little")
+        if tag == b"ANMF":
+            seen += 1
+            if seen == 2:
+                raw[pos + 8 + 15] &= ~0x02
+        pos += 8 + size + (size & 1)
+    got = W.decode_webp_frames(bytes(raw))[1]
+    # src OVER dst, integer form of RFC 9649: oa = sa*255 + da*(255-sa)
+    sa, da = 128, 255
+    oa = sa * 255 + da * (255 - sa)
+    exp_a = oa // 255
+    exp_rgb = [
+        (s * (sa * 255) + d * (da * (255 - sa))) // oa
+        for s, d in ((200, 40), (100, 80), (0, 120))
+    ]
+    assert got[0, 0].tolist() == exp_rgb + [exp_a]
+    assert (got == got[0, 0]).all()
+
+
+def test_animated_lossy_frame_decodes():
+    """An ANMF whose image data is VP8 (+ALPH) routes through the
+    conformance-tested lossy decoder; pin via the committed stream."""
+    import base64
+
+    from sqlpp_spark.ops.vp8codec import CONFORMANCE_STREAMS
+
+    still = base64.b64decode(CONFORMANCE_STREAMS["grad64x80_q40"])
+    inner = still[12:]
+    vp8x = bytes([0x02, 0, 0, 0]) + (79).to_bytes(3, "little") \
+        + (63).to_bytes(3, "little")
+    anim = b"\x00" * 6
+    anmf = (0).to_bytes(3, "little") * 2 + (79).to_bytes(3, "little") \
+        + (63).to_bytes(3, "little") + (40).to_bytes(3, "little") \
+        + bytes([0x02]) + inner
+    data = W._riff_wrap([(b"VP8X", vp8x), (b"ANIM", anim),
+                         (b"ANMF", anmf)])
+    got = W.decode_webp_frames(data)
+    ref = decode_webp(still)
+    assert np.array_equal(got[0][:, :, :3], ref)
+    assert (got[0][:, :, 3] == 255).all()
+
+
+def test_animated_malformed_contract():
+    rng = np.random.default_rng(6)
+    f = rng.integers(0, 256, (10, 12, 4), dtype=np.uint8)
+    data = W.encode_webp_animated([f, f], 20)
+    for cut in range(12, len(data), 11):
+        try:
+            W.decode_webp_frames(data[:cut])
+        except WebpCodecError:
+            pass
+    with pytest.raises(WebpCodecError):
+        W.encode_webp_animated([f], offsets=[(1, 0)])  # odd offset
