@@ -393,3 +393,289 @@ def encode_mp4(
 _MATRIX = struct.pack(
     ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
 )
+
+
+# ---------------------------------------------------------------------------
+# HEIF / AVIF still-image metadata (ISO 23008-12 on the 14496-12 box
+# grammar above). Metadata-first: dimensions, codec, bit depth,
+# rotation, alpha, and primary-payload size WITHOUT touching the coded
+# AV1/HEVC data — the pruning step a crawl pipeline runs before
+# deciding what to hand to a real decoder (the documented
+# libaom/libde265 decode boundary). Conformance:
+# tests/test_heif_interop.py checks every reported property against
+# the system libheif on libheif-ENCODED files (x265 HEIC, aom AVIF).
+# ---------------------------------------------------------------------------
+
+_HEIF_BRANDS = {
+    b"avif": "avif", b"avis": "avif",
+    b"heic": "heic", b"heix": "heic", b"hevc": "heic", b"heim": "heic",
+    b"mif1": "heif", b"msf1": "heif",
+}
+
+
+def heif_info(data: bytes) -> dict:
+    """Parse a HEIF-family (HEIC/AVIF) still image's metadata."""
+    try:
+        return _heif_info_inner(data)
+    except Mp4BoxError:
+        raise
+    except (IndexError, ValueError, TypeError, struct.error, KeyError) as ex:
+        raise Mp4BoxError(f"malformed HEIF: {ex!r}") from None
+
+
+def _heif_info_inner(data: bytes) -> dict:
+    boxes = {t: (s, e) for t, s, e in iter_boxes(data)}
+    if b"ftyp" not in boxes:
+        raise Mp4BoxError("no ftyp box")
+    fs, fe = boxes[b"ftyp"]
+    major = data[fs:fs + 4]
+    compat = [data[o:o + 4] for o in range(fs + 8, fe, 4)]
+    fmt = _HEIF_BRANDS.get(major)
+    if fmt in (None, "heif"):
+        for b in compat:
+            got = _HEIF_BRANDS.get(b)
+            if got in ("avif", "heic"):
+                fmt = got
+                break
+    if fmt is None:
+        raise Mp4BoxError(f"not a HEIF-family brand: {major!r}")
+    if b"meta" not in boxes:
+        raise Mp4BoxError("HEIF without meta box")
+    ms, me = boxes[b"meta"]
+    _, _, p = _fullbox(data, ms)
+
+    primary = None
+    item_types: dict[int, bytes] = {}
+    props: list[tuple[bytes, int, int]] = []
+    assoc: dict[int, list[int]] = {}
+    irefs: dict[bytes, list] = {}
+    iloc_sizes: dict[int, int] = {}
+    for t, s, e in iter_boxes(data, p, me):
+        if t == b"pitm":
+            v, _, q = _fullbox(data, s)
+            primary = (_u32(data, q) if v else
+                       int.from_bytes(data[q:q + 2], "big"))
+        elif t == b"iinf":
+            v, _, q = _fullbox(data, s)
+            n = (int.from_bytes(data[q:q + 2], "big") if v == 0
+                 else _u32(data, q))
+            q += 2 if v == 0 else 4
+            for it, is_, ie_ in iter_boxes(data, q, e):
+                if it != b"infe":
+                    continue
+                iv, _, iq = _fullbox(data, is_)
+                if iv >= 2:
+                    iid = (int.from_bytes(data[iq:iq + 2], "big")
+                           if iv == 2 else _u32(data, iq))
+                    iq += 2 if iv == 2 else 4
+                    iq += 2  # protection index
+                    item_types[iid] = data[iq:iq + 4]
+            del n
+        elif t == b"iprp":
+            ipco = _find(data, s, e, b"ipco")
+            if ipco:
+                for pt, ps, pe in iter_boxes(data, ipco[0], ipco[1]):
+                    props.append((pt, ps, pe))
+            ipma = _find(data, s, e, b"ipma")
+            if ipma:
+                v, flags, q = _fullbox(data, ipma[0])
+                n = _u32(data, q)
+                q += 4
+                for _ in range(n):
+                    if v < 1:
+                        iid = int.from_bytes(data[q:q + 2], "big")
+                        q += 2
+                    else:
+                        iid = _u32(data, q)
+                        q += 4
+                    cnt = data[q]
+                    q += 1
+                    idxs = []
+                    for _ in range(cnt):
+                        if flags & 1:
+                            idxs.append(
+                                int.from_bytes(data[q:q + 2], "big")
+                                & 0x7FFF)
+                            q += 2
+                        else:
+                            idxs.append(data[q] & 0x7F)
+                            q += 1
+                    assoc[iid] = idxs
+        elif t == b"iref":
+            v, _, q = _fullbox(data, s)
+            idw = 2 if v == 0 else 4
+            for rt, rs, re_ in iter_boxes(data, q, e):
+                from_id = int.from_bytes(data[rs:rs + idw], "big")
+                cnt = int.from_bytes(data[rs + idw:rs + idw + 2], "big")
+                tos = [
+                    int.from_bytes(
+                        data[rs + idw + 2 + i * idw:
+                             rs + idw + 2 + (i + 1) * idw], "big")
+                    for i in range(cnt)
+                ]
+                irefs.setdefault(rt, []).append((from_id, tos))
+        elif t == b"iloc":
+            v, _, q = _fullbox(data, s)
+            sizes_b = data[q]
+            offset_size = sizes_b >> 4
+            length_size = sizes_b & 0xF
+            base_b = data[q + 1]
+            base_offset_size = base_b >> 4
+            index_size = (base_b & 0xF) if v in (1, 2) else 0
+            q += 2
+            if v < 2:
+                cnt = int.from_bytes(data[q:q + 2], "big")
+                q += 2
+            else:
+                cnt = _u32(data, q)
+                q += 4
+            for _ in range(cnt):
+                if v < 2:
+                    iid = int.from_bytes(data[q:q + 2], "big")
+                    q += 2
+                else:
+                    iid = _u32(data, q)
+                    q += 4
+                if v in (1, 2):
+                    q += 2  # construction method
+                q += 2  # data reference index
+                q += base_offset_size
+                ext_n = int.from_bytes(data[q:q + 2], "big")
+                q += 2
+                total = 0
+                for _ in range(ext_n):
+                    q += index_size + offset_size
+                    total += int.from_bytes(
+                        data[q:q + length_size], "big")
+                    q += length_size
+                iloc_sizes[iid] = total
+
+    if primary is None:
+        raise Mp4BoxError("HEIF without pitm (primary item)")
+    codec_map = {b"av01": "av01", b"hvc1": "hevc", b"hev1": "hevc"}
+    ptype = item_types.get(primary)
+    codec = codec_map.get(ptype)
+    coded_ids = [primary]
+    if codec is None and ptype == b"grid":
+        # derived image: codec and coded bytes come from the tiles
+        for from_id, tos in irefs.get(b"dimg", []):
+            if from_id == primary:
+                coded_ids = tos
+                for t_ in tos:
+                    codec = codec_map.get(item_types.get(t_))
+                    if codec:
+                        break
+                break
+    info = {
+        "format": fmt, "width": 0, "height": 0, "bit_depth": 0,
+        "rotation": 0, "has_alpha": False,
+        "codec": codec,
+        "n_items": len(item_types),
+        "primary_item_bytes": sum(
+            iloc_sizes.get(i, 0) for i in coded_ids
+        ),
+    }
+    # Properties of the PRIMARY item via ipma (1-based into ipco).
+    aux_alpha_idx = set()
+    for i, (pt, ps, pe) in enumerate(props, 1):
+        # AVIF spells the urn with "alpha"; HEVC's is
+        # urn:mpeg:hevc:2015:auxid:1 (alpha is aux type 1).
+        if pt == b"auxC" and (b"alpha" in data[ps:pe]
+                              or b"auxid:1" in data[ps:pe]):
+            aux_alpha_idx.add(i)
+    for idx in assoc.get(primary, []):
+        if not 1 <= idx <= len(props):
+            continue
+        pt, ps, pe = props[idx - 1]
+        if pt == b"ispe":
+            _, _, q = _fullbox(data, ps)
+            info["width"] = _u32(data, q)
+            info["height"] = _u32(data, q + 4)
+        elif pt == b"pixi":
+            _, _, q = _fullbox(data, ps)
+            if data[q]:
+                info["bit_depth"] = data[q + 1]
+        elif pt == b"irot":
+            info["rotation"] = (data[ps] & 3) * 90
+    # Alpha: any OTHER item associated with an alpha auxC property.
+    for iid, idxs in assoc.items():
+        if iid != primary and aux_alpha_idx.intersection(idxs):
+            info["has_alpha"] = True
+    return info
+
+
+# Committed libheif-encoded conformance streams (x265 HEIC, aom
+# AVIF): every field heif_info reports on them was verified against
+# the system libheif's own handle properties
+# (tests/test_heif_interop.py); they anchor the known-answer tests
+# and the multimodal_heif_metadata_oracle registry row without the
+# library.
+HEIF_CONFORMANCE_STREAMS = {
+    "avif_rgb": (
+        b'AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAOptZXRhAAAAAAAAACFoZGxy'
+        b'AAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAAAA5waXRtAAAAAAABAAAAImlsb2MA'
+        b'AAAAREAAAQABAAAAAAEOAAEAAAAAAAAAZwAAACNpaW5mAAAAAAABAAAAFWluZmUC'
+        b'AAAAAAEAAGF2MDEAAAAAamlwcnAAAABLaXBjbwAAABNjb2xybmNseAACAAIABoAA'
+        b'AAAMYXYxQ4EADAAAAAAUaXNwZQAAAAAAAAA+AAAALgAAABBwaXhpAAAAAAMICAgA'
+        b'AAAXaXBtYQAAAAAAAAABAAEEgYIDhAAAAG9tZGF0EgAKCRgVfbWCBAQNCDJYFMAE'
+        b'EEEEAL/Za2IuYuzCfbEQ/hPF+vxaTaZm/9kVRn2sRP9ymE2/ij2We2HAD1TcHgX/'
+        b'1Y3xdD03elJ7rMoV5JPt2XmCcNH//af9s9vJVDd2i/qva9YKNw=='
+    ),
+    "avif_alpha": (
+        b'AAAAHGZ0eXBhdmlmAAAAAGF2aWZtaWYxbWlhZgAAAZhtZXRhAAAAAAAAACFoZGxy'
+        b'AAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAAAA5waXRtAAAAAAABAAAANGlsb2MA'
+        b'AAAAREAAAgACAAAAAAG8AAEAAAAAAAAAIAABAAAAAAHcAAEAAAAAAAAAZwAAADhp'
+        b'aW5mAAAAAAACAAAAFWluZmUCAAAAAAEAAGF2MDEAAAAAFWluZmUCAAAAAAIAAGF2'
+        b'MDEAAAAA12lwcnAAAACxaXBjbwAAABNjb2xybmNseAACAAIABoAAAAAMYXYxQ4EA'
+        b'HAAAAAAUaXNwZQAAAAAAAAA+AAAALgAAAA5waXhpAAAAAAEIAAAAOGF1eEMAAAAA'
+        b'dXJuOm1wZWc6bXBlZ0I6Y2ljcDpzeXN0ZW1zOmF1eGlsaWFyeTphbHBoYQAAAAAM'
+        b'YXYxQ4EADAAAAAAUaXNwZQAAAAAAAAA+AAAALgAAABBwaXhpAAAAAAMICAgAAAAe'
+        b'aXBtYQAAAAAAAAACAAEEgYYHiAACBIIDhIUAAAAaaXJlZgAAAAAAAAAOYXV4bAAC'
+        b'AAEAAQAAAI9tZGF0EgAKBhgVfbWFQDIUFMAQQQC4BIq+iHNk6Se12j4mVl4SAAoJ'
+        b'GBV9tYIEBA0IMlgUwAQQQQQAv9lrYi5i7MJ9sRD+E8X6/FpNpmb/2RVGfaxE/3KY'
+        b'Tb+KPZZ7YcAPVNweBf/VjfF0PTd6UnusyhXkk+3ZeYJw0f/9p/2z28lUN3aL+q9r'
+        b'1go3'
+    ),
+    "heic_rgb": (
+        b'AAAAHGZ0eXBoZWljAAAAAG1pZjFoZWljbWlhZgAAAa1tZXRhAAAAAAAAACFoZGxy'
+        b'AAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAAAA5waXRtAAAAAAACAAAAEGlkYXQA'
+        b'AAAAAD4ALgAAADhpbG9jAQAAAERAAAIAAQAAAAAAAAHRAAEAAAAAAAAA4AACAAEA'
+        b'AAAAAAAAAQAAAAAAAAAIAAAAOGlpbmYAAAAAAAIAAAAVaW5mZQIAAAEAAQAAaHZj'
+        b'MQAAAAAVaW5mZQIAAAAAAgAAZ3JpZAAAAADYaXBycAAAALZpcGNvAAAAdmh2Y0MB'
+        b'A3AAAAAAAAAAAAAe8AD8/fj4AAAPAyAAAQAYQAEMAf//A3AAAAMAkAAAAwAAAwAe'
+        b'ugJAIQABACpCAQEDcAAAAwCQAAADAAADAB6gIIEFlurkprm4EBAwIAAAAwAgAAAD'
+        b'ACEiAAEABkQBwXPAiQAAABRpc3BlAAAAAAAAAEAAAABAAAAAFGlzcGUAAAAAAAAA'
+        b'PgAAAC4AAAAQcGl4aQAAAAADCAgIAAAAGmlwbWEAAAAAAAAAAgABAoECAAICA4QA'
+        b'AAAaaXJlZgAAAAAAAAAOZGltZwACAAEAAQAAAOhtZGF0AAAA3CgBrw7gV5raUkIo'
+        b'3olzeqSd2pf9Owm+NiwbO/D8+NWJ93EIW18lLkbUT7MInQM/bdTwP2S/jAyEx5DM'
+        b'aza5SjJurXvXHjR7MrVtpdaqDJU0HEo2b2uSXmqraItQrnX5eHfczHtqWMhLpjb3'
+        b'I1YM4Lbfc+cFg6aVvEQMzG6/kK95JiobkSL3LNu1vSGAGe3o388yySjMwwMYuR0D'
+        b'Smk+6JH1zzOplYVQ2p5P3StTD3vwXQD409LDCLeo4Xs3Gn4QFIJav6plYONLMyY5'
+        b'9nIQKbWnuPM3cmHlFQ6ZyKw='
+    ),
+    "heic_alpha": (
+        b'AAAAHGZ0eXBoZWljAAAAAG1pZjFoZWljbWlhZgAAAvxtZXRhAAAAAAAAACFoZGxy'
+        b'AAAAAAAAAABwaWN0AAAAAAAAAAAAAAAAAAAAAA5waXRtAAAAAAACAAAAGGlkYXQA'
+        b'AAAAAD4ALgAAAAAAPgAuAAAAYGlsb2MBAAAAREAABAABAAAAAAAAAyAAAQAAAAAA'
+        b'AADgAAIAAQAAAAAAAAABAAAAAAAAAAgAAwAAAAAAAAQAAAEAAAAAAAAANgAEAAEA'
+        b'AAAAAAAAAQAAAAgAAAAIAAAAYmlpbmYAAAAAAAQAAAAVaW5mZQIAAAEAAQAAaHZj'
+        b'MQAAAAAVaW5mZQIAAAAAAgAAZ3JpZAAAAAAVaW5mZQIAAAEAAwAAaHZjMQAAAAAV'
+        b'aW5mZQIAAAAABAAAZ3JpZAAAAAGxaXBycAAAAYRpcGNvAAAAdmh2Y0MBA3AAAAAA'
+        b'AAAAAAAe8AD8/fj4AAAPAyAAAQAYQAEMAf//A3AAAAMAkAAAAwAAAwAeugJAIQAB'
+        b'ACpCAQEDcAAAAwCQAAADAAADAB6gIIEFlurkprm4EBAwIAAAAwAgAAADACEiAAEA'
+        b'BkQBwXPAiQAAABRpc3BlAAAAAAAAAEAAAABAAAAAFGlzcGUAAAAAAAAAPgAAAC4A'
+        b'AAAQcGl4aQAAAAADCAgIAAAAcWh2Y0MBBAgAAAAAAAAAAAAe8AD8/Pj4AAAPAyAA'
+        b'AQAXQAEMAf//BAgAAAMAn/gAAAMAAB66AkAhAAEAJkIBAQQIAAADAJ/4AAADAAAe'
+        b'wIIEFlurkprmwIAAAAMAgAAAAwCEIgABAAZEAcFzwIkAAAAUaXNwZQAAAAAAAABA'
+        b'AAAAQAAAABRpc3BlAAAAAAAAAD4AAAAuAAAADnBpeGkAAAAAAQgAAAAnYXV4QwAA'
+        b'AAB1cm46bXBlZzpoZXZjOjIwMTU6YXV4aWQ6MQAAAAAlaXBtYQAAAAAAAAAEAAEC'
+        b'gQIAAgIDhAADAoUGAAQDB4iJAAAANmlyZWYAAAAAAAAADmRpbWcAAgABAAEAAAAO'
+        b'ZGltZwAEAAEAAwAAAA5hdXhsAAQAAQACAAABHm1kYXQAAADcKAGvDuBXmtpSQije'
+        b'iXN6pJ3al/07Cb42LBs78Pz41Yn3cQhbXyUuRtRPswidAz9t1PA/ZL+MDITHkMxr'
+        b'NrlKMm6te9ceNHsytW2l1qoMlTQcSjZva5Jeaqtoi1Cudfl4d9zMe2pYyEumNvcj'
+        b'Vgzgtt9z5wWDppW8RAzMbr+Qr3kmKhuRIvcs27W9IYAZ7ejfzzLJKMzDAxi5HQNK'
+        b'aT7okfXPM6mVhVDank/dK1MPe/BdAPjT0sMIt6jhezcafhAUglq/qmVg40szJjn2'
+        b'chAptae48zdyYeUVDpnIrAAAADIoAa4dwIsQ7sX7N+BS2z/jJ/d9+TE85BiJpdxb'
+        b'+B9Vcp9XQr9vf0L/DOANrD7AybjoTw=='
+    ),
+}

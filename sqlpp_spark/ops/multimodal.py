@@ -191,6 +191,84 @@ def synthesize_webp_lossy_media(df: DataFrame, id_col: str = "doc_id") -> DataFr
     return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
 
 
+def synthesize_heif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One of the four committed HEIF-family conformance streams per
+    doc (id mod 4: AVIF, AVIF+alpha, HEIC grid, HEIC grid+alpha —
+    libheif-encoded, property-verified against libheif itself). Like
+    the VP8 lossy twin, the oracle contract is known-answer: coded
+    AV1/HEVC payloads have no closed pixel form, but their container
+    metadata is exact."""
+    import base64
+
+    from sqlpp_spark.ops.mp4box import HEIF_CONFORMANCE_STREAMS
+
+    streams = [
+        base64.b64decode(HEIF_CONFORMANCE_STREAMS[k])
+        for k in ("avif_rgb", "avif_alpha", "heic_rgb", "heic_alpha")
+    ]
+    schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(d) for d in pdf[id_col]]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": [streams[d % 4] for d in ids],
+            })
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
+def heif_metadata(df: DataFrame) -> DataFrame:
+    """Metadata-first HEIF/AVIF parse (ops/mp4box.py heif_info): the
+    pruning surface before the AV1/HEVC decode boundary. Malformed
+    payloads yield decoded=false rows."""
+    schema = (
+        "media_id long, format string, width int, height int, "
+        "bit_depth int, rotation int, has_alpha boolean, codec string, "
+        "n_items int, primary_item_bytes long, decoded boolean"
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sqlpp_spark.ops.mp4box import Mp4BoxError, heif_info
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "format", "width", "height", "bit_depth",
+                "rotation", "has_alpha", "codec", "n_items",
+                "primary_item_bytes", "decoded",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    info = heif_info(b)
+                except Mp4BoxError:
+                    info = None
+                out["media_id"].append(mid)
+                if info is None:
+                    out["format"].append(None)
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["bit_depth"].append(0)
+                    out["rotation"].append(0)
+                    out["has_alpha"].append(False)
+                    out["codec"].append(None)
+                    out["n_items"].append(0)
+                    out["primary_item_bytes"].append(0)
+                    out["decoded"].append(False)
+                else:
+                    for k in ("format", "width", "height", "bit_depth",
+                              "rotation", "has_alpha", "codec",
+                              "n_items", "primary_item_bytes"):
+                        out[k].append(info[k])
+                    out["decoded"].append(True)
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
+        parse, schema
+    )
+
+
 def synthesize_webp_anim_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Animated WebP with CLOSED-FORM frames: per doc, nf = 2 + id%4
     full-canvas RGBA frames whose gray value is

@@ -1191,6 +1191,51 @@ def multimodal_video_frames_oracle(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "multimodal_heif_metadata_oracle",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE doc_id % 4 WHEN 0 THEN 'avif' WHEN 1 THEN 'avif'
+            ELSE 'heic' END AS format,
+       CAST(62 AS INT) AS width,
+       CAST(46 AS INT) AS height,
+       CAST(8 AS INT) AS bit_depth,
+       CAST(0 AS INT) AS rotation,
+       (doc_id % 2 = 1) AS has_alpha,
+       CASE doc_id % 4 WHEN 0 THEN 'av01' WHEN 1 THEN 'av01'
+            ELSE 'hevc' END AS codec,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+            WHEN 2 THEN 2 ELSE 4 END AS INT) AS n_items,
+       CAST(CASE WHEN doc_id % 4 < 2 THEN 103 ELSE 224 END
+            AS BIGINT) AS primary_item_bytes,
+       CAST(1 AS BIGINT) AS decoded
+FROM documents
+""",
+)
+def multimodal_heif_metadata_oracle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORACLED HEIF/AVIF metadata extraction (r11): the modern-crawl
+    image containers parse metadata-first (ISO 23008-12 item grammar
+    over the 14496-12 box walk — pitm/iinf/iprp/ipma/iref/iloc,
+    grid-derived codec resolution, AVIF and HEVC alpha-aux urns)
+    WITHOUT touching the coded AV1/HEVC payloads, which remain the
+    documented decode boundary. Payloads rotate through four committed
+    libheif-encoded conformance streams whose every reported property
+    was verified against libheif's own handle API
+    (tests/test_heif_interop.py); DuckDB pins them as known answers."""
+    from sqlpp_spark.ops.multimodal import (
+        heif_metadata, synthesize_heif_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return heif_metadata(synthesize_heif_media(d)).select(
+        "media_id", "format", "width", "height", "bit_depth", "rotation",
+        "has_alpha", "codec", "n_items", "primary_item_bytes",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )
+
+
+@register(
     "multimodal_mp4_metadata_oracle",
     oracle="""
 WITH p AS (

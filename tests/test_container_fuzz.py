@@ -142,6 +142,19 @@ def _targets():
             ).decode_webp_frames(b, 4),
             WebpCodecError,
         ),
+        # r11: HEIF/AVIF item grammar (committed libheif stream)
+        "heif": (
+            __import__("base64").b64decode(
+                __import__(
+                    "sqlpp_spark.ops.mp4box",
+                    fromlist=["HEIF_CONFORMANCE_STREAMS"],
+                ).HEIF_CONFORMANCE_STREAMS["heic_alpha"]
+            ),
+            lambda b: __import__(
+                "sqlpp_spark.ops.mp4box", fromlist=["heif_info"]
+            ).heif_info(b),
+            Mp4BoxError,
+        ),
         # r11: the QM arithmetic entropy path (SOF9 + DAC + restarts)
         "jpeg_arith": (
             IC.encode_jpeg_arithmetic(
@@ -157,7 +170,7 @@ def _targets():
 
 NAMES = ["mp4", "flac", "ogg", "exif", "warc", "gif", "mp3",
          "flac_frames", "warc_seg", "webp", "vp8_lossy", "webp_anim",
-         "jpeg_arith"]
+         "heif", "jpeg_arith"]
 
 
 if HAS_HYP:
