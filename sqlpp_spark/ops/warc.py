@@ -42,10 +42,46 @@ class WarcError(ValueError):
     """Malformed WARC payload."""
 
 
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def iter_gzip_members(data: bytes) -> Iterator:
+    """Yield (comp_start, comp_end, decompressed_bytes) per gzip
+    member. Common Crawl's `.warc.gz` convention compresses EACH
+    record as its own member precisely so the stream can be cut at
+    member boundaries — the property segment_warc exploits."""
+    import zlib
+
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos:pos + 2] != GZIP_MAGIC:
+            raise WarcError("garbage between gzip members")
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(data[pos:])
+        except zlib.error as ex:
+            raise WarcError(f"corrupt gzip member: {ex}") from None
+        if not d.eof:
+            raise WarcError("truncated gzip member")
+        end = n - len(d.unused_data)
+        yield pos, end, out
+        pos = end
+
+
+def gunzip_warc(data: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzipped WARC stream."""
+    return b"".join(out for _, _, out in iter_gzip_members(data))
+
+
 def parse_warc(data: bytes) -> list:
     """Parse a WARC/1.0 stream into records:
     ``(headers: dict, block: bytes)`` per record. Header names are
-    case-preserved keys; lookup helpers lowercase them."""
+    case-preserved keys; lookup helpers lowercase them. Gzipped
+    streams (`.warc.gz`, incl. the member-per-record Common Crawl
+    layout) are decompressed transparently."""
+    if data[:2] == GZIP_MAGIC:
+        data = gunzip_warc(data)
     records = []
     pos = 0
     n = len(data)
@@ -156,6 +192,8 @@ def segment_warc(data: bytes, max_chunk_bytes: int,
     per-task bytes. Returns a list of (start, end) chunk offsets."""
     if max_chunk_bytes <= 0:
         raise WarcError("max_chunk_bytes must be positive")
+    if data[:2] == GZIP_MAGIC:
+        return _segment_warc_gz(data, max_chunk_bytes, strict)
     chunks = []
     cur_start = None
     cur_end = None
@@ -176,6 +214,48 @@ def segment_warc(data: bytes, max_chunk_bytes: int,
     if cur_start is not None:
         chunks.append((cur_start, cur_end))
     return chunks
+
+
+def _segment_warc_gz(data: bytes, max_chunk_bytes: int,
+                     strict: bool) -> list:
+    """Gzipped variant: cut at gzip MEMBER boundaries (each chunk is a
+    stand-alone multi-member gzip stream) with the cap applied to the
+    DECOMPRESSED size — the quantity that bounds downstream parse
+    memory. One pass of streaming decompression finds the boundaries
+    (gzip is not splittable without an index); the expensive record
+    parse + extraction then runs per chunk, distributed."""
+    chunks = []
+    cur_start = None
+    cur_end = None
+    cur_dec = 0
+    for start, end, out in iter_gzip_members(data):
+        dec = len(out)
+        if dec > max_chunk_bytes and strict:
+            raise WarcError(
+                f"single gzip member decompresses to {dec} bytes, "
+                f"exceeding the {max_chunk_bytes}-byte chunk cap"
+            )
+        if cur_start is None:
+            cur_start, cur_end, cur_dec = start, end, dec
+        elif cur_dec + dec <= max_chunk_bytes:
+            cur_end = end
+            cur_dec += dec
+        else:
+            chunks.append((cur_start, cur_end))
+            cur_start, cur_end, cur_dec = start, end, dec
+    if cur_start is not None:
+        chunks.append((cur_start, cur_end))
+    return chunks
+
+
+def write_warc_gz(records) -> bytes:
+    """Gzipped WARC in the Common Crawl layout: each record its own
+    gzip member, so the stream segments at member boundaries."""
+    import gzip
+
+    return b"".join(
+        gzip.compress(write_warc([rec]), mtime=0) for rec in records
+    )
 
 
 def split_http_response(block: bytes):

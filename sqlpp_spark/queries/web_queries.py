@@ -640,6 +640,54 @@ def web_warc_extract_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("web_warc_extract_gzip", oracle=_warc_extract_oracle())
+def web_warc_extract_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED `.warc.gz` twin (r11): Common Crawl ships gzipped
+    segments whose records are independent gzip MEMBERS, so the
+    segmented reader must cut at member boundaries with the chunk cap
+    applied to DECOMPRESSED bytes. Per-document archives are gzipped
+    (one member each), concatenated into 8 multi-member bundles, and
+    parsed through the same `warc_records_segmented` plan with a tiny
+    decompressed-size cap. The oracle is the SAME SQL as the direct
+    extract: compression and segmentation must both be invisible to
+    the record stream."""
+    import gzip
+
+    from sqlpp_spark.ops.warc import (
+        html_text_col, synthesize_warc_media, warc_records_segmented,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    per_doc = synthesize_warc_media(d)
+
+    def bundle_gz(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("archive_id")
+        payload = b"".join(
+            gzip.compress(bytes(p), mtime=0) for p in pdf["payload"]
+        )
+        return pd.DataFrame(
+            {"archive_id": [int(pdf["archive_id"].iloc[0]) % 8],
+             "payload": [payload]}
+        )
+
+    bundled = per_doc.groupBy(
+        (F.col("archive_id") % 8).alias("__bundle")
+    ).applyInPandas(bundle_gz, "archive_id long, payload binary")
+    recs = warc_records_segmented(bundled, max_chunk_bytes=4096)
+    return (
+        recs.filter((F.col("rec_type") == "response")
+                    & (F.col("http_status") == 200))
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("bigint").alias("doc_id"),
+            "target_uri",
+            "http_status",
+            html_text_col(F.col("body")).alias("text"),
+        )
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+    )
+
+
 @register(
     "web_warc_stats",
     oracle="""

@@ -142,6 +142,18 @@ def _targets():
             ).decode_webp_frames(b, 4),
             WebpCodecError,
         ),
+        # r11: gzipped WARC (member-per-record Common Crawl layout)
+        "warc_gz": (
+            __import__(
+                "sqlpp_spark.ops.warc", fromlist=["write_warc_gz"]
+            ).write_warc_gz([
+                ({"WARC-Type": "response",
+                  "WARC-Target-URI": "http://e/1"},
+                 http_response_block(200, "text/html", b"<p>x</p>" * 30)),
+                ({"WARC-Type": "resource"}, b"abc" * 60),
+            ]),
+            parse_warc, WarcError,
+        ),
         # r11: HEIF/AVIF item grammar (committed libheif stream)
         "heif": (
             __import__("base64").b64decode(
@@ -169,8 +181,8 @@ def _targets():
 
 
 NAMES = ["mp4", "flac", "ogg", "exif", "warc", "gif", "mp3",
-         "flac_frames", "warc_seg", "webp", "vp8_lossy", "webp_anim",
-         "heif", "jpeg_arith"]
+         "flac_frames", "warc_seg", "warc_gz", "webp", "vp8_lossy",
+         "webp_anim", "heif", "jpeg_arith"]
 
 
 if HAS_HYP:

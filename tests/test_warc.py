@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 
+from sqlpp_spark.ops import warc as W
 from sqlpp_spark.ops.warc import (
     WarcError,
     html_text_sql,
@@ -327,3 +328,64 @@ def test_update_from_subquery_where_supported(spark, tmp_path):
         ).collect()
     )
     assert ret2 == [(2, 0)]
+
+
+# ---------------------------------------------------------------------------
+# Gzipped WARC (`.warc.gz`, Common Crawl member-per-record layout) — r11.
+# ---------------------------------------------------------------------------
+
+
+def test_warc_gz_parse_matches_plain():
+    recs = [
+        ({"WARC-Type": "warcinfo"}, b"software: x\r\n"),
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://e/1"},
+         http_response_block(200, "text/html", b"<p>hello</p>" * 50)),
+        ({"WARC-Type": "resource"}, b"q" * 700),
+    ]
+    plain = parse_warc(write_warc(recs))
+    gz = parse_warc(W.write_warc_gz(recs))
+    assert len(plain) == len(gz) == 3
+    for (ha, ba), (hb, bb) in zip(plain, gz):
+        assert ba == bb
+        assert {k.lower(): v for k, v in ha.items()} \
+            == {k.lower(): v for k, v in hb.items()}
+
+
+def test_warc_gz_segments_at_member_boundaries():
+    recs = [
+        ({"WARC-Type": "resource"}, bytes([i]) * (200 + 37 * i))
+        for i in range(9)
+    ]
+    data = W.write_warc_gz(recs)
+    chunks = W.segment_warc(data, 900)
+    assert len(chunks) > 1
+    reassembled = []
+    for s, e in chunks:
+        piece = data[s:e]
+        assert piece[:2] == W.GZIP_MAGIC  # stand-alone gzip stream
+        # decompressed size respects the cap (single-member overflow
+        # chunks excepted — none here)
+        assert len(W.gunzip_warc(piece)) <= 900
+        reassembled.extend(parse_warc(piece))
+    assert [b for _, b in reassembled] == [b for _, b in recs]
+
+
+def test_warc_gz_strict_oversized_member():
+    recs = [({"WARC-Type": "resource"}, b"z" * 5000)]
+    data = W.write_warc_gz(recs)
+    with pytest.raises(WarcError):
+        W.segment_warc(data, 1000, strict=True)
+    # non-strict: oversized member becomes its own chunk
+    assert W.segment_warc(data, 1000) == [(0, len(data))]
+
+
+def test_warc_gz_corruption_contract():
+    recs = [({"WARC-Type": "resource"}, b"ab" * 300)]
+    data = bytearray(W.write_warc_gz(recs))
+    for pos in range(0, len(data), 5):
+        mutated = bytearray(data)
+        mutated[pos] ^= 0xFF
+        try:
+            parse_warc(bytes(mutated))
+        except WarcError:
+            pass
