@@ -1156,6 +1156,11 @@ def decode_webp(data: bytes) -> np.ndarray:
             h, w = rgb.shape[:2]
             return np.dstack([rgb, _decode_alpha(alph, w, h)])
     if vp8l is None:
+        if any(t == b"ANMF" for t, _ in _iter_chunks(data)):
+            # animated container: a plain decode yields the first
+            # composited frame (matching decode_gif's convention);
+            # decode_webp_frames is the full animation surface.
+            return decode_webp_frames(data, max_frames=1)[0]
         raise WebpCodecError("no VP8L chunk in WebP container")
     br = _BitReader(vp8l)
     if br.read(8) != 0x2F:
