@@ -29,13 +29,14 @@ from sqlpp_spark.ops.warc import (  # noqa: E402
     warc_records,
     warc_records_segmented,
     write_warc,
+    write_warc_gz,
 )
 
 ARCHIVE_MB = int(os.environ.get("WARC_REHEARSAL_MB", "64"))
 CHUNK_BYTES = int(os.environ.get("WARC_REHEARSAL_CHUNK", str(4 << 20)))
 
 
-def build_archive() -> bytes:
+def build_records():
     recs = []
     i = 0
     total = 0
@@ -51,12 +52,15 @@ def build_archive() -> bytes:
         ))
         total += len(blk) + 120
         i += 1
-    return write_warc(recs)
+    return recs
 
 
 def main() -> None:
     spark = get_spark_with_ui()
-    data = build_archive()
+    recs = build_records()
+    data = write_warc(recs)
+    # r11: the .warc.gz path — member-per-record (Common Crawl layout)
+    data_gz = write_warc_gz(recs)
     df = spark.createDataFrame(
         [(1, bytearray(data))], "archive_id long, payload binary"
     ).persist()
@@ -76,6 +80,18 @@ def main() -> None:
     seg_rows = warc_records_segmented(df, CHUNK_BYTES).count()
     t_seg = time.time() - t0
 
+    df_gz = spark.createDataFrame(
+        [(1, bytearray(data_gz))], "archive_id long, payload binary"
+    ).persist()
+    df_gz.count()
+    segs_gz = segment_warc_archives(df_gz, CHUNK_BYTES).persist()
+    gz_stats = segs_gz.selectExpr(
+        "count(*) AS n", "max(length(payload)) AS max_chunk",
+    ).collect()[0]
+    t0 = time.time()
+    gz_rows = warc_records_segmented(df_gz, CHUNK_BYTES).count()
+    t_gz = time.time() - t0
+
     out = {
         "archive_bytes": len(data),
         "chunk_cap_bytes": CHUNK_BYTES,
@@ -88,6 +104,12 @@ def main() -> None:
         "records_match": direct_rows == seg_rows,
         "sec_direct_single_row": round(t_direct, 3),
         "sec_segmented": round(t_seg, 3),
+        "gz_archive_bytes": len(data_gz),
+        "gz_n_chunks": gz_stats["n"],
+        "gz_max_chunk_comp_bytes": gz_stats["max_chunk"],
+        "gz_records_segmented": gz_rows,
+        "gz_records_match": gz_rows == direct_rows,
+        "sec_segmented_gz": round(t_gz, 3),
         "loadavg": os.getloadavg()[0],
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
