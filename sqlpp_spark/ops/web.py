@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sqlpp_spark.ops import ensure_parallelism
+
 # scheme://[user@]host[:port]/... -> capture group 1 = host
 URL_DOMAIN_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
 
@@ -432,3 +434,122 @@ def filter_blocked_domains(
             how="left_anti",
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# robots.txt compliance (RFC 9309) — the crawl-politeness filter a
+# training-data pipeline runs between URL discovery and fetch/ingest.
+# Parsing and longest-match evaluation follow the RFC: groups are
+# user-agent lines followed by allow/disallow rules (same-token groups
+# merge); '*' in a rule matches any character run and a trailing '$'
+# anchors the end; the most specific (longest-pattern) matching rule
+# wins, allow winning ties; no matching group or rule means allowed.
+# Group selection picks the longest group token that prefixes the
+# crawler's product token case-insensitively, falling back to '*' (the
+# common implementation of the RFC's "most specific match" language).
+# ---------------------------------------------------------------------------
+
+
+def parse_robots(txt: str, agent: str = "*") -> list:
+    """[(is_allow, pattern), ...] — the merged rule group that governs
+    ``agent``. Directives are case-insensitive; comments (#) and
+    unknown directives are ignored per the RFC."""
+    groups: dict[str, list] = {}
+    current_tokens: list[str] = []
+    seen_rule_after_agents = True
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if seen_rule_after_agents:
+                current_tokens = []
+                seen_rule_after_agents = False
+            current_tokens.append(value.lower())
+            for tok in current_tokens:
+                groups.setdefault(tok, [])
+        elif key in ("allow", "disallow"):
+            seen_rule_after_agents = True
+            if not value and key == "disallow":
+                # "Disallow:" (empty) = allow everything; record
+                # nothing so the default-allow applies.
+                continue
+            for tok in current_tokens:
+                groups.setdefault(tok, []).append(
+                    (key == "allow", value)
+                )
+        else:
+            seen_rule_after_agents = True
+    al = agent.lower()
+    best_tok = None
+    for tok in groups:
+        if tok != "*" and al.startswith(tok):
+            if best_tok is None or len(tok) > len(best_tok):
+                best_tok = tok
+    if best_tok is None and "*" in groups:
+        best_tok = "*"
+    return groups.get(best_tok, []) if best_tok is not None else []
+
+
+def _robots_pattern_matches(pattern: str, path: str) -> bool:
+    import re
+
+    regex = re.escape(pattern).replace(r"\*", ".*")
+    if regex.endswith(r"\$"):
+        regex = regex[:-2] + "$"
+    return re.match(regex, path) is not None
+
+
+def robots_allowed(rules: list, path: str) -> bool:
+    """Longest-match evaluation over a parsed rule group."""
+    best_len = -1
+    best_allow = True
+    for allow, pat in rules:
+        if _robots_pattern_matches(pat, path):
+            ln = len(pat)
+            if ln > best_len or (ln == best_len and allow
+                                 and not best_allow):
+                best_len = ln
+                best_allow = allow
+    return best_allow if best_len >= 0 else True
+
+
+def robots_filter(
+    urls: DataFrame, robots: DataFrame, agent: str = "*",
+) -> DataFrame:
+    """Annotate a (host, path) URL frame with ``allowed`` per each
+    host's robots.txt ((host, robots_txt) frame; hosts without a
+    robots row are allowed — the RFC's unavailable-means-allowed
+    rule for 4xx). Scale shape: an equi-join on host (broadcast when
+    the robots side is dimension-sized), then Arrow-batched evaluation
+    with the parsed rule group cached per host within each batch —
+    the text parses once per distinct host per batch, not per URL."""
+    import pandas as pd
+
+    joined = urls.join(robots, "host", "left")
+    schema = "host string, path string, allowed boolean"
+
+    def evaluate(batches):
+        for pdf in batches:
+            cache: dict = {}
+            allowed = []
+            for txt, path in zip(pdf["robots_txt"], pdf["path"]):
+                if txt is None:
+                    allowed.append(True)
+                    continue
+                rules = cache.get(txt)
+                if rules is None:
+                    rules = parse_robots(txt, agent)
+                    cache[txt] = rules
+                allowed.append(robots_allowed(rules, path))
+            yield pd.DataFrame({
+                "host": pdf["host"], "path": pdf["path"],
+                "allowed": allowed,
+            })
+
+    return ensure_parallelism(
+        joined.select("host", "path", "robots_txt")
+    ).mapInPandas(evaluate, schema)

@@ -833,3 +833,64 @@ def pipeline_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "clean_text", "n_kept", "n_dropped",
         X.quality_score(F.col("clean_text")).alias("quality"),
     )
+
+
+@register(
+    "pipeline_robots_filter",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id, u.i AS url_idx FROM documents,
+         LATERAL (SELECT unnest(generate_series(0, 3)) AS i) u
+)
+SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+       CASE url_idx
+            WHEN 0 THEN '/'
+            WHEN 1 THEN '/blocked' || CAST(doc_id % 3 AS VARCHAR) || '/page'
+            WHEN 2 THEN '/blocked' || CAST(doc_id % 3 AS VARCHAR)
+                 || '/except/page'
+            ELSE '/other/data.bin'
+       END AS path,
+       (url_idx <> 1 AND NOT (url_idx = 3 AND doc_id % 2 = 0))
+           AS allowed
+FROM urls
+""",
+)
+def pipeline_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED robots.txt compliance filter (RFC 9309, r11): the
+    crawl-politeness step between URL discovery and ingest. Per host a
+    closed-form robots.txt (disallow /blocked{id%3}/, allow its
+    /except/ subtree back, and on even ids a wildcard '/*.bin$' ban)
+    governs four URLs; DuckDB recomputes the allow/deny decisions from
+    the formulas. The Spark side exercises the full surface: group
+    parsing, longest-match precedence (the allow rule is LONGER than
+    the disallow it overrides), '*' + '$' wildcard rules, and the
+    host join with per-batch rule caching."""
+    from sqlpp_spark.ops.web import robots_filter
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    urls = d.select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias("host"),
+        F.explode(F.array(
+            F.lit("/"),
+            F.concat(F.lit("/blocked"),
+                     (F.col("doc_id") % 3).cast("string"),
+                     F.lit("/page")),
+            F.concat(F.lit("/blocked"),
+                     (F.col("doc_id") % 3).cast("string"),
+                     F.lit("/except/page")),
+            F.lit("/other/data.bin"),
+        )).alias("path"),
+    )
+    robots = d.select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /blocked"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("/\nAllow: /blocked"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("/except/\n"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("Disallow: /*.bin$\n")).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    return robots_filter(urls, robots).select("host", "path", "allowed")

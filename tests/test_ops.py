@@ -1155,3 +1155,78 @@ def test_knn_graph_column_path_bit_equal_to_literal_path(spark, sf_dir):
     finally:
         sim.CELL_EXPR_MAX = old
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309) — r11.
+# ---------------------------------------------------------------------------
+
+
+def test_robots_group_selection_and_merging():
+    from sqlpp_spark.ops.web import parse_robots, robots_allowed
+
+    txt = (
+        "# politeness\n"
+        "User-agent: FooBot\n"
+        "Disallow: /private/\n"
+        "Allow: /private/public/\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /tmp/\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /spool/\n"
+    )
+    foo = parse_robots(txt, "FooBot/1.2 (+http://example)")
+    star = parse_robots(txt, "OtherBot")
+    assert robots_allowed(foo, "/private/x") is False
+    assert robots_allowed(foo, "/private/public/y") is True
+    assert robots_allowed(foo, "/tmp/x") is True  # foo's group governs
+    # same-token groups MUST merge (RFC 9309 §2.2.1)
+    assert robots_allowed(star, "/tmp/x") is False
+    assert robots_allowed(star, "/spool/x") is False
+    # multiple user-agent lines share the following rules
+    multi = parse_robots("User-agent: A\nUser-agent: B\nDisallow: /x\n",
+                         "B")
+    assert robots_allowed(multi, "/x/1") is False
+    # no matching group, no '*' group: allowed
+    assert parse_robots("User-agent: Z\nDisallow: /\n", "Q") == []
+
+
+def test_robots_longest_match_and_wildcards():
+    from sqlpp_spark.ops.web import parse_robots, robots_allowed
+
+    rules = parse_robots(
+        "User-agent: *\n"
+        "Disallow: /*.pdf$\n"
+        "Disallow: /a/\n"
+        "Allow: /a/keep\n"
+    )
+    assert robots_allowed(rules, "/doc.pdf") is False   # $ anchors
+    assert robots_allowed(rules, "/doc.pdfx") is True
+    assert robots_allowed(rules, "/d/e/f.pdf") is False  # * spans dirs
+    assert robots_allowed(rules, "/a/z") is False
+    assert robots_allowed(rules, "/a/keep/z") is True    # longer allow wins
+    assert robots_allowed(rules, "/") is True
+    # equal-length tie goes to allow
+    assert robots_allowed([(False, "/p"), (True, "/p")], "/p/x") is True
+    # empty Disallow means allow-everything (no rule recorded)
+    assert parse_robots("User-agent: *\nDisallow:\n") == []
+
+
+def test_robots_filter_dataframe(spark):
+    from sqlpp_spark.ops.web import robots_filter
+
+    urls = spark.createDataFrame(
+        [("h1", "/ok"), ("h1", "/blocked/x"), ("h2", "/anything")],
+        "host string, path string",
+    )
+    robots = spark.createDataFrame(
+        [("h1", "User-agent: *\nDisallow: /blocked/\n")],
+        "host string, robots_txt string",
+    )
+    rows = {(r.host, r.path): r.allowed
+            for r in robots_filter(urls, robots).collect()}
+    assert rows[("h1", "/ok")] is True
+    assert rows[("h1", "/blocked/x")] is False
+    assert rows[("h2", "/anything")] is True  # no robots row: allowed
