@@ -427,3 +427,28 @@ def test_interop_alpha_raw_and_filter_modes(libwebp):
         mine = decode_webp(data)
         assert mine.shape[2] == 4, kw
         assert np.array_equal(mine[:, :, 3], ref[:, :, 3]), kw
+
+
+def test_interop_randomized_sweep(libwebp):
+    """Seeded randomized conformance: random geometry x content mix x
+    quality per case, bit-exact YUV each time. The fixed batteries
+    above pin known hard cases; this keeps exploring new ones on every
+    suite run (deterministically, so failures reproduce)."""
+    rng = np.random.default_rng(20260815)
+    for case in range(12):
+        h = int(rng.integers(1, 120))
+        w = int(rng.integers(1, 120))
+        y, x = np.mgrid[0:h, 0:w]
+        base = (
+            rng.integers(0, 256) + x * int(rng.integers(0, 7))
+            + y * int(rng.integers(0, 7))
+        ) % 256
+        noise = rng.integers(0, int(rng.integers(2, 128)), (h, w))
+        arr = np.dstack([
+            np.clip(base + noise, 0, 255),
+            np.clip(base[::-1] + noise, 0, 255),
+            (x * y + case) % 256,
+            np.full((h, w), 255),
+        ]).astype(np.uint8)
+        q = float(rng.integers(5, 101))
+        _assert_conforms(libwebp, arr, q)
