@@ -824,8 +824,9 @@ def _decode_one(b: bytes, fallback: bool):
             h, w, ch = arr.shape
             return w, h, ch, float(arr.mean()), True
         except WebpCodecError:
-            # lossy VP8 pixel decode stays the documented PIL/ffmpeg
-            # boundary; VP8L failures fall through like other codecs
+            # decode_webp covers VP8L, VP8 lossy (+ALPH alpha) and the
+            # first frame of animations (r11); genuinely malformed
+            # payloads fall through like the other codecs
             if not HAS_PIL and not fallback:
                 raise
     if HAS_PIL:
