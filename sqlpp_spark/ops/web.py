@@ -481,8 +481,11 @@ def parse_robots(txt: str, agent: str = "*") -> list:
                 groups.setdefault(tok, []).append(
                     (key == "allow", value)
                 )
-        else:
-            seen_rule_after_agents = True
+        # Unknown directives (Sitemap, Crawl-delay, ...) are ignored
+        # entirely — they neither join the group nor terminate the
+        # user-agent run, matching Google's reference robotstxt parser:
+        # "User-agent: a / Sitemap: x / User-agent: b / Disallow: /y"
+        # is ONE group governing both a and b.
     al = agent.lower()
     best_tok = None
     for tok in groups:
@@ -495,12 +498,39 @@ def parse_robots(txt: str, agent: str = "*") -> list:
 
 
 def _robots_pattern_matches(pattern: str, path: str) -> bool:
-    import re
-
-    regex = re.escape(pattern).replace(r"\*", ".*")
-    if regex.endswith(r"\$"):
-        regex = regex[:-2] + "$"
-    return re.match(regex, path) is not None
+    """Linear-space greedy wildcard match ('*' = any run, trailing '$'
+    anchors the end; otherwise prefix semantics). robots.txt is
+    untrusted crawled-host content, so this deliberately avoids
+    Python's backtracking ``re`` — a star-heavy 50-byte rule against a
+    regex matcher hangs for seconds (exponential backtracking), which
+    would wedge an executor. The classic last-star two-pointer
+    algorithm is O(len(pattern) * len(path)) worst case and linear in
+    practice."""
+    if pattern.endswith("$"):
+        pattern = pattern[:-1]
+    else:
+        # Unanchored rules are prefix matches: full-matching
+        # pattern+'*' is equivalent and lets one routine serve both.
+        pattern = pattern + "*"
+    n, m = len(pattern), len(path)
+    pi = si = 0
+    star = -1          # index in pattern of the most recent '*'
+    star_si = 0        # path position that star is currently matching to
+    while si < m:
+        if pi < n and pattern[pi] == "*":
+            star, star_si = pi, si
+            pi += 1
+        elif pi < n and pattern[pi] == path[si]:
+            pi += 1
+            si += 1
+        elif star >= 0:
+            star_si += 1
+            pi, si = star + 1, star_si
+        else:
+            return False
+    while pi < n and pattern[pi] == "*":
+        pi += 1
+    return pi == n
 
 
 def robots_allowed(rules: list, path: str) -> bool:

@@ -1214,6 +1214,68 @@ def test_robots_longest_match_and_wildcards():
     assert parse_robots("User-agent: *\nDisallow:\n") == []
 
 
+def test_robots_unknown_directives_do_not_split_groups():
+    # Google's reference robotstxt parser ignores Sitemap/Crawl-delay
+    # entirely when deciding group boundaries: a user-agent run split
+    # by such lines is still ONE group.
+    from sqlpp_spark.ops.web import parse_robots, robots_allowed
+
+    txt = (
+        "User-agent: a\n"
+        "Sitemap: https://example.com/sitemap.xml\n"
+        "Crawl-delay: 10\n"
+        "User-agent: b\n"
+        "Disallow: /x\n"
+    )
+    for agent in ("a", "b"):
+        rules = parse_robots(txt, agent)
+        assert robots_allowed(rules, "/x/1") is False, agent
+    # ...but a rule line still terminates the run: c gets a NEW group.
+    txt2 = (
+        "User-agent: a\n"
+        "Disallow: /x\n"
+        "Sitemap: https://example.com/sitemap.xml\n"
+        "User-agent: c\n"
+        "Disallow: /y\n"
+    )
+    assert robots_allowed(parse_robots(txt2, "a"), "/y/1") is True
+    assert robots_allowed(parse_robots(txt2, "c"), "/x/1") is True
+    assert robots_allowed(parse_robots(txt2, "c"), "/y/1") is False
+
+
+def test_robots_wildcard_matcher_is_linear_and_correct():
+    # The ADVICE-flagged DoS: '/'+'*a'*24+'b' vs a 47-char path hangs a
+    # backtracking-regex matcher for >5 s; the linear matcher must
+    # answer in well under a second — robots.txt is untrusted input.
+    import time
+    from sqlpp_spark.ops.web import _robots_pattern_matches as m
+
+    hostile = "/" + "*a" * 24 + "b"
+    path = "/" + "a" * 46
+    t0 = time.monotonic()
+    assert m(hostile, path) is False
+    assert m(hostile, "/" + "a" * 46 + "b") is True
+    assert time.monotonic() - t0 < 1.0
+    # differential vs the regex formulation on non-hostile patterns
+    import itertools
+    import re
+
+    def ref(pattern, p):
+        rx = re.escape(pattern).replace(r"\*", ".*")
+        if rx.endswith(r"\$"):
+            rx = rx[:-2] + "$"
+        return re.match(rx, p) is not None
+
+    alphabet = "ab*/"
+    paths = ["", "/", "/a", "/ab", "/ba", "/aab/a", "/a/b/ab", "a$b"]
+    for n in (1, 2, 3, 4):
+        for tup in itertools.product(alphabet, repeat=n):
+            for suffix in ("", "$"):
+                pat = "".join(tup) + suffix
+                for p in paths:
+                    assert m(pat, p) == ref(pat, p), (pat, p)
+
+
 def test_robots_filter_dataframe(spark):
     from sqlpp_spark.ops.web import robots_filter
 
