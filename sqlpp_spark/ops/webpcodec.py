@@ -1328,14 +1328,26 @@ def encode_webp_animated(
     return _riff_wrap(chunks)
 
 
-def decode_webp_frames(data: bytes, max_frames: int | None = None) -> list:
+def decode_webp_frames(
+    data: bytes,
+    max_frames: int | None = None,
+    max_total_pixels: int = 4 * _MAX_PIXELS,
+) -> list:
     """ALL frames of a WebP as composited (canvas_h, canvas_w, 4)
     RGBA arrays. Still images yield one frame. Animations composite
     per the ANMF flags: frames either overwrite their rectangle
     (no-blend) or alpha-blend over the canvas, and dispose-to-
     background clears the rectangle afterwards. Frame image data may
     be VP8L or VP8 (+ALPH) — both decode through the conformance-
-    tested pixel paths."""
+    tested pixel paths.
+
+    ``max_total_pixels`` bounds the CUMULATIVE output (n_frames ×
+    canvas pixels): each returned frame is a full canvas copy, so a
+    hostile file pairing a _MAX_PIXELS-sized canvas with many tiny
+    ANMF chunks would otherwise turn a small input into unbounded
+    memory — the same class _MAX_PIXELS closes for a single image.
+    The default budget (4×_MAX_PIXELS ≈ 1 GiB RGBA) is per-payload;
+    raise it explicitly for trusted inputs."""
     chunks = list(_iter_chunks(data))
     anmfs = [p for t, p in chunks if t == b"ANMF"]
     if not anmfs:
@@ -1353,6 +1365,13 @@ def decode_webp_frames(data: bytes, max_frames: int | None = None) -> list:
     if cw * ch > _MAX_PIXELS:
         raise WebpCodecError("animation canvas exceeds the decode limit")
     canvas = np.zeros((ch, cw, 4), np.uint8)
+    n_cap = max_frames if max_frames is not None else len(anmfs)
+    if min(n_cap, len(anmfs)) * cw * ch > max_total_pixels:
+        raise WebpCodecError(
+            f"animation output {min(n_cap, len(anmfs))} frames x "
+            f"{cw}x{ch} exceeds the {max_total_pixels} total-pixel "
+            "decode budget"
+        )
     out = []
     for payload in anmfs:
         if len(payload) < 16:

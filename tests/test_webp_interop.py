@@ -239,3 +239,99 @@ def test_interop_we_decode_libwebp_large(libwebp):
     got = _rgba(decode_webp(data))
     assert np.array_equal(got, libwebp.decode_rgba(data))
     assert np.array_equal(got, arr)
+
+
+def test_interop_animation_composite_vs_libwebp_frames(libwebp):
+    """ANMF interop without libwebpdemux (absent in this container):
+    every expected pixel below comes from OUTSIDE our decoder. The
+    RIFF/ANMF container is walked by hand with RFC 9649 field offsets
+    written out in this test; each frame's sub-image is decoded by the
+    REAL libwebp (WebPDecodeRGBA); compositing (src OVER dst, blend /
+    no-blend / dispose-to-background) is recomputed with exact scalar
+    Fraction arithmetic. decode_webp_frames must reproduce that
+    composite bit-for-bit — a mirrored encoder/decoder field-layout
+    bug or a numpy overflow in the blend path cannot survive this."""
+    from fractions import Fraction
+
+    from sqlpp_spark.ops import webpcodec as W
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (24, 32, 4), dtype=np.uint8)
+    base[..., 3] = 255
+    overlay = rng.integers(0, 256, (24, 32, 4), dtype=np.uint8)  # α varies
+    patch = rng.integers(0, 256, (8, 12, 4), dtype=np.uint8)
+    patch[..., 3] = 255
+    data = bytearray(W.encode_webp_animated(
+        [base, overlay, patch], 30,
+        offsets=[(0, 0), (0, 0), (4, 10)], dispose=True,
+    ))
+    # flip frame 2's no-blend flag OFF so it alpha-blends
+    pos, seen = 12, 0
+    while pos + 8 <= len(data):
+        tag = bytes(data[pos:pos + 4])
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        if tag == b"ANMF":
+            seen += 1
+            if seen == 2:
+                data[pos + 8 + 15] &= ~0x02
+        pos += 8 + size + (size & 1)
+    data = bytes(data)
+
+    # --- independent walk: RIFF by hand, frames via libwebp ---------
+    assert data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+    canvas_w = canvas_h = None
+    frames = []  # (x, y, w, h, blend, dispose, rgba-from-libwebp)
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        payload = data[pos + 8:pos + 8 + size]
+        if tag == b"VP8X":
+            canvas_w = int.from_bytes(payload[4:7], "little") + 1
+            canvas_h = int.from_bytes(payload[7:10], "little") + 1
+        elif tag == b"ANMF":
+            fx = int.from_bytes(payload[0:3], "little") * 2
+            fy = int.from_bytes(payload[3:6], "little") * 2
+            fw = int.from_bytes(payload[6:9], "little") + 1
+            fh = int.from_bytes(payload[9:12], "little") + 1
+            flags = payload[15]
+            sub = (b"RIFF" + (len(payload[16:]) + 4).to_bytes(4, "little")
+                   + b"WEBP" + payload[16:])
+            img = libwebp.decode_rgba(sub)
+            assert img.shape == (fh, fw, 4)
+            frames.append((fx, fy, fw, fh,
+                           not (flags & 0x02), bool(flags & 0x01), img))
+        pos += 8 + size + (size & 1)
+    assert canvas_w == 32 and canvas_h == 24 and len(frames) == 3
+
+    # --- exact scalar compositing oracle ----------------------------
+    canvas = [[(0, 0, 0, 0)] * canvas_w for _ in range(canvas_h)]
+    expected = []
+    for fx, fy, fw, fh, blend, dispose, img in frames:
+        for r in range(fh):
+            for c in range(fw):
+                s = tuple(int(v) for v in img[r, c])
+                d = canvas[fy + r][fx + c]
+                if not blend:
+                    canvas[fy + r][fx + c] = s
+                    continue
+                sa, da = Fraction(s[3], 255), Fraction(d[3], 255)
+                oa = sa + da * (1 - sa)
+                if oa:
+                    rgb = tuple(
+                        int((Fraction(s[i]) * sa
+                             + Fraction(d[i]) * da * (1 - sa)) / oa)
+                        for i in range(3))
+                else:
+                    rgb = (0, 0, 0)
+                canvas[fy + r][fx + c] = rgb + (int(oa * 255),)
+        expected.append(np.array(canvas, np.uint8))
+        if dispose:
+            for r in range(fh):
+                for c in range(fw):
+                    canvas[fy + r][fx + c] = (0, 0, 0, 0)
+
+    got = W.decode_webp_frames(data)
+    assert len(got) == 3
+    for i, (g, e) in enumerate(zip(got, expected)):
+        assert np.array_equal(g, e), f"frame {i}"

@@ -425,3 +425,22 @@ def test_animated_malformed_contract():
             pass
     with pytest.raises(WebpCodecError):
         W.encode_webp_animated([f], offsets=[(1, 0)])  # odd offset
+
+
+def test_animated_total_pixel_budget():
+    """decode_webp_frames caps CUMULATIVE output (frames x canvas):
+    each returned frame is a canvas copy, so a big canvas plus many
+    tiny ANMF chunks must not turn a small file into unbounded memory
+    (the _MAX_PIXELS class, extended to animations)."""
+    f = np.zeros((10, 12, 4), np.uint8)
+    data = W.encode_webp_animated([f] * 5, 20)
+    assert len(W.decode_webp_frames(data)) == 5
+    # budget smaller than 5 full canvases -> rejected up front
+    with pytest.raises(WebpCodecError):
+        W.decode_webp_frames(data, max_total_pixels=4 * 10 * 12)
+    # an explicit max_frames shrinks the charged budget
+    assert len(W.decode_webp_frames(
+        data, max_frames=3, max_total_pixels=3 * 10 * 12)) == 3
+    with pytest.raises(WebpCodecError):
+        W.decode_webp_frames(data, max_frames=4,
+                             max_total_pixels=3 * 10 * 12)
