@@ -1035,37 +1035,56 @@ def passage_dedup(
     docs whose every passage is duplicated elsewhere come back with
     empty clean_text, for the caller to drop or keep.
 
-    Scale: the winner per passage hash is a ``min(struct(doc, pos))``
-    partial aggregation over (hash, ids) rows — map-side combined,
-    8-byte hash keys only, so a passage duplicated a million times
-    never funnels its text through one task (a window over the hash
-    would). Text moves exactly once: the semi-join of winners back to
-    passage rows and the per-doc reassembly are both keyed by the doc
-    id, and only surviving passages shuffle.
+    Scale: the winner per passage hash is a ``min(struct(doc, pos,
+    text))`` partial aggregation — map-side combined, so a passage
+    duplicated a million times never funnels through one task (a
+    window over the hash would). Carrying the text INSIDE the
+    min-struct removes the semi-join pass the first formulation
+    needed (winner ids back to passage rows): text moves exactly
+    twice — once into the hash groupBy (collapsed map-side to one
+    candidate per distinct passage per partition) and once keyed by
+    doc id for reassembly; since (doc, pos) is unique the text field
+    never decides the min. The chunk frame feeds two consumers
+    (winners + per-doc totals), so it persists MEMORY_AND_DISK with
+    an eager count (the minhash pattern — lazy persist races) and is
+    handed to the caller on ``_sqlpp_persisted`` for release. The
+    r12 stage profile (PROFILE_pipeline_crawl_ingest.json) measured
+    this form faster than both the semi-join original and a
+    narrow-hash persist at sf0.1, with bit-identical output.
     """
+    from pyspark import StorageLevel
+
     from sqlpp_spark.ops.corpus import chunk_documents
 
     ch = chunk_documents(
         df, text_col=text_col, id_col=id_col,
         chunk_tokens=passage_tokens, overlap=0,
     )
+    ch = ch.persist(StorageLevel.MEMORY_AND_DISK)
+    ch.count()  # eager: two consumers would race a lazy persist
     hashed = ch.select(
-        F.col(id_col), "chunk_id", hash64(F.col("chunk_text")).alias("__ph"),
+        F.col(id_col), "chunk_id", "chunk_text",
+        hash64(F.col("chunk_text")).alias("__ph"),
     )
     winners = (
         hashed.groupBy("__ph")
         .agg(
             F.min(
                 F.struct(
-                    F.col(id_col).alias("i"), F.col("chunk_id").alias("c")
+                    F.col(id_col).alias("i"),
+                    F.col("chunk_id").alias("c"),
+                    F.col("chunk_text").alias("t"),
                 )
             ).alias("w")
         )
-        .select(F.col("w.i").alias(id_col), F.col("w.c").alias("chunk_id"))
+        .select(
+            F.col("w.i").alias(id_col),
+            F.col("w.c").alias("chunk_id"),
+            F.col("w.t").alias("chunk_text"),
+        )
     )
-    kept = ch.join(winners, on=[id_col, "chunk_id"], how="left_semi")
     kept_agg = (
-        kept.groupBy(id_col)
+        winners.groupBy(id_col)
         .agg(
             F.array_join(
                 F.transform(
@@ -1080,7 +1099,7 @@ def passage_dedup(
         )
     )
     totals = ch.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_total"))
-    return (
+    out = (
         totals.join(kept_agg, on=id_col, how="left")
         .select(
             id_col,
@@ -1091,6 +1110,8 @@ def passage_dedup(
             .alias("n_dropped"),
         )
     )
+    out._sqlpp_persisted = [ch]
+    return out
 
 
 def boilerplate_filter(

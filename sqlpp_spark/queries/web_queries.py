@@ -359,10 +359,12 @@ def pipeline_web_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _with_url2(table(spark, sf_dir, "documents"))
     survivors = W.dedup_by_url(d)
     cleaned = D.passage_dedup(survivors, passage_tokens=8)
-    return cleaned.filter(F.col("n_kept") > 0).select(
+    out = cleaned.filter(F.col("n_kept") > 0).select(
         "doc_id", "clean_text", "n_kept", "n_dropped",
         X.quality_score(F.col("clean_text")).alias("quality"),
     )
+    out._sqlpp_persisted = getattr(cleaned, "_sqlpp_persisted", [])
+    return out
 
 
 # -- data-driven PSL domain cap (wildcard/exception/private rules) -----------
@@ -521,10 +523,12 @@ def pipeline_web_prepare_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     psl = W.psl_rules_df(spark, _PSL_RULES)
     capped = W.domain_cap(survivors, cap=10, psl=psl)
     cleaned = D.passage_dedup(capped, passage_tokens=8)
-    return cleaned.filter(F.col("n_kept") > 0).select(
+    out = cleaned.filter(F.col("n_kept") > 0).select(
         "doc_id", "clean_text", "n_kept", "n_dropped",
         X.quality_score(F.col("clean_text")).alias("quality"),
     )
+    out._sqlpp_persisted = getattr(cleaned, "_sqlpp_persisted", [])
+    return out
 
 
 # -- WARC crawl-archive extraction (round-9) ---------------------------------
@@ -809,9 +813,24 @@ def pipeline_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-open the single-row batch-bytes hazard, and chunks repartition
     across tasks. Measured faster than the direct reader on a 64 MB
     archive (WARC_SEGMENT_REHEARSAL.json); identical record rows, so
-    the end-to-end oracle is unchanged."""
+    the end-to-end oracle is unchanged.
+
+    r12 (profile-driven, PROFILE_pipeline_crawl_ingest.json): the
+    stage profile attributed 29% of wall time to the domain cap —
+    whose two-phase exact-k windows were shuffling full document TEXT
+    through both rank exchanges. The extracted docs frame now persists
+    MEMORY_AND_DISK once (it feeds the cap's rank input AND the final
+    text path), ranking runs over a NARROW (doc_id, host) projection,
+    and the picks semi-join back by id — AQE broadcasts the picks side
+    at this scale; at 100 TB the semi-join degrades to one id-keyed
+    shuffle of text, the same single text movement the old phase-1
+    exchange paid, while the rank shuffles become metadata-only.
+    Output proven identical; capstone median dropped outside spread."""
+    from pyspark import StorageLevel
+
     from sqlpp_spark.ops import dedup as D
     from sqlpp_spark.ops import text as X
+    from sqlpp_spark.ops.corpus import exact_k_sample
     from sqlpp_spark.ops.warc import (
         html_text_col, synthesize_warc_media, warc_records_segmented,
     )
@@ -826,13 +845,29 @@ def pipeline_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("target_uri").alias("url"),
         html_text_col(F.col("body")).alias("text"),
     )
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    docs.count()  # eager: rank + text branches would race a lazy persist
     psl = W.psl_rules_df(spark, _PSL_RULES)
-    capped = W.domain_cap(docs, cap=10, psl=psl).drop("url")
+    narrow = W.with_registrable_domain(
+        docs.select(
+            "doc_id", F.lower(W.url_domain(F.col("url"))).alias("__h0")
+        ),
+        "__h0", psl, "__host",
+    ).drop("__h0")
+    picks = exact_k_sample(
+        narrow, k=10, group_col="__host", key_col="doc_id",
+        salt="s0", n_buckets=64,
+    ).select("doc_id")
+    capped = docs.drop("url").join(picks, "doc_id", "left_semi")
     cleaned = D.passage_dedup(capped, passage_tokens=8)
-    return cleaned.filter(F.col("n_kept") > 0).select(
+    out = cleaned.filter(F.col("n_kept") > 0).select(
         "doc_id", "clean_text", "n_kept", "n_dropped",
         X.quality_score(F.col("clean_text")).alias("quality"),
     )
+    out._sqlpp_persisted = [
+        docs, *getattr(cleaned, "_sqlpp_persisted", ()),
+    ]
+    return out
 
 
 @register(

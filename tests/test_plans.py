@@ -40,9 +40,13 @@ def _loaded():
 
 
 def plan_of(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    from sqlpp_spark.ops import release_intermediates
+
+    df = REGISTRY[name].builder(spark, sf_dir)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        REGISTRY[name].builder(spark, sf_dir).explain(mode)
+        df.explain(mode)
+    release_intermediates(df)
     return buf.getvalue()
 
 
@@ -406,3 +410,59 @@ def test_multimodal_decode_stage_parallelism(spark, sf_dir):
     media = synthesize_png_media(d)
     target = spark.sparkContext.defaultParallelism
     assert media.rdd.getNumPartitions() >= min(target, d.count())
+
+
+# ---------------------------------------------------------------------------
+# r12 plan pins (VERDICT r11 ask #2): the round-11/12 surfaces.
+# ---------------------------------------------------------------------------
+
+
+def test_crawl_capstone_segmented_cached_docs_narrow_rank(spark, sf_dir):
+    """Pins the crawl capstone's r12 shape. (1) The WARC path is the
+    SEGMENTED reader (synthesize + segment + parse = three
+    mapInPandas stages) with spread=False: no exchange re-shuffles
+    the chunk payloads (hashpartitioning on chunk_no would be the
+    single-row-archive spread shuffle the capstone deliberately
+    skips). (2) The extracted docs frame is persisted and REUSED —
+    InMemoryTableScan must feed both the rank branch and the text
+    branch. (3) The domain-cap rank windows are NARROW: document text
+    must not enter any Window input (the pre-r12 shape shuffled full
+    text through both rank exchanges). (4) Picks come back as a semi
+    join, never a nested loop."""
+    p = plan_of(spark, sf_dir, "pipeline_crawl_ingest")
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) >= 3
+    assert len(re.findall(r"\(\d+\) InMemoryTableScan", p)) >= 2
+    assert "LeftSemi" in p
+    assert "NestedLoop" not in p
+    for sec in re.finditer(r"\(\d+\) Window\n((?:.+\n)*?)\n", p):
+        assert "text#" not in sec.group(1), "text entered a rank window"
+    for sec in exchange_sections(p):
+        assert "chunk_no" not in sec, "spread shuffle reappeared"
+
+
+def test_knn_graph_reuses_persisted_probe_frame(spark, sf_dir):
+    """knn_graph computes probe cells ONCE (r11, commit 27f89b2): the
+    shared (vid, v, __probes) frame persists and both sides of the
+    cell equi-join must read the cache. One InMemoryTableScan would
+    mean a branch silently fell back to recomputing the probe fold —
+    the exact 2x-compute regression the persist eliminated."""
+    for name in ("ann_knn_graph", "ann_knn_graph_auto"):
+        p = plan_of(spark, sf_dir, name)
+        assert len(re.findall(r"\(\d+\) InMemoryTableScan", p)) >= 2, name
+        assert "NestedLoop" not in p, name
+
+
+def test_robots_filter_broadcasts_rules_side(spark, sf_dir):
+    """The robots join must broadcast the RULES side (dimension-sized
+    robots.txt per host) and leave the URL corpus in place: the
+    BroadcastExchange subtree carries robots_txt, and the match runs
+    scan-stage in mapInPandas after the join."""
+    p = plan_of(spark, sf_dir, "pipeline_robots_filter")
+    bsecs = [
+        m.group(1)
+        for m in re.finditer(
+            r"\(\d+\) BroadcastExchange\n((?:.+\n)*?)\n", p)
+    ]
+    assert bsecs and any("robots_txt" in s for s in bsecs)
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) >= 1
+    assert "NestedLoop" not in p
