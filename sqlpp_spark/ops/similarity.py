@@ -676,7 +676,7 @@ def hard_negative_topk(
 def knn_graph(
     corpus: DataFrame, k: int = 5, n_cells: int | str = 16, n_probe: int = 2,
     seed: int = 42, vec_col: str = "embedding", id_col: str = "vec_id",
-    quantizer: str = "kmeans",
+    quantizer: str = "kmeans", persist_probes: bool = True,
 ) -> DataFrame:
     """k-nearest-neighbor GRAPH of the corpus with itself — the
     building block for graph-based curation: SemDeDup-style cluster
@@ -734,10 +734,24 @@ def knn_graph(
     # element_at(probes, 1) on the shared array is the same nearest
     # cell the candidate side used to compute separately (identical
     # (dist, cell) array_sort tie-break), so results are unchanged.
-    from pyspark import StorageLevel
+    #
+    # r12 persist policy (measured, SCALING_REHEARSAL_MM.json
+    # "knn_persist_crossover"): MEMORY_AND_DISK is the universal
+    # choice. The cached frame is (id, vector, n_probe ints) — barely
+    # larger than the input corpus, i.e. bytes the shuffle moves
+    # anyway — while the avoided recompute is the per-row fold over
+    # ALL √n centroids, which GROWS with corpus size. The rehearsal
+    # measured persist-off ~2.4× slower at BOTH rungs (sf0.1: 2.72 vs
+    # 6.66 s; 10×: 12.5 vs 30.5 s) with the cache at 0.5 / 5.3 MB —
+    # the ratio holds as data grows because cache bytes and fold cost
+    # scale together. There is no crossover to size-toggle against,
+    # so ``persist_probes=False`` exists only for measurement (the
+    # rehearsal uses it), not as a tuning knob.
+    if persist_probes:
+        from pyspark import StorageLevel
 
-    probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
-    probed.count()
+        probed = probed.persist(StorageLevel.MEMORY_AND_DISK)
+        probed.count()
     c = probed.select(
         F.col("vid").alias("cand_id"), F.col("v").alias("cv"),
         F.element_at("__probes", 1).alias("cell"),
@@ -763,7 +777,7 @@ def knn_graph(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
-    out._sqlpp_persisted = [probed]
+    out._sqlpp_persisted = [probed] if persist_probes else []
     return out
 
 

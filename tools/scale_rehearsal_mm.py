@@ -168,7 +168,89 @@ def get_spark_mm():
     )
 
 
+def knn_persist_crossover(spark, reps: int = 3) -> dict:
+    """VERDICT r11 ask #3: knn_graph's shared probe frame persists
+    MEMORY_AND_DISK — is that still right when the cache is the whole
+    vector corpus? Measure, per embeddings rung (sf0.1 = 2k rows and
+    the 10× fixture = 20k rows, auto √n cells): interleaved wall time
+    with the persist ON vs OFF (persist_probes toggle), plus the
+    persisted bytes actually held (UI REST /storage/rdd, read while
+    the frame is pinned). The crossover exists if recompute ever
+    beats the cache read; the policy statement lives in
+    ops/similarity.knn_graph's source."""
+    import statistics
+
+    from sqlpp_spark.ops import release_intermediates
+    from sqlpp_spark.ops.similarity import knn_graph
+    from sqlpp_spark.sources.tables import read_table
+
+    def storage_bytes() -> dict:
+        base = spark.sparkContext.uiWebUrl
+        apps = json.load(
+            urllib.request.urlopen(f"{base}/api/v1/applications"))
+        url = f"{base}/api/v1/applications/{apps[0]['id']}/storage/rdd"
+        mem = disk = 0
+        for rdd in json.load(urllib.request.urlopen(url)):
+            mem += rdd.get("memoryUsed", 0)
+            disk += rdd.get("diskUsed", 0)
+        return {"memory_mb": round(mem / 2**20, 2),
+                "disk_mb": round(disk / 2**20, 2)}
+
+    out = {}
+    for rung, sf_dir in (("sf01", SF01), ("x10", SCALE10)):
+        emb = read_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+
+        def run(persist: bool) -> tuple:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            g = knn_graph(emb, k=5, n_cells="auto", n_probe=2,
+                          persist_probes=persist)
+            rows = g.count()
+            dt = time.perf_counter() - t0
+            cached = storage_bytes() if persist else None
+            release_intermediates(g)
+            return dt, rows, cached
+
+        run(True)  # warm codegen for both plans
+        run(False)
+        on, off, cached = [], [], None
+        for i in range(reps):
+            if i % 2 == 0:
+                a = run(True); b = run(False)
+            else:
+                b = run(False); a = run(True)
+            on.append(a[0]); off.append(b[0]); cached = a[2]
+        out[rung] = {
+            "rows": n,
+            "persist_on_s": round(statistics.median(on), 3),
+            "persist_off_s": round(statistics.median(off), 3),
+            "on_runs": [round(t, 3) for t in on],
+            "off_runs": [round(t, 3) for t in off],
+            "persisted": cached,
+            "loadavg": round(os.getloadavg()[0], 2),
+        }
+        print("knn_persist_crossover", rung, json.dumps(out[rung]),
+              flush=True)
+    return out
+
+
 def main() -> None:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(here, "SCALING_REHEARSAL_MM.json")
+    if "--knn-crossover" in sys.argv:
+        # incremental mode: run ONLY the knn persist probe and merge
+        # into the existing rehearsal record
+        spark = get_spark_mm()
+        build_fixture(spark)
+        _ensure_loaded()
+        with open(out_path) as f:
+            results = json.load(f)
+        results["knn_persist_crossover"] = knn_persist_crossover(spark)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+        spark.stop()
+        return
     spark = get_spark_mm()
     build_fixture(spark)
     _ensure_loaded()
@@ -193,8 +275,9 @@ def main() -> None:
     print("arrow_batch_guard", json.dumps(results["arrow_batch_guard"]),
           flush=True)
 
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "SCALING_REHEARSAL_MM.json"), "w") as f:
+    results["knn_persist_crossover"] = knn_persist_crossover(spark)
+
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
 
     print("\n| query | sf0.1 s | 10x s | ratio | 10x shuffle MB | cum. py RSS high-water MB |")
