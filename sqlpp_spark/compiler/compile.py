@@ -382,17 +382,31 @@ class Compiler:
         self, df: DataFrame, node: "A.EScalarSub", binds: Bindings,
         scalar_map: Dict[int, Column],
     ) -> DataFrame:
-        """Scalar subquery attachment (r11, beyond reference).
+        """Scalar subquery attachment (r11; theta correlation r12).
 
         Uncorrelated: the analyzer guarantees a single global-aggregate
         field, so the compiled subquery is EXACTLY one row — broadcast
-        cross join, no marker machinery needed. Correlated: textbook
-        equality decorrelation — the subquery's FROM + residual WHERE
-        (the analyzer re-inserted correlation conjuncts are marked
-        ``_corr`` and skipped here) grouped by the inner correlation
-        expressions, left-joined to the outer frame on the outer
-        expressions. An unmatched outer row reads NULL, except count
-        aggregates which coalesce to 0 (SQL's empty-group count)."""
+        cross join, no marker machinery needed. Pure-equality
+        correlation: textbook decorrelation — the subquery's FROM +
+        residual WHERE (the analyzer re-inserted correlation conjuncts
+        are marked ``_corr`` and skipped here) grouped by the inner
+        correlation expressions, left-joined to the outer frame on the
+        outer expressions. Theta correlation (any < <= > >= !=
+        conjunct): magic-set decorrelation — the DISTINCT outer
+        correlation keys pair with inner rows under the full
+        comparison condition, the aggregate groups by those keys, and
+        the result left-joins back to the outer frame on key equality.
+        Catalyst extracts any equality conjuncts as hash-join keys
+        with the thetas as residual condition; when NO equality
+        exists the distinct-key side is broadcast explicitly — the
+        pairing is inherently a nested-loop there, and the bounded
+        side is the deduplicated key set, not the corpus (a guarded
+        cost the caller opted into by writing a pure-theta correlated
+        aggregate). An unmatched outer row reads NULL, except count
+        aggregates which coalesce to 0 (SQL's empty-group count);
+        outer rows with NULL correlation values never match their
+        key row, which is exactly SQL's comparison-with-NULL ⇒
+        empty-group semantics."""
         alias = self._fresh("__ssq")
         val = f"{alias}_v"
         sub_ctx = node.sub_ctx
@@ -409,21 +423,43 @@ class Compiler:
                 if getattr(conj, "_corr", False):
                     continue
                 inner = self._apply_predicate(inner, sub_ctx, conj, binds)
-        keys = [
-            self.expr(ie, binds, {}).alias(f"{alias}_k{i}")
-            for i, (ie, _oe) in enumerate(node.corr)
-        ]
         fexpr = next(f for f in sub_ctx.fields if f.is_used).expr
-        sub_df = inner.groupBy(*keys).agg(
-            self._agg_column(fexpr, binds).alias(val)
-        )
+        knames = [f"{alias}_k{i}" for i in range(len(node.corr))]
+        if all(op == "=" for op, _ie, _oe in node.corr):
+            keys = [
+                self.expr(ie, binds, {}).alias(kn)
+                for kn, (_op, ie, _oe) in zip(knames, node.corr)
+            ]
+            sub_df = inner.groupBy(*keys).agg(
+                self._agg_column(fexpr, binds).alias(val)
+            )
+        else:
+            dkeys = df.select(*[
+                self.expr(oe, binds, {}).alias(kn)
+                for kn, (_op, _ie, oe) in zip(knames, node.corr)
+            ]).distinct()
+            if not any(op == "=" for op, _ie, _oe in node.corr):
+                dkeys = F.broadcast(dkeys)
+            pair_cond = None
+            for kn, (op, ie, _oe) in zip(knames, node.corr):
+                icol = self.expr(ie, binds, {})
+                kcol = F.col(kn)
+                c = {
+                    "=": icol == kcol, "!=": icol != kcol,
+                    "<": icol < kcol, "<=": icol <= kcol,
+                    ">": icol > kcol, ">=": icol >= kcol,
+                }[op]
+                pair_cond = c if pair_cond is None else (pair_cond & c)
+            sub_df = (
+                inner.join(dkeys, on=pair_cond, how="inner")
+                .groupBy(*[F.col(kn) for kn in knames])
+                .agg(self._agg_column(fexpr, binds).alias(val))
+            )
         cond = None
-        for i, (_ie, oe) in enumerate(node.corr):
-            c = self.expr(oe, binds, {}) == F.col(f"{alias}_k{i}")
+        for kn, (_op, _ie, oe) in zip(knames, node.corr):
+            c = self.expr(oe, binds, {}) == F.col(kn)
             cond = c if cond is None else (cond & c)
-        df = df.join(sub_df, on=cond, how="left").drop(
-            *[f"{alias}_k{i}" for i in range(len(node.corr))]
-        )
+        df = df.join(sub_df, on=cond, how="left").drop(*knames)
         col = F.col(val)
         if node.agg_fn in ("count", "count_distinct"):
             col = F.coalesce(col, F.lit(0))  # empty group counts as 0

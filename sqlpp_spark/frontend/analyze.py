@@ -39,6 +39,11 @@ from sqlpp_spark.frontend.types import (
 
 AGG_FNS = {"count", "sum", "max", "min", "avg", "count_distinct"}
 
+# comparison ops liftable as scalar-subquery correlation conjuncts,
+# mapped to their mirror for inner-first reorientation (r12)
+_CORR_OPS = {"=": "=", "!=": "!=", "<": ">", "<=": ">=",
+             ">": "<", ">=": "<="}
+
 DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
 DATETIME_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}$")
 
@@ -918,15 +923,21 @@ class Analyzer:
         ast.EScalarSub). The select must project exactly ONE field
         holding a single global aggregate (``group by ()``), so the
         result is one row by construction. Correlation: when analysis
-        fails on an unresolved column that a top-level ``=`` conjunct
-        mentions, that conjunct is lifted out and analysis retried;
-        lifted conjuncts become (inner, outer) equality pairs — inner
-        side elaborated in the subquery scope, outer side in the
-        ENCLOSING scope — compiled by the backend as a grouped left
-        join (the textbook equality decorrelation). The elaborated
+        fails on an unresolved column that a top-level comparison
+        conjunct (= != < <= > >=) mentions, that conjunct is lifted
+        out and analysis retried; lifted conjuncts become
+        (op, inner, outer) triples — inner side elaborated in the
+        subquery scope, outer side in the ENCLOSING scope, op
+        oriented inner-first — compiled by the backend as a grouped
+        left join (pure equality: textbook decorrelation) or through
+        distinct outer keys (any theta op, r12). The elaborated
         conjuncts are re-inserted into the analyzed WHERE marked
         ``_corr`` so SQL printers emit the ordinary correlated form
-        while the Spark compiler skips them in the residual filter."""
+        while the Spark compiler skips them in the residual filter.
+        Genuinely unsupported correlations still error cleanly: a
+        non-comparison conjunct mentioning the outer scope (e.g.
+        ``inner + outer = 3``, OR-connected correlation) raises
+        "unsupported correlation"."""
         conjs = _split_and(e.select.where)
         lifted: set = set()
         sub_ctx = None
@@ -956,7 +967,8 @@ class Analyzer:
                 pick = None
                 for i, c in enumerate(conjs):
                     if i in lifted or not (
-                        isinstance(c, A.EApp) and c.fn == "="
+                        isinstance(c, A.EApp)
+                        and c.fn in _CORR_OPS
                         and len(c.args) == 2
                     ):
                         continue
@@ -993,6 +1005,7 @@ class Analyzer:
         e.agg_fn = fexpr.fn.lower()
         for i in sorted(lifted):
             conj = conjs[i]
+            op = conj.fn
             l, r = conj.args
             li = self._try_infer(sub_ctx, l)
             ri = self._try_infer(sub_ctx, r)
@@ -1002,17 +1015,19 @@ class Analyzer:
                 (inner, ity), (outer, oty) = li, ro
             elif ri is not None and lo is not None:
                 (inner, ity), (outer, oty) = ri, lo
+                op = _CORR_OPS[op]  # inner moved to the left: flip
             else:
                 self.err(
                     "unsupported correlation in scalar subquery: only "
-                    "`inner = outer` equality conjuncts may reference "
-                    "the enclosing scope", conj.loc,
+                    "`inner <cmp> outer` comparison conjuncts "
+                    "(= != < <= > >=) may reference the enclosing "
+                    "scope", conj.loc,
                 )
             numeric = (ity.kinds | oty.kinds) <= frozenset({"int", "float"})
             if not (ity.kinds & oty.kinds) and not numeric:
                 self.err(f"expected {ity} but got {oty}", conj.loc)
-            e.corr.append((inner, outer))
-            marked = A.EApp("=", [inner, outer], loc=conj.loc)
+            e.corr.append((op, inner, outer))
+            marked = A.EApp(op, [inner, outer], loc=conj.loc)
             marked.ty = BOOL
             marked._corr = True
             w = sub_ctx.select.where

@@ -83,14 +83,16 @@ class EScalarSub(Expr):
     The select must project exactly one field, a single global
     aggregate (``group by ()``, the dialect's global-agg spelling), so
     the ≤1-row property holds by construction — no runtime multi-row
-    error path. Equality conjuncts referencing the OUTER scope are
-    decorrelated by the analyzer into ``corr`` (inner_expr,
-    outer_expr) pairs, compiled as a grouped left join; they are
-    re-inserted into the analyzed select's WHERE (marked ``_corr``)
-    so the SQL printers emit the standard correlated form."""
+    error path. Comparison conjuncts (= != < <= > >=) referencing the
+    OUTER scope are decorrelated by the analyzer into ``corr``
+    (op, inner_expr, outer_expr) triples — op oriented inner-first —
+    compiled as a grouped left join (pure-equality case) or via
+    distinct outer keys (any theta op, r12); they are re-inserted
+    into the analyzed select's WHERE (marked ``_corr``) so the SQL
+    printers emit the standard correlated form."""
 
     select: "Select" = None
-    corr: list = field(default_factory=list)  # [(inner_elab, outer_elab)]
+    corr: list = field(default_factory=list)  # [(op, inner_elab, outer_elab)]
     agg_fn: str = ""  # lowercase fn of the lone aggregate (count → 0)
 
 

@@ -198,6 +198,29 @@ _sqlpp(
 )
 
 _sqlpp(
+    # r12: THETA correlation (any < <= > >= != conjunct) decorrelates
+    # through distinct outer keys (compile.py _attach_one_scalar_sub);
+    # one pure-theta sub (broadcast distinct-key pairing) and one
+    # mixed equality+theta sub (hash join with residual condition) in
+    # the same select
+    "sqlpp_scalar_subquery_theta",
+    "select n.n_nationkey as nationkey, "
+    "(select count(1) from supplier as s "
+    "where s.s_nationkey < n.n_nationkey group by ()) as n_below, "
+    "(select max(s.s_acctbal) from supplier as s "
+    "where s.s_nationkey = n.n_nationkey "
+    "and s.s_suppkey > n.n_regionkey group by ()) as max_bal "
+    "from nation as n",
+    "SELECT n_nationkey AS nationkey, "
+    "(SELECT COUNT(*) FROM supplier s "
+    "WHERE s.s_nationkey < n.n_nationkey) AS n_below, "
+    "(SELECT MAX(s_acctbal) FROM supplier s "
+    "WHERE s.s_nationkey = n.n_nationkey "
+    "AND s.s_suppkey > n.n_regionkey) AS max_bal "
+    "FROM nation n",
+)
+
+_sqlpp(
     "sqlpp_scalar_subquery_corr",
     "select n.n_nationkey as nationkey, n.n_name as nation_name, "
     "(select count(1) from supplier as s "

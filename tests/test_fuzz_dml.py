@@ -314,15 +314,29 @@ try:
             return (f"(exists (select true from src where grp > "
                     f"{draw(st.integers(3, 9))}))")
         if kind == "scalar_sub":
-            # r11 scalar subqueries: uncorrelated global aggregate in a
-            # comparison (group by () is the dialect's global-agg form)
+            # r11 scalar subqueries: global aggregate in a comparison
+            # (group by () is the dialect's global-agg form); r12 adds
+            # correlated conjuncts against the DML target — equality
+            # AND theta ops (< <= > >= !=) both decorrelate
             agg = draw(st.sampled_from(
                 ["max(grp)", "min(grp)", "count(1)", "min(id)"]
             ))
             op = draw(st.sampled_from(["<", "<=", ">", ">=", "="]))
             col = draw(st.sampled_from(["id", "grp", "val"]))
-            w = (f" where grp > {draw(st.integers(3, 8))}"
-                 if draw(st.booleans()) else "")
+            conjs = []
+            if draw(st.booleans()):
+                conjs.append(f"grp > {draw(st.integers(3, 8))}")
+            corr = draw(st.sampled_from(["", "=", "<", "<=", ">",
+                                         ">=", "!="]))
+            if corr:
+                tcol = draw(st.sampled_from(["id", "grp"]))
+                # outer side sometimes written on the left to
+                # exercise the inner-first reorientation flip
+                if draw(st.booleans()):
+                    conjs.append(f"src.grp {corr} items.{tcol}")
+                else:
+                    conjs.append(f"items.{tcol} {corr} src.grp")
+            w = (" where " + " and ".join(conjs)) if conjs else ""
             return (f"({col} {op} (select {agg} from src{w} "
                     f"group by ()))")
         if kind == "not":

@@ -192,10 +192,66 @@ def test_requires_global_group_by(eng):
          "group by")
 
 
+def test_theta_correlation_lt(eng, duck):
+    # r12: non-equi correlation decorrelates through distinct outer
+    # keys — running-style aggregate over strictly-smaller groups
+    rows, want, sql = _both(
+        eng, duck,
+        "select id, grp, (select sum(amt) from t2 "
+        "where t2.grp < t1.grp group by ()) as s from t1 order by id",
+    )
+    assert rows == want == [
+        (1, 1, None), (2, 1, None), (3, 2, 300), (4, 3, 600)
+    ]
+    assert "t2.grp < t1.grp" in sql.replace('"', "")
+
+
+def test_theta_correlation_outer_on_left_flips(eng, duck):
+    # outer written on the LEFT: `t1.grp >= t2.grp` ≡ inner <= outer
+    rows, want, _ = _both(
+        eng, duck,
+        "select id, (select count(1) from t2 "
+        "where t1.grp >= t2.grp group by ()) as c from t1 order by id",
+    )
+    assert rows == want == [(1, 2), (2, 2), (3, 3), (4, 3)]
+
+
+def test_theta_correlation_mixed_with_equality(eng, duck):
+    # equality + theta on the same subquery: Catalyst hash-joins on
+    # the equality with the theta as residual condition
+    rows, want, _ = _both(
+        eng, duck,
+        "select id, (select count(1) from t2 where t2.grp = t1.grp "
+        "and t2.amt > t1.id group by ()) as c from t1 order by id",
+    )
+    assert rows == want
+
+
+def test_theta_correlation_ne(eng, duck):
+    rows, want, _ = _both(
+        eng, duck,
+        "select id, (select min(amt) from t2 "
+        "where t2.grp != t1.grp group by ()) as m from t1 order by id",
+    )
+    assert rows == want
+
+
+def test_theta_correlation_count_zero_and_residual(eng, duck):
+    # theta + residual uncorrelated conjunct; count of empty group = 0
+    rows, want, _ = _both(
+        eng, duck,
+        "select id, grp, (select count(1) from t2 where t2.grp < t1.grp "
+        "and amt >= 200 group by ()) as c from t1 order by id",
+    )
+    assert rows == want == [(1, 1, 0), (2, 1, 0), (3, 2, 1), (4, 3, 2)]
+
+
 def test_unsupported_correlation_shape(eng):
-    # non-equality correlation conjunct
+    # a NON-comparison conjunct mentioning the outer scope still
+    # errors cleanly (the r12 generalization covers = != < <= > >=
+    # only — arithmetic coupling has no key to decorrelate on)
     _err(eng,
-         "select (select max(amt) from t2 where t2.grp > t1.grp "
+         "select (select max(amt) from t2 where t2.grp + t1.grp = 3 "
          "group by ()) as m from t1",
          "no such scope|unsupported correlation")
 
