@@ -305,6 +305,60 @@ def synthesize_webp_anim_media(df: DataFrame, id_col: str = "doc_id") -> DataFra
     return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
 
 
+def synthesize_webp_anim_patch_media(
+    df: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """Animated WebP whose per-frame composites DEPEND ON HISTORY —
+    the surface the full-canvas synthesizer above never exercises
+    (its every frame overwrites the whole canvas, so composite k ==
+    frame k regardless of compositing correctness). Per doc: canvas
+    W=id%13+8, H=id%11+8, base frame of constant gray b=id%256
+    (opaque), then nf-1 = 1+id%3 VERTICAL STRIP patches (width 2,
+    full height, at x=2(k-1) — even offsets, never overlapping) of
+    constant gray g_k=(id+41k)%256.
+
+    EVEN ids: no-blend strips with dispose-to-background on every
+    frame — composite 0 is the base, composite k>=1 is ONLY strip k
+    on a cleared (transparent black) canvas. ODD ids: alpha-128
+    strips blended src-OVER-dst onto the opaque base, no dispose —
+    composite k carries strips 1..k with the blended value
+    v_j = (128*g_j + 127*b) // 255 (exact integer, alpha stays 255).
+    Both paths have closed-form four-channel frame means the oracle
+    recomputes in SQL."""
+    import numpy as np
+
+    from sqlpp_spark.ops import webpcodec as WC
+
+    schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = did % 13 + 8, did % 11 + 8
+                nf = 2 + did % 3
+                b = did % 256
+                base = np.full((h, w, 4), 255, np.uint8)
+                base[..., :3] = b
+                frames, offsets = [base], [(0, 0)]
+                for k in range(1, nf):
+                    g = (did + 41 * k) % 256
+                    a = 255 if did % 2 == 0 else 128
+                    strip = np.full((h, 2, 4), a, np.uint8)
+                    strip[..., :3] = g
+                    frames.append(strip)
+                    offsets.append((2 * (k - 1), 0))
+                out["media_id"].append(did)
+                out["payload"].append(WC.encode_webp_animated(
+                    frames, duration_ms=33, offsets=offsets,
+                    dispose=(did % 2 == 0), blend=(did % 2 == 1),
+                ))
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
 def synthesize_png_variants_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """CLOSED-FORM pixels through the HARD PNG paths: per doc the
     formula image ((x + 3y + id) mod 256) is encoded rotating through

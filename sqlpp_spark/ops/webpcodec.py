@@ -1290,19 +1290,27 @@ def _decode_alpha(payload: bytes, w: int, h: int) -> np.ndarray:
 
 def encode_webp_animated(
     frames, duration_ms: int = 100, offsets=None, dispose=False,
+    blend=False,
 ) -> bytes:
     """Animated WebP (RFC 9649 VP8X/ANIM/ANMF) from uint8 (h, w, 3|4)
     RGBA frames, each VP8L-lossless-coded so decode is EXACT. All
     frames share the canvas size unless ``offsets`` supplies per-frame
     (x, y) positions (must be even, per the spec's /2 coding) for
     sub-canvas frames. ``dispose`` selects dispose-to-background for
-    every frame; blending is always OFF (overwrite), which keeps
-    compositing closed-form for the oracles."""
+    every frame. ``blend`` (r12): False = overwrite everywhere (the
+    closed-form default), True = src-OVER-dst alpha blending for every
+    frame after the first, or a per-frame list of booleans (frame 0
+    always overwrites — blending onto the initial transparent canvas
+    is never what a caller means)."""
     frames = [np.asarray(f, dtype=np.uint8) for f in frames]
     if not frames:
         raise WebpCodecError("no frames")
     if offsets is None:
         offsets = [(0, 0)] * len(frames)
+    if isinstance(blend, bool):
+        blends = [False] + [blend] * (len(frames) - 1)
+    else:
+        blends = [False] + [bool(b) for b in blend[1:]]
     cw = max(o[0] + f.shape[1] for o, f in zip(offsets, frames))
     ch = max(o[1] + f.shape[0] for o, f in zip(offsets, frames))
     flags = 0x02 | 0x10  # animation + alpha hint
@@ -1310,7 +1318,7 @@ def encode_webp_animated(
     vp8x += (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
     anim = b"\x00\x00\x00\x00" + (0).to_bytes(2, "little")  # bg, loop=∞
     chunks = [(b"VP8X", vp8x), (b"ANIM", anim)]
-    for (x, y), f in zip(offsets, frames):
+    for (x, y), f, bl in zip(offsets, frames, blends):
         if x % 2 or y % 2:
             raise WebpCodecError("ANMF offsets must be even")
         sub = encode_webp_lossless(f)
@@ -1322,7 +1330,9 @@ def encode_webp_animated(
         anmf += (w - 1).to_bytes(3, "little")
         anmf += (h - 1).to_bytes(3, "little")
         anmf += int(duration_ms).to_bytes(3, "little")
-        anmf += bytes([0x02 | (0x01 if dispose else 0x00)])  # no-blend
+        # flag bits: 0x02 = no-blend (overwrite), 0x01 = dispose-to-bg
+        anmf += bytes([(0x00 if bl else 0x02)
+                       | (0x01 if dispose else 0x00)])
         anmf += inner
         chunks.append((b"ANMF", anmf))
     return _riff_wrap(chunks)

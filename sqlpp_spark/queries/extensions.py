@@ -1144,6 +1144,77 @@ def multimodal_webp_anim_frames_oracle(
 
 
 @register(
+    "multimodal_webp_anim_composite_oracle",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 13 + 8 AS w, doc_id % 11 + 8 AS h,
+         2 + doc_id % 3 AS nf, doc_id % 256 AS b
+  FROM documents
+),
+frames AS (
+  SELECT d.doc_id, d.w, d.h, d.b, f.i AS k
+  FROM dims d, LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS i) f
+),
+blended AS (
+  -- odd ids: cumulative (3*v_j + 255) over strips 1..k, where
+  -- v_j = (128*g_j + 127*b) // 255 is the exact integer src-OVER-dst
+  -- value of an alpha-128 strip on the opaque base
+  SELECT fr.doc_id, fr.k,
+         SUM(3 * ((128 * ((fr.doc_id + 41 * j.i) % 256) + 127 * fr.b)
+                  // 255) + 255) AS s3
+  FROM frames fr,
+       LATERAL (SELECT unnest(generate_series(1, fr.k)) AS i) j
+  WHERE fr.doc_id % 2 = 1 AND fr.k >= 1
+  GROUP BY 1, 2
+)
+SELECT fr.doc_id AS media_id,
+       CAST(fr.k AS INT) AS frame_idx,
+       CAST(fr.w AS INT) AS width,
+       CAST(fr.h AS INT) AS height,
+       CASE
+         WHEN fr.k = 0 THEN
+           CAST(3 * fr.b + 255 AS DOUBLE) / 4
+         WHEN fr.doc_id % 2 = 0 THEN
+           -- dispose path: composite k is ONLY strip k on a cleared
+           -- transparent-black canvas
+           CAST(3 * ((fr.doc_id + 41 * fr.k) % 256) + 255 AS DOUBLE)
+               / CAST(2 * fr.w AS DOUBLE)
+         ELSE
+           -- blend path: strips 1..k blended onto the base
+           CAST(2 * fr.h * bl.s3
+                + (fr.w - 2 * fr.k) * fr.h * (3 * fr.b + 255) AS DOUBLE)
+               / CAST(4 * fr.w * fr.h AS DOUBLE)
+       END AS mean_byte,
+       CAST(1 AS BIGINT) AS decoded
+FROM frames fr LEFT JOIN blended bl
+  ON fr.doc_id = bl.doc_id AND fr.k = bl.k
+""",
+)
+def multimodal_webp_anim_composite_oracle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORACLED history-dependent animated-WebP compositing (r12,
+    VERDICT ask #6): unlike the full-canvas twin above (whose every
+    composite equals its own frame), these payloads make frame k's
+    pixels depend on frames 0..k-1 — sub-canvas strip patches with
+    dispose-to-background on even ids and src-OVER-dst alpha blending
+    (the r12 encoder blend flag) on odd ids. All frames extract
+    through the same Arrow-batched mapInPandas shape a training
+    pipeline runs; DuckDB recomputes every composited frame's exact
+    four-channel mean, including the integer blend arithmetic
+    v = (128*g + 127*b) // 255."""
+    from sqlpp_spark.ops.multimodal import (
+        extract_video_frames, synthesize_webp_anim_patch_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_video_frames(synthesize_webp_anim_patch_media(d)).select(
+        "media_id", "frame_idx", "width", "height", "mean_byte",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )
+
+
+@register(
     "multimodal_video_frames_oracle",
     oracle="""
 WITH dims AS (

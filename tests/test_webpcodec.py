@@ -444,3 +444,27 @@ def test_animated_total_pixel_budget():
     with pytest.raises(WebpCodecError):
         W.decode_webp_frames(data, max_frames=4,
                              max_total_pixels=3 * 10 * 12)
+
+
+def test_animated_encoder_blend_flag():
+    """r12 encoder blend: True blends every frame after the first;
+    a per-frame list picks individual frames; frame 0 always
+    overwrites. Values follow the exact integer src-OVER-dst form
+    (anchored externally in test_webp_interop.py's animation test)."""
+    base = np.full((8, 8, 4), (10, 20, 30, 255), np.uint8)
+    over = np.full((8, 8, 4), (200, 100, 50, 128), np.uint8)
+    got = W.decode_webp_frames(W.encode_webp_animated([base, over], 20,
+                                                      blend=True))
+    v = lambda s, d: (s * 128 * 255 + d * 255 * 127) // (255 * 255)
+    assert got[1][0, 0].tolist() == [v(200, 10), v(100, 20),
+                                     v(50, 30), 255]
+    # per-frame list: frame 1 overwrites, frame 2 blends
+    got2 = W.decode_webp_frames(W.encode_webp_animated(
+        [base, over, over], 20, blend=[False, False, True]))
+    assert got2[1][0, 0].tolist() == [200, 100, 50, 128]
+    # frame 2 blends onto the alpha-128 canvas left by frame 1
+    sa, da = 128, 128
+    oa = sa * 255 + da * (255 - sa)
+    exp = [(c * sa * 255 + c * da * (255 - sa)) // oa
+           for c in (200, 100, 50)] + [oa // 255]
+    assert got2[2][0, 0].tolist() == exp
