@@ -49,6 +49,7 @@ from sqlpp_spark.session import TABLES  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
 SKEWFIX = "/tmp/skewfix"
+SKEWFIX10 = "/tmp/skewfix10"  # skewed twin of the 10x fixture (r12)
 
 BOILER = ("breaking news subscribe to our newsletter for daily updates "
           "all rights reserved copyright notice privacy policy terms of "
@@ -57,11 +58,16 @@ BOILER = ("breaking news subscribe to our newsletter for daily updates "
           "share this story follow us")
 
 
-def build_fixture(spark: SparkSession) -> None:
-    if os.path.isdir(SKEWFIX):
+def build_fixture(
+    spark: SparkSession, src: str = SF01, dst: str = SKEWFIX,
+) -> None:
+    """Skewed twin of ``src`` at ``dst``. The transforms key on
+    deterministic id hashes, so they apply identically to sf0.1 and
+    to the 10x id-shifted fixture (the r12 decade-up tier)."""
+    if os.path.isdir(dst):
         return
-    os.makedirs(SKEWFIX)
-    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    os.makedirs(dst)
+    docs = spark.read.parquet(f"{src}/documents.parquet")
     h = F.pmod(F.xxhash64("doc_id", F.lit("skew")), F.lit(100))
     zipf_source = (
         F.when(h < 60, F.lit("hotsite"))
@@ -75,9 +81,9 @@ def build_fixture(spark: SparkSession) -> None:
     docs.select(
         "doc_id", text.alias("text"), "lang", zipf_source.alias("source"),
         F.length(text).alias("n_chars"),
-    ).coalesce(8).write.parquet(f"{SKEWFIX}/documents.parquet")
+    ).coalesce(8).write.parquet(f"{dst}/documents.parquet")
 
-    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
     ch = F.pmod(F.xxhash64("vec_id", F.lit("cluster")), F.lit(100))
     cluster = (ch % 3).cast("int")
     # deterministic center coordinate per (cluster, dim): in [-0.5, 0.5]
@@ -97,11 +103,11 @@ def build_fixture(spark: SparkSession) -> None:
         F.when(ch < 80, snapped).otherwise(F.col("embedding"))
         .alias("embedding"),
         "label",
-    ).coalesce(8).write.parquet(f"{SKEWFIX}/embeddings.parquet")
+    ).coalesce(8).write.parquet(f"{dst}/embeddings.parquet")
     for t in TABLES:
         if t in ("documents", "embeddings"):
             continue
-        os.symlink(f"{SF01}/{t}.parquet", f"{SKEWFIX}/{t}.parquet")
+        os.symlink(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
 
 
 # -- REST metrics ------------------------------------------------------------
@@ -380,7 +386,58 @@ QUERIES = [
 ]
 
 
+X10_QUERIES = ["dedup_minhash", "dedup_ngram_jaccard", "ann_knn_graph_auto"]
+
+
+def x10_tier(spark) -> dict:
+    """One decade up (VERDICT r11 ask #7): the skew transforms applied
+    to the 10x fixture (/tmp/scale10 -> /tmp/skewfix10, 10x rows,
+    same Zipf shape) — do the max/med task ratios stay flat and does
+    the Σdf² trip-wire still fire? Records the same run_one metrics
+    as the base tier, plus the sf0.1-skewed reference in-session so
+    the decade ratio is load-comparable."""
+    from scale_rehearsal import SCALE10
+    from scale_rehearsal import build_fixture as build_scale10
+
+    from sqlpp_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    build_scale10(spark)
+    build_fixture(spark)  # base skewed tier (reference timings)
+    build_fixture(spark, src=SCALE10, dst=SKEWFIX10)
+    out: dict = {}
+    for name in X10_QUERIES:
+        b = REGISTRY[name].builder
+        try:
+            b(spark, "/root/testdata/sf0.001").count()  # warm plan
+        except Exception:
+            pass
+        out[name] = {
+            "skewed": run_one(spark, b, SKEWFIX),
+            "skewed_x10": run_one(spark, b, SKEWFIX10),
+        }
+        print("x10_tier", name, json.dumps(out[name]), flush=True)
+    out["jaccard_auto_signal_x10"] = jaccard_strategy_trips(
+        spark, SKEWFIX10
+    )
+    print("x10_tier jaccard_auto_signal_x10",
+          json.dumps(out["jaccard_auto_signal_x10"]), flush=True)
+    return out
+
+
 def main() -> None:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(here, "SKEW_REHEARSAL.json")
+    if "--x10" in sys.argv:
+        # incremental mode: run ONLY the decade-up tier and merge
+        spark = get_spark_with_ui()
+        with open(out_path) as f:
+            results = json.load(f)
+        results["x10_tier"] = x10_tier(spark)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+        spark.stop()
+        return
     spark = get_spark_with_ui()
     build_fixture(spark)
     from sqlpp_spark.queries import REGISTRY, _ensure_loaded
