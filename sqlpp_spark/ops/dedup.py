@@ -796,37 +796,67 @@ def simhash_near_duplicates(
 
     sigs = simhash(df, text_col, id_col, bits).persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()  # eager: both self-join sides read it
+    out = hamming_near_duplicates(
+        sigs, sig_col="simhash", id_col=id_col, bits=bits,
+        max_hamming=max_hamming,
+    )
+    out._sqlpp_persisted = [sigs]  # release via ops.release_intermediates
+    return out
+
+
+def hamming_near_duplicates(
+    sigs: DataFrame, sig_col: str, id_col: str,
+    bits: int = 64, max_hamming: int = 3,
+) -> DataFrame:
+    """EXACT hamming ≤ d pairs over any integer-signature frame
+    (simhash text signatures, image dHashes, ...): the banded
+    pigeonhole join simhash_near_duplicates always used, factored
+    generic in r12. ``shiftrightunsigned`` (not arithmetic shift)
+    keeps full-width 64-bit signatures correct — the sign bit of a
+    packed int64 must not smear across chunks. Caller persists
+    ``sigs`` if its lineage is expensive (both self-join sides read
+    it). Returns (id_a, id_b, hamming)."""
     n_chunks = max_hamming + 1
+
+    def _chunk(lo: int, width: int):
+        c = F.shiftrightunsigned(F.col(sig_col), lo)
+        # a 64-bit-wide chunk needs no mask (and its mask literal
+        # would not fit a signed long)
+        return c if width >= 64 else c.bitwiseAND(F.lit((1 << width) - 1))
+
     chunk_structs = F.array(
         *[
             F.struct(
                 F.lit(c).alias("band"),
-                F.shiftright(F.col("simhash"), lo)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("chunk"),
+                _chunk(lo, width).alias("chunk"),
             )
-            for c, (lo, width) in enumerate(_simhash_chunk_bounds(bits, n_chunks))
+            for c, (lo, width) in enumerate(
+                _simhash_chunk_bounds(bits, n_chunks)
+            )
         ]
     )
     banded = sigs.select(
-        F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("bc")
-    ).select(id_col, "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+        F.col(id_col), F.col(sig_col), F.explode(chunk_structs).alias("bc")
+    ).select(
+        id_col, sig_col,
+        F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"),
+    )
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"), "band", "chunk"
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sa"),
+        "band", "chunk",
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"), "band", "chunk"
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sb"),
+        "band", "chunk",
     )
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    out = (
+    return (
         a.join(b, on=["band", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
-    out._sqlpp_persisted = [sigs]  # release via ops.release_intermediates
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -546,6 +546,165 @@ FRAME_SCHEMA = (
 )
 
 
+def synthesize_tile_media(
+    df: DataFrame, id_col: str = "doc_id", near_dups: bool = False,
+) -> DataFrame:
+    """Tiled grayscale PNGs whose dHash is CLOSED-FORM: the image is
+    a 9x8 grid of 2x2 constant tiles (18x16 px), tile (cx, cy) value
+    (7*base + 17*cx + 29*cy) % 256 — block averages equal tile
+    values, so the oracle recomputes the exact 64-bit hash in SQL.
+    ``near_dups``: base = id // 4 (4-member groups share an image)
+    and members with id % 4 != 0 invert ONE tile
+    (cy = id*5 % 8, cx = id*3 % 9) to 255 - v — deterministic
+    hamming-close clusters (<= 2 bits vs base, <= 4 within group)."""
+    import numpy as np
+
+    from sqlpp_spark.ops import imagecodec as IC
+
+    schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cy, cx = np.mgrid[0:8, 0:9]
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                base = did // 4 if near_dups else did
+                v = (7 * base + 17 * cx + 29 * cy) % 256
+                if near_dups and did % 4 != 0:
+                    py, px = (did * 5) % 8, (did * 3) % 9
+                    v = v.copy()
+                    v[py, px] = 255 - v[py, px]
+                img = np.kron(v, np.ones((2, 2), np.int64)).astype(np.uint8)
+                out["media_id"].append(did)
+                out["payload"].append(IC.encode_png(img, level=1))
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
+def image_near_duplicates(
+    df: DataFrame, max_hamming: int = 6,
+) -> DataFrame:
+    """Perceptual image dedup (r12): dHash fingerprints + the banded
+    pigeonhole hamming join (ops.dedup.hamming_near_duplicates — the
+    machinery text simhash uses, over 64-bit image hashes). The
+    signature frame persists MEMORY_AND_DISK (8-byte hashes + ids —
+    tiny at any scale) so the expensive decode runs once, not once
+    per self-join side; only (id, hash) rows ever shuffle. Returns
+    (id_a, id_b, hamming), hamming <= max_hamming."""
+    from pyspark import StorageLevel
+
+    from sqlpp_spark.ops.dedup import hamming_near_duplicates
+
+    sigs = (
+        image_dhash(df)
+        .filter(F.col("decoded"))
+        .select("media_id", "dhash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sigs.count()  # eager: both self-join sides read it
+    out = hamming_near_duplicates(
+        sigs, sig_col="dhash", id_col="media_id",
+        bits=64, max_hamming=max_hamming,
+    )
+    out._sqlpp_persisted = [sigs]
+    return out
+
+
+def _dhash64(arr) -> int:
+    """64-bit difference hash of a decoded image array — the standard
+    perceptual-dedup primitive (aHash/dHash family): integer
+    grayscale, block-average onto a 9x8 grid, bit (y,x) set when
+    avg[y][x] > avg[y][x+1]. Every step is integer floor arithmetic
+    (// block areas) so a SQL oracle can recompute the hash exactly
+    on closed-form images; block boundaries are floor(j*W/9) /
+    floor(i*H/8), exact when the dimensions divide and deterministic
+    when they don't. Returns the packed bits as a SIGNED int64 (bit
+    i = y*8 + x), the natural Spark LongType carrier."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.ndim == 3:
+        ch = a.shape[2]
+        rgb = a[..., : min(ch, 3)].astype(np.int64)
+        gray = rgb.sum(axis=2) // rgb.shape[2]
+    else:
+        gray = a.astype(np.int64)
+    h, w = gray.shape
+    if h < 8 or w < 9:
+        raise ValueError(f"image {w}x{h} too small for a 9x8 dhash grid")
+    by = (np.arange(9) * h) // 8
+    bx = (np.arange(10) * w) // 9
+    sums = np.add.reduceat(
+        np.add.reduceat(gray, by[:-1], axis=0), bx[:-1], axis=1
+    )
+    areas = np.outer(np.diff(by), np.diff(bx))
+    avg = sums // areas
+    bits = (avg[:, :-1] > avg[:, 1:]).astype(np.uint64).ravel()
+    val = (bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+    return int(val.astype(np.int64))
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Per-image 64-bit dHash over a (media_id, payload) frame —
+    the fingerprint stage of image dedup (r12). Decodes PNG / WebP /
+    GIF (first frame) / BMP through the conformance-tested codecs;
+    other payloads yield decoded=false. Output: (media_id, dhash
+    long, dhash_hex 16-char string, decoded). Embarrassingly
+    parallel Arrow-batched mapInPandas — no shuffle; pair finding is
+    a separate banded join (ops.dedup.hamming_near_duplicates), so
+    at 100 TB only (id, 8-byte hash) rows ever move."""
+    schema = (
+        "media_id long, dhash long, dhash_hex string, decoded boolean"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from sqlpp_spark.ops import imagecodec as IC
+        from sqlpp_spark.ops.bmpcodec import BmpCodecError, decode_bmp
+        from sqlpp_spark.ops.gifcodec import GifCodecError, decode_gif_frames
+        from sqlpp_spark.ops.webpcodec import WebpCodecError, decode_webp
+
+        for pdf in batches:
+            out = {"media_id": [], "dhash": [], "dhash_hex": [],
+                   "decoded": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                arr = None
+                try:
+                    if b[:8] == IC.PNG_SIGNATURE:
+                        arr = IC.decode_png(b)
+                    elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                        arr = decode_webp(b)
+                    elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        arr = decode_gif_frames(b, 1)[0]
+                    elif b[:2] == b"BM":
+                        arr = decode_bmp(b)
+                except (IC.ImageCodecError, WebpCodecError,
+                        GifCodecError, BmpCodecError):
+                    arr = None
+                if arr is None or arr.shape[0] < 8 or arr.shape[1] < 9:
+                    out["media_id"].append(mid)
+                    out["dhash"].append(0)
+                    out["dhash_hex"].append("0" * 16)
+                    out["decoded"].append(False)
+                    continue
+                hv = _dhash64(arr)
+                out["media_id"].append(mid)
+                out["dhash"].append(hv)
+                out["dhash_hex"].append(
+                    format(int(np.uint64(np.int64(hv))), "016x")
+                )
+                out["decoded"].append(True)
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(
+        df.select("media_id", "payload")
+    ).mapInPandas(run, schema)
+
+
 def extract_video_frames(
     df: DataFrame, every_n: int = 1, max_frames: int | None = None,
 ) -> DataFrame:

@@ -1143,6 +1143,101 @@ def multimodal_webp_anim_frames_oracle(
     )
 
 
+_DHASH_PACK = (
+    "CAST(SUM(CAST(bit AS UBIGINT) * (CASE WHEN cy*8+cx < 32 "
+    "THEN (CAST(1 AS UBIGINT) << (cy*8+cx)) "
+    "ELSE (CAST(1 AS UBIGINT) << (cy*8+cx-32)) "
+    "* CAST(4294967296 AS UBIGINT) END)) AS UBIGINT)"
+)
+
+
+def _dhash_oracle(cell_value_sql: str, tail: str) -> str:
+    """DuckDB replay of the tiled-image dHash: recompute every 9x8
+    cell value from the formula, derive the 64 comparison bits, pack
+    them as UBIGINT (bit 63 via the *2^32 split — DuckDB's << checks
+    overflow), then ``tail`` consumes the per-doc hashes."""
+    return f"""
+WITH cells AS (
+  SELECT d.doc_id, cy.i AS cy, cx.i AS cx, {cell_value_sql} AS v
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS i) cy,
+       LATERAL (SELECT unnest(generate_series(0, 8)) AS i) cx
+),
+bits AS (
+  SELECT a.doc_id, a.cy, a.cx,
+         CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+  FROM cells a JOIN cells b
+    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+  WHERE a.cx < 8
+),
+hashes AS (
+  SELECT doc_id, {_DHASH_PACK} AS h FROM bits GROUP BY doc_id
+)
+{tail}
+"""
+
+
+@register(
+    "multimodal_image_dhash_oracle",
+    oracle=_dhash_oracle(
+        "(7 * d.doc_id + 17 * cx.i + 29 * cy.i) % 256",
+        "SELECT doc_id AS media_id, "
+        "lower(lpad(hex(h), 16, '0')) AS dhash_hex, "
+        "CAST(1 AS BIGINT) AS decoded FROM hashes",
+    ),
+)
+def multimodal_image_dhash_oracle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORACLED perceptual image fingerprinting (r12): 64-bit dHash
+    (grayscale -> 9x8 block averages -> horizontal-gradient bits)
+    over tiled PNGs whose block averages are closed-form — DuckDB
+    recomputes every cell value, every comparison bit, and the exact
+    packed 64-bit hash. The decode + hash stage is Arrow-batched
+    mapInPandas with zero shuffle."""
+    from sqlpp_spark.ops.multimodal import image_dhash, synthesize_tile_media
+
+    d = table(spark, sf_dir, "documents")
+    return image_dhash(synthesize_tile_media(d)).select(
+        "media_id", "dhash_hex",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )
+
+
+@register(
+    "multimodal_image_neardup_oracle",
+    oracle=_dhash_oracle(
+        "CASE WHEN d.doc_id % 4 <> 0 AND cy.i = (d.doc_id * 5) % 8 "
+        "AND cx.i = (d.doc_id * 3) % 9 "
+        "THEN 255 - (7 * (d.doc_id // 4) + 17 * cx.i + 29 * cy.i) % 256 "
+        "ELSE (7 * (d.doc_id // 4) + 17 * cx.i + 29 * cy.i) % 256 END",
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming "
+        "FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.h, b.h)) <= 6",
+    ),
+)
+def multimodal_image_neardup_oracle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORACLED perceptual image DEDUP (r12): dHash + the banded
+    pigeonhole hamming join (the text-simhash machinery over 64-bit
+    image hashes, ops.dedup.hamming_near_duplicates) on a corpus of
+    4-member near-dup groups (shared base image, one inverted tile
+    per member). The Spark side finds pairs via 7 exact band
+    equi-joins — never all-pairs; DuckDB brute-forces every pair's
+    hamming from recomputed hashes, so banding completeness (the
+    pigeonhole guarantee) is checked against an exhaustive oracle."""
+    from sqlpp_spark.ops.multimodal import (
+        image_near_duplicates, synthesize_tile_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return image_near_duplicates(
+        synthesize_tile_media(d, near_dups=True), max_hamming=6
+    )
+
+
 @register(
     "multimodal_webp_anim_composite_oracle",
     oracle="""

@@ -809,3 +809,89 @@ def test_mp3_xing_probe_bounded_to_first_frame():
     i = mp3_info(bytes(frame1) + frame2)
     assert i["n_frames"] == 2
     assert i["xing_frames"] is None  # bounded probe, no cross-frame read
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing + dedup (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_dhash64_reference():
+    """_dhash64 against an independent scalar re-derivation on a
+    random image with non-dividing dimensions (exercises the floor
+    block boundaries)."""
+    import numpy as np
+
+    from sqlpp_spark.ops.multimodal import _dhash64
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    gray = arr.astype(int).sum(axis=2) // 3
+    h, w = gray.shape
+    avg = [[0] * 9 for _ in range(8)]
+    for i in range(8):
+        for j in range(9):
+            y0, y1 = (i * h) // 8, ((i + 1) * h) // 8
+            x0, x1 = (j * w) // 9, ((j + 1) * w) // 9
+            s = sum(gray[y][x] for y in range(y0, y1)
+                    for x in range(x0, x1))
+            avg[i][j] = s // ((y1 - y0) * (x1 - x0))
+    want = 0
+    for i in range(8):
+        for j in range(8):
+            if avg[i][j] > avg[i][j + 1]:
+                want |= 1 << (i * 8 + j)
+    got = _dhash64(arr)
+    assert got == (want if want < 1 << 63 else want - (1 << 64))
+
+
+def test_image_dhash_formats_and_fallback(spark):
+    """PNG/WebP/BMP of the same pixels hash identically; junk and
+    too-small payloads yield decoded=false."""
+    import numpy as np
+
+    from sqlpp_spark.ops import imagecodec as IC
+    from sqlpp_spark.ops.bmpcodec import encode_bmp
+    from sqlpp_spark.ops.multimodal import image_dhash
+    from sqlpp_spark.ops.webpcodec import encode_webp_lossless
+
+    rng = np.random.default_rng(10)
+    arr = rng.integers(0, 256, (16, 18, 3), dtype=np.uint8)
+    rgba = np.dstack([arr, np.full(arr.shape[:2], 255, np.uint8)])
+    rows = [
+        (1, IC.encode_png(arr)),
+        (2, encode_webp_lossless(rgba)),
+        (3, encode_bmp(arr)),
+        (4, b"not an image"),
+        (5, IC.encode_png(np.zeros((4, 4), np.uint8))),  # < 9x8 grid
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in image_dhash(df).collect()}
+    assert got[1].decoded and got[2].decoded and got[3].decoded
+    assert got[1].dhash == got[2].dhash == got[3].dhash
+    assert got[1].dhash_hex == format(got[1].dhash % (1 << 64), "016x")
+    assert not got[4].decoded and not got[5].decoded
+
+
+def test_hamming_near_duplicates_sign_bit(spark):
+    """64-bit signatures with the SIGN bit set: an arithmetic shift
+    would smear 1s across every high chunk (wrong bands, possible
+    misses/false bands); shiftrightunsigned must keep exact-hamming
+    results. Pairs at hamming 1 (in the top bit), 3, and >3."""
+    from sqlpp_spark.ops.dedup import hamming_near_duplicates
+
+    top = -(1 << 63)  # bit 63 as signed long
+    rows = [
+        (1, top | 0b0111),
+        (2, 0b0111),             # differs from 1 only in bit 63
+        (3, top | 0b0000),       # vs 1: hamming 3
+        (4, top | 0b0111 ^ (0b11111 << 20)),  # vs 1: hamming 5
+    ]
+    df = spark.createDataFrame(rows, "vid long, sig long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in hamming_near_duplicates(
+               df, "sig", "vid", bits=64, max_hamming=3).collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 3
+    assert (2, 4) not in got  # hamming 6 > 3
+    assert all(v <= 3 for v in got.values())

@@ -466,3 +466,14 @@ def test_robots_filter_broadcasts_rules_side(spark, sf_dir):
     assert bsecs and any("robots_txt" in s for s in bsecs)
     assert len(re.findall(r"\(\d+\) MapInPandas", p)) >= 1
     assert "NestedLoop" not in p
+
+
+def test_image_neardup_banded_equijoin_no_all_pairs(spark, sf_dir):
+    """Perceptual image dedup must find pairs through the banded
+    chunk equi-join (pigeonhole over hash chunks), never a nested
+    loop / cartesian all-pairs, and both self-join sides must read
+    the persisted signature frame (the decode runs once)."""
+    p = plan_of(spark, sf_dir, "multimodal_image_neardup_oracle")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) InMemoryTableScan", p)) >= 2
+    assert "shiftrightunsigned" in p  # logical shift: sign bit stays put
