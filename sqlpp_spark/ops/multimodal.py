@@ -705,6 +705,148 @@ def image_dhash(df: DataFrame) -> DataFrame:
     ).mapInPandas(run, schema)
 
 
+def _audio_fp64(samples, channels: int = 1) -> int:
+    """64-bit audio fingerprint: integer channel-mean, 65 equal
+    time blocks (floor boundaries), per-block energy Σx², bit i set
+    when energy[i] > energy[i+1] — the temporal-gradient analogue of
+    the image dHash, all-integer so a SQL oracle can replay it
+    exactly on closed-form synthetic audio. Returns packed bits as a
+    signed int64 (bit i = block-gradient i)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if channels > 1:
+        s = s[: (s.size // channels) * channels]
+        s = s.reshape(-1, channels).sum(axis=1) // channels
+    n = s.size
+    if n < 65:
+        raise ValueError(f"{n} samples too few for 65 energy blocks")
+    b = (np.arange(66) * n) // 65
+    e = np.add.reduceat(s * s, b[:-1])
+    bits = (e[:-1] > e[1:]).astype(np.uint64)
+    val = (bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+    return int(val.astype(np.int64))
+
+
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """Per-clip 64-bit audio fingerprint over a (media_id, payload)
+    frame — the audio-dedup analogue of image_dhash (r12). WAV
+    (PCM/G.711/IMA-ADPCM) decodes through ops.audiocodec, FLAC
+    through the RFC 9639 decoder; the two agree bit-for-bit on the
+    same samples because FLAC is lossless, which the oracle entry
+    exploits by alternating containers per doc. Other payloads yield
+    decoded=false. Zero shuffle; pair finding is the shared banded
+    hamming join."""
+    schema = (
+        "media_id long, afp long, afp_hex string, decoded boolean"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from sqlpp_spark.ops.audiocodec import AudioCodecError, decode_wav
+        from sqlpp_spark.ops.flaccodec import FlacError, decode_flac
+
+        for pdf in batches:
+            out = {"media_id": [], "afp": [], "afp_hex": [],
+                   "decoded": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                samples = ch = None
+                try:
+                    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        samples, _rate, ch = decode_wav(b)
+                    elif b[:4] == b"fLaC":
+                        arr, _rate, _bps = decode_flac(b)
+                        samples, ch = arr.reshape(-1), arr.shape[1]
+                except (AudioCodecError, FlacError):
+                    samples = None
+                if samples is None or samples.size < 65 * (ch or 1):
+                    out["media_id"].append(mid)
+                    out["afp"].append(0)
+                    out["afp_hex"].append("0" * 16)
+                    out["decoded"].append(False)
+                    continue
+                hv = _audio_fp64(samples, ch)
+                out["media_id"].append(mid)
+                out["afp"].append(hv)
+                out["afp_hex"].append(
+                    format(int(np.uint64(np.int64(hv))), "016x")
+                )
+                out["decoded"].append(True)
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(
+        df.select("media_id", "payload")
+    ).mapInPandas(run, schema)
+
+
+def audio_near_duplicates(
+    df: DataFrame, max_hamming: int = 6,
+) -> DataFrame:
+    """Audio dedup by fingerprint hamming (r12): the same banded
+    pigeonhole join image/text dedup use, over audio fingerprints.
+    Returns (id_a, id_b, hamming)."""
+    from pyspark import StorageLevel
+
+    from sqlpp_spark.ops.dedup import hamming_near_duplicates
+
+    sigs = (
+        audio_fingerprint(df)
+        .filter(F.col("decoded"))
+        .select("media_id", "afp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sigs.count()  # eager: both self-join sides read it
+    out = hamming_near_duplicates(
+        sigs, sig_col="afp", id_col="media_id",
+        bits=64, max_hamming=max_hamming,
+    )
+    out._sqlpp_persisted = [sigs]
+    return out
+
+
+def synthesize_audio_tile_media(
+    df: DataFrame, id_col: str = "doc_id", near_dups: bool = False,
+) -> DataFrame:
+    """Audio clips whose fingerprint is CLOSED-FORM: 65 blocks of 4
+    constant PCM16 samples, block value (7*base + 37*blk) % 1000 -
+    500, so block energy is exactly 4v². EVEN docs ship as WAV PCM16,
+    ODD docs as FLAC (lossless — identical samples, identical
+    fingerprint), so the oracle entry exercises BOTH decode paths
+    under one codec-agnostic SQL oracle. ``near_dups``: base = id//4
+    and members id%4 != 0 add +300 to ONE block (blk = id*5 % 65) —
+    hamming-close clusters with deterministic distances."""
+    import numpy as np
+
+    from sqlpp_spark.ops.audiocodec import WAVE_PCM, write_wav
+    from sqlpp_spark.ops.flaccodec import encode_flac
+
+    schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        blk = np.arange(65)
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                base = did // 4 if near_dups else did
+                v = (7 * base + 37 * blk) % 1000 - 500
+                if near_dups and did % 4 != 0:
+                    v = v.copy()
+                    v[(did * 5) % 65] += 300
+                samples = np.repeat(v, 4).astype(np.int16)
+                if did % 2 == 0:
+                    payload = write_wav(samples, 8000, WAVE_PCM)
+                else:
+                    payload = encode_flac(samples, 8000)
+                out["media_id"].append(did)
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
 def extract_video_frames(
     df: DataFrame, every_n: int = 1, max_frames: int | None = None,
 ) -> DataFrame:

@@ -1143,12 +1143,19 @@ def multimodal_webp_anim_frames_oracle(
     )
 
 
-_DHASH_PACK = (
-    "CAST(SUM(CAST(bit AS UBIGINT) * (CASE WHEN cy*8+cx < 32 "
-    "THEN (CAST(1 AS UBIGINT) << (cy*8+cx)) "
-    "ELSE (CAST(1 AS UBIGINT) << (cy*8+cx-32)) "
-    "* CAST(4294967296 AS UBIGINT) END)) AS UBIGINT)"
-)
+def _pack_ubigint(idx: str) -> str:
+    """SUM-of-set-bits as UBIGINT with ``idx`` the bit position
+    0..63. Bit 63 is built via *2^32 on a <32 shift — DuckDB's <<
+    raises on a 63-bit shift instead of wrapping."""
+    return (
+        f"CAST(SUM(CAST(bit AS UBIGINT) * (CASE WHEN {idx} < 32 "
+        f"THEN (CAST(1 AS UBIGINT) << ({idx})) "
+        f"ELSE (CAST(1 AS UBIGINT) << ({idx}-32)) "
+        f"* CAST(4294967296 AS UBIGINT) END)) AS UBIGINT)"
+    )
+
+
+_DHASH_PACK = _pack_ubigint("cy*8+cx")
 
 
 def _dhash_oracle(cell_value_sql: str, tail: str) -> str:
@@ -1235,6 +1242,91 @@ def multimodal_image_neardup_oracle(
     d = table(spark, sf_dir, "documents")
     return image_near_duplicates(
         synthesize_tile_media(d, near_dups=True), max_hamming=6
+    )
+
+
+def _afp_oracle(value_sql: str, tail: str) -> str:
+    """DuckDB replay of the 65-block audio fingerprint: block value
+    from the formula, energy = 4v² (4 constant samples per block),
+    gradient bits, UBIGINT pack; ``tail`` consumes per-doc hashes."""
+    return f"""
+WITH blocks AS (
+  SELECT d.doc_id, b.i AS blk, {value_sql} AS v
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, 64)) AS i) b
+),
+energies AS (SELECT doc_id, blk, 4 * v * v AS e FROM blocks),
+bits AS (
+  SELECT a.doc_id, a.blk AS i,
+         CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+  FROM energies a JOIN energies b
+    ON a.doc_id = b.doc_id AND b.blk = a.blk + 1
+  WHERE a.blk < 64
+),
+hashes AS (
+  SELECT doc_id, {_pack_ubigint('i')} AS h FROM bits GROUP BY doc_id
+)
+{tail}
+"""
+
+
+@register(
+    "multimodal_audio_fingerprint_oracle",
+    oracle=_afp_oracle(
+        "(7 * d.doc_id + 37 * b.i) % 1000 - 500",
+        "SELECT doc_id AS media_id, "
+        "lower(lpad(hex(h), 16, '0')) AS afp_hex, "
+        "CAST(1 AS BIGINT) AS decoded FROM hashes",
+    ),
+)
+def multimodal_audio_fingerprint_oracle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORACLED audio fingerprinting (r12): 64-bit block-energy
+    gradient hash over clips that ship alternately as WAV PCM16 and
+    FLAC — lossless, so both decode paths must produce the identical
+    fingerprint under ONE codec-agnostic SQL oracle (this is the
+    first entry that hash-verifies the RFC 9639 FLAC decoder inside a
+    pipeline operator rather than a codec-level oracle)."""
+    from sqlpp_spark.ops.multimodal import (
+        audio_fingerprint, synthesize_audio_tile_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return audio_fingerprint(synthesize_audio_tile_media(d)).select(
+        "media_id", "afp_hex",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )
+
+
+@register(
+    "multimodal_audio_neardup_oracle",
+    oracle=_afp_oracle(
+        "CASE WHEN d.doc_id % 4 <> 0 AND b.i = (d.doc_id * 5) % 65 "
+        "THEN (7 * (d.doc_id // 4) + 37 * b.i) % 1000 - 500 + 300 "
+        "ELSE (7 * (d.doc_id // 4) + 37 * b.i) % 1000 - 500 END",
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming "
+        "FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.h, b.h)) <= 6",
+    ),
+)
+def multimodal_audio_neardup_oracle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORACLED audio near-dup detection (r12): fingerprints + the
+    shared banded pigeonhole hamming join over 4-member clip groups
+    (one perturbed energy block per member), WAV and FLAC containers
+    mixed. Spark finds pairs via 7 band equi-joins; DuckDB
+    brute-forces every pair from recomputed hashes — pigeonhole
+    completeness against an exhaustive oracle, audio edition."""
+    from sqlpp_spark.ops.multimodal import (
+        audio_near_duplicates, synthesize_audio_tile_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return audio_near_duplicates(
+        synthesize_audio_tile_media(d, near_dups=True), max_hamming=6
     )
 
 

@@ -895,3 +895,43 @@ def test_hamming_near_duplicates_sign_bit(spark):
     assert got[(1, 3)] == 3
     assert (2, 4) not in got  # hamming 6 > 3
     assert all(v <= 3 for v in got.values())
+
+
+def test_audio_fp64_reference_and_container_agreement(spark):
+    """_audio_fp64 against a scalar re-derivation (non-dividing
+    block boundaries, stereo channel-mean), and WAV vs FLAC payloads
+    of the same samples fingerprint identically (FLAC is lossless)."""
+    import numpy as np
+
+    from sqlpp_spark.ops.audiocodec import WAVE_PCM, write_wav
+    from sqlpp_spark.ops.flaccodec import encode_flac
+    from sqlpp_spark.ops.multimodal import _audio_fp64, audio_fingerprint
+
+    rng = np.random.default_rng(12)
+    mono = rng.integers(-3000, 3000, 317, dtype=np.int64)
+    n = mono.size
+    want = 0
+    bounds = [(i * n) // 65 for i in range(66)]
+    es = [sum(int(x) * int(x) for x in mono[bounds[i]:bounds[i + 1]])
+          for i in range(65)]
+    for i in range(64):
+        if es[i] > es[i + 1]:
+            want |= 1 << i
+    got = _audio_fp64(mono)
+    assert got == (want if want < 1 << 63 else want - (1 << 64))
+    # stereo: interleaved (L, R) -> integer channel mean
+    stereo = np.empty(2 * n, np.int64)
+    stereo[0::2] = mono
+    stereo[1::2] = mono + 7
+    mean = (mono + (mono + 7)) // 2
+    assert _audio_fp64(stereo, 2) == _audio_fp64(mean)
+    # containers agree
+    s16 = mono.astype(np.int16)
+    rows = [(1, write_wav(s16, 8000, WAVE_PCM)),
+            (2, encode_flac(s16, 8000)),
+            (3, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in audio_fingerprint(df).collect()}
+    assert got[1].decoded and got[2].decoded and not got[3].decoded
+    assert got[1].afp == got[2].afp
+    assert got[1].afp_hex == format(got[1].afp % (1 << 64), "016x")
