@@ -705,6 +705,102 @@ def image_dhash(df: DataFrame) -> DataFrame:
     ).mapInPandas(run, schema)
 
 
+def synthesize_tile_anim_media(
+    df: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """Animated WebP whose per-frame dHash is CLOSED-FORM: nf =
+    2 + id%3 full-canvas frames, each a 9x8 grid of 2x2 tiles with
+    value (7*id + 11*k + 17*cx + 29*cy) % 256 (k the frame index) —
+    the video twin of synthesize_tile_media."""
+    import numpy as np
+
+    from sqlpp_spark.ops import webpcodec as WC
+
+    schema = "media_id long, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cy, cx = np.mgrid[0:8, 0:9]
+        up = np.ones((2, 2), np.int64)
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                frames = []
+                for k in range(2 + did % 3):
+                    v = (7 * did + 11 * k + 17 * cx + 29 * cy) % 256
+                    g = np.kron(v, up).astype(np.uint8)
+                    frames.append(np.dstack(
+                        [g, g, g, np.full_like(g, 255)]
+                    ))
+                out["media_id"].append(did)
+                out["payload"].append(
+                    WC.encode_webp_animated(frames, duration_ms=33)
+                )
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
+def video_fingerprint(df: DataFrame) -> DataFrame:
+    """Per-VIDEO dedup fingerprint (r12): decode every composited
+    frame of an animated GIF/WebP payload, dHash each frame, and
+    digest the ordered hex sequence with MD5 — an order-sensitive
+    whole-video signature (two clips match iff every composited frame
+    perceptually matches in order). Output: (media_id, n_frames,
+    video_fp, decoded). Arrow-batched mapInPandas, zero shuffle; an
+    exact-dup groupBy on video_fp shuffles 16-byte digests only."""
+    schema = (
+        "media_id long, n_frames long, video_fp string, decoded boolean"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from sqlpp_spark.ops.gifcodec import GifCodecError, decode_gif_frames
+        from sqlpp_spark.ops.webpcodec import (
+            WebpCodecError, decode_webp_frames,
+        )
+
+        for pdf in batches:
+            out = {"media_id": [], "n_frames": [], "video_fp": [],
+                   "decoded": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                frames = None
+                try:
+                    if b[:6] in (b"GIF87a", b"GIF89a"):
+                        frames = decode_gif_frames(b)
+                    elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                        frames = decode_webp_frames(b)
+                except (GifCodecError, WebpCodecError):
+                    frames = None
+                if not frames or any(
+                    f.shape[0] < 8 or f.shape[1] < 9 for f in frames
+                ):
+                    out["media_id"].append(mid)
+                    out["n_frames"].append(0)
+                    out["video_fp"].append("")
+                    out["decoded"].append(False)
+                    continue
+                seq = "".join(
+                    format(int(np.uint64(np.int64(_dhash64(f)))), "016x")
+                    for f in frames
+                )
+                out["media_id"].append(mid)
+                out["n_frames"].append(len(frames))
+                out["video_fp"].append(
+                    hashlib.md5(seq.encode("ascii")).hexdigest()
+                )
+                out["decoded"].append(True)
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(
+        df.select("media_id", "payload")
+    ).mapInPandas(run, schema)
+
+
 def _audio_fp64(samples, channels: int = 1) -> int:
     """64-bit audio fingerprint: integer channel-mean, 65 equal
     time blocks (floor boundaries), per-block energy Σx², bit i set

@@ -1331,6 +1331,68 @@ def multimodal_audio_neardup_oracle(
 
 
 @register(
+    "multimodal_video_fingerprint_oracle",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents
+),
+frames AS (
+  SELECT d.doc_id, f.i AS k
+  FROM dims d, LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS i) f
+),
+cells AS (
+  SELECT fr.doc_id, fr.k, cy.i AS cy, cx.i AS cx,
+         (7 * fr.doc_id + 11 * fr.k + 17 * cx.i + 29 * cy.i) % 256 AS v
+  FROM frames fr,
+       LATERAL (SELECT unnest(generate_series(0, 7)) AS i) cy,
+       LATERAL (SELECT unnest(generate_series(0, 8)) AS i) cx
+),
+bits AS (
+  SELECT a.doc_id, a.k, a.cy, a.cx,
+         CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+  FROM cells a JOIN cells b
+    ON a.doc_id = b.doc_id AND a.k = b.k AND a.cy = b.cy
+   AND b.cx = a.cx + 1
+  WHERE a.cx < 8
+),
+fhashes AS (
+  SELECT doc_id, k, {_DHASH_PACK} AS h FROM bits GROUP BY doc_id, k
+),
+seqs AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_frames,
+         md5(string_agg(lower(lpad(hex(h), 16, '0')), '' ORDER BY k))
+             AS video_fp
+  FROM fhashes GROUP BY doc_id
+)
+SELECT doc_id AS media_id, n_frames, video_fp,
+       CAST(1 AS BIGINT) AS decoded
+FROM seqs
+""",
+)
+def multimodal_video_fingerprint_oracle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORACLED whole-video fingerprinting (r12): every composited
+    frame of an animated WebP dHashes, and the ordered hex sequence
+    digests to an order-sensitive MD5 video signature — the exact-dup
+    key a video-dedup pipeline groups on. DuckDB recomputes every
+    frame's 64-bit hash from the tile formulas, re-concatenates in
+    frame order and re-digests; the entry therefore hash-verifies the
+    ANMF frame decode, the perceptual hash, AND the sequence digest
+    together."""
+    from sqlpp_spark.ops.multimodal import (
+        synthesize_tile_anim_media, video_fingerprint,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return video_fingerprint(synthesize_tile_anim_media(d)).select(
+        "media_id", "n_frames", "video_fp",
+        F.col("decoded").cast("bigint").alias("decoded"),
+    )
+
+
+@register(
     "multimodal_webp_anim_composite_oracle",
     oracle="""
 WITH dims AS (

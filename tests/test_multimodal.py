@@ -935,3 +935,30 @@ def test_audio_fp64_reference_and_container_agreement(spark):
     assert got[1].decoded and got[2].decoded and not got[3].decoded
     assert got[1].afp == got[2].afp
     assert got[1].afp_hex == format(got[1].afp % (1 << 64), "016x")
+
+
+def test_video_fingerprint_order_sensitive(spark):
+    """Same frames in a different ORDER must fingerprint differently;
+    identical clips identically; junk yields decoded=false."""
+    import numpy as np
+
+    from sqlpp_spark.ops.multimodal import video_fingerprint
+    from sqlpp_spark.ops.webpcodec import encode_webp_animated
+
+    rng = np.random.default_rng(13)
+    f1 = rng.integers(0, 256, (16, 18, 4), dtype=np.uint8)
+    f2 = rng.integers(0, 256, (16, 18, 4), dtype=np.uint8)
+    for f in (f1, f2):
+        f[..., 3] = 255
+    rows = [
+        (1, encode_webp_animated([f1, f2], 20)),
+        (2, encode_webp_animated([f2, f1], 20)),
+        (3, encode_webp_animated([f1, f2], 20)),
+        (4, b"junk"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in video_fingerprint(df).collect()}
+    assert got[1].decoded and got[1].n_frames == 2
+    assert got[1].video_fp == got[3].video_fp
+    assert got[1].video_fp != got[2].video_fp
+    assert not got[4].decoded
