@@ -264,8 +264,21 @@ class Compiler:
                 neg = True
                 inner = inner.args[0]
         if isinstance(inner, A.EIn):
-            sub_df = self.compile_select(inner.sub_ctx, binds)
             sub_alias = self._fresh("__in")
+            corr_keys: List[str] = []
+            if inner.corr:
+                # correlated IN (r12): rebuild FROM + residual WHERE
+                # (the _corr conjuncts live in the join condition, not
+                # the subquery filter) and carry the inner correlation
+                # expressions as extra key columns next to the
+                # membership columns. The analyzer guarantees a plain
+                # SELECT ... WHERE shape here.
+                sub_df, corr_keys = self._corr_sub_frame(
+                    inner.sub_ctx, inner.corr, sub_alias, binds,
+                    extra_fields=True,
+                )
+            else:
+                sub_df = self.compile_select(inner.sub_ctx, binds)
             sub_df = sub_df.alias(sub_alias)
             sub_fields = [f for f in inner.sub_ctx.fields if f.is_used]
             sub_cols = [f.out_name for f in sub_fields]
@@ -290,9 +303,27 @@ class Compiler:
                 if negated and nullable:
                     c = c | probe.isNull() | sub_c.isNull()
                 cond = c if cond is None else (cond & c)
+            cond = self._and_corr_cond(
+                cond, inner.corr, sub_alias, binds
+            )
             how = "left_anti" if negated else "left_semi"
             return df.join(sub_df, on=cond, how=how)
         if isinstance(inner, A.EExists):
+            if inner.corr:
+                # correlated EXISTS (r12): the textbook semi/anti join
+                # — condition = the lifted correlation comparisons
+                # (equality conjuncts become hash keys, thetas stay as
+                # residual join condition; Catalyst splits them)
+                sub_alias = self._fresh("__ex")
+                sub_df, _keys = self._corr_sub_frame(
+                    inner.sub_ctx, inner.corr, sub_alias, binds,
+                    extra_fields=False,
+                )
+                cond = self._and_corr_cond(
+                    None, inner.corr, sub_alias, binds
+                )
+                how = "left_anti" if neg else "left_semi"
+                return df.join(sub_df.alias(sub_alias), on=cond, how=how)
             sub_df = self.compile_select(inner.sub_ctx, binds)
             marker = sub_df.limit(1).select(F.lit(True).alias("__exists"))
             joined = df.join(marker, on=F.lit(True), how="left")
@@ -324,6 +355,22 @@ class Compiler:
         scalar_map: Dict[int, Column] = {}
         for e in exprs:
             for node in _iter_nodes(e):
+                if (
+                    isinstance(node, (A.EIn, A.EExists))
+                    and getattr(node, "corr", None)
+                    and id(node) not in scalar_map
+                ):
+                    # per-outer-row match flags for CORRELATED IN /
+                    # EXISTS would need per-group markers (and theta
+                    # keys make the flag join row-multiplying); the
+                    # conjunct position compiles these as semi/anti
+                    # joins instead — route users there.
+                    raise SqlppError(
+                        "correlated IN/EXISTS subqueries are only "
+                        "supported as top-level WHERE conjuncts "
+                        "(optionally under NOT)",
+                        getattr(node, "loc", None),
+                    )
                 if isinstance(node, A.EIn) and id(node) not in scalar_map:
                     sub_df = self.compile_select(node.sub_ctx, binds)
                     alias = self._fresh("__sin")
@@ -377,6 +424,60 @@ class Compiler:
                         df, node, binds, scalar_map
                     )
         return df, scalar_map
+
+    @staticmethod
+    def _cmp_col(op: str, a: Column, b: Column) -> Column:
+        return {
+            "=": a == b, "!=": a != b,
+            "<": a < b, "<=": a <= b,
+            ">": a > b, ">=": a >= b,
+        }[op]
+
+    def _corr_sub_frame(
+        self, sub_ctx, corr, alias: str, binds: Bindings,
+        extra_fields: bool,
+    ):
+        """FROM + residual WHERE of a correlated IN/EXISTS subquery
+        (the analyzer re-inserted correlation conjuncts are marked
+        ``_corr`` and belong to the JOIN condition, so they are
+        skipped here), projected to the used membership columns (IN)
+        plus one key column per correlation triple's INNER expression.
+        Returns (frame, key_names)."""
+        sub_sel = sub_ctx.select
+        s = self._compile_from(sub_ctx, sub_sel.from_, binds)
+        if sub_sel.where is not None:
+            for conj in _split_conjuncts(sub_sel.where):
+                if getattr(conj, "_corr", False):
+                    continue
+                s = self._apply_predicate(s, sub_ctx, conj, binds)
+        keys = [f"{alias}_k{i}" for i in range(len(corr))]
+        cols = []
+        if extra_fields:
+            cols = [
+                self.expr(f.expr, binds, {}).alias(f.out_name)
+                for f in sub_ctx.fields if f.is_used
+            ]
+        kcols = [
+            self.expr(ie, binds, {}).alias(kn)
+            for kn, (_op, ie, _oe) in zip(keys, corr)
+        ]
+        out = s.select(*cols, *kcols)
+        if sub_sel.distinct:
+            out = out.distinct()
+        return out, keys
+
+    def _and_corr_cond(
+        self, cond, corr, alias: str, binds: Bindings,
+    ):
+        """AND the lifted correlation comparisons onto a join
+        condition: key column (the INNER side, op oriented
+        inner-first) <op> outer expression."""
+        for i, (op, _ie, oe) in enumerate(corr):
+            c = self._cmp_col(
+                op, F.col(f"{alias}_k{i}"), self.expr(oe, binds, {})
+            )
+            cond = c if cond is None else (cond & c)
+        return cond
 
     def _attach_one_scalar_sub(
         self, df: DataFrame, node: "A.EScalarSub", binds: Bindings,

@@ -533,8 +533,11 @@ class Analyzer:
         if isinstance(e, A.EIn):
             return self._infer_in(ctx, e)
         if isinstance(e, A.EExists):
-            sub = self.analyze_select(e.select)
+            sub, corr = self._lift_correlated(ctx, e.select)
             e.sub_ctx = sub
+            e.corr = corr
+            if corr:
+                self._check_corr_sub_shape(e.select, "EXISTS", e.loc)
             return e, BOOL
         if isinstance(e, A.EScalarSub):
             return self._infer_scalar_sub(ctx, e)
@@ -895,8 +898,11 @@ class Analyzer:
         self.err(f"no such function: {fn}", e.loc)
 
     def _infer_in(self, ctx: SelectCtx, e: A.EIn) -> Tuple[A.Expr, Ty]:
-        sub = self.analyze_select(e.select)
+        sub, corr = self._lift_correlated(ctx, e.select)
         e.sub_ctx = sub
+        e.corr = corr
+        if corr:
+            self._check_corr_sub_shape(e.select, "IN", e.loc)
         row = sub.row()
         if len(e.exprs) != len(row):
             self.err(
@@ -938,13 +944,77 @@ class Analyzer:
         non-comparison conjunct mentioning the outer scope (e.g.
         ``inner + outer = 3``, OR-connected correlation) raises
         "unsupported correlation"."""
-        conjs = _split_and(e.select.where)
+        sub_ctx, corr = self._lift_correlated(ctx, e.select)
+        fields = [f for f in sub_ctx.fields if f.is_used]
+        if len(fields) != 1:
+            self.err(
+                "scalar subquery must select exactly one column", e.loc
+            )
+        fexpr = fields[0].expr
+        if not (
+            isinstance(fexpr, A.EApp) and fexpr.fn.lower() in AGG_FNS
+        ):
+            self.err(
+                "scalar subquery must select a single aggregate "
+                "(count/sum/max/min/avg)", e.loc,
+            )
+        if e.select.group_by is None or sub_ctx.group_exprs:
+            self.err(
+                "scalar subquery must aggregate globally — "
+                "add `group by ()`", e.loc,
+            )
+        e.agg_fn = fexpr.fn.lower()
+        e.corr = corr
+        e.sub_ctx = sub_ctx
+        fty = fexpr.ty
+        if e.agg_fn in ("count", "count_distinct"):
+            fty = fty.with_non_null(True)  # missing group coalesces to 0
+        elif e.corr:
+            fty = fty.with_non_null(False)  # unmatched outer row → NULL
+        return e, fty
+
+    def _check_corr_sub_shape(self, select, what: str, loc) -> None:
+        """Correlated IN/EXISTS decorrelate to semi/anti joins, which
+        is only sound for plain SELECT ... WHERE subqueries: GROUP BY
+        would aggregate ACROSS correlation groups once the correlation
+        filter lifts out, and ORDER BY/LIMIT/OFFSET would apply
+        globally instead of per outer row. Reject those shapes with a
+        clear error (scalar subqueries have their own global-agg
+        contract and are exempt)."""
+        if select.group_by is not None:
+            self.err(
+                f"correlated {what} subquery cannot use GROUP BY "
+                "(grouping would span correlation groups after "
+                "decorrelation)", loc,
+            )
+        if select.order_by or select.limit is not None \
+                or select.offset is not None:
+            self.err(
+                f"correlated {what} subquery cannot use "
+                "ORDER BY/LIMIT/OFFSET (they would apply globally, "
+                "not per outer row)", loc,
+            )
+
+    def _lift_correlated(self, ctx: SelectCtx, select) -> tuple:
+        """Analyze a subquery SELECT, lifting top-level comparison
+        conjuncts (= != < <= > >=) that reference the ENCLOSING scope:
+        analysis is retried with suspect conjuncts removed until it
+        succeeds, then each lifted conjunct elaborates into an
+        (op, inner, outer) triple — inner side in the subquery scope,
+        outer side in ``ctx``, op oriented inner-first (mirror op when
+        the outer side was written on the left). The elaborated
+        conjuncts are re-inserted into the analyzed WHERE marked
+        ``_corr`` so SQL printers emit the ordinary correlated form
+        while the Spark compiler skips them in the residual filter.
+        Shared by scalar subqueries (r11/r12) and correlated IN /
+        EXISTS (r12). Returns (sub_ctx, corr_triples)."""
+        conjs = _split_and(select.where)
         lifted: set = set()
         sub_ctx = None
         last_err = None
         saved_params = copy.deepcopy(self.params)
         for _ in range(len(conjs) + 1):
-            trial = copy.deepcopy(e.select)
+            trial = copy.deepcopy(select)
             tconjs = _split_and(trial.where)
             trial.where = _join_and(
                 [c for i, c in enumerate(tconjs) if i not in lifted]
@@ -984,25 +1054,7 @@ class Analyzer:
                 lifted.add(pick)
         if sub_ctx is None:
             raise last_err  # pragma: no cover — loop always resolves
-        fields = [f for f in sub_ctx.fields if f.is_used]
-        if len(fields) != 1:
-            self.err(
-                "scalar subquery must select exactly one column", e.loc
-            )
-        fexpr = fields[0].expr
-        if not (
-            isinstance(fexpr, A.EApp) and fexpr.fn.lower() in AGG_FNS
-        ):
-            self.err(
-                "scalar subquery must select a single aggregate "
-                "(count/sum/max/min/avg)", e.loc,
-            )
-        if e.select.group_by is None or sub_ctx.group_exprs:
-            self.err(
-                "scalar subquery must aggregate globally — "
-                "add `group by ()`", e.loc,
-            )
-        e.agg_fn = fexpr.fn.lower()
+        corr = []
         for i in sorted(lifted):
             conj = conjs[i]
             op = conj.fn
@@ -1018,7 +1070,7 @@ class Analyzer:
                 op = _CORR_OPS[op]  # inner moved to the left: flip
             else:
                 self.err(
-                    "unsupported correlation in scalar subquery: only "
+                    "unsupported correlation in subquery: only "
                     "`inner <cmp> outer` comparison conjuncts "
                     "(= != < <= > >=) may reference the enclosing "
                     "scope", conj.loc,
@@ -1026,7 +1078,7 @@ class Analyzer:
             numeric = (ity.kinds | oty.kinds) <= frozenset({"int", "float"})
             if not (ity.kinds & oty.kinds) and not numeric:
                 self.err(f"expected {ity} but got {oty}", conj.loc)
-            e.corr.append((op, inner, outer))
+            corr.append((op, inner, outer))
             marked = A.EApp(op, [inner, outer], loc=conj.loc)
             marked.ty = BOOL
             marked._corr = True
@@ -1035,13 +1087,7 @@ class Analyzer:
                 marked if w is None else A.EApp("and", [w, marked])
             )
             sub_ctx.select.where.ty = BOOL
-        e.sub_ctx = sub_ctx
-        fty = fexpr.ty
-        if e.agg_fn in ("count", "count_distinct"):
-            fty = fty.with_non_null(True)  # missing group coalesces to 0
-        elif e.corr:
-            fty = fty.with_non_null(False)  # unmatched outer row → NULL
-        return e, fty
+        return sub_ctx, corr
 
     def _try_infer(self, ctx: SelectCtx, expr: A.Expr):
         try:

@@ -68,11 +68,16 @@ class EIn(Expr):
     exprs: List[Expr] = field(default_factory=list)
     select: "Select" = None
     negated: bool = False
+    # r12: correlated comparison conjuncts lifted by the analyzer —
+    # [(op, inner_elab, outer_elab)], op oriented inner-first; the
+    # compiler folds them into the semi/anti-join condition
+    corr: list = field(default_factory=list)
 
 
 @dataclass
 class EExists(Expr):
     select: "Select" = None
+    corr: list = field(default_factory=list)  # as EIn.corr (r12)
 
 
 @dataclass

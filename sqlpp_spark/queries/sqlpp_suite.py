@@ -198,6 +198,38 @@ _sqlpp(
 )
 
 _sqlpp(
+    # r12: CORRELATED EXISTS/IN (the reference's Expr_in/Expr_exists
+    # are uncorrelated, analyze.ml:430-445) — the correlation lift
+    # shared with scalar subqueries folds the conjuncts into
+    # semi/anti-join conditions (compile.py _corr_sub_frame)
+    "sqlpp_exists_corr",
+    "select n.n_nationkey as nationkey, n.n_name as nation_name "
+    "from nation as n "
+    "where exists (select 1 as one from supplier as s "
+    "where s.s_nationkey = n.n_nationkey and s.s_acctbal > 5000)",
+    "SELECT n_nationkey AS nationkey, n_name AS nation_name "
+    "FROM nation n "
+    "WHERE EXISTS (SELECT 1 FROM supplier s "
+    "WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 5000)",
+)
+
+_sqlpp(
+    "sqlpp_not_in_corr_theta",
+    # customers whose OWN key never placed an order cheaper than 30x
+    # their balance — a theta-correlated NOT IN whose subquery set is
+    # small (most orders cost more), so the entry returns a
+    # substantial row set rather than a degenerate empty one
+    "select c.c_custkey as custkey from customer as c "
+    "where not c.c_custkey in (select o.o_custkey from orders as o "
+    "where o.o_totalprice < c.c_acctbal * 30) "
+    "and c.c_custkey < 500",
+    "SELECT c_custkey AS custkey FROM customer c "
+    "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders o "
+    "WHERE o.o_totalprice < c.c_acctbal * 30) "
+    "AND c_custkey < 500",
+)
+
+_sqlpp(
     # r12: THETA correlation (any < <= > >= != conjunct) decorrelates
     # through distinct outer keys (compile.py _attach_one_scalar_sub);
     # one pure-theta sub (broadcast distinct-key pairing) and one

@@ -1,0 +1,193 @@
+"""Correlated IN / EXISTS subqueries (r12, beyond-reference — the
+reference's Expr_in/Expr_exists are uncorrelated, analyze.ml:430-445).
+The analyzer's correlation lift (_lift_correlated, shared with scalar
+subqueries) extracts comparison conjuncts referencing the enclosing
+scope; the compiler folds them into semi/anti-join conditions.
+Differential against DuckDB on the PRINTED SQL throughout."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sqlpp_spark.compiler.sqlgen import select_sql
+from sqlpp_spark.frontend.analyze import Analyzer
+from sqlpp_spark.frontend.errors import SqlppError
+from sqlpp_spark.frontend.parser import parse_query
+
+T1 = [(1, 1, 10), (2, 1, None), (3, 2, 30), (4, 3, 40), (5, 2, None)]
+T2 = [(1, 1, 100), (2, 1, 200), (3, 2, 300), (4, 2, None)]
+
+
+@pytest.fixture()
+def eng(spark):
+    from sqlpp_spark.engine import SqlppEngine
+
+    eng = SqlppEngine(spark)
+    eng.add_decls(
+        "create table t1 (id int not null, grp int not null, val int);"
+        "create table t2 (id int not null, grp int not null, amt int);"
+    )
+    eng.register_df("t1", spark.createDataFrame(
+        T1, "id long, grp long, val long"))
+    eng.register_df("t2", spark.createDataFrame(
+        T2, "id long, grp long, amt long"))
+    return eng
+
+
+@pytest.fixture()
+def duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t1 (id BIGINT, grp BIGINT, val BIGINT)")
+    con.executemany("INSERT INTO t1 VALUES (?,?,?)", T1)
+    con.execute("CREATE TABLE t2 (id BIGINT, grp BIGINT, amt BIGINT)")
+    con.executemany("INSERT INTO t2 VALUES (?,?,?)", T2)
+    return con
+
+
+def _both(eng, duck, src):
+    rows = sorted(tuple(r) for r in eng.fetch_list(src))
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    sql = select_sql(info)
+    want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    return rows, want, sql
+
+
+def test_exists_correlated_equality(eng, duck):
+    rows, want, sql = _both(
+        eng, duck,
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.grp = t1.grp) order by id",
+    )
+    assert rows == want == [(1,), (2,), (3,), (5,)]
+    # printed SQL carries the correlation inside the subquery
+    assert "t2.grp = t1.grp" in sql.replace('"', "")
+
+
+def test_not_exists_correlated(eng, duck):
+    rows, want, _ = _both(
+        eng, duck,
+        "select id from t1 where not exists (select 1 as one from t2 "
+        "where t2.grp = t1.grp) order by id",
+    )
+    assert rows == want == [(4,)]
+
+
+def test_exists_correlated_theta_with_residual(eng, duck):
+    # theta correlation + an uncorrelated residual conjunct that must
+    # stay inside the subquery filter
+    rows, want, _ = _both(
+        eng, duck,
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.grp < t1.grp and amt > 150) order by id",
+    )
+    assert rows == want == [(3,), (4,), (5,)]
+
+
+def test_exists_outer_written_left_flips(eng, duck):
+    rows, want, _ = _both(
+        eng, duck,
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t1.grp = t2.grp and t2.amt > 150) order by id",
+    )
+    assert rows == want == [(1,), (2,), (3,), (5,)]
+
+
+def test_in_correlated_equality(eng, duck):
+    rows, want, _ = _both(
+        eng, duck,
+        "select id from t1 where id in (select id from t2 "
+        "where t2.grp = t1.grp) order by id",
+    )
+    assert rows == want == [(1,), (2,), (3,)]
+
+
+def test_not_in_correlated_null_aware(eng, duck):
+    # t1.val is NULL on ids 2/5 and t2.amt contains a NULL in grp 2:
+    # three-valued NOT IN must drop NULL probes against non-empty
+    # groups AND any probe against a group containing NULL
+    rows, want, _ = _both(
+        eng, duck,
+        "select id from t1 where not val in (select amt from t2 "
+        "where t2.grp = t1.grp) order by id",
+    )
+    assert rows == want == [(1,), (4,)]
+
+
+def test_not_in_correlated_theta(eng, duck):
+    rows, want, _ = _both(
+        eng, duck,
+        "select id from t1 where not id in (select id from t2 "
+        "where t2.grp >= t1.grp) order by id",
+    )
+    assert rows == want
+
+
+def test_exists_in_dml_where(eng, spark, tmp_path):
+    import os
+
+    from sqlpp_spark.engine import SqlppEngine
+
+    e2 = SqlppEngine(spark)
+    e2.add_decls(
+        "create table items (id int not null primary key, "
+        "grp int not null, v int not null);"
+        "create table src (id int not null, grp int not null, "
+        "amt int);"
+    )
+    df = spark.createDataFrame(
+        [(1, 1, 5), (2, 2, 250), (3, 9, 40)], "id long, grp long, v long"
+    )
+    e2.create_managed("items", os.path.join(str(tmp_path), "items"), df)
+    e2.register_df("src", spark.createDataFrame(
+        T2, "id long, grp long, amt long"))
+    ret = e2.exec(
+        "delete from items where exists (select 1 as one from src "
+        "where src.grp = items.grp) returning id"
+    )
+    assert sorted(r.id for r in ret.collect()) == [1, 2]
+
+
+def _err(eng, src, match):
+    with pytest.raises(SqlppError, match=match):
+        Analyzer(eng.env, src).analyze_query(parse_query(src))
+
+
+def test_correlated_sub_shape_errors(eng):
+    _err(eng,
+         "select id from t1 where exists (select count(1) as c from t2 "
+         "where t2.grp = t1.grp group by grp)",
+         "cannot use GROUP BY")
+    _err(eng,
+         "select id from t1 where id in (select id from t2 "
+         "where t2.grp = t1.grp order by id limit 1)",
+         "ORDER BY/LIMIT/OFFSET")
+    # non-comparison correlation still errors
+    _err(eng,
+         "select id from t1 where exists (select 1 as one from t2 "
+         "where t2.grp + t1.grp = 3)",
+         "no such scope|unsupported correlation")
+
+
+def test_correlated_scalar_position_rejected(eng):
+    # projection-position correlated IN compiles through the match-flag
+    # path, which is conjunct-only for correlated nodes
+    with pytest.raises(SqlppError, match="top-level WHERE conjuncts"):
+        eng.fetch_list(
+            "select id, (id in (select id from t2 where t2.grp = t1.grp)) "
+            "as f from t1"
+        )
+
+
+def test_uncorrelated_paths_unchanged(eng, duck):
+    rows, want, _ = _both(
+        eng, duck,
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where amt > 250) order by id",
+    )
+    assert rows == want == [(1,), (2,), (3,), (4,), (5,)]
+    rows, want, _ = _both(
+        eng, duck,
+        "select id from t1 where grp in (select grp from t2) order by id",
+    )
+    assert rows == want == [(1,), (2,), (3,), (5,)]

@@ -302,17 +302,43 @@ try:
         if kind == "in_sub":
             # subquery predicates route DML through the select-based
             # matching path (round-9 parity work); the nullable src.val
-            # column makes NOT IN go three-valued
+            # column makes NOT IN go three-valued. r12: optionally a
+            # CORRELATED conjunct (equality or theta, either
+            # orientation) against the DML target
             neg = draw(st.sampled_from(["", "not "]))
             col = draw(st.sampled_from(["id", "grp", "val"]))
             sub = draw(st.sampled_from(["id", "grp", "val", "id + 1"]))
-            w = (f" where grp {draw(st.sampled_from(['<', '>', '=']))}"
-                 f" {draw(st.integers(4, 8))}"
-                 if draw(st.booleans()) else "")
+            conjs = []
+            if draw(st.booleans()):
+                conjs.append(
+                    f"grp {draw(st.sampled_from(['<', '>', '=']))}"
+                    f" {draw(st.integers(4, 8))}"
+                )
+            # correlated IN is conjunct-only by design (the compiler
+            # raises for nested positions), so only draw correlation
+            # at the root of the WHERE tree
+            corr = draw(st.sampled_from(["", "=", "<", ">=", "!="])) \
+                if depth == 0 else ""
+            if corr:
+                tcol = draw(st.sampled_from(["id", "grp"]))
+                if draw(st.booleans()):
+                    conjs.append(f"src.grp {corr} items.{tcol}")
+                else:
+                    conjs.append(f"items.{tcol} {corr} src.grp")
+            w = (" where " + " and ".join(conjs)) if conjs else ""
             return f"({neg}{col} in (select {sub} from src{w}))"
         if kind == "exists":
-            return (f"(exists (select true from src where grp > "
-                    f"{draw(st.integers(3, 9))}))")
+            neg = draw(st.sampled_from(["", "not "]))
+            conjs = [f"grp > {draw(st.integers(3, 9))}"]
+            corr = draw(st.sampled_from(["", "=", "<=", ">"])) \
+                if depth == 0 else ""
+            if corr:
+                if draw(st.booleans()):
+                    conjs.append(f"src.id {corr} items.grp")
+                else:
+                    conjs.append(f"items.grp {corr} src.id")
+            return (f"({neg}exists (select true from src where "
+                    + " and ".join(conjs) + "))")
         if kind == "scalar_sub":
             # r11 scalar subqueries: global aggregate in a comparison
             # (group by () is the dialect's global-agg form); r12 adds
