@@ -463,7 +463,29 @@ def statement_sql(
         return f"{head} {_q(q.table)}{cols} {body}{tail}{returning(q.returning)}"
     if isinstance(q, A.Update):
         alias = f" AS {_q(q.alias)}" if q.alias else ""
-        sets = ", ".join(f"{_q(c)} = {g.expr(e)}" for c, e in q.sets)
+
+        def set_expr_sql(e) -> str:
+            if not A.expr_has_subquery(e):
+                return g.expr(e)
+            # scalar subqueries in SET (r12) need elaboration
+            # (sub_ctx + correlation lift) before printing — same
+            # target-table scope as where_sql
+            from sqlpp_spark.frontend.analyze import (
+                Analyzer, SelectCtx, TableRel,
+            )
+
+            ti = env.tables.get(q.table)
+            if ti is None:
+                raise SqlppError(f"no such table: {q.table}")
+            an = Analyzer(env, src)
+            ctx = SelectCtx(A.Select(from_=A.FromTable(q.table, None)))
+            ctx.rels[q.table] = TableRel(q.table, ti.columns, table=q.table)
+            elab, _ty = an.infer_expr(ctx, e)
+            return g.expr(elab)
+
+        sets = ", ".join(
+            f"{_q(c)} = {set_expr_sql(e)}" for c, e in q.sets
+        )
         out = f"UPDATE {_q(q.table)}{alias} SET {sets}"
         if q.from_ is not None:
             an = Analyzer(env, src)

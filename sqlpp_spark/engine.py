@@ -613,7 +613,8 @@ class SqlppEngine:
                 # reference both the target and the FROM relations
                 celab, _ = an.infer_expr(ctx, conj)
                 joined = comp._apply_predicate(joined, ctx, celab, binds)
-            set_cols = self._set_columns(upd, cols, an, ctx, comp, binds)
+            joined, set_cols = self._set_columns(
+                upd, cols, an, ctx, comp, binds, joined)
             from pyspark.sql import Window as W
 
             w = W.partitionBy(*[F.col(f"{upd.table}.{k}") for k in pk]).orderBy(F.lit(1))
@@ -640,10 +641,11 @@ class SqlppEngine:
             # subquery predicate: matching rows come from the full
             # query compiler (join-rewritten IN/EXISTS), SET applies
             # to exactly those; untouched rows pass through unchanged
-            set_cols = self._set_columns(upd, cols, an, ctx, comp, binds)
             matching = self._matching_rows(
                 upd.table, cur.columns, upd.where, src, binds
             ).alias(upd.table)
+            matching, set_cols = self._set_columns(
+                upd, cols, an, ctx, comp, binds, matching)
             updated = matching.select(
                 *[
                     set_cols.get(c, F.col(f"{upd.table}.{c}")).alias(c)
@@ -658,7 +660,8 @@ class SqlppEngine:
             if upd.where is not None:
                 welab, _ = an.infer_expr(ctx, upd.where)
                 where_col = comp.expr(welab, binds, {})
-            set_cols = self._set_columns(upd, cols, an, ctx, comp, binds)
+            base, set_cols = self._set_columns(
+                upd, cols, an, ctx, comp, binds, base)
             out_cols = []
             for c in cur.columns:
                 if c in set_cols:
@@ -677,15 +680,29 @@ class SqlppEngine:
         self._rewrite(upd.table, path, result)
         return ret
 
-    def _set_columns(self, upd, cols, an, ctx, comp, binds) -> Dict[str, Column]:
+    def _set_columns(self, upd, cols, an, ctx, comp, binds, df):
+        """Elaborate + compile the SET expressions against ``df``.
+        Scalar subqueries in SET position (r12: both uncorrelated and
+        correlated forms) attach to the frame first — the returned
+        frame carries their value columns and MUST replace the
+        caller's, since the compiled set columns reference them.
+        Returns (df, {col: Column})."""
         set_cols: Dict[str, Column] = {}
+        elabs = []
         for cname, e in upd.sets:
             if cname not in cols:
                 raise SqlppError(f"no such column: {cname}")
             elab, ety = an.infer_expr(ctx, e)
             self._check_column_assign(an, elab, ety, cols[cname], an.src)
-            set_cols[cname] = comp.expr(elab, binds, {}).cast(spark_type(cols[cname]))
-        return set_cols
+            elabs.append((cname, elab))
+        df, scalar_map = comp._attach_scalar_subqueries(
+            df, [elab for _c, elab in elabs], binds
+        )
+        for cname, elab in elabs:
+            set_cols[cname] = comp.expr(elab, binds, scalar_map).cast(
+                spark_type(cols[cname])
+            )
+        return df, set_cols
 
     @staticmethod
     def _check_column_assign(an: Analyzer, elab: A.Expr, ety: Optional[Ty], cty: Ty, src: str) -> Ty:

@@ -444,10 +444,25 @@ try:
                 if col == "grp":
                     sets.append(f"grp = {draw(_int_expr(('id', 'grp')))}")
                 elif col == "val":
-                    sets.append(
-                        "val = null:int" if draw(st.integers(0, 3)) == 0
-                        else f"val = {draw(_int_expr(('id', 'grp', 'val')))}"
-                    )
+                    pick = draw(st.integers(0, 5))
+                    if pick == 0:
+                        sets.append("val = null:int")
+                    elif pick == 1:
+                        # r12: scalar subquery in SET position —
+                        # uncorrelated or correlated (nullable target)
+                        agg = draw(st.sampled_from(
+                            ["max(val)", "min(id)", "count(1)"]))
+                        corr = draw(st.sampled_from(
+                            ["", " where src.grp = items.grp",
+                             " where src.id < items.grp"]))
+                        sets.append(
+                            f"val = (select {agg} from src{corr} "
+                            f"group by ())"
+                        )
+                    else:
+                        sets.append(
+                            f"val = {draw(_int_expr(('id', 'grp', 'val')))}"
+                        )
                 else:
                     sets.append(
                         f"tag = concat(tag, {tag_lit()})"

@@ -262,3 +262,55 @@ def test_grouped_outer_select_rejected(eng):
             "select grp, max((select max(amt) from t2 group by ())) as m "
             "from t1 group by grp"
         )
+
+
+def test_dml_set_scalar_subquery(eng, spark, tmp_path):
+    """r12: scalar subqueries in UPDATE SET position — uncorrelated
+    and correlated (NULL for unmatched rows flows into nullable
+    columns; NOT NULL targets are rejected at analysis). Differential
+    against DuckDB on the printed statement."""
+    import os
+
+    from sqlpp_spark.compiler.sqlgen import statement_sql
+    from sqlpp_spark.engine import SqlppEngine
+
+    e2 = SqlppEngine(spark)
+    e2.add_decls(
+        "create table items (id int not null primary key, "
+        "v int not null, w int);"
+        "create table src (id int not null, amt int not null);"
+    )
+    rows = [(1, 5, None), (2, 250, 1), (3, 40, 2)]
+    df = spark.createDataFrame(rows, "id long, v long, w long")
+    e2.create_managed("items", os.path.join(str(tmp_path), "items"), df)
+    src_rows = [(1, 100), (2, 200), (3, 300)]
+    e2.register_df("src", spark.createDataFrame(src_rows, "id long, amt long"))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE items (id BIGINT, v BIGINT, w BIGINT)")
+    con.executemany("INSERT INTO items VALUES (?,?,?)", rows)
+    con.execute("CREATE TABLE src (id BIGINT, amt BIGINT)")
+    con.executemany("INSERT INTO src VALUES (?,?)", src_rows)
+
+    stmts = [
+        "update items set v = (select max(amt) from src group by ()) "
+        "where id = 1 returning id, v",
+        "update items set w = (select max(amt) from src "
+        "where src.id = items.id and src.amt > 150 group by ()) "
+        "returning id, w",
+    ]
+    for s in stmts:
+        got = sorted(tuple(r) for r in e2.exec(s).collect())
+        sql = statement_sql(e2.env, s, None)
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want, (s, sql, got, want)
+    final = sorted(tuple(r) for r in e2.fetch_list(
+        "select id, v, w from items"))
+    dfinal = sorted(tuple(r) for r in con.execute(
+        "SELECT id, v, w FROM items").fetchall())
+    assert final == dfinal == [(1, 300, None), (2, 250, 200),
+                               (3, 40, 300)]
+    # NOT NULL target rejects the (nullable) correlated value
+    with pytest.raises(SqlppError, match="NOT NULL"):
+        e2.exec("update items set v = (select max(amt) from src "
+                "where src.id = items.id group by ())")
