@@ -583,3 +583,75 @@ def robots_filter(
     return ensure_parallelism(
         joined.select("host", "path", "robots_txt")
     ).mapInPandas(evaluate, schema)
+
+
+# ---------------------------------------------------------------------------
+# link-graph PageRank (r12) — the web-scale quality-weighting primitive
+# a crawl pipeline runs between link extraction and corpus scoring.
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    n_iter: int = 5, damping_pct: int = 85, unit: int = 10**9,
+) -> DataFrame:
+    """FIXED-POINT integer PageRank: ``n_iter`` power iterations of
+    the per-node form ``pr[v] = (1-d) + d * Σ pr[u]/outdeg[u]`` with
+    all mass in BIGINT micro-units (one node = ``unit``) and every
+    division an integer floor — so results are EXACTLY reproducible,
+    order-independent (integer sums commute; double sums do not), and
+    SQL-oracle-checkable, at the cost of ≤ n_iter units of rounding
+    per node (≤ 5e-9 of a unit at the default scale). Nodes are the
+    distinct endpoints; self-loops participate normally; nodes with
+    no out-edges drop their mass (the standard sink simplification —
+    document-graph callers synthesize ≥1 out-edge per node).
+
+    Scale shape (the connected_components pattern,
+    ops/dedup.py): per iteration one join of the persisted (src, dst,
+    outdeg) adjacency with the (node, pr) table and one partial-
+    aggregated groupBy on dst — only 8-byte ids and masses shuffle;
+    pr localCheckpoints each round so the plan does not grow with
+    n_iter. Returns (node, pr) in micro-units."""
+    adj = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .join(
+            edges.groupBy(F.col(src).alias("s"))
+            .agg(F.count(F.lit(1)).alias("__deg")),
+            on="s",
+        )
+    )
+    from pyspark import StorageLevel
+
+    adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()  # eager: one materialization serves every iteration
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    base = (unit * (100 - damping_pct)) // 100
+    pr = nodes.withColumn("pr", F.lit(unit).cast("bigint"))
+    for _ in range(n_iter):
+        sums = (
+            adj.join(pr, on=adj.s == pr.node)
+            .select(F.col("t"), F.expr("pr div __deg").alias("__c"))
+            .groupBy("t")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        pr = (
+            nodes.join(sums, on=nodes.node == sums.t, how="left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(__in, 0)) div 100"
+                    )
+                ).cast("bigint").alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    out = pr
+    out._sqlpp_persisted = [adj]
+    return out

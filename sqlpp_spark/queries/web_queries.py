@@ -929,3 +929,70 @@ def pipeline_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("robots_txt"),
     )
     return robots_filter(urls, robots).select("host", "path", "allowed")
+
+
+# -- link-graph PageRank (r12) ------------------------------------------------
+
+
+def _pagerank_oracle(n_iter: int = 5, damping_pct: int = 85,
+                     unit: int = 10**9) -> str:
+    """Unrolled-CTE DuckDB replay of the fixed-point PageRank: the
+    synthetic link graph (1 + doc_id%3 out-edges per doc, targets
+    (doc_id*7 + 13*c) % N), then n_iter exact integer power
+    iterations — every division floors, every sum is integral, so the
+    replay matches the Spark op bit-for-bit with no float tolerance."""
+    base = (unit * (100 - damping_pct)) // 100
+    ctes = [
+        "cnt AS (SELECT COUNT(*) AS n FROM documents)",
+        "edges AS (SELECT d.doc_id AS src, "
+        "(d.doc_id * 7 + 13 * c.i) % cnt.n AS dst "
+        "FROM documents d, cnt, "
+        "LATERAL (SELECT unnest(generate_series(1, 1 + d.doc_id % 3)) "
+        "AS i) c)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges)",
+        "outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM edges GROUP BY src)",
+        f"pr0 AS (SELECT node, CAST({unit} AS BIGINT) AS pr FROM nodes)",
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"pr{k} AS (SELECT n.node, CAST({base} + "
+            f"({damping_pct} * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst, CAST(SUM(p.pr // o.deg) AS BIGINT) AS c "
+            f"FROM edges e JOIN pr{k - 1} p ON p.node = e.src "
+            f"JOIN outdeg o ON o.src = e.src GROUP BY e.dst) s "
+            f"ON s.dst = n.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, pr FROM pr{n_iter}"
+    )
+
+
+@register("web_pagerank", oracle=_pagerank_oracle())
+def web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED link-graph PageRank (r12): 5 fixed-point integer power
+    iterations over a synthetic document link graph (every doc links
+    to 1-3 formula targets, so no dangling nodes). Integer micro-unit
+    masses make the iteration order-independent and exactly
+    SQL-replayable — DuckDB re-runs all 5 iterations as unrolled CTEs
+    and the driver's value-hash must match bit-for-bit, which a
+    float formulation could never promise. The Spark op is the
+    connected-components shape: persisted adjacency, one narrow
+    shuffle per iteration, localCheckpoint keeps the plan flat."""
+    from sqlpp_spark.ops.web import pagerank
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(1) + F.col("doc_id") % 3)
+        ).alias("__c"),
+    ).select(
+        "src",
+        ((F.col("src") * 7 + 13 * F.col("__c")) % n).alias("dst"),
+    )
+    return pagerank(edges, n_iter=5)

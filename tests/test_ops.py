@@ -1292,3 +1292,41 @@ def test_robots_filter_dataframe(spark):
     assert rows[("h1", "/ok")] is True
     assert rows[("h1", "/blocked/x")] is False
     assert rows[("h2", "/anything")] is True  # no robots row: allowed
+
+
+# ---------------------------------------------------------------------------
+# link-graph PageRank (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_fixed_point_exact(spark):
+    """Hand-computed fixed-point iterations on a 3-node cycle with one
+    chord: every value must match the scalar integer recurrence
+    EXACTLY (that exactness is the operator's whole contract)."""
+    from sqlpp_spark.ops import release_intermediates
+    from sqlpp_spark.ops.web import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2)]  # node 0 has outdeg 2
+    df = spark.createDataFrame(edges, "src long, dst long")
+    unit, dp = 10**9, 85
+    base = (unit * 15) // 100
+    pr = {0: unit, 1: unit, 2: unit}
+    deg = {0: 2, 1: 1, 2: 1}
+    out_edges = {0: [1, 2], 1: [2], 2: [0]}
+    for _ in range(4):
+        sums = {n: 0 for n in pr}
+        for u, targets in out_edges.items():
+            for v in targets:
+                sums[v] += pr[u] // deg[u]
+        pr = {n: base + (dp * sums[n]) // 100 for n in pr}
+    g = pagerank(df, n_iter=4)
+    got = {r.node: r.pr for r in g.collect()}
+    release_intermediates(g)
+    assert got == pr
+    # a sink (no out-edges) is ranked but contributes nothing
+    df2 = spark.createDataFrame([(0, 1), (2, 1)], "src long, dst long")
+    g2 = pagerank(df2, n_iter=2)
+    got2 = {r.node: r.pr for r in g2.collect()}
+    release_intermediates(g2)
+    assert set(got2) == {0, 1, 2}
+    assert got2[0] == got2[2] == base  # nothing links to them
