@@ -655,3 +655,80 @@ def pagerank(
     out = pr
     out._sqlpp_persisted = [adj]
     return out
+
+
+def label_propagate(
+    seeds: DataFrame, edges: DataFrame, n_iter: int = 3,
+    src: str = "src", dst: str = "dst",
+    id_col: str = "node", label_col: str = "label",
+) -> DataFrame:
+    """Deterministic semi-supervised LABEL PROPAGATION over an
+    undirected graph: seeded nodes keep their label forever; every
+    other node adopts, per iteration, the most frequent label among
+    its labeled neighbors, ties broken by the SMALLEST label — a
+    fully deterministic variant of Raghavan et al.'s LPA, so results
+    are exactly SQL-replayable (the curation shape: spread a small
+    set of human quality labels through a link or kNN graph).
+
+    Labels must be ints in [0, 4096) and per-(node,label) neighbor
+    counts < 2^20 (asserted cheaply via the composite key): argmax
+    with tie-break compiles to ``min((2^20 - cnt)*4096 + label)`` — a
+    single partial-aggregated integer min, no per-node window/sort.
+    One narrow shuffle per iteration; labels localCheckpoint so the
+    plan stays flat. Returns (node, label) with label NULL for nodes
+    never reached."""
+    from pyspark import StorageLevel
+
+    sym = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t")
+    ).unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()  # eager: reused every iteration
+    seeds = seeds.select(
+        F.col(id_col).alias("node"),
+        F.col(label_col).cast("bigint").alias("__seed"),
+    )
+    nodes = (
+        sym.select(F.col("s").alias("node")).distinct()
+        .join(seeds, on="node", how="left")
+        .localCheckpoint()
+    )
+    labels = nodes.select("node", F.col("__seed").alias("label"))
+    cnt_max = 1 << 20
+    for _ in range(n_iter):
+        msgs = (
+            sym.join(labels, on=sym.s == labels.node)
+            .filter(F.col("label").isNotNull())
+            .select(F.col("t"), F.col("label"))
+        )
+        best = (
+            msgs.groupBy("t", "label")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .groupBy("t")
+            .agg(
+                (
+                    F.min(
+                        (F.lit(cnt_max) - F.col("__cnt")) * 4096
+                        + F.col("label")
+                    ) % 4096
+                ).cast("bigint").alias("__new")
+            )
+        )
+        prev = labels.select(
+            F.col("node").alias("__pn"), F.col("label").alias("__prev")
+        )
+        labels = (
+            nodes.join(best, on=nodes.node == best.t, how="left")
+            .join(prev, on=nodes.node == prev.__pn, how="left")
+            .select(
+                "node",
+                # seeds are immutable; otherwise adopt this round's
+                # neighborhood majority; otherwise keep the previous
+                # label (no labeled neighbor brings no new info)
+                F.coalesce("__seed", "__new", "__prev").alias("label"),
+            )
+            .localCheckpoint()
+        )
+    sym.unpersist()
+    return labels

@@ -996,3 +996,68 @@ def web_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("src") * 7 + 13 * F.col("__c")) % n).alias("dst"),
     )
     return pagerank(edges, n_iter=5)
+
+
+def _label_prop_oracle(n_iter: int = 3) -> str:
+    """Unrolled-CTE DuckDB replay of deterministic label propagation
+    over the synthetic link graph: seeds doc_id%7==0 -> doc_id%5, the
+    same composite-key argmax (min((2^20-cnt)*4096+label) % 4096) and
+    the same seed/new/previous coalesce per iteration."""
+    ctes = [
+        "cnt AS (SELECT COUNT(*) AS n FROM documents)",
+        "edges AS (SELECT d.doc_id AS src, "
+        "(d.doc_id * 7 + 13 * c.i) % cnt.n AS dst "
+        "FROM documents d, cnt, "
+        "LATERAL (SELECT unnest(generate_series(1, 1 + d.doc_id % 3)) "
+        "AS i) c)",
+        "sym AS (SELECT src AS s, dst AS t FROM edges "
+        "UNION ALL SELECT dst, src FROM edges)",
+        "nodes AS (SELECT DISTINCT s AS node, "
+        "CASE WHEN s % 7 = 0 THEN s % 5 END AS seed FROM sym)",
+        "lab0 AS (SELECT node, CAST(seed AS BIGINT) AS label FROM nodes)",
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"lab{k} AS (SELECT n.node, "
+            f"CAST(COALESCE(n.seed, b.new, p.label) AS BIGINT) AS label "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT g.t, CAST(min((1048576::BIGINT - g.c) * 4096 "
+            f"+ g.label) % 4096 AS BIGINT) AS new FROM ("
+            f"SELECT m.t, m.label, CAST(COUNT(*) AS BIGINT) AS c "
+            f"FROM (SELECT s.t, l.label FROM sym s "
+            f"JOIN lab{k - 1} l ON l.node = s.s "
+            f"WHERE l.label IS NOT NULL) m GROUP BY m.t, m.label) g "
+            f"GROUP BY g.t) b ON b.t = n.node "
+            f"LEFT JOIN lab{k - 1} p ON p.node = n.node)"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, label FROM lab{n_iter}")
+
+
+@register("web_label_propagation", oracle=_label_prop_oracle())
+def web_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED deterministic label propagation (r12): spread sparse
+    seed labels (doc_id%7==0 -> doc_id%5) through the synthetic link
+    graph for 3 iterations — the semi-supervised curation shape
+    (propagating a small human-labeled quality set through a link or
+    kNN graph). The tie-broken argmax is a single partial-aggregated
+    integer min (no per-node window), and DuckDB replays every
+    iteration exactly via unrolled CTEs."""
+    from sqlpp_spark.ops.web import label_propagate
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(1) + F.col("doc_id") % 3)
+        ).alias("__c"),
+    ).select(
+        "src",
+        ((F.col("src") * 7 + 13 * F.col("__c")) % n).alias("dst"),
+    )
+    seeds = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("node"),
+        (F.col("doc_id") % 5).alias("label"),
+    )
+    return label_propagate(seeds, edges, n_iter=3)

@@ -1330,3 +1330,26 @@ def test_pagerank_fixed_point_exact(spark):
     release_intermediates(g2)
     assert set(got2) == {0, 1, 2}
     assert got2[0] == got2[2] == base  # nothing links to them
+
+
+def test_label_propagate_deterministic_semantics(spark):
+    """Seeds are immutable; majority wins; TIES go to the smallest
+    label; a round with no labeled neighbor keeps the previous label;
+    unreachable nodes stay NULL."""
+    from sqlpp_spark.ops.web import label_propagate
+
+    # seeds: 0->2, 1->1, 5->0. node 2 neighbors {0,1,5}: labels
+    # {2,1,0} all count 1 -> tie -> smallest label 0. node 3 only
+    # touches 2 (labeled in round 1) -> gets 2's label in round 2 and
+    # KEEPS it in round 3. 8-9 form an unreachable unlabeled island.
+    edges = [(0, 2), (1, 2), (5, 2), (2, 3), (8, 9)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame(
+        [(0, 2), (1, 1), (5, 0)], "node long, label long"
+    )
+    got = {r.node: r.label
+           for r in label_propagate(seeds, e, n_iter=3).collect()}
+    assert got[0] == 2 and got[1] == 1 and got[5] == 0  # immutable
+    assert got[2] == 0            # tie -> smallest label
+    assert got[3] == got[2] == 0  # adopted from 2, kept thereafter
+    assert got[8] is None and got[9] is None
