@@ -1054,7 +1054,7 @@ def canonical_by_quality(
 
 def passage_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    passage_tokens: int = 32,
+    passage_tokens: int = 32, persist_chunks: bool = True,
 ) -> DataFrame:
     """Corpus-level PASSAGE dedup (the Dolma/RefinedWeb paragraph-dedup
     shape, over fixed ``passage_tokens``-word windows when the corpus
@@ -1075,12 +1075,18 @@ def passage_dedup(
     candidate per distinct passage per partition) and once keyed by
     doc id for reassembly; since (doc, pos) is unique the text field
     never decides the min. The chunk frame feeds two consumers
-    (winners + per-doc totals), so it persists MEMORY_AND_DISK with
-    an eager count (the minhash pattern — lazy persist races) and is
-    handed to the caller on ``_sqlpp_persisted`` for release. The
-    r12 stage profile (PROFILE_pipeline_crawl_ingest.json) measured
+    (winners + per-doc totals); ``persist_chunks`` (default True)
+    caches it MEMORY_AND_DISK with an eager count (the minhash
+    pattern — lazy persist races) and hands it to the caller on
+    ``_sqlpp_persisted`` for release — the right trade whenever the
+    input's lineage is expensive (a parse/extract/cap pipeline: the
+    r12 stage profile, PROFILE_pipeline_crawl_ingest.json, measured
     this form faster than both the semi-join original and a
-    narrow-hash persist at sf0.1, with bit-identical output.
+    narrow-hash persist at sf0.1, bit-identical output). Callers
+    whose input is a BARE SCAN pass False: rechunking a cheap scan
+    twice costs less than the persist materialization barrier
+    (standalone dedup_passages measured ~1.4x slower with the
+    persist at sf0.1).
     """
     from pyspark import StorageLevel
 
@@ -1090,8 +1096,9 @@ def passage_dedup(
         df, text_col=text_col, id_col=id_col,
         chunk_tokens=passage_tokens, overlap=0,
     )
-    ch = ch.persist(StorageLevel.MEMORY_AND_DISK)
-    ch.count()  # eager: two consumers would race a lazy persist
+    if persist_chunks:
+        ch = ch.persist(StorageLevel.MEMORY_AND_DISK)
+        ch.count()  # eager: two consumers would race a lazy persist
     hashed = ch.select(
         F.col(id_col), "chunk_id", "chunk_text",
         hash64(F.col("chunk_text")).alias("__ph"),
@@ -1140,7 +1147,7 @@ def passage_dedup(
             .alias("n_dropped"),
         )
     )
-    out._sqlpp_persisted = [ch]
+    out._sqlpp_persisted = [ch] if persist_chunks else []
     return out
 
 

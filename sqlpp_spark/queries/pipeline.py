@@ -586,8 +586,13 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps only its first (doc, position) occurrence; documents are
     rewritten from survivors. Winner selection is a min-struct partial
     agg over 8-byte hashes — no per-cluster window, text moves once."""
+    # persist_chunks=False: the input is a bare parquet scan, so
+    # rechunking it for the second consumer is cheaper than the
+    # persist materialization barrier (see passage_dedup docstring;
+    # the capstones, whose upstream is a parse pipeline, keep True)
     return D.passage_dedup(
-        table(spark, sf_dir, "documents"), passage_tokens=8
+        table(spark, sf_dir, "documents"), passage_tokens=8,
+        persist_chunks=False,
     )
 
 
