@@ -1061,3 +1061,71 @@ def web_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 5).alias("label"),
     )
     return label_propagate(seeds, edges, n_iter=3)
+
+
+@register(
+    "web_triangle_clustering",
+    oracle="""
+WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (
+  SELECT d.doc_id AS src, (d.doc_id * 7 + 13 * c.i) % cnt.n AS dst
+  FROM documents d, cnt,
+       LATERAL (SELECT unnest(generate_series(1, 1 + d.doc_id % 3))
+                AS i) c
+),
+canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src <> dst
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM canon UNION ALL SELECT b FROM canon
+  ) GROUP BY node
+),
+tri AS (
+  -- brute-force 3-way join on canonical edges: a<b<c, each triangle
+  -- exactly once — deliberately a DIFFERENT formulation from the
+  -- Spark side's degree-oriented wedge join
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM canon e1
+  JOIN canon e2 ON e2.a = e1.b
+  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.deg AS degree,
+       COALESCE(p.t, 0) AS n_triangles,
+       CASE WHEN d.deg >= 2 THEN
+         CAST(2 * COALESCE(p.t, 0) AS DOUBLE)
+           / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+       ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN per_node p ON p.node = d.node
+""",
+)
+def web_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED triangle counting + local clustering coefficient (r12)
+    over the synthetic link graph — the community-structure signal
+    link-spam detection ranks by. The Spark side uses the
+    degree-ORIENTED wedge join (each triangle found exactly once at
+    its unique two-out-edge node, per-node wedge work bounded by the
+    arboricity O(sqrt(m)) argument); DuckDB brute-forces the a<b<c
+    3-way join — two independent algorithms agreeing on every count
+    AND on the one-division clustering double."""
+    from sqlpp_spark.ops.web import triangle_counts
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(1) + F.col("doc_id") % 3)
+        ).alias("__c"),
+    ).select(
+        "src",
+        ((F.col("src") * 7 + 13 * F.col("__c")) % n).alias("dst"),
+    )
+    return triangle_counts(edges)

@@ -1353,3 +1353,34 @@ def test_label_propagate_deterministic_semantics(spark):
     assert got[2] == 0            # tie -> smallest label
     assert got[3] == got[2] == 0  # adopted from 2, kept thereafter
     assert got[8] is None and got[9] is None
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 (4 triangles, each node in 3, clustering 1.0), a pendant
+    path (0 triangles), duplicate + reversed + self-loop edges
+    canonicalized away, and a hub whose wedges must not explode the
+    count (the orientation guarantees each triangle counts once)."""
+    from sqlpp_spark.ops import release_intermediates
+    from sqlpp_spark.ops.web import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    extra = [(3, 3), (1, 0), (0, 1), (4, 5), (5, 6)]  # noise
+    df = spark.createDataFrame(k4 + extra, "src long, dst long")
+    out = triangle_counts(df)
+    got = {r.node: (r.degree, r.n_triangles, r.clustering)
+           for r in out.collect()}
+    release_intermediates(out)
+    for n in (1, 2):
+        assert got[n] == (3, 3, 1.0)
+    assert got[0][0] == 3 and got[0][1] == 3  # dup/reversed deduped
+    assert got[3] == (3, 3, 1.0)              # self-loop dropped
+    assert got[5] == (2, 0, 0.0)
+    assert got[4][1] == 0 and got[6][1] == 0
+    # star K1,5 + one rim edge: hub participates in exactly 1 triangle
+    star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    out2 = triangle_counts(
+        spark.createDataFrame(star, "src long, dst long"))
+    got2 = {r.node: r.n_triangles for r in out2.collect()}
+    release_intermediates(out2)
+    assert got2[0] == 1 and got2[1] == 1 and got2[2] == 1
+    assert got2[3] == got2[4] == got2[5] == 0
