@@ -160,12 +160,6 @@ class Compiler:
         if sel.having is not None:
             exprs.append(sel.having)
         exprs.extend(o.expr for o in sel.order_by)
-        for e in exprs:
-            if any(isinstance(n, A.EScalarSub) for n in _iter_nodes(e)):
-                raise SqlppError(
-                    "scalar subqueries are not supported in the "
-                    "projection/HAVING/ORDER BY of a grouped select"
-                )
         agg_apps: Dict[tuple, A.EApp] = {}
         for e in exprs:
             for app in _iter_agg_apps(e):
@@ -190,10 +184,20 @@ class Compiler:
         else:
             # GROUP BY () — global aggregation (parser.mly:258)
             grouped = df.agg(*acols) if acols else df.agg(F.count(F.lit(1)).alias("__cnt_dummy"))
+        # scalar subqueries in grouped projection/HAVING/ORDER BY
+        # (r12): attach to the POST-aggregation frame — uncorrelated
+        # subs broadcast as before; correlated subs must correlate on
+        # group expressions (checked via subst inside the attach)
+        grouped, scalar_map = self._attach_scalar_subqueries(
+            grouped, exprs, binds, subst
+        )
         if sel.having is not None:
-            grouped = grouped.filter(self.expr(sel.having, binds, {}, subst))
+            grouped = grouped.filter(
+                self.expr(sel.having, binds, scalar_map, subst)
+            )
         cols = [
-            self.expr(f.expr, binds, {}, subst).alias(f.out_name) for f in out_fields
+            self.expr(f.expr, binds, scalar_map, subst).alias(f.out_name)
+            for f in out_fields
         ]
         if not cols:
             cols = [F.lit(1).alias("_dummy")]
@@ -210,7 +214,9 @@ class Compiler:
         if sel.order_by:
             grouped = grouped.orderBy(
                 *[
-                    self._order_col(self.expr(o.expr, binds, {}, subst), o)
+                    self._order_col(
+                        self.expr(o.expr, binds, scalar_map, subst), o
+                    )
                     for o in sel.order_by
                 ]
             )
@@ -345,7 +351,10 @@ class Compiler:
             return df.filter(self.expr(pred, binds, scalar_map))
         return df.filter(self.expr(pred, binds, {}))
 
-    def _attach_scalar_subqueries(self, df: DataFrame, exprs: List[A.Expr], binds: Bindings):
+    def _attach_scalar_subqueries(
+        self, df: DataFrame, exprs: List[A.Expr], binds: Bindings,
+        subst: Optional[Dict[tuple, str]] = None,
+    ):
         """Left-join distinct subquery results so scalar-position
         IN/EXISTS compile to a match flag. Single-column IN gets full
         SQL three-valued semantics (match → TRUE; no match with a NULL
@@ -421,9 +430,26 @@ class Compiler:
                     and id(node) not in scalar_map
                 ):
                     df = self._attach_one_scalar_sub(
-                        df, node, binds, scalar_map
+                        df, node, binds, scalar_map, subst
                     )
         return df, scalar_map
+
+    def _outer_col(
+        self, oe: A.Expr, binds: Bindings,
+        subst: Optional[Dict[tuple, str]],
+    ) -> Column:
+        """Compile a correlated subquery's OUTER expression. In a
+        grouped select the outer frame is post-aggregation, so the
+        expression must be a group expression (or aggregate) present
+        in ``subst`` — correlating on a non-grouped column has no
+        post-agg value to join on."""
+        if subst is not None and expr_key(oe) not in subst:
+            raise SqlppError(
+                "a correlated subquery in a grouped select must "
+                "correlate on a GROUP BY expression",
+                getattr(oe, "loc", None),
+            )
+        return self.expr(oe, binds, {}, subst)
 
     @staticmethod
     def _cmp_col(op: str, a: Column, b: Column) -> Column:
@@ -482,6 +508,7 @@ class Compiler:
     def _attach_one_scalar_sub(
         self, df: DataFrame, node: "A.EScalarSub", binds: Bindings,
         scalar_map: Dict[int, Column],
+        subst: Optional[Dict[tuple, str]] = None,
     ) -> DataFrame:
         """Scalar subquery attachment (r11; theta correlation r12).
 
@@ -536,7 +563,7 @@ class Compiler:
             )
         else:
             dkeys = df.select(*[
-                self.expr(oe, binds, {}).alias(kn)
+                self._outer_col(oe, binds, subst).alias(kn)
                 for kn, (_op, _ie, oe) in zip(knames, node.corr)
             ]).distinct()
             if not any(op == "=" for op, _ie, _oe in node.corr):
@@ -558,7 +585,7 @@ class Compiler:
             )
         cond = None
         for kn, (_op, _ie, oe) in zip(knames, node.corr):
-            c = self.expr(oe, binds, {}) == F.col(kn)
+            c = self._outer_col(oe, binds, subst) == F.col(kn)
             cond = c if cond is None else (cond & c)
         df = df.join(sub_df, on=cond, how="left").drop(*knames)
         col = F.col(val)

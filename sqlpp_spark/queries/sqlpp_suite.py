@@ -267,3 +267,18 @@ _sqlpp(
     "WHERE s.s_nationkey = n.n_nationkey) AS max_bal "
     "FROM nation n",
 )
+
+_sqlpp(
+    # r12: scalar subqueries in GROUPED selects — attached to the
+    # post-aggregation frame; correlation on the group key
+    "sqlpp_scalar_subquery_grouped",
+    "select n.n_regionkey as regionkey, count(1) as n_nations, "
+    "(select count(1) from supplier as s "
+    "where s.s_nationkey < n.n_regionkey group by ()) as n_below "
+    "from nation as n group by n.n_regionkey",
+    "SELECT n_regionkey AS regionkey, "
+    "CAST(COUNT(*) AS BIGINT) AS n_nations, "
+    "(SELECT COUNT(*) FROM supplier s "
+    "WHERE s.s_nationkey < n.n_regionkey) AS n_below "
+    "FROM nation n GROUP BY n_regionkey",
+)

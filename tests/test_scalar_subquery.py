@@ -314,3 +314,42 @@ def test_dml_set_scalar_subquery(eng, spark, tmp_path):
     with pytest.raises(SqlppError, match="NOT NULL"):
         e2.exec("update items set v = (select max(amt) from src "
                 "where src.id = items.id group by ())")
+
+
+def test_grouped_select_scalar_subqueries(eng, duck):
+    """r12: scalar subqueries in the projection / HAVING / ORDER BY of
+    a GROUPED select — attached post-aggregation; correlated forms
+    must correlate on group expressions."""
+    rows, want, _ = _both(
+        eng, duck,
+        "select grp, count(1) as c, (select max(amt) from t2 "
+        "group by ()) as m from t1 group by grp order by grp",
+    )
+    assert rows == want == [(1, 2, 300), (2, 1, 300), (3, 1, 300)]
+    rows, want, _ = _both(
+        eng, duck,
+        "select grp, (select sum(amt) from t2 where t2.grp = t1.grp "
+        "group by ()) as s from t1 group by grp order by grp",
+    )
+    assert rows == want == [(1, 300), (2, 300), (3, None)]
+    # theta correlation on the group key
+    rows, want, _ = _both(
+        eng, duck,
+        "select grp, (select count(1) from t2 where t2.grp < t1.grp "
+        "group by ()) as below from t1 group by grp order by grp",
+    )
+    assert rows == want == [(1, 0), (2, 2), (3, 3)]
+    # HAVING referencing a correlated scalar sub (non-empty result)
+    rows, want, _ = _both(
+        eng, duck,
+        "select grp, count(1) as c from t1 group by grp "
+        "having count(1) <= (select count(1) from t2 "
+        "where t2.grp = t1.grp group by ()) order by grp",
+    )
+    assert rows == want == [(1, 2), (2, 1)]
+    # correlating on a non-grouped column errors cleanly
+    with pytest.raises(SqlppError, match="GROUP BY expression"):
+        eng.fetch_list(
+            "select grp, (select count(1) from t2 where t2.id = t1.id "
+            "group by ()) as c from t1 group by grp"
+        )
