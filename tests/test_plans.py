@@ -477,3 +477,21 @@ def test_image_neardup_banded_equijoin_no_all_pairs(spark, sf_dir):
     assert "NestedLoop" not in p and "CartesianProduct" not in p
     assert len(re.findall(r"\(\d+\) InMemoryTableScan", p)) >= 2
     assert "shiftrightunsigned" in p  # logical shift: sign bit stays put
+
+
+def test_graph_ops_no_cartesian_flat_plans(spark, sf_dir):
+    """The r12 graph family (PageRank, label propagation, triangle
+    clustering): no nested-loop/cartesian anywhere, and the iterative
+    ops' plans stay FLAT — localCheckpoint truncates lineage, so the
+    final plan must not contain one aggregation stage per iteration
+    (5 PageRank iterations with growing lineage would show >= 5
+    HashAggregate pairs; the checkpointed plan shows one join's
+    worth)."""
+    for name in ("web_pagerank", "web_label_propagation",
+                 "web_triangle_clustering"):
+        p = plan_of(spark, sf_dir, name)
+        assert "NestedLoop" not in p and "CartesianProduct" not in p, name
+    # flat plan: the final iteration's plan reads the checkpointed RDD
+    p = plan_of(spark, sf_dir, "web_pagerank")
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", p)) >= 1
+    assert shuffle_count(p) <= 6, shuffle_count(p)
