@@ -594,6 +594,7 @@ def robots_filter(
 def pagerank(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     n_iter: int = 5, damping_pct: int = 85, unit: int = 10**9,
+    seeds: "DataFrame | None" = None,
 ) -> DataFrame:
     """FIXED-POINT integer PageRank: ``n_iter`` power iterations of
     the per-node form ``pr[v] = (1-d) + d * Σ pr[u]/outdeg[u]`` with
@@ -628,10 +629,27 @@ def pagerank(
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     base = (unit * (100 - damping_pct)) // 100
-    pr = nodes.withColumn("pr", F.lit(unit).cast("bigint"))
+    if seeds is not None:
+        # PERSONALIZED (TrustRank) form: the teleport mass lands only
+        # on seed nodes — link-spam scoring seeds on a trusted set and
+        # reads low steady-state mass as "far from trust". Same exact
+        # integer arithmetic; seed membership rides the node table as
+        # a broadcast-joinable flag.
+        sd = seeds.select(F.col(seeds.columns[0]).alias("node"))             .distinct().withColumn("__is_seed", F.lit(True))
+        nodes = nodes.join(sd, on="node", how="left").select(
+            "node", F.coalesce("__is_seed", F.lit(False)).alias("__is_seed")
+        )
+    else:
+        nodes = nodes.withColumn("__is_seed", F.lit(True))
+    nodes = nodes.localCheckpoint()
+    base_col = F.when(F.col("__is_seed"), F.lit(base))         .otherwise(F.lit(0)).cast("bigint")
+    pr = nodes.select(
+        "node",
+        F.when(F.col("__is_seed"), F.lit(unit)).otherwise(F.lit(0))
+        .cast("bigint").alias("pr"),
+    )
     for _ in range(n_iter):
         sums = (
             adj.join(pr, on=adj.s == pr.node)
@@ -644,7 +662,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base_col
                     + F.expr(
                         f"({damping_pct} * coalesce(__in, 0)) div 100"
                     )

@@ -1129,3 +1129,64 @@ def web_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("src") * 7 + 13 * F.col("__c")) % n).alias("dst"),
     )
     return triangle_counts(edges)
+
+
+def _ppr_oracle(n_iter: int = 5, damping_pct: int = 85,
+                unit: int = 10**9) -> str:
+    """Unrolled-CTE replay of PERSONALIZED PageRank: teleport base and
+    initial mass only on seed nodes (node % 11 == 0), same exact
+    integer arithmetic as the uniform oracle."""
+    base = (unit * (100 - damping_pct)) // 100
+    ctes = [
+        "cnt AS (SELECT COUNT(*) AS n FROM documents)",
+        "edges AS (SELECT d.doc_id AS src, "
+        "(d.doc_id * 7 + 13 * c.i) % cnt.n AS dst "
+        "FROM documents d, cnt, "
+        "LATERAL (SELECT unnest(generate_series(1, 1 + d.doc_id % 3)) "
+        "AS i) c)",
+        "nodes AS (SELECT DISTINCT node, node % 11 = 0 AS sd FROM ("
+        "SELECT src AS node FROM edges UNION SELECT dst FROM edges))",
+        "outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM edges GROUP BY src)",
+        f"pr0 AS (SELECT node, CAST(CASE WHEN sd THEN {unit} ELSE 0 END "
+        f"AS BIGINT) AS pr FROM nodes)",
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"pr{k} AS (SELECT n.node, "
+            f"CAST((CASE WHEN n.sd THEN {base} ELSE 0 END) + "
+            f"({damping_pct} * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst, CAST(SUM(p.pr // o.deg) AS BIGINT) AS c "
+            f"FROM edges e JOIN pr{k - 1} p ON p.node = e.src "
+            f"JOIN outdeg o ON o.src = e.src GROUP BY e.dst) s "
+            f"ON s.dst = n.node)"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, pr FROM pr{n_iter}")
+
+
+@register("web_pagerank_personalized", oracle=_ppr_oracle())
+def web_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLED personalized (TrustRank-style) PageRank (r12): teleport
+    mass lands only on the trusted seed set (doc_id % 11 == 0), so
+    steady-state mass measures proximity to trust — the link-spam
+    demotion signal. Same fixed-point integer machinery as
+    web_pagerank; DuckDB replays all 5 seeded iterations bit-for-bit."""
+    from sqlpp_spark.ops.web import pagerank
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(1) + F.col("doc_id") % 3)
+        ).alias("__c"),
+    ).select(
+        "src",
+        ((F.col("src") * 7 + 13 * F.col("__c")) % n).alias("dst"),
+    )
+    seeds = d.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return pagerank(edges, n_iter=5, seeds=seeds)
