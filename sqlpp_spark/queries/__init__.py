@@ -23,14 +23,24 @@ class QuerySpec:
     builder: Callable[[SparkSession, str], DataFrame]
     oracle: Optional[str]
     headline: bool = False  # included in bench.py
+    # Served through __spark_entry__.queries() to the driver gate.
+    # Entries with no DuckDB oracle stay pytest-only (driver_export=False):
+    # the gate can only record err=no_oracle for them, which reads as a
+    # failure in CORRECTNESS_r*.json even though each has an oracled twin.
+    driver_export: bool = True
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None = None, headline: bool = False):
+def register(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    driver_export: bool = True,
+):
     def deco(fn):
-        REGISTRY[name] = QuerySpec(name, fn, oracle, headline)
+        REGISTRY[name] = QuerySpec(name, fn, oracle, headline, driver_export)
         return fn
 
     return deco
@@ -42,14 +52,31 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _export_order() -> list[str]:
+    """Driver-export ordering: names the driver gate has NEVER sampled
+    (per SAMPLING.md, cumulative over CORRECTNESS_r01..r12) come first,
+    so a driver that samples head-first rotates onto unchecked entries.
+    Within each half the order is alphabetical (deterministic)."""
+    from sqlpp_spark.queries._sampling import DRIVER_SAMPLED
+
+    exported = [n for n, s in REGISTRY.items() if s.driver_export]
+    never = sorted(n for n in exported if n not in DRIVER_SAMPLED)
+    seen = sorted(n for n in exported if n in DRIVER_SAMPLED)
+    return never + seen
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_loaded()
-    return {name: spec.builder for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].builder for name in _export_order()}
 
 
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
-    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+    return {
+        n: REGISTRY[n].oracle
+        for n in _export_order()
+        if REGISTRY[n].oracle is not None
+    }
 
 
 def headline_queries() -> dict[str, QuerySpec]:

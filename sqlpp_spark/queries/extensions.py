@@ -329,7 +329,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_audio_features")  # mapInPandas WAV decode — no SQL oracle
+@register("multimodal_audio_features", driver_export=False)  # mapInPandas WAV decode — no SQL oracle; pytest-only (gate would read err=no_oracle as red)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio pipeline: synthesize genuine RIFF/WAV payloads (stdlib
     wave writer) from the documents fixture, then decode real samples

@@ -85,8 +85,11 @@ def ann_approx_distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_hll_distinct_labels",
-    # HLL sketches differ across engines by design — rows-only in the
-    # driver gate; accuracy vs the exact twin pinned in tests/test_ops.py
+    # HLL sketches differ across engines by design — no DuckDB oracle;
+    # accuracy vs the exact twin pinned in tests/test_ops.py. Kept
+    # pytest-only (driver_export=False): the driver gate can only record
+    # err=no_oracle for it, which cost the gate its 50/50 in r10-r12.
+    driver_export=False,
 )
 def ann_hll_distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the sketch path for
