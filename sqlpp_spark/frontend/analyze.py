@@ -1050,6 +1050,31 @@ class Analyzer:
                         pick = i
                         break
                 if pick is None:
+                    # The unresolved name lives in the ENCLOSING scope
+                    # but sits somewhere we cannot lift — under OR/NOT,
+                    # inside a function argument, or in a
+                    # non-comparison predicate. Raise the dedicated
+                    # boundary error (compile-time, before execution —
+                    # never a wrong answer) instead of the raw
+                    # resolution failure, which would read as a typo.
+                    outer_has = (
+                        name in ctx.rels
+                        or name in ctx.aliases
+                        or self._try_infer(
+                            ctx, A.EName(name, loc=select.where.loc)
+                        )
+                        is not None
+                    )
+                    if outer_has:
+                        self.err(
+                            "unsupported correlation in subquery: "
+                            f"`{name}` references the enclosing scope "
+                            "outside a top-level comparison conjunct "
+                            "(correlated predicates under OR/NOT, "
+                            "inside function arguments, or in "
+                            "non-comparison positions cannot be "
+                            "decorrelated)", select.where.loc,
+                        )
                     raise
                 lifted.add(pick)
         if sub_ctx is None:

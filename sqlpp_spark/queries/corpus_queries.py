@@ -437,3 +437,179 @@ def corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     global top-k as TakeOrdered (per-partition k-row partials), never a
     full sort."""
     return C.top_ngrams(table(spark, sf_dir, "documents"), n=3, top_k=20)
+
+
+# -- BPE encode: apply learned merges as a tokenizer (r13) -------------------
+
+_BPE_K = 16
+
+# One left-to-right single-occurrence merge step, replayed to fixpoint
+# per rank by the recursive CTE below. strpos/substring (never regex —
+# merge symbols may contain regex metachars); the space-delimited
+# symbol string makes matching symbol-exact, and single-occurrence
+# replacement sidesteps the shared-boundary problem of a global
+# replace (' a b a b ' — the trailing space of match 1 is the leading
+# space of match 2).
+_BPE_PAT = "' ' || m.a || ' ' || m.b || ' '"
+
+_BPE_ENCODE_ORACLE = f"""
+WITH RECURSIVE
+w0 AS (SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents),
+p0 AS (
+  SELECT substring(w, CAST(i AS INT), 2) AS pair
+  FROM w0, unnest(range(1, length(w))) AS u(i)
+  WHERE length(w) >= 2
+),
+m AS (
+  SELECT substring(pair, 1, 1) AS a, substring(pair, 2, 1) AS b,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rank
+  FROM (SELECT pair, COUNT(*) AS n FROM p0 GROUP BY pair)
+  ORDER BY n DESC, pair ASC LIMIT {_BPE_K}
+),
+dw AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents)
+  WHERE length(w) > 0
+),
+enc AS (
+  SELECT doc_id,
+         ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+                 i -> substring(w, CAST(i AS INT), 1)), ' ') || ' ' AS s,
+         CAST(1 AS BIGINT) AS r
+  FROM dw
+  UNION ALL
+  SELECT e.doc_id,
+         CASE WHEN strpos(e.s, {_BPE_PAT}) > 0
+              THEN substring(e.s, 1, strpos(e.s, {_BPE_PAT}) - 1)
+                   || ' ' || m.a || m.b || ' '
+                   || substring(e.s, strpos(e.s, {_BPE_PAT})
+                                     + length({_BPE_PAT}))
+              ELSE e.s END AS s,
+         CASE WHEN strpos(e.s, {_BPE_PAT}) > 0 THEN e.r ELSE e.r + 1 END AS r
+  FROM enc e JOIN m ON m.rank = e.r
+),
+fin AS (
+  SELECT doc_id, string_split(trim(s), ' ') AS t
+  FROM enc WHERE r = {_BPE_K + 1}
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(len(t)) AS BIGINT) AS n_tokens,
+         CAST(SUM(len(list_filter(t, x -> length(x) >= 2))) AS BIGINT)
+           AS n_merged
+  FROM fin GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_merged, 0) AS BIGINT) AS n_merged
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def _bpe_merges_for(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """Top-K first-iteration merge candidates in rank order — the
+    data-dependent merge table both engines derive identically (same
+    statistic as corpus_bpe_merges). Collect ships K 2-char strings:
+    dimension-side metadata, not data."""
+    rows = (
+        C.bpe_merge_candidates(table(spark, sf_dir, "documents"), top_k=_BPE_K)
+        .orderBy("rank")
+        .collect()
+    )
+    return [(r["pair"][0], r["pair"][1]) for r in rows]
+
+
+@register("corpus_bpe_encode", oracle=_BPE_ENCODE_ORACLE)
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY (ops/corpus.py bpe_encode): learn the top-16
+    merge table from the corpus (the candidate statistic already
+    oracled as corpus_bpe_merges), bake it into a codegen'd fold
+    expression, and emit per-doc real-token statistics. Sequential
+    by-rank application == canonical greedy BPE (see bpe_word_tokens).
+    Scan-stage, zero Python, zero shuffle beyond the merge-mining agg;
+    the DuckDB oracle replays the same merge table with a recursive
+    CTE doing leftmost single-occurrence merges to fixpoint per rank.
+    The full ITERATIVE trainer (multi-char merges) is
+    ops/corpus.py bpe_learn_merges, parity-pinned in tests/test_ops.py
+    against a pure-Python Sennrich reference."""
+    merges = _bpe_merges_for(spark, sf_dir)
+    return C.bpe_encode(table(spark, sf_dir, "documents"), merges).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "corpus_pack_bpe",
+    oracle=f"""
+WITH RECURSIVE
+w0 AS (SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents),
+p0 AS (
+  SELECT substring(w, CAST(i AS INT), 2) AS pair
+  FROM w0, unnest(range(1, length(w))) AS u(i)
+  WHERE length(w) >= 2
+),
+m AS (
+  SELECT substring(pair, 1, 1) AS a, substring(pair, 2, 1) AS b,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rank
+  FROM (SELECT pair, COUNT(*) AS n FROM p0 GROUP BY pair)
+  ORDER BY n DESC, pair ASC LIMIT {_BPE_K}
+),
+dw AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents)
+  WHERE length(w) > 0
+),
+enc AS (
+  SELECT doc_id,
+         ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+                 i -> substring(w, CAST(i AS INT), 1)), ' ') || ' ' AS s,
+         CAST(1 AS BIGINT) AS r
+  FROM dw
+  UNION ALL
+  SELECT e.doc_id,
+         CASE WHEN strpos(e.s, {_BPE_PAT}) > 0
+              THEN substring(e.s, 1, strpos(e.s, {_BPE_PAT}) - 1)
+                   || ' ' || m.a || m.b || ' '
+                   || substring(e.s, strpos(e.s, {_BPE_PAT})
+                                     + length({_BPE_PAT}))
+              ELSE e.s END AS s,
+         CASE WHEN strpos(e.s, {_BPE_PAT}) > 0 THEN e.r ELSE e.r + 1 END AS r
+  FROM enc e JOIN m ON m.rank = e.r
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(len(string_split(trim(s), ' '))) AS BIGINT) AS n_bpe
+  FROM enc WHERE r = {_BPE_K + 1} GROUP BY doc_id
+),
+tok AS (
+  SELECT d.doc_id, {_SHARD} AS shard,
+         CAST(COALESCE(a.n_bpe, 0) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS s
+  FROM tok
+)
+SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
+       CAST(floor(s / 2048) AS BIGINT) AS seq_id,
+       CAST(s % 2048 AS BIGINT) AS seq_offset
+FROM c
+""",
+)
+def corpus_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted in REAL tokenizer tokens (r13): the
+    same sharded greedy packer as corpus_packing, with n_tokens from
+    the BPE encoder instead of whitespace words — a packer that budgets
+    in words overfills every sequence by the corpus's words-per-token
+    ratio. Same parallel window shape (shard-partitioned, waste
+    < budget per shard); the token counter is a scan-stage expression,
+    so the packing plan is unchanged at 100 TB."""
+    merges = _bpe_merges_for(spark, sf_dir)
+    return C.pack_sequences(
+        table(spark, sf_dir, "documents"),
+        budget=2048,
+        n_shards=_PACK_SHARDS,
+        token_counter=C.bpe_token_count(merges),
+    )

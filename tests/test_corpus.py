@@ -304,3 +304,157 @@ try:
             assert got.get(f"g{g}", 0) <= min(n, n_buckets * k)
 except ImportError:  # pragma: no cover
     pass
+
+
+# ---------------------------------------------------------------------------
+# BPE: fold encoder + iterative trainer vs a pure-Python Sennrich reference
+# ---------------------------------------------------------------------------
+
+
+def _py_merge_word(word_syms, merges):
+    toks = list(word_syms)
+    for a, b in merges:
+        out = []
+        for x in toks:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        toks = out
+    return toks
+
+
+def _py_learn(texts, k, min_count=2):
+    """Reference Sennrich trainer: vocab = word->count; each iteration
+    counts adjacent pairs weighted by word count, merges the argmax
+    with (count desc, a asc, b asc) tie-break."""
+    import re
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if w:
+                vocab[w] += 1
+    state = {tuple(w): n for w, n in vocab.items()}
+    merges = []
+    for _ in range(k):
+        pc = Counter()
+        for syms, n in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        (a, b), cnt = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        if cnt < min_count:
+            break
+        merges.append((a, b))
+        nxt = {}
+        for syms, n in state.items():
+            out = tuple(_py_merge_word(syms, [(a, b)]))
+            nxt[out] = nxt.get(out, 0) + n
+        state = nxt
+    return merges
+
+
+def test_bpe_word_tokens_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    merges = [("t", "h"), ("th", "e"), ("a", "a"), ("e", "s")]
+    words = ["the", "these", "aaaa", "a", "theses", "xax", "thethe"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    rows = df.select(
+        "w", C.bpe_word_tokens(F.col("w"), merges).alias("t")
+    ).collect()
+    for r in rows:
+        assert r["t"] == _py_merge_word(r["w"], merges), r["w"]
+
+
+def test_bpe_learn_merges_matches_reference(spark):
+    texts = [
+        "the cat sat on the mat",
+        "these are the theses",
+        "aaa aaaa the cat",
+        "  MiXeD   Case\twhitespace  ",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = C.bpe_learn_merges(df, n_merges=8)
+    assert got == _py_learn(texts, 8)
+    # learned merges include multi-char symbols (true iteration, not
+    # first-round candidates only)
+    assert any(len(a) > 1 or len(b) > 1 for a, b in got)
+
+
+def test_bpe_encode_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat"), (2, ""), (3, "zz qq")],
+        "doc_id long, text string",
+    )
+    merges = [("t", "h"), ("z", "z")]
+    rows = {r.doc_id: r for r in C.bpe_encode(df, merges).collect()}
+    # "the cat" -> [th,e] + [c,a,t] = 5 tokens, 1 merged
+    assert rows[1].n_tokens == 5 and rows[1].n_merged == 1
+    # empty doc: 0 tokens (whitespace counter would say 1)
+    assert rows[2].n_tokens == 0 and rows[2].n_merged == 0
+    assert rows[3].n_tokens == 3 and rows[3].n_merged == 1
+
+
+def test_pack_sequences_token_counter_parity(docs):
+    """token_counter=None and an explicitly-passed whitespace counter
+    must produce IDENTICAL packing (the parameter changes the counter,
+    never the packing semantics)."""
+    from pyspark.sql import functions as F
+
+    from sqlpp_spark.ops.text import normalize_text
+
+    def ws_counter(c):
+        return F.size(F.split(normalize_text(c), " ")).cast("bigint")
+
+    base = C.pack_sequences(docs, budget=64, n_shards=4)
+    param = C.pack_sequences(
+        docs, budget=64, n_shards=4, token_counter=ws_counter
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, param.collect())
+    )
+
+
+def test_pack_sequences_bpe_counter_budgets_in_tokens(spark):
+    """With a BPE counter, offsets advance by BPE token counts (words
+    shrink when merges fire), and sequence budget accounting follows."""
+    df = spark.createDataFrame(
+        [(1, "aa aa"), (2, "aa"), (3, "bb")], "doc_id long, text string"
+    )
+    merges = [("a", "a"), ("b", "b")]
+    out = {
+        r.doc_id: r
+        for r in C.pack_sequences(
+            df, budget=3, token_counter=C.bpe_token_count(merges)
+        ).collect()
+    }
+    # doc1: 2 BPE tokens (whitespace would say 2 words -> same), doc2/3: 1
+    assert out[1].n_tokens == 2
+    assert out[2].n_tokens == 1 and out[3].n_tokens == 1
+    # global packing: offsets 0, 2, then 3 % 3 = 0 in seq 1
+    assert (out[1].seq_id, out[1].seq_offset) == (0, 0)
+    assert (out[2].seq_id, out[2].seq_offset) == (0, 2)
+    assert (out[3].seq_id, out[3].seq_offset) == (1, 0)
+
+
+def test_mixture_weights_token_counter(spark):
+    df = spark.createDataFrame(
+        [(1, "aa aa", "s1"), (2, "cc dd", "s2")],
+        "doc_id long, text string, source string",
+    )
+    merges = [("a", "a")]
+    rows = {
+        r.source: r
+        for r in C.mixture_weights(
+            df, token_counter=C.bpe_token_count(merges)
+        ).collect()
+    }
+    # s1: "aa aa" -> 2 BPE tokens; s2: "cc dd" -> 4 (no merges fire)
+    assert rows["s1"].n_tokens == 2
+    assert rows["s2"].n_tokens == 4

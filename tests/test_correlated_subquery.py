@@ -191,3 +191,28 @@ def test_uncorrelated_paths_unchanged(eng, duck):
         "select id from t1 where grp in (select grp from t2) order by id",
     )
     assert rows == want == [(1,), (2,), (3,), (5,)]
+
+
+def test_correlated_under_disjunction_clean_boundary(eng):
+    """r13: correlated predicates in undecorrelatable positions (under
+    OR / NOT / function args that don't split sides) raise the
+    DEDICATED boundary error at compile time — never the raw
+    name-resolution failure, never a wrong answer at runtime."""
+    _err(eng,
+         "select id from t1 where exists (select 1 as one from t2 "
+         "where t2.grp = t1.grp or t2.amt > 100)",
+         "unsupported correlation")
+    _err(eng,
+         "select id from t1 where exists (select 1 as one from t2 "
+         "where not (t2.grp = t1.grp))",
+         "unsupported correlation")
+    _err(eng,
+         "select id from t1 where id in (select id from t2 "
+         "where t2.grp = t1.grp or t2.grp = t1.id)",
+         "unsupported correlation")
+    # the same atoms as top-level AND conjuncts stay supported
+    rows = eng.fetch_list(
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.grp = t1.grp and t2.amt > 100) order by id"
+    )
+    assert [r[0] for r in rows] == [1, 2, 3, 5]

@@ -45,6 +45,7 @@ import pytest
 from sqlpp_spark.compiler.sqlgen import select_sql, statement_sql
 from sqlpp_spark.engine import SqlppEngine
 from sqlpp_spark.frontend.analyze import analyze
+from sqlpp_spark.frontend.errors import SqlppError
 
 N_EXAMPLES = int(os.environ.get("SQLPP_FUZZ_EXAMPLES", "30"))
 
@@ -612,6 +613,71 @@ try:
             src = (f"select n_name, n_nationkey from nation "
                    f"where {_MATCH_SRC} and {extra}")
         ext_differ(ext_engine, ext_duck, src, f=f)
+
+
+    # -- correlation-boundary fuzzer (r13, VERDICT r12 ask #5) ---------------
+
+    @st.composite
+    def _corr_pred(draw, depth=0):
+        """Predicate tree over the region subquery scope with correlated
+        atoms navigating to the enclosing nation scope. Returns
+        (src_fragment, corr_is_conjunct_only): the flag is True iff
+        every correlated atom sits at top-level AND-conjunct position —
+        exactly the analyzer's documented decorrelation boundary."""
+        kind = draw(st.sampled_from(
+            ["corr", "local", "and", "or", "not"] if depth < 2
+            else ["corr", "local"]
+        ))
+        if kind == "corr":
+            op = draw(st.sampled_from(["=", "!=", "<", "<=", ">", ">="]))
+            outer = draw(st.sampled_from(
+                ["nation.n_regionkey", "nation.n_regionkey + 1"]
+            ))
+            flip = draw(st.booleans())
+            atom = (f"({outer} {op} r_regionkey)" if flip
+                    else f"(r_regionkey {op} {outer})")
+            return atom, True, True  # (src, conjunct_ok, has_corr)
+        if kind == "local":
+            op = draw(st.sampled_from(["=", "<", ">="]))
+            return f"(r_regionkey {op} {draw(st.integers(-1, 5))})", True, False
+        if kind == "not":
+            src, _, has = draw(_corr_pred(depth + 1))
+            # correlation under NOT is never liftable
+            return f"(not {src})", not has, has
+        l_src, l_ok, l_has = draw(_corr_pred(depth + 1))
+        r_src, r_ok, r_has = draw(_corr_pred(depth + 1))
+        if kind == "and":
+            # AND preserves conjunct position
+            return f"({l_src} and {r_src})", l_ok and r_ok, l_has or r_has
+        # OR: any correlated atom below is no longer a top-level conjunct
+        return (f"({l_src} or {r_src})",
+                (l_ok and not l_has) and (r_ok and not r_has),
+                l_has or r_has)
+
+    @settings(max_examples=N_EXAMPLES, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(_corr_pred(), st.booleans())
+    def test_correlation_boundary_fuzz(ext_engine, ext_duck, pred, use_in):
+        """Every shape whose correlated atoms are all top-level AND
+        conjuncts must decorrelate and match DuckDB on the printed SQL;
+        every other correlated shape must raise the dedicated boundary
+        error AT ANALYSIS TIME (frontend/analyze.py _lift_correlated) —
+        wrong answers are never an option, silent acceptance neither."""
+        src_frag, conjunct_ok, has_corr = pred
+        if use_in:
+            src = ("select n_name from nation where n_regionkey in "
+                   f"(select r_regionkey from region where {src_frag})")
+        else:
+            src = ("select n_name from nation where exists "
+                   f"(select 1 as one from region where {src_frag})")
+        if not has_corr or conjunct_ok:
+            ext_differ(ext_engine, ext_duck, src)
+        else:
+            with pytest.raises(
+                SqlppError,
+                match="unsupported correlation|top-level",
+            ):
+                analyze(ext_engine.env, src)
 
     @st.composite
     def _fieldset_query(draw):

@@ -1,8 +1,11 @@
-"""Interleaved A/B bench: round-5 commit vs HEAD over the shared
+"""Interleaved A/B bench: a pinned commit vs HEAD over a shared
 headline-query set, alternating in one session so both sides sample
-the same box conditions (VERDICT r6 ask #1).
+the same box conditions (VERDICT r6 ask #1; r12 ask #2 reuses it for
+the whole 21-query r11-vs-HEAD suite).
 
-Usage:  python tools/ab_bench.py [r5_commit] [pairs]
+Usage:  python tools/ab_bench.py [commit] [pairs] [setname]
+        setname: shared13 (r5 era, default for commit 324000e) or
+                 shared21 (every query benched in BOTH r11 and r12)
 
 Design: each side runs as its own subprocess (own SparkSession) with
 SPARK_GRAFT_BENCH_RUNS=2, in counterbalanced order A B B A A B B A …
@@ -19,6 +22,32 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SETS: dict[str, list[str]] = {}
+
+SHARED_21 = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q_window_topk_per_group",
+    "q_events_tumbling",
+    "text_stats",
+    "text_boilerplate_filter",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_passages",
+    "dedup_substring_rate",
+    "pipeline_clean_corpus",
+    "pipeline_crawl_ingest",
+    "pipeline_web_prepare",
+    "ann_bruteforce_topk",
+    "ann_knn_graph",
+    "ann_knn_graph_auto",
+    "multimodal_jpeg_decode_oracle",
+]
 
 SHARED_13 = [
     "q1_pricing_summary",
@@ -37,10 +66,16 @@ SHARED_13 = [
 ]
 
 
+SETS["shared13"] = SHARED_13
+SETS["shared21"] = SHARED_21
+
+QUERY_SET = SHARED_13  # rebound in main() from argv
+
+
 def run_side(workdir: str, label: str, runs_per_call: int) -> dict[str, float]:
     env = dict(os.environ)
     env["SPARK_GRAFT_BENCH_RUNS"] = str(runs_per_call)
-    env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(SHARED_13)  # ignored by r5
+    env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(QUERY_SET)
     env.setdefault("SPARK_GRAFT_CPUS", "32")
     p = subprocess.run(
         [sys.executable, "bench.py"],
@@ -54,25 +89,30 @@ def run_side(workdir: str, label: str, runs_per_call: int) -> dict[str, float]:
     if not line:
         raise RuntimeError(f"{label}: no JSON line\n{p.stdout[-2000:]}\n{p.stderr[-2000:]}")
     doc = json.loads(line[-1])
-    return {k: v for k, v in doc["queries"].items() if k in SHARED_13}
+    return {k: v for k, v in doc["queries"].items() if k in QUERY_SET}
 
 
 def main() -> None:
+    global QUERY_SET
     commit = sys.argv[1] if len(sys.argv) > 1 else "324000e"
     pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    wt = os.path.join(REPO, ".ab", "r5")
+    QUERY_SET = SETS[sys.argv[3] if len(sys.argv) > 3 else "shared13"]
+    wt = os.path.join(REPO, ".ab", commit)
     if not os.path.isdir(wt):
         subprocess.run(
             ["git", "worktree", "add", "--detach", wt, commit],
             cwd=REPO,
             check=True,
         )
-    sides = {"r5": wt, "head": REPO}
+    # head side: optional argv[4] workdir (e.g. a detached worktree at
+    # HEAD) so edits to the live tree during a long run can't leak in
+    head_dir = sys.argv[4] if len(sys.argv) > 4 else REPO
+    sides = {"pinned": wt, "head": head_dir}
     samples: dict[str, dict[str, list[float]]] = {s: {} for s in sides}
     # counterbalanced: A B B A repeated
     order = []
     for i in range(pairs):
-        order += (["r5", "head"] if i % 2 == 0 else ["head", "r5"])
+        order += (["pinned", "head"] if i % 2 == 0 else ["head", "pinned"])
     for i, side in enumerate(order):
         try:
             load = os.getloadavg()[0]
@@ -82,28 +122,28 @@ def main() -> None:
         t = run_side(sides[side], side, runs_per_call=2)
         for q, v in t.items():
             samples[side].setdefault(q, []).append(v)
-    result = {"commit_r5": commit, "pairs": pairs, "queries": {}}
-    print(f"\n{'query':34s} {'r5':>8s} {'head':>8s} {'ratio':>7s}")
+    result = {"commit_pinned": commit, "pairs": pairs, "set": sys.argv[3] if len(sys.argv) > 3 else "shared13", "queries": {}}
+    print(f"\n{'query':34s} {'pinned':>8s} {'head':>8s} {'ratio':>7s}")
     tot5 = toth = 0.0
-    for q in SHARED_13:
+    for q in QUERY_SET:
         # A query absent from one side (e.g. the pinned checkout never
         # registered it) is recorded as null, excluded from the
         # subtotal, and never becomes NaN — bare NaN is invalid JSON.
-        a_s, b_s = samples["r5"].get(q), samples["head"].get(q)
+        a_s, b_s = samples["pinned"].get(q), samples["head"].get(q)
         if not a_s or not b_s:
-            result["queries"][q] = {"r5": None, "head": None, "ratio": None,
+            result["queries"][q] = {"pinned": None, "head": None, "ratio": None,
                                     "missing_from": [s for s, v in
-                                                     (("r5", a_s), ("head", b_s))
+                                                     (("pinned", a_s), ("head", b_s))
                                                      if not v]}
             print(f"{q:34s} {'--':>8s} {'--':>8s} {'--':>7s}")
             continue
         a, b = min(a_s), min(b_s)
         tot5 += a
         toth += b
-        result["queries"][q] = {"r5": round(a, 4), "head": round(b, 4),
+        result["queries"][q] = {"pinned": round(a, 4), "head": round(b, 4),
                                 "ratio": round(b / a, 3) if a else None}
         print(f"{q:34s} {a:8.3f} {b:8.3f} {b / a:7.2f}")
-    result["subtotal"] = {"r5": round(tot5, 4), "head": round(toth, 4),
+    result["subtotal"] = {"pinned": round(tot5, 4), "head": round(toth, 4),
                           "ratio": round(toth / tot5, 3) if tot5 else None}
     if tot5:
         print(f"{'SUBTOTAL':34s} {tot5:8.3f} {toth:8.3f} {toth / tot5:7.2f}")
