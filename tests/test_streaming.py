@@ -335,3 +335,30 @@ def test_session_windows_restart_from_checkpoint_equals_uninterrupted(
     assert got_a == got_b
     shutil.rmtree(d_a, ignore_errors=True)
     shutil.rmtree(d_b, ignore_errors=True)
+
+
+def test_stateful_user_counts_evicting_single_batch(spark, sf_dir, batch_events):
+    """idle_timeout (EventTimeTimeout eviction, r13): the whole fixture
+    arrives in one micro-batch, so no user can time out mid-stream —
+    emitted counts must equal the batch counts exactly (eviction only
+    changes long-idle behavior, never in-horizon results). The
+    multi-batch eviction curve itself is pinned in
+    STREAMING_STATE.json "x10_skew" (tools/streaming_state_x10.py)."""
+    stream = read_events_stream(spark, sf_dir)
+    out = run_stream_to_memory(
+        stateful_user_counts(stream, idle_timeout="4 hours"),
+        "t_stateful_evict", output_mode="update",
+    )
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    )
+    got = {r.user_id: r.n_events for r in final}
+    want = {
+        r.user_id: r.n
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
