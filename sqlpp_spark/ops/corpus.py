@@ -1046,3 +1046,32 @@ def split_assignment(
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn("split", expr)
+
+
+def shuffle_order(
+    df: DataFrame, id_col: str = "doc_id", salt: str = "shuf0",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic training-order shuffle: each document's position
+    is (shard, rank) where shard = hash % n_shards and rank orders by
+    the salted hash within the shard — the global order is the usual
+    shard-interleaved read order. Engine- and run-independent (same
+    md5 as hash_sample): re-running the pipeline or resuming a crashed
+    epoch yields the SAME order, and the order is uncorrelated with
+    ingest order (the property that matters — sequentially-ingested
+    domains must not appear consecutively in training).
+
+    Scale: the window partitions by shard, so no task ever sorts more
+    than n/n_shards rows; at 100 TB pick n_shards ~ cluster cores so
+    each per-shard sort is a single spillable task. Zero driver
+    involvement; output carries only (id, shard, rank)."""
+    h = hash64(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    base = ensure_parallelism(df).select(
+        F.col(id_col), (h % n_shards).cast("bigint").alias("shard"),
+        h.alias("__h"),
+    )
+    w = W.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return base.select(
+        F.col(id_col), "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
+    )

@@ -872,3 +872,85 @@ def label_centroid_outliers(
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= top_n)
     )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame, k: int = 8, n_rounds: int = 1, dim: int = 64,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """ORACLE-EXACT Lloyd k-means: unlike ``ivf_centroids`` (pyspark.ml
+    KMeans — fast, but sampling/init make it engine-specific), every
+    arithmetic step here is bit-reproducible in any engine:
+
+    - coords quantize once to fixed point (floor(x * 2^scale_bits) as
+      BIGINT — floor, not cast: cast rounds in some engines and
+      truncates in others);
+    - initial centroids are the quantized coords of the k smallest ids
+      (deterministic, SQL-derivable — the pivot-quantizer convention);
+    - assignment is argmin of a LEFT-ASSOCIATED double chain over the
+      k centroid literals (ties to the smallest cell id) — the same
+      fold order as _nearest_cells / _sqdist_sql;
+    - centroid recompute sums the BIGINT coords exactly (integer sums
+      commute; double sums do not) and divides IN SQL as double/double,
+      so the collected means are the same IEEE doubles DuckDB computes.
+
+    Scale: assignment is a scan-stage expression (centroids are plan
+    literals; ride the broadcast-column path past CELL_EXPR_MAX as in
+    _with_probe_cells); the recompute shuffles only (cell, 64 partial
+    int sums) per map task — partial aggregation makes the shuffle
+    k×dim integers per task regardless of corpus size. Each round
+    collects k×dim doubles (centroid metadata, not data). Exact-sum
+    validity needs n_rows * 2^scale_bits < 2^53 — at 10^9 rows drop
+    scale_bits to 22 or split the sum; asserted here for the local
+    scale. Returns (id, cell) for the final assignment after
+    ``n_rounds`` recompute rounds."""
+    from pyspark import StorageLevel
+
+    scale = float(1 << scale_bits)
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("bigint")
+    )
+    base = corpus.select(F.col(id_col).alias("__vid"), qv.alias("__qv"))
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    init = base.filter(F.col("__vid") < k).orderBy("__vid").collect()
+    cents = {int(r["__vid"]): [float(x) for x in r["__qv"]] for r in init}
+    cell_ids = sorted(cents)
+
+    def assign(df):
+        vec_d = F.transform(F.col("__qv"), lambda x: x.cast("double"))
+        return df.withColumn(
+            "cell",
+            _nearest_cells(vec_d, [cents[c] for c in cell_ids], 1, cell_ids)[0],
+        )
+
+    for _ in range(n_rounds):
+        assigned = assign(base)
+        aggs = [F.count(F.lit(1)).alias("__cnt")] + [
+            F.sum(F.element_at("__qv", d + 1)).alias(f"__s{d}")
+            for d in range(dim)
+        ]
+        means = (
+            assigned.groupBy("cell")
+            .agg(*aggs)
+            .select(
+                "cell",
+                *[
+                    (
+                        F.col(f"__s{d}").cast("double")
+                        / F.col("__cnt").cast("double")
+                    ).alias(f"__m{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()
+        )
+        for r in means:  # empty cells keep their previous centroid
+            cents[int(r["cell"])] = [float(r[f"__m{d}"]) for d in range(dim)]
+
+    out = assign(base).select(
+        F.col("__vid").alias(id_col), F.col("cell").cast("bigint").alias("cell")
+    )
+    out._sqlpp_persisted = [base]
+    return out

@@ -613,3 +613,27 @@ def corpus_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards=_PACK_SHARDS,
         token_counter=C.bpe_token_count(merges),
     )
+
+
+# -- deterministic training-order shuffle (r13) ------------------------------
+
+_SHUFH = hash64_sql("'shuf0' || '|' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "corpus_shuffle_order",
+    oracle=f"""
+SELECT doc_id,
+       CAST({_SHUFH} % 16 AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY {_SHUFH} % 16
+              ORDER BY {_SHUFH} ASC, doc_id ASC) - 1 AS BIGINT) AS rank
+FROM documents
+ORDER BY doc_id
+""",
+)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (ops/corpus.py shuffle_order):
+    hash-sharded, hash-ranked training order — same order on every
+    run/engine/resume, uncorrelated with ingest order, and no task
+    sorts more than n/16 of the corpus (shard-partitioned window)."""
+    return C.shuffle_order(table(spark, sf_dir, "documents")).orderBy("doc_id")

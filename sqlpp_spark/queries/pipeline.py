@@ -1365,3 +1365,75 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan never shuffles, bounded per-query window."""
     emb = table(spark, sf_dir, "embeddings")
     return S.hard_negative_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
+
+
+# -- oracle-exact Lloyd k-means (r13) -----------------------------------------
+
+_KM_K, _KM_DIM, _KM_SCALE = 8, 64, 1 << 20
+
+
+def _km_chain(a: str, b: str, dim: int) -> str:
+    """Left-associated quantized squared-L2 chain — same fold order as
+    the Spark zip_with/aggregate in _nearest_cells (see _sqdist_sql)."""
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - {b}[{i}])"
+        f" * (CAST({a}[{i}] AS DOUBLE) - {b}[{i}])"
+        for i in range(1, dim + 1)
+    )
+
+
+def _km_assign_sql(cent_cte: str, dim: int) -> str:
+    return f"""
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_km_chain('e.qv', 'c.cv', dim)} ASC, c.cell ASC) AS rn
+    FROM e CROSS JOIN {cent_cte} c
+  ) WHERE rn = 1
+"""
+
+
+def _kmeans_oracle(k: int, dim: int, scale: int) -> str:
+    means = ", ".join(
+        f"CAST(SUM(e.qv[{i}]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {float(scale)}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cell, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
+  FROM e WHERE vec_id < {k}
+),
+a1 AS ({_km_assign_sql('c0', dim)}),
+m1 AS (
+  SELECT a1.cell, [{means}] AS cv
+  FROM a1 JOIN e USING (vec_id) GROUP BY a1.cell
+),
+c1 AS (
+  SELECT c0.cell, COALESCE(m1.cv, c0.cv) AS cv
+  FROM c0 LEFT JOIN m1 USING (cell)
+),
+a2 AS ({_km_assign_sql('c1', dim)})
+SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a2 ORDER BY vec_id
+"""
+
+
+@register("ann_kmeans_lloyd", oracle=_kmeans_oracle(_KM_K, _KM_DIM, _KM_SCALE))
+def ann_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means with EXACT cross-engine parity (ops/similarity.py
+    kmeans_lloyd): fixed-point quantized coords, deterministic init
+    (k smallest ids), left-associated distance chains, integer-exact
+    centroid sums with SQL-side double division — one full
+    assign→recompute→assign cycle replayed step-for-step by the DuckDB
+    oracle. The engine-specific fast path (pyspark.ml KMeans) remains
+    ivf_centroids; this is the auditable variant a pipeline uses when
+    cluster assignments must be reproducible across engines/runs."""
+    from sqlpp_spark.ops.similarity import kmeans_lloyd
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=_KM_K, n_rounds=1, dim=_KM_DIM).orderBy("vec_id")

@@ -458,3 +458,33 @@ def test_mixture_weights_token_counter(spark):
     # s1: "aa aa" -> 2 BPE tokens; s2: "cc dd" -> 4 (no merges fire)
     assert rows["s1"].n_tokens == 2
     assert rows["s2"].n_tokens == 4
+
+
+def test_shuffle_order_deterministic_and_sharded(spark):
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "doc_id long, text string"
+    )
+    a = {r.doc_id: (r.shard, r.rank) for r in C.shuffle_order(df).collect()}
+    b = {r.doc_id: (r.shard, r.rank) for r in C.shuffle_order(df).collect()}
+    assert a == b  # run-independent
+    # ranks within each shard are dense 0..n_s-1
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for shard, rank in a.values():
+        by_shard[shard].append(rank)
+    for ranks in by_shard.values():
+        assert sorted(ranks) == list(range(len(ranks)))
+    # adding documents never changes the relative order of existing ones
+    df2 = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(150)], "doc_id long, text string"
+    )
+    c = {r.doc_id: (r.shard, r.rank) for r in C.shuffle_order(df2).collect()}
+    for shard, ranks in by_shard.items():
+        old = sorted(
+            (a[d][1], d) for d in a if a[d][0] == shard
+        )
+        new_order = sorted(
+            (c[d][1], d) for d in a if c[d][0] == shard
+        )
+        assert [d for _, d in old] == [d for _, d in new_order]

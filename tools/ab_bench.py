@@ -68,6 +68,13 @@ SHARED_13 = [
 
 SETS["shared13"] = SHARED_13
 SETS["shared21"] = SHARED_21
+# the three rows whose shared21 ratios exceeded 1.2 under load — a
+# quiet-box re-adjudication set (r13)
+SETS["suspect3"] = [
+    "dedup_substring_rate",
+    "pipeline_clean_corpus",
+    "ann_knn_graph",
+]
 
 QUERY_SET = SHARED_13  # rebound in main() from argv
 
@@ -147,9 +154,10 @@ def main() -> None:
                           "ratio": round(toth / tot5, 3) if tot5 else None}
     if tot5:
         print(f"{'SUBTOTAL':34s} {tot5:8.3f} {toth:8.3f} {toth / tot5:7.2f}")
-    with open(os.path.join(REPO, "AB_BENCH.json"), "w") as f:
+    out_path = os.environ.get("AB_BENCH_OUT", "AB_BENCH.json")
+    with open(os.path.join(REPO, out_path), "w") as f:
         json.dump(result, f, indent=1)
-    print("wrote AB_BENCH.json")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
