@@ -531,57 +531,3 @@ def classify_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         (logit >= 0.0).alias("keep"),
     )
 
-
-# ---------------------------------------------------------------------------
-# PII redaction (r13) — the masking pass a training pipeline runs before
-# any text leaves the ingest boundary (emails / IPv4s / phone numbers).
-# ---------------------------------------------------------------------------
-
-# Shared-syntax regexes (no lookaround, no backrefs) so Java regex
-# (Spark) and RE2 (DuckDB) agree match-for-match; both engines use
-# leftmost greedy replace-all semantics.
-PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IPV4_RE = (
-    r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
-)
-# international-ish phone: +/digit start, then >= 8 more digits with
-# optional single separators — anchored on word boundaries so it never
-# eats ids embedded in words
-PII_PHONE_RE = r"\+?\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
-
-PII_PATTERNS = (
-    ("email", PII_EMAIL_RE, "<EMAIL>"),
-    ("ipv4", PII_IPV4_RE, "<IP>"),
-    ("phone", PII_PHONE_RE, "<PHONE>"),
-)
-
-
-def redact_pii(c: Column):
-    """(redacted_text, counts...) columns: sequential replace-all in
-    the declared pattern order (email first so user@host never
-    half-matches as a phone). Pure regexp_replace/regexp_count —
-    scan-stage, zero shuffles, no UDF: at 100 TB this is free with the
-    read pass. Returns dict of Columns keyed 'redacted' +
-    'n_<category>'."""
-    out = {}
-    red = c
-    for name, pat, repl in PII_PATTERNS:
-        out[f"n_{name}"] = F.size(F.regexp_extract_all(red, F.lit(pat), 0)).cast("bigint")
-        red = F.regexp_replace(red, pat, repl)
-    out["redacted"] = red
-    return out
-
-
-def redact_pii_sql(c: str) -> dict:
-    """DuckDB twin: identical patterns, identical application order
-    ('g' flag = replace all)."""
-    out = {}
-    red = c
-    for name, pat, repl in PII_PATTERNS:
-        esc = pat.replace("'", "''")
-        out[f"n_{name}"] = (
-            f"CAST(len(regexp_extract_all({red}, '{esc}')) AS BIGINT)"
-        )
-        red = f"regexp_replace({red}, '{esc}', '{repl}', 'g')"
-    out["redacted"] = red
-    return out

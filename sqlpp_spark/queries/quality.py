@@ -370,53 +370,3 @@ def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, rates, default_rate=0.3, stratum_col="lang"
     ).select("doc_id", "lang")
 
-
-# -- PII redaction (r13) -----------------------------------------------------
-
-# The synthetic fixture carries no organic PII, which would make a
-# redaction oracle a vacuous zero-count check — so the query PLANTS
-# deterministic PII (email / IPv4 / phone derived from doc_id) into
-# each document on BOTH engines, then redacts. The interesting check
-# is the redacted text itself hash-matching after three sequential
-# replace-alls.
-_PII_PLANT = (
-    "(text || ' contact user' || CAST(doc_id AS VARCHAR) || "
-    "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
-    "'.7 call 555-867-5' || CAST(doc_id % 10 AS VARCHAR) || '09.')"
-)
-_PII = X.redact_pii_sql(_PII_PLANT)
-
-
-@register(
-    "text_pii_redact",
-    oracle=f"""
-SELECT doc_id,
-       {_PII['n_email']} AS n_email,
-       {_PII['n_ipv4']} AS n_ipv4,
-       {_PII['n_phone']} AS n_phone,
-       {_PII['redacted']} AS redacted
-FROM documents
-ORDER BY doc_id
-""",
-)
-def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII masking (ops/text.py redact_pii): plant deterministic
-    email/IPv4/phone strings per doc, then redact all three categories
-    with shared-syntax regexes (Java regex == RE2 on this subset) in a
-    fixed order. Entirely scan-stage regexp_replace — the pass is free
-    with the read at 100 TB; counts come from the same expressions."""
-    d = table(spark, sf_dir, "documents")
-    planted = F.concat(
-        F.col("text"), F.lit(" contact user"),
-        F.col("doc_id").cast("string"), F.lit("@example.com from 10.0."),
-        (F.col("doc_id") % 256).cast("string"), F.lit(".7 call 555-867-5"),
-        (F.col("doc_id") % 10).cast("string"), F.lit("09."),
-    )
-    r = X.redact_pii(planted)
-    return d.select(
-        "doc_id",
-        r["n_email"].alias("n_email"),
-        r["n_ipv4"].alias("n_ipv4"),
-        r["n_phone"].alias("n_phone"),
-        r["redacted"].alias("redacted"),
-    ).orderBy("doc_id")

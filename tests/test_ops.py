@@ -1386,38 +1386,6 @@ def test_triangle_counts_known_graphs(spark):
     assert got2[3] == got2[4] == got2[5] == 0
 
 
-# -- PII redaction (r13) -----------------------------------------------------
-
-
-def test_redact_pii_categories(spark):
-    from pyspark.sql import functions as F
-
-    from sqlpp_spark.ops.text import redact_pii
-
-    rows = [
-        (1, "mail a.b+c@ex-ample.co.uk now"),
-        (2, "srv at 192.168.0.1 and 10.0.0.255."),
-        (3, "call 555-867-5309 or 555 123 4567"),
-        (4, "no pii here 1234 end"),
-        (5, "both x@y.io 8.8.8.8 555-111-2222"),
-    ]
-    df = spark.createDataFrame(rows, "id long, t string")
-    r = redact_pii(F.col("t"))
-    got = {
-        x["id"]: x
-        for x in df.select(
-            "id", r["n_email"].alias("e"), r["n_ipv4"].alias("i"),
-            r["n_phone"].alias("p"), r["redacted"].alias("red"),
-        ).collect()
-    }
-    assert (got[1]["e"], got[1]["i"], got[1]["p"]) == (1, 0, 0)
-    assert got[1]["red"] == "mail <EMAIL> now"
-    assert (got[2]["e"], got[2]["i"], got[2]["p"]) == (0, 2, 0)
-    assert (got[3]["e"], got[3]["i"], got[3]["p"]) == (0, 0, 2)
-    assert (got[4]["e"], got[4]["i"], got[4]["p"]) == (0, 0, 0)
-    assert got[5]["red"] == "both <EMAIL> <IP> <PHONE>"
-
-
 def test_kmeans_lloyd_matches_numpy_reference(spark):
     import numpy as np
 

