@@ -369,16 +369,23 @@ class Compiler:
                     and getattr(node, "corr", None)
                     and id(node) not in scalar_map
                 ):
-                    # per-outer-row match flags for CORRELATED IN /
-                    # EXISTS would need per-group markers (and theta
-                    # keys make the flag join row-multiplying); the
-                    # conjunct position compiles these as semi/anti
-                    # joins instead — route users there.
-                    raise SqlppError(
-                        "correlated IN/EXISTS subqueries are only "
-                        "supported as top-level WHERE conjuncts "
-                        "(optionally under NOT)",
-                        getattr(node, "loc", None),
+                    # r13: EQUALITY-correlated IN/EXISTS get a real
+                    # per-outer-row match flag (works under OR, in
+                    # projection position, ...): the flag side is
+                    # DISTINCT over the correlation keys, so the left
+                    # join attaches at most one row per outer row.
+                    # Theta correlation keys would make the flag join
+                    # row-multiplying — those stay conjunct-only.
+                    if any(op != "=" for op, _ie, _oe in node.corr):
+                        raise SqlppError(
+                            "correlated IN/EXISTS subqueries with "
+                            "non-equality correlation are only "
+                            "supported as top-level WHERE conjuncts "
+                            "(optionally under NOT)",
+                            getattr(node, "loc", None),
+                        )
+                    df = self._attach_corr_flag(
+                        df, node, binds, scalar_map, subst
                     )
                 if isinstance(node, A.EIn) and id(node) not in scalar_map:
                     sub_df = self.compile_select(node.sub_ctx, binds)
@@ -433,6 +440,91 @@ class Compiler:
                         df, node, binds, scalar_map, subst
                     )
         return df, scalar_map
+
+    def _attach_corr_flag(
+        self, df: DataFrame, node, binds: Bindings,
+        scalar_map: Dict[int, Column],
+        subst: Optional[Dict[tuple, str]] = None,
+    ) -> DataFrame:
+        """Match flag for an EQUALITY-correlated IN/EXISTS in a
+        non-conjunct position (r13). EXISTS: left-join the DISTINCT
+        correlation-key frame with a TRUE flag — matched iff the flag
+        survives; the flag is two-valued (EXISTS never yields NULL).
+        IN: the flag side carries (membership cols + correlation keys)
+        distinct, and single-column IN keeps FULL three-valued
+        semantics via a per-correlation-GROUP marker (count + has-null
+        per key group, left-joined on the keys) — the correlated
+        analogue of the global one-row marker the uncorrelated path
+        uses. Multi-column tuples keep the two-valued flag (same
+        documented deviation as uncorrelated). Every attached frame is
+        key-distinct, so no join can multiply outer rows."""
+        alias = self._fresh("__cfl")
+        flag = f"{alias}_flag"
+        is_in = isinstance(node, A.EIn)
+        sub_df, keys = self._corr_sub_frame(
+            node.sub_ctx, node.corr, alias, binds, extra_fields=is_in
+        )
+        outer_cols = [
+            self._outer_col(oe, binds, subst) for _op, _ie, oe in node.corr
+        ]
+        kcond = None
+        if is_in:
+            sub_fields = [f for f in node.sub_ctx.fields if f.is_used]
+            sub_cols = [f.out_name for f in sub_fields]
+            probes = [self.expr(e, binds, {}, subst) for e in node.exprs]
+            if len(sub_cols) == 1:
+                nn, hn = f"{alias}_n", f"{alias}_hasnull"
+                marker = (
+                    sub_df.groupBy(*[F.col(k) for k in keys])
+                    .agg(
+                        F.count(F.lit(1)).alias(nn),
+                        F.max(F.col(sub_cols[0]).isNull()).alias(hn),
+                    )
+                    .select(
+                        *[
+                            F.col(k).alias(f"{alias}_mk{i}")
+                            for i, k in enumerate(keys)
+                        ],
+                        nn, hn,
+                    )
+                )
+                mcond = None
+                for i, oc in enumerate(outer_cols):
+                    c = oc == F.col(f"{alias}_mk{i}")
+                    mcond = c if mcond is None else (mcond & c)
+                df = df.join(marker, on=mcond, how="left")
+            fl = sub_df.distinct().withColumn(flag, F.lit(True)).alias(alias)
+            cond = None
+            for probe, cname in zip(probes, sub_cols):
+                c = probe == F.col(f"{alias}.{cname}")
+                cond = c if cond is None else (cond & c)
+            for i, oc in enumerate(outer_cols):
+                cond = cond & (oc == F.col(f"{alias}.{keys[i]}"))
+            df = df.join(fl, on=cond, how="left")
+            matched = F.col(flag).isNotNull()
+            if len(sub_cols) == 1:
+                non_empty = F.coalesce(F.col(nn), F.lit(0)) > 0
+                unknown = non_empty & (
+                    probes[0].isNull() | F.coalesce(F.col(hn), F.lit(False))
+                )
+                col = F.when(matched, F.lit(True)).otherwise(
+                    F.when(unknown, F.lit(None).cast("boolean")).otherwise(
+                        F.lit(False)
+                    )
+                )
+            else:
+                col = matched
+            if node.negated:
+                col = ~col
+        else:
+            fl = sub_df.distinct().withColumn(flag, F.lit(True)).alias(alias)
+            for i, oc in enumerate(outer_cols):
+                c = oc == F.col(f"{alias}.{keys[i]}")
+                kcond = c if kcond is None else (kcond & c)
+            df = df.join(fl, on=kcond, how="left")
+            col = F.col(flag).isNotNull()
+        scalar_map[id(node)] = col
+        return df
 
     def _outer_col(
         self, oe: A.Expr, binds: Bindings,

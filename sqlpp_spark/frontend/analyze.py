@@ -531,9 +531,21 @@ class Analyzer:
         if isinstance(e, A.EApp):
             return self._infer_app(ctx, e)
         if isinstance(e, A.EIn):
-            return self._infer_in(ctx, e)
+            try:
+                return self._infer_in(ctx, e)
+            except SqlppError as err:
+                split = self._try_quantified_or_split(ctx, e, err)
+                if split is not None:
+                    return split
+                raise
         if isinstance(e, A.EExists):
-            sub, corr = self._lift_correlated(ctx, e.select)
+            try:
+                sub, corr = self._lift_correlated(ctx, e.select)
+            except SqlppError as err:
+                split = self._try_quantified_or_split(ctx, e, err)
+                if split is not None:
+                    return split
+                raise
             e.sub_ctx = sub
             e.corr = corr
             if corr:
@@ -1114,6 +1126,48 @@ class Analyzer:
             sub_ctx.select.where.ty = BOOL
         return sub_ctx, corr
 
+    def _try_quantified_or_split(self, ctx: SelectCtx, e, err):
+        """r13: EXISTS/IN distribute over OR — existential
+        quantification over a union is the Kleene-OR of the branch
+        quantifications (exact in three-valued logic too, so NOT IN
+        stays null-aware). When the direct correlation lift fails with
+        the boundary error AND the subquery WHERE contains a top-level
+        OR of decorrelatable branches, rewrite
+
+            EXISTS (S WHERE P OR Q)  ->  EXISTS(S WHERE P) OR
+                                         EXISTS(S WHERE Q)
+            x IN   (S WHERE P OR Q)  ->  x IN(S WHERE P) OR
+                                         x IN(S WHERE Q)
+
+        via full AND-over-OR distribution (DNF, capped at 8 branches —
+        past that the rewrite would multiply subquery scans, not help).
+        Branches whose correlation is still undecorrelatable (theta
+        under OR, non-comparison) re-raise their own boundary error.
+        Returns (expr, ty) or None when the shape does not apply."""
+        if "unsupported correlation" not in str(err):
+            return None
+        where = e.select.where
+        if where is None:
+            return None
+        disjuncts = _dnf(where)
+        if not 1 < len(disjuncts) <= 8:
+            return None
+        branches = []
+        for conjs in disjuncts:
+            b = copy.deepcopy(e)
+            b.select.where = _join_and([copy.deepcopy(c) for c in conjs])
+            branches.append(b)
+        node = None
+        ty = BOOL
+        for b in branches:
+            elab, bty = self.infer_expr(ctx, b)
+            ty = BOOL.with_non_null(ty.non_null and bty.non_null)
+            node = elab if node is None else A.EApp(
+                "or", [node, elab], loc=e.loc
+            )
+            node.ty = ty
+        return node, ty
+
     def _try_infer(self, ctx: SelectCtx, expr: A.Expr):
         try:
             return self.infer_expr(ctx, copy.deepcopy(expr))
@@ -1225,6 +1279,22 @@ def _nav_chain(path: List[str], inner: A.Expr, loc: Loc) -> A.ENav:
     for name in reversed(path):
         e = A.ENav(scope=name, expr=e, loc=loc)
     return e
+
+
+def _dnf(e):
+    """Distribute AND over OR: list of conjunct-lists whose OR-join is
+    equivalent to ``e``. NOT is treated as an atom (no De Morgan — a
+    correlated atom under NOT stays undecorrelatable and will re-raise
+    its boundary error downstream)."""
+    if isinstance(e, A.EApp) and e.fn.lower() == "and" and len(e.args) == 2:
+        return [
+            left + right
+            for left in _dnf(e.args[0])
+            for right in _dnf(e.args[1])
+        ]
+    if isinstance(e, A.EApp) and e.fn.lower() == "or" and len(e.args) == 2:
+        return _dnf(e.args[0]) + _dnf(e.args[1])
+    return [[e]]
 
 
 def _split_and(e):

@@ -282,3 +282,32 @@ _sqlpp(
     "WHERE s.s_nationkey < n.n_regionkey) AS n_below "
     "FROM nation n GROUP BY n_regionkey",
 )
+
+_sqlpp(
+    # r13: correlated EXISTS under OR — the quantifier distributes over
+    # the union (analyze.py _try_quantified_or_split), each DNF branch
+    # compiling through the per-outer-row match flag
+    # (compile.py _attach_corr_flag)
+    "sqlpp_exists_or_split",
+    "select n.n_nationkey as nationkey from nation as n "
+    "where exists (select 1 as one from supplier as s "
+    "where s.s_nationkey = n.n_nationkey or s.s_acctbal > 9900)",
+    "SELECT n_nationkey AS nationkey FROM nation n "
+    "WHERE EXISTS (SELECT 1 FROM supplier s "
+    "WHERE s.s_nationkey = n.n_nationkey OR s.s_acctbal > 9900)",
+)
+
+_sqlpp(
+    # r13: equality-correlated IN in PROJECTION position (match-flag
+    # path) combined with a correlated-OR membership set — both flag
+    # joins are key-distinct, so the outer row count is preserved
+    "sqlpp_in_flag_projection",
+    "select c.c_custkey as custkey, "
+    "(c.c_custkey in (select o.o_custkey from orders as o "
+    "where o.o_custkey = c.c_custkey or o.o_totalprice > 400000)) "
+    "as has_order from customer as c where c.c_custkey < 200",
+    "SELECT c_custkey AS custkey, "
+    "(c_custkey IN (SELECT o_custkey FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey OR o.o_totalprice > 400000)) "
+    "AS has_order FROM customer c WHERE c_custkey < 200",
+)

@@ -169,12 +169,15 @@ def test_correlated_sub_shape_errors(eng):
          "no such scope|unsupported correlation")
 
 
-def test_correlated_scalar_position_rejected(eng):
-    # projection-position correlated IN compiles through the match-flag
-    # path, which is conjunct-only for correlated nodes
-    with pytest.raises(SqlppError, match="top-level WHERE conjuncts"):
+def test_correlated_scalar_position_theta_rejected(eng):
+    # projection-position correlated IN/EXISTS now compile through the
+    # r13 match-flag path for EQUALITY correlation (covered in
+    # test_correlated_under_disjunction_supported_via_or_split); theta
+    # correlation keys would make the flag join row-multiplying and
+    # stay conjunct-only, with a dedicated error
+    with pytest.raises(SqlppError, match="non-equality correlation"):
         eng.fetch_list(
-            "select id, (id in (select id from t2 where t2.grp = t1.grp)) "
+            "select id, (id in (select id from t2 where t2.grp > t1.grp)) "
             "as f from t1"
         )
 
@@ -193,23 +196,55 @@ def test_uncorrelated_paths_unchanged(eng, duck):
     assert rows == want == [(1,), (2,), (3,), (5,)]
 
 
-def test_correlated_under_disjunction_clean_boundary(eng):
-    """r13: correlated predicates in undecorrelatable positions (under
-    OR / NOT / function args that don't split sides) raise the
-    DEDICATED boundary error at compile time — never the raw
-    name-resolution failure, never a wrong answer at runtime."""
-    _err(eng,
-         "select id from t1 where exists (select 1 as one from t2 "
-         "where t2.grp = t1.grp or t2.amt > 100)",
-         "unsupported correlation")
+def test_correlated_under_disjunction_supported_via_or_split(eng, duck):
+    """r13: EXISTS/IN distribute over OR (existential quantification
+    over a union = Kleene-OR of branch quantifications), so correlated
+    equality atoms under OR now decorrelate — each DNF branch becomes
+    its own EXISTS/IN compiled through the per-outer-row match flag.
+    Differential against DuckDB on the printed SQL."""
+    for src in (
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.grp = t1.grp or t2.amt > 100) order by id",
+        "select id from t1 where id in (select id from t2 "
+        "where t2.grp = t1.grp or t2.grp = t1.id) order by id",
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where (t2.grp = t1.grp and t2.amt > 150) or t2.id = t1.id) "
+        "order by id",
+        "select id from t1 where val not in (select amt from t2 "
+        "where t2.grp = t1.grp or t2.id = t1.id) order by id",
+        "select id from t1 where not exists (select 1 as one from t2 "
+        "where t2.grp = t1.grp or t2.amt > 250) order by id",
+    ):
+        rows, want, sql = _both(eng, duck, src)
+        assert rows == want, f"{src}\n{sql}"
+    # correlated EXISTS/IN under OR at the OUTER level + projection
+    # position (the r13 match-flag path)
+    for src in (
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.grp = t1.grp) or val > 35 order by id",
+        "select id, (id in (select id from t2 where t2.grp = t1.grp)) "
+        "as f from t1 order by id",
+        "select id, (exists (select 1 as one from t2 "
+        "where t2.grp = t1.grp)) as f from t1 order by id",
+    ):
+        rows, want, sql = _both(eng, duck, src)
+        assert rows == want, f"{src}\n{sql}"
+
+
+def test_correlated_remaining_boundaries(eng):
+    """Still-unsupported shapes keep their DEDICATED compile-time
+    errors (never the raw name-resolution failure, never a wrong
+    answer): correlation under NOT (no De Morgan in the DNF split) and
+    theta correlation in flag (non-conjunct) position."""
     _err(eng,
          "select id from t1 where exists (select 1 as one from t2 "
          "where not (t2.grp = t1.grp))",
          "unsupported correlation")
-    _err(eng,
-         "select id from t1 where id in (select id from t2 "
-         "where t2.grp = t1.grp or t2.grp = t1.id)",
-         "unsupported correlation")
+    with pytest.raises(SqlppError, match="non-equality correlation"):
+        eng.fetch_list(
+            "select id, (exists (select 1 as one from t2 "
+            "where t2.grp > t1.grp)) as f from t1"
+        )
     # the same atoms as top-level AND conjuncts stay supported
     rows = eng.fetch_list(
         "select id from t1 where exists (select 1 as one from t2 "

@@ -621,9 +621,11 @@ try:
     def _corr_pred(draw, depth=0):
         """Predicate tree over the region subquery scope with correlated
         atoms navigating to the enclosing nation scope. Returns
-        (src_fragment, corr_is_conjunct_only): the flag is True iff
-        every correlated atom sits at top-level AND-conjunct position —
-        exactly the analyzer's documented decorrelation boundary."""
+        (src, conjunct_ok, has_corr, splittable):
+        conjunct_ok — every correlated atom is a top-level AND conjunct
+        (the direct semi/anti-join path); splittable — the r13 OR-split
+        can decorrelate it (all correlated atoms are EQUALITY and none
+        sits under NOT)."""
         kind = draw(st.sampled_from(
             ["corr", "local", "and", "or", "not"] if depth < 2
             else ["corr", "local"]
@@ -636,48 +638,54 @@ try:
             flip = draw(st.booleans())
             atom = (f"({outer} {op} r_regionkey)" if flip
                     else f"(r_regionkey {op} {outer})")
-            return atom, True, True  # (src, conjunct_ok, has_corr)
+            return atom, True, True, op == "="
         if kind == "local":
             op = draw(st.sampled_from(["=", "<", ">="]))
-            return f"(r_regionkey {op} {draw(st.integers(-1, 5))})", True, False
+            return (f"(r_regionkey {op} {draw(st.integers(-1, 5))})",
+                    True, False, True)
         if kind == "not":
-            src, _, has = draw(_corr_pred(depth + 1))
-            # correlation under NOT is never liftable
-            return f"(not {src})", not has, has
-        l_src, l_ok, l_has = draw(_corr_pred(depth + 1))
-        r_src, r_ok, r_has = draw(_corr_pred(depth + 1))
+            src, _, has, _ = draw(_corr_pred(depth + 1))
+            # correlation under NOT: never liftable, and the DNF split
+            # treats NOT as an atom (no De Morgan)
+            return f"(not {src})", not has, has, not has
+        l_src, l_ok, l_has, l_sp = draw(_corr_pred(depth + 1))
+        r_src, r_ok, r_has, r_sp = draw(_corr_pred(depth + 1))
         if kind == "and":
             # AND preserves conjunct position
-            return f"({l_src} and {r_src})", l_ok and r_ok, l_has or r_has
-        # OR: any correlated atom below is no longer a top-level conjunct
+            return (f"({l_src} and {r_src})", l_ok and r_ok,
+                    l_has or r_has, l_sp and r_sp)
+        # OR: atoms below are no longer top-level conjuncts
         return (f"({l_src} or {r_src})",
                 (l_ok and not l_has) and (r_ok and not r_has),
-                l_has or r_has)
+                l_has or r_has, l_sp and r_sp)
 
     @settings(max_examples=N_EXAMPLES, deadline=None, derandomize=True,
               suppress_health_check=[HealthCheck.function_scoped_fixture])
     @given(_corr_pred(), st.booleans())
     def test_correlation_boundary_fuzz(ext_engine, ext_duck, pred, use_in):
-        """Every shape whose correlated atoms are all top-level AND
-        conjuncts must decorrelate and match DuckDB on the printed SQL;
-        every other correlated shape must raise the dedicated boundary
-        error AT ANALYSIS TIME (frontend/analyze.py _lift_correlated) —
-        wrong answers are never an option, silent acceptance neither."""
-        src_frag, conjunct_ok, has_corr = pred
+        """Conjunct-only correlation → direct semi/anti join; OR-mixed
+        EQUALITY correlation → the r13 EXISTS/IN-over-OR split + match
+        flags — both must match DuckDB on the printed SQL. Everything
+        else (theta under OR, correlation under NOT) must raise its
+        dedicated boundary error BEFORE execution (analysis or plan
+        build) — wrong answers are never an option, silent acceptance
+        neither."""
+        src_frag, conjunct_ok, has_corr, splittable = pred
         if use_in:
             src = ("select n_name from nation where n_regionkey in "
                    f"(select r_regionkey from region where {src_frag})")
         else:
             src = ("select n_name from nation where exists "
                    f"(select 1 as one from region where {src_frag})")
-        if not has_corr or conjunct_ok:
+        if not has_corr or conjunct_ok or splittable:
             ext_differ(ext_engine, ext_duck, src)
         else:
             with pytest.raises(
                 SqlppError,
-                match="unsupported correlation|top-level",
+                match="unsupported correlation|non-equality correlation"
+                      "|top-level",
             ):
-                analyze(ext_engine.env, src)
+                ext_engine.fetch_list(src)
 
     @st.composite
     def _fieldset_query(draw):
