@@ -520,3 +520,18 @@ def test_kmeans_assignment_scan_stage(spark, sf_dir):
     assert "EvalPython" not in p
     assert "Join" not in p, "centroids must be literals, not a join"
     assert shuffle_count(p) <= 1, shuffle_count(p)
+
+
+def test_corr_flag_joins_no_cartesian(spark, sf_dir):
+    """r13 correlated match-flag path: the flag joins are EQUI joins on
+    correlation keys (hash/broadcast-able), never a cartesian or
+    nested-loop over the outer frame — key-distinctness is what makes
+    the rewrite safe AND scalable. (The uncorrelated one-row marker's
+    BroadcastNestedLoopJoin is a 1-row broadcast, allowed.)"""
+    for name in ("sqlpp_exists_or_split", "sqlpp_in_flag_projection"):
+        p = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        # every nested-loop node must be a 1-row broadcast marker side
+        # (ExistenceJoin/marker), never the corpus-sized flag join
+        for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", p):
+            assert "Inner" not in m.group(0) or "BuildRight" in m.group(0)
