@@ -361,13 +361,22 @@ def q_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+)
 """,
 )
 def q_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS → left-anti join."""
+    """NOT EXISTS → left-anti join. The subquery is date-filtered
+    (customers with no RECENT order) so the result is non-empty at
+    every SF — an unfiltered version matches trivially on 0 rows
+    because the generator gives every customer at least one order."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -639,12 +648,19 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_nationkey AS nationkey FROM customer
 EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier
+SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
 """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct). The supplier side is balance-filtered so the
+    difference is non-empty at every SF — unfiltered, suppliers cover
+    all 25 nations and the result trivially matches on 0 rows."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.subtract(s)  # EXCEPT (distinct) semantics
 
 

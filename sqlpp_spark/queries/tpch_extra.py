@@ -1,7 +1,9 @@
 """TPC-H-adapted query suite, part 2 — the remaining TPC-H query
-shapes expressible over the driver's trimmed star schema (no partsupp,
-no commit/receipt dates, no shipmode/phone, so Q2/Q11/Q16/Q20 have
-no equivalent; Q4/Q12/Q21/Q22 are adapted to the columns that exist).
+shapes over the driver's trimmed star schema (no partsupp, no
+commit/receipt dates, no shipmode/phone; Q4/Q12/Q21/Q22 are adapted
+to the columns that exist, and Q2/Q11/Q16/Q20 — the partsupp
+queries — derive the supplier×part relation from lineitem shipment
+history, preserving each query's subquery shape).
 
 Every query follows the determinism contract of relational.py:
 monetary aggregates over exact decimals cast to double at the end,
@@ -148,7 +150,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for one part type, by order year.
 # ---------------------------------------------------------------------------
 
-_Q8_NATION, _Q8_REGION, _Q8_TYPE = "NATION_7", "REGION_1", "ECONOMY"
+_Q8_NATION, _Q8_REGION, _Q8_TYPE = "NATION_7", "ASIA", "ECONOMY"
 
 
 @register(
@@ -680,4 +682,252 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2/Q11/Q16/Q20 (adapted): the four queries TPC-H writes against
+# partsupp. The trimmed schema has no partsupp table, but lineitem
+# carries (l_partkey, l_suppkey), so the supplier×part relation is
+# derived from shipment history: unit cost = min(extendedprice /
+# quantity) a supplier ever charged for a part, and "stock value" =
+# discounted revenue actually shipped. Shapes (correlated min, scalar
+# threshold against a global aggregate, NOT IN, nested grouped IN)
+# are preserved exactly.
+# ---------------------------------------------------------------------------
+
+_Q2_TYPE = "STANDARD"
+_Q2_MAX_SIZE = 15
+_Q2_REGION = "EUROPE"
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+WITH sp AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = '{_Q2_REGION}'
+),
+offer AS (
+  SELECT sp.pk, sp.sk, sp.unit_cost, eu.s_name, eu.s_acctbal, eu.n_name
+  FROM sp JOIN eu ON s_suppkey = sp.sk
+),
+best AS (SELECT pk, MIN(unit_cost) AS min_cost FROM offer GROUP BY pk)
+SELECT o.s_acctbal, o.s_name, o.n_name,
+       p_partkey, p_name, o.unit_cost
+FROM offer o
+JOIN best b ON b.pk = o.pk AND o.unit_cost = b.min_cost
+JOIN part ON p_partkey = o.pk
+WHERE p_type = '{_Q2_TYPE}' AND p_size <= {_Q2_MAX_SIZE}
+ORDER BY o.s_acctbal DESC, o.n_name, o.s_name, p_partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (reference test coverage: the correlated-min
+    scalar subquery shape). The correlated ``MIN(unit_cost) WHERE
+    pk = outer.pk`` decorrelates into a per-part window min + equality
+    filter (ties kept, same as Q2) — ONE lineitem scan instead of the
+    self-join form's two, and the window exchange on pk feeds the part
+    join directly; unit_cost is a double division with identical IEEE
+    sequence in both engines, and min() is order-independent so the
+    equality key is bit-stable."""
+    from pyspark.sql import Window
+
+    l = table(spark, sf_dir, "lineitem")
+    sp = l.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    s = table(spark, sf_dir, "supplier")
+    n = _n(spark, sf_dir)
+    r = F.broadcast(table(spark, sf_dir, "region")).filter(
+        F.col("r_name") == _Q2_REGION
+    )
+    eu = (
+        s.join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offer = sp.join(eu, F.col("s_suppkey") == F.col("sk"))
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == _Q2_TYPE) & (F.col("p_size") <= _Q2_MAX_SIZE)
+    )
+    return (
+        offer.withColumn(
+            "min_cost", F.min("unit_cost").over(Window.partitionBy("pk"))
+        )
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(p, F.col("p_partkey") == F.col("pk"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q11_NATION = "NATION_3"
+_Q11_MULT = 1.5
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+WITH val AS (
+  SELECT l_partkey, SUM({SQL_DISC_PRICE}) AS v
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = '{_Q11_NATION}'
+  GROUP BY l_partkey
+),
+tot AS (SELECT SUM(v) AS t, COUNT(*) AS c FROM val)
+SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+FROM val, tot
+WHERE CAST(v AS DOUBLE) > CAST(t AS DOUBLE) / c * {_Q11_MULT}
+ORDER BY part_value DESC, l_partkey
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (scalar subquery against a global aggregate):
+    parts whose shipped value from one nation's suppliers exceeds a
+    multiple of that nation's mean per-part value (scale-free — a
+    fixed fraction of the total degenerates as part count grows with
+    SF). The global aggregate is a 1-row frame broadcast into the
+    filter (no driver collect); per-part values are exact decimal
+    partial aggs, compared in double with the identical
+    cast-then-divide sequence in both engines."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = _n(spark, sf_dir).filter(F.col("n_name") == _Q11_NATION)
+    val = (
+        l.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_disc_price()).alias("v"))
+    )
+    tot = val.agg(F.sum("v").alias("t"), F.count(F.lit(1)).alias("c"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("v").cast("double")
+            > F.col("t").cast("double") / F.col("c") * F.lit(_Q11_MULT)
+        )
+        .select("l_partkey", F.col("v").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+_Q16_EXCL_BRAND = "Brand#9"
+_Q16_EXCL_TYPE = "PROMO"
+_Q16_SIZES = (1, 5, 9, 14, 19, 23, 36, 45)
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle=f"""
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{_Q16_EXCL_BRAND}'
+  AND p_type <> '{_Q16_EXCL_TYPE}'
+  AND p_size IN {_Q16_SIZES}
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (NOT IN + COUNT DISTINCT): distinct suppliers
+    able to supply each (brand, type, size), excluding suppliers with
+    a negative balance. NOT IN over a never-null key compiles to a
+    left-anti join (broadcast: the exclusion list is a filtered dim);
+    COUNT(DISTINCT) is the only full shuffle and is keyed on the
+    3-column group — partial dedup happens map-side."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != _Q16_EXCL_BRAND)
+        & (F.col("p_type") != _Q16_EXCL_TYPE)
+        & (F.col("p_size").isin(*_Q16_SIZES))
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q20_NAME_PREFIX = "red"
+_Q20_REGION = "ASIA"
+_Q20_QTY = 50
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle=f"""
+SELECT s_name, s_acctbal, n_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = '{_Q20_REGION}'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '{_Q20_NAME_PREFIX}%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {_Q20_QTY}
+  )
+ORDER BY s_name
+""",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (IN over a grouped-HAVING subquery): suppliers
+    in a region who shipped more than a threshold quantity of any
+    '{prefix}%' part in 1997. The IN compiles to a left-semi join on
+    s_suppkey; the inner aggregate groups on (supp, part) so its
+    shuffle key matches the lineitem access pattern, and the part
+    name filter prunes before the join."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(_Q20_NAME_PREFIX)
+    )
+    heavy = (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_d2("l_quantity")).alias("q"))
+        .filter(F.col("q") > _Q20_QTY)
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = _n(spark, sf_dir)
+    r = F.broadcast(table(spark, sf_dir, "region")).filter(
+        F.col("r_name") == _Q20_REGION
+    )
+    return (
+        s.join(heavy, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_name", "s_acctbal", "n_name")
+        .orderBy("s_name")
     )

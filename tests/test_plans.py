@@ -535,3 +535,23 @@ def test_corr_flag_joins_no_cartesian(spark, sf_dir):
         # (ExistenceJoin/marker), never the corpus-sized flag join
         for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", p):
             assert "Inner" not in m.group(0) or "BuildRight" in m.group(0)
+
+
+def test_partsupp_family_plan_shapes(spark, sf_dir):
+    """r13 TPC-H partsupp adaptations: the shapes that survive scale.
+    Q2 must scan lineitem ONCE (window-min decorrelation, not the
+    self-join form); Q16's NOT IN is a broadcast anti join; Q20's IN
+    is a semi join (no row duplication); all part/date filters reach
+    the parquet scans."""
+    p2 = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+    assert p2.count("lineitem.parquet") == 1, "Q2 must not rescan lineitem"
+    assert "EqualTo(p_type,STANDARD)" in p2  # pushed to the part scan
+
+    p16 = plan_of(spark, sf_dir, "q16_supplier_part_counts")
+    assert re.search(r"BroadcastHashJoin LeftAnti", p16), "NOT IN → broadcast anti"
+    assert "LessThan(s_acctbal,0.0)" in p16  # exclusion filter at the scan
+
+    p20 = plan_of(spark, sf_dir, "q20_excess_suppliers")
+    assert "LeftSemi" in p20, "IN → semi join"
+    assert "StringStartsWith(p_name,red)" in p20
+    assert "GreaterThanOrEqual(l_shipdate" in p20  # year filter at the scan
