@@ -141,3 +141,168 @@ def range_count(
         .withColumn(count_col, F.coalesce(F.col(count_col), F.lit(0)))
         .drop("__rid")
     )
+
+
+def time_bucket(ts_col, bucket_seconds: int):
+    """Integer bucket index of a timestamp (floor of epoch-micros over
+    the bucket width). Computed as (x - x % w) / w: the numerator is an
+    exact multiple of w, so the double division is exactly the integer
+    quotient — no float-boundary misbucketing (oracle uses ``//``)."""
+    w = F.lit(int(bucket_seconds) * 1_000_000)
+    x = F.unix_micros(ts_col)
+    return ((x - x % w) / w).cast("bigint")
+
+
+def gapfill(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+    method: str = "locf",
+) -> DataFrame:
+    """Hypertable-style gap-filled rollup (TimescaleDB ``time_bucket_
+    gapfill`` semantics): bucket rows per group, then densify every
+    group's [min_bucket, max_bucket] range and fill empty buckets —
+    ``locf`` carries the last observed sum forward, ``interpolate``
+    linearly interpolates interior gaps (leading/trailing stay NULL),
+    ``none`` leaves gaps NULL.
+
+    Output: group cols, ``bucket_ts`` timestamp, ``pos`` bucket index,
+    ``n_events`` (0 on gaps), ``bucket_value`` double.
+
+    Scale design (100 TB): the aggregate is a partial-aggregable
+    groupBy on (group, bucket) — per-group partials move, not rows.
+    The dense grid is ``sequence(min,max)`` exploded per GROUP — its
+    size is (time span / bucket) × |groups|, independent of row count,
+    and it joins back on the same (group, bucket) key so AQE reuses
+    the aggregate's partitioning. Fill is one window per group ordered
+    by bucket index — the same shuffle key again; nothing rescans raw.
+    Values aggregate as exact DECIMAL(18,2) so the filled doubles are
+    bit-stable under any partitioning; interpolation divides integer
+    bucket distances — identical IEEE sequence in any engine.
+    """
+    from pyspark import StorageLevel
+
+    gcols = list(group_cols)
+    b = df.groupBy(
+        *gcols, time_bucket(F.col(ts_col), bucket_seconds).alias("pos")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__v"),
+    )
+    # b feeds two consumers (the extent agg and the grid join); without
+    # a persist both recompute the raw-table aggregate — two full scans
+    # at 100 TB. The persisted frame is narrow: group, pos, two aggs.
+    b = b.persist(StorageLevel.MEMORY_AND_DISK)
+    ext = b.groupBy(*gcols).agg(
+        F.min("pos").alias("__mn"), F.max("pos").alias("__mx")
+    )
+    grid = ext.select(
+        *gcols, F.explode(F.sequence("__mn", "__mx")).alias("pos")
+    )
+    j = grid.join(b, on=[*gcols, "pos"], how="left")
+    w_back = (
+        W.partitionBy(*gcols)
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy(*gcols)
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    vd = F.col("__v").cast("double")
+    if method == "locf":
+        filled = F.last(vd, ignorenulls=True).over(w_back)
+    elif method == "interpolate":
+        prev_v = F.last(vd, ignorenulls=True).over(w_back)
+        prev_p = F.last(
+            F.when(F.col("__v").isNotNull(), F.col("pos")), ignorenulls=True
+        ).over(w_back)
+        next_v = F.first(vd, ignorenulls=True).over(w_fwd)
+        next_p = F.first(
+            F.when(F.col("__v").isNotNull(), F.col("pos")), ignorenulls=True
+        ).over(w_fwd)
+        filled = F.when(F.col("__v").isNotNull(), vd).otherwise(
+            prev_v
+            + (next_v - prev_v)
+            * ((F.col("pos") - prev_p) / (next_p - prev_p))
+        )
+    elif method == "none":
+        filled = vd
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown gapfill method: {method}")
+    out = j.select(
+        *gcols,
+        F.timestamp_seconds(F.col("pos") * F.lit(int(bucket_seconds))).alias(
+            "bucket_ts"
+        ),
+        "pos",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_events"),
+        filled.alias("bucket_value"),
+    )
+    out._sqlpp_persisted = [b]  # caller releases via release_intermediates
+    return out
+
+
+def rollup_cascade(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    levels: Sequence[int] = (900, 3600, 86400),
+) -> DataFrame:
+    """Continuous-aggregate cascade (TimescaleDB continuous aggregates
+    / materialized rollup chains): aggregate raw rows once at the
+    finest resolution, then derive every coarser level by
+    RE-AGGREGATING the previous level — never rescanning raw data.
+    ``levels`` are bucket widths in seconds, finest first; each must
+    divide the next. Returns the coarsest level: group cols,
+    ``bucket_ts``, ``n_events``, ``sum_value``, ``min_value``,
+    ``max_value``, ``avg_value``.
+
+    Scale design (100 TB): only the first aggregation touches raw
+    rows; its output is |groups| × (span/finest) — typically 4-6
+    orders of magnitude smaller. Each cascade step shuffles that
+    rollup, not raw. All four statistics are re-aggregation-closed
+    (sum of sums, sum of counts, min of mins, max of maxes); avg is
+    derived at the end as sum/count, so the cascade is EXACTLY equal
+    to a direct aggregate — pinned by the DuckDB oracle computing the
+    daily level straight from raw. Sums stay DECIMAL(18,2) through
+    every level; the one double division happens once at the end.
+    """
+    gcols = list(group_cols)
+    for i, width in enumerate(levels):
+        if i == 0:
+            cur = df.groupBy(
+                *gcols, time_bucket(F.col(ts_col), width).alias("__fine")
+            ).agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__s"),
+                F.min(F.col(value_col)).alias("__mn"),
+                F.max(F.col(value_col)).alias("__mx"),
+            )
+            fine = width
+        else:
+            if width % fine != 0:  # pragma: no cover - caller bug
+                raise ValueError(f"level {width} not a multiple of {fine}")
+            cur = cur.groupBy(
+                *gcols,
+                F.floor(F.col("__fine") / F.lit(width // fine)).alias("__fine"),
+            ).agg(
+                F.sum("__n").alias("__n"),
+                F.sum("__s").alias("__s"),
+                F.min("__mn").alias("__mn"),
+                F.max("__mx").alias("__mx"),
+            )
+            fine = width
+    return cur.select(
+        *gcols,
+        F.timestamp_seconds(F.col("__fine") * F.lit(int(fine))).alias("bucket_ts"),
+        F.col("__n").cast("bigint").alias("n_events"),
+        F.col("__s").cast("double").alias("sum_value"),
+        F.col("__mn").alias("min_value"),
+        F.col("__mx").alias("max_value"),
+        (F.col("__s").cast("double") / F.col("__n")).alias("avg_value"),
+    )

@@ -318,3 +318,119 @@ def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=_Z_BITS,
     )
     return e.select("event_id", z.alias("zkey"))
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style gap-filled rollups + continuous-aggregate cascade
+# (ops/temporal.py gapfill / rollup_cascade)
+# ---------------------------------------------------------------------------
+
+_GF_BUCKET = 3600  # hourly
+_GF_US = _GF_BUCKET * 1_000_000
+
+
+def _gapfill_oracle(method: str) -> str:
+    fill = {
+        "locf": "last_value(vd IGNORE NULLS) OVER wb",
+        "interpolate": (
+            "CASE WHEN v IS NOT NULL THEN vd ELSE"
+            " last_value(vd IGNORE NULLS) OVER wb"
+            " + (first_value(vd IGNORE NULLS) OVER wf"
+            "    - last_value(vd IGNORE NULLS) OVER wb)"
+            " * ((pos - last_value(CASE WHEN v IS NOT NULL THEN pos END"
+            "       IGNORE NULLS) OVER wb)"
+            "    / (first_value(CASE WHEN v IS NOT NULL THEN pos END"
+            "       IGNORE NULLS) OVER wf"
+            "       - last_value(CASE WHEN v IS NOT NULL THEN pos END"
+            "       IGNORE NULLS) OVER wb)) END"
+        ),
+    }[method]
+    return f"""
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // {_GF_US} AS pos,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1, 2
+),
+ext AS (SELECT user_id, MIN(pos) AS mn, MAX(pos) AS mx FROM b GROUP BY 1),
+grid AS (
+  SELECT user_id, CAST(u.x AS BIGINT) AS pos
+  FROM ext, unnest(generate_series(mn, mx)) u(x)
+),
+j AS (
+  SELECT g.user_id, g.pos, b.n, b.v, CAST(b.v AS DOUBLE) AS vd
+  FROM grid g LEFT JOIN b USING (user_id, pos)
+)
+SELECT user_id,
+       CAST(to_timestamp(pos * {_GF_BUCKET}) AS TIMESTAMP) AS bucket_ts,
+       pos, COALESCE(n, 0) AS n_events,
+       {fill} AS bucket_value
+FROM j
+WINDOW wb AS (PARTITION BY user_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       wf AS (PARTITION BY user_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("events_gapfill_locf", oracle=_gapfill_oracle("locf"))
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB time_bucket_gapfill + locf semantics: per-user
+    hourly value sums on a DENSE bucket grid, empty buckets carrying
+    the last observed sum forward. Grid size is span/bucket × users —
+    independent of event count; see ops/temporal.py gapfill."""
+    from sqlpp_spark.ops.temporal import gapfill
+
+    return gapfill(
+        table(spark, sf_dir, "events"),
+        group_cols=["user_id"],
+        bucket_seconds=_GF_BUCKET,
+        method="locf",
+    )
+
+
+@register("events_gapfill_interpolate", oracle=_gapfill_oracle("interpolate"))
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with linear interpolation across interior gaps
+    (leading/trailing gaps stay NULL — timescale interpolate
+    semantics). Interpolation arithmetic is double-from-exact-decimal
+    with integer bucket distances: bit-stable in both engines."""
+    from sqlpp_spark.ops.temporal import gapfill
+
+    return gapfill(
+        table(spark, sf_dir, "events"),
+        group_cols=["user_id"],
+        bucket_seconds=_GF_BUCKET,
+        method="interpolate",
+    )
+
+
+@register(
+    "events_rollup_cascade",
+    oracle="""
+SELECT event_type,
+       CAST(to_timestamp((epoch_us(ts) // 86400000000) * 86400) AS TIMESTAMP)
+         AS bucket_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade: 15-min → hourly → daily rollups,
+    each level RE-AGGREGATED from the previous (raw rows touched once).
+    The oracle aggregates raw straight to daily — hash-equality proves
+    the re-aggregation identity the materialized-rollup design relies
+    on. See ops/temporal.py rollup_cascade for the 100 TB argument."""
+    from sqlpp_spark.ops.temporal import rollup_cascade
+
+    return rollup_cascade(
+        table(spark, sf_dir, "events"),
+        group_cols=["event_type"],
+        levels=(900, 3600, 86400),
+    )

@@ -555,3 +555,15 @@ def test_partsupp_family_plan_shapes(spark, sf_dir):
     assert "LeftSemi" in p20, "IN → semi join"
     assert "StringStartsWith(p_name,red)" in p20
     assert "GreaterThanOrEqual(l_shipdate" in p20  # year filter at the scan
+
+
+def test_gapfill_rollup_single_raw_scan(spark, sf_dir):
+    """r13 hypertable ops: gapfill persists the bucket aggregate so the
+    extent calc and the grid join don't EACH rescan raw (two full table
+    scans at 100 TB); the rollup cascade touches raw exactly once with
+    partial aggregation below its first exchange."""
+    p = plan_of(spark, sf_dir, "events_gapfill_interpolate")
+    assert p.count("events.parquet") <= 1 or "InMemoryTableScan" in p
+    pr = plan_of(spark, sf_dir, "events_rollup_cascade")
+    assert pr.count("events.parquet") == 1
+    assert "partial_sum" in pr or "partial_count" in pr

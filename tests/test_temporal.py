@@ -150,3 +150,97 @@ def test_asof_null_key_yields_null_payload(spark):
     ).collect()}
     assert out[None] is None
     assert out["a"] == 7
+
+
+# ---------------------------------------------------------------------------
+# gapfill / rollup_cascade (r13 hypertable ops)
+# ---------------------------------------------------------------------------
+
+
+def test_gapfill_locf_and_grid(spark):
+    from sqlpp_spark.ops.temporal import gapfill
+
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:10:00"), 10.0),
+            (1, _ts("2024-01-01 00:20:00"), 2.0),   # same bucket as above
+            (1, _ts("2024-01-01 03:10:00"), 7.0),   # buckets 1,2 are gaps
+            (2, _ts("2024-01-01 05:00:00"), 1.0),   # single-bucket group
+        ],
+        "g long, ts timestamp, value double",
+    )
+    out = gapfill(df, ["g"], bucket_seconds=3600, method="locf")
+    rows = {(r.g, r.pos): r for r in out.collect()}
+    # dense grid: group 1 spans 4 hourly buckets, group 2 spans 1
+    assert len(rows) == 5
+    base = min(p for (g, p) in rows if g == 1)
+    assert rows[(1, base)].bucket_value == 12.0  # 10+2 summed in-bucket
+    assert rows[(1, base)].n_events == 2
+    # interior gaps carry the last sum forward, count 0
+    assert rows[(1, base + 1)].bucket_value == 12.0
+    assert rows[(1, base + 1)].n_events == 0
+    assert rows[(1, base + 2)].bucket_value == 12.0
+    assert rows[(1, base + 3)].bucket_value == 7.0
+
+
+def test_gapfill_interpolate_interior_only(spark):
+    from sqlpp_spark.ops.temporal import gapfill
+
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:30:00"), 10.0),
+            (1, _ts("2024-01-01 04:30:00"), 2.0),  # 3 interior gap buckets
+        ],
+        "g long, ts timestamp, value double",
+    )
+    out = gapfill(df, ["g"], bucket_seconds=3600, method="interpolate")
+    rows = sorted(out.collect(), key=lambda r: r.pos)
+    vals = [r.bucket_value for r in rows]
+    assert vals == [10.0, 8.0, 6.0, 4.0, 2.0]  # exact linear steps
+    # timestamps land on bucket boundaries
+    assert all(r.bucket_ts.minute == 0 for r in rows)
+
+
+def test_rollup_cascade_equals_direct(spark):
+    """The cascade (15 min → 1 h → 1 d) must be EXACTLY the direct
+    daily aggregate — the re-aggregation identity."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sqlpp_spark.ops.temporal import rollup_cascade, time_bucket
+
+    rng = random.Random(7)
+    rows = [
+        (
+            rng.choice(["a", "b"]),
+            _ts("2024-01-01 00:00:00")
+            + dt.timedelta(seconds=rng.randrange(3 * 86400)),
+            round(rng.uniform(0, 100), 2),
+        )
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    casc = rollup_cascade(df, ["event_type"], levels=(900, 3600, 86400))
+    direct = (
+        df.groupBy(
+            "event_type", time_bucket(F.col("ts"), 86400).alias("d")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .withColumn("avg_value", F.col("sum_value") / F.col("n_events"))
+        .withColumn(
+            "bucket_ts", F.timestamp_seconds(F.col("d") * F.lit(86400))
+        )
+        .select(
+            "event_type", "bucket_ts", "n_events", "sum_value",
+            "min_value", "max_value", "avg_value",
+        )
+    )
+    a = sorted(map(tuple, casc.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b
