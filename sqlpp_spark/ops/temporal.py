@@ -306,3 +306,98 @@ def rollup_cascade(
         F.col("__mx").alias("max_value"),
         (F.col("__s").cast("double") / F.col("__n")).alias("avg_value"),
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[tuple],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest time they
+    completed each step IN ORDER, where ``steps`` is
+    ``[(event_type, None), (event_type, window_seconds), ...]`` — step
+    k must occur at-or-after step k-1's timestamp and (when a window is
+    given) strictly within ``window_seconds`` of it. Users who stall at
+    step k carry NULLs for every later step (kept, left-join
+    semantics — funnel drop-off is the signal, not noise).
+
+    Output: user col + ``t1..tN`` timestamps.
+
+    Scale design (100 TB): one narrow per-user aggregate per step,
+    every shuffle keyed on the SAME user column (AQE reuses the
+    partitioning); each step's input is pre-filtered to one event type
+    at the scan (predicate pushdown), so step k joins |users-at-k-1|
+    against one type's rows — never the whole event stream, and never
+    a per-user sort of all events.
+    """
+    out = None
+    prev_t = None
+    for i, (etype, win) in enumerate(steps, start=1):
+        ev = df.filter(F.col(type_col) == etype).select(
+            F.col(user_col), F.col(ts_col).alias("__ts")
+        )
+        if i == 1:
+            step = ev.groupBy(user_col).agg(F.min("__ts").alias("t1"))
+            out = step
+        else:
+            cond = F.col("__ts") >= F.col(prev_t)
+            if win is not None:
+                cond = cond & (
+                    F.col("__ts")
+                    < F.col(prev_t) + F.expr(f"INTERVAL {int(win)} SECOND")
+                )
+            step = (
+                ev.join(out.select(user_col, prev_t), on=user_col)
+                .filter(cond)
+                .groupBy(user_col)
+                .agg(F.min("__ts").alias(f"t{i}"))
+            )
+            out = out.join(step, on=user_col, how="left")
+        prev_t = f"t{i}"
+    return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_seconds: int = 604800,
+) -> DataFrame:
+    """Cohort retention: users grouped by the bucket (default: week) of
+    their FIRST event; for each (cohort, offset) the number of distinct
+    cohort members active ``offset`` buckets after joining.
+
+    Output: ``cohort_ts`` timestamp, ``week_offset`` bigint,
+    ``n_users`` bigint, ``retention`` double (n_users / cohort size).
+
+    Scale design (100 TB): first-event and activity are both per-user
+    partial aggregates on the same user key; the join carries only
+    (user, cohort) ints; the final rollup is |cohorts| × |offsets|
+    rows. No window over raw events, nothing driver-side.
+    """
+    first = df.groupBy(user_col).agg(
+        F.min(time_bucket(F.col(ts_col), bucket_seconds)).alias("__cohort")
+    )
+    active = df.select(
+        F.col(user_col), time_bucket(F.col(ts_col), bucket_seconds).alias("__w")
+    ).distinct()
+    joined = active.join(first, on=user_col)
+    ret = joined.groupBy(
+        "__cohort", (F.col("__w") - F.col("__cohort")).alias("week_offset")
+    ).agg(F.countDistinct(user_col).alias("n_users"))
+    size = joined.filter(F.col("__w") == F.col("__cohort")).groupBy(
+        "__cohort"
+    ).agg(F.countDistinct(user_col).alias("__size"))
+    return (
+        ret.join(size, on="__cohort")
+        .select(
+            F.timestamp_seconds(
+                F.col("__cohort") * F.lit(int(bucket_seconds))
+            ).alias("cohort_ts"),
+            "week_offset",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            (F.col("n_users").cast("double") / F.col("__size")).alias("retention"),
+        )
+    )

@@ -434,3 +434,86 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["event_type"],
         levels=(900, 3600, 86400),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics operators: ordered funnel, cohort retention
+# ---------------------------------------------------------------------------
+
+_FUN_W1, _FUN_W2 = 7200, 43200  # click within 2 h of first view; buy within 12 h
+
+
+@register(
+    "events_funnel_steps",
+    oracle=f"""
+WITH u1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+u2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN u1 USING (user_id)
+  WHERE event_type = 'click' AND e.ts >= t1
+    AND e.ts < t1 + INTERVAL {_FUN_W1} SECOND
+  GROUP BY 1
+),
+u3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN u2 USING (user_id)
+  WHERE event_type = 'purchase' AND e.ts >= t2
+    AND e.ts < t2 + INTERVAL {_FUN_W2} SECOND
+  GROUP BY 1
+)
+SELECT u1.user_id, t1, t2, t3
+FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
+""",
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click-within-2h → purchase-within-12h):
+    per-user earliest completion time of each step, NULLs past the
+    drop-off point. Stepwise per-user aggregates, every shuffle on the
+    same user key — see ops/temporal.py funnel."""
+    from sqlpp_spark.ops.temporal import funnel
+
+    return funnel(
+        table(spark, sf_dir, "events"),
+        steps=[("view", None), ("click", _FUN_W1), ("purchase", _FUN_W2)],
+    )
+
+
+_COHORT_WEEK = 604800
+_COHORT_US = _COHORT_WEEK * 1_000_000
+
+
+@register(
+    "events_cohort_retention",
+    oracle=f"""
+WITH f AS (
+  SELECT user_id, MIN(epoch_us(ts) // {_COHORT_US}) AS cohort
+  FROM events GROUP BY 1
+),
+a AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_COHORT_US} AS w FROM events
+),
+j AS (SELECT a.user_id, f.cohort, a.w FROM a JOIN f USING (user_id)),
+ret AS (
+  SELECT cohort, w - cohort AS week_offset,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM j GROUP BY 1, 2
+),
+sz AS (
+  SELECT cohort, COUNT(DISTINCT user_id) AS s FROM j WHERE w = cohort GROUP BY 1
+)
+SELECT CAST(to_timestamp(cohort * {_COHORT_WEEK}) AS TIMESTAMP) AS cohort_ts,
+       week_offset, CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_users AS DOUBLE) / s AS retention
+FROM ret JOIN sz USING (cohort)
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-event week,
+    distinct-active counts per week offset, retention as a share of
+    the cohort's week-0 size. See ops/temporal.py cohort_retention."""
+    from sqlpp_spark.ops.temporal import cohort_retention
+
+    return cohort_retention(table(spark, sf_dir, "events"))

@@ -244,3 +244,64 @@ def test_rollup_cascade_equals_direct(spark):
     a = sorted(map(tuple, casc.collect()))
     b = sorted(map(tuple, direct.collect()))
     assert a == b
+
+
+def test_funnel_order_window_and_dropoff(spark):
+    from sqlpp_spark.ops.temporal import funnel
+
+    df = spark.createDataFrame(
+        [
+            # user 1: full funnel in order, inside windows
+            (1, "view", _ts("2024-01-01 10:00:00")),
+            (1, "click", _ts("2024-01-01 10:30:00")),
+            (1, "purchase", _ts("2024-01-01 11:00:00")),
+            # user 2: click BEFORE the first view — must not count
+            (2, "click", _ts("2024-01-01 09:00:00")),
+            (2, "view", _ts("2024-01-01 10:00:00")),
+            # user 3: click outside the 1 h window
+            (3, "view", _ts("2024-01-01 10:00:00")),
+            (3, "click", _ts("2024-01-01 11:30:00")),
+            # user 4: purchase without click — step order is strict
+            (4, "view", _ts("2024-01-01 10:00:00")),
+            (4, "purchase", _ts("2024-01-01 10:10:00")),
+            # user 5: never viewed — not in the funnel at all
+            (5, "click", _ts("2024-01-01 10:00:00")),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = funnel(
+        df, steps=[("view", None), ("click", 3600), ("purchase", 3600)]
+    )
+    rows = {r.user_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # user 5 never entered
+    assert rows[1].t2 == _ts("2024-01-01 10:30:00")
+    assert rows[1].t3 == _ts("2024-01-01 11:00:00")
+    assert rows[2].t2 is None  # pre-view click ignored
+    assert rows[3].t2 is None  # window exceeded
+    assert rows[4].t2 is None and rows[4].t3 is None  # strict order
+
+
+def test_cohort_retention_math(spark):
+    from sqlpp_spark.ops.temporal import cohort_retention
+
+    day = 86400
+    df = spark.createDataFrame(
+        [
+            # cohort week 0: users 1,2 — user 1 returns in week 1
+            (1, _ts("1970-01-01 12:00:00")),
+            (2, _ts("1970-01-02 12:00:00")),
+            (1, _ts("1970-01-09 12:00:00")),
+            # cohort week 1: user 3
+            (3, _ts("1970-01-10 12:00:00")),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = cohort_retention(df, bucket_seconds=7 * day)
+    rows = {(r.cohort_ts, r.week_offset): r for r in out.collect()}
+    w0 = _ts("1970-01-01 00:00:00")
+    w1 = _ts("1970-01-08 00:00:00")
+    assert rows[(w0, 0)].n_users == 2
+    assert rows[(w0, 1)].n_users == 1
+    assert rows[(w0, 1)].retention == 0.5
+    assert rows[(w1, 0)].n_users == 1
+    assert len(rows) == 3
