@@ -1,0 +1,147 @@
+"""Incremental table-maintenance operators: SCD2 dimension merge and
+snapshot diff — the lakehouse mutation patterns (Delta/Iceberg MERGE
+INTO workflows) expressed as pure DataFrame plans.
+
+Scale design (100 TB):
+- ``scd2_merge`` is ONE equi-join of the dimension's current rows with
+  the update batch on the business key, then unions of narrow
+  projections. History rows (already closed) never join — they pass
+  through untouched, which is what makes SCD2 viable on a dimension
+  with years of history: the join is |current| × |batch|, not
+  |history| × |batch|. Change detection is a null-safe struct
+  comparison (eqNullSafe), so NULL attribute transitions count as
+  changes exactly once.
+- ``snapshot_diff`` is a full-outer join on the key of two dataset
+  versions comparing content hashes — per-row state (added / removed
+  / changed / unchanged) without shipping the payloads: only
+  (key, 64-bit hash) shuffles; payload columns stay in the scan until
+  the final projection of the rows the caller asked for.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+    effective_ts,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge. ``dim`` holds SCD2 rows
+    (business key + tracked attributes + ``valid_from``/``valid_to``
+    timestamps, ``valid_to IS NULL`` marking current). ``updates``
+    holds one row per business key with the new attribute values.
+    ``effective_ts`` is the batch's effective timestamp (a Column or
+    literal-able value).
+
+    Semantics (standard MERGE INTO dim USING updates):
+    - key in both, any tracked attribute differs (null-safe): the
+      current row closes (``valid_to = effective_ts``) and a new
+      current row opens at ``effective_ts``;
+    - key only in updates: a new current row opens;
+    - key in both, attributes equal: untouched;
+    - closed history rows: untouched, never joined.
+
+    Returns the full post-merge SCD2 table with ``dim``'s column order.
+    """
+    keys = list(key_cols)
+    tracked = list(tracked_cols)
+    eff = effective_ts if isinstance(effective_ts, F.Column) else F.lit(effective_ts)
+    out_cols = dim.columns
+    if any(c not in out_cols for c in (*keys, *tracked, valid_from, valid_to)):
+        raise ValueError("dim must contain key, tracked and validity columns")
+
+    history = dim.filter(F.col(valid_to).isNotNull())
+    current = dim.filter(F.col(valid_to).isNull())
+
+    u = updates.select(
+        *[F.col(c).alias(f"__u_{c}") for c in (*keys, *tracked)]
+    )
+    key_eq = [F.col(k) == F.col(f"__u_{k}") for k in keys]
+    j = current.join(u, on=key_eq, how="full_outer")
+
+    changed = F.lit(False)
+    for c in tracked:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    in_dim = F.col(valid_from).isNotNull()  # current rows always have it
+    in_upd = None
+    for k in keys:
+        cond = F.col(f"__u_{k}").isNotNull()
+        in_upd = cond if in_upd is None else (in_upd & cond)
+
+    # current rows: keep open unless a differing update closes them
+    kept_current = j.filter(in_dim).select(
+        *[
+            F.when(in_upd & changed, eff).otherwise(F.col(valid_to)).alias(c)
+            if c == valid_to
+            else F.col(c)
+            for c in out_cols
+        ]
+    )
+    # new current rows: changed keys + brand-new keys
+    # keys/tracked come from the UPDATE side unconditionally (opened
+    # rows always have one) — a coalesce against the old row would
+    # silently undo an update that legitimately sets an attr to NULL
+    opened = j.filter(in_upd & (~in_dim | changed)).select(
+        *[
+            F.col(f"__u_{c}").alias(c)
+            if c in keys or c in tracked
+            else (
+                eff.alias(c)
+                if c == valid_from
+                else F.lit(None).cast(dim.schema[c].dataType).alias(c)
+                if c == valid_to
+                else F.col(c)  # passthrough attrs inherit the old row
+            )
+            for c in out_cols
+        ]
+    )
+    return history.select(*out_cols).unionByName(kept_current).unionByName(opened)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    content_cols: Sequence[str],
+) -> DataFrame:
+    """Dataset-version diff: per business key, whether the row was
+    ``added``, ``removed``, ``changed`` or ``unchanged`` between two
+    snapshots, comparing a 64-bit content hash (ops/hashing.hash64 —
+    DuckDB-replicable; swap to xxhash64 at production scale, same
+    shapes). Content columns are cast to string and NULL-coalesced to
+    a 0x1E sentinel before hashing, so NULL↔'' transitions count.
+
+    Output: key cols + ``change`` string + ``old_hash``/``new_hash``.
+    Only (key, hash) ever shuffles — payloads stay at the scans.
+    """
+    from sqlpp_spark.ops.hashing import hash64
+
+    keys = list(key_cols)
+    cols = list(content_cols)
+
+    def hashed(df, side):
+        canon = F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x1e")) for c in cols],
+        )
+        return df.select(*keys, hash64(canon).alias(f"{side}_hash"))
+
+    o = hashed(old, "old")
+    n = hashed(new, "new")
+    j = o.join(n, on=keys, how="full_outer")
+    change = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, change.alias("change"), "old_hash", "new_hash")

@@ -101,6 +101,7 @@ QUERY_MODULES = (
     "quality",
     "analytic_extra",
     "web_queries",
+    "mutation_queries",
 )
 
 
