@@ -1075,3 +1075,78 @@ def shuffle_order(
         F.col(id_col), "shard",
         (F.row_number().over(w) - 1).cast("bigint").alias("rank"),
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_cond,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weighting for data selection (Xie et al.,
+    arXiv:2302.03169): score every document by how target-like its
+    hashed-unigram profile is — per-bucket log-ratio of the TARGET
+    token distribution (rows matching ``target_cond``) over the RAW
+    distribution, add-1 smoothed; a doc's score is its mean token
+    log-ratio, ``selected`` when positive.
+
+    Output: id, ``n_tokens``, ``dsir_score`` (round 6), ``selected``.
+
+    Determinism: per-bucket log-ratios round to DECIMAL(18,9) (same
+    argument as ``perplexity``), so per-doc sums are exact decimal
+    partial aggs — order-independent; only the final mean divides in
+    float, in a fixed expression order.
+
+    100 TB: both distributions come from ONE aggregate over the token
+    stream (conditional count — no second pass for the target half);
+    the model is ``n_buckets`` rows and broadcasts; scoring is one
+    more partial-agg shuffle of (id, decimal). Text is scanned twice
+    (count pass + score pass) and never shuffled — at corpus scale the
+    extra scan beats persisting the exploded token stream, which is an
+    order of magnitude wider than the text itself.
+    """
+    df = ensure_parallelism(df)
+    toks = df.select(
+        F.col(id_col),
+        target_cond.cast("boolean").alias("__tgt"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).withColumn("__b", hash64(F.col("term")) % F.lit(n_buckets))
+    counts = toks.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__r"),
+        F.sum(F.col("__tgt").cast("long")).alias("__t"),
+    )
+    totals = counts.agg(
+        F.sum("__r").alias("__rtot"), F.sum("__t").alias("__ttot")
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.round(
+            F.log(
+                (F.col("__t") + F.lit(1)).cast("double")
+                / (F.col("__ttot") + F.lit(n_buckets)).cast("double")
+            )
+            - F.log(
+                (F.col("__r") + F.lit(1)).cast("double")
+                / (F.col("__rtot") + F.lit(n_buckets)).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("__lr"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(weights), on="__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__lr").alias("__slr"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    score = F.col("__slr").cast("double") / F.col("n_tokens")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.round(score, 6).alias("dsir_score"),
+        (score > 0).alias("selected"),
+    )

@@ -637,3 +637,51 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     run/engine/resume, uncorrelated with ingest order, and no task
     sorts more than n/16 of the corpus (shard-partitioned window)."""
     return C.shuffle_order(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_DSIR_B = 1024
+
+
+@register(
+    "corpus_dsir_weights",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         unnest(string_split({_NORM}, ' ')) AS term
+  FROM documents
+),
+bt AS (
+  SELECT doc_id, tgt, {hash64_sql("term")} % {_DSIR_B} AS b FROM toks
+),
+counts AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS r,
+         CAST(COALESCE(SUM(CASE WHEN tgt THEN 1 ELSE 0 END), 0) AS BIGINT) AS t
+  FROM bt GROUP BY b
+),
+tot AS (SELECT CAST(SUM(r) AS BIGINT) AS R, CAST(SUM(t) AS BIGINT) AS T FROM counts),
+w AS (
+  SELECT b,
+         CAST(round(
+           ln(CAST(t + 1 AS DOUBLE) / CAST((SELECT T FROM tot) + {_DSIR_B} AS DOUBLE))
+           - ln(CAST(r + 1 AS DOUBLE) / CAST((SELECT R FROM tot) + {_DSIR_B} AS DOUBLE)),
+         9) AS DECIMAL(18,9)) AS lr
+  FROM counts
+),
+per_doc AS (
+  SELECT doc_id, SUM(lr) AS slr, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM bt JOIN w USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CAST(slr AS DOUBLE) / n_tokens, 6) AS dsir_score,
+       CAST(slr AS DOUBLE) / n_tokens > 0 AS selected
+FROM per_doc
+""",
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection toward the English subcorpus: hashed-unigram
+    importance weights (target='en' rows), per-doc mean log-ratio +
+    selection flag. See ops/corpus.py dsir_importance."""
+    d = table(spark, sf_dir, "documents")
+    return C.dsir_importance(
+        d, target_cond=(F.col("lang") == "en"), n_buckets=_DSIR_B
+    )

@@ -407,6 +407,7 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_rollup_cascade",
+    headline=True,
     oracle="""
 SELECT event_type,
        CAST(to_timestamp((epoch_us(ts) // 86400000000) * 86400) AS TIMESTAMP)
@@ -445,6 +446,7 @@ _FUN_W1, _FUN_W2 = 7200, 43200  # click within 2 h of first view; buy within 12 
 
 @register(
     "events_funnel_steps",
+    headline=True,
     oracle=f"""
 WITH u1 AS (
   SELECT user_id, MIN(ts) AS t1 FROM events

@@ -488,3 +488,30 @@ def test_shuffle_order_deterministic_and_sharded(spark):
             (c[d][1], d) for d in a if c[d][0] == shard
         )
         assert [d for _, d in old] == [d for _, d in new_order]
+
+
+def test_dsir_importance_separates_domains(spark):
+    """Docs written in the target domain's vocabulary must outscore
+    out-of-domain docs, the flag must follow the score sign, and
+    tokens absent from the target only drag scores down."""
+    from pyspark.sql import functions as F
+
+    from sqlpp_spark.ops.corpus import dsir_importance
+
+    rows = (
+        [(i, "alpha beta gamma alpha beta", "tgt") for i in range(10)]
+        + [(i + 10, "zeta eta theta zeta eta", "raw") for i in range(10)]
+        + [(20, "alpha beta zeta eta", "raw")]  # mixed doc
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {
+        r.doc_id: r
+        for r in dsir_importance(
+            df, target_cond=(F.col("src") == "tgt"), n_buckets=64
+        ).collect()
+    }
+    assert out[0].dsir_score > 0 and out[0].selected
+    assert out[10].dsir_score < 0 and not out[10].selected
+    # the mixed doc sits strictly between the two pure domains
+    assert out[10].dsir_score < out[20].dsir_score < out[0].dsir_score
+    assert out[0].n_tokens == 5
