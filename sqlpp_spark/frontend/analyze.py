@@ -1020,6 +1020,10 @@ class Analyzer:
         while the Spark compiler skips them in the residual filter.
         Shared by scalar subqueries (r11/r12) and correlated IN /
         EXISTS (r12). Returns (sub_ctx, corr_triples)."""
+        if select.where is not None:
+            # NNF first (r13): NOT pushed to the atoms, comparisons
+            # flipped — correlation under NOT becomes liftable
+            select.where = _push_not(select.where)
         conjs = _split_and(select.where)
         lifted: set = set()
         sub_ctx = None
@@ -1295,6 +1299,58 @@ def _dnf(e):
     if isinstance(e, A.EApp) and e.fn.lower() == "or" and len(e.args) == 2:
         return _dnf(e.args[0]) + _dnf(e.args[1])
     return [[e]]
+
+
+_NOT_FLIP = {
+    "=": "!=", "!=": "=", "<": ">=", "<=": ">", ">": "<=", ">=": "<",
+    "IS NULL": "IS NOT NULL", "IS NOT NULL": "IS NULL",
+}
+
+
+def _push_not(e):
+    """Negation normal form — EXACT in Kleene three-valued logic:
+    ``NOT(a AND b) = NOT a OR NOT b`` and its dual hold in K3,
+    ``NOT(x < y) = x >= y`` (both UNKNOWN exactly when an operand is
+    NULL), ``NOT NOT a = a``, ``NOT(x IS NULL) = x IS NOT NULL``.
+    Pushing NOT to the atoms turns a correlated comparison under NOT
+    into a plain (flipped) correlated comparison the lift handles;
+    atoms with no exact negation (LIKE, IN, EXISTS, bare columns)
+    keep their NOT and, if correlated, still raise the boundary error
+    BEFORE execution (r13; previously ANY correlation under NOT
+    errored)."""
+    if not isinstance(e, A.EApp):
+        return e
+    fnl = e.fn.lower()
+    if fnl in ("and", "or") and len(e.args) == 2:
+        return A.EApp(e.fn, [_push_not(a) for a in e.args], loc=e.loc)
+    if fnl == "not" and len(e.args) == 1:
+        inner = e.args[0]
+        if isinstance(inner, A.EApp):
+            ifnl = inner.fn.lower()
+            if ifnl == "and" and len(inner.args) == 2:
+                return A.EApp(
+                    "or",
+                    [
+                        _push_not(A.EApp("not", [a], loc=e.loc))
+                        for a in inner.args
+                    ],
+                    loc=e.loc,
+                )
+            if ifnl == "or" and len(inner.args) == 2:
+                return A.EApp(
+                    "and",
+                    [
+                        _push_not(A.EApp("not", [a], loc=e.loc))
+                        for a in inner.args
+                    ],
+                    loc=e.loc,
+                )
+            if ifnl == "not" and len(inner.args) == 1:
+                return _push_not(inner.args[0])
+            if inner.fn in _NOT_FLIP:
+                return A.EApp(_NOT_FLIP[inner.fn], list(inner.args), loc=e.loc)
+        return e
+    return e
 
 
 def _split_and(e):

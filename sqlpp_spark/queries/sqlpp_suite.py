@@ -311,3 +311,16 @@ _sqlpp(
     "WHERE o.o_custkey = c.c_custkey OR o.o_totalprice > 400000)) "
     "AS has_order FROM customer c WHERE c_custkey < 200",
 )
+
+_sqlpp(
+    # r13: correlation under NOT — the NNF push (_push_not) flips the
+    # comparison through De Morgan so the lift sees plain correlated
+    # conjuncts: NOT(eq OR theta) = flipped-neq AND flipped-theta
+    "sqlpp_not_corr_pushdown",
+    "select n.n_nationkey as nationkey from nation as n "
+    "where exists (select 1 as one from supplier as s "
+    "where not (s.s_nationkey != n.n_nationkey or s.s_acctbal < 0))",
+    "SELECT n_nationkey AS nationkey FROM nation n "
+    "WHERE EXISTS (SELECT 1 FROM supplier s "
+    "WHERE NOT (s.s_nationkey != n.n_nationkey OR s.s_acctbal < 0))",
+)

@@ -231,14 +231,62 @@ def test_correlated_under_disjunction_supported_via_or_split(eng, duck):
         assert rows == want, f"{src}\n{sql}"
 
 
+def test_not_pushdown_decorrelates(eng, duck):
+    """r13: NNF normalization (_push_not) — NOT pushed through AND/OR
+    via De Morgan (exact in Kleene 3VL), double negation cancelled,
+    comparisons and IS [NOT] NULL flipped — makes correlation under
+    NOT liftable. Differential against DuckDB on the printed SQL AND
+    the original source."""
+    for src in (
+        # flipped equality (a non-equality conjunct, still top-level)
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where not (t2.grp = t1.grp)) order by id",
+        # double negation
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where not not (t2.grp = t1.grp)) order by id",
+        # De Morgan over OR -> AND of flipped correlated atoms
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where not (t2.grp = t1.grp or t2.amt >= t1.val)) order by id",
+        # IS NULL flip beside a correlation
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where not (t2.amt is null) and t2.grp = t1.grp) order by id",
+        # scalar subquery with a flipped theta correlation
+        "select id, (select count(1) as c from t2 "
+        "where not (t2.grp < t1.grp) group by ()) as n from t1 order by id",
+    ):
+        rows, want, sql = _both(eng, duck, src)
+        assert rows == want, f"{src}\n{sql}"
+        # end-to-end: the original source is itself valid SQL here
+        want2 = sorted(tuple(r) for r in duck.execute(src).fetchall())
+        assert rows == want2, src
+
+
 def test_correlated_remaining_boundaries(eng):
     """Still-unsupported shapes keep their DEDICATED compile-time
     errors (never the raw name-resolution failure, never a wrong
-    answer): correlation under NOT (no De Morgan in the DNF split) and
-    theta correlation in flag (non-conjunct) position."""
+    answer): non-negatable atoms (IN/EXISTS) under correlated NOT and
+    theta correlation in flag (non-conjunct) position — including the
+    r13-reachable shape where De Morgan over a correlated AND yields
+    an OR whose split branches carry theta correlation into flag
+    position."""
+    # De Morgan over a correlated AND puts the flipped (non-equality)
+    # atom into flag position via the OR split — dedicated COMPILE
+    # error, still before execution
+    with pytest.raises(SqlppError, match="non-equality correlation"):
+        eng.fetch_list(
+            "select id from t1 where exists (select 1 as one from t2 "
+            "where not (t2.grp = t1.grp and t2.amt in "
+            "(select val as v from t1)))"
+        )
+    with pytest.raises(SqlppError, match="non-equality correlation"):
+        eng.fetch_list(
+            "select id from t1 where exists (select 1 as one from t2 "
+            "where not (t2.grp = t1.grp and t2.amt < t1.val))"
+        )
+    # mixed-scope arithmetic inside one comparison side: analysis error
     _err(eng,
          "select id from t1 where exists (select 1 as one from t2 "
-         "where not (t2.grp = t1.grp))",
+         "where not (t2.grp + t1.grp = 3))",
          "unsupported correlation")
     with pytest.raises(SqlppError, match="non-equality correlation"):
         eng.fetch_list(

@@ -617,15 +617,33 @@ try:
 
     # -- correlation-boundary fuzzer (r13, VERDICT r12 ask #5) ---------------
 
+    _NOTFLIP = {"=": "!=", "!=": "=", "<": ">=", "<=": ">",
+                ">": "<=", ">=": "<"}
+
+    def _and_props(a, b):
+        # (ok, has, sp): AND keeps conjunct position
+        return (a[0] and b[0], a[1] or b[1], a[2] and b[2])
+
+    def _or_props(a, b):
+        # OR: any correlated atom below loses conjunct position; the
+        # split needs every correlated atom (now in flag position)
+        # to be EQUALITY
+        return ((a[0] and not a[1]) and (b[0] and not b[1]),
+                a[1] or b[1], a[2] and b[2])
+
     @st.composite
     def _corr_pred(draw, depth=0):
         """Predicate tree over the region subquery scope with correlated
         atoms navigating to the enclosing nation scope. Returns
-        (src, conjunct_ok, has_corr, splittable):
+        (src, conjunct_ok, has_corr, splittable) of the predicate's
+        NEGATION-NORMAL FORM — the analyzer's r13 _push_not runs before
+        the lift, so NOT(cmp) is the flipped comparison and De Morgan
+        swaps AND/OR. Each node therefore tracks its properties under
+        BOTH polarities; `not` just swaps them.
         conjunct_ok — every correlated atom is a top-level AND conjunct
-        (the direct semi/anti-join path); splittable — the r13 OR-split
-        can decorrelate it (all correlated atoms are EQUALITY and none
-        sits under NOT)."""
+        (the direct lift path, ANY comparison op); splittable — the
+        OR-split can decorrelate it (every correlated atom is EQUALITY
+        post-NNF)."""
         kind = draw(st.sampled_from(
             ["corr", "local", "and", "or", "not"] if depth < 2
             else ["corr", "local"]
@@ -638,26 +656,24 @@ try:
             flip = draw(st.booleans())
             atom = (f"({outer} {op} r_regionkey)" if flip
                     else f"(r_regionkey {op} {outer})")
-            return atom, True, True, op == "="
+            return (atom,
+                    (True, True, op == "="),
+                    (True, True, _NOTFLIP[op] == "="))
         if kind == "local":
             op = draw(st.sampled_from(["=", "<", ">="]))
+            props = (True, False, True)
             return (f"(r_regionkey {op} {draw(st.integers(-1, 5))})",
-                    True, False, True)
+                    props, props)
         if kind == "not":
-            src, _, has, _ = draw(_corr_pred(depth + 1))
-            # correlation under NOT: never liftable, and the DNF split
-            # treats NOT as an atom (no De Morgan)
-            return f"(not {src})", not has, has, not has
-        l_src, l_ok, l_has, l_sp = draw(_corr_pred(depth + 1))
-        r_src, r_ok, r_has, r_sp = draw(_corr_pred(depth + 1))
+            src, pos, neg = draw(_corr_pred(depth + 1))
+            return f"(not {src})", neg, pos
+        l_src, l_pos, l_neg = draw(_corr_pred(depth + 1))
+        r_src, r_pos, r_neg = draw(_corr_pred(depth + 1))
         if kind == "and":
-            # AND preserves conjunct position
-            return (f"({l_src} and {r_src})", l_ok and r_ok,
-                    l_has or r_has, l_sp and r_sp)
-        # OR: atoms below are no longer top-level conjuncts
+            return (f"({l_src} and {r_src})",
+                    _and_props(l_pos, r_pos), _or_props(l_neg, r_neg))
         return (f"({l_src} or {r_src})",
-                (l_ok and not l_has) and (r_ok and not r_has),
-                l_has or r_has, l_sp and r_sp)
+                _or_props(l_pos, r_pos), _and_props(l_neg, r_neg))
 
     @settings(max_examples=N_EXAMPLES, deadline=None, derandomize=True,
               suppress_health_check=[HealthCheck.function_scoped_fixture])
@@ -666,11 +682,11 @@ try:
         """Conjunct-only correlation → direct semi/anti join; OR-mixed
         EQUALITY correlation → the r13 EXISTS/IN-over-OR split + match
         flags — both must match DuckDB on the printed SQL. Everything
-        else (theta under OR, correlation under NOT) must raise its
-        dedicated boundary error BEFORE execution (analysis or plan
-        build) — wrong answers are never an option, silent acceptance
+        else (theta under OR — including theta REACHED by the r13 NNF
+        push of NOT through De Morgan) must raise its dedicated
+        boundary error BEFORE execution (analysis or plan build) — wrong answers are never an option, silent acceptance
         neither."""
-        src_frag, conjunct_ok, has_corr, splittable = pred
+        src_frag, (conjunct_ok, has_corr, splittable), _neg = pred
         if use_in:
             src = ("select n_name from nation where n_regionkey in "
                    f"(select r_regionkey from region where {src_frag})")
