@@ -369,24 +369,24 @@ class Compiler:
                     and getattr(node, "corr", None)
                     and id(node) not in scalar_map
                 ):
-                    # r13: EQUALITY-correlated IN/EXISTS get a real
+                    # r13: correlated IN/EXISTS get a real
                     # per-outer-row match flag (works under OR, in
-                    # projection position, ...): the flag side is
-                    # DISTINCT over the correlation keys, so the left
-                    # join attaches at most one row per outer row.
-                    # Theta correlation keys would make the flag join
-                    # row-multiplying — those stay conjunct-only.
+                    # projection position, ...). Pure-equality
+                    # correlation: the flag side is DISTINCT over the
+                    # correlation keys, so the left join attaches at
+                    # most one row per outer row. Theta correlation
+                    # (r13 second wave): a DISTINCT probe frame over
+                    # the outer correlation expressions theta-joins the
+                    # subquery once and aggregates per probe tuple —
+                    # key-distinct again, so no join multiplies rows.
                     if any(op != "=" for op, _ie, _oe in node.corr):
-                        raise SqlppError(
-                            "correlated IN/EXISTS subqueries with "
-                            "non-equality correlation are only "
-                            "supported as top-level WHERE conjuncts "
-                            "(optionally under NOT)",
-                            getattr(node, "loc", None),
+                        df = self._attach_corr_flag_theta(
+                            df, node, binds, scalar_map, subst
                         )
-                    df = self._attach_corr_flag(
-                        df, node, binds, scalar_map, subst
-                    )
+                    else:
+                        df = self._attach_corr_flag(
+                            df, node, binds, scalar_map, subst
+                        )
                 if isinstance(node, A.EIn) and id(node) not in scalar_map:
                     sub_df = self.compile_select(node.sub_ctx, binds)
                     alias = self._fresh("__sin")
@@ -523,6 +523,105 @@ class Compiler:
                 kcond = c if kcond is None else (kcond & c)
             df = df.join(fl, on=kcond, how="left")
             col = F.col(flag).isNotNull()
+        scalar_map[id(node)] = col
+        return df
+
+    def _attach_corr_flag_theta(
+        self, df: DataFrame, node, binds: Bindings,
+        scalar_map: Dict[int, Column],
+        subst: Optional[Dict[tuple, str]] = None,
+    ) -> DataFrame:
+        """Match flag for a THETA-correlated IN/EXISTS in a
+        non-conjunct position (r13 second wave — closes the last
+        flag-position boundary). A direct flag join on a theta
+        condition would multiply outer rows, so instead:
+
+        1. build the DISTINCT probe frame over the outer correlation
+           expressions (+ IN probe expressions) — key-distinct by
+           construction;
+        2. theta-LEFT-join the subquery frame ONCE against the probe
+           frame (|distinct probes| × subquery, usually orders of
+           magnitude below |outer| × subquery; with a mixed eq+theta
+           correlation the eq part keys a hash join and the theta part
+           is a residual);
+        3. aggregate per probe tuple: match count, membership match,
+           has-NULL — giving EXISTS and full three-valued single-col
+           IN exactly as the uncorrelated marker does;
+        4. null-safe equi-join the per-probe marker back to the outer
+           frame — at most one marker row per outer row.
+
+        A sub row with a NULL correlation key matches no probe (the
+        comparison is UNKNOWN), identical to the per-row semantics.
+        Multi-column IN keeps the two-valued flag (same documented
+        deviation as the uncorrelated and equality-correlated paths).
+        """
+        alias = self._fresh("__cth")
+        is_in = isinstance(node, A.EIn)
+        sub_df, keys = self._corr_sub_frame(
+            node.sub_ctx, node.corr, alias, binds, extra_fields=is_in
+        )
+        outer_cols = [
+            self._outer_col(oe, binds, subst) for _op, _ie, oe in node.corr
+        ]
+        probes = (
+            [self.expr(e, binds, {}, subst) for e in node.exprs]
+            if is_in else []
+        )
+        po = [f"{alias}_po{i}" for i in range(len(outer_cols))]
+        pp = [f"{alias}_pp{i}" for i in range(len(probes))]
+        probe = df.select(
+            *[c.alias(n) for c, n in zip(outer_cols, po)],
+            *[c.alias(n) for c, n in zip(probes, pp)],
+        ).distinct()
+        cond = None
+        for i, (op, _ie, _oe) in enumerate(node.corr):
+            c = self._cmp_col(op, F.col(keys[i]), F.col(po[i]))
+            cond = c if cond is None else (cond & c)
+        j = probe.join(sub_df, on=cond, how="left")
+        # matched rows carry non-NULL correlation keys (a NULL key
+        # can't satisfy any comparison), so keys[0] marks the match
+        hit = F.col(keys[0]).isNotNull()
+        n = f"{alias}_n"
+        aggs = [F.sum(hit.cast("long")).alias(n)]
+        sub_cols = (
+            [f.out_name for f in node.sub_ctx.fields if f.is_used]
+            if is_in else []
+        )
+        hn, mm = f"{alias}_hasnull", f"{alias}_match"
+        if is_in:
+            if len(sub_cols) == 1:
+                aggs.append(F.max(hit & F.col(sub_cols[0]).isNull()).alias(hn))
+            memb = None
+            for pc, sc in zip(pp, sub_cols):
+                c = F.col(pc) == F.col(sc)
+                memb = c if memb is None else (memb & c)
+            # F.max skips NULLs: UNKNOWN comparisons never count as a
+            # match but don't poison the aggregate either
+            aggs.append(F.max(hit & memb).alias(mm))
+        marker = j.groupBy(*[F.col(c) for c in (po + pp)]).agg(*aggs)
+        recond = None
+        for c, name in zip(list(outer_cols) + list(probes), po + pp):
+            eq = c.eqNullSafe(F.col(name))
+            recond = eq if recond is None else (recond & eq)
+        df = df.join(marker, on=recond, how="left").drop(*po, *pp)
+        non_empty = F.coalesce(F.col(n), F.lit(0)) > 0
+        if not is_in:
+            col = non_empty
+        else:
+            matched = F.coalesce(F.col(mm), F.lit(False))
+            if len(sub_cols) == 1:
+                unknown = non_empty & (
+                    probes[0].isNull() | F.coalesce(F.col(hn), F.lit(False))
+                )
+                col = F.when(matched, F.lit(True)).otherwise(
+                    F.when(unknown, F.lit(None).cast("boolean")).otherwise(
+                        F.lit(False)
+                    )
+                )
+            else:
+                col = matched
+            if node.negated:
+                col = ~col
         scalar_map[id(node)] = col
         return df
 

@@ -324,3 +324,18 @@ _sqlpp(
     "WHERE EXISTS (SELECT 1 FROM supplier s "
     "WHERE NOT (s.s_nationkey != n.n_nationkey OR s.s_acctbal < 0))",
 )
+
+_sqlpp(
+    # r13 second wave: THETA correlation in flag (projection) position —
+    # compiled via the distinct-probe aggregate (compile.py
+    # _attach_corr_flag_theta): |distinct probes| theta-joins the
+    # subquery once, aggregates per probe, null-safe equi-joins back
+    "sqlpp_theta_flag_projection",
+    "select c.c_custkey as custkey, "
+    "(exists (select 1 as one from orders as o "
+    "where o.o_totalprice > c.c_acctbal)) as outspent "
+    "from customer as c where c.c_custkey < 300",
+    "SELECT c_custkey AS custkey, "
+    "(EXISTS (SELECT 1 FROM orders o WHERE o.o_totalprice > c.c_acctbal)) "
+    "AS outspent FROM customer c WHERE c_custkey < 300",
+)

@@ -169,17 +169,28 @@ def test_correlated_sub_shape_errors(eng):
          "no such scope|unsupported correlation")
 
 
-def test_correlated_scalar_position_theta_rejected(eng):
-    # projection-position correlated IN/EXISTS now compile through the
-    # r13 match-flag path for EQUALITY correlation (covered in
-    # test_correlated_under_disjunction_supported_via_or_split); theta
-    # correlation keys would make the flag join row-multiplying and
-    # stay conjunct-only, with a dedicated error
-    with pytest.raises(SqlppError, match="non-equality correlation"):
-        eng.fetch_list(
-            "select id, (id in (select id from t2 where t2.grp > t1.grp)) "
-            "as f from t1"
-        )
+def test_theta_flag_position_supported(eng, duck):
+    """r13 second wave: THETA correlation in flag position (projection,
+    OR) compiles through the distinct-probe aggregate path — no row
+    multiplication, full 3VL for single-col IN. Differential against
+    DuckDB on the printed SQL AND the original source."""
+    for src in (
+        "select id, (id in (select t2.id as i from t2 "
+        "where t2.grp > t1.grp)) as f from t1 order by id",
+        "select id, (exists (select 1 as one from t2 "
+        "where t2.grp > t1.grp)) as f from t1 order by id",
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.amt >= t1.val) or val = 30 order by id",
+        "select id from t1 where (id not in (select t2.id as i from t2 "
+        "where t2.amt >= t1.val)) or val = 30 order by id",
+        # mixed eq+theta in flag position via De Morgan
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where not (t2.grp = t1.grp and t2.amt < t1.val)) order by id",
+    ):
+        rows, want, sql = _both(eng, duck, src)
+        assert rows == want, f"{src}\n{sql}"
+        want2 = sorted(tuple(r) for r in duck.execute(src).fetchall())
+        assert rows == want2, src
 
 
 def test_uncorrelated_paths_unchanged(eng, duck):
@@ -261,38 +272,24 @@ def test_not_pushdown_decorrelates(eng, duck):
         assert rows == want2, src
 
 
-def test_correlated_remaining_boundaries(eng):
+def test_correlated_remaining_boundaries(eng, duck):
     """Still-unsupported shapes keep their DEDICATED compile-time
     errors (never the raw name-resolution failure, never a wrong
-    answer): non-negatable atoms (IN/EXISTS) under correlated NOT and
-    theta correlation in flag (non-conjunct) position — including the
-    r13-reachable shape where De Morgan over a correlated AND yields
-    an OR whose split branches carry theta correlation into flag
-    position."""
-    # De Morgan over a correlated AND puts the flipped (non-equality)
-    # atom into flag position via the OR split — dedicated COMPILE
-    # error, still before execution
-    with pytest.raises(SqlppError, match="non-equality correlation"):
-        eng.fetch_list(
-            "select id from t1 where exists (select 1 as one from t2 "
-            "where not (t2.grp = t1.grp and t2.amt in "
-            "(select val as v from t1)))"
-        )
-    with pytest.raises(SqlppError, match="non-equality correlation"):
-        eng.fetch_list(
-            "select id from t1 where exists (select 1 as one from t2 "
-            "where not (t2.grp = t1.grp and t2.amt < t1.val))"
-        )
+    answer). With the r13 theta flag joins, what remains is: mixed-
+    scope expressions inside ONE comparison side, and non-negatable
+    correlated atoms (IN/EXISTS/LIKE) under NOT."""
+    # De Morgan over a correlated AND + an uncorrelated IN atom now
+    # splits and compiles — differential, not an error
+    src = ("select id from t1 where exists (select 1 as one from t2 "
+           "where not (t2.grp = t1.grp and t2.amt in "
+           "(select val as v from t1))) order by id")
+    rows, want, sql = _both(eng, duck, src)
+    assert rows == want, f"{src}\n{sql}"
     # mixed-scope arithmetic inside one comparison side: analysis error
     _err(eng,
          "select id from t1 where exists (select 1 as one from t2 "
          "where not (t2.grp + t1.grp = 3))",
          "unsupported correlation")
-    with pytest.raises(SqlppError, match="non-equality correlation"):
-        eng.fetch_list(
-            "select id, (exists (select 1 as one from t2 "
-            "where t2.grp > t1.grp)) as f from t1"
-        )
     # the same atoms as top-level AND conjuncts stay supported
     rows = eng.fetch_list(
         "select id from t1 where exists (select 1 as one from t2 "

@@ -642,8 +642,9 @@ try:
         BOTH polarities; `not` just swaps them.
         conjunct_ok — every correlated atom is a top-level AND conjunct
         (the direct lift path, ANY comparison op); splittable — the
-        OR-split can decorrelate it (every correlated atom is EQUALITY
-        post-NNF)."""
+        OR-split can decorrelate it (with the r13 theta flag joins
+        EVERY comparison op splits, so comparison trees within the DNF
+        cap are all supported — the flag kept for future boundaries)."""
         kind = draw(st.sampled_from(
             ["corr", "local", "and", "or", "not"] if depth < 2
             else ["corr", "local"]
@@ -656,9 +657,7 @@ try:
             flip = draw(st.booleans())
             atom = (f"({outer} {op} r_regionkey)" if flip
                     else f"(r_regionkey {op} {outer})")
-            return (atom,
-                    (True, True, op == "="),
-                    (True, True, _NOTFLIP[op] == "="))
+            return (atom, (True, True, True), (True, True, True))
         if kind == "local":
             op = draw(st.sampled_from(["=", "<", ">="]))
             props = (True, False, True)
@@ -682,8 +681,7 @@ try:
         """Conjunct-only correlation → direct semi/anti join; OR-mixed
         EQUALITY correlation → the r13 EXISTS/IN-over-OR split + match
         flags — both must match DuckDB on the printed SQL. Everything
-        else (theta under OR — including theta REACHED by the r13 NNF
-        push of NOT through De Morgan) must raise its dedicated
+        else must raise its dedicated
         boundary error BEFORE execution (analysis or plan build) — wrong answers are never an option, silent acceptance
         neither."""
         src_frag, (conjunct_ok, has_corr, splittable), _neg = pred
@@ -695,7 +693,7 @@ try:
                    f"(select 1 as one from region where {src_frag})")
         if not has_corr or conjunct_ok or splittable:
             ext_differ(ext_engine, ext_duck, src)
-        else:
+        else:  # pragma: no cover — no comparison tree reaches here
             with pytest.raises(
                 SqlppError,
                 match="unsupported correlation|non-equality correlation"
