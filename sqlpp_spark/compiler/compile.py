@@ -365,6 +365,19 @@ class Compiler:
         for e in exprs:
             for node in _iter_nodes(e):
                 if (
+                    isinstance(node, A.EIn)
+                    and id(node) not in scalar_map
+                    and len([f for f in node.sub_ctx.fields if f.is_used]) > 1
+                ):
+                    # multi-column IN in flag position (r13 second
+                    # wave): FULL three-valued semantics via the
+                    # distinct-probe aggregate — the former two-valued
+                    # flag deviation is gone. Handles uncorrelated,
+                    # equality- and theta-correlated uniformly.
+                    df = self._attach_in_3vl_multi(
+                        df, node, binds, scalar_map, subst
+                    )
+                if (
                     isinstance(node, (A.EIn, A.EExists))
                     and getattr(node, "corr", None)
                     and id(node) not in scalar_map
@@ -622,6 +635,96 @@ class Compiler:
                 col = matched
             if node.negated:
                 col = ~col
+        scalar_map[id(node)] = col
+        return df
+
+    def _attach_in_3vl_multi(
+        self, df: DataFrame, node: "A.EIn", binds: Bindings,
+        scalar_map: Dict[int, Column],
+        subst: Optional[Dict[tuple, str]] = None,
+    ) -> DataFrame:
+        """Full three-valued multi-column IN in flag position (r13
+        second wave — removes the documented two-valued deviation).
+        SQL semantics: ``(x,y) IN (S)`` is TRUE when some S row is
+        all-equal, FALSE when EVERY S row has at least one definite
+        inequality, else UNKNOWN. Per probe tuple that is:
+
+        - join the DISTINCT probe frame to S on the NOT-FALSE condition
+          (every column equal-or-either-NULL, plus the correlation
+          comparisons when correlated) — only rows that can contribute
+          TRUE or UNKNOWN match;
+        - aggregate per probe: any all-equal row → match; any matched
+          row with a NULL on either side → unknown;
+        - null-safe equi-join the key-distinct marker back (no row
+          multiplication); no marker row ⇒ all S rows definite-unequal
+          (or S empty) ⇒ FALSE.
+
+        Scale note: the NOT-FALSE condition is non-equi only through
+        its NULL disjuncts, so the join is |distinct probes| × S —
+        the same honest cost as an engine-native null-aware mark join;
+        null-free probes against a null-free S reduce to the equality
+        flag at the optimizer's discretion."""
+        alias = self._fresh("__min")
+        corr = getattr(node, "corr", None) or []
+        if corr:
+            sub_df, keys = self._corr_sub_frame(
+                node.sub_ctx, corr, alias, binds, extra_fields=True
+            )
+        else:
+            sub_df = self.compile_select(node.sub_ctx, binds)
+            keys = []
+        one = f"{alias}_one"
+        sub_df = sub_df.withColumn(one, F.lit(1))
+        sub_cols = [f.out_name for f in node.sub_ctx.fields if f.is_used]
+        probes = [self.expr(e, binds, {}, subst) for e in node.exprs]
+        outer_cols = [self._outer_col(oe, binds, subst) for _op, _ie, oe in corr]
+        po = [f"{alias}_po{i}" for i in range(len(outer_cols))]
+        pp = [f"{alias}_pp{i}" for i in range(len(probes))]
+        probe = df.select(
+            *[c.alias(n) for c, n in zip(outer_cols, po)],
+            *[c.alias(n) for c, n in zip(probes, pp)],
+        ).distinct()
+        cond = None
+        for i, (op, _ie, _oe) in enumerate(corr):
+            c = self._cmp_col(op, F.col(keys[i]), F.col(po[i]))
+            cond = c if cond is None else (cond & c)
+        for pc, sc in zip(pp, sub_cols):
+            c = (
+                F.col(pc).isNull()
+                | F.col(sc).isNull()
+                | (F.col(pc) == F.col(sc))
+            )
+            cond = c if cond is None else (cond & c)
+        j = probe.join(sub_df, on=cond, how="left")
+        hit = F.col(one).isNotNull()
+        alleq = None
+        anynull = None
+        for pc, sc in zip(pp, sub_cols):
+            eq = F.col(pc) == F.col(sc)
+            alleq = eq if alleq is None else (alleq & eq)
+            nu = F.col(pc).isNull() | F.col(sc).isNull()
+            anynull = nu if anynull is None else (anynull | nu)
+        mm, uu = f"{alias}_match", f"{alias}_unknown"
+        marker = j.groupBy(*[F.col(c) for c in (po + pp)]).agg(
+            F.max(hit & alleq).alias(mm),
+            F.max(hit & anynull).alias(uu),
+        )
+        recond = None
+        for c, name in zip(list(outer_cols) + list(probes), po + pp):
+            eq = c.eqNullSafe(F.col(name))
+            recond = eq if recond is None else (recond & eq)
+        df = df.join(marker, on=recond, how="left").drop(*po, *pp)
+        col = (
+            F.when(F.coalesce(F.col(mm), F.lit(False)), F.lit(True))
+            .otherwise(
+                F.when(
+                    F.coalesce(F.col(uu), F.lit(False)),
+                    F.lit(None).cast("boolean"),
+                ).otherwise(F.lit(False))
+            )
+        )
+        if node.negated:
+            col = ~col
         scalar_map[id(node)] = col
         return df
 

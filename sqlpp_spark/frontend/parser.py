@@ -601,14 +601,18 @@ class Parser:
                 )
             e = self.expr()
             if self.eat_punct(","):
-                # tuple-IN: (a, b, ...) IN (select ...)
+                # tuple-IN: (a, b, ...) [NOT] IN (select ...)
                 es = [e] + self._comma_list(self.expr, end=")")
                 self.expect_punct(")")
+                neg = self.eat_kw("not")
                 self.expect_kw("in")
                 self.expect_punct("(")
                 sel = self.select()
                 self.expect_punct(")")
-                return A.EIn(exprs=es, select=sel, loc=Loc.span(t.loc, self.toks[self.i - 1].loc))
+                return A.EIn(
+                    exprs=es, select=sel, negated=neg,
+                    loc=Loc.span(t.loc, self.toks[self.i - 1].loc),
+                )
             self.expect_punct(")")
             return e
         if t.kind in ("ident", "kw"):

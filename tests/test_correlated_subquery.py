@@ -296,3 +296,78 @@ def test_correlated_remaining_boundaries(eng, duck):
         "where t2.grp = t1.grp and t2.amt > 100) order by id"
     )
     assert [r[0] for r in rows] == [1, 2, 3, 5]
+
+
+def _ref_tuple_in(probe, rows):
+    """Python reference for SQL three-valued tuple IN."""
+    any_unknown = False
+    for r in rows:
+        cmps = [
+            (None if p is None or s is None else p == s)
+            for p, s in zip(probe, r)
+        ]
+        if all(c is True for c in cmps):
+            return True
+        if all(c is not False for c in cmps):
+            any_unknown = True
+    return None if any_unknown else False
+
+
+def test_multicol_in_full_3vl(eng):
+    """r13 second wave: multi-column IN in flag position has FULL
+    three-valued semantics (the former two-valued deviation is gone),
+    for uncorrelated, equality- and theta-correlated subqueries, plus
+    tuple NOT IN. DuckDB v1.0 rejects multi-column IN subqueries
+    outright, so the oracle is a Python 3VL reference over the same
+    rows."""
+    sub = [(g, (a - 90) if a is not None else None) for _, g, a in T2]
+
+    got = {r[0]: r[1] for r in eng.fetch_list(
+        "select id, ((grp, val) in (select t2.grp as g, "
+        "t2.amt - 90 as a from t2)) as f from t1")}
+    assert got == {i: _ref_tuple_in((g, v), sub) for i, g, v in T1}
+
+    got = {r[0]: r[1] for r in eng.fetch_list(
+        "select id, ((grp, val) not in (select t2.grp as g, "
+        "t2.amt - 90 as a from t2)) as f from t1")}
+    assert got == {
+        i: (None if (m := _ref_tuple_in((g, v), sub)) is None else not m)
+        for i, g, v in T1
+    }
+
+    # UNKNOWN must not pass a WHERE, even under OR
+    got = sorted(r[0] for r in eng.fetch_list(
+        "select id from t1 where ((grp, val) in (select t2.grp as g, "
+        "t2.amt - 290 as a from t2)) or id = 4"))
+    sub3 = [(g, (a - 290) if a is not None else None) for _, g, a in T2]
+    assert got == sorted(
+        i for i, g, v in T1
+        if _ref_tuple_in((g, v), sub3) is True or i == 4
+    )
+
+    # equality-correlated membership set
+    got = {r[0]: r[1] for r in eng.fetch_list(
+        "select id, ((grp, val) in (select t2.grp as g, t2.amt - 90 as a "
+        "from t2 where t2.grp = t1.grp)) as f from t1")}
+    assert got == {
+        i: _ref_tuple_in(
+            (g, v),
+            [(tg, (ta - 90) if ta is not None else None)
+             for _, tg, ta in T2 if tg == g],
+        )
+        for i, g, v in T1
+    }
+
+    # theta-correlated membership set
+    got = {r[0]: r[1] for r in eng.fetch_list(
+        "select id, ((grp, val) in (select t2.grp as g, t2.amt - 90 as a "
+        "from t2 where t2.amt >= t1.val)) as f from t1")}
+    assert got == {
+        i: _ref_tuple_in(
+            (g, v),
+            [(tg, (ta - 90) if ta is not None else None)
+             for _, tg, ta in T2
+             if ta is not None and v is not None and ta >= v],
+        )
+        for i, g, v in T1
+    }
