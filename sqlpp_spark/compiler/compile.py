@@ -19,8 +19,8 @@ architecture decision). Design notes:
   (equal-or-either-NULL), reproducing SQL's three-valued NOT IN; with
   analyzer-proven non-null operands the plain anti-join is kept. In
   scalar position they lower to a left join against the distinct
-  subquery with a match flag; the flag form uses two-valued logic
-  (documented deviation)
+  subquery with a match flag carrying full SQL three-valued
+  semantics (r13: multi-column tuples included)
 - MATCH variant params select a plan branch at bind time — the Python
   equivalent of the reference's generated OCaml match (sqlpp_ppx.ml:209-243)
 """
@@ -356,11 +356,11 @@ class Compiler:
         subst: Optional[Dict[tuple, str]] = None,
     ):
         """Left-join distinct subquery results so scalar-position
-        IN/EXISTS compile to a match flag. Single-column IN gets full
-        SQL three-valued semantics (match → TRUE; no match with a NULL
-        probe or a NULL in a non-empty subquery → NULL; else FALSE) via
-        a broadcast one-row aggregate marker; multi-column tuples keep
-        the two-valued flag (documented deviation)."""
+        IN/EXISTS compile to a match flag with full SQL three-valued
+        semantics (match → TRUE; no match with a NULL probe or a NULL
+        in a non-empty subquery → NULL; else FALSE): single-column IN
+        via a broadcast one-row aggregate marker, multi-column tuples
+        via the distinct-probe aggregate (_attach_in_3vl_multi)."""
         scalar_map: Dict[int, Column] = {}
         for e in exprs:
             for node in _iter_nodes(e):
@@ -468,9 +468,10 @@ class Compiler:
         semantics via a per-correlation-GROUP marker (count + has-null
         per key group, left-joined on the keys) — the correlated
         analogue of the global one-row marker the uncorrelated path
-        uses. Multi-column tuples keep the two-valued flag (same
-        documented deviation as uncorrelated). Every attached frame is
-        key-distinct, so no join can multiply outer rows."""
+        uses. Multi-column tuples never reach this path (the
+        dispatcher routes them to _attach_in_3vl_multi). Every
+        attached frame is key-distinct, so no join can multiply
+        outer rows."""
         alias = self._fresh("__cfl")
         flag = f"{alias}_flag"
         is_in = isinstance(node, A.EIn)
@@ -565,8 +566,8 @@ class Compiler:
 
         A sub row with a NULL correlation key matches no probe (the
         comparison is UNKNOWN), identical to the per-row semantics.
-        Multi-column IN keeps the two-valued flag (same documented
-        deviation as the uncorrelated and equality-correlated paths).
+        Multi-column IN never reaches this path (the dispatcher routes
+        it to _attach_in_3vl_multi).
         """
         alias = self._fresh("__cth")
         is_in = isinstance(node, A.EIn)
