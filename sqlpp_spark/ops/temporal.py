@@ -401,3 +401,48 @@ def cohort_retention(
             (F.col("n_users").cast("double") / F.col("__size")).alias("retention"),
         )
     )
+
+
+def pointintime_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    fact_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    payload: Sequence[str] = (),
+    prefix: str = "dim_",
+) -> DataFrame:
+    """Point-in-time dimension join (the label-leakage-safe feature
+    join): each fact row joins the dimension VERSION that was valid at
+    the fact's timestamp — ``valid_from <= ts < valid_to`` with an
+    open-ended current version (``valid_to IS NULL``). Facts with no
+    valid version at their timestamp keep NULL payloads (left join).
+
+    Output: all fact columns + ``{prefix}{col}`` per payload column.
+
+    Scale design (100 TB): SCD2 versions are non-overlapping per key,
+    so at most ONE dimension row matches each fact row — the join
+    cannot multiply facts. The equality key drives a hash join
+    (broadcast for dimension-sized sides); the validity interval is a
+    residual filter evaluated inside the join, never a range explosion.
+    """
+    keys = list(on)
+    dcols = [F.col(k).alias(f"__d_{k}") for k in keys] + [
+        F.col(valid_from).alias("__vf"),
+        F.col(valid_to).alias("__vt"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+    ]
+    d = dim.select(*dcols)
+    cond = None
+    for k in keys:
+        c = F.col(k) == F.col(f"__d_{k}")
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (F.col(fact_ts) >= F.col("__vf"))
+        & (F.col("__vt").isNull() | (F.col(fact_ts) < F.col("__vt")))
+    )
+    return fact.join(d, on=cond, how="left").drop(
+        *[f"__d_{k}" for k in keys], "__vf", "__vt"
+    )

@@ -177,3 +177,74 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, key_cols=["doc_id"], content_cols=["text", "lang"])
+
+
+_PIT_SPLIT = "2024-01-15 00:00:00"
+
+
+def _versioned_dim(spark, sf_dir):
+    """SCD2 dimension with versions straddling the events time range:
+    even custkeys have a version change mid-January (balance +500),
+    odd custkeys a single open-ended version."""
+    c = table(spark, sf_dir, "customer")
+    single = c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        F.lit(_T0).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    even = c.filter(F.col("c_custkey") % 2 == 0)
+    v1 = even.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        F.lit(_T0).cast("timestamp").alias("valid_from"),
+        F.lit(_PIT_SPLIT).cast("timestamp").alias("valid_to"),
+    )
+    v2 = even.select(
+        "c_custkey",
+        (F.col("c_acctbal") + F.lit(500.0)).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(_PIT_SPLIT).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    return single.unionByName(v1).unionByName(v2)
+
+
+@register(
+    "dim_pointintime_join",
+    oracle=f"""
+WITH dim AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '{_T0}' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer WHERE c_custkey % 2 = 1
+  UNION ALL
+  SELECT c_custkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '{_T0}', TIMESTAMP '{_PIT_SPLIT}'
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 500.0, c_mktsegment,
+         TIMESTAMP '{_PIT_SPLIT}', CAST(NULL AS TIMESTAMP)
+  FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT e.event_id, e.user_id, e.ts,
+       d.c_acctbal AS dim_c_acctbal,
+       d.c_mktsegment AS dim_c_mktsegment
+FROM events e
+LEFT JOIN dim d
+  ON d.c_custkey = e.user_id
+ AND e.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+""",
+)
+def dim_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension enrichment (label-leakage-safe feature
+    join): every event joins the SCD2 customer version valid AT the
+    event's timestamp — events before/after the mid-January version
+    split of even-keyed customers see different balances. See
+    ops/temporal.py pointintime_join."""
+    from sqlpp_spark.ops.temporal import pointintime_join
+
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    d = _versioned_dim(spark, sf_dir).withColumnRenamed("c_custkey", "user_id")
+    return pointintime_join(
+        e, d, on=["user_id"], payload=["c_acctbal", "c_mktsegment"]
+    )

@@ -305,3 +305,33 @@ def test_cohort_retention_math(spark):
     assert rows[(w0, 1)].retention == 0.5
     assert rows[(w1, 0)].n_users == 1
     assert len(rows) == 3
+
+
+def test_pointintime_join_version_selection(spark):
+    from sqlpp_spark.ops.temporal import pointintime_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, 100.0, _ts("2024-01-01 00:00:00"), _ts("2024-01-10 00:00:00")),
+            (1, 200.0, _ts("2024-01-10 00:00:00"), None),
+            (2, 300.0, _ts("2024-01-05 00:00:00"), None),
+        ],
+        "k long, bal double, valid_from timestamp, valid_to timestamp",
+    )
+    fact = spark.createDataFrame(
+        [
+            (10, 1, _ts("2024-01-05 00:00:00")),   # version 1
+            (11, 1, _ts("2024-01-10 00:00:00")),   # boundary: v2 (from incl.)
+            (12, 1, _ts("2024-02-01 00:00:00")),   # open-ended v2
+            (13, 2, _ts("2024-01-01 00:00:00")),   # before any version → NULL
+            (14, 3, _ts("2024-01-05 00:00:00")),   # unknown key → NULL
+        ],
+        "fid long, k long, ts timestamp",
+    )
+    out = {
+        r.fid: r.dim_bal
+        for r in pointintime_join(
+            fact, dim, on=["k"], payload=["bal"]
+        ).collect()
+    }
+    assert out == {10: 100.0, 11: 200.0, 12: 200.0, 13: None, 14: None}
