@@ -954,3 +954,80 @@ def kmeans_lloyd(
     )
     out._sqlpp_persisted = [base]
     return out
+
+
+def kcenter_greedy(
+    corpus: DataFrame, k: int = 6, dim: int = 64,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez max-min, the
+    2-approximation used for diversity sampling / coreset construction
+    in data-selection pipelines): start from the smallest id, then k-1
+    times pick the point FARTHEST from the chosen set (ties to the
+    smallest id). Returns the full coverage map — every point with its
+    nearest selected center and the exact integer squared distance.
+
+    ORACLE-EXACT like kmeans_lloyd, but stronger: coords quantize to
+    BIGINT and every distance is an exact INTEGER (|q| ≤ 2^scale_bits
+    ⇒ per-dim square ≤ 2^(2·scale_bits+2), dim-sum ≪ 2^63, no float
+    anywhere), so selection order and assignment are bit-identical in
+    any engine.
+
+    Scale: the only persisted state is (id, quantized vector); each
+    of the k-1 selection steps is ONE scan-stage max-struct aggregate
+    over distance expressions built from center LITERALS (no join, no
+    shuffle beyond the aggregate), collecting a single row. The final
+    assignment is again a scan-stage expression. Driver holds k
+    vectors — metadata, not data."""
+    from pyspark import StorageLevel
+
+    scale = float(1 << scale_bits)
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("bigint")
+    )
+    base = corpus.select(F.col(id_col).alias("__vid"), qv.alias("__qv"))
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()
+
+    def sqdist_to(lit_vec):
+        arr = F.array(*[F.lit(int(v)) for v in lit_vec])
+        return F.aggregate(
+            F.zip_with(F.col("__qv"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    first = base.orderBy("__vid").limit(1).collect()[0]
+    centers = [(int(first["__vid"]), [int(x) for x in first["__qv"]])]
+    for _ in range(k - 1):
+        md = None
+        for _cid, cv in centers:
+            d = sqdist_to(cv)
+            md = d if md is None else F.least(md, d)
+        # max-min: farthest point from the chosen set, ties to min id
+        nxt = (
+            base.select("__vid", "__qv", md.alias("__md"))
+            .orderBy(F.desc("__md"), F.asc("__vid"))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((int(nxt["__vid"]), [int(x) for x in nxt["__qv"]]))
+    # coverage map: nearest center per point (ties to min center id)
+    cands = F.array(
+        *[
+            F.struct(
+                sqdist_to(cv).alias("sqdist"),
+                F.lit(cid).cast("bigint").alias("center_id"),
+            )
+            for cid, cv in centers
+        ]
+    )
+    best = F.array_min(cands)
+    out = base.select(
+        F.col("__vid").alias(id_col),
+        best["center_id"].alias("center_id"),
+        best["sqdist"].alias("sqdist"),
+    )
+    out._sqlpp_persisted = [base]
+    return out

@@ -1437,3 +1437,60 @@ def ann_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, k=_KM_K, n_rounds=1, dim=_KM_DIM).orderBy("vec_id")
+
+
+_KC_K, _KC_DIM, _KC_SCALE = 6, 64, 1 << 20
+
+
+def _kc_dist(a: str, b: str, dim: int) -> str:
+    return " + ".join(
+        f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, dim + 1)
+    )
+
+
+def _kcenter_oracle(k: int, dim: int, scale: int) -> str:
+    """Unrolled greedy max-min selection — one CTE pair per iteration
+    (farthest point, then min-distance refresh), all-integer."""
+    d = _kc_dist("e.qv", "c.qv", dim)
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         x -> CAST(floor(x * {float(scale)}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c1 AS (SELECT vec_id AS cid, qv FROM e ORDER BY vec_id LIMIT 1),
+md1 AS (SELECT e.vec_id, {d} AS md FROM e CROSS JOIN c1 c)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+c{i} AS (SELECT e.vec_id AS cid, e.qv FROM md{i - 1} m JOIN e USING (vec_id)
+         ORDER BY m.md DESC, e.vec_id ASC LIMIT 1)""")
+        if i < k:
+            parts.append(f""",
+md{i} AS (SELECT m.vec_id, LEAST(m.md, {d}) AS md
+          FROM md{i - 1} m JOIN e USING (vec_id) CROSS JOIN c{i} c)""")
+    cen = " UNION ALL ".join(f"SELECT cid, qv FROM c{i}" for i in range(1, k + 1))
+    parts.append(f""",
+cen AS ({cen}),
+a AS (
+  SELECT e.vec_id, c.cid AS center_id, {_kc_dist('e.qv', 'c.qv', dim)} AS sqdist,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY {_kc_dist('e.qv', 'c.qv', dim)} ASC, c.cid ASC) AS rn
+  FROM e CROSS JOIN cen c
+)
+SELECT vec_id, CAST(center_id AS BIGINT) AS center_id,
+       CAST(sqdist AS BIGINT) AS sqdist
+FROM a WHERE rn = 1""")
+    return "".join(parts)
+
+
+@register("ann_kcenter_coreset", oracle=_kcenter_oracle(_KC_K, _KC_DIM, _KC_SCALE))
+def ann_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset / diversity selection (Gonzalez max-min,
+    the standard 2-approximation used for coreset-based data
+    selection): ALL-INTEGER arithmetic — selection order and coverage
+    map are bit-identical in any engine; the DuckDB oracle replays
+    every selection step. See ops/similarity.py kcenter_greedy."""
+    from sqlpp_spark.ops.similarity import kcenter_greedy
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kcenter_greedy(emb, k=_KC_K, dim=_KC_DIM).orderBy("vec_id")

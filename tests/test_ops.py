@@ -1427,3 +1427,26 @@ def test_kmeans_lloyd_matches_numpy_reference(spark):
             )
     want = assign(cents)
     assert got == want
+
+
+def test_kcenter_greedy_selection_order(spark):
+    """Gonzalez greedy on a line: start at min id (x=0), then the
+    farthest point each round; coverage map assigns to the nearest
+    selected center with ties to the smaller center id."""
+    from sqlpp_spark.ops.similarity import kcenter_greedy
+
+    pts = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.5, 0.0]),
+           (3, [0.9, 0.0]), (4, [0.45, 0.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.center_id, r.sqdist) for r in
+           kcenter_greedy(df, k=3, dim=2).collect()}
+    # selection: c1=0 (min id); farthest from {0} is 3 (0.9);
+    # farthest from {0,3} is 2 (min(0.5,0.4)=0.4) vs 4 (0.45 -> 0.45
+    # from 0? min(0.45, 0.45)=0.45) -> 4 wins (0.45 > 0.4)
+    centers = {cid for cid, _ in out.values()}
+    assert centers == {0, 3, 4}
+    assert out[0] == (0, 0)
+    assert out[3] == (3, 0)
+    assert out[4] == (4, 0)
+    assert out[1][0] == 0   # 0.1 nearest to 0
+    assert out[2][0] == 4   # 0.5 nearest to 0.45
