@@ -519,3 +519,61 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlpp_spark.ops.temporal import cohort_retention
 
     return cohort_retention(table(spark, sf_dir, "events"))
+
+
+_ZS_WIN = 9  # current row + 9 preceding
+
+
+@register(
+    "events_rolling_zscore",
+    oracle=f"""
+WITH w AS (
+  SELECT event_id, user_id, ts, value,
+         SUM(CAST(value AS DECIMAL(18,2))) OVER win AS s,
+         SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+           OVER win AS ss,
+         CAST(COUNT(*) OVER win AS BIGINT) AS n
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {_ZS_WIN} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, n,
+       round(
+         CASE WHEN n > 1 AND
+                   CAST(ss AS DOUBLE) / n
+                   - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
+              THEN (value - CAST(s AS DOUBLE) / n)
+                   / sqrt(CAST(ss AS DOUBLE) / n
+                          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+              ELSE NULL END, 6) AS zscore
+FROM w
+""",
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly signal: each event scored against the
+    mean/std of its user's last {N}+1 events. Sums run over EXACT
+    decimals inside the window (order-independent under any
+    partitioning); the variance/sqrt/division happen once per row in a
+    fixed double expression — identical IEEE sequence in both engines.
+    One shuffle on user_id; the window is row-bounded so state per
+    partition is O(window)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ZS_WIN, 0)
+    )
+    vd = F.col("value").cast("decimal(18,2)")
+    s = F.sum(vd).over(win).cast("double")
+    ss = F.sum(vd * vd).over(win).cast("double")
+    n = F.count(F.lit(1)).over(win).cast("bigint")
+    mean = s / n
+    var = ss / n - mean * mean
+    z = F.when(
+        (n > 1) & (var > 0), (F.col("value") - mean) / F.sqrt(var)
+    ).otherwise(F.lit(None).cast("double"))
+    return e.select(
+        "event_id", "user_id", "ts", n.alias("n"), F.round(z, 6).alias("zscore")
+    )
