@@ -841,3 +841,46 @@ def triangle_counts(
     )
     out._sqlpp_persisted = [canon]
     return out
+
+
+def bfs_distance(
+    edges: DataFrame, sources: DataFrame,
+    src: str = "src", dst: str = "dst", node_col: str = "node",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Multi-source BFS shortest hop counts over an unweighted link
+    graph: every node reachable from ``sources`` within ``max_hops``
+    gets its exact minimum hop distance (unreached nodes are absent).
+
+    Scale shape: FRONTIER propagation, not full relaxation — round k
+    joins the adjacency against only the nodes FIRST reached in round
+    k-1 (in unweighted BFS the first visit is the shortest, so settled
+    nodes never need re-expansion; an anti-join against the settled
+    set keeps the frontier minimal). Only (id, hop) pairs shuffle;
+    the settled table localCheckpoints per round so lineage stays
+    flat; the adjacency persists once. Early-exits when a frontier
+    empties. Integer hops — bit-exact in any engine.
+    """
+    from pyspark import StorageLevel
+
+    adj = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    adj = adj.persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    dist = sources.select(
+        F.col(node_col).alias("node"), F.lit(0).cast("bigint").alias("hops")
+    ).localCheckpoint()
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (
+            adj.join(frontier, adj.s == frontier.node)
+            .groupBy(F.col("t").alias("node"))
+            .agg(F.min(F.col("hops") + 1).alias("hops"))
+        )
+        new = cand.join(dist.select("node"), on="node", how="left_anti")
+        new = new.localCheckpoint()
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint()
+        frontier = new
+    adj.unpersist()
+    return dist

@@ -1190,3 +1190,67 @@ def web_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("node")
     )
     return pagerank(edges, n_iter=5, seeds=seeds)
+
+
+# -- link-graph BFS distances (r13) -------------------------------------------
+
+_BFS_HOPS = 6
+_BFS_SRC_MOD = 97
+
+
+def _bfs_oracle(max_hops: int = _BFS_HOPS) -> str:
+    """Unrolled-CTE full relaxation — after k rounds dk holds the
+    exact min-hop distance for every node within k hops, identical to
+    the Spark frontier result (in unweighted BFS the first visit is
+    the shortest, so frontier and full relaxation agree round-for-
+    round)."""
+    ctes = [
+        "cnt AS (SELECT COUNT(*) AS n FROM documents)",
+        "edges AS (SELECT d.doc_id AS src, "
+        "(d.doc_id * 7 + 13 * c.i) % cnt.n AS dst "
+        "FROM documents d, cnt, "
+        "LATERAL (SELECT unnest(generate_series(1, 1 + d.doc_id % 3)) "
+        "AS i) c)",
+        f"d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS hops "
+        f"FROM documents WHERE doc_id % {_BFS_SRC_MOD} = 0)",
+    ]
+    for k in range(1, max_hops + 1):
+        ctes.append(
+            f"d{k} AS (SELECT node, MIN(hops) AS hops FROM ("
+            f"SELECT node, hops FROM d{k - 1} "
+            f"UNION ALL "
+            f"SELECT e.dst AS node, p.hops + 1 AS hops "
+            f"FROM edges e JOIN d{k - 1} p ON p.node = e.src"
+            f") GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(hops AS BIGINT) AS hops FROM d{max_hops}"
+    )
+
+
+@register("web_bfs_distance", oracle=_bfs_oracle())
+def web_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances over the synthetic link graph
+    (sources: every 97th doc). Frontier propagation — settled nodes
+    never re-expand; only (id, hop) pairs shuffle. The DuckDB oracle
+    replays the rounds as unrolled full-relaxation CTEs, which agree
+    with the frontier form round-for-round in unweighted graphs. See
+    ops/web.py bfs_distance."""
+    from sqlpp_spark.ops.web import bfs_distance
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(1) + F.col("doc_id") % 3)
+        ).alias("__c"),
+    ).select(
+        "src",
+        ((F.col("src") * 7 + 13 * F.col("__c")) % n).alias("dst"),
+    )
+    sources = d.filter(F.col("doc_id") % _BFS_SRC_MOD == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return bfs_distance(edges, sources, max_hops=_BFS_HOPS)

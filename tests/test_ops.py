@@ -1450,3 +1450,19 @@ def test_kcenter_greedy_selection_order(spark):
     assert out[4] == (4, 0)
     assert out[1][0] == 0   # 0.1 nearest to 0
     assert out[2][0] == 4   # 0.5 nearest to 0.45
+
+
+def test_bfs_distance_frontier(spark):
+    """Multi-source BFS: exact min hops, multi-source min wins,
+    unreachable nodes absent, max_hops bounds the radius."""
+    from sqlpp_spark.ops.web import bfs_distance
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 3), (5, 6)],  # 5→6 unreachable from {1,9}
+        "src long, dst long",
+    )
+    srcs = spark.createDataFrame([(1,), (9,)], "node long")
+    out = {r.node: r.hops for r in bfs_distance(edges, srcs, max_hops=6).collect()}
+    assert out == {1: 0, 9: 0, 2: 1, 3: 1, 4: 2}  # 3 via 9 beats 1→2→3
+    out2 = {r.node: r.hops for r in bfs_distance(edges, srcs, max_hops=1).collect()}
+    assert out2 == {1: 0, 9: 0, 2: 1, 3: 1}
