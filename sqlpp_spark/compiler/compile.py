@@ -128,12 +128,17 @@ class Compiler:
                     )
                 return self._limit_offset(df, sel, binds)
             if sel.order_by:
-                df = df.orderBy(
-                    *[
-                        self._order_col(self.expr(o.expr, binds, scalar_map), o)
-                        for o in sel.order_by
-                    ]
-                )
+                ocols = []
+                for i, o in enumerate(sel.order_by):
+                    c = self.expr(o.expr, binds, scalar_map)
+                    if _has_window(o.expr):
+                        # Spark rejects window exprs directly under
+                        # Sort — materialize, order by the column
+                        # (the final projection drops it)
+                        df = df.withColumn(f"__ow{i}", c)
+                        c = F.col(f"__ow{i}")
+                    ocols.append(self._order_col(c, o))
+                df = df.orderBy(*ocols)
             df = self._limit_offset(df, sel, binds)
             df = df.select(*cols)
         return df
@@ -942,9 +947,60 @@ class Compiler:
             return col
         if isinstance(e, A.EAscribe):
             return self.expr(e.expr, binds, scalar_map, subst)
+        if isinstance(e, A.EWindow):
+            return self._window_col(e, binds, scalar_map, subst)
         if isinstance(e, A.EApp):
             return self._app_col(e, binds, scalar_map, subst)
         raise SqlppError(f"cannot compile {type(e).__name__}")
+
+    def _window_col(
+        self, e: "A.EWindow", binds: Bindings,
+        scalar_map: Dict[int, Column],
+        subst: Optional[Dict[tuple, str]] = None,
+    ) -> Column:
+        """Window application (r13): SQL default frames — with ORDER BY
+        Spark's default is RANGE UNBOUNDED PRECEDING..CURRENT ROW,
+        without it the whole partition; both match the printers'
+        target engines. Ranking/count results cast to the dialect's
+        64-bit int."""
+        from pyspark.sql import Window as W
+
+        parts = [self.expr(p, binds, scalar_map, subst) for p in e.partition_by]
+        w = W.partitionBy(*parts) if parts else W.partitionBy(F.lit(1))
+        if e.order_by:
+            w = w.orderBy(
+                *[
+                    self._order_col(
+                        self.expr(o.expr, binds, scalar_map, subst), o
+                    )
+                    for o in e.order_by
+                ]
+            )
+        fnl = e.fn.lower()
+        args = [self.expr(a, binds, scalar_map, subst) for a in e.args]
+        if fnl == "row_number":
+            col = F.row_number()
+        elif fnl == "rank":
+            col = F.rank()
+        elif fnl == "dense_rank":
+            col = F.dense_rank()
+        elif fnl in ("lag", "lead"):
+            off = e.args[1].value if len(e.args) == 2 else 1
+            col = (F.lag if fnl == "lag" else F.lead)(args[0], int(off))
+        elif fnl == "count":
+            col = F.count(args[0])
+        elif fnl == "sum":
+            col = F.sum(args[0])
+        elif fnl == "min":
+            col = F.min(args[0])
+        elif fnl == "max":
+            col = F.max(args[0])
+        else:  # pragma: no cover — analyzer rejects unknown fns
+            raise SqlppError(f"unknown window function {e.fn}")
+        col = col.over(w)
+        if fnl in ("row_number", "rank", "dense_rank", "count"):
+            col = col.cast("bigint")
+        return col
 
     def _param_col(self, e: A.EParam, binds: Bindings) -> Column:
         if e.is_expr_param:
@@ -1120,6 +1176,17 @@ def _iter_agg_apps(e: A.Expr):
     elif isinstance(e, A.EMatch):
         for br in e.branches:
             yield from _iter_agg_apps(br.body)
+
+
+def _has_window(e: A.Expr) -> bool:
+    if isinstance(e, A.EWindow):
+        return True
+    for x in getattr(e, "args", None) or []:
+        if _has_window(x):
+            return True
+    if isinstance(e, (A.EAscribe, A.ENav)):
+        return _has_window(e.expr)
+    return False
 
 
 def _iter_nodes(e: A.Expr):

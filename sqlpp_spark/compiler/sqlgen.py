@@ -241,6 +241,23 @@ class SqlGen:
             return self._match(e)
         if isinstance(e, A.EAscribe):
             return self.expr(e.expr)
+        if isinstance(e, A.EWindow):
+            args = ", ".join(self.expr(a) for a in e.args)
+            spec = []
+            if e.partition_by:
+                spec.append(
+                    "PARTITION BY "
+                    + ", ".join(self.expr(p) for p in e.partition_by)
+                )
+            if e.order_by:
+                spec.append(
+                    "ORDER BY "
+                    + ", ".join(
+                        self.expr(o.expr) + (" DESC" if o.desc else "")
+                        for o in e.order_by
+                    )
+                )
+            return f"{e.fn.lower()}({args}) OVER ({' '.join(spec)})"
         if isinstance(e, A.EIn):
             lhs = ", ".join(self.expr(x) for x in e.exprs)
             if len(e.exprs) > 1:

@@ -282,13 +282,21 @@ class Analyzer:
             self._analyze_from(ctx, sel.from_, nullable=False)
         # 2. WHERE (clauses before projection: analyze.ml:646-697)
         if sel.where is not None:
+            self._forbid_windows(sel.where, "WHERE")
             sel.where, wty = self.infer_expr(ctx, sel.where)
             check_subsumes(wty, BOOL.nullable(), sel.where.loc, self.src or None)
             self._reject_agg(sel.where, "WHERE")
         # 3. GROUP BY
         if sel.group_by is not None:
+            for item in sel.fields:
+                if isinstance(item, A.Field):
+                    self._forbid_windows(
+                        item.expr, "grouped selects (project the group "
+                        "first, window in an outer select)"
+                    )
             gexprs = []
             for g in sel.group_by:
+                self._forbid_windows(g, "GROUP BY")
                 ge, _ = self.infer_expr(ctx, g)
                 gexprs.append(ge)
                 ctx.group_keys.append(expr_key(ge))
@@ -300,9 +308,12 @@ class Analyzer:
         sel.fields = ctx.fields
         # 5. HAVING / ORDER BY / LIMIT / OFFSET
         if sel.having is not None:
+            self._forbid_windows(sel.having, "HAVING")
             sel.having, hty = self.infer_expr(ctx, sel.having)
             check_subsumes(hty, BOOL.nullable(), sel.having.loc, self.src or None)
         for o in sel.order_by:
+            if sel.group_by is not None:
+                self._forbid_windows(o.expr, "grouped selects")
             o.expr, _ = self.infer_expr(ctx, o.expr)
         if sel.limit is not None:
             sel.limit, lty = self.infer_expr(ctx, sel.limit)
@@ -528,6 +539,8 @@ class Analyzer:
             return self._resolve_nav(ctx, e)
         if isinstance(e, A.ERef):  # already elaborated (re-analysis path)
             return e, e.ty
+        if isinstance(e, A.EWindow):
+            return self._infer_window(ctx, e)
         if isinstance(e, A.EApp):
             return self._infer_app(ctx, e)
         if isinstance(e, A.EIn):
@@ -769,6 +782,96 @@ class Analyzer:
         return A.ERef(rel.name, gen_name, loc=e.loc), ty
 
     # -- applications (the builtin function table, analyze.ml:546-621) ----
+
+    # ranking/offset window fns (must have ORDER BY); aggregate window
+    # fns reuse the aggregate names but are NOT aggregates (no GROUP BY
+    # interaction — the frame always contains the current row, so
+    # sum/min/max keep the argument's nullability)
+    _WIN_RANKING = {"row_number", "rank", "dense_rank"}
+    _WIN_OFFSET = {"lag", "lead"}
+    _WIN_AGG = {"count", "sum", "min", "max"}
+
+    def _infer_window(self, ctx: SelectCtx, e: A.EWindow) -> Tuple[A.Expr, Ty]:
+        """Window application (r13, beyond-reference): type the args and
+        the window spec in the current scope. Placement rules are
+        enforced by the callers (projection/ORDER BY of ungrouped
+        selects only — _forbid_windows)."""
+        fnl = e.fn.lower()
+        if fnl not in (self._WIN_RANKING | self._WIN_OFFSET | self._WIN_AGG):
+            self.err(f"unknown window function `{e.fn}(..)`", e.loc)
+        for sub in [*e.args, *e.partition_by, *[o.expr for o in e.order_by]]:
+            if A.expr_has_subquery(sub):
+                self.err(
+                    "subqueries are not allowed inside window "
+                    "specifications", e.loc,
+                )
+            for app in _iter_apps(sub):
+                if app.fn.lower() in AGG_FNS:
+                    self.err(
+                        "aggregate functions are not allowed inside "
+                        "window specifications", app.loc,
+                    )
+            if isinstance(sub, A.EWindow):
+                self.err("window functions cannot nest", e.loc)
+        if (fnl in self._WIN_RANKING or fnl in self._WIN_OFFSET) and not e.order_by:
+            self.err(
+                f"window function `{e.fn}(..)` requires ORDER BY in its "
+                "OVER clause", e.loc,
+            )
+        new_args: List[A.Expr] = []
+        arg_tys: List[Ty] = []
+        for a in e.args:
+            elab, ty = self.infer_expr(ctx, a)
+            new_args.append(elab)
+            arg_tys.append(ty)
+        e.args = new_args
+        e.partition_by = [self.infer_expr(ctx, p)[0] for p in e.partition_by]
+        for o in e.order_by:
+            o.expr = self.infer_expr(ctx, o.expr)[0]
+        if fnl in self._WIN_RANKING:
+            if e.args:
+                self.err(f"`{e.fn}(..)` takes no arguments", e.loc)
+            return e, INT
+        if fnl in self._WIN_OFFSET:
+            if not 1 <= len(e.args) <= 2:
+                self.err(f"`{e.fn}(..)` takes 1 or 2 arguments", e.loc)
+            if len(e.args) == 2 and not (
+                isinstance(e.args[1], A.ELit) and e.args[1].lit_kind == "int"
+            ):
+                self.err(
+                    f"`{e.fn}(..)` offset must be an integer literal", e.loc
+                )
+            # beyond-frame rows yield NULL
+            return e, arg_tys[0].with_non_null(False)
+        # aggregate-shaped window fns
+        if len(e.args) != 1:
+            self.err(f"window `{e.fn}(..)` takes exactly 1 argument", e.loc)
+        if fnl == "count":
+            return e, INT
+        check_subsumes(arg_tys[0], NUMERIC.nullable(), e.args[0].loc, self.src or None)
+        return e, arg_tys[0]
+
+    def _forbid_windows(self, e: Optional[A.Expr], where: str) -> None:
+        """Windows are projection/ORDER-BY-only (standard SQL forbids
+        them in WHERE/GROUP BY/HAVING; this dialect also keeps them
+        out of grouped selects)."""
+        if e is None:
+            return
+        stack = [e]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, A.EWindow):
+                self.err(
+                    f"window functions are not allowed in {where}",
+                    n.loc,
+                )
+            stack.extend(getattr(n, "args", None) or [])
+            if isinstance(n, (A.EAscribe, A.ENav)):
+                stack.append(n.expr)
+            if isinstance(n, A.EIn):
+                stack.extend(n.exprs)
+            if isinstance(n, A.EMatch):
+                stack.extend(br.body for br in n.branches)
 
     def _infer_app(self, ctx: SelectCtx, e: A.EApp) -> Tuple[A.Expr, Ty]:
         fn = e.fn

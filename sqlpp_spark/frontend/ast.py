@@ -116,6 +116,21 @@ class EParam(Expr):
 
 
 @dataclass
+class EWindow(Expr):
+    """Window-function application (r13, beyond-reference):
+    ``fn(args) OVER (PARTITION BY .. ORDER BY ..)``. Ranking and
+    offset functions require an ORDER BY (enforced by the analyzer);
+    frames are the SQL defaults (with ORDER BY: RANGE UNBOUNDED
+    PRECEDING..CURRENT ROW; without: the whole partition), identical
+    in Spark and the SQL printers' target engines."""
+
+    fn: str = ""
+    args: List[Expr] = field(default_factory=list)
+    partition_by: List[Expr] = field(default_factory=list)
+    order_by: List["OrderItem"] = field(default_factory=list)
+
+
+@dataclass
 class EMatchBranch:
     tag: str = ""
     params: List[str] = field(default_factory=list)
@@ -376,6 +391,13 @@ def expr_key(e: Expr) -> tuple:
         return ("exists", id(e.select))
     if isinstance(e, EScalarSub):
         return ("scalarsub", id(e.select))
+    if isinstance(e, EWindow):
+        return (
+            "window", e.fn,
+            tuple(expr_key(a) for a in e.args),
+            tuple(expr_key(x) for x in e.partition_by),
+            tuple((expr_key(o.expr), o.desc) for o in e.order_by),
+        )
     if isinstance(e, EMatch):
         return (
             "match",
@@ -396,6 +418,11 @@ def expr_has_subquery(e) -> bool:
     for child in getattr(e, "args", None) or []:
         if expr_has_subquery(child):
             return True
+    if isinstance(e, EWindow):
+        return any(
+            expr_has_subquery(x)
+            for x in [*e.partition_by, *[o.expr for o in e.order_by]]
+        )
     if isinstance(e, (EAscribe, ENav)):
         return expr_has_subquery(e.expr)
     if isinstance(e, EMatch):

@@ -481,6 +481,42 @@ class Parser:
         e = self._expr_prefix()
         while True:
             t = self.cur
+            # postfix: fn(args) OVER (window spec) — r13 window
+            # functions; OVER is contextual (plain ident), recognized
+            # only right after a function application and before '('
+            if (
+                isinstance(e, A.EApp)
+                and t.kind == "ident"
+                and t.value.lower() == "over"
+                and self.peek().kind == "punct"
+                and self.peek().value == "("
+                and 95 >= min_bp
+            ):
+                self.advance()
+                self.expect_punct("(")
+                parts: list = []
+                orders: list = []
+                if (
+                    self.cur.kind == "ident"
+                    and self.cur.value.lower() == "partition"
+                ):
+                    self.advance()
+                    self.expect_kw("by")
+                    parts.append(self.expr())
+                    while self.eat_punct(","):
+                        parts.append(self.expr())
+                if self.eat_kw("order"):
+                    self.expect_kw("by")
+                    orders.append(self._order_item())
+                    while self.eat_punct(","):
+                        orders.append(self._order_item())
+                self.expect_punct(")")
+                e = A.EWindow(
+                    fn=e.fn, args=e.args, partition_by=parts,
+                    order_by=orders,
+                    loc=Loc.span(e.loc, self.toks[self.i - 1].loc),
+                )
+                continue
             # postfix: IS [NOT] NULL (bp 60)
             if t.kind == "kw" and t.value.lower() == "is" and 60 >= min_bp:
                 self.advance()

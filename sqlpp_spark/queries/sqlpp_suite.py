@@ -339,3 +339,28 @@ _sqlpp(
     "(EXISTS (SELECT 1 FROM orders o WHERE o.o_totalprice > c.c_acctbal)) "
     "AS outspent FROM customer c WHERE c_custkey < 300",
 )
+
+_sqlpp(
+    # r13: window functions in the dialect — ranking + running sum +
+    # offset in one projection; the running sum is over an INT column
+    # (BIGINT window sums are exact in every engine — float running
+    # sums differ in the last ulp between Spark's retractable window
+    # aggregate and DuckDB's prefix accumulation)
+    "sqlpp_window_functions",
+    "select c.c_custkey as custkey, "
+    "row_number() over (partition by c.c_nationkey "
+    "order by c.c_acctbal desc, c.c_custkey) as rn, "
+    "sum(c.c_custkey) over (partition by c.c_nationkey "
+    "order by c.c_custkey) as running_keys, "
+    "lag(c.c_acctbal) over (partition by c.c_nationkey "
+    "order by c.c_custkey) as prev_bal "
+    "from customer as c where c.c_custkey < 400",
+    "SELECT c_custkey AS custkey, "
+    "row_number() OVER (PARTITION BY c_nationkey "
+    "ORDER BY c_acctbal DESC, c_custkey) AS rn, "
+    "sum(c_custkey) OVER (PARTITION BY c_nationkey "
+    "ORDER BY c_custkey) AS running_keys, "
+    "lag(c_acctbal) OVER (PARTITION BY c_nationkey "
+    "ORDER BY c_custkey) AS prev_bal "
+    "FROM customer WHERE c_custkey < 400",
+)

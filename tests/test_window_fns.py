@@ -1,0 +1,108 @@
+"""Window functions in the sqlpp dialect (r13, beyond-reference):
+``fn(args) OVER (PARTITION BY .. ORDER BY ..)`` for ranking
+(row_number/rank/dense_rank), offsets (lag/lead) and frame aggregates
+(count/sum/min/max). Differential against DuckDB on BOTH the printed
+SQL and the original source; placement and arity errors are
+compile-time."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sqlpp_spark.compiler.sqlgen import select_sql
+from sqlpp_spark.frontend.analyze import Analyzer
+from sqlpp_spark.frontend.errors import SqlppError
+from sqlpp_spark.frontend.parser import parse_query
+
+T1 = [(1, 1, 10), (2, 1, None), (3, 2, 30), (4, 3, 40), (5, 2, None)]
+
+
+@pytest.fixture()
+def eng(spark):
+    from sqlpp_spark.engine import SqlppEngine
+
+    eng = SqlppEngine(spark)
+    eng.add_decls("create table t1 (id int not null, grp int not null, val int);")
+    eng.register_df("t1", spark.createDataFrame(T1, "id long, grp long, val long"))
+    return eng
+
+
+@pytest.fixture()
+def duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t1 (id BIGINT, grp BIGINT, val BIGINT)")
+    con.executemany("INSERT INTO t1 VALUES (?,?,?)", T1)
+    return con
+
+
+def _differ(eng, duck, src):
+    rows = sorted(tuple(repr(x) for x in r) for r in eng.fetch_list(src))
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    sql = select_sql(info)
+    want = sorted(tuple(repr(x) for x in r) for r in duck.execute(sql).fetchall())
+    want2 = sorted(tuple(repr(x) for x in r) for r in duck.execute(src).fetchall())
+    assert rows == want == want2, f"{src}\n{sql}"
+
+
+def test_window_functions_differential(eng, duck):
+    for src in (
+        "select id, row_number() over (partition by grp order by id) as rn "
+        "from t1 order by id",
+        "select id, rank() over (order by grp desc, id) as r "
+        "from t1 order by id",
+        "select id, dense_rank() over (order by grp) as dr "
+        "from t1 order by id",
+        # integer running sum (float window sums differ in the last
+        # ulp between engines — see sqlpp_window_functions docstring)
+        "select id, sum(id) over (partition by grp order by id) as s "
+        "from t1 order by id",
+        "select id, count(val) over (partition by grp) as c "
+        "from t1 order by id",
+        "select id, min(val) over (partition by grp) as m "
+        "from t1 order by id",
+        "select id, lag(val) over (partition by grp order by id) as pv "
+        "from t1 order by id",
+        "select id, lead(val, 2) over (order by id) as nv "
+        "from t1 order by id",
+        # window beside a WHERE and in ORDER BY position
+        "select id, max(val) over (partition by grp) as m from t1 "
+        "where grp < 3 order by id",
+        "select id from t1 order by row_number() over (order by val desc, id), id",
+    ):
+        _differ(eng, duck, src)
+
+
+def test_window_placement_and_arity_errors(eng):
+    for bad, m in (
+        ("select id from t1 where row_number() over (order by id) > 2",
+         "not allowed in WHERE"),
+        ("select grp, row_number() over (order by grp) as rn from t1 "
+         "group by grp", "grouped"),
+        ("select id, row_number() over (partition by grp) as rn from t1",
+         "requires ORDER BY"),
+        ("select id, sum(row_number() over (order by id)) "
+         "over (order by id) as x from t1", "nest"),
+        ("select id, foo(val) over (order by id) as x from t1",
+         "unknown window"),
+        ("select id, row_number(val) over (order by id) as x from t1",
+         "takes no arguments"),
+        ("select id, lag(val, id) over (order by id) as x from t1",
+         "integer literal"),
+        ("select id, sum(count(val)) over (order by id) as x from t1",
+         "aggregate functions are not allowed inside window"),
+    ):
+        with pytest.raises(SqlppError, match=m):
+            eng.fetch_list(bad)
+
+
+def test_window_nullability_types(eng):
+    """lag is nullable even over NOT NULL args (beyond-frame rows);
+    ranking fns are NOT NULL ints."""
+    info = Analyzer(eng.env, s := (
+        "select row_number() over (order by id) as rn, "
+        "lag(id) over (order by id) as p from t1"
+    )).analyze_query(parse_query(s))
+    tys = {f.out_name: f.expr.ty for f in info.ctx.fields}
+    assert tys["rn"].non_null and tys["rn"].kind == "int"
+    assert not tys["p"].non_null
