@@ -15,6 +15,7 @@ VOCAB = [
     ")", ",", ".", "*", "+", "'s'", "1", "x", "match", "end", "|", "->",
     ":", "int", "null", "insert", "into", "values", "set", "order",
     "limit", ";", "alter", "drop", "join", "on", "as", "exists", "in",
+    "over", "partition", "row_number", "lag", "desc",
 ]
 
 

@@ -748,5 +748,39 @@ try:
         )
         assert got == want, f"\npred  : {p}\nsql   : {sql}"
 
+    # -- window-function fuzzer (r13) -------------------------------------
+
+    @st.composite
+    def _window_query(draw):
+        fn = draw(st.sampled_from(
+            ["row_number()", "rank()", "dense_rank()",
+             "sum(n_nationkey)", "count(n_name)", "min(n_nationkey)",
+             "max(n_nationkey)", "lag(n_name)", "lead(n_nationkey, 2)"]
+        ))
+        part = draw(st.sampled_from(["", "partition by n_regionkey "]))
+        # ranking/offset fns need ORDER BY; always give one, with a
+        # unique tiebreak so results are total-ordered in both engines
+        order = draw(st.sampled_from(
+            ["order by n_nationkey",
+             "order by n_regionkey desc, n_nationkey",
+             "order by n_name, n_nationkey"]
+        ))
+        frame_agg = fn.split("(")[0] in ("sum", "count", "min", "max")
+        if frame_agg and draw(st.booleans()):
+            order = ""  # whole-partition frame
+        spec = f"{part}{order}".strip()
+        if not spec:
+            spec = "order by n_nationkey"
+        return (f"select n_nationkey, {fn} over ({spec}) as w "
+                f"from nation order by n_nationkey")
+
+    @settings(max_examples=N_EXAMPLES, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(_window_query())
+    def test_window_fuzz(ext_engine, ext_duck, src):
+        """Random window applications (r13): every generated query must
+        execute and match DuckDB through the printed SQL."""
+        ext_differ(ext_engine, ext_duck, src)
+
 except ImportError:  # pragma: no cover
     pass
