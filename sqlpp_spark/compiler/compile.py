@@ -217,14 +217,14 @@ class Compiler:
                 )
             return self._limit_offset(grouped, sel, binds)
         if sel.order_by:
-            grouped = grouped.orderBy(
-                *[
-                    self._order_col(
-                        self.expr(o.expr, binds, scalar_map, subst), o
-                    )
-                    for o in sel.order_by
-                ]
-            )
+            ocols = []
+            for i, o in enumerate(sel.order_by):
+                c = self.expr(o.expr, binds, scalar_map, subst)
+                if _has_window(o.expr):
+                    grouped = grouped.withColumn(f"__ow{i}", c)
+                    c = F.col(f"__ow{i}")
+                ocols.append(self._order_col(c, o))
+            grouped = grouped.orderBy(*ocols)
         grouped = self._limit_offset(grouped, sel, binds)
         return grouped.select(*cols)
 
@@ -1170,6 +1170,11 @@ def _iter_agg_apps(e: A.Expr):
             yield e
             return
         for x in e.args:
+            yield from _iter_agg_apps(x)
+    elif isinstance(e, A.EWindow):
+        # windows over grouped selects (r13): aggregates inside the
+        # window's args/spec evaluate as ordinary aggregates first
+        for x in [*e.args, *e.partition_by, *[o.expr for o in e.order_by]]:
             yield from _iter_agg_apps(x)
     elif isinstance(e, A.EAscribe):
         yield from _iter_agg_apps(e.expr)

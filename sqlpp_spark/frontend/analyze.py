@@ -288,12 +288,6 @@ class Analyzer:
             self._reject_agg(sel.where, "WHERE")
         # 3. GROUP BY
         if sel.group_by is not None:
-            for item in sel.fields:
-                if isinstance(item, A.Field):
-                    self._forbid_windows(
-                        item.expr, "grouped selects (project the group "
-                        "first, window in an outer select)"
-                    )
             gexprs = []
             for g in sel.group_by:
                 self._forbid_windows(g, "GROUP BY")
@@ -312,8 +306,6 @@ class Analyzer:
             sel.having, hty = self.infer_expr(ctx, sel.having)
             check_subsumes(hty, BOOL.nullable(), sel.having.loc, self.src or None)
         for o in sel.order_by:
-            if sel.group_by is not None:
-                self._forbid_windows(o.expr, "grouped selects")
             o.expr, _ = self.infer_expr(ctx, o.expr)
         if sel.limit is not None:
             sel.limit, lty = self.infer_expr(ctx, sel.limit)
@@ -794,23 +786,32 @@ class Analyzer:
     def _infer_window(self, ctx: SelectCtx, e: A.EWindow) -> Tuple[A.Expr, Ty]:
         """Window application (r13, beyond-reference): type the args and
         the window spec in the current scope. Placement rules are
-        enforced by the callers (projection/ORDER BY of ungrouped
-        selects only — _forbid_windows)."""
+        enforced by the callers (projection/ORDER BY only —
+        _forbid_windows covers WHERE/GROUP BY/HAVING); in grouped
+        selects the window runs over the aggregated rows, so its
+        subexpressions must be group keys or aggregates
+        (_check_agg_expr validates that)."""
         fnl = e.fn.lower()
         if fnl not in (self._WIN_RANKING | self._WIN_OFFSET | self._WIN_AGG):
             self.err(f"unknown window function `{e.fn}(..)`", e.loc)
+        grouped = ctx.select.group_by is not None
         for sub in [*e.args, *e.partition_by, *[o.expr for o in e.order_by]]:
             if A.expr_has_subquery(sub):
                 self.err(
                     "subqueries are not allowed inside window "
                     "specifications", e.loc,
                 )
-            for app in _iter_apps(sub):
-                if app.fn.lower() in AGG_FNS:
-                    self.err(
-                        "aggregate functions are not allowed inside "
-                        "window specifications", app.loc,
-                    )
+            # in a GROUPED select, aggregates inside window args/specs
+            # are standard SQL (they evaluate first, the window runs
+            # over the aggregated rows); ungrouped keeps the ban
+            if not grouped:
+                for app in _iter_apps(sub):
+                    if app.fn.lower() in AGG_FNS:
+                        self.err(
+                            "aggregate functions are not allowed inside "
+                            "window specifications without GROUP BY",
+                            app.loc,
+                        )
             if isinstance(sub, A.EWindow):
                 self.err("window functions cannot nest", e.loc)
         if (fnl in self._WIN_RANKING or fnl in self._WIN_OFFSET) and not e.order_by:
@@ -1299,6 +1300,15 @@ class Analyzer:
 
     def _check_agg_expr(self, ctx: SelectCtx, e: A.Expr, grouped: bool, in_agg: bool) -> None:
         if grouped and expr_key(e) in ctx.group_keys:
+            return
+        if isinstance(e, A.EWindow):
+            # the window runs over the (possibly aggregated) output
+            # rows — its subexpressions obey the same grouped-ref
+            # rules as the projection itself
+            for sub in [
+                *e.args, *e.partition_by, *[o.expr for o in e.order_by]
+            ]:
+                self._check_agg_expr(ctx, sub, grouped, in_agg)
             return
         if isinstance(e, A.EApp):
             if e.fn.lower() in AGG_FNS:

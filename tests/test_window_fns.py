@@ -69,6 +69,16 @@ def test_window_functions_differential(eng, duck):
         "select id, max(val) over (partition by grp) as m from t1 "
         "where grp < 3 order by id",
         "select id from t1 order by row_number() over (order by val desc, id), id",
+        # r13: windows over GROUPED selects — the window runs on the
+        # aggregated rows; aggregates may appear inside the spec
+        "select grp, count(id) as n, rank() over (order by count(id) "
+        "desc, grp) as r from t1 group by grp order by grp",
+        "select grp, sum(id) as s, row_number() over (order by sum(id) "
+        "desc) as rn from t1 group by grp order by grp",
+        "select grp, count(id) as n, lag(count(id)) over (order by grp) "
+        "as pn from t1 group by grp order by grp",
+        "select grp, count(id) as n from t1 group by grp "
+        "order by rank() over (order by count(id) desc, grp), grp",
     ):
         _differ(eng, duck, src)
 
@@ -77,8 +87,8 @@ def test_window_placement_and_arity_errors(eng):
     for bad, m in (
         ("select id from t1 where row_number() over (order by id) > 2",
          "not allowed in WHERE"),
-        ("select grp, row_number() over (order by grp) as rn from t1 "
-         "group by grp", "grouped"),
+        ("select grp, rank() over (order by val) as r from t1 "
+         "group by grp", "not in GROUP BY"),
         ("select id, row_number() over (partition by grp) as rn from t1",
          "requires ORDER BY"),
         ("select id, sum(row_number() over (order by id)) "
@@ -90,7 +100,7 @@ def test_window_placement_and_arity_errors(eng):
         ("select id, lag(val, id) over (order by id) as x from t1",
          "integer literal"),
         ("select id, sum(count(val)) over (order by id) as x from t1",
-         "aggregate functions are not allowed inside window"),
+         "window specifications without GROUP BY"),
     ):
         with pytest.raises(SqlppError, match=m):
             eng.fetch_list(bad)
