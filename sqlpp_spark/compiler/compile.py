@@ -995,10 +995,16 @@ class Compiler:
             col = F.min(args[0])
         elif fnl == "max":
             col = F.max(args[0])
+        elif fnl == "ntile":
+            col = F.ntile(int(e.args[0].value))
+        elif fnl == "first_value":
+            col = F.first(args[0])
+        elif fnl == "last_value":
+            col = F.last(args[0])
         else:  # pragma: no cover — analyzer rejects unknown fns
             raise SqlppError(f"unknown window function {e.fn}")
         col = col.over(w)
-        if fnl in ("row_number", "rank", "dense_rank", "count"):
+        if fnl in ("row_number", "rank", "dense_rank", "count", "ntile"):
             col = col.cast("bigint")
         return col
 

@@ -782,6 +782,9 @@ class Analyzer:
     _WIN_RANKING = {"row_number", "rank", "dense_rank"}
     _WIN_OFFSET = {"lag", "lead"}
     _WIN_AGG = {"count", "sum", "min", "max"}
+    # order-dependent value fns: require ORDER BY; ntile needs the
+    # bucket count as an int literal
+    _WIN_VALUE = {"first_value", "last_value", "ntile"}
 
     def _infer_window(self, ctx: SelectCtx, e: A.EWindow) -> Tuple[A.Expr, Ty]:
         """Window application (r13, beyond-reference): type the args and
@@ -792,7 +795,10 @@ class Analyzer:
         subexpressions must be group keys or aggregates
         (_check_agg_expr validates that)."""
         fnl = e.fn.lower()
-        if fnl not in (self._WIN_RANKING | self._WIN_OFFSET | self._WIN_AGG):
+        if fnl not in (
+            self._WIN_RANKING | self._WIN_OFFSET | self._WIN_AGG
+            | self._WIN_VALUE
+        ):
             self.err(f"unknown window function `{e.fn}(..)`", e.loc)
         grouped = ctx.select.group_by is not None
         for sub in [*e.args, *e.partition_by, *[o.expr for o in e.order_by]]:
@@ -814,7 +820,9 @@ class Analyzer:
                         )
             if isinstance(sub, A.EWindow):
                 self.err("window functions cannot nest", e.loc)
-        if (fnl in self._WIN_RANKING or fnl in self._WIN_OFFSET) and not e.order_by:
+        if fnl != "count" and fnl in (
+            self._WIN_RANKING | self._WIN_OFFSET | self._WIN_VALUE
+        ) and not e.order_by:
             self.err(
                 f"window function `{e.fn}(..)` requires ORDER BY in its "
                 "OVER clause", e.loc,
@@ -833,6 +841,18 @@ class Analyzer:
             if e.args:
                 self.err(f"`{e.fn}(..)` takes no arguments", e.loc)
             return e, INT
+        if fnl == "ntile":
+            if len(e.args) != 1 or not (
+                isinstance(e.args[0], A.ELit) and e.args[0].lit_kind == "int"
+            ):
+                self.err("`ntile(..)` takes one integer literal", e.loc)
+            return e, INT
+        if fnl in ("first_value", "last_value"):
+            if len(e.args) != 1:
+                self.err(f"`{e.fn}(..)` takes exactly 1 argument", e.loc)
+            # the default frame always contains >= 1 row, so the value
+            # fns keep the argument's nullability
+            return e, arg_tys[0]
         if fnl in self._WIN_OFFSET:
             if not 1 <= len(e.args) <= 2:
                 self.err(f"`{e.fn}(..)` takes 1 or 2 arguments", e.loc)

@@ -753,9 +753,10 @@ try:
     @st.composite
     def _window_query(draw):
         fn = draw(st.sampled_from(
-            ["row_number()", "rank()", "dense_rank()",
+            ["row_number()", "rank()", "dense_rank()", "ntile(3)",
              "sum(n_nationkey)", "count(n_name)", "min(n_nationkey)",
-             "max(n_nationkey)", "lag(n_name)", "lead(n_nationkey, 2)"]
+             "max(n_nationkey)", "lag(n_name)", "lead(n_nationkey, 2)",
+             "first_value(n_name)", "last_value(n_nationkey)"]
         ))
         part = draw(st.sampled_from(["", "partition by n_regionkey "]))
         # ranking/offset fns need ORDER BY; always give one, with a
@@ -765,7 +766,9 @@ try:
              "order by n_regionkey desc, n_nationkey",
              "order by n_name, n_nationkey"]
         ))
-        frame_agg = fn.split("(")[0] in ("sum", "count", "min", "max")
+        frame_agg = fn.split("(")[0] == "count"  # only count may drop ORDER BY
+        if fn.split("(")[0] in ("sum", "min", "max") and draw(st.booleans()):
+            frame_agg = True
         if frame_agg and draw(st.booleans()):
             order = ""  # whole-partition frame
         spec = f"{part}{order}".strip()

@@ -79,6 +79,14 @@ def test_window_functions_differential(eng, duck):
         "as pn from t1 group by grp order by grp",
         "select grp, count(id) as n from t1 group by grp "
         "order by rank() over (order by count(id) desc, grp), grp",
+        # value fns + ntile (r13): default frames agree across engines
+        "select id, ntile(2) over (order by id) as b from t1 order by id",
+        "select id, first_value(val) over (partition by grp order by id) "
+        "as fv from t1 order by id",
+        "select id, last_value(val) over (partition by grp order by id) "
+        "as lv from t1 order by id",
+        "select id, first_value(id) over (order by val desc, id) "
+        "as top_id from t1 order by id",
     ):
         _differ(eng, duck, src)
 
@@ -99,6 +107,10 @@ def test_window_placement_and_arity_errors(eng):
          "takes no arguments"),
         ("select id, lag(val, id) over (order by id) as x from t1",
          "integer literal"),
+        ("select id, ntile(grp) over (order by id) as x from t1",
+         "integer literal"),
+        ("select id, first_value(val) over (partition by grp) as x from t1",
+         "requires ORDER BY"),
         ("select id, sum(count(val)) over (order by id) as x from t1",
          "window specifications without GROUP BY"),
     ):
