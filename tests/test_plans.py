@@ -567,3 +567,12 @@ def test_gapfill_rollup_single_raw_scan(spark, sf_dir):
     pr = plan_of(spark, sf_dir, "events_rollup_cascade")
     assert pr.count("events.parquet") == 1
     assert "partial_sum" in pr or "partial_count" in pr
+
+
+def test_sqlpp_window_single_exchange(spark, sf_dir):
+    """r13 dialect windows: three OVER specs sharing one partition key
+    compile to ONE shuffle exchange (two Window nodes differing only
+    in sort order re-sort within partitions — no re-shuffle)."""
+    p = plan_of(spark, sf_dir, "sqlpp_window_functions")
+    assert shuffle_count(p) == 1, shuffle_count(p)
+    assert p.count(") Window") == 2
