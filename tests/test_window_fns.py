@@ -87,6 +87,10 @@ def test_window_functions_differential(eng, duck):
         "as lv from t1 order by id",
         "select id, first_value(id) over (order by val desc, id) "
         "as top_id from t1 order by id",
+        # DISTINCT dedups AFTER windows compute (count per group is a
+        # classic distinct+window shape)
+        "select distinct grp, count(id) over (partition by grp) as n "
+        "from t1 order by grp",
     ):
         _differ(eng, duck, src)
 

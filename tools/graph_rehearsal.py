@@ -145,10 +145,21 @@ def main() -> None:
             .select("node", (F.col("node") % 7).alias("label"))
         )
 
+    def bfs_sources(spark_, d):
+        from pyspark.sql import functions as FF
+        e = spark_.read.parquet(d)
+        return (
+            e.select(FF.col("src").alias("node")).distinct()
+            .filter(FF.col("node") % 997 == 0)
+        )
+
     builders = {
         "pagerank_5iter": lambda s, d: pagerank(
             s.read.parquet(d), n_iter=5
         ),
+        "bfs_6hops": lambda s, d: __import__(
+            "sqlpp_spark.ops.web", fromlist=["bfs_distance"]
+        ).bfs_distance(s.read.parquet(d), bfs_sources(s, d), max_hops=6),
         "label_propagation_3iter": lambda s, d: label_propagate(
             seeds_of(s.read.parquet(d)), s.read.parquet(d), n_iter=3
         ),
