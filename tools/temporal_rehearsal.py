@@ -30,8 +30,11 @@ QUERIES = [
     "events_gapfill_interpolate",
     "events_funnel_steps",
     "events_cohort_retention",
+    "events_rolling_zscore",
     "dim_scd2_merge",
     "corpus_snapshot_diff",
+    "corpus_dsir_weights",
+    "ann_kcenter_coreset",
 ]
 
 TIERS = {"1x": "/root/testdata/sf0.01", "10x": "/root/testdata/sf0.1"}
