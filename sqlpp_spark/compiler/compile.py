@@ -410,7 +410,11 @@ class Compiler:
                     alias = self._fresh("__sin")
                     flag = f"{alias}_flag"
                     sub_cols = [f.out_name for f in node.sub_ctx.fields if f.is_used]
-                    probe0 = self.expr(node.exprs[0], binds, {})
+                    probes = [self.expr(x, binds, {}, subst) for x in node.exprs]
+                    df, probes = self._materialize_windows(
+                        df, node.exprs, probes
+                    )
+                    probe0 = probes[0]
                     if len(sub_cols) == 1:
                         # broadcast 1-row marker: does the subquery have
                         # rows / contain NULL in the compared column?
@@ -426,8 +430,8 @@ class Compiler:
                         .alias(alias)
                     )
                     cond = None
-                    for e_in, cname in zip(node.exprs, sub_cols):
-                        c = self.expr(e_in, binds, {}) == F.col(f"{alias}.{cname}")
+                    for probe, cname in zip(probes, sub_cols):
+                        c = probe == F.col(f"{alias}.{cname}")
                         cond = c if cond is None else (cond & c)
                     df = df.join(sub_aliased, on=cond, how="left")
                     matched = F.col(flag).isNotNull()
@@ -487,10 +491,14 @@ class Compiler:
             self._outer_col(oe, binds, subst) for _op, _ie, oe in node.corr
         ]
         kcond = None
+        df, outer_cols = self._materialize_windows(
+            df, [oe for _op, _ie, oe in node.corr], outer_cols
+        )
         if is_in:
             sub_fields = [f for f in node.sub_ctx.fields if f.is_used]
             sub_cols = [f.out_name for f in sub_fields]
             probes = [self.expr(e, binds, {}, subst) for e in node.exprs]
+            df, probes = self._materialize_windows(df, node.exprs, probes)
             if len(sub_cols) == 1:
                 nn, hn = f"{alias}_n", f"{alias}_hasnull"
                 marker = (
@@ -585,6 +593,12 @@ class Compiler:
         probes = (
             [self.expr(e, binds, {}, subst) for e in node.exprs]
             if is_in else []
+        )
+        df, probes = self._materialize_windows(
+            df, node.exprs if is_in else [], probes
+        )
+        df, outer_cols = self._materialize_windows(
+            df, [oe for _op, _ie, oe in node.corr], outer_cols
         )
         po = [f"{alias}_po{i}" for i in range(len(outer_cols))]
         pp = [f"{alias}_pp{i}" for i in range(len(probes))]
@@ -684,6 +698,10 @@ class Compiler:
         sub_cols = [f.out_name for f in node.sub_ctx.fields if f.is_used]
         probes = [self.expr(e, binds, {}, subst) for e in node.exprs]
         outer_cols = [self._outer_col(oe, binds, subst) for _op, _ie, oe in corr]
+        df, probes = self._materialize_windows(df, node.exprs, probes)
+        df, outer_cols = self._materialize_windows(
+            df, [oe for _op, _ie, oe in corr], outer_cols
+        )
         po = [f"{alias}_po{i}" for i in range(len(outer_cols))]
         pp = [f"{alias}_pp{i}" for i in range(len(probes))]
         probe = df.select(
@@ -898,6 +916,22 @@ class Compiler:
         self._subquery_n += 1
         return f"{prefix}{self._subquery_n}"
 
+    def _materialize_windows(self, df: DataFrame, exprs, cols):
+        """r14: windows can't appear in the join conditions the flag
+        attach builds (Spark restricts window exprs to Project/Sort),
+        so any window-bearing probe/correlation expression is computed
+        on the outer frame first and referenced by column. Returns the
+        (possibly extended) frame and the columns to use; the helper
+        columns are dropped by the final explicit projection."""
+        out = []
+        for e, c in zip(exprs, cols):
+            if _has_window(e):
+                name = self._fresh("__iw")
+                df = df.withColumn(name, c)
+                c = F.col(name)
+            out.append(c)
+        return df, out
+
     # -- expressions -------------------------------------------------------
 
     def expr(
@@ -941,8 +975,9 @@ class Compiler:
             col = scalar_map.get(id(e))
             if col is None:
                 raise SqlppError(
-                    "scalar subqueries are supported in WHERE and in the "
-                    "projection/ORDER BY of an ungrouped select"
+                    "scalar subquery appears in a position the compiler "
+                    "did not pre-materialize (supported: WHERE, and the "
+                    "projection/ORDER BY of grouped or ungrouped selects)"
                 )
             return col
         if isinstance(e, A.EAscribe):
@@ -1197,6 +1232,10 @@ def _has_window(e: A.Expr) -> bool:
             return True
     if isinstance(e, (A.EAscribe, A.ENav)):
         return _has_window(e.expr)
+    if isinstance(e, A.EIn):  # window in an IN probe expression
+        return any(_has_window(x) for x in e.exprs)
+    if isinstance(e, A.EMatch):  # window nested in a match branch
+        return any(_has_window(br.body) for br in e.branches)
     return False
 
 

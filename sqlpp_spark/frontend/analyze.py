@@ -1255,23 +1255,29 @@ class Analyzer:
         return sub_ctx, corr
 
     def _try_quantified_or_split(self, ctx: SelectCtx, e, err):
-        """r13: EXISTS/IN distribute over OR — existential
-        quantification over a union is the Kleene-OR of the branch
-        quantifications (exact in three-valued logic too, so NOT IN
-        stays null-aware). When the direct correlation lift fails with
-        the boundary error AND the subquery WHERE contains a top-level
-        OR of decorrelatable branches, rewrite
+        """r13 (negation fixed r14): EXISTS/IN distribute over OR —
+        existential quantification over a union is the Kleene-OR of the
+        branch quantifications. When the direct correlation lift fails
+        with the boundary error AND the subquery WHERE contains a
+        top-level OR of decorrelatable branches, rewrite
 
             EXISTS (S WHERE P OR Q)  ->  EXISTS(S WHERE P) OR
                                          EXISTS(S WHERE Q)
             x IN   (S WHERE P OR Q)  ->  x IN(S WHERE P) OR
                                          x IN(S WHERE Q)
+            x NOT IN (S WHERE P OR Q) -> NOT (x IN(S WHERE P) OR
+                                              x IN(S WHERE Q))
 
         via full AND-over-OR distribution (DNF, capped at 8 branches —
         past that the rewrite would multiply subquery scans, not help).
-        Branches whose correlation is still undecorrelatable (theta
-        under OR, non-comparison) re-raise their own boundary error.
-        Returns (expr, ty) or None when the shape does not apply."""
+        NOT IN must negate the OR of the POSITIVE branch memberships
+        (De Morgan: x ∉ (A ∪ B) ⇔ ¬(x ∈ A ∨ x ∈ B)); distributing the
+        negation into the branches — (x ∉ A) ∨ (x ∉ B) — is wrong
+        whenever x is in exactly one branch. Kleene NOT of Kleene OR
+        keeps the rewrite exact in 3VL. Branches whose correlation is
+        still undecorrelatable (theta under OR, non-comparison)
+        re-raise their own boundary error. Returns (expr, ty) or None
+        when the shape does not apply."""
         if "unsupported correlation" not in str(err):
             return None
         where = e.select.where
@@ -1280,9 +1286,12 @@ class Analyzer:
         disjuncts = _dnf(where)
         if not 1 < len(disjuncts) <= 8:
             return None
+        negated = isinstance(e, A.EIn) and e.negated
         branches = []
         for conjs in disjuncts:
             b = copy.deepcopy(e)
+            if negated:
+                b.negated = False  # quantify positively; negate the OR
             b.select.where = _join_and([copy.deepcopy(c) for c in conjs])
             branches.append(b)
         node = None
@@ -1293,6 +1302,9 @@ class Analyzer:
             node = elab if node is None else A.EApp(
                 "or", [node, elab], loc=e.loc
             )
+            node.ty = ty
+        if negated:
+            node = A.EApp("not", [node], loc=e.loc)
             node.ty = ty
         return node, ty
 

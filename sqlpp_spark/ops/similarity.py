@@ -914,7 +914,12 @@ def kmeans_lloyd(
     base = corpus.select(F.col(id_col).alias("__vid"), qv.alias("__qv"))
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
     base.count()
-    init = base.filter(F.col("__vid") < k).orderBy("__vid").collect()
+    # k smallest ids (the documented contract, matching kcenter_greedy's
+    # first pick) — orderBy+limit, NOT `__vid < k`, so sparse or
+    # non-zero-based id spaces still yield exactly k initial centroids
+    init = base.orderBy("__vid").limit(k).collect()
+    if len(init) != k:
+        raise ValueError(f"kmeans_lloyd: corpus has {len(init)} rows < k={k}")
     cents = {int(r["__vid"]): [float(x) for x in r["__qv"]] for r in init}
     cell_ids = sorted(cents)
 

@@ -145,12 +145,16 @@ def range_count(
 
 def time_bucket(ts_col, bucket_seconds: int):
     """Integer bucket index of a timestamp (floor of epoch-micros over
-    the bucket width). Computed as (x - x % w) / w: the numerator is an
+    the bucket width). Computed as (x - pmod(x, w)) / w: pmod is always
+    non-negative, so the numerator is the largest multiple of w that is
+    <= x — true floor division even for negative (pre-1970) epochs,
+    matching the oracle's ``//`` (Spark's ``%`` follows the dividend's
+    sign and would truncate toward zero there). The numerator is an
     exact multiple of w, so the double division is exactly the integer
-    quotient — no float-boundary misbucketing (oracle uses ``//``)."""
+    quotient — no float-boundary misbucketing."""
     w = F.lit(int(bucket_seconds) * 1_000_000)
     x = F.unix_micros(ts_col)
-    return ((x - x % w) / w).cast("bigint")
+    return ((x - F.pmod(x, w)) / w).cast("bigint")
 
 
 def gapfill(

@@ -1407,7 +1407,7 @@ WITH e AS (
 ),
 c0 AS (
   SELECT vec_id AS cell, list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
-  FROM e WHERE vec_id < {k}
+  FROM e ORDER BY vec_id LIMIT {k}
 ),
 a1 AS ({_km_assign_sql('c0', dim)}),
 m1 AS (

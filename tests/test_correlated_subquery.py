@@ -212,7 +212,10 @@ def test_correlated_under_disjunction_supported_via_or_split(eng, duck):
     over a union = Kleene-OR of branch quantifications), so correlated
     equality atoms under OR now decorrelate — each DNF branch becomes
     its own EXISTS/IN compiled through the per-outer-row match flag.
-    Differential against DuckDB on the printed SQL."""
+    Differential against DuckDB on the printed SQL AND the original
+    source (r14: the original-source check is what catches a wrong
+    rewrite — comparing only against the printed, already-rewritten
+    SQL lets a bad rewrite self-validate)."""
     for src in (
         "select id from t1 where exists (select 1 as one from t2 "
         "where t2.grp = t1.grp or t2.amt > 100) order by id",
@@ -223,11 +226,18 @@ def test_correlated_under_disjunction_supported_via_or_split(eng, duck):
         "order by id",
         "select id from t1 where val not in (select amt from t2 "
         "where t2.grp = t1.grp or t2.id = t1.id) order by id",
+        # r14 De Morgan regression pin: NOT IN whose branches match
+        # DIFFERENT outer rows — the broken per-branch-negation
+        # rewrite returns {1,3,4,5} here, correct answer is {1}
+        "select id from t1 where id not in (select id from t2 "
+        "where t2.grp = t1.grp or t2.grp = t1.id) order by id",
         "select id from t1 where not exists (select 1 as one from t2 "
         "where t2.grp = t1.grp or t2.amt > 250) order by id",
     ):
         rows, want, sql = _both(eng, duck, src)
         assert rows == want, f"{src}\n{sql}"
+        want2 = sorted(tuple(r) for r in duck.execute(src).fetchall())
+        assert rows == want2, src
     # correlated EXISTS/IN under OR at the OUTER level + projection
     # position (the r13 match-flag path)
     for src in (
@@ -240,6 +250,8 @@ def test_correlated_under_disjunction_supported_via_or_split(eng, duck):
     ):
         rows, want, sql = _both(eng, duck, src)
         assert rows == want, f"{src}\n{sql}"
+        want2 = sorted(tuple(r) for r in duck.execute(src).fetchall())
+        assert rows == want2, src
 
 
 def test_not_pushdown_decorrelates(eng, duck):

@@ -335,3 +335,38 @@ def test_pointintime_join_version_selection(spark):
         ).collect()
     }
     assert out == {10: 100.0, 11: 200.0, 12: 200.0, 13: None, 14: None}
+
+
+def test_time_bucket_floors_negative_epochs(spark):
+    """r14 (advice): Spark's % follows the dividend's sign, so the old
+    (x - x % w)/w truncated toward zero for pre-1970 timestamps; pmod
+    gives true floor semantics matching the oracle's ``//``."""
+    from sqlpp_spark.ops.temporal import time_bucket
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, _ts("1969-12-31 23:59:59")),  # epoch -1s  -> bucket -1
+            (2, _ts("1969-12-31 23:00:00")),  # -3600s     -> bucket -1
+            (3, _ts("1969-12-31 22:59:59")),  # -3601s     -> bucket -2
+            (4, _ts("1970-01-01 00:00:00")),  # 0          -> bucket 0
+            (5, _ts("1970-01-01 00:59:59")),  # 3599s      -> bucket 0
+            (6, _ts("1970-01-01 01:00:00")),  # 3600s      -> bucket 1
+        ],
+        "id long, ts timestamp",
+    )
+    got = {
+        r.id: r.b
+        for r in df.select(
+            "id", time_bucket(F.col("ts"), 3600).alias("b")
+        ).collect()
+    }
+    want = {
+        r.id: r.b
+        for r in df.select(
+            "id",
+            F.floor(F.unix_micros(F.col("ts")) / (3600 * 1_000_000))
+            .cast("bigint").alias("b"),
+        ).collect()
+    }
+    assert got == want == {1: -1, 2: -1, 3: -2, 4: 0, 5: 0, 6: 1}

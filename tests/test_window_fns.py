@@ -132,3 +132,21 @@ def test_window_nullability_types(eng):
     tys = {f.out_name: f.expr.ty for f in info.ctx.fields}
     assert tys["rn"].non_null and tys["rn"].kind == "int"
     assert not tys["p"].non_null
+
+
+def test_window_nested_in_order_by_in_probe(eng, duck):
+    """r14 (advice): _has_window must descend into EIn probe exprs —
+    a window fn inside an IN probe within ORDER BY needs the __ow
+    materialization or Spark rejects the Sort at run time."""
+    for src in (
+        "select id from t1 "
+        "order by (row_number() over (order by val desc, id)) "
+        "in (select id from t1 where val is not null), id",
+        # window inside arithmetic inside the probe
+        "select id from t1 "
+        "order by (row_number() over (order by id) + 1) "
+        "in (select id from t1 where grp = 2), id desc",
+    ):
+        rows = [tuple(r) for r in eng.fetch_list(src)]
+        want = [tuple(r) for r in duck.execute(src).fetchall()]
+        assert rows == want, src
