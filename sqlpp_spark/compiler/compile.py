@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from sqlpp_spark.frontend import ast as A
 from sqlpp_spark.frontend.analyze import (
-    AGG_FNS, QueryInfo, SelectCtx, SelectRel, TableRel,
+    AGG_FNS, QueryInfo, SelectCtx, SelectRel, SetOpCtx, TableRel,
 )
 from sqlpp_spark.frontend.ast import expr_key
 from sqlpp_spark.frontend.errors import SqlppError
@@ -80,7 +80,56 @@ class Compiler:
 
     def compile_query(self, q: QueryInfo, params: Dict[str, object] | None = None) -> DataFrame:
         binds = Bindings(params or {})
+        if isinstance(q.ctx, SetOpCtx):
+            return self.compile_setop(q.ctx, binds)
         return self.compile_select(q.ctx, binds)
+
+    # -- set operations (r14) ----------------------------------------------
+
+    def compile_setop(self, sctx: SetOpCtx, binds: Bindings) -> DataFrame:
+        """Compound select. Scale shape: UNION ALL is exchange-free
+        (plan-level Union of the branch plans); UNION/INTERSECT/EXCEPT
+        [ALL] each cost exactly one hash exchange over all output
+        columns (Spark lowers distinct-union to HashAggregate and
+        intersect/except to left-semi/anti joins) — the same shuffle a
+        GROUP BY over the output would pay, with partial (map-side)
+        aggregation for the distinct case."""
+        df = self._setop_branches(sctx, binds)
+        if sctx.order_names:
+            df = df.orderBy(
+                *[
+                    (F.col(n).desc() if d else F.col(n).asc())
+                    for n, d in sctx.order_names
+                ]
+            )
+        return self._limit_offset(df, sctx.node, binds)
+
+    def _setop_branches(self, sctx: SetOpCtx, binds: Bindings) -> DataFrame:
+        row = sctx.row()
+
+        def branch(c) -> DataFrame:
+            if isinstance(c, SetOpCtx):
+                d = self._setop_branches(c, binds)
+            else:
+                d = self.compile_select(c, binds)
+            # positional alignment (standard SQL): rename to the
+            # compound row's names and cast to the per-column lub so
+            # int/float branches union as double on both engines
+            cols = d.columns
+            return d.select(
+                *[
+                    F.col(cols[i]).cast(spark_type(t)).alias(n)
+                    for i, (n, t) in enumerate(row)
+                ]
+            )
+
+        left, right = branch(sctx.left), branch(sctx.right)
+        op, all_ = sctx.node.op, sctx.node.all
+        if op == "union":
+            return left.union(right) if all_ else left.union(right).distinct()
+        if op == "intersect":
+            return left.intersectAll(right) if all_ else left.intersect(right)
+        return left.exceptAll(right) if all_ else left.subtract(right)
 
     # -- select ------------------------------------------------------------
 
@@ -993,11 +1042,14 @@ class Compiler:
         scalar_map: Dict[int, Column],
         subst: Optional[Dict[tuple, str]] = None,
     ) -> Column:
-        """Window application (r13): SQL default frames — with ORDER BY
-        Spark's default is RANGE UNBOUNDED PRECEDING..CURRENT ROW,
-        without it the whole partition; both match the printers'
-        target engines. Ranking/count results cast to the dialect's
-        64-bit int."""
+        """Window application (r13; frames r14): without an explicit
+        frame the SQL defaults apply — with ORDER BY Spark's default
+        is RANGE UNBOUNDED PRECEDING..CURRENT ROW, without it the
+        whole partition; both match the printers' target engines.
+        Explicit ROWS/RANGE BETWEEN frames map to rowsBetween/
+        rangeBetween (analyzer guarantees they only reach aggregate/
+        value fns with ORDER BY). Ranking/count results cast to the
+        dialect's 64-bit int."""
         from pyspark.sql import Window as W
 
         parts = [self.expr(p, binds, scalar_map, subst) for p in e.partition_by]
@@ -1011,6 +1063,22 @@ class Compiler:
                     for o in e.order_by
                 ]
             )
+        if e.frame is not None:
+            def b(bound):
+                kind, n = bound
+                if kind == "unbounded preceding":
+                    return W.unboundedPreceding
+                if kind == "unbounded following":
+                    return W.unboundedFollowing
+                if kind == "current row":
+                    return W.currentRow
+                return -n if kind == "preceding" else n
+
+            lo, hi = b(e.frame.start), b(e.frame.end)
+            if e.frame.mode == "rows":
+                w = w.rowsBetween(lo, hi)
+            else:
+                w = w.rangeBetween(lo, hi)
         fnl = e.fn.lower()
         args = [self.expr(a, binds, scalar_map, subst) for a in e.args]
         if fnl == "row_number":
@@ -1030,8 +1098,16 @@ class Compiler:
             col = F.min(args[0])
         elif fnl == "max":
             col = F.max(args[0])
+        elif fnl == "avg":
+            col = F.avg(args[0])
+        elif fnl == "percent_rank":
+            col = F.percent_rank()
+        elif fnl == "cume_dist":
+            col = F.cume_dist()
         elif fnl == "ntile":
             col = F.ntile(int(e.args[0].value))
+        elif fnl == "nth_value":
+            col = F.nth_value(args[0], int(e.args[1].value))
         elif fnl == "first_value":
             col = F.first(args[0])
         elif fnl == "last_value":

@@ -34,7 +34,7 @@ from typing import Dict, List, Optional
 
 from sqlpp_spark.frontend import ast as A
 from sqlpp_spark.frontend.analyze import (
-    AGG_FNS, QueryInfo, SelectCtx, SelectRel,
+    AGG_FNS, QueryInfo, SelectCtx, SelectRel, SetOpCtx,
 )
 from sqlpp_spark.frontend.errors import SqlppError
 
@@ -151,10 +151,13 @@ class SqlGen:
             raise SqlppError(f"unknown SQL dialect: {dialect}")
         self.dialect = dialect
         self.d = _DIALECTS[dialect]
+        self._setop_n = 0
 
     # -- select ------------------------------------------------------------
 
     def select(self, ctx: SelectCtx) -> str:
+        if isinstance(ctx, SetOpCtx):
+            return self._setop(ctx)
         sel = ctx.select
         parts: List[str] = []
         fields = [f for f in ctx.fields if f.is_used]
@@ -187,6 +190,65 @@ class SqlGen:
             parts.append(f"LIMIT {self._const_int(sel.limit)}")
         if sel.offset is not None:
             parts.append(f"OFFSET {self._const_int(sel.offset)}")
+        return " ".join(parts)
+
+    def _setop(self, sctx: SetOpCtx) -> str:
+        """Compound select (r14). Nested set-op branches print wrapped
+        as ``SELECT * FROM (...) AS _sbN`` — valid in all three
+        dialects and the only form that preserves our INTERSECT-binds-
+        tighter tree in SQLite, whose bare compounds associate purely
+        left-to-right. SQLite has no INTERSECT ALL / EXCEPT ALL
+        (documented per-backend divergence, like the reference's
+        sqlpp_sqlite.ml boundary notes)."""
+        node = sctx.node
+        row = sctx.row()
+
+        def _sql_ty(t) -> str:
+            n = SQL_TYPES[t.kind]
+            if n == "DOUBLE" and self.dialect == "postgres":
+                return "DOUBLE PRECISION"
+            return n
+
+        def branch(c) -> str:
+            s = self.select(c)
+            brow = c.row()
+            needs_cast = any(bt.kind != t.kind for (_bn, bt), (_n, t) in zip(brow, row))
+            if not (isinstance(c, SetOpCtx) or needs_cast):
+                return s
+            # wrap: preserves our INTERSECT-binds-tighter tree under
+            # SQLite's left-to-right compound associativity, and casts
+            # to the compound lub so e.g. DuckDB's DECIMAL arithmetic
+            # unions as DOUBLE exactly like the Spark compiler's casts
+            alias = f"_sb{self._setop_n}"
+            self._setop_n += 1
+            cols = ", ".join(
+                f"CAST({_q(bn)} AS {_sql_ty(t)}) AS {_q(n)}"
+                if bt.kind != t.kind else _q(bn)
+                for (bn, bt), (n, t) in zip(brow, row)
+            )
+            return f"SELECT {cols} FROM ({s}) AS {_q(alias)}"
+
+        op_sql = {
+            "union": "UNION", "intersect": "INTERSECT", "except": "EXCEPT",
+        }[node.op]
+        if node.all:
+            if self.dialect == "sqlite" and node.op != "union":
+                raise SqlppError(
+                    f"SQLite has no {op_sql} ALL (backend divergence)"
+                )
+            op_sql += " ALL"
+        parts = [f"{branch(sctx.left)} {op_sql} {branch(sctx.right)}"]
+        if sctx.order_names:
+            parts.append(
+                "ORDER BY " + ", ".join(
+                    f"{_q(n)} {'DESC' if d else 'ASC'}"
+                    for n, d in sctx.order_names
+                )
+            )
+        if node.limit is not None:
+            parts.append(f"LIMIT {self._const_int(node.limit)}")
+        if node.offset is not None:
+            parts.append(f"OFFSET {self._const_int(node.offset)}")
         return " ".join(parts)
 
     def _from(self, ctx: SelectCtx, fr) -> str:
@@ -256,6 +318,17 @@ class SqlGen:
                         self.expr(o.expr) + (" DESC" if o.desc else "")
                         for o in e.order_by
                     )
+                )
+            if e.frame is not None:
+                def fb(bound) -> str:
+                    kind, n = bound
+                    if kind in ("preceding", "following"):
+                        return f"{n} {kind.upper()}"
+                    return kind.upper()
+
+                spec.append(
+                    f"{e.frame.mode.upper()} BETWEEN "
+                    f"{fb(e.frame.start)} AND {fb(e.frame.end)}"
                 )
             return f"{e.fn.lower()}({args}) OVER ({' '.join(spec)})"
         if isinstance(e, A.EIn):
@@ -448,7 +521,7 @@ def statement_sql(
             welab, _ = an.infer_expr(ctx, where)
             return f" WHERE {g.expr(welab)}"
         return f" WHERE {g.expr(where)}"
-    if isinstance(q, A.Select):
+    if isinstance(q, (A.Select, A.SetOp)):
         return g.select(analyze(env, src).ctx)
 
     def returning(fields) -> str:

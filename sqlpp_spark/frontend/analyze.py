@@ -33,8 +33,8 @@ from sqlpp_spark.frontend.ast import expr_key
 from sqlpp_spark.frontend.errors import Loc, SqlppError
 from sqlpp_spark.frontend.parser import parse_decls, parse_query
 from sqlpp_spark.frontend.types import (
-    BOOL, DATE, DATETIME, INT, NUMERIC, STRING, Ty, check_subsumes, subsumes,
-    ty_glb, ty_lub,
+    BOOL, DATE, DATETIME, FLOAT, INT, NUMERIC, STRING, Ty, check_subsumes,
+    subsumes, ty_glb, ty_lub,
 )
 
 AGG_FNS = {"count", "sum", "max", "min", "avg", "count_distinct"}
@@ -241,7 +241,9 @@ class ParamEntry:
 
 @dataclass
 class QueryInfo:
-    """Elaborated query — analysis output (analyze.ml:15-21)."""
+    """Elaborated query — analysis output (analyze.ml:15-21).
+    ``select`` is an A.Select, or an A.SetOp for compound selects
+    (r14); ``ctx`` is the matching SelectCtx / SetOpCtx."""
 
     select: A.Select
     ctx: SelectCtx
@@ -251,6 +253,25 @@ class QueryInfo:
     @property
     def row(self) -> List[Tuple[str, Ty]]:
         return self.ctx.row()
+
+
+@dataclass
+class SetOpCtx:
+    """Analyzed compound select (r14). Branch ctxs keep their own
+    elaboration; the compound row takes NAMES from the first branch
+    and per-column TYPES as the branch lub (nullable if either side
+    is — UNION of a NOT NULL and a nullable column can yield NULL).
+    ``order_names`` is the resolved compound ORDER BY: output column
+    names only, per standard SQL."""
+
+    node: "A.SetOp"
+    left: object  # SelectCtx | SetOpCtx
+    right: object  # SelectCtx | SetOpCtx
+    _row: List[Tuple[str, Ty]] = dc_field(default_factory=list)
+    order_names: List[Tuple[str, bool]] = dc_field(default_factory=list)
+
+    def row(self) -> List[Tuple[str, Ty]]:
+        return self._row
 
 
 # ---------------------------------------------------------------------------
@@ -273,7 +294,70 @@ class Analyzer:
         if isinstance(q, A.Select):
             ctx = self.analyze_select(q)
             return QueryInfo(q, ctx, self.params, self.src)
+        if isinstance(q, A.SetOp):
+            ctx = self.analyze_setop(q)
+            return QueryInfo(q, ctx, self.params, self.src)
         raise SqlppError(f"not a select: {type(q).__name__}")
+
+    def analyze_setop(self, q: "A.SetOp") -> SetOpCtx:
+        """Compound select (r14): analyze each branch independently,
+        check arity, and lub the row per column — mirroring the
+        comparison lub (analyze.ml:555-572): branches must share a
+        type kind (or both be numeric, which widens to float, the
+        standard SQL promotion). Compound ORDER BY resolves against
+        output column NAMES only."""
+        left = (
+            self.analyze_setop(q.left)
+            if isinstance(q.left, A.SetOp)
+            else self.analyze_select(q.left)
+        )
+        right = (
+            self.analyze_setop(q.right)
+            if isinstance(q.right, A.SetOp)
+            else self.analyze_select(q.right)
+        )
+        lrow, rrow = left.row(), right.row()
+        if len(lrow) != len(rrow):
+            self.err(
+                f"set operation branches have different arities: "
+                f"{len(lrow)} vs {len(rrow)} columns", q.loc,
+            )
+        row: List[Tuple[str, Ty]] = []
+        for (ln, lt), (_rn, rt) in zip(lrow, rrow):
+            numeric = (lt.kinds | rt.kinds) <= frozenset({"int", "float"})
+            if not (lt.kinds & rt.kinds) and not numeric:
+                self.err(
+                    f"set operation column `{ln}`: expected {lt} "
+                    f"but got {rt}", q.loc,
+                )
+            t = ty_lub(lt, rt)
+            if t.kinds == frozenset({"int", "float"}):
+                t = FLOAT.with_non_null(t.non_null)
+            row.append((ln, t))
+        ctx = SetOpCtx(q, left, right, row)
+        names = {n for n, _ in row}
+        for o in q.order_by:
+            if not isinstance(o.expr, A.EName) or o.expr.name not in names:
+                self.err(
+                    "set operation ORDER BY must reference an output "
+                    "column name of the first branch",
+                    getattr(o.expr, "loc", None) or q.loc,
+                )
+            ctx.order_names.append((o.expr.name, o.desc))
+        for attr in ("limit", "offset"):
+            e = getattr(q, attr)
+            if e is None:
+                continue
+            if isinstance(e, A.ELit) and isinstance(e.value, int):
+                continue
+            if isinstance(e, A.EParam) and not e.is_expr_param:
+                self._adopt_param_non_null(e, INT, e.loc)
+                continue
+            self.err(
+                f"set operation {attr.upper()} must be an int literal "
+                "or parameter", getattr(e, "loc", None) or q.loc,
+            )
+        return ctx
 
     def analyze_select(self, sel: A.Select) -> SelectCtx:
         ctx = SelectCtx(sel)
@@ -780,11 +864,14 @@ class Analyzer:
     # interaction — the frame always contains the current row, so
     # sum/min/max keep the argument's nullability)
     _WIN_RANKING = {"row_number", "rank", "dense_rank"}
+    # float-valued ranking fns (r14): still no args, ORDER BY required
+    _WIN_RANKING_F = {"percent_rank", "cume_dist"}
     _WIN_OFFSET = {"lag", "lead"}
-    _WIN_AGG = {"count", "sum", "min", "max"}
+    _WIN_AGG = {"count", "sum", "min", "max", "avg"}
     # order-dependent value fns: require ORDER BY; ntile needs the
-    # bucket count as an int literal
-    _WIN_VALUE = {"first_value", "last_value", "ntile"}
+    # bucket count as an int literal; nth_value (r14) the 1-based
+    # position as an int literal
+    _WIN_VALUE = {"first_value", "last_value", "ntile", "nth_value"}
 
     def _infer_window(self, ctx: SelectCtx, e: A.EWindow) -> Tuple[A.Expr, Ty]:
         """Window application (r13, beyond-reference): type the args and
@@ -796,8 +883,8 @@ class Analyzer:
         (_check_agg_expr validates that)."""
         fnl = e.fn.lower()
         if fnl not in (
-            self._WIN_RANKING | self._WIN_OFFSET | self._WIN_AGG
-            | self._WIN_VALUE
+            self._WIN_RANKING | self._WIN_RANKING_F | self._WIN_OFFSET
+            | self._WIN_AGG | self._WIN_VALUE
         ):
             self.err(f"unknown window function `{e.fn}(..)`", e.loc)
         grouped = ctx.select.group_by is not None
@@ -821,7 +908,8 @@ class Analyzer:
             if isinstance(sub, A.EWindow):
                 self.err("window functions cannot nest", e.loc)
         if fnl != "count" and fnl in (
-            self._WIN_RANKING | self._WIN_OFFSET | self._WIN_VALUE
+            self._WIN_RANKING | self._WIN_RANKING_F | self._WIN_OFFSET
+            | self._WIN_VALUE
         ) and not e.order_by:
             self.err(
                 f"window function `{e.fn}(..)` requires ORDER BY in its "
@@ -835,24 +923,50 @@ class Analyzer:
             arg_tys.append(ty)
         e.args = new_args
         e.partition_by = [self.infer_expr(ctx, p)[0] for p in e.partition_by]
+        order_tys: List[Ty] = []
         for o in e.order_by:
-            o.expr = self.infer_expr(ctx, o.expr)[0]
+            o.expr, oty = self.infer_expr(ctx, o.expr)
+            order_tys.append(oty)
+        self._check_window_frame(e, fnl, order_tys)
+        # a frame that may exclude the current row can be EMPTY for
+        # some rows — aggregate/value results become nullable then
+        frame_may_empty = (
+            e.frame is not None and not e.frame.contains_current_row()
+        )
         if fnl in self._WIN_RANKING:
             if e.args:
                 self.err(f"`{e.fn}(..)` takes no arguments", e.loc)
             return e, INT
+        if fnl in self._WIN_RANKING_F:
+            if e.args:
+                self.err(f"`{e.fn}(..)` takes no arguments", e.loc)
+            return e, FLOAT
         if fnl == "ntile":
             if len(e.args) != 1 or not (
                 isinstance(e.args[0], A.ELit) and e.args[0].lit_kind == "int"
             ):
                 self.err("`ntile(..)` takes one integer literal", e.loc)
             return e, INT
+        if fnl == "nth_value":
+            if len(e.args) != 2 or not (
+                isinstance(e.args[1], A.ELit) and e.args[1].lit_kind == "int"
+                and e.args[1].value >= 1
+            ):
+                self.err(
+                    "`nth_value(..)` takes (expr, positive int literal)",
+                    e.loc,
+                )
+            # the nth row may not exist in the frame
+            return e, arg_tys[0].with_non_null(False)
         if fnl in ("first_value", "last_value"):
             if len(e.args) != 1:
                 self.err(f"`{e.fn}(..)` takes exactly 1 argument", e.loc)
             # the default frame always contains >= 1 row, so the value
-            # fns keep the argument's nullability
-            return e, arg_tys[0]
+            # fns keep the argument's nullability — unless an explicit
+            # frame can be empty
+            return e, arg_tys[0].with_non_null(
+                arg_tys[0].non_null and not frame_may_empty
+            )
         if fnl in self._WIN_OFFSET:
             if not 1 <= len(e.args) <= 2:
                 self.err(f"`{e.fn}(..)` takes 1 or 2 arguments", e.loc)
@@ -868,9 +982,64 @@ class Analyzer:
         if len(e.args) != 1:
             self.err(f"window `{e.fn}(..)` takes exactly 1 argument", e.loc)
         if fnl == "count":
-            return e, INT
+            return e, INT  # count over an empty frame is 0, NOT NULL
         check_subsumes(arg_tys[0], NUMERIC.nullable(), e.args[0].loc, self.src or None)
-        return e, arg_tys[0]
+        if fnl == "avg":
+            return e, FLOAT.with_non_null(
+                arg_tys[0].non_null and not frame_may_empty
+            )
+        return e, arg_tys[0].with_non_null(
+            arg_tys[0].non_null and not frame_may_empty
+        )
+
+    def _check_window_frame(
+        self, e: A.EWindow, fnl: str, order_tys: List[Ty]
+    ) -> None:
+        """Explicit frame validity (r14): frames attach to aggregate
+        and first/last/nth-value functions only (Spark REJECTS frames
+        on ranking/offset fns; other engines silently ignore them —
+        erroring keeps the two lowerings agreeing); ORDER BY required;
+        start may not sort after end; RANGE with numeric offsets needs
+        exactly one int-kind ORDER BY key (Spark rangeBetween takes
+        long offsets)."""
+        f = e.frame
+        if f is None:
+            return
+        if fnl in (
+            self._WIN_RANKING | self._WIN_RANKING_F | self._WIN_OFFSET
+        ) or fnl == "ntile":
+            self.err(
+                f"window frames are not allowed for `{e.fn}(..)`", f.loc
+            )
+        if not e.order_by:
+            self.err(
+                "a window frame requires ORDER BY in its OVER clause",
+                f.loc,
+            )
+        so = A.FRAME_BOUND_ORDER[f.start[0]]
+        eo = A.FRAME_BOUND_ORDER[f.end[0]]
+        if so > eo or (
+            so == eo == 1 and f.start[1] < f.end[1]
+        ) or (
+            so == eo == 3 and f.start[1] > f.end[1]
+        ):
+            self.err("frame start cannot come after frame end", f.loc)
+        has_offset = f.start[0] in ("preceding", "following") or (
+            f.end[0] in ("preceding", "following")
+        )
+        if f.mode == "range" and has_offset:
+            if len(e.order_by) != 1:
+                self.err(
+                    "RANGE with numeric offsets requires exactly one "
+                    "ORDER BY key", f.loc,
+                )
+            if order_tys[0] is None or order_tys[0].kinds != frozenset(
+                {"int"}
+            ):
+                self.err(
+                    "RANGE with numeric offsets requires an int ORDER "
+                    "BY key", f.loc,
+                )
 
     def _forbid_windows(self, e: Optional[A.Expr], where: str) -> None:
         """Windows are projection/ORDER-BY-only (standard SQL forbids

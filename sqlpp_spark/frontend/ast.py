@@ -118,16 +118,47 @@ class EParam(Expr):
 @dataclass
 class EWindow(Expr):
     """Window-function application (r13, beyond-reference):
-    ``fn(args) OVER (PARTITION BY .. ORDER BY ..)``. Ranking and
-    offset functions require an ORDER BY (enforced by the analyzer);
-    frames are the SQL defaults (with ORDER BY: RANGE UNBOUNDED
-    PRECEDING..CURRENT ROW; without: the whole partition), identical
-    in Spark and the SQL printers' target engines."""
+    ``fn(args) OVER (PARTITION BY .. ORDER BY .. [frame])``. Ranking
+    and offset functions require an ORDER BY (enforced by the
+    analyzer); without an explicit frame the SQL defaults apply (with
+    ORDER BY: RANGE UNBOUNDED PRECEDING..CURRENT ROW; without: the
+    whole partition), identical in Spark and the SQL printers' target
+    engines. r14 adds explicit ``ROWS/RANGE [BETWEEN .. AND ..]``
+    frames (aggregate/value functions only — Spark rejects frames on
+    ranking/offset fns, and the other engines ignore them there)."""
 
     fn: str = ""
     args: List[Expr] = field(default_factory=list)
     partition_by: List[Expr] = field(default_factory=list)
     order_by: List["OrderItem"] = field(default_factory=list)
+    frame: Optional["WindowFrame"] = None
+
+
+# frame bound kinds, in frame order (start must not sort after end)
+FRAME_BOUND_ORDER = {
+    "unbounded preceding": 0, "preceding": 1, "current row": 2,
+    "following": 3, "unbounded following": 4,
+}
+
+
+@dataclass
+class WindowFrame:
+    """Explicit window frame (r14): ``mode`` is 'rows' or 'range';
+    bounds are (kind, n) with kind from FRAME_BOUND_ORDER and n the
+    integer offset for 'preceding'/'following' (None otherwise)."""
+
+    mode: str = "rows"  # 'rows' | 'range'
+    start: tuple = ("unbounded preceding", None)
+    end: tuple = ("current row", None)
+    loc: Loc = NO_LOC
+
+    def contains_current_row(self) -> bool:
+        """True when the frame provably includes CURRENT ROW for every
+        row — then aggregate/value functions keep their no-frame
+        nullability (the frame is never empty)."""
+        so = FRAME_BOUND_ORDER[self.start[0]]
+        eo = FRAME_BOUND_ORDER[self.end[0]]
+        return so <= 2 <= eo
 
 
 @dataclass
@@ -219,6 +250,26 @@ class Select:
     offset: Optional[Expr] = None
     is_open: bool = False  # `...` present
     distinct: bool = False  # extension (not in reference grammar)
+    loc: Loc = NO_LOC
+
+
+@dataclass
+class SetOp:
+    """Compound select (r14, beyond reference — the reference grammar
+    has no set operations, parser.mly; the keywords were already
+    reserved, lexer.py). ``left``/``right`` are Select or nested SetOp;
+    INTERSECT binds tighter than UNION/EXCEPT and chains associate
+    left, mirroring standard SQL. ORDER BY / LIMIT / OFFSET live only
+    on the OUTERMOST node and apply to the whole compound; the parser
+    rejects them on inner branches."""
+
+    op: str = "union"  # 'union' | 'intersect' | 'except'
+    all: bool = False  # bag semantics (UNION ALL / INTERSECT ALL / EXCEPT ALL)
+    left: object = None  # Select | SetOp
+    right: object = None  # Select | SetOp
+    order_by: List[OrderItem] = field(default_factory=list)
+    limit: Optional[Expr] = None
+    offset: Optional[Expr] = None
     loc: Loc = NO_LOC
 
 

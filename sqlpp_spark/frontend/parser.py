@@ -95,7 +95,7 @@ class Parser:
 
     def _query(self):
         if self.at_kw("select"):
-            return self.select()
+            return self.select_compound()
         if self.at_kw("insert"):
             return self.insert()
         if self.at_kw("update"):
@@ -248,6 +248,15 @@ class Parser:
     # -- select -----------------------------------------------------------
 
     def select(self) -> A.Select:
+        sel = self._select_core()
+        self._select_tail(sel)
+        sel.loc = Loc.span(sel.loc, self.toks[self.i - 1].loc)
+        return sel
+
+    def _select_core(self) -> A.Select:
+        """One SELECT through HAVING — no ORDER BY/LIMIT/OFFSET tail
+        (the tail belongs to the enclosing compound when this core is
+        a set-operation branch, r14)."""
         start = self.cur.loc
         self.expect_kw("select")
         sel = A.Select(loc=start)
@@ -275,6 +284,12 @@ class Parser:
                 sel.group_by = self._comma_list(self.expr, end=None)
         if self.eat_kw("having"):
             sel.having = self.expr()
+        sel.loc = Loc.span(start, self.toks[self.i - 1].loc)
+        return sel
+
+    def _select_tail(self, sel) -> None:
+        """ORDER BY / LIMIT / OFFSET — attaches to a Select or to the
+        outermost SetOp (both carry the same three fields)."""
         if self.eat_kw("order"):
             self.expect_kw("by")
             sel.order_by = self._comma_list(self._order_item, end=None)
@@ -282,8 +297,46 @@ class Parser:
             sel.limit = self.expr()
         if self.eat_kw("offset"):
             sel.offset = self.expr()
-        sel.loc = Loc.span(start, self.toks[self.i - 1].loc)
-        return sel
+
+    def select_compound(self):
+        """SELECT with optional UNION [ALL] / INTERSECT [ALL] /
+        EXCEPT [ALL] chain (r14, beyond reference). INTERSECT binds
+        tighter; chains associate left; the trailing ORDER BY / LIMIT
+        / OFFSET applies to the whole compound (standard SQL)."""
+        start = self.cur.loc
+        node = self._intersect_chain()
+        while self.at_kw("union", "except"):
+            if self.eat_kw("union"):
+                op = "union"
+            else:
+                self.expect_kw("except")
+                op = "except"
+            all_ = bool(self.eat_kw("all"))
+            right = self._intersect_chain()
+            node = A.SetOp(
+                op=op, all=all_, left=node, right=right,
+                loc=Loc.span(start, self.toks[self.i - 1].loc),
+            )
+        self._select_tail(node)
+        if self.at_kw("union", "intersect", "except"):
+            self.fail(
+                "ORDER BY/LIMIT/OFFSET apply to the whole set operation "
+                "and must come after the last branch"
+            )
+        node.loc = Loc.span(start, self.toks[self.i - 1].loc)
+        return node
+
+    def _intersect_chain(self):
+        start = self.cur.loc
+        node = self._select_core()
+        while self.eat_kw("intersect"):
+            all_ = bool(self.eat_kw("all"))
+            node = A.SetOp(
+                op="intersect", all=all_, left=node,
+                right=self._select_core(),
+                loc=Loc.span(start, self.toks[self.i - 1].loc),
+            )
+        return node
 
     def _field_list_ends(self) -> bool:
         return (
@@ -291,6 +344,64 @@ class Parser:
             or self.at_kw("from", "where", "group", "having", "order", "limit", "offset")
             or self.at_punct(")")
             or self.at_punct(";")
+        )
+
+    def _at_ident(self, *names: str) -> bool:
+        return self.cur.kind == "ident" and self.cur.value.lower() in names
+
+    def _eat_ident(self, *names: str) -> bool:
+        if self._at_ident(*names):
+            self.advance()
+            return True
+        return False
+
+    def _window_frame(self):
+        """Optional explicit frame in an OVER clause (r14):
+        ``ROWS|RANGE [BETWEEN <bound> AND <bound> | <bound>]`` with
+        bounds UNBOUNDED PRECEDING/FOLLOWING, CURRENT ROW, or
+        ``<int> PRECEDING/FOLLOWING``. The frame keywords are
+        contextual identifiers (like OVER/PARTITION) — not reserved."""
+        start_loc = self.cur.loc
+        if self._eat_ident("rows"):
+            mode = "rows"
+        elif self._eat_ident("range"):
+            mode = "range"
+        else:
+            return None
+
+        def bound() -> tuple:
+            if self._eat_ident("unbounded"):
+                if self._eat_ident("preceding"):
+                    return ("unbounded preceding", None)
+                if self._eat_ident("following"):
+                    return ("unbounded following", None)
+                self.fail("expected PRECEDING or FOLLOWING")
+            if self._eat_ident("current"):
+                if not self._eat_ident("row"):
+                    self.fail("expected ROW after CURRENT")
+                return ("current row", None)
+            t = self.cur
+            if t.kind == "int":
+                self.advance()
+                if self._eat_ident("preceding"):
+                    return ("preceding", int(t.value))
+                if self._eat_ident("following"):
+                    return ("following", int(t.value))
+                self.fail("expected PRECEDING or FOLLOWING")
+            self.fail(
+                "expected UNBOUNDED/CURRENT ROW/<int> frame bound"
+            )
+
+        if self._eat_ident("between"):
+            start = bound()
+            self.expect_kw("and")
+            end = bound()
+        else:
+            start = bound()
+            end = ("current row", None)
+        return A.WindowFrame(
+            mode=mode, start=start, end=end,
+            loc=Loc.span(start_loc, self.toks[self.i - 1].loc),
         )
 
     def _order_item(self) -> A.OrderItem:
@@ -510,10 +621,11 @@ class Parser:
                     orders.append(self._order_item())
                     while self.eat_punct(","):
                         orders.append(self._order_item())
+                frame = self._window_frame()
                 self.expect_punct(")")
                 e = A.EWindow(
                     fn=e.fn, args=e.args, partition_by=parts,
-                    order_by=orders,
+                    order_by=orders, frame=frame,
                     loc=Loc.span(e.loc, self.toks[self.i - 1].loc),
                 )
                 continue

@@ -82,6 +82,34 @@ def _expr(e: A.Expr):
             parts.append(f"| {b.tag}{args} -> {expr_str(b.body)}")
         parts.append("end")
         return " ".join(parts), 1000
+    if isinstance(e, A.EWindow):
+        args = ", ".join(expr_str(a) for a in e.args)
+        spec = []
+        if e.partition_by:
+            spec.append(
+                "partition by "
+                + ", ".join(expr_str(p) for p in e.partition_by)
+            )
+        if e.order_by:
+            spec.append(
+                "order by "
+                + ", ".join(
+                    expr_str(o.expr) + (" desc" if o.desc else "")
+                    for o in e.order_by
+                )
+            )
+        if e.frame is not None:
+            def fb(bound) -> str:
+                kind, n = bound
+                if kind in ("preceding", "following"):
+                    return f"{n} {kind}"
+                return kind
+
+            spec.append(
+                f"{e.frame.mode} between {fb(e.frame.start)} "
+                f"and {fb(e.frame.end)}"
+            )
+        return f"{e.fn.lower()}({args}) over ({' '.join(spec)})", 1000
     if isinstance(e, A.EApp):
         return _app(e)
     raise TypeError(f"expr_str: {type(e).__name__}")
@@ -141,6 +169,39 @@ def _from_str(fr) -> str:
     raise TypeError(f"_from_str: {type(fr).__name__}")
 
 
+def setop_str(node: "A.SetOp", elaborated: bool = False) -> str:
+    """Compound select (r14). Branches never carry their own tail, so
+    bare concatenation round-trips through the parser (INTERSECT binds
+    tighter on re-parse, matching the tree)."""
+    kw = {"union": "UNION", "intersect": "INTERSECT", "except": "EXCEPT"}[
+        node.op
+    ]
+    if node.all:
+        kw += " ALL"
+    left = (
+        setop_str(node.left, elaborated)
+        if isinstance(node.left, A.SetOp)
+        else select_str(node.left, elaborated)
+    )
+    right = (
+        setop_str(node.right, elaborated)
+        if isinstance(node.right, A.SetOp)
+        else select_str(node.right, elaborated)
+    )
+    parts = [f"{left} {kw} {right}"]
+    if node.order_by:
+        items = [
+            expr_str(o.expr) + (" DESC" if o.desc else "")
+            for o in node.order_by
+        ]
+        parts.append("ORDER BY " + ", ".join(items))
+    if node.limit is not None:
+        parts.append(f"LIMIT {expr_str(node.limit)}")
+    if node.offset is not None:
+        parts.append(f"OFFSET {expr_str(node.offset)}")
+    return " ".join(parts)
+
+
 def select_str(sel: A.Select, elaborated: bool = False) -> str:
     parts: List[str] = ["SELECT"]
     if sel.distinct:
@@ -183,6 +244,8 @@ def format_query(q) -> str:
     """Canonical text for a parsed statement (the `fmt` verb)."""
     if isinstance(q, A.Select):
         return select_str(q)
+    if isinstance(q, A.SetOp):
+        return setop_str(q)
     if isinstance(q, A.Insert):
         cols = ", ".join(q.columns)
         if q.values is not None:
@@ -259,9 +322,13 @@ def format_elaborated(info) -> str:
     reference's golden tests diff (test/sqlpp/nested.t etc.)."""
     import copy as _copy
 
-    sel = _copy.copy(info.ctx.select)
-    sel.fields = info.ctx.fields  # elaborated projection incl. generated _i
-    lines = [select_str(sel, elaborated=True)]
+    if isinstance(info.select, A.SetOp):
+        # compound select (r14): branches are plain elaborated selects
+        lines = [setop_str(info.select, elaborated=True)]
+    else:
+        sel = _copy.copy(info.ctx.select)
+        sel.fields = info.ctx.fields  # elaborated projection incl. generated _i
+        lines = [select_str(sel, elaborated=True)]
     row = ", ".join(f"{n}: {t}" for n, t in info.row)
     lines.append(f"row: ({row})")
     if info.params:

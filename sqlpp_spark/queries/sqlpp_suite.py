@@ -364,3 +364,71 @@ _sqlpp(
     "ORDER BY c_custkey) AS prev_bal "
     "FROM customer WHERE c_custkey < 400",
 )
+
+_sqlpp(
+    # r14: set operations in the dialect (beyond reference —
+    # parser.mly has no compound selects; keywords were reserved,
+    # lexer.py). One entry exercises all three operators plus the
+    # INTERSECT-binds-tighter precedence and a compound-level ORDER
+    # BY/LIMIT. Scale shape: UNION ALL is exchange-free; the
+    # distinct/intersect/except steps each cost one hash exchange
+    # over the output columns (compile.py compile_setop).
+    "sqlpp_set_ops",
+    "select c.c_nationkey as k from customer as c where c.c_acctbal > 9000 "
+    "union select s.s_nationkey as k from supplier as s "
+    "where s.s_acctbal > 9000 "
+    "union all select n.n_nationkey as k from nation as n "
+    "intersect select c2.c_nationkey as k from customer as c2 "
+    "except select n2.n_nationkey as k from nation as n2 "
+    "where n2.n_regionkey = 0 "
+    "order by k limit 20",
+    "SELECT k FROM ("
+    "SELECT k FROM ("
+    "SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000 "
+    "UNION SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9000"
+    ") UNION ALL "
+    "SELECT k FROM ("
+    "SELECT n_nationkey AS k FROM nation "
+    "INTERSECT SELECT c_nationkey AS k FROM customer"
+    ")) EXCEPT "
+    "SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0 "
+    "ORDER BY k LIMIT 20",
+)
+
+_sqlpp(
+    # r14: explicit window frames + the r14 window fns. Integer
+    # rolling sum keeps cross-engine exactness; avg divides exact int
+    # sums (IEEE-identical); the count frame can be EMPTY near
+    # partition ends (count → 0, not NULL). percent_rank is
+    # (rank-1)/(n-1) — exact dyadic rationals for small partitions.
+    "sqlpp_window_frames",
+    "select c.c_custkey as custkey, "
+    "sum(c.c_custkey) over (partition by c.c_nationkey "
+    "order by c.c_custkey rows between 2 preceding and current row) "
+    "as roll_keys, "
+    "avg(c.c_custkey) over (partition by c.c_nationkey "
+    "order by c.c_custkey rows between 1 preceding and 1 following) "
+    "as avg_keys, "
+    "count(c.c_custkey) over (partition by c.c_nationkey "
+    "order by c.c_custkey rows between 2 following and 3 following) "
+    "as ahead_n, "
+    "percent_rank() over (partition by c.c_nationkey "
+    "order by c.c_custkey) as pr, "
+    "nth_value(c.c_custkey, 2) over (partition by c.c_nationkey "
+    "order by c.c_custkey rows between unbounded preceding "
+    "and unbounded following) as second_key "
+    "from customer as c where c.c_custkey < 500",
+    "SELECT c_custkey AS custkey, "
+    "sum(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_keys, "
+    "avg(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey "
+    "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS avg_keys, "
+    "count(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey "
+    "ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING) AS ahead_n, "
+    "percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) "
+    "AS pr, "
+    "nth_value(c_custkey, 2) OVER (PARTITION BY c_nationkey "
+    "ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+    "FOLLOWING) AS second_key "
+    "FROM customer WHERE c_custkey < 500",
+)

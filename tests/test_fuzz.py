@@ -16,6 +16,10 @@ VOCAB = [
     ":", "int", "null", "insert", "into", "values", "set", "order",
     "limit", ";", "alter", "drop", "join", "on", "as", "exists", "in",
     "over", "partition", "row_number", "lag", "desc",
+    # r14: frame + set-op + new window-fn tokens
+    "rows", "range", "between", "and", "preceding", "following",
+    "unbounded", "current", "row", "union", "all", "intersect",
+    "except", "avg", "percent_rank", "cume_dist", "nth_value",
 ]
 
 
@@ -47,6 +51,16 @@ def test_analyzer_never_crashes():
         "id + 1", "?p", "null : int", "nullif(id, 1)", "coalesce(name, 'x')",
         "q.max(id)", "not_a_col", "bad.path", "...fs(users)", "?p : int expr",
         "match ?m with | A -> 1 | B ?x -> ?x end",
+        # r14: frames + new window fns (valid and boundary-invalid)
+        "sum(id) over (order by id rows between 1 preceding and current row)",
+        "avg(id) over (order by id rows 2 preceding)",
+        "percent_rank() over (order by id)",
+        "nth_value(id, 2) over (order by id range between 1 preceding "
+        "and 1 following)",
+        "row_number() over (order by id rows between 1 preceding "
+        "and current row)",
+        "sum(id) over (order by id rows between current row "
+        "and 2 preceding)",
     ]
     froms = [
         "users", "users as u", "q1 as q",

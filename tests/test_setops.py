@@ -1,0 +1,187 @@
+"""Set operations in the sqlpp dialect (r14, beyond reference — the
+reference grammar has no UNION/INTERSECT/EXCEPT, parser.mly; the
+keywords were already reserved). Differential against DuckDB on BOTH
+the printed SQL and the original source; arity/type errors are
+compile-time; INTERSECT binds tighter than UNION/EXCEPT."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sqlpp_spark.compiler.sqlgen import select_sql
+from sqlpp_spark.frontend.analyze import Analyzer
+from sqlpp_spark.frontend.errors import SqlppError
+from sqlpp_spark.frontend.parser import parse_query
+from sqlpp_spark.frontend.printer import format_query
+
+T1 = [(1, 1, 10), (2, 1, None), (3, 2, 30), (4, 3, 40), (5, 2, None)]
+T2 = [(1, 1, 100), (3, 2, 300), (6, 2, 600)]
+
+
+@pytest.fixture()
+def eng(spark):
+    from sqlpp_spark.engine import SqlppEngine
+
+    eng = SqlppEngine(spark)
+    eng.add_decls(
+        "create table t1 (id int not null, grp int not null, val int);"
+        "create table t2 (id int not null, grp int not null, amt int not null);"
+    )
+    eng.register_df("t1", spark.createDataFrame(T1, "id long, grp long, val long"))
+    eng.register_df("t2", spark.createDataFrame(T2, "id long, grp long, amt long"))
+    return eng
+
+
+@pytest.fixture()
+def duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t1 (id BIGINT, grp BIGINT, val BIGINT)")
+    con.executemany("INSERT INTO t1 VALUES (?,?,?)", T1)
+    con.execute("CREATE TABLE t2 (id BIGINT, grp BIGINT, amt BIGINT)")
+    con.executemany("INSERT INTO t2 VALUES (?,?,?)", T2)
+    return con
+
+
+def _differ(eng, duck, src, **params):
+    rows = sorted(tuple(repr(x) for x in r) for r in eng.fetch_list(src, **params))
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    sql = select_sql(info, params or None)
+    want = sorted(tuple(repr(x) for x in r) for r in duck.execute(sql).fetchall())
+    want2 = sorted(tuple(repr(x) for x in r) for r in duck.execute(src).fetchall())
+    assert rows == want == want2, f"{src}\n{sql}"
+    return info
+
+
+def test_setops_differential(eng, duck):
+    for src in (
+        "select id from t1 union select id from t2 order by id",
+        "select id from t1 union all select id from t2 order by id desc limit 4",
+        "select id from t1 union all select id from t2 order by id limit 3 offset 2",
+        "select id from t1 intersect select id from t2 order by id",
+        "select id from t1 except select id from t2 order by id",
+        # NULL handling: set-op dedup treats NULLs as equal (both engines)
+        "select val from t1 union select amt from t2 order by val",
+        "select val from t1 intersect select val from t1 order by val",
+        # multi-column + ALL variants (bag semantics)
+        "select id, val from t1 except all select id, amt from t2 order by id",
+        "select grp, grp from t1 intersect all select grp, grp from t1 order by grp",
+        # chains associate left; INTERSECT binds tighter than UNION
+        "select id from t1 union select id from t2 union all select grp from t1 order by id",
+        "select grp from t1 union all select grp from t1 intersect select grp from t2 order by grp",
+        "select grp from t1 except select grp from t2 intersect select grp from t2 order by grp",
+        # grouped/filtered branches
+        "select grp, count(id) as n from t1 group by grp union "
+        "select grp, count(id) as n from t2 group by grp order by grp, n",
+        "select distinct grp from t1 where val is not null except "
+        "select grp from t2 where amt > 300 order by grp",
+    ):
+        _differ(eng, duck, src)
+
+
+def test_setop_numeric_promotion(eng, duck):
+    """int vs float branches widen to float (standard SQL promotion) —
+    1 and 1.0 must dedup to ONE row under UNION in both engines. The
+    printed SQL casts the int branch to DOUBLE so DuckDB's DECIMAL
+    arithmetic can't leak into the compound (DuckDB parses 0.5 as
+    DECIMAL, our dialect as double — value-equal, repr-different, so
+    the original-source check here compares numerically)."""
+    src = "select grp from t1 union select grp + 0.5 from t1 order by grp"
+    rows = [float(r[0]) for r in eng.fetch_list(src)]
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    sql = select_sql(info)
+    want = [float(r[0]) for r in duck.execute(sql).fetchall()]
+    want2 = [float(r[0]) for r in duck.execute(src).fetchall()]
+    assert rows == want == want2 == [1.0, 1.5, 2.0, 2.5, 3.0, 3.5]
+    (name, ty), = info.row
+    assert ty.kind == "float"
+    # NOT NULL int ∪ NOT NULL float stays NOT NULL
+    assert ty.non_null
+
+
+def test_setop_nullability_lub(eng):
+    src = "select val from t1 union select amt from t2"
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    (name, ty), = info.row
+    assert name == "val" and not ty.non_null  # nullable ∪ NOT NULL → nullable
+    src2 = "select id from t1 union select amt from t2"
+    info2 = Analyzer(eng.env, src2).analyze_query(parse_query(src2))
+    (_, ty2), = info2.row
+    assert ty2.non_null
+
+
+def test_setop_param_limit(eng, duck):
+    _differ(
+        eng, duck,
+        "select id from t1 union select id from t2 order by id limit 3",
+    )
+    rows = eng.fetch_list(
+        "select id from t1 union all select id from t2 order by id limit ?n",
+        n=2,
+    )
+    assert [r[0] for r in rows] == [1, 1]
+
+
+def test_setop_errors(eng):
+    for bad, m in (
+        ("select id, grp from t1 union select id from t2",
+         "different arities"),
+        ("select id from t1 union select toString(id) from t2",
+         "set operation column"),
+        ("select id from t1 union select id from t2 order by nope",
+         "output column name"),
+        ("select id from t1 order by id union select id from t2",
+         "whole set operation"),
+        ("select id from t1 union select id from t2 limit id",
+         "int literal"),
+    ):
+        with pytest.raises(SqlppError, match=m):
+            eng.fetch_list(bad)
+
+
+def test_setop_sqlite_postgres_printers(eng, duck):
+    """The three sqlgen dialects print compounds; SQLite rejects
+    INTERSECT ALL/EXCEPT ALL (no such syntax there — documented
+    divergence). Nested branches wrap in subselects so SQLite's
+    left-to-right compound associativity can't change semantics."""
+    src = (
+        "select grp from t1 union all select grp from t1 "
+        "intersect select grp from t2 order by grp"
+    )
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    for dialect in ("duckdb", "postgres", "sqlite"):
+        sql = select_sql(info, dialect=dialect)
+        assert "UNION ALL" in sql and "INTERSECT" in sql
+    # the nested INTERSECT branch is wrapped — DuckDB parses the wrap
+    sql = select_sql(info)
+    assert "FROM (" in sql
+    rows = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert rows == sorted(tuple(r) for r in duck.execute(src).fetchall())
+    bad = "select id from t1 intersect all select id from t2"
+    info2 = Analyzer(eng.env, bad).analyze_query(parse_query(bad))
+    with pytest.raises(SqlppError, match="SQLite has no INTERSECT ALL"):
+        select_sql(info2, dialect="sqlite")
+
+
+def test_setop_fmt_roundtrip():
+    for src in (
+        "select id from t1 union select id from t2 order by id",
+        "select a from x union all select b from y "
+        "intersect select c from z limit 3",
+        "select a from x except all select b from y offset 1",
+    ):
+        once = format_query(parse_query(src))
+        again = format_query(parse_query(once))
+        assert once == again
+
+
+def test_setop_subquery_position_rejected(eng):
+    """Compounds are top-level (and CREATE QUERY bodies are plain
+    selects): inside parens the branch select ends at the closing
+    paren, so a UNION there is a located parse/analyze error, not a
+    silent misparse."""
+    with pytest.raises(SqlppError):
+        eng.fetch_list(
+            "select id from t1 where id in "
+            "(select id from t2 union select grp from t2)"
+        )

@@ -189,12 +189,65 @@ try:
         )
 
     @st.composite
+    def window_expr(draw):
+        """r13 window fuzz arm, extended r14 with frames + the new
+        fns. Integer args only — keeps window sums exact in both
+        engines."""
+        part = draw(st.sampled_from(["", "partition by n_regionkey "]))
+        fn = draw(st.sampled_from([
+            "row_number()", "rank()", "dense_rank()", "percent_rank()",
+            "cume_dist()", "sum(n_nationkey)", "count(n_regionkey)",
+            "min(n_nationkey)", "max(n_nationkey)", "avg(n_nationkey)",
+            "lag(n_nationkey)", "lead(n_nationkey, 2)",
+            "first_value(n_nationkey)", "nth_value(n_nationkey, 2)",
+        ]))
+        frame = ""
+        if fn.split("(")[0] in (
+            "sum", "count", "min", "max", "avg", "first_value",
+            "nth_value",
+        ) and draw(st.booleans()):
+            lo = draw(st.sampled_from([
+                "unbounded preceding", "2 preceding", "1 preceding",
+                "current row",
+            ]))
+            hi = draw(st.sampled_from([
+                "current row", "1 following", "unbounded following",
+            ]))
+            if lo == "current row" and hi == "current row":
+                lo = "1 preceding"
+            mode = draw(st.sampled_from(["rows", "range"]))
+            if mode == "range" and ("2" in lo or "1" in lo or "1" in hi):
+                mode = "rows"  # numeric RANGE needs 1 int key; keep simple
+            frame = f" {mode} between {lo} and {hi}"
+        return f"{fn} over ({part}order by n_nationkey desc, n_name{frame})"
+
+    @st.composite
     def query(draw):
         where = draw(pred())
         shape = draw(st.sampled_from(
             ["project", "project", "group", "group", "left_join",
-             "scalar_in", "from_sub", "distinct"]
+             "scalar_in", "from_sub", "distinct", "window", "setop"]
         ))
+        if shape == "window":
+            w1 = draw(window_expr())
+            w2 = draw(window_expr())
+            return (
+                f"select n_name, {w1} as w1, {w2} as w2 "
+                f"from nation where {where}"
+            )
+        if shape == "setop":
+            op = draw(st.sampled_from(
+                ["union", "union all", "intersect", "except",
+                 "intersect all", "except all"]
+            ))
+            lcol = draw(st.sampled_from(INT_COLS))
+            rcol = draw(st.sampled_from(INT_COLS + ["r_regionkey"]))
+            rtab = "region" if rcol == "r_regionkey" else "nation"
+            return (
+                f"select {lcol} as k from nation where {where} "
+                f"{op} select {rcol} as k from {rtab} "
+                f"order by k limit 20"
+            )
         if shape == "project":
             exprs = draw(st.lists(int_expr(), min_size=1, max_size=3))
             cols = ", ".join(f"{e} as c{i}" for i, e in enumerate(exprs))

@@ -150,3 +150,109 @@ def test_window_nested_in_order_by_in_probe(eng, duck):
         rows = [tuple(r) for r in eng.fetch_list(src)]
         want = [tuple(r) for r in duck.execute(src).fetchall()]
         assert rows == want, src
+
+
+def test_window_frames_differential(eng, duck):
+    """r14: explicit ROWS/RANGE frames + the remaining window fns
+    (avg/percent_rank/cume_dist/nth_value). Integer args keep sums
+    exact across engines; avg of exact int sums divides identically
+    in IEEE double on both sides."""
+    for src in (
+        "select id, sum(id) over (order by id rows between 1 preceding "
+        "and 1 following) as s from t1 order by id",
+        "select id, sum(id) over (order by id rows between unbounded "
+        "preceding and current row) as s from t1 order by id",
+        "select id, min(val) over (partition by grp order by id rows "
+        "between current row and unbounded following) as m from t1 order by id",
+        "select id, sum(id) over (order by id range between 2 preceding "
+        "and 2 following) as s from t1 order by id",
+        # frame that can be EMPTY → NULL sum / 0 count
+        "select id, count(val) over (order by id rows between 2 following "
+        "and 3 following) as c from t1 order by id",
+        "select id, sum(id) over (order by id rows between 3 following "
+        "and 4 following) as s from t1 order by id",
+        "select id, avg(id) over (order by id rows between 1 preceding "
+        "and current row) as a from t1 order by id",
+        "select id, percent_rank() over (order by id) as pr from t1 order by id",
+        "select id, percent_rank() over (partition by grp order by id) "
+        "as pr from t1 order by id",
+        "select id, cume_dist() over (order by grp, id) as cd from t1 order by id",
+        "select id, nth_value(val, 2) over (partition by grp order by id) "
+        "as nv from t1 order by id",
+        "select id, first_value(id) over (order by id rows between "
+        "1 following and 2 following) as fv from t1 order by id",
+        # short form: ROWS <bound> == BETWEEN <bound> AND CURRENT ROW
+        "select id, sum(id) over (order by id rows 2 preceding) as s "
+        "from t1 order by id",
+        "select id, avg(val) over (partition by grp order by id rows "
+        "between unbounded preceding and unbounded following) as a "
+        "from t1 order by id",
+    ):
+        _differ(eng, duck, src)
+
+
+def test_window_frame_errors(eng):
+    for bad, m in (
+        ("select id, row_number() over (order by id rows between "
+         "1 preceding and current row) as x from t1",
+         "frames are not allowed"),
+        ("select id, lag(val) over (order by id rows 1 preceding) "
+         "as x from t1", "frames are not allowed"),
+        ("select id, sum(id) over (partition by grp rows between "
+         "1 preceding and current row) as x from t1",
+         "requires ORDER BY"),
+        ("select id, sum(id) over (order by id rows between current row "
+         "and 1 preceding) as x from t1", "start cannot come after"),
+        ("select id, sum(id) over (order by id rows between 1 preceding "
+         "and 2 preceding) as x from t1", "start cannot come after"),
+        ("select id, sum(id) over (order by grp, id range between "
+         "1 preceding and current row) as x from t1",
+         "exactly one ORDER BY key"),
+        ("select id, nth_value(val, 0) over (order by id) as x from t1",
+         "positive int literal"),
+        ("select id, percent_rank(val) over (order by id) as x from t1",
+         "takes no arguments"),
+    ):
+        with pytest.raises(SqlppError, match=m):
+            eng.fetch_list(bad)
+
+
+def test_window_frame_nullability(eng):
+    """Frames that may exclude the current row can be empty → nullable
+    results even over NOT NULL args; frames containing the current row
+    keep the no-frame rules; count stays NOT NULL (empty frame → 0)."""
+    info = Analyzer(eng.env, s := (
+        "select sum(id) over (order by id rows between 3 following "
+        "and 4 following) as s_empty, "
+        "sum(id) over (order by id rows between 1 preceding "
+        "and current row) as s_full, "
+        "count(id) over (order by id rows between 3 following "
+        "and 4 following) as c_empty, "
+        "avg(id) over (order by id) as a, "
+        "percent_rank() over (order by id) as pr, "
+        "nth_value(id, 2) over (order by id) as nv from t1"
+    )).analyze_query(parse_query(s))
+    tys = {f.out_name: f.expr.ty for f in info.ctx.fields}
+    assert not tys["s_empty"].non_null
+    assert tys["s_full"].non_null
+    assert tys["c_empty"].non_null and tys["c_empty"].kind == "int"
+    assert tys["a"].non_null and tys["a"].kind == "float"
+    assert tys["pr"].non_null and tys["pr"].kind == "float"
+    assert not tys["nv"].non_null
+
+
+def test_window_fmt_roundtrip():
+    """r14: the fmt printer renders windows (incl. frames) — it
+    couldn't print EWindow at all before."""
+    from sqlpp_spark.frontend.printer import format_query
+
+    for src in (
+        "select row_number() over (order by id) as rn from t",
+        "select sum(v) over (partition by g order by id rows between "
+        "2 preceding and current row) as s from t",
+        "select nth_value(v, 3) over (order by id range between "
+        "unbounded preceding and unbounded following) as nv from t",
+    ):
+        once = format_query(parse_query(src))
+        again = format_query(parse_query(once))
+        assert once == again
