@@ -329,17 +329,55 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_audio_features", driver_export=False)  # mapInPandas WAV decode — no SQL oracle; pytest-only (gate would read err=no_oracle as red)
+@register(
+    "multimodal_audio_features",
+    # r14: oracled via the tolerance-boolean pattern. The sine corpus
+    # is the REALISTIC decode path (libm sin — DuckDB's sin can differ
+    # in the last ulp, so rms/zero-crossings are not bit-portable);
+    # the row carries the exact container integers plus features_ok =
+    # decoded rms/zcr within closed-form physics bounds of the
+    # synthesized sine. DuckDB asserts TRUE, so a decode bug (wrong
+    # scaling, byte order, truncated frames) flips the row red while
+    # the float features stay out of the hash. The bit-exact decode
+    # oracle remains multimodal_audio_decode_oracle (formula
+    # waveforms, integer energy).
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(2000 AS BIGINT) AS n_samples,
+       CAST(250 AS BIGINT) AS duration_ms,
+       TRUE AS decoded,
+       TRUE AS features_ok
+FROM documents
+""",
+)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio pipeline: synthesize genuine RIFF/WAV payloads (stdlib
-    wave writer) from the documents fixture, then decode real samples
-    via Arrow-batched mapInPandas — sample rate, duration, RMS,
-    zero-crossing rate. Decode accuracy pinned in
-    tests/test_multimodal.py (RMS/ZCR match the synthesized sines)."""
+    wave writer, one 110+(id%880) Hz sine per doc at 8 kHz/250 ms),
+    then decode real samples via Arrow-batched mapInPandas — sample
+    rate, duration, RMS, zero-crossing count. ``features_ok`` checks
+    the decoded features against the sine's closed form: rms within
+    2% of A/sqrt(2) (A = 16000/32768; partial trailing period bounds
+    the deviation well under that) and zero crossings within +-4 of
+    f/2 (2f crossings/s for 0.25 s). Exact decode accuracy is pinned
+    in tests/test_multimodal.py."""
     from sqlpp_spark.ops.multimodal import decode_audio, synthesize_audio
 
     docs = table(spark, sf_dir, "documents")
-    return decode_audio(synthesize_audio(docs))
+    dec = decode_audio(synthesize_audio(docs))
+    freq = (F.col("media_id") % 880 + 110).cast("double")
+    rms_expect = F.lit(16000.0 / 32768.0 / 2.0 ** 0.5)
+    return dec.select(
+        "media_id",
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+        F.col("decoded").cast("boolean").alias("decoded"),
+        (
+            (F.abs(F.col("rms") - rms_expect) <= rms_expect * 0.02)
+            & (F.abs(F.col("zero_crossings") - freq / 2.0) <= F.lit(4.0))
+        ).alias("features_ok"),
+    )
 
 
 @register(

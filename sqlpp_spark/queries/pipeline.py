@@ -85,19 +85,36 @@ def ann_approx_distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_hll_distinct_labels",
-    # HLL sketches differ across engines by design — no DuckDB oracle;
-    # accuracy vs the exact twin pinned in tests/test_ops.py. Kept
-    # pytest-only (driver_export=False): the driver gate can only record
-    # err=no_oracle for it, which cost the gate its 50/50 in r10-r12.
-    driver_export=False,
+    # r14: oracled via the tolerance-boolean pattern. HLL sketch
+    # VALUES differ across engines by design, so the row carries the
+    # exact count plus `sketch_ok` = |approx-exact| within the 5%
+    # bound the pytest pin uses (tests/test_ops.py) — DuckDB asserts
+    # TRUE, so a broken/drifting sketch flips the row red while the
+    # legitimate engine-specific estimate stays out of the hash.
+    oracle="""
+SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels_exact,
+       TRUE AS sketch_ok
+FROM embeddings
+""",
 )
 def ann_hll_distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the sketch path for
     distinct counting at 100 TB (fixed-size state vs a full shuffle
-    of the distinct values)."""
+    of the distinct values). Both aggregates run in ONE pass (a single
+    partial-agg shuffle of HLL registers + distinct-hash partials)."""
     e = table(spark, sf_dir, "embeddings")
-    return e.select(
-        F.approx_count_distinct("label", rsd=0.02).alias("n_labels_approx")
+    agg = e.agg(
+        F.count_distinct("label").alias("n_labels_exact"),
+        F.approx_count_distinct("label", rsd=0.02).alias("__approx"),
+    )
+    return agg.select(
+        "n_labels_exact",
+        (
+            F.abs(F.col("__approx") - F.col("n_labels_exact"))
+            <= F.greatest(
+                F.lit(1), F.col("n_labels_exact").cast("double") * 0.05
+            )
+        ).alias("sketch_ok"),
     )
 
 

@@ -4,8 +4,9 @@ the same box conditions (VERDICT r6 ask #1; r12 ask #2 reuses it for
 the whole 21-query r11-vs-HEAD suite).
 
 Usage:  python tools/ab_bench.py [commit] [pairs] [setname]
-        setname: shared13 (r5 era, default for commit 324000e) or
-                 shared21 (every query benched in BOTH r11 and r12)
+        setname: shared23 (default — the full r13 headline set),
+                 shared21 (every query benched in BOTH r11 and r12),
+                 shared13 (r5 era, for commit 324000e), suspect3
 
 Design: each side runs as its own subprocess (own SparkSession) with
 SPARK_GRAFT_BENCH_RUNS=2, in counterbalanced order A B B A A B B A …
@@ -66,8 +67,16 @@ SHARED_13 = [
 ]
 
 
+# the full 23-query r13 headline set (r14 hygiene ask: the next bench
+# drift flag adjudicates in one command — this is the default)
+SHARED_23 = SHARED_21 + [
+    "events_rollup_cascade",
+    "events_funnel_steps",
+]
+
 SETS["shared13"] = SHARED_13
 SETS["shared21"] = SHARED_21
+SETS["shared23"] = SHARED_23
 # the three rows whose shared21 ratios exceeded 1.2 under load — a
 # quiet-box re-adjudication set (r13)
 SETS["suspect3"] = [
@@ -103,7 +112,7 @@ def main() -> None:
     global QUERY_SET
     commit = sys.argv[1] if len(sys.argv) > 1 else "324000e"
     pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    QUERY_SET = SETS[sys.argv[3] if len(sys.argv) > 3 else "shared13"]
+    QUERY_SET = SETS[sys.argv[3] if len(sys.argv) > 3 else "shared23"]
     wt = os.path.join(REPO, ".ab", commit)
     if not os.path.isdir(wt):
         subprocess.run(
