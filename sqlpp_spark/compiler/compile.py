@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from sqlpp_spark.frontend import ast as A
 from sqlpp_spark.frontend.analyze import (
-    AGG_FNS, QueryInfo, SelectCtx, SelectRel, SetOpCtx, TableRel,
+    AGG_FNS, QueryInfo, SelectCtx, SelectRel, SetOpCtx, SetOpRel, TableRel,
 )
 from sqlpp_spark.frontend.ast import expr_key
 from sqlpp_spark.frontend.errors import SqlppError
@@ -309,6 +309,8 @@ class Compiler:
             return df.alias(name)
         if isinstance(fr, A.FromSelect):
             rel = ctx.rels[fr.alias]
+            if isinstance(rel, SetOpRel):  # FROM (compound) AS a (r14)
+                return self.compile_setop(rel.sctx, binds).alias(fr.alias)
             assert isinstance(rel, SelectRel)
             sub = self.compile_select(rel.ctx, binds)
             return sub.alias(fr.alias)

@@ -34,7 +34,7 @@ from typing import Dict, List, Optional
 
 from sqlpp_spark.frontend import ast as A
 from sqlpp_spark.frontend.analyze import (
-    AGG_FNS, QueryInfo, SelectCtx, SelectRel, SetOpCtx,
+    AGG_FNS, QueryInfo, SelectCtx, SelectRel, SetOpCtx, SetOpRel,
 )
 from sqlpp_spark.frontend.errors import SqlppError
 
@@ -263,6 +263,8 @@ class SqlGen:
             return t if alias == fr.table else f"{t} AS {_q(alias)}"
         if isinstance(fr, A.FromSelect):
             rel = ctx.rels[fr.alias]
+            if isinstance(rel, SetOpRel):  # FROM (compound) AS a (r14)
+                return f"({self._setop(rel.sctx)}) AS {_q(fr.alias)}"
             assert isinstance(rel, SelectRel)
             return f"({self.select(rel.ctx)}) AS {_q(fr.alias)}"
         raise SqlppError(f"bad from node {type(fr).__name__}")

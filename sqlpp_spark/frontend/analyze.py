@@ -189,6 +189,17 @@ class TableRel:
 
 
 @dataclass
+class SetOpRel(TableRel):
+    """``FROM (compound select) AS alias`` (r14): resolution-wise a
+    CLOSED relation with a fixed column dict — a TableRel subclass,
+    so every resolution path treats it as closed (navigation cannot
+    inject fields into a compound). Carries the analyzed SetOpCtx
+    for the compilers."""
+
+    sctx: object = None  # SetOpCtx
+
+
+@dataclass
 class SelectRel:
     name: str
     ctx: "SelectCtx"
@@ -442,6 +453,13 @@ class Analyzer:
         if isinstance(fr, A.FromSelect):
             if fr.alias in ctx.rels:
                 self.err(f"duplicate scope name: {fr.alias}", fr.loc)
+            if isinstance(fr.select, A.SetOp):
+                # FROM (compound select) AS alias (r14): closed rel
+                sctx = self.analyze_setop(fr.select)
+                ctx.rels[fr.alias] = SetOpRel(
+                    fr.alias, dict(sctx.row()), nullable, None, sctx
+                )
+                return
             subctx = self.analyze_select(fr.select)
             ctx.rels[fr.alias] = SelectRel(fr.alias, subctx, nullable)
             return

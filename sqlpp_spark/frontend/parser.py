@@ -485,7 +485,10 @@ class Parser:
     def _from_one(self):
         loc = self.cur.loc
         if self.eat_punct("("):
-            sel = self.select()
+            # r14: derived tables accept compound selects too —
+            # select_compound returns a plain Select when no set
+            # operator follows (identical to the old behavior)
+            sel = self.select_compound()
             self.expect_punct(")")
             self.expect_kw("as")
             alias = self.expect_ident().value

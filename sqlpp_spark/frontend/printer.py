@@ -161,7 +161,12 @@ def _from_str(fr) -> str:
     if isinstance(fr, A.FromTable):
         return f"{fr.table} AS {fr.alias}" if fr.alias else fr.table
     if isinstance(fr, A.FromSelect):
-        return f"({select_str(fr.select)}) AS {fr.alias}"
+        inner = (
+            setop_str(fr.select)
+            if isinstance(fr.select, A.SetOp)
+            else select_str(fr.select)
+        )
+        return f"({inner}) AS {fr.alias}"
     if isinstance(fr, A.FromJoin):
         kw = "LEFT JOIN" if fr.kind == "left" else "JOIN"
         on = f" ON {expr_str(fr.on)}" if fr.on is not None else ""

@@ -176,12 +176,66 @@ def test_setop_fmt_roundtrip():
 
 
 def test_setop_subquery_position_rejected(eng):
-    """Compounds are top-level (and CREATE QUERY bodies are plain
-    selects): inside parens the branch select ends at the closing
-    paren, so a UNION there is a located parse/analyze error, not a
+    """Compounds live at top level and in FROM derived tables (r14);
+    IN/EXISTS/scalar subqueries and CREATE QUERY bodies stay plain
+    selects — a UNION there is a located parse/analyze error, not a
     silent misparse."""
     with pytest.raises(SqlppError):
         eng.fetch_list(
             "select id from t1 where id in "
             "(select id from t2 union select grp from t2)"
+        )
+
+
+def test_setop_in_from_position(eng, duck):
+    """r14: FROM (compound select) AS alias — the compound is a
+    CLOSED relation (fixed column dict; navigation can't inject
+    fields). Joins, grouping and nullable-side semantics compose over
+    it; both lowerings agree with DuckDB on the original source."""
+    for src in (
+        "select x.k as k from (select id as k from t1 union "
+        "select id as k from t2) as x where x.k > 2 order by k",
+        # group over a compound
+        "select x.g as g, count(1) as n from (select grp as g from t1 "
+        "union all select grp as g from t2) as x group by x.g "
+        "order by g",
+        # join a compound against a base table
+        "select x.k as k, t2.amt as amt from (select id as k from t1 "
+        "except select id as k from t2) as x "
+        "join t2 on x.k = t2.grp order by k, amt",
+        # LEFT JOIN with the compound on the nullable side
+        "select t1.id as id, x.k as k from t1 left join "
+        "(select id as k from t2 intersect select id as k from t1) as x "
+        "on t1.id = x.k order by id",
+        # nested compound inside the derived table
+        "select x.k as k from (select id as k from t1 union all "
+        "select id as k from t2 intersect select grp as k from t1) "
+        "as x order by k",
+    ):
+        rows, want, sql = _both_src(eng, duck, src)
+        assert rows == want, f"{src}\n{sql}"
+
+
+def _both_src(eng, duck, src):
+    rows = sorted(tuple(repr(x) for x in r) for r in eng.fetch_list(src))
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    sql = select_sql(info)
+    want = sorted(tuple(repr(x) for x in r) for r in duck.execute(sql).fetchall())
+    want2 = sorted(tuple(repr(x) for x in r) for r in duck.execute(src).fetchall())
+    assert want == want2, f"{src}\n{sql}"
+    return rows, want, sql
+
+
+def test_setop_from_nullability_and_errors(eng):
+    # LEFT JOIN right side: compound columns become nullable
+    src = ("select x.k as k from t1 left join (select id as k from t2 "
+           "union select id as k from t1) as x on t1.id = x.k")
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    (_, ty), = info.row
+    assert not ty.non_null
+    # navigation can't build expressions inside a compound
+    with pytest.raises(SqlppError, match="doesn't allow"):
+        eng.fetch_list(
+            "select x.(k + 1) from (select id as k from t1 union "
+            "select id as k from t2) as x"
         )
