@@ -576,3 +576,40 @@ def test_sqlpp_window_single_exchange(spark, sf_dir):
     p = plan_of(spark, sf_dir, "sqlpp_window_functions")
     assert shuffle_count(p) == 1, shuffle_count(p)
     assert p.count(") Window") == 2
+
+
+def test_setop_plan_shapes(spark, sf_dir):
+    """r14 dialect set ops — the scale contract: UNION ALL is a plan-
+    level Union with ZERO exchanges; UNION (distinct) costs exactly
+    one hash exchange with map-side partial aggregation; the
+    registry's mixed compound (sqlpp_set_ops) keeps intersect/except
+    as joins, never a cartesian."""
+    from sqlpp_spark.engine import SqlppEngine
+
+    eng = SqlppEngine(spark)
+    for t in ("region", "nation"):
+        eng.register_parquet(t, f"{sf_dir}/{t}.parquet")
+
+    def plan(src: str) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            eng.query(src).explain("formatted")
+        return buf.getvalue()
+
+    p = plan(
+        "select n.n_regionkey as k from nation as n union all "
+        "select r.r_regionkey as k from region as r"
+    )
+    assert shuffle_count(p) == 0, p
+    assert "Union" in p
+
+    p = plan(
+        "select n.n_regionkey as k from nation as n union "
+        "select r.r_regionkey as k from region as r"
+    )
+    assert shuffle_count(p) == 1, p
+    # distinct lowers to HashAggregate with a partial (map-side) pass
+    assert p.count("HashAggregate") >= 2, p
+
+    p = plan_of(spark, sf_dir, "sqlpp_set_ops")
+    assert "Cartesian" not in p and "NestedLoop" not in p, p
