@@ -89,7 +89,8 @@ class Env:
             self.tables[decl.name] = TableInfo(decl.name, cols, decl)
         elif isinstance(decl, A.DeclQuery):
             # analyze eagerly for early errors, store raw for reuse
-            Analyzer(self, src).analyze_select(copy.deepcopy(decl.select))
+            # (r14: compound bodies analyze through analyze_query)
+            Analyzer(self, src).analyze_query(copy.deepcopy(decl.select))
             self.queries[decl.name] = decl
         elif isinstance(decl, A.DeclFieldset):
             info = FieldsetInfo(decl.name, decl.params, decl.select.fields)
@@ -437,8 +438,19 @@ class Analyzer:
             dq = self.env.queries.get(fr.table)
             if dq is not None:
                 # named query: fresh re-analysis per use site (view
-                # inlining, analyze.ml:814-816)
+                # inlining, analyze.ml:814-816); r14: compound bodies
+                # inline as closed SetOp relations
                 sub = copy.deepcopy(dq.select)
+                if isinstance(sub, A.SetOp):
+                    sctx = self.analyze_setop(sub)
+                    fr_sel = A.FromSelect(sub, name, loc=fr.loc)
+                    ctx.rels[name] = SetOpRel(
+                        name, dict(sctx.row()), nullable, None, sctx
+                    )
+                    fr.__class__ = A.FromSelect
+                    fr.__dict__.clear()
+                    fr.__dict__.update(fr_sel.__dict__)
+                    return
                 subctx = self.analyze_select(sub)
                 fr_sel = A.FromSelect(sub, name, loc=fr.loc)
                 fr_sel_rel = SelectRel(name, subctx, nullable)

@@ -128,7 +128,7 @@ class Parser:
             name = self.expect_ident().value
             self.expect_kw("as")
             sel_start = self.cur.loc.start
-            sel = self.select()
+            sel = self.select_compound()  # r14: compound bodies allowed
             src = self.src[sel_start : self.toks[self.i - 1].loc.end]
             return A.DeclQuery(name, sel, src, loc=Loc.span(start, self.toks[self.i - 1].loc))
         if self.eat_kw("fieldset"):

@@ -277,7 +277,12 @@ def format_query(q) -> str:
         cols = ", ".join(_col_def_str(c) for c in q.columns)
         return f"CREATE TABLE {q.name}({cols})"
     if isinstance(q, A.DeclQuery):
-        return f"CREATE QUERY {q.name} AS {select_str(q.select)}"
+        body = (
+            setop_str(q.select)
+            if isinstance(q.select, A.SetOp)
+            else select_str(q.select)
+        )
+        return f"CREATE QUERY {q.name} AS {body}"
     if isinstance(q, A.DeclFieldset):
         ps = ", ".join(f"FROM {_sty_str(p.sty)} AS {p.alias}" for p in q.params)
         fields = ", ".join(_field_str(f, False) for f in q.select.fields)

@@ -239,3 +239,27 @@ def test_setop_from_nullability_and_errors(eng):
             "select x.(k + 1) from (select id as k from t1 union "
             "select id as k from t2) as x"
         )
+
+
+def test_setop_named_query(eng, duck):
+    """r14: CREATE QUERY bodies accept compounds; use sites inline
+    them as closed relations (fresh re-analysis per site, same as
+    plain named queries)."""
+    eng.add_decls(
+        "create query both_ids as "
+        "select id as k from t1 union select id as k from t2;"
+    )
+    rows = [tuple(r) for r in eng.fetch_list(
+        "select b.k as k from both_ids as b where b.k > 2 order by k"
+    )]
+    want = [tuple(r) for r in duck.execute(
+        "SELECT k FROM (SELECT id AS k FROM t1 UNION SELECT id AS k "
+        "FROM t2) b WHERE k > 2 ORDER BY k"
+    ).fetchall()]
+    assert rows == want == [(3,), (4,), (5,), (6,)]
+    # joins over the inlined compound
+    rows = [tuple(r) for r in eng.fetch_list(
+        "select b.k as k, t1.grp as g from both_ids as b "
+        "join t1 on b.k = t1.id order by k"
+    )]
+    assert rows == [(1, 1), (2, 1), (3, 2), (4, 3), (5, 2)]
