@@ -1242,6 +1242,20 @@ class Compiler:
             if isinstance(pat, A.ELit) and pat.lit_kind == "string":
                 return a(0).like(pat.value)
             raise SqlppError("like() pattern must be a string literal", pat.loc)
+        if fn == "case":
+            # searched CASE (r14): F.when chain; NULL condition = no
+            # match (Kleene, same as every SQL engine); the final cast
+            # pins mixed int/float branches to the analyzed lub type
+            n = len(e.args)
+            col = None
+            for i in range(n // 2):
+                c, v = a(2 * i), a(2 * i + 1)
+                col = F.when(c, v) if col is None else col.when(c, v)
+            if n % 2 == 1:
+                col = col.otherwise(a(n - 1))
+            if e.ty is not None:
+                col = col.cast(spark_type(e.ty))
+            return col
         ext = _EXT_COMPILE.get(fn)
         if ext is not None:
             return ext([a(i) for i in range(len(e.args))])

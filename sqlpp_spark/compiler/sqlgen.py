@@ -438,6 +438,31 @@ class SqlGen:
             if isinstance(pat, A.ELit) and pat.lit_kind == "string":
                 return f"({a(0)} LIKE {_str_lit(pat.value)})"
             raise SqlppError("like() pattern must be a string literal", pat.loc)
+        if fn == "case":
+            # r14 searched CASE; mixed int/float branches cast to the
+            # analyzed lub so DuckDB's DECIMAL arithmetic can't leak in
+            n = len(e.args)
+            parts = ["CASE"]
+            for i in range(n // 2):
+                parts.append(f"WHEN {a(2 * i)} THEN {a(2 * i + 1)}")
+            if n % 2 == 1:
+                parts.append(f"ELSE {a(n - 1)}")
+            parts.append("END")
+            s = " ".join(parts)
+            ty = e.ty
+            vals = [e.args[2 * i + 1] for i in range(n // 2)]
+            if n % 2 == 1:
+                vals.append(e.args[n - 1])
+            if ty is not None and any(
+                x.ty is not None and x.ty.kind != ty.kind for x in vals
+            ):
+                cast_ty = (
+                    "DOUBLE PRECISION"
+                    if self.dialect == "postgres" and ty.kind == "float"
+                    else SQL_TYPES[ty.kind]
+                )
+                return f"CAST(({s}) AS {cast_ty})"
+            return f"({s})"
         if fn in ("substring", "substr"):
             return self.d["substring"]([a(i) for i in range(len(e.args))])
         if fn in ("year", "month", "day") and fn in self.d:

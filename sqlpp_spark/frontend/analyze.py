@@ -1177,6 +1177,52 @@ class Analyzer:
                     t = self._adopt_param(e.args[i], running, e.loc)
                 running = t if running is None else ty_glb(running, t, e.loc, self.src or None)
             return e, running
+        if fnl == "case":
+            # searched CASE (r14): args = [c1, v1, ..., else?]; odd
+            # count means ELSE present. Conditions are bool; value
+            # types lub under the comparison rule (kinds intersect or
+            # both numeric — int/float widens); result nullable when
+            # any value is, or when ELSE is absent (unmatched → NULL)
+            n = len(e.args)
+            has_else = n % 2 == 1
+            for i in range(n // 2):
+                ct = arg(2 * i)
+                if ct is None:
+                    ct = self._adopt_param(
+                        e.args[2 * i], BOOL.with_non_null(False), e.loc
+                    )
+                check_subsumes(
+                    ct, BOOL.nullable(), e.args[2 * i].loc, self.src or None
+                )
+            val_idx = [2 * i + 1 for i in range(n // 2)]
+            if has_else:
+                val_idx.append(n - 1)
+            running: Optional[Ty] = None
+            for i in val_idx:
+                t = arg(i)
+                if t is None:
+                    if running is None:
+                        self.err(
+                            "cannot infer parameter type in case", e.loc
+                        )
+                    t = self._adopt_param(e.args[i], running, e.loc)
+                if running is None:
+                    running = t
+                    continue
+                numeric = (running.kinds | t.kinds) <= frozenset(
+                    {"int", "float"}
+                )
+                if not (running.kinds & t.kinds) and not numeric:
+                    self.err(
+                        f"case branches do not match: {running} vs {t}",
+                        e.args[i].loc,
+                    )
+                running = ty_lub(running, t, e.loc, self.src or None)
+            if running.kinds == frozenset({"int", "float"}):
+                running = FLOAT.with_non_null(running.non_null)
+            if not has_else:
+                running = running.with_non_null(False)
+            return e, running
         if fnl == "now":
             nargs(0)
             return e, DATETIME

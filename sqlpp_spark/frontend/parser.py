@@ -684,6 +684,30 @@ class Parser:
                     loc=Loc.span(e.loc, self.toks[self.i - 1].loc),
                 )
                 continue
+            # postfix: [NOT] LIKE pattern (r14 — sugar for the like()
+            # extension fn; LIKE is a contextual ident) and
+            # [NOT] BETWEEN lo AND hi (r14 — desugars at parse time to
+            # (e >= lo AND e <= hi), exact in 3VL like every engine's
+            # own BETWEEN lowering; bounds parse at bp 61 so the AND
+            # separator isn't consumed)
+            if (
+                t.kind == "ident"
+                and t.value.lower() in ("like", "between")
+                and 60 >= min_bp
+            ):
+                e = self._like_or_between(e, t.value.lower(), False)
+                continue
+            if (
+                t.kind == "kw"
+                and t.value.lower() == "not"
+                and self.peek().kind == "ident"
+                and self.peek().value.lower() in ("like", "between")
+                and 60 >= min_bp
+            ):
+                kind = self.peek().value.lower()
+                self.advance()
+                e = self._like_or_between(e, kind, True)
+                continue
             op = None
             if t.kind == "op":
                 op = t.value
@@ -698,6 +722,52 @@ class Parser:
             rhs = self.expr(bp + 1)  # left-assoc
             name = {"and": "AND", "or": "OR", "<>": "!="}.get(op, op)
             e = A.EApp(name, [e, rhs], loc=Loc.span(e.loc, rhs.loc))
+
+    def _case(self) -> A.Expr:
+        """``CASE WHEN c THEN v [WHEN ..]* [ELSE e] END`` (r14,
+        beyond reference — searched form only; CASE/WHEN/THEN/ELSE are
+        contextual idents, END is the match keyword). Represented as
+        ``EApp("case", [c1, v1, c2, v2, ..., else?])`` — an odd arg
+        count means the ELSE branch is present."""
+        start = self.cur.loc
+        self.advance()  # CASE
+        args: List[A.Expr] = []
+        while self._eat_ident("when"):
+            args.append(self.expr())
+            if not self._eat_ident("then"):
+                self.fail("expected THEN")
+            args.append(self.expr())
+        if not args:
+            self.fail("expected WHEN")
+        if self._eat_ident("else"):
+            args.append(self.expr())
+        self.expect_kw("end")
+        return A.EApp(
+            "case", args, loc=Loc.span(start, self.toks[self.i - 1].loc)
+        )
+
+    def _like_or_between(self, e: A.Expr, kind: str, negated: bool) -> A.Expr:
+        import copy as _copy
+
+        start = e.loc
+        self.advance()  # consume LIKE / BETWEEN
+        if kind == "like":
+            pat = self.expr(61)
+            out = A.EApp(
+                "like", [e, pat],
+                loc=Loc.span(start, self.toks[self.i - 1].loc),
+            )
+        else:
+            lo = self.expr(61)
+            self.expect_kw("and")
+            hi = self.expr(61)
+            loc = Loc.span(start, self.toks[self.i - 1].loc)
+            ge = A.EApp(">=", [e, lo], loc=loc)
+            le = A.EApp("<=", [_copy.deepcopy(e), hi], loc=loc)
+            out = A.EApp("AND", [ge, le], loc=loc)
+        if negated:
+            out = A.EApp("NOT", [out], loc=out.loc)
+        return out
 
     def _expr_prefix(self) -> A.Expr:
         t = self.cur
@@ -739,6 +809,13 @@ class Parser:
             return A.EExists(select=sel, loc=Loc.span(t.loc, self.toks[self.i - 1].loc))
         if t.kind == "kw" and t.value.lower() == "match":
             return self._match()
+        if (
+            t.kind == "ident"
+            and t.value.lower() == "case"
+            and self.peek().kind == "ident"
+            and self.peek().value.lower() == "when"
+        ):
+            return self._case()
         if t.kind == "punct" and t.value == "(":
             self.advance()
             # scalar subquery: (select ...) in expression position

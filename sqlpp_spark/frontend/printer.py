@@ -132,6 +132,18 @@ def _app(e: A.EApp):
         return f"{expr_str(e.args[0], 61)} IS NULL", 60
     if fn == "is not null" and len(e.args) == 1:
         return f"{expr_str(e.args[0], 61)} IS NOT NULL", 60
+    if fn == "case":
+        n = len(e.args)
+        parts = ["CASE"]
+        for i in range(n // 2):
+            parts.append(
+                f"WHEN {expr_str(e.args[2 * i])} "
+                f"THEN {expr_str(e.args[2 * i + 1])}"
+            )
+        if n % 2 == 1:
+            parts.append(f"ELSE {expr_str(e.args[n - 1])}")
+        parts.append("END")
+        return " ".join(parts), 1000
     args = ", ".join(expr_str(a) for a in e.args)
     return f"{e.fn}({args})", 1000
 

@@ -432,3 +432,28 @@ _sqlpp(
     "FOLLOWING) AS second_key "
     "FROM customer WHERE c_custkey < 500",
 )
+
+_sqlpp(
+    # r14: searched CASE + infix LIKE + BETWEEN on real TPC-H data —
+    # conditional-aggregate shape (the classic CASE-inside-sum),
+    # pattern filter, inclusive-range predicate. All scan-stage
+    # expressions (zero extra shuffles beyond the groupBy).
+    "sqlpp_case_like_between",
+    "select n.n_name as nation_name, "
+    "count(1) as n_all, "
+    "sum(case when c.c_acctbal between 0 and 5000 then 1 else 0 end) "
+    "as n_mid, "
+    "sum(case when c.c_name like '%9%' then 1 else 0 end) "
+    "as n_nine "
+    "from customer as c join nation as n on c.c_nationkey = n.n_nationkey "
+    "where c.c_mktsegment not like 'AUTO%' "
+    "group by n.n_name",
+    "SELECT n_name AS nation_name, COUNT(*) AS n_all, "
+    "SUM(CASE WHEN c_acctbal BETWEEN 0 AND 5000 THEN 1 ELSE 0 END) "
+    "AS n_mid, "
+    "SUM(CASE WHEN c_name LIKE '%9%' THEN 1 ELSE 0 END) "
+    "AS n_nine "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE c_mktsegment NOT LIKE 'AUTO%' "
+    "GROUP BY n_name",
+)

@@ -1,0 +1,143 @@
+"""Searched CASE, infix [NOT] LIKE, and [NOT] BETWEEN in the sqlpp
+dialect (r14, beyond reference). LIKE is sugar for the existing
+like() extension fn; BETWEEN desugars at parse time to
+(x >= lo AND x <= hi) — exact in 3VL, same as every engine's own
+lowering. Differential against DuckDB on BOTH the printed SQL and
+the original source."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sqlpp_spark.compiler.sqlgen import select_sql
+from sqlpp_spark.frontend.analyze import Analyzer
+from sqlpp_spark.frontend.errors import SqlppError
+from sqlpp_spark.frontend.parser import parse_query
+from sqlpp_spark.frontend.printer import format_query
+
+T1 = [
+    (1, 1, 10, "alpha"), (2, 1, None, "beta"), (3, 2, 30, "alphabet"),
+    (4, 3, 40, None), (5, 2, None, "gamma"),
+]
+
+
+@pytest.fixture()
+def eng(spark):
+    from sqlpp_spark.engine import SqlppEngine
+
+    eng = SqlppEngine(spark)
+    eng.add_decls(
+        "create table t1 (id int not null, grp int not null, "
+        "val int, name string);"
+    )
+    eng.register_df(
+        "t1",
+        spark.createDataFrame(T1, "id long, grp long, val long, name string"),
+    )
+    return eng
+
+
+@pytest.fixture()
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t1 (id BIGINT, grp BIGINT, val BIGINT, name VARCHAR)"
+    )
+    con.executemany("INSERT INTO t1 VALUES (?,?,?,?)", T1)
+    return con
+
+
+def _differ(eng, duck, src):
+    rows = sorted(tuple(repr(x) for x in r) for r in eng.fetch_list(src))
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    sql = select_sql(info)
+    want = sorted(tuple(repr(x) for x in r) for r in duck.execute(sql).fetchall())
+    want2 = sorted(tuple(repr(x) for x in r) for r in duck.execute(src).fetchall())
+    assert rows == want == want2, f"{src}\n{sql}"
+    return info
+
+
+def test_case_like_between_differential(eng, duck):
+    for src in (
+        # searched CASE: multi-arm, no-else NULL, NULL condition skips
+        "select id, case when val > 20 then 'big' when val is null "
+        "then 'none' else 'small' end as c from t1 order by id",
+        "select id, case when grp = 1 then val end as c from t1 order by id",
+        "select id, case when name like '_eta' then 1 else 0 end as f "
+        "from t1 order by id",
+        # CASE inside aggregates (the classic conditional count)
+        "select grp, sum(case when val is null then 1 else 0 end) as nulls "
+        "from t1 group by grp order by grp",
+        # LIKE: prefix/suffix/infix, flag position, NOT LIKE 3VL
+        "select id from t1 where name like 'alpha%' order by id",
+        "select id, (name like '%a') as m from t1 order by id",
+        "select id from t1 where name not like '%a%' order by id",
+        # BETWEEN: inclusive bounds, NOT BETWEEN, NULL operand
+        "select id from t1 where val between 10 and 30 order by id",
+        "select id from t1 where id not between 2 and 4 order by id",
+        "select id, (val between 10 and 30) as b from t1 order by id",
+        # BETWEEN binds tighter than AND: one predicate each
+        "select id from t1 where val between 10 and 30 and grp = 1 "
+        "order by id",
+    ):
+        _differ(eng, duck, src)
+
+
+def test_case_numeric_promotion(eng, duck):
+    """Mixed int/float CASE branches widen to double; the printed SQL
+    casts so DuckDB's DECIMAL literal arithmetic can't leak in (the
+    original source compares numerically — DuckDB types 0.5 DECIMAL,
+    our dialect double; value-equal, repr-different)."""
+    src = ("select id, case when grp = 1 then val else 0.5 end as c "
+           "from t1 order by id")
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    sql = select_sql(info)
+    assert "CAST((CASE" in sql
+    rows = [r[1] for r in eng.fetch_list(src)]
+    want = [r[1] for r in duck.execute(sql).fetchall()]
+    want2 = [
+        None if x is None else float(x)
+        for (_, x) in duck.execute(src).fetchall()
+    ]
+    assert rows == want == want2 == [10.0, None, 0.5, 0.5, 0.5]
+    _, ty = info.row[1]
+    assert ty.kind == "float" and not ty.non_null
+
+
+def test_case_nullability_typing(eng):
+    src = ("select case when grp = 1 then 1 else 0 end as full_e, "
+           "case when grp = 1 then 1 end as no_e, "
+           "case when grp = 1 then val else 0 end as nullable_v "
+           "from t1")
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    tys = dict(info.row)
+    assert tys["full_e"].non_null
+    assert not tys["no_e"].non_null  # unmatched rows yield NULL
+    assert not tys["nullable_v"].non_null
+
+
+def test_case_like_between_errors(eng):
+    for bad, m in (
+        ("select case when id then 1 end as c from t1",
+         "expected BOOL"),
+        ("select case when id = 1 then 'x' else 2 end as c from t1",
+         "case branches do not match"),
+        ("select case when id = 1 then 1 else 2 as c from t1",
+         "expected END|expected"),
+        ("select id from t1 where name like 2",
+         "pattern must be a string literal"),
+    ):
+        with pytest.raises(SqlppError, match=m):
+            eng.fetch_list(bad)
+
+
+def test_case_fmt_roundtrip():
+    for src in (
+        "select case when a > 1 then 'x' else 'y' end as c from t",
+        "select case when a = 1 then 1 when a = 2 then 2 end as c from t",
+        "select id from t where name like 'a%' and val between 1 and 9",
+    ):
+        once = format_query(parse_query(src))
+        again = format_query(parse_query(once))
+        assert once == again

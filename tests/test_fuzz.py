@@ -20,6 +20,7 @@ VOCAB = [
     "rows", "range", "between", "and", "preceding", "following",
     "unbounded", "current", "row", "union", "all", "intersect",
     "except", "avg", "percent_rank", "cume_dist", "nth_value",
+    "case", "when", "then", "else", "like",
 ]
 
 
@@ -61,6 +62,13 @@ def test_analyzer_never_crashes():
         "and current row)",
         "sum(id) over (order by id rows between current row "
         "and 2 preceding)",
+        # r14: CASE / LIKE / BETWEEN (valid and boundary-invalid)
+        "case when id = 1 then 1 else 0 end",
+        "case when id then 'x' end",
+        "case when name like 'a%' then id end",
+        "id between 1 and 5",
+        "name not like '%x'",
+        "case when id = 1 then 'x' else 2 end",
     ]
     froms = [
         "users", "users as u", "q1 as q",
