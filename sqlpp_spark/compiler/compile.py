@@ -151,10 +151,23 @@ class Compiler:
             # scalar-position subqueries in the projection
             df, scalar_map = self._attach_scalar_subqueries(
                 df, [f.expr for f in out_fields]
-                + [o.expr for o in sel.order_by], binds
+                + [o.expr for o in sel.order_by]
+                + ([sel.qualify] if sel.qualify is not None else []),
+                binds,
             )
             if sel.having is not None:
                 raise SqlppError("HAVING without GROUP BY")
+            if sel.qualify is not None:
+                # QUALIFY (r14): windows evaluate over the post-WHERE
+                # rows; materialize (Spark rejects windows in Filter),
+                # filter, drop — before projection/ORDER BY
+                df = (
+                    df.withColumn(
+                        "__qual", self.expr(sel.qualify, binds, scalar_map)
+                    )
+                    .filter(F.col("__qual"))
+                    .drop("__qual")
+                )
             cols = [
                 self.expr(f.expr, binds, scalar_map).alias(f.out_name) for f in out_fields
             ]
@@ -213,6 +226,8 @@ class Compiler:
         exprs: List[A.Expr] = [f.expr for f in out_fields]
         if sel.having is not None:
             exprs.append(sel.having)
+        if sel.qualify is not None:
+            exprs.append(sel.qualify)
         exprs.extend(o.expr for o in sel.order_by)
         agg_apps: Dict[tuple, A.EApp] = {}
         for e in exprs:
@@ -248,6 +263,17 @@ class Compiler:
         if sel.having is not None:
             grouped = grouped.filter(
                 self.expr(sel.having, binds, scalar_map, subst)
+            )
+        if sel.qualify is not None:
+            # QUALIFY over a grouped select (r14): the window ran over
+            # the aggregated rows; materialize + filter post-HAVING
+            grouped = (
+                grouped.withColumn(
+                    "__qual",
+                    self.expr(sel.qualify, binds, scalar_map, subst),
+                )
+                .filter(F.col("__qual"))
+                .drop("__qual")
             )
         cols = [
             self.expr(f.expr, binds, scalar_map, subst).alias(f.out_name)

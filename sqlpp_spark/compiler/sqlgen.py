@@ -158,6 +158,8 @@ class SqlGen:
     def select(self, ctx: SelectCtx) -> str:
         if isinstance(ctx, SetOpCtx):
             return self._setop(ctx)
+        if ctx.select.qualify is not None:
+            return self._select_qualify(ctx)
         sel = ctx.select
         parts: List[str] = []
         fields = [f for f in ctx.fields if f.is_used]
@@ -191,6 +193,50 @@ class SqlGen:
         if sel.offset is not None:
             parts.append(f"OFFSET {self._const_int(sel.offset)}")
         return " ".join(parts)
+
+    def _select_qualify(self, ctx: SelectCtx) -> str:
+        """QUALIFY (r14) prints as the wrapped-subselect form — valid
+        in all three dialects (window results aren't filterable in a
+        WHERE, so the inner select materializes the qualify predicate
+        and the ORDER BY expressions as extra columns; the outer
+        filters and orders by them). DuckDB's native QUALIFY is the
+        independent cross-check in the tests."""
+        sel = ctx.select
+        fields = [f for f in ctx.fields if f.is_used]
+        inner_cols = [
+            f"{self.expr(f.expr)} AS {_q(f.out_name)}" for f in fields
+        ] or ["1 AS _dummy"]
+        inner_cols.append(f'{self.expr(sel.qualify)} AS "__qual"')
+        for i, o in enumerate(sel.order_by):
+            inner_cols.append(f'{self.expr(o.expr)} AS "__ob{i}"')
+        parts = [f"SELECT {', '.join(inner_cols)}"]
+        if sel.from_ is not None:
+            parts.append(f"FROM {self._from(ctx, sel.from_)}")
+        if sel.where is not None:
+            parts.append(f"WHERE {self.expr(sel.where)}")
+        if sel.group_by is not None and ctx.group_exprs:
+            parts.append(
+                "GROUP BY " + ", ".join(self.expr(g) for g in ctx.group_exprs)
+            )
+        if sel.having is not None:
+            parts.append(f"HAVING {self.expr(sel.having)}")
+        inner = " ".join(parts)
+        names = ", ".join(
+            _q(f.out_name) for f in fields
+        ) or "1 AS _dummy"
+        out = [f'SELECT {names} FROM ({inner}) AS "_qw" WHERE "__qual"']
+        if sel.order_by:
+            out.append(
+                "ORDER BY " + ", ".join(
+                    f'"__ob{i}" {"DESC" if o.desc else "ASC"}'
+                    for i, o in enumerate(sel.order_by)
+                )
+            )
+        if sel.limit is not None:
+            out.append(f"LIMIT {self._const_int(sel.limit)}")
+        if sel.offset is not None:
+            out.append(f"OFFSET {self._const_int(sel.offset)}")
+        return " ".join(out)
 
     def _setop(self, sctx: SetOpCtx) -> str:
         """Compound select (r14). Nested set-op branches print wrapped

@@ -396,11 +396,33 @@ class Analyzer:
         for item in list(sel.fields):
             self._analyze_field_item(ctx, item)
         sel.fields = ctx.fields
-        # 5. HAVING / ORDER BY / LIMIT / OFFSET
+        # 5. HAVING / QUALIFY / ORDER BY / LIMIT / OFFSET
         if sel.having is not None:
             self._forbid_windows(sel.having, "HAVING")
             sel.having, hty = self.infer_expr(ctx, sel.having)
             check_subsumes(hty, BOOL.nullable(), sel.having.loc, self.src or None)
+        if sel.qualify is not None:
+            # r14: QUALIFY — the window-result filter (the production
+            # top-1-per-key dedup idiom). References to output aliases
+            # inline their defining window expressions (same-scope
+            # `with` semantics), so `qualify rn = 1` works; after
+            # inlining the expression must actually contain a window —
+            # otherwise it is WHERE/HAVING in disguise.
+            if sel.distinct:
+                self.err(
+                    "QUALIFY with SELECT DISTINCT is not supported "
+                    "(filter in an outer select instead)",
+                    sel.qualify.loc,
+                )
+            sel.qualify, qty = self.infer_expr(ctx, sel.qualify)
+            check_subsumes(
+                qty, BOOL.nullable(), sel.qualify.loc, self.src or None
+            )
+            if not self._contains_window(sel.qualify):
+                self.err(
+                    "QUALIFY requires a window function (use WHERE or "
+                    "HAVING for non-window filters)", sel.qualify.loc,
+                )
         for o in sel.order_by:
             o.expr, _ = self.infer_expr(ctx, o.expr)
         if sel.limit is not None:
@@ -1071,6 +1093,22 @@ class Analyzer:
                     "BY key", f.loc,
                 )
 
+    @staticmethod
+    def _contains_window(e: A.Expr) -> bool:
+        stack = [e]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, A.EWindow):
+                return True
+            stack.extend(getattr(n, "args", None) or [])
+            if isinstance(n, (A.EAscribe, A.ENav)):
+                stack.append(n.expr)
+            if isinstance(n, A.EIn):
+                stack.extend(n.exprs)
+            if isinstance(n, A.EMatch):
+                stack.extend(br.body for br in n.branches)
+        return False
+
     def _forbid_windows(self, e: Optional[A.Expr], where: str) -> None:
         """Windows are projection/ORDER-BY-only (standard SQL forbids
         them in WHERE/GROUP BY/HAVING; this dialect also keeps them
@@ -1571,6 +1609,8 @@ class Analyzer:
         exprs: List[A.Expr] = [f.expr for f in ctx.fields]
         if ctx.select.having is not None:
             exprs.append(ctx.select.having)
+        if ctx.select.qualify is not None:
+            exprs.append(ctx.select.qualify)
         exprs.extend(o.expr for o in ctx.select.order_by)
         for ex in exprs:
             self._check_agg_expr(ctx, ex, grouped, in_agg=False)

@@ -245,6 +245,7 @@ class Select:
     where: Optional[Expr] = None
     group_by: Optional[List[Expr]] = None  # [] means GROUP BY ()
     having: Optional[Expr] = None
+    qualify: Optional[Expr] = None  # r14: filter on window results
     order_by: List[OrderItem] = field(default_factory=list)
     limit: Optional[Expr] = None
     offset: Optional[Expr] = None

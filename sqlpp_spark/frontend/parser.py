@@ -284,6 +284,8 @@ class Parser:
                 sel.group_by = self._comma_list(self.expr, end=None)
         if self.eat_kw("having"):
             sel.having = self.expr()
+        if self._eat_ident("qualify"):  # r14: window-result filter
+            sel.qualify = self.expr()
         sel.loc = Loc.span(start, self.toks[self.i - 1].loc)
         return sel
 

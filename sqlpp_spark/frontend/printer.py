@@ -238,6 +238,8 @@ def select_str(sel: A.Select, elaborated: bool = False) -> str:
             parts.append("GROUP BY " + ", ".join(expr_str(g) for g in sel.group_by))
     if sel.having is not None:
         parts.append(f"HAVING {expr_str(sel.having)}")
+    if sel.qualify is not None:
+        parts.append(f"QUALIFY {expr_str(sel.qualify)}")
     if sel.order_by:
         items = [
             expr_str(o.expr) + (" DESC" if o.desc else "")

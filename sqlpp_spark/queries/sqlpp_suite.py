@@ -457,3 +457,21 @@ _sqlpp(
     "WHERE c_mktsegment NOT LIKE 'AUTO%' "
     "GROUP BY n_name",
 )
+
+_sqlpp(
+    # r14: QUALIFY — richest-customer-per-nation via the top-1-per-key
+    # window idiom. ONE shuffle (the window's partition exchange); the
+    # filter runs on the windowed frame before projection, never a
+    # self-join. The oracle uses the wrapped-subselect form; DuckDB's
+    # native QUALIFY cross-checks in tests/test_qualify.py.
+    "sqlpp_qualify_topk",
+    "select c.c_nationkey as nationkey, c.c_custkey as custkey, "
+    "c.c_acctbal as acctbal from customer as c "
+    "qualify row_number() over (partition by c.c_nationkey "
+    "order by c.c_acctbal desc, c.c_custkey) <= 3",
+    "SELECT nationkey, custkey, acctbal FROM ("
+    "SELECT c_nationkey AS nationkey, c_custkey AS custkey, "
+    "c_acctbal AS acctbal, row_number() OVER (PARTITION BY c_nationkey "
+    "ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer"
+    ") WHERE rn <= 3",
+)
