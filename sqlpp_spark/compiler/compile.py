@@ -1297,6 +1297,17 @@ _EXT_COMPILE = {
     "concat": lambda a: F.concat(*a),
     "trim": lambda a: F.trim(a[0]),
     "replace": lambda a: F.replace(a[0], a[1], a[2]),
+    # r14 string pack
+    "lpad": lambda a: F.lpad(a[0], a[1], a[2]),
+    "rpad": lambda a: F.rpad(a[0], a[1], a[2]),
+    "repeat": lambda a: F.repeat(a[0], a[1]),
+    "reverse": lambda a: F.reverse(a[0]),
+    "left": lambda a: F.left(a[0], a[1]),
+    "right": lambda a: F.right(a[0], a[1]),
+    "strpos": lambda a: F.instr(a[0], a[1]).cast("bigint"),
+    "contains": lambda a: F.contains(a[0], a[1]),
+    "starts_with": lambda a: F.startswith(a[0], a[1]),
+    "ends_with": lambda a: F.endswith(a[0], a[1]),
     "abs": lambda a: F.abs(a[0]),
     "round": lambda a: F.round(a[0], 0),
     "floor": lambda a: F.floor(a[0]).cast("bigint"),

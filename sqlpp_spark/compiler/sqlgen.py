@@ -137,6 +137,9 @@ _DIALECTS = {
         "tostring_bool": lambda a: (
             f"(CASE WHEN {a} THEN 'true' WHEN NOT {a} THEN 'false' END)"
         ),
+        # SQLite spells strpos as instr (r14 string pack)
+        "strpos": lambda a: f"CAST(instr({a[0]}, {a[1]}) AS BIGINT)",
+        "contains": lambda a: f"(instr({a[0]}, {a[1]}) > 0)",
     },
 }
 
@@ -513,9 +516,10 @@ class SqlGen:
             return self.d["substring"]([a(i) for i in range(len(e.args))])
         if fn in ("year", "month", "day") and fn in self.d:
             return f"CAST({self.d[fn](a(0))} AS BIGINT)"
-        if fn in ("mod", "round") and fn in self.d:
+        if fn in ("mod", "round", "strpos", "contains") and fn in self.d:
             # dialect-overridden extension fns (PG: NULL-on-÷0 mod,
-            # NUMERIC-routed two-arg round)
+            # NUMERIC-routed two-arg round; SQLite: instr-based
+            # strpos/contains)
             return self.d[fn]([a(i) for i in range(len(e.args))])
         ext = _EXT_SQL.get(fn)
         if ext is not None:
@@ -530,6 +534,24 @@ _EXT_SQL = {
     "concat": lambda a: "(" + " || ".join(a) + ")",
     "trim": lambda a: f"trim({a[0]})",
     "replace": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
+    # r14 string pack. starts_with/ends_with print as portable substr
+    # comparisons (identical in DuckDB/PG/SQLite, incl. the
+    # needle-longer-than-haystack and empty-needle edges); strpos and
+    # contains have SQLite instr() hooks in _DIALECTS.
+    "lpad": lambda a: f"lpad({a[0]}, {a[1]}, {a[2]})",
+    "rpad": lambda a: f"rpad({a[0]}, {a[1]}, {a[2]})",
+    "repeat": lambda a: f"repeat({a[0]}, {a[1]})",
+    "reverse": lambda a: f"reverse({a[0]})",
+    "left": lambda a: f"left({a[0]}, {a[1]})",
+    "right": lambda a: f"right({a[0]}, {a[1]})",
+    "strpos": lambda a: f"CAST(strpos({a[0]}, {a[1]}) AS BIGINT)",
+    "contains": lambda a: f"(strpos({a[0]}, {a[1]}) > 0)",
+    "starts_with": lambda a: (
+        f"(substr({a[0]}, 1, length({a[1]})) = {a[1]})"
+    ),
+    "ends_with": lambda a: (
+        f"(substr({a[0]}, length({a[0]}) - length({a[1]}) + 1) = {a[1]})"
+    ),
     "abs": lambda a: f"abs({a[0]})",
     "round": lambda a: f"round(CAST({a[0]} AS DOUBLE), 0)",
     "floor": lambda a: f"CAST(floor({a[0]}) AS BIGINT)",

@@ -1689,6 +1689,18 @@ _EXT_FNS = {
     "month": _ext(lambda tys: INT),
     "day": _ext(lambda tys: INT),
     "like": _ext(lambda tys: BOOL),
+    # r14 string pack (portable across Spark/DuckDB/PG; SQLite via
+    # dialect hooks or documented gaps)
+    "lpad": _ext(lambda tys: STRING),
+    "rpad": _ext(lambda tys: STRING),
+    "repeat": _ext(lambda tys: STRING),
+    "reverse": _ext(lambda tys: STRING),
+    "left": _ext(lambda tys: STRING),
+    "right": _ext(lambda tys: STRING),
+    "strpos": _ext(lambda tys: INT),
+    "contains": _ext(lambda tys: BOOL),
+    "starts_with": _ext(lambda tys: BOOL),
+    "ends_with": _ext(lambda tys: BOOL),
     "mod": _ext(lambda tys: tys[0] if tys and tys[0] is not None else NUMERIC),
     "sqrt": _ext(lambda tys: Ty(frozenset({"float"}), True)),
     "pow": _ext(lambda tys: Ty(frozenset({"float"}), True)),

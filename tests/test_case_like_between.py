@@ -141,3 +141,38 @@ def test_case_fmt_roundtrip():
         once = format_query(parse_query(src))
         again = format_query(parse_query(once))
         assert once == again
+
+
+def test_string_pack_differential(eng, duck):
+    """r14 string pack: lpad/rpad/repeat/reverse/left/right/strpos/
+    contains/starts_with/ends_with — portable Spark/DuckDB semantics
+    (starts_with/ends_with print as substr comparisons, identical in
+    all three SQL dialects incl. the needle-longer and empty-needle
+    edges; strpos/contains have SQLite instr hooks)."""
+    for src in (
+        "select id, lpad(name, 8, '.') as a, rpad(name, 8, '*') as b "
+        "from t1 order by id",
+        "select id, repeat(name, 2) as a, reverse(name) as b "
+        "from t1 order by id",
+        "select id, left(name, 3) as a, right(name, 3) as b "
+        "from t1 order by id",
+        "select id, strpos(name, 'a') as p from t1 order by id",
+        "select id from t1 where contains(name, 'ph') order by id",
+        "select id, starts_with(name, 'al') as s, ends_with(name, 'a') "
+        "as e from t1 order by id",
+        # edges: empty needle (always true), needle longer (false)
+        "select id, ends_with(name, '') as e, "
+        "starts_with(name, 'alphabets') as s from t1 order by id",
+    ):
+        rows = sorted(tuple(repr(x) for x in r) for r in eng.fetch_list(src))
+        info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+        sql = select_sql(info)
+        want = sorted(
+            tuple(repr(x) for x in r) for r in duck.execute(sql).fetchall()
+        )
+        assert rows == want, f"{src}\n{sql}"
+    # the three dialects all print (SQLite instr hooks engaged)
+    src = "select id, strpos(name, 'a') as p from t1 where contains(name, 'x')"
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    assert "instr(" in select_sql(info, dialect="sqlite")
+    assert "strpos(" in select_sql(info, dialect="postgres")
