@@ -854,9 +854,13 @@ class Parser:
                 # now() (analyze.ml:597 types "now", [])
                 args = [] if self.at_punct(")") else self._comma_list(self.expr, end=")")
                 self.expect_punct(")")
-                return A.EApp(
+                app = A.EApp(
                     name_tok.value, args, loc=Loc.span(name_tok.loc, self.toks[self.i - 1].loc)
                 )
+                if self._at_ident("filter") and self.peek().kind == "punct" \
+                        and self.peek().value == "(":
+                    app = self._agg_filter(app)
+                return app
             if self.at_punct("."):
                 self.advance()
                 inner = self._nav_tail()
@@ -865,6 +869,28 @@ class Parser:
                 )
             return A.EName(name=name_tok.value, loc=name_tok.loc)
         self.fail("expected expression")
+
+    _FILTERABLE_AGGS = {"count", "sum", "min", "max", "avg", "count_distinct"}
+
+    def _agg_filter(self, e: A.EApp) -> A.EApp:
+        """``agg(x) FILTER (WHERE p)`` (r14) — parse-time desugar to
+        ``agg(CASE WHEN p THEN x END)``, exact for every aggregate in
+        the dialect (they all skip NULLs; COUNT counts non-NULL, so
+        filtered-out rows vanish from the count too). FILTER is a
+        contextual identifier."""
+        start = e.loc
+        if e.fn.lower() not in self._FILTERABLE_AGGS:
+            self.fail("FILTER is only valid on aggregate functions")
+        if len(e.args) != 1:
+            self.fail("FILTER requires a single-argument aggregate")
+        self.advance()  # FILTER
+        self.expect_punct("(")
+        self.expect_kw("where")
+        pred = self.expr()
+        self.expect_punct(")")
+        loc = Loc.span(start, self.toks[self.i - 1].loc)
+        case = A.EApp("case", [pred, e.args[0]], loc=loc)
+        return A.EApp(e.fn, [case], loc=loc)
 
     def _nav_tail(self) -> A.Expr:
         """After `name.` — either nested nav, an app, a paren expr, or a name."""

@@ -176,3 +176,30 @@ def test_string_pack_differential(eng, duck):
     info = Analyzer(eng.env, src).analyze_query(parse_query(src))
     assert "instr(" in select_sql(info, dialect="sqlite")
     assert "strpos(" in select_sql(info, dialect="postgres")
+
+
+def test_agg_filter_clause(eng, duck):
+    """r14: agg(x) FILTER (WHERE p) — parse-time desugar to
+    agg(CASE WHEN p THEN x END), exact for every dialect aggregate
+    (all skip NULLs). DuckDB runs its native FILTER on the original
+    source as the independent check."""
+    for src in (
+        "select grp, count(id) filter (where val > 15) as big, "
+        "sum(val) filter (where id < 4) as s from t1 group by grp "
+        "order by grp",
+        "select grp, avg(val) filter (where val is not null) as a "
+        "from t1 group by grp order by grp",
+    ):
+        _differ(eng, duck, src)
+    # global aggregate spelling differs (dialect needs GROUP BY ())
+    rows = [tuple(r) for r in eng.fetch_list(
+        "select count(1) filter (where val is null) as nulls "
+        "from t1 group by ()"
+    )]
+    want = [tuple(r) for r in duck.execute(
+        "SELECT count(1) FILTER (WHERE val IS NULL) AS nulls FROM t1"
+    ).fetchall()]
+    assert rows == want == [(2,)]
+    # FILTER on a non-aggregate is a parse error
+    with pytest.raises(SqlppError, match="only valid on aggregate"):
+        eng.fetch_list("select upper(name) filter (where id > 1) from t1")
