@@ -246,8 +246,43 @@ class Compiler:
             subst[expr_key(g)] = f"__g{i}"
         for j, k in enumerate(agg_apps.keys()):
             subst[k] = f"__a{j}"
+        kind = getattr(sel, "group_kind", "plain")
         if gcols:
-            grouped = df.groupBy(*gcols).agg(*acols) if acols else df.groupBy(*gcols).agg(
+            if kind != "plain":
+                # r14 ROLLUP/CUBE/GROUPING SETS: grouping() and set
+                # matching require PLAIN attribute references (aliased
+                # grouping expressions get fresh exprIds and never
+                # semantically match) — pre-project the group exprs as
+                # __gN columns, then group on the attributes
+                for i, g in enumerate(ctx.group_exprs):
+                    df = df.withColumn(f"__g{i}", self.expr(g, binds, {}))
+                attrs = [F.col(f"__g{i}") for i in range(len(gcols))]
+                if kind == "rollup":
+                    gb = df.rollup(*attrs)
+                elif kind == "cube":
+                    gb = df.cube(*attrs)
+                else:
+                    sets = [
+                        [attrs[i] for i in idxs]
+                        for idxs in (sel.group_sets or [])
+                    ]
+                    gb = df.groupingSets(sets, *attrs)
+                # grouping() aggregates reference the same attributes
+                acols = [
+                    (
+                        F.grouping(
+                            F.col(
+                                f"__g{self._group_idx(ctx, app.args[0])}"
+                            )
+                        ).cast("bigint")
+                        if app.fn.lower() == "grouping"
+                        else self._agg_column(app, binds)
+                    ).alias(f"__a{j}")
+                    for j, app in enumerate(agg_apps.values())
+                ]
+            else:
+                gb = df.groupBy(*gcols)
+            grouped = gb.agg(*acols) if acols else gb.agg(
                 F.count(F.lit(1)).alias("__cnt_dummy")
             )
         else:
@@ -1185,6 +1220,16 @@ class Compiler:
                 return self.expr(br.body, Bindings(inner), scalar_map, subst)
         raise SqlppError(f"no branch for variant tag {tag!r} in MATCH ?{e.param}")
 
+    @staticmethod
+    def _group_idx(ctx: SelectCtx, arg: A.Expr) -> int:
+        """Index of a grouping() argument within the group exprs (the
+        analyzer guaranteed membership)."""
+        k = expr_key(arg)
+        for i, g in enumerate(ctx.group_exprs):
+            if expr_key(g) == k:
+                return i
+        raise SqlppError("grouping() argument is not a GROUP BY expression")
+
     def _agg_column(self, app: A.EApp, binds: Bindings) -> Column:
         fn = app.fn.lower()
         args = [self.expr(a, binds, {}) for a in app.args]
@@ -1198,6 +1243,13 @@ class Compiler:
             return F.min(args[0])
         if fn == "avg":
             return F.avg(args[0])
+        if fn == "count_distinct":
+            return F.count_distinct(args[0])
+        if fn == "grouping":
+            # r14: subtotal marker for ROLLUP/CUBE/GROUPING SETS —
+            # Spark matches the expression against the grouping
+            # columns semantically (the __gN alias only renames)
+            return F.grouping(args[0]).cast("bigint")
         raise SqlppError(f"unknown aggregate {app.fn}")
 
     def _app_col(self, e: A.EApp, binds, scalar_map, subst) -> Column:

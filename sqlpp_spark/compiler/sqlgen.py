@@ -175,10 +175,9 @@ class SqlGen:
             parts.append(f"FROM {self._from(ctx, sel.from_)}")
         if sel.where is not None:
             parts.append(f"WHERE {self.expr(sel.where)}")
-        if sel.group_by is not None and ctx.group_exprs:
-            parts.append(
-                "GROUP BY " + ", ".join(self.expr(g) for g in ctx.group_exprs)
-            )
+        gb = self._group_by_sql(ctx)
+        if gb:
+            parts.append(gb)
         # GROUP BY () — global aggregation: plain aggregate query (the
         # analyzer guarantees every output is under an aggregate)
         if sel.having is not None:
@@ -196,6 +195,34 @@ class SqlGen:
         if sel.offset is not None:
             parts.append(f"OFFSET {self._const_int(sel.offset)}")
         return " ".join(parts)
+
+    def _group_by_sql(self, ctx: SelectCtx) -> Optional[str]:
+        """GROUP BY clause incl. the r14 ROLLUP/CUBE/GROUPING SETS
+        forms (DuckDB/PG; SQLite has none of them — documented
+        per-backend divergence)."""
+        sel = ctx.select
+        if sel.group_by is None or not ctx.group_exprs:
+            return None
+        kind = getattr(sel, "group_kind", "plain")
+        if kind != "plain" and self.dialect == "sqlite":
+            raise SqlppError(
+                "SQLite has no ROLLUP/CUBE/GROUPING SETS "
+                "(backend divergence)"
+            )
+        gtxt = ", ".join(self.expr(g) for g in ctx.group_exprs)
+        if kind == "rollup":
+            return f"GROUP BY ROLLUP ({gtxt})"
+        if kind == "cube":
+            return f"GROUP BY CUBE ({gtxt})"
+        if kind == "sets":
+            sets = ", ".join(
+                "("
+                + ", ".join(self.expr(ctx.group_exprs[i]) for i in idxs)
+                + ")"
+                for idxs in (sel.group_sets or [])
+            )
+            return f"GROUP BY GROUPING SETS ({sets})"
+        return f"GROUP BY {gtxt}"
 
     def _select_qualify(self, ctx: SelectCtx) -> str:
         """QUALIFY (r14) prints as the wrapped-subselect form — valid
@@ -217,10 +244,9 @@ class SqlGen:
             parts.append(f"FROM {self._from(ctx, sel.from_)}")
         if sel.where is not None:
             parts.append(f"WHERE {self.expr(sel.where)}")
-        if sel.group_by is not None and ctx.group_exprs:
-            parts.append(
-                "GROUP BY " + ", ".join(self.expr(g) for g in ctx.group_exprs)
-            )
+        gb = self._group_by_sql(ctx)
+        if gb:
+            parts.append(gb)
         if sel.having is not None:
             parts.append(f"HAVING {self.expr(sel.having)}")
         inner = " ".join(parts)
@@ -442,6 +468,10 @@ class SqlGen:
         def a(i: int) -> str:
             return self.expr(e.args[i])
 
+        if fn == "grouping":
+            return f"CAST(grouping({a(0)}) AS BIGINT)"
+        if fn == "count_distinct":
+            return f"count(DISTINCT {a(0)})"
         if fn in AGG_FNS:
             return f"{fn}({a(0)})"
         if fn in ("=", "!=", ">", ">=", "<", "<="):

@@ -37,7 +37,7 @@ from sqlpp_spark.frontend.types import (
     subsumes, ty_glb, ty_lub,
 )
 
-AGG_FNS = {"count", "sum", "max", "min", "avg", "count_distinct"}
+AGG_FNS = {"count", "sum", "max", "min", "avg", "count_distinct", "grouping"}
 
 # comparison ops liftable as scalar-subquery correlation conjuncts,
 # mapped to their mirror for inner-first reorientation (r12)
@@ -382,20 +382,49 @@ class Analyzer:
             sel.where, wty = self.infer_expr(ctx, sel.where)
             check_subsumes(wty, BOOL.nullable(), sel.where.loc, self.src or None)
             self._reject_agg(sel.where, "WHERE")
-        # 3. GROUP BY
+        # 3. GROUP BY (r14: plain | ROLLUP | CUBE | GROUPING SETS)
         if sel.group_by is not None:
             gexprs = []
+            remap: List[int] = []  # parse index -> deduped index
             for g in sel.group_by:
                 self._forbid_windows(g, "GROUP BY")
                 ge, _ = self.infer_expr(ctx, g)
+                k = expr_key(ge)
+                if sel.group_kind == "sets" and k in ctx.group_keys:
+                    remap.append(ctx.group_keys.index(k))
+                    continue
+                remap.append(len(gexprs))
                 gexprs.append(ge)
-                ctx.group_keys.append(expr_key(ge))
+                ctx.group_keys.append(k)
             sel.group_by = gexprs
             ctx.group_exprs = gexprs
+            if sel.group_kind == "sets":
+                sel.group_sets = [
+                    [remap[i] for i in idxs] for idxs in sel.group_sets
+                ]
+                if not gexprs and len(sel.group_sets) == 1:
+                    # GROUPING SETS (()) degenerates to GROUP BY ()
+                    sel.group_kind = "plain"
         # 4. projection
         for item in list(sel.fields):
             self._analyze_field_item(ctx, item)
         sel.fields = ctx.fields
+        if sel.group_by is not None and sel.group_kind != "plain":
+            # r14: subtotal rows carry NULL group keys — projected
+            # group expressions become nullable (a GROUPING SETS expr
+            # present in EVERY set stays as-is)
+            always = None
+            if sel.group_kind == "sets":
+                always = set(range(len(ctx.group_exprs)))
+                for idxs in sel.group_sets:
+                    always &= set(idxs)
+            for f in ctx.fields:
+                k = expr_key(f.expr)
+                for i, g in enumerate(ctx.group_exprs):
+                    if expr_key(g) == k and (
+                        always is None or i not in always
+                    ):
+                        f.expr.ty = f.expr.ty.with_non_null(False)
         # 5. HAVING / QUALIFY / ORDER BY / LIMIT / OFFSET
         if sel.having is not None:
             self._forbid_windows(sel.having, "HAVING")
@@ -1298,6 +1327,23 @@ class Analyzer:
         if fnl == "count":
             nargs(1)
             arg(0)
+            return e, INT
+        if fnl == "grouping":
+            # r14: 1 when the row is a subtotal that aggregates the
+            # argument away, 0 otherwise — distinguishes subtotal
+            # NULLs from data NULLs in ROLLUP/CUBE/GROUPING SETS
+            nargs(1)
+            arg(0)
+            if ctx.select.group_kind == "plain":
+                self.err(
+                    "grouping() requires GROUP BY ROLLUP/CUBE/"
+                    "GROUPING SETS", e.loc,
+                )
+            if expr_key(e.args[0]) not in ctx.group_keys:
+                self.err(
+                    "grouping() argument must be a GROUP BY expression",
+                    e.loc,
+                )
             return e, INT
         if fnl in ("sum", "max", "min", "avg"):
             nargs(1)

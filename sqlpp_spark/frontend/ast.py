@@ -244,6 +244,10 @@ class Select:
     from_: object = None  # From* | None
     where: Optional[Expr] = None
     group_by: Optional[List[Expr]] = None  # [] means GROUP BY ()
+    # r14: 'plain' | 'rollup' | 'cube' | 'sets'; for 'sets',
+    # group_sets holds one list of expr-indices (into group_by) per set
+    group_kind: str = "plain"
+    group_sets: Optional[List[List[int]]] = None
     having: Optional[Expr] = None
     qualify: Optional[Expr] = None  # r14: filter on window results
     order_by: List[OrderItem] = field(default_factory=list)

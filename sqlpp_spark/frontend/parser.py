@@ -277,7 +277,40 @@ class Parser:
             sel.where = self.expr()
         if self.eat_kw("group"):
             self.expect_kw("by")
-            if self.eat_punct("("):
+            if self._at_ident("rollup", "cube"):
+                # r14: GROUP BY ROLLUP/CUBE (exprs)
+                sel.group_kind = self.advance().value.lower()
+                self.expect_punct("(")
+                sel.group_by = self._comma_list(self.expr, end=")")
+                self.expect_punct(")")
+            elif (
+                self._at_ident("grouping")
+                and self.peek().kind == "ident"
+                and self.peek().value.lower() == "sets"
+            ):
+                # r14: GROUP BY GROUPING SETS ((a, b), (a), ())
+                self.advance()
+                self.advance()
+                sel.group_kind = "sets"
+                self.expect_punct("(")
+                exprs: List[A.Expr] = []
+                sel.group_sets = []
+                while True:
+                    self.expect_punct("(")
+                    idxs: List[int] = []
+                    if not self.at_punct(")"):
+                        for ex in self._comma_list(self.expr, end=")"):
+                            exprs.append(ex)
+                            idxs.append(len(exprs) - 1)
+                    self.expect_punct(")")
+                    sel.group_sets.append(idxs)
+                    if not self.eat_punct(","):
+                        break
+                self.expect_punct(")")
+                # duplicates across sets dedup in the analyzer (by
+                # elaborated expr_key); indices remap there
+                sel.group_by = exprs
+            elif self.eat_punct("("):
                 self.expect_punct(")")
                 sel.group_by = []
             else:

@@ -232,7 +232,22 @@ def select_str(sel: A.Select, elaborated: bool = False) -> str:
     if sel.where is not None:
         parts.append(f"WHERE {expr_str(sel.where)}")
     if sel.group_by is not None:
-        if len(sel.group_by) == 0:
+        kind = getattr(sel, "group_kind", "plain")
+        if kind in ("rollup", "cube"):
+            parts.append(
+                f"GROUP BY {kind.upper()} ("
+                + ", ".join(expr_str(g) for g in sel.group_by)
+                + ")"
+            )
+        elif kind == "sets":
+            sets = ", ".join(
+                "(" + ", ".join(
+                    expr_str(sel.group_by[i]) for i in idxs
+                ) + ")"
+                for idxs in (sel.group_sets or [])
+            )
+            parts.append(f"GROUP BY GROUPING SETS ({sets})")
+        elif len(sel.group_by) == 0:
             parts.append("GROUP BY ()")
         else:
             parts.append("GROUP BY " + ", ".join(expr_str(g) for g in sel.group_by))

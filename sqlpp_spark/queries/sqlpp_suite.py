@@ -475,3 +475,23 @@ _sqlpp(
     "ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer"
     ") WHERE rn <= 3",
 )
+
+_sqlpp(
+    # r14: dialect ROLLUP + grouping() — order sums by priority with
+    # per-priority subtotals and a grand total, subtotal rows marked.
+    # Spark lowers rollup to ONE Expand+hash-aggregate pass (partial
+    # aggregation intact) — not a union of per-level scans.
+    "sqlpp_rollup_grouping",
+    "select o.o_orderpriority as priority, "
+    "grouping(o.o_orderpriority) as is_total, "
+    "count(o.o_orderkey) as n_orders, "
+    "sum(o.o_orderkey) as key_sum "
+    "from orders as o where o.o_orderkey < 20000 "
+    "group by rollup (o.o_orderpriority)",
+    "SELECT o_orderpriority AS priority, "
+    "CAST(grouping(o_orderpriority) AS BIGINT) AS is_total, "
+    "count(o_orderkey) AS n_orders, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum "
+    "FROM orders WHERE o_orderkey < 20000 "
+    "GROUP BY ROLLUP (o_orderpriority)",
+)
