@@ -613,3 +613,18 @@ def test_setop_plan_shapes(spark, sf_dir):
 
     p = plan_of(spark, sf_dir, "sqlpp_set_ops")
     assert "Cartesian" not in p and "NestedLoop" not in p, p
+
+
+def test_rollup_qualify_plan_shapes(spark, sf_dir):
+    """r14 dialect rollup: ONE Expand + hash-aggregate pass with
+    map-side partials — never a union of per-level scans. QUALIFY:
+    one window exchange + Filter — never a self-join."""
+    p = plan_of(spark, sf_dir, "sqlpp_rollup_grouping")
+    assert p.count("(") and "Expand" in p, p
+    # one scan (formatted plans print tree + detail: <= 2 mentions)
+    assert len(re.findall(r"Scan parquet", p)) <= 2, p
+    assert p.count("HashAggregate") >= 2, p  # partial + final
+
+    p = plan_of(spark, sf_dir, "sqlpp_qualify_topk")
+    assert shuffle_count(p) == 1, p
+    assert ") Window" in p and "Join" not in p, p
