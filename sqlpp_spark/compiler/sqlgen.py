@@ -673,7 +673,11 @@ def statement_sql(
             body = f"VALUES {rows}"
         else:
             an = Analyzer(env, src)
-            body = g.select(an.analyze_select(q.select))
+            body = g.select(
+                an.analyze_setop(q.select)
+                if isinstance(q.select, A.SetOp)
+                else an.analyze_select(q.select)
+            )
         tail = " ON CONFLICT DO NOTHING" if q.on_conflict == "ignore" else ""
         return f"{head} {_q(q.table)}{cols} {body}{tail}{returning(q.returning)}"
     if isinstance(q, A.Update):

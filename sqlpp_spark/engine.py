@@ -480,21 +480,38 @@ class SqlppEngine:
                 one = self.spark.range(1).select(*vals)
                 new_df = one if new_df is None else new_df.unionByName(one)
         else:
+            from sqlpp_spark.frontend.analyze import SetOpCtx
+
             sub = self.prepare_select_in(src, ins.select)
-            sub_fields = [f for f in sub.fields if f.is_used]
-            if len(sub_fields) != len(ins.columns):
-                raise SqlppError(
-                    f"INSERT arity mismatch: {len(ins.columns)} columns, "
-                    f"{len(sub_fields)} select outputs"
-                )
-            # analysis-time kind/nullability check per output column
-            # (reference analyze.ml:857-880 rejects before execution)
-            for cname, f in zip(ins.columns, sub_fields):
-                if cname not in cols:
-                    raise SqlppError(f"no such column: {cname}")
-                if f.expr.ty is not None:
-                    check_subsumes(f.expr.ty, cols[cname], getattr(f.expr, "loc", None), src)
-            sdf = comp.compile_select(sub, binds)
+            if isinstance(sub, SetOpCtx):
+                # r14: INSERT ... compound SELECT
+                sub_row = sub.row()
+                if len(sub_row) != len(ins.columns):
+                    raise SqlppError(
+                        f"INSERT arity mismatch: {len(ins.columns)} "
+                        f"columns, {len(sub_row)} select outputs"
+                    )
+                for cname, (_n, fty) in zip(ins.columns, sub_row):
+                    if cname not in cols:
+                        raise SqlppError(f"no such column: {cname}")
+                    if fty is not None:
+                        check_subsumes(fty, cols[cname], sub.node.loc, src)
+                sdf = comp.compile_setop(sub, binds)
+            else:
+                sub_fields = [f for f in sub.fields if f.is_used]
+                if len(sub_fields) != len(ins.columns):
+                    raise SqlppError(
+                        f"INSERT arity mismatch: {len(ins.columns)} columns, "
+                        f"{len(sub_fields)} select outputs"
+                    )
+                # analysis-time kind/nullability check per output column
+                # (reference analyze.ml:857-880 rejects before execution)
+                for cname, f in zip(ins.columns, sub_fields):
+                    if cname not in cols:
+                        raise SqlppError(f"no such column: {cname}")
+                    if f.expr.ty is not None:
+                        check_subsumes(f.expr.ty, cols[cname], getattr(f.expr, "loc", None), src)
+                sdf = comp.compile_select(sub, binds)
             if len(sdf.columns) != len(ins.columns):
                 raise SqlppError(
                     f"INSERT arity mismatch: {len(ins.columns)} columns, "
@@ -859,4 +876,6 @@ class SqlppEngine:
 
     def prepare_select_in(self, src: str, sel: A.Select):
         an = Analyzer(self.env, src)
+        if isinstance(sel, A.SetOp):  # r14: INSERT ... compound SELECT
+            return an.analyze_setop(sel)
         return an.analyze_select(sel)

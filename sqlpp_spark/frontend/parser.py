@@ -548,7 +548,7 @@ class Parser:
             if self.eat_kw("values"):
                 ins.values = self._comma_list(self._tuple, end=None)
             else:
-                ins.select = self.select()
+                ins.select = self.select_compound()  # r14: compounds OK
         elif self.eat_kw("set"):
             sets = self._comma_list(self._set_item, end=None)
             ins.columns = [n for n, _ in sets]

@@ -288,7 +288,11 @@ def format_query(q) -> str:
             )
             body = f"VALUES {rows}"
         else:
-            body = select_str(q.select)
+            body = (
+                setop_str(q.select)
+                if isinstance(q.select, A.SetOp)
+                else select_str(q.select)
+            )
         oc = ""
         if q.on_conflict:
             oc = f" ON CONFLICT {q.on_conflict.upper()}"

@@ -263,3 +263,37 @@ def test_setop_named_query(eng, duck):
         "join t1 on b.k = t1.id order by k"
     )]
     assert rows == [(1, 1), (2, 1), (3, 2), (4, 3), (5, 2)]
+
+
+def test_insert_compound_select(spark):
+    """r14: INSERT ... <compound SELECT> — the select side may be a
+    set operation; type/arity checks run pre-execution as for plain
+    insert-select."""
+    import tempfile
+
+    from sqlpp_spark.engine import SqlppEngine
+    from sqlpp_spark.frontend.errors import SqlppError as Err
+
+    eng = SqlppEngine(spark)
+    eng.add_decls(
+        "create table src1 (k int not null);"
+        "create table src2 (k int not null);"
+        "create table dst (k int not null);"
+    )
+    eng.register_df("src1", spark.createDataFrame([(1,), (2,)], "k long"))
+    eng.register_df("src2", spark.createDataFrame([(2,), (3,)], "k long"))
+    with tempfile.TemporaryDirectory() as d:
+        eng.create_managed(
+            "dst", f"{d}/dst",
+            spark.createDataFrame([], "k long"),
+        )
+        eng.exec(
+            "insert into dst (k) select k from src1 union select k from src2"
+        )
+        rows = sorted(r[0] for r in eng.fetch_list("select k from dst"))
+        assert rows == [1, 2, 3]
+        with pytest.raises(Err, match="arity mismatch"):
+            eng.exec(
+                "insert into dst (k) select k, k from src1 "
+                "union select k, k from src2"
+            )
