@@ -1071,16 +1071,20 @@ class Compiler:
             col = scalar_map.get(id(e))
             if col is None:
                 raise SqlppError(
-                    "IN (subquery) is only supported in WHERE conjunctions "
-                    "or the projection of an ungrouped select"
+                    "IN (subquery) appears in a position the compiler "
+                    "did not pre-materialize (supported: WHERE "
+                    "conjuncts, and flag positions — projection/OR/"
+                    "ORDER BY — of grouped or ungrouped selects)"
                 )
             return col
         if isinstance(e, A.EExists):
             col = scalar_map.get(id(e))
             if col is None:
                 raise SqlppError(
-                    "EXISTS is only supported in WHERE conjunctions "
-                    "or the projection of an ungrouped select"
+                    "EXISTS appears in a position the compiler did not "
+                    "pre-materialize (supported: WHERE conjuncts, and "
+                    "flag positions — projection/OR/ORDER BY — of "
+                    "grouped or ungrouped selects)"
                 )
             return col
         if isinstance(e, A.EScalarSub):

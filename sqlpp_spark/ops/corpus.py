@@ -1150,3 +1150,78 @@ def dsir_importance(
         F.round(score, 6).alias("dsir_score"),
         (score > 0).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters via Misra-Gries candidate pruning (r14)
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 500,
+) -> DataFrame:
+    """EXACT corpus heavy hitters — every token with frequency
+    > N // k over the whitespace-normalized corpus — without ever
+    shuffling the full token vocabulary. The 100 TB path when the
+    vocabulary (urls, ids, rare words) is too large for an exact
+    groupBy but the heavy tail is what you need (boilerplate markers,
+    contamination fingerprints, degenerate documents).
+
+    Pass 1 (scan stage, no shuffle): each Arrow batch runs a
+    Misra-Gries summary with k counters in plain Python over the
+    batch's tokens. Pigeonhole guarantee: if a token is NOT a
+    candidate in any batch, its per-batch frequency was <= n_b/(k+1)
+    everywhere, so its total is <= N/(k+1) < the threshold — every
+    TRUE heavy hitter survives. Candidate volume is bounded by
+    k x batches, independent of vocabulary size.
+
+    Pass 2 (scan + tiny shuffle): exact counts restricted to the
+    broadcast candidate set, then the exact ``count > N // k`` filter.
+    The candidate SUPERSET varies with batch boundaries; the exact
+    filter removes that variance, so the OUTPUT is deterministic and
+    partitioning-independent (unit-pinned in tests/test_corpus.py).
+
+    Tokenization parity: Python's ``str.split()`` tokenizes exactly
+    like the engine's ``split(normalize_text(c), ' ')`` after dropping
+    empty tokens (lower + any-whitespace split + trim)."""
+    import pandas as pd
+
+    def mg(batches):
+        for pdf in batches:
+            counters: dict = {}
+            for s in pdf[text_col]:
+                if s is None:
+                    continue
+                for tok in str(s).lower().split():
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < k:
+                        counters[tok] = 1
+                    else:
+                        for t in list(counters):
+                            counters[t] -= 1
+                            if counters[t] == 0:
+                                del counters[t]
+            yield pd.DataFrame({"token": list(counters)})
+
+    cands = (
+        ensure_parallelism(df.select(text_col))
+        .mapInPandas(mg, "token string")
+        .distinct()
+    )
+    toks = df.select(
+        F.explode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    n_total = toks.count()  # one scalar; the threshold is metadata
+    thresh = n_total // k
+    return (
+        toks.join(F.broadcast(cands), on="token", how="left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > F.lit(thresh))
+        .orderBy(F.col("n_occurrences").desc(), "token")
+    )

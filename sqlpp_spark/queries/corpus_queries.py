@@ -685,3 +685,28 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.dsir_importance(
         d, target_cond=(F.col("lang") == "en"), n_buckets=_DSIR_B
     )
+
+
+@register(
+    "corpus_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents
+),
+t AS (SELECT token FROM toks WHERE token <> ''),
+tot AS (SELECT COUNT(*) AS n FROM t)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM t, tot
+GROUP BY token, tot.n
+HAVING COUNT(*) > tot.n // 500
+ORDER BY n_occurrences DESC, token ASC
+""",
+)
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with freq > N//500) via per-batch
+    Misra-Gries candidate pruning (ops/corpus.py heavy_hitters): the
+    candidate pass never shuffles the vocabulary, and the exact final
+    filter makes the output partitioning-independent — DuckDB
+    recomputes the full exact answer, so a hash-green row proves the
+    pruning lost no true heavy hitter."""
+    return C.heavy_hitters(table(spark, sf_dir, "documents"), k=500)

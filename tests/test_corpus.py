@@ -515,3 +515,46 @@ def test_dsir_importance_separates_domains(spark):
     # the mixed doc sits strictly between the two pure domains
     assert out[10].dsir_score < out[20].dsir_score < out[0].dsir_score
     assert out[0].n_tokens == 5
+
+
+def test_heavy_hitters_partitioning_independent(spark):
+    """r14: the Misra-Gries candidate SUPERSET varies with batch
+    boundaries, but the exact final filter makes the output identical
+    under any partitioning — and equal to the brute-force answer."""
+    from sqlpp_spark.ops.corpus import heavy_hitters
+
+    rows = (
+        [("hot " * 50,)] * 8
+        + [(f"rare{i} word{i % 7}", ) for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, "text string")
+    k = 20
+    out1 = {
+        (r.token, r.n_occurrences)
+        for r in heavy_hitters(df, k=k).collect()
+    }
+    out2 = {
+        (r.token, r.n_occurrences)
+        for r in heavy_hitters(df.repartition(13), k=k).collect()
+    }
+    out3 = {
+        (r.token, r.n_occurrences)
+        for r in heavy_hitters(df.coalesce(1), k=k).collect()
+    }
+    assert out1 == out2 == out3
+    # brute force on the same tokenization
+    import pyspark.sql.functions as F
+
+    from sqlpp_spark.ops.text import normalize_text
+
+    toks = df.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    n = toks.count()
+    brute = {
+        (r.t, r.c)
+        for r in toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > n // k).collect()
+    }
+    assert out1 == brute
+    assert ("hot", 400) in out1
