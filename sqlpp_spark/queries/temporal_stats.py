@@ -577,3 +577,50 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "user_id", "ts", n.alias("n"), F.round(z, 6).alias("zscore")
     )
+
+
+@register(
+    "stats_approx_percentiles",
+    # r14: third member of the sketch family (HLL distinct, Misra-
+    # Gries heavy hitters, GK quantiles) — tolerance-boolean oracle:
+    # the hash covers the EXACT percentiles plus sketch_ok; the
+    # engine-specific GK estimate stays out of the hash. l_quantity
+    # has ~50 unit-spaced values, so a rank error of n/accuracy
+    # (~0.01%) can move the estimate at most one adjacent value:
+    # |approx - exact_interpolated| <= 1.0 is the physics bound.
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       TRUE AS sketch_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def stats_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch percentiles (percentile_approx — fixed-size
+    partial-aggregable state, the 100 TB quantile path for columns
+    with UNBOUNDED distinct values where the exact histogram op
+    cannot collapse) validated in-row against the exact histogram
+    quantiles: sketch_ok = every approx within 1.0 of exact."""
+    from sqlpp_spark.ops.stats import quantile_cont_hist
+
+    l = table(spark, sf_dir, "lineitem")
+    exact = quantile_cont_hist(
+        l, ["l_returnflag"], "l_quantity",
+        [0.25, 0.50, 0.75], ["p25", "p50", "p75"],
+    )
+    approx = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", [0.25, 0.50, 0.75], 10000)
+        .alias("__a")
+    )
+    ok = (
+        (F.abs(F.element_at("__a", 1) - F.col("p25")) <= 1.0)
+        & (F.abs(F.element_at("__a", 2) - F.col("p50")) <= 1.0)
+        & (F.abs(F.element_at("__a", 3) - F.col("p75")) <= 1.0)
+    )
+    return (
+        exact.join(approx, on="l_returnflag")
+        .select("l_returnflag", "p25", "p50", "p75", ok.alias("sketch_ok"))
+        .orderBy("l_returnflag")
+    )
