@@ -689,6 +689,7 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_heavy_hitters",
+    headline=True,
     oracle=f"""
 WITH toks AS (
   SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents
