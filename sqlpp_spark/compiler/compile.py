@@ -285,6 +285,47 @@ class Compiler:
             grouped = gb.agg(*acols) if acols else gb.agg(
                 F.count(F.lit(1)).alias("__cnt_dummy")
             )
+            if kind in ("rollup", "cube") or (
+                kind == "sets"
+                and any(len(s) == 0 for s in (sel.group_sets or []))
+            ):
+                # Standard-SQL corner Spark gets wrong: ROLLUP/CUBE/
+                # GROUPING SETS with a () set must emit the grand-
+                # total row even over EMPTY input (DuckDB/PG do;
+                # Spark's Expand yields zero rows). The aggregate
+                # values over an empty input are CONSTANTS per
+                # function (count → 0, grouping → 1, sum/min/max/avg
+                # → NULL), so the fallback row is pure literals gated
+                # on a LIMIT-1 existence probe of the input — the
+                # probe branch reads at most ONE row (GlobalLimit
+                # early-exit), never a second full scan (plan-pinned).
+                apps = list(agg_apps.values())
+
+                def grand_lit(fname: str, ftype) -> Column:
+                    if fname.startswith("__g") or fname == "__qual":
+                        return F.lit(None).cast(ftype)
+                    if fname == "__cnt_dummy":
+                        return F.lit(0).cast(ftype)
+                    fnl = apps[int(fname[3:])].fn.lower()
+                    if fnl in ("count", "count_distinct"):
+                        return F.lit(0).cast(ftype)
+                    if fnl == "grouping":
+                        return F.lit(1).cast(ftype)
+                    return F.lit(None).cast(ftype)
+
+                empty_marker = (
+                    df.select(F.lit(1).alias("__probe"))
+                    .limit(1)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .filter(F.col("__n") == 0)
+                )
+                fallback = empty_marker.select(
+                    *[
+                        grand_lit(f.name, f.dataType).alias(f.name)
+                        for f in grouped.schema.fields
+                    ]
+                )
+                grouped = grouped.unionByName(fallback)
         else:
             # GROUP BY () — global aggregation (parser.mly:258)
             grouped = df.agg(*acols) if acols else df.agg(F.count(F.lit(1)).alias("__cnt_dummy"))

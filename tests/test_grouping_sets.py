@@ -135,3 +135,28 @@ def test_grouping_sets_fmt_roundtrip():
         once = format_query(parse_query(src))
         again = format_query(parse_query(once))
         assert once == again
+
+
+def test_rollup_empty_input_grand_total(eng, duck):
+    """Standard-SQL corner Spark itself gets wrong (found by the r14
+    hypothesis fuzzer): ROLLUP/CUBE over an EMPTY input must still
+    emit the grand-total row (count 0, sums NULL, grouping 1) —
+    bare Spark rollup yields zero rows; the compiler adds a
+    literal-only fallback gated on the aggregated frame being empty
+    (no second base scan)."""
+    for src in (
+        "select grp, grouping(grp) as g, count(id) as n, sum(val) as s "
+        "from t1 where id < 0 group by rollup (grp)",
+        "select grp, tag, count(id) as n from t1 where id < 0 "
+        "group by cube (grp, tag)",
+        "select grp, count(id) as n from t1 where id < 0 "
+        "group by grouping sets ((grp), ())",
+    ):
+        _differ(eng, duck, src)
+    # a GROUPING SETS list WITHOUT the () set stays empty on empty
+    # input in both engines
+    _differ(
+        eng, duck,
+        "select grp, count(id) as n from t1 where id < 0 "
+        "group by grouping sets ((grp))",
+    )

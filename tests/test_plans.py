@@ -621,9 +621,12 @@ def test_rollup_qualify_plan_shapes(spark, sf_dir):
     one window exchange + Filter — never a self-join."""
     p = plan_of(spark, sf_dir, "sqlpp_rollup_grouping")
     assert p.count("(") and "Expand" in p, p
-    # one scan (formatted plans print tree + detail: <= 2 mentions)
-    assert len(re.findall(r"Scan parquet", p)) <= 2, p
     assert p.count("HashAggregate") >= 2, p  # partial + final
+    # the empty-input grand-total fallback branch must be the LIMIT-1
+    # existence probe (reads at most one row), never a second full
+    # aggregate pipeline: exactly one Expand, and a Limit in the plan
+    assert len(re.findall(r"\(\d+\) Expand\b", p)) == 1, p
+    assert "Limit" in p, p
 
     p = plan_of(spark, sf_dir, "sqlpp_qualify_topk")
     assert shuffle_count(p) == 1, p

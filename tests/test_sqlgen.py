@@ -226,8 +226,42 @@ try:
         where = draw(pred())
         shape = draw(st.sampled_from(
             ["project", "project", "group", "group", "left_join",
-             "scalar_in", "from_sub", "distinct", "window", "setop"]
+             "scalar_in", "from_sub", "distinct", "window", "setop",
+             "case", "qualify", "rollup"]
         ))
+        if shape == "case":
+            # r14: searched CASE + BETWEEN + FILTER shapes
+            arm = (
+                f"case when {draw(pred())} then {draw(int_expr())} "
+                f"when n_regionkey between 1 and {draw(st.integers(2, 4))} "
+                f"then {draw(int_expr())} "
+                + draw(st.sampled_from(["", f"else {draw(int_expr())} "]))
+                + "end"
+            )
+            return (
+                f"select n_name, {arm} as c, "
+                f"count(1) filter (where {draw(pred())}) over "
+                f"(partition by n_regionkey) as fc "
+                f"from nation where {where}"
+            )
+        if shape == "qualify":
+            fn = draw(st.sampled_from([
+                "row_number()", "rank()", "sum(n_nationkey)",
+            ]))
+            cmp_ = draw(st.sampled_from(["<= 2", "= 1", "> 1"]))
+            return (
+                f"select n_name, n_regionkey from nation where {where} "
+                f"qualify {fn} over (partition by n_regionkey "
+                f"order by n_nationkey desc, n_name) {cmp_} "
+                f"order by n_regionkey, n_name"
+            )
+        if shape == "rollup":
+            kind = draw(st.sampled_from(["rollup", "cube"]))
+            return (
+                f"select n_regionkey, grouping(n_regionkey) as g, "
+                f"count(1) as n, sum(n_nationkey) as s from nation "
+                f"where {where} group by {kind} (n_regionkey)"
+            )
         if shape == "window":
             w1 = draw(window_expr())
             w2 = draw(window_expr())
