@@ -631,3 +631,13 @@ def test_rollup_qualify_plan_shapes(spark, sf_dir):
     p = plan_of(spark, sf_dir, "sqlpp_qualify_topk")
     assert shuffle_count(p) == 1, p
     assert ") Window" in p and "Join" not in p, p
+
+
+def test_heavy_hitters_broadcast_candidates(spark, sf_dir):
+    """r14 heavy hitters: the candidate set joins back by BROADCAST
+    semi join (the vocabulary-sized token stream never shuffles for
+    the join); the only exchanges are the candidate distinct, the
+    candidate-only count, and the final order."""
+    p = plan_of(spark, sf_dir, "corpus_heavy_hitters")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    assert "SortMergeJoin" not in p, p
