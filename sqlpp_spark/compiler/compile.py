@@ -401,8 +401,14 @@ class Compiler:
         if isinstance(fr, A.FromJoin):
             left = self._compile_from_node(ctx, fr.left, binds)
             right = self._compile_from_node(ctx, fr.right, binds)
+            if fr.kind == "cross":
+                # no ON — Catalyst plans a cartesian (AQE may still
+                # broadcast a small side into BroadcastNestedLoopJoin)
+                return left.crossJoin(right)
             on = self.expr(fr.on, binds, {})
-            return left.join(right, on=on, how="left" if fr.kind == "left" else "inner")
+            # kinds map 1:1 onto Spark join types; "full" keeps both
+            # sides' unmatched rows (FullOuter in the plan)
+            return left.join(right, on=on, how=fr.kind)
         if isinstance(fr, A.FromTable):
             name = fr.alias or fr.table
             df = self.catalog.get(fr.table)

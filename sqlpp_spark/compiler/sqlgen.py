@@ -144,6 +144,17 @@ _DIALECTS = {
 }
 
 
+# r14: RIGHT/FULL/CROSS joined the dialect (LEFT/INNER since r01);
+# identical spelling in DuckDB, PostgreSQL, and SQLite >= 3.39
+_JOIN_KW = {
+    "inner": "JOIN",
+    "left": "LEFT JOIN",
+    "right": "RIGHT JOIN",
+    "full": "FULL JOIN",
+    "cross": "CROSS JOIN",
+}
+
+
 class SqlGen:
     def __init__(
         self, params: Optional[Dict[str, object]] = None,
@@ -330,7 +341,9 @@ class SqlGen:
         if isinstance(fr, A.FromJoin):
             left = self._from(ctx, fr.left)
             right = self._from(ctx, fr.right)
-            kw = "LEFT JOIN" if fr.kind == "left" else "JOIN"
+            kw = _JOIN_KW[fr.kind]
+            if fr.kind == "cross":
+                return f"{left} {kw} {right}"
             return f"{left} {kw} {right} ON {self.expr(fr.on)}"
         if isinstance(fr, A.FromTable):
             alias = fr.alias or fr.table
@@ -711,7 +724,9 @@ def statement_sql(
 
             def from_raw(fr) -> str:  # noqa: ANN202
                 if isinstance(fr, A.FromJoin):
-                    kw = "LEFT JOIN" if fr.kind == "left" else "JOIN"
+                    kw = _JOIN_KW[fr.kind]
+                    if fr.kind == "cross":
+                        return f"{from_raw(fr.left)} {kw} {from_raw(fr.right)}"
                     return (
                         f"{from_raw(fr.left)} {kw} {from_raw(fr.right)} "
                         f"ON {g.expr(fr.on)}"

@@ -472,9 +472,16 @@ class Analyzer:
 
     def _analyze_from(self, ctx: SelectCtx, fr, nullable: bool) -> None:
         if isinstance(fr, A.FromJoin):
-            self._analyze_from(ctx, fr.left, nullable)
-            right_nullable = nullable or fr.kind == "left"
+            # outer-join nullability (r14 extends the r01 LEFT rule):
+            # the preserved side keeps its nullability, the other side
+            # becomes nullable — LEFT nullifies the right, RIGHT the
+            # left, FULL both; INNER/CROSS neither
+            left_nullable = nullable or fr.kind in ("right", "full")
+            right_nullable = nullable or fr.kind in ("left", "full")
+            self._analyze_from(ctx, fr.left, left_nullable)
             self._analyze_from(ctx, fr.right, right_nullable)
+            if fr.kind == "cross":
+                return  # CROSS JOIN has no ON condition
             fr.on, onty = self.infer_expr(ctx, fr.on)
             check_subsumes(onty, BOOL.nullable(), fr.on.loc, self.src or None)
             return

@@ -500,20 +500,32 @@ class Parser:
     def _from(self):
         item = self._from_one()
         while True:
-            if self.at_kw("join"):
-                self.advance()
+            if self.at_kw("join") or self.at_kw("inner"):
+                if self.eat_kw("inner"):
+                    self.expect_kw("join")
+                else:
+                    self.advance()
                 right = self._from_one()
                 self.expect_kw("on")
                 cond = self.expr()
                 item = A.FromJoin(item, right, "inner", cond, loc=right.loc)
-            elif self.at_kw("left"):
+            elif self.at_kw("left") or self.at_kw("right") or self.at_kw("full"):
+                # r14 (beyond reference — parser.mly has LEFT only):
+                # RIGHT/FULL [OUTER] JOIN, same ON-required grammar
+                kind = self.cur.value.lower()
                 self.advance()
                 self.eat_kw("outer")
                 self.expect_kw("join")
                 right = self._from_one()
                 self.expect_kw("on")
                 cond = self.expr()
-                item = A.FromJoin(item, right, "left", cond, loc=right.loc)
+                item = A.FromJoin(item, right, kind, cond, loc=right.loc)
+            elif self.at_kw("cross"):
+                # r14: CROSS JOIN takes no ON condition
+                self.advance()
+                self.expect_kw("join")
+                right = self._from_one()
+                item = A.FromJoin(item, right, "cross", None, loc=right.loc)
             else:
                 return item
 

@@ -180,7 +180,10 @@ def _from_str(fr) -> str:
         )
         return f"({inner}) AS {fr.alias}"
     if isinstance(fr, A.FromJoin):
-        kw = "LEFT JOIN" if fr.kind == "left" else "JOIN"
+        kw = {
+            "inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
+            "full": "FULL JOIN", "cross": "CROSS JOIN",
+        }[fr.kind]
         on = f" ON {expr_str(fr.on)}" if fr.on is not None else ""
         return f"{_from_str(fr.left)} {kw} {_from_str(fr.right)}{on}"
     raise TypeError(f"_from_str: {type(fr).__name__}")

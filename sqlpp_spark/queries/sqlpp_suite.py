@@ -495,3 +495,55 @@ _sqlpp(
     "FROM orders WHERE o_orderkey < 20000 "
     "GROUP BY ROLLUP (o_orderpriority)",
 )
+
+_sqlpp(
+    # r14: FULL OUTER JOIN of two aggregated derived tables — nations
+    # that only have high-balance customers, only have suppliers, or
+    # both. Scale shape: both sides pre-aggregate BEFORE the join
+    # (partial aggregation map-side), so the outer join runs on ~25
+    # rows per side regardless of fact-table size; Spark plans a
+    # single SortMergeJoin FullOuter on the group keys.
+    "sqlpp_full_outer_join",
+    "select coalesce(a.nk, b.nk) as nationkey, "
+    "coalesce(a.n_cust, 0) as n_cust, coalesce(b.n_supp, 0) as n_supp "
+    "from (select c.c_nationkey as nk, count(1) as n_cust "
+    "from customer as c where c.c_acctbal > 9900 "
+    "group by c.c_nationkey) as a "
+    "full outer join (select s.s_nationkey as nk, count(1) as n_supp "
+    "from supplier as s where s.s_acctbal > 1000 "
+    "group by s.s_nationkey) as b on a.nk = b.nk "
+    "order by nationkey",
+    "SELECT COALESCE(a.nk, b.nk) AS nationkey, "
+    "COALESCE(a.n_cust, 0) AS n_cust, COALESCE(b.n_supp, 0) AS n_supp "
+    "FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer "
+    "WHERE c_acctbal > 9900 GROUP BY c_nationkey) AS a "
+    "FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp "
+    "FROM supplier WHERE s_acctbal > 1000 GROUP BY s_nationkey) AS b "
+    "ON a.nk = b.nk ORDER BY nationkey",
+)
+
+_sqlpp(
+    # r14: RIGHT JOIN (preserved side on the right — region rows drop
+    # unless matched, every nation survives with NULL region fields
+    # when the extra r_name filter excludes its region) UNION ALL a
+    # filtered CROSS JOIN (region x nation is 5x25 — Catalyst plans
+    # BroadcastNestedLoopJoin; the dialect compiles crossJoin with no
+    # ON). Both beyond the reference grammar (LEFT/INNER only).
+    "sqlpp_right_cross_join",
+    "select r.r_name as region_name, n.n_name as nation_name "
+    "from region as r right join nation as n "
+    "on r.r_regionkey = n.n_regionkey and r.r_name != 'ASIA' "
+    "union all "
+    "select r2.r_name as region_name, n2.n_name as nation_name "
+    "from region as r2 cross join nation as n2 "
+    "where n2.n_regionkey = r2.r_regionkey + 3 "
+    "order by nation_name, region_name",
+    "SELECT region_name, nation_name FROM ("
+    "SELECT r_name AS region_name, n_name AS nation_name "
+    "FROM region RIGHT JOIN nation "
+    "ON r_regionkey = n_regionkey AND r_name != 'ASIA' "
+    "UNION ALL "
+    "SELECT r_name AS region_name, n_name AS nation_name "
+    "FROM region CROSS JOIN nation WHERE n_regionkey = r_regionkey + 3"
+    ") ORDER BY nation_name, region_name",
+)
