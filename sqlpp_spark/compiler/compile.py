@@ -1296,6 +1296,31 @@ class Compiler:
             return F.avg(args[0])
         if fn == "count_distinct":
             return F.count_distinct(args[0])
+        # r14 statistical aggregates — Spark's JVM-side implementations
+        # (partial aggregation / map-side combine intact)
+        if fn == "stddev":
+            return F.stddev_samp(args[0])
+        if fn == "variance":
+            return F.var_samp(args[0])
+        if fn == "stddev_pop":
+            return F.stddev_pop(args[0])
+        if fn == "var_pop":
+            return F.var_pop(args[0])
+        if fn == "bool_and":
+            return F.bool_and(args[0])
+        if fn == "bool_or":
+            return F.bool_or(args[0])
+        if fn == "string_agg":
+            # dialect contract: ascending-by-value concatenation (see
+            # analyze.py) — array_sort(collect_list) is deterministic
+            # regardless of partitioning; concat_ws('', []) would be ''
+            # where SQL string_agg is NULL over an empty group, hence
+            # the count guard
+            sep = app.args[1].value
+            arr = F.array_sort(F.collect_list(args[0]))
+            return F.when(
+                F.count(args[0]) > 0, F.concat_ws(sep, arr)
+            )
         if fn == "grouping":
             # r14: subtotal marker for ROLLUP/CUBE/GROUPING SETS —
             # Spark matches the expression against the grouping

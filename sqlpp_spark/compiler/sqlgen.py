@@ -485,6 +485,32 @@ class SqlGen:
             return f"CAST(grouping({a(0)}) AS BIGINT)"
         if fn == "count_distinct":
             return f"count(DISTINCT {a(0)})"
+        if fn in ("stddev", "variance", "stddev_pop", "var_pop"):
+            # DuckDB and PG both alias stddev=stddev_samp and
+            # variance=var_samp, so the dialect spelling prints
+            # verbatim; SQLite has no statistical aggregates
+            if self.dialect == "sqlite":
+                raise SqlppError(
+                    f"SQLite has no {fn}() aggregate (backend divergence)"
+                )
+            return f"{fn}({a(0)})"
+        if fn == "bool_and" or fn == "bool_or":
+            if self.dialect == "sqlite":
+                # booleans are 0/1 ints in SQLite: AND-over-group is
+                # min()=1, OR-over-group is max()=1 (NULL over an
+                # empty/all-NULL group propagates through =)
+                agg = "min" if fn == "bool_and" else "max"
+                return f"({agg}({a(0)}) = 1)"
+            return f"{fn}({a(0)})"
+        if fn == "string_agg":
+            # the dialect's string_agg is ORDER-BY-value by definition
+            # (analyze.py) — print the ordered form; SQLite grew
+            # aggregate ORDER BY only in 3.44 (backend divergence)
+            if self.dialect == "sqlite":
+                raise SqlppError(
+                    "SQLite has no ordered string_agg (backend divergence)"
+                )
+            return f"string_agg({a(0)}, {a(1)} ORDER BY {a(0)})"
         if fn in AGG_FNS:
             return f"{fn}({a(0)})"
         if fn in ("=", "!=", ">", ">=", "<", "<="):

@@ -37,7 +37,13 @@ from sqlpp_spark.frontend.types import (
     subsumes, ty_glb, ty_lub,
 )
 
-AGG_FNS = {"count", "sum", "max", "min", "avg", "count_distinct", "grouping"}
+AGG_FNS = {
+    "count", "sum", "max", "min", "avg", "count_distinct", "grouping",
+    # r14 statistical/collection aggregates (beyond reference —
+    # analyze.ml's builtin table has count/sum/max/min only)
+    "stddev", "variance", "stddev_pop", "var_pop",
+    "string_agg", "bool_and", "bool_or",
+}
 
 # comparison ops liftable as scalar-subquery correlation conjuncts,
 # mapped to their mirror for inner-first reorientation (r12)
@@ -1335,6 +1341,49 @@ class Analyzer:
             nargs(1)
             arg(0)
             return e, INT
+        if fnl == "count_distinct":
+            # r14: was validated as an aggregate but never typed — the
+            # dialect spelling is count_distinct(x) (no DISTINCT kw in
+            # the call grammar); prints as count(DISTINCT x)
+            nargs(1)
+            arg(0)
+            return e, INT
+        if fnl in ("stddev", "variance", "stddev_pop", "var_pop"):
+            # sample forms are NULL for n < 2, pop forms for n = 0 —
+            # and a correlated/empty group can always be empty, so the
+            # result is nullable regardless of the argument
+            nargs(1)
+            t = arg(0)
+            if t is None:
+                t = self._adopt_param(e.args[0], NUMERIC.with_non_null(False), e.loc)
+            check_subsumes(t, NUMERIC.nullable(), e.loc, self.src or None)
+            return e, FLOAT.with_non_null(False)
+        if fnl in ("bool_and", "bool_or"):
+            nargs(1)
+            t = arg(0)
+            if t is None:
+                t = self._adopt_param(e.args[0], BOOL.with_non_null(False), e.loc)
+            check_subsumes(t, BOOL.nullable(), e.loc, self.src or None)
+            # NULL over an empty/all-NULL group
+            return e, BOOL.with_non_null(False)
+        if fnl == "string_agg":
+            # string_agg(x, sep) — DETERMINISTIC by definition in this
+            # dialect: elements concatenate in ascending order of x
+            # (equivalent to SQL string_agg(x, sep ORDER BY x)), so the
+            # result is reproducible across engines and partitionings.
+            # The separator must be a string literal (it parameterizes
+            # the plan, not the data).
+            nargs(2)
+            t = arg(0)
+            if t is None:
+                t = self._adopt_param(e.args[0], STRING.with_non_null(False), e.loc)
+            check_subsumes(t, STRING.nullable(), e.loc, self.src or None)
+            if not (isinstance(e.args[1], A.ELit) and e.args[1].lit_kind == "string"):
+                self.err(
+                    "string_agg(..) separator must be a string literal",
+                    e.loc,
+                )
+            return e, STRING.with_non_null(False)
         if fnl == "grouping":
             # r14: 1 when the row is a subtotal that aggregates the
             # argument away, 0 otherwise — distinguishes subtotal

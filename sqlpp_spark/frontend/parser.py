@@ -915,7 +915,13 @@ class Parser:
             return A.EName(name=name_tok.value, loc=name_tok.loc)
         self.fail("expected expression")
 
-    _FILTERABLE_AGGS = {"count", "sum", "min", "max", "avg", "count_distinct"}
+    _FILTERABLE_AGGS = {
+        "count", "sum", "min", "max", "avg", "count_distinct",
+        # r14: the CASE-desugar stays exact for every NULL-skipping
+        # single-argument aggregate (string_agg is 2-arg, excluded)
+        "stddev", "variance", "stddev_pop", "var_pop",
+        "bool_and", "bool_or",
+    }
 
     def _agg_filter(self, e: A.EApp) -> A.EApp:
         """``agg(x) FILTER (WHERE p)`` (r14) — parse-time desugar to
@@ -924,9 +930,15 @@ class Parser:
         filtered-out rows vanish from the count too). FILTER is a
         contextual identifier."""
         start = e.loc
-        if e.fn.lower() not in self._FILTERABLE_AGGS:
+        fnl = e.fn.lower()
+        if fnl not in self._FILTERABLE_AGGS and fnl != "string_agg":
             self.fail("FILTER is only valid on aggregate functions")
-        if len(e.args) != 1:
+        if fnl == "string_agg":
+            # 2-arg: the CASE wraps the VALUE argument only — the
+            # separator is a literal and stays as written
+            if len(e.args) != 2:
+                self.fail("string_agg expects 2 arguments")
+        elif len(e.args) != 1:
             self.fail("FILTER requires a single-argument aggregate")
         self.advance()  # FILTER
         self.expect_punct("(")
@@ -935,7 +947,7 @@ class Parser:
         self.expect_punct(")")
         loc = Loc.span(start, self.toks[self.i - 1].loc)
         case = A.EApp("case", [pred, e.args[0]], loc=loc)
-        return A.EApp(e.fn, [case], loc=loc)
+        return A.EApp(e.fn, [case, *e.args[1:]], loc=loc)
 
     def _nav_tail(self) -> A.Expr:
         """After `name.` — either nested nav, an app, a paren expr, or a name."""

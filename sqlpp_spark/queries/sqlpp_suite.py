@@ -547,3 +547,81 @@ _sqlpp(
     "FROM region CROSS JOIN nation WHERE n_regionkey = r_regionkey + 3"
     ") ORDER BY nation_name, region_name",
 )
+
+_sqlpp(
+    # r14: statistical aggregates via the tolerance-boolean pattern
+    # (as ann_hll_distinct_labels / multimodal_audio_features): the
+    # hashed output is exact integers + booleans asserting the
+    # dialect's stddev/variance/stddev_pop/var_pop agree with the
+    # closed form computed from exact integer sums (n*Sxx - Sx^2 over
+    # the exact-int denominators; every intermediate < 2^53) — the
+    # engine-specific float estimate itself stays out of the hash, so
+    # Welford-vs-naive ULP drift between Spark and DuckDB cannot flap
+    # the gate while a real formula bug still trips the booleans.
+    "sqlpp_stats_aggs",
+    "select c.c_nationkey as nationkey, count(1) as n, "
+    "sum(c.c_custkey) as sum_k, "
+    "abs(variance(c.c_custkey) - "
+    "(count(1) * sum(c.c_custkey * c.c_custkey) "
+    "- sum(c.c_custkey) * sum(c.c_custkey)) "
+    "/ (count(1) * (count(1) - 1) * 1.0)) < 0.000001 as ok_var, "
+    "abs(stddev(c.c_custkey) - "
+    "sqrt((count(1) * sum(c.c_custkey * c.c_custkey) "
+    "- sum(c.c_custkey) * sum(c.c_custkey)) "
+    "/ (count(1) * (count(1) - 1) * 1.0))) < 0.000001 as ok_sd, "
+    "abs(var_pop(c.c_custkey) - "
+    "(count(1) * sum(c.c_custkey * c.c_custkey) "
+    "- sum(c.c_custkey) * sum(c.c_custkey)) "
+    "/ (count(1) * count(1) * 1.0)) < 0.000001 as ok_vp, "
+    "abs(stddev_pop(c.c_custkey) - "
+    "sqrt((count(1) * sum(c.c_custkey * c.c_custkey) "
+    "- sum(c.c_custkey) * sum(c.c_custkey)) "
+    "/ (count(1) * count(1) * 1.0))) < 0.000001 as ok_sp "
+    "from customer as c where c.c_custkey <= 1500 "
+    "group by c.c_nationkey order by nationkey",
+    "SELECT c_nationkey AS nationkey, count(*) AS n, "
+    "CAST(sum(c_custkey) AS BIGINT) AS sum_k, "
+    "abs(var_samp(c_custkey) - "
+    "(count(*) * sum(c_custkey * c_custkey) "
+    "- sum(c_custkey) * sum(c_custkey)) "
+    "/ (count(*) * (count(*) - 1) * 1.0)) < 0.000001 AS ok_var, "
+    "abs(stddev_samp(c_custkey) - "
+    "sqrt((count(*) * sum(c_custkey * c_custkey) "
+    "- sum(c_custkey) * sum(c_custkey)) "
+    "/ (count(*) * (count(*) - 1) * 1.0))) < 0.000001 AS ok_sd, "
+    "abs(var_pop(c_custkey) - "
+    "(count(*) * sum(c_custkey * c_custkey) "
+    "- sum(c_custkey) * sum(c_custkey)) "
+    "/ (count(*) * count(*) * 1.0)) < 0.000001 AS ok_vp, "
+    "abs(stddev_pop(c_custkey) - "
+    "sqrt((count(*) * sum(c_custkey * c_custkey) "
+    "- sum(c_custkey) * sum(c_custkey)) "
+    "/ (count(*) * count(*) * 1.0))) < 0.000001 AS ok_sp "
+    "FROM customer WHERE c_custkey <= 1500 "
+    "GROUP BY c_nationkey ORDER BY nationkey",
+)
+
+_sqlpp(
+    # r14: collection/boolean aggregates with EXACT hashed output.
+    # The dialect's string_agg is ascending-by-value by definition
+    # (deterministic across engines AND partitionings — Spark's
+    # array_sort(collect_list) vs the oracle's ORDER BY form), so the
+    # concatenated string is bit-stable; bool_and/bool_or are
+    # three-valued (NULL over empty groups).
+    "sqlpp_string_bool_aggs",
+    "select r.r_name as region_name, "
+    "string_agg(n.n_name, ',') as nations, "
+    "count_distinct(n.n_nationkey) as n_nations, "
+    "bool_and(n.n_nationkey > 2) as all_gt2, "
+    "bool_or(n.n_name = 'CHINA') as has_china "
+    "from nation as n join region as r "
+    "on n.n_regionkey = r.r_regionkey "
+    "group by r.r_name order by region_name",
+    "SELECT r_name AS region_name, "
+    "string_agg(n_name, ',' ORDER BY n_name) AS nations, "
+    "count(DISTINCT n_nationkey) AS n_nations, "
+    "bool_and(n_nationkey > 2) AS all_gt2, "
+    "bool_or(n_name = 'CHINA') AS has_china "
+    "FROM nation JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY r_name ORDER BY region_name",
+)
