@@ -1114,6 +1114,16 @@ class Compiler:
             return self._param_col(e, binds)
         if isinstance(e, A.EMatch):
             return self._match_col(e, binds, scalar_map, subst)
+        if isinstance(e, A.EInList):
+            # r14: Column.isin compiles to Catalyst In (constant-folded
+            # to InSet past spark.sql.optimizer.inSetConversionThreshold)
+            # — ONE pushdown-able predicate, not an OR chain; Spark's
+            # In already implements the SQL 3VL (NULL probe / NULL-in-
+            # list no-match → UNKNOWN)
+            probe = self.expr(e.expr, binds, scalar_map, subst)
+            items = [self.expr(x, binds, scalar_map, subst) for x in e.items]
+            col = probe.isin(*items)
+            return ~col if e.negated else col
         if isinstance(e, A.EIn):
             col = scalar_map.get(id(e))
             if col is None:
@@ -1491,6 +1501,8 @@ def _has_window(e: A.Expr) -> bool:
         return _has_window(e.expr)
     if isinstance(e, A.EIn):  # window in an IN probe expression
         return any(_has_window(x) for x in e.exprs)
+    if isinstance(e, A.EInList):
+        return _has_window(e.expr) or any(_has_window(x) for x in e.items)
     if isinstance(e, A.EMatch):  # window nested in a match branch
         return any(_has_window(br.body) for br in e.branches)
     return False
@@ -1508,6 +1520,10 @@ def _iter_nodes(e: A.Expr):
             yield from _iter_nodes(br.body)
     elif isinstance(e, A.EIn):
         for x in e.exprs:
+            yield from _iter_nodes(x)
+    elif isinstance(e, A.EInList):
+        yield from _iter_nodes(e.expr)
+        for x in e.items:
             yield from _iter_nodes(x)
     # EScalarSub: yielded as a node (first line); its select is a
     # separate scope — never descended into

@@ -427,6 +427,10 @@ class SqlGen:
                 lhs = f"({lhs})"
             op = "NOT IN" if e.negated else "IN"
             return f"({lhs} {op} ({self.select(e.sub_ctx)}))"
+        if isinstance(e, A.EInList):
+            items = ", ".join(self.expr(x) for x in e.items)
+            op = "NOT IN" if e.negated else "IN"
+            return f"({self.expr(e.expr)} {op} ({items}))"
         if isinstance(e, A.EExists):
             return f"EXISTS ({self.select(e.sub_ctx)})"
         if isinstance(e, A.EScalarSub):

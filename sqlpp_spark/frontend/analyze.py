@@ -713,6 +713,8 @@ class Analyzer:
             return self._infer_window(ctx, e)
         if isinstance(e, A.EApp):
             return self._infer_app(ctx, e)
+        if isinstance(e, A.EInList):
+            return self._infer_inlist(ctx, e)
         if isinstance(e, A.EIn):
             try:
                 return self._infer_in(ctx, e)
@@ -1147,6 +1149,9 @@ class Analyzer:
                 stack.append(n.expr)
             if isinstance(n, A.EIn):
                 stack.extend(n.exprs)
+            if isinstance(n, A.EInList):
+                stack.append(n.expr)
+                stack.extend(n.items)
             if isinstance(n, A.EMatch):
                 stack.extend(br.body for br in n.branches)
         return False
@@ -1170,6 +1175,9 @@ class Analyzer:
                 stack.append(n.expr)
             if isinstance(n, A.EIn):
                 stack.extend(n.exprs)
+            if isinstance(n, A.EInList):
+                stack.append(n.expr)
+                stack.extend(n.items)
             if isinstance(n, A.EMatch):
                 stack.extend(br.body for br in n.branches)
 
@@ -1417,6 +1425,40 @@ class Analyzer:
             tys = [arg(i) for i in range(len(e.args))]
             return e, ext(self, e, tys)
         self.err(f"no such function: {fn}", e.loc)
+
+    def _infer_inlist(self, ctx: SelectCtx, e: A.EInList) -> Tuple[A.Expr, Ty]:
+        """``x [NOT] IN (e1, ..)`` value list (r14): each item must be
+        comparable with x under the same rule as ``=`` (kind-set
+        intersection, or both numeric). 3VL like chained OR-of-equals:
+        the result can be UNKNOWN when x or any item is nullable.
+        Items are scalar expressions — subqueries belong to the EIn
+        form and are rejected here."""
+        elab, ty = self.infer_expr(ctx, e.expr)
+        e.expr = elab
+        non_null = True
+        item_tys = []
+        for i, item in enumerate(e.items):
+            if A.expr_has_subquery(item):
+                self.err(
+                    "subqueries are not allowed in IN value lists "
+                    "(use x IN (select ..))", item.loc,
+                )
+            ielab, ity = self.infer_expr(ctx, item)
+            e.items[i] = ielab
+            item_tys.append(ity)
+        if ty is None:
+            known = next((t for t in item_tys if t is not None), None)
+            if known is None:
+                self.err("cannot infer parameter type", e.loc)
+            ty = self._adopt_param(e.expr, known, e.loc)
+        for i, ity in enumerate(item_tys):
+            if ity is None:
+                ity = self._adopt_param(e.items[i], ty, e.loc)
+            numeric_family = (ty.kinds | ity.kinds) <= frozenset({"int", "float"})
+            if not (ty.kinds & ity.kinds) and not numeric_family:
+                self.err(f"expected {ty} but got {ity}", e.items[i].loc)
+            non_null = non_null and ity.non_null
+        return e, BOOL.with_non_null(non_null and ty.non_null)
 
     def _infer_in(self, ctx: SelectCtx, e: A.EIn) -> Tuple[A.Expr, Ty]:
         sub, corr = self._lift_correlated(ctx, e.select)
@@ -1754,6 +1796,11 @@ class Analyzer:
             for x in e.exprs:
                 self._check_agg_expr(ctx, x, grouped, in_agg)
             return
+        if isinstance(e, A.EInList):
+            self._check_agg_expr(ctx, e.expr, grouped, in_agg)
+            for x in e.items:
+                self._check_agg_expr(ctx, x, grouped, in_agg)
+            return
         if isinstance(e, A.EMatch):
             for br in e.branches:
                 self._check_agg_expr(ctx, br.body, grouped, in_agg)
@@ -1893,6 +1940,13 @@ def _push_not(e):
                 return _push_not(inner.args[0])
             if inner.fn in _NOT_FLIP:
                 return A.EApp(_NOT_FLIP[inner.fn], list(inner.args), loc=e.loc)
+        if isinstance(inner, A.EInList):
+            # NOT(x IN list) = x NOT IN list — both are the Kleene
+            # negation of the same OR-of-equals, exact in 3VL (r14)
+            return A.EInList(
+                expr=inner.expr, items=list(inner.items),
+                negated=not inner.negated, loc=e.loc,
+            )
         return e
     return e
 

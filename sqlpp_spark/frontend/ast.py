@@ -75,6 +75,18 @@ class EIn(Expr):
 
 
 @dataclass
+class EInList(Expr):
+    """``x [NOT] IN (e1, e2, ...)`` — literal/expression value list
+    (r14, beyond reference; EIn covers the subquery form). Compiles to
+    Catalyst's In/InSet via Column.isin (not an OR chain), which keeps
+    long lists a single predicate-pushdown-able expression."""
+
+    expr: Expr = None
+    items: List[Expr] = field(default_factory=list)
+    negated: bool = False
+
+
+@dataclass
 class EExists(Expr):
     select: "Select" = None
     corr: list = field(default_factory=list)  # as EIn.corr (r12)
@@ -443,6 +455,11 @@ def expr_key(e: Expr) -> tuple:
         return ("param", e.name)
     if isinstance(e, EIn):
         return ("in", e.negated, tuple(expr_key(x) for x in e.exprs), id(e.select))
+    if isinstance(e, EInList):
+        return (
+            "inlist", e.negated, expr_key(e.expr),
+            tuple(expr_key(x) for x in e.items),
+        )
     if isinstance(e, EExists):
         return ("exists", id(e.select))
     if isinstance(e, EScalarSub):
@@ -474,6 +491,10 @@ def expr_has_subquery(e) -> bool:
     for child in getattr(e, "args", None) or []:
         if expr_has_subquery(child):
             return True
+    if isinstance(e, EInList):
+        return expr_has_subquery(e.expr) or any(
+            expr_has_subquery(x) for x in e.items
+        )
     if isinstance(e, EWindow):
         return any(
             expr_has_subquery(x)

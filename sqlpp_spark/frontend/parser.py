@@ -706,13 +706,10 @@ class Parser:
                     continue
                 e = A.EAscribe(expr=e, to_ty=ty, loc=Loc.span(e.loc, self.toks[self.i - 1].loc))
                 continue
-            # IN (select) / NOT IN (bp 60)
+            # IN (select) / IN (value, ...) / NOT IN (bp 60)
             if t.kind == "kw" and t.value.lower() == "in" and 60 >= min_bp:
                 self.advance()
-                self.expect_punct("(")
-                sel = self.select()
-                self.expect_punct(")")
-                e = A.EIn(exprs=[e], select=sel, loc=Loc.span(e.loc, self.toks[self.i - 1].loc))
+                e = self._in_tail(e, negated=False)
                 continue
             if (
                 t.kind == "kw"
@@ -723,13 +720,7 @@ class Parser:
             ):
                 self.advance()
                 self.advance()
-                self.expect_punct("(")
-                sel = self.select()
-                self.expect_punct(")")
-                e = A.EIn(
-                    exprs=[e], select=sel, negated=True,
-                    loc=Loc.span(e.loc, self.toks[self.i - 1].loc),
-                )
+                e = self._in_tail(e, negated=True)
                 continue
             # postfix: [NOT] LIKE pattern (r14 — sugar for the like()
             # extension fn; LIKE is a contextual ident) and
@@ -948,6 +939,28 @@ class Parser:
         loc = Loc.span(start, self.toks[self.i - 1].loc)
         case = A.EApp("case", [pred, e.args[0]], loc=loc)
         return A.EApp(e.fn, [case, *e.args[1:]], loc=loc)
+
+    def _in_tail(self, e: A.Expr, negated: bool) -> A.Expr:
+        """After ``x [NOT] IN`` — a parenthesized subquery (EIn) or a
+        value list (EInList, r14). A select always leads with the
+        SELECT keyword, so one token of lookahead decides."""
+        start = e.loc
+        self.expect_punct("(")
+        if self.at_kw("select"):
+            sel = self.select()
+            self.expect_punct(")")
+            return A.EIn(
+                exprs=[e], select=sel, negated=negated,
+                loc=Loc.span(start, self.toks[self.i - 1].loc),
+            )
+        items = self._comma_list(self.expr, end=")")
+        self.expect_punct(")")
+        if not items:
+            self.fail("IN list requires at least one value")
+        return A.EInList(
+            expr=e, items=items, negated=negated,
+            loc=Loc.span(start, self.toks[self.i - 1].loc),
+        )
 
     def _nav_tail(self) -> A.Expr:
         """After `name.` — either nested nav, an app, a paren expr, or a name."""

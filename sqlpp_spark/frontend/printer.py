@@ -73,6 +73,10 @@ def _expr(e: A.Expr):
         )
         kw = "not in" if e.negated else "in"
         return f"{lhs} {kw} ({select_str(e.select)})", 60
+    if isinstance(e, A.EInList):
+        items = ", ".join(expr_str(x) for x in e.items)
+        kw = "not in" if e.negated else "in"
+        return f"{expr_str(e.expr, 61)} {kw} ({items})", 60
     if isinstance(e, A.EExists):
         return f"exists ({select_str(e.select)})", 1000
     if isinstance(e, A.EMatch):

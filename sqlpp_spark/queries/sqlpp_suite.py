@@ -625,3 +625,24 @@ _sqlpp(
     "FROM nation JOIN region ON n_regionkey = r_regionkey "
     "GROUP BY r_name ORDER BY region_name",
 )
+
+_sqlpp(
+    # r14: IN value lists (the reference's Expr_in takes only a
+    # subquery). Compiles to ONE Catalyst In predicate — reaches the
+    # parquet scan as PushedFilters: [In(...)] (plan-pinned in
+    # tests/test_in_list.py), which an OR-chain desugar would not.
+    "sqlpp_in_list",
+    "select o.o_orderpriority as priority, count(1) as n, "
+    "sum(o.o_orderkey) as key_sum "
+    "from orders as o "
+    "where o.o_orderstatus in ('F', 'P') "
+    "and o.o_orderkey not in (1, 2, 3, 4, 5, 6, 7) "
+    "and o.o_orderkey < 20000 "
+    "group by o.o_orderpriority order by priority",
+    "SELECT o_orderpriority AS priority, count(*) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS key_sum "
+    "FROM orders WHERE o_orderstatus IN ('F', 'P') "
+    "AND o_orderkey NOT IN (1, 2, 3, 4, 5, 6, 7) "
+    "AND o_orderkey < 20000 "
+    "GROUP BY o_orderpriority ORDER BY priority",
+)
