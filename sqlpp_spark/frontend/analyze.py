@@ -388,12 +388,40 @@ class Analyzer:
             sel.where, wty = self.infer_expr(ctx, sel.where)
             check_subsumes(wty, BOOL.nullable(), sel.where.loc, self.src or None)
             self._reject_agg(sel.where, "WHERE")
-        # 3. GROUP BY (r14: plain | ROLLUP | CUBE | GROUPING SETS)
+        # 3. GROUP BY (r14: plain | ROLLUP | CUBE | GROUPING SETS;
+        # late-r14: output-alias and 1-based ordinal references, as in
+        # DuckDB/PG/Spark SQL — resolved against the RAW projection
+        # items before inference, so the substituted expression
+        # hash-conses with its projection twin. A bare name prefers a
+        # real column (PG precedence); ordinals must land on a plain
+        # named/auto-named field.
         if sel.group_by is not None:
+            raw_items = [
+                it if isinstance(it, A.Field) else None for it in sel.fields
+            ]
+
+            def resolve_group_item(g):
+                if isinstance(g, A.ELit) and g.lit_kind == "int":
+                    if not 1 <= g.value <= len(raw_items) or \
+                            raw_items[g.value - 1] is None:
+                        self.err(
+                            f"GROUP BY position {g.value} is not in "
+                            "the select list", g.loc,
+                        )
+                    return copy.deepcopy(raw_items[g.value - 1].expr)
+                if isinstance(g, A.EName) and \
+                        self._try_infer(ctx, g) is None:
+                    for it in raw_items:
+                        if it is not None and it.name == g.name:
+                            return copy.deepcopy(it.expr)
+                return g
+
+            sel.group_by = [resolve_group_item(g) for g in sel.group_by]
             gexprs = []
             remap: List[int] = []  # parse index -> deduped index
             for g in sel.group_by:
                 self._forbid_windows(g, "GROUP BY")
+                self._reject_agg(g, "GROUP BY")
                 ge, _ = self.infer_expr(ctx, g)
                 k = expr_key(ge)
                 if sel.group_kind == "sets" and k in ctx.group_keys:
