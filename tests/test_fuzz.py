@@ -21,6 +21,9 @@ VOCAB = [
     "unbounded", "current", "row", "union", "all", "intersect",
     "except", "avg", "percent_rank", "cume_dist", "nth_value",
     "case", "when", "then", "else", "like",
+    # late r14: IN lists, outer/cross joins, new aggregates
+    "right", "full", "outer", "cross", "stddev", "variance",
+    "string_agg", "bool_and", "bool_or", "count_distinct", "2",
 ]
 
 
@@ -69,17 +72,38 @@ def test_analyzer_never_crashes():
         "id between 1 and 5",
         "name not like '%x'",
         "case when id = 1 then 'x' else 2 end",
+        # late r14: IN value lists (valid and boundary-invalid)
+        "id in (1, 2, 3)",
+        "id not in (1, id + 1)",
+        "name in ('a', 'b')",
+        "id in (1, 'x')",
+        "id in ()",
+        "id in (1, (select count(1) from users group by ()))",
+        # late r14: new aggregates (valid and boundary-invalid)
+        "stddev(id)", "variance(id)", "var_pop(id)",
+        "string_agg(name, ',')", "string_agg(name, name)",
+        "bool_and(id > 1)", "bool_or(name)", "count_distinct(id)",
+        "stddev(name)",
     ]
     froms = [
         "users", "users as u", "q1 as q",
         "users as a join q1 as q on a.id = q.uid",
         "(select id from users) as s",
         "users as a left join users as b on a.id = b.id",
+        # late r14: outer/cross joins
+        "users as a right join users as b on a.id = b.id",
+        "users as a full outer join users as b on a.id = b.id",
+        "users as a cross join q1 as q",
+        "users as a inner join users as b on a.id = b.id",
+        "users as a cross join users as b on a.id = b.id",
     ]
     tails = [
         "", "where id > 0", "group by id", "group by ()", "order by 1",
         "limit 5", "where name is null", "having count(1) > 1",
         "where id in (select id from users)",
+        # late r14: IN lists in WHERE, GROUP BY alias/ordinal forms
+        "where id in (1, 2, 3)", "where name not in ('a', 'b')",
+        "group by 1", "group by 2", "group by 9",
     ]
     for _ in range(1500):
         es = ", ".join(rng.sample(exprs, rng.randint(1, 3)))

@@ -244,6 +244,17 @@ DIRECTED_PROGRAMS = [
         ("delete from items where exists (select true from src "
          "where grp > 99) returning id", {}),
     ],
+    # late r14: IN value lists in DML WHERE/SET positions — plain
+    # Column predicates (no join lowering), incl. the NOT IN
+    # NULL-trap on the nullable val column
+    [
+        ("update items set tag = 'picked' where grp in (2, 4, 6) "
+         "returning id, tag", {}),
+        ("delete from items where id not in (1, 2, 3) "
+         "and val not in (40, 41) returning id", {}),
+        ("update items set grp = case when grp in (5, 7) then grp + 10 "
+         "else grp end returning id, grp", {}),
+    ],
 ]
 
 
