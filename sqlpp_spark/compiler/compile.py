@@ -98,8 +98,8 @@ class Compiler:
         if sctx.order_names:
             df = df.orderBy(
                 *[
-                    (F.col(n).desc() if d else F.col(n).asc())
-                    for n, d in sctx.order_names
+                    self._order_col(F.col(n), o)
+                    for n, o in sctx.order_names
                 ]
             )
         return self._limit_offset(df, sctx.node, binds)
@@ -189,20 +189,40 @@ class Compiler:
                         ]
                     )
                 return self._limit_offset(df, sel, binds)
-            if sel.order_by:
-                ocols = []
-                for i, o in enumerate(sel.order_by):
-                    c = self.expr(o.expr, binds, scalar_map)
-                    if _has_window(o.expr):
-                        # Spark rejects window exprs directly under
-                        # Sort — materialize, order by the column
-                        # (the final projection drops it)
-                        df = df.withColumn(f"__ow{i}", c)
-                        c = F.col(f"__ow{i}")
-                    ocols.append(self._order_col(c, o))
-                df = df.orderBy(*ocols)
-            df = self._limit_offset(df, sel, binds)
-            df = df.select(*cols)
+            # late r14 (ordering bug fix): the projection — where
+            # window functions live — must evaluate BEFORE ORDER BY
+            # and LIMIT. The old sort→limit→project tail computed
+            # windows over post-LIMIT rows and let WindowExec's
+            # internal sort destroy the outer ORDER BY. Project first
+            # (ORDER BY exprs as __obN helper columns in the SAME
+            # select, so they can still reference base columns), then
+            # sort on the helpers, then limit, then drop them —
+            # Catalyst prunes the helpers after the Sort, so the
+            # exchanges are unchanged.
+            df = self._project_order_limit(
+                df, cols, sel, binds, scalar_map
+            )
+        return df
+
+    def _project_order_limit(
+        self, df: DataFrame, cols, sel, binds: Bindings, scalar_map,
+        subst=None,
+    ) -> DataFrame:
+        """project → ORDER BY (helper cols) → LIMIT/OFFSET → drop
+        helpers — the SQL-semantic tail shared by the grouped and
+        ungrouped select compilers (see comment at the call sites)."""
+        ob = []
+        for i, o in enumerate(sel.order_by or []):
+            c = self.expr(o.expr, binds, scalar_map, subst)
+            ob.append((f"__ob{i}", c, o))
+        df = df.select(*cols, *[c.alias(n) for n, c, _o in ob])
+        if ob:
+            df = df.orderBy(
+                *[self._order_col(F.col(n), o) for n, _c, o in ob]
+            )
+        df = self._limit_offset(df, sel, binds)
+        if ob:
+            df = df.drop(*[n for n, _c, _o in ob])
         return df
 
     @staticmethod
@@ -367,17 +387,11 @@ class Compiler:
                     ]
                 )
             return self._limit_offset(grouped, sel, binds)
-        if sel.order_by:
-            ocols = []
-            for i, o in enumerate(sel.order_by):
-                c = self.expr(o.expr, binds, scalar_map, subst)
-                if _has_window(o.expr):
-                    grouped = grouped.withColumn(f"__ow{i}", c)
-                    c = F.col(f"__ow{i}")
-                ocols.append(self._order_col(c, o))
-            grouped = grouped.orderBy(*ocols)
-        grouped = self._limit_offset(grouped, sel, binds)
-        return grouped.select(*cols)
+        # same SQL-semantic tail as the ungrouped path (late r14):
+        # project (windows over the aggregated rows) BEFORE sort/limit
+        return self._project_order_limit(
+            grouped, cols, sel, binds, scalar_map, subst
+        )
 
     def _limit_offset(self, df: DataFrame, sel: A.Select, binds: Bindings) -> DataFrame:
         if sel.offset is not None:
@@ -388,7 +402,17 @@ class Compiler:
 
     @staticmethod
     def _order_col(col: Column, o: A.OrderItem) -> Column:
-        return col.desc() if o.desc else col.asc()
+        # pinned NULL ordering (ast.OrderItem.nulls): NULLS LAST for
+        # BOTH directions unless the query says otherwise (DuckDB's
+        # rule — the oracle engine, so raw dialect source stays
+        # differential-testable). Spark's implicit defaults
+        # (asc→nulls FIRST) diverge, so the engine is always explicit.
+        nulls = o.nulls or "last"
+        if o.desc:
+            return col.desc_nulls_first() if nulls == "first" \
+                else col.desc_nulls_last()
+        return col.asc_nulls_first() if nulls == "first" \
+            else col.asc_nulls_last()
 
     # -- FROM --------------------------------------------------------------
 

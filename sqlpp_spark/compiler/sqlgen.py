@@ -155,6 +155,18 @@ _JOIN_KW = {
 }
 
 
+def _order_suffix(o) -> str:
+    """ASC/DESC + explicit NULLS position (late r14): the dialect pins
+    NULLS LAST for both directions unless overridden (DuckDB's rule,
+    so raw dialect source stays runnable on the oracle engine), and
+    the printed SQL spells it out because backend implicit defaults
+    disagree (Spark asc=nulls-first, PG desc=nulls-first, SQLite
+    asc=nulls-first). Identical spelling in all three dialects
+    (SQLite >= 3.30)."""
+    nulls = o.nulls or "last"
+    return f"{'DESC' if o.desc else 'ASC'} NULLS {nulls.upper()}"
+
+
 class SqlGen:
     def __init__(
         self, params: Optional[Dict[str, object]] = None,
@@ -197,7 +209,7 @@ class SqlGen:
             parts.append(
                 "ORDER BY "
                 + ", ".join(
-                    f"{self.expr(o.expr)} {'DESC' if o.desc else 'ASC'}"
+                    f"{self.expr(o.expr)} {_order_suffix(o)}"
                     for o in sel.order_by
                 )
             )
@@ -268,7 +280,7 @@ class SqlGen:
         if sel.order_by:
             out.append(
                 "ORDER BY " + ", ".join(
-                    f'"__ob{i}" {"DESC" if o.desc else "ASC"}'
+                    f'"__ob{i}" {_order_suffix(o)}'
                     for i, o in enumerate(sel.order_by)
                 )
             )
@@ -327,8 +339,8 @@ class SqlGen:
         if sctx.order_names:
             parts.append(
                 "ORDER BY " + ", ".join(
-                    f"{_q(n)} {'DESC' if d else 'ASC'}"
-                    for n, d in sctx.order_names
+                    f"{_q(n)} {_order_suffix(o)}"
+                    for n, o in sctx.order_names
                 )
             )
         if node.limit is not None:
@@ -405,7 +417,7 @@ class SqlGen:
                 spec.append(
                     "ORDER BY "
                     + ", ".join(
-                        self.expr(o.expr) + (" DESC" if o.desc else "")
+                        f"{self.expr(o.expr)} {_order_suffix(o)}"
                         for o in e.order_by
                     )
                 )

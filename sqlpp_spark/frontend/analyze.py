@@ -286,7 +286,7 @@ class SetOpCtx:
     left: object  # SelectCtx | SetOpCtx
     right: object  # SelectCtx | SetOpCtx
     _row: List[Tuple[str, Ty]] = dc_field(default_factory=list)
-    order_names: List[Tuple[str, bool]] = dc_field(default_factory=list)
+    order_names: List[tuple] = dc_field(default_factory=list)  # (name, OrderItem)
 
     def row(self) -> List[Tuple[str, Ty]]:
         return self._row
@@ -361,7 +361,7 @@ class Analyzer:
                     "column name of the first branch",
                     getattr(o.expr, "loc", None) or q.loc,
                 )
-            ctx.order_names.append((o.expr.name, o.desc))
+            ctx.order_names.append((o.expr.name, o))
         for attr in ("limit", "offset"):
             e = getattr(q, attr)
             if e is None:

@@ -248,6 +248,14 @@ class FromJoin:
 class OrderItem:
     expr: Expr = None
     desc: bool = False
+    # late r14: explicit NULLS FIRST/LAST ("first" | "last" | None).
+    # None means the dialect's PINNED default — NULLS LAST for both
+    # directions (DuckDB's rule, keeping raw dialect source runnable
+    # on the oracle engine) — which the Spark compiler enforces and
+    # every SQL printer spells out explicitly, because the backends
+    # disagree when left implicit (Spark ASC defaults nulls-first,
+    # PG DESC nulls-first, SQLite ASC nulls-first).
+    nulls: str = None
 
 
 @dataclass

@@ -446,7 +446,17 @@ class Parser:
             desc = True
         else:
             self.eat_kw("asc")
-        return A.OrderItem(e, desc)
+        nulls = None
+        if self._at_ident("nulls"):  # late r14, contextual ident
+            self.advance()
+            if self._at_ident("first"):
+                nulls = "first"
+            elif self._at_ident("last"):
+                nulls = "last"
+            else:
+                self.fail("expected FIRST or LAST after NULLS")
+            self.advance()
+        return A.OrderItem(e, desc, nulls)
 
     def _field(self, sel: A.Select):
         loc = self.cur.loc

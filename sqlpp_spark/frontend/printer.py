@@ -34,6 +34,16 @@ _PREC = {
 _BINOPS = {"=", "!=", ">", ">=", "<", "<=", "+", "-", "*", "/", "and", "or"}
 
 
+def _ord_sfx(o) -> str:
+    """desc + explicit nulls only when the source wrote them — fmt
+    round-trips what the user typed (the PINNED default lives in the
+    engine/SQL printers, not here)."""
+    sfx = " DESC" if o.desc else ""
+    if o.nulls:
+        sfx += f" NULLS {o.nulls.upper()}"
+    return sfx
+
+
 def expr_str(e: A.Expr, prec: int = 0) -> str:
     s, p = _expr(e)
     if p < prec:
@@ -98,7 +108,7 @@ def _expr(e: A.Expr):
             spec.append(
                 "order by "
                 + ", ".join(
-                    expr_str(o.expr) + (" desc" if o.desc else "")
+                    expr_str(o.expr) + _ord_sfx(o).lower()
                     for o in e.order_by
                 )
             )
@@ -215,7 +225,7 @@ def setop_str(node: "A.SetOp", elaborated: bool = False) -> str:
     parts = [f"{left} {kw} {right}"]
     if node.order_by:
         items = [
-            expr_str(o.expr) + (" DESC" if o.desc else "")
+            expr_str(o.expr) + _ord_sfx(o)
             for o in node.order_by
         ]
         parts.append("ORDER BY " + ", ".join(items))
@@ -264,7 +274,7 @@ def select_str(sel: A.Select, elaborated: bool = False) -> str:
         parts.append(f"QUALIFY {expr_str(sel.qualify)}")
     if sel.order_by:
         items = [
-            expr_str(o.expr) + (" DESC" if o.desc else "")
+            expr_str(o.expr) + _ord_sfx(o)
             for o in sel.order_by
         ]
         parts.append("ORDER BY " + ", ".join(items))

@@ -646,3 +646,21 @@ _sqlpp(
     "AND o_orderkey < 20000 "
     "GROUP BY o_orderpriority ORDER BY priority",
 )
+
+_sqlpp(
+    # late r14: pinned ORDER BY NULL placement under LIMIT. The
+    # dialect pins NULLS LAST for both directions (DuckDB's rule);
+    # Spark's implicit ASC default is NULLS FIRST, so without the
+    # engine's explicit asc_nulls_last the NULL rows would win the
+    # LIMIT race and this entry would hash-mismatch. nullif()
+    # manufactures NULLs (URGENT orders) from the NOT NULL column.
+    "sqlpp_order_nulls_limit",
+    "select o.o_orderkey as k, "
+    "nullif(o.o_orderpriority, '1-URGENT') as pr "
+    "from orders as o where o.o_orderkey < 1000 "
+    "order by pr, k limit 50",
+    "SELECT o_orderkey AS k, "
+    "nullif(o_orderpriority, '1-URGENT') AS pr "
+    "FROM orders WHERE o_orderkey < 1000 "
+    "ORDER BY pr, k LIMIT 50",
+)
