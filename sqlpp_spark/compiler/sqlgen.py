@@ -570,7 +570,12 @@ class SqlGen:
         if fn == "like":
             pat = e.args[1]
             if isinstance(pat, A.ELit) and pat.lit_kind == "string":
-                return f"({a(0)} LIKE {_str_lit(pat.value)})"
+                # explicit ESCAPE: Spark's implicit default is '\' but
+                # DuckDB/SQLite have NONE — identical spelling in all
+                # three dialects pins the engine's semantics
+                return (
+                    f"({a(0)} LIKE {_str_lit(pat.value)} ESCAPE '\\')"
+                )
             raise SqlppError("like() pattern must be a string literal", pat.loc)
         if fn == "case":
             # r14 searched CASE; mixed int/float branches cast to the

@@ -1447,6 +1447,34 @@ class Analyzer:
             if fnl == "avg":
                 return e, Ty(frozenset({"float"}), t.non_null)
             return e, t
+        if fnl == "like":
+            # late r14: the dialect PINS backslash as the LIKE escape
+            # (Spark's implicit default), and the SQL printers emit an
+            # explicit ESCAPE '\' because the backends disagree when
+            # left implicit (DuckDB/SQLite have NO default escape — a
+            # '\%' pattern silently matches different rows). Dangling
+            # or unknown escape sequences are rejected HERE so the
+            # semantics stay total and engine-identical.
+            nargs(2)
+            t = arg(0)
+            check_subsumes(t, STRING.nullable(), e.loc, self.src or None)
+            pat = e.args[1]
+            if not (isinstance(pat, A.ELit) and pat.lit_kind == "string"):
+                self.err("like() pattern must be a string literal", e.loc)
+            arg(1)
+            i, p = 0, pat.value
+            while i < len(p):
+                if p[i] == "\\":
+                    if i + 1 >= len(p) or p[i + 1] not in ("%", "_", "\\"):
+                        self.err(
+                            "like() escape must be \\%, \\_ or \\\\ "
+                            "(backslash is the pinned escape character)",
+                            pat.loc,
+                        )
+                    i += 2
+                else:
+                    i += 1
+            return e, BOOL.with_non_null(t.non_null)
         # -- extension scalar library (beyond reference; SURVEY §2.7) -----
         ext = _EXT_FNS.get(fnl)
         if ext is not None:

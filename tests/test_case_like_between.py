@@ -203,3 +203,52 @@ def test_agg_filter_clause(eng, duck):
     # FILTER on a non-aggregate is a parse error
     with pytest.raises(SqlppError, match="only valid on aggregate"):
         eng.fetch_list("select upper(name) filter (where id > 1) from t1")
+
+
+def test_like_escape_pinned(eng, duck):
+    """Late r14: backslash is the PINNED LIKE escape (Spark's implicit
+    default) and the printed SQL says ESCAPE '\\' explicitly, because
+    DuckDB/SQLite have NO default escape — '\\%' would silently match
+    different rows. Three-engine agreement + sqlite spot-check."""
+    import sqlite3
+
+    from sqlpp_spark.compiler.sqlgen import select_sql
+    from sqlpp_spark.frontend.analyze import Analyzer
+    from sqlpp_spark.frontend.parser import parse_query
+
+    eng.add_decls("create table esc (a int not null, s string not null);")
+    rows = [(1, "a%b"), (2, "axb"), (3, "50% off"), (4, "a_b"), (5, "a\\b")]
+    eng.register_df(
+        "esc", eng.spark.createDataFrame(rows, "a long, s string")
+    )
+    duck.execute("CREATE TABLE esc (a BIGINT, s VARCHAR)")
+    duck.executemany("INSERT INTO esc VALUES (?,?)", rows)
+    lite = sqlite3.connect(":memory:")
+    lite.execute("CREATE TABLE esc (a, s)")
+    lite.executemany("INSERT INTO esc VALUES (?,?)", rows)
+    for src, expect in (
+        (r"select esc.a as a from esc where esc.s like 'a\%b' order by a",
+         [1]),
+        (r"select esc.a as a from esc where esc.s like '%\%%' order by a",
+         [1, 3]),
+        (r"select esc.a as a from esc where esc.s like 'a\_b' order by a",
+         [4]),
+        (r"select esc.a as a from esc where esc.s like 'a\\b' order by a",
+         [5]),
+        (r"select esc.a as a from esc where esc.s like 'a%b' order by a",
+         [1, 2, 4, 5]),
+    ):
+        got = [r[0] for r in eng.fetch_list(src)]
+        info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+        want = [r[0] for r in duck.execute(select_sql(info)).fetchall()]
+        wantl = [
+            r[0]
+            for r in lite.execute(select_sql(info, dialect="sqlite"))
+        ]
+        assert got == want == wantl == expect, src
+    # dangling / unknown escape sequences are compile-time errors
+    with pytest.raises(SqlppError, match="escape"):
+        eng.fetch_list(r"select esc.a as a from esc where esc.s like 'a\xb'")
+    dangling = "select esc.a as a from esc where esc.s like 'trail" + "\\" + "'"
+    with pytest.raises(SqlppError, match="escape"):
+        eng.fetch_list(dangling)
