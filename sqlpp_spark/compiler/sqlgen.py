@@ -73,13 +73,24 @@ def _str_lit(v: str) -> str:
 #             compares correctly against ISO-stored columns.
 #   date      same for dates.
 #   substring SQLite guarantees substr() (substring() only >= 3.34).
+def _sub_args(a):
+    """Guard the substring edges where backends diverge from the
+    engine (late r14): Spark treats pos 0 as 1 (DuckDB eats a char,
+    SQLite shifts the window) and negative len as empty (DuckDB/SQLite
+    clamp differently). Negative POS windows agree natively across all
+    three — left unguarded."""
+    pos = f"(CASE WHEN {a[1]} = 0 THEN 1 ELSE {a[1]} END)"
+    ln = f"(CASE WHEN {a[2]} < 0 THEN 0 ELSE {a[2]} END)"
+    return a[0], pos, ln
+
+
 _DIALECTS = {
     "duckdb": {
         "int_div": lambda a, b: f"CAST(trunc(CAST({a} AS DOUBLE) / {b}) AS BIGINT)",
         "text_ty": "VARCHAR",
         "datetime": lambda a: f"try_cast(replace({a}, 'T', ' ') AS TIMESTAMP)",
         "date": lambda a: f"try_cast({a} AS DATE)",
-        "substring": lambda a: f"substring({a[0]}, {a[1]}, {a[2]})",
+        "substring": lambda a: "substring({}, {}, {})".format(*_sub_args(a)),
     },
     # PostgreSQL (third dialect, round-9 verdict ask #8 — symmetry with
     # the reference's three backends, sqlpp_postgresql.ml):
@@ -108,7 +119,7 @@ _DIALECTS = {
             f"(CASE WHEN {a} ~ '^\\d{{4}}-\\d{{2}}-\\d{{2}}$' THEN "
             f"CAST({a} AS DATE) ELSE NULL END)"
         ),
-        "substring": lambda a: f"substring({a[0]}, {a[1]}, {a[2]})",
+        "substring": lambda a: "substring({}, {}, {})".format(*_sub_args(a)),
         "year": lambda a: f"extract(year FROM {a})",
         "month": lambda a: f"extract(month FROM {a})",
         "day": lambda a: f"extract(day FROM {a})",
@@ -125,7 +136,7 @@ _DIALECTS = {
         "text_ty": "TEXT",
         "datetime": lambda a: f"datetime(replace({a}, 'T', ' '))",
         "date": lambda a: f"date({a})",
-        "substring": lambda a: f"substr({a[0]}, {a[1]}, {a[2]})",
+        "substring": lambda a: "substr({}, {}, {})".format(*_sub_args(a)),
         # SQLite has no year()/month()/day()/now(); strftime on the
         # ISO TEXT representation is the native spelling
         "year": lambda a: f"strftime('%Y', {a})",
@@ -136,6 +147,17 @@ _DIALECTS = {
         # in Spark/DuckDB — render the words (NULL propagates)
         "tostring_bool": lambda a: (
             f"(CASE WHEN {a} THEN 'true' WHEN NOT {a} THEN 'false' END)"
+        ),
+        # SQLite has no left()/right(): substr emulation with the same
+        # pinned negative-n -> '' edge (late r14)
+        "left": lambda a: (
+            f"substr({a[0]}, 1, CASE WHEN {a[1]} < 0 THEN 0 "
+            f"ELSE {a[1]} END)"
+        ),
+        "right": lambda a: (
+            f"(CASE WHEN {a[1]} <= 0 THEN '' "
+            f"WHEN {a[1]} >= length({a[0]}) THEN {a[0]} "
+            f"ELSE substr({a[0]}, length({a[0]}) - {a[1]} + 1) END)"
         ),
         # SQLite spells strpos as instr (r14 string pack)
         "strpos": lambda a: f"CAST(instr({a[0]}, {a[1]}) AS BIGINT)",
@@ -606,7 +628,8 @@ class SqlGen:
             return self.d["substring"]([a(i) for i in range(len(e.args))])
         if fn in ("year", "month", "day") and fn in self.d:
             return f"CAST({self.d[fn](a(0))} AS BIGINT)"
-        if fn in ("mod", "round", "strpos", "contains") and fn in self.d:
+        if fn in ("mod", "round", "strpos", "contains", "left", "right") \
+                and fn in self.d:
             # dialect-overridden extension fns (PG: NULL-on-÷0 mod,
             # NUMERIC-routed two-arg round; SQLite: instr-based
             # strpos/contains)
@@ -632,8 +655,14 @@ _EXT_SQL = {
     "rpad": lambda a: f"rpad({a[0]}, {a[1]}, {a[2]})",
     "repeat": lambda a: f"repeat({a[0]}, {a[1]})",
     "reverse": lambda a: f"reverse({a[0]})",
-    "left": lambda a: f"left({a[0]}, {a[1]})",
-    "right": lambda a: f"right({a[0]}, {a[1]})",
+    # n < 0 pins the engine's (Spark's) empty string — DuckDB/PG
+    # natively mean "all but the last/first n" there (late r14)
+    "left": lambda a: (
+        f"(CASE WHEN {a[1]} < 0 THEN '' ELSE left({a[0]}, {a[1]}) END)"
+    ),
+    "right": lambda a: (
+        f"(CASE WHEN {a[1]} < 0 THEN '' ELSE right({a[0]}, {a[1]}) END)"
+    ),
     "strpos": lambda a: f"CAST(strpos({a[0]}, {a[1]}) AS BIGINT)",
     "contains": lambda a: f"(strpos({a[0]}, {a[1]}) > 0)",
     "starts_with": lambda a: (

@@ -252,3 +252,52 @@ def test_like_escape_pinned(eng, duck):
     dangling = "select esc.a as a from esc where esc.s like 'trail" + "\\" + "'"
     with pytest.raises(SqlppError, match="escape"):
         eng.fetch_list(dangling)
+
+
+def test_string_fn_edges_pinned(eng, duck):
+    """Late r14: substring/left/right edge inputs where the backends
+    diverge from Spark — pos 0 (DuckDB eats a char, SQLite shifts the
+    window), negative len, negative n in left/right (DuckDB/PG mean
+    'all but n' there; SQLite lacks the fns entirely). The printers
+    guard the edges; three-engine agreement on DYNAMIC positions."""
+    import sqlite3
+
+    from sqlpp_spark.compiler.sqlgen import select_sql
+    from sqlpp_spark.frontend.analyze import Analyzer
+    from sqlpp_spark.frontend.parser import parse_query
+
+    eng.add_decls(
+        "create table sedge (a int not null, s string not null, "
+        "n int not null);"
+    )
+    rows = [(1, "abcdef", 0), (2, "abcdef", -1), (3, "abcdef", 2),
+            (4, "xy", -3), (5, "hello", 9)]
+    eng.register_df(
+        "sedge", eng.spark.createDataFrame(rows, "a long, s string, n long")
+    )
+    duck.execute("CREATE TABLE sedge (a BIGINT, s VARCHAR, n BIGINT)")
+    duck.executemany("INSERT INTO sedge VALUES (?,?,?)", rows)
+    lite = sqlite3.connect(":memory:")
+    lite.execute("CREATE TABLE sedge (a, s, n)")
+    lite.executemany("INSERT INTO sedge VALUES (?,?,?)", rows)
+    for src in (
+        "select sedge.a as a, substring(sedge.s, sedge.n, 3) as x "
+        "from sedge order by a",
+        "select sedge.a as a, substring(sedge.s, 2, sedge.n) as x "
+        "from sedge order by a",
+        "select sedge.a as a, left(sedge.s, sedge.n) as x, "
+        "right(sedge.s, sedge.n) as y from sedge order by a",
+        "select sedge.a as a, substring(sedge.s, 0, 3) as x, "
+        "left(sedge.s, -1) as y, right(sedge.s, -2) as z "
+        "from sedge order by a",
+    ):
+        got = [tuple(r) for r in eng.fetch_list(src)]
+        info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+        want = [
+            tuple(r) for r in duck.execute(select_sql(info)).fetchall()
+        ]
+        wantl = [
+            tuple(r)
+            for r in lite.execute(select_sql(info, dialect="sqlite"))
+        ]
+        assert got == want == wantl, src
