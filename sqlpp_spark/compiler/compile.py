@@ -1478,10 +1478,14 @@ _EXT_COMPILE = {
     "month": lambda a: F.month(a[0]).cast("bigint"),
     "day": lambda a: F.dayofmonth(a[0]).cast("bigint"),
     "mod": lambda a: F.try_mod(a[0], a[1]),
-    "sqrt": lambda a: F.sqrt(a[0]),
+    # sqrt/ln pin NULL on out-of-domain input (late r14): Spark's
+    # natives give NaN/NULL while DuckDB/PG raise Out of Range — the
+    # dialect's total semantics is NULL, guarded identically in the
+    # SQL printers so every backend agrees
+    "sqrt": lambda a: F.when(a[0] >= 0, F.sqrt(a[0])),
     "pow": lambda a: F.pow(a[0], a[1]),
     "exp": lambda a: F.exp(a[0]),
-    "ln": lambda a: F.log(a[0]),
+    "ln": lambda a: F.when(a[0] > 0, F.log(a[0])),
 }
 
 

@@ -680,10 +680,13 @@ _EXT_SQL = {
     "day": lambda a: f"CAST(day({a[0]}) AS BIGINT)",
     # try-mod: NULL on mod 0 in BOTH engines (DuckDB % yields NULL)
     "mod": lambda a: f"({a[0]} % {a[1]})",
-    "sqrt": lambda a: f"sqrt({a[0]})",
+    # NULL on out-of-domain (late r14): DuckDB/PG raise Out of Range
+    # where the engine yields NULL — the CASE guard short-circuits
+    # per row in every backend
+    "sqrt": lambda a: f"(CASE WHEN {a[0]} >= 0 THEN sqrt({a[0]}) END)",
     "pow": lambda a: f"pow({a[0]}, {a[1]})",
     "exp": lambda a: f"exp({a[0]})",
-    "ln": lambda a: f"ln({a[0]})",
+    "ln": lambda a: f"(CASE WHEN {a[0]} > 0 THEN ln({a[0]}) END)",
 }
 
 

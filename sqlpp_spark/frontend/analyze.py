@@ -1907,10 +1907,12 @@ _EXT_FNS = {
     "starts_with": _ext(lambda tys: BOOL),
     "ends_with": _ext(lambda tys: BOOL),
     "mod": _ext(lambda tys: tys[0] if tys and tys[0] is not None else NUMERIC),
-    "sqrt": _ext(lambda tys: Ty(frozenset({"float"}), True)),
+    # sqrt/ln are NULL on out-of-domain input (late r14) — always
+    # nullable regardless of the argument
+    "sqrt": lambda an, e, tys: Ty(frozenset({"float"}), False),
     "pow": _ext(lambda tys: Ty(frozenset({"float"}), True)),
     "exp": _ext(lambda tys: Ty(frozenset({"float"}), True)),
-    "ln": _ext(lambda tys: Ty(frozenset({"float"}), True)),
+    "ln": lambda an, e, tys: Ty(frozenset({"float"}), False),
 }
 
 

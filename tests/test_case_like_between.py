@@ -301,3 +301,28 @@ def test_string_fn_edges_pinned(eng, duck):
             for r in lite.execute(select_sql(info, dialect="sqlite"))
         ]
         assert got == want == wantl, src
+
+
+def test_math_domain_pinned(eng, duck):
+    """Late r14: sqrt/ln return NULL on out-of-domain input — Spark's
+    natives give NaN/NULL while DuckDB/PG raise Out of Range errors;
+    the dialect pins total NULL semantics with identical CASE guards
+    in engine and printers."""
+    from sqlpp_spark.compiler.sqlgen import select_sql
+    from sqlpp_spark.frontend.analyze import Analyzer
+    from sqlpp_spark.frontend.parser import parse_query
+
+    eng.add_decls("create table mth (a int not null, x float not null);")
+    rows = [(1, 4.0), (2, -9.0), (3, 0.0)]
+    eng.register_df("mth", eng.spark.createDataFrame(rows, "a long, x double"))
+    duck.execute("CREATE TABLE mth (a BIGINT, x DOUBLE)")
+    duck.executemany("INSERT INTO mth VALUES (?,?)", rows)
+    src = "select mth.a as a, sqrt(mth.x) as sq, ln(mth.x) as l from mth order by a"
+    got = [tuple(r) for r in eng.fetch_list(src)]
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    want = [tuple(r) for r in duck.execute(select_sql(info)).fetchall()]
+    assert got == want == [
+        (1, 2.0, 1.3862943611198906), (2, None, None), (3, 0.0, None),
+    ]
+    tys = dict(info.row)
+    assert not tys["sq"].non_null and not tys["l"].non_null
