@@ -584,6 +584,11 @@ class SqlGen:
             ty = e.args[0].ty
             if ty is not None and ty.kind == "bool" and "tostring_bool" in self.d:
                 return self.d["tostring_bool"](a(0))
+            # documented boundary: toString(float) agrees across
+            # backends in the plain-decimal regime ('3.0', '0.1') but
+            # diverges once engines switch to scientific notation
+            # (Spark '1.0E20' vs DuckDB '1e+20') — float-to-string
+            # rendering is engine-defined beyond ~1e16
             return f"CAST({a(0)} AS {self.d['text_ty']})"
         if fn == "datetime":
             return self.d["datetime"](a(0))

@@ -162,11 +162,25 @@ try:
     def pred(draw, depth=0):
         kind = draw(
             st.sampled_from(
-                ["cmp", "cmp", "cmp", "and", "or", "not", "in_sub"]
+                ["cmp", "cmp", "cmp", "and", "or", "not", "in_sub",
+                 "in_list"]
                 if depth < 2
                 else ["cmp"]
             )
         )
+        if kind == "in_list":
+            # late r14: literal IN lists (EInList -> Column.isin),
+            # incl. the NOT IN 3VL path over nullif-injected NULLs
+            neg = draw(st.sampled_from(["", "not "]))
+            col = draw(st.sampled_from(
+                INT_COLS
+                + [f"nullif(n_regionkey, {draw(st.integers(0, 4))})"]
+            ))
+            vals = ", ".join(
+                str(draw(st.integers(-2, 6)))
+                for _ in range(draw(st.integers(1, 4)))
+            )
+            return f"({col} {neg}in ({vals}))"
         if kind == "cmp":
             op = draw(st.sampled_from(["=", "!=", "<", "<=", ">", ">="]))
             return f"({draw(int_expr())} {op} {draw(int_expr())})"
@@ -227,7 +241,7 @@ try:
         shape = draw(st.sampled_from(
             ["project", "project", "group", "group", "left_join",
              "scalar_in", "from_sub", "distinct", "window", "setop",
-             "case", "qualify", "rollup"]
+             "case", "qualify", "rollup", "outer_join", "new_aggs"]
         ))
         if shape == "case":
             # r14: searched CASE + BETWEEN + FILTER shapes
@@ -240,7 +254,9 @@ try:
             )
             return (
                 f"select n_name, {arm} as c, "
-                f"count(1) filter (where {draw(pred())}) over "
+                # depth=2 -> cmp-only: subqueries are (correctly)
+                # rejected inside window specifications
+                f"count(1) filter (where {draw(pred(depth=2))}) over "
                 f"(partition by n_regionkey) as fc "
                 f"from nation where {where}"
             )
@@ -281,6 +297,42 @@ try:
                 f"select {lcol} as k from nation where {where} "
                 f"{op} select {rcol} as k from {rtab} "
                 f"order by k limit 20"
+            )
+        if shape == "outer_join":
+            # late r14: RIGHT/FULL/CROSS joins with a residual filter
+            kind = draw(st.sampled_from([
+                "right join", "full join", "full outer join",
+                "cross join",
+            ]))
+            on = (
+                "" if kind == "cross join"
+                else (
+                    f" on n.n_regionkey = r.r_regionkey "
+                    f"and r.r_regionkey < {draw(st.integers(0, 5))}"
+                )
+            )
+            post = draw(st.sampled_from([
+                "n.n_name is null", "r.r_name is not null",
+                f"coalesce(n.n_regionkey, 9) > {draw(st.integers(0, 8))}",
+            ]))
+            return (
+                f"select n.n_name, r.r_name from nation as n "
+                f"{kind} region as r{on} where {post}"
+            )
+        if shape == "new_aggs":
+            # late r14 aggregates: exact-output subset only (stddev /
+            # variance stay out of the bit-equal fuzz — Welford-vs-
+            # naive ULP drift; their oracled entry pins them through
+            # tolerance booleans instead)
+            gb = draw(st.sampled_from(["n_regionkey", "1"]))
+            return (
+                f"select n_regionkey as g, "
+                f"string_agg(n_name, '|') as cs, "
+                f"bool_and(n_nationkey > {draw(st.integers(0, 20))}) "
+                f"as ba, "
+                f"bool_or(n_name = 'CHINA') as bo, "
+                f"count_distinct(n_regionkey) as cd "
+                f"from nation where {where} group by {gb} order by g"
             )
         if shape == "project":
             exprs = draw(st.lists(int_expr(), min_size=1, max_size=3))
