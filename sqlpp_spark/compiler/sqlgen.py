@@ -235,11 +235,22 @@ class SqlGen:
                     for o in sel.order_by
                 )
             )
-        if sel.limit is not None:
-            parts.append(f"LIMIT {self._const_int(sel.limit)}")
-        if sel.offset is not None:
-            parts.append(f"OFFSET {self._const_int(sel.offset)}")
+        parts.extend(self._limit_offset_sql(sel.limit, sel.offset))
         return " ".join(parts)
+
+    def _limit_offset_sql(self, limit, offset) -> List[str]:
+        """LIMIT/OFFSET tail. The dialect supports OFFSET without
+        LIMIT (independent clauses, reference parity) but SQLite's
+        grammar rejects a bare OFFSET — spell it LIMIT -1 OFFSET n
+        there (late r14)."""
+        out: List[str] = []
+        if limit is not None:
+            out.append(f"LIMIT {self._const_int(limit)}")
+        elif offset is not None and self.dialect == "sqlite":
+            out.append("LIMIT -1")
+        if offset is not None:
+            out.append(f"OFFSET {self._const_int(offset)}")
+        return out
 
     def _group_by_sql(self, ctx: SelectCtx) -> Optional[str]:
         """GROUP BY clause incl. the r14 ROLLUP/CUBE/GROUPING SETS
@@ -306,10 +317,7 @@ class SqlGen:
                     for i, o in enumerate(sel.order_by)
                 )
             )
-        if sel.limit is not None:
-            out.append(f"LIMIT {self._const_int(sel.limit)}")
-        if sel.offset is not None:
-            out.append(f"OFFSET {self._const_int(sel.offset)}")
+        out.extend(self._limit_offset_sql(sel.limit, sel.offset))
         return " ".join(out)
 
     def _setop(self, sctx: SetOpCtx) -> str:
@@ -365,10 +373,7 @@ class SqlGen:
                     for n, o in sctx.order_names
                 )
             )
-        if node.limit is not None:
-            parts.append(f"LIMIT {self._const_int(node.limit)}")
-        if node.offset is not None:
-            parts.append(f"OFFSET {self._const_int(node.offset)}")
+        parts.extend(self._limit_offset_sql(node.limit, node.offset))
         return " ".join(parts)
 
     def _from(self, ctx: SelectCtx, fr) -> str:

@@ -163,3 +163,26 @@ def test_sqlite_now_renders_native():
         analyze(env, "select toString(now()) as n from t"), dialect="sqlite"
     )
     assert "datetime('now')" in sql and "now()" not in sql
+
+
+def test_bare_offset_spelled_limit_minus_one():
+    """Late r14: the dialect's independent OFFSET (no LIMIT) is a
+    SQLite grammar error when printed bare — the sqlite dialect
+    spells it LIMIT -1 OFFSET n."""
+    import sqlite3
+
+    from sqlpp_spark.compiler.sqlgen import select_sql
+    from sqlpp_spark.frontend.analyze import Env, analyze
+
+    env = Env()
+    env.add("create table t (a int not null);")
+    info = analyze(env, "select t.a as a from t order by a offset 2")
+    sql = select_sql(info, dialect="sqlite")
+    assert "LIMIT -1 OFFSET 2" in sql
+    con = sqlite3.connect(":memory:")
+    con.execute("create table t (a)")
+    con.executemany("insert into t values (?)", [(i,) for i in range(5)])
+    assert con.execute(sql).fetchall() == [(2,), (3,), (4,)]
+    # duckdb/pg keep the bare OFFSET spelling
+    assert "LIMIT -1" not in select_sql(info)
+    assert "OFFSET 2" in select_sql(info, dialect="postgres")
