@@ -1248,6 +1248,14 @@ class Compiler:
             col = F.max(args[0])
         elif fnl == "avg":
             col = F.avg(args[0])
+        elif fnl == "stddev":
+            col = F.stddev_samp(args[0])
+        elif fnl == "variance":
+            col = F.var_samp(args[0])
+        elif fnl == "stddev_pop":
+            col = F.stddev_pop(args[0])
+        elif fnl == "var_pop":
+            col = F.var_pop(args[0])
         elif fnl == "percent_rank":
             col = F.percent_rank()
         elif fnl == "cume_dist":

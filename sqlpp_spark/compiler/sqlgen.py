@@ -459,7 +459,15 @@ class SqlGen:
                     f"{e.frame.mode.upper()} BETWEEN "
                     f"{fb(e.frame.start)} AND {fb(e.frame.end)}"
                 )
-            return f"{e.fn.lower()}({args}) OVER ({' '.join(spec)})"
+            fnl = e.fn.lower()
+            if self.dialect == "sqlite" and fnl in (
+                "stddev", "variance", "stddev_pop", "var_pop",
+            ):
+                raise SqlppError(
+                    f"SQLite has no {fnl}() window aggregate "
+                    "(backend divergence)"
+                )
+            return f"{fnl}({args}) OVER ({' '.join(spec)})"
         if isinstance(e, A.EIn):
             lhs = ", ".join(self.expr(x) for x in e.exprs)
             if len(e.exprs) > 1:

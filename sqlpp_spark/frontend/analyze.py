@@ -992,6 +992,9 @@ class Analyzer:
     _WIN_RANKING_F = {"percent_rank", "cume_dist"}
     _WIN_OFFSET = {"lag", "lead"}
     _WIN_AGG = {"count", "sum", "min", "max", "avg"}
+    # late r14: statistical aggregates over windows — FLOAT NULL
+    # regardless of frame (sample forms are NULL on 1-row frames)
+    _WIN_STAT = {"stddev", "variance", "stddev_pop", "var_pop"}
     # order-dependent value fns: require ORDER BY; ntile needs the
     # bucket count as an int literal; nth_value (r14) the 1-based
     # position as an int literal
@@ -1008,7 +1011,7 @@ class Analyzer:
         fnl = e.fn.lower()
         if fnl not in (
             self._WIN_RANKING | self._WIN_RANKING_F | self._WIN_OFFSET
-            | self._WIN_AGG | self._WIN_VALUE
+            | self._WIN_AGG | self._WIN_VALUE | self._WIN_STAT
         ):
             self.err(f"unknown window function `{e.fn}(..)`", e.loc)
         grouped = ctx.select.group_by is not None
@@ -1105,6 +1108,14 @@ class Analyzer:
         # aggregate-shaped window fns
         if len(e.args) != 1:
             self.err(f"window `{e.fn}(..)` takes exactly 1 argument", e.loc)
+        if fnl in self._WIN_STAT:
+            check_subsumes(
+                arg_tys[0], NUMERIC.nullable(), e.args[0].loc,
+                self.src or None,
+            )
+            # sample forms are NULL on 1-row frames, pop forms on
+            # empty frames — always nullable
+            return e, FLOAT.with_non_null(False)
         if fnl == "count":
             return e, INT  # count over an empty frame is 0, NOT NULL
         check_subsumes(arg_tys[0], NUMERIC.nullable(), e.args[0].loc, self.src or None)

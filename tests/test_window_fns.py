@@ -256,3 +256,43 @@ def test_window_fmt_roundtrip():
         once = format_query(parse_query(src))
         again = format_query(parse_query(once))
         assert once == again
+
+
+def test_window_stat_aggs(eng, duck):
+    """Late r14: stddev/variance/stddev_pop/var_pop over windows.
+    Approximate float comparison (Welford-vs-naive ULP drift between
+    engines); NULL structure (1-row sample frames) compared exactly."""
+    import math
+
+    from sqlpp_spark.compiler.sqlgen import select_sql
+    from sqlpp_spark.frontend.analyze import Analyzer, analyze
+    from sqlpp_spark.frontend.parser import parse_query
+
+    src = (
+        "select id, "
+        "stddev(val) over (partition by grp) as sd, "
+        "variance(val) over (order by id "
+        "rows between 1 preceding and current row) as v, "
+        "var_pop(val) over (partition by grp) as vp "
+        "from t1 order by id"
+    )
+    rows = [tuple(r) for r in eng.fetch_list(src)]
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    want = [tuple(r) for r in duck.execute(select_sql(info)).fetchall()]
+    assert len(rows) == len(want)
+    for a, b in zip(rows, want):
+        assert a[0] == b[0]
+        for x, y in zip(a[1:], b[1:]):
+            if x is None or y is None:
+                assert x is None and y is None
+            else:
+                assert math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-12)
+    tys = dict(info.row)
+    assert not tys["sd"].non_null and not tys["v"].non_null
+    # sqlite has no stat window aggregates — documented divergence
+    import pytest as _pytest
+
+    from sqlpp_spark.compiler.sqlgen import SqlGen
+    from sqlpp_spark.frontend.errors import SqlppError as _E
+    with _pytest.raises(_E, match="backend divergence"):
+        SqlGen(None, "sqlite").select(info.ctx)
