@@ -4,7 +4,8 @@ the same box conditions (VERDICT r6 ask #1; r12 ask #2 reuses it for
 the whole 21-query r11-vs-HEAD suite).
 
 Usage:  python tools/ab_bench.py [commit] [pairs] [setname]
-        setname: shared23 (default — the full r13 headline set),
+        setname: shared24 (default — the full r14 headline set),
+                 shared23 (the r13 set),
                  shared21 (every query benched in BOTH r11 and r12),
                  shared13 (r5 era, for commit 324000e), suspect3
 
@@ -74,9 +75,16 @@ SHARED_23 = SHARED_21 + [
     "events_funnel_steps",
 ]
 
+# the full 24-query r14 headline set (corpus_heavy_hitters joined in
+# r14) — default so the next drift flag adjudicates in one command
+SHARED_24 = SHARED_23 + [
+    "corpus_heavy_hitters",
+]
+
 SETS["shared13"] = SHARED_13
 SETS["shared21"] = SHARED_21
 SETS["shared23"] = SHARED_23
+SETS["shared24"] = SHARED_24
 # the three rows whose shared21 ratios exceeded 1.2 under load — a
 # quiet-box re-adjudication set (r13)
 SETS["suspect3"] = [
@@ -112,7 +120,7 @@ def main() -> None:
     global QUERY_SET
     commit = sys.argv[1] if len(sys.argv) > 1 else "324000e"
     pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    QUERY_SET = SETS[sys.argv[3] if len(sys.argv) > 3 else "shared23"]
+    QUERY_SET = SETS[sys.argv[3] if len(sys.argv) > 3 else "shared24"]
     wt = os.path.join(REPO, ".ab", commit)
     if not os.path.isdir(wt):
         subprocess.run(
@@ -138,7 +146,7 @@ def main() -> None:
         t = run_side(sides[side], side, runs_per_call=2)
         for q, v in t.items():
             samples[side].setdefault(q, []).append(v)
-    result = {"commit_pinned": commit, "pairs": pairs, "set": sys.argv[3] if len(sys.argv) > 3 else "shared13", "queries": {}}
+    result = {"commit_pinned": commit, "pairs": pairs, "set": sys.argv[3] if len(sys.argv) > 3 else "shared24", "queries": {}}
     print(f"\n{'query':34s} {'pinned':>8s} {'head':>8s} {'ratio':>7s}")
     tot5 = toth = 0.0
     for q in QUERY_SET:
