@@ -664,3 +664,56 @@ _sqlpp(
     "FROM orders WHERE o_orderkey < 1000 "
     "ORDER BY pr, k LIMIT 50",
 )
+
+_sqlpp(
+    # late r14: GROUP BY ordinal + output alias (DuckDB/PG/Spark-SQL
+    # convention; resolved against raw projection items pre-inference)
+    "sqlpp_group_by_ordinal",
+    "select o.o_orderpriority as pr, o.o_orderstatus as st, "
+    "count(1) as n from orders as o where o.o_orderkey < 30000 "
+    "group by 1, st order by pr, st",
+    "SELECT o_orderpriority AS pr, o_orderstatus AS st, count(*) AS n "
+    "FROM orders WHERE o_orderkey < 30000 "
+    "GROUP BY 1, 2 ORDER BY pr, st",
+)
+
+_sqlpp(
+    # late r14: pinned edge semantics in one entry — substring pos 0,
+    # left/right with DYNAMIC (possibly negative) lengths, and
+    # sqrt NULL-on-negative (DuckDB would raise Out of Range without
+    # the printed CASE guard; Spark would return NaN). sqrt is
+    # IEEE-correctly-rounded — bit-identical on both engines for the
+    # same exact-int input.
+    "sqlpp_string_edges",
+    "select p.p_partkey as k, substring(p.p_type, 0, 8) as a, "
+    "left(p.p_name, p.p_size - 10) as b, "
+    "right(p.p_name, 3 - p.p_size) as c, "
+    "sqrt((5 - p.p_size) * 1.0) as sq "
+    "from part as p where p.p_partkey < 200 order by k",
+    "SELECT p_partkey AS k, "
+    "substring(p_type, CASE WHEN 0 = 0 THEN 1 ELSE 0 END, 8) AS a, "
+    "(CASE WHEN p_size - 10 < 0 THEN '' "
+    "ELSE left(p_name, p_size - 10) END) AS b, "
+    "(CASE WHEN 3 - p_size < 0 THEN '' "
+    "ELSE right(p_name, 3 - p_size) END) AS c, "
+    "(CASE WHEN (5 - p_size) * 1.0 >= 0 "
+    "THEN sqrt((5 - p_size) * 1.0) END) AS sq "
+    "FROM part WHERE p_partkey < 200 ORDER BY k",
+)
+
+_sqlpp(
+    # late r14: pinned LIKE escape — backslash escapes %/_ in the
+    # dialect (Spark's implicit default), printed with an explicit
+    # ESCAPE '\' because DuckDB/SQLite have NO default escape and
+    # would match different rows on the same pattern.
+    "sqlpp_like_escape",
+    "select p.p_partkey as k, "
+    "replace(p.p_type, ' ', '_') as t "
+    "from part as p where p.p_partkey < 500 "
+    "and replace(p.p_type, ' ', '_') like '%\\_STEEL' "
+    "order by k",
+    "SELECT p_partkey AS k, replace(p_type, ' ', '_') AS t "
+    "FROM part WHERE p_partkey < 500 "
+    "AND replace(p_type, ' ', '_') LIKE '%\\_STEEL' ESCAPE '\\' "
+    "ORDER BY k",
+)
