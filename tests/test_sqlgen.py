@@ -416,6 +416,51 @@ try:
             f"where x.k {op} {draw(st.integers(0, 24))}"
         )
 
+    @st.composite
+    def order_query(draw):
+        """Late r14: ORDER-SENSITIVE arm — the sorted-rows compare of
+        the main fuzzer can never catch NULL-placement / LIMIT-race
+        bugs (the class the `_project_order_limit` fix closed). The
+        ORDER BY is made total (unique n_nationkey tie-break) so
+        row-for-row comparison is deterministic; nullif injects NULLs
+        into the leading key."""
+        key = draw(st.sampled_from([
+            "n_regionkey",
+            f"nullif(n_regionkey, {draw(st.integers(0, 4))})",
+            f"(n_nationkey * {draw(st.integers(-2, 2))})",
+        ]))
+        d1 = draw(st.sampled_from(["", " desc"]))
+        nl = draw(st.sampled_from(["", " nulls first", " nulls last"]))
+        d2 = draw(st.sampled_from(["", " desc"]))
+        tail = draw(st.sampled_from([
+            "", f" limit {draw(st.integers(1, 20))}",
+            f" limit {draw(st.integers(1, 20))} "
+            f"offset {draw(st.integers(0, 6))}",
+            f" offset {draw(st.integers(0, 20))}",
+        ]))
+        win = draw(st.sampled_from([
+            "", ", rank() over (order by n_nationkey desc) as rk",
+        ]))
+        return (
+            f"select n_name, {key} as k{win} from nation "
+            f"where {draw(pred(depth=2))} "
+            f"order by k{d1}{nl}, n_nationkey{d2}{tail}"
+        )
+
+    @settings(max_examples=25, deadline=None, derandomize=True)
+    @given(order_query())
+    def test_sqlgen_fuzz_ordered(engine, duck, src):
+        """Row-ORDER-sensitive differential: Spark rows must equal the
+        DuckDB rows of the printed SQL in sequence, not just as sets."""
+        spark_rows = [
+            tuple(_norm(v) for v in r) for r in engine.fetch_list(src)
+        ]
+        sql = select_sql(analyze(engine.env, src))
+        duck_rows = [
+            tuple(_norm(v) for v in r) for r in duck.execute(sql).fetchall()
+        ]
+        assert spark_rows == duck_rows, f"{src}\n{sql}"
+
     @settings(max_examples=40, deadline=None, derandomize=True)
     @given(st.one_of(query(), nav_query()))
     def test_sqlgen_fuzz(engine, duck, src):
