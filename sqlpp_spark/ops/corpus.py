@@ -18,7 +18,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from sqlpp_spark.ops import ensure_parallelism
@@ -1224,4 +1224,64 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") > F.lit(thresh))
         .orderBy(F.col("n_occurrences").desc(), "token")
+    )
+
+
+def cms_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 1024,
+    k: int = 500,
+) -> DataFrame:
+    """Count-min sketch token-frequency estimation (late r14, the
+    third sketch in the family after HLL distinct and Misra-Gries
+    heavy hitters). The sketch is a d x w counter matrix: every token
+    occurrence increments cell (j, hash_j(token) % w) for each of the
+    d salted hash rows; a token's estimate is the MIN over its d
+    cells — always >= the true count (collisions only ADD), within
+    eps*N with probability 1-delta for w=e/eps, d=ln(1/delta).
+
+    100 TB shape: the aggregation state is bounded by d*w cells
+    (4096 here) REGARDLESS of corpus size or vocabulary — the groupBy
+    shuffles at most d*w rows after map-side partial aggregation, and
+    sketches from disjoint corpus shards merge by cell-wise addition
+    (the same groupBy). Probing broadcasts the tiny sketch.
+
+    Determinism: the salted hash is the engine's md5-based hash64
+    (ops/hashing.py), so DuckDB recomputes the IDENTICAL sketch
+    cell-for-cell — the oracle is exact, not a tolerance band. The
+    probe set is the exact heavy-hitter output (deterministic,
+    partitioning-independent), keeping the estimates reproducible.
+    """
+    toks = df.select(
+        F.explode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("token")
+    ).filter(F.col("token") != "")
+
+    def cells_for(col: Column) -> Column:
+        return F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                (hash64(F.concat_ws("|", F.lit(f"cms{j}"), col)) % w)
+                .alias("b"),
+            )
+            for j in range(d)
+        ])
+
+    sketch = (
+        toks.select(F.explode(cells_for(F.col("token"))).alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = heavy_hitters(df, text_col, k=k).select("token")
+    pcells = probes.select(
+        "token", F.explode(cells_for(F.col("token"))).alias("c")
+    ).select("token", F.col("c.j").alias("j"), F.col("c.b").alias("b"))
+    return (
+        pcells.join(F.broadcast(sketch), on=["j", "b"], how="inner")
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est_n"))
+        .orderBy("token")
     )

@@ -711,3 +711,43 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the full exact answer, so a hash-green row proves the
     pruning lost no true heavy hitter."""
     return C.heavy_hitters(table(spark, sf_dir, "documents"), k=500)
+
+
+@register(
+    "corpus_cms_counts",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents
+),
+t AS (SELECT token FROM toks WHERE token <> ''),
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+cells AS (
+  SELECT js.j AS j,
+         {hash64_sql("'cms' || CAST(js.j AS VARCHAR) || '|' || t.token")} % 1024 AS b
+  FROM t, js
+),
+sketch AS (SELECT j, b, COUNT(*) AS cnt FROM cells GROUP BY j, b),
+tot AS (SELECT COUNT(*) AS n FROM t),
+hh AS (
+  SELECT token FROM t, tot GROUP BY token, tot.n
+  HAVING COUNT(*) > tot.n // 500
+),
+probe AS (
+  SELECT hh.token AS token, js.j AS j,
+         {hash64_sql("'cms' || CAST(js.j AS VARCHAR) || '|' || hh.token")} % 1024 AS b
+  FROM hh, js
+)
+SELECT probe.token AS token, CAST(MIN(sketch.cnt) AS BIGINT) AS est_n
+FROM probe JOIN sketch ON sketch.j = probe.j AND sketch.b = probe.b
+GROUP BY probe.token ORDER BY token
+""",
+)
+def corpus_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the exact heavy-hitter
+    probe set (ops/corpus.py cms_counts): a 4x1024 salted-hash counter
+    matrix whose aggregation state is bounded by d*w cells regardless
+    of corpus or vocabulary size; estimates are min-over-rows. The
+    md5-based hash64 is engine-identical, so DuckDB rebuilds the SAME
+    sketch cell-for-cell and the oracle is exact — a hash-green row
+    proves both the sketch construction and the probe path."""
+    return C.cms_counts(table(spark, sf_dir, "documents"), d=4, w=1024, k=500)

@@ -558,3 +558,28 @@ def test_heavy_hitters_partitioning_independent(spark):
     }
     assert out1 == brute
     assert ("hot", 400) in out1
+
+
+def test_cms_overestimates_and_is_partitioning_independent(spark):
+    """Count-min property: est >= exact for EVERY probe (collisions
+    only add); and the sketch is deterministic — repartitioning the
+    input cannot change any estimate (late r14)."""
+    from sqlpp_spark.ops.corpus import cms_counts, heavy_hitters
+
+    rows = [("hot " * 40 + "warm " * 9 + "cold",) for _ in range(10)]
+    rows += [(f"rare{i} filler words here",) for i in range(30)]
+    df = spark.createDataFrame(rows, "text string")
+    k = 10
+    est = {r.token: r.est_n for r in cms_counts(df, d=4, w=64, k=k).collect()}
+    exact = {
+        r.token: r.n_occurrences
+        for r in heavy_hitters(df, k=k).collect()
+    }
+    assert set(est) == set(exact) and exact  # probe set = heavy hitters
+    for tok, e in est.items():
+        assert e >= exact[tok], (tok, e, exact[tok])
+    est2 = {
+        r.token: r.est_n
+        for r in cms_counts(df.repartition(7), d=4, w=64, k=k).collect()
+    }
+    assert est == est2
