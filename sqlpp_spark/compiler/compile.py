@@ -157,17 +157,6 @@ class Compiler:
             )
             if sel.having is not None:
                 raise SqlppError("HAVING without GROUP BY")
-            if sel.qualify is not None:
-                # QUALIFY (r14): windows evaluate over the post-WHERE
-                # rows; materialize (Spark rejects windows in Filter),
-                # filter, drop — before projection/ORDER BY
-                df = (
-                    df.withColumn(
-                        "__qual", self.expr(sel.qualify, binds, scalar_map)
-                    )
-                    .filter(F.col("__qual"))
-                    .drop("__qual")
-                )
             cols = [
                 self.expr(f.expr, binds, scalar_map).alias(f.out_name) for f in out_fields
             ]
@@ -208,21 +197,39 @@ class Compiler:
         self, df: DataFrame, cols, sel, binds: Bindings, scalar_map,
         subst=None,
     ) -> DataFrame:
-        """project → ORDER BY (helper cols) → LIMIT/OFFSET → drop
-        helpers — the SQL-semantic tail shared by the grouped and
-        ungrouped select compilers (see comment at the call sites)."""
+        """project → QUALIFY filter → ORDER BY (helper cols) →
+        LIMIT/OFFSET → drop helpers — the SQL-semantic tail shared by
+        the grouped and ungrouped select compilers.
+
+        QUALIFY (r15 fix): output fields, the ``__ob`` ORDER BY
+        helpers and the ``__qual`` predicate are all evaluated in ONE
+        select over the pre-filter frame, then the filter runs on
+        ``__qual`` — so every window function (projection, ORDER BY,
+        and the QUALIFY predicate itself) sees the same pre-QUALIFY
+        row set. This mirrors the printer's wrapped-subselect form
+        (sqlgen.py:_select_qualify) and DuckDB's native QUALIFY; the
+        r14 shape filtered BEFORE projection, which silently
+        re-numbered projection windows over post-filter rows."""
         ob = []
         for i, o in enumerate(sel.order_by or []):
             c = self.expr(o.expr, binds, scalar_map, subst)
             ob.append((f"__ob{i}", c, o))
-        df = df.select(*cols, *[c.alias(n) for n, c, _o in ob])
+        qual = (
+            [self.expr(sel.qualify, binds, scalar_map, subst).alias("__qual")]
+            if sel.qualify is not None
+            else []
+        )
+        df = df.select(*cols, *qual, *[c.alias(n) for n, c, _o in ob])
+        if qual:
+            df = df.filter(F.col("__qual"))
         if ob:
             df = df.orderBy(
                 *[self._order_col(F.col(n), o) for n, _c, o in ob]
             )
         df = self._limit_offset(df, sel, binds)
-        if ob:
-            df = df.drop(*[n for n, _c, _o in ob])
+        helpers = [n for n, _c, _o in ob] + (["__qual"] if qual else [])
+        if helpers:
+            df = df.drop(*helpers)
         return df
 
     @staticmethod
@@ -360,17 +367,9 @@ class Compiler:
             grouped = grouped.filter(
                 self.expr(sel.having, binds, scalar_map, subst)
             )
-        if sel.qualify is not None:
-            # QUALIFY over a grouped select (r14): the window ran over
-            # the aggregated rows; materialize + filter post-HAVING
-            grouped = (
-                grouped.withColumn(
-                    "__qual",
-                    self.expr(sel.qualify, binds, scalar_map, subst),
-                )
-                .filter(F.col("__qual"))
-                .drop("__qual")
-            )
+        # QUALIFY over a grouped select evaluates inside
+        # _project_order_limit alongside the projection windows (r15
+        # fix — see that method's docstring), post-HAVING.
         cols = [
             self.expr(f.expr, binds, scalar_map, subst).alias(f.out_name)
             for f in out_fields

@@ -1,9 +1,10 @@
 """QUALIFY in the sqlpp dialect (r14, beyond reference): the
 window-result filter — the production top-1-per-key dedup idiom.
-The Spark side materializes the predicate and filters before the
-projection; the printed SQL uses the wrapped-subselect form (valid
-in all three dialects); DuckDB's NATIVE QUALIFY on the original
-source is the independent cross-check."""
+The Spark side evaluates output fields, ORDER BY helpers and the
+predicate in ONE select over the pre-filter frame, then filters
+(r15 — mirrors the printed wrapped-subselect form, valid in all
+three dialects); DuckDB's NATIVE QUALIFY on the original source is
+the independent cross-check."""
 
 from __future__ import annotations
 
@@ -67,6 +68,38 @@ def test_qualify_differential(eng, duck):
         "select id, grp from t1 qualify avg(id) over (partition by grp "
         "order by id rows between 1 preceding and current row) >= id "
         "order by id",
+    ):
+        _differ(eng, duck, src)
+
+
+def test_qualify_projection_windows_pre_filter(eng, duck):
+    """r15 regression pin (ADVICE r14, high): projection/ORDER BY
+    windows NOT implied by the QUALIFY predicate must evaluate over
+    the PRE-QUALIFY row set (DuckDB native semantics). The r14 shape
+    filtered first, silently re-numbering projection windows over the
+    surviving rows — e.g. the first query below returned rev=2,1
+    instead of rev=6,5."""
+    for src in (
+        # the exact r14-ADVICE repro: projection window over the
+        # opposite order from the QUALIFY window
+        "select id, row_number() over (order by id desc) as rev from t1 "
+        "qualify row_number() over (order by id asc) <= 2 order by id",
+        # projection window partitioned differently from the filter
+        "select id, grp, count(id) over (partition by grp) as grp_n "
+        "from t1 qualify row_number() over (order by id) <= 3 "
+        "order by id",
+        # window in ORDER BY only — must also see pre-filter rows
+        "select id, grp from t1 qualify row_number() over "
+        "(partition by grp order by id) = 1 "
+        "order by sum(id) over (partition by grp) desc, id",
+        # grouped select: projection window over ALL groups, filter
+        # keeps one
+        "select grp, count(id) as n, rank() over (order by grp) as g_rank "
+        "from t1 group by grp qualify "
+        "rank() over (order by count(id) desc) = 1 order by grp",
+        # same window fn, different args — no accidental sharing
+        "select id, lag(id) over (order by id) as prev from t1 "
+        "qualify lag(id, 2) over (order by id) is not null order by id",
     ):
         _differ(eng, duck, src)
 
