@@ -352,10 +352,29 @@ class Compiler:
                         for f in grouped.schema.fields
                     ]
                 )
-                grouped = grouped.unionByName(fallback)
+                # GROUPING SETS ((), ()) emits one grand-total row PER
+                # empty set on DuckDB/PG (r15; Spark's Expand agrees on
+                # non-empty input) — union the fallback once per empty
+                # set. ROLLUP/CUBE have exactly one.
+                n_empty = (
+                    sum(1 for s in (sel.group_sets or []) if len(s) == 0)
+                    if kind == "sets"
+                    else 1
+                )
+                for _ in range(n_empty):
+                    grouped = grouped.unionByName(fallback)
         else:
             # GROUP BY () — global aggregation (parser.mly:258)
             grouped = df.agg(*acols) if acols else df.agg(F.count(F.lit(1)).alias("__cnt_dummy"))
+            # GROUPING SETS with ONLY empty sets lands here (no group
+            # columns at all) — DuckDB/PG emit one global-agg row per
+            # set (r15), so union the single-row aggregate with itself
+            # per extra set. Self-union of a 1-row global aggregate:
+            # AQE reuses the exchange, no second base scan at scale.
+            if getattr(sel, "group_kind", "plain") == "sets":
+                base = grouped
+                for _ in range(len(sel.group_sets or []) - 1):
+                    grouped = grouped.unionByName(base)
         # scalar subqueries in grouped projection/HAVING/ORDER BY
         # (r12): attach to the POST-aggregation frame — uncorrelated
         # subs broadcast as before; correlated subs must correlate on

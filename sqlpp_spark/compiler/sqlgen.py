@@ -257,9 +257,23 @@ class SqlGen:
         forms (DuckDB/PG; SQLite has none of them — documented
         per-backend divergence)."""
         sel = ctx.select
-        if sel.group_by is None or not ctx.group_exprs:
+        if sel.group_by is None:
             return None
         kind = getattr(sel, "group_kind", "plain")
+        if not ctx.group_exprs:
+            # GROUP BY () prints as a bare global aggregate — EXCEPT
+            # all-empty GROUPING SETS (r15): ((), ()) is one
+            # grand-total row PER set, which a bare aggregate
+            # collapses to one.
+            if kind == "sets" and len(sel.group_sets or []) > 1:
+                if self.dialect == "sqlite":
+                    raise SqlppError(
+                        "SQLite has no ROLLUP/CUBE/GROUPING SETS "
+                        "(backend divergence)"
+                    )
+                sets = ", ".join("()" for _ in sel.group_sets)
+                return f"GROUP BY GROUPING SETS ({sets})"
+            return None
         if kind != "plain" and self.dialect == "sqlite":
             raise SqlppError(
                 "SQLite has no ROLLUP/CUBE/GROUPING SETS "

@@ -160,3 +160,25 @@ def test_rollup_empty_input_grand_total(eng, duck):
         "select grp, count(id) as n from t1 where id < 0 "
         "group by grouping sets ((grp))",
     )
+
+
+def test_grouping_sets_duplicate_empty_sets(eng, duck):
+    """r15 (ADVICE r14, low): GROUPING SETS ((), ()) emits one
+    grand-total row PER empty set on DuckDB/PG. Spark's Expand agrees
+    on non-empty input; the empty-input fallback must union the
+    literal row once per empty set, not once total."""
+    for src in (
+        # non-empty input: Spark Expand already duplicates — pin it
+        "select count(id) as n, sum(val) as s from t1 "
+        "group by grouping sets ((), ())",
+        # empty input: the fallback row must appear TWICE
+        "select count(id) as n, sum(val) as s from t1 where id < 0 "
+        "group by grouping sets ((), ())",
+        # mixed: one keyed set + two empty sets over empty input
+        "select grp, count(id) as n from t1 where id < 0 "
+        "group by grouping sets ((grp), (), ())",
+        # duplicate non-empty sets duplicate their rows in both engines
+        "select grp, count(id) as n from t1 "
+        "group by grouping sets ((grp), (grp))",
+    ):
+        _differ(eng, duck, src)
