@@ -1108,7 +1108,7 @@ class Compiler:
             cond = c if cond is None else (cond & c)
         df = df.join(sub_df, on=cond, how="left").drop(*knames)
         col = F.col(val)
-        if node.agg_fn in ("count", "count_distinct"):
+        if node.agg_fn in ("count", "count_distinct", "approx_count_distinct"):
             col = F.coalesce(col, F.lit(0))  # empty group counts as 0
         scalar_map[id(node)] = col
         return df
@@ -1274,6 +1274,17 @@ class Compiler:
             col = F.stddev_pop(args[0])
         elif fnl == "var_pop":
             col = F.var_pop(args[0])
+        elif fnl == "approx_count_distinct":
+            col = (
+                F.approx_count_distinct(args[0], float(e.args[1].value))
+                if len(e.args) == 2
+                else F.approx_count_distinct(args[0])
+            )
+        elif fnl == "approx_percentile":
+            col = F.percentile_approx(
+                args[0], float(e.args[1].value),
+                int(e.args[2].value) if len(e.args) == 3 else 10000,
+            )
         elif fnl == "percent_rank":
             col = F.percent_rank()
         elif fnl == "cume_dist":
@@ -1289,8 +1300,13 @@ class Compiler:
         else:  # pragma: no cover — analyzer rejects unknown fns
             raise SqlppError(f"unknown window function {e.fn}")
         col = col.over(w)
-        if fnl in ("row_number", "rank", "dense_rank", "count", "ntile"):
+        if fnl in (
+            "row_number", "rank", "dense_rank", "count", "ntile",
+            "approx_count_distinct",
+        ):
             col = col.cast("bigint")
+        elif fnl == "approx_percentile":
+            col = col.cast("double")
         return col
 
     def _param_col(self, e: A.EParam, binds: Bindings) -> Column:
@@ -1356,6 +1372,22 @@ class Compiler:
             return F.avg(args[0])
         if fn == "count_distinct":
             return F.count_distinct(args[0])
+        if fn == "approx_count_distinct":
+            # r15: HLL++ sketch — bounded state per group, map-side
+            # combinable (the 100 TB distinct-count path)
+            if len(app.args) == 2:
+                return F.approx_count_distinct(
+                    args[0], float(app.args[1].value)
+                ).cast("bigint")
+            return F.approx_count_distinct(args[0]).cast("bigint")
+        if fn == "approx_percentile":
+            # r15: GK quantile sketch — fixed-size partial-aggregable
+            # state; FLOAT by dialect contract (Spark returns an input
+            # element in the input's type)
+            acc = int(app.args[2].value) if len(app.args) == 3 else 10000
+            return F.percentile_approx(
+                args[0], float(app.args[1].value), acc
+            ).cast("double")
         # r14 statistical aggregates — Spark's JVM-side implementations
         # (partial aggregation / map-side combine intact)
         if fn == "stddev":

@@ -481,6 +481,24 @@ class SqlGen:
                     f"SQLite has no {fnl}() window aggregate "
                     "(backend divergence)"
                 )
+            if fnl in ("approx_count_distinct", "approx_percentile"):
+                # r15: only DuckDB has sketch aggregates as window
+                # functions (PG's percentile_cont is ordered-set only,
+                # not a window fn; SQLite has neither)
+                if self.dialect != "duckdb":
+                    raise SqlppError(
+                        f"{self.dialect} has no {fnl}() window "
+                        "aggregate (backend divergence)"
+                    )
+                over = f"OVER ({' '.join(spec)})"
+                x = self.expr(e.args[0])
+                if fnl == "approx_count_distinct":
+                    # precision knob drops: DuckDB's sketch has none
+                    return f"approx_count_distinct({x}) {over}"
+                p = self.expr(e.args[1])
+                return (
+                    f"CAST(approx_quantile({x}, {p}) {over} AS DOUBLE)"
+                )
             return f"{fnl}({args}) OVER ({' '.join(spec)})"
         if isinstance(e, A.EIn):
             lhs = ", ".join(self.expr(x) for x in e.exprs)
@@ -550,6 +568,32 @@ class SqlGen:
             return f"CAST(grouping({a(0)}) AS BIGINT)"
         if fn == "count_distinct":
             return f"count(DISTINCT {a(0)})"
+        if fn == "approx_count_distinct":
+            # r15: approximate BY CONTRACT — DuckDB has the HLL
+            # sketch; PG/SQLite have none, so the printed SQL falls
+            # back to the EXACT count (a valid answer inside any
+            # sketch tolerance; documented per-backend divergence).
+            # DuckDB's sketch takes no rsd knob — the optional literal
+            # parameterizes precision, not semantics, so it drops.
+            if self.dialect == "duckdb":
+                return f"approx_count_distinct({a(0)})"
+            return f"count(DISTINCT {a(0)})"
+        if fn == "approx_percentile":
+            # DuckDB: approx_quantile (t-digest); PG: exact
+            # percentile_cont fallback (same contract note as above);
+            # SQLite has no percentile at all.
+            if self.dialect == "duckdb":
+                return (
+                    f"CAST(approx_quantile({a(0)}, {a(1)}) AS DOUBLE)"
+                )
+            if self.dialect == "postgres":
+                return (
+                    f"CAST(percentile_cont({a(1)}) WITHIN GROUP "
+                    f"(ORDER BY {a(0)}) AS DOUBLE PRECISION)"
+                )
+            raise SqlppError(
+                "SQLite has no percentile aggregate (backend divergence)"
+            )
         if fn in ("stddev", "variance", "stddev_pop", "var_pop"):
             # DuckDB and PG both alias stddev=stddev_samp and
             # variance=var_samp, so the dialect spelling prints

@@ -43,6 +43,10 @@ AGG_FNS = {
     # analyze.ml's builtin table has count/sum/max/min only)
     "stddev", "variance", "stddev_pop", "var_pop",
     "string_agg", "bool_and", "bool_or",
+    # r15 sketch-backed approximate aggregates (beyond reference) —
+    # the 100 TB path for distinct counts / quantiles over columns
+    # with unbounded cardinality: bounded state, map-side combinable
+    "approx_count_distinct", "approx_percentile",
 }
 
 # comparison ops liftable as scalar-subquery correlation conjuncts,
@@ -995,6 +999,9 @@ class Analyzer:
     # late r14: statistical aggregates over windows — FLOAT NULL
     # regardless of frame (sample forms are NULL on 1-row frames)
     _WIN_STAT = {"stddev", "variance", "stddev_pop", "var_pop"}
+    # r15: sketch aggregates over windows (both Spark and DuckDB
+    # support them; same literal-argument rules as the agg forms)
+    _WIN_APPROX = {"approx_count_distinct", "approx_percentile"}
     # order-dependent value fns: require ORDER BY; ntile needs the
     # bucket count as an int literal; nth_value (r14) the 1-based
     # position as an int literal
@@ -1012,6 +1019,7 @@ class Analyzer:
         if fnl not in (
             self._WIN_RANKING | self._WIN_RANKING_F | self._WIN_OFFSET
             | self._WIN_AGG | self._WIN_VALUE | self._WIN_STAT
+            | self._WIN_APPROX
         ):
             self.err(f"unknown window function `{e.fn}(..)`", e.loc)
         grouped = ctx.select.group_by is not None
@@ -1105,6 +1113,53 @@ class Analyzer:
                 )
             # beyond-frame rows yield NULL
             return e, arg_tys[0].with_non_null(False)
+        if fnl == "approx_count_distinct":
+            # r15: same literal rules as the aggregate form; 0 over
+            # an empty frame, like count
+            if len(e.args) not in (1, 2):
+                self.err(
+                    "approx_count_distinct(..) takes 1 or 2 arguments",
+                    e.loc,
+                )
+            if len(e.args) == 2 and not (
+                isinstance(e.args[1], A.ELit)
+                and e.args[1].lit_kind in ("float", "int")
+                and 0 < float(e.args[1].value) < 1
+            ):
+                self.err(
+                    "approx_count_distinct(..) relative standard "
+                    "deviation must be a numeric literal in (0, 1)",
+                    e.loc,
+                )
+            return e, INT
+        if fnl == "approx_percentile":
+            if len(e.args) not in (2, 3):
+                self.err(
+                    "approx_percentile(..) takes 2 or 3 arguments", e.loc
+                )
+            check_subsumes(
+                arg_tys[0], NUMERIC.nullable(), e.args[0].loc,
+                self.src or None,
+            )
+            if not (
+                isinstance(e.args[1], A.ELit)
+                and e.args[1].lit_kind in ("float", "int")
+                and 0 <= float(e.args[1].value) <= 1
+            ):
+                self.err(
+                    "approx_percentile(..) percentile must be a numeric "
+                    "literal in [0, 1]", e.loc,
+                )
+            if len(e.args) == 3 and not (
+                isinstance(e.args[2], A.ELit)
+                and e.args[2].lit_kind == "int" and e.args[2].value >= 1
+            ):
+                self.err(
+                    "approx_percentile(..) accuracy must be a positive "
+                    "integer literal", e.loc,
+                )
+            # NULL over an empty/all-NULL frame
+            return e, FLOAT.with_non_null(False)
         # aggregate-shaped window fns
         if len(e.args) != 1:
             self.err(f"window `{e.fn}(..)` takes exactly 1 argument", e.loc)
@@ -1395,6 +1450,77 @@ class Analyzer:
             nargs(1)
             arg(0)
             return e, INT
+        if fnl == "approx_count_distinct":
+            # r15: HLL++-backed distinct count — approximate BY
+            # CONTRACT (engines may differ within the sketch's rsd;
+            # the printers fall back to exact count(DISTINCT) where
+            # the backend has no sketch). Optional second arg = max
+            # relative standard deviation, a float literal in (0, 1)
+            # — it parameterizes the sketch, not the data.
+            if len(e.args) not in (1, 2):
+                self.err(
+                    "approx_count_distinct(..) takes 1 or 2 arguments",
+                    e.loc,
+                )
+            arg(0)
+            if len(e.args) == 2:
+                rsd = e.args[1]
+                ok = (
+                    isinstance(rsd, A.ELit)
+                    and rsd.lit_kind in ("float", "int")
+                    and 0 < float(rsd.value) < 1
+                )
+                if not ok:
+                    self.err(
+                        "approx_count_distinct(..) relative standard "
+                        "deviation must be a numeric literal in (0, 1)",
+                        e.loc,
+                    )
+                arg(1)
+            # 0 over an empty group, like count
+            return e, INT
+        if fnl == "approx_percentile":
+            # r15: GK/quantile-sketch percentile — approximate BY
+            # CONTRACT. approx_percentile(x, p [, accuracy]): p a
+            # numeric literal in [0, 1], accuracy a positive int
+            # literal (Spark's GK state bound). FLOAT result on every
+            # engine (Spark returns an input element, DuckDB
+            # interpolates — both within the sketch tolerance).
+            if len(e.args) not in (2, 3):
+                self.err(
+                    "approx_percentile(..) takes 2 or 3 arguments", e.loc
+                )
+            t = arg(0)
+            if t is None:
+                t = self._adopt_param(
+                    e.args[0], NUMERIC.with_non_null(False), e.loc
+                )
+            check_subsumes(t, NUMERIC.nullable(), e.loc, self.src or None)
+            p = e.args[1]
+            ok = (
+                isinstance(p, A.ELit)
+                and p.lit_kind in ("float", "int")
+                and 0 <= float(p.value) <= 1
+            )
+            if not ok:
+                self.err(
+                    "approx_percentile(..) percentile must be a numeric "
+                    "literal in [0, 1]", e.loc,
+                )
+            arg(1)
+            if len(e.args) == 3:
+                acc = e.args[2]
+                if not (
+                    isinstance(acc, A.ELit) and acc.lit_kind == "int"
+                    and acc.value >= 1
+                ):
+                    self.err(
+                        "approx_percentile(..) accuracy must be a "
+                        "positive integer literal", e.loc,
+                    )
+                arg(2)
+            # NULL over an empty/all-NULL group
+            return e, FLOAT.with_non_null(False)
         if fnl in ("stddev", "variance", "stddev_pop", "var_pop"):
             # sample forms are NULL for n < 2, pop forms for n = 0 —
             # and a correlated/empty group can always be empty, so the
@@ -1597,7 +1723,7 @@ class Analyzer:
         e.corr = corr
         e.sub_ctx = sub_ctx
         fty = fexpr.ty
-        if e.agg_fn in ("count", "count_distinct"):
+        if e.agg_fn in ("count", "count_distinct", "approx_count_distinct"):
             fty = fty.with_non_null(True)  # missing group coalesces to 0
         elif e.corr:
             fty = fty.with_non_null(False)  # unmatched outer row → NULL

@@ -921,7 +921,16 @@ class Parser:
         # r14: the CASE-desugar stays exact for every NULL-skipping
         # single-argument aggregate (string_agg is 2-arg, excluded)
         "stddev", "variance", "stddev_pop", "var_pop",
-        "bool_and", "bool_or",
+        "bool_and", "bool_or", "string_agg",
+        # r15: sketch aggregates skip NULLs too, so the CASE desugar
+        # stays exact; the precision/percentile literals stay as
+        # written (multi-arg, handled like string_agg below)
+        "approx_count_distinct", "approx_percentile",
+    }
+    # FILTER wraps only the VALUE argument for these — the remaining
+    # arguments are plan-parameterizing literals
+    _FILTER_VALUE_ARG_ONLY = {
+        "string_agg", "approx_count_distinct", "approx_percentile",
     }
 
     def _agg_filter(self, e: A.EApp) -> A.EApp:
@@ -932,13 +941,16 @@ class Parser:
         contextual identifier."""
         start = e.loc
         fnl = e.fn.lower()
-        if fnl not in self._FILTERABLE_AGGS and fnl != "string_agg":
+        if fnl not in self._FILTERABLE_AGGS:
             self.fail("FILTER is only valid on aggregate functions")
         if fnl == "string_agg":
             # 2-arg: the CASE wraps the VALUE argument only — the
             # separator is a literal and stays as written
             if len(e.args) != 2:
                 self.fail("string_agg expects 2 arguments")
+        elif fnl in self._FILTER_VALUE_ARG_ONLY:
+            if not e.args:
+                self.fail(f"{fnl} expects at least 1 argument")
         elif len(e.args) != 1:
             self.fail("FILTER requires a single-argument aggregate")
         self.advance()  # FILTER

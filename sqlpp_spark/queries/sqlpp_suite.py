@@ -717,3 +717,51 @@ _sqlpp(
     "AND replace(p_type, ' ', '_') LIKE '%\\_STEEL' ESCAPE '\\' "
     "ORDER BY k",
 )
+
+_sqlpp(
+    # r15: sketch-backed approximate aggregates reachable FROM THE
+    # DIALECT — the 100 TB distinct-count/quantile path (bounded
+    # state, map-side combinable). Tolerance-boolean oracle: the hash
+    # covers exact values + booleans; the engine-specific sketch
+    # estimates stay out of the hash. Bounds are distribution-FREE:
+    # |mean - median| <= stddev for ANY distribution, GK rank error
+    # moves the estimate at most one unit-spaced l_quantity value
+    # (accuracy 10000 >> n/group), and HLL++ rsd 0.05 (default) /
+    # 0.01 (explicit) stay far inside the 10%+2 band. UNION ALL
+    # covers the grouped AND global agg forms in one entry.
+    "sqlpp_approx_aggs",
+    "select l.l_returnflag as grp, "
+    "count_distinct(l.l_suppkey) as nd_exact, "
+    "approx_count_distinct(l.l_suppkey) "
+    "between count_distinct(l.l_suppkey) * 0.9 - 2.0 "
+    "and count_distinct(l.l_suppkey) * 1.1 + 2.0 as acd_ok, "
+    "approx_count_distinct(l.l_suppkey, 0.01) "
+    "between count_distinct(l.l_suppkey) * 0.9 - 2.0 "
+    "and count_distinct(l.l_suppkey) * 1.1 + 2.0 as acd_rsd_ok, "
+    "approx_percentile(l.l_quantity, 0.5) "
+    "between avg(l.l_quantity) - (stddev(l.l_quantity) + 1.0) "
+    "and avg(l.l_quantity) + (stddev(l.l_quantity) + 1.0) as p50_ok "
+    "from lineitem as l group by l.l_returnflag "
+    "union all "
+    "select 'ALL' as grp, count_distinct(l.l_suppkey) as nd_exact, "
+    "approx_count_distinct(l.l_suppkey) "
+    "between count_distinct(l.l_suppkey) * 0.9 - 2.0 "
+    "and count_distinct(l.l_suppkey) * 1.1 + 2.0 as acd_ok, "
+    "approx_count_distinct(l.l_suppkey, 0.01) "
+    "between count_distinct(l.l_suppkey) * 0.9 - 2.0 "
+    "and count_distinct(l.l_suppkey) * 1.1 + 2.0 as acd_rsd_ok, "
+    "approx_percentile(l.l_quantity, 0.5) "
+    "between avg(l.l_quantity) - (stddev(l.l_quantity) + 1.0) "
+    "and avg(l.l_quantity) + (stddev(l.l_quantity) + 1.0) as p50_ok "
+    "from lineitem as l group by () "
+    "order by grp",
+    "SELECT l_returnflag AS grp, "
+    "count(DISTINCT l_suppkey) AS nd_exact, "
+    "TRUE AS acd_ok, TRUE AS acd_rsd_ok, TRUE AS p50_ok "
+    "FROM lineitem GROUP BY l_returnflag "
+    "UNION ALL "
+    "SELECT 'ALL' AS grp, count(DISTINCT l_suppkey) AS nd_exact, "
+    "TRUE AS acd_ok, TRUE AS acd_rsd_ok, TRUE AS p50_ok "
+    "FROM lineitem "
+    "ORDER BY grp",
+)
