@@ -46,10 +46,16 @@ def duck():
 
 
 def _both(eng, duck, src):
+    """r15 oracle-provenance audit: the printed SQL for correlated
+    subqueries derives from the analyzer's elaboration (the rewrite
+    under test), so the ORIGINAL SOURCE is differentialed too —
+    DuckDB runs these sources natively."""
     rows = sorted(tuple(r) for r in eng.fetch_list(src))
     info = Analyzer(eng.env, src).analyze_query(parse_query(src))
     sql = select_sql(info)
     want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    want2 = sorted(tuple(r) for r in duck.execute(src).fetchall())
+    assert want == want2, f"printed SQL diverges from source:\n{src}\n{sql}"
     return rows, want, sql
 
 

@@ -47,11 +47,18 @@ def duck():
 
 
 def _both(eng, duck, src):
-    """Engine rows and DuckDB rows for the PRINTED SQL of src."""
+    """Engine rows and DuckDB rows for src — checked against BOTH the
+    printed SQL and the ORIGINAL SOURCE (r15 oracle-provenance audit:
+    the scalar-sub printer re-inserts the analyzer's elaborated
+    correlation conjuncts, so printed-SQL-only differentials could
+    ratify a decorrelation bug the way the r13 OR-split oracles did;
+    DuckDB runs these sources natively, GROUP BY () included)."""
     rows = sorted(tuple(r) for r in eng.fetch_list(src))
     info = Analyzer(eng.env, src).analyze_query(parse_query(src))
     sql = select_sql(info)
     want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    want2 = sorted(tuple(r) for r in duck.execute(src).fetchall())
+    assert want == want2, f"printed SQL diverges from source:\n{src}\n{sql}"
     return rows, want, sql
 
 

@@ -53,7 +53,13 @@ def _norm(v):
 
 
 def differ(engine, duck, src, **params):
-    """Run src through BOTH lowerings, compare as sorted row tuples."""
+    """Run src through BOTH lowerings, compare as sorted row tuples.
+
+    r15 oracle-provenance audit: both lowerings share the analyzer's
+    elaboration, so an elaboration bug corrupts them identically (the
+    r13 De Morgan episode). When DuckDB can parse the ORIGINAL source
+    (no params, no dialect-only syntax), it is differentialed too —
+    an oracle independent of every rewrite under test."""
     key = lambda row: tuple(repr(v) for v in row)  # noqa: E731 — NULLs sort
     spark_rows = sorted(
         (tuple(_norm(v) for v in r) for r in engine.fetch_list(src, **params)),
@@ -68,9 +74,33 @@ def differ(engine, duck, src, **params):
         f"\nsqlpp : {src}\nsql   : {sql}\n"
         f"spark : {spark_rows[:5]}\nduck  : {duck_rows[:5]}"
     )
+    if not params and src not in _SRC_DIVERGENT:
+        try:
+            src_rows = sorted(
+                (tuple(_norm(v) for v in r)
+                 for r in duck.execute(src).fetchall()),
+                key=key,
+            )
+        except duckdb.Error:
+            return  # dialect-only syntax — printed SQL is the oracle
+        assert spark_rows == src_rows, (
+            f"\nsqlpp : {src}\nprinted SQL agreed but ORIGINAL SOURCE "
+            f"differs\nspark : {spark_rows[:5]}\nsrc   : {src_rows[:5]}"
+        )
 
 
 # -- directed battery --------------------------------------------------------
+
+# Sources where the SAME TEXT means something different to DuckDB by
+# DOCUMENTED dialect pin — not rewrite derivation: the dialect pins
+# integer `/` as integer division (reference semantics; printed SQL
+# emits the explicit cast/floor-div form), DuckDB's native `/` is
+# float division. The original-source differential skips these.
+_SRC_DIVERGENT = frozenset({
+    "select n_nationkey / 3, n_nationkey / n_regionkey from nation",
+    "select abs(0 - n_nationkey), mod(n_nationkey, 7), "
+    "floor(n_nationkey / 2), ceil(n_nationkey / 2) from nation",
+})
 
 DIRECTED = [
     "select n_name, n_nationkey from nation where n_nationkey < 5",
@@ -460,6 +490,18 @@ try:
             tuple(_norm(v) for v in r) for r in duck.execute(sql).fetchall()
         ]
         assert spark_rows == duck_rows, f"{src}\n{sql}"
+        # r15 provenance audit: the ordered grammar is pure ANSI —
+        # the original source must agree too (oracle independent of
+        # the printer/compiler rewrites)
+        try:
+            src_rows = [
+                tuple(_norm(v) for v in r)
+                for r in duck.execute(src).fetchall()
+            ]
+        except duckdb.Error:
+            src_rows = None
+        if src_rows is not None:
+            assert spark_rows == src_rows, f"source diverges: {src}"
 
     @settings(max_examples=40, deadline=None, derandomize=True)
     @given(st.one_of(query(), nav_query()))
