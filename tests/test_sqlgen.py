@@ -266,12 +266,17 @@ try:
         return f"{fn} over ({part}order by n_nationkey desc, n_name{frame})"
 
     @st.composite
-    def query(draw):
+    def query(draw, force_shape=None):
         where = draw(pred())
-        shape = draw(st.sampled_from(
+        shape = force_shape or draw(st.sampled_from(
             ["project", "project", "group", "group", "left_join",
              "scalar_in", "from_sub", "distinct", "window", "setop",
-             "case", "qualify", "rollup", "outer_join", "new_aggs"]
+             "case", "qualify", "rollup", "outer_join", "new_aggs",
+             # r15 (VERDICT ask #4): QUALIFY with projection windows
+             # NOT implied by the predicate (the r14-ADVICE bug
+             # shape), windows over grouped selects, and
+             # ROLLUP/CUBE + QUALIFY + grouped windows composed
+             "qualify_proj", "group_window", "rollup_qualify"]
         ))
         if shape == "case":
             # r14: searched CASE + BETWEEN + FILTER shapes
@@ -307,6 +312,64 @@ try:
                 f"select n_regionkey, grouping(n_regionkey) as g, "
                 f"count(1) as n, sum(n_nationkey) as s from nation "
                 f"where {where} group by {kind} (n_regionkey)"
+            )
+        if shape == "qualify_proj":
+            # projection + ORDER BY windows differ from the QUALIFY
+            # window — all must see the PRE-filter row set (the r15
+            # compile fix; DuckDB native QUALIFY via the source check)
+            proj_fn = draw(st.sampled_from([
+                "row_number() over (order by n_nationkey asc, n_name)",
+                "sum(n_nationkey) over (partition by n_regionkey)",
+                "lag(n_nationkey) over (order by n_nationkey, n_name)",
+                "count(1) over ()",
+            ]))
+            q_fn = draw(st.sampled_from([
+                "row_number()", "rank()", "count(1)",
+            ]))
+            cmp_ = draw(st.sampled_from(["<= 2", "= 1", ">= 2"]))
+            return (
+                f"select n_name, {proj_fn} as w from nation "
+                f"where {where} "
+                f"qualify {q_fn} over (partition by n_regionkey "
+                f"order by n_nationkey desc, n_name) {cmp_} "
+                f"order by sum(n_nationkey) over "
+                f"(partition by n_regionkey) desc, n_name"
+            )
+        if shape == "group_window":
+            # windows over the AGGREGATED rows of a grouped select
+            havin = (
+                f" having count(1) > {draw(st.integers(0, 2))}"
+                if draw(st.booleans()) else ""
+            )
+            wfn = draw(st.sampled_from([
+                "rank() over (order by count(1) desc, n_regionkey)",
+                "sum(count(1)) over ()",
+                "row_number() over (order by sum(n_nationkey) desc, "
+                "n_regionkey)",
+                "lag(n_regionkey) over (order by n_regionkey)",
+            ]))
+            return (
+                f"select n_regionkey as g, count(1) as n, "
+                f"sum(n_nationkey) as s, {wfn} as w "
+                f"from nation where {where} group by n_regionkey"
+                f"{havin} order by g"
+            )
+        if shape == "rollup_qualify":
+            # the full composition: ROLLUP/CUBE + grouped windows +
+            # QUALIFY over the subtotal-bearing frame (NULLS LAST
+            # pinned both directions keeps the engines aligned on the
+            # subtotal row's placement)
+            kind = draw(st.sampled_from(["rollup", "cube"]))
+            cmp_ = draw(st.sampled_from(["<= 3", ">= 2"]))
+            return (
+                f"select n_regionkey as g, grouping(n_regionkey) as gg, "
+                f"count(1) as n, "
+                f"sum(count(1)) over () as tot "
+                f"from nation where {where} "
+                f"group by {kind} (n_regionkey) "
+                f"qualify row_number() over (order by count(1) desc, "
+                f"grouping(n_regionkey), n_regionkey) {cmp_} "
+                f"order by gg, g"
             )
         if shape == "window":
             w1 = draw(window_expr())
@@ -502,6 +565,19 @@ try:
             src_rows = None
         if src_rows is not None:
             assert spark_rows == src_rows, f"source diverges: {src}"
+
+    @settings(max_examples=25, deadline=None, derandomize=True)
+    @given(st.sampled_from(
+        ["qualify_proj", "group_window", "rollup_qualify"]
+    ).flatmap(lambda s: query(force_shape=s)))
+    def test_sqlgen_fuzz_qualify_grouped(engine, duck, src):
+        """r15 (VERDICT ask #4): dedicated arm for the three window
+        compositions that shipped r14 with directed tests only —
+        QUALIFY with independent projection windows, windows over
+        grouped selects, and ROLLUP/CUBE + QUALIFY. DuckDB runs the
+        original source natively (QUALIFY included), so differ()'s
+        source check applies to every example."""
+        differ(engine, duck, src)
 
     @settings(max_examples=40, deadline=None, derandomize=True)
     @given(st.one_of(query(), nav_query()))
