@@ -633,6 +633,18 @@ def test_rollup_qualify_plan_shapes(spark, sf_dir):
     assert ") Window" in p and "Join" not in p, p
 
 
+def test_cms_shares_text_scan(spark, sf_dir):
+    """r15 (VERDICT ask #5): cms_counts persists the text projection
+    once and feeds the Misra-Gries pass, the exact-count pass, and
+    the sketch build from the cache — three InMemoryTableScans over
+    ONE InMemoryRelation, not three parquet scans."""
+    p = plan_of(spark, sf_dir, "corpus_cms_counts")
+    import re
+    assert len(re.findall(r"InMemoryTableScan \(\d+\)", p)) == 3, p
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", p))
+    assert len(scan_ids) == 1, p  # ONE underlying parquet scan node
+
+
 def test_heavy_hitters_broadcast_candidates(spark, sf_dir):
     """r14 heavy hitters: the candidate set joins back by BROADCAST
     semi join (the vocabulary-sized token stream never shuffles for
