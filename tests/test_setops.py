@@ -139,6 +139,42 @@ def test_setop_errors(eng):
             eng.fetch_list(bad)
 
 
+def test_setop_tail_binds_to_whole_compound(eng, duck):
+    """r15 pin (VERDICT r14 ask #7): ORDER BY / LIMIT / OFFSET after a
+    set-op chain bind to the WHOLE compound (standard SQL), not the
+    last branch — checked ORDER-SENSITIVELY (row sequence, not set)
+    against DuckDB on both the printed SQL and the original source.
+    Each case is chosen so last-branch binding would return different
+    rows, not just a different order."""
+    for src in (
+        # last-branch LIMIT would keep t2 rows only
+        "select id from t1 where id <= 2 union all select id from t2 "
+        "order by id desc limit 3",
+        # OFFSET past the whole compound, not past the last branch
+        "select id from t1 union all select id from t2 "
+        "order by id limit 4 offset 3",
+        # tail after an INTERSECT-tighter chain orders the full result
+        "select grp from t1 union all select grp from t1 "
+        "intersect select grp from t2 order by grp desc limit 5",
+        # EXCEPT: last-branch ORDER BY would be a no-op on the result
+        "select id, grp from t1 except select id, grp from t2 "
+        "order by grp desc, id limit 4",
+    ):
+        rows = [tuple(repr(x) for x in r) for r in eng.fetch_list(src)]
+        info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+        for dialect in ("duckdb", "postgres", "sqlite"):
+            sql = select_sql(info, dialect=dialect)
+            # every printer puts the tail after the last branch
+            tail_at = sql.upper().rindex("ORDER BY")
+            assert "SELECT" not in sql[tail_at:].upper(), sql
+        sql = select_sql(info)
+        want = [tuple(repr(x) for x in r)
+                for r in duck.execute(sql).fetchall()]
+        want2 = [tuple(repr(x) for x in r)
+                 for r in duck.execute(src).fetchall()]
+        assert rows == want == want2, f"{src}\n{sql}"
+
+
 def test_setop_sqlite_postgres_printers(eng, duck):
     """The three sqlgen dialects print compounds; SQLite rejects
     INTERSECT ALL/EXCEPT ALL (no such syntax there — documented

@@ -386,10 +386,17 @@ try:
             lcol = draw(st.sampled_from(INT_COLS))
             rcol = draw(st.sampled_from(INT_COLS + ["r_regionkey"]))
             rtab = "region" if rcol == "r_regionkey" else "nation"
+            # r15 (ask #7): the tail — incl. DESC and OFFSET — binds
+            # to the WHOLE compound; fuzz the three tail variants
+            tail = draw(st.sampled_from([
+                "order by k limit 20",
+                "order by k desc limit 7",
+                "order by k limit 9 offset 3",
+            ]))
             return (
                 f"select {lcol} as k from nation where {where} "
                 f"{op} select {rcol} as k from {rtab} "
-                f"order by k limit 20"
+                f"{tail}"
             )
         if shape == "outer_join":
             # late r14: RIGHT/FULL/CROSS joins with a residual filter
