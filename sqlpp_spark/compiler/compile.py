@@ -468,6 +468,14 @@ class Compiler:
 
     # -- predicates with subqueries ---------------------------------------
 
+    def _compile_sub(self, ctx, binds: Bindings) -> DataFrame:
+        """Compile an IN/EXISTS subquery body — plain select or (r15)
+        compound; compounds reach here uncorrelated only (the analyzer
+        rejects correlated compounds with a targeted error)."""
+        if isinstance(ctx, SetOpCtx):
+            return self.compile_setop(ctx, binds)
+        return self.compile_select(ctx, binds)
+
     def _apply_predicate(self, df: DataFrame, ctx: SelectCtx, pred: A.Expr, binds: Bindings):
         neg = False
         inner = pred
@@ -490,7 +498,7 @@ class Compiler:
                     extra_fields=True,
                 )
             else:
-                sub_df = self.compile_select(inner.sub_ctx, binds)
+                sub_df = self._compile_sub(inner.sub_ctx, binds)
             sub_df = sub_df.alias(sub_alias)
             sub_fields = [f for f in inner.sub_ctx.fields if f.is_used]
             sub_cols = [f.out_name for f in sub_fields]
@@ -536,7 +544,7 @@ class Compiler:
                 )
                 how = "left_anti" if neg else "left_semi"
                 return df.join(sub_df.alias(sub_alias), on=cond, how=how)
-            sub_df = self.compile_select(inner.sub_ctx, binds)
+            sub_df = self._compile_sub(inner.sub_ctx, binds)
             marker = sub_df.limit(1).select(F.lit(True).alias("__exists"))
             joined = df.join(marker, on=F.lit(True), how="left")
             cond = F.col("__exists").isNotNull()
@@ -607,7 +615,7 @@ class Compiler:
                             df, node, binds, scalar_map, subst
                         )
                 if isinstance(node, A.EIn) and id(node) not in scalar_map:
-                    sub_df = self.compile_select(node.sub_ctx, binds)
+                    sub_df = self._compile_sub(node.sub_ctx, binds)
                     alias = self._fresh("__sin")
                     flag = f"{alias}_flag"
                     sub_cols = [f.out_name for f in node.sub_ctx.fields if f.is_used]
@@ -650,7 +658,7 @@ class Compiler:
                         col = ~col
                     scalar_map[id(node)] = col
                 elif isinstance(node, A.EExists) and id(node) not in scalar_map:
-                    sub_df = self.compile_select(node.sub_ctx, binds)
+                    sub_df = self._compile_sub(node.sub_ctx, binds)
                     flag = self._fresh("__sex")
                     marker = sub_df.limit(1).select(F.lit(True).alias(flag))
                     df = df.join(marker, on=F.lit(True), how="left")
@@ -892,7 +900,7 @@ class Compiler:
                 node.sub_ctx, corr, alias, binds, extra_fields=True
             )
         else:
-            sub_df = self.compile_select(node.sub_ctx, binds)
+            sub_df = self._compile_sub(node.sub_ctx, binds)
             keys = []
         one = f"{alias}_one"
         sub_df = sub_df.withColumn(one, F.lit(1))

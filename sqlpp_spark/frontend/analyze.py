@@ -295,6 +295,25 @@ class SetOpCtx:
     def row(self) -> List[Tuple[str, Ty]]:
         return self._row
 
+    @property
+    def fields(self):
+        """Output-field view compatible with SelectCtx.fields (r15 —
+        lets compound subqueries flow through the EIn/EExists compile
+        paths, which read out_name / is_used / expr.ty only)."""
+        return [_SetOpField(n, _TyHolder(t)) for n, t in self._row]
+
+
+@dataclass
+class _TyHolder:
+    ty: Ty
+
+
+@dataclass
+class _SetOpField:
+    out_name: str
+    expr: _TyHolder
+    is_used: bool = True
+
 
 # ---------------------------------------------------------------------------
 # Analyzer
@@ -756,6 +775,14 @@ class Analyzer:
                     return split
                 raise
         if isinstance(e, A.EExists):
+            if isinstance(e.select, A.SetOp):
+                sub, corr = (
+                    self._analyze_sub_compound(e.select, "EXISTS", e.loc),
+                    [],
+                )
+                e.sub_ctx = sub
+                e.corr = corr
+                return e, BOOL
             try:
                 sub, corr = self._lift_correlated(ctx, e.select)
             except SqlppError as err:
@@ -1653,8 +1680,33 @@ class Analyzer:
             non_null = non_null and ity.non_null
         return e, BOOL.with_non_null(non_null and ty.non_null)
 
+    def _analyze_sub_compound(self, q: "A.SetOp", what: str, loc):
+        """Compound (UNION/INTERSECT/EXCEPT) subquery body in IN /
+        EXISTS position (r15): analyzed UNCORRELATED via the standard
+        compound path. Correlation lifting works per-branch-WHERE and
+        is not defined across set operations — an unresolved column
+        inside a branch gets a targeted error instead of the raw
+        no-such-column failure."""
+        try:
+            return self.analyze_setop(q)
+        except SqlppError as err:
+            if _re.search(
+                r"no such column|ambiguous column|no such scope",
+                str(err),
+            ):
+                self.err(
+                    f"correlated compound (UNION/INTERSECT/EXCEPT) "
+                    f"subqueries are not supported in {what} — "
+                    f"correlate a plain SELECT subquery instead",
+                    loc,
+                )
+            raise
+
     def _infer_in(self, ctx: SelectCtx, e: A.EIn) -> Tuple[A.Expr, Ty]:
-        sub, corr = self._lift_correlated(ctx, e.select)
+        if isinstance(e.select, A.SetOp):
+            sub, corr = self._analyze_sub_compound(e.select, "IN", e.loc), []
+        else:
+            sub, corr = self._lift_correlated(ctx, e.select)
         e.sub_ctx = sub
         e.corr = corr
         if corr:
@@ -1700,6 +1752,15 @@ class Analyzer:
         non-comparison conjunct mentioning the outer scope (e.g.
         ``inner + outer = 3``, OR-connected correlation) raises
         "unsupported correlation"."""
+        if isinstance(e.select, A.SetOp):
+            # a compound cannot be a single global aggregate — the
+            # <=1-row property would not hold by construction (r15:
+            # targeted error; IN/EXISTS accept compounds)
+            self.err(
+                "compound (UNION/INTERSECT/EXCEPT) scalar subqueries "
+                "are not supported — a scalar subquery must be a "
+                "single global aggregate (group by ())", e.loc,
+            )
         sub_ctx, corr = self._lift_correlated(ctx, e.select)
         fields = [f for f in sub_ctx.fields if f.is_used]
         if len(fields) != 1:

@@ -852,7 +852,7 @@ class Parser:
         if t.kind == "kw" and t.value.lower() == "exists":
             self.advance()
             self.expect_punct("(")
-            sel = self.select()
+            sel = self.select_compound()  # r15: compound bodies allowed
             self.expect_punct(")")
             return A.EExists(select=sel, loc=Loc.span(t.loc, self.toks[self.i - 1].loc))
         if t.kind == "kw" and t.value.lower() == "match":
@@ -869,7 +869,9 @@ class Parser:
             # scalar subquery: (select ...) in expression position
             # (beyond-reference extension; see ast.EScalarSub)
             if self.cur.kind == "kw" and self.cur.value.lower() == "select":
-                sel = self.select()
+                # r15: compounds parse here too — the analyzer emits
+                # the targeted not-supported error for scalar position
+                sel = self.select_compound()
                 self.expect_punct(")")
                 return A.EScalarSub(
                     select=sel,
@@ -883,7 +885,7 @@ class Parser:
                 neg = self.eat_kw("not")
                 self.expect_kw("in")
                 self.expect_punct("(")
-                sel = self.select()
+                sel = self.select_compound()  # r15: compounds allowed
                 self.expect_punct(")")
                 return A.EIn(
                     exprs=es, select=sel, negated=neg,
@@ -969,7 +971,7 @@ class Parser:
         start = e.loc
         self.expect_punct("(")
         if self.at_kw("select"):
-            sel = self.select()
+            sel = self.select_compound()  # r15: compounds allowed
             self.expect_punct(")")
             return A.EIn(
                 exprs=[e], select=sel, negated=negated,

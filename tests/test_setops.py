@@ -212,14 +212,14 @@ def test_setop_fmt_roundtrip():
 
 
 def test_setop_subquery_position_rejected(eng):
-    """Compounds live at top level and in FROM derived tables (r14);
-    IN/EXISTS/scalar subqueries and CREATE QUERY bodies stay plain
-    selects — a UNION there is a located parse/analyze error, not a
-    silent misparse."""
-    with pytest.raises(SqlppError):
+    """r15: IN/EXISTS now ACCEPT compound bodies (see
+    test_compound_subquery_in_exists) — the remaining rejected
+    position is the scalar subquery, where the <=1-row property could
+    not hold; its error is targeted, not a silent misparse."""
+    with pytest.raises(SqlppError, match="compound .* scalar"):
         eng.fetch_list(
-            "select id from t1 where id in "
-            "(select id from t2 union select grp from t2)"
+            "select id, (select max(amt) from t2 group by () union "
+            "select max(val) from t1 group by ()) as m from t1"
         )
 
 
@@ -333,3 +333,67 @@ def test_insert_compound_select(spark):
                 "insert into dst (k) select k, k from src1 "
                 "union select k, k from src2"
             )
+
+
+def test_compound_subquery_in_exists(eng, duck):
+    """r15 (ADVICE r14, low): IN / EXISTS accept compound bodies —
+    previously a parse error while derived tables, named queries and
+    INSERT sources all accepted compounds. Uncorrelated only
+    (correlation lifting is per-branch-WHERE); differential against
+    DuckDB on printed SQL AND original source."""
+    for src in (
+        "select id from t1 where id in "
+        "(select id from t2 union select grp from t1) order by id",
+        "select id from t1 where id not in "
+        "(select grp from t1 union all select grp from t2) order by id",
+        # INTERSECT binds tighter inside the body too
+        "select id from t1 where grp in "
+        "(select grp from t1 intersect select grp from t2) order by id",
+        # compound body with its own tail
+        "select id from t1 where id in "
+        "(select id from t2 union select id from t1 "
+        "order by id limit 3) order by id",
+        # EXISTS over a compound (uncorrelated: constant gate)
+        "select id from t1 where exists "
+        "(select grp from t2 where amt > 100 except select grp from t1) "
+        "order by id",
+        # flag position: IN-compound under OR routes through the
+        # match-flag machinery
+        "select id from t1 where id in "
+        "(select id from t2 union select grp from t2) or id = 6 "
+        "order by id",
+    ):
+        _differ(eng, duck, src)
+    # tuple IN over a compound: DuckDB v1.0 rejects multi-column IN
+    # subqueries outright (Binder Error), so the oracle is the
+    # EXISTS-equivalent on the DuckDB side (both probe columns are
+    # NOT NULL here, so IN == EXISTS exactly)
+    src = (
+        "select id from t1 where (id, grp) in "
+        "(select id, grp from t2 union select id, grp from t1 "
+        "where val is not null) order by id"
+    )
+    rows = [r[0] for r in eng.fetch_list(src)]
+    want = [r[0] for r in duck.execute(
+        "SELECT id FROM t1 WHERE EXISTS (SELECT 1 FROM "
+        "(SELECT id, grp FROM t2 UNION SELECT id, grp FROM t1 "
+        "WHERE val IS NOT NULL) s WHERE s.id = t1.id AND s.grp = t1.grp) "
+        "ORDER BY id"
+    ).fetchall()]
+    assert rows == want, (rows, want)
+
+
+def test_compound_subquery_errors(eng):
+    # correlated compound: targeted error, not raw no-such-column
+    with pytest.raises(SqlppError, match="correlated compound"):
+        eng.fetch_list(
+            "select id from t1 where exists "
+            "(select 1 as one from t2 where t2.grp = t1.grp "
+            "union select 1 as one from t2)"
+        )
+    # compound scalar subquery: targeted error
+    with pytest.raises(SqlppError, match="compound .* scalar"):
+        eng.fetch_list(
+            "select id, (select max(amt) from t2 group by () union all "
+            "select max(val) from t1 group by ()) as m from t1"
+        )
