@@ -765,3 +765,45 @@ _sqlpp(
     "FROM lineitem "
     "ORDER BY grp",
 )
+
+_sqlpp(
+    # r15: the QUALIFY-fix shape under the driver gate — projection
+    # and ORDER BY windows NOT implied by the QUALIFY predicate must
+    # evaluate over the PRE-filter rows (the r14 shape silently
+    # re-numbered them post-filter; ADVICE r14 high). Oracle is
+    # DuckDB-native QUALIFY semantics hand-written as the wrapped
+    # subselect.
+    "sqlpp_qualify_windows",
+    "select o.o_custkey as ck, "
+    "row_number() over (order by o.o_totalprice asc, o.o_orderkey) "
+    "as cheap_rank, "
+    "count(1) over (partition by o.o_orderpriority) as pri_n "
+    "from orders as o where o.o_orderkey < 2000 "
+    "qualify row_number() over (order by o.o_totalprice desc, "
+    "o.o_orderkey) <= 10 "
+    "order by cheap_rank",
+    "SELECT ck, cheap_rank, pri_n FROM ("
+    "SELECT o_custkey AS ck, "
+    "row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey) "
+    "AS cheap_rank, "
+    "count(*) OVER (PARTITION BY o_orderpriority) AS pri_n, "
+    "row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) "
+    "AS qr FROM orders WHERE o_orderkey < 2000) "
+    "WHERE qr <= 10 ORDER BY cheap_rank",
+)
+
+_sqlpp(
+    # r15: compound subquery bodies in IN/EXISTS (ADVICE r14 low) —
+    # semi join against a UNION, anti join against a UNION ALL chain
+    "sqlpp_in_compound",
+    "select c.c_custkey as ck, c.c_acctbal as bal from customer as c "
+    "where c.c_custkey in "
+    "(select o.o_custkey from orders as o where o.o_totalprice > 400000 "
+    "union select s.s_suppkey from supplier as s where s.s_acctbal > 9900) "
+    "order by ck",
+    "SELECT c_custkey AS ck, c_acctbal AS bal FROM customer "
+    "WHERE c_custkey IN "
+    "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000 "
+    "UNION SELECT s_suppkey FROM supplier WHERE s_acctbal > 9900) "
+    "ORDER BY ck",
+)
