@@ -167,7 +167,9 @@ class Compiler:
                 # BEFORE ORDER BY/LIMIT apply (so LIMIT n returns n
                 # distinct rows, and ordering survives the dedup
                 # shuffle). ORDER BY must reference select-list items.
-                df = df.select(*cols).distinct()
+                # QUALIFY (r15): filter BEFORE the dedup, windows over
+                # the pre-filter rows (DuckDB's logical order).
+                df = self._distinct_qualify(df, cols, sel, binds, scalar_map)
                 if sel.order_by:
                     df = df.orderBy(
                         *[
@@ -191,6 +193,25 @@ class Compiler:
             df = self._project_order_limit(
                 df, cols, sel, binds, scalar_map
             )
+        return df
+
+    def _distinct_qualify(
+        self, df: DataFrame, cols, sel, binds: Bindings, scalar_map,
+        subst=None,
+    ) -> DataFrame:
+        """SELECT DISTINCT projection, with the optional QUALIFY
+        filter applied BEFORE the dedup over the pre-filter windows
+        (r15 — DuckDB's logical order: WINDOW → QUALIFY → DISTINCT)."""
+        if sel.qualify is not None:
+            qual = self.expr(sel.qualify, binds, scalar_map, subst)
+            df = (
+                df.select(*cols, qual.alias("__qual"))
+                .filter(F.col("__qual"))
+                .drop("__qual")
+                .distinct()
+            )
+        else:
+            df = df.select(*cols).distinct()
         return df
 
     def _project_order_limit(
@@ -396,7 +417,9 @@ class Compiler:
         if not cols:
             cols = [F.lit(1).alias("_dummy")]
         if sel.distinct:
-            grouped = grouped.select(*cols).distinct()
+            grouped = self._distinct_qualify(
+                grouped, cols, sel, binds, scalar_map, subst
+            )
             if sel.order_by:
                 grouped = grouped.orderBy(
                     *[

@@ -307,6 +307,40 @@ class SqlGen:
             f"{self.expr(f.expr)} AS {_q(f.out_name)}" for f in fields
         ] or ["1 AS _dummy"]
         inner_cols.append(f'{self.expr(sel.qualify)} AS "__qual"')
+        if sel.distinct:
+            # DISTINCT + QUALIFY (r15): filter, dedup the projected
+            # rows, THEN order — ORDER BY references select-list
+            # items (the dialect's DISTINCT rule), so no __ob helpers
+            # (they would break the dedup).
+            from sqlpp_spark.frontend.ast import expr_key
+
+            parts = [f"SELECT {', '.join(inner_cols)}"]
+            if sel.from_ is not None:
+                parts.append(f"FROM {self._from(ctx, sel.from_)}")
+            if sel.where is not None:
+                parts.append(f"WHERE {self.expr(sel.where)}")
+            gb = self._group_by_sql(ctx)
+            if gb:
+                parts.append(gb)
+            if sel.having is not None:
+                parts.append(f"HAVING {self.expr(sel.having)}")
+            inner = " ".join(parts)
+            names = ", ".join(_q(f.out_name) for f in fields) or "1"
+            out = [
+                f'SELECT DISTINCT {names} FROM ({inner}) AS "_qw" '
+                f'WHERE "__qual"'
+            ]
+            if sel.order_by:
+                refs = []
+                for o in sel.order_by:
+                    k = expr_key(o.expr)
+                    name = next(
+                        f.out_name for f in fields if expr_key(f.expr) == k
+                    )
+                    refs.append(f"{_q(name)} {_order_suffix(o)}")
+                out.append("ORDER BY " + ", ".join(refs))
+            out.extend(self._limit_offset_sql(sel.limit, sel.offset))
+            return " ".join(out)
         for i, o in enumerate(sel.order_by):
             inner_cols.append(f'{self.expr(o.expr)} AS "__ob{i}"')
         parts = [f"SELECT {', '.join(inner_cols)}"]

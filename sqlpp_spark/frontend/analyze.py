@@ -493,13 +493,10 @@ class Analyzer:
             # inline their defining window expressions (same-scope
             # `with` semantics), so `qualify rn = 1` works; after
             # inlining the expression must actually contain a window —
-            # otherwise it is WHERE/HAVING in disguise.
-            if sel.distinct:
-                self.err(
-                    "QUALIFY with SELECT DISTINCT is not supported "
-                    "(filter in an outer select instead)",
-                    sel.qualify.loc,
-                )
+            # otherwise it is WHERE/HAVING in disguise. DISTINCT
+            # composes (r15, DuckDB order): windows evaluate over the
+            # pre-DISTINCT rows, QUALIFY filters, THEN the projected
+            # rows dedup.
             sel.qualify, qty = self.infer_expr(ctx, sel.qualify)
             check_subsumes(
                 qty, BOOL.nullable(), sel.qualify.loc, self.src or None

@@ -119,12 +119,35 @@ def test_qualify_errors(eng):
     for bad, m in (
         ("select id from t1 qualify val > 10",
          "requires a window function"),
-        ("select distinct grp from t1 qualify "
-         "row_number() over (order by grp) = 1", "DISTINCT"),
         ("select id from t1 qualify id", "expected BOOL"),
     ):
         with pytest.raises(SqlppError, match=m):
             eng.fetch_list(bad)
+
+
+def test_qualify_distinct(eng, duck):
+    """r15: DISTINCT composes with QUALIFY — DuckDB's logical order
+    WINDOW -> QUALIFY -> DISTINCT -> ORDER BY (was a hard error
+    through r14). Differential incl. the shape where skipping the
+    dedup or filtering after it would change the rows."""
+    for src in (
+        # duplicates collapse only AFTER the filter keeps per-group
+        # winners
+        "select distinct grp from t1 qualify "
+        "row_number() over (partition by grp order by id) >= 1 "
+        "order by grp",
+        # projection window makes rows distinct pre-dedup; the filter
+        # works on pre-distinct rows
+        "select distinct grp, row_number() over (partition by grp "
+        "order by id) as rn from t1 qualify rn <= 2 order by grp, rn",
+        # window not in the projection: dedup happens on (id) alone
+        "select distinct grp from t1 "
+        "qualify sum(val) over (partition by grp) > 30 order by grp",
+        # with WHERE + LIMIT
+        "select distinct grp from t1 where id > 1 qualify "
+        "count(1) over (partition by grp) >= 1 order by grp desc limit 2",
+    ):
+        _differ(eng, duck, src)
 
 
 def test_qualify_fmt_roundtrip():
