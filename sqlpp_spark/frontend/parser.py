@@ -898,6 +898,37 @@ class Parser:
             name_tok = self.expect_ident()
             if self.at_punct("("):
                 self.advance()
+                fn_l = name_tok.value.lower()
+                # r15 spelling sugar for THE most common SQL forms:
+                # count(*) == count(1) (both count rows; the formatter
+                # normalizes to count(1)), and count(DISTINCT x)
+                # desugars to the dialect's count_distinct(x)
+                if fn_l == "count" and self.cur.kind == "op" \
+                        and self.cur.value == "*" \
+                        and self.peek().kind == "punct" \
+                        and self.peek().value == ")":
+                    star = self.advance()
+                    self.expect_punct(")")
+                    app = A.EApp(
+                        "count", [A.ELit(1, "int", loc=star.loc)],
+                        loc=Loc.span(name_tok.loc, self.toks[self.i - 1].loc),
+                    )
+                    if self._at_ident("filter") and self.peek().kind == "punct" \
+                            and self.peek().value == "(":
+                        app = self._agg_filter(app)
+                    return app
+                if fn_l == "count" and self.at_kw("distinct"):
+                    self.advance()
+                    arg = self.expr()
+                    self.expect_punct(")")
+                    app = A.EApp(
+                        "count_distinct", [arg],
+                        loc=Loc.span(name_tok.loc, self.toks[self.i - 1].loc),
+                    )
+                    if self._at_ident("filter") and self.peek().kind == "punct" \
+                            and self.peek().value == "(":
+                        app = self._agg_filter(app)
+                    return app
                 # zero-arg application — the reference's own tests use
                 # now() (analyze.ml:597 types "now", [])
                 args = [] if self.at_punct(")") else self._comma_list(self.expr, end=")")

@@ -260,3 +260,26 @@ def test_new_aggs_forbidden_without_group_by(env):
     for fn in ("stddev(t.b)", "bool_and(t.f)", "string_agg(t.s, ',')"):
         with pytest.raises(SqlppError, match="not allowed without GROUP BY"):
             analyze(env, f"select {fn} as x from t")
+
+
+def test_count_star_and_count_distinct_spelling(eng, duck):
+    """r15 spelling sugar: count(*) == count(1) and
+    count(DISTINCT x) == count_distinct(x) — parse-time desugar, so
+    the printers/compiler see the canonical forms. DuckDB runs the
+    original spellings natively (source check on)."""
+    for src in (
+        "select a as g, count(*) as n from t group by a order by g",
+        "select count(*) as n from t group by ()",
+        "select a as g, count(distinct b) as nd from t "
+        "group by a order by g",
+        "select count(distinct s) as nd, count(*) as n from t "
+        "group by ()",
+        "select a as g, count(*) filter (where b > 2) as nf from t "
+        "group by a order by g",
+        "select count(distinct b) filter (where b > 1) as ndf from t "
+        "group by ()",
+        # window form of count(*)
+        "select a, count(*) over (partition by a) as w from t "
+        "order by a, b",
+    ):
+        _differ(eng, duck, src)

@@ -24,6 +24,10 @@ VOCAB = [
     # late r14: IN lists, outer/cross joins, new aggregates
     "right", "full", "outer", "cross", "stddev", "variance",
     "string_agg", "bool_and", "bool_or", "count_distinct", "2",
+    # r15: approx aggregates, QUALIFY, count(*) / count(DISTINCT x)
+    # spellings, compound-subquery keywords
+    "approx_count_distinct", "approx_percentile", "qualify",
+    "distinct", "count", "filter", "0.5", "grouping", "sets",
 ]
 
 
