@@ -378,6 +378,16 @@ class Analyzer:
         ctx = SetOpCtx(q, left, right, row)
         names = {n for n, _ in row}
         for o in q.order_by:
+            # r15: 1-based ordinals resolve to the compound's output
+            # columns (same convention as plain selects)
+            if isinstance(o.expr, A.ELit) and o.expr.lit_kind == "int":
+                n = o.expr.value
+                if not 1 <= n <= len(row):
+                    self.err(
+                        f"ORDER BY position {n} is not in the set "
+                        "operation's output", o.expr.loc,
+                    )
+                o.expr = A.EName(name=row[n - 1][0], loc=o.expr.loc)
             if not isinstance(o.expr, A.EName) or o.expr.name not in names:
                 self.err(
                     "set operation ORDER BY must reference an output "
@@ -462,7 +472,11 @@ class Analyzer:
                 if not gexprs and len(sel.group_sets) == 1:
                     # GROUPING SETS (()) degenerates to GROUP BY ()
                     sel.group_kind = "plain"
-        # 4. projection
+        # 4. projection (raw items captured first: ORDER BY ordinals
+        # resolve against them below, like GROUP BY ordinals above)
+        raw_proj = [
+            it if isinstance(it, A.Field) else None for it in sel.fields
+        ]
         for item in list(sel.fields):
             self._analyze_field_item(ctx, item)
         sel.fields = ctx.fields
@@ -507,6 +521,19 @@ class Analyzer:
                     "HAVING for non-window filters)", sel.qualify.loc,
                 )
         for o in sel.order_by:
+            # r15: 1-based ordinals (ORDER BY 1, 2 — DuckDB/PG/Spark
+            # SQL convention) substitute the raw projection item's
+            # expression, hash-consing with its projection twin. An
+            # integer literal was previously a silent no-op constant
+            # sort — every mainstream engine reads it as an ordinal.
+            if isinstance(o.expr, A.ELit) and o.expr.lit_kind == "int":
+                n = o.expr.value
+                if not 1 <= n <= len(raw_proj) or raw_proj[n - 1] is None:
+                    self.err(
+                        f"ORDER BY position {n} is not in the select "
+                        "list", o.expr.loc,
+                    )
+                o.expr = copy.deepcopy(raw_proj[n - 1].expr)
             o.expr, _ = self.infer_expr(ctx, o.expr)
         if sel.limit is not None:
             sel.limit, lty = self.infer_expr(ctx, sel.limit)

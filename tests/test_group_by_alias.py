@@ -90,3 +90,47 @@ def test_errors(env):
         analyze(env, "select t.s as grp, count(1) as n from t group by 2")
     with pytest.raises(SqlppError):
         analyze(env, "select t.s as grp, count(1) as n from t group by nope")
+
+
+def _differ_ordered(eng, duck, src):
+    """Row-SEQUENCE differential — ordinal ORDER BY is about order."""
+    rows = [tuple(repr(x) for x in r) for r in eng.fetch_list(src)]
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    sql = select_sql(info)
+    want = [tuple(repr(x) for x in r) for r in duck.execute(sql).fetchall()]
+    want2 = [tuple(repr(x) for x in r) for r in duck.execute(src).fetchall()]
+    assert rows == want == want2, f"{src}\n{sql}"
+
+
+def test_order_by_ordinal(eng, duck):
+    """r15: ORDER BY 1-based ordinals (DuckDB/PG/Spark SQL). An int
+    literal there was previously a silent NO-OP constant sort — every
+    mainstream engine reads it as an ordinal, so original-source
+    differentials would have diverged."""
+    for src in (
+        "select a, b from t order by 1 desc",
+        "select s, a from t order by 1, 2 desc",
+        # ordinal onto a computed projection item
+        "select a + coalesce(b, 0) as ab, s from t order by 1 desc, s",
+        # mixed ordinal + expression keys
+        "select s, a, b from t order by 1 desc, a",
+        # grouped select: ordinal lands on the aggregate output
+        "select s, count(1) as n from t group by s order by 2 desc, 1",
+        # DISTINCT: ordinal satisfies the select-list rule
+        "select distinct s from t order by 1 desc",
+        # compound: ordinal resolves to the output column
+        "select a from t union select b from t where b is not null "
+        "order by 1 desc limit 4",
+    ):
+        _differ_ordered(eng, duck, src)
+
+
+def test_order_by_ordinal_errors(env):
+    for bad, m in (
+        ("select a, b from t order by 3", "position 3"),
+        ("select a from t order by 0", "position 0"),
+        ("select a from t union select b from t order by 2",
+         "position 2"),
+    ):
+        with pytest.raises(SqlppError, match=m):
+            analyze(env, bad)
