@@ -1227,7 +1227,10 @@ class Compiler:
                 )
             return col
         if isinstance(e, A.EAscribe):
-            return self.expr(e.expr, binds, scalar_map, subst)
+            inner = self.expr(e.expr, binds, scalar_map, subst)
+            if e.convert:  # CAST (r15) — converting, not erased
+                return inner.cast(spark_type(e.to_ty))
+            return inner
         if isinstance(e, A.EWindow):
             return self._window_col(e, binds, scalar_map, subst)
         if isinstance(e, A.EApp):

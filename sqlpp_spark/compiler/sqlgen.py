@@ -479,6 +479,36 @@ class SqlGen:
         if isinstance(e, A.EMatch):
             return self._match(e)
         if isinstance(e, A.EAscribe):
+            if e.convert:  # CAST (r15)
+                kind = e.to_ty.kind
+                src_ty = getattr(e.expr, "ty", None)
+                if self.dialect == "sqlite":
+                    # SQLite CAST is affinity-based: AS BOOLEAN/DATE/
+                    # TIMESTAMP coerce NUMERICALLY ('2020-01-01' -> 2020)
+                    # — silently wrong, so those targets raise; bool
+                    # sources stringify as 1/0 there, also divergent
+                    if kind in ("bool", "date", "datetime") or (
+                        src_ty is not None and src_ty.kind == "bool"
+                    ):
+                        raise SqlppError(
+                            "SQLite CAST involving BOOL/DATE/TIMESTAMP "
+                            "is affinity-based and diverges "
+                            "(backend divergence)"
+                        )
+                    t = "TEXT" if kind == "string" else SQL_TYPES[kind]
+                    return f"CAST({self.expr(e.expr)} AS {t})"
+                t = SQL_TYPES[kind]
+                if t == "DOUBLE" and self.dialect == "postgres":
+                    t = "DOUBLE PRECISION"
+                if (
+                    kind in ("int", "float")
+                    and src_ty is not None and src_ty.kind == "bool"
+                    and self.dialect == "postgres"
+                ):
+                    # PG has no bool->numeric cast; go through int
+                    inner = f"CAST({self.expr(e.expr)} AS INTEGER)"
+                    return f"CAST({inner} AS {t})"
+                return f"CAST({self.expr(e.expr)} AS {t})"
             return self.expr(e.expr)
         if isinstance(e, A.EWindow):
             args = ", ".join(self.expr(a) for a in e.args)

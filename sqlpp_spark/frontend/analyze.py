@@ -768,6 +768,8 @@ class Analyzer:
         if isinstance(e, A.ENull):
             self.err("missing type annotation for NULL value", e.loc)
         if isinstance(e, A.EAscribe):
+            if e.convert:
+                return self._infer_cast(ctx, e)
             if isinstance(e.expr, A.ENull):
                 return e.expr, e.to_ty.with_non_null(False)
             inner, ity = self._infer(ctx, e.expr)
@@ -1725,6 +1727,44 @@ class Analyzer:
                     loc,
                 )
             raise
+
+    # CAST conversion matrix (r15): target kind <- allowed source
+    # kinds. Chosen where Spark (ANSI) and DuckDB agree: bad string
+    # conversions RAISE on both engines; datetime->date truncates;
+    # numeric<->bool use the nonzero/1-0 conventions both share.
+    _CAST_OK = {
+        "string": {"string", "int", "float", "bool", "date", "datetime"},
+        "int": {"int", "float", "string", "bool"},
+        "float": {"int", "float", "string", "bool"},
+        "bool": {"bool", "int", "string"},
+        "date": {"date", "datetime", "string"},
+        "datetime": {"datetime", "date", "string"},
+    }
+
+    def _infer_cast(self, ctx: SelectCtx, e: A.EAscribe):
+        """CAST(expr AS TY) (r15) — converting cast, kept through
+        compile (Column.cast) and print (CAST .. AS). Nullability
+        follows the argument: unrepresentable values ERROR on both
+        engines (Spark runs ANSI mode), they don't go NULL."""
+        if isinstance(e.expr, A.ENull):
+            return e, e.to_ty.with_non_null(False)
+        inner, ity = self._infer(ctx, e.expr)
+        e.expr = inner
+        if ity is None:
+            ity = self._adopt_param(
+                inner, e.to_ty.with_non_null(False), e.loc
+            )
+        if getattr(inner, "ty", None) is None and hasattr(inner, "ty"):
+            inner.ty = ity  # printers read the SOURCE kind off the node
+        tgt = e.to_ty.kind
+        allowed = self._CAST_OK.get(tgt)
+        if allowed is None:
+            self.err(f"cannot CAST to {tgt.upper()}", e.loc)
+        if not (ity.kinds & allowed):
+            self.err(
+                f"cannot CAST {ity} to {tgt.upper()}", e.loc,
+            )
+        return e, e.to_ty.with_non_null(ity.non_null)
 
     def _infer_in(self, ctx: SelectCtx, e: A.EIn) -> Tuple[A.Expr, Ty]:
         if isinstance(e.select, A.SetOp):

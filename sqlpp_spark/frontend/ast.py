@@ -115,8 +115,13 @@ class EScalarSub(Expr):
 
 @dataclass
 class EAscribe(Expr):
+    """``expr : TY`` checked-and-erased ascription (reference
+    semantics) — or, with ``convert=True`` (r15), ``CAST(expr AS TY)``
+    which CONVERTS and is kept through compile/print."""
+
     expr: Expr = None
     to_ty: Ty = None
+    convert: bool = False
 
 
 @dataclass
@@ -458,6 +463,8 @@ def expr_key(e: Expr) -> tuple:
     if isinstance(e, EApp):
         return ("app", e.fn, tuple(expr_key(a) for a in e.args))
     if isinstance(e, EAscribe):
+        if e.convert:  # CAST converts — NOT erased (r15)
+            return ("cast", e.to_ty.kind, expr_key(e.expr))
         return expr_key(e.expr)  # ascriptions are erased (printer.ml:162)
     if isinstance(e, EParam):
         return ("param", e.name)

@@ -903,6 +903,18 @@ class Parser:
                 # count(*) == count(1) (both count rows; the formatter
                 # normalizes to count(1)), and count(DISTINCT x)
                 # desugars to the dialect's count_distinct(x)
+                if fn_l == "cast":
+                    # r15: CAST(expr AS TY) — CONVERTING cast (the
+                    # `expr : TY` ascription checks and erases; CAST
+                    # changes the value's type)
+                    inner = self.expr()
+                    self.expect_kw("as")
+                    ty = self._ty()
+                    self.expect_punct(")")
+                    return A.EAscribe(
+                        expr=inner, to_ty=ty, convert=True,
+                        loc=Loc.span(name_tok.loc, self.toks[self.i - 1].loc),
+                    )
                 if fn_l == "count" and self.cur.kind == "op" \
                         and self.cur.value == "*" \
                         and self.peek().kind == "punct" \

@@ -74,6 +74,8 @@ def _expr(e: A.Expr):
             s = f"{s} : {e.ascribed}"
         return s, 1000
     if isinstance(e, A.EAscribe):
+        if e.convert:  # CAST (r15): function-call form roundtrips
+            return f"cast({expr_str(e.expr, 0)} as {e.to_ty.kind})", 1000
         return f"{expr_str(e.expr, 1000)} : {e.to_ty}", 60
     if isinstance(e, A.EIn):
         lhs = (
