@@ -807,3 +807,23 @@ _sqlpp(
     "UNION SELECT s_suppkey FROM supplier WHERE s_acctbal > 9900) "
     "ORDER BY ck",
 )
+
+_sqlpp(
+    # r15: converting CAST + ORDER BY ordinals + count(*) spelling in
+    # one driver-gated entry. float->int CAST is pinned to TRUNCATION
+    # (engine/Spark-ANSI behavior) — the oracle spells trunc() because
+    # DuckDB's own CAST rounds (documented divergence).
+    "sqlpp_cast_ordinal",
+    "select cast(o.o_orderstatus as string) as st, "
+    "count(*) as n, "
+    "cast(avg(o.o_totalprice) as int) as avg_price_int, "
+    "cast(count(distinct o.o_custkey) as float) as nd_cust "
+    "from orders as o where o.o_orderkey < 20000 "
+    "group by o.o_orderstatus "
+    "order by 2 desc, 1",
+    "SELECT CAST(o_orderstatus AS VARCHAR) AS st, count(*) AS n, "
+    "CAST(trunc(avg(o_totalprice)) AS BIGINT) AS avg_price_int, "
+    "CAST(count(DISTINCT o_custkey) AS DOUBLE) AS nd_cust "
+    "FROM orders WHERE o_orderkey < 20000 "
+    "GROUP BY o_orderstatus ORDER BY 2 DESC, 1",
+)
