@@ -36,7 +36,7 @@ TOKEN_RE = re.compile(
   | (?P<param>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<arrow>->)
-  | (?P<op>!=|<=|>=|<>|=|<|>|\+|-|\*|/)
+  | (?P<op>!=|<=|>=|<>|=|<|>|\+|-|\*|/|\|\||%)
   | (?P<punct>[(),.;:|])
     """,
     re.VERBOSE,

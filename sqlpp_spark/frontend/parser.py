@@ -644,8 +644,8 @@ class Parser:
         "and": 40,
         "=": 60, "!=": 60, "<>": 60,
         "<": 70, "<=": 70, ">": 70, ">=": 70,
-        "+": 80, "-": 80,
-        "*": 90, "/": 90,  # reference bug parsed * as -; fixed here
+        "+": 80, "-": 80, "||": 80,  # r15: SQL concat operator
+        "*": 90, "/": 90, "%": 90,  # reference bug parsed * as -; fixed
     }
 
     def expr(self, min_bp: int = 0) -> A.Expr:
@@ -768,7 +768,13 @@ class Parser:
                 return e
             self.advance()
             rhs = self.expr(bp + 1)  # left-assoc
-            name = {"and": "AND", "or": "OR", "<>": "!="}.get(op, op)
+            # r15: || and % are spellings of existing functions —
+            # concat is NULL-propagating on both lowerings (prints as
+            # ||), mod carries the engine's NULL-on-zero guard
+            name = {
+                "and": "AND", "or": "OR", "<>": "!=",
+                "||": "concat", "%": "mod",
+            }.get(op, op)
             e = A.EApp(name, [e, rhs], loc=Loc.span(e.loc, rhs.loc))
 
     def _case(self) -> A.Expr:

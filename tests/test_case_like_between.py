@@ -326,3 +326,21 @@ def test_math_domain_pinned(eng, duck):
     ]
     tys = dict(info.row)
     assert not tys["sq"].non_null and not tys["l"].non_null
+
+
+def test_concat_and_mod_operators(eng, duck):
+    """r15 operator spellings: `||` desugars to concat (prints as ||,
+    NULL-propagating on both engines) and `%` to mod (engine's
+    NULL-on-zero guard). DuckDB runs the original spellings."""
+    for src in (
+        # NULL propagates through || (name is nullable)
+        "select id, name || '-x' as z from t1 order by id",
+        # toString is a dialect-only spelling -> printed-SQL oracle
+        # covers it in the string pack; keep this source DuckDB-runnable
+        "select id, 'p:' || name || ':' || name as z "
+        "from t1 order by id",
+        "select id, id % 3 as m from t1 where id % 2 = 1 order by id",
+        # % NULL-on-zero guard (DuckDB mod(x,0) is NULL too)
+        "select id, id % (grp - 1) as m from t1 order by id",
+    ):
+        _differ(eng, duck, src)
