@@ -740,7 +740,7 @@ class Parser:
             # separator isn't consumed)
             if (
                 t.kind == "ident"
-                and t.value.lower() in ("like", "between")
+                and t.value.lower() in ("like", "ilike", "between")
                 and 60 >= min_bp
             ):
                 e = self._like_or_between(e, t.value.lower(), False)
@@ -749,7 +749,8 @@ class Parser:
                 t.kind == "kw"
                 and t.value.lower() == "not"
                 and self.peek().kind == "ident"
-                and self.peek().value.lower() in ("like", "between")
+                and self.peek().value.lower() in ("like", "ilike",
+                                                  "between")
                 and 60 >= min_bp
             ):
                 kind = self.peek().value.lower()
@@ -804,13 +805,19 @@ class Parser:
         import copy as _copy
 
         start = e.loc
-        self.advance()  # consume LIKE / BETWEEN
-        if kind == "like":
+        self.advance()  # consume LIKE / ILIKE / BETWEEN
+        if kind in ("like", "ilike"):
             pat = self.expr(61)
-            out = A.EApp(
-                "like", [e, pat],
-                loc=Loc.span(start, self.toks[self.i - 1].loc),
-            )
+            loc = Loc.span(start, self.toks[self.i - 1].loc)
+            if kind == "ilike":
+                # r15: ILIKE desugars to like(lower(e), lower(pat)) —
+                # the pattern is a literal (the like() rule), so it
+                # lowercases at parse time; %/_/\ are case-free, so
+                # the escape validation is unaffected
+                if isinstance(pat, A.ELit) and pat.lit_kind == "string":
+                    pat = A.ELit(pat.value.lower(), "string", loc=pat.loc)
+                e = A.EApp("lower", [e], loc=e.loc)
+            out = A.EApp("like", [e, pat], loc=loc)
         else:
             lo = self.expr(61)
             self.expect_kw("and")

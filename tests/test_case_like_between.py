@@ -344,3 +344,15 @@ def test_concat_and_mod_operators(eng, duck):
         "select id, id % (grp - 1) as m from t1 order by id",
     ):
         _differ(eng, duck, src)
+
+
+def test_ilike_operator(eng, duck):
+    """r15: ILIKE (PG/DuckDB case-insensitive LIKE) desugars to
+    like(lower(e), lower(pattern)) at parse time — DuckDB runs the
+    original spelling natively."""
+    for src in (
+        "select id, name from t1 where name ilike 'AL%' order by id",
+        "select id from t1 where name not ilike '%A' order by id",
+        "select id, (name ilike '%PH%') as m from t1 order by id",
+    ):
+        _differ(eng, duck, src)
