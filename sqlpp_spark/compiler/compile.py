@@ -1536,6 +1536,11 @@ class Compiler:
             if e.ty is not None:
                 col = col.cast(spark_type(e.ty))
             return col
+        if fn == "date_trunc":
+            # r15: Spark returns TIMESTAMP always; the analyzer typed
+            # the result to the INPUT's kind (date->date) — cast back
+            col = F.date_trunc(e.args[0].value.lower(), a(1))
+            return col.cast(spark_type(e.ty)) if e.ty is not None else col
         ext = _EXT_COMPILE.get(fn)
         if ext is not None:
             return ext([a(i) for i in range(len(e.args))])
@@ -1570,6 +1575,10 @@ _EXT_COMPILE = {
     "month": lambda a: F.month(a[0]).cast("bigint"),
     "day": lambda a: F.dayofmonth(a[0]).cast("bigint"),
     "mod": lambda a: F.try_mod(a[0], a[1]),
+    # r15 date arithmetic
+    # dialect INT is 64-bit; Spark date_add wants INT32
+    "date_add": lambda a: F.date_add(a[0], a[1].cast("int")),
+    "date_diff": lambda a: F.datediff(a[0], a[1]).cast("bigint"),
     # sqrt/ln pin NULL on out-of-domain input (late r14): Spark's
     # natives give NaN/NULL while DuckDB/PG raise Out of Range — the
     # dialect's total semantics is NULL, guarded identically in the

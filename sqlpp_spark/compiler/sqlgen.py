@@ -768,6 +768,27 @@ class SqlGen:
             return self.d["substring"]([a(i) for i in range(len(e.args))])
         if fn in ("year", "month", "day") and fn in self.d:
             return f"CAST({self.d[fn](a(0))} AS BIGINT)"
+        if fn in ("date_add", "date_diff", "date_trunc"):
+            # r15 date arithmetic: per-dialect spellings (DuckDB/PG
+            # date+int adds days; SQLite has no DATE type at all —
+            # documented divergence like the stats aggregates)
+            if self.dialect == "sqlite":
+                raise SqlppError(
+                    "SQLite has no typed date arithmetic "
+                    "(backend divergence)"
+                )
+            if fn == "date_add":
+                return f"({a(0)} + CAST({a(1)} AS INTEGER))"
+            if fn == "date_diff":
+                if self.dialect == "postgres":
+                    return f"CAST(({a(0)} - {a(1)}) AS BIGINT)"
+                return (
+                    f"CAST(date_diff('day', {a(1)}, {a(0)}) AS BIGINT)"
+                )
+            part = e.args[0]
+            ty = e.ty
+            t = SQL_TYPES.get(ty.kind, "TIMESTAMP") if ty else "TIMESTAMP"
+            return f"CAST(date_trunc({a(0)}, {a(1)}) AS {t})"
         if fn in ("mod", "round", "strpos", "contains", "left", "right") \
                 and fn in self.d:
             # dialect-overridden extension fns (PG: NULL-on-÷0 mod,

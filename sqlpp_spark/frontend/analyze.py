@@ -2131,6 +2131,38 @@ class Analyzer:
 # ---------------------------------------------------------------------------
 
 
+_DATE_TRUNC_PARTS = {"year", "quarter", "month", "week", "day",
+                     "hour", "minute"}
+
+
+def _date_trunc_rule(an: "Analyzer", e: A.EApp, tys) -> Ty:
+    """date_trunc(part, x) (r15): part is a string literal from the
+    cross-engine-agreeing set; the result keeps x's kind (DATE in ->
+    DATE out, DATETIME in -> DATETIME out — Spark returns TIMESTAMP
+    always, the compiler casts back; DuckDB/PG do this natively)."""
+    if len(e.args) != 2:
+        an.err("date_trunc(..) takes (part, date/datetime)", e.loc)
+    part = e.args[0]
+    if not (
+        isinstance(part, A.ELit) and part.lit_kind == "string"
+        and part.value.lower() in _DATE_TRUNC_PARTS
+    ):
+        an.err(
+            "date_trunc(..) part must be a string literal, one of: "
+            + ", ".join(sorted(_DATE_TRUNC_PARTS)), e.loc,
+        )
+    t = tys[1]
+    if t is None or not (t.kinds & {"date", "datetime"}):
+        an.err("date_trunc(..) expects a DATE or DATETIME", e.loc)
+    kind = "datetime" if "datetime" in t.kinds else "date"
+    if kind == "date" and part.value.lower() in ("hour", "minute"):
+        an.err(
+            "date_trunc(..) to hour/minute needs a DATETIME input",
+            e.loc,
+        )
+    return Ty(frozenset({kind}), t.non_null)
+
+
 def _ext(ret_builder):
     def rule(an: Analyzer, e: A.EApp, tys: List[Ty]) -> Ty:
         nn = all(t is not None and t.non_null for t in tys) if tys else True
@@ -2156,6 +2188,10 @@ _EXT_FNS = {
     "month": _ext(lambda tys: INT),
     "day": _ext(lambda tys: INT),
     "like": _ext(lambda tys: BOOL),
+    # r15 date arithmetic (cross-engine portable; see sqlgen hooks)
+    "date_add": _ext(lambda tys: DATE),
+    "date_diff": _ext(lambda tys: INT),
+    "date_trunc": _date_trunc_rule,
     # r14 string pack (portable across Spark/DuckDB/PG; SQLite via
     # dialect hooks or documented gaps)
     "lpad": _ext(lambda tys: STRING),
