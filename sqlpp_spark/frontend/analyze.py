@@ -2163,6 +2163,40 @@ def _date_trunc_rule(an: "Analyzer", e: A.EApp, tys) -> Ty:
     return Ty(frozenset({kind}), t.non_null)
 
 
+def _date_add_rule(an: "Analyzer", e: A.EApp, tys) -> Ty:
+    """date_add(d, n) — d strictly DATE (Spark's date_add on a
+    DATETIME silently truncates to date; require an explicit CAST
+    instead), n INT; result DATE."""
+    if len(e.args) != 2:
+        an.err("date_add(..) takes (date, days)", e.loc)
+    _require_kind(an, tys[0], {"date"}, e, "date_add(..) first argument")
+    _require_kind(an, tys[1], {"int"}, e, "date_add(..) day count")
+    nn = all(t is not None and t.non_null for t in tys)
+    return DATE.with_non_null(nn)
+
+
+def _date_diff_rule(an: "Analyzer", e: A.EApp, tys) -> Ty:
+    """date_diff(a, b) = a - b in whole days; both strictly DATE
+    (CAST a DATETIME explicitly — silent truncation differs across
+    engines)."""
+    if len(e.args) != 2:
+        an.err("date_diff(..) takes (date, date)", e.loc)
+    for i, what in ((0, "first"), (1, "second")):
+        _require_kind(
+            an, tys[i], {"date"}, e, f"date_diff(..) {what} argument"
+        )
+    nn = all(t is not None and t.non_null for t in tys)
+    return INT.with_non_null(nn)
+
+
+def _require_kind(an, t, kinds, e, what):
+    if t is None or not (t.kinds & kinds):
+        an.err(
+            f"{what} must be {'/'.join(sorted(k.upper() for k in kinds))}"
+            f"{'' if t is None else f', got {t}'}", e.loc,
+        )
+
+
 def _ext(ret_builder):
     def rule(an: Analyzer, e: A.EApp, tys: List[Ty]) -> Ty:
         nn = all(t is not None and t.non_null for t in tys) if tys else True
@@ -2189,8 +2223,8 @@ _EXT_FNS = {
     "day": _ext(lambda tys: INT),
     "like": _ext(lambda tys: BOOL),
     # r15 date arithmetic (cross-engine portable; see sqlgen hooks)
-    "date_add": _ext(lambda tys: DATE),
-    "date_diff": _ext(lambda tys: INT),
+    "date_add": _date_add_rule,
+    "date_diff": _date_diff_rule,
     "date_trunc": _date_trunc_rule,
     # r14 string pack (portable across Spark/DuckDB/PG; SQLite via
     # dialect hooks or documented gaps)

@@ -827,3 +827,33 @@ _sqlpp(
     "FROM orders WHERE o_orderkey < 20000 "
     "GROUP BY o_orderstatus ORDER BY 2 DESC, 1",
 )
+
+_sqlpp(
+    # r15: date arithmetic + ILIKE + ||/% operator spellings under
+    # the driver gate. The oracle hand-writes DuckDB's native
+    # spellings (date_diff arg order differs from the dialect's).
+    "sqlpp_date_ops",
+    "select o.o_orderkey as k, "
+    "cast(date_add(cast(o.o_orderdate as date), 30) as datetime) "
+    "as due, "
+    "date_diff(cast(o.o_orderdate as date), date('1995-01-01')) "
+    "as age_days, "
+    "date_trunc('month', o.o_orderdate) as mth, "
+    "o.o_orderpriority || '/' || o.o_orderstatus as tag, "
+    "o.o_orderkey % 7 as bucket "
+    "from orders as o "
+    "where o.o_orderkey < 4000 and o.o_orderpriority ilike '%urgent' "
+    "order by k",
+    "SELECT o_orderkey AS k, "
+    "CAST(CAST(o_orderdate AS DATE) + CAST(30 AS INTEGER) "
+    "AS TIMESTAMP) AS due, "
+    "CAST(date_diff('day', DATE '1995-01-01', "
+    "CAST(o_orderdate AS DATE)) AS BIGINT) "
+    "AS age_days, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mth, "
+    "o_orderpriority || '/' || o_orderstatus AS tag, "
+    "o_orderkey % 7 AS bucket "
+    "FROM orders "
+    "WHERE o_orderkey < 4000 AND o_orderpriority ILIKE '%urgent' "
+    "ORDER BY k",
+)
