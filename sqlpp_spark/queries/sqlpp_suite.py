@@ -10,7 +10,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sqlpp_spark.queries import register
 
-_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "documents")
 
 _ENGINES: dict = {}
 
@@ -856,4 +857,25 @@ _sqlpp(
     "FROM orders "
     "WHERE o_orderkey < 4000 AND o_orderpriority ILIKE '%urgent' "
     "ORDER BY k",
+)
+
+_sqlpp(
+    # r15: the dialect over the PIPELINE tables, not just TPC-H —
+    # a corpus-quality filter query written in sqlpp (length ratios,
+    # ILIKE, approx_count_distinct per language, ordinals).
+    "sqlpp_docs_quality",
+    "select d.lang as lang, count(*) as n_docs, "
+    "approx_count_distinct(d.source) between "
+    "count_distinct(d.source) * 0.9 - 2.0 and "
+    "count_distinct(d.source) * 1.1 + 2.0 as acd_ok, "
+    "sum(case when d.n_chars between 200 and 8000 then 1 else 0 end) "
+    "as n_goldilocks, "
+    "count(*) filter (where d.text ilike '%the%') as n_the "
+    "from documents as d "
+    "group by d.lang order by 2 desc, 1",
+    "SELECT lang, count(*) AS n_docs, TRUE AS acd_ok, "
+    "sum(CASE WHEN n_chars BETWEEN 200 AND 8000 THEN 1 ELSE 0 END) "
+    "AS n_goldilocks, "
+    "count(*) FILTER (WHERE text ILIKE '%the%') AS n_the "
+    "FROM documents GROUP BY lang ORDER BY 2 DESC, 1",
 )
