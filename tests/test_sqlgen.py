@@ -300,8 +300,11 @@ try:
                 "row_number()", "rank()", "sum(n_nationkey)",
             ]))
             cmp_ = draw(st.sampled_from(["<= 2", "= 1", "> 1"]))
+            # r15: DISTINCT composes (windows pre-dedup, filter, dedup)
+            dis = draw(st.sampled_from(["", "distinct "]))
             return (
-                f"select n_name, n_regionkey from nation where {where} "
+                f"select {dis}n_name, n_regionkey from nation "
+                f"where {where} "
                 f"qualify {fn} over (partition by n_regionkey "
                 f"order by n_nationkey desc, n_name) {cmp_} "
                 f"order by n_regionkey, n_name"
