@@ -633,6 +633,35 @@ def test_rollup_qualify_plan_shapes(spark, sf_dir):
     assert ") Window" in p and "Join" not in p, p
 
 
+def test_dialect_approx_aggs_partial_aggregation(spark, sf_dir):
+    """r15 dialect approx aggregates: the 100 TB contract is that
+    ONLY sketch state crosses the exchange — partial HLL++/GK
+    aggregation must run map-side (ObjectHashAggregate partial_*
+    BELOW the Exchange), never a raw-row shuffle to a final-only
+    aggregate."""
+    import contextlib
+    import io
+
+    from sqlpp_spark.engine import SqlppEngine
+
+    eng = SqlppEngine(spark)
+    eng.register_parquet("lineitem", f"{sf_dir}/lineitem.parquet")
+    df = eng.query(
+        "select l.l_returnflag as g, "
+        "approx_count_distinct(l.l_suppkey) as nd, "
+        "approx_percentile(l.l_quantity, 0.5) as p50 "
+        "from lineitem as l group by l.l_returnflag"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "partial_approx_count_distinct" in p, p
+    assert "partial_percentile_approx" in p, p
+    # one exchange total — the partials run in the scan stage
+    assert p.count("Exchange") == 1, p
+
+
 def test_cms_shares_text_scan(spark, sf_dir):
     """r15 (VERDICT ask #5): cms_counts persists the text projection
     once and feeds the Misra-Gries pass, the exact-count pass, and
