@@ -659,7 +659,7 @@ def test_dialect_approx_aggs_partial_aggregation(spark, sf_dir):
     assert "partial_approx_count_distinct" in p, p
     assert "partial_percentile_approx" in p, p
     # one exchange total — the partials run in the scan stage
-    assert p.count("Exchange") == 1, p
+    assert shuffle_count(p) == 1, p
 
 
 def test_cms_shares_text_scan(spark, sf_dir):
