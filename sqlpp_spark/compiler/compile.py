@@ -1574,6 +1574,11 @@ _EXT_COMPILE = {
     "year": lambda a: F.year(a[0]).cast("bigint"),
     "month": lambda a: F.month(a[0]).cast("bigint"),
     "day": lambda a: F.dayofmonth(a[0]).cast("bigint"),
+    "hour": lambda a: F.hour(a[0]).cast("bigint"),
+    "minute": lambda a: F.minute(a[0]).cast("bigint"),
+    "second": lambda a: F.second(a[0]).cast("bigint"),
+    "greatest": lambda a: F.greatest(*a),
+    "least": lambda a: F.least(*a),
     "mod": lambda a: F.try_mod(a[0], a[1]),
     # r15 date arithmetic
     # dialect INT is 64-bit; Spark date_add wants INT32

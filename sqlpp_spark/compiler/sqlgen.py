@@ -123,6 +123,9 @@ _DIALECTS = {
         "year": lambda a: f"extract(year FROM {a})",
         "month": lambda a: f"extract(month FROM {a})",
         "day": lambda a: f"extract(day FROM {a})",
+        "hour": lambda a: f"extract(hour FROM {a})",
+        "minute": lambda a: f"extract(minute FROM {a})",
+        "second": lambda a: f"extract(second FROM {a})",
         "mod": lambda a: (
             f"(CASE WHEN {a[1]} = 0 THEN NULL ELSE {a[0]} % {a[1]} END)"
         ),
@@ -142,6 +145,9 @@ _DIALECTS = {
         "year": lambda a: f"strftime('%Y', {a})",
         "month": lambda a: f"strftime('%m', {a})",
         "day": lambda a: f"strftime('%d', {a})",
+        "hour": lambda a: f"strftime('%H', {a})",
+        "minute": lambda a: f"strftime('%M', {a})",
+        "second": lambda a: f"strftime('%S', {a})",
         "now": "datetime('now')",
         # CAST(bool AS TEXT) is '1'/'0' in SQLite but 'true'/'false'
         # in Spark/DuckDB — render the words (NULL propagates)
@@ -766,8 +772,19 @@ class SqlGen:
             return f"({s})"
         if fn in ("substring", "substr"):
             return self.d["substring"]([a(i) for i in range(len(e.args))])
-        if fn in ("year", "month", "day") and fn in self.d:
+        if fn in ("year", "month", "day", "hour", "minute", "second") \
+                and fn in self.d:
             return f"CAST({self.d[fn](a(0))} AS BIGINT)"
+        if fn in ("greatest", "least"):
+            if self.dialect == "sqlite":
+                # SQLite scalar max/min return NULL when ANY arg is
+                # NULL — the dialect pins skip-NULL (divergence)
+                raise SqlppError(
+                    "SQLite max/min scalars are NULL-on-any-NULL "
+                    "(backend divergence)"
+                )
+            args = ", ".join(a(i) for i in range(len(e.args)))
+            return f"{fn}({args})"
         if fn in ("date_add", "date_diff", "date_trunc"):
             # r15 date arithmetic: per-dialect spellings (DuckDB/PG
             # date+int adds days; SQLite has no DATE type at all —
@@ -837,6 +854,9 @@ _EXT_SQL = {
     "floor": lambda a: f"CAST(floor({a[0]}) AS BIGINT)",
     "ceil": lambda a: f"CAST(ceil({a[0]}) AS BIGINT)",
     "year": lambda a: f"CAST(year({a[0]}) AS BIGINT)",
+    "hour": lambda a: f"CAST(hour({a[0]}) AS BIGINT)",
+    "minute": lambda a: f"CAST(minute({a[0]}) AS BIGINT)",
+    "second": lambda a: f"CAST(second({a[0]}) AS BIGINT)",
     "month": lambda a: f"CAST(month({a[0]}) AS BIGINT)",
     "day": lambda a: f"CAST(day({a[0]}) AS BIGINT)",
     # try-mod: NULL on mod 0 in BOTH engines (DuckDB % yields NULL)

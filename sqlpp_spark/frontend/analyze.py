@@ -2163,6 +2163,21 @@ def _date_trunc_rule(an: "Analyzer", e: A.EApp, tys) -> Ty:
     return Ty(frozenset({kind}), t.non_null)
 
 
+def _greatest_rule(an: "Analyzer", e: A.EApp, tys) -> Ty:
+    if len(e.args) < 2:
+        an.err(f"{e.fn}(..) takes at least 2 arguments", e.loc)
+    t = None
+    for i, a in enumerate(tys):
+        if a is None:
+            continue
+        t = a if t is None else ty_lub(t, a, e.loc, an.src or None)
+    if t is None:
+        an.err(f"cannot infer {e.fn}(..) argument types", e.loc)
+    # skip-NULL: the result is NULL only when EVERY input is
+    nn = any(a is not None and a.non_null for a in tys)
+    return t.with_non_null(nn)
+
+
 def _date_add_rule(an: "Analyzer", e: A.EApp, tys) -> Ty:
     """date_add(d, n) — d strictly DATE (Spark's date_add on a
     DATETIME silently truncates to date; require an explicit CAST
@@ -2221,6 +2236,15 @@ _EXT_FNS = {
     "year": _ext(lambda tys: INT),
     "month": _ext(lambda tys: INT),
     "day": _ext(lambda tys: INT),
+    # r15: EXTRACT parts below day (datetime input)
+    "hour": _ext(lambda tys: INT),
+    "minute": _ext(lambda tys: INT),
+    "second": _ext(lambda tys: INT),
+    # r15: n-ary greatest/least — SKIP-NULL semantics on every engine
+    # that has them (Spark/DuckDB/PG: NULL only when ALL inputs are);
+    # result is the args' lub, NON-NULL if ANY arg is
+    "greatest": _greatest_rule,
+    "least": _greatest_rule,
     "like": _ext(lambda tys: BOOL),
     # r15 date arithmetic (cross-engine portable; see sqlgen hooks)
     "date_add": _date_add_rule,

@@ -786,9 +786,21 @@ class Parser:
         count means the ELSE branch is present."""
         start = self.cur.loc
         self.advance()  # CASE
+        operand = None
+        if not self._at_ident("when"):
+            # r15: simple CASE — `CASE x WHEN v THEN r ...` desugars
+            # to the searched form with `x = v` arms (exact: a NULL
+            # operand never matches, the ELSE applies — both engines)
+            operand = self.expr()
         args: List[A.Expr] = []
         while self._eat_ident("when"):
-            args.append(self.expr())
+            cond = self.expr()
+            if operand is not None:
+                import copy as _copy
+                cond = A.EApp(
+                    "=", [_copy.deepcopy(operand), cond], loc=cond.loc
+                )
+            args.append(cond)
             if not self._eat_ident("then"):
                 self.fail("expected THEN")
             args.append(self.expr())
@@ -870,12 +882,7 @@ class Parser:
             return A.EExists(select=sel, loc=Loc.span(t.loc, self.toks[self.i - 1].loc))
         if t.kind == "kw" and t.value.lower() == "match":
             return self._match()
-        if (
-            t.kind == "ident"
-            and t.value.lower() == "case"
-            and self.peek().kind == "ident"
-            and self.peek().value.lower() == "when"
-        ):
+        if t.kind == "ident" and t.value.lower() == "case":
             return self._case()
         if t.kind == "punct" and t.value == "(":
             self.advance()
@@ -916,6 +923,24 @@ class Parser:
                 # count(*) == count(1) (both count rows; the formatter
                 # normalizes to count(1)), and count(DISTINCT x)
                 # desugars to the dialect's count_distinct(x)
+                if fn_l == "extract":
+                    # r15: EXTRACT(part FROM x) — sugar for the
+                    # per-part datetime field functions
+                    part_tok = self.expect_ident()
+                    part = part_tok.value.lower()
+                    if part not in ("year", "month", "day", "hour",
+                                    "minute", "second"):
+                        self.fail(
+                            "EXTRACT part must be one of year, month, "
+                            "day, hour, minute, second"
+                        )
+                    self.expect_kw("from")
+                    inner = self.expr()
+                    self.expect_punct(")")
+                    return A.EApp(
+                        part, [inner],
+                        loc=Loc.span(name_tok.loc, self.toks[self.i - 1].loc),
+                    )
                 if fn_l == "cast":
                     # r15: CAST(expr AS TY) — CONVERTING cast (the
                     # `expr : TY` ascription checks and erases; CAST

@@ -356,3 +356,47 @@ def test_ilike_operator(eng, duck):
         "select id, (name ilike '%PH%') as m from t1 order by id",
     ):
         _differ(eng, duck, src)
+
+
+def test_simple_case(eng, duck):
+    """r15: simple CASE — `CASE x WHEN v THEN r` desugars to the
+    searched form with `x = v` arms; a NULL operand never matches
+    (ELSE applies), like both engines."""
+    for src in (
+        "select id, case grp when 1 then 'one' when 2 then 'two' "
+        "else 'more' end as w from t1 order by id",
+        "select id, case grp when 1 then 'one' end as w from t1 "
+        "order by id",
+        # NULL operand: no arm matches, ELSE applies
+        "select id, case val when 10 then 'ten' else 'other' end as w "
+        "from t1 order by id",
+        # operand is an expression
+        "select id, case grp * 2 when 2 then 'a' when 4 then 'b' end "
+        "as w from t1 order by id",
+    ):
+        _differ(eng, duck, src)
+
+
+def test_greatest_least(eng, duck):
+    """r15: n-ary greatest/least with SKIP-NULL semantics (NULL only
+    when every input is) — Spark, DuckDB and PG agree; SQLite's
+    scalar max/min are NULL-on-any-NULL and raise in that printer."""
+    for src in (
+        "select id, greatest(id, grp, 3) as g, least(id, grp) as l "
+        "from t1 order by id",
+        # skip-NULL: val is NULL on some rows
+        "select id, greatest(val, 25) as g, least(val, 25) as l "
+        "from t1 order by id",
+        "select id, greatest(name, 'beta') as g from t1 order by id",
+    ):
+        _differ(eng, duck, src)
+    info = Analyzer(
+        eng.env,
+        "select greatest(val, 25) as g from t1",
+    ).analyze_query(parse_query(
+        "select greatest(val, 25) as g from t1"
+    ))
+    (_, ty), = info.row
+    assert ty.non_null  # one non-null input -> never NULL
+    with pytest.raises(SqlppError, match="backend divergence"):
+        select_sql(info, dialect="sqlite")

@@ -115,3 +115,21 @@ def test_date_fn_printers(eng):
     assert "+ CAST(3 AS INTEGER)" in pg and '"d" - "t"."d"' in pg or "-" in pg
     with pytest.raises(SqlppError, match="date arithmetic"):
         select_sql(info, dialect="sqlite")
+
+
+def test_extract_and_time_parts(eng, duck):
+    """r15: EXTRACT(part FROM x) sugar + hour/minute/second field
+    functions (year/month/day existed)."""
+    for src in (
+        "select id, extract(year from ts) as y, "
+        "extract(month from ts) as mo, extract(day from ts) as dd, "
+        "extract(hour from ts) as h, extract(minute from ts) as mi, "
+        "extract(second from ts) as sec from t order by id",
+        "select id, hour(ts) as h, minute(ts) as mi, second(ts) as s "
+        "from t order by id",
+        "select extract(year from d) as y, count(1) as n from t "
+        "group by extract(year from d) order by y",
+    ):
+        _differ(eng, duck, src)
+    with pytest.raises(SqlppError, match="EXTRACT part"):
+        parse_query("select extract(century from ts) as c from t")
