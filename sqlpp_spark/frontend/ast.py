@@ -495,6 +495,34 @@ def expr_key(e: Expr) -> tuple:
     raise TypeError(f"expr_key: {type(e)}")
 
 
+def iter_subquery_selects(e):
+    """Yield every RAW subquery body (Select | SetOp) under an
+    unanalyzed expression — the parse-time CTE inliner (r15) walks
+    these to substitute CTE references inside IN/EXISTS/scalar
+    subqueries too."""
+    if e is None:
+        return
+    if isinstance(e, (EIn, EExists, EScalarSub)):
+        yield e.select
+    for child in getattr(e, "args", None) or []:
+        yield from iter_subquery_selects(child)
+    if isinstance(e, EIn):
+        for x in e.exprs:
+            yield from iter_subquery_selects(x)
+    if isinstance(e, EInList):
+        yield from iter_subquery_selects(e.expr)
+        for x in e.items:
+            yield from iter_subquery_selects(x)
+    if isinstance(e, EWindow):
+        for x in [*e.partition_by, *[o.expr for o in e.order_by]]:
+            yield from iter_subquery_selects(x)
+    if isinstance(e, (EAscribe, ENav)):
+        yield from iter_subquery_selects(e.expr)
+    if isinstance(e, EMatch):
+        for b in e.branches:
+            yield from iter_subquery_selects(b.body)
+
+
 def expr_has_subquery(e) -> bool:
     """IN (subquery) / EXISTS anywhere below ``e`` — such expressions
     need elaboration (sub_ctx) before SQL printing, and DataFrame-level

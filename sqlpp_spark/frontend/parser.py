@@ -94,6 +94,8 @@ class Parser:
         return q
 
     def _query(self):
+        if self.at_kw("with"):
+            return self._with_query()
         if self.at_kw("select"):
             return self.select_compound()
         if self.at_kw("insert"):
@@ -103,6 +105,46 @@ class Parser:
         if self.at_kw("delete"):
             return self.delete()
         self.fail("expected SELECT, INSERT, UPDATE or DELETE")
+
+    def _with_query(self):
+        """SQL CTEs (r15): ``WITH name AS (compound) [, ...] SELECT``
+        — inlined at PARSE time: every FROM/subquery reference to a
+        CTE name substitutes a deep copy of its body as a derived
+        table (the same semantics as the dialect's named-query
+        inlining; multiple references = multiple copies, exactly like
+        views). Later CTE bodies see earlier CTEs; recursion is a
+        located error. Unambiguous with the projection-position
+        ``with expr as name`` — only the query-LEADING keyword opens
+        a CTE list."""
+        self.advance()  # WITH
+        ctes: list = []
+        while True:
+            name_tok = self.expect_ident()
+            name = name_tok.value
+            if any(n == name for n, _b in ctes):
+                self.fail(f"duplicate CTE name {name!r}")
+            self.expect_kw("as")
+            self.expect_punct("(")
+            body = self.select_compound()
+            self.expect_punct(")")
+            for n0, b0 in ctes:
+                _subst_cte(body, n0, b0)
+            if _refs_table(body, name):
+                self.fail(
+                    f"recursive CTE {name!r} is not supported"
+                )
+            ctes.append((name, body))
+            if not self.eat_punct(","):
+                break
+        if not self.at_kw("select"):
+            self.fail("WITH <name> AS (...) must be followed by SELECT")
+        q = self.select_compound()
+        # REVERSE order: a body inlined later must not have its
+        # forward references resolved by an even-later substitution —
+        # standard SQL visibility is strictly earlier-CTEs-only
+        for n, b in reversed(ctes):
+            _subst_cte(q, n, b)
+        return q
 
     def parse_decls(self) -> list:
         decls = []
@@ -1139,3 +1181,77 @@ def parse_query(src: str):
 
 def parse_decls(src: str):
     return Parser(src).parse_decls()
+
+
+# -- CTE inlining (r15) -------------------------------------------------------
+
+
+def _cte_exprs(sel):
+    """Every raw expression hanging off an unanalyzed Select."""
+    out = []
+    for it in sel.fields or []:
+        ex = getattr(it, "expr", None)
+        if ex is not None:
+            out.append(ex)
+    for ex in (sel.where, sel.having, sel.qualify, sel.limit, sel.offset):
+        if ex is not None:
+            out.append(ex)
+    for g in sel.group_by or []:
+        out.append(g)
+    for o in sel.order_by or []:
+        out.append(o.expr)
+    return out
+
+
+def _subst_from(f, name, body):
+    import copy as _copy
+
+    if isinstance(f, A.FromTable) and f.table == name:
+        return A.FromSelect(
+            _copy.deepcopy(body), f.alias or name, loc=f.loc
+        )
+    if isinstance(f, A.FromJoin):
+        f.left = _subst_from(f.left, name, body)
+        f.right = _subst_from(f.right, name, body)
+        return f
+    if isinstance(f, A.FromSelect):
+        _subst_cte(f.select, name, body)
+        return f
+    return f
+
+
+def _subst_cte(q, name, body) -> None:
+    """Replace every reference to CTE ``name`` inside query ``q``
+    (FROM positions and IN/EXISTS/scalar subqueries, at any depth)
+    with a derived-table copy of ``body``. Mutates in place."""
+    if isinstance(q, A.SetOp):
+        _subst_cte(q.left, name, body)
+        _subst_cte(q.right, name, body)
+        return
+    if q.from_ is not None:
+        q.from_ = _subst_from(q.from_, name, body)
+    for ex in _cte_exprs(q):
+        for sub in A.iter_subquery_selects(ex):
+            _subst_cte(sub, name, body)
+
+
+def _refs_table(q, name) -> bool:
+    if isinstance(q, A.SetOp):
+        return _refs_table(q.left, name) or _refs_table(q.right, name)
+
+    def in_from(f):
+        if isinstance(f, A.FromTable):
+            return f.table == name
+        if isinstance(f, A.FromJoin):
+            return in_from(f.left) or in_from(f.right)
+        if isinstance(f, A.FromSelect):
+            return _refs_table(f.select, name)
+        return False
+
+    if q.from_ is not None and in_from(q.from_):
+        return True
+    for ex in _cte_exprs(q):
+        for sub in A.iter_subquery_selects(ex):
+            if _refs_table(sub, name):
+                return True
+    return False
