@@ -879,3 +879,34 @@ _sqlpp(
     "count(*) FILTER (WHERE text ILIKE '%the%') AS n_the "
     "FROM documents GROUP BY lang ORDER BY 2 DESC, 1",
 )
+
+_sqlpp(
+    # r15: CTEs + EXTRACT + greatest/least + simple CASE under the
+    # driver gate — one chained-CTE query (second CTE reads the
+    # first; the inliner substitutes both as derived tables).
+    "sqlpp_cte_extract",
+    "with recent as ("
+    "select o.o_custkey as ck, o.o_totalprice as price, "
+    "extract(year from o.o_orderdate) as yr "
+    "from orders as o where o.o_orderkey < 30000), "
+    "per_cust as ("
+    "select r.ck as ck, count(*) as n, "
+    "greatest(max(r.price), 100000.0) as top_or_floor, "
+    "least(min(r.yr), 1995) as first_yr "
+    "from recent as r group by r.ck) "
+    "select p.ck as ck, p.n as n, p.top_or_floor as top_or_floor, "
+    "case p.first_yr when 1995 then 'capped' else 'early' end as tag "
+    "from per_cust as p where p.n >= 3 order by p.ck",
+    "WITH recent AS ("
+    "SELECT o_custkey AS ck, o_totalprice AS price, "
+    "CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr "
+    "FROM orders WHERE o_orderkey < 30000), "
+    "per_cust AS ("
+    "SELECT ck, count(*) AS n, "
+    "greatest(max(price), 100000.0) AS top_or_floor, "
+    "least(min(yr), 1995) AS first_yr "
+    "FROM recent GROUP BY ck) "
+    "SELECT ck, n, top_or_floor, "
+    "CASE first_yr WHEN 1995 THEN 'capped' ELSE 'early' END AS tag "
+    "FROM per_cust WHERE n >= 3 ORDER BY ck",
+)
