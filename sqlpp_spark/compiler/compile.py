@@ -1577,6 +1577,9 @@ _EXT_COMPILE = {
     "hour": lambda a: F.hour(a[0]).cast("bigint"),
     "minute": lambda a: F.minute(a[0]).cast("bigint"),
     "second": lambda a: F.second(a[0]).cast("bigint"),
+    "split_part": lambda a: F.split_part(a[0], a[1], a[2]),
+    "regexp_replace": lambda a: F.regexp_replace(a[0], a[1], a[2]),
+    "regexp_like": lambda a: F.regexp_like(a[0], a[1]),
     "greatest": lambda a: F.greatest(*a),
     "least": lambda a: F.least(*a),
     "mod": lambda a: F.try_mod(a[0], a[1]),

@@ -775,6 +775,24 @@ class SqlGen:
         if fn in ("year", "month", "day", "hour", "minute", "second") \
                 and fn in self.d:
             return f"CAST({self.d[fn](a(0))} AS BIGINT)"
+        if fn in ("split_part", "regexp_replace", "regexp_like"):
+            if self.dialect == "sqlite":
+                raise SqlppError(
+                    f"SQLite has no {fn}() (backend divergence)"
+                )
+            if fn == "split_part":
+                # DuckDB returns '' for a NULL input string — the
+                # dialect pins SQL's strict NULL-in -> NULL-out
+                return (
+                    f"(CASE WHEN {a(0)} IS NULL THEN NULL "
+                    f"ELSE split_part({a(0)}, {a(1)}, {a(2)}) END)"
+                )
+            if fn == "regexp_replace":
+                # Spark replaces ALL matches; DuckDB/PG need the flag
+                return f"regexp_replace({a(0)}, {a(1)}, {a(2)}, 'g')"
+            if self.dialect == "postgres":
+                return f"({a(0)} ~ {a(1)})"
+            return f"regexp_matches({a(0)}, {a(1)})"
         if fn in ("greatest", "least"):
             if self.dialect == "sqlite":
                 # SQLite scalar max/min return NULL when ANY arg is

@@ -2163,6 +2163,22 @@ def _date_trunc_rule(an: "Analyzer", e: A.EApp, tys) -> Ty:
     return Ty(frozenset({kind}), t.non_null)
 
 
+def _regexp_rule(ret: Ty):
+    def rule(an: "Analyzer", e: A.EApp, tys) -> Ty:
+        nargs = 3 if ret is STRING else 2
+        if len(e.args) != nargs:
+            an.err(f"{e.fn}(..) takes {nargs} arguments", e.loc)
+        pat = e.args[1]
+        if not (isinstance(pat, A.ELit) and pat.lit_kind == "string"):
+            an.err(
+                f"{e.fn}(..) pattern must be a string literal", e.loc
+            )
+        nn = all(t is not None and t.non_null for t in tys)
+        return ret.with_non_null(nn)
+
+    return rule
+
+
 def _greatest_rule(an: "Analyzer", e: A.EApp, tys) -> Ty:
     if len(e.args) < 2:
         an.err(f"{e.fn}(..) takes at least 2 arguments", e.loc)
@@ -2240,6 +2256,14 @@ _EXT_FNS = {
     "hour": _ext(lambda tys: INT),
     "minute": _ext(lambda tys: INT),
     "second": _ext(lambda tys: INT),
+    # r15 text-pipeline string functions: split_part is 1-based and
+    # returns '' out of range (Spark and DuckDB/PG agree, probed);
+    # regexp patterns must be string LITERALS (they parameterize the
+    # plan) and stick to the Java-and-RE2-common subset — documented
+    # caveat, like LIKE's pinned escape
+    "split_part": _ext(lambda tys: STRING),
+    "regexp_replace": _regexp_rule(STRING),
+    "regexp_like": _regexp_rule(BOOL),
     # r15: n-ary greatest/least — SKIP-NULL semantics on every engine
     # that has them (Spark/DuckDB/PG: NULL only when ALL inputs are);
     # result is the args' lub, NON-NULL if ANY arg is

@@ -400,3 +400,76 @@ def test_greatest_least(eng, duck):
     assert ty.non_null  # one non-null input -> never NULL
     with pytest.raises(SqlppError, match="backend divergence"):
         select_sql(info, dialect="sqlite")
+
+
+def test_split_part_and_regexp(eng, duck):
+    """r15 text-pipeline string fns: split_part (1-based, '' out of
+    range — Spark/DuckDB/PG agree), regexp_replace (all-matches; the
+    printers add DuckDB/PG's 'g' flag), regexp_like (partial match,
+    printed as regexp_matches / PG ~). Patterns are string literals
+    restricted to the Java-and-RE2-common subset."""
+    for src in (
+        # NULL names excluded: DuckDB's NATIVE split_part returns ''
+        # for NULL input (the printed SQL guards it; original-source
+        # differential would diverge — pinned separately below)
+        "select id, split_part(name, 'a', 2) as p from t1 "
+        "where name is not null order by id",
+        "select id, split_part(name, 'zz', 1) as p from t1 "
+        "where name is not null order by id",
+    ):
+        _differ(eng, duck, src)
+    # regexp_like is a dialect-only SPELLING (DuckDB's is
+    # regexp_matches) — engine vs printed SQL
+    for src in (
+        "select id from t1 where regexp_like(name, 'a.p') order by id",
+        "select id, regexp_like(name, '^al') as m from t1 order by id",
+    ):
+        rows = sorted(
+            tuple(repr(x) for x in r) for r in eng.fetch_list(src)
+        )
+        inf = Analyzer(eng.env, src).analyze_query(parse_query(src))
+        psql = select_sql(inf)
+        assert "regexp_matches" in psql
+        want = sorted(
+            tuple(repr(x) for x in r)
+            for r in duck.execute(psql).fetchall()
+        )
+        assert rows == want, f"{src}\n{psql}"
+    # regexp_replace: the dialect pins ALL-matches (Spark's default);
+    # the SAME TEXT on DuckDB/PG means first-match-only, so the
+    # printed SQL adds 'g' and the original-source check is skipped
+    # (documented divergent spelling, like integer `/`)
+    src = ("select id, regexp_replace(name, '[aeiou]+', '_') as r "
+           "from t1 order by id")
+    rows = sorted(tuple(repr(x) for x in r) for r in eng.fetch_list(src))
+    info0 = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    gsql = select_sql(info0)
+    assert ", 'g')" in gsql
+    want = sorted(
+        tuple(repr(x) for x in r) for r in duck.execute(gsql).fetchall()
+    )
+    assert rows == want, f"{src}\n{gsql}"
+    for bad in (
+        "select regexp_like(name, name) as m from t1",
+        "select regexp_replace(name, name, 'x') as r from t1",
+    ):
+        with pytest.raises(SqlppError, match="string literal"):
+            eng.fetch_list(bad)
+    info = Analyzer(
+        eng.env,
+        "select regexp_like(name, 'x') as m from t1",
+    ).analyze_query(parse_query("select regexp_like(name, 'x') as m from t1"))
+    with pytest.raises(SqlppError, match="backend divergence"):
+        select_sql(info, dialect="sqlite")
+    # NULL input pinned: the dialect is strict (NULL -> NULL) like
+    # Spark/PG/standard; DuckDB's NATIVE split_part returns '' there,
+    # so the printed SQL carries a CASE guard (engine vs printed only)
+    src = "select id, split_part(name, 'a', 2) as p from t1 order by id"
+    rows = sorted(tuple(repr(x) for x in r) for r in eng.fetch_list(src))
+    info2 = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    sql = select_sql(info2)
+    assert "CASE WHEN" in sql
+    want = sorted(
+        tuple(repr(x) for x in r) for r in duck.execute(sql).fetchall()
+    )
+    assert rows == want
