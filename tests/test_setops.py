@@ -362,6 +362,15 @@ def test_compound_subquery_in_exists(eng, duck):
         "select id from t1 where id in "
         "(select id from t2 union select grp from t2) or id = 6 "
         "order by id",
+        # NULL-bearing compound: the lub row is nullable, so NOT IN
+        # must go three-valued (null-aware anti join) — the subquery
+        # contains NULL, so NO row survives
+        "select id from t1 where id not in "
+        "(select val from t1 union select amt from t2) order by id",
+        # nullable PROBE against a non-null compound
+        "select id from t1 where val not in "
+        "(select amt from t2 union all select amt from t2) "
+        "order by id",
     ):
         _differ(eng, duck, src)
     # tuple IN over a compound: DuckDB v1.0 rejects multi-column IN
