@@ -1501,6 +1501,12 @@ class Compiler:
             return a(0).isNull()
         if fn == "is not null":
             return a(0).isNotNull()
+        if fn == "is not distinct from":
+            # null-safe equality — Catalyst's EqualNullSafe (<=>),
+            # predicate-pushdown-able like plain equality
+            return a(0).eqNullSafe(a(1))
+        if fn == "is distinct from":
+            return ~a(0).eqNullSafe(a(1))
         if fn == "nullif":
             return F.nullif(a(0), a(1))
         if fn == "coalesce":

@@ -714,6 +714,13 @@ class SqlGen:
             return f"({a(0)} IS NULL)"
         if fn == "is not null":
             return f"({a(0)} IS NOT NULL)"
+        if fn in ("is distinct from", "is not distinct from"):
+            # r15 null-safe comparison: SQLite spells it bare IS /
+            # IS NOT (same two-valued semantics); DuckDB/PG standard
+            if self.dialect == "sqlite":
+                op = "IS NOT" if fn == "is distinct from" else "IS"
+                return f"({a(0)} {op} {a(1)})"
+            return f"({a(0)} {fn.upper()} {a(1)})"
         if fn == "nullif":
             return f"nullif({a(0)}, {a(1)})"
         if fn == "coalesce":

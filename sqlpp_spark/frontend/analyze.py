@@ -1358,6 +1358,21 @@ class Analyzer:
             if not (t0.kinds & t1.kinds) and not numeric_family:
                 self.err(f"types do not match: {t0} vs {t1}", e.loc)
             return e, BOOL.with_non_null(lub.non_null)
+        if fnl in ("is distinct from", "is not distinct from"):
+            # r15: null-safe comparison — same comparability rules as
+            # `=`, but the result is two-valued (never NULL)
+            nargs(2)
+            t0, t1 = arg(0), arg(1)
+            if t0 is None and t1 is None:
+                self.err("cannot infer parameter type", e.loc)
+            if t0 is None:
+                t0 = self._adopt_param(e.args[0], t1, e.loc)
+            if t1 is None:
+                t1 = self._adopt_param(e.args[1], t0, e.loc)
+            numeric_family = (t0.kinds | t1.kinds) <= frozenset({"int", "float"})
+            if not (t0.kinds & t1.kinds) and not numeric_family:
+                self.err(f"types do not match: {t0} vs {t1}", e.loc)
+            return e, BOOL
         if fnl in ("and", "or"):
             nargs(2)
             for i in range(2):
@@ -2333,6 +2348,9 @@ def _dnf(e):
 _NOT_FLIP = {
     "=": "!=", "!=": "=", "<": ">=", "<=": ">", ">": "<=", ">=": "<",
     "IS NULL": "IS NOT NULL", "IS NOT NULL": "IS NULL",
+    # two-valued, so the flip is exact trivially (r15)
+    "IS DISTINCT FROM": "IS NOT DISTINCT FROM",
+    "IS NOT DISTINCT FROM": "IS DISTINCT FROM",
 }
 
 

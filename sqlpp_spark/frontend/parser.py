@@ -731,15 +731,22 @@ class Parser:
                     loc=Loc.span(e.loc, self.toks[self.i - 1].loc),
                 )
                 continue
-            # postfix: IS [NOT] NULL (bp 60)
+            # postfix: IS [NOT] NULL, IS [NOT] DISTINCT FROM rhs
+            # (bp 60). DISTINCT FROM is SQL's two-valued null-safe
+            # comparison (r15, beyond reference): never NULL, NULLs
+            # compare equal to each other and distinct from values.
             if t.kind == "kw" and t.value.lower() == "is" and 60 >= min_bp:
                 self.advance()
-                if self.eat_kw("not"):
-                    self.expect_kw("null")
-                    e = A.EApp("IS NOT NULL", [e], loc=Loc.span(e.loc, self.toks[self.i - 1].loc))
+                neg = self.eat_kw("not")
+                if self.eat_kw("distinct"):
+                    self.expect_kw("from")
+                    rhs = self.expr(61)
+                    fn = "IS NOT DISTINCT FROM" if neg else "IS DISTINCT FROM"
+                    e = A.EApp(fn, [e, rhs], loc=Loc.span(e.loc, rhs.loc))
                 else:
                     self.expect_kw("null")
-                    e = A.EApp("IS NULL", [e], loc=Loc.span(e.loc, self.toks[self.i - 1].loc))
+                    fn = "IS NOT NULL" if neg else "IS NULL"
+                    e = A.EApp(fn, [e], loc=Loc.span(e.loc, self.toks[self.i - 1].loc))
                 continue
             # postfix: ascription `: ty [expr]` (binds tight)
             if t.kind == "punct" and t.value == ":" and 95 >= min_bp:

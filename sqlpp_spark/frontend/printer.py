@@ -148,6 +148,12 @@ def _app(e: A.EApp):
         return f"{expr_str(e.args[0], 61)} IS NULL", 60
     if fn == "is not null" and len(e.args) == 1:
         return f"{expr_str(e.args[0], 61)} IS NOT NULL", 60
+    if fn in ("is distinct from", "is not distinct from") and len(e.args) == 2:
+        return (
+            f"{expr_str(e.args[0], 61)} {fn.upper()} "
+            f"{expr_str(e.args[1], 61)}",
+            60,
+        )
     if fn == "case":
         n = len(e.args)
         parts = ["CASE"]
