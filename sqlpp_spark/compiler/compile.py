@@ -1561,6 +1561,9 @@ _EXT_COMPILE = {
     "substr": lambda a: F.substring(a[0], a[1], a[2]),
     "concat": lambda a: F.concat(*a),
     "trim": lambda a: F.trim(a[0]),
+    "ltrim": lambda a: F.ltrim(a[0]),
+    "rtrim": lambda a: F.rtrim(a[0]),
+    "md5": lambda a: F.md5(a[0]),
     "replace": lambda a: F.replace(a[0], a[1], a[2]),
     # r14 string pack
     "lpad": lambda a: F.lpad(a[0], a[1], a[2]),

@@ -831,6 +831,11 @@ class SqlGen:
             ty = e.ty
             t = SQL_TYPES.get(ty.kind, "TIMESTAMP") if ty else "TIMESTAMP"
             return f"CAST(date_trunc({a(0)}, {a(1)}) AS {t})"
+        if fn == "md5":
+            # r15: content fingerprint — SQLite ships no md5()
+            if self.dialect == "sqlite":
+                raise SqlppError("SQLite has no md5() (backend divergence)")
+            return f"md5({a(0)})"
         if fn in ("mod", "round", "strpos", "contains", "left", "right") \
                 and fn in self.d:
             # dialect-overridden extension fns (PG: NULL-on-÷0 mod,
@@ -849,6 +854,8 @@ _EXT_SQL = {
     "length": lambda a: f"CAST(length({a[0]}) AS BIGINT)",
     "concat": lambda a: "(" + " || ".join(a) + ")",
     "trim": lambda a: f"trim({a[0]})",
+    "ltrim": lambda a: f"ltrim({a[0]})",
+    "rtrim": lambda a: f"rtrim({a[0]})",
     "replace": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
     # r14 string pack. starts_with/ends_with print as portable substr
     # comparisons (identical in DuckDB/PG/SQLite, incl. the

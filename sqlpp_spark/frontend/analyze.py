@@ -2259,6 +2259,11 @@ _EXT_FNS = {
     "substr": _ext(lambda tys: STRING),
     "concat": _ext(lambda tys: STRING),
     "trim": _ext(lambda tys: STRING),
+    # r15: one-sided trims and a content fingerprint (md5 hex — the
+    # pipeline's exact-dedup / shard-routing hash)
+    "ltrim": _ext(lambda tys: STRING),
+    "rtrim": _ext(lambda tys: STRING),
+    "md5": _ext(lambda tys: STRING),
     "replace": _ext(lambda tys: STRING),
     "abs": _ext(lambda tys: tys[0] if tys and tys[0] is not None else NUMERIC),
     "round": _ext(lambda tys: Ty(frozenset({"float"}), True)),

@@ -990,6 +990,19 @@ class Parser:
                         part, [inner],
                         loc=Loc.span(name_tok.loc, self.toks[self.i - 1].loc),
                     )
+                if fn_l == "position":
+                    # r15: POSITION(needle IN haystack) — ANSI sugar
+                    # for strpos(haystack, needle); needle parses at
+                    # bp 61 so the IN separator isn't consumed as the
+                    # membership operator
+                    needle = self.expr(61)
+                    self.expect_kw("in")
+                    hay = self.expr()
+                    self.expect_punct(")")
+                    return A.EApp(
+                        "strpos", [hay, needle],
+                        loc=Loc.span(name_tok.loc, self.toks[self.i - 1].loc),
+                    )
                 if fn_l == "cast":
                     # r15: CAST(expr AS TY) — CONVERTING cast (the
                     # `expr : TY` ascription checks and erases; CAST

@@ -473,3 +473,39 @@ def test_split_part_and_regexp(eng, duck):
         tuple(repr(x) for x in r) for r in duck.execute(sql).fetchall()
     )
     assert rows == want
+
+
+def test_trims_md5_position(eng, duck):
+    """r15 scalar pack: ltrim/rtrim, md5 fingerprint, POSITION sugar."""
+    for src in (
+        "select id, ltrim(concat('  ', name)) as l, "
+        "rtrim(concat(name, '  ')) as r from t1 order by id",
+        # md5: the exact-dedup / shard-routing content hash — hex
+        # rendering agrees between Spark and DuckDB
+        "select id, md5(name) as h from t1 order by id",
+        "select id, md5(concat(name, toString(grp))) as h from t1 "
+        "order by id",
+        # POSITION(needle IN haystack) == strpos(haystack, needle);
+        # 0 when absent, NULL on NULL input
+        "select id, position('a' in name) as p from t1 order by id",
+        "select id from t1 where position('bet' in name) > 0 order by id",
+    ) :
+        rows = sorted(tuple(repr(x) for x in r) for r in eng.fetch_list(src))
+        info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+        sql = select_sql(info)
+        want = sorted(
+            tuple(repr(x) for x in r) for r in duck.execute(sql).fetchall()
+        )
+        assert rows == want, f"{src}\n{sql}"
+        if "toString" not in src:
+            # the ANSI forms are DuckDB-runnable original source too
+            want2 = sorted(
+                tuple(repr(x) for x in r)
+                for r in duck.execute(src).fetchall()
+            )
+            assert rows == want2, src
+    # sqlite: md5 is a documented divergence
+    src = "select md5(name) as h from t1"
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    with pytest.raises(SqlppError, match="backend divergence"):
+        select_sql(info, dialect="sqlite")
