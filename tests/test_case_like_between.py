@@ -478,8 +478,11 @@ def test_split_part_and_regexp(eng, duck):
 def test_trims_md5_position(eng, duck):
     """r15 scalar pack: ltrim/rtrim, md5 fingerprint, POSITION sugar."""
     for src in (
-        "select id, ltrim(concat('  ', name)) as l, "
-        "rtrim(concat(name, '  ')) as r from t1 order by id",
+        # || not concat(): DuckDB's native concat() skips NULL args
+        # where the dialect (and ||) propagate NULL — the original-
+        # source leg must use the NULL-propagating spelling
+        "select id, ltrim('  ' || name) as l, "
+        "rtrim(name || '  ') as r from t1 order by id",
         # md5: the exact-dedup / shard-routing content hash — hex
         # rendering agrees between Spark and DuckDB
         "select id, md5(name) as h from t1 order by id",
