@@ -584,6 +584,8 @@ class Parser:
     def _from_one(self):
         loc = self.cur.loc
         if self.eat_punct("("):
+            if self.at_kw("values"):
+                return self._from_values(loc)
             # r14: derived tables accept compound selects too —
             # select_compound returns a plain Select when no set
             # operator follows (identical to the old behavior)
@@ -597,6 +599,54 @@ class Parser:
         if self.eat_kw("as"):
             alias = self.expect_ident().value
         return A.FromTable(table, alias, loc=Loc.span(loc, self.toks[self.i - 1].loc))
+
+    def _from_values(self, loc: Loc):
+        """``(VALUES (e, ..), ..) AS t(c1, ..)`` inline table source
+        (r15, beyond reference). Desugars at parse time — like
+        BETWEEN/ILIKE/CTEs — into a UNION ALL compound of FROM-less
+        single-row selects, the portable spelling every backend
+        printer and the Spark compiler already handle; set-op arity
+        and type-lub checks cover row-shape validation. The column
+        list is REQUIRED (no engine-specific default names leak in).
+        VALUES lists are inline dimensions: Catalyst constant-folds
+        the union into a local relation, so at scale the join against
+        one is a broadcast, never a shuffle."""
+        self.expect_kw("values")
+        rows: List[List[A.Expr]] = []
+        while True:
+            self.expect_punct("(")
+            rows.append(self._comma_list(self.expr, end=")"))
+            self.expect_punct(")")
+            if not rows[-1]:
+                self.fail("VALUES row requires at least one expression")
+            if not self.eat_punct(","):
+                break
+        self.expect_punct(")")
+        self.expect_kw("as")
+        alias = self.expect_ident().value
+        self.expect_punct("(")
+        cols = [t.value for t in self._comma_list(self.expect_ident, end=")")]
+        self.expect_punct(")")
+        end = self.toks[self.i - 1].loc
+        if len(set(cols)) != len(cols):
+            self.fail("duplicate column name in VALUES alias list")
+        for r in rows:
+            if len(r) != len(cols):
+                self.fail(
+                    f"VALUES row has {len(r)} expressions but the alias "
+                    f"list names {len(cols)} columns"
+                )
+        branches = []
+        for r in rows:
+            fields = [
+                A.Field(expr=e, name=c, explicit_name=True, loc=e.loc)
+                for e, c in zip(r, cols)
+            ]
+            branches.append(A.Select(fields=fields, loc=loc))
+        node = branches[0]
+        for b in branches[1:]:
+            node = A.SetOp(op="union", all=True, left=node, right=b, loc=loc)
+        return A.FromSelect(node, alias, loc=Loc.span(loc, end))
 
     # -- DML --------------------------------------------------------------
 
