@@ -581,7 +581,7 @@ class Compiler:
         # the flag's three-valued NULL propagates through OR exactly
         # like SQL (NULL rows are dropped by the filter).
         if any(
-            isinstance(n, (A.EIn, A.EExists, A.EScalarSub))
+            isinstance(n, (A.EIn, A.EExists, A.EScalarSub, A.EQuant))
             for n in _iter_nodes(pred)
         ):
             df, scalar_map = self._attach_scalar_subqueries(df, [pred], binds)
@@ -686,6 +686,8 @@ class Compiler:
                     marker = sub_df.limit(1).select(F.lit(True).alias(flag))
                     df = df.join(marker, on=F.lit(True), how="left")
                     scalar_map[id(node)] = F.col(flag).isNotNull()
+                elif isinstance(node, A.EQuant) and id(node) not in scalar_map:
+                    df = self._attach_quant(df, node, binds, scalar_map, subst)
                 elif (
                     isinstance(node, A.EScalarSub)
                     and id(node) not in scalar_map
@@ -694,6 +696,83 @@ class Compiler:
                         df, node, binds, scalar_map, subst
                     )
         return df, scalar_map
+
+    def _attach_quant(
+        self, df: DataFrame, node: "A.EQuant", binds: Bindings,
+        scalar_map: Dict[int, Column], subst=None,
+    ) -> DataFrame:
+        """Ordered quantified comparison ``x op ANY/ALL (sub)`` (r15).
+
+        The whole subquery reduces to ONE broadcast aggregate row —
+        count / non-null count / min / max (bounded state, map-side
+        combinable partial aggregation; at 100 TB the subquery scan is
+        the only big cost and nothing ever shuffles on the probe side)
+        — then the predicate is a plain CASE column, exact in Kleene
+        3VL:
+
+        ANY:  FALSE on empty; TRUE when a non-null witness exists
+              (op vs max for </<=, vs min for >/>=; != has a witness
+              iff min != x or max != x); otherwise NULL if the probe
+              is NULL or the set holds a NULL, else FALSE.
+        ALL:  TRUE on empty; FALSE when a non-null falsifier exists
+              (the dual bounds); otherwise NULL if the probe is NULL
+              or the set holds a NULL, else TRUE.
+
+        The witness/falsifier comparison is itself 3VL: a NULL probe
+        or an all-NULL set makes it NULL, falling through to the
+        UNKNOWN arm — no special-casing needed."""
+        sub_df = self._compile_sub(node.sub_ctx, binds)
+        alias = self._fresh("__qt")
+        col0 = [f.out_name for f in node.sub_ctx.fields if f.is_used][0]
+        cnt = f"{alias}_n"
+        cntn = f"{alias}_nn"
+        mn = f"{alias}_mn"
+        mx = f"{alias}_mx"
+        marker = sub_df.agg(
+            F.count(F.lit(1)).alias(cnt),
+            F.count(F.col(col0)).alias(cntn),
+            F.min(F.col(col0)).alias(mn),
+            F.max(F.col(col0)).alias(mx),
+        )
+        df = df.join(F.broadcast(marker), on=F.lit(True), how="left")
+        probes = [self.expr(node.expr, binds, scalar_map, subst)]
+        df, probes = self._materialize_windows(df, [node.expr], probes)
+        p = probes[0]
+        empty = F.col(cnt) == 0
+        has_null = F.col(cntn) < F.col(cnt)
+        op = node.op
+        if node.quant == "any":
+            if op == "!=":
+                decider = (p != F.col(mn)) | (p != F.col(mx))
+            else:
+                bound = F.col(mx) if op in ("<", "<=") else F.col(mn)
+                decider = {
+                    "<": p < bound, "<=": p <= bound,
+                    ">": p > bound, ">=": p >= bound,
+                }[op]
+            col = (
+                F.when(empty, F.lit(False))
+                .when(decider, F.lit(True))
+                .when(p.isNull() | has_null, F.lit(None).cast("boolean"))
+                .otherwise(F.lit(False))
+            )
+        else:  # all
+            if op == "=":
+                decider = (p != F.col(mn)) | (p != F.col(mx))
+            else:
+                bound = F.col(mn) if op in ("<", "<=") else F.col(mx)
+                decider = {
+                    "<": p >= bound, "<=": p > bound,
+                    ">": p <= bound, ">=": p < bound,
+                }[op]
+            col = (
+                F.when(empty, F.lit(True))
+                .when(decider, F.lit(False))
+                .when(p.isNull() | has_null, F.lit(None).cast("boolean"))
+                .otherwise(F.lit(True))
+            )
+        scalar_map[id(node)] = col
+        return df
 
     def _attach_corr_flag(
         self, df: DataFrame, node, binds: Bindings,
@@ -1226,6 +1305,16 @@ class Compiler:
                     "projection/ORDER BY of grouped or ungrouped selects)"
                 )
             return col
+        if isinstance(e, A.EQuant):
+            col = scalar_map.get(id(e))
+            if col is None:
+                raise SqlppError(
+                    "quantified comparison appears in a position the "
+                    "compiler did not pre-materialize (supported: WHERE "
+                    "conjuncts, and flag positions of grouped or "
+                    "ungrouped selects)"
+                )
+            return col
         if isinstance(e, A.EAscribe):
             inner = self.expr(e.expr, binds, scalar_map, subst)
             if e.convert:  # CAST (r15) — converting, not erased
@@ -1632,6 +1721,17 @@ def _iter_agg_apps(e: A.Expr):
             yield from _iter_agg_apps(x)
     elif isinstance(e, A.EAscribe):
         yield from _iter_agg_apps(e.expr)
+    elif isinstance(e, A.EQuant):
+        # aggregate probes (`sum(x) > ALL (sub)`) evaluate as ordinary
+        # aggregates first; the subquery is its own scope (r15)
+        yield from _iter_agg_apps(e.expr)
+    elif isinstance(e, A.EIn):
+        for x in e.exprs:
+            yield from _iter_agg_apps(x)
+    elif isinstance(e, A.EInList):
+        yield from _iter_agg_apps(e.expr)
+        for x in e.items:
+            yield from _iter_agg_apps(x)
     elif isinstance(e, A.EMatch):
         for br in e.branches:
             yield from _iter_agg_apps(br.body)
@@ -1667,6 +1767,8 @@ def _iter_nodes(e: A.Expr):
     elif isinstance(e, A.EIn):
         for x in e.exprs:
             yield from _iter_nodes(x)
+    elif isinstance(e, A.EQuant):
+        yield from _iter_nodes(e.expr)
     elif isinstance(e, A.EInList):
         yield from _iter_nodes(e.expr)
         for x in e.items:

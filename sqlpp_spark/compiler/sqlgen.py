@@ -580,6 +580,19 @@ class SqlGen:
             items = ", ".join(self.expr(x) for x in e.items)
             op = "NOT IN" if e.negated else "IN"
             return f"({self.expr(e.expr)} {op} ({items}))"
+        if isinstance(e, A.EQuant):
+            # r15: DuckDB/PG support quantified comparisons natively;
+            # SQLite has no ANY/ALL
+            if self.dialect == "sqlite":
+                raise SqlppError(
+                    "SQLite has no ANY/ALL quantified comparisons "
+                    "(backend divergence)"
+                )
+            op = "<>" if e.op == "!=" else e.op
+            return (
+                f"({self.expr(e.expr)} {op} {e.quant.upper()} "
+                f"({self.select(e.sub_ctx)}))"
+            )
         if isinstance(e, A.EExists):
             return f"EXISTS ({self.select(e.sub_ctx)})"
         if isinstance(e, A.EScalarSub):

@@ -823,6 +823,8 @@ class Analyzer:
             return e, BOOL
         if isinstance(e, A.EScalarSub):
             return self._infer_scalar_sub(ctx, e)
+        if isinstance(e, A.EQuant):
+            return self._infer_quant(ctx, e)
         raise SqlppError(f"cannot infer {type(e).__name__}", getattr(e, "loc", None), self.src or None)
 
     # -- params ------------------------------------------------------------
@@ -1809,6 +1811,53 @@ class Analyzer:
             non_null = non_null and ty.non_null and cty.non_null
         return e, BOOL.with_non_null(non_null)
 
+    def _infer_quant(self, ctx: SelectCtx, e: A.EQuant) -> Tuple[A.Expr, Ty]:
+        """Quantified comparison over the ORDERED ops (r15 — see
+        ast.EQuant). The subquery analyzes UNCORRELATED (plain or
+        compound): a witness/falsifier reduces to a comparison against
+        the set's min/max, which only exists as a per-set constant
+        when the set doesn't vary per outer row. Correlated forms get
+        a targeted boundary error pointing at the IN/EXISTS spellings
+        that do support correlation."""
+        what = f"{e.op} {e.quant.upper()}"
+        if isinstance(e.select, A.SetOp):
+            sub = self._analyze_sub_compound(e.select, what, e.loc)
+        else:
+            try:
+                sub = self.analyze_select(e.select)
+            except SqlppError as err:
+                if _re.search(
+                    r"no such column|ambiguous column|no such scope",
+                    str(err),
+                ):
+                    self.err(
+                        f"correlated subqueries are not supported with "
+                        f"ordered quantifiers ({what}) — rewrite with "
+                        f"[NOT] EXISTS or [NOT] IN, which support "
+                        f"correlation",
+                        e.loc,
+                    )
+                raise
+        e.sub_ctx = sub
+        row = sub.row()
+        if len(row) != 1:
+            self.err(
+                f"{e.quant.upper()} subquery must project exactly one "
+                f"column, got {len(row)}",
+                e.loc,
+            )
+        cname, cty = row[0]
+        elab, ty = self.infer_expr(ctx, e.expr)
+        e.expr = elab
+        if ty is None:
+            ty = self._adopt_param(elab, cty, e.loc)
+        numeric_family = (ty.kinds | cty.kinds) <= frozenset({"int", "float"})
+        if not (ty.kinds & cty.kinds) and not numeric_family:
+            self.err(f"expected {cty} but got {ty}", elab.loc)
+        # NULL only possible when a NULL probe or NULL element can
+        # leave the outcome undecided — same rule as IN
+        return e, BOOL.with_non_null(ty.non_null and cty.non_null)
+
     def _infer_scalar_sub(
         self, ctx: SelectCtx, e: A.EScalarSub
     ) -> Tuple[A.Expr, Ty]:
@@ -2128,6 +2177,8 @@ class Analyzer:
         if isinstance(e, A.EIn):
             for x in e.exprs:
                 self._check_agg_expr(ctx, x, grouped, in_agg)
+        if isinstance(e, A.EQuant):
+            self._check_agg_expr(ctx, e.expr, grouped, in_agg)
             return
         if isinstance(e, A.EInList):
             self._check_agg_expr(ctx, e.expr, grouped, in_agg)
@@ -2450,6 +2501,8 @@ def _iter_refs(e: A.Expr):
     elif isinstance(e, A.EIn):
         for x in e.exprs:
             yield from _iter_refs(x)
+    elif isinstance(e, A.EQuant):
+        yield from _iter_refs(e.expr)
     elif isinstance(e, A.EMatch):
         for br in e.branches:
             yield from _iter_refs(br.body)
@@ -2465,6 +2518,8 @@ def _iter_apps(e: A.Expr):
     elif isinstance(e, A.EIn):
         for x in e.exprs:
             yield from _iter_apps(x)
+    elif isinstance(e, A.EQuant):
+        yield from _iter_apps(e.expr)
     elif isinstance(e, A.EMatch):
         for br in e.branches:
             yield from _iter_apps(br.body)

@@ -114,6 +114,27 @@ class EScalarSub(Expr):
 
 
 @dataclass
+class EQuant(Expr):
+    """``x op ANY/ALL (subquery)`` quantified comparison for the
+    ORDERED ops (r15, beyond reference — standard SQL's other
+    quantified forms; ``= ANY`` and ``!= ALL`` desugar at parse time
+    to the IN machinery, which also carries their correlated forms).
+    Ops here: ``< <= > >=`` with either quantifier, plus ``!= ANY``
+    and ``= ALL``. Uncorrelated only (targeted analyzer error
+    otherwise). Compiles to a broadcast one-row aggregate marker
+    (count / non-null count / min / max — bounded state, map-side
+    combinable: the 100 TB shape) joined on TRUE, then a CASE that is
+    EXACT in Kleene 3VL: empty set decides (FALSE for ANY, TRUE for
+    ALL); a witness/falsifier among the non-null values decides;
+    otherwise a NULL probe or NULL element yields UNKNOWN."""
+
+    op: str = "<"  # '<' '<=' '>' '>=' '!=' (ANY) / '=' (ALL)
+    quant: str = "any"  # 'any' | 'all'
+    expr: Expr = None
+    select: object = None  # Select | SetOp
+
+
+@dataclass
 class EAscribe(Expr):
     """``expr : TY`` checked-and-erased ascription (reference
     semantics) — or, with ``convert=True`` (r15), ``CAST(expr AS TY)``
@@ -479,6 +500,8 @@ def expr_key(e: Expr) -> tuple:
         return ("exists", id(e.select))
     if isinstance(e, EScalarSub):
         return ("scalarsub", id(e.select))
+    if isinstance(e, EQuant):
+        return ("quant", e.op, e.quant, expr_key(e.expr), id(e.select))
     if isinstance(e, EWindow):
         return (
             "window", e.fn,
@@ -502,13 +525,15 @@ def iter_subquery_selects(e):
     subqueries too."""
     if e is None:
         return
-    if isinstance(e, (EIn, EExists, EScalarSub)):
+    if isinstance(e, (EIn, EExists, EScalarSub, EQuant)):
         yield e.select
     for child in getattr(e, "args", None) or []:
         yield from iter_subquery_selects(child)
     if isinstance(e, EIn):
         for x in e.exprs:
             yield from iter_subquery_selects(x)
+    if isinstance(e, EQuant):
+        yield from iter_subquery_selects(e.expr)
     if isinstance(e, EInList):
         yield from iter_subquery_selects(e.expr)
         for x in e.items:
@@ -529,7 +554,7 @@ def expr_has_subquery(e) -> bool:
     join rewrites instead of a scalar Column in the engine."""
     if e is None:
         return False
-    if isinstance(e, (EIn, EExists, EScalarSub)):
+    if isinstance(e, (EIn, EExists, EScalarSub, EQuant)):
         return True
     for child in getattr(e, "args", None) or []:
         if expr_has_subquery(child):

@@ -867,6 +867,37 @@ class Parser:
             if bp is None or bp < min_bp:
                 return e
             self.advance()
+            # r15: quantified comparison `x op ANY/SOME/ALL (select)`
+            # — ANY/SOME/ALL are contextual idents right after a
+            # comparison op and before '('. `= ANY` / `!= ALL`
+            # desugar to the IN machinery (full correlation support);
+            # the other op/quantifier pairs build EQuant.
+            cmp_op = {"<>": "!="}.get(op, op)
+            if (
+                cmp_op in ("=", "!=", "<", "<=", ">", ">=")
+                and t.kind == "op"
+                and (
+                    self._at_ident("any", "some")
+                    or self.at_kw("all")
+                )
+                and self.peek().kind == "punct"
+                and self.peek().value == "("
+            ):
+                quant = "all" if self.cur.value.lower() == "all" else "any"
+                self.advance()
+                self.expect_punct("(")
+                sel = self.select_compound()
+                self.expect_punct(")")
+                loc = Loc.span(e.loc, self.toks[self.i - 1].loc)
+                if cmp_op == "=" and quant == "any":
+                    e = A.EIn(exprs=[e], select=sel, negated=False, loc=loc)
+                elif cmp_op == "!=" and quant == "all":
+                    e = A.EIn(exprs=[e], select=sel, negated=True, loc=loc)
+                else:
+                    e = A.EQuant(
+                        op=cmp_op, quant=quant, expr=e, select=sel, loc=loc
+                    )
+                continue
             rhs = self.expr(bp + 1)  # left-assoc
             # r15: || and % are spellings of existing functions —
             # concat is NULL-propagating on both lowerings (prints as

@@ -91,6 +91,12 @@ def _expr(e: A.Expr):
         return f"{expr_str(e.expr, 61)} {kw} ({items})", 60
     if isinstance(e, A.EExists):
         return f"exists ({select_str(e.select)})", 1000
+    if isinstance(e, A.EQuant):
+        return (
+            f"{expr_str(e.expr, 61)} {e.op} {e.quant} "
+            f"({select_str(e.select)})",
+            60,
+        )
     if isinstance(e, A.EMatch):
         parts = [f"match ?{e.param} with"]
         for b in e.branches:

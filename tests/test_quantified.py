@@ -1,0 +1,195 @@
+"""ANY/SOME/ALL quantified comparisons (r15, beyond reference —
+standard SQL quantified predicates; the reference's grammar has IN and
+EXISTS only, parser.mly).
+
+``= ANY`` / ``!= ALL`` desugar at parse time to the IN machinery
+(keeping full correlation support); the ORDERED forms (< <= > >= with
+either quantifier, plus != ANY and = ALL) build ast.EQuant and compile
+to ONE broadcast aggregate row (count / non-null count / min / max)
+plus a Kleene-exact CASE — see compile._attach_quant. Uncorrelated
+only; correlated ordered forms get a targeted boundary error.
+
+Differential against DuckDB's NATIVE quantified comparisons on BOTH
+the printed SQL and the original source, over the four semantic
+regimes: empty set, NULL probe, NULL-bearing set, all-NULL set.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sqlpp_spark.compiler.sqlgen import select_sql
+from sqlpp_spark.frontend.analyze import Analyzer
+from sqlpp_spark.frontend.errors import SqlppError
+from sqlpp_spark.frontend.parser import parse_query
+from sqlpp_spark.frontend.printer import format_query
+
+T1 = [(1, 5), (2, None), (3, 30), (4, 15), (5, 7)]
+# grp 1: plain values; grp 2: NULL-bearing; grp 3: (empty); grp 4: all-NULL
+T2 = [(1, 10), (1, 20), (2, None), (2, 7), (4, None), (4, None)]
+
+
+@pytest.fixture()
+def eng(spark):
+    from sqlpp_spark.engine import SqlppEngine
+
+    eng = SqlppEngine(spark)
+    eng.add_decls(
+        "create table t1 (id int not null, val int);"
+        "create table t2 (grp int not null, v int);"
+    )
+    eng.register_df("t1", spark.createDataFrame(T1, "id long, val long"))
+    eng.register_df("t2", spark.createDataFrame(T2, "grp long, v long"))
+    return eng
+
+
+@pytest.fixture()
+def duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t1 (id BIGINT, val BIGINT)")
+    con.execute("CREATE TABLE t2 (grp BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO t1 VALUES (?,?)", T1)
+    con.executemany("INSERT INTO t2 VALUES (?,?)", T2)
+    return con
+
+
+def _differ(eng, duck, src):
+    rows = sorted(tuple(repr(x) for x in r) for r in eng.fetch_list(src))
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    sql = select_sql(info)
+    want = sorted(tuple(repr(x) for x in r) for r in duck.execute(sql).fetchall())
+    want2 = sorted(tuple(repr(x) for x in r) for r in duck.execute(src).fetchall())
+    assert rows == want == want2, f"{src}\n{sql}\n{rows}\n{want}\n{want2}"
+
+
+# every op/quant pair, each in flag position so all three outcomes
+# (TRUE/FALSE/NULL) are visible, over each semantic regime
+FLAG_SOURCES = [
+    # clean set (grp 1): pure ordering logic
+    "select id, (val {} (select v from t2 where grp = 1)) as f "
+    "from t1 order by id".format(q)
+    for q in (
+        "< any", "<= any", "> any", ">= any", "!= any",
+        "< all", "<= all", "> all", ">= all", "= all",
+    )
+] + [
+    # NULL-bearing set (grp = 1 or 2 via <=2): UNKNOWN propagation
+    "select id, (val {} (select v from t2 where grp <= 2)) as f "
+    "from t1 order by id".format(q)
+    for q in ("< any", "> all", "!= any", "= all", ">= any", "<= all")
+] + [
+    # empty set (grp 3): ANY→FALSE, ALL→TRUE for every row incl. NULL probe
+    "select id, (val < any (select v from t2 where grp = 3)) as f "
+    "from t1 order by id",
+    "select id, (val >= all (select v from t2 where grp = 3)) as f "
+    "from t1 order by id",
+    # all-NULL set (grp 4): never decidable → NULL everywhere
+    "select id, (val > any (select v from t2 where grp = 4)) as f "
+    "from t1 order by id",
+    "select id, (val <= all (select v from t2 where grp = 4)) as f "
+    "from t1 order by id",
+]
+
+WHERE_SOURCES = (
+    # WHERE position: UNKNOWN rows drop
+    "select id from t1 where val < any (select v from t2 where grp = 1) "
+    "order by id",
+    "select id from t1 where val >= all (select v from t2 where grp <= 2) "
+    "order by id",
+    # desugared spellings: = ANY == IN, != ALL == NOT IN
+    "select id from t1 where val = any (select v from t2) order by id",
+    "select id from t1 where val != all (select v from t2 where "
+    "v is not null) order by id",
+    # NOT composition over the flag (3VL through ~)
+    "select id from t1 where not (val < all (select v from t2 "
+    "where grp = 1)) order by id",
+    # compound subquery body
+    "select id from t1 where val <= any (select v from t2 where grp = 1 "
+    "union all select v from t2 where grp = 2) order by id",
+    # probe is an expression; subquery projects an expression
+    "select id from t1 where val + 1 > all (select v - 1 from t2 "
+    "where grp = 1) order by id",
+)
+
+
+def test_quantified_flag_differential(eng, duck):
+    for src in FLAG_SOURCES:
+        _differ(eng, duck, src)
+
+
+def test_quantified_where_differential(eng, duck):
+    for src in WHERE_SOURCES:
+        _differ(eng, duck, src)
+
+
+def test_some_is_any(eng):
+    a = eng.fetch_list(
+        "select id from t1 where val > some (select v from t2 where "
+        "grp = 1) order by id"
+    )
+    b = eng.fetch_list(
+        "select id from t1 where val > any (select v from t2 where "
+        "grp = 1) order by id"
+    )
+    assert a == b
+
+
+def test_quantified_in_grouped_select(eng, duck):
+    # flag position inside a grouped select (routes through the
+    # grouped _attach_scalar_subqueries path)
+    _differ(
+        eng, duck,
+        "select (sum(val) > all (select v from t2 where grp = 1)) as big, "
+        "count(1) as n from t1 group by ()",
+    )
+
+
+def test_quantified_correlated_is_boundary_error(eng):
+    with pytest.raises(SqlppError, match="ordered quantifiers"):
+        eng.fetch_list(
+            "select id from t1 where val < any "
+            "(select v from t2 where t2.grp = t1.id)"
+        )
+
+
+def test_quantified_shape_errors(eng):
+    with pytest.raises(SqlppError, match="exactly one column"):
+        eng.fetch_list(
+            "select id from t1 where val < any (select grp, v from t2)"
+        )
+    with pytest.raises(SqlppError, match="expected"):
+        eng.fetch_list(
+            "select id from t1 where val < any "
+            "(select toString(v) as s from t2)"
+        )
+
+
+def test_quantified_sqlite_divergence(eng):
+    src = "select id from t1 where val < any (select v from t2)"
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    with pytest.raises(SqlppError, match="backend divergence"):
+        select_sql(info, dialect="sqlite")
+
+
+def test_quantified_format_roundtrip(eng):
+    src = (
+        "select id from t1 where val < any (select v from t2 "
+        "where grp = 1) order by id"
+    )
+    printed = format_query(parse_query(src))
+    assert "< any" in printed
+    assert eng.fetch_list(printed) == eng.fetch_list(src)
+
+
+def test_quantified_plan_broadcasts(eng):
+    # the subquery reduces to ONE aggregate row broadcast to the probe
+    # side: no shuffle of t1, no sort-merge join anywhere
+    df = eng.query(
+        "select id from t1 where val < any (select v from t2 where grp = 1)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # partial aggregation happens map-side before the single-row merge
+    assert "partial_count" in plan or "HashAggregate" in plan
