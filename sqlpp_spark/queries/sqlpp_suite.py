@@ -910,3 +910,54 @@ _sqlpp(
     "CASE first_yr WHEN 1995 THEN 'capped' ELSE 'early' END AS tag "
     "FROM per_cust WHERE n >= 3 ORDER BY ck",
 )
+
+_sqlpp(
+    # r15 third wave: IS [NOT] DISTINCT FROM under the driver gate —
+    # null-safe comparison against the NULL-extended side of a LEFT
+    # JOIN (plain `= null` would be UNKNOWN everywhere).
+    "sqlpp_distinct_from_join",
+    "select c.c_custkey as ck, count(1) as n_rows, "
+    "cast(sum(case when o.o_orderkey is not distinct from null:int "
+    "then 1 else 0 end) as int) as n_unmatched "
+    "from customer as c left join orders as o on c.c_custkey = o.o_custkey "
+    "where c.c_custkey < 500 "
+    "group by c.c_custkey order by c.c_custkey",
+    "SELECT c_custkey AS ck, count(*) AS n_rows, "
+    "CAST(sum(CASE WHEN o_orderkey IS NOT DISTINCT FROM NULL "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched "
+    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "WHERE c_custkey < 500 GROUP BY c_custkey ORDER BY c_custkey",
+)
+
+_sqlpp(
+    # r15 third wave: VALUES inline dimension + POSITION sugar — the
+    # decode-table join every pipeline writes; the inline side
+    # broadcasts (plan-pinned in tests/test_values_source.py).
+    "sqlpp_values_decode",
+    "select d.label as band, count(1) as n_parts "
+    "from part as p join (values ('SMALL', 'compact'), "
+    "('LARGE', 'bulky'), ('PROMO', 'promoted')) as d(code, label) "
+    "on position(d.code in p.p_type) > 0 "
+    "group by d.label order by d.label",
+    "SELECT label AS band, count(*) AS n_parts FROM part "
+    "JOIN (VALUES ('SMALL', 'compact'), ('LARGE', 'bulky'), "
+    "('PROMO', 'promoted')) d(code, label) "
+    "ON position(code IN p_type) > 0 "
+    "GROUP BY label ORDER BY label",
+)
+
+_sqlpp(
+    # r15 third wave: ordered ALL quantifier + md5 fingerprint — the
+    # subquery reduces to one broadcast min/max row, never a shuffle.
+    "sqlpp_quantified_top",
+    "select o.o_orderkey as okey, o.o_totalprice as price, "
+    "md5(o.o_orderpriority) as prio_hash from orders as o "
+    "where o.o_totalprice >= all (select o2.o_totalprice from orders as o2 "
+    "where o2.o_orderpriority = '1-URGENT') "
+    "order by o.o_orderkey",
+    "SELECT o_orderkey AS okey, o_totalprice AS price, "
+    "md5(o_orderpriority) AS prio_hash FROM orders "
+    "WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders "
+    "WHERE o_orderpriority = '1-URGENT') "
+    "ORDER BY o_orderkey",
+)
