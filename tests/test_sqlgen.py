@@ -193,11 +193,43 @@ try:
         kind = draw(
             st.sampled_from(
                 ["cmp", "cmp", "cmp", "and", "or", "not", "in_sub",
-                 "in_list"]
+                 "in_list", "dist", "quant"]
                 if depth < 2
                 else ["cmp"]
             )
         )
+        if kind == "dist":
+            # r15: IS [NOT] DISTINCT FROM — two-valued under the
+            # nullif-injected NULLs
+            neg = draw(st.sampled_from(["", "not "]))
+            col = draw(st.sampled_from(
+                INT_COLS
+                + [f"nullif(n_regionkey, {draw(st.integers(0, 4))})"]
+            ))
+            return (
+                f"({col} is {neg}distinct from {draw(int_expr())})"
+            )
+        if kind == "quant":
+            # r15: quantified comparisons — every op/quantifier pair
+            # (`= any`/`!= all` exercise the IN desugar; the rest the
+            # EQuant aggregate-marker compile) over subqueries that
+            # can be empty, NULL-bearing, or all-NULL
+            op = draw(st.sampled_from(["=", "!=", "<", "<=", ">", ">="]))
+            q = draw(st.sampled_from(["any", "all"]))
+            col = draw(st.sampled_from(
+                INT_COLS
+                + [f"nullif(n_regionkey, {draw(st.integers(0, 4))})"]
+            ))
+            sub_col = draw(st.sampled_from(
+                ["r_regionkey",
+                 f"nullif(r_regionkey, {draw(st.integers(0, 4))})"]
+            ))
+            rop = draw(st.sampled_from(["=", "<", ">"]))
+            rv = draw(st.integers(0, 4))
+            return (
+                f"({col} {op} {q} (select {sub_col} from region "
+                f"where r_regionkey {rop} {rv}))"
+            )
         if kind == "in_list":
             # late r14: literal IN lists (EInList -> Column.isin),
             # incl. the NOT IN 3VL path over nullif-injected NULLs
