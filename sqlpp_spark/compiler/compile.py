@@ -720,25 +720,63 @@ class Compiler:
 
         The witness/falsifier comparison is itself 3VL: a NULL probe
         or an all-NULL set makes it NULL, falling through to the
-        UNKNOWN arm — no special-casing needed."""
-        sub_df = self._compile_sub(node.sub_ctx, binds)
+        UNKNOWN arm — no special-casing needed.
+
+        EQUALITY-correlated forms (r15): the marker aggregates group
+        by the correlation keys instead of reducing globally, then
+        left-join the outer frame on the keys — per-key state stays
+        the same four bounded cells, the join is an ordinary hash
+        join on the correlation keys (broadcast when the key space is
+        small), and an unmatched outer key means an EMPTY per-key set
+        (the COALESCEd count decides, exactly like SQL's empty-set
+        rule)."""
         alias = self._fresh("__qt")
-        col0 = [f.out_name for f in node.sub_ctx.fields if f.is_used][0]
         cnt = f"{alias}_n"
         cntn = f"{alias}_nn"
         mn = f"{alias}_mn"
         mx = f"{alias}_mx"
-        marker = sub_df.agg(
+        col0 = [f.out_name for f in node.sub_ctx.fields if f.is_used][0]
+        aggs = [
             F.count(F.lit(1)).alias(cnt),
             F.count(F.col(col0)).alias(cntn),
             F.min(F.col(col0)).alias(mn),
             F.max(F.col(col0)).alias(mx),
-        )
-        df = df.join(F.broadcast(marker), on=F.lit(True), how="left")
+        ]
+        if getattr(node, "corr", None):
+            sub_df, keys = self._corr_sub_frame(
+                node.sub_ctx, node.corr, alias, binds, extra_fields=True
+            )
+            marker = (
+                sub_df.groupBy(*[F.col(k) for k in keys])
+                .agg(*aggs)
+                .select(
+                    *[
+                        F.col(k).alias(f"{alias}_mk{i}")
+                        for i, k in enumerate(keys)
+                    ],
+                    cnt, cntn, mn, mx,
+                )
+            )
+            outer_cols = [
+                self._outer_col(oe, binds, subst)
+                for _op, _ie, oe in node.corr
+            ]
+            df, outer_cols = self._materialize_windows(
+                df, [oe for _op, _ie, oe in node.corr], outer_cols
+            )
+            mcond = None
+            for i, oc in enumerate(outer_cols):
+                c = oc == F.col(f"{alias}_mk{i}")
+                mcond = c if mcond is None else (mcond & c)
+            df = df.join(marker, on=mcond, how="left")
+        else:
+            sub_df = self._compile_sub(node.sub_ctx, binds)
+            marker = sub_df.agg(*aggs)
+            df = df.join(F.broadcast(marker), on=F.lit(True), how="left")
         probes = [self.expr(node.expr, binds, scalar_map, subst)]
         df, probes = self._materialize_windows(df, [node.expr], probes)
         p = probes[0]
-        empty = F.col(cnt) == 0
+        empty = F.coalesce(F.col(cnt), F.lit(0)) == 0
         has_null = F.col(cntn) < F.col(cnt)
         op = node.op
         if node.quant == "any":

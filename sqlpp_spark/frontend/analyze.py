@@ -1821,23 +1821,22 @@ class Analyzer:
         that do support correlation."""
         what = f"{e.op} {e.quant.upper()}"
         if isinstance(e.select, A.SetOp):
-            sub = self._analyze_sub_compound(e.select, what, e.loc)
+            sub, corr = self._analyze_sub_compound(e.select, what, e.loc), []
         else:
-            try:
-                sub = self.analyze_select(e.select)
-            except SqlppError as err:
-                if _re.search(
-                    r"no such column|ambiguous column|no such scope",
-                    str(err),
-                ):
-                    self.err(
-                        f"correlated subqueries are not supported with "
-                        f"ordered quantifiers ({what}) — rewrite with "
-                        f"[NOT] EXISTS or [NOT] IN, which support "
-                        f"correlation",
-                        e.loc,
-                    )
-                raise
+            sub, corr = self._lift_correlated(ctx, e.select)
+        if corr:
+            # equality correlation compiles as a per-key aggregate
+            # marker (bounded per-key state); theta correlation would
+            # make the witness bound row-dependent — boundary error
+            self._check_corr_sub_shape(e.select, what, e.loc)
+            if any(op != "=" for op, _ie, _oe in corr):
+                self.err(
+                    f"only equality correlation is supported with "
+                    f"ordered quantifiers ({what}) — rewrite with "
+                    f"[NOT] EXISTS, which supports theta correlation",
+                    e.loc,
+                )
+        e.corr = corr
         e.sub_ctx = sub
         row = sub.row()
         if len(row) != 1:

@@ -132,6 +132,9 @@ class EQuant(Expr):
     quant: str = "any"  # 'any' | 'all'
     expr: Expr = None
     select: object = None  # Select | SetOp
+    # equality-correlation triples as EIn.corr (r15: the marker
+    # aggregates group by these keys instead of reducing globally)
+    corr: list = field(default_factory=list)
 
 
 @dataclass

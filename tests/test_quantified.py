@@ -145,11 +145,39 @@ def test_quantified_in_grouped_select(eng, duck):
     )
 
 
-def test_quantified_correlated_is_boundary_error(eng):
-    with pytest.raises(SqlppError, match="ordered quantifiers"):
+CORR_SOURCES = (
+    # per-key quantification: each outer id sees its own set — grp 1
+    # clean {10,20}, grp 2 NULL-bearing {NULL,7}, grp 3 missing (empty
+    # per-key set: ANY→FALSE / ALL→TRUE), grp 4 all-NULL
+    "select t1.id, (t1.val < all (select t2.v from t2 "
+    "where t2.grp = t1.id)) as f from t1 order by t1.id",
+    "select t1.id, (t1.val >= any (select t2.v from t2 "
+    "where t2.grp = t1.id)) as f from t1 order by t1.id",
+    "select t1.id from t1 where t1.val <= all (select t2.v from t2 "
+    "where t2.grp = t1.id) order by t1.id",
+    "select t1.id, (t1.val != any (select t2.v from t2 "
+    "where t2.grp = t1.id)) as f from t1 order by t1.id",
+    "select t1.id, (t1.val = all (select t2.v from t2 "
+    "where t2.grp = t1.id)) as f from t1 order by t1.id",
+    # correlation + residual uncorrelated filter
+    "select t1.id, (t1.val > any (select t2.v from t2 "
+    "where t2.grp = t1.id and t2.v > 5)) as f from t1 order by t1.id",
+)
+
+
+def test_quantified_correlated_differential(eng, duck):
+    # equality-correlated ordered quantifiers: per-key aggregate
+    # marker (r15) — DuckDB runs both the printed correlated SQL and
+    # the original source natively
+    for src in CORR_SOURCES:
+        _differ(eng, duck, src)
+
+
+def test_quantified_theta_correlation_is_boundary_error(eng):
+    with pytest.raises(SqlppError, match="equality correlation"):
         eng.fetch_list(
             "select id from t1 where val < any "
-            "(select v from t2 where t2.grp = t1.id)"
+            "(select v from t2 where t2.grp < t1.id)"
         )
 
 
