@@ -224,11 +224,17 @@ try:
                 ["r_regionkey",
                  f"nullif(r_regionkey, {draw(st.integers(0, 4))})"]
             ))
-            rop = draw(st.sampled_from(["=", "<", ">"]))
-            rv = draw(st.integers(0, 4))
+            if draw(st.booleans()):
+                rop = draw(st.sampled_from(["=", "<", ">"]))
+                rv = draw(st.integers(0, 4))
+                return (
+                    f"({col} {op} {q} (select {sub_col} from region "
+                    f"where r_regionkey {rop} {rv}))"
+                )
+            # equality-correlated variant (r15): per-key marker path
             return (
                 f"({col} {op} {q} (select {sub_col} from region "
-                f"where r_regionkey {rop} {rv}))"
+                f"where r_regionkey = n_regionkey))"
             )
         if kind == "in_list":
             # late r14: literal IN lists (EInList -> Column.isin),
