@@ -1559,6 +1559,14 @@ class Compiler:
             return F.stddev_pop(args[0])
         if fn == "var_pop":
             return F.var_pop(args[0])
+        if fn == "median":
+            return F.median(args[0])
+        if fn == "corr":
+            return F.corr(args[0], args[1])
+        if fn == "covar_samp":
+            return F.covar_samp(args[0], args[1])
+        if fn == "covar_pop":
+            return F.covar_pop(args[0], args[1])
         if fn == "bool_and":
             return F.bool_and(args[0])
         if fn == "bool_or":

@@ -677,15 +677,32 @@ class SqlGen:
             raise SqlppError(
                 "SQLite has no percentile aggregate (backend divergence)"
             )
-        if fn in ("stddev", "variance", "stddev_pop", "var_pop"):
+        if fn in ("stddev", "variance", "stddev_pop", "var_pop",
+                  "median"):
             # DuckDB and PG both alias stddev=stddev_samp and
             # variance=var_samp, so the dialect spelling prints
-            # verbatim; SQLite has no statistical aggregates
+            # verbatim; SQLite has no statistical aggregates. median:
+            # DuckDB native; PG spells it percentile_cont(0.5).
             if self.dialect == "sqlite":
                 raise SqlppError(
                     f"SQLite has no {fn}() aggregate (backend divergence)"
                 )
+            if fn == "median":
+                if self.dialect == "postgres":
+                    return (
+                        f"CAST(percentile_cont(0.5) WITHIN GROUP "
+                        f"(ORDER BY {a(0)}) AS DOUBLE PRECISION)"
+                    )
+                return f"CAST(median({a(0)}) AS DOUBLE)"
             return f"{fn}({a(0)})"
+        if fn in ("corr", "covar_samp", "covar_pop"):
+            # bivariate statistics (r15): DuckDB/PG spell them the
+            # same; SQLite has none
+            if self.dialect == "sqlite":
+                raise SqlppError(
+                    f"SQLite has no {fn}() aggregate (backend divergence)"
+                )
+            return f"{fn}({a(0)}, {a(1)})"
         if fn == "bool_and" or fn == "bool_or":
             if self.dialect == "sqlite":
                 # booleans are 0/1 ints in SQLite: AND-over-group is

@@ -42,6 +42,8 @@ AGG_FNS = {
     # r14 statistical/collection aggregates (beyond reference —
     # analyze.ml's builtin table has count/sum/max/min only)
     "stddev", "variance", "stddev_pop", "var_pop",
+    # r15 third wave: exact median + bivariate statistics
+    "median", "corr", "covar_samp", "covar_pop",
     "string_agg", "bool_and", "bool_or",
     # r15 sketch-backed approximate aggregates (beyond reference) —
     # the 100 TB path for distinct counts / quantiles over columns
@@ -1600,6 +1602,27 @@ class Analyzer:
             if t is None:
                 t = self._adopt_param(e.args[0], NUMERIC.with_non_null(False), e.loc)
             check_subsumes(t, NUMERIC.nullable(), e.loc, self.src or None)
+            return e, FLOAT.with_non_null(False)
+        if fnl == "median":
+            # exact median (both engines interpolate the even-count
+            # midpoint); NULL over an empty/all-NULL group
+            nargs(1)
+            t = arg(0)
+            if t is None:
+                t = self._adopt_param(e.args[0], NUMERIC.with_non_null(False), e.loc)
+            check_subsumes(t, NUMERIC.nullable(), e.loc, self.src or None)
+            return e, FLOAT.with_non_null(False)
+        if fnl in ("corr", "covar_samp", "covar_pop"):
+            # bivariate: corr/covar_samp are NULL for n < 2 (and corr
+            # for zero variance), covar_pop for n = 0
+            nargs(2)
+            for i in range(2):
+                t = arg(i)
+                if t is None:
+                    t = self._adopt_param(
+                        e.args[i], NUMERIC.with_non_null(False), e.loc
+                    )
+                check_subsumes(t, NUMERIC.nullable(), e.loc, self.src or None)
             return e, FLOAT.with_non_null(False)
         if fnl in ("bool_and", "bool_or"):
             nargs(1)

@@ -1152,6 +1152,10 @@ class Parser:
         # stays exact; the precision/percentile literals stay as
         # written (multi-arg, handled like string_agg below)
         "approx_count_distinct", "approx_percentile",
+        # r15 third wave: median is 1-arg NULL-skipping; the
+        # bivariate stats skip the PAIR when either side is NULL, so
+        # FILTER wraps BOTH arguments (see _agg_filter)
+        "median", "corr", "covar_samp", "covar_pop",
     }
     # FILTER wraps only the VALUE argument for these — the remaining
     # arguments are plan-parameterizing literals
@@ -1169,11 +1173,13 @@ class Parser:
         fnl = e.fn.lower()
         if fnl not in self._FILTERABLE_AGGS:
             self.fail("FILTER is only valid on aggregate functions")
-        if fnl == "string_agg":
-            # 2-arg: the CASE wraps the VALUE argument only — the
-            # separator is a literal and stays as written
+        if fnl in ("string_agg", "corr", "covar_samp", "covar_pop"):
+            # 2-arg forms: string_agg's CASE wraps the VALUE argument
+            # only (the separator is a literal); the bivariate stats
+            # wrap BOTH arguments below (a pair with either side NULL
+            # is skipped, so NULLing both is exact)
             if len(e.args) != 2:
-                self.fail("string_agg expects 2 arguments")
+                self.fail(f"{fnl} expects 2 arguments")
         elif fnl in self._FILTER_VALUE_ARG_ONLY:
             if not e.args:
                 self.fail(f"{fnl} expects at least 1 argument")
@@ -1185,6 +1191,15 @@ class Parser:
         pred = self.expr()
         self.expect_punct(")")
         loc = Loc.span(start, self.toks[self.i - 1].loc)
+        if fnl in ("corr", "covar_samp", "covar_pop"):
+            import copy as _copy
+
+            wrapped = [
+                A.EApp("case", [_copy.deepcopy(pred) if i else pred, a],
+                       loc=loc)
+                for i, a in enumerate(e.args)
+            ]
+            return A.EApp(e.fn, wrapped, loc=loc)
         case = A.EApp("case", [pred, e.args[0]], loc=loc)
         return A.EApp(e.fn, [case, *e.args[1:]], loc=loc)
 

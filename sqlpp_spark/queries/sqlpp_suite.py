@@ -961,3 +961,43 @@ _sqlpp(
     "WHERE o_orderpriority = '1-URGENT') "
     "ORDER BY o_orderkey",
 )
+
+_sqlpp(
+    # r15 third wave: median + bivariate statistics under the driver
+    # gate. median is bit-exact (integer-valued doubles; both engines
+    # interpolate the even midpoint); corr/covar_pop validate via the
+    # tolerance-boolean pattern against closed forms over EXACT
+    # integer-valued sums (the sqlpp_stats_aggs approach — Spark and
+    # DuckDB one-pass formulations differ in the last ulp).
+    "sqlpp_stat_median_corr",
+    "select l.l_returnflag as flag, count(1) as n, "
+    "median(l.l_quantity) as med_qty, "
+    "abs(covar_pop(l.l_quantity, l.l_linenumber) - "
+    "(count(1) * sum(l.l_quantity * l.l_linenumber) "
+    "- sum(l.l_quantity) * sum(l.l_linenumber)) "
+    "/ (count(1) * count(1) * 1.0)) < 0.000000001 as ok_cp, "
+    "abs(corr(l.l_quantity, l.l_linenumber) - "
+    "(count(1) * sum(l.l_quantity * l.l_linenumber) "
+    "- sum(l.l_quantity) * sum(l.l_linenumber)) "
+    "/ sqrt((count(1) * sum(l.l_quantity * l.l_quantity) "
+    "- sum(l.l_quantity) * sum(l.l_quantity)) "
+    "* (count(1) * sum(l.l_linenumber * l.l_linenumber) "
+    "- sum(l.l_linenumber) * sum(l.l_linenumber)))) "
+    "< 0.000000001 as ok_corr "
+    "from lineitem as l group by l.l_returnflag order by flag",
+    "SELECT l_returnflag AS flag, count(*) AS n, "
+    "CAST(median(l_quantity) AS DOUBLE) AS med_qty, "
+    "abs(covar_pop(l_quantity, l_linenumber) - "
+    "(count(*) * sum(l_quantity * l_linenumber) "
+    "- sum(l_quantity) * sum(l_linenumber)) "
+    "/ (count(*) * count(*) * 1.0)) < 0.000000001 AS ok_cp, "
+    "abs(corr(l_quantity, l_linenumber) - "
+    "(count(*) * sum(l_quantity * l_linenumber) "
+    "- sum(l_quantity) * sum(l_linenumber)) "
+    "/ sqrt((count(*) * sum(l_quantity * l_quantity) "
+    "- sum(l_quantity) * sum(l_quantity)) "
+    "* (count(*) * sum(l_linenumber * l_linenumber) "
+    "- sum(l_linenumber) * sum(l_linenumber)))) "
+    "< 0.000000001 AS ok_corr "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY flag",
+)

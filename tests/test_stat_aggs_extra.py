@@ -1,0 +1,131 @@
+"""median / corr / covar_samp / covar_pop aggregates (r15 third wave,
+beyond reference — completes the statistical family started in r14).
+
+median: exact (both engines interpolate the even-count midpoint —
+dyadic, so bit-equal). covar_*: closed-form over integer sums — exact
+for integer-valued columns, bit-equal. corr: Spark and DuckDB use
+different one-pass formulations that differ in the LAST ULP
+(0.9933992677987828 vs ...27 on the battery data) — compared with a
+1e-9 relative tolerance here, and the registry entry oracles it with
+the tolerance-boolean pattern (the established stats approach,
+sqlpp_stats_aggs).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from sqlpp_spark.compiler.sqlgen import select_sql
+from sqlpp_spark.frontend.analyze import Analyzer
+from sqlpp_spark.frontend.errors import SqlppError
+from sqlpp_spark.frontend.parser import parse_query
+
+T1 = [
+    (1, 1, 1, 2), (2, 1, 2, 4), (3, 1, 3, 7), (4, 2, 10, 1),
+    (5, 2, None, 5), (6, 3, 4, None), (7, 3, 6, 9), (8, 4, None, None),
+]
+
+
+@pytest.fixture()
+def eng(spark):
+    from sqlpp_spark.engine import SqlppEngine
+
+    eng = SqlppEngine(spark)
+    eng.add_decls(
+        "create table t1 (id int not null, grp int not null, x int, y int);"
+    )
+    eng.register_df(
+        "t1", spark.createDataFrame(T1, "id long, grp long, x long, y long")
+    )
+    return eng
+
+
+@pytest.fixture()
+def duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t1 (id BIGINT, grp BIGINT, x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO t1 VALUES (?,?,?,?)", T1)
+    return con
+
+
+def _close(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-12)
+    return a == b
+
+
+def _differ_tol(eng, duck, src):
+    rows = sorted(tuple(r) for r in eng.fetch_list(src))
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    sql = select_sql(info)
+    want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    want2 = sorted(tuple(r) for r in duck.execute(src).fetchall())
+    for got, w, w2 in zip(rows, want, want2):
+        assert len(got) == len(w) == len(w2)
+        for g, a, b in zip(got, w, w2):
+            assert _close(g, a) and _close(g, b), f"{src}\n{sql}\n{g} {a} {b}"
+    assert len(rows) == len(want) == len(want2)
+
+
+SOURCES = (
+    # median: odd group (exact element), even group via interpolation,
+    # all-NULL group (NULL), global form
+    "select grp, median(x) as med from t1 group by grp order by grp",
+    "select median(x) as med, median(y) as medy from t1 group by ()",
+    # covariance: NULL pairs drop (only rows with BOTH sides non-null
+    # count); n=1 group -> covar_samp NULL, covar_pop 0
+    "select grp, covar_pop(x, y) as cp, covar_samp(x, y) as cs "
+    "from t1 group by grp order by grp",
+    # correlation: ulp-tolerant; zero-variance and n<2 groups -> NULL
+    "select grp, corr(x, y) as r from t1 group by grp order by grp",
+    "select corr(x, y) as r from t1 group by ()",
+    # alongside the r14 family and FILTER
+    "select grp, median(x) as med, stddev(x) as sd, "
+    "corr(x, y) filter (where y > 1) as r2 "
+    "from t1 group by grp order by grp",
+)
+
+
+def test_stat_aggs_differential(eng, duck):
+    for src in SOURCES:
+        _differ_tol(eng, duck, src)
+
+
+def test_stat_aggs_window_forms(eng, duck):
+    # median/corr lack window forms on purpose (neither engine's
+    # t-digest-free exact median windows portably); the r14 stat
+    # window family is unchanged — pin that median OVER errors cleanly
+    with pytest.raises(SqlppError, match="unknown window function"):
+        eng.fetch_list(
+            "select median(x) over (partition by grp) as m from t1"
+        )
+
+
+def test_stat_aggs_type_and_arity_errors(eng):
+    with pytest.raises(SqlppError):
+        eng.fetch_list("select corr(x) as r from t1 group by ()")
+    with pytest.raises(SqlppError):
+        eng.fetch_list(
+            "select median(toString(x)) as m from t1 group by ()"
+        )
+
+
+def test_stat_aggs_sqlite_divergence(eng):
+    src = "select median(x) as m from t1 group by ()"
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    with pytest.raises(SqlppError, match="backend divergence"):
+        select_sql(info, dialect="sqlite")
+
+
+def test_stat_aggs_postgres_rendering(eng):
+    src = (
+        "select median(x) as m, corr(x, y) as r from t1 group by ()"
+    )
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    sql = select_sql(info, dialect="postgres")
+    assert "percentile_cont(0.5)" in sql and "corr(" in sql
