@@ -379,6 +379,14 @@ class Analyzer:
             row.append((ln, t))
         ctx = SetOpCtx(q, left, right, row)
         names = {n for n, _ in row}
+        if getattr(q, "order_all", None):
+            # r15: ORDER BY ALL on a compound — every output column
+            # of the first branch, left-to-right
+            desc = q.order_all == "desc"
+            q.order_by = [
+                A.OrderItem(A.EName(name=n, loc=q.loc), desc, None)
+                for n, _t in row
+            ]
         for o in q.order_by:
             # r15: 1-based ordinals resolve to the compound's output
             # columns (same convention as plain selects)
@@ -430,6 +438,38 @@ class Analyzer:
         # hash-conses with its projection twin. A bare name prefers a
         # real column (PG precedence); ordinals must land on a plain
         # named/auto-named field.
+        if getattr(sel, "group_all", False):
+            # r15: GROUP BY ALL — every projection expression with no
+            # aggregate inside becomes a group key (DuckDB's rule);
+            # all-aggregate projections degrade to GROUP BY ().
+            # Requires a plain explicit projection: the rule is
+            # defined over the visible select list, so open selects
+            # (`...`), fieldset splices, and lazy fields are errors.
+            if sel.is_open:
+                self.err(
+                    "GROUP BY ALL requires an explicit projection "
+                    "(no `...` open select)", sel.loc,
+                )
+            items = []
+            for it in sel.fields:
+                if not isinstance(it, A.Field) or it.is_lazy:
+                    self.err(
+                        "GROUP BY ALL requires plain projection fields "
+                        "(no fieldset splices, WITHSCOPE, or lazy "
+                        "WITH fields)", sel.loc,
+                    )
+                if self._contains_window(it.expr):
+                    self.err(
+                        "GROUP BY ALL cannot group a window "
+                        "expression", it.loc,
+                    )
+                if any(
+                    app.fn.lower() in AGG_FNS
+                    for app in _iter_apps(it.expr)
+                ):
+                    continue
+                items.append(copy.deepcopy(it.expr))
+            sel.group_by = items
         if sel.group_by is not None:
             raw_items = [
                 it if isinstance(it, A.Field) else None for it in sel.fields
@@ -522,6 +562,20 @@ class Analyzer:
                     "QUALIFY requires a window function (use WHERE or "
                     "HAVING for non-window filters)", sel.qualify.loc,
                 )
+        if getattr(sel, "order_all", None):
+            # r15: ORDER BY ALL [DESC] — one ordinal per output
+            # column, left-to-right (DuckDB's determinism sugar);
+            # reuses the ordinal resolution below
+            if sel.is_open or any(it is None for it in raw_proj):
+                self.err(
+                    "ORDER BY ALL requires an explicit plain "
+                    "projection", sel.loc,
+                )
+            desc = sel.order_all == "desc"
+            sel.order_by = [
+                A.OrderItem(A.ELit(i + 1, "int", loc=sel.loc), desc, None)
+                for i in range(len(raw_proj))
+            ]
         for o in sel.order_by:
             # r15: 1-based ordinals (ORDER BY 1, 2 — DuckDB/PG/Spark
             # SQL convention) substitute the raw projection item's

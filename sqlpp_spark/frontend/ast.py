@@ -120,8 +120,9 @@ class EQuant(Expr):
     quantified forms; ``= ANY`` and ``!= ALL`` desugar at parse time
     to the IN machinery, which also carries their correlated forms).
     Ops here: ``< <= > >=`` with either quantifier, plus ``!= ANY``
-    and ``= ALL``. Uncorrelated only (targeted analyzer error
-    otherwise). Compiles to a broadcast one-row aggregate marker
+    and ``= ALL``. Uncorrelated or equality-correlated (theta
+    correlation is a targeted analyzer error). Uncorrelated forms
+    compile to a broadcast one-row aggregate marker
     (count / non-null count / min / max — bounded state, map-side
     combinable: the 100 TB shape) joined on TRUE, then a CASE that is
     EXACT in Kleene 3VL: empty set decides (FALSE for ANY, TRUE for
@@ -304,6 +305,12 @@ class Select:
     offset: Optional[Expr] = None
     is_open: bool = False  # `...` present
     distinct: bool = False  # extension (not in reference grammar)
+    # r15: GROUP BY ALL (group by every non-aggregate projection
+    # expression) and ORDER BY ALL [DESC] (sort by every output
+    # column left-to-right) — DuckDB's determinism sugar; both
+    # desugar in the analyzer against the resolved projection
+    group_all: bool = False
+    order_all: "Optional[str]" = None  # None | 'asc' | 'desc'
     loc: Loc = NO_LOC
 
 
@@ -324,6 +331,7 @@ class SetOp:
     order_by: List[OrderItem] = field(default_factory=list)
     limit: Optional[Expr] = None
     offset: Optional[Expr] = None
+    order_all: "Optional[str]" = None  # r15: ORDER BY ALL on compounds
     loc: Loc = NO_LOC
 
 

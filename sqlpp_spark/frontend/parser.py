@@ -319,7 +319,14 @@ class Parser:
             sel.where = self.expr()
         if self.eat_kw("group"):
             self.expect_kw("by")
-            if self._at_ident("rollup", "cube"):
+            if self.at_kw("all"):
+                # r15: GROUP BY ALL — group by every projection
+                # expression that contains no aggregate (DuckDB
+                # convention); resolved in the analyzer
+                self.advance()
+                sel.group_by = []
+                sel.group_all = True
+            elif self._at_ident("rollup", "cube"):
                 # r14: GROUP BY ROLLUP/CUBE (exprs)
                 sel.group_kind = self.advance().value.lower()
                 self.expect_punct("(")
@@ -369,7 +376,17 @@ class Parser:
         outermost SetOp (both carry the same three fields)."""
         if self.eat_kw("order"):
             self.expect_kw("by")
-            sel.order_by = self._comma_list(self._order_item, end=None)
+            if self.at_kw("all"):
+                # r15: ORDER BY ALL [DESC] — sort by every output
+                # column left-to-right (DuckDB's determinism sugar);
+                # desugars in the analyzer once output columns exist
+                self.advance()
+                desc = self.eat_kw("desc")
+                if not desc:
+                    self.eat_kw("asc")
+                sel.order_all = "desc" if desc else "asc"
+            else:
+                sel.order_by = self._comma_list(self._order_item, end=None)
         if self.eat_kw("limit"):
             sel.limit = self.expr()
         if self.eat_kw("offset"):

@@ -237,6 +237,9 @@ def setop_str(node: "A.SetOp", elaborated: bool = False) -> str:
         else select_str(node.right, elaborated)
     )
     parts = [f"{left} {kw} {right}"]
+    if getattr(node, "order_all", None) and not node.order_by:
+        sfx = " DESC" if node.order_all == "desc" else ""
+        parts.append(f"ORDER BY ALL{sfx}")
     if node.order_by:
         items = [
             expr_str(o.expr) + _ord_sfx(o)
@@ -264,7 +267,11 @@ def select_str(sel: A.Select, elaborated: bool = False) -> str:
         parts.append(f"WHERE {expr_str(sel.where)}")
     if sel.group_by is not None:
         kind = getattr(sel, "group_kind", "plain")
-        if kind in ("rollup", "cube"):
+        if getattr(sel, "group_all", False) and not sel.group_by:
+            # raw (pre-analysis) GROUP BY ALL roundtrips verbatim;
+            # the analyzer resolves it to concrete exprs in place
+            parts.append("GROUP BY ALL")
+        elif kind in ("rollup", "cube"):
             parts.append(
                 f"GROUP BY {kind.upper()} ("
                 + ", ".join(expr_str(g) for g in sel.group_by)
@@ -278,7 +285,7 @@ def select_str(sel: A.Select, elaborated: bool = False) -> str:
                 for idxs in (sel.group_sets or [])
             )
             parts.append(f"GROUP BY GROUPING SETS ({sets})")
-        elif len(sel.group_by) == 0:
+        elif len(sel.group_by) == 0 and not getattr(sel, "group_all", False):
             parts.append("GROUP BY ()")
         else:
             parts.append("GROUP BY " + ", ".join(expr_str(g) for g in sel.group_by))
@@ -286,7 +293,10 @@ def select_str(sel: A.Select, elaborated: bool = False) -> str:
         parts.append(f"HAVING {expr_str(sel.having)}")
     if sel.qualify is not None:
         parts.append(f"QUALIFY {expr_str(sel.qualify)}")
-    if sel.order_by:
+    if getattr(sel, "order_all", None) and not sel.order_by:
+        sfx = " DESC" if sel.order_all == "desc" else ""
+        parts.append(f"ORDER BY ALL{sfx}")
+    elif sel.order_by:
         items = [
             expr_str(o.expr) + _ord_sfx(o)
             for o in sel.order_by
