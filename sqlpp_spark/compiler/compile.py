@@ -1355,6 +1355,8 @@ class Compiler:
             return col
         if isinstance(e, A.EAscribe):
             inner = self.expr(e.expr, binds, scalar_map, subst)
+            if getattr(e, "safe", False):  # TRY_CAST (r15): NULL on failure
+                return inner.try_cast(spark_type(e.to_ty))
             if e.convert:  # CAST (r15) — converting, not erased
                 return inner.cast(spark_type(e.to_ty))
             return inner

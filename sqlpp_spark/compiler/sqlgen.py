@@ -485,6 +485,36 @@ class SqlGen:
         if isinstance(e, A.EMatch):
             return self._match(e)
         if isinstance(e, A.EAscribe):
+            if getattr(e, "safe", False):  # TRY_CAST (r15)
+                # DuckDB has TRY_CAST natively; PG/SQLite have no
+                # generic safe cast (regex guards cover only string
+                # sources) — documented divergence
+                if self.dialect != "duckdb":
+                    raise SqlppError(
+                        f"{self.dialect} has no TRY_CAST "
+                        "(backend divergence)"
+                    )
+                t = SQL_TYPES[e.to_ty.kind]
+                src_ty = getattr(e.expr, "ty", None)
+                if e.to_ty.kind in ("date", "datetime") and (
+                    src_ty is None or src_ty.kind == "string"
+                ):
+                    # pin the engine's STRICT parse: DuckDB's temporal
+                    # TRY_CAST accepts garbage suffixes ('2021-03-04zz'
+                    # -> 2021-03-04) where Spark yields NULL — a regex
+                    # whole-match guard restores strictness
+                    pat = (
+                        "^\\d{4}-\\d{2}-\\d{2}$"
+                        if e.to_ty.kind == "date"
+                        else "^\\d{4}-\\d{2}-\\d{2}[T ]"
+                        "\\d{2}:\\d{2}:\\d{2}$"
+                    )
+                    x = self.expr(e.expr)
+                    return (
+                        f"(CASE WHEN regexp_matches({x}, '{pat}') "
+                        f"THEN TRY_CAST({x} AS {t}) END)"
+                    )
+                return f"TRY_CAST({self.expr(e.expr)} AS {t})"
             if e.convert:  # CAST (r15)
                 kind = e.to_ty.kind
                 src_ty = getattr(e.expr, "ty", None)

@@ -1858,6 +1858,10 @@ class Analyzer:
             self.err(
                 f"cannot CAST {ity} to {tgt.upper()}", e.loc,
             )
+        if getattr(e, "safe", False):
+            # TRY_CAST (r15): malformed/overflowing values go NULL
+            # instead of raising — always nullable
+            return e, e.to_ty.with_non_null(False)
         return e, e.to_ty.with_non_null(ity.non_null)
 
     def _infer_in(self, ctx: SelectCtx, e: A.EIn) -> Tuple[A.Expr, Ty]:

@@ -147,6 +147,9 @@ class EAscribe(Expr):
     expr: Expr = None
     to_ty: Ty = None
     convert: bool = False
+    # r15: TRY_CAST — converting cast that yields NULL where CAST
+    # would raise (malformed strings, overflow); implies convert
+    safe: bool = False
 
 
 @dataclass

@@ -1101,16 +1101,18 @@ class Parser:
                         "strpos", [hay, needle],
                         loc=Loc.span(name_tok.loc, self.toks[self.i - 1].loc),
                     )
-                if fn_l == "cast":
+                if fn_l in ("cast", "try_cast"):
                     # r15: CAST(expr AS TY) — CONVERTING cast (the
                     # `expr : TY` ascription checks and erases; CAST
-                    # changes the value's type)
+                    # changes the value's type). TRY_CAST (third
+                    # wave): NULL where CAST would raise.
                     inner = self.expr()
                     self.expect_kw("as")
                     ty = self._ty()
                     self.expect_punct(")")
                     return A.EAscribe(
                         expr=inner, to_ty=ty, convert=True,
+                        safe=(fn_l == "try_cast"),
                         loc=Loc.span(name_tok.loc, self.toks[self.i - 1].loc),
                     )
                 if fn_l == "count" and self.cur.kind == "op" \

@@ -74,8 +74,9 @@ def _expr(e: A.Expr):
             s = f"{s} : {e.ascribed}"
         return s, 1000
     if isinstance(e, A.EAscribe):
-        if e.convert:  # CAST (r15): function-call form roundtrips
-            return f"cast({expr_str(e.expr, 0)} as {e.to_ty.kind})", 1000
+        if e.convert:  # CAST/TRY_CAST (r15): function-call form roundtrips
+            fn = "try_cast" if getattr(e, "safe", False) else "cast"
+            return f"{fn}({expr_str(e.expr, 0)} as {e.to_ty.kind})", 1000
         return f"{expr_str(e.expr, 1000)} : {e.to_ty}", 60
     if isinstance(e, A.EIn):
         lhs = (

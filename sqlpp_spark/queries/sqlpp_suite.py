@@ -1001,3 +1001,16 @@ _sqlpp(
     "< 0.000000001 AS ok_corr "
     "FROM lineitem GROUP BY l_returnflag ORDER BY flag",
 )
+
+_sqlpp(
+    # r15 third wave: GROUP BY ALL + ORDER BY ALL + median under the
+    # driver gate — the grouped-report idiom with zero repeated
+    # expressions and a fully pinned output order.
+    "sqlpp_group_order_all",
+    "select n.n_regionkey as rk, count(1) as n_nations, "
+    "median(n.n_nationkey) as med_key "
+    "from nation as n group by all order by all",
+    "SELECT n_regionkey AS rk, count(*) AS n_nations, "
+    "CAST(median(n_nationkey) AS DOUBLE) AS med_key "
+    "FROM nation GROUP BY ALL ORDER BY ALL",
+)

@@ -160,3 +160,64 @@ def test_cast_vs_ascription_distinct_keys():
     k1 = expr_key(q1.fields[0].expr)
     k2 = expr_key(q2.fields[0].expr)
     assert k1 != k2
+
+
+def test_try_cast_differential(eng, duck):
+    """TRY_CAST (r15 third wave): NULL where CAST would raise —
+    malformed strings to every numeric/temporal target. DuckDB has
+    TRY_CAST natively, so both the printed SQL and the original
+    source differential."""
+    from sqlpp_spark.compiler.sqlgen import select_sql
+    from sqlpp_spark.frontend.analyze import Analyzer
+    from sqlpp_spark.frontend.parser import parse_query
+
+    for src in (
+        "select a, try_cast(s as int) as i from t order by a",
+        "select a, try_cast(concat(s, 'x') as int) as i from t order by a",
+        "select a, try_cast(concat(s, 'x') as float) as f from t order by a",
+        "select a, try_cast(d as date) as dd, "
+        "try_cast(concat(d, 'zz') as date) as bad from t order by a",
+        # valid casts behave exactly like CAST
+        "select a, try_cast(b as int) as bi from t order by a",
+        "select a from t where try_cast(s as int) > 5 order by a",
+    ):
+        rows = sorted(tuple(repr(x) for x in r) for r in eng.fetch_list(src))
+        info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+        sql = select_sql(info)
+        want = sorted(
+            tuple(repr(x) for x in r) for r in duck.execute(sql).fetchall()
+        )
+        assert rows == want, f"{src}\n{sql}"
+        if "as date" in src:
+            # PINNED divergence: DuckDB's native temporal TRY_CAST
+            # accepts garbage suffixes; the printed SQL carries the
+            # strictness guard, the raw source would disagree
+            continue
+        want2 = sorted(
+            tuple(repr(x) for x in r) for r in duck.execute(src).fetchall()
+        )
+        assert rows == want2, src
+
+
+def test_try_cast_is_nullable_and_raises_only_on_bad_target(eng):
+    import pytest as _pytest
+
+    from sqlpp_spark.compiler.sqlgen import select_sql
+    from sqlpp_spark.frontend.analyze import Analyzer
+    from sqlpp_spark.frontend.errors import SqlppError
+    from sqlpp_spark.frontend.parser import parse_query
+
+    # CAST on a malformed string raises at runtime (ANSI); TRY_CAST
+    # yields NULL — the motivating difference
+    rows = eng.fetch_list(
+        "select try_cast('12abc' as int) as i from t limit 1"
+    )
+    assert rows == [(None,)]
+    # the conversion matrix still applies at analysis time
+    with _pytest.raises(SqlppError, match="cannot CAST"):
+        eng.fetch_list("select try_cast(f as date) as x from t")
+    # PG/SQLite have no generic safe cast
+    src = "select try_cast(s as int) as i from t"
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    with _pytest.raises(SqlppError, match="backend divergence"):
+        select_sql(info, dialect="postgres")
