@@ -474,6 +474,20 @@ class Compiler:
             # kinds map 1:1 onto Spark join types; "full" keeps both
             # sides' unmatched rows (FullOuter in the plan)
             return left.join(right, on=on, how=fr.kind)
+        if isinstance(fr, A.FromSeries):
+            # spark.range: exclusive end, so widen by one step-sign to
+            # match the INCLUSIVE DuckDB/PG convention; Spark splits a
+            # range across executors, so the spine parallelizes at any
+            # size without a data source
+            start = _const_int(fr.start, binds)
+            stop = _const_int(fr.stop, binds)
+            step = _const_int(fr.step, binds) if fr.step is not None else 1
+            if step == 0:
+                raise SqlppError("generate_series step must be nonzero",
+                                 fr.loc)
+            end = stop + (1 if step > 0 else -1)
+            df = self.spark.range(start, end, step)
+            return df.select(F.col("id").alias(fr.col)).alias(fr.alias)
         if isinstance(fr, A.FromTable):
             name = fr.alias or fr.table
             df = self.catalog.get(fr.table)
@@ -1828,8 +1842,18 @@ def _iter_nodes(e: A.Expr):
 def _const_int(e: A.Expr, binds: Bindings) -> int:
     if isinstance(e, A.ELit) and isinstance(e.value, int):
         return e.value
+    if (
+        isinstance(e, A.EApp) and e.fn == "-u" and len(e.args) == 1
+        and isinstance(e.args[0], A.ELit)
+        and isinstance(e.args[0].value, int)
+    ):
+        # negative int literal (r15: generate_series steps parse as
+        # unary minus over a literal)
+        return -e.args[0].value
     if isinstance(e, A.EParam):
         v = binds.get(e.name, e.loc)
         if isinstance(v, int):
             return v
-    raise SqlppError("LIMIT/OFFSET must be an integer literal or parameter")
+    raise SqlppError(
+        "expected an integer literal or bound integer parameter"
+    )

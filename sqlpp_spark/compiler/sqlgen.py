@@ -448,6 +448,40 @@ class SqlGen:
                 return f"({self._setop(rel.sctx)}) AS {_q(fr.alias)}"
             assert isinstance(rel, SelectRel)
             return f"({self.select(rel.ctx)}) AS {_q(fr.alias)}"
+        if isinstance(fr, A.FromSeries):
+            # DuckDB/PG share the inclusive generate_series table fn;
+            # SQLite has none
+            if self.dialect == "sqlite":
+                raise SqlppError(
+                    "SQLite has no generate_series table function "
+                    "(backend divergence)"
+                )
+            a, b = self.expr(fr.start), self.expr(fr.stop)
+            c = self.expr(fr.step) if fr.step is not None else "1"
+            if self.dialect == "duckdb":
+                # DuckDB's generate_series ERRORS on a direction
+                # mismatch (start > stop with positive step) where the
+                # engine and PG return the EMPTY series — its
+                # exclusive-stop range() has the empty-safe semantics,
+                # so widen the stop by one step-sign
+                # ...and both functions BIND-error on a direction
+                # mismatch, so the stop clamps to start (empty range)
+                # when the direction is wrong
+                stop = (
+                    f"(CASE WHEN ({c}) > 0 AND ({b}) < ({a}) THEN ({a}) "
+                    f"WHEN ({c}) < 0 AND ({b}) > ({a}) THEN ({a}) "
+                    f"ELSE ({b}) + (CASE WHEN ({c}) > 0 THEN 1 "
+                    f"ELSE -1 END) END)"
+                )
+                return (
+                    f"range({a}, {stop}, {c}) "
+                    f"AS {_q(fr.alias)}({_q(fr.col)})"
+                )
+            args = [a, b] + ([c] if fr.step is not None else [])
+            return (
+                f"generate_series({', '.join(args)}) "
+                f"AS {_q(fr.alias)}({_q(fr.col)})"
+            )
         raise SqlppError(f"bad from node {type(fr).__name__}")
 
     def _const_int(self, e: A.Expr) -> int:

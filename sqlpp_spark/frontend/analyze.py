@@ -657,6 +657,24 @@ class Analyzer:
                 fr.__dict__.update(fr_sel.__dict__)
                 return
             self.err(f"no such table: {fr.table}", fr.loc)
+        if isinstance(fr, A.FromSeries):
+            if fr.alias in ctx.rels:
+                self.err(f"duplicate scope name: {fr.alias}", fr.loc)
+            for which in ("start", "stop", "step"):
+                b = getattr(fr, which)
+                if b is None:
+                    continue
+                elab, bty = self.infer_expr(ctx, b)
+                setattr(fr, which, elab)
+                if bty is None:
+                    bty = self._adopt_param_non_null(elab, INT, elab.loc)
+                check_subsumes(bty, INT, elab.loc, self.src or None)
+            if isinstance(fr.step, A.ELit) and fr.step.value == 0:
+                self.err("generate_series step must be nonzero", fr.loc)
+            ctx.rels[fr.alias] = TableRel(
+                fr.alias, {fr.col: INT}, nullable, table=fr.alias
+            )
+            return
         if isinstance(fr, A.FromSelect):
             if fr.alias in ctx.rels:
                 self.err(f"duplicate scope name: {fr.alias}", fr.loc)

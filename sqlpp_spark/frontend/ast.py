@@ -269,6 +269,24 @@ class FromSelect:
 
 
 @dataclass
+class FromSeries:
+    """``FROM generate_series(start, stop [, step]) AS t(col)`` (r15,
+    beyond reference) — the synthetic-range/date-spine table function.
+    Bounds are INCLUSIVE on both ends (DuckDB/PG convention); step
+    defaults to 1 and must be a nonzero int literal or bound int
+    param. Compiles to spark.range (split across executors — a range
+    is embarrassingly parallel at any scale); prints natively on
+    DuckDB/PG, raises on SQLite."""
+
+    start: Expr = None
+    stop: Expr = None
+    step: Optional[Expr] = None
+    alias: str = ""
+    col: str = ""
+    loc: Loc = NO_LOC
+
+
+@dataclass
 class FromJoin:
     left: object = None  # From*
     right: object = None  # FromTable | FromSelect

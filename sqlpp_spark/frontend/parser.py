@@ -612,6 +612,23 @@ class Parser:
             alias = self.expect_ident().value
             return A.FromSelect(sel, alias, loc=Loc.span(loc, self.toks[self.i - 1].loc))
         table = self.expect_ident().value
+        if table.lower() == "generate_series" and self.at_punct("("):
+            # r15: range table function — FROM generate_series(a, b
+            # [, step]) AS t(i)
+            self.advance()
+            args = self._comma_list(self.expr, end=")")
+            self.expect_punct(")")
+            if len(args) not in (2, 3):
+                self.fail("generate_series takes (start, stop [, step])")
+            self.expect_kw("as")
+            alias = self.expect_ident().value
+            self.expect_punct("(")
+            col = self.expect_ident().value
+            self.expect_punct(")")
+            return A.FromSeries(
+                args[0], args[1], args[2] if len(args) == 3 else None,
+                alias, col, loc=Loc.span(loc, self.toks[self.i - 1].loc),
+            )
         alias = None
         if self.eat_kw("as"):
             alias = self.expect_ident().value

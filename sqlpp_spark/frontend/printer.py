@@ -22,7 +22,7 @@ from sqlpp_spark.frontend import ast as A
 
 # precedence per syntax.ml:373-386
 _PREC = {
-    "u-": 100,
+    "-u": 100, "u-": 100,
     "*": 90, "/": 90,
     "+": 80, "-": 80,
     ">": 70, ">=": 70, "<": 70, "<=": 70,
@@ -147,7 +147,8 @@ def _app(e: A.EApp):
             f"{expr_str(e.args[0], p)} {op} {expr_str(e.args[1], p + 1)}",
             p,
         )
-    if fn == "u-" and len(e.args) == 1:
+    if fn in ("-u", "u-") and len(e.args) == 1:
+        # the parser emits "-u"; accept the legacy "u-" spelling too
         return f"-{expr_str(e.args[0], 100)}", 100
     if fn == "not" and len(e.args) == 1:
         return f"NOT {expr_str(e.args[0], 51)}", 50
@@ -208,6 +209,13 @@ def _from_str(fr) -> str:
             else select_str(fr.select)
         )
         return f"({inner}) AS {fr.alias}"
+    if isinstance(fr, A.FromSeries):
+        args = [expr_str(fr.start), expr_str(fr.stop)]
+        if fr.step is not None:
+            args.append(expr_str(fr.step))
+        return (
+            f"generate_series({', '.join(args)}) AS {fr.alias}({fr.col})"
+        )
     if isinstance(fr, A.FromJoin):
         kw = {
             "inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",

@@ -1014,3 +1014,19 @@ _sqlpp(
     "CAST(median(n_nationkey) AS DOUBLE) AS med_key "
     "FROM nation GROUP BY ALL ORDER BY ALL",
 )
+
+_sqlpp(
+    # r15 third wave: generate_series spine under the driver gate —
+    # the dense-range LEFT JOIN that reveals gaps (here: region keys
+    # 0..6 vs the 5 real regions). Spark side is a Range node (no
+    # scan, no shuffle to produce the spine).
+    "sqlpp_series_spine",
+    "select g.k as k, count(n.n_nationkey) as n_nations "
+    "from generate_series(0, 6) as g(k) "
+    "left join nation as n on g.k = n.n_regionkey "
+    "group by g.k order by g.k",
+    "SELECT k, count(n_nationkey) AS n_nations "
+    "FROM generate_series(0, 6) t(k) "
+    "LEFT JOIN nation ON k = n_regionkey "
+    "GROUP BY k ORDER BY k",
+)
