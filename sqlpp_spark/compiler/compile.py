@@ -1577,6 +1577,15 @@ class Compiler:
             return F.var_pop(args[0])
         if fn == "median":
             return F.median(args[0])
+        if fn in ("arg_min", "arg_max"):
+            # pin DuckDB's skip-NULL-value semantics: Spark's
+            # min_by/max_by would happily RETURN a NULL value whose
+            # key is extreme; nulling the key for NULL-value rows
+            # makes them unpickable (NULL keys never win)
+            key = F.when(args[0].isNotNull(), args[1])
+            if fn == "arg_min":
+                return F.min_by(args[0], key)
+            return F.max_by(args[0], key)
         if fn == "corr":
             return F.corr(args[0], args[1])
         if fn == "covar_samp":

@@ -767,6 +767,14 @@ class SqlGen:
                     f"SQLite has no {fn}() aggregate (backend divergence)"
                 )
             return f"{fn}({a(0)}, {a(1)})"
+        if fn in ("arg_min", "arg_max"):
+            # DuckDB native; PG/SQLite have no argmin/argmax aggregate
+            if self.dialect != "duckdb":
+                raise SqlppError(
+                    f"{self.dialect} has no {fn}() aggregate "
+                    "(backend divergence)"
+                )
+            return f"{fn}({a(0)}, {a(1)})"
         if fn == "bool_and" or fn == "bool_or":
             if self.dialect == "sqlite":
                 # booleans are 0/1 ints in SQLite: AND-over-group is

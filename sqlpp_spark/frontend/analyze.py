@@ -42,8 +42,9 @@ AGG_FNS = {
     # r14 statistical/collection aggregates (beyond reference —
     # analyze.ml's builtin table has count/sum/max/min only)
     "stddev", "variance", "stddev_pop", "var_pop",
-    # r15 third wave: exact median + bivariate statistics
+    # r15 third wave: exact median + bivariate statistics + argmin/max
     "median", "corr", "covar_samp", "covar_pop",
+    "arg_min", "arg_max",
     "string_agg", "bool_and", "bool_or",
     # r15 sketch-backed approximate aggregates (beyond reference) —
     # the 100 TB path for distinct counts / quantiles over columns
@@ -1684,6 +1685,25 @@ class Analyzer:
                 t = self._adopt_param(e.args[0], NUMERIC.with_non_null(False), e.loc)
             check_subsumes(t, NUMERIC.nullable(), e.loc, self.src or None)
             return e, FLOAT.with_non_null(False)
+        if fnl in ("arg_min", "arg_max"):
+            # arg_max(value, by): the value at the group's max/min of
+            # `by`. Rows with a NULL value OR a NULL key are skipped
+            # (Spark max_by and DuckDB arg_max agree, probed); NULL
+            # over an empty/all-skipped group. Ties are
+            # engine-unspecified in BOTH engines — same caveat as any
+            # unordered first()-style pick.
+            nargs(2)
+            vt = arg(0)
+            if vt is None:
+                vt = self._adopt_param(
+                    e.args[0], STRING.with_non_null(False), e.loc
+                )
+            kt = arg(1)
+            if kt is None:
+                kt = self._adopt_param(
+                    e.args[1], NUMERIC.with_non_null(False), e.loc
+                )
+            return e, vt.with_non_null(False)
         if fnl in ("corr", "covar_samp", "covar_pop"):
             # bivariate: corr/covar_samp are NULL for n < 2 (and corr
             # for zero variance), covar_pop for n = 0

@@ -1192,6 +1192,7 @@ class Parser:
         # bivariate stats skip the PAIR when either side is NULL, so
         # FILTER wraps BOTH arguments (see _agg_filter)
         "median", "corr", "covar_samp", "covar_pop",
+        "arg_min", "arg_max",
     }
     # FILTER wraps only the VALUE argument for these — the remaining
     # arguments are plan-parameterizing literals
@@ -1209,7 +1210,8 @@ class Parser:
         fnl = e.fn.lower()
         if fnl not in self._FILTERABLE_AGGS:
             self.fail("FILTER is only valid on aggregate functions")
-        if fnl in ("string_agg", "corr", "covar_samp", "covar_pop"):
+        if fnl in ("string_agg", "corr", "covar_samp", "covar_pop",
+                   "arg_min", "arg_max"):
             # 2-arg forms: string_agg's CASE wraps the VALUE argument
             # only (the separator is a literal); the bivariate stats
             # wrap BOTH arguments below (a pair with either side NULL
@@ -1227,7 +1229,8 @@ class Parser:
         pred = self.expr()
         self.expect_punct(")")
         loc = Loc.span(start, self.toks[self.i - 1].loc)
-        if fnl in ("corr", "covar_samp", "covar_pop"):
+        if fnl in ("corr", "covar_samp", "covar_pop",
+                   "arg_min", "arg_max"):
             import copy as _copy
 
             wrapped = [

@@ -1030,3 +1030,19 @@ _sqlpp(
     "LEFT JOIN nation ON k = n_regionkey "
     "GROUP BY k ORDER BY k",
 )
+
+_sqlpp(
+    # r15 third wave: arg_min/arg_max under the driver gate — keys
+    # are the UNIQUE o_orderkey, so the pick is deterministic (ties
+    # are engine-unspecified in both engines, same as any unordered
+    # first()-style aggregate).
+    "sqlpp_arg_min_max",
+    "select o.o_orderstatus as st, count(1) as n, "
+    "arg_max(o.o_totalprice, o.o_orderkey) as last_price, "
+    "arg_min(o.o_totalprice, o.o_orderkey) as first_price "
+    "from orders as o group by o.o_orderstatus order by st",
+    "SELECT o_orderstatus AS st, count(*) AS n, "
+    "arg_max(o_totalprice, o_orderkey) AS last_price, "
+    "arg_min(o_totalprice, o_orderkey) AS first_price "
+    "FROM orders GROUP BY o_orderstatus ORDER BY st",
+)

@@ -129,3 +129,65 @@ def test_stat_aggs_postgres_rendering(eng):
     info = Analyzer(eng.env, src).analyze_query(parse_query(src))
     sql = select_sql(info, dialect="postgres")
     assert "percentile_cont(0.5)" in sql and "corr(" in sql
+
+
+ARG_T = [
+    (1, "a", 10), (1, "b", 5), (1, None, 30),
+    (2, "c", None), (2, "d", None), (3, "e", 7),
+]
+
+
+@pytest.fixture()
+def eng2(spark):
+    from sqlpp_spark.engine import SqlppEngine
+
+    eng = SqlppEngine(spark)
+    eng.add_decls("create table ta (g int not null, x string, y int);")
+    eng.register_df(
+        "ta", spark.createDataFrame(ARG_T, "g long, x string, y long")
+    )
+    return eng
+
+
+@pytest.fixture()
+def duck2():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta (g BIGINT, x VARCHAR, y BIGINT)")
+    con.executemany("INSERT INTO ta VALUES (?,?,?)", ARG_T)
+    return con
+
+
+def test_arg_min_max_differential(eng2, duck2):
+    """arg_min/arg_max (r15): the value at the group's extreme key.
+    PINNED: rows with a NULL value are skipped (DuckDB's arg_max
+    semantics — Spark's raw max_by would return the NULL value when
+    its key is extreme, so the compile nulls the key for NULL-value
+    rows); NULL keys never win; NULL over all-skipped groups."""
+    for src in (
+        "select g, arg_max(x, y) as best, arg_min(x, y) as worst "
+        "from ta group by g order by g",
+        "select arg_max(x, y) as best from ta group by ()",
+        "select g, arg_max(x, y) filter (where y < 30) as best "
+        "from ta group by g order by g",
+        "select g, arg_min(y, x) as yv from ta group by g order by g",
+    ):
+        rows = sorted(
+            tuple(repr(v) for v in r) for r in eng2.fetch_list(src)
+        )
+        info = Analyzer(eng2.env, src).analyze_query(parse_query(src))
+        sql = select_sql(info)
+        want = sorted(
+            tuple(repr(v) for v in r) for r in duck2.execute(sql).fetchall()
+        )
+        want2 = sorted(
+            tuple(repr(v) for v in r) for r in duck2.execute(src).fetchall()
+        )
+        assert rows == want == want2, f"{src}\n{sql}"
+
+
+def test_arg_max_divergence_raises(eng2):
+    src = "select arg_max(x, y) as b from ta group by ()"
+    info = Analyzer(eng2.env, src).analyze_query(parse_query(src))
+    for d in ("postgres", "sqlite"):
+        with pytest.raises(SqlppError, match="backend divergence"):
+            select_sql(info, dialect=d)
