@@ -6,8 +6,9 @@ EXISTS only, parser.mly).
 (keeping full correlation support); the ORDERED forms (< <= > >= with
 either quantifier, plus != ANY and = ALL) build ast.EQuant and compile
 to ONE broadcast aggregate row (count / non-null count / min / max)
-plus a Kleene-exact CASE — see compile._attach_quant. Uncorrelated
-only; correlated ordered forms get a targeted boundary error.
+plus a Kleene-exact CASE — see compile._attach_quant. Equality
+correlation groups the marker by the lifted keys (per-key bounded
+state); theta correlation gets a targeted boundary error.
 
 Differential against DuckDB's NATIVE quantified comparisons on BOTH
 the printed SQL and the original source, over the four semantic
@@ -221,3 +222,35 @@ def test_quantified_plan_broadcasts(eng):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # partial aggregation happens map-side before the single-row merge
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_quantified_and_distinct_from_in_dml(spark, tmp_path):
+    """The r15 predicates reach DML WHERE positions through the same
+    compile paths: DELETE with an ALL quantifier keeps UNKNOWN rows
+    (3VL — NULL probe survives), UPDATE with IS DISTINCT FROM touches
+    the NULL rows plain != would skip."""
+    from sqlpp_spark.engine import SqlppEngine
+
+    eng = SqlppEngine(spark)
+    eng.add_decls(
+        "create table t1 (id int not null primary key, val int);"
+        "create table t2 (v int);"
+    )
+    eng.create_managed(
+        "t1", str(tmp_path / "t1"),
+        spark.createDataFrame(
+            [(1, 5), (2, 30), (3, None), (4, 15)], "id long, val long"
+        ),
+    )
+    eng.create_managed(
+        "t2", str(tmp_path / "t2"),
+        spark.createDataFrame([(10,), (20,)], "v long"),
+    )
+    eng.exec("delete from t1 where val > all (select v from t2)")
+    assert sorted((r[0], r[1]) for r in eng.fetch_list(
+        "select id, val from t1"
+    )) == [(1, 5), (3, None), (4, 15)]
+    eng.exec("update t1 set val = 0 where val is distinct from 5")
+    assert sorted((r[0], r[1]) for r in eng.fetch_list(
+        "select id, val from t1"
+    )) == [(1, 5), (3, 0), (4, 0)]
