@@ -314,8 +314,22 @@ try:
              # NOT implied by the predicate (the r14-ADVICE bug
              # shape), windows over grouped selects, and
              # ROLLUP/CUBE + QUALIFY + grouped windows composed
-             "qualify_proj", "group_window", "rollup_qualify"]
+             "qualify_proj", "group_window", "rollup_qualify",
+             # r15 third wave: GROUP BY ALL + ORDER BY ALL
+             "group_all"]
         ))
+        if shape == "group_all":
+            agg = draw(st.sampled_from(
+                ["count(1)", "sum(n_nationkey)", "max(n_nationkey)",
+                 "median(n_nationkey)"]
+            ))
+            key = draw(st.sampled_from(
+                ["n_regionkey", "n_regionkey + 1", "n_name"]
+            ))
+            return (
+                f"select {key} as k, {agg} as a from nation "
+                f"where {where} group by all order by all"
+            )
         if shape == "case":
             # r14: searched CASE + BETWEEN + FILTER shapes
             arm = (
