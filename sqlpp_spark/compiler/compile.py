@@ -1549,6 +1549,15 @@ class Compiler:
             return F.avg(args[0])
         if fn == "count_distinct":
             return F.count_distinct(args[0])
+        if fn == "sum_distinct":
+            return F.sum_distinct(args[0])
+        if fn == "avg_distinct":
+            # Spark has no avg_distinct builtin: exact compose from
+            # the two distinct partials (same shuffle as one)
+            return F.try_divide(
+                F.sum_distinct(args[0]).cast("double"),
+                F.count_distinct(args[0]),
+            )
         if fn == "approx_count_distinct":
             # r15: HLL++ sketch — bounded state per group, map-side
             # combinable (the 100 TB distinct-count path)

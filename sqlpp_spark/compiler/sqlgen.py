@@ -715,6 +715,13 @@ class SqlGen:
             return f"CAST(grouping({a(0)}) AS BIGINT)"
         if fn == "count_distinct":
             return f"count(DISTINCT {a(0)})"
+        if fn == "sum_distinct":
+            return f"sum(DISTINCT {a(0)})"
+        if fn == "avg_distinct":
+            # cast pins the engine's DOUBLE result (DuckDB returns
+            # DECIMAL averages over integer columns)
+            t = "DOUBLE PRECISION" if self.dialect == "postgres" else "DOUBLE"
+            return f"CAST(avg(DISTINCT {a(0)}) AS {t})"
         if fn == "approx_count_distinct":
             # r15: approximate BY CONTRACT — DuckDB has the HLL
             # sketch; PG/SQLite have none, so the printed SQL falls

@@ -39,6 +39,7 @@ from sqlpp_spark.frontend.types import (
 
 AGG_FNS = {
     "count", "sum", "max", "min", "avg", "count_distinct", "grouping",
+    "sum_distinct", "avg_distinct",
     # r14 statistical/collection aggregates (beyond reference —
     # analyze.ml's builtin table has count/sum/max/min only)
     "stddev", "variance", "stddev_pop", "var_pop",
@@ -1759,14 +1760,15 @@ class Analyzer:
                     e.loc,
                 )
             return e, INT
-        if fnl in ("sum", "max", "min", "avg"):
+        if fnl in ("sum", "max", "min", "avg",
+                   "sum_distinct", "avg_distinct"):
             nargs(1)
             t = arg(0)
             if t is None:
                 t = self._adopt_param(e.args[0], NUMERIC.with_non_null(False), e.loc)
-            if fnl in ("sum", "avg"):
+            if fnl in ("sum", "avg", "sum_distinct", "avg_distinct"):
                 check_subsumes(t, NUMERIC.nullable(), e.loc, self.src or None)
-            if fnl == "avg":
+            if fnl in ("avg", "avg_distinct"):
                 return e, Ty(frozenset({"float"}), t.non_null)
             return e, t
         if fnl == "like":

@@ -1146,12 +1146,22 @@ class Parser:
                             and self.peek().value == "(":
                         app = self._agg_filter(app)
                     return app
-                if fn_l == "count" and self.at_kw("distinct"):
+                if fn_l in ("count", "sum", "avg", "min", "max") \
+                        and self.at_kw("distinct"):
+                    # r15 third wave: DISTINCT args for the classic
+                    # five — count/sum/avg dedup before aggregating
+                    # (distinct spellings in compile/print); min/max
+                    # DISTINCT is a no-op and desugars away
                     self.advance()
                     arg = self.expr()
                     self.expect_punct(")")
+                    fn_name = {
+                        "count": "count_distinct",
+                        "sum": "sum_distinct",
+                        "avg": "avg_distinct",
+                    }.get(fn_l, fn_l)
                     app = A.EApp(
-                        "count_distinct", [arg],
+                        fn_name, [arg],
                         loc=Loc.span(name_tok.loc, self.toks[self.i - 1].loc),
                     )
                     if self._at_ident("filter") and self.peek().kind == "punct" \
@@ -1180,6 +1190,7 @@ class Parser:
 
     _FILTERABLE_AGGS = {
         "count", "sum", "min", "max", "avg", "count_distinct",
+        "sum_distinct", "avg_distinct",
         # r14: the CASE-desugar stays exact for every NULL-skipping
         # single-argument aggregate (string_agg is 2-arg, excluded)
         "stddev", "variance", "stddev_pop", "var_pop",

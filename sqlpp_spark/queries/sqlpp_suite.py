@@ -1046,3 +1046,20 @@ _sqlpp(
     "arg_min(o_totalprice, o_orderkey) AS first_price "
     "FROM orders GROUP BY o_orderstatus ORDER BY st",
 )
+
+_sqlpp(
+    # r15 third wave: DISTINCT aggregate args — dedup-then-aggregate
+    # for the classic five (avg_distinct composes two distinct
+    # partials on Spark: one shuffle, exact).
+    "sqlpp_distinct_aggs",
+    "select l.l_returnflag as flag, "
+    "count(distinct l.l_suppkey) as nd_supp, "
+    "sum(distinct l.l_linenumber) as sd_line, "
+    "avg(distinct l.l_linenumber) as ad_line "
+    "from lineitem as l group by l.l_returnflag order by flag",
+    "SELECT l_returnflag AS flag, "
+    "count(DISTINCT l_suppkey) AS nd_supp, "
+    "CAST(sum(DISTINCT l_linenumber) AS BIGINT) AS sd_line, "
+    "CAST(avg(DISTINCT l_linenumber) AS DOUBLE) AS ad_line "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY flag",
+)

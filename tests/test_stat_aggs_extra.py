@@ -191,3 +191,29 @@ def test_arg_max_divergence_raises(eng2):
     for d in ("postgres", "sqlite"):
         with pytest.raises(SqlppError, match="backend divergence"):
             select_sql(info, dialect=d)
+
+
+def test_sum_avg_distinct_differential(eng, duck):
+    """sum/avg(DISTINCT x) (r15): dedup before aggregating —
+    count(DISTINCT) generalized to the classic five (min/max DISTINCT
+    are no-ops and desugar away at parse time). avg_distinct composes
+    sum_distinct/count_distinct on Spark (no builtin; same shuffle)."""
+    for src in (
+        "select grp, sum(distinct x) as sd, avg(distinct x) as ad, "
+        "count(distinct x) as cd, max(distinct x) as mx "
+        "from t1 group by grp order by grp",
+        "select sum(distinct x) as sd, avg(distinct y) as ad "
+        "from t1 group by ()",
+        "select grp, sum(distinct x) filter (where x > 2) as sdf "
+        "from t1 group by grp order by grp",
+    ):
+        rows = sorted(tuple(repr(v) for v in r) for r in eng.fetch_list(src))
+        info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+        sql = select_sql(info)
+        want = sorted(
+            tuple(repr(v) for v in r) for r in duck.execute(sql).fetchall()
+        )
+        want2 = sorted(
+            tuple(repr(v) for v in r) for r in duck.execute(src).fetchall()
+        )
+        assert rows == want == want2, f"{src}\n{sql}"
