@@ -85,17 +85,19 @@ def _expr(e: A.Expr):
             else "(" + ", ".join(expr_str(x) for x in e.exprs) + ")"
         )
         kw = "not in" if e.negated else "in"
-        return f"{lhs} {kw} ({select_str(e.select)})", 60
+        return f"{lhs} {kw} ({_body_str(e.select)})", 60
     if isinstance(e, A.EInList):
         items = ", ".join(expr_str(x) for x in e.items)
         kw = "not in" if e.negated else "in"
         return f"{expr_str(e.expr, 61)} {kw} ({items})", 60
     if isinstance(e, A.EExists):
-        return f"exists ({select_str(e.select)})", 1000
+        return f"exists ({_body_str(e.select)})", 1000
+    if isinstance(e, A.EScalarSub):
+        return f"({_body_str(e.select)})", 1000
     if isinstance(e, A.EQuant):
         return (
             f"{expr_str(e.expr, 61)} {e.op} {e.quant} "
-            f"({select_str(e.select)})",
+            f"({_body_str(e.select)})",
             60,
         )
     if isinstance(e, A.EMatch):
@@ -136,6 +138,13 @@ def _expr(e: A.Expr):
     if isinstance(e, A.EApp):
         return _app(e)
     raise TypeError(f"expr_str: {type(e).__name__}")
+
+
+def _body_str(sel) -> str:
+    """Subquery body: plain Select or (r15) compound SetOp."""
+    if isinstance(sel, A.SetOp):
+        return setop_str(sel)
+    return select_str(sel)
 
 
 def _app(e: A.EApp):

@@ -565,3 +565,25 @@ def test_nested_navigation_goldens(env):
         ("_3", "INT NOT NULL"), ("created_at", "FLOAT NOT NULL"),
         ("_5", "INT NOT NULL"), ("_6", "INT NOT NULL"),
     ]
+
+
+def test_format_subquery_bodies_roundtrip():
+    """r15 formatter fix: compound (SetOp) subquery bodies and scalar
+    subqueries format and re-parse (previously AttributeError /
+    TypeError)."""
+    from sqlpp_spark.frontend.parser import parse_query
+    from sqlpp_spark.frontend.printer import format_query
+
+    for src in (
+        "select id from t1 where id in "
+        "(select a from x union select b from y)",
+        "select id from t1 where id < any "
+        "(select a from x union all select b from y)",
+        "select id from t1 where exists "
+        "(select a from x union select b from y)",
+        "select (select max(a) from x group by ()) as m from t1",
+    ):
+        printed = format_query(parse_query(src))
+        # the formatted text is itself valid dialect source
+        reprinted = format_query(parse_query(printed))
+        assert reprinted == printed
