@@ -44,10 +44,10 @@ def _engine(spark: SparkSession, sf_dir: str):
 SQLPP_SOURCES: dict = {}
 
 
-def _sqlpp(name: str, src: str, oracle: str):
+def _sqlpp(name: str, src: str, oracle: str, headline: bool = False):
     SQLPP_SOURCES[name] = (src, {})
 
-    @register(name, oracle=oracle)
+    @register(name, oracle=oracle, headline=headline)
     def run(spark: SparkSession, sf_dir: str, _src=src) -> DataFrame:
         return _engine(spark, sf_dir).query(_src)
 
@@ -878,6 +878,10 @@ _sqlpp(
     "AS n_goldilocks, "
     "count(*) FILTER (WHERE text ILIKE '%the%') AS n_the "
     "FROM documents GROUP BY lang ORDER BY 2 DESC, 1",
+    # r15 third wave: one dialect-path query in the bench headline —
+    # the full parse->analyze->compile frontend plus an ILIKE scan
+    # and HLL sketch over documents
+    headline=True,
 )
 
 _sqlpp(
