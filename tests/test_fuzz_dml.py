@@ -255,6 +255,20 @@ DIRECTED_PROGRAMS = [
         ("update items set grp = case when grp in (5, 7) then grp + 10 "
          "else grp end returning id, grp", {}),
     ],
+    # r15 third wave: null-safe comparison and quantified predicates
+    # in DML WHERE — UNKNOWN rows survive a quantified DELETE, and
+    # IS DISTINCT FROM touches the NULL rows plain != would skip
+    [
+        ("update items set tag = 'nullsafe' "
+         "where val is distinct from 40 returning id, tag", {}),
+        ("delete from items where val > all (select val from src "
+         "where val is not null) returning id", {}),
+        ("update items set grp = grp + 5 "
+         "where val <= any (select val from src where grp = 2) "
+         "returning id, grp", {}),
+        ("delete from items where id is not distinct from 3 "
+         "returning id", {}),
+    ],
 ]
 
 
