@@ -1574,6 +1574,12 @@ class Compiler:
             return F.percentile_approx(
                 args[0], float(app.args[1].value), acc
             ).cast("double")
+        if fn == "percentile_cont":
+            # exact interpolated percentile (F.percentile sorts per
+            # group — the exact path; the GK sketch is the scale path)
+            return F.percentile(
+                args[0], F.lit(float(app.args[1].value))
+            ).cast("double")
         # r14 statistical aggregates — Spark's JVM-side implementations
         # (partial aggregation / map-side combine intact)
         if fn == "stddev":

@@ -748,6 +748,21 @@ class SqlGen:
             raise SqlppError(
                 "SQLite has no percentile aggregate (backend divergence)"
             )
+        if fn == "percentile_cont":
+            # DuckDB: quantile_cont; PG: ordered-set percentile_cont;
+            # SQLite: none. Both share Spark's interpolation formula
+            # (probed bit-identical).
+            if self.dialect == "sqlite":
+                raise SqlppError(
+                    "SQLite has no percentile aggregate "
+                    "(backend divergence)"
+                )
+            if self.dialect == "postgres":
+                return (
+                    f"CAST(percentile_cont({a(1)}) WITHIN GROUP "
+                    f"(ORDER BY {a(0)}) AS DOUBLE PRECISION)"
+                )
+            return f"CAST(quantile_cont({a(0)}, {a(1)}) AS DOUBLE)"
         if fn in ("stddev", "variance", "stddev_pop", "var_pop",
                   "median"):
             # DuckDB and PG both alias stddev=stddev_samp and

@@ -51,6 +51,10 @@ AGG_FNS = {
     # the 100 TB path for distinct counts / quantiles over columns
     # with unbounded cardinality: bounded state, map-side combinable
     "approx_count_distinct", "approx_percentile",
+    # r15 third wave: EXACT interpolated percentile (same linear-
+    # interpolation-at-rank-p*(n-1) formula in Spark and DuckDB —
+    # probed bit-identical incl. ulp artifacts)
+    "percentile_cont",
 }
 
 # comparison ops liftable as scalar-subquery correlation conjuncts,
@@ -1666,6 +1670,30 @@ class Analyzer:
                     )
                 arg(2)
             # NULL over an empty/all-NULL group
+            return e, FLOAT.with_non_null(False)
+        if fnl == "percentile_cont":
+            # r15: EXACT percentile — percentile_cont(x, p), p a
+            # numeric literal in [0, 1]. Sorts within groups (unlike
+            # the GK sketch) — prefer approx_percentile at extreme
+            # group cardinalities (SCALING.md).
+            nargs(2)
+            t = arg(0)
+            if t is None:
+                t = self._adopt_param(
+                    e.args[0], NUMERIC.with_non_null(False), e.loc
+                )
+            check_subsumes(t, NUMERIC.nullable(), e.loc, self.src or None)
+            pq = e.args[1]
+            if not (
+                isinstance(pq, A.ELit)
+                and pq.lit_kind in ("float", "int")
+                and 0 <= float(pq.value) <= 1
+            ):
+                self.err(
+                    "percentile_cont(..) percentile must be a numeric "
+                    "literal in [0, 1]", e.loc,
+                )
+            arg(1)
             return e, FLOAT.with_non_null(False)
         if fnl in ("stddev", "variance", "stddev_pop", "var_pop"):
             # sample forms are NULL for n < 2, pop forms for n = 0 —

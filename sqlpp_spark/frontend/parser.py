@@ -1203,12 +1203,13 @@ class Parser:
         # bivariate stats skip the PAIR when either side is NULL, so
         # FILTER wraps BOTH arguments (see _agg_filter)
         "median", "corr", "covar_samp", "covar_pop",
-        "arg_min", "arg_max",
+        "arg_min", "arg_max", "percentile_cont",
     }
     # FILTER wraps only the VALUE argument for these — the remaining
     # arguments are plan-parameterizing literals
     _FILTER_VALUE_ARG_ONLY = {
         "string_agg", "approx_count_distinct", "approx_percentile",
+        "percentile_cont",
     }
 
     def _agg_filter(self, e: A.EApp) -> A.EApp:

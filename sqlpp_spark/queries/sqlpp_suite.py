@@ -1067,3 +1067,21 @@ _sqlpp(
     "CAST(avg(DISTINCT l_linenumber) AS DOUBLE) AS ad_line "
     "FROM lineitem GROUP BY l_returnflag ORDER BY flag",
 )
+
+_sqlpp(
+    # r15 third wave: EXACT interpolated percentile beside the GK
+    # sketch — Spark F.percentile and DuckDB quantile_cont share the
+    # interpolation formula bit-for-bit (integer-valued doubles), so
+    # the hash is EXACT, not tolerance.
+    "sqlpp_percentile_cont",
+    "select l.l_returnflag as flag, "
+    "percentile_cont(l.l_quantity, 0.25) as q25, "
+    "percentile_cont(l.l_quantity, 0.5) as q50, "
+    "percentile_cont(l.l_quantity, 0.95) as q95 "
+    "from lineitem as l group by l.l_returnflag order by flag",
+    "SELECT l_returnflag AS flag, "
+    "CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS q25, "
+    "CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS q50, "
+    "CAST(quantile_cont(l_quantity, 0.95) AS DOUBLE) AS q95 "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY flag",
+)

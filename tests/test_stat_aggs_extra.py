@@ -217,3 +217,36 @@ def test_sum_avg_distinct_differential(eng, duck):
             tuple(repr(v) for v in r) for r in duck.execute(src).fetchall()
         )
         assert rows == want == want2, f"{src}\n{sql}"
+
+
+def test_percentile_cont_differential(eng, duck):
+    """percentile_cont(x, p) (r15): EXACT interpolated percentile —
+    Spark F.percentile and DuckDB quantile_cont share the
+    rank-p*(n-1) linear-interpolation formula (probed bit-identical
+    including ulp artifacts like 7.6000000000000005)."""
+    for src in (
+        "select grp, percentile_cont(x, 0.25) as p25, "
+        "percentile_cont(x, 0.9) as p90 from t1 group by grp "
+        "order by grp",
+        "select percentile_cont(x, 0.5) as med, "
+        "percentile_cont(y, 0.0) as mn, percentile_cont(y, 1.0) as mx "
+        "from t1 group by ()",
+        "select grp, percentile_cont(x, 0.75) filter (where x < 10) "
+        "as p from t1 group by grp order by grp",
+    ):
+        rows = sorted(tuple(repr(v) for v in r) for r in eng.fetch_list(src))
+        info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+        sql = select_sql(info)
+        want = sorted(
+            tuple(repr(v) for v in r) for r in duck.execute(sql).fetchall()
+        )
+        assert rows == want, f"{src}\n{sql}"
+    # percentile must be a literal in [0, 1]
+    with pytest.raises(SqlppError, match="literal"):
+        eng.fetch_list(
+            "select percentile_cont(x, y) as p from t1 group by ()"
+        )
+    with pytest.raises(SqlppError, match="literal"):
+        eng.fetch_list(
+            "select percentile_cont(x, 1.5) as p from t1 group by ()"
+        )
