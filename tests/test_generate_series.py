@@ -129,3 +129,38 @@ def test_generate_series_plan_is_range(eng):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Range (1, 101" in plan
     assert "Exchange" not in plan
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        start=st.integers(-15, 15),
+        stop=st.integers(-15, 15),
+        step=st.integers(-4, 4).filter(lambda s: s != 0),
+    )
+    def test_generate_series_bounds_property(spark, start, stop, step):
+        """Property arm: any (start, stop, step != 0) triple yields the
+        inclusive arithmetic progression — including empty on direction
+        mismatch — identical to the CASE-clamped DuckDB printing."""
+        from sqlpp_spark.engine import SqlppEngine
+
+        eng = SqlppEngine(spark)
+        src = (
+            f"select g.i as i from generate_series({start}, {stop}, "
+            f"{step}) as g(i) order by i"
+        )
+        rows = [r[0] for r in eng.fetch_list(src)]
+        lo_ok = (step > 0 and start <= stop) or (step < 0 and start >= stop)
+        want = sorted(range(start, stop + (1 if step > 0 else -1), step)) \
+            if lo_ok else []
+        assert rows == want, (src, rows, want)
+        info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+        got = sorted(
+            x[0] for x in duckdb.connect().execute(select_sql(info)).fetchall()
+        )
+        assert got == want, (src, got, want)
+except ImportError:  # pragma: no cover
+    pass
