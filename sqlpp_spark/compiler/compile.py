@@ -1592,6 +1592,8 @@ class Compiler:
             return F.var_pop(args[0])
         if fn == "median":
             return F.median(args[0])
+        if fn == "mode":
+            return F.mode(args[0])
         if fn in ("arg_min", "arg_max"):
             # pin DuckDB's skip-NULL-value semantics: Spark's
             # min_by/max_by would happily RETURN a NULL value whose

@@ -789,6 +789,15 @@ class SqlGen:
                     f"SQLite has no {fn}() aggregate (backend divergence)"
                 )
             return f"{fn}({a(0)}, {a(1)})"
+        if fn == "mode":
+            # DuckDB plain-call; PG ordered-set form; SQLite none
+            if self.dialect == "sqlite":
+                raise SqlppError(
+                    "SQLite has no mode() aggregate (backend divergence)"
+                )
+            if self.dialect == "postgres":
+                return f"mode() WITHIN GROUP (ORDER BY {a(0)})"
+            return f"mode({a(0)})"
         if fn in ("arg_min", "arg_max"):
             # DuckDB native; PG/SQLite have no argmin/argmax aggregate
             if self.dialect != "duckdb":

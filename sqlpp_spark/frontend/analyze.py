@@ -45,7 +45,7 @@ AGG_FNS = {
     "stddev", "variance", "stddev_pop", "var_pop",
     # r15 third wave: exact median + bivariate statistics + argmin/max
     "median", "corr", "covar_samp", "covar_pop",
-    "arg_min", "arg_max",
+    "arg_min", "arg_max", "mode",
     "string_agg", "bool_and", "bool_or",
     # r15 sketch-backed approximate aggregates (beyond reference) —
     # the 100 TB path for distinct counts / quantiles over columns
@@ -1714,6 +1714,17 @@ class Analyzer:
                 t = self._adopt_param(e.args[0], NUMERIC.with_non_null(False), e.loc)
             check_subsumes(t, NUMERIC.nullable(), e.loc, self.src or None)
             return e, FLOAT.with_non_null(False)
+        if fnl == "mode":
+            # most frequent non-NULL value (both engines skip NULLs,
+            # probed); ties are engine-unspecified in BOTH — same
+            # determinism caveat as arg_min/arg_max
+            nargs(1)
+            t = arg(0)
+            if t is None:
+                t = self._adopt_param(
+                    e.args[0], STRING.with_non_null(False), e.loc
+                )
+            return e, t.with_non_null(False)
         if fnl in ("arg_min", "arg_max"):
             # arg_max(value, by): the value at the group's max/min of
             # `by`. Rows with a NULL value OR a NULL key are skipped

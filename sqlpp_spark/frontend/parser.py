@@ -1203,7 +1203,7 @@ class Parser:
         # bivariate stats skip the PAIR when either side is NULL, so
         # FILTER wraps BOTH arguments (see _agg_filter)
         "median", "corr", "covar_samp", "covar_pop",
-        "arg_min", "arg_max", "percentile_cont",
+        "arg_min", "arg_max", "percentile_cont", "mode",
     }
     # FILTER wraps only the VALUE argument for these — the remaining
     # arguments are plan-parameterizing literals

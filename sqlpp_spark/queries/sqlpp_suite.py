@@ -1085,3 +1085,16 @@ _sqlpp(
     "CAST(quantile_cont(l_quantity, 0.95) AS DOUBLE) AS q95 "
     "FROM lineitem GROUP BY l_returnflag ORDER BY flag",
 )
+
+_sqlpp(
+    # r15 third wave: mode() — unique by construction here (every
+    # order has linenumber 1, and linenumber frequency strictly
+    # decreases, so the mode can never tie).
+    "sqlpp_mode_agg",
+    "select l.l_returnflag as flag, "
+    "cast(mode(l.l_linenumber) as int) as mode_line, count(1) as n "
+    "from lineitem as l group by l.l_returnflag order by flag",
+    "SELECT l_returnflag AS flag, "
+    "CAST(mode(l_linenumber) AS BIGINT) AS mode_line, count(*) AS n "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY flag",
+)

@@ -250,3 +250,36 @@ def test_percentile_cont_differential(eng, duck):
         eng.fetch_list(
             "select percentile_cont(x, 1.5) as p from t1 group by ()"
         )
+
+
+def test_mode_differential(eng2, duck2):
+    """mode() (r15): most frequent non-NULL value; NULLs are skipped
+    on both engines (probed); all-NULL groups yield NULL. Ties are
+    engine-unspecified in BOTH — the battery data has a unique mode
+    per group (same determinism caveat as arg_min/arg_max)."""
+    duck2.execute("CREATE TABLE tm (g BIGINT, x VARCHAR)")
+    TM = [(1, "a"), (1, "a"), (1, "b"), (2, None), (2, None), (2, "c"),
+          (3, None)]
+    duck2.executemany("INSERT INTO tm VALUES (?,?)", TM)
+    eng2.add_decls("create table tm (g int not null, x string);")
+    eng2.register_df(
+        "tm", eng2.spark.createDataFrame(TM, "g long, x string")
+    )
+    for src in (
+        "select g, mode(x) as m from tm group by g order by g",
+        "select mode(x) as m from tm group by ()",
+        "select g, mode(x) filter (where x != 'a') as m from tm "
+        "group by g order by g",
+    ):
+        rows = sorted(tuple(repr(v) for v in r) for r in eng2.fetch_list(src))
+        from sqlpp_spark.frontend.analyze import Analyzer
+        from sqlpp_spark.frontend.parser import parse_query
+        info = Analyzer(eng2.env, src).analyze_query(parse_query(src))
+        sql = select_sql(info)
+        want = sorted(
+            tuple(repr(v) for v in r) for r in duck2.execute(sql).fetchall()
+        )
+        want2 = sorted(
+            tuple(repr(v) for v in r) for r in duck2.execute(src).fetchall()
+        )
+        assert rows == want == want2, f"{src}\n{sql}"
