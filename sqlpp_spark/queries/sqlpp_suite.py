@@ -359,8 +359,8 @@ _sqlpp(
     "SELECT c_custkey AS custkey, "
     "row_number() OVER (PARTITION BY c_nationkey "
     "ORDER BY c_acctbal DESC, c_custkey) AS rn, "
-    "sum(c_custkey) OVER (PARTITION BY c_nationkey "
-    "ORDER BY c_custkey) AS running_keys, "
+    "CAST(sum(c_custkey) OVER (PARTITION BY c_nationkey "
+    "ORDER BY c_custkey) AS BIGINT) AS running_keys, "
     "lag(c_acctbal) OVER (PARTITION BY c_nationkey "
     "ORDER BY c_custkey) AS prev_bal "
     "FROM customer WHERE c_custkey < 400",
@@ -420,8 +420,8 @@ _sqlpp(
     "and unbounded following) as second_key "
     "from customer as c where c.c_custkey < 500",
     "SELECT c_custkey AS custkey, "
-    "sum(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey "
-    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_keys, "
+    "CAST(sum(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_keys, "
     "avg(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey "
     "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS avg_keys, "
     "count(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey "
@@ -450,10 +450,10 @@ _sqlpp(
     "where c.c_mktsegment not like 'AUTO%' "
     "group by n.n_name",
     "SELECT n_name AS nation_name, COUNT(*) AS n_all, "
-    "SUM(CASE WHEN c_acctbal BETWEEN 0 AND 5000 THEN 1 ELSE 0 END) "
-    "AS n_mid, "
-    "SUM(CASE WHEN c_name LIKE '%9%' THEN 1 ELSE 0 END) "
-    "AS n_nine "
+    "CAST(SUM(CASE WHEN c_acctbal BETWEEN 0 AND 5000 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_mid, "
+    "CAST(SUM(CASE WHEN c_name LIKE '%9%' THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_nine "
     "FROM customer JOIN nation ON c_nationkey = n_nationkey "
     "WHERE c_mktsegment NOT LIKE 'AUTO%' "
     "GROUP BY n_name",
@@ -874,8 +874,8 @@ _sqlpp(
     "from documents as d "
     "group by d.lang order by 2 desc, 1",
     "SELECT lang, count(*) AS n_docs, TRUE AS acd_ok, "
-    "sum(CASE WHEN n_chars BETWEEN 200 AND 8000 THEN 1 ELSE 0 END) "
-    "AS n_goldilocks, "
+    "CAST(sum(CASE WHEN n_chars BETWEEN 200 AND 8000 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_goldilocks, "
     "count(*) FILTER (WHERE text ILIKE '%the%') AS n_the "
     "FROM documents GROUP BY lang ORDER BY 2 DESC, 1",
     # r15 third wave: one dialect-path query in the bench headline —

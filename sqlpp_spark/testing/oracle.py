@@ -3,8 +3,11 @@
 Mirrors the driver's correctness gate: run the Spark query and the
 oracle SQL on the same parquet tables, sort columns by name, compare
 row count + values order-insensitively. We compare *exactly* (bit-equal
-floats) — strictly stronger than the driver's value-hash — so a pass
-here predicts a driver pass.
+floats) AND enforce engine-level type-class agreement (Spark schema vs
+DuckDB relation types) — the r15 driver gate failed two entries whose
+oracles produced HUGEINT sums while pandas silently coerced the dtype
+away, so value equality alone is NOT sufficient to predict a driver
+pass; the driver's value-hash is type-sensitive.
 """
 
 from __future__ import annotations
@@ -27,9 +30,72 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
                 con.execute(
                     f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
                 )
-        return con.execute(sql).df()
+        rel = con.sql(sql)
+        cols, types = list(rel.columns), [str(t) for t in rel.types]
+        pdf = rel.df()
+        # stash engine-level types for compare()'s type-class check;
+        # pandas dtypes can't carry this (HUGEINT→float64 is silent)
+        pdf.attrs["duckdb_types"] = dict(zip(cols, types))
+        return pdf
     finally:
         con.close()
+
+
+# Engine type → comparison class. The driver's value-hash is
+# type-sensitive, so classes that differ between the Spark result and
+# the DuckDB oracle mean a driver hash fail even when values agree.
+# DuckDB HUGEINT/UHUGEINT map to their own class (unreachable from
+# Spark) so an uncast SUM() oracle fails loudly here.
+def _duckdb_type_class(t: str) -> str:
+    t = t.upper()
+    if "HUGEINT" in t:
+        return "hugeint"
+    if t in (
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    ):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP") or t == "DATETIME":
+        return "datetime"
+    if t in ("VARCHAR", "TEXT", "STRING"):
+        return "string"
+    if t == "BLOB":
+        return "bytes"
+    if t.endswith("[]") or t.startswith("LIST") or t.startswith("ARRAY"):
+        return "list"
+    return "other"
+
+
+def _spark_type_class(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "datetime"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, T.ArrayType):
+        return "list"
+    return "other"
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -80,6 +146,25 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> dict:
     if len(spk) != len(ora):
         report["detail"] = "row counts differ"
         return report
+    # Engine-level type-class gate (r15 lesson: pandas dtype coercion
+    # masks HUGEINT/int mismatches that the driver's hash rejects).
+    duck_types = oracle_pdf.attrs.get("duckdb_types")
+    if duck_types is not None:
+        spark_classes = {
+            f.name: _spark_type_class(f.dataType) for f in spark_df.schema.fields
+        }
+        for c in spk.columns:
+            sc = spark_classes.get(c)
+            oc = _duckdb_type_class(duck_types[c]) if c in duck_types else None
+            if sc is None or oc is None:
+                continue
+            if sc != oc:
+                report["detail"] = (
+                    f"type-class mismatch for col {c!r}: "
+                    f"spark={sc} vs oracle={oc} ({duck_types[c]}) — "
+                    "driver hash is type-sensitive; CAST the oracle"
+                )
+                return report
     for c in spk.columns:
         a, b = spk[c], ora[c]
         if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
