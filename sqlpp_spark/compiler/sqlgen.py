@@ -195,6 +195,164 @@ def _order_suffix(o) -> str:
     return f"{'DESC' if o.desc else 'ASC'} NULLS {nulls.upper()}"
 
 
+# --- Spark-strict TRY_CAST(string AS DATE/TIMESTAMP) emulation for the
+# DuckDB printer (r16, replaces the r15 anchored-regex guard that
+# over-rejected: fractional seconds, date-only->timestamp, single-digit
+# components, datetime->date all NULLed even though Spark accepts them).
+#
+# Probed acceptance sets (Spark 4.1 try_cast, session TZ UTC, vs DuckDB
+# TRY_CAST): the emulation regex-matches Spark's documented string forms
+# ([+-]yyyy*[-m[-d[ time[zone]]]], T-separator, [h]h:[m]m partial times,
+# .frac up to 9 digits truncated to micros, Z/UTC/GMT/[+-]h[h][:mm[:ss]]
+# and packed [+-]hhmm offsets capped at +-18:00, time-only forms on the
+# current date) and rebuilds a canonical string DuckDB parses bit-
+# identically, applying zone offsets via to_seconds() arithmetic so the
+# printed SQL never depends on the DuckDB session TimeZone. Verified on
+# a 55-input battery (tests/test_cast.py). Remaining documented
+# boundaries (engine NULLs where Spark returns a value): signed/negative
+# years, region-id zones ('America/New_York'), 'UTC+8'-style named-zone
+# offsets glued to region rules, and years > 6 digits.
+
+_TC_WS = r"^\s+|\s+$"
+
+_TC_DATE_PAT = r"^\+?(\d{4,6})(?:-(\d{1,2})(?:-(\d{1,2})(?:[ T].*)?)?)?$"
+_TC_DATE_NAMES = ["y", "mo", "d"]
+
+# group order: y mo d h mi s fr zn sg oh om os sg2 oh2 om2
+_TC_TS_PAT = (
+    r"^\+?(\d{4,6})"
+    r"(?:-(\d{1,2})"
+    r"(?:-(\d{1,2})"
+    r"(?:[ T](\d{1,2})"
+    r"(?::(\d{1,2})"
+    r"(?::(\d{1,2})"
+    r"(?:\.(\d*))?"
+    r")?)?"
+    r"\s*"
+    r"(?:(Z|UTC|GMT)"
+    r"|(?:UTC|GMT)?([+-])(\d{1,2})(?::(\d{1,2})(?::(\d{1,2}))?)?"
+    r"|(?:UTC|GMT)?([+-])(\d{2})(\d{2})"
+    r")?"
+    r")?)?)?$"
+)
+_TC_TS_NAMES = [
+    "y", "mo", "d", "h", "mi", "s", "fr",
+    "zn", "sg", "oh", "om", "os", "sg2", "oh2", "om2",
+]
+
+# time-only (Spark anchors it to the current date); requires a colon
+_TC_TIME_PAT = (
+    r"^T?(\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d*))?)?"
+    r"\s*"
+    r"(?:(Z|UTC|GMT)"
+    r"|(?:UTC|GMT)?([+-])(\d{1,2})(?::(\d{1,2})(?::(\d{1,2}))?)?"
+    r"|(?:UTC|GMT)?([+-])(\d{2})(\d{2})"
+    r")?$"
+)
+_TC_TIME_NAMES = [
+    "h", "mi", "s", "fr",
+    "zn", "sg", "oh", "om", "os", "sg2", "oh2", "om2",
+]
+
+
+def _tc_sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _tc_group(x: str, pat: str, names: List[str], name: str) -> str:
+    # DuckDB's positional regexp_extract caps at group 9; the name-list
+    # form returns a STRUCT keyed positionally, so >9 groups work
+    nl = "[" + ", ".join(_tc_sq(n) for n in names) + "]"
+    return f"(regexp_extract({x}, {_tc_sq(pat)}, {nl})).{name}"
+
+
+def _tc_or_default(expr: str, default: str) -> str:
+    return f"coalesce(nullif({expr}, ''), '{default}')"
+
+
+def _tc_offset_secs(g) -> str:
+    """Zone-offset seconds from the sg/oh/om/os (colon form) and
+    sg2/oh2/om2 (packed hhmm form) groups; 0 when absent."""
+    h = _tc_or_default(g("oh"), "0")
+    mi = _tc_or_default(g("om"), "0")
+    s = _tc_or_default(g("os"), "0")
+    h2 = _tc_or_default(g("oh2"), "0")
+    m2 = _tc_or_default(g("om2"), "0")
+    colon = (
+        f"(CAST({h} AS BIGINT)*3600 + CAST({mi} AS BIGINT)*60 "
+        f"+ CAST({s} AS BIGINT))"
+    )
+    packed = f"(CAST({h2} AS BIGINT)*3600 + CAST({m2} AS BIGINT)*60)"
+    return (
+        f"(CASE WHEN {g('sg')} = '-' THEN -{colon} "
+        f"WHEN {g('sg')} = '+' THEN {colon} "
+        f"WHEN {g('sg2')} = '-' THEN -{packed} "
+        f"WHEN {g('sg2')} = '+' THEN {packed} ELSE 0 END)"
+    )
+
+
+def _tc_ts_from_parts(date_expr, h, mi, s, frac, off) -> str:
+    # hour 24 and offsets past +-18:00 are DuckDB-lenient/Spark-invalid
+    canon = f"concat({date_expr}, ' ', {h}, ':', {mi}, ':', {s}, '.', {frac})"
+    return (
+        f"(CASE WHEN CAST({h} AS BIGINT) > 23 THEN NULL "
+        f"WHEN abs({off}) > 64800 THEN NULL "
+        f"ELSE TRY_CAST({canon} AS TIMESTAMP) - to_seconds({off}) END)"
+    )
+
+
+def _duck_try_cast_date(raw: str) -> str:
+    x = f"regexp_replace({raw}, {_tc_sq(_TC_WS)}, '', 'g')"
+
+    def g(name):
+        return _tc_group(x, _TC_DATE_PAT, _TC_DATE_NAMES, name)
+
+    y = g("y")
+    m = _tc_or_default(g("mo"), "1")
+    d = _tc_or_default(g("d"), "1")
+    return (
+        f"(CASE WHEN regexp_matches({x}, {_tc_sq(_TC_DATE_PAT)}) "
+        f"THEN TRY_CAST(concat({y}, '-', {m}, '-', {d}) AS DATE) END)"
+    )
+
+
+def _duck_try_cast_timestamp(raw: str) -> str:
+    x = f"regexp_replace({raw}, {_tc_sq(_TC_WS)}, '', 'g')"
+
+    def g(name):
+        return _tc_group(x, _TC_TS_PAT, _TC_TS_NAMES, name)
+
+    date_main = (
+        f"concat({g('y')}, '-', {_tc_or_default(g('mo'), '1')}, "
+        f"'-', {_tc_or_default(g('d'), '1')})"
+    )
+    main = _tc_ts_from_parts(
+        date_main,
+        _tc_or_default(g("h"), "0"),
+        _tc_or_default(g("mi"), "0"),
+        _tc_or_default(g("s"), "0"),
+        f"coalesce(nullif(substr({g('fr')}, 1, 6), ''), '0')",
+        _tc_offset_secs(g),
+    )
+
+    def tg(name):
+        return _tc_group(x, _TC_TIME_PAT, _TC_TIME_NAMES, name)
+
+    time_only = _tc_ts_from_parts(
+        "CAST(current_date AS VARCHAR)",
+        tg("h"),
+        tg("mi"),
+        _tc_or_default(tg("s"), "0"),
+        f"coalesce(nullif(substr({tg('fr')}, 1, 6), ''), '0')",
+        _tc_offset_secs(tg),
+    )
+    return (
+        f"(CASE WHEN regexp_matches({x}, {_tc_sq(_TC_TS_PAT)}) THEN {main} "
+        f"WHEN regexp_matches({x}, {_tc_sq(_TC_TIME_PAT)}) "
+        f"THEN {time_only} END)"
+    )
+
+
 class SqlGen:
     def __init__(
         self, params: Optional[Dict[str, object]] = None,
@@ -533,21 +691,15 @@ class SqlGen:
                 if e.to_ty.kind in ("date", "datetime") and (
                     src_ty is None or src_ty.kind == "string"
                 ):
-                    # pin the engine's STRICT parse: DuckDB's temporal
-                    # TRY_CAST accepts garbage suffixes ('2021-03-04zz'
-                    # -> 2021-03-04) where Spark yields NULL — a regex
-                    # whole-match guard restores strictness
-                    pat = (
-                        "^\\d{4}-\\d{2}-\\d{2}$"
-                        if e.to_ty.kind == "date"
-                        else "^\\d{4}-\\d{2}-\\d{2}[T ]"
-                        "\\d{2}:\\d{2}:\\d{2}$"
-                    )
+                    # emulate Spark's exact string->temporal acceptance
+                    # set (DuckDB's native TRY_CAST is both more lenient
+                    # — '2021-03-04zz', '2021/03/04', hour 24 — and more
+                    # strict — partial times, year-only forms); see the
+                    # _duck_try_cast_* builders above
                     x = self.expr(e.expr)
-                    return (
-                        f"(CASE WHEN regexp_matches({x}, '{pat}') "
-                        f"THEN TRY_CAST({x} AS {t}) END)"
-                    )
+                    if e.to_ty.kind == "date":
+                        return _duck_try_cast_date(x)
+                    return _duck_try_cast_timestamp(x)
                 return f"TRY_CAST({self.expr(e.expr)} AS {t})"
             if e.convert:  # CAST (r15)
                 kind = e.to_ty.kind

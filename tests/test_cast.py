@@ -199,6 +199,76 @@ def test_try_cast_differential(eng, duck):
         assert rows == want2, src
 
 
+TEMPORAL_BATTERY = [
+    # canonical + single-digit components + T separator
+    "2021-03-04", "2021-3-4", "2021-03-04 05:06:07", "2021-03-04T05:06:07",
+    "2021-03-04 5:6:7", "2021-03-04 05:6",
+    # fractional seconds (incl. > 6 digits -> truncated to micros)
+    "2021-03-04 05:06:07.123", "2021-03-04 05:06:07.123456789",
+    "2021-03-04 05:06:07.", "2021-03-04T05:06:07.1Z",
+    # partial times and partial dates (Spark-lenient, DuckDB-strict)
+    "2021-03-04 05:06", "2021-03-04 05", "2021-03-04T05", "2021", "2021-03",
+    "2021-3",
+    # trailing content after a full date (Spark date-accepts, ts-rejects)
+    "2021-03-04 garbage", "2021-03-04Tgarbage", "2021-03-04T",
+    "2021-03-04 ",
+    # DuckDB-lenient forms Spark rejects
+    "2021-03-04zz", "2021/03/04", "2021-03-04 24:00:00",
+    # invalid dates / times on both engines
+    "2021-13-04", "2021-02-30", "2021-03-04 05:06:60", "2021-02-29",
+    "2020-02-29",
+    # whitespace trimming
+    "  2021-03-04  ", "\t2021-03-04\n",
+    # zone suffixes: named, colon offsets, packed, with seconds, capped
+    "2021-03-04 05:06:07Z", "2021-03-04 05:06:07+08:00",
+    "2021-03-04 05:06:07 UTC", "2021-03-04 05:06:07 GMT",
+    "2021-03-04 05:06:07+0800", "2021-03-04 05:06:07 UTC+8",
+    "2021-03-04 05:06:07+8", "2021-03-04 05:06:07-08",
+    "2021-03-04 05:06:07+08:30:15", "2021-03-04 05:06:07GMT+05:30",
+    "2021-03-04 05:06:07+19:00", "2021-03-04 00:00:00-18",
+    "2021-03-04 00:00:00+18:00:01",
+    # time-only forms (current-date anchored on both engines)
+    "05:06:07", "T05:06:07", "05:06:07+01:00", "05:06", "T23:59:59.999999Z",
+    # range edges + junk ('0001-01-01' is engine-valid but PySpark's
+    # Python-side timestamp materialization can't represent it)
+    "1000-01-01", "9999-12-31", "2021-03-04 23:59:59", "", "   ", "garbage",
+]
+
+
+def test_try_cast_temporal_battery_differential(spark):
+    """The printed DuckDB SQL must reproduce Spark's exact string->
+    temporal acceptance set (r16; the r15 anchored-regex guard NULLed
+    fractional seconds, date-only->timestamp, single-digit components,
+    and datetime->date strings that Spark accepts). Engine vs printed
+    SQL on a 55-input battery covering both engines' leniencies."""
+    from sqlpp_spark.compiler.sqlgen import select_sql
+    from sqlpp_spark.engine import SqlppEngine
+    from sqlpp_spark.frontend.analyze import Analyzer
+    from sqlpp_spark.frontend.parser import parse_query
+
+    eng = SqlppEngine(spark)
+    eng.add_decls("create table b (i int not null, v string not null);")
+    rows = list(enumerate(TEMPORAL_BATTERY))
+    eng.register_df("b", spark.createDataFrame(rows, "i long, v string"))
+    src = (
+        "select b.i as i, try_cast(b.v as date) as d, "
+        "try_cast(b.v as datetime) as t from b as b order by b.i"
+    )
+    got = eng.fetch_list(src)
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    sql = select_sql(info)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE b (i BIGINT, v VARCHAR)")
+    con.executemany("INSERT INTO b VALUES (?, ?)", rows)
+    want = con.execute(sql).fetchall()
+    assert len(got) == len(want) == len(rows)
+    for (gi, gd, gt), (wi, wd, wt) in zip(got, want):
+        s = TEMPORAL_BATTERY[gi]
+        assert gi == wi
+        assert gd == wd, f"date mismatch for {s!r}: engine={gd} printed={wd}"
+        assert gt == wt, f"ts mismatch for {s!r}: engine={gt} printed={wt}"
+
+
 def test_try_cast_is_nullable_and_raises_only_on_bad_target(eng):
     import pytest as _pytest
 
