@@ -605,14 +605,22 @@ class Compiler:
     def _attach_scalar_subqueries(
         self, df: DataFrame, exprs: List[A.Expr], binds: Bindings,
         subst: Optional[Dict[tuple, str]] = None,
+        scalar_map: Optional[Dict[int, Column]] = None,
     ):
         """Left-join distinct subquery results so scalar-position
         IN/EXISTS compile to a match flag with full SQL three-valued
         semantics (match → TRUE; no match with a NULL probe or a NULL
         in a non-empty subquery → NULL; else FALSE): single-column IN
         via a broadcast one-row aggregate marker, multi-column tuples
-        via the distinct-probe aggregate (_attach_in_3vl_multi)."""
-        scalar_map: Dict[int, Column] = {}
+        via the distinct-probe aggregate (_attach_in_3vl_multi).
+
+        ``scalar_map`` may be passed in to extend an existing
+        attachment pass — _attach_quant uses this to attach subquery
+        nodes nested inside a quantifier's probe expression (yielded
+        parent-first by _iter_nodes, so not yet seen) before compiling
+        the probe; the id-guards make re-visits no-ops."""
+        if scalar_map is None:
+            scalar_map = {}
         for e in exprs:
             for node in _iter_nodes(e):
                 if (
@@ -787,6 +795,13 @@ class Compiler:
             sub_df = self._compile_sub(node.sub_ctx, binds)
             marker = sub_df.agg(*aggs)
             df = df.join(F.broadcast(marker), on=F.lit(True), how="left")
+        # the probe may itself contain subquery nodes (e.g.
+        # `(select min(x) from u) < ANY (select v from t)`): attach
+        # them into the shared scalar_map before compiling, or expr()
+        # would raise the misleading not-pre-materialized error
+        df, _ = self._attach_scalar_subqueries(
+            df, [node.expr], binds, subst, scalar_map=scalar_map
+        )
         probes = [self.expr(node.expr, binds, scalar_map, subst)]
         df, probes = self._materialize_windows(df, [node.expr], probes)
         p = probes[0]

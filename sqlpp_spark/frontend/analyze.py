@@ -469,6 +469,19 @@ class Analyzer:
                         "GROUP BY ALL cannot group a window "
                         "expression", it.loc,
                     )
+                if self._contains_subquery(it.expr):
+                    # _iter_apps does not descend into subquery scopes,
+                    # so e.g. coalesce((select sum(x) ...), 0) would be
+                    # misclassified as a group key and fail later with
+                    # an unrelated compiler error — reject with a
+                    # targeted diagnostic instead (spell the GROUP BY
+                    # out explicitly to group by a subquery result)
+                    self.err(
+                        "GROUP BY ALL cannot classify a projection "
+                        "item containing a subquery (IN / EXISTS / "
+                        "scalar subquery / quantified comparison); "
+                        "write the GROUP BY keys explicitly", it.loc,
+                    )
                 if any(
                     app.fn.lower() in AGG_FNS
                     for app in _iter_apps(it.expr)
@@ -1378,6 +1391,27 @@ class Analyzer:
                 stack.append(n.expr)
             if isinstance(n, A.EIn):
                 stack.extend(n.exprs)
+            if isinstance(n, A.EInList):
+                stack.append(n.expr)
+                stack.extend(n.items)
+            if isinstance(n, A.EMatch):
+                stack.extend(br.body for br in n.branches)
+        return False
+
+    @staticmethod
+    def _contains_subquery(e: A.Expr) -> bool:
+        """True if the expression contains any subquery-scoped node
+        (scalar subquery, IN/EXISTS, quantified comparison). Used by
+        GROUP BY ALL, whose aggregate classifier (_iter_apps) cannot
+        see into subquery scopes."""
+        stack = [e]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, (A.EScalarSub, A.EIn, A.EExists, A.EQuant)):
+                return True
+            stack.extend(getattr(n, "args", None) or [])
+            if isinstance(n, (A.EAscribe, A.ENav)):
+                stack.append(n.expr)
             if isinstance(n, A.EInList):
                 stack.append(n.expr)
                 stack.extend(n.items)

@@ -99,6 +99,26 @@ def test_group_all_open_select_is_error(eng):
         eng.fetch_list("select ... from t1 group by all")
 
 
+def test_group_all_subquery_projection_is_error(eng):
+    """r16: _iter_apps can't see aggregates inside subquery scopes, so
+    a projection item like coalesce((select sum(..) ..), 0) under
+    GROUP BY ALL used to be misclassified as a group key and die later
+    with an unrelated pre-materialization error — now a targeted
+    analyzer diagnostic."""
+    for src in (
+        # scalar subquery (the ADVICE repro shape)
+        "select grp, coalesce((select count(1) from t1 as u "
+        "group by ()), 0) as c from t1 group by all",
+        # IN / EXISTS flags
+        "select grp, (id in (select id from t1 as u)) as f "
+        "from t1 group by all",
+        "select grp, (exists (select u.id as id from t1 as u)) as f "
+        "from t1 group by all",
+    ):
+        with pytest.raises(SqlppError, match="GROUP BY ALL cannot classify"):
+            eng.fetch_list(src)
+
+
 def test_order_all_open_select_is_error(eng):
     with pytest.raises(SqlppError, match="explicit plain projection"):
         eng.fetch_list("select ... from t1 order by all")

@@ -124,6 +124,27 @@ def test_quantified_where_differential(eng, duck):
         _differ(eng, duck, src)
 
 
+def test_quantified_probe_with_nested_scalar_subquery(eng, duck):
+    """r16: the probe side of a quantified comparison may itself be
+    (or contain) a scalar subquery — previously the parent-first node
+    walk compiled the probe before attaching the nested EScalarSub and
+    raised the misleading not-pre-materialized error."""
+    for src in (
+        # probe IS a scalar subquery, WHERE position (the ADVICE repro)
+        "select id from t1 where (select min(v) from t2 where grp = 1 "
+        "group by ()) < any (select v from t2 where grp = 1) order by id",
+        # probe CONTAINS a scalar subquery inside arithmetic
+        "select id from t1 where val + (select min(v) from t2 "
+        "where grp = 1 group by ()) <= all (select v + 100 from t2 "
+        "where grp = 1) order by id",
+        # flag position too
+        "select id, ((select max(v) from t2 where grp = 1 group by ()) "
+        ">= all (select v from t2 where grp <= 2)) as f "
+        "from t1 order by id",
+    ):
+        _differ(eng, duck, src)
+
+
 def test_some_is_any(eng):
     a = eng.fetch_list(
         "select id from t1 where val > some (select v from t2 where "
