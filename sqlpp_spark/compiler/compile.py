@@ -764,7 +764,53 @@ class Compiler:
             F.min(F.col(col0)).alias(mn),
             F.max(F.col(col0)).alias(mx),
         ]
-        if getattr(node, "corr", None):
+        corr = getattr(node, "corr", None)
+        if corr and any(op != "=" for op, _ie, _oe in corr):
+            # r16: THETA correlation — the witness bound varies per
+            # outer row, so reduce over the DISTINCT outer probe
+            # tuples instead (the r12 scalar-subquery/r13 IN-EXISTS
+            # decorrelation shape): theta-left-join the subquery ONCE
+            # against the distinct probe frame, aggregate the same
+            # four bounded cells per probe tuple, then null-safe
+            # equi-join the marker back — at most one row per outer
+            # row, |distinct probes| x |sub| worst case for the theta
+            # join itself.
+            sub_df, keys = self._corr_sub_frame(
+                node.sub_ctx, corr, alias, binds, extra_fields=True
+            )
+            outer_cols = [
+                self._outer_col(oe, binds, subst) for _op, _ie, oe in corr
+            ]
+            df, outer_cols = self._materialize_windows(
+                df, [oe for _op, _ie, oe in corr], outer_cols
+            )
+            po = [f"{alias}_po{i}" for i in range(len(outer_cols))]
+            probe = df.select(
+                *[c.alias(n) for c, n in zip(outer_cols, po)]
+            ).distinct()
+            tcond = None
+            for i, (op, _ie, _oe) in enumerate(corr):
+                c = self._cmp_col(op, F.col(keys[i]), F.col(po[i]))
+                tcond = c if tcond is None else (tcond & c)
+            j = probe.join(sub_df, on=tcond, how="left")
+            # a matched sub row carries non-NULL correlation keys (a
+            # NULL key satisfies no comparison), so keys[0] marks hits;
+            # unmatched probe tuples aggregate to the empty-set cells
+            hit = F.col(keys[0]).isNotNull()
+            marker = j.groupBy(*[F.col(c) for c in po]).agg(
+                F.sum(hit.cast("long")).alias(cnt),
+                F.sum(
+                    (hit & F.col(col0).isNotNull()).cast("long")
+                ).alias(cntn),
+                F.min(F.when(hit, F.col(col0))).alias(mn),
+                F.max(F.when(hit, F.col(col0))).alias(mx),
+            )
+            recond = None
+            for c, name in zip(outer_cols, po):
+                eq = c.eqNullSafe(F.col(name))
+                recond = eq if recond is None else (recond & eq)
+            df = df.join(marker, on=recond, how="left").drop(*po)
+        elif corr:
             sub_df, keys = self._corr_sub_frame(
                 node.sub_ctx, node.corr, alias, binds, extra_fields=True
             )
@@ -1447,6 +1493,34 @@ class Compiler:
             col = F.dense_rank()
         elif fnl in ("lag", "lead"):
             off = e.args[1].value if len(e.args) == 2 else 1
+            if e.nulls_mode == "ignore":
+                # r16: IGNORE NULLS — PySpark's lag/lead don't expose
+                # the flag, but the n-th non-NULL value strictly
+                # before (lag) / after (lead) the current row IS
+                # nth_value(x, n, ignoreNulls) over a one-sided ROWS
+                # frame: (1 FOLLOWING, UNBOUNDED FOLLOWING) in query
+                # order for lead, in REVERSED order for lag (flip
+                # direction AND the pinned NULLS placement so the row
+                # sequence is an exact reversal)
+                w2 = W.partitionBy(*parts) if parts else W.partitionBy(
+                    F.lit(1)
+                )
+                ocols = []
+                for o in e.order_by:
+                    c = self.expr(o.expr, binds, scalar_map, subst)
+                    if fnl == "lag":
+                        o = A.OrderItem(
+                            expr=o.expr, desc=not o.desc,
+                            nulls="first"
+                            if (o.nulls or "last") == "last" else "last",
+                        )
+                    ocols.append(self._order_col(c, o))
+                w2 = w2.orderBy(*ocols).rowsBetween(
+                    1, W.unboundedFollowing
+                )
+                return F.nth_value(
+                    args[0], int(off), ignoreNulls=True
+                ).over(w2)
             col = (F.lag if fnl == "lag" else F.lead)(args[0], int(off))
         elif fnl == "count":
             col = F.count(args[0])
@@ -1484,11 +1558,14 @@ class Compiler:
         elif fnl == "ntile":
             col = F.ntile(int(e.args[0].value))
         elif fnl == "nth_value":
-            col = F.nth_value(args[0], int(e.args[1].value))
+            col = F.nth_value(
+                args[0], int(e.args[1].value),
+                ignoreNulls=e.nulls_mode == "ignore",
+            )
         elif fnl == "first_value":
-            col = F.first(args[0])
+            col = F.first(args[0], ignorenulls=e.nulls_mode == "ignore")
         elif fnl == "last_value":
-            col = F.last(args[0])
+            col = F.last(args[0], ignorenulls=e.nulls_mode == "ignore")
         else:  # pragma: no cover — analyzer rejects unknown fns
             raise SqlppError(f"unknown window function {e.fn}")
         col = col.over(w)

@@ -785,6 +785,19 @@ class SqlGen:
                 return (
                     f"CAST(approx_quantile({x}, {p}) {over} AS DOUBLE)"
                 )
+            if e.nulls_mode is not None:
+                # r16: IGNORE/RESPECT NULLS — DuckDB takes it inside
+                # the call parens; PG (<16 window set) and SQLite have
+                # no null-treatment clause at all
+                if self.dialect != "duckdb":
+                    raise SqlppError(
+                        f"{self.dialect} has no IGNORE/RESPECT NULLS "
+                        "window modifier (backend divergence)"
+                    )
+                return (
+                    f"{fnl}({args} {e.nulls_mode.upper()} NULLS) "
+                    f"OVER ({' '.join(spec)})"
+                )
             return f"{fnl}({args}) OVER ({' '.join(spec)})"
         if isinstance(e, A.EIn):
             lhs = ", ".join(self.expr(x) for x in e.exprs)

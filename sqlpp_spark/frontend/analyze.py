@@ -1198,6 +1198,29 @@ class Analyzer:
                 f"window function `{e.fn}(..)` requires ORDER BY in its "
                 "OVER clause", e.loc,
             )
+        if e.nulls_mode is not None:
+            # r16: IGNORE/RESPECT NULLS — the value/offset functions
+            # only (the set DuckDB and Spark agree on)
+            if fnl not in (
+                "lag", "lead", "nth_value", "first_value", "last_value"
+            ):
+                self.err(
+                    f"IGNORE/RESPECT NULLS is not supported for "
+                    f"`{e.fn}(..)` (lag/lead/nth_value/first_value/"
+                    "last_value only)", e.loc,
+                )
+            if e.nulls_mode == "ignore" and fnl in self._WIN_OFFSET:
+                # the reversed-frame nth_value lowering needs a
+                # strictly positive offset (lag(x, 0) is the identity,
+                # negative offsets flip the direction — spell those
+                # directly)
+                if len(e.args) == 2 and isinstance(e.args[1], A.ELit) \
+                        and e.args[1].lit_kind == "int" \
+                        and e.args[1].value < 1:
+                    self.err(
+                        f"`{e.fn}(..)` IGNORE NULLS requires a "
+                        "positive offset", e.loc,
+                    )
         new_args: List[A.Expr] = []
         arg_tys: List[Ty] = []
         for a in e.args:
@@ -1447,6 +1470,13 @@ class Analyzer:
     def _infer_app(self, ctx: SelectCtx, e: A.EApp) -> Tuple[A.Expr, Ty]:
         fn = e.fn
         fnl = fn.lower()
+        if getattr(e, "win_nulls", None) is not None:
+            # r16: IGNORE/RESPECT NULLS parsed but no OVER followed —
+            # it is a window-only modifier
+            self.err(
+                "IGNORE/RESPECT NULLS requires an OVER clause "
+                "(window functions only)", e.loc,
+            )
 
         def arg(i):
             elab, ty = self.infer_expr(ctx, e.args[i])
@@ -2010,9 +2040,10 @@ class Analyzer:
         ast.EQuant). The subquery analyzes UNCORRELATED (plain or
         compound): a witness/falsifier reduces to a comparison against
         the set's min/max, which only exists as a per-set constant
-        when the set doesn't vary per outer row. Correlated forms get
-        a targeted boundary error pointing at the IN/EXISTS spellings
-        that do support correlation."""
+        when the set doesn't vary per outer row. Equality-correlated
+        forms reduce per correlation key (r15); theta-correlated forms
+        reduce per distinct outer probe tuple (r16) — both keep the
+        four bounded aggregate cells."""
         what = f"{e.op} {e.quant.upper()}"
         if isinstance(e.select, A.SetOp):
             sub, corr = self._analyze_sub_compound(e.select, what, e.loc), []
@@ -2020,16 +2051,10 @@ class Analyzer:
             sub, corr = self._lift_correlated(ctx, e.select)
         if corr:
             # equality correlation compiles as a per-key aggregate
-            # marker (bounded per-key state); theta correlation would
-            # make the witness bound row-dependent — boundary error
+            # marker (bounded per-key state); theta correlation (r16)
+            # reduces over the distinct outer probe tuples instead —
+            # same four bounded cells per tuple (compile._attach_quant)
             self._check_corr_sub_shape(e.select, what, e.loc)
-            if any(op != "=" for op, _ie, _oe in corr):
-                self.err(
-                    f"only equality correlation is supported with "
-                    f"ordered quantifiers ({what}) — rewrite with "
-                    f"[NOT] EXISTS, which supports theta correlation",
-                    e.loc,
-                )
         e.corr = corr
         e.sub_ctx = sub
         row = sub.row()

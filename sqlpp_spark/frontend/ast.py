@@ -61,6 +61,11 @@ class ERef(Expr):
 class EApp(Expr):
     fn: str = ""
     args: List[Expr] = field(default_factory=list)
+    # r16: IGNORE/RESPECT NULLS parsed inside the call parens (the
+    # DuckDB placement, so raw dialect source stays oracle-runnable);
+    # only meaningful once the app becomes an EWindow — the analyzer
+    # rejects it anywhere else
+    win_nulls: Optional[str] = None  # 'ignore' | 'respect'
 
 
 @dataclass
@@ -177,6 +182,9 @@ class EWindow(Expr):
     partition_by: List[Expr] = field(default_factory=list)
     order_by: List["OrderItem"] = field(default_factory=list)
     frame: Optional["WindowFrame"] = None
+    # r16: IGNORE/RESPECT NULLS on lag/lead/nth_value/first_value/
+    # last_value (None = engine default, i.e. respect)
+    nulls_mode: Optional[str] = None  # 'ignore' | 'respect'
 
 
 # frame bound kinds, in frame order (start must not sort after end)

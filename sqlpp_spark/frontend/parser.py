@@ -449,6 +449,23 @@ class Parser:
             return True
         return False
 
+    def _eat_nulls_mode(self) -> Optional[str]:
+        """``IGNORE NULLS`` / ``RESPECT NULLS`` inside a call's parens
+        (r16, the DuckDB placement — keeps raw dialect source runnable
+        on the oracle engine; IGNORE is a reserved keyword via ON
+        CONFLICT IGNORE, RESPECT a contextual ident)."""
+        mode = None
+        if self.cur.kind == "kw" and self.cur.value.lower() == "ignore":
+            mode = "ignore"
+        elif self._at_ident("respect"):
+            mode = "respect"
+        if mode is not None and self.peek().kind == "ident" \
+                and self.peek().value.lower() == "nulls":
+            self.advance()
+            self.advance()
+            return mode
+        return None
+
     def _window_frame(self):
         """Optional explicit frame in an OVER clause (r14):
         ``ROWS|RANGE [BETWEEN <bound> AND <bound> | <bound>]`` with
@@ -812,6 +829,7 @@ class Parser:
                 e = A.EWindow(
                     fn=e.fn, args=e.args, partition_by=parts,
                     order_by=orders, frame=frame,
+                    nulls_mode=getattr(e, "win_nulls", None),
                     loc=Loc.span(e.loc, self.toks[self.i - 1].loc),
                 )
                 continue
@@ -1171,9 +1189,11 @@ class Parser:
                 # zero-arg application — the reference's own tests use
                 # now() (analyze.ml:597 types "now", [])
                 args = [] if self.at_punct(")") else self._comma_list(self.expr, end=")")
+                win_nulls = self._eat_nulls_mode()
                 self.expect_punct(")")
                 app = A.EApp(
-                    name_tok.value, args, loc=Loc.span(name_tok.loc, self.toks[self.i - 1].loc)
+                    name_tok.value, args, win_nulls=win_nulls,
+                    loc=Loc.span(name_tok.loc, self.toks[self.i - 1].loc),
                 )
                 if self._at_ident("filter") and self.peek().kind == "punct" \
                         and self.peek().value == "(":

@@ -109,6 +109,9 @@ def _expr(e: A.Expr):
         return " ".join(parts), 1000
     if isinstance(e, A.EWindow):
         args = ", ".join(expr_str(a) for a in e.args)
+        if e.nulls_mode is not None:
+            # inside the parens — the DuckDB placement (r16)
+            args += f" {e.nulls_mode} nulls"
         spec = []
         if e.partition_by:
             spec.append(

@@ -951,6 +951,63 @@ _sqlpp(
 )
 
 _sqlpp(
+    # r16: TRY_CAST string->temporal under the driver gate, over a
+    # VALUES battery covering both engines' leniencies (single-digit
+    # components, partial date/time forms, fractional seconds, zone
+    # offsets, trailing garbage, invalid dates). The oracle hand-
+    # spells the expected literals — NOT derived from the printer
+    # emulation under test (tests/test_cast.py battery covers the
+    # printer; this entry pins the ENGINE's acceptance set).
+    "sqlpp_try_cast_temporal",
+    "select v.i as i, try_cast(v.s as date) as d, "
+    "try_cast(v.s as datetime) as ts "
+    "from (values (1, '2021-03-04'), (2, '2021-3-4'), "
+    "(3, '2021-03-04 05:06:07.5'), (4, '2021-03-04T05:06'), "
+    "(5, '2021'), (6, '2021-03-04zz'), (7, '2021-02-30'), "
+    "(8, '2021-03-04 05:06:07+02:00'), (9, 'garbage'), "
+    "(10, '2021-03-04 garbage')) as v(i, s) order by v.i",
+    "SELECT * FROM (VALUES "
+    "(CAST(1 AS BIGINT), DATE '2021-03-04', "
+    "TIMESTAMP '2021-03-04 00:00:00'), "
+    "(2, DATE '2021-03-04', TIMESTAMP '2021-03-04 00:00:00'), "
+    "(3, DATE '2021-03-04', TIMESTAMP '2021-03-04 05:06:07.5'), "
+    "(4, DATE '2021-03-04', TIMESTAMP '2021-03-04 05:06:00'), "
+    "(5, DATE '2021-01-01', TIMESTAMP '2021-01-01 00:00:00'), "
+    "(6, CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP)), "
+    "(7, CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP)), "
+    "(8, DATE '2021-03-04', TIMESTAMP '2021-03-04 03:06:07'), "
+    "(9, CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP)), "
+    "(10, DATE '2021-03-04', CAST(NULL AS TIMESTAMP))"
+    ") t(i, d, ts) ORDER BY i",
+)
+
+_sqlpp(
+    # r16: RANGE frames with integer offsets (the analyzer requires
+    # one int ORDER BY key; Spark rangeBetween takes long offsets) —
+    # value-based peers, not row counts, so duplicate keys share a
+    # frame. Sum oracle CAST to BIGINT (DuckDB HUGEINT widening).
+    "sqlpp_range_frames",
+    "select c.c_custkey as ck, "
+    "sum(c.c_custkey) over (order by c.c_custkey "
+    "range between 50 preceding and current row) as win_sum, "
+    "count(c.c_custkey) over (order by c.c_custkey "
+    "range between 20 preceding and 20 following) as win_n, "
+    "max(c.c_nationkey) over (order by c.c_custkey "
+    "range between current row and 100 following) as win_max "
+    "from customer as c where c.c_custkey < 500 "
+    "order by c.c_custkey",
+    "SELECT c_custkey AS ck, "
+    "CAST(sum(c_custkey) OVER (ORDER BY c_custkey "
+    "RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS win_sum, "
+    "count(c_custkey) OVER (ORDER BY c_custkey "
+    "RANGE BETWEEN 20 PRECEDING AND 20 FOLLOWING) AS win_n, "
+    "max(c_nationkey) OVER (ORDER BY c_custkey "
+    "RANGE BETWEEN CURRENT ROW AND 100 FOLLOWING) AS win_max "
+    "FROM customer WHERE c_custkey < 500 ORDER BY c_custkey",
+)
+
+_sqlpp(
     # r15 third wave: ordered ALL quantifier + md5 fingerprint — the
     # subquery reduces to one broadcast min/max row, never a shuffle.
     "sqlpp_quantified_top",
@@ -964,6 +1021,66 @@ _sqlpp(
     "WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders "
     "WHERE o_orderpriority = '1-URGENT') "
     "ORDER BY o_orderkey",
+)
+
+_sqlpp(
+    # r16: THETA-correlated ordered quantifier (the r15 boundary
+    # error, now compiled): the per-outer-row set varies with an
+    # inequality correlation, reduced over the DISTINCT outer probe
+    # tuples (25 nation keys here) — theta join is |probes| x
+    # |customer|, marker re-joins null-safe on the tuple
+    # (compile._attach_quant r16 branch). Both quantifiers + a flag
+    # position in one entry; DuckDB runs the correlated form natively.
+    "sqlpp_quantified_theta_corr",
+    "select s.s_suppkey as skey, s.s_nationkey as nk, "
+    "s.s_acctbal as bal, "
+    "(s.s_acctbal >= all (select c.c_acctbal from customer as c "
+    "where c.c_nationkey < s.s_nationkey)) as top_flag "
+    "from supplier as s "
+    "where s.s_acctbal > any (select c2.c_acctbal from customer as c2 "
+    "where c2.c_nationkey < s.s_nationkey) "
+    "order by s.s_suppkey",
+    "SELECT s_suppkey AS skey, s_nationkey AS nk, s_acctbal AS bal, "
+    "(s_acctbal >= ALL (SELECT c_acctbal FROM customer "
+    "WHERE c_nationkey < s_nationkey)) AS top_flag "
+    "FROM supplier s "
+    "WHERE s_acctbal > ANY (SELECT c_acctbal FROM customer "
+    "WHERE c_nationkey < s_nationkey) "
+    "ORDER BY s_suppkey",
+)
+
+_sqlpp(
+    # r16: IGNORE NULLS window modifier (DuckDB in-parens placement)
+    # under the driver gate — lag lowers to nth_value over a reversed
+    # one-sided ROWS frame, first_value uses Spark's native
+    # ignoreNulls. NULLs synthesized via CASE (TPC-H columns are all
+    # non-null); acctbal converts decimal->double identically in both
+    # engines (correctly-rounded division). ONE window exchange.
+    "sqlpp_ignore_nulls_window",
+    "select d.ck as ck, d.nk as nk, "
+    "lag(d.bal ignore nulls) over (partition by d.nk order by d.ck) "
+    "as prev_bal, "
+    "lead(d.bal, 2 ignore nulls) over (partition by d.nk "
+    "order by d.ck) as next2_bal, "
+    "first_value(d.bal ignore nulls) over (partition by d.nk "
+    "order by d.ck) as first_bal "
+    "from (select c.c_custkey as ck, c.c_nationkey as nk, "
+    "case when c.c_custkey % 3 = 0 then null : float "
+    "else cast(c.c_acctbal as float) end as bal "
+    "from customer as c where c.c_custkey < 600) as d "
+    "order by d.ck",
+    "SELECT ck, nk, "
+    "lag(bal IGNORE NULLS) OVER (PARTITION BY nk ORDER BY ck) "
+    "AS prev_bal, "
+    "lead(bal, 2 IGNORE NULLS) OVER (PARTITION BY nk ORDER BY ck) "
+    "AS next2_bal, "
+    "first_value(bal IGNORE NULLS) OVER (PARTITION BY nk ORDER BY ck) "
+    "AS first_bal "
+    "FROM (SELECT c_custkey AS ck, c_nationkey AS nk, "
+    "CASE WHEN c_custkey % 3 = 0 THEN NULL "
+    "ELSE CAST(c_acctbal AS DOUBLE) END AS bal "
+    "FROM customer WHERE c_custkey < 600) "
+    "ORDER BY ck",
 )
 
 _sqlpp(

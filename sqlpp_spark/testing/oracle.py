@@ -12,6 +12,7 @@ pass; the driver's value-hash is type-sensitive.
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 
 import duckdb
@@ -107,8 +108,21 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif isinstance(s.dtype, pd.CategoricalDtype):
             df[c] = s.astype(str)
         elif s.dtype == object:
-            # bytes / Decimal / lists: map to comparable canonical forms
-            df[c] = s.map(_canon_obj)
+            vals = s.dropna()
+            if len(vals) and all(
+                isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+                for v in vals
+            ):
+                # pandas representation artifact: a nullable DATE
+                # column materializes as datetime64 on the DuckDB side
+                # but as Python date objects on the Spark side — safe
+                # to unify since compare()'s engine-level type-class
+                # gate has already rejected real date-vs-timestamp
+                # mismatches
+                df[c] = pd.to_datetime(s).astype("datetime64[us]")
+            else:
+                # bytes / Decimal / lists: comparable canonical forms
+                df[c] = s.map(_canon_obj)
         elif pd.api.types.is_integer_dtype(s) and not s.isna().any():
             df[c] = s.astype("int64")
         elif pd.api.types.is_float_dtype(s):

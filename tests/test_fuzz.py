@@ -28,6 +28,8 @@ VOCAB = [
     # spellings, compound-subquery keywords
     "approx_count_distinct", "approx_percentile", "qualify",
     "distinct", "count", "filter", "0.5", "grouping", "sets",
+    # r16: quantifiers + null-treatment modifier
+    "any", "some", "ignore", "respect", "nulls", "first_value",
 ]
 
 
@@ -88,6 +90,25 @@ def test_analyzer_never_crashes():
         "string_agg(name, ',')", "string_agg(name, name)",
         "bool_and(id > 1)", "bool_or(name)", "count_distinct(id)",
         "stddev(name)",
+        # r15/r16: quantified comparisons — uncorrelated, equality-
+        # and theta-correlated (valid and boundary-invalid)
+        "id < any (select u.id from users as u)",
+        "id >= all (select u.id from users as u)",
+        "id > any (select u.id from users as u where u.id = id)",
+        "id <= all (select u.id from users as u where u.id < id)",
+        "id != any (select u.id from users as u where u.id != id)",
+        "id = all (select u.id, u.name from users as u)",
+        "name < any (select u.id from users as u)",
+        "(select min(u.id) from users as u group by ()) "
+        "< any (select u2.id from users as u2)",
+        # r16: IGNORE/RESPECT NULLS (valid and boundary-invalid)
+        "lag(name ignore nulls) over (order by id)",
+        "lead(name, 2 ignore nulls) over (order by id)",
+        "first_value(name respect nulls) over (order by id)",
+        "nth_value(name, 2 ignore nulls) over (order by id)",
+        "sum(id ignore nulls) over (order by id)",
+        "lag(name, 0 ignore nulls) over (order by id)",
+        "count(id ignore nulls)",
     ]
     froms = [
         "users", "users as u", "q1 as q",

@@ -195,12 +195,38 @@ def test_quantified_correlated_differential(eng, duck):
         _differ(eng, duck, src)
 
 
-def test_quantified_theta_correlation_is_boundary_error(eng):
-    with pytest.raises(SqlppError, match="equality correlation"):
-        eng.fetch_list(
-            "select id from t1 where val < any "
-            "(select v from t2 where t2.grp < t1.id)"
-        )
+THETA_CORR_SOURCES = (
+    # the former boundary error (r16): theta-correlated ordered
+    # quantifier — per-outer-row set selected by an inequality
+    "select id from t1 where val < any "
+    "(select v from t2 where t2.grp < t1.id) order by id",
+    "select id from t1 where val >= all "
+    "(select v from t2 where t2.grp < t1.id) order by id",
+    # flag position: all three outcomes visible (NULL-bearing sets
+    # enter as id grows past grp 2; empty set for id=1 via grp<1)
+    "select id, (val > any (select v from t2 where t2.grp < t1.id)) "
+    "as f from t1 order by id",
+    "select id, (val <= all (select v from t2 where t2.grp < t1.id)) "
+    "as f from t1 order by id",
+    "select id, (val != any (select v from t2 where t2.grp != t1.id)) "
+    "as f from t1 order by id",
+    "select id, (val = all (select v from t2 where t2.grp >= t1.id)) "
+    "as f from t1 order by id",
+    # mixed equality + theta correlation
+    "select id, (val < all (select v from t2 where t2.grp = t1.id "
+    "and t2.v > t1.id)) as f from t1 order by id",
+    # theta on an expression probe tuple
+    "select id, (val <= any (select v from t2 "
+    "where t2.grp <= t1.id - 2)) as f from t1 order by id",
+)
+
+
+def test_quantified_theta_correlated_differential(eng, duck):
+    # r16: theta-correlated ordered quantifiers — distinct-probe-tuple
+    # aggregate marker; DuckDB runs both the printed correlated SQL
+    # and the original source natively
+    for src in THETA_CORR_SOURCES:
+        _differ(eng, duck, src)
 
 
 def test_quantified_shape_errors(eng):

@@ -95,6 +95,79 @@ def test_window_functions_differential(eng, duck):
         _differ(eng, duck, src)
 
 
+def test_ignore_nulls_differential(eng, duck):
+    """r16: IGNORE/RESPECT NULLS on the value/offset window functions,
+    parsed inside the call parens (DuckDB's placement, so the raw
+    source runs on the oracle engine). lag/lead lower to nth_value
+    over a one-sided ROWS frame (reversed order for lag); nth_value/
+    first_value/last_value use Spark's native ignoreNulls."""
+    for src in (
+        # lag/lead: skip the NULL at id=2 (grp 1) and id=5 (grp 2)
+        "select id, lag(val ignore nulls) over (order by id) as p "
+        "from t1 order by id",
+        "select id, lead(val ignore nulls) over (order by id) as n "
+        "from t1 order by id",
+        "select id, lag(val, 2 ignore nulls) over (order by id) as p2 "
+        "from t1 order by id",
+        "select id, lead(val, 2 ignore nulls) over (order by id) as n2 "
+        "from t1 order by id",
+        # partitioned + descending order
+        "select id, lag(val ignore nulls) over (partition by grp "
+        "order by id desc) as p from t1 order by id",
+        # value functions, with and without explicit frames
+        "select id, nth_value(val, 2 ignore nulls) over (order by id "
+        "rows between unbounded preceding and unbounded following) "
+        "as nv from t1 order by id",
+        "select id, first_value(val ignore nulls) over (order by id "
+        "rows between unbounded preceding and current row) as fv "
+        "from t1 order by id",
+        "select id, last_value(val ignore nulls) over (order by id "
+        "rows between unbounded preceding and current row) as lv "
+        "from t1 order by id",
+        # RESPECT NULLS is the engine default — explicit spelling
+        "select id, lag(val respect nulls) over (order by id) as p "
+        "from t1 order by id",
+        "select id, first_value(val respect nulls) over (order by id) "
+        "as fv from t1 order by id",
+    ):
+        _differ(eng, duck, src)
+
+
+def test_ignore_nulls_errors(eng):
+    # window-only modifier
+    with pytest.raises(SqlppError, match="requires an OVER clause"):
+        eng.fetch_list("select sum(val ignore nulls) as s from t1 "
+                       "group by ()")
+    # value/offset functions only
+    with pytest.raises(SqlppError, match="not supported for"):
+        eng.fetch_list(
+            "select sum(val ignore nulls) over (order by id) as s "
+            "from t1"
+        )
+    # the reversed-frame lowering needs a positive offset
+    with pytest.raises(SqlppError, match="positive offset"):
+        eng.fetch_list(
+            "select lag(val, 0 ignore nulls) over (order by id) as p "
+            "from t1"
+        )
+
+
+def test_ignore_nulls_printers(eng):
+    from sqlpp_spark.frontend.printer import format_query
+
+    src = ("select id, lag(val ignore nulls) over (order by id) as p "
+           "from t1 order by id")
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    sql = select_sql(info)
+    assert "IGNORE NULLS)" in sql  # inside the parens, DuckDB-style
+    # round-trips through the dialect printer
+    assert "ignore nulls)" in format_query(parse_query(src))
+    # PG/SQLite have no null-treatment clause
+    for dialect in ("postgres", "sqlite"):
+        with pytest.raises(SqlppError, match="backend divergence"):
+            select_sql(info, dialect=dialect)
+
+
 def test_window_placement_and_arity_errors(eng):
     for bad, m in (
         ("select id from t1 where row_number() over (order by id) > 2",
