@@ -1816,6 +1816,14 @@ class Compiler:
             # the result to the INPUT's kind (date->date) — cast back
             col = F.date_trunc(e.args[0].value.lower(), a(1))
             return col.cast(spark_type(e.ty)) if e.ty is not None else col
+        if fn == "regexp_extract":
+            # r16: pattern/group are plan constants (PySpark wants
+            # python values, analyzer guaranteed the literals)
+            return F.regexp_extract(
+                a(0), e.args[1].value, int(e.args[2].value)
+            )
+        if fn == "translate":
+            return F.translate(a(0), e.args[1].value, e.args[2].value)
         ext = _EXT_COMPILE.get(fn)
         if ext is not None:
             return ext([a(i) for i in range(len(e.args))])
@@ -1873,6 +1881,17 @@ _EXT_COMPILE = {
     "pow": lambda a: F.pow(a[0], a[1]),
     "exp": lambda a: F.exp(a[0]),
     "ln": lambda a: F.when(a[0] > 0, F.log(a[0])),
+    # r16 scalar wave. Spark has no one-arg numeric trunc — truncate
+    # toward zero via the ceil/floor split (probed equal to DuckDB
+    # trunc); log10/log2 pin NULL on out-of-domain like ln.
+    "sign": lambda a: F.signum(a[0]),
+    "trunc": lambda a: (
+        F.when(a[0] < 0, F.ceil(a[0])).otherwise(F.floor(a[0]))
+        .cast("double")
+    ),
+    "log10": lambda a: F.when(a[0] > 0, F.log10(a[0])),
+    "log2": lambda a: F.when(a[0] > 0, F.log2(a[0])),
+    "ascii": lambda a: F.ascii(a[0]).cast("bigint"),
 }
 
 

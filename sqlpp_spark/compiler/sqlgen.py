@@ -1134,6 +1134,59 @@ class SqlGen:
             if self.dialect == "sqlite":
                 raise SqlppError("SQLite has no md5() (backend divergence)")
             return f"md5({a(0)})"
+        if fn == "regexp_extract":
+            # r16: DuckDB's regexp_extract matches Spark ('' on miss,
+            # NULL in -> NULL out, group 0 = whole match — probed);
+            # PG's regexp_match returns a groups array with different
+            # miss/group-0 semantics, SQLite has no regexp at all
+            if self.dialect != "duckdb":
+                raise SqlppError(
+                    f"{self.dialect} has no regexp_extract() "
+                    "(backend divergence)"
+                )
+            return f"regexp_extract({a(0)}, {a(1)}, {a(2)})"
+        if fn == "translate":
+            if self.dialect == "sqlite":
+                raise SqlppError(
+                    "SQLite has no translate() (backend divergence)"
+                )
+            return f"translate({a(0)}, {a(1)}, {a(2)})"
+        if fn == "trunc":
+            if self.dialect == "sqlite":
+                # SQLite CAST truncates toward zero (documented)
+                return f"CAST(CAST({a(0)} AS INTEGER) AS DOUBLE)"
+            return f"CAST(trunc({a(0)}) AS DOUBLE)"
+        if fn == "sign":
+            # DuckDB/PG sign() keeps the argument's type; the dialect
+            # pins Spark's DOUBLE result
+            return f"CAST(sign({a(0)}) AS DOUBLE)"
+        if fn in ("log10", "log2"):
+            # NULL on out-of-domain (DuckDB/PG raise); PG has log10
+            # but spells log2 as log(2, x) in NUMERIC — divergence.
+            # log2 prints as ln(x)/ln(2): Spark computes it that way,
+            # and DuckDB's native log2 differs in the last ulp
+            # (probed: log2(10)) while the ln-ratio is bit-equal
+            if self.dialect == "sqlite" or (
+                self.dialect == "postgres" and fn == "log2"
+            ):
+                raise SqlppError(
+                    f"{self.dialect} has no {fn}() (backend divergence)"
+                )
+            body = (
+                f"(ln({a(0)}) / ln(2.0))" if fn == "log2"
+                else f"log10({a(0)})"
+            )
+            return f"(CASE WHEN {a(0)} > 0 THEN {body} END)"
+        if fn == "ascii":
+            if self.dialect == "sqlite":
+                # SQLite's codepoint fn is unicode(); NULL for '',
+                # where the dialect pins 0
+                return (
+                    f"(CASE WHEN {a(0)} IS NULL THEN NULL "
+                    f"WHEN {a(0)} = '' THEN 0 "
+                    f"ELSE unicode({a(0)}) END)"
+                )
+            return f"CAST(ascii({a(0)}) AS BIGINT)"
         if fn in ("mod", "round", "strpos", "contains", "left", "right") \
                 and fn in self.d:
             # dialect-overridden extension fns (PG: NULL-on-÷0 mod,

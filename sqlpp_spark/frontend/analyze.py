@@ -428,6 +428,10 @@ class Analyzer:
 
     def analyze_select(self, sel: A.Select) -> SelectCtx:
         ctx = SelectCtx(sel)
+        # 0. named windows (r16): substitute WINDOW-clause specs into
+        # every `OVER w` reference before any inference, so the rest
+        # of the pipeline only ever sees inline window specs
+        self._resolve_named_windows(sel)
         # 1. FROM → relations
         if sel.from_ is not None:
             self._analyze_from(ctx, sel.from_, nullable=False)
@@ -1420,6 +1424,66 @@ class Analyzer:
             if isinstance(n, A.EMatch):
                 stack.extend(br.body for br in n.branches)
         return False
+
+    def _resolve_named_windows(self, sel: A.Select) -> None:
+        """WINDOW clause resolution (r16): substitute each named
+        window's spec (partition/order/frame, deep-copied) into every
+        ``OVER w`` reference, before any inference — downstream
+        passes only ever see inline specs. Window names are
+        per-SELECT (subquery bodies resolve their own clause when
+        they are analyzed). Unused definitions are allowed (DuckDB's
+        behavior); duplicate names and unknown references error."""
+        wins = getattr(sel, "windows", None) or []
+        specs: Dict[str, A.NamedWindow] = {}
+        for nw in wins:
+            if nw.name in specs:
+                self.err(f"duplicate window name `{nw.name}`", nw.loc)
+            specs[nw.name] = nw
+        if not wins and not sel.qualify and not sel.fields \
+                and not sel.order_by:
+            return
+        exprs = []
+        for it in sel.fields:
+            ex = getattr(it, "expr", None)
+            if ex is not None:
+                exprs.append(ex)
+        for clause in (sel.qualify, sel.having, sel.where):
+            if clause is not None:
+                exprs.append(clause)
+        for o in sel.order_by:
+            if o.expr is not None:
+                exprs.append(o.expr)
+        stack = exprs
+        while stack:
+            n = stack.pop()
+            if isinstance(n, A.EWindow):
+                if n.ref is not None:
+                    nw = specs.get(n.ref)
+                    if nw is None:
+                        self.err(
+                            f"unknown window name `{n.ref}` (define it "
+                            "in a WINDOW clause)", n.loc,
+                        )
+                    n.partition_by = copy.deepcopy(nw.partition_by)
+                    n.order_by = copy.deepcopy(nw.order_by)
+                    n.frame = copy.deepcopy(nw.frame)
+                    n.ref = None
+                stack.extend(n.args)
+                stack.extend(n.partition_by)
+                stack.extend(o.expr for o in n.order_by)
+                continue
+            stack.extend(getattr(n, "args", None) or [])
+            if isinstance(n, (A.EAscribe, A.ENav)):
+                stack.append(n.expr)
+            if isinstance(n, A.EIn):
+                stack.extend(n.exprs)
+            if isinstance(n, A.EInList):
+                stack.append(n.expr)
+                stack.extend(n.items)
+            if isinstance(n, A.EMatch):
+                stack.extend(br.body for br in n.branches)
+            if isinstance(n, A.EQuant):
+                stack.append(n.expr)
 
     @staticmethod
     def _contains_subquery(e: A.Expr) -> bool:
@@ -2463,6 +2527,45 @@ def _regexp_rule(ret: Ty):
     return rule
 
 
+def _regexp_extract_rule(an: "Analyzer", e: A.EApp, tys) -> Ty:
+    """regexp_extract(s, pattern, group) (r16): pattern a string
+    literal (plan-parameterizing, like the other regexp fns), group a
+    non-negative int literal (0 = whole match). Returns '' on miss,
+    NULL on NULL input — Spark and DuckDB agree (probed)."""
+    if len(e.args) != 3:
+        an.err("regexp_extract(..) takes 3 arguments", e.loc)
+    pat = e.args[1]
+    if not (isinstance(pat, A.ELit) and pat.lit_kind == "string"):
+        an.err("regexp_extract(..) pattern must be a string literal", e.loc)
+    g = e.args[2]
+    if not (
+        isinstance(g, A.ELit) and g.lit_kind == "int" and g.value >= 0
+    ):
+        an.err(
+            "regexp_extract(..) group must be a non-negative int "
+            "literal", e.loc,
+        )
+    nn = tys[0] is not None and tys[0].non_null
+    return STRING.with_non_null(nn)
+
+
+def _translate_rule(an: "Analyzer", e: A.EApp, tys) -> Ty:
+    """translate(s, from, to) (r16): from/to are string literals —
+    Spark's translate takes them as plan constants."""
+    if len(e.args) != 3:
+        an.err("translate(..) takes 3 arguments", e.loc)
+    for i in (1, 2):
+        if not (
+            isinstance(e.args[i], A.ELit)
+            and e.args[i].lit_kind == "string"
+        ):
+            an.err(
+                "translate(..) from/to must be string literals", e.loc
+            )
+    nn = tys[0] is not None and tys[0].non_null
+    return STRING.with_non_null(nn)
+
+
 def _greatest_rule(an: "Analyzer", e: A.EApp, tys) -> Ty:
     if len(e.args) < 2:
         an.err(f"{e.fn}(..) takes at least 2 arguments", e.loc)
@@ -2582,6 +2685,17 @@ _EXT_FNS = {
     "pow": _ext(lambda tys: Ty(frozenset({"float"}), True)),
     "exp": _ext(lambda tys: Ty(frozenset({"float"}), True)),
     "ln": lambda an, e, tys: Ty(frozenset({"float"}), False),
+    # r16 scalar wave (all probed Spark-vs-DuckDB before wiring):
+    # regexp_extract ''-on-miss, translate drop-unmapped, sign/trunc
+    # as DOUBLE, log10/log2 NULL out-of-domain (like ln), ascii as
+    # the full Unicode codepoint (0 for '')
+    "regexp_extract": _regexp_extract_rule,
+    "translate": _translate_rule,
+    "sign": _ext(lambda tys: Ty(frozenset({"float"}), True)),
+    "trunc": _ext(lambda tys: Ty(frozenset({"float"}), True)),
+    "log10": lambda an, e, tys: Ty(frozenset({"float"}), False),
+    "log2": lambda an, e, tys: Ty(frozenset({"float"}), False),
+    "ascii": _ext(lambda tys: INT),
 }
 
 

@@ -185,6 +185,9 @@ class EWindow(Expr):
     # r16: IGNORE/RESPECT NULLS on lag/lead/nth_value/first_value/
     # last_value (None = engine default, i.e. respect)
     nulls_mode: Optional[str] = None  # 'ignore' | 'respect'
+    # r16: ``OVER w`` named-window reference; the analyzer replaces it
+    # with the WINDOW clause's spec (partition/order/frame) in place
+    ref: Optional[str] = None
 
 
 # frame bound kinds, in frame order (start must not sort after end)
@@ -340,6 +343,22 @@ class Select:
     # desugar in the analyzer against the resolved projection
     group_all: bool = False
     order_all: "Optional[str]" = None  # None | 'asc' | 'desc'
+    # r16: named windows — WINDOW w AS (PARTITION BY .. ORDER BY ..
+    # [frame]) [, ..], referenced as fn() OVER w; the analyzer
+    # substitutes the spec into each referencing EWindow
+    windows: List["NamedWindow"] = field(default_factory=list)
+    loc: Loc = NO_LOC
+
+
+@dataclass
+class NamedWindow:
+    """One WINDOW-clause entry (r16, beyond reference — standard SQL /
+    DuckDB named windows)."""
+
+    name: str = ""
+    partition_by: List[Expr] = field(default_factory=list)
+    order_by: List["OrderItem"] = field(default_factory=list)
+    frame: Optional["WindowFrame"] = None
     loc: Loc = NO_LOC
 
 

@@ -366,6 +366,24 @@ class Parser:
                 sel.group_by = self._comma_list(self.expr, end=None)
         if self.eat_kw("having"):
             sel.having = self.expr()
+        if self._at_ident("window"):  # r16: named windows (contextual)
+            self.advance()
+            while True:
+                wloc = self.cur.loc
+                wname = self.expect_ident().value
+                self.expect_kw("as")
+                self.expect_punct("(")
+                parts, orders, frame = self._window_spec_body()
+                self.expect_punct(")")
+                sel.windows.append(
+                    A.NamedWindow(
+                        name=wname, partition_by=parts, order_by=orders,
+                        frame=frame,
+                        loc=Loc.span(wloc, self.toks[self.i - 1].loc),
+                    )
+                )
+                if not self.eat_punct(","):
+                    break
         if self._eat_ident("qualify"):  # r14: window-result filter
             sel.qualify = self.expr()
         sel.loc = Loc.span(start, self.toks[self.i - 1].loc)
@@ -465,6 +483,29 @@ class Parser:
             self.advance()
             return mode
         return None
+
+    def _window_spec_body(self):
+        """The inside of an OVER (..) or WINDOW w AS (..) spec:
+        [PARTITION BY ..] [ORDER BY ..] [frame]. Caller handles the
+        parens."""
+        parts: list = []
+        orders: list = []
+        if (
+            self.cur.kind == "ident"
+            and self.cur.value.lower() == "partition"
+        ):
+            self.advance()
+            self.expect_kw("by")
+            parts.append(self.expr())
+            while self.eat_punct(","):
+                parts.append(self.expr())
+        if self.eat_kw("order"):
+            self.expect_kw("by")
+            orders.append(self._order_item())
+            while self.eat_punct(","):
+                orders.append(self._order_item())
+        frame = self._window_frame()
+        return parts, orders, frame
 
     def _window_frame(self):
         """Optional explicit frame in an OVER clause (r14):
@@ -808,27 +849,29 @@ class Parser:
             ):
                 self.advance()
                 self.expect_punct("(")
-                parts: list = []
-                orders: list = []
-                if (
-                    self.cur.kind == "ident"
-                    and self.cur.value.lower() == "partition"
-                ):
-                    self.advance()
-                    self.expect_kw("by")
-                    parts.append(self.expr())
-                    while self.eat_punct(","):
-                        parts.append(self.expr())
-                if self.eat_kw("order"):
-                    self.expect_kw("by")
-                    orders.append(self._order_item())
-                    while self.eat_punct(","):
-                        orders.append(self._order_item())
-                frame = self._window_frame()
+                parts, orders, frame = self._window_spec_body()
                 self.expect_punct(")")
                 e = A.EWindow(
                     fn=e.fn, args=e.args, partition_by=parts,
                     order_by=orders, frame=frame,
+                    nulls_mode=getattr(e, "win_nulls", None),
+                    loc=Loc.span(e.loc, self.toks[self.i - 1].loc),
+                )
+                continue
+            # postfix: fn(args) OVER name — r16 named-window reference
+            # (the WINDOW clause defines name); resolved in the
+            # analyzer
+            if (
+                isinstance(e, A.EApp)
+                and t.kind == "ident"
+                and t.value.lower() == "over"
+                and self.peek().kind == "ident"
+                and 95 >= min_bp
+            ):
+                self.advance()
+                wname = self.expect_ident().value
+                e = A.EWindow(
+                    fn=e.fn, args=e.args, ref=wname,
                     nulls_mode=getattr(e, "win_nulls", None),
                     loc=Loc.span(e.loc, self.toks[self.i - 1].loc),
                 )

@@ -112,35 +112,40 @@ def _expr(e: A.Expr):
         if e.nulls_mode is not None:
             # inside the parens — the DuckDB placement (r16)
             args += f" {e.nulls_mode} nulls"
-        spec = []
-        if e.partition_by:
-            spec.append(
-                "partition by "
-                + ", ".join(expr_str(p) for p in e.partition_by)
-            )
-        if e.order_by:
-            spec.append(
-                "order by "
-                + ", ".join(
-                    expr_str(o.expr) + _ord_sfx(o).lower()
-                    for o in e.order_by
-                )
-            )
-        if e.frame is not None:
-            def fb(bound) -> str:
-                kind, n = bound
-                if kind in ("preceding", "following"):
-                    return f"{n} {kind}"
-                return kind
-
-            spec.append(
-                f"{e.frame.mode} between {fb(e.frame.start)} "
-                f"and {fb(e.frame.end)}"
-            )
-        return f"{e.fn.lower()}({args}) over ({' '.join(spec)})", 1000
+        if e.ref is not None:  # r16: unresolved named-window reference
+            return f"{e.fn.lower()}({args}) over {e.ref}", 1000
+        spec = _window_spec_str(e.partition_by, e.order_by, e.frame)
+        return f"{e.fn.lower()}({args}) over ({spec})", 1000
     if isinstance(e, A.EApp):
         return _app(e)
     raise TypeError(f"expr_str: {type(e).__name__}")
+
+
+def _window_spec_str(partition_by, order_by, frame) -> str:
+    """Window spec body, shared by OVER (..) and the WINDOW clause."""
+    spec = []
+    if partition_by:
+        spec.append(
+            "partition by " + ", ".join(expr_str(p) for p in partition_by)
+        )
+    if order_by:
+        spec.append(
+            "order by "
+            + ", ".join(
+                expr_str(o.expr) + _ord_sfx(o).lower() for o in order_by
+            )
+        )
+    if frame is not None:
+        def fb(bound) -> str:
+            kind, n = bound
+            if kind in ("preceding", "following"):
+                return f"{n} {kind}"
+            return kind
+
+        spec.append(
+            f"{frame.mode} between {fb(frame.start)} and {fb(frame.end)}"
+        )
+    return " ".join(spec)
 
 
 def _body_str(sel) -> str:
@@ -312,6 +317,15 @@ def select_str(sel: A.Select, elaborated: bool = False) -> str:
             parts.append("GROUP BY " + ", ".join(expr_str(g) for g in sel.group_by))
     if sel.having is not None:
         parts.append(f"HAVING {expr_str(sel.having)}")
+    if getattr(sel, "windows", None):
+        parts.append(
+            "WINDOW " + ", ".join(
+                f"{nw.name} AS ("
+                + _window_spec_str(nw.partition_by, nw.order_by, nw.frame)
+                + ")"
+                for nw in sel.windows
+            )
+        )
     if sel.qualify is not None:
         parts.append(f"QUALIFY {expr_str(sel.qualify)}")
     if getattr(sel, "order_all", None) and not sel.order_by:

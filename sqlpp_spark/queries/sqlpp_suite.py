@@ -1008,6 +1008,56 @@ _sqlpp(
 )
 
 _sqlpp(
+    # r16 scalar wave under the driver gate: regexp_extract (doc-text
+    # token extraction — the pipeline shape), translate, sign, trunc,
+    # log10, ascii. All scan-stage codegen expressions, zero extra
+    # shuffles; ulp-exact printing pinned by the differential battery
+    # (tests/test_case_like_between.py).
+    "sqlpp_scalar_wave",
+    "select d.doc_id as doc_id, "
+    "regexp_extract(d.text, '([A-Za-z]+)', 1) as first_word, "
+    "translate(d.lang, 'en', 'EN') as lang_t, "
+    "ascii(d.lang) as lang_cp, "
+    "sign(cast(d.n_chars as float) - 1000.0) as size_sign, "
+    "trunc(d.n_chars / 7.0) as sevenths, "
+    "abs(log10(cast(d.n_chars as float)) "
+    "- ln(cast(d.n_chars as float)) / ln(10.0)) "
+    "< 0.000000000001 as l10_ok "
+    "from documents as d where d.doc_id < 400 order by d.doc_id",
+    "SELECT doc_id, "
+    "regexp_extract(text, '([A-Za-z]+)', 1) AS first_word, "
+    "translate(lang, 'en', 'EN') AS lang_t, "
+    "CAST(ascii(lang) AS BIGINT) AS lang_cp, "
+    "CAST(sign(CAST(n_chars AS DOUBLE) - 1000.0) AS DOUBLE) "
+    "AS size_sign, "
+    "CAST(trunc(n_chars / 7.0) AS DOUBLE) AS sevenths, "
+    "(abs(log10(CAST(n_chars AS DOUBLE)) "
+    "- ln(CAST(n_chars AS DOUBLE)) / ln(10.0)) "
+    "< 0.000000000001) AS l10_ok "
+    "FROM documents WHERE doc_id < 400 ORDER BY doc_id",
+)
+
+_sqlpp(
+    # r16: named windows (WINDOW clause) — one spec shared by three
+    # functions; the analyzer inlines the spec per reference, so this
+    # still compiles to ONE window exchange (same partition/order).
+    "sqlpp_named_windows",
+    "select c.c_custkey as ck, "
+    "row_number() over w as rn, "
+    "sum(c.c_custkey) over w as run_keys, "
+    "lag(c.c_acctbal) over w as prev_bal "
+    "from customer as c where c.c_custkey < 400 "
+    "window w as (partition by c.c_nationkey order by c.c_custkey) "
+    "order by c.c_custkey",
+    "SELECT c_custkey AS ck, row_number() OVER w AS rn, "
+    "CAST(sum(c_custkey) OVER w AS BIGINT) AS run_keys, "
+    "lag(c_acctbal) OVER w AS prev_bal "
+    "FROM customer WHERE c_custkey < 400 "
+    "WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey) "
+    "ORDER BY c_custkey",
+)
+
+_sqlpp(
     # r15 third wave: ordered ALL quantifier + md5 fingerprint — the
     # subquery reduces to one broadcast min/max row, never a shuffle.
     "sqlpp_quantified_top",

@@ -512,3 +512,65 @@ def test_trims_md5_position(eng, duck):
     info = Analyzer(eng.env, src).analyze_query(parse_query(src))
     with pytest.raises(SqlppError, match="backend divergence"):
         select_sql(info, dialect="sqlite")
+
+
+def test_r16_scalar_wave_differential(eng, duck):
+    """r16 scalar wave: regexp_extract / translate / sign / trunc /
+    log10 / log2 / ascii — all probed Spark-vs-DuckDB before wiring
+    (regexp_extract is ''-on-miss + NULL-in-NULL-out in both; sign
+    and trunc pin Spark's DOUBLE; log10/log2 pin NULL out-of-domain
+    where DuckDB raises; ascii is the full Unicode codepoint, 0 for
+    '')."""
+    for src in (
+        "select id, regexp_extract(name, '([aeiou]+)', 1) as v, "
+        "regexp_extract(name, '[b-df-hj-np-tv-z]+', 0) as c "
+        "from t1 order by id",
+        "select id, translate(name, 'abg', 'xy') as t from t1 "
+        "order by id",
+        "select id, sign(coalesce(val, 0) - 25) as s from t1 "
+        "order by id",
+        "select id, trunc(coalesce(val, 7) / 4.0) as q, "
+        "trunc(0.0 - coalesce(val, 7) / 4.0) as nq from t1 order by id",
+        "select id, log10(coalesce(val, 0) * 1.0) as l10, "
+        "log2(coalesce(val, 0) * 1.0) as l2 from t1 order by id",
+        "select id, ascii(name) as a, ascii(substr(name, 2, 1)) as a2 "
+        "from t1 order by id",
+    ):
+        rows = sorted(tuple(repr(x) for x in r) for r in eng.fetch_list(src))
+        info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+        sql = select_sql(info)
+        want = sorted(
+            tuple(repr(x) for x in r) for r in duck.execute(sql).fetchall()
+        )
+        assert rows == want, f"{src}\n{sql}"
+
+
+def test_r16_scalar_wave_typing_and_errors(eng):
+    # pattern / group / from-to literal requirements
+    with pytest.raises(SqlppError, match="string literal"):
+        eng.fetch_list(
+            "select regexp_extract(name, name, 1) as x from t1"
+        )
+    with pytest.raises(SqlppError, match="non-negative int"):
+        eng.fetch_list(
+            "select regexp_extract(name, '(a)', 0 - 1) as x from t1"
+        )
+    with pytest.raises(SqlppError, match="string literals"):
+        eng.fetch_list(
+            "select translate(name, name, 'x') as x from t1"
+        )
+    # sqlite divergences for the fns it lacks; sign/trunc/ascii print
+    for fn_src, ok_sqlite in (
+        ("select regexp_extract(name, '(a)', 1) as x from t1", False),
+        ("select translate(name, 'ab', 'xy') as x from t1", False),
+        ("select log10(1.0 * id) as x from t1", False),
+        ("select sign(1.0 * id) as x from t1", True),
+        ("select trunc(1.5 * id) as x from t1", True),
+        ("select ascii(name) as x from t1", True),
+    ):
+        info = Analyzer(eng.env, fn_src).analyze_query(parse_query(fn_src))
+        if ok_sqlite:
+            assert select_sql(info, dialect="sqlite")
+        else:
+            with pytest.raises(SqlppError, match="backend divergence"):
+                select_sql(info, dialect="sqlite")

@@ -28,8 +28,9 @@ VOCAB = [
     # spellings, compound-subquery keywords
     "approx_count_distinct", "approx_percentile", "qualify",
     "distinct", "count", "filter", "0.5", "grouping", "sets",
-    # r16: quantifiers + null-treatment modifier
+    # r16: quantifiers + null-treatment modifier + named windows
     "any", "some", "ignore", "respect", "nulls", "first_value",
+    "window", "w",
 ]
 
 
@@ -109,6 +110,10 @@ def test_analyzer_never_crashes():
         "sum(id ignore nulls) over (order by id)",
         "lag(name, 0 ignore nulls) over (order by id)",
         "count(id ignore nulls)",
+        # r16: named-window references (valid only when the tail
+        # defines the window — boundary-invalid otherwise)
+        "sum(id) over win1",
+        "row_number() over win1",
     ]
     froms = [
         "users", "users as u", "q1 as q",
@@ -129,6 +134,10 @@ def test_analyzer_never_crashes():
         # late r14: IN lists in WHERE, GROUP BY alias/ordinal forms
         "where id in (1, 2, 3)", "where name not in ('a', 'b')",
         "group by 1", "group by 2", "group by 9",
+        # r16: named windows
+        "window win1 as (order by id)",
+        "window win1 as (partition by id order by created_at desc)",
+        "window win1 as (order by id), win1 as (order by id)",
     ]
     for _ in range(1500):
         es = ", ".join(rng.sample(exprs, rng.randint(1, 3)))

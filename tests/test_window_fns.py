@@ -168,6 +168,58 @@ def test_ignore_nulls_printers(eng):
             select_sql(info, dialect=dialect)
 
 
+def test_named_windows_differential(eng, duck):
+    """r16: WINDOW clause + OVER w references (standard SQL / DuckDB
+    named windows) — the analyzer substitutes the spec into each
+    reference before inference, so the compiler and SQL printers only
+    ever see inline specs; the raw source runs on DuckDB natively."""
+    for src in (
+        # one window shared by two functions
+        "select id, row_number() over w as rn, sum(id) over w as s "
+        "from t1 window w as (partition by grp order by id) "
+        "order by id",
+        # two windows + mixing named and inline in one select
+        "select id, rank() over wg as r, "
+        "count(val) over (partition by grp) as c, "
+        "lag(id) over wo as p from t1 "
+        "window wg as (order by grp, id), wo as (order by id) "
+        "order by id",
+        # frame inside the named spec
+        "select id, sum(id) over w as s from t1 "
+        "window w as (order by id rows between 2 preceding "
+        "and current row) order by id",
+        # composes with IGNORE NULLS
+        "select id, lag(val ignore nulls) over w as p from t1 "
+        "window w as (order by id) order by id",
+        # named window referenced from QUALIFY
+        "select id from t1 window w as (partition by grp order by id) "
+        "qualify row_number() over w = 1 order by id",
+    ):
+        _differ(eng, duck, src)
+
+
+def test_named_windows_errors_and_fmt(eng):
+    from sqlpp_spark.frontend.printer import format_query
+
+    with pytest.raises(SqlppError, match="unknown window name"):
+        eng.fetch_list(
+            "select id, sum(id) over nope as s from t1 "
+            "window w as (order by id)"
+        )
+    with pytest.raises(SqlppError, match="duplicate window name"):
+        eng.fetch_list(
+            "select id, sum(id) over w as s from t1 "
+            "window w as (order by id), w as (order by grp)"
+        )
+    # fmt round-trips the clause and the bare reference
+    src = ("select id, sum(id) over w as s from t1 "
+           "window w as (partition by grp order by id) order by id")
+    out = format_query(parse_query(src))
+    assert "WINDOW w AS (partition by grp order by id" in out
+    assert "over w" in out
+    assert format_query(parse_query(out)) == out
+
+
 def test_window_placement_and_arity_errors(eng):
     for bad, m in (
         ("select id from t1 where row_number() over (order by id) > 2",
