@@ -162,6 +162,33 @@ class Compiler:
             ]
             if not cols:
                 cols = [F.lit(1).alias("_dummy")]
+            if getattr(sel, "distinct_on", None):
+                # r16: DISTINCT ON — keep the first row per ON-group
+                # in ORDER BY order (analyzer pinned PG's
+                # leading-keys rule and forbade windows, so the
+                # pre-projection filter is exact). ONE window
+                # exchange on the ON keys.
+                on_cols = [
+                    self.expr(x, binds, scalar_map)
+                    for x in sel.distinct_on
+                ]
+                tie = [
+                    self._order_col(
+                        self.expr(o.expr, binds, scalar_map), o
+                    )
+                    for o in sel.order_by[len(sel.distinct_on):]
+                ]
+                from pyspark.sql import Window as SW
+
+                w = SW.partitionBy(*on_cols).orderBy(
+                    *(tie if tie else [F.lit(1)])
+                )
+                rn = self._fresh("__don")
+                df = (
+                    df.withColumn(rn, F.row_number().over(w))
+                    .filter(F.col(rn) == 1)
+                    .drop(rn)
+                )
             if sel.distinct:
                 # Standard SQL: DISTINCT dedups the projected rows
                 # BEFORE ORDER BY/LIMIT apply (so LIMIT n returns n

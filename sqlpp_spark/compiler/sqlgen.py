@@ -379,7 +379,18 @@ class SqlGen:
             ", ".join(f"{self.expr(f.expr)} AS {_q(f.out_name)}" for f in fields)
             or "1 AS _dummy"
         )
-        parts.append(f"SELECT {'DISTINCT ' if sel.distinct else ''}{cols}")
+        head = "DISTINCT " if sel.distinct else ""
+        if getattr(sel, "distinct_on", None):
+            # r16: DuckDB and PG support DISTINCT ON natively with
+            # the same first-row-per-group-in-ORDER-BY semantics the
+            # engine compiles; SQLite has no DISTINCT ON
+            if self.dialect == "sqlite":
+                raise SqlppError(
+                    "SQLite has no DISTINCT ON (backend divergence)"
+                )
+            ons = ", ".join(self.expr(x) for x in sel.distinct_on)
+            head = f"DISTINCT ON ({ons}) "
+        parts.append(f"SELECT {head}{cols}")
         if sel.from_ is not None:
             parts.append(f"FROM {self._from(ctx, sel.from_)}")
         if sel.where is not None:

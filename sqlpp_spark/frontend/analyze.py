@@ -614,6 +614,59 @@ class Analyzer:
                     )
                 o.expr = copy.deepcopy(raw_proj[n - 1].expr)
             o.expr, _ = self.infer_expr(ctx, o.expr)
+        if getattr(sel, "distinct_on", None):
+            # r16: DISTINCT ON — PG's determinism rule: ORDER BY must
+            # be present and its leading expressions must be exactly
+            # the ON expressions (compared structurally after
+            # elaboration), so "first row per group" is well-defined
+            if sel.group_by is not None:
+                self.err(
+                    "DISTINCT ON is not supported with GROUP BY "
+                    "(aggregate with arg_min/arg_max instead)", sel.loc,
+                )
+            if sel.qualify is not None:
+                self.err(
+                    "DISTINCT ON cannot combine with QUALIFY", sel.loc,
+                )
+            for it in sel.fields:
+                ex = getattr(it, "expr", None)
+                if ex is not None and self._contains_window(ex):
+                    # the engine filters to the per-group winner BEFORE
+                    # the projection evaluates; PG computes windows
+                    # first — forbid the combination instead of
+                    # silently diverging
+                    self.err(
+                        "window functions cannot combine with "
+                        "DISTINCT ON", ex.loc,
+                    )
+            for o in sel.order_by:
+                if self._contains_window(o.expr):
+                    self.err(
+                        "window functions cannot combine with "
+                        "DISTINCT ON", o.expr.loc,
+                    )
+            ons = []
+            for x in sel.distinct_on:
+                if self._contains_window(x) or self._contains_subquery(x):
+                    self.err(
+                        "DISTINCT ON expressions must be plain scalar "
+                        "expressions", x.loc,
+                    )
+                ex, _ = self.infer_expr(ctx, x)
+                ons.append(ex)
+            sel.distinct_on = ons
+            if len(sel.order_by) < len(ons):
+                self.err(
+                    "DISTINCT ON requires ORDER BY starting with the "
+                    "ON expressions (PostgreSQL's rule — it defines "
+                    "which row per group is kept)", sel.loc,
+                )
+            for x, o in zip(ons, sel.order_by):
+                if A.expr_key(x) != A.expr_key(o.expr):
+                    self.err(
+                        "DISTINCT ON expressions must match the "
+                        "leading ORDER BY expressions", o.expr.loc,
+                    )
         if sel.limit is not None:
             sel.limit, lty = self.infer_expr(ctx, sel.limit)
             if lty is None:  # bare param adopts non_null INT (analyze.ml:680-688)

@@ -337,6 +337,10 @@ class Select:
     offset: Optional[Expr] = None
     is_open: bool = False  # `...` present
     distinct: bool = False  # extension (not in reference grammar)
+    # r16: SELECT DISTINCT ON (exprs) — keep the first row per key
+    # group in ORDER BY order (PG semantics: ORDER BY must lead with
+    # the ON expressions)
+    distinct_on: Optional[List[Expr]] = None
     # r15: GROUP BY ALL (group by every non-aggregate projection
     # expression) and ORDER BY ALL [DESC] (sort by every output
     # column left-to-right) — DuckDB's determinism sugar; both

@@ -303,7 +303,12 @@ class Parser:
         self.expect_kw("select")
         sel = A.Select(loc=start)
         if self.eat_kw("distinct"):
-            sel.distinct = True
+            if self.eat_kw("on"):  # r16: DISTINCT ON (exprs)
+                self.expect_punct("(")
+                sel.distinct_on = self._comma_list(self.expr, end=")")
+                self.expect_punct(")")
+            else:
+                sel.distinct = True
         sel.fields = []
         while True:
             f = self._field(sel)

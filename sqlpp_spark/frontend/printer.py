@@ -283,6 +283,12 @@ def select_str(sel: A.Select, elaborated: bool = False) -> str:
     parts: List[str] = ["SELECT"]
     if sel.distinct:
         parts.append("DISTINCT")
+    if getattr(sel, "distinct_on", None):
+        parts.append(
+            "DISTINCT ON ("
+            + ", ".join(expr_str(x) for x in sel.distinct_on)
+            + ")"
+        )
     fields = [_field_str(f, elaborated) for f in sel.fields]
     if sel.is_open:
         fields.append("...")

@@ -1038,6 +1038,23 @@ _sqlpp(
 )
 
 _sqlpp(
+    # r16: DISTINCT ON (PG/DuckDB) — richest customer per nation,
+    # custkey tie-break. Compiles to row_number + rn=1 with Spark's
+    # map-side WindowGroupLimit pushdown (top-1 prunes BEFORE the
+    # shuffle — plan-pinned in tests/test_distinct_on.py); both
+    # oracle engines run the syntax natively.
+    "sqlpp_distinct_on",
+    "select distinct on (c.c_nationkey) "
+    "c.c_nationkey as nk, c.c_custkey as ck, c.c_acctbal as bal "
+    "from customer as c "
+    "order by c.c_nationkey, c.c_acctbal desc, c.c_custkey",
+    "SELECT DISTINCT ON (c_nationkey) "
+    "c_nationkey AS nk, c_custkey AS ck, c_acctbal AS bal "
+    "FROM customer "
+    "ORDER BY c_nationkey, c_acctbal DESC, c_custkey",
+)
+
+_sqlpp(
     # r16: named windows (WINDOW clause) — one spec shared by three
     # functions; the analyzer inlines the spec per reference, so this
     # still compiles to ONE window exchange (same partition/order).

@@ -138,10 +138,27 @@ def test_analyzer_never_crashes():
         "window win1 as (order by id)",
         "window win1 as (partition by id order by created_at desc)",
         "window win1 as (order by id), win1 as (order by id)",
+        # r16: DISTINCT ON tails (valid only when paired with a
+        # leading-keys ORDER BY — boundary-invalid otherwise)
+        "order by id",
+        "order by id, created_at desc",
     ]
     for _ in range(1500):
         es = ", ".join(rng.sample(exprs, rng.randint(1, 3)))
         src = f"select {es} from {rng.choice(froms)} {rng.choice(tails)}"
+        try:
+            analyze(env, src)
+        except SqlppError:
+            pass
+    # r16: DISTINCT ON heads — mostly boundary-invalid (ORDER BY
+    # leading-keys rule), must always fail located
+    for _ in range(300):
+        es = ", ".join(rng.sample(exprs, rng.randint(1, 2)))
+        on = rng.choice(["id", "name", "id % 2", "id, name"])
+        src = (
+            f"select distinct on ({on}) {es} from "
+            f"{rng.choice(froms)} {rng.choice(tails)}"
+        )
         try:
             analyze(env, src)
         except SqlppError:
