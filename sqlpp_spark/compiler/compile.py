@@ -1781,6 +1781,13 @@ class Compiler:
         if fn == "-u":
             return -a(0)
         if fn in ("+", "-", "*"):
+            if isinstance(e.args[1], A.EInterval):
+                # r16: DATETIME +/- INTERVAL — timestampadd handles
+                # month-end clamping and leap years identically to
+                # DuckDB's native interval arithmetic (probed)
+                iv = e.args[1]
+                n = iv.n if fn == "+" else -iv.n
+                return F.timestamp_add(iv.unit.upper(), F.lit(n), a(0))
             l, r = a(0), a(1)
             return {"+": l + r, "-": l - r, "*": l * r}[fn]
         if fn == "/":

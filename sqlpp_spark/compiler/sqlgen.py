@@ -1011,6 +1011,22 @@ class SqlGen:
         if fn == "-u":
             return f"(- {a(0)})"
         if fn in ("+", "-", "*"):
+            if isinstance(e.args[1], A.EInterval):
+                # r16: DATETIME +/- INTERVAL — DuckDB takes the bare
+                # INTERVAL n UNIT form, PG wants the quoted string;
+                # SQLite has no interval type
+                iv = e.args[1]
+                if self.dialect == "sqlite":
+                    raise SqlppError(
+                        "SQLite has no INTERVAL arithmetic "
+                        "(backend divergence)"
+                    )
+                if self.dialect == "postgres":
+                    return (
+                        f"({a(0)} {fn} INTERVAL "
+                        f"'{iv.n} {iv.unit}')"
+                    )
+                return f"({a(0)} {fn} INTERVAL {iv.n} {iv.unit.upper()})"
             return f"({a(0)} {fn} {a(1)})"
         if fn == "/":
             lt, rt = e.args[0].ty, e.args[1].ty

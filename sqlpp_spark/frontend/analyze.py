@@ -917,6 +917,11 @@ class Analyzer:
             return e, ty
         if isinstance(e, A.ENull):
             self.err("missing type annotation for NULL value", e.loc)
+        if isinstance(e, A.EInterval):
+            self.err(
+                "interval literals are only valid as the right "
+                "operand of + / - on a DATETIME", e.loc,
+            )
         if isinstance(e, A.EAscribe):
             if e.convert:
                 return self._infer_cast(ctx, e)
@@ -1660,6 +1665,30 @@ class Analyzer:
             return e, t
         if fnl in ("+", "-", "*", "/"):
             nargs(2)
+            # r16: DATETIME +/- INTERVAL literal (right operand only)
+            if isinstance(e.args[1], A.EInterval):
+                if fnl not in ("+", "-"):
+                    self.err(
+                        "interval literals only support + and -", e.loc
+                    )
+                t0 = arg(0)
+                if t0 is None:
+                    t0 = self._adopt_param(
+                        e.args[0],
+                        Ty(frozenset({"datetime"}), False), e.loc,
+                    )
+                if t0.kinds != frozenset({"datetime"}):
+                    self.err(
+                        "interval arithmetic needs a DATETIME left "
+                        "operand (use date_add for DATEs)",
+                        e.args[0].loc,
+                    )
+                return e, Ty(frozenset({"datetime"}), t0.non_null)
+            if isinstance(e.args[0], A.EInterval):
+                self.err(
+                    "write the interval on the right: expr + "
+                    "interval n unit", e.args[0].loc,
+                )
             t0, t1 = arg(0), arg(1)
             if t0 is None:
                 t0 = self._adopt_param(e.args[0], t1 or NUMERIC.with_non_null(False), e.loc)

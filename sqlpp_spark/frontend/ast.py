@@ -355,6 +355,23 @@ class Select:
 
 
 @dataclass
+class EInterval(Expr):
+    """INTERVAL <int> <unit> literal (r16, beyond reference) — only
+    valid as the right operand of + / - on a DATETIME; the analyzer
+    rejects every other position. Units: second minute hour day week
+    month quarter year (plural accepted, normalized to singular)."""
+
+    n: int = 0
+    unit: str = ""
+
+
+INTERVAL_UNITS = (
+    "second", "minute", "hour", "day", "week", "month", "quarter",
+    "year",
+)
+
+
+@dataclass
 class NamedWindow:
     """One WINDOW-clause entry (r16, beyond reference — standard SQL /
     DuckDB named windows)."""
@@ -552,6 +569,8 @@ def expr_key(e: Expr) -> tuple:
         return expr_key(e.expr)  # ascriptions are erased (printer.ml:162)
     if isinstance(e, EParam):
         return ("param", e.name)
+    if isinstance(e, EInterval):  # r16
+        return ("interval", e.n, e.unit)
     if isinstance(e, EIn):
         return ("in", e.negated, tuple(expr_key(x) for x in e.exprs), id(e.select))
     if isinstance(e, EInList):

@@ -1086,6 +1086,29 @@ class Parser:
 
     def _expr_primary(self) -> A.Expr:
         t = self.cur
+        # r16: INTERVAL <int> <unit> literal — contextual ('interval'
+        # stays a valid column name unless followed by an int)
+        if (
+            t.kind == "ident" and t.value.lower() == "interval"
+            and self.peek().kind == "int"
+        ):
+            self.advance()
+            n_tok = self.cur
+            self.advance()
+            u_tok = self.cur
+            if u_tok.kind not in ("ident", "kw"):
+                self.fail("expected an interval unit")
+            unit = u_tok.value.lower().rstrip("s")
+            if unit not in A.INTERVAL_UNITS:
+                self.fail(
+                    "interval unit must be one of "
+                    + "/".join(A.INTERVAL_UNITS)
+                )
+            self.advance()
+            return A.EInterval(
+                n=int(n_tok.value), unit=unit,
+                loc=Loc.span(t.loc, u_tok.loc),
+            )
         if t.kind == "int":
             self.advance()
             return A.ELit(int(t.value), "int", loc=t.loc)

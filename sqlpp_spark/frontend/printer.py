@@ -107,6 +107,8 @@ def _expr(e: A.Expr):
             parts.append(f"| {b.tag}{args} -> {expr_str(b.body)}")
         parts.append("end")
         return " ".join(parts), 1000
+    if isinstance(e, A.EInterval):  # r16
+        return f"interval {e.n} {e.unit}", 1000
     if isinstance(e, A.EWindow):
         args = ", ".join(expr_str(a) for a in e.args)
         if e.nulls_mode is not None:

@@ -25,6 +25,11 @@ def _engine(spark: SparkSession, sf_dir: str):
         eng = SqlppEngine(spark)
         for t in _TABLES:
             eng.register_parquet(t, f"{sf_dir}/{t}.parquet")
+        # events.ts is parquet TIMESTAMP(NANOS): route through the
+        # normalizing reader (plain spark.read.parquet errors)
+        from sqlpp_spark.sources.tables import read_table
+
+        eng.register_df("events", read_table(spark, sf_dir, "events"))
         eng.add_decls(
             "create query big_orders as "
             "select o_custkey as ck, count(1) as n_big from orders "
@@ -1035,6 +1040,31 @@ _sqlpp(
     "- ln(CAST(n_chars AS DOUBLE)) / ln(10.0)) "
     "< 0.000000000001) AS l10_ok "
     "FROM documents WHERE doc_id < 400 ORDER BY doc_id",
+)
+
+_sqlpp(
+    # r16: INTERVAL literals over the events stream — sub-day shifts
+    # are exact micro arithmetic, the month shift exercises calendar
+    # clamping (timestampadd vs DuckDB native interval, probed
+    # bit-identical). Scan-stage expressions, zero shuffles beyond
+    # the ORDER BY.
+    "sqlpp_interval_shift",
+    "select e.event_id as eid, "
+    "e.ts + interval 3 hour as ts3h, "
+    "e.ts - interval 45 minute as tsm45, "
+    "e.ts + interval 1 month as ts1mo, "
+    "e.ts + interval 2 weeks as ts2w "
+    "from events as e where e.event_id < 500 order by e.event_id",
+    "SELECT event_id AS eid, "
+    "CAST(CAST(ts AS TIMESTAMP) + INTERVAL 3 HOUR AS TIMESTAMP) "
+    "AS ts3h, "
+    "CAST(CAST(ts AS TIMESTAMP) - INTERVAL 45 MINUTE AS TIMESTAMP) "
+    "AS tsm45, "
+    "CAST(CAST(ts AS TIMESTAMP) + INTERVAL 1 MONTH AS TIMESTAMP) "
+    "AS ts1mo, "
+    "CAST(CAST(ts AS TIMESTAMP) + INTERVAL 2 WEEK AS TIMESTAMP) "
+    "AS ts2w "
+    "FROM events WHERE event_id < 500 ORDER BY event_id",
 )
 
 _sqlpp(

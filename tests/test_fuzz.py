@@ -30,7 +30,7 @@ VOCAB = [
     "distinct", "count", "filter", "0.5", "grouping", "sets",
     # r16: quantifiers + null-treatment modifier + named windows
     "any", "some", "ignore", "respect", "nulls", "first_value",
-    "window", "w",
+    "window", "w", "interval", "hour", "3",
 ]
 
 
@@ -114,6 +114,11 @@ def test_analyzer_never_crashes():
         # defines the window — boundary-invalid otherwise)
         "sum(id) over win1",
         "row_number() over win1",
+        # r16: interval literals (valid and boundary-invalid)
+        "created_at + interval 3 hour",
+        "created_at - interval 2 weeks",
+        "id + interval 1 day",
+        "interval 5 minute",
     ]
     froms = [
         "users", "users as u", "q1 as q",

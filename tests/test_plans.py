@@ -682,3 +682,48 @@ def test_heavy_hitters_broadcast_candidates(spark, sf_dir):
     p = plan_of(spark, sf_dir, "corpus_heavy_hitters")
     assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_theta_quantifier_probe_shape(spark, sf_dir):
+    """r16 theta-correlated quantifier: the theta join runs against
+    the DISTINCT probe frame (bounded by |distinct correlation
+    tuples|, broadcast), NEVER outer x subquery — the outer frame
+    only sees equi marker joins, so no nested-loop join touches the
+    full outer row set."""
+    p = plan_of(spark, sf_dir, "sqlpp_quantified_theta_corr")
+    # the theta comparisons live in BNLJ legs fed by the broadcast
+    # probe aggregate; the marker re-joins are hash/merge equi joins
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_distinct_on_window_group_limit(spark, sf_dir):
+    """r16 DISTINCT ON: Spark pushes a map-side WindowGroupLimit, so
+    the per-nation top-1 prunes before the window shuffle; the only
+    exchanges are the window partition and the final ORDER BY."""
+    p = plan_of(spark, sf_dir, "sqlpp_distinct_on")
+    assert "WindowGroupLimit" in p, p
+    import re as _re
+
+    nodes = _re.findall(r"^\s*\(\d+\) (\w+)", p, _re.M)
+    assert nodes.count("Exchange") <= 2, nodes
+
+
+def test_ignore_nulls_single_window_exchange_per_spec(spark, sf_dir):
+    """r16 IGNORE NULLS: the lag lowering reverses the ORDER BY, so
+    it needs its own sort but shares the partition hash — the plan
+    must stay window-only (no joins introduced by the lowering)."""
+    p = plan_of(spark, sf_dir, "sqlpp_ignore_nulls_window")
+    assert "Join" not in p, p
+    assert "WindowGroupLimit" not in p  # plain windows, no top-k
+
+def test_named_windows_one_window_node(spark, sf_dir):
+    """r16 named windows: three functions over one shared spec
+    compile to ONE Window node (one partition exchange + the final
+    ORDER BY)."""
+    p = plan_of(spark, sf_dir, "sqlpp_named_windows")
+    import re as _re
+
+    nodes = _re.findall(r"^\s*\(\d+\) (\w+)", p, _re.M)
+    assert nodes.count("Window") == 1, nodes
+    assert nodes.count("Exchange") <= 2, nodes

@@ -772,7 +772,7 @@ def test_sqlgen_agrees_with_handwritten_oracles(spark, sf_dir):
     eng = _engine(spark, sf_dir)
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "documents"):
+              "orders", "lineitem", "documents", "events"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
