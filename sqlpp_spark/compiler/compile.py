@@ -1918,6 +1918,19 @@ _EXT_COMPILE = {
     # r16 scalar wave. Spark has no one-arg numeric trunc — truncate
     # toward zero via the ceil/floor split (probed equal to DuckDB
     # trunc); log10/log2 pin NULL on out-of-domain like ln.
+    # r16 temporal wave: epoch = floor of the double-seconds view
+    # (micros/1e6 — identical on both engines, incl. pre-1970);
+    # dayofweek is Spark's Sunday=1 convention (printers offset)
+    "epoch": lambda a: F.floor(a[0].cast("double")).cast("bigint"),
+    "last_day": lambda a: F.last_day(a[0]),
+    "dayofweek": lambda a: F.dayofweek(a[0]).cast("bigint"),
+    "week": lambda a: F.weekofyear(a[0]).cast("bigint"),
+    "quarter": lambda a: F.quarter(a[0]).cast("bigint"),
+    "dayofyear": lambda a: F.dayofyear(a[0]).cast("bigint"),
+    "make_date": lambda a: F.make_date(a[0], a[1], a[2]),
+    "make_timestamp": lambda a: F.make_timestamp(
+        a[0], a[1], a[2], a[3], a[4], a[5]
+    ),
     "sign": lambda a: F.signum(a[0]),
     "trunc": lambda a: (
         F.when(a[0] < 0, F.ceil(a[0])).otherwise(F.floor(a[0]))

@@ -1161,6 +1161,45 @@ class SqlGen:
             if self.dialect == "sqlite":
                 raise SqlppError("SQLite has no md5() (backend divergence)")
             return f"md5({a(0)})"
+        if fn in (
+            "epoch", "last_day", "dayofweek", "week", "quarter",
+            "dayofyear", "make_date", "make_timestamp",
+        ):
+            # r16 temporal wave — SQLite's strftime-based calendar
+            # diverges (non-ISO weeks, no typed dates), like the rest
+            # of the date family
+            if self.dialect == "sqlite":
+                raise SqlppError(
+                    f"SQLite has no {fn}() (backend divergence)"
+                )
+            pg = self.dialect == "postgres"
+            if fn == "epoch":
+                inner = (
+                    f"extract(epoch from {a(0)})" if pg
+                    else f"epoch({a(0)})"
+                )
+                return f"CAST(floor({inner}) AS BIGINT)"
+            if fn == "last_day":
+                if pg:  # PG has no last_day()
+                    return (
+                        f"CAST(date_trunc('month', {a(0)}) "
+                        f"+ INTERVAL '1 month' - INTERVAL '1 day' "
+                        f"AS DATE)"
+                    )
+                return f"last_day({a(0)})"
+            if fn == "dayofweek":
+                # both oracle engines are Sunday=0; the dialect pins
+                # Spark's Sunday=1
+                inner = f"extract(dow from {a(0)})" if pg \
+                    else f"dayofweek({a(0)})"
+                return f"CAST({inner} + 1 AS BIGINT)"
+            if fn in ("week", "quarter", "dayofyear"):
+                part = {"dayofyear": "doy"}.get(fn, fn)
+                inner = f"extract({part} from {a(0)})" if pg \
+                    else f"{fn}({a(0)})"
+                return f"CAST({inner} AS BIGINT)"
+            args = ", ".join(a(i) for i in range(len(e.args)))
+            return f"{fn}({args})"
         if fn == "regexp_extract":
             # r16: DuckDB's regexp_extract matches Spark ('' on miss,
             # NULL in -> NULL out, group 0 = whole match — probed);

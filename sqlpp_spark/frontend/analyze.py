@@ -2609,6 +2609,41 @@ def _regexp_rule(ret: Ty):
     return rule
 
 
+def _temporal_rule(arg_kinds: frozenset, ret_kind: str, only_dt=False):
+    """1-arg temporal field/conversion functions (r16 wave)."""
+
+    def rule(an: "Analyzer", e: A.EApp, tys) -> Ty:
+        if len(e.args) != 1:
+            an.err(f"{e.fn}(..) takes 1 argument", e.loc)
+        t = tys[0]
+        if t is not None and not (t.kinds & arg_kinds):
+            want = "DATETIME" if only_dt else "DATE or DATETIME"
+            an.err(f"{e.fn}(..) expects a {want}", e.loc)
+        nn = t is not None and t.non_null
+        return Ty(frozenset({ret_kind}), nn)
+
+    return rule
+
+
+def _make_temporal_rule(nargs: int, ret_kind: str):
+    """make_date(y, m, d) / make_timestamp(y, mo, d, h, mi, s) — int
+    components; out-of-range components ERROR at runtime in BOTH
+    engines (Spark ANSI / DuckDB), so no silent divergence."""
+
+    def rule(an: "Analyzer", e: A.EApp, tys) -> Ty:
+        if len(e.args) != nargs:
+            an.err(f"{e.fn}(..) takes {nargs} arguments", e.loc)
+        for i, t in enumerate(tys):
+            if t is not None and "int" not in t.kinds:
+                an.err(
+                    f"{e.fn}(..) arguments must be INT", e.args[i].loc
+                )
+        nn = all(t is not None and t.non_null for t in tys)
+        return Ty(frozenset({ret_kind}), nn)
+
+    return rule
+
+
 def _regexp_extract_rule(an: "Analyzer", e: A.EApp, tys) -> Ty:
     """regexp_extract(s, pattern, group) (r16): pattern a string
     literal (plan-parameterizing, like the other regexp fns), group a
@@ -2773,6 +2808,16 @@ _EXT_FNS = {
     # the full Unicode codepoint (0 for '')
     "regexp_extract": _regexp_extract_rule,
     "translate": _translate_rule,
+    # r16 temporal wave (probed; dialect pins: epoch = FLOOR seconds
+    # as INT, dayofweek = Sunday-1..Saturday-7 like Spark, week = ISO)
+    "epoch": _temporal_rule(frozenset({"datetime"}), "int", only_dt=True),
+    "last_day": _temporal_rule(frozenset({"date", "datetime"}), "date"),
+    "dayofweek": _temporal_rule(frozenset({"date", "datetime"}), "int"),
+    "week": _temporal_rule(frozenset({"date", "datetime"}), "int"),
+    "quarter": _temporal_rule(frozenset({"date", "datetime"}), "int"),
+    "dayofyear": _temporal_rule(frozenset({"date", "datetime"}), "int"),
+    "make_date": _make_temporal_rule(3, "date"),
+    "make_timestamp": _make_temporal_rule(6, "datetime"),
     "sign": _ext(lambda tys: Ty(frozenset({"float"}), True)),
     "trunc": _ext(lambda tys: Ty(frozenset({"float"}), True)),
     "log10": lambda an, e, tys: Ty(frozenset({"float"}), False),

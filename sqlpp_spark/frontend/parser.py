@@ -1182,11 +1182,17 @@ class Parser:
                     part_tok = self.expect_ident()
                     part = part_tok.value.lower()
                     if part not in ("year", "month", "day", "hour",
-                                    "minute", "second"):
+                                    "minute", "second", "week",
+                                    "quarter", "dayofyear", "doy",
+                                    "dayofweek", "dow"):
                         self.fail(
                             "EXTRACT part must be one of year, month, "
-                            "day, hour, minute, second"
+                            "day, hour, minute, second, week, quarter, "
+                            "dayofyear/doy, dayofweek/dow"
                         )
+                    part = {"doy": "dayofyear", "dow": "dayofweek"}.get(
+                        part, part
+                    )
                     self.expect_kw("from")
                     inner = self.expr()
                     self.expect_punct(")")

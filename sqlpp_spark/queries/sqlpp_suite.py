@@ -1043,6 +1043,31 @@ _sqlpp(
 )
 
 _sqlpp(
+    # r16 temporal wave under the driver gate: calendar fields
+    # (dayofweek pinned Sunday=1 — the oracle offsets its Sunday=0),
+    # last_day, make_date composition, ISO week/quarter/doy. All
+    # scan-stage codegen, zero extra shuffles.
+    "sqlpp_temporal_wave",
+    "select o.o_orderkey as okey, "
+    "dayofweek(o.o_orderdate) as dw, week(o.o_orderdate) as wk, "
+    "quarter(o.o_orderdate) as qtr, dayofyear(o.o_orderdate) as doy, "
+    "last_day(o.o_orderdate) as eom, "
+    "make_date(year(o.o_orderdate), month(o.o_orderdate), 1) "
+    "as month_start "
+    "from orders as o where o.o_orderkey < 2000 "
+    "order by o.o_orderkey",
+    "SELECT o_orderkey AS okey, "
+    "CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dw, "
+    "CAST(week(o_orderdate) AS BIGINT) AS wk, "
+    "CAST(quarter(o_orderdate) AS BIGINT) AS qtr, "
+    "CAST(dayofyear(o_orderdate) AS BIGINT) AS doy, "
+    "last_day(o_orderdate) AS eom, "
+    "make_date(CAST(year(o_orderdate) AS INT), "
+    "CAST(month(o_orderdate) AS INT), 1) AS month_start "
+    "FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey",
+)
+
+_sqlpp(
     # r16: INTERVAL literals over the events stream — sub-day shifts
     # are exact micro arithmetic, the month shift exercises calendar
     # clamping (timestampadd vs DuckDB native interval, probed

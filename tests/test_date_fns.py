@@ -133,3 +133,54 @@ def test_extract_and_time_parts(eng, duck):
         _differ(eng, duck, src)
     with pytest.raises(SqlppError, match="EXTRACT part"):
         parse_query("select extract(century from ts) as c from t")
+
+
+def test_r16_temporal_wave_differential(eng, duck):
+    """r16 temporal wave: epoch (FLOOR seconds as INT — exact incl.
+    the pre-1970 row), last_day, dayofweek (Spark's Sunday=1 pinned;
+    the oracle engines are Sunday=0, offset in the printed SQL),
+    week/quarter/dayofyear (ISO, agree natively), make_date /
+    make_timestamp (error on out-of-range in BOTH engines)."""
+    for src in (
+        "select id, epoch(ts) as ep from t order by id",
+        "select id, last_day(d) as ld, last_day(ts) as lts from t "
+        "order by id",
+        "select id, dayofweek(d) as dw, week(d) as wk, "
+        "quarter(d) as q, dayofyear(d) as doy from t order by id",
+        "select id, extract(week from d) as wk, "
+        "extract(dow from d) as dw, extract(quarter from ts) as q, "
+        "extract(doy from d) as doy from t order by id",
+        "select make_date(2021, 2, 28) as md, "
+        "make_timestamp(2020, 2, 29, 23, 59, 58) as mt from t limit 1",
+        # compose with the r16 interval arithmetic
+        "select id, epoch(ts + interval 1 hour) - epoch(ts) as dh "
+        "from t order by id",
+    ):
+        _differ(eng, duck, src)
+
+
+def test_r16_temporal_wave_typing_and_errors(eng):
+    with pytest.raises(SqlppError, match="expects a DATETIME"):
+        eng.fetch_list("select epoch(d) as x from t")
+    with pytest.raises(SqlppError, match="expects a DATE or DATETIME"):
+        eng.fetch_list("select week(id) as x from t")
+    with pytest.raises(SqlppError, match="must be INT"):
+        eng.fetch_list("select make_date(2021, 'x', 1) as x from t")
+    with pytest.raises(SqlppError, match="takes 6 arguments"):
+        eng.fetch_list("select make_timestamp(2021, 1, 1) as x from t")
+    # sqlite: the whole family is a documented divergence
+    src = "select week(d) as x from t"
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    with pytest.raises(SqlppError, match="backend divergence"):
+        select_sql(info, dialect="sqlite")
+    # PG printing exists for every member (incl. the last_day
+    # composition and the dow offset)
+    for fn_src in (
+        "select epoch(ts) as x from t",
+        "select last_day(d) as x from t",
+        "select dayofweek(d) as x from t",
+        "select week(d) as x from t",
+        "select make_date(2021, 1, 1) as x from t",
+    ):
+        info = Analyzer(eng.env, fn_src).analyze_query(parse_query(fn_src))
+        assert select_sql(info, dialect="postgres")

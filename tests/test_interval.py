@@ -93,3 +93,22 @@ def test_interval_errors_and_printers(eng):
     out = format_query(parse_query(src))
     assert "interval 3 hour" in out
     assert format_query(parse_query(out)) == out
+
+
+def test_interval_property_battery(eng, duck):
+    """Property arm: 48 random (n, unit, op) combinations over the
+    edge-date rows, batched as one wide projection (one Spark job) —
+    engine vs the printed SQL vs the raw source on DuckDB."""
+    import random
+
+    rng = random.Random(1616)
+    units = ["second", "minute", "hour", "day", "week", "month",
+             "quarter", "year"]
+    cols = []
+    for i in range(48):
+        n = rng.randint(0, 500)
+        u = rng.choice(units)
+        op = rng.choice(["+", "-"])
+        cols.append(f"ts {op} interval {n} {u} as c{i}")
+    src = f"select id, {', '.join(cols)} from t1 order by id"
+    _differ(eng, duck, src)
