@@ -1732,6 +1732,14 @@ class Compiler:
             return F.bool_and(args[0])
         if fn == "bool_or":
             return F.bool_or(args[0])
+        if fn == "bit_and":
+            return F.bit_and(args[0]).cast("bigint")
+        if fn == "bit_or":
+            return F.bit_or(args[0]).cast("bigint")
+        if fn == "bit_xor":
+            return F.bit_xor(args[0]).cast("bigint")
+        if fn == "count_if":
+            return F.count_if(args[0]).cast("bigint")
         if fn == "string_agg":
             # dialect contract: ascending-by-value concatenation (see
             # analyze.py) — array_sort(collect_list) is deterministic

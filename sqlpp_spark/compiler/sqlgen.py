@@ -982,6 +982,24 @@ class SqlGen:
                     "(backend divergence)"
                 )
             return f"{fn}({a(0)}, {a(1)})"
+        if fn in ("bit_and", "bit_or", "bit_xor"):
+            # r16: DuckDB/PG(14+) have all three natively; SQLite has
+            # no bitwise aggregates
+            if self.dialect == "sqlite":
+                raise SqlppError(
+                    f"SQLite has no {fn}() aggregate "
+                    "(backend divergence)"
+                )
+            return f"CAST({fn}({a(0)}) AS BIGINT)"
+        if fn == "count_if":
+            # r16: PG/SQLite lack count_if — the SUM(CASE) composition
+            # is exact (0 over an empty group via COALESCE)
+            if self.dialect == "duckdb":
+                return f"CAST(count_if({a(0)}) AS BIGINT)"
+            return (
+                f"CAST(COALESCE(SUM(CASE WHEN {a(0)} THEN 1 ELSE 0 "
+                f"END), 0) AS BIGINT)"
+            )
         if fn == "bool_and" or fn == "bool_or":
             if self.dialect == "sqlite":
                 # booleans are 0/1 ints in SQLite: AND-over-group is

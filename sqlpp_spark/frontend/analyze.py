@@ -47,6 +47,9 @@ AGG_FNS = {
     "median", "corr", "covar_samp", "covar_pop",
     "arg_min", "arg_max", "mode",
     "string_agg", "bool_and", "bool_or",
+    # r16: exact integer bitwise aggregates + predicate count (all
+    # probed NULL/empty-group identical across Spark and DuckDB)
+    "bit_and", "bit_or", "bit_xor", "count_if",
     # r15 sketch-backed approximate aggregates (beyond reference) —
     # the 100 TB path for distinct counts / quantiles over columns
     # with unbounded cardinality: bounded state, map-side combinable
@@ -1974,6 +1977,29 @@ class Analyzer:
             check_subsumes(t, BOOL.nullable(), e.loc, self.src or None)
             # NULL over an empty/all-NULL group
             return e, BOOL.with_non_null(False)
+        if fnl in ("bit_and", "bit_or", "bit_xor"):
+            # r16: exact bitwise fold over INTs, NULLs skipped, NULL
+            # over an empty/all-NULL group (probed identical)
+            nargs(1)
+            t = arg(0)
+            if t is None:
+                t = self._adopt_param(
+                    e.args[0], INT.with_non_null(False), e.loc
+                )
+            if "int" not in t.kinds:
+                self.err(f"{fn}(..) expects an INT argument", e.loc)
+            return e, INT.with_non_null(False)
+        if fnl == "count_if":
+            # r16: rows where the predicate is TRUE (NULL/FALSE both
+            # excluded); 0 over an empty group, like count
+            nargs(1)
+            t = arg(0)
+            if t is None:
+                t = self._adopt_param(
+                    e.args[0], BOOL.with_non_null(False), e.loc
+                )
+            check_subsumes(t, BOOL.nullable(), e.loc, self.src or None)
+            return e, INT
         if fnl == "string_agg":
             # string_agg(x, sep) — DETERMINISTIC by definition in this
             # dialect: elements concatenate in ascending order of x

@@ -1292,6 +1292,9 @@ class Parser:
         # single-argument aggregate (string_agg is 2-arg, excluded)
         "stddev", "variance", "stddev_pop", "var_pop",
         "bool_and", "bool_or", "string_agg",
+        # r16: bitwise folds skip NULLs; count_if counts TRUE only
+        # (a CASE with no ELSE yields NULL = not TRUE) — both exact
+        "bit_and", "bit_or", "bit_xor", "count_if",
         # r15: sketch aggregates skip NULLs too, so the CASE desugar
         # stays exact; the precision/percentile literals stay as
         # written (multi-arg, handled like string_agg below)

@@ -1043,6 +1043,25 @@ _sqlpp(
 )
 
 _sqlpp(
+    # r16: bitwise aggregates + count_if — exact integer folds, one
+    # ordinary partial-aggregable shuffle (map-side combine like
+    # sum/min/max).
+    "sqlpp_bit_aggs",
+    "select l.l_returnflag as flag, "
+    "bit_and(l.l_linenumber) as ba, bit_or(l.l_linenumber) as bo, "
+    "bit_xor(l.l_orderkey) as bx, "
+    "count_if(l.l_quantity > 25.0) as n_big "
+    "from lineitem as l group by l.l_returnflag "
+    "order by l.l_returnflag",
+    "SELECT l_returnflag AS flag, "
+    "CAST(bit_and(l_linenumber) AS BIGINT) AS ba, "
+    "CAST(bit_or(l_linenumber) AS BIGINT) AS bo, "
+    "CAST(bit_xor(l_orderkey) AS BIGINT) AS bx, "
+    "CAST(count_if(l_quantity > 25.0) AS BIGINT) AS n_big "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+
+_sqlpp(
     # r16 temporal wave under the driver gate: calendar fields
     # (dayofweek pinned Sunday=1 — the oracle offsets its Sunday=0),
     # last_day, make_date composition, ISO week/quarter/doy. All

@@ -283,3 +283,51 @@ def test_count_star_and_count_distinct_spelling(eng, duck):
         "order by a, b",
     ):
         _differ(eng, duck, src)
+
+
+def test_r16_bit_aggs_and_count_if_differential(eng, duck):
+    """r16: bit_and/bit_or/bit_xor (exact integer folds, NULL-skipping,
+    NULL over empty/all-NULL groups) and count_if (TRUE-only count, 0
+    over an empty group) — probed identical across Spark and DuckDB
+    on every NULL/empty edge before wiring."""
+    for src in (
+        "select a, bit_and(b) as ba, bit_or(b) as bo, bit_xor(b) as bx "
+        "from t group by a order by a",
+        "select bit_and(b) as ba, bit_or(b) as bo, bit_xor(b) as bx "
+        "from t group by ()",
+        "select a, count_if(f) as cf, count_if(b > 3) as cb "
+        "from t group by a order by a",
+        "select a, bit_or(b) filter (where b > 2) as bo "
+        "from t group by a order by a",
+    ):
+        _differ(eng, duck, src)
+    # FILTER composes (CASE desugar exact for TRUE-only counting) —
+    # engine + printed SQL only: DuckDB's count_if is a MACRO and
+    # rejects a raw FILTER clause (the dialect desugars at parse time)
+    _differ(
+        eng, duck,
+        "select a, count_if(b > 1) filter (where f) as c "
+        "from t group by a order by a",
+        check_src=False,
+    )
+
+
+def test_r16_bit_aggs_typing_and_divergence(env, eng):
+    sig = row_sig(
+        env,
+        "select bit_and(b) as ba, count_if(f) as cf from t group by ()",
+    )
+    assert sig == [("ba", "INT NULL"), ("cf", "INT NOT NULL")]
+    with pytest.raises(SqlppError, match="expects an INT"):
+        analyze(env, "select bit_and(s) as x from t group by ()")
+    with pytest.raises(SqlppError, match="expected"):
+        analyze(env, "select count_if(b) as x from t group by ()")
+    # sqlite: bit aggregates diverge; count_if prints the SUM(CASE)
+    src = "select a, bit_xor(b) as x from t group by a"
+    info = Analyzer(env, src).analyze_query(parse_query(src))
+    with pytest.raises(SqlppError, match="backend divergence"):
+        select_sql(info, dialect="sqlite")
+    src = "select a, count_if(b > 3) as x from t group by a"
+    info = Analyzer(env, src).analyze_query(parse_query(src))
+    assert "SUM(CASE WHEN" in select_sql(info, dialect="sqlite")
+    assert "SUM(CASE WHEN" in select_sql(info, dialect="postgres")

@@ -91,6 +91,9 @@ def test_analyzer_never_crashes():
         "string_agg(name, ',')", "string_agg(name, name)",
         "bool_and(id > 1)", "bool_or(name)", "count_distinct(id)",
         "stddev(name)",
+        # r16: bitwise aggregates + count_if (valid/boundary-invalid)
+        "bit_and(id)", "bit_or(id)", "bit_xor(id)",
+        "count_if(id > 1)", "bit_and(name)", "count_if(id)",
         # r15/r16: quantified comparisons — uncorrelated, equality-
         # and theta-correlated (valid and boundary-invalid)
         "id < any (select u.id from users as u)",
