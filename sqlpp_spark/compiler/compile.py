@@ -80,9 +80,89 @@ class Compiler:
 
     def compile_query(self, q: QueryInfo, params: Dict[str, object] | None = None) -> DataFrame:
         binds = Bindings(params or {})
+        if getattr(q, "recursive", None) is not None:
+            return self._compile_recursive(q, binds)
         if isinstance(q.ctx, SetOpCtx):
             return self.compile_setop(q.ctx, binds)
         return self.compile_select(q.ctx, binds)
+
+    # -- WITH RECURSIVE (r17) ------------------------------------------------
+
+    def _compile_recursive(self, q: QueryInfo, binds: Bindings) -> DataFrame:
+        """WITH RECURSIVE via bounded supersteps — the same iterative
+        shape as the engine's BFS / pagerank (queries/web_queries.py):
+        each iteration compiles the step branch with the recursive
+        name bound to the previous iteration's NEW rows (the standard
+        SQL working table), localCheckpoints the batch to truncate
+        lineage (on a cluster this is executor-local storage; each
+        superstep is one bounded Spark job), and stops when the
+        working table is empty or after
+        ``spark.sqlpp.recursive.maxIterations`` (default 100, a
+        non-termination guard DuckDB/PG do not have — an unbounded
+        fixpoint on 100 TB is an outage, not a query).
+
+        UNION (distinct) follows the textbook fixpoint: only globally
+        NEW rows enter the next working table, so cycles terminate.
+        UNION ALL feeds every step row forward and relies on the data
+        being acyclic (plus the iteration cap).
+
+        Scale shape: per iteration, UNION-distinct costs one distinct
+        exchange over the step output plus one anti-join against the
+        accumulated result; UNION ALL is exchange-free. The final
+        result is a plan-level union of <= maxIterations checkpointed
+        batches."""
+        rec = q.recursive
+        row = rec.row
+
+        def align(df: DataFrame) -> DataFrame:
+            cols = df.columns
+            return df.select(
+                *[
+                    F.col(cols[i]).cast(spark_type(t)).alias(n)
+                    for i, (n, t) in enumerate(row)
+                ]
+            )
+
+        def branch(ctx) -> DataFrame:
+            if isinstance(ctx, SetOpCtx):
+                return align(self._setop_branches(ctx, binds))
+            return align(self.compile_select(ctx, binds))
+
+        max_iter = int(
+            self.spark.conf.get("spark.sqlpp.recursive.maxIterations", "100")
+        )
+        base = branch(rec.base_ctx)
+        if not rec.union_all:
+            base = base.distinct()
+        frontier = base.localCheckpoint(eager=True)
+        batches = [frontier]
+        result = frontier  # union of batches so far (distinct mode probes it)
+        orig_catalog = self.catalog
+        try:
+            for _i in range(max_iter):
+                if frontier.isEmpty():
+                    break
+                self.catalog = {**orig_catalog, rec.name: frontier}
+                nxt = branch(rec.step_ctx)
+                if not rec.union_all:
+                    nxt = nxt.distinct().subtract(result)
+                frontier = nxt.localCheckpoint(eager=True)
+                if frontier.isEmpty():
+                    break
+                batches.append(frontier)
+                result = result.union(frontier)
+            else:
+                raise SqlppError(
+                    f"recursive CTE {rec.name!r} did not terminate "
+                    f"within {max_iter} iterations (set "
+                    "spark.sqlpp.recursive.maxIterations to raise)"
+                )
+            self.catalog = {**orig_catalog, rec.name: result}
+            if isinstance(q.ctx, SetOpCtx):
+                return self.compile_setop(q.ctx, binds)
+            return self.compile_select(q.ctx, binds)
+        finally:
+            self.catalog = orig_catalog
 
     # -- set operations (r14) ----------------------------------------------
 

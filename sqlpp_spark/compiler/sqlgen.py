@@ -1348,7 +1348,21 @@ def select_sql(
     ``dialect`` selects the backend divergence table (_DIALECTS) —
      duckdb (default) or sqlite, mirroring the reference's per-backend
     printers."""
-    return SqlGen(params, dialect).select(info.ctx)
+    g = SqlGen(params, dialect)
+    rec = getattr(info, "recursive", None)
+    if rec is not None:
+        # WITH RECURSIVE prints natively — DuckDB, Postgres and
+        # SQLite all support it with the engine's UNION/UNION ALL
+        # working-table semantics. The explicit column list carries
+        # the rename the dialect's optional ``name (cols)`` form did.
+        cols = ", ".join(_q(n) for n, _t in rec.row)
+        kw = "UNION ALL" if rec.union_all else "UNION"
+        return (
+            f"WITH RECURSIVE {_q(rec.name)} ({cols}) AS "
+            f"({g.select(rec.base_ctx)} {kw} {g.select(rec.step_ctx)}) "
+            f"{g.select(info.ctx)}"
+        )
+    return g.select(info.ctx)
 
 
 def statement_sql(
@@ -1386,8 +1400,8 @@ def statement_sql(
             welab, _ = an.infer_expr(ctx, where)
             return f" WHERE {g.expr(welab)}"
         return f" WHERE {g.expr(where)}"
-    if isinstance(q, (A.Select, A.SetOp)):
-        return g.select(analyze(env, src).ctx)
+    if isinstance(q, (A.Select, A.SetOp, A.RecursiveQuery)):
+        return select_sql(analyze(env, src), params, dialect)
 
     def returning(fields) -> str:
         if not fields:

@@ -350,7 +350,7 @@ class SqlppEngine:
     def prepare(self, src: str) -> PreparedQuery:
         q = parse_query(src)
         an = Analyzer(self.env, src)
-        if isinstance(q, (A.Select, A.SetOp)):
+        if isinstance(q, (A.Select, A.SetOp, A.RecursiveQuery)):
             info = an.analyze_query(q)
             return PreparedQuery(self, info)
         raise SqlppError("prepare() is for SELECT; use exec() for DML")

@@ -273,15 +273,38 @@ class ParamEntry:
 
 
 @dataclass
+class RecursiveInfo:
+    """Analyzed ``WITH RECURSIVE`` member (r17, beyond reference).
+    ``row`` is the recursive table's fixpoint row type: seeded from
+    the base branch (renamed by the optional column list), then
+    widened by re-analyzing the step against the widened binding until
+    stable — the step sees the recursive table at its final type, so
+    e.g. a step that can yield NULL into a base-non-null column
+    analyzes with the nullable type on BOTH sides of the recursion.
+    ``base_ctx``/``step_ctx`` are the elaborated branch contexts
+    (SelectCtx | SetOpCtx) the compiler / SQL printers consume."""
+
+    name: str
+    row: List[Tuple[str, Ty]]
+    base_ctx: object
+    step_ctx: object
+    union_all: bool
+
+
+@dataclass
 class QueryInfo:
     """Elaborated query — analysis output (analyze.ml:15-21).
     ``select`` is an A.Select, or an A.SetOp for compound selects
-    (r14); ``ctx`` is the matching SelectCtx / SetOpCtx."""
+    (r14); ``ctx`` is the matching SelectCtx / SetOpCtx.
+    ``recursive`` carries the WITH RECURSIVE member when the query has
+    one (r17): ``ctx`` is then the final SELECT, analyzed with the
+    recursive name bound as a table."""
 
     select: A.Select
     ctx: SelectCtx
     params: Dict[str, ParamEntry]
     src: str
+    recursive: Optional[RecursiveInfo] = None
 
     @property
     def row(self) -> List[Tuple[str, Ty]]:
@@ -349,7 +372,115 @@ class Analyzer:
         if isinstance(q, A.SetOp):
             ctx = self.analyze_setop(q)
             return QueryInfo(q, ctx, self.params, self.src)
+        if isinstance(q, A.RecursiveQuery):
+            return self.analyze_recursive(q)
         raise SqlppError(f"not a select: {type(q).__name__}")
+
+    def analyze_recursive(self, q: "A.RecursiveQuery") -> QueryInfo:
+        """WITH RECURSIVE (r17). The base branch fixes the column
+        NAMES (or the explicit column list does) and their KINDS —
+        the Postgres/DuckDB rule: the non-recursive term types the
+        recursive table. A step column must fit the base kind
+        losslessly (int step into float base upcasts; float step into
+        int base is a located error, because DuckDB's narrowing CAST
+        rounds while Spark's truncates — probed divergence, see
+        engine-divergences). NULLABILITY is the one lattice dimension
+        that fixpoints: a step that can yield NULL into a base
+        non-null column widens the binding and re-analyzes, so the
+        recursion sees its own nullable output. Step/main see
+        ``name`` as an ordinary table; the compiler binds it
+        iteratively (compile._compile_recursive)."""
+        if isinstance(q.base, A.SetOp):
+            base_ctx = self.analyze_setop(q.base)
+        else:
+            base_ctx = self.analyze_select(q.base)
+        brow = base_ctx.row()
+        if q.columns:
+            if len(q.columns) != len(brow):
+                self.err(
+                    f"recursive CTE {q.name!r}: column list has "
+                    f"{len(q.columns)} names but the base select has "
+                    f"{len(brow)} columns", q.loc,
+                )
+            names = list(q.columns)
+        else:
+            names = [n for n, _t in brow]
+        if len(set(names)) != len(names):
+            self.err(
+                f"recursive CTE {q.name!r} has duplicate column names",
+                q.loc,
+            )
+        row: List[Tuple[str, Ty]] = [
+            (names[i], t) for i, (_n, t) in enumerate(brow)
+        ]
+        shadowed = self.env.tables.get(q.name)
+        step_ctx = None
+        step_ast = None
+        try:
+            for _pass in range(4):
+                self.env.tables[q.name] = TableInfo(
+                    q.name, {n: t for n, t in row}
+                )
+                step_ast = copy.deepcopy(q.step)
+                if isinstance(step_ast, A.SetOp):
+                    step_ctx = self.analyze_setop(step_ast)
+                else:
+                    step_ctx = self.analyze_select(step_ast)
+                srow = step_ctx.row()
+                if len(srow) != len(row):
+                    self.err(
+                        f"recursive CTE {q.name!r}: step has "
+                        f"{len(srow)} columns, base has {len(row)}",
+                        q.loc,
+                    )
+                widened: List[Tuple[str, Ty]] = []
+                for (n, t), (_sn, st) in zip(row, srow):
+                    # base kind is authoritative; the step must fit
+                    # it without loss (lub == base kind)
+                    numeric = (t.kinds | st.kinds) <= frozenset(
+                        {"int", "float"}
+                    )
+                    if not (t.kinds & st.kinds) and not numeric:
+                        self.err(
+                            f"recursive CTE column `{n}`: base has "
+                            f"{t} but step has {st}", q.loc,
+                        )
+                    u = ty_lub(t, st)
+                    if u.kinds == frozenset({"int", "float"}):
+                        u = FLOAT.with_non_null(u.non_null)
+                    if u.kinds != t.kinds:
+                        self.err(
+                            f"recursive CTE column `{n}`: the step's "
+                            f"{st} does not fit the base type {t} "
+                            "(the non-recursive term fixes the type; "
+                            "cast the base column if the recursion "
+                            "needs the wider type)", q.loc,
+                        )
+                    widened.append((n, t.with_non_null(u.non_null)))
+                if [t for _n, t in widened] == [t for _n, t in row]:
+                    break
+                row = widened
+            else:  # pragma: no cover - lattice height makes this unreachable
+                self.err(
+                    f"recursive CTE {q.name!r}: type inference did "
+                    "not converge", q.loc,
+                )
+            # main SELECT sees the fixpoint type
+            self.env.tables[q.name] = TableInfo(
+                q.name, {n: t for n, t in row}
+            )
+            if isinstance(q.main, A.SetOp):
+                main_ctx = self.analyze_setop(q.main)
+            else:
+                main_ctx = self.analyze_select(q.main)
+        finally:
+            if shadowed is not None:
+                self.env.tables[q.name] = shadowed
+            else:
+                self.env.tables.pop(q.name, None)
+        q.step = step_ast  # keep the LAST elaborated step AST
+        rec = RecursiveInfo(q.name, row, base_ctx, step_ctx, q.union_all)
+        return QueryInfo(q.main, main_ctx, self.params, self.src, rec)
 
     def analyze_setop(self, q: "A.SetOp") -> SetOpCtx:
         """Compound select (r14): analyze each branch independently,

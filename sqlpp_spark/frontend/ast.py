@@ -404,6 +404,28 @@ class SetOp:
     loc: Loc = NO_LOC
 
 
+@dataclass
+class RecursiveQuery:
+    """``WITH RECURSIVE name [(cols)] AS (base UNION [ALL] step)
+    <main>`` (r17, beyond reference — the reference grammar has no
+    CTEs at all, parser.mly). Unlike plain CTEs (inlined at parse
+    time, parser._with_query) the recursive member cannot be
+    substituted away: ``step`` and ``main`` reference ``name`` as a
+    table, bound iteratively at execution (compiler.compile_recursive
+    — the same bounded-superstep loop the engine uses for BFS /
+    pagerank in queries/web_queries.py). ``union_all`` selects bag
+    semantics: UNION (distinct) feeds only globally-new rows to the
+    next iteration, the standard fixpoint form."""
+
+    name: str = ""
+    columns: List[str] = field(default_factory=list)  # optional rename list
+    base: object = None  # Select | SetOp — must not reference name
+    step: object = None  # Select | SetOp — references name
+    union_all: bool = False
+    main: object = None  # Select | SetOp
+    loc: Loc = NO_LOC
+
+
 # ---------------------------------------------------------------------------
 # DML statements
 # ---------------------------------------------------------------------------

@@ -117,12 +117,21 @@ class Parser:
         ``with expr as name`` — only the query-LEADING keyword opens
         a CTE list."""
         self.advance()  # WITH
+        recursive = self._eat_ident("recursive")  # contextual keyword
         ctes: list = []
+        rec: tuple | None = None  # (name, columns, base, step, all_)
         while True:
             name_tok = self.expect_ident()
             name = name_tok.value
-            if any(n == name for n, _b in ctes):
+            if any(n == name for n, _b in ctes) or (rec and rec[0] == name):
                 self.fail(f"duplicate CTE name {name!r}")
+            columns: list[str] = []
+            if self.eat_punct("("):
+                while True:
+                    columns.append(self.expect_ident().value)
+                    if not self.eat_punct(","):
+                        break
+                self.expect_punct(")")
             self.expect_kw("as")
             self.expect_punct("(")
             body = self.select_compound()
@@ -130,10 +139,27 @@ class Parser:
             for n0, b0 in ctes:
                 _subst_cte(body, n0, b0)
             if _refs_table(body, name):
-                self.fail(
-                    f"recursive CTE {name!r} is not supported"
-                )
-            ctes.append((name, body))
+                if not recursive:
+                    self.fail(
+                        f"recursive CTE {name!r} must be spelled "
+                        "WITH RECURSIVE"
+                    )
+                if rec is not None:
+                    self.fail(
+                        "only one recursive CTE per WITH RECURSIVE is "
+                        "supported (no mutual recursion)"
+                    )
+                rec = (name, columns, *self._split_recursive(name, body))
+            else:
+                if columns:
+                    self.fail(
+                        "CTE column lists are only supported on the "
+                        "recursive member"
+                    )
+                # NOTE: a plain CTE may reference the recursive one —
+                # its body inlines into the main SELECT, where the
+                # recursive name is in scope.
+                ctes.append((name, body))
             if not self.eat_punct(","):
                 break
         if not self.at_kw("select"):
@@ -144,7 +170,41 @@ class Parser:
         # standard SQL visibility is strictly earlier-CTEs-only
         for n, b in reversed(ctes):
             _subst_cte(q, n, b)
+        if rec is not None:
+            name, columns, base, step, all_ = rec
+            # EARLIER plain CTEs were already substituted into the
+            # recursive body inside the loop (standard earlier-only
+            # visibility); later ones must not be.
+            return A.RecursiveQuery(
+                name=name, columns=columns, base=base, step=step,
+                union_all=all_, main=q, loc=name_tok.loc,
+            )
         return q
+
+    def _split_recursive(self, name: str, body):
+        """Split a recursive CTE body into (base, step, union_all).
+        Standard shape: the OUTERMOST set operation must be a UNION
+        whose left side (the base case, itself possibly compound)
+        never references ``name`` and whose right side (the step)
+        does."""
+        if not isinstance(body, A.SetOp) or body.op != "union":
+            self.fail(
+                f"recursive CTE {name!r} must be <base> UNION [ALL] "
+                "<step>"
+            )
+        if body.order_by or body.limit is not None or body.offset is not None \
+                or getattr(body, "order_all", None):
+            self.fail(
+                "ORDER BY / LIMIT / OFFSET are not supported on a "
+                "recursive CTE body"
+            )
+        if _refs_table(body.left, name):
+            self.fail(
+                f"recursive CTE {name!r}: the base case (left of "
+                "UNION) must not reference the CTE"
+            )
+        # (body refs name and base doesn't => the step does)
+        return body.left, body.right, body.all
 
     def parse_decls(self) -> list:
         decls = []

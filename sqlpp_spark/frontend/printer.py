@@ -364,6 +364,16 @@ def format_query(q) -> str:
         return select_str(q)
     if isinstance(q, A.SetOp):
         return setop_str(q)
+    if isinstance(q, A.RecursiveQuery):
+        def _body(b):
+            return setop_str(b) if isinstance(b, A.SetOp) else select_str(b)
+
+        cols = f" ({', '.join(q.columns)})" if q.columns else ""
+        kw = "union all" if q.union_all else "union"
+        return (
+            f"with recursive {q.name}{cols} as "
+            f"({_body(q.base)} {kw} {_body(q.step)}) {_body(q.main)}"
+        )
     if isinstance(q, A.Insert):
         cols = ", ".join(q.columns)
         if q.values is not None:

@@ -1356,3 +1356,57 @@ _sqlpp(
     "CAST(mode(l_linenumber) AS BIGINT) AS mode_line, count(*) AS n "
     "FROM lineitem GROUP BY l_returnflag ORDER BY flag",
 )
+
+_sqlpp(
+    # r17: WITH RECURSIVE — data-driven linear recursion. Walks each
+    # order's lineitems by linenumber (depth <= 7 supersteps at any
+    # SF: TPC-H linenumbers are 1..7 contiguous), accumulating the
+    # running quantity along the chain; one bounded equi-join per
+    # superstep, working table shrinks monotonically. DuckDB runs
+    # WITH RECURSIVE natively — full independent oracle.
+    "sqlpp_recursive_chain",
+    "with recursive chain (okey, ln, run_qty) as ("
+    "select l_orderkey as okey, l_linenumber as ln, "
+    "cast(l_quantity as int) as run_qty "
+    "from lineitem where l_linenumber = 1 "
+    "union all "
+    "select l.l_orderkey as okey, l.l_linenumber as ln, "
+    "c.run_qty + cast(l.l_quantity as int) as run_qty "
+    "from chain as c join lineitem as l "
+    "on l.l_orderkey = c.okey and l.l_linenumber = c.ln + 1) "
+    "select ln as depth, count(1) as n_chains, "
+    "cast(sum(run_qty) as int) as total_qty "
+    "from chain group by ln order by depth",
+    "WITH RECURSIVE chain (okey, ln, run_qty) AS ("
+    "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) "
+    "FROM lineitem WHERE l_linenumber = 1 "
+    "UNION ALL "
+    "SELECT l.l_orderkey, l.l_linenumber, "
+    "c.run_qty + CAST(l.l_quantity AS INTEGER) "
+    "FROM chain c JOIN lineitem l "
+    "ON l.l_orderkey = c.okey AND l.l_linenumber = c.ln + 1) "
+    "SELECT ln AS depth, count(*) AS n_chains, "
+    "CAST(sum(run_qty) AS BIGINT) AS total_qty "
+    "FROM chain GROUP BY ln ORDER BY depth",
+)
+
+_sqlpp(
+    # r17: WITH RECURSIVE as a generator — a 12-row month spine built
+    # by arithmetic recursion, left-joined against orders (classic
+    # reporting spine: months with zero orders still appear). The
+    # UNION-distinct variant is exercised by the fixpoint tests; this
+    # registry entry pins the generator + outer-join composition.
+    "sqlpp_recursive_spine",
+    "with recursive months (m) as (select 1 as m union all "
+    "select m + 1 as m from months where m < 12) "
+    "select mo.m as month_no, count(o.o_orderkey) as n_orders "
+    "from months as mo left join orders as o "
+    "on month(o.o_orderdate) = mo.m and o.o_totalprice > 300000 "
+    "group by mo.m order by month_no",
+    "WITH RECURSIVE months (m) AS (SELECT 1 UNION ALL "
+    "SELECT m + 1 FROM months WHERE m < 12) "
+    "SELECT CAST(m AS INTEGER) AS month_no, count(o_orderkey) AS n_orders "
+    "FROM months LEFT JOIN orders "
+    "ON month(o_orderdate) = m AND o_totalprice > 300000 "
+    "GROUP BY m ORDER BY month_no",
+)

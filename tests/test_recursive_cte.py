@@ -1,0 +1,254 @@
+"""WITH RECURSIVE (r17, beyond reference — the reference grammar has
+no CTEs at all, parser.mly). The engine compiles the recursive member
+to bounded supersteps (compiler/compile.py _compile_recursive): each
+iteration binds the CTE name to the previous iteration's new rows
+(the standard SQL working table), localCheckpoints the batch, and
+stops at the empty working table or the
+spark.sqlpp.recursive.maxIterations guard. DuckDB runs both the
+ORIGINAL source and the printed SQL natively — two independent
+oracles per query."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sqlpp_spark.compiler.sqlgen import select_sql
+from sqlpp_spark.frontend.analyze import Analyzer
+from sqlpp_spark.frontend.errors import SqlppError
+from sqlpp_spark.frontend.parser import parse_query
+
+# a small DAG: parent -> child edges (None parent = root), plus a
+# value column so walks can aggregate along paths
+EDGES = [
+    (1, None, 10),
+    (2, 1, 20),
+    (3, 1, 30),
+    (4, 2, 40),
+    (5, 2, 50),
+    (6, 3, 60),
+    (7, 6, 70),
+    (8, None, 80),
+]
+
+
+@pytest.fixture()
+def eng(spark):
+    from sqlpp_spark.engine import SqlppEngine
+
+    eng = SqlppEngine(spark)
+    eng.add_decls(
+        "create table edges (id int not null, parent int, val int not null);"
+    )
+    eng.register_df(
+        "edges",
+        spark.createDataFrame(EDGES, "id long, parent long, val long"),
+    )
+    return eng
+
+
+@pytest.fixture()
+def duck():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges (id BIGINT, parent BIGINT, val BIGINT)")
+    con.executemany("INSERT INTO edges VALUES (?,?,?)", EDGES)
+    return con
+
+
+def _differ(eng, duck, src):
+    rows = sorted(tuple(repr(x) for x in r) for r in eng.fetch_list(src))
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    sql = select_sql(info)
+    want = sorted(tuple(repr(x) for x in r) for r in duck.execute(sql).fetchall())
+    want2 = sorted(tuple(repr(x) for x in r) for r in duck.execute(src).fetchall())
+    assert rows == want == want2, f"{src}\n{sql}"
+
+
+def test_counter_union_all(eng, duck):
+    _differ(
+        eng, duck,
+        "with recursive t (n) as (select 1 as n union all "
+        "select n + 1 as n from t where n < 10) "
+        "select n from t",
+    )
+
+
+def test_union_distinct_fixpoint_on_cycle(eng, duck):
+    # (n+1) % 3 cycles 1 -> 2 -> 0 -> 1 ...; UNION distinct terminates
+    _differ(
+        eng, duck,
+        "with recursive t (n) as (select 1 as n union "
+        "select (n + 1) % 3 as n from t) select n from t",
+    )
+
+
+def test_tree_walk_with_depth_and_path_aggregate(eng, duck):
+    # descend the DAG from the roots accumulating depth and path value
+    _differ(
+        eng, duck,
+        "with recursive walk (id, depth, path_val) as ("
+        "select id, 1 as depth, val as path_val from edges "
+        "where parent is null "
+        "union all "
+        "select e.id as id, w.depth + 1 as depth, "
+        "w.path_val + e.val as path_val "
+        "from walk as w join edges as e on e.parent = w.id) "
+        "select id, depth, path_val from walk",
+    )
+
+
+def test_subtree_from_seed(eng, duck):
+    _differ(
+        eng, duck,
+        "with recursive sub (id) as (select id from edges where id = 2 "
+        "union all select e.id as id from sub as s "
+        "join edges as e on e.parent = s.id) "
+        "select count(1) as n, sum(s.id) as total "
+        "from sub as s group by ()",
+    )
+
+
+def test_main_select_joins_recursive_and_base_table(eng, duck):
+    _differ(
+        eng, duck,
+        "with recursive t (n) as (select 1 as n union all "
+        "select n + 1 as n from t where n < 8) "
+        "select t.n as n, count(e.id) as n_nodes "
+        "from t left join edges as e on e.id = t.n "
+        "group by t.n",
+    )
+
+
+def test_plain_cte_alongside_recursive(eng, duck):
+    # earlier plain CTE visible in the recursive body; WITH RECURSIVE
+    # also covers non-recursive members (standard SQL)
+    _differ(
+        eng, duck,
+        "with recursive roots as (select id from edges "
+        "where parent is null), "
+        "walk (id) as (select id from roots union all "
+        "select e.id as id from walk as w "
+        "join edges as e on e.parent = w.id) "
+        "select id from walk",
+    )
+
+
+def test_base_branch_fixes_the_type(eng, duck):
+    # float base, int step: upcasts losslessly, engines agree
+    src = (
+        "with recursive t (n) as (select 0.5 as n union all "
+        "select n + 1 as n from t where n < 3) "
+        "select n from t"
+    )
+    rows = sorted(float(r[0]) for r in eng.fetch_list(src))
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    sql = select_sql(info)
+    want = sorted(float(r[0]) for r in duck.execute(sql).fetchall())
+    assert rows == want == [0.5, 1.5, 2.5, 3.5]
+    # int base, float step: LOSSY (DuckDB's narrowing cast rounds,
+    # Spark's truncates -- probed divergence) -> located error
+    with pytest.raises(SqlppError, match="does not fit the base type"):
+        eng.fetch_list(
+            "with recursive t (n) as (select 1 as n union all "
+            "select n + 0.5 as n from t where n < 3) select n from t"
+        )
+
+
+def test_nullability_fixpoint(eng, duck):
+    # the step can inject NULL into a base-non-null column; the
+    # analyzer re-analyzes the step at the widened (nullable) binding
+    # so `w.pval + e.val` types nullable on the next level too
+    _differ(
+        eng, duck,
+        "with recursive walk (id, pval) as ("
+        "select id, val as pval from edges where parent is null "
+        "union all "
+        "select e.id as id, nullif(w.pval + e.val, 130) as pval "
+        "from walk as w join edges as e on e.parent = w.id) "
+        "select id, pval from walk",
+    )
+
+
+def test_empty_base_short_circuits(eng, duck):
+    _differ(
+        eng, duck,
+        "with recursive t (n) as (select id as n from edges where id > 99 "
+        "union all select n + 1 as n from t where n < 3) "
+        "select count(1) as n_rows from t group by ()",
+    )
+
+
+def test_max_iteration_guard(spark, eng):
+    spark.conf.set("spark.sqlpp.recursive.maxIterations", "5")
+    try:
+        with pytest.raises(SqlppError, match="did not terminate within 5"):
+            eng.query(
+                "with recursive t (n) as (select 1 as n union all "
+                "select n + 1 as n from t) select n from t"
+            ).collect()
+    finally:
+        spark.conf.unset("spark.sqlpp.recursive.maxIterations")
+
+
+def test_fmt_roundtrip(eng):
+    from sqlpp_spark.frontend.printer import format_query
+
+    src = (
+        "with recursive t (n) as (select 1 as n union all "
+        "select n + 1 as n from t where n < 5) select n from t"
+    )
+    text = format_query(parse_query(src))
+    assert "with recursive t (n) as" in text
+    # the canonical text re-parses to the same result
+    rows = sorted(r[0] for r in eng.fetch_list(text))
+    assert rows == [1, 2, 3, 4, 5]
+
+
+def test_errors(eng):
+    for bad, m in (
+        # self-reference without RECURSIVE (pre-r17 pinned behavior)
+        ("with a as (select id from a) select id from a as x",
+         "spelled WITH RECURSIVE"),
+        # not base UNION step
+        ("with recursive a (n) as (select id as n from a) "
+         "select n from a", "must be <base> UNION"),
+        # base references the CTE
+        ("with recursive a (n) as (select id as n from a union all "
+         "select n + 1 as n from a) select n from a",
+         "must not reference"),
+        # a non-self-referencing member is a PLAIN CTE (standard SQL
+        # allows it under WITH RECURSIVE) -- but plain members don't
+        # take a column list in this dialect
+        ("with recursive a (n) as (select id as n from edges union all "
+         "select id as n from edges) select n from a",
+         "only supported on the recursive member"),
+        # mutual recursion unsupported
+        ("with recursive a (n) as (select 1 as n union all "
+         "select n + 1 as n from a where n < 3), "
+         "b (n) as (select n from a union all "
+         "select n + 1 as n from b where n < 3) select n from b",
+         "only one recursive CTE"),
+        # arity mismatch in column list
+        ("with recursive a (n, m) as (select 1 as n union all "
+         "select n + 1 as n from a) select n from a",
+         "column list has 2 names"),
+        # branch arity mismatch
+        ("with recursive a (n) as (select 1 as n union all "
+         "select n as n, n as m from a) select n from a",
+         "step has 2 columns"),
+        # kind mismatch across branches
+        ("with recursive a (n) as (select 1 as n union all "
+         "select 'x' as n from a where n < 2) select n from a",
+         "base has"),
+        # ORDER BY on the recursive body
+        ("with recursive a (n) as (select 1 as n union all "
+         "select n + 1 as n from a where n < 3 order by n) "
+         "select n from a", "not supported on a recursive CTE body"),
+        # column list on a plain CTE
+        ("with recursive a (n) as (select 1 as n union all "
+         "select n + 1 as n from a where n < 3), b (m) as "
+         "(select 2 as m) select n from a",
+         "only supported on the recursive member"),
+    ):
+        with pytest.raises(SqlppError, match=m):
+            eng.fetch_list(bad)
