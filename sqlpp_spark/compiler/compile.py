@@ -1608,7 +1608,20 @@ class Compiler:
                 # frame: (1 FOLLOWING, UNBOUNDED FOLLOWING) in query
                 # order for lead, in REVERSED order for lag (flip
                 # direction AND the pinned NULLS placement so the row
-                # sequence is an exact reversal)
+                # sequence is an exact reversal).
+                #
+                # DETERMINISM (r17, advisor): the reversal is an exact
+                # reversal only when the window ORDER BY is a total
+                # order within each partition. With duplicate sort
+                # keys, which previous-non-null row is picked can
+                # differ run-to-run — exactly as it can in DuckDB and
+                # PG themselves (ties make lag/lead IGNORE NULLS
+                # engine-nondeterministic everywhere, so an analyzer
+                # error would reject queries the oracle engines
+                # accept). Users who need stable results must add a
+                # tie-breaking key, same as for DISTINCT ON /
+                # arg_min/arg_max; differential tests and registry
+                # oracles use unique order keys for this reason.
                 w2 = W.partitionBy(*parts) if parts else W.partitionBy(
                     F.lit(1)
                 )

@@ -796,13 +796,19 @@ class SqlGen:
                 return (
                     f"CAST(approx_quantile({x}, {p}) {over} AS DOUBLE)"
                 )
+            if e.nulls_mode == "respect":
+                # r17: RESPECT NULLS is the default semantics on every
+                # backend — print the plain call everywhere instead of
+                # refusing on PG/SQLite (the explicit modifier adds no
+                # meaning, so the query stays portable)
+                return f"{fnl}({args}) OVER ({' '.join(spec)})"
             if e.nulls_mode is not None:
-                # r16: IGNORE/RESPECT NULLS — DuckDB takes it inside
-                # the call parens; PG (<16 window set) and SQLite have
-                # no null-treatment clause at all
+                # r16: IGNORE NULLS — DuckDB takes it inside the call
+                # parens; PG (<16 window set) and SQLite have no
+                # null-treatment clause at all
                 if self.dialect != "duckdb":
                     raise SqlppError(
-                        f"{self.dialect} has no IGNORE/RESPECT NULLS "
+                        f"{self.dialect} has no IGNORE NULLS "
                         "window modifier (backend divergence)"
                     )
                 return (

@@ -565,10 +565,20 @@ class Analyzer:
         # 0. named windows (r16): substitute WINDOW-clause specs into
         # every `OVER w` reference before any inference, so the rest
         # of the pipeline only ever sees inline window specs
-        self._resolve_named_windows(sel)
+        unused_windows = self._resolve_named_windows(sel)
         # 1. FROM → relations
         if sel.from_ is not None:
             self._analyze_from(ctx, sel.from_, nullable=False)
+        # 1b. UNUSED WINDOW definitions still bind and validate (the
+        # oracle engines reject e.g. `WINDOW w AS (partition by
+        # no_such_col)` even when w is never referenced) — referenced
+        # specs were deep-copied into their EWindows and validate
+        # through the normal inference path
+        for nw in unused_windows:
+            for ex in list(nw.partition_by) + [o.expr for o in nw.order_by]:
+                elab, _ty = self.infer_expr(ctx, copy.deepcopy(ex))
+                self._reject_agg(elab, "WINDOW")
+                self._forbid_windows(elab, "WINDOW")
         # 2. WHERE (clauses before projection: analyze.ml:646-697)
         if sel.where is not None:
             self._forbid_windows(sel.where, "WHERE")
@@ -1617,23 +1627,26 @@ class Analyzer:
                 stack.extend(br.body for br in n.branches)
         return False
 
-    def _resolve_named_windows(self, sel: A.Select) -> None:
+    def _resolve_named_windows(self, sel: A.Select) -> List["A.NamedWindow"]:
         """WINDOW clause resolution (r16): substitute each named
         window's spec (partition/order/frame, deep-copied) into every
         ``OVER w`` reference, before any inference — downstream
         passes only ever see inline specs. Window names are
         per-SELECT (subquery bodies resolve their own clause when
         they are analyzed). Unused definitions are allowed (DuckDB's
-        behavior); duplicate names and unknown references error."""
+        behavior) but still returned for binding validation (r17 —
+        the oracle engines bind unreferenced specs too); duplicate
+        names and unknown references error."""
         wins = getattr(sel, "windows", None) or []
         specs: Dict[str, A.NamedWindow] = {}
+        used: set = set()
         for nw in wins:
             if nw.name in specs:
                 self.err(f"duplicate window name `{nw.name}`", nw.loc)
             specs[nw.name] = nw
         if not wins and not sel.qualify and not sel.fields \
                 and not sel.order_by:
-            return
+            return []
         exprs = []
         for it in sel.fields:
             ex = getattr(it, "expr", None)
@@ -1656,6 +1669,7 @@ class Analyzer:
                             f"unknown window name `{n.ref}` (define it "
                             "in a WINDOW clause)", n.loc,
                         )
+                    used.add(n.ref)
                     n.partition_by = copy.deepcopy(nw.partition_by)
                     n.order_by = copy.deepcopy(nw.order_by)
                     n.frame = copy.deepcopy(nw.frame)
@@ -1676,6 +1690,7 @@ class Analyzer:
                 stack.extend(br.body for br in n.branches)
             if isinstance(n, A.EQuant):
                 stack.append(n.expr)
+        return [nw for name, nw in specs.items() if name not in used]
 
     @staticmethod
     def _contains_subquery(e: A.Expr) -> bool:

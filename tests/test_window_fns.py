@@ -166,6 +166,15 @@ def test_ignore_nulls_printers(eng):
     for dialect in ("postgres", "sqlite"):
         with pytest.raises(SqlppError, match="backend divergence"):
             select_sql(info, dialect=dialect)
+    # r17 (advisor): explicit RESPECT NULLS is the default semantics
+    # everywhere -- prints as the plain call on every dialect instead
+    # of refusing
+    src2 = ("select id, lag(val respect nulls) over (order by id) as p "
+            "from t1 order by id")
+    info2 = Analyzer(eng.env, src2).analyze_query(parse_query(src2))
+    for dialect in ("duckdb", "postgres", "sqlite"):
+        sql2 = select_sql(info2, dialect=dialect)
+        assert "RESPECT" not in sql2 and "lag(" in sql2.lower()
 
 
 def test_named_windows_differential(eng, duck):
@@ -210,6 +219,21 @@ def test_named_windows_errors_and_fmt(eng):
         eng.fetch_list(
             "select id, sum(id) over w as s from t1 "
             "window w as (order by id), w as (order by grp)"
+        )
+    # r17 (advisor): an UNUSED window definition still binds -- a bad
+    # column inside it is an error (DuckDB/PG bind unreferenced specs
+    # too), as is an aggregate or a nested window in the spec
+    with pytest.raises(SqlppError, match="no_such_col"):
+        eng.fetch_list(
+            "select id from t1 window w as (partition by no_such_col)"
+        )
+    with pytest.raises(SqlppError, match="no_such_col"):
+        eng.fetch_list(
+            "select id from t1 window w as (order by no_such_col)"
+        )
+    with pytest.raises(SqlppError):
+        eng.fetch_list(
+            "select id from t1 window w as (partition by sum(id))"
         )
     # fmt round-trips the clause and the bare reference
     src = ("select id, sum(id) over w as s from t1 "
