@@ -895,23 +895,29 @@ class Compiler:
             probe = df.select(
                 *[c.alias(n) for c, n in zip(outer_cols, po)]
             ).distinct()
-            tcond = None
-            for i, (op, _ie, _oe) in enumerate(corr):
-                c = self._cmp_col(op, F.col(keys[i]), F.col(po[i]))
-                tcond = c if tcond is None else (tcond & c)
-            j = probe.join(sub_df, on=tcond, how="left")
-            # a matched sub row carries non-NULL correlation keys (a
-            # NULL key satisfies no comparison), so keys[0] marks hits;
-            # unmatched probe tuples aggregate to the empty-set cells
-            hit = F.col(keys[0]).isNotNull()
-            marker = j.groupBy(*[F.col(c) for c in po]).agg(
-                F.sum(hit.cast("long")).alias(cnt),
-                F.sum(
-                    (hit & F.col(col0).isNotNull()).cast("long")
-                ).alias(cntn),
-                F.min(F.when(hit, F.col(col0))).alias(mn),
-                F.max(F.when(hit, F.col(col0))).alias(mx),
+            marker = self._theta_cells_banded(
+                probe, po, sub_df, keys, col0, corr,
+                (cnt, cntn, mn, mx),
             )
+            if marker is None:
+                tcond = None
+                for i, (op, _ie, _oe) in enumerate(corr):
+                    c = self._cmp_col(op, F.col(keys[i]), F.col(po[i]))
+                    tcond = c if tcond is None else (tcond & c)
+                j = probe.join(sub_df, on=tcond, how="left")
+                # a matched sub row carries non-NULL correlation keys
+                # (a NULL key satisfies no comparison), so keys[0]
+                # marks hits; unmatched probe tuples aggregate to the
+                # empty-set cells
+                hit = F.col(keys[0]).isNotNull()
+                marker = j.groupBy(*[F.col(c) for c in po]).agg(
+                    F.sum(hit.cast("long")).alias(cnt),
+                    F.sum(
+                        (hit & F.col(col0).isNotNull()).cast("long")
+                    ).alias(cntn),
+                    F.min(F.when(hit, F.col(col0))).alias(mn),
+                    F.max(F.when(hit, F.col(col0))).alias(mx),
+                )
             recond = None
             for c, name in zip(outer_cols, po):
                 eq = c.eqNullSafe(F.col(name))
@@ -993,6 +999,147 @@ class Compiler:
             )
         scalar_map[id(node)] = col
         return df
+
+    def _theta_cells_banded(
+        self, probe: DataFrame, po: List[str], sub_df: DataFrame,
+        keys: List[str], col0: str, corr, names,
+    ) -> Optional[DataFrame]:
+        """Range-bucket ("band join") evaluation of the four
+        quantifier cells for a SINGLE ordered theta correlation
+        (r17, round-16 verdict ask #4). Returns None when ineligible
+        or below the comparison threshold — the caller falls back to
+        the nested-loop marker.
+
+        The nested-loop theta join costs |distinct probes| x |sub|
+        comparisons (THETA_REHEARSAL.json: ~2e8 cmp/s on local[32],
+        so 1e6 x 1e5 is already ~500 s; at cluster scale it is the
+        one quadratic corner in the engine). For a single `<' family
+        comparison the cells are PREFIX aggregates over the subquery
+        ordered by its correlation key, which distributes without a
+        nested loop:
+
+        1. width_bucket the key range into NB value buckets (O(1)
+           per row; buckets 0 and NB+1 catch out-of-range probes);
+        2. per-bucket cells (one hash agg over sub), completed onto a
+           dense spine of NB+2 rows;
+        3. running prefix over the spine — strictly-below buckets for
+           `<`/`<=`, strictly-above for `>`/`>=` (a window over <=
+           NB+2 rows: metadata-scale, single partition is fine);
+        4. probes equi-join their OWN bucket's sub rows (shuffle hash
+           join on bucket id) with the theta as residual — the only
+           remaining comparisons, ~ D*S/NB total;
+        5. cells = prefix (+) in-bucket partial.
+
+        A NULL probe gets NULL cells (no bucket), matching the
+        nested-loop left join; sub rows with NULL keys are dropped up
+        front (a NULL key satisfies no comparison). Value-uniform
+        buckets degrade toward the nested loop only when probes AND
+        sub keys concentrate in one bucket's value range — accepted,
+        documented corner (frequency-uniform boundaries would cost a
+        per-row binary search).
+
+        Thresholds: banded only pays once the product is large, so
+        the strategy first counts sub (cheap scan); if |sub| >= the
+        sub floor it counts the distinct-probe frame (persisted — the
+        banded plan consumes it twice) and switches when D*S exceeds
+        spark.sqlpp.quantifier.bandedThreshold (default 1e8, ~0.5 s
+        of nested loop)."""
+        from pyspark.sql import Window as W
+        from pyspark.sql.types import NumericType
+
+        if len(corr) != 1 or corr[0][0] not in ("<", "<=", ">", ">="):
+            return None
+        op = corr[0][0]
+        key = keys[0]
+        if not isinstance(sub_df.schema[key].dataType, NumericType):
+            return None
+        if not isinstance(probe.schema[po[0]].dataType, NumericType):
+            return None
+        conf = self.spark.conf
+        threshold = float(
+            conf.get("spark.sqlpp.quantifier.bandedThreshold", "1e8")
+        )
+        sub_floor = int(
+            conf.get("spark.sqlpp.quantifier.bandedSubFloor", "10000")
+        )
+        nb = int(conf.get("spark.sqlpp.quantifier.bandedBuckets", "4096"))
+        sub_k = sub_df.where(F.col(key).isNotNull())
+        s_rows = sub_k.count()
+        if s_rows < sub_floor:
+            return None
+        probe = probe.persist()
+        d_rows = probe.count()
+        if d_rows * s_rows < threshold:
+            probe.unpersist()
+            return None
+        lohi = sub_k.agg(
+            F.min(F.col(key).cast("double")).alias("lo"),
+            F.max(F.col(key).cast("double")).alias("hi"),
+        ).collect()[0]
+        lo, hi = float(lohi["lo"]), float(lohi["hi"])
+        if hi <= lo:
+            hi = lo + 1.0
+
+        def bkt(c: Column) -> Column:
+            return F.width_bucket(
+                c.cast("double"), F.lit(lo), F.lit(hi), F.lit(nb)
+            )
+
+        cnt, cntn, mn, mx = names
+        vtype = sub_df.schema[col0].dataType.simpleString()
+        per_bucket = sub_k.groupBy(bkt(F.col(key)).alias("_b")).agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.count(F.col(col0)).alias("_cn"),
+            F.min(F.col(col0)).alias("_mn"),
+            F.max(F.col(col0)).alias("_mx"),
+        )
+        spine = self.spark.range(0, nb + 2).select(
+            F.col("id").cast("int").alias("_b")
+        )
+        dense = spine.join(F.broadcast(per_bucket), on="_b", how="left")
+        order = F.col("_b").asc() if op in ("<", "<=") else F.col("_b").desc()
+        w = W.orderBy(order).rowsBetween(W.unboundedPreceding, -1)
+        prefix = dense.select(
+            F.col("_b"),
+            F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_pc"),
+            F.coalesce(F.sum("_cn").over(w), F.lit(0)).alias("_pcn"),
+            F.min("_mn").over(w).alias("_pmn"),
+            F.max("_mx").over(w).alias("_pmx"),
+        )
+        probe_b = probe.withColumn("_pb", bkt(F.col(po[0])))
+        sub_b = sub_k.withColumn("_sb", bkt(F.col(key)))
+        partial = (
+            probe_b.join(
+                sub_b,
+                on=(F.col("_sb") == F.col("_pb"))
+                & self._cmp_col(op, F.col(key), F.col(po[0])),
+                how="inner",
+            )
+            .groupBy(F.col(po[0]))
+            .agg(
+                F.count(F.lit(1)).alias("_qc"),
+                F.count(F.col(col0)).alias("_qcn"),
+                F.min(F.col(col0)).alias("_qmn"),
+                F.max(F.col(col0)).alias("_qmx"),
+            )
+        )
+        null_v = F.lit(None).cast(vtype)
+        return (
+            probe_b.join(F.broadcast(prefix), F.col("_pb") == F.col("_b"),
+                         "left")
+            .join(partial, on=po[0], how="left")
+            .select(
+                *[F.col(c) for c in po],
+                (F.coalesce(F.col("_pc"), F.lit(0))
+                 + F.coalesce(F.col("_qc"), F.lit(0))).alias(cnt),
+                (F.coalesce(F.col("_pcn"), F.lit(0))
+                 + F.coalesce(F.col("_qcn"), F.lit(0))).alias(cntn),
+                F.least(F.coalesce(F.col("_pmn"), null_v),
+                        F.coalesce(F.col("_qmn"), null_v)).alias(mn),
+                F.greatest(F.coalesce(F.col("_pmx"), null_v),
+                           F.coalesce(F.col("_qmx"), null_v)).alias(mx),
+            )
+        )
 
     def _attach_corr_flag(
         self, df: DataFrame, node, binds: Bindings,

@@ -727,3 +727,51 @@ def test_named_windows_one_window_node(spark, sf_dir):
     nodes = _re.findall(r"^\s*\(\d+\) (\w+)", p, _re.M)
     assert nodes.count("Window") == 1, nodes
     assert nodes.count("Exchange") <= 2, nodes
+
+
+def test_theta_quantifier_banded_no_nested_loop(spark, sf_dir):
+    """r17 banded theta quantifier (round-16 verdict ask #4): past
+    the comparison threshold the single-ordered-theta marker switches
+    from the nested loop to the range-bucket band join — every join
+    in the plan is a HASH equi-join (bucket id / marker key / spine
+    broadcast), no BroadcastNestedLoopJoin or CartesianProduct
+    anywhere, so the quadratic corner is gone."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from sqlpp_spark.engine import SqlppEngine
+
+    eng = SqlppEngine(spark)
+    eng.register_df(
+        "probe_t",
+        spark.range(1000).select(
+            (F.col("id") % 500).alias("p"),
+            F.pmod(F.hash("id"), F.lit(100)).alias("x"),
+        ),
+    )
+    eng.register_df(
+        "sub_t",
+        spark.range(1000).select(
+            F.pmod(F.hash(F.col("id") + 1), F.lit(500)).alias("k"),
+            F.pmod(F.hash(F.col("id") + 2), F.lit(50)).alias("v"),
+        ),
+    )
+    spark.conf.set("spark.sqlpp.quantifier.bandedSubFloor", "1")
+    spark.conf.set("spark.sqlpp.quantifier.bandedThreshold", "1")
+    try:
+        df = eng.query(
+            "select count(1) as n from probe_t as o where o.x > any "
+            "(select s.v from sub_t as s where s.k < o.p) group by ()"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+    finally:
+        spark.conf.unset("spark.sqlpp.quantifier.bandedSubFloor")
+        spark.conf.unset("spark.sqlpp.quantifier.bandedThreshold")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "HashJoin" in p, p

@@ -229,6 +229,37 @@ def test_quantified_theta_correlated_differential(eng, duck):
         _differ(eng, duck, src)
 
 
+def test_quantified_theta_banded_differential(spark, eng, duck):
+    # r17 (round-16 verdict ask #4): the range-bucket band-join
+    # strategy for single ordered theta correlations — force it on
+    # the tiny fixtures (floor/threshold 1) and run the SAME semantic
+    # battery: empty set, NULL probe, NULL-bearing set, all-NULL set,
+    # out-of-range probes. Sources with mixed/equality/!= correlation
+    # fall back to the nested loop inside the same test (eligibility
+    # gate), so both lowerings are pinned to one truth.
+    spark.conf.set("spark.sqlpp.quantifier.bandedSubFloor", "1")
+    spark.conf.set("spark.sqlpp.quantifier.bandedThreshold", "1")
+    spark.conf.set("spark.sqlpp.quantifier.bandedBuckets", "4")
+    try:
+        for src in THETA_CORR_SOURCES:
+            _differ(eng, duck, src)
+        # probes far outside the sub key range (buckets 0 / NB+1)
+        _differ(
+            eng, duck,
+            "select id, (val > any (select v from t2 "
+            "where t2.grp < t1.id + 100)) as f from t1 order by id",
+        )
+        _differ(
+            eng, duck,
+            "select id, (val <= all (select v from t2 "
+            "where t2.grp > t1.id - 100)) as f from t1 order by id",
+        )
+    finally:
+        spark.conf.unset("spark.sqlpp.quantifier.bandedSubFloor")
+        spark.conf.unset("spark.sqlpp.quantifier.bandedThreshold")
+        spark.conf.unset("spark.sqlpp.quantifier.bandedBuckets")
+
+
 def test_quantified_shape_errors(eng):
     with pytest.raises(SqlppError, match="exactly one column"):
         eng.fetch_list(
