@@ -572,6 +572,8 @@ class Compiler:
     def _compile_from_node(self, ctx: SelectCtx, fr, binds: Bindings) -> DataFrame:
         if isinstance(fr, A.FromJoin):
             left = self._compile_from_node(ctx, fr.left, binds)
+            if isinstance(fr.right, A.FromSelect) and fr.right.lateral:
+                return self._join_lateral(fr, left, binds)
             right = self._compile_from_node(ctx, fr.right, binds)
             if fr.kind == "cross":
                 # no ON — Catalyst plans a cartesian (AQE may still
@@ -609,6 +611,97 @@ class Compiler:
             sub = self.compile_select(rel.ctx, binds)
             return sub.alias(fr.alias)
         raise SqlppError(f"bad from node {type(fr).__name__}")
+
+    def _join_lateral(self, fr: "A.FromJoin", left: DataFrame,
+                      binds: Bindings) -> DataFrame:
+        """JOIN LATERAL decorrelation (r17). The analyzer lifted the
+        body's outer-referencing comparison conjuncts into corr
+        triples, so the body compiles ONCE as an ordinary frame and
+        joins back: equality conjuncts become hash keys, thetas
+        residual join conditions (Catalyst splits them). An ORDER BY +
+        LIMIT/OFFSET body (equality-corr only, analyzer-enforced)
+        windows BEFORE the join — row_number per correlation key —
+        the classic distributed top-k-per-key: one window exchange on
+        the body side, one equi-join, never a per-outer-row rescan.
+        CROSS JOIN LATERAL is an inner join on the correlation;
+        LEFT JOIN LATERAL ... ON <cond> ANDs the ON clause into the
+        join condition and preserves outer rows."""
+        lat = fr.right
+        sub_ctx, corr = lat.sub_ctx, lat.corr
+        sel = sub_ctx.select
+        alias = self._fresh("__lat")
+        keys = [f"{alias}_k{i}" for i in range(len(corr))]
+        if sel.limit is None and sel.offset is None:
+            sub, keys = self._corr_sub_frame(
+                sub_ctx, corr, alias, binds, extra_fields=True
+            )
+        else:
+            # top-k per key: rebuild FROM + residual WHERE (the _corr
+            # conjuncts live in the join condition), carry the ORDER
+            # BY expressions as extra columns (they may reference
+            # non-projected body columns), window, filter, drop
+            sub = self._compile_from(sub_ctx, sel.from_, binds)
+            if sel.where is not None:
+                for conj in _split_conjuncts(sel.where):
+                    if getattr(conj, "_corr", False):
+                        continue
+                    sub = self._apply_predicate(sub, sub_ctx, conj, binds)
+            fields = [f for f in sub_ctx.fields if f.is_used]
+            cols = [
+                self.expr(f.expr, binds, {}).alias(f.out_name)
+                for f in fields
+            ]
+            kcols = [
+                self.expr(ie, binds, {}).alias(kn)
+                for kn, (_op, ie, _oe) in zip(keys, corr)
+            ]
+            onames = [f"{alias}_o{i}" for i in range(len(sel.order_by))]
+            ocols = [
+                self.expr(o.expr, binds, {}).alias(n)
+                for n, o in zip(onames, sel.order_by)
+            ]
+            sub = sub.select(*cols, *kcols, *ocols)
+            lo = _const_int(sel.offset, binds) if sel.offset is not None else 0
+            hi = (
+                lo + _const_int(sel.limit, binds)
+                if sel.limit is not None else None
+            )
+            order = [
+                self._order_col(F.col(n), o)
+                for n, o in zip(onames, sel.order_by)
+            ]
+            if keys:
+                from pyspark.sql import Window as W
+
+                w = W.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+                rn = f"{alias}_rn"
+                sub = sub.withColumn(rn, F.row_number().over(w))
+                cond = F.col(rn) > lo
+                if hi is not None:
+                    cond = cond & (F.col(rn) <= hi)
+                sub = sub.where(cond).drop(rn, *onames)
+            else:
+                # uncorrelated body: a plain global top-k
+                sub = sub.orderBy(*order)
+                if lo:
+                    sub = sub.offset(lo)
+                if sel.limit is not None:
+                    sub = sub.limit(_const_int(sel.limit, binds))
+                sub = sub.drop(*onames)
+        sub = sub.alias(lat.alias)
+        cond = self._and_corr_cond(None, corr, alias, binds)
+        if fr.kind != "cross" and not (
+            isinstance(fr.on, A.ELit) and fr.on.value is True
+        ):
+            on = self.expr(fr.on, binds, {})
+            cond = on if cond is None else (cond & on)
+        how = "inner" if fr.kind == "cross" else fr.kind
+        if cond is None:
+            return (
+                left.crossJoin(sub) if how == "inner"
+                else left.join(sub, on=F.lit(True), how=how)
+            )
+        return left.join(sub, on=cond, how=how)
 
     # -- predicates with subqueries ---------------------------------------
 

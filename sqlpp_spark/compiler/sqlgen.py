@@ -616,7 +616,12 @@ class SqlGen:
             if isinstance(rel, SetOpRel):  # FROM (compound) AS a (r14)
                 return f"({self._setop(rel.sctx)}) AS {_q(fr.alias)}"
             assert isinstance(rel, SelectRel)
-            return f"({self.select(rel.ctx)}) AS {_q(fr.alias)}"
+            # r17 LATERAL: the body's analyzed WHERE carries the
+            # re-inserted _corr conjuncts, so the native correlated
+            # form prints directly (DuckDB/PG/SQLite-3.39+ all take
+            # JOIN LATERAL)
+            kw = "LATERAL " if getattr(fr, "lateral", False) else ""
+            return f"{kw}({self.select(rel.ctx)}) AS {_q(fr.alias)}"
         if isinstance(fr, A.FromSeries):
             # DuckDB/PG share the inclusive generate_series table fn;
             # SQLite has none

@@ -836,7 +836,10 @@ class Analyzer:
             left_nullable = nullable or fr.kind in ("right", "full")
             right_nullable = nullable or fr.kind in ("left", "full")
             self._analyze_from(ctx, fr.left, left_nullable)
-            self._analyze_from(ctx, fr.right, right_nullable)
+            if isinstance(fr.right, A.FromSelect) and fr.right.lateral:
+                self._analyze_lateral(ctx, fr, right_nullable)
+            else:
+                self._analyze_from(ctx, fr.right, right_nullable)
             if fr.kind == "cross":
                 return  # CROSS JOIN has no ON condition
             fr.on, onty = self.infer_expr(ctx, fr.on)
@@ -909,6 +912,74 @@ class Analyzer:
             ctx.rels[fr.alias] = SelectRel(fr.alias, subctx, nullable)
             return
         raise SqlppError(f"bad from node {type(fr).__name__}")
+
+    def _analyze_lateral(self, ctx: SelectCtx, fr: "A.FromJoin",
+                         nullable: bool) -> None:
+        """JOIN LATERAL (r17, beyond reference — PG/DuckDB lateral
+        derived tables). The body analyzes through the same
+        correlation lift as subqueries (_lift_correlated: top-level
+        comparison conjuncts referencing FROM items to the LEFT),
+        then the compiler decorrelates — equality conjuncts become
+        hash-join keys, thetas residual join conditions, and an
+        ORDER BY + LIMIT body becomes a pre-windowed top-k per
+        equality key (compile._join_lateral), so the classic
+        "top-k rows per outer row" shape runs as one window + one
+        equi-join, never a per-row rescan.
+
+        Boundaries (located errors, never wrong answers): RIGHT/FULL
+        lateral (the lateral side cannot be preserved — PG also
+        forbids), compound bodies, aggregated/windowed bodies (a
+        correlated scalar subquery covers those), LIMIT with theta
+        correlation (per-probe top-k would reintroduce the quadratic
+        corner), LIMIT without ORDER BY (nondeterministic),
+        DISTINCT + LIMIT together."""
+        lat = fr.right
+        if fr.kind in ("right", "full"):
+            self.err(
+                f"{fr.kind.upper()} JOIN LATERAL is not supported "
+                "(the lateral side cannot be preserved)", lat.loc,
+            )
+        if isinstance(lat.select, A.SetOp):
+            self.err(
+                "LATERAL takes a plain SELECT body (no set "
+                "operations)", lat.loc,
+            )
+        if lat.alias in ctx.rels:
+            self.err(f"duplicate scope name: {lat.alias}", lat.loc)
+        sub_ctx, corr = self._lift_correlated(ctx, lat.select)
+        sel = sub_ctx.select
+        if sel.group_by is not None or getattr(sel, "group_all", False):
+            self.err(
+                "aggregated LATERAL bodies are not supported (use a "
+                "correlated scalar subquery)", lat.loc,
+            )
+        for f in sub_ctx.fields:
+            self._forbid_windows(f.expr, "a LATERAL body")
+        if sel.limit is not None or sel.offset is not None:
+            if any(op != "=" for op, _ie, _oe in corr):
+                self.err(
+                    "LIMIT in a LATERAL body requires equality-only "
+                    "correlation (per-probe top-k under a theta "
+                    "correlation would be quadratic)", lat.loc,
+                )
+            if not sel.order_by:
+                self.err(
+                    "LIMIT in a LATERAL body requires ORDER BY "
+                    "(deterministic top-k per outer row)", lat.loc,
+                )
+            if sel.distinct:
+                self.err(
+                    "DISTINCT with LIMIT in a LATERAL body is not "
+                    "supported", lat.loc,
+                )
+        elif sel.order_by:
+            self.err(
+                "ORDER BY in a LATERAL body has no effect without "
+                "LIMIT", lat.loc,
+            )
+        lat.sub_ctx = sub_ctx
+        lat.corr = corr
+        ctx.rels[lat.alias] = SelectRel(lat.alias, sub_ctx, nullable)
 
     # -- projection --------------------------------------------------------
 

@@ -277,6 +277,11 @@ class FromSelect:
     select: "Select" = None
     alias: str = ""
     loc: Loc = NO_LOC
+    # r17: JOIN LATERAL (select ...) — the body may reference columns
+    # of FROM items to its left; the analyzer lifts the correlation
+    # (analyze._analyze_lateral) and the compiler decorrelates to a
+    # hash join / pre-windowed top-k (compile._join_lateral)
+    lateral: bool = False
 
 
 @dataclass

@@ -697,7 +697,7 @@ class Parser:
                     self.expect_kw("join")
                 else:
                     self.advance()
-                right = self._from_one()
+                right = self._lateral_or_from_one()
                 self.expect_kw("on")
                 cond = self.expr()
                 item = A.FromJoin(item, right, "inner", cond, loc=right.loc)
@@ -708,7 +708,7 @@ class Parser:
                 self.advance()
                 self.eat_kw("outer")
                 self.expect_kw("join")
-                right = self._from_one()
+                right = self._lateral_or_from_one()
                 self.expect_kw("on")
                 cond = self.expr()
                 item = A.FromJoin(item, right, kind, cond, loc=right.loc)
@@ -716,10 +716,25 @@ class Parser:
                 # r14: CROSS JOIN takes no ON condition
                 self.advance()
                 self.expect_kw("join")
-                right = self._from_one()
+                right = self._lateral_or_from_one()
                 item = A.FromJoin(item, right, "cross", None, loc=right.loc)
             else:
                 return item
+
+    def _lateral_or_from_one(self):
+        """JOIN operand, optionally ``LATERAL (select ...) AS name``
+        (r17 — contextual keyword; the body may reference columns of
+        FROM items to its left)."""
+        if not self._at_ident("lateral"):
+            return self._from_one()
+        self.advance()
+        if not self.at_punct("("):
+            self.fail("LATERAL takes a parenthesized SELECT body")
+        right = self._from_one()
+        if not isinstance(right, A.FromSelect):
+            self.fail("LATERAL takes a derived-table SELECT body")
+        right.lateral = True
+        return right
 
     def _from_one(self):
         loc = self.cur.loc

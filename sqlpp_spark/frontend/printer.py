@@ -227,7 +227,8 @@ def _from_str(fr) -> str:
             if isinstance(fr.select, A.SetOp)
             else select_str(fr.select)
         )
-        return f"({inner}) AS {fr.alias}"
+        kw = "lateral " if getattr(fr, "lateral", False) else ""
+        return f"{kw}({inner}) AS {fr.alias}"
     if isinstance(fr, A.FromSeries):
         args = [expr_str(fr.start), expr_str(fr.stop)]
         if fr.step is not None:

@@ -1410,3 +1410,44 @@ _sqlpp(
     "ON month(o_orderdate) = m AND o_totalprice > 300000 "
     "GROUP BY m ORDER BY month_no",
 )
+
+_sqlpp(
+    # r17: JOIN LATERAL — top-2 suppliers per nation by account
+    # balance. The engine decorrelates to ONE row_number window per
+    # equality key + ONE equi-join (plan-pinned in test_lateral.py:
+    # WindowGroupLimit, no nested loop); DuckDB runs the same LATERAL
+    # source natively. LEFT ... ON TRUE keeps supplier-less nations.
+    "sqlpp_lateral_topk",
+    "select n.n_name as nation_name, x.sname as sname, x.bal as bal "
+    "from nation as n left join lateral ("
+    "select s.s_name as sname, s.s_acctbal as bal from supplier as s "
+    "where s.s_nationkey = n.n_nationkey "
+    "order by s.s_acctbal desc, s.s_name limit 2) as x on true "
+    "order by nation_name, sname",
+    "SELECT n_name AS nation_name, x.sname AS sname, x.bal AS bal "
+    "FROM nation n LEFT JOIN LATERAL ("
+    "SELECT s_name AS sname, s_acctbal AS bal FROM supplier s "
+    "WHERE s.s_nationkey = n.n_nationkey "
+    "ORDER BY s_acctbal DESC, s_name LIMIT 2) x ON TRUE "
+    "ORDER BY nation_name, sname",
+)
+
+_sqlpp(
+    # r17: theta LATERAL — per-order lineitems strictly cheaper than
+    # the order's half price (a genuine per-row inequality set;
+    # equality on the orderkey keys the hash join, the price theta
+    # stays residual).
+    "sqlpp_lateral_theta",
+    "select o.o_orderkey as okey, count(x.ln) as n_cheap "
+    "from orders as o cross join lateral ("
+    "select l.l_linenumber as ln from lineitem as l "
+    "where l.l_orderkey = o.o_orderkey "
+    "and l.l_extendedprice < o.o_totalprice / 2) as x "
+    "where o.o_orderkey < 2000 group by o.o_orderkey order by okey",
+    "SELECT o_orderkey AS okey, count(x.ln) AS n_cheap "
+    "FROM orders o CROSS JOIN LATERAL ("
+    "SELECT l_linenumber AS ln FROM lineitem l "
+    "WHERE l.l_orderkey = o.o_orderkey "
+    "AND l.l_extendedprice < o.o_totalprice / 2) x "
+    "WHERE o_orderkey < 2000 GROUP BY o_orderkey ORDER BY okey",
+)
