@@ -1409,6 +1409,7 @@ _sqlpp(
     "FROM months LEFT JOIN orders "
     "ON month(o_orderdate) = m AND o_totalprice > 300000 "
     "GROUP BY m ORDER BY month_no",
+    headline=True,
 )
 
 _sqlpp(
@@ -1430,6 +1431,7 @@ _sqlpp(
     "WHERE s.s_nationkey = n.n_nationkey "
     "ORDER BY s_acctbal DESC, s_name LIMIT 2) x ON TRUE "
     "ORDER BY nation_name, sname",
+    headline=True,
 )
 
 _sqlpp(

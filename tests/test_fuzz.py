@@ -31,6 +31,8 @@ VOCAB = [
     # r16: quantifiers + null-treatment modifier + named windows
     "any", "some", "ignore", "respect", "nulls", "first_value",
     "window", "w", "interval", "hour", "3",
+    # r17: recursive CTEs + lateral derived tables
+    "recursive", "lateral", "offset", "left", "true",
 ]
 
 
@@ -134,6 +136,21 @@ def test_analyzer_never_crashes():
         "users as a cross join q1 as q",
         "users as a inner join users as b on a.id = b.id",
         "users as a cross join users as b on a.id = b.id",
+        # r17: lateral derived tables (valid and boundary-invalid)
+        "users as a cross join lateral "
+        "(select u.id as lid from users as u where u.id = a.id) as l",
+        "users as a left join lateral "
+        "(select u.id as lid from users as u where u.id = a.id "
+        "order by u.created_at desc limit 2) as l on true",
+        "users as a cross join lateral "
+        "(select u.id as lid from users as u where u.id < a.id "
+        "order by u.id limit 1) as l",
+        "users as a right join lateral "
+        "(select u.id as lid from users as u where u.id = a.id) as l "
+        "on true",
+        "users as a cross join lateral "
+        "(select count(1) as c from users as u where u.id = a.id "
+        "group by ()) as l",
     ]
     tails = [
         "", "where id > 0", "group by id", "group by ()", "order by 1",
@@ -166,6 +183,29 @@ def test_analyzer_never_crashes():
         src = (
             f"select distinct on ({on}) {es} from "
             f"{rng.choice(froms)} {rng.choice(tails)}"
+        )
+        try:
+            analyze(env, src)
+        except SqlppError:
+            pass
+    # r17: WITH RECURSIVE heads (valid and boundary-invalid: bad
+    # bodies, lossy type mixes, self-reference in base, column-list
+    # arity) — analysis must always fail located, never crash
+    bases = ["select 1 as n", "select id as n from users",
+             "select 1 as n, 2 as m", "select name as n from users",
+             "select 1.5 as n"]
+    steps = ["select n + 1 as n from t where n < 3",
+             "select n + 0.5 as n from t where n < 3",
+             "select t.n as n from t join users as u on u.id = t.n",
+             "select name as n from users",
+             "select n as n, n as m from t",
+             "select id as n from users"]
+    cols = ["(n)", "(n, m)", ""]
+    for _ in range(300):
+        src = (
+            f"with recursive t {rng.choice(cols)} as "
+            f"({rng.choice(bases)} union all {rng.choice(steps)}) "
+            f"select n from t"
         )
         try:
             analyze(env, src)

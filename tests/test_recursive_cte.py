@@ -252,3 +252,48 @@ def test_errors(eng):
     ):
         with pytest.raises(SqlppError, match=m):
             eng.fetch_list(bad)
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+
+if _HAS_HYP:
+
+    @st.composite
+    def _recurrence(draw):
+        """Random linear integer recurrences with a bounded guard —
+        arbitrary start/step/cap (including empty and one-row
+        fixpoints) and either bag or set semantics."""
+        start = draw(st.integers(-3, 3))
+        step = draw(st.integers(1, 4))
+        cap = draw(st.integers(-2, 30))
+        kw = draw(st.sampled_from(["union all", "union"]))
+        mod = draw(st.sampled_from(["", " % 7"]))
+        if mod and kw == "union all":
+            mod = ""  # a modular step under bag semantics never ends
+        return (
+            f"with recursive t (n) as (select {start} as n {kw} "
+            f"select (n + {step}){mod} as n from t where n < {cap}) "
+            f"select n from t"
+        )
+
+    @settings(
+        max_examples=25, deadline=None, derandomize=True,
+        # the engine/duck fixtures are read-only across examples
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(_recurrence())
+    def test_recursive_property_differential(eng, duck, src):
+        rows = sorted(r[0] for r in eng.fetch_list(src))
+        info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+        want = sorted(
+            r[0] for r in duck.execute(select_sql(info)).fetchall()
+        )
+        want2 = sorted(r[0] for r in duck.execute(src).fetchall())
+        assert rows == want == want2, src
