@@ -767,11 +767,25 @@ class Compiler:
             return df.join(sub_df, on=cond, how=how)
         if isinstance(inner, A.EExists):
             if inner.corr:
+                sub_alias = self._fresh("__ex")
+                how = "left_anti" if neg else "left_semi"
+                red = self._exists_theta_marker(inner, sub_alias, binds)
+                if red is not None:
+                    # r17: single non-equality conjunct — existence
+                    # reduces EXACTLY to a min/max-of-key marker per
+                    # equality group (|groups| rows, usually
+                    # broadcast), so the outer table joins a
+                    # PRE-AGGREGATED side instead of nested-looping
+                    # the raw subquery
+                    marker, eq_cond, dec = red
+                    cond = dec if eq_cond is None else (eq_cond & dec)
+                    return df.join(
+                        marker.alias(sub_alias), on=cond, how=how
+                    )
                 # correlated EXISTS (r12): the textbook semi/anti join
                 # — condition = the lifted correlation comparisons
                 # (equality conjuncts become hash keys, thetas stay as
                 # residual join condition; Catalyst splits them)
-                sub_alias = self._fresh("__ex")
                 sub_df, _keys = self._corr_sub_frame(
                     inner.sub_ctx, inner.corr, sub_alias, binds,
                     extra_fields=False,
@@ -779,7 +793,6 @@ class Compiler:
                 cond = self._and_corr_cond(
                     None, inner.corr, sub_alias, binds
                 )
-                how = "left_anti" if neg else "left_semi"
                 return df.join(sub_df.alias(sub_alias), on=cond, how=how)
             sub_df = self._compile_sub(inner.sub_ctx, binds)
             marker = sub_df.limit(1).select(F.lit(True).alias("__exists"))
@@ -1580,6 +1593,66 @@ class Compiler:
         if sub_sel.distinct:
             out = out.distinct()
         return out, keys
+
+    def _exists_theta_marker(self, node, alias: str, binds: Bindings):
+        """EXACT min/max reduction for a theta-correlated EXISTS with
+        exactly ONE non-equality conjunct (r17 — closes the second
+        quadratic corner alongside the banded quantifier): for a
+        total-ordered key k and probe p,
+
+            EXISTS(... k <  p ...)  <=>  min(k) <  p
+            EXISTS(... k <= p ...)  <=>  min(k) <= p
+            EXISTS(... k >  p ...)  <=>  max(k) >  p
+            EXISTS(... k >= p ...)  <=>  max(k) >= p
+            EXISTS(... k != p ...)  <=>  min(k) != p OR max(k) != p
+
+        so the subquery pre-aggregates to min/max per EQUALITY-key
+        group (at most |groups| rows, usually broadcast) and the
+        outer table takes a hash join — never the outer x sub nested
+        loop the raw theta semi-join costs when no equality conjunct
+        keys it. NULL keys drop (min/max skip them; a NULL key
+        satisfies no comparison); an empty/all-NULL group yields NULL
+        cells, whose comparison is NULL => no match, exactly the
+        per-row semantics. Returns (marker, eq_cond|None, decider) or
+        None when the shape doesn't apply."""
+        corr = node.corr
+        theta = [
+            (i, c) for i, c in enumerate(corr) if c[0] != "="
+        ]
+        if len(theta) != 1:
+            return None
+        ti, (top, _tie, toe) = theta[0]
+        sub_df, keys = self._corr_sub_frame(
+            node.sub_ctx, corr, alias, binds, extra_fields=False
+        )
+        eq = [
+            (keys[i], oe)
+            for i, (_op, _ie, oe) in enumerate(corr) if i != ti
+        ]
+        tkey = keys[ti]
+        mn, mx = f"{alias}_mn", f"{alias}_mx"
+        aggs = [F.min(F.col(tkey)).alias(mn), F.max(F.col(tkey)).alias(mx)]
+        if eq:
+            marker = sub_df.groupBy(
+                *[F.col(k) for k, _oe in eq]
+            ).agg(*aggs)
+        else:
+            marker = sub_df.agg(*aggs)
+
+        def decider(p: Column) -> Column:
+            return {
+                "<": F.col(mn) < p,
+                "<=": F.col(mn) <= p,
+                ">": F.col(mx) > p,
+                ">=": F.col(mx) >= p,
+                "!=": (F.col(mn) != p) | (F.col(mx) != p),
+            }[top]
+
+        eq_cond = None
+        for k, oe in eq:
+            c = F.col(k) == self.expr(oe, binds, {})
+            eq_cond = c if eq_cond is None else (eq_cond & c)
+        return marker, eq_cond, decider(self.expr(toe, binds, {}))
 
     def _and_corr_cond(
         self, cond, corr, alias: str, binds: Bindings,

@@ -1453,3 +1453,29 @@ _sqlpp(
     "AND l.l_extendedprice < o.o_totalprice / 2) x "
     "WHERE o_orderkey < 2000 GROUP BY o_orderkey ORDER BY okey",
 )
+
+_sqlpp(
+    # r17: theta EXISTS min/max reduction — suppliers out-balanced by
+    # a same-nation customer. Single non-equality conjunct, so
+    # existence reduces exactly to max(c_acctbal) per nation
+    # (compile._exists_theta_marker): 25-row marker + hash join, not
+    # an outer x customer nested loop. NOT EXISTS leg pins the anti
+    # side of the same marker.
+    "sqlpp_exists_theta_reduced",
+    "select s.s_suppkey as skey, s.s_acctbal as bal from supplier as s "
+    "where exists (select 1 as one from customer as c "
+    "where c.c_nationkey = s.s_nationkey "
+    "and c.c_acctbal > s.s_acctbal) "
+    "and not exists (select 1 as one from customer as c2 "
+    "where c2.c_nationkey = s.s_nationkey "
+    "and c2.c_acctbal > s.s_acctbal + 9000) "
+    "order by skey",
+    "SELECT s_suppkey AS skey, s_acctbal AS bal FROM supplier s "
+    "WHERE EXISTS (SELECT 1 FROM customer c "
+    "WHERE c.c_nationkey = s.s_nationkey "
+    "AND c.c_acctbal > s.s_acctbal) "
+    "AND NOT EXISTS (SELECT 1 FROM customer c2 "
+    "WHERE c2.c_nationkey = s.s_nationkey "
+    "AND c2.c_acctbal > s.s_acctbal + 9000) "
+    "ORDER BY s_suppkey",
+)

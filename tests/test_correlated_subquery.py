@@ -389,3 +389,78 @@ def test_multicol_in_full_3vl(eng):
         )
         for i, g, v in T1
     }
+
+
+def test_exists_theta_minmax_reduction_differential(eng, duck):
+    """r17: a theta EXISTS with exactly ONE non-equality conjunct
+    reduces EXACTLY to a min/max-of-key marker per equality group
+    (compile._exists_theta_marker) — the whole op/negation/NULL grid
+    must match DuckDB through the reduced plan."""
+    for src in (
+        # pure theta, all five reducible ops
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.grp < t1.grp) order by id",
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.grp <= t1.grp) order by id",
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.grp > t1.grp) order by id",
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.grp >= t1.grp) order by id",
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.grp != t1.grp) order by id",
+        # NOT EXISTS through the same marker (anti join)
+        "select id from t1 where not exists (select 1 as one from t2 "
+        "where t2.grp < t1.grp) order by id",
+        "select id from t1 where not exists (select 1 as one from t2 "
+        "where t2.grp != t1.grp) order by id",
+        # equality + theta: marker per equality group
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.grp = t1.grp and t2.amt < t1.val) order by id",
+        "select id from t1 where not exists (select 1 as one from t2 "
+        "where t2.grp = t1.grp and t2.amt < t1.val) order by id",
+        # theta over a NULL-bearing key column (amt has NULLs): NULL
+        # keys witness nothing; all-NULL groups yield NULL cells
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.amt < t1.val) order by id",
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.grp = t1.grp and t2.amt != t1.val) order by id",
+        # residual subquery filter stays inside the aggregation
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.grp >= t1.grp and amt > 150) order by id",
+        # empty-after-filter subquery: EXISTS false everywhere
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.grp < t1.grp and amt > 99999) order by id",
+    ):
+        _both(eng, duck, src)
+
+
+def test_exists_theta_reduction_plan_no_nested_loop(eng):
+    """The pure-theta EXISTS used to be an outer x sub
+    BroadcastNestedLoopJoin over the RAW subquery; with the min/max
+    reduction the joined side is ONE aggregated row (or |eq groups|
+    rows), so any remaining nested-loop join touches a 1-row side."""
+    import contextlib
+    import io
+    import re
+
+    df = eng.query(
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.grp < t1.grp)"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # the joined side must be the AGGREGATED marker, not the raw scan
+    assert re.search(r"HashAggregate", p), p
+    # two theta conjuncts do NOT reduce -- fallback keeps the raw
+    # semi join (pinning the eligibility gate)
+    df2 = eng.query(
+        "select id from t1 where exists (select 1 as one from t2 "
+        "where t2.grp < t1.grp and t2.amt > t1.val)"
+    )
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        df2.explain("formatted")
+    assert "Join LeftSemi" in buf2.getvalue() or "BroadcastNestedLoopJoin" \
+        in buf2.getvalue()
