@@ -1191,29 +1191,44 @@ class Compiler:
                 c.cast("double"), F.lit(lo), F.lit(hi), F.lit(nb)
             )
 
-        cnt, cntn, mn, mx = names
+        cnt, cntn, mn, mx = names[:4]
+        sm = names[4] if len(names) > 4 else None
         vtype = sub_df.schema[col0].dataType.simpleString()
-        per_bucket = sub_k.groupBy(bkt(F.col(key)).alias("_b")).agg(
+        cells = [
             F.count(F.lit(1)).alias("_c"),
             F.count(F.col(col0)).alias("_cn"),
             F.min(F.col(col0)).alias("_mn"),
             F.max(F.col(col0)).alias("_mx"),
-        )
+        ]
+        if sm is not None:
+            cells.append(F.sum(F.col(col0)).alias("_sm"))
+        per_bucket = sub_k.groupBy(bkt(F.col(key)).alias("_b")).agg(*cells)
         spine = self.spark.range(0, nb + 2).select(
             F.col("id").cast("int").alias("_b")
         )
         dense = spine.join(F.broadcast(per_bucket), on="_b", how="left")
         order = F.col("_b").asc() if op in ("<", "<=") else F.col("_b").desc()
         w = W.orderBy(order).rowsBetween(W.unboundedPreceding, -1)
-        prefix = dense.select(
+        pref_cells = [
             F.col("_b"),
             F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_pc"),
             F.coalesce(F.sum("_cn").over(w), F.lit(0)).alias("_pcn"),
             F.min("_mn").over(w).alias("_pmn"),
             F.max("_mx").over(w).alias("_pmx"),
-        )
+        ]
+        if sm is not None:
+            pref_cells.append(F.sum("_sm").over(w).alias("_psm"))
+        prefix = dense.select(*pref_cells)
         probe_b = probe.withColumn("_pb", bkt(F.col(po[0])))
         sub_b = sub_k.withColumn("_sb", bkt(F.col(key)))
+        part_cells = [
+            F.count(F.lit(1)).alias("_qc"),
+            F.count(F.col(col0)).alias("_qcn"),
+            F.min(F.col(col0)).alias("_qmn"),
+            F.max(F.col(col0)).alias("_qmx"),
+        ]
+        if sm is not None:
+            part_cells.append(F.sum(F.col(col0)).alias("_qsm"))
         partial = (
             probe_b.join(
                 sub_b,
@@ -1222,29 +1237,36 @@ class Compiler:
                 how="inner",
             )
             .groupBy(F.col(po[0]))
-            .agg(
-                F.count(F.lit(1)).alias("_qc"),
-                F.count(F.col(col0)).alias("_qcn"),
-                F.min(F.col(col0)).alias("_qmn"),
-                F.max(F.col(col0)).alias("_qmx"),
-            )
+            .agg(*part_cells)
         )
         null_v = F.lit(None).cast(vtype)
+        out_cells = [
+            *[F.col(c) for c in po],
+            (F.coalesce(F.col("_pc"), F.lit(0))
+             + F.coalesce(F.col("_qc"), F.lit(0))).alias(cnt),
+            (F.coalesce(F.col("_pcn"), F.lit(0))
+             + F.coalesce(F.col("_qcn"), F.lit(0))).alias(cntn),
+            F.least(F.coalesce(F.col("_pmn"), null_v),
+                    F.coalesce(F.col("_qmn"), null_v)).alias(mn),
+            F.greatest(F.coalesce(F.col("_pmx"), null_v),
+                       F.coalesce(F.col("_qmx"), null_v)).alias(mx),
+        ]
+        if sm is not None:
+            # SQL sum over an empty/all-NULL set is NULL, so only
+            # coalesce a side when the OTHER side has a value
+            psm, qsm = F.col("_psm"), F.col("_qsm")
+            out_cells.append(
+                F.when(
+                    psm.isNull() & qsm.isNull(), F.lit(None)
+                ).otherwise(
+                    F.coalesce(psm, F.lit(0)) + F.coalesce(qsm, F.lit(0))
+                ).alias(sm)
+            )
         return (
             probe_b.join(F.broadcast(prefix), F.col("_pb") == F.col("_b"),
                          "left")
             .join(partial, on=po[0], how="left")
-            .select(
-                *[F.col(c) for c in po],
-                (F.coalesce(F.col("_pc"), F.lit(0))
-                 + F.coalesce(F.col("_qc"), F.lit(0))).alias(cnt),
-                (F.coalesce(F.col("_pcn"), F.lit(0))
-                 + F.coalesce(F.col("_qcn"), F.lit(0))).alias(cntn),
-                F.least(F.coalesce(F.col("_pmn"), null_v),
-                        F.coalesce(F.col("_qmn"), null_v)).alias(mn),
-                F.greatest(F.coalesce(F.col("_pmx"), null_v),
-                           F.coalesce(F.col("_qmx"), null_v)).alias(mx),
-            )
+            .select(*out_cells)
         )
 
     def _attach_corr_flag(
@@ -1724,6 +1746,10 @@ class Compiler:
                 self._agg_column(fexpr, binds).alias(val)
             )
         else:
+            sub_df = self._scalar_theta_banded(
+                df, node, inner, fexpr, knames, alias, val, binds, subst
+            )
+        if sub_df is None:
             dkeys = df.select(*[
                 self._outer_col(oe, binds, subst).alias(kn)
                 for kn, (_op, _ie, oe) in zip(knames, node.corr)
@@ -1755,6 +1781,67 @@ class Compiler:
             col = F.coalesce(col, F.lit(0))  # empty group counts as 0
         scalar_map[id(node)] = col
         return df
+
+    def _scalar_theta_banded(
+        self, df: DataFrame, node, inner: DataFrame, fexpr, knames,
+        alias: str, val: str, binds: Bindings, subst,
+    ) -> Optional[DataFrame]:
+        """Banded evaluation of a theta-correlated SCALAR subquery's
+        aggregate (r17 — the same prefix-aggregate shape as the banded
+        quantifier, for the same reason: the distinct-probe theta join
+        is the remaining nested-loop corner). Applies when the
+        correlation is exactly ONE ordered conjunct and the aggregate
+        is bucket-decomposable: count / min / max / sum / avg
+        (avg = banded sum over banded count). Returns the marker
+        frame keyed by the probe column, or None (caller keeps the
+        distinct-probe nested loop). Size/type eligibility and the
+        D*S threshold live in _theta_cells_banded."""
+        if len(node.corr) != 1 or node.corr[0][0] not in ("<", "<=", ">", ">="):
+            return None
+        if node.agg_fn not in ("count", "min", "max", "sum", "avg"):
+            return None
+        op_, ie, oe = node.corr[0]
+        kname = knames[0]
+        operand = fexpr.args[0] if getattr(fexpr, "args", None) else None
+        xcol = f"{alias}_x"
+        frame = inner.select(
+            self.expr(ie, binds, {}).alias(f"{alias}_ik"),
+            (
+                F.lit(1)
+                if operand is None or isinstance(operand, A.ELit)
+                else self.expr(operand, binds, {})
+            ).alias(xcol),
+        )
+        if node.agg_fn in ("sum", "avg"):
+            from pyspark.sql.types import DecimalType
+
+            # decimal sums widen precision PER SUM (p+10): summing the
+            # prefix and partial cells again would widen differently
+            # than the single-aggregate path — keep decimals on it
+            if isinstance(frame.schema[xcol].dataType, DecimalType):
+                return None
+        probe = df.select(
+            self._outer_col(oe, binds, subst).alias(kname)
+        ).distinct()
+        names = tuple(f"{alias}_{c}" for c in ("c", "cn", "mn", "mx", "sm"))
+        cells = self._theta_cells_banded(
+            probe, [kname], frame, [f"{alias}_ik"], xcol, node.corr, names
+        )
+        if cells is None:
+            return None
+        c, cn, mn, mx, sm = names
+        vcol = {
+            # count(x) counts non-null x; count(<literal>) counts rows
+            # (xcol is lit(1) then, so the two cells coincide)
+            "count": F.col(cn),
+            "min": F.col(mn),
+            "max": F.col(mx),
+            # SQL sum/avg over an empty set is NULL (the sm cell
+            # already NULLs when both sides are empty)
+            "sum": F.col(sm),
+            "avg": F.col(sm) / F.nullif(F.col(cn), F.lit(0)),
+        }[node.agg_fn]
+        return cells.select(F.col(kname), vcol.alias(val))
 
     def _fresh(self, prefix: str) -> str:
         self._subquery_n += 1

@@ -360,3 +360,42 @@ def test_grouped_select_scalar_subqueries(eng, duck):
             "select grp, (select count(1) from t2 where t2.id = t1.id "
             "group by ()) as c from t1 group by grp"
         )
+
+
+def test_theta_scalar_banded_differential(spark, eng, duck):
+    """r17: the banded (prefix-aggregate) strategy for single-ordered-
+    theta scalar subqueries, forced onto the tiny fixtures — the full
+    agg x op grid must match DuckDB through the banded lowering
+    exactly as it does through the distinct-probe nested loop.
+    Decimal sums, count_distinct and mixed/equality correlations are
+    ineligible and fall back inside the same test."""
+    spark.conf.set("spark.sqlpp.quantifier.bandedSubFloor", "1")
+    spark.conf.set("spark.sqlpp.quantifier.bandedThreshold", "1")
+    spark.conf.set("spark.sqlpp.quantifier.bandedBuckets", "4")
+    try:
+        for agg in ("count(1)", "count(amt)", "min(amt)", "max(amt)",
+                    "sum(amt)", "avg(amt)"):
+            for op in ("<", "<=", ">", ">="):
+                _both(
+                    eng, duck,
+                    f"select id, grp, (select {agg} from t2 "
+                    f"where t2.grp {op} t1.grp group by ()) as v "
+                    "from t1 order by id",
+                )
+        # ineligible shapes exercise the fallback under the same conf
+        for src in (
+            # mixed equality + theta
+            "select id, (select sum(amt) from t2 where t2.grp = t1.grp "
+            "and t2.id < t1.id group by ()) as v from t1 order by id",
+            # != correlation (not an ordered prefix)
+            "select id, (select count(1) from t2 where t2.grp != t1.grp "
+            "group by ()) as v from t1 order by id",
+            # count(distinct x) is not bucket-decomposable
+            "select id, (select count(distinct amt) from t2 "
+            "where t2.grp < t1.grp group by ()) as v from t1 order by id",
+        ):
+            _both(eng, duck, src)
+    finally:
+        spark.conf.unset("spark.sqlpp.quantifier.bandedSubFloor")
+        spark.conf.unset("spark.sqlpp.quantifier.bandedThreshold")
+        spark.conf.unset("spark.sqlpp.quantifier.bandedBuckets")
