@@ -618,9 +618,16 @@ class SqlGen:
             assert isinstance(rel, SelectRel)
             # r17 LATERAL: the body's analyzed WHERE carries the
             # re-inserted _corr conjuncts, so the native correlated
-            # form prints directly (DuckDB/PG/SQLite-3.39+ all take
-            # JOIN LATERAL)
-            kw = "LATERAL " if getattr(fr, "lateral", False) else ""
+            # form prints directly on DuckDB/PG; SQLite has no
+            # LATERAL (and forbids FROM-clause correlation entirely)
+            kw = ""
+            if getattr(fr, "lateral", False):
+                if self.dialect == "sqlite":
+                    raise SqlppError(
+                        "SQLite has no JOIN LATERAL "
+                        "(backend divergence)"
+                    )
+                kw = "LATERAL "
             return f"{kw}({self.select(rel.ctx)}) AS {_q(fr.alias)}"
         if isinstance(fr, A.FromSeries):
             # DuckDB/PG share the inclusive generate_series table fn;

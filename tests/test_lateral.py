@@ -199,13 +199,14 @@ def test_lateral_errors(eng):
             eng.fetch_list(bad)
 
 
-def test_lateral_sqlite_prints(eng):
-    # SQLite 3.39+ accepts JOIN LATERAL-style correlated derived
-    # tables only partially; the printer emits the standard LATERAL
-    # form for duckdb/postgres — just pin that printing works
+def test_lateral_dialect_printing(eng):
+    # DuckDB/PG print the native LATERAL form; SQLite has no LATERAL
+    # (nor FROM-clause correlation) — backend-divergence error
     src = ("select t1.id as oid, x.amt as amt from t1 cross join "
            "lateral (select t2.amt from t2 where t2.grp = t1.grp) as x")
     info = Analyzer(eng.env, src).analyze_query(parse_query(src))
     for dialect in ("duckdb", "postgres"):
         sql = select_sql(info, dialect=dialect)
         assert "LATERAL (" in sql
+    with pytest.raises(SqlppError, match="backend divergence"):
+        select_sql(info, dialect="sqlite")
