@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 
 from sqlpp_spark.frontend import ast as A
 from sqlpp_spark.frontend.analyze import (
-    AGG_FNS, QueryInfo, SelectCtx, SelectRel, SetOpCtx, SetOpRel, TableRel,
+    AGG_FNS, QueryInfo, RecQueryRel, SelectCtx, SelectRel, SetOpCtx,
+    SetOpRel, TableRel,
 )
 from sqlpp_spark.frontend.ast import expr_key
 from sqlpp_spark.frontend.errors import SqlppError
@@ -605,6 +606,10 @@ class Compiler:
             return df.alias(name)
         if isinstance(fr, A.FromSelect):
             rel = ctx.rels[fr.alias]
+            if isinstance(rel, RecQueryRel):  # recursive view (r17)
+                return self._compile_recursive(rel.info, binds).alias(
+                    fr.alias
+                )
             if isinstance(rel, SetOpRel):  # FROM (compound) AS a (r14)
                 return self.compile_setop(rel.sctx, binds).alias(fr.alias)
             assert isinstance(rel, SelectRel)

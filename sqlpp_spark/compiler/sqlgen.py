@@ -34,7 +34,8 @@ from typing import Dict, List, Optional
 
 from sqlpp_spark.frontend import ast as A
 from sqlpp_spark.frontend.analyze import (
-    AGG_FNS, QueryInfo, SelectCtx, SelectRel, SetOpCtx, SetOpRel,
+    AGG_FNS, QueryInfo, RecQueryRel, SelectCtx, SelectRel, SetOpCtx,
+    SetOpRel,
 )
 from sqlpp_spark.frontend.errors import SqlppError
 
@@ -613,6 +614,11 @@ class SqlGen:
             return t if alias == fr.table else f"{t} AS {_q(alias)}"
         if isinstance(fr, A.FromSelect):
             rel = ctx.rels[fr.alias]
+            if isinstance(rel, RecQueryRel):  # recursive view (r17)
+                # WITH RECURSIVE inside a derived table — DuckDB, PG
+                # and SQLite all accept the inline form
+                inner = select_sql(rel.info, self.params, self.dialect)
+                return f"({inner}) AS {_q(fr.alias)}"
             if isinstance(rel, SetOpRel):  # FROM (compound) AS a (r14)
                 return f"({self._setop(rel.sctx)}) AS {_q(fr.alias)}"
             assert isinstance(rel, SelectRel)

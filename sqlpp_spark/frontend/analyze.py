@@ -222,6 +222,17 @@ class SetOpRel(TableRel):
 
 
 @dataclass
+class RecQueryRel(TableRel):
+    """``FROM <recursive view / (WITH RECURSIVE ...) derived table>``
+    (r17): resolution-wise a CLOSED relation whose columns are the
+    recursive query's main row; carries the analyzed QueryInfo (with
+    ``.recursive`` set) so the compiler runs the iterative loop and
+    the SQL printers emit the full WITH RECURSIVE form inline."""
+
+    info: object = None  # QueryInfo
+
+
+@dataclass
 class SelectRel:
     name: str
     ctx: "SelectCtx"
@@ -859,6 +870,18 @@ class Analyzer:
                 # inlining, analyze.ml:814-816); r14: compound bodies
                 # inline as closed SetOp relations
                 sub = copy.deepcopy(dq.select)
+                if isinstance(sub, A.RecursiveQuery):
+                    # r17: recursive view — closed relation over the
+                    # main row; the compiler runs the iterative loop
+                    info = self.analyze_recursive(sub)
+                    fr_sel = A.FromSelect(sub, name, loc=fr.loc)
+                    ctx.rels[name] = RecQueryRel(
+                        name, dict(info.row), nullable, None, info
+                    )
+                    fr.__class__ = A.FromSelect
+                    fr.__dict__.clear()
+                    fr.__dict__.update(fr_sel.__dict__)
+                    return
                 if isinstance(sub, A.SetOp):
                     sctx = self.analyze_setop(sub)
                     fr_sel = A.FromSelect(sub, name, loc=fr.loc)
@@ -901,6 +924,13 @@ class Analyzer:
         if isinstance(fr, A.FromSelect):
             if fr.alias in ctx.rels:
                 self.err(f"duplicate scope name: {fr.alias}", fr.loc)
+            if isinstance(fr.select, A.RecursiveQuery):
+                # FROM (WITH RECURSIVE ...) AS alias (r17): closed rel
+                info = self.analyze_recursive(fr.select)
+                ctx.rels[fr.alias] = RecQueryRel(
+                    fr.alias, dict(info.row), nullable, None, info
+                )
+                return
             if isinstance(fr.select, A.SetOp):
                 # FROM (compound select) AS alias (r14): closed rel
                 sctx = self.analyze_setop(fr.select)

@@ -230,7 +230,13 @@ class Parser:
             name = self.expect_ident().value
             self.expect_kw("as")
             sel_start = self.cur.loc.start
-            sel = self.select_compound()  # r14: compound bodies allowed
+            # r14: compound bodies; r17: WITH bodies (plain CTEs
+            # inline at parse time, WITH RECURSIVE yields a
+            # RecursiveQuery body — a recursive view)
+            if self.at_kw("with"):
+                sel = self._with_query()
+            else:
+                sel = self.select_compound()
             src = self.src[sel_start : self.toks[self.i - 1].loc.end]
             return A.DeclQuery(name, sel, src, loc=Loc.span(start, self.toks[self.i - 1].loc))
         if self.eat_kw("fieldset"):
@@ -743,8 +749,13 @@ class Parser:
                 return self._from_values(loc)
             # r14: derived tables accept compound selects too —
             # select_compound returns a plain Select when no set
-            # operator follows (identical to the old behavior)
-            sel = self.select_compound()
+            # operator follows (identical to the old behavior);
+            # r17: WITH bodies (plain CTEs inline; WITH RECURSIVE
+            # yields a RecursiveQuery derived table)
+            if self.at_kw("with"):
+                sel = self._with_query()
+            else:
+                sel = self.select_compound()
             self.expect_punct(")")
             self.expect_kw("as")
             alias = self.expect_ident().value

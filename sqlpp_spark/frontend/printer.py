@@ -222,11 +222,12 @@ def _from_str(fr) -> str:
     if isinstance(fr, A.FromTable):
         return f"{fr.table} AS {fr.alias}" if fr.alias else fr.table
     if isinstance(fr, A.FromSelect):
-        inner = (
-            setop_str(fr.select)
-            if isinstance(fr.select, A.SetOp)
-            else select_str(fr.select)
-        )
+        if isinstance(fr.select, A.RecursiveQuery):
+            inner = format_query(fr.select)  # r17 recursive derived
+        elif isinstance(fr.select, A.SetOp):
+            inner = setop_str(fr.select)
+        else:
+            inner = select_str(fr.select)
         kw = "lateral " if getattr(fr, "lateral", False) else ""
         return f"{kw}({inner}) AS {fr.alias}"
     if isinstance(fr, A.FromSeries):

@@ -39,6 +39,13 @@ def _engine(spark: SparkSession, sf_dir: str):
             "create fieldset nat_fields(from nation as n) as "
             "select n.n_nationkey as nationkey, n.n_name as nation_name;"
         )
+        # r17: recursive VIEW (CREATE QUERY with a WITH RECURSIVE
+        # body) — a power-of-two bucket spine
+        eng.add_decls(
+            "create query pow2 as with recursive p (b) as "
+            "(select 1 as b union all select b * 2 as b from p "
+            "where b < 300000) select b from p;"
+        )
         _ENGINES[key] = eng
     return eng
 
@@ -1478,4 +1485,23 @@ _sqlpp(
     "WHERE c2.c_nationkey = s.s_nationkey "
     "AND c2.c_acctbal > s.s_acctbal + 9000) "
     "ORDER BY s_suppkey",
+)
+
+_sqlpp(
+    # r17: recursive VIEW use — a log-scale histogram of order totals
+    # against the pow2 spine view (19 buckets; the view compiles
+    # through the same bounded-superstep loop at every use site, then
+    # broadcasts into the range join). DuckDB runs the inline
+    # WITH RECURSIVE form the printer emits.
+    "sqlpp_recursive_view",
+    "select p.b as bucket_lo, count(o.o_orderkey) as n_orders "
+    "from pow2 as p left join orders as o "
+    "on o.o_totalprice >= p.b and o.o_totalprice < p.b * 2 "
+    "group by p.b order by bucket_lo",
+    "WITH RECURSIVE p (b) AS (SELECT 1 UNION ALL "
+    "SELECT b * 2 FROM p WHERE b < 300000) "
+    "SELECT b AS bucket_lo, count(o_orderkey) AS n_orders "
+    "FROM p LEFT JOIN orders o "
+    "ON o.o_totalprice >= p.b AND o.o_totalprice < p.b * 2 "
+    "GROUP BY b ORDER BY bucket_lo",
 )

@@ -297,3 +297,41 @@ if _HAS_HYP:
         )
         want2 = sorted(r[0] for r in duck.execute(src).fetchall())
         assert rows == want == want2, src
+
+
+def test_recursive_view_and_derived_table(eng, duck):
+    # r17: CREATE QUERY with a WITH RECURSIVE body (recursive view)
+    # and (WITH RECURSIVE ...) derived tables — both closed relations
+    # compiled through the same iterative loop and printed as the
+    # inline WITH RECURSIVE form
+    eng.add_decls(
+        "create query sub2 as with recursive t (id) as "
+        "(select id from edges where id = 2 union all "
+        "select e.id as id from t join edges as e on e.parent = t.id) "
+        "select id from t;"
+    )
+    rows = sorted(r[0] for r in eng.fetch_list(
+        "select v.id as id from sub2 as v order by id"))
+    assert rows == [2, 4, 5]
+    # the printed SQL runs on DuckDB (inline WITH RECURSIVE)
+    src = "select v.id as id from sub2 as v order by id"
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    assert sorted(r[0] for r in duck.execute(select_sql(info)).fetchall()) \
+        == [2, 4, 5]
+    # derived recursive table, joined against a base table
+    _differ(
+        eng, duck,
+        "select d.n as n, count(e.id) as n_edges from "
+        "(with recursive t (n) as (select 1 as n union all "
+        "select n + 1 as n from t where n < 8) select n from t) as d "
+        "left join edges as e on e.parent = d.n group by d.n",
+    )
+    # fmt round-trips the derived form
+    from sqlpp_spark.frontend.printer import format_query
+
+    src2 = ("select d.n as n from (with recursive t (n) as "
+            "(select 1 as n union all select n + 1 as n from t "
+            "where n < 3) select n from t) as d order by n")
+    out = format_query(parse_query(src2))
+    assert "with recursive t (n) as" in out
+    assert sorted(r[0] for r in eng.fetch_list(out)) == [1, 2, 3]
