@@ -76,8 +76,12 @@ def main() -> None:
     specs = headline_queries()
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if only:
+        # resolve from the FULL registry so an A/B pin can keep timing
+        # a query demoted from the headline set (r18: ann_knn_graph)
+        from sqlpp_spark.queries import REGISTRY
+
         keep = {s.strip() for s in only.split(",") if s.strip()}
-        specs = {n: s for n, s in specs.items() if n in keep}
+        specs = {n: s for n, s in REGISTRY.items() if n in keep}
     # Warmup pass at the smallest SF: compiles every query's plan once
     # (whole-stage codegen + JIT are keyed on plan shape, not data), so
     # the timed pass below measures steady-state execution at the

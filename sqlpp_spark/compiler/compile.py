@@ -76,6 +76,13 @@ class Compiler:
         self.spark = spark
         self.catalog = catalog
         self._subquery_n = 0
+        # recursive fixpoints already materialized this compile, keyed
+        # by QueryInfo identity: a query that references a recursive
+        # view twice (self-join over the closure) must not run the
+        # iterative supersteps twice (r17 advisor). Bindings are fixed
+        # for the lifetime of one Compiler use, so identity is a safe
+        # key.
+        self._rec_memo: Dict[int, DataFrame] = {}
 
     # -- entry points ------------------------------------------------------
 
@@ -112,6 +119,10 @@ class Compiler:
         accumulated result; UNION ALL is exchange-free. The final
         result is a plan-level union of <= maxIterations checkpointed
         batches."""
+        memo_key = getattr(q, "memo_key", None) or id(q)
+        memo = self._rec_memo.get(memo_key)
+        if memo is not None:
+            return memo
         rec = q.recursive
         row = rec.row
 
@@ -136,7 +147,6 @@ class Compiler:
         if not rec.union_all:
             base = base.distinct()
         frontier = base.localCheckpoint(eager=True)
-        batches = [frontier]
         result = frontier  # union of batches so far (distinct mode probes it)
         orig_catalog = self.catalog
         try:
@@ -150,7 +160,6 @@ class Compiler:
                 frontier = nxt.localCheckpoint(eager=True)
                 if frontier.isEmpty():
                     break
-                batches.append(frontier)
                 result = result.union(frontier)
             else:
                 raise SqlppError(
@@ -160,8 +169,11 @@ class Compiler:
                 )
             self.catalog = {**orig_catalog, rec.name: result}
             if isinstance(q.ctx, SetOpCtx):
-                return self.compile_setop(q.ctx, binds)
-            return self.compile_select(q.ctx, binds)
+                out = self.compile_setop(q.ctx, binds)
+            else:
+                out = self.compile_select(q.ctx, binds)
+            self._rec_memo[memo_key] = out
+            return out
         finally:
             self.catalog = orig_catalog
 
@@ -636,6 +648,23 @@ class Compiler:
         sel = sub_ctx.select
         alias = self._fresh("__lat")
         keys = [f"{alias}_k{i}" for i in range(len(corr))]
+        # DISTINCT under a THETA correlation must dedup PER OUTER ROW
+        # (r17 advisor, high): the key-distinct pre-reduction in
+        # _corr_sub_frame dedups (fields + correlation key) globally,
+        # so one outer row matching the same field value under two
+        # different key values would see it twice. Tag each outer row
+        # with a unique id; after the join every column is
+        # functionally determined by (id, body fields), so a full-row
+        # distinct IS the per-probe dedup — no name-ambiguous
+        # dropDuplicates needed. Equality-only correlation skips this:
+        # there the global (fields + keys) distinct already coincides
+        # with per-probe distinct.
+        theta_distinct = bool(sel.distinct) and any(
+            op != "=" for op, _ie, _oe in corr
+        )
+        rid = f"{alias}_rid"
+        if theta_distinct:
+            left = left.withColumn(rid, F.monotonically_increasing_id())
         if sel.limit is None and sel.offset is None:
             sub, keys = self._corr_sub_frame(
                 sub_ctx, corr, alias, binds, extra_fields=True
@@ -702,11 +731,19 @@ class Compiler:
             cond = on if cond is None else (cond & on)
         how = "inner" if fr.kind == "cross" else fr.kind
         if cond is None:
-            return (
+            out = (
                 left.crossJoin(sub) if how == "inner"
                 else left.join(sub, on=F.lit(True), how=how)
             )
-        return left.join(sub, on=cond, how=how)
+        else:
+            out = left.join(sub, on=cond, how=how)
+        if theta_distinct:
+            # the internal correlation-key columns distinguish rows
+            # that are duplicates from the user's point of view (the
+            # advisor's repro: amt=75 under two different key values)
+            # — drop them before the full-row distinct
+            out = out.drop(*keys).distinct().drop(rid)
+        return out
 
     # -- predicates with subqueries ---------------------------------------
 
@@ -1178,10 +1215,17 @@ class Compiler:
         s_rows = sub_k.count()
         if s_rows < sub_floor:
             return None
-        probe = probe.persist()
+        # The banded plan consumes the distinct-probe frame twice
+        # (in-bucket partial join + the final prefix join), and the
+        # strategy needs its count anyway. localCheckpoint rather
+        # than persist (r17 advisor): an unreleased .persist() pins
+        # the frame in the session CacheManager forever, while
+        # checkpoint blocks are executor-local and ContextCleaner
+        # reclaims them once the plan is dropped. Eager: the count
+        # below materializes it either way.
+        probe = probe.localCheckpoint(eager=True)
         d_rows = probe.count()
         if d_rows * s_rows < threshold:
-            probe.unpersist()
             return None
         lohi = sub_k.agg(
             F.min(F.col(key).cast("double")).alias("lo"),
@@ -1812,8 +1856,11 @@ class Compiler:
         frame = inner.select(
             self.expr(ie, binds, {}).alias(f"{alias}_ik"),
             (
+                # count(*) has no operand; every OTHER aggregate —
+                # including a literal one like min(5) or sum(2) —
+                # must see its actual operand value per row
                 F.lit(1)
-                if operand is None or isinstance(operand, A.ELit)
+                if operand is None
                 else self.expr(operand, binds, {})
             ).alias(xcol),
         )

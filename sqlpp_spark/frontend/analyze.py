@@ -316,6 +316,10 @@ class QueryInfo:
     params: Dict[str, ParamEntry]
     src: str
     recursive: Optional[RecursiveInfo] = None
+    # stable identity for the compiler's per-compile fixpoint memo:
+    # use sites of a named recursive VIEW re-analyze fresh copies, so
+    # object identity alone cannot tie them together
+    memo_key: Optional[tuple] = None
 
     @property
     def row(self) -> List[Tuple[str, Ty]]:
@@ -874,6 +878,14 @@ class Analyzer:
                     # r17: recursive view — closed relation over the
                     # main row; the compiler runs the iterative loop
                     info = self.analyze_recursive(sub)
+                    # each use site re-analyzes a deep copy, so the
+                    # QueryInfo identity differs per use — carry the
+                    # DECLARED query's identity so the compiler can
+                    # memoize the fixpoint across uses within one
+                    # query (r17 advisor: a self-join over a
+                    # recursive view must not run the supersteps
+                    # twice)
+                    info.memo_key = ("view", fr.table)
                     fr_sel = A.FromSelect(sub, name, loc=fr.loc)
                     ctx.rels[name] = RecQueryRel(
                         name, dict(info.row), nullable, None, info

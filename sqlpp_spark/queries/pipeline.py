@@ -1137,12 +1137,17 @@ SELECT * FROM (
 """
 
 
-@register("ann_knn_graph", oracle=_knn_graph_oracle(), headline=True)
+@register("ann_knn_graph", oracle=_knn_graph_oracle())
 def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus self-KNN graph (every vector queries its 2 nearest of 16
-    pivot cells, top-5 neighbors) — both join sides are the corpus, so
-    candidates meet via a co-partitioned cell equi-join instead of a
-    broadcast; fully oracled via the deterministic pivot quantizer.
+    """Corpus self-KNN graph at a FIXED 16-cell quantizer — the
+    strategy BASELINE, demoted from the headline bench (r17 verdict
+    task 2): SF1_REHEARSAL showed x21.4 wall at x10 data (quadratic in
+    bucket population by construction, shuffle stays linear), so the
+    flagship row is ann_knn_graph_auto, whose sqrt-n cell rule holds
+    x5.7. Kept registered (and driver-oracled) as the fixed_cells
+    opt-in a recall study would pin. Both join sides are the corpus,
+    so candidates meet via a co-partitioned cell equi-join instead of
+    a broadcast; fully oracled via the deterministic pivot quantizer.
     KMeans cells stay the production default (recall pinned in
     tests/test_ops.py)."""
     emb = table(spark, sf_dir, "embeddings")

@@ -210,3 +210,68 @@ def test_lateral_dialect_printing(eng):
         assert "LATERAL (" in sql
     with pytest.raises(SqlppError, match="backend divergence"):
         select_sql(info, dialect="sqlite")
+
+
+DISTINCT_SOURCES = (
+    # the r17 advisor repro: DISTINCT under a THETA correlation must
+    # dedup PER OUTER ROW — t2 has amt=75 under two different grp
+    # values (ids 8, 9), so a global (fields + key) distinct would
+    # return 75 twice for an outer row whose grp exceeds both
+    "select t1.id as oid, x.amt as amt from t1 cross join lateral "
+    "(select distinct t2.amt from t2 where t2.grp < t1.grp) as x "
+    "order by oid, amt",
+    # LEFT variant: unmatched outer rows keep their single NULL row
+    "select t1.id as oid, x.amt as amt from t1 left join lateral "
+    "(select distinct t2.amt from t2 where t2.grp > t1.grp) as x "
+    "on true order by oid, amt",
+    # theta on a different column, NULL amt in range (id=10, amt NULL)
+    "select t1.id as oid, x.amt as amt from t1 cross join lateral "
+    "(select distinct t2.amt from t2 where t2.id > t1.id) as x "
+    "order by oid, amt",
+    # mixed equality + theta correlation
+    "select t1.id as oid, x.amt as amt from t1 cross join lateral "
+    "(select distinct t2.amt from t2 where t2.grp = t1.grp "
+    "and t2.id != t1.id) as x order by oid, amt",
+    # equality-only DISTINCT (the already-correct fast path: global
+    # key-distinct == per-probe distinct; no row-id dedup exchange)
+    "select t1.id as oid, x.amt as amt from t1 cross join lateral "
+    "(select distinct t2.amt from t2 where t2.grp = t1.grp) as x "
+    "order by oid, amt",
+    # uncorrelated DISTINCT body
+    "select t1.id as oid, x.amt as amt from t1 cross join lateral "
+    "(select distinct t2.amt from t2) as x order by oid, amt",
+    # two-column DISTINCT body under theta
+    "select t1.id as oid, x.g as g, x.amt as amt from t1 "
+    "cross join lateral (select distinct t2.grp as g, t2.amt from t2 "
+    "where t2.id < t1.id) as x order by oid, g, amt",
+)
+
+
+def test_lateral_distinct_per_probe(eng, duck):
+    """r17 advisor (high): DISTINCT in a LATERAL body is per outer
+    row. The theta-correlated cases take the row-id + full-row
+    distinct lowering; equality-only and uncorrelated bodies keep
+    the cheaper global distinct."""
+    for src in DISTINCT_SOURCES:
+        _differ(eng, duck, src)
+
+
+def test_lateral_distinct_duplicate_outer_rows(eng, duck, spark):
+    """Two IDENTICAL outer rows must EACH keep their deduped match
+    set (the row-id exists precisely so full-row distinct does not
+    collapse duplicate outer rows)."""
+    spark_df = spark.createDataFrame(
+        [(1, 2, 10), (1, 2, 10), (2, 9, 20)], "id long, grp long, val long"
+    )
+    eng.register_df("t1", spark_df)
+    duck.execute("DELETE FROM t1")
+    duck.executemany(
+        "INSERT INTO t1 VALUES (?,?,?)",
+        [(1, 2, 10), (1, 2, 10), (2, 9, 20)],
+    )
+    _differ(
+        eng, duck,
+        "select t1.id as oid, x.amt as amt from t1 cross join lateral "
+        "(select distinct t2.amt from t2 where t2.grp < t1.grp) as x "
+        "order by oid, amt",
+    )

@@ -335,3 +335,47 @@ def test_recursive_view_and_derived_table(eng, duck):
     out = format_query(parse_query(src2))
     assert "with recursive t (n) as" in out
     assert sorted(r[0] for r in eng.fetch_list(out)) == [1, 2, 3]
+
+
+def test_recursive_view_two_uses_compile_fixpoint_once(eng, duck):
+    """r17 advisor (low): a query referencing a recursive view twice
+    (self-join over the closure) must run the iterative fixpoint
+    ONCE — the compiler memoizes the compiled recursion per QueryInfo
+    for the lifetime of one compile."""
+    from unittest.mock import patch
+
+    # patch the CONCRETE class: pyspark.sql.DataFrame is the abstract
+    # facade in Spark 4; instances dispatch to classic.dataframe
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    eng.add_decls(
+        "create query closure as with recursive t (id) as "
+        "(select id from edges where parent is null union all "
+        "select e.id as id from t join edges as e on e.parent = t.id) "
+        "select id from t;"
+    )
+    src = ("select a.id as x, b.id as y from closure as a "
+           "join closure as b on b.id = a.id + 1 order by x")
+    calls = {"n": 0}
+    orig = DataFrame.localCheckpoint
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    with patch.object(DataFrame, "localCheckpoint", counting):
+        rows = sorted(tuple(r) for r in eng.fetch_list(src))
+    # the DAG has depth 4 -> base + <= depth frontiers; a second
+    # (unmemoized) fixpoint would double the checkpoint count
+    assert 0 < calls["n"] <= 6, calls
+    duck.execute(
+        "CREATE VIEW closure AS WITH RECURSIVE t (id) AS "
+        "(SELECT id FROM edges WHERE parent IS NULL UNION ALL "
+        "SELECT e.id FROM t JOIN edges AS e ON e.parent = t.id) "
+        "SELECT id FROM t"
+    )
+    want = sorted(tuple(r) for r in duck.execute(
+        "SELECT a.id AS x, b.id AS y FROM closure AS a "
+        "JOIN closure AS b ON b.id = a.id + 1 ORDER BY x"
+    ).fetchall())
+    assert rows == want and rows, rows

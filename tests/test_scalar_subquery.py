@@ -373,8 +373,14 @@ def test_theta_scalar_banded_differential(spark, eng, duck):
     spark.conf.set("spark.sqlpp.quantifier.bandedThreshold", "1")
     spark.conf.set("spark.sqlpp.quantifier.bandedBuckets", "4")
     try:
+        # literal operands included (r17 advisor, medium): the banded
+        # path once substituted lit(1) for ANY literal operand, so
+        # min(5) returned 1 and sum(2) returned n — exactly at
+        # production scale where the auto-switch fires and the
+        # default-threshold tests never run
         for agg in ("count(1)", "count(amt)", "min(amt)", "max(amt)",
-                    "sum(amt)", "avg(amt)"):
+                    "sum(amt)", "avg(amt)", "min(5)", "max(7)",
+                    "sum(2)", "avg(4)", "count(3)"):
             for op in ("<", "<=", ">", ">="):
                 _both(
                     eng, duck,
@@ -399,3 +405,29 @@ def test_theta_scalar_banded_differential(spark, eng, duck):
         spark.conf.unset("spark.sqlpp.quantifier.bandedSubFloor")
         spark.conf.unset("spark.sqlpp.quantifier.bandedThreshold")
         spark.conf.unset("spark.sqlpp.quantifier.bandedBuckets")
+
+
+def test_banded_releases_probe_cache(spark, eng):
+    """r17 advisor (low): the banded strategy persists the distinct
+    probe frame during planning; the marker is now materialized
+    (localCheckpoint) and the persist RELEASED before compile
+    returns, so cached probe frames cannot accumulate across queries
+    in a long-lived session. Guard on the session CacheManager —
+    localCheckpoint blocks are RDD-level and ContextCleaner-reclaimed,
+    but an unreleased DataFrame persist would pin here forever."""
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_mgr.clearCache()
+    spark.conf.set("spark.sqlpp.quantifier.bandedSubFloor", "1")
+    spark.conf.set("spark.sqlpp.quantifier.bandedThreshold", "1")
+    try:
+        rows = eng.fetch_list(
+            "select id, (select min(amt) from t2 where t2.grp < t1.grp "
+            "group by ()) as v from t1 order by id"
+        )
+        assert len(rows) == 4
+        assert cache_mgr.isEmpty(), (
+            "banded plan left a persisted frame in the cache manager"
+        )
+    finally:
+        spark.conf.unset("spark.sqlpp.quantifier.bandedSubFloor")
+        spark.conf.unset("spark.sqlpp.quantifier.bandedThreshold")
