@@ -99,12 +99,12 @@ class Compiler:
     def _compile_recursive(self, q: QueryInfo, binds: Bindings) -> DataFrame:
         """WITH RECURSIVE via bounded supersteps — the same iterative
         shape as the engine's BFS / pagerank (queries/web_queries.py):
-        each iteration compiles the step branch with the recursive
-        name bound to the previous iteration's NEW rows (the standard
-        SQL working table), localCheckpoints the batch to truncate
-        lineage (on a cluster this is executor-local storage; each
-        superstep is one bounded Spark job), and stops when the
-        working table is empty or after
+        each iteration compiles the step branch(es) with the recursive
+        name(s) bound to the previous iteration's NEW rows (the
+        standard SQL working table), localCheckpoints the batch to
+        truncate lineage (on a cluster this is executor-local storage;
+        each superstep is one bounded Spark job), and stops when the
+        working tables are empty or after
         ``spark.sqlpp.recursive.maxIterations`` (default 100, a
         non-termination guard DuckDB/PG do not have — an unbounded
         fixpoint on 100 TB is an outage, not a query).
@@ -113,6 +113,18 @@ class Compiler:
         NEW rows enter the next working table, so cycles terminate.
         UNION ALL feeds every step row forward and relies on the data
         being acyclic (plus the iteration cap).
+
+        r18 — multiple members and mutual cycles: strata evaluate in
+        order; each stratum's bases and every LATER stratum see
+        earlier strata as completed tables (stratified DuckDB/PG
+        semantics), while the members of one stratum iterate in
+        TANDEM — every step of iteration i sees every cycle member's
+        iteration-(i-1) frontier, and the stratum terminates when ALL
+        its frontiers are empty in the same iteration. Mutual cycles
+        are UNION-distinct only (parser-enforced): there the
+        semi-naive tandem fixpoint provably equals the accumulated
+        re-evaluation DuckDB runs, because monotone steps over
+        growing sets yield the same closure.
 
         Scale shape: per iteration, UNION-distinct costs one distinct
         exchange over the step output plus one anti-join against the
@@ -124,9 +136,8 @@ class Compiler:
         if memo is not None:
             return memo
         rec = q.recursive
-        row = rec.row
 
-        def align(df: DataFrame) -> DataFrame:
+        def align(df: DataFrame, row) -> DataFrame:
             cols = df.columns
             return df.select(
                 *[
@@ -135,39 +146,60 @@ class Compiler:
                 ]
             )
 
-        def branch(ctx) -> DataFrame:
+        def branch(ctx, row) -> DataFrame:
             if isinstance(ctx, SetOpCtx):
-                return align(self._setop_branches(ctx, binds))
-            return align(self.compile_select(ctx, binds))
+                return align(self._setop_branches(ctx, binds), row)
+            return align(self.compile_select(ctx, binds), row)
 
         max_iter = int(
             self.spark.conf.get("spark.sqlpp.recursive.maxIterations", "100")
         )
-        base = branch(rec.base_ctx)
-        if not rec.union_all:
-            base = base.distinct()
-        frontier = base.localCheckpoint(eager=True)
-        result = frontier  # union of batches so far (distinct mode probes it)
         orig_catalog = self.catalog
+        results: Dict[str, DataFrame] = {}
         try:
-            for _i in range(max_iter):
-                if frontier.isEmpty():
-                    break
-                self.catalog = {**orig_catalog, rec.name: frontier}
-                nxt = branch(rec.step_ctx)
-                if not rec.union_all:
-                    nxt = nxt.distinct().subtract(result)
-                frontier = nxt.localCheckpoint(eager=True)
-                if frontier.isEmpty():
-                    break
-                result = result.union(frontier)
-            else:
-                raise SqlppError(
-                    f"recursive CTE {rec.name!r} did not terminate "
-                    f"within {max_iter} iterations (set "
-                    "spark.sqlpp.recursive.maxIterations to raise)"
-                )
-            self.catalog = {**orig_catalog, rec.name: result}
+            for stratum in rec.strata:
+                ms = [rec.members[i] for i in stratum]
+                frontiers: Dict[str, DataFrame] = {}
+                for m in ms:
+                    # bases may reference earlier strata (completed)
+                    self.catalog = {**orig_catalog, **results}
+                    b = branch(m.base_ctx, m.row)
+                    if not m.union_all:
+                        b = b.distinct()
+                    f = b.localCheckpoint(eager=True)
+                    frontiers[m.name] = f
+                    results[m.name] = f
+                for _i in range(max_iter):
+                    if all(f.isEmpty() for f in frontiers.values()):
+                        break
+                    # every step of this iteration sees every cycle
+                    # member's PREVIOUS frontier (tandem working
+                    # tables) and earlier strata's full results
+                    self.catalog = {
+                        **orig_catalog, **results, **frontiers,
+                    }
+                    new: Dict[str, DataFrame] = {}
+                    for m in ms:
+                        nxt = branch(m.step_ctx, m.row)
+                        if not m.union_all:
+                            nxt = nxt.distinct().subtract(
+                                results[m.name]
+                            )
+                        new[m.name] = nxt.localCheckpoint(eager=True)
+                    frontiers = new
+                    for m in ms:
+                        if not frontiers[m.name].isEmpty():
+                            results[m.name] = results[m.name].union(
+                                frontiers[m.name]
+                            )
+                else:
+                    names = ", ".join(m.name for m in ms)
+                    raise SqlppError(
+                        f"recursive CTE {names!r} did not terminate "
+                        f"within {max_iter} iterations (set "
+                        "spark.sqlpp.recursive.maxIterations to raise)"
+                    )
+            self.catalog = {**orig_catalog, **results}
             if isinstance(q.ctx, SetOpCtx):
                 out = self.compile_setop(q.ctx, binds)
             else:
@@ -646,6 +678,8 @@ class Compiler:
         lat = fr.right
         sub_ctx, corr = lat.sub_ctx, lat.corr
         sel = sub_ctx.select
+        if sel.group_by is not None or getattr(sel, "group_all", False):
+            return self._join_lateral_agg(fr, left, binds)
         alias = self._fresh("__lat")
         keys = [f"{alias}_k{i}" for i in range(len(corr))]
         # DISTINCT under a THETA correlation must dedup PER OUTER ROW
@@ -744,6 +778,129 @@ class Compiler:
             # — drop them before the full-row distinct
             out = out.drop(*keys).distinct().drop(rid)
         return out
+
+    def _join_lateral_agg(self, fr: "A.FromJoin", left: DataFrame,
+                          binds: Bindings) -> DataFrame:
+        """Aggregated LATERAL body (r18, r17 verdict task 3) — the
+        most common LATERAL shape after top-k:
+
+            ... FROM o CROSS JOIN LATERAL
+                (SELECT count(1) AS n FROM t WHERE t.k = o.k
+                 GROUP BY ()) AS x
+
+        Lowered through the same decorrelation shape the correlated
+        scalar subqueries use (analyzer enforces equality-only
+        correlation): the body compiles ONCE — FROM + residual WHERE,
+        then ONE hash aggregate grouped by (correlation keys + body
+        group keys) — and equi-joins back. Never a per-outer-row
+        rescan.
+
+        GLOBAL bodies (GROUP BY () / no group keys) follow SQL's
+        one-row-even-when-empty rule: the grouped frame densifies
+        over the DISTINCT outer key tuples (one left join at
+        |distinct keys| scale), count-family cells complete to 0
+        (every other SQL aggregate is NULL over the empty set, which
+        the left join already yields), HAVING filters the COMPLETED
+        rows, and the final join is null-safe on the keys (a NULL
+        outer key legitimately owns its empty-group row). CROSS then
+        stays an inner join that preserves every outer row; LEFT
+        JOIN LATERAL ... ON <cond> NULLs the body exactly when the
+        ON clause fails, not when the group is empty.
+
+        KEYED bodies (GROUP BY <exprs>) need no completion — empty
+        groups produce no rows, so CROSS drops the outer row and
+        LEFT preserves it with NULLs, both per SQL."""
+        lat = fr.right
+        sub_ctx, corr = lat.sub_ctx, lat.corr
+        sel = sub_ctx.select
+        alias = self._fresh("__lag")
+        s = self._compile_from(sub_ctx, sel.from_, binds)
+        if sel.where is not None:
+            for conj in _split_conjuncts(sel.where):
+                if getattr(conj, "_corr", False):
+                    continue
+                s = self._apply_predicate(s, sub_ctx, conj, binds)
+        fields = [f for f in sub_ctx.fields if f.is_used]
+        exprs = [f.expr for f in fields]
+        if sel.having is not None:
+            exprs.append(sel.having)
+        agg_apps: Dict[tuple, A.EApp] = {}
+        for e in exprs:
+            for app in _iter_agg_apps(e):
+                agg_apps.setdefault(expr_key(app), app)
+        keys = [f"{alias}_k{i}" for i in range(len(corr))]
+        kcols = [
+            self.expr(ie, binds, {}).alias(kn)
+            for kn, (_op, ie, _oe) in zip(keys, corr)
+        ]
+        group_exprs = sub_ctx.group_exprs
+        gnames = [f"{alias}_g{i}" for i in range(len(group_exprs))]
+        gcols = [
+            self.expr(g, binds, {}).alias(n)
+            for n, g in zip(gnames, group_exprs)
+        ]
+        anames = [f"{alias}_a{j}" for j in range(len(agg_apps))]
+        acols = [
+            self._agg_column(app, binds).alias(n)
+            for n, app in zip(anames, agg_apps.values())
+        ]
+        subst: Dict[tuple, str] = {
+            expr_key(g): n for n, g in zip(gnames, group_exprs)
+        }
+        for n, k in zip(anames, agg_apps.keys()):
+            subst[k] = n
+        grouped = s.groupBy(*kcols, *gcols).agg(
+            *(acols or [F.count(F.lit(1)).alias(f"{alias}_cntd")])
+        )
+        null_safe = False
+        if not group_exprs and keys:
+            outer_cols = [
+                self.expr(oe, binds, {}) for _op, _ie, oe in corr
+            ]
+            dkeys = left.select(
+                *[c.alias(n) for c, n in zip(outer_cols, keys)]
+            ).distinct()
+            dense = dkeys.join(grouped, on=keys, how="left")
+            for n, app in zip(anames, agg_apps.values()):
+                if app.fn.lower() in (
+                    "count", "count_distinct", "approx_count_distinct",
+                    "count_if",
+                ):
+                    dense = dense.withColumn(
+                        n, F.coalesce(F.col(n), F.lit(0))
+                    )
+            grouped = dense
+            null_safe = True
+        if sel.having is not None:
+            grouped = grouped.filter(
+                self.expr(sel.having, binds, {}, subst)
+            )
+        sub = grouped.select(
+            *[F.col(kn) for kn in keys],
+            *[
+                self.expr(f.expr, binds, {}, subst).alias(f.out_name)
+                for f in fields
+            ],
+        ).alias(lat.alias)
+        cond = None
+        for i, (_op, _ie, oe) in enumerate(corr):
+            oc = self.expr(oe, binds, {})
+            kc = F.col(keys[i])
+            c = oc.eqNullSafe(kc) if null_safe else (oc == kc)
+            cond = c if cond is None else (cond & c)
+        if fr.kind != "cross" and not (
+            isinstance(fr.on, A.ELit) and fr.on.value is True
+        ):
+            on = self.expr(fr.on, binds, {})
+            cond = on if cond is None else (cond & on)
+        how = "inner" if fr.kind == "cross" else fr.kind
+        if cond is None:
+            # uncorrelated global aggregate: exactly one body row
+            return (
+                left.crossJoin(sub) if how == "inner"
+                else left.join(sub, on=F.lit(True), how=how)
+            )
+        return left.join(sub, on=cond, how=how)
 
     # -- predicates with subqueries ---------------------------------------
 

@@ -607,7 +607,25 @@ class SqlGen:
             kw = _JOIN_KW[fr.kind]
             if fr.kind == "cross":
                 return f"{left} {kw} {right}"
-            return f"{left} {kw} {right} ON {self.expr(fr.on)}"
+            on_sql = self.expr(fr.on)
+            if (
+                self.dialect == "duckdb"
+                and fr.kind != "inner"
+                and isinstance(fr.right, A.FromSelect)
+                and getattr(fr.right, "lateral", False)
+                and not (isinstance(fr.on, A.ELit) and fr.on.value is True)
+                and f"{_q(fr.right.alias)}." not in on_sql
+            ):
+                # PROBED (r18): DuckDB's binder requires a non-inner
+                # LATERAL ON to compare the two sides; an outer-only
+                # condition (valid PG, and the engine supports it)
+                # cannot print
+                raise SqlppError(
+                    "DuckDB requires a non-inner LATERAL join "
+                    "condition to reference the lateral side "
+                    "(backend divergence)"
+                )
+            return f"{left} {kw} {right} ON {on_sql}"
         if isinstance(fr, A.FromTable):
             alias = fr.alias or fr.table
             t = _q(fr.table)
@@ -627,6 +645,7 @@ class SqlGen:
             # form prints directly on DuckDB/PG; SQLite has no
             # LATERAL (and forbids FROM-clause correlation entirely)
             kw = ""
+            body = None
             if getattr(fr, "lateral", False):
                 if self.dialect == "sqlite":
                     raise SqlppError(
@@ -634,7 +653,31 @@ class SqlGen:
                         "(backend divergence)"
                     )
                 kw = "LATERAL "
-            return f"{kw}({self.select(rel.ctx)}) AS {_q(fr.alias)}"
+                body = self.select(rel.ctx)
+                sub_sel = rel.ctx.select
+                if (
+                    self.dialect == "duckdb"
+                    and (sub_sel.group_by is not None
+                         or getattr(sub_sel, "group_all", False))
+                    and not rel.ctx.group_exprs
+                    and not _projects_count(rel.ctx)
+                ):
+                    # PROBED divergence (r18): DuckDB drops the
+                    # empty-group row of a GLOBAL-aggregate lateral
+                    # body unless the projection carries a count —
+                    # `CROSS JOIN LATERAL (SELECT sum(v) ... )`
+                    # loses non-matching outer rows where PG (and
+                    # the engine) keep them with NULL cells. A dummy
+                    # count(*) column triggers DuckDB's completion;
+                    # it is never referenced by the outer query.
+                    assert body.startswith("SELECT ")
+                    body = (
+                        'SELECT count(*) AS "__sqlpp_comp", '
+                        + body[len("SELECT "):]
+                    )
+            if body is None:
+                body = self.select(rel.ctx)
+            return f"{kw}({body}) AS {_q(fr.alias)}"
         if isinstance(fr, A.FromSeries):
             # DuckDB/PG share the inclusive generate_series table fn;
             # SQLite has none
@@ -1377,14 +1420,22 @@ def select_sql(
     if rec is not None:
         # WITH RECURSIVE prints natively — DuckDB, Postgres and
         # SQLite all support it with the engine's UNION/UNION ALL
-        # working-table semantics. The explicit column list carries
-        # the rename the dialect's optional ``name (cols)`` form did.
-        cols = ", ".join(_q(n) for n, _t in rec.row)
-        kw = "UNION ALL" if rec.union_all else "UNION"
+        # working-table semantics (r18: members print in declaration
+        # order; mutual cycles are UNION-distinct, where DuckDB's
+        # accumulated evaluation reaches the same closure as the
+        # engine's tandem semi-naive loop). The explicit column list
+        # carries the rename the dialect's optional ``name (cols)``
+        # form did.
+        parts = []
+        for m in rec.members:
+            cols = ", ".join(_q(n) for n, _t in m.row)
+            kw = "UNION ALL" if m.union_all else "UNION"
+            parts.append(
+                f"{_q(m.name)} ({cols}) AS "
+                f"({g.select(m.base_ctx)} {kw} {g.select(m.step_ctx)})"
+            )
         return (
-            f"WITH RECURSIVE {_q(rec.name)} ({cols}) AS "
-            f"({g.select(rec.base_ctx)} {kw} {g.select(rec.step_ctx)}) "
-            f"{g.select(info.ctx)}"
+            f"WITH RECURSIVE {', '.join(parts)} {g.select(info.ctx)}"
         )
     return g.select(info.ctx)
 
@@ -1548,3 +1599,31 @@ def statement_sql(
         out += where_sql(q.table, q.where)
         return out + returning(q.returning)
     raise SqlppError(f"cannot render {type(q).__name__} as SQL")
+
+
+_COUNT_FAMILY = frozenset(
+    {"count", "count_distinct", "approx_count_distinct", "count_if"}
+)
+
+
+def _projects_count(ctx) -> bool:
+    """True when any projected field of an aggregated body contains a
+    count-family aggregate — the trigger for DuckDB's empty-group
+    completion in a lateral body (see the probed divergence at the
+    lateral printing site)."""
+
+    def walk(e) -> bool:
+        if isinstance(e, A.EApp):
+            if e.fn.lower() in _COUNT_FAMILY:
+                return True
+            return any(walk(x) for x in e.args)
+        for attr in ("expr", "left", "right"):
+            sub = getattr(e, attr, None)
+            if sub is not None and walk(sub):
+                return True
+        args = getattr(e, "args", None)
+        if args:
+            return any(walk(x) for x in args)
+        return False
+
+    return any(walk(f.expr) for f in ctx.fields if f.is_used)

@@ -284,22 +284,37 @@ class ParamEntry:
 
 
 @dataclass
-class RecursiveInfo:
-    """Analyzed ``WITH RECURSIVE`` member (r17, beyond reference).
-    ``row`` is the recursive table's fixpoint row type: seeded from
-    the base branch (renamed by the optional column list), then
-    widened by re-analyzing the step against the widened binding until
-    stable — the step sees the recursive table at its final type, so
-    e.g. a step that can yield NULL into a base-non-null column
-    analyzes with the nullable type on BOTH sides of the recursion.
-    ``base_ctx``/``step_ctx`` are the elaborated branch contexts
-    (SelectCtx | SetOpCtx) the compiler / SQL printers consume."""
+class RecMemberInfo:
+    """One analyzed ``WITH RECURSIVE`` member (r17 single; r18
+    multiple/mutual). ``row`` is the member table's fixpoint row
+    type: seeded from the base branch (renamed by the optional column
+    list), then widened by re-analyzing the stratum's steps against
+    the widened bindings until stable — each step sees every cycle
+    table at its final type, so e.g. a step that can yield NULL into
+    a base-non-null column analyzes with the nullable type on BOTH
+    sides of the recursion. ``base_ctx``/``step_ctx`` are the
+    elaborated branch contexts (SelectCtx | SetOpCtx) the compiler /
+    SQL printers consume."""
 
     name: str
     row: List[Tuple[str, Ty]]
     base_ctx: object
     step_ctx: object
     union_all: bool
+
+
+@dataclass
+class RecursiveInfo:
+    """Analyzed ``WITH RECURSIVE`` member set (r18). ``members`` is
+    in declaration order (the printers re-emit it verbatim);
+    ``strata`` groups member INDEXES in evaluation order — one
+    stratum per SCC of the reference graph, so a stratum of size > 1
+    is a mutual cycle iterating in tandem while later strata see
+    earlier strata's completed results (the stratified DuckDB/PG
+    semantics)."""
+
+    members: List[RecMemberInfo]
+    strata: List[List[int]]
 
 
 @dataclass
@@ -392,7 +407,8 @@ class Analyzer:
         raise SqlppError(f"not a select: {type(q).__name__}")
 
     def analyze_recursive(self, q: "A.RecursiveQuery") -> QueryInfo:
-        """WITH RECURSIVE (r17). The base branch fixes the column
+        """WITH RECURSIVE (r17 single member; r18 multiple members /
+        mutual cycles). Per member, the base branch fixes the column
         NAMES (or the explicit column list does) and their KINDS —
         the Postgres/DuckDB rule: the non-recursive term types the
         recursive table. A step column must fit the base kind
@@ -401,101 +417,146 @@ class Analyzer:
         rounds while Spark's truncates — probed divergence, see
         engine-divergences). NULLABILITY is the one lattice dimension
         that fixpoints: a step that can yield NULL into a base
-        non-null column widens the binding and re-analyzes, so the
-        recursion sees its own nullable output. Step/main see
-        ``name`` as an ordinary table; the compiler binds it
-        iteratively (compile._compile_recursive)."""
-        if isinstance(q.base, A.SetOp):
-            base_ctx = self.analyze_setop(q.base)
-        else:
-            base_ctx = self.analyze_select(q.base)
-        brow = base_ctx.row()
-        if q.columns:
-            if len(q.columns) != len(brow):
-                self.err(
-                    f"recursive CTE {q.name!r}: column list has "
-                    f"{len(q.columns)} names but the base select has "
-                    f"{len(brow)} columns", q.loc,
-                )
-            names = list(q.columns)
-        else:
-            names = [n for n, _t in brow]
-        if len(set(names)) != len(names):
-            self.err(
-                f"recursive CTE {q.name!r} has duplicate column names",
-                q.loc,
-            )
-        row: List[Tuple[str, Ty]] = [
-            (names[i], t) for i, (_n, t) in enumerate(brow)
-        ]
-        shadowed = self.env.tables.get(q.name)
-        step_ctx = None
-        step_ast = None
+        non-null column widens the binding and re-analyzes — JOINTLY
+        across a mutual cycle's members, so every step sees every
+        cycle table at its final type. Strata analyze in evaluation
+        order (parser-computed SCCs of the reference graph): a later
+        stratum's base/step see earlier strata as ordinary completed
+        tables. Steps/main see member names as ordinary tables; the
+        compiler binds them iteratively
+        (compile._compile_recursive)."""
+        strata: List[List[int]] = []
+        for i, m in enumerate(q.members):
+            while m.scc >= len(strata):
+                strata.append([])
+            strata[m.scc].append(i)
+        shadowed = {
+            m.name: self.env.tables.get(m.name) for m in q.members
+        }
+        minfos: List[Optional[RecMemberInfo]] = [None] * len(q.members)
         try:
-            for _pass in range(4):
-                self.env.tables[q.name] = TableInfo(
-                    q.name, {n: t for n, t in row}
-                )
-                step_ast = copy.deepcopy(q.step)
-                if isinstance(step_ast, A.SetOp):
-                    step_ctx = self.analyze_setop(step_ast)
-                else:
-                    step_ctx = self.analyze_select(step_ast)
-                srow = step_ctx.row()
-                if len(srow) != len(row):
+            for stratum in strata:
+                rows: Dict[int, List[Tuple[str, Ty]]] = {}
+                base_ctxs: Dict[int, object] = {}
+                for i in stratum:
+                    m = q.members[i]
+                    if isinstance(m.base, A.SetOp):
+                        base_ctx = self.analyze_setop(m.base)
+                    else:
+                        base_ctx = self.analyze_select(m.base)
+                    brow = base_ctx.row()
+                    if m.columns:
+                        if len(m.columns) != len(brow):
+                            self.err(
+                                f"recursive CTE {m.name!r}: column "
+                                f"list has {len(m.columns)} names but "
+                                f"the base select has {len(brow)} "
+                                "columns", m.loc,
+                            )
+                        names = list(m.columns)
+                    else:
+                        names = [n for n, _t in brow]
+                    if len(set(names)) != len(names):
+                        self.err(
+                            f"recursive CTE {m.name!r} has duplicate "
+                            "column names", m.loc,
+                        )
+                    rows[i] = [
+                        (names[k], t) for k, (_n, t) in enumerate(brow)
+                    ]
+                    base_ctxs[i] = base_ctx
+                step_ctxs: Dict[int, object] = {}
+                # joint fixpoint: each pass can only widen (kind
+                # int->float once, non_null -> nullable once), so the
+                # pass count is bounded by the stratum column count
+                max_pass = 2 + sum(len(rows[i]) for i in stratum) * 2
+                for _pass in range(max_pass):
+                    for i in stratum:
+                        m = q.members[i]
+                        self.env.tables[m.name] = TableInfo(
+                            m.name, {n: t for n, t in rows[i]}
+                        )
+                    changed = False
+                    for i in stratum:
+                        m = q.members[i]
+                        step_ast = copy.deepcopy(m.step)
+                        if isinstance(step_ast, A.SetOp):
+                            step_ctx = self.analyze_setop(step_ast)
+                        else:
+                            step_ctx = self.analyze_select(step_ast)
+                        srow = step_ctx.row()
+                        if len(srow) != len(rows[i]):
+                            self.err(
+                                f"recursive CTE {m.name!r}: step has "
+                                f"{len(srow)} columns, base has "
+                                f"{len(rows[i])}", m.loc,
+                            )
+                        widened = self._rec_widen(
+                            m.name, rows[i], srow, m.loc
+                        )
+                        if [t for _n, t in widened] != [
+                            t for _n, t in rows[i]
+                        ]:
+                            rows[i] = widened
+                            changed = True
+                        step_ctxs[i] = step_ctx
+                        m.step = step_ast  # keep the LAST elaborated
+                    if not changed:
+                        break
+                else:  # pragma: no cover - lattice height bounds this
                     self.err(
-                        f"recursive CTE {q.name!r}: step has "
-                        f"{len(srow)} columns, base has {len(row)}",
-                        q.loc,
+                        "recursive CTE type inference did not "
+                        "converge", q.loc,
                     )
-                widened: List[Tuple[str, Ty]] = []
-                for (n, t), (_sn, st) in zip(row, srow):
-                    # base kind is authoritative; the step must fit
-                    # it without loss (lub == base kind)
-                    numeric = (t.kinds | st.kinds) <= frozenset(
-                        {"int", "float"}
+                # later strata and main see the fixpoint types
+                for i in stratum:
+                    m = q.members[i]
+                    self.env.tables[m.name] = TableInfo(
+                        m.name, {n: t for n, t in rows[i]}
                     )
-                    if not (t.kinds & st.kinds) and not numeric:
-                        self.err(
-                            f"recursive CTE column `{n}`: base has "
-                            f"{t} but step has {st}", q.loc,
-                        )
-                    u = ty_lub(t, st)
-                    if u.kinds == frozenset({"int", "float"}):
-                        u = FLOAT.with_non_null(u.non_null)
-                    if u.kinds != t.kinds:
-                        self.err(
-                            f"recursive CTE column `{n}`: the step's "
-                            f"{st} does not fit the base type {t} "
-                            "(the non-recursive term fixes the type; "
-                            "cast the base column if the recursion "
-                            "needs the wider type)", q.loc,
-                        )
-                    widened.append((n, t.with_non_null(u.non_null)))
-                if [t for _n, t in widened] == [t for _n, t in row]:
-                    break
-                row = widened
-            else:  # pragma: no cover - lattice height makes this unreachable
-                self.err(
-                    f"recursive CTE {q.name!r}: type inference did "
-                    "not converge", q.loc,
-                )
-            # main SELECT sees the fixpoint type
-            self.env.tables[q.name] = TableInfo(
-                q.name, {n: t for n, t in row}
-            )
+                    minfos[i] = RecMemberInfo(
+                        m.name, rows[i], base_ctxs[i], step_ctxs[i],
+                        m.union_all,
+                    )
             if isinstance(q.main, A.SetOp):
                 main_ctx = self.analyze_setop(q.main)
             else:
                 main_ctx = self.analyze_select(q.main)
         finally:
-            if shadowed is not None:
-                self.env.tables[q.name] = shadowed
-            else:
-                self.env.tables.pop(q.name, None)
-        q.step = step_ast  # keep the LAST elaborated step AST
-        rec = RecursiveInfo(q.name, row, base_ctx, step_ctx, q.union_all)
+            for name, sh in shadowed.items():
+                if sh is not None:
+                    self.env.tables[name] = sh
+                else:
+                    self.env.tables.pop(name, None)
+        rec = RecursiveInfo(minfos, strata)
         return QueryInfo(q.main, main_ctx, self.params, self.src, rec)
+
+    def _rec_widen(self, name, row, srow, loc):
+        """Per-column base-kind check + nullability widening for one
+        recursive member (see analyze_recursive docstring)."""
+        widened: List[Tuple[str, Ty]] = []
+        for (n, t), (_sn, st) in zip(row, srow):
+            # base kind is authoritative; the step must fit it
+            # without loss (lub == base kind)
+            numeric = (t.kinds | st.kinds) <= frozenset({"int", "float"})
+            if not (t.kinds & st.kinds) and not numeric:
+                self.err(
+                    f"recursive CTE column `{n}`: base has {t} but "
+                    f"step has {st}", loc,
+                )
+            u = ty_lub(t, st)
+            if u.kinds == frozenset({"int", "float"}):
+                u = FLOAT.with_non_null(u.non_null)
+            if u.kinds != t.kinds:
+                self.err(
+                    f"recursive CTE column `{n}`: the step's {st} "
+                    f"does not fit the base type {t} (the "
+                    "non-recursive term fixes the type; cast the "
+                    "base column if the recursion needs the wider "
+                    "type)", loc,
+                )
+            widened.append((n, t.with_non_null(u.non_null)))
+        return widened
 
     def analyze_setop(self, q: "A.SetOp") -> SetOpCtx:
         """Compound select (r14): analyze each branch independently,
@@ -991,10 +1052,29 @@ class Analyzer:
         sub_ctx, corr = self._lift_correlated(ctx, lat.select)
         sel = sub_ctx.select
         if sel.group_by is not None or getattr(sel, "group_all", False):
-            self.err(
-                "aggregated LATERAL bodies are not supported (use a "
-                "correlated scalar subquery)", lat.loc,
-            )
+            # r18: aggregated LATERAL bodies — the most common LATERAL
+            # shape after top-k. The compiler lowers them through the
+            # same groupBy-on-correlation-keys + equi-join shape the
+            # correlated scalar subqueries use (_join_lateral_agg);
+            # global (GROUP BY ()) bodies densify over the distinct
+            # outer key tuples so empty groups complete per SQL
+            # (count -> 0, others NULL).
+            if any(op != "=" for op, _ie, _oe in corr):
+                self.err(
+                    "aggregated LATERAL bodies require equality-only "
+                    "correlation (use a correlated scalar subquery "
+                    "for theta shapes)", lat.loc,
+                )
+            if sel.limit is not None or sel.offset is not None:
+                self.err(
+                    "LIMIT/OFFSET in an aggregated LATERAL body is "
+                    "not supported", lat.loc,
+                )
+            if sel.distinct:
+                self.err(
+                    "DISTINCT in an aggregated LATERAL body is not "
+                    "supported", lat.loc,
+                )
         for f in sub_ctx.fields:
             self._forbid_windows(f.expr, "a LATERAL body")
         if sel.limit is not None or sel.offset is not None:

@@ -410,23 +410,45 @@ class SetOp:
 
 
 @dataclass
-class RecursiveQuery:
-    """``WITH RECURSIVE name [(cols)] AS (base UNION [ALL] step)
-    <main>`` (r17, beyond reference — the reference grammar has no
-    CTEs at all, parser.mly). Unlike plain CTEs (inlined at parse
-    time, parser._with_query) the recursive member cannot be
-    substituted away: ``step`` and ``main`` reference ``name`` as a
-    table, bound iteratively at execution (compiler.compile_recursive
-    — the same bounded-superstep loop the engine uses for BFS /
-    pagerank in queries/web_queries.py). ``union_all`` selects bag
-    semantics: UNION (distinct) feeds only globally-new rows to the
-    next iteration, the standard fixpoint form."""
+class RecMember:
+    """One recursive CTE member of a WITH RECURSIVE (r18 — multiple
+    members, including mutual cycles). ``refs`` is the set of member
+    names the ORIGINAL body references (parser-computed, drives SCC
+    classification); ``scc`` is the member's stratum index in
+    evaluation order (SCCs of the member reference graph, ordered by
+    first declaration — members sharing an scc form a mutual cycle
+    and iterate in tandem)."""
 
     name: str = ""
     columns: List[str] = field(default_factory=list)  # optional rename list
-    base: object = None  # Select | SetOp — must not reference name
-    step: object = None  # Select | SetOp — references name
+    base: object = None  # Select | SetOp — must not reference its SCC
+    step: object = None  # Select | SetOp — references the SCC
     union_all: bool = False
+    refs: frozenset = frozenset()
+    scc: int = 0
+    loc: Loc = NO_LOC
+
+
+@dataclass
+class RecursiveQuery:
+    """``WITH RECURSIVE name [(cols)] AS (base UNION [ALL] step)
+    [, ...] <main>`` (r17 single member; r18 multiple members and
+    mutual cycles — beyond reference: the reference grammar has no
+    CTEs at all, parser.mly). Unlike plain CTEs (inlined at parse
+    time, parser._with_query) recursive members cannot be substituted
+    away: steps and ``main`` reference member names as tables, bound
+    iteratively at execution (compiler._compile_recursive — the same
+    bounded-superstep loop the engine uses for BFS / pagerank in
+    queries/web_queries.py). ``union_all`` selects bag semantics per
+    member: UNION (distinct) feeds only globally-new rows to the next
+    iteration, the standard fixpoint form. Members evaluate stratum
+    by stratum (declaration order of SCCs): a later member's
+    references to an earlier stratum see the COMPLETED result — the
+    DuckDB/PG stratified semantics — while members inside one SCC
+    iterate in tandem (UNION-distinct only, where semi-naive and
+    accumulated evaluation provably coincide for monotone steps)."""
+
+    members: List[RecMember] = field(default_factory=list)
     main: object = None  # Select | SetOp
     loc: Loc = NO_LOC
 

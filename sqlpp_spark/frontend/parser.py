@@ -118,12 +118,11 @@ class Parser:
         a CTE list."""
         self.advance()  # WITH
         recursive = self._eat_ident("recursive")  # contextual keyword
-        ctes: list = []
-        rec: tuple | None = None  # (name, columns, base, step, all_)
+        raw: list = []  # (name, columns, body, loc)
         while True:
             name_tok = self.expect_ident()
             name = name_tok.value
-            if any(n == name for n, _b in ctes) or (rec and rec[0] == name):
+            if any(n == name for n, _c, _b, _l in raw):
                 self.fail(f"duplicate CTE name {name!r}")
             columns: list[str] = []
             if self.eat_punct("("):
@@ -136,57 +135,112 @@ class Parser:
             self.expect_punct("(")
             body = self.select_compound()
             self.expect_punct(")")
-            for n0, b0 in ctes:
-                _subst_cte(body, n0, b0)
-            if _refs_table(body, name):
-                if not recursive:
-                    self.fail(
-                        f"recursive CTE {name!r} must be spelled "
-                        "WITH RECURSIVE"
-                    )
-                if rec is not None:
-                    self.fail(
-                        "only one recursive CTE per WITH RECURSIVE is "
-                        "supported (no mutual recursion)"
-                    )
-                rec = (name, columns, *self._split_recursive(name, body))
-            else:
-                if columns:
-                    self.fail(
-                        "CTE column lists are only supported on the "
-                        "recursive member"
-                    )
-                # NOTE: a plain CTE may reference the recursive one —
-                # its body inlines into the main SELECT, where the
-                # recursive name is in scope.
-                ctes.append((name, body))
+            raw.append((name, columns, body, name_tok.loc))
             if not self.eat_punct(","):
                 break
         if not self.at_kw("select"):
             self.fail("WITH <name> AS (...) must be followed by SELECT")
         q = self.select_compound()
+
+        # r18: classify members by the reference graph over ALL CTE
+        # names (mutual cycles need forward refs within a cycle, so
+        # classification must see the whole list). A member is
+        # RECURSIVE iff it references itself or sits in a reference
+        # cycle; everything else stays a plain parse-time-inlined CTE
+        # exactly as before (a plain CTE may reference recursive
+        # names — its body inlines into the main SELECT, where those
+        # names are in scope).
+        names = [n for n, _c, _b, _l in raw]
+        refs = [
+            frozenset(m for m in names if _refs_table(body, m))
+            for _n, _c, body, _l in raw
+        ]
+        sccs = _sccs(names, refs)  # list[list[int]], evaluation order
+        in_cycle = {
+            i
+            for comp in sccs
+            for i in comp
+            if len(comp) > 1 or names[i] in refs[i]
+        }
+        if in_cycle and not recursive:
+            self.fail(
+                f"recursive CTE {names[min(in_cycle)]!r} must be "
+                "spelled WITH RECURSIVE"
+            )
+        scc_of = {i: k for k, comp in enumerate(sccs) for i in comp}
+        # cross-SCC references must point at strata that are fully
+        # DECLARED earlier (DuckDB's binder enforces the same: a
+        # forward reference outside a cycle is an error) — this also
+        # makes evaluation order = declaration order of strata
+        last_ix = {k: max(comp) for k, comp in enumerate(sccs)}
+        for i, rs in enumerate(refs):
+            if i not in in_cycle:
+                continue
+            for m in rs:
+                j = names.index(m)
+                if scc_of[j] != scc_of[i] and last_ix[scc_of[j]] > i:
+                    self.fail(
+                        f"recursive CTE {names[i]!r}: forward "
+                        f"reference to {m!r} outside its cycle "
+                        "(declare it earlier)"
+                    )
+        members: list = []
+        plains: list = []  # (name, body), declaration order
+        stratum_of: dict[int, int] = {}
+        n_strata = 0
+        for k, comp in enumerate(sccs):
+            if any(i in in_cycle for i in comp):
+                stratum_of[k] = n_strata
+                n_strata += 1
+        for i, (name, columns, body, loc) in enumerate(raw):
+            # earlier plain CTEs substitute into every later body
+            # (standard earlier-only visibility), recursive or not
+            for n0, b0 in plains:
+                _subst_cte(body, n0, b0)
+            if i in in_cycle:
+                comp = sccs[scc_of[i]]
+                cycle_names = {names[j] for j in comp}
+                base, step, all_ = self._split_recursive(
+                    name, body, cycle_names
+                )
+                if all_ and len(comp) > 1:
+                    self.fail(
+                        f"recursive CTE {name!r}: UNION ALL is not "
+                        "supported in a mutually recursive cycle "
+                        "(use UNION — bag semantics over a cycle "
+                        "do not terminate)"
+                    )
+                members.append(A.RecMember(
+                    name=name, columns=columns, base=base, step=step,
+                    union_all=all_, refs=refs[i],
+                    scc=stratum_of[scc_of[i]], loc=loc,
+                ))
+            else:
+                if columns:
+                    self.fail(
+                        "CTE column lists are only supported on "
+                        "recursive members"
+                    )
+                plains.append((name, body))
         # REVERSE order: a body inlined later must not have its
-        # forward references resolved by an even-later substitution —
-        # standard SQL visibility is strictly earlier-CTEs-only
-        for n, b in reversed(ctes):
+        # forward references resolved by an even-later substitution
+        for n, b in reversed(plains):
             _subst_cte(q, n, b)
-        if rec is not None:
-            name, columns, base, step, all_ = rec
-            # EARLIER plain CTEs were already substituted into the
-            # recursive body inside the loop (standard earlier-only
-            # visibility); later ones must not be.
+        if members:
             return A.RecursiveQuery(
-                name=name, columns=columns, base=base, step=step,
-                union_all=all_, main=q, loc=name_tok.loc,
+                members=members, main=q, loc=members[0].loc,
             )
         return q
 
-    def _split_recursive(self, name: str, body):
+    def _split_recursive(self, name: str, body, cycle_names=None):
         """Split a recursive CTE body into (base, step, union_all).
         Standard shape: the OUTERMOST set operation must be a UNION
         whose left side (the base case, itself possibly compound)
-        never references ``name`` and whose right side (the step)
-        does."""
+        never references the member's cycle (itself, plus its mutual
+        partners — r18) and whose right side (the step) does. A base
+        MAY reference recursive members of EARLIER strata: those are
+        completed results by the time this stratum seeds."""
+        cycle = cycle_names if cycle_names is not None else {name}
         if not isinstance(body, A.SetOp) or body.op != "union":
             self.fail(
                 f"recursive CTE {name!r} must be <base> UNION [ALL] "
@@ -198,12 +252,14 @@ class Parser:
                 "ORDER BY / LIMIT / OFFSET are not supported on a "
                 "recursive CTE body"
             )
-        if _refs_table(body.left, name):
-            self.fail(
-                f"recursive CTE {name!r}: the base case (left of "
-                "UNION) must not reference the CTE"
-            )
-        # (body refs name and base doesn't => the step does)
+        for m in cycle:
+            if _refs_table(body.left, m):
+                self.fail(
+                    f"recursive CTE {name!r}: the base case (left of "
+                    "UNION) must not reference the CTE"
+                    + ("" if m == name else f" cycle member {m!r}")
+                )
+        # (body refs the cycle and base doesn't => the step does)
         return body.left, body.right, body.all
 
     def parse_decls(self) -> list:
@@ -1608,3 +1664,64 @@ def _refs_table(q, name) -> bool:
             if _refs_table(sub, name):
                 return True
     return False
+
+
+def _sccs(names: list, refs: list) -> list:
+    """Strongly connected components of the CTE member reference
+    graph (r18 mutual recursion), returned in a REVERSE-topological-
+    compatible evaluation order: every component appears after the
+    components it references (ties broken by first declaration, so
+    strata evaluate in declaration order). Iterative Tarjan — member
+    lists are tiny, but recursion depth should still not depend on
+    user input."""
+    n = len(names)
+    ix = {m: i for i, m in enumerate(names)}
+    adj = [[ix[m] for m in sorted(rs) if m in ix] for rs in refs]
+    index = [None] * n
+    low = [0] * n
+    on_stack = [False] * n
+    stack: list = []
+    comps: list = []
+    counter = [0]
+    for root in range(n):
+        if index[root] is not None:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if index[w] is None:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    comp.append(w)
+                    if w == v:
+                        break
+                comps.append(sorted(comp))
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    # Order strata by FIRST DECLARATION (node ids are declaration
+    # positions). This is topologically valid because _with_query
+    # separately rejects forward cross-SCC references — every
+    # surviving cross-component edge points at an earlier-declared
+    # component.
+    comps.sort(key=min)
+    return comps

@@ -370,12 +370,14 @@ def format_query(q) -> str:
         def _body(b):
             return setop_str(b) if isinstance(b, A.SetOp) else select_str(b)
 
-        cols = f" ({', '.join(q.columns)})" if q.columns else ""
-        kw = "union all" if q.union_all else "union"
-        return (
-            f"with recursive {q.name}{cols} as "
-            f"({_body(q.base)} {kw} {_body(q.step)}) {_body(q.main)}"
-        )
+        parts = []
+        for m in q.members:
+            cols = f" ({', '.join(m.columns)})" if m.columns else ""
+            kw = "union all" if m.union_all else "union"
+            parts.append(
+                f"{m.name}{cols} as ({_body(m.base)} {kw} {_body(m.step)})"
+            )
+        return f"with recursive {', '.join(parts)} {_body(q.main)}"
     if isinstance(q, A.Insert):
         cols = ", ".join(q.columns)
         if q.values is not None:

@@ -1505,3 +1505,118 @@ _sqlpp(
     "ON o.o_totalprice >= p.b AND o.o_totalprice < p.b * 2 "
     "GROUP BY b ORDER BY bucket_lo",
 )
+
+_sqlpp(
+    # r18: aggregated LATERAL body (r17 verdict task 3) — the classic
+    # per-outer-row statistics shape. Lowered to ONE hash aggregate
+    # grouped by the correlation key + a null-safe equi-join with
+    # SQL's one-row completion for empty groups (count -> 0, max ->
+    # NULL), never a per-customer rescan (plan-pinned in
+    # test_lateral.py). The body projects a count, which is also
+    # DuckDB's own empty-group completion trigger (probed divergence,
+    # sqlgen lateral printing), so DuckDB oracles the SAME lateral SQL
+    # natively.
+    "sqlpp_lateral_agg",
+    "select c.c_custkey as custkey, x.n_orders as n_orders, "
+    "x.max_price as max_price "
+    "from customer as c cross join lateral ("
+    "select count(1) as n_orders, max(o.o_totalprice) as max_price "
+    "from orders as o where o.o_custkey = c.c_custkey group by ()) as x "
+    "where c.c_custkey <= 500 order by custkey",
+    "SELECT c_custkey AS custkey, x.n_orders AS n_orders, "
+    "x.max_price AS max_price "
+    "FROM customer c CROSS JOIN LATERAL ("
+    "SELECT count(*) AS n_orders, max(o.o_totalprice) AS max_price "
+    "FROM orders o WHERE o.o_custkey = c.c_custkey GROUP BY ()) x "
+    "WHERE c_custkey <= 500 ORDER BY custkey",
+    headline=True,
+)
+
+_sqlpp(
+    # r18: KEYED aggregated LATERAL with HAVING — per-region nation
+    # supplier counts, keeping only nations with >= 3 suppliers;
+    # empty groups legitimately vanish (CROSS drops, LEFT keeps with
+    # NULLs — this entry pins the CROSS side).
+    "sqlpp_lateral_agg_keyed",
+    "select r.r_name as region_name, x.nname as nname, x.n_sup as n_sup "
+    "from region as r cross join lateral ("
+    "select n.n_name as nname, count(1) as n_sup "
+    "from nation as n join supplier as s on s.s_nationkey = n.n_nationkey "
+    "where n.n_regionkey = r.r_regionkey "
+    "group by n.n_name having count(1) >= 3) as x "
+    "order by region_name, nname",
+    "SELECT r_name AS region_name, x.nname AS nname, x.n_sup AS n_sup "
+    "FROM region r CROSS JOIN LATERAL ("
+    "SELECT n_name AS nname, count(*) AS n_sup "
+    "FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey "
+    "WHERE n.n_regionkey = r.r_regionkey "
+    "GROUP BY n_name HAVING count(*) >= 3) x "
+    "ORDER BY region_name, nname",
+)
+
+_sqlpp(
+    # r18: MUTUAL recursion (r17 verdict task 4) — odd/even-positioned
+    # lineitems per order via a two-member cycle (odd's step walks
+    # even, even's step walks odd; linenumbers are 1..7 contiguous
+    # per TPC-H order). UNION-distinct members: the engine's tandem
+    # semi-naive loop and DuckDB's accumulated re-evaluation reach
+    # the same closure for monotone steps (probed; mutual UNION ALL
+    # is parser-rejected because DuckDB's bag semantics do not
+    # terminate). even's base is the ln=2 seed (ln=1 always exists),
+    # so it references the cycle only in its step.
+    "sqlpp_recursive_mutual",
+    "with recursive odd_ln (okey, ln) as ("
+    "select l_orderkey as okey, l_linenumber as ln from lineitem "
+    "where l_linenumber = 1 "
+    "union "
+    "select l.l_orderkey as okey, l.l_linenumber as ln "
+    "from even_ln as e join lineitem as l "
+    "on l.l_orderkey = e.okey and l.l_linenumber = e.ln + 1), "
+    "even_ln (okey, ln) as ("
+    "select l_orderkey as okey, l_linenumber as ln from lineitem "
+    "where l_linenumber = 2 "
+    "union "
+    "select l.l_orderkey as okey, l.l_linenumber as ln "
+    "from odd_ln as o join lineitem as l "
+    "on l.l_orderkey = o.okey and l.l_linenumber = o.ln + 1) "
+    "select 1 as parity, ln, count(1) as n_items from odd_ln group by ln "
+    "union all "
+    "select 0 as parity, ln, count(1) as n_items from even_ln group by ln "
+    "order by parity, ln",
+    "WITH RECURSIVE odd_ln (okey, ln) AS ("
+    "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber = 1 "
+    "UNION "
+    "SELECT l.l_orderkey, l.l_linenumber FROM even_ln e JOIN lineitem l "
+    "ON l.l_orderkey = e.okey AND l.l_linenumber = e.ln + 1), "
+    "even_ln (okey, ln) AS ("
+    "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber = 2 "
+    "UNION "
+    "SELECT l.l_orderkey, l.l_linenumber FROM odd_ln o JOIN lineitem l "
+    "ON l.l_orderkey = o.okey AND l.l_linenumber = o.ln + 1) "
+    "SELECT 1 AS parity, ln, count(*) AS n_items FROM odd_ln GROUP BY ln "
+    "UNION ALL "
+    "SELECT 0 AS parity, ln, count(*) AS n_items FROM even_ln GROUP BY ln "
+    "ORDER BY parity, ln",
+)
+
+_sqlpp(
+    # r18: MULTIPLE recursive members, stratified — the second
+    # member's BASE references the completed first member (months
+    # spine -> half-year tagging), the DuckDB/PG stratified
+    # semantics: strata evaluate in declaration order, later bases
+    # and steps see earlier fixpoints as ordinary tables.
+    "sqlpp_recursive_multi",
+    "with recursive months (m) as (select 1 as m union all "
+    "select m + 1 as m from months where m < 12), "
+    "halves (m, h) as (select m as m, 1 as h from months where m <= 6 "
+    "union all select m + 6 as m, 2 as h from halves where h = 1) "
+    "select hv.h as half_no, cast(sum(hv.m) as int) as m_sum, "
+    "count(1) as n_months from halves as hv group by hv.h "
+    "order by half_no",
+    "WITH RECURSIVE months (m) AS (SELECT 1 UNION ALL "
+    "SELECT m + 1 FROM months WHERE m < 12), "
+    "halves (m, h) AS (SELECT m, 1 FROM months WHERE m <= 6 "
+    "UNION ALL SELECT m + 6, 2 FROM halves WHERE h = 1) "
+    "SELECT h AS half_no, CAST(sum(m) AS INTEGER) AS m_sum, "
+    "count(*) AS n_months FROM halves GROUP BY h ORDER BY half_no",
+)

@@ -221,13 +221,20 @@ def test_errors(eng):
         # take a column list in this dialect
         ("with recursive a (n) as (select id as n from edges union all "
          "select id as n from edges) select n from a",
-         "only supported on the recursive member"),
-        # mutual recursion unsupported
+         "only supported on recursive members"),
+        # r18: mutual cycles must be UNION (DuckDB's accumulated
+        # UNION ALL semantics do not terminate)
         ("with recursive a (n) as (select 1 as n union all "
-         "select n + 1 as n from a where n < 3), "
-         "b (n) as (select n from a union all "
-         "select n + 1 as n from b where n < 3) select n from b",
-         "only one recursive CTE"),
+         "select b.m + 1 as n from b where b.m < 3), "
+         "b (m) as (select 2 as m union all "
+         "select a.n + 1 as m from a where a.n < 3) select n from a",
+         "UNION ALL is not supported in a mutually recursive"),
+        # r18: forward reference outside a cycle
+        ("with recursive a (n) as (select 1 as n union "
+         "select b.m + x.n as n from a as x join b on b.m < 3), "
+         "b (m) as (select 2 as m union all "
+         "select m + 1 as m from b where m < 3) select n from a",
+         "forward reference"),
         # arity mismatch in column list
         ("with recursive a (n, m) as (select 1 as n union all "
          "select n + 1 as n from a) select n from a",
@@ -248,7 +255,7 @@ def test_errors(eng):
         ("with recursive a (n) as (select 1 as n union all "
          "select n + 1 as n from a where n < 3), b (m) as "
          "(select 2 as m) select n from a",
-         "only supported on the recursive member"),
+         "only supported on recursive members"),
     ):
         with pytest.raises(SqlppError, match=m):
             eng.fetch_list(bad)
@@ -379,3 +386,96 @@ def test_recursive_view_two_uses_compile_fixpoint_once(eng, duck):
         "JOIN closure AS b ON b.id = a.id + 1 ORDER BY x"
     ).fetchall())
     assert rows == want and rows, rows
+
+
+def test_multiple_independent_members(eng, duck):
+    # r18: two self-recursive members, no cross references
+    _differ(
+        eng, duck,
+        "with recursive t (n) as (select 1 as n union all "
+        "select n + 1 as n from t where n < 4), "
+        "u (m) as (select 10 as m union all "
+        "select m + 10 as m from u where m < 40) "
+        "select t.n as n, u.m as m from t join u on u.m = t.n * 10",
+    )
+
+
+def test_stratified_backward_reference(eng, duck):
+    # r18: a later member's base AND step see the COMPLETED earlier
+    # member (stratified DuckDB/PG semantics)
+    _differ(
+        eng, duck,
+        "with recursive t (n) as (select 1 as n union all "
+        "select n + 1 as n from t where n < 4), "
+        "u (m) as (select n * 100 as m from t where n <= 2 union all "
+        "select u.m + 1 as m from u where u.m % 100 < 2) "
+        "select m from u",
+    )
+
+
+def test_mutual_cycle_even_odd_reachability(eng, duck):
+    # r18: a TRUE mutual cycle (UNION distinct) — even/odd-depth
+    # nodes of the DAG; the engine's tandem semi-naive loop and
+    # DuckDB's accumulated re-evaluation reach the same closure
+    # (monotone steps)
+    _differ(
+        eng, duck,
+        "with recursive even (id) as ("
+        "select id from edges where parent is null "
+        "union "
+        "select e.id as id from odd as o join edges as e "
+        "on e.parent = o.id), "
+        "odd (id) as ("
+        "select e.id as id from edges as e join edges as r "
+        "on e.parent = r.id and r.parent is null "
+        "union "
+        "select e.id as id from even as v join edges as e "
+        "on e.parent = v.id) "
+        "select 'even' as side, id from even "
+        "union all select 'odd' as side, id from odd",
+    )
+
+
+def test_mutual_cycle_numeric(eng, duck):
+    # the DuckDB-probed numeric mutual example (engine-divergences:
+    # probe both engines before wiring) — a={1,3}, b={2,6}
+    _differ(
+        eng, duck,
+        "with recursive a (n) as (select 1 as n union "
+        "select b.m + 1 as n from b where b.m < 5), "
+        "b (m) as (select 2 as m union "
+        "select a.n * 2 as m from a where a.n < 5) "
+        "select 'a' as side, n from a "
+        "union all select 'b' as side, m as n from b",
+    )
+
+
+def test_mutual_members_fmt_roundtrip(eng):
+    from sqlpp_spark.frontend.printer import format_query
+
+    src = (
+        "with recursive a (n) as (select 1 as n union "
+        "select b.m + 1 as n from b where b.m < 5), "
+        "b (m) as (select 2 as m union "
+        "select a.n * 2 as m from a where a.n < 5) "
+        "select n from a"
+    )
+    text = format_query(parse_query(src))
+    assert "with recursive a (n) as" in text and ", b (m) as" in text
+    rows1 = sorted(r[0] for r in eng.fetch_list(src))
+    rows2 = sorted(r[0] for r in eng.fetch_list(text))
+    assert rows1 == rows2 == [1, 3]
+
+
+def test_three_strata_chain(eng, duck):
+    # t -> u -> v: each stratum sees the previous completed results
+    _differ(
+        eng, duck,
+        "with recursive t (n) as (select 1 as n union all "
+        "select n + 1 as n from t where n < 3), "
+        "u (m) as (select max(n) as m from t group by () union all "
+        "select m + 1 as m from u where m < 5), "
+        "v (k) as (select m * 10 as k from u where m = 5 union all "
+        "select v.k + t.n as k from v join t on t.n = 1 where v.k < 53) "
+        "select k from v",
+    )
