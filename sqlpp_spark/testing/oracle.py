@@ -28,6 +28,11 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
         for t in TABLES:
             path = os.path.join(sf_dir, f"{t}.parquet")
             if os.path.exists(path):
+                # Spark-written tables are DIRECTORIES of part files
+                # (the rehearsal fixtures); driver testdata is a
+                # single file — glob the directory case for DuckDB
+                if os.path.isdir(path):
+                    path = os.path.join(path, "*.parquet")
                 con.execute(
                     f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
                 )

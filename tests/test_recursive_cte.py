@@ -305,6 +305,41 @@ if _HAS_HYP:
         want2 = sorted(r[0] for r in duck.execute(src).fetchall())
         assert rows == want == want2, src
 
+    @st.composite
+    def _mutual_recurrence(draw):
+        """Random two-member MUTUAL cycles (r18): modular affine
+        steps over a bounded non-negative domain — always terminating
+        under set semantics, monotone, so the engine's tandem
+        semi-naive loop and DuckDB's accumulated evaluation must
+        reach the same closure."""
+        sa = draw(st.integers(0, 3))
+        sb = draw(st.integers(0, 3))
+        p1 = draw(st.integers(1, 4))
+        p2 = draw(st.integers(1, 4))
+        m = draw(st.integers(5, 9))
+        return (
+            f"with recursive a (n) as (select {sa} as n union "
+            f"select (b.n + {p1}) % {m} as n from b), "
+            f"b (n) as (select {sb} as n union "
+            f"select (a.n + {p2}) % {m} as n from a) "
+            "select 'a' as s, n from a "
+            "union all select 'b' as s, n from b"
+        )
+
+    @settings(
+        max_examples=20, deadline=None, derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(_mutual_recurrence())
+    def test_mutual_recursive_property_differential(eng, duck, src):
+        rows = sorted(tuple(r) for r in eng.fetch_list(src))
+        info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+        want = sorted(
+            tuple(r) for r in duck.execute(select_sql(info)).fetchall()
+        )
+        want2 = sorted(tuple(r) for r in duck.execute(src).fetchall())
+        assert rows == want == want2, src
+
 
 def test_recursive_view_and_derived_table(eng, duck):
     # r17: CREATE QUERY with a WITH RECURSIVE body (recursive view)
@@ -479,3 +514,26 @@ def test_three_strata_chain(eng, duck):
         "select v.k + t.n as k from v join t on t.n = 1 where v.k < 53) "
         "select k from v",
     )
+
+
+def test_recursive_view_with_mutual_members(eng, duck):
+    # r18: CREATE QUERY whose body is a mutual WITH RECURSIVE — the
+    # view compiles through the same strata loop at every use site
+    # and prints inline
+    eng.add_decls(
+        "create query parities as with recursive ev (id) as "
+        "(select id from edges where parent is null union "
+        "select e.id as id from od join edges as e on e.parent = od.id), "
+        "od (id) as "
+        "(select e.id as id from edges as e join edges as r "
+        "on e.parent = r.id and r.parent is null union "
+        "select e.id as id from ev join edges as e on e.parent = ev.id) "
+        "select id from ev;"
+    )
+    rows = sorted(r[0] for r in eng.fetch_list(
+        "select v.id as id from parities as v order by id"))
+    assert rows == [1, 4, 5, 6, 8]
+    src = "select v.id as id from parities as v order by id"
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    assert sorted(r[0] for r in duck.execute(select_sql(info)).fetchall()) \
+        == [1, 4, 5, 6, 8]

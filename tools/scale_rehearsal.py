@@ -88,11 +88,12 @@ def build_fixture(spark: SparkSession) -> None:
     for i in range(COPIES):
         # per-copy word shuffle: sort words by a copy-keyed hash —
         # same words/length, disjoint shingles across copies
+        words = F.split(F.col("text"), " ")
         shuffled = F.array_join(
             F.transform(
                 F.array_sort(
                     F.transform(
-                        F.split(F.col("text"), " "),
+                        words,
                         lambda w, p: F.struct(
                             F.xxhash64(w, p, F.col("doc_id"), F.lit(i)).alias("k"),
                             w.alias("w"),
@@ -103,13 +104,33 @@ def build_fixture(spark: SparkSession) -> None:
             ),
             " ",
         )
+        # r18 (r17 verdict task 5): the word shuffle destroys ALL
+        # near-dup structure (it is doc_id-keyed, so even within-copy
+        # former near-dups diverge), which left dedup_minhash /
+        # dedup_ngram_jaccard returning 0 rows at sf1 — the rehearsal
+        # validated wall/shuffle but not result quality. SEED ~1% of
+        # docs as near-dup clusters: those keep their ORIGINAL word
+        # order with one copy-keyed word replaced, so each seeded doc
+        # forms a 10-member cross-copy near-dup cluster (single-word
+        # edit ≈ 0.9+ shingle Jaccard on these corpus lengths) while
+        # never being an EXACT duplicate.
+        seeded = F.col("doc_id") % 100 == 7
+        mutated = F.array_join(
+            F.concat(
+                F.slice(words, 1, i + 1),
+                F.array(F.lit(f"sqlppseed{i}")),
+                F.slice(words, i + 3, 1 << 20),
+            ),
+            " ",
+        )
+        text_i = F.when(seeded, mutated).otherwise(shuffled)
         doc_parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * ID_STRIDE)).alias("doc_id"),
-                shuffled.alias("text"),
+                text_i.alias("text"),
                 "lang",
                 "source",
-                F.length(shuffled).alias("n_chars"),
+                F.length(text_i).alias("n_chars"),
             )
         )
         perturbed = F.transform(

@@ -135,16 +135,37 @@ def main() -> None:
         }
         print(f"{name:35s} sf0.1={r01['sec']:>8.2f}s sf1={r1['sec']:>8.2f}s "
               f"wall x{ratio:<6} shuffle x{sh_ratio}")
+    # r18 (r17 verdict task 5): the fixture now seeds ~1% of docs as
+    # cross-copy near-dup clusters, so the near-dup queries must
+    # return rows at sf1 AND match the DuckDB oracle there — result
+    # QUALITY at scale, not just wall/shuffle
+    from sqlpp_spark.testing.oracle import compare, run_oracle
+
+    quality = {}
+    for name in ("dedup_minhash", "dedup_ngram_jaccard"):
+        rows = results[name]["sf1"]["rows"]
+        assert rows > 0, f"{name}: seeded fixture produced no pairs"
+        spec = REGISTRY[name]
+        cmp_ = compare(
+            spec.builder(spark, SF1), run_oracle(spec.oracle, SF1)
+        )
+        quality[name] = {"rows": rows, "oracle_match": cmp_["match"]}
+        print(f"{name} sf1 quality: rows={rows} "
+              f"oracle_match={cmp_['match']}")
     out = {
         "copies": COPIES,
         "runs_per_point": RUNS,
         "loadavg_before": round(os.getloadavg()[0], 2),
         "queries": results,
+        "sf1_neardup_quality": quality,
         "note": (
             "sf1 = 10 key-strided copies of sf0.1 (join fan-outs "
-            "preserved); documents word-shuffled, embeddings "
-            "perturbed per copy. wall_ratio ~10 or less = linear or "
-            "better; nation/region SF-invariant per TPC-H."
+            "preserved); documents word-shuffled with ~1% seeded "
+            "cross-copy near-dup clusters (single-word mutations of "
+            "the original order), embeddings perturbed per copy. "
+            "wall_ratio ~10 or less = linear or better; nation/region "
+            "SF-invariant per TPC-H. sf1_neardup_quality pins "
+            "non-zero, DuckDB-oracle-matching pair results at sf1."
         ),
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
