@@ -332,6 +332,24 @@ AGG_SOURCES = (
     "select t1.id as oid, x.n as n from t1 cross join lateral "
     "(select count(1) as n from t2 where t2.amt > 9999 "
     "group by ()) as x order by oid",
+    # chained: second aggregated lateral correlates on the FIRST
+    # lateral's output column
+    "select t1.id as oid, x.n as n, y.c2 as c2 from t1 "
+    "cross join lateral (select count(1) as n from t2 "
+    "where t2.grp = t1.grp group by ()) as x "
+    "cross join lateral (select count(1) as c2 from t2 "
+    "where t2.id = x.n group by ()) as y order by oid",
+    # aggregated lateral AFTER a plain lateral
+    "select t1.id as oid, p.tid as tid, q.n as n from t1 "
+    "cross join lateral (select t2.id as tid from t2 "
+    "where t2.grp = t1.grp) as p "
+    "cross join lateral (select count(1) as n from t2 "
+    "where t2.grp = p.tid group by ()) as q order by oid, tid",
+    # body with a residual IN-subquery conjunct
+    "select t1.id as oid, x.n as n from t1 cross join lateral "
+    "(select count(1) as n from t2 where t2.grp = t1.grp "
+    "and t2.id in (select t2b.id from t2 as t2b where t2b.amt > 70) "
+    "group by ()) as x order by oid",
 )
 
 # pure-non-count global bodies: DuckDB drops the empty-group row when
