@@ -1345,10 +1345,18 @@ class Compiler:
 
         Thresholds: banded only pays once the product is large, so
         the strategy first counts sub (cheap scan); if |sub| >= the
-        sub floor it counts the distinct-probe frame (persisted — the
-        banded plan consumes it twice) and switches when D*S exceeds
-        spark.sqlpp.quantifier.bandedThreshold (default 1e8, ~0.5 s
-        of nested loop)."""
+        sub floor it counts the distinct-probe frame (checkpointed —
+        the banded plan consumes it twice) and switches when D*S
+        exceeds spark.sqlpp.quantifier.bandedThreshold (default 1e8,
+        ~0.5 s of nested loop).
+
+        CAVEAT (r17 verdict note): this chooser runs EAGER jobs at
+        plan time — the sub count, the probe checkpoint+count, and a
+        1-row min/max agg. All are bounded and metadata-scale next to
+        the query itself, but this is the one place compilation
+        triggers execution; if plan-time latency ever matters (e.g.
+        prepare-without-execute flows), gate the strategy behind a
+        conf instead of measuring."""
         from pyspark.sql import Window as W
         from pyspark.sql.types import NumericType
 
