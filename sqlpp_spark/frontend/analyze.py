@@ -904,6 +904,12 @@ class Analyzer:
     # -- FROM --------------------------------------------------------------
 
     def _analyze_from(self, ctx: SelectCtx, fr, nullable: bool) -> None:
+        if isinstance(fr, A.FromPivot):
+            self._rewrite_pivot(fr)
+            return self._analyze_from(ctx, fr, nullable)
+        if isinstance(fr, A.FromUnpivot):
+            self._rewrite_unpivot(fr)
+            return self._analyze_from(ctx, fr, nullable)
         if isinstance(fr, A.FromJoin):
             # outer-join nullability (r14 extends the r01 LEFT rule):
             # the preserved side keeps its nullability, the other side
@@ -1102,6 +1108,229 @@ class Analyzer:
         lat.sub_ctx = sub_ctx
         lat.corr = corr
         ctx.rels[lat.alias] = SelectRel(lat.alias, sub_ctx, nullable)
+
+    # -- PIVOT / UNPIVOT desugar (r18, beyond reference) -------------------
+
+    def _from_src_columns(self, src, loc) -> List[str]:
+        """Column names of a PIVOT/UNPIVOT source (table, view, or
+        derived table) — resolved WITHOUT binding it into the current
+        scope (the rewrite re-analyzes the synthesized select
+        normally afterwards)."""
+        if isinstance(src, A.FromTable):
+            ti = self.env.tables.get(src.table)
+            if ti is not None:
+                return list(ti.columns)
+            dq = self.env.queries.get(src.table)
+            if dq is not None and isinstance(dq.select, A.Select):
+                sub = self.analyze_select(copy.deepcopy(dq.select))
+                return [n for n, _t in sub.row()]
+            self.err(f"no such table: {src.table}", loc)
+        if isinstance(src, A.FromSelect):
+            body = src.select
+            if isinstance(body, A.SetOp):
+                sub = self.analyze_setop(copy.deepcopy(body))
+            elif isinstance(body, A.RecursiveQuery):
+                return [
+                    n for n, _t in
+                    self.analyze_recursive(copy.deepcopy(body)).row
+                ]
+            else:
+                sub = self.analyze_select(copy.deepcopy(body))
+            return [n for n, _t in sub.row()]
+        self.err("PIVOT/UNPIVOT take a table or derived table", loc)
+
+    @staticmethod
+    def _bare_names(e) -> set:
+        """Bare column names referenced by an expression (EName
+        leaves; navigation roots count as scope uses, rejected by the
+        pivot rewrite's callers via the synthesized re-analysis)."""
+        out: set = set()
+
+        def walk(x):
+            if isinstance(x, A.EName):
+                out.add(x.name)
+                return
+            for attr in ("expr", "args"):
+                v = getattr(x, attr, None)
+                if isinstance(v, list):
+                    for y in v:
+                        if y is not None:
+                            walk(y)
+                elif v is not None:
+                    walk(v)
+
+        walk(e)
+        return out
+
+    def _rewrite_pivot(self, fr: "A.FromPivot") -> None:
+        """Desugar ``src PIVOT (agg(x) FOR k IN (v AS n, ...)) AS p``
+        into grouped conditional aggregation:
+
+            (SELECT <others>, agg(CASE WHEN k = v THEN x END) AS n,
+                    ... FROM src GROUP BY <others>) AS p
+
+        — the portable spelling (one hash aggregate on Spark, native
+        SQL on every oracle backend). Implicit group keys <others> =
+        every source column not referenced by the pivot clause
+        (Spark's rule). Mutates fr into the FromSelect in place."""
+        loc = fr.loc
+        if fr.agg_fn.lower() not in AGG_FNS:
+            self.err(
+                f"PIVOT aggregate `{fr.agg_fn}` is not an aggregate "
+                "function", loc,
+            )
+        src_cols = self._from_src_columns(fr.src, loc)
+        if fr.pivot_col not in src_cols:
+            self.err(
+                f"PIVOT column `{fr.pivot_col}` is not a column of "
+                "the source", loc,
+            )
+        agg_refs = self._bare_names(fr.agg_arg)
+        others = [
+            c for c in src_cols
+            if c != fr.pivot_col and c not in agg_refs
+        ]
+        fields = [
+            A.Field(
+                expr=A.EName(name=c, loc=loc), name=c,
+                explicit_name=True, loc=loc,
+            )
+            for c in others
+        ]
+        seen = set(others)
+        for lit, name in fr.values:
+            if not isinstance(lit, A.ELit) or lit.value is None:
+                self.err(
+                    "PIVOT IN values must be non-NULL literals", loc,
+                )
+            out = name if name is not None else str(lit.value)
+            if out in seen:
+                self.err(
+                    f"duplicate PIVOT output column `{out}` (use AS "
+                    "to rename)", loc,
+                )
+            seen.add(out)
+            case = A.EApp(
+                fn="case",
+                args=[
+                    A.EApp(
+                        fn="=",
+                        args=[
+                            A.EName(name=fr.pivot_col, loc=loc),
+                            copy.deepcopy(lit),
+                        ],
+                        loc=loc,
+                    ),
+                    copy.deepcopy(fr.agg_arg),
+                ],
+                loc=loc,
+            )
+            fields.append(
+                A.Field(
+                    expr=A.EApp(fn=fr.agg_fn, args=[case], loc=loc),
+                    name=out, explicit_name=True, loc=loc,
+                )
+            )
+        sel = A.Select(
+            fields=fields, from_=fr.src,
+            group_by=[A.EName(name=c, loc=loc) for c in others],
+            loc=loc,
+        )
+        fr_sel = A.FromSelect(sel, fr.alias, loc=loc)
+        fr.__class__ = A.FromSelect
+        fr.__dict__.clear()
+        fr.__dict__.update(fr_sel.__dict__)
+
+    def _rewrite_unpivot(self, fr: "A.FromUnpivot") -> None:
+        """Desugar ``src UNPIVOT [INCLUDE NULLS] (v FOR nm IN (c1 AS
+        'l1', ...)) AS u`` into ONE scan of src cross-joined with a
+        constant generate_series(1, N) spine and CASE dispatch:
+
+            (SELECT <others>,
+                    CASE WHEN i = 1 THEN 'l1' ... END AS nm,
+                    CASE WHEN i = 1 THEN c1  ... END AS v
+             FROM src CROSS JOIN generate_series(1, N) AS __unp(__unp_i)
+             [WHERE CASE ... END IS NOT NULL]) AS u
+
+        The spine is an N-row constant relation (broadcast at scale,
+        never a shuffle); the source is read ONCE — not the N-scan
+        UNION ALL naive melt. Runs natively on the oracle backends
+        (DuckDB/PG share generate_series). Mutates fr in place."""
+        loc = fr.loc
+        src_cols = self._from_src_columns(fr.src, loc)
+        names = [c for c, _l in fr.cols]
+        if len(set(names)) != len(names):
+            self.err("duplicate UNPIVOT source column", loc)
+        for c in names:
+            if c not in src_cols:
+                self.err(
+                    f"UNPIVOT column `{c}` is not a column of the "
+                    "source", loc,
+                )
+        others = [c for c in src_cols if c not in set(names)]
+        for out in (fr.val_name, fr.name_name):
+            if out in others:
+                self.err(
+                    f"UNPIVOT output column `{out}` collides with a "
+                    "kept source column", loc,
+                )
+        idx = "__unp_i"
+
+        def when(i: int, then: "A.Expr") -> list:
+            return [
+                A.EApp(
+                    fn="=",
+                    args=[
+                        A.EName(name=idx, loc=loc),
+                        A.ELit(value=i, lit_kind="int", loc=loc),
+                    ],
+                    loc=loc,
+                ),
+                then,
+            ]
+
+        name_args: list = []
+        val_args: list = []
+        for i, (c, label) in enumerate(fr.cols, start=1):
+            name_args += when(
+                i, A.ELit(value=label if label is not None else c,
+                          lit_kind="string", loc=loc)
+            )
+            val_args += when(i, A.EName(name=c, loc=loc))
+        name_case = A.EApp(fn="case", args=list(name_args), loc=loc)
+        val_case = A.EApp(fn="case", args=list(val_args), loc=loc)
+        fields = [
+            A.Field(
+                expr=A.EName(name=c, loc=loc), name=c,
+                explicit_name=True, loc=loc,
+            )
+            for c in others
+        ]
+        fields.append(A.Field(
+            expr=name_case, name=fr.name_name, explicit_name=True,
+            loc=loc,
+        ))
+        fields.append(A.Field(
+            expr=val_case, name=fr.val_name, explicit_name=True,
+            loc=loc,
+        ))
+        series = A.FromSeries(
+            A.ELit(value=1, lit_kind="int", loc=loc),
+            A.ELit(value=len(fr.cols), lit_kind="int", loc=loc),
+            None, "__unp", idx, loc=loc,
+        )
+        join = A.FromJoin(fr.src, series, "cross", None, loc=loc)
+        where = None
+        if not fr.include_nulls:
+            where = A.EApp(
+                fn="IS NOT NULL", args=[copy.deepcopy(val_case)],
+                loc=loc,
+            )
+        sel = A.Select(fields=fields, from_=join, where=where, loc=loc)
+        fr_sel = A.FromSelect(sel, fr.alias, loc=loc)
+        fr.__class__ = A.FromSelect
+        fr.__dict__.clear()
+        fr.__dict__.update(fr_sel.__dict__)
 
     # -- projection --------------------------------------------------------
 

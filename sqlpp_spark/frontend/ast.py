@@ -410,6 +410,46 @@ class SetOp:
 
 
 @dataclass
+class FromPivot:
+    """``FROM <src> PIVOT (agg(expr) FOR col IN (lit [AS name], ...))
+    [AS alias]`` (r18, beyond reference — Spark/Oracle/T-SQL pivot
+    with a static IN list). Parse-level only: the analyzer desugars
+    it into grouped conditional aggregation over the source — the
+    portable spelling every backend runs natively — so the compiler
+    and printers never see this node. Implicit group keys are every
+    source column not referenced by the pivot clause (Spark's rule)."""
+
+    src: object = None  # FromTable | FromSelect
+    agg_fn: str = ""
+    agg_arg: Expr = None
+    pivot_col: str = ""
+    values: List[tuple] = field(default_factory=list)  # (ELit, name|None)
+    alias: Optional[str] = None
+    loc: Loc = NO_LOC
+
+
+@dataclass
+class FromUnpivot:
+    """``FROM <src> UNPIVOT [INCLUDE NULLS] (val FOR name IN (col
+    [AS 'label'], ...)) [AS alias]`` (r18, beyond reference — melt).
+    Parse-level only: the analyzer desugars into ONE scan of the
+    source cross-joined with a constant generate_series(1, N) spine
+    plus CASE dispatch on the spine index — never the N-scan UNION
+    ALL naive melt (at 100 TB the source is read once; the N-row
+    spine is a broadcast). Spark's Expand-based DataFrame.unpivot is
+    the marginal further optimization; the series+CASE plan already
+    keeps the single scan and runs natively on every SQL backend."""
+
+    src: object = None  # FromTable | FromSelect
+    val_name: str = ""
+    name_name: str = ""
+    cols: List[tuple] = field(default_factory=list)  # (col, label|None)
+    include_nulls: bool = False
+    alias: Optional[str] = None
+    loc: Loc = NO_LOC
+
+
+@dataclass
 class RecMember:
     """One recursive CTE member of a WITH RECURSIVE (r18 — multiple
     members, including mutual cycles). ``refs`` is the set of member

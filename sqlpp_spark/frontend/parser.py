@@ -815,7 +815,9 @@ class Parser:
             self.expect_punct(")")
             self.expect_kw("as")
             alias = self.expect_ident().value
-            return A.FromSelect(sel, alias, loc=Loc.span(loc, self.toks[self.i - 1].loc))
+            return self._pivot_suffix(
+                A.FromSelect(sel, alias, loc=Loc.span(loc, self.toks[self.i - 1].loc))
+            )
         table = self.expect_ident().value
         if table.lower() == "generate_series" and self.at_punct("("):
             # r15: range table function — FROM generate_series(a, b
@@ -837,7 +839,103 @@ class Parser:
         alias = None
         if self.eat_kw("as"):
             alias = self.expect_ident().value
-        return A.FromTable(table, alias, loc=Loc.span(loc, self.toks[self.i - 1].loc))
+        return self._pivot_suffix(
+            A.FromTable(table, alias, loc=Loc.span(loc, self.toks[self.i - 1].loc))
+        )
+
+    def _pivot_suffix(self, item):
+        """Optional ``PIVOT (...)`` / ``UNPIVOT (...)`` suffix after a
+        table or derived table (r18, contextual keywords — only taken
+        when followed by their parenthesized spec, so tables named
+        pivot still parse)."""
+        while self._at_ident("pivot") or self._at_ident("unpivot"):
+            kind = self.cur.value.lower()
+            nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+            include_nulls = False
+            if kind == "unpivot" and nxt is not None and (
+                getattr(nxt, "value", "").lower() in ("include", "exclude")
+            ):
+                self.advance()
+                mode = self.expect_ident().value.lower()
+                self._expect_ident_kw("nulls")
+                include_nulls = mode == "include"
+            elif nxt is None or not (
+                nxt.kind == "punct" and nxt.value == "("
+            ):
+                break
+            else:
+                self.advance()
+            start = self.cur.loc
+            self.expect_punct("(")
+            if kind == "pivot":
+                agg_fn = self.expect_ident().value
+                self.expect_punct("(")
+                agg_arg = self.expr()
+                self.expect_punct(")")
+                self._expect_ident_kw("for")
+                col = self.expect_ident().value
+                self.expect_kw("in")
+                self.expect_punct("(")
+                values: list = []
+                while True:
+                    v = self.expr()
+                    name = None
+                    if self.eat_kw("as"):
+                        name = self.expect_ident().value
+                    values.append((v, name))
+                    if not self.eat_punct(","):
+                        break
+                self.expect_punct(")")
+                self.expect_punct(")")
+                if not self.eat_kw("as"):
+                    self.fail("PIVOT requires AS <alias>")
+                alias = self.expect_ident().value
+                if not values:
+                    self.fail("PIVOT needs at least one IN value")
+                item = A.FromPivot(
+                    item, agg_fn, agg_arg, col, values, alias,
+                    loc=Loc.span(start, self.toks[self.i - 1].loc),
+                )
+            else:
+                val_name = self.expect_ident().value
+                self._expect_ident_kw("for")
+                name_name = self.expect_ident().value
+                self.expect_kw("in")
+                self.expect_punct("(")
+                cols: list = []
+                while True:
+                    c = self.expect_ident().value
+                    label = None
+                    if self.eat_kw("as"):
+                        t = self.cur
+                        if t.kind == "string":
+                            label = t.value
+                            self.advance()
+                        else:
+                            label = self.expect_ident().value
+                    cols.append((c, label))
+                    if not self.eat_punct(","):
+                        break
+                self.expect_punct(")")
+                self.expect_punct(")")
+                if not self.eat_kw("as"):
+                    self.fail("UNPIVOT requires AS <alias>")
+                alias = self.expect_ident().value
+                if val_name == name_name:
+                    self.fail("UNPIVOT value and name columns must differ")
+                item = A.FromUnpivot(
+                    item, val_name, name_name, cols, include_nulls, alias,
+                    loc=Loc.span(start, self.toks[self.i - 1].loc),
+                )
+        return item
+
+    def _expect_ident_kw(self, word: str) -> None:
+        t = self.cur
+        if not (t.kind == "ident" and t.value.lower() == word) and not (
+            getattr(t, "kind", None) == "kw" and t.value.lower() == word
+        ):
+            self.fail(f"expected {word.upper()}")
+        self.advance()
 
     def _from_values(self, loc: Loc):
         """``(VALUES (e, ..), ..) AS t(c1, ..)`` inline table source
@@ -1626,6 +1724,9 @@ def _subst_from(f, name, body):
     if isinstance(f, A.FromSelect):
         _subst_cte(f.select, name, body)
         return f
+    if isinstance(f, (A.FromPivot, A.FromUnpivot)):
+        f.src = _subst_from(f.src, name, body)
+        return f
     return f
 
 
@@ -1655,6 +1756,8 @@ def _refs_table(q, name) -> bool:
             return in_from(f.left) or in_from(f.right)
         if isinstance(f, A.FromSelect):
             return _refs_table(f.select, name)
+        if isinstance(f, (A.FromPivot, A.FromUnpivot)):
+            return in_from(f.src)
         return False
 
     if q.from_ is not None and in_from(q.from_):

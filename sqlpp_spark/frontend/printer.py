@@ -230,6 +230,26 @@ def _from_str(fr) -> str:
             inner = select_str(fr.select)
         kw = "lateral " if getattr(fr, "lateral", False) else ""
         return f"{kw}({inner}) AS {fr.alias}"
+    if isinstance(fr, A.FromPivot):
+        vals = ", ".join(
+            expr_str(v) + (f" as {n}" if n else "")
+            for v, n in fr.values
+        )
+        return (
+            f"{_from_str(fr.src)} pivot ({fr.agg_fn}"
+            f"({expr_str(fr.agg_arg)}) for {fr.pivot_col} in ({vals})) "
+            f"as {fr.alias}"
+        )
+    if isinstance(fr, A.FromUnpivot):
+        mode = "include nulls " if fr.include_nulls else ""
+        cols = ", ".join(
+            c + (f" as '{l}'" if l is not None else "")
+            for c, l in fr.cols
+        )
+        return (
+            f"{_from_str(fr.src)} unpivot {mode}({fr.val_name} for "
+            f"{fr.name_name} in ({cols})) as {fr.alias}"
+        )
     if isinstance(fr, A.FromSeries):
         args = [expr_str(fr.start), expr_str(fr.stop)]
         if fr.step is not None:

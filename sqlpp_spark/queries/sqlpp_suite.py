@@ -1620,3 +1620,52 @@ _sqlpp(
     "SELECT h AS half_no, CAST(sum(m) AS INTEGER) AS m_sum, "
     "count(*) AS n_months FROM halves GROUP BY h ORDER BY half_no",
 )
+
+_sqlpp(
+    # r18: PIVOT (beyond reference and beyond r17) — order counts per
+    # nation spread across order-status columns. The engine desugars
+    # to grouped conditional aggregation (ONE hash aggregate over ONE
+    # scan, plan-pinned in tests/test_pivot.py); DuckDB executes the
+    # same standard PIVOT form NATIVELY — an independent
+    # implementation of the same surface as oracle.
+    "sqlpp_pivot",
+    "select p.nation_name as nation_name, p.n_open as n_open, "
+    "p.n_done as n_done, p.n_partial as n_partial from "
+    "(select n.n_name as nation_name, o.o_orderstatus as st, "
+    "o.o_totalprice as price from orders as o "
+    "join customer as c on c.c_custkey = o.o_custkey "
+    "join nation as n on n.n_nationkey = c.c_nationkey) as src "
+    "pivot (count(price) for st in "
+    "('O' as n_open, 'F' as n_done, 'P' as n_partial)) as p "
+    "order by nation_name",
+    "SELECT p.nation_name AS nation_name, p.n_open AS n_open, "
+    "p.n_done AS n_done, p.n_partial AS n_partial FROM "
+    "(SELECT n.n_name AS nation_name, o.o_orderstatus AS st, "
+    "o.o_totalprice AS price FROM orders o "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN nation n ON n.n_nationkey = c.c_nationkey) src "
+    "PIVOT (count(price) FOR st IN "
+    "('O' AS n_open, 'F' AS n_done, 'P' AS n_partial)) p "
+    "ORDER BY nation_name",
+)
+
+_sqlpp(
+    # r18: UNPIVOT (melt) — per-region nation stats melted to
+    # (metric, value) rows. The engine desugars to ONE source scan
+    # cross-joined with a constant generate_series spine + CASE
+    # dispatch (plan-pinned: single scan, never scan-per-column);
+    # DuckDB executes the same standard UNPIVOT form natively.
+    "sqlpp_unpivot",
+    "select u.rk as rk, u.metric as metric, u.v as v from "
+    "(select n_regionkey as rk, count(1) as n_nations, "
+    "cast(sum(n_nationkey) as int) as key_sum from nation "
+    "group by n_regionkey) as s "
+    "unpivot (v for metric in (n_nations, key_sum)) as u "
+    "order by rk, metric",
+    "SELECT u.rk AS rk, u.metric AS metric, u.v AS v FROM "
+    "(SELECT n_regionkey AS rk, count(*) AS n_nations, "
+    "CAST(CAST(sum(n_nationkey) AS INTEGER) AS BIGINT) AS key_sum "
+    "FROM nation GROUP BY n_regionkey) s "
+    "UNPIVOT (v FOR metric IN (n_nations, key_sum)) u "
+    "ORDER BY rk, metric",
+)
