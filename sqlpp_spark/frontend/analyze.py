@@ -1121,9 +1121,19 @@ class Analyzer:
             if ti is not None:
                 return list(ti.columns)
             dq = self.env.queries.get(src.table)
-            if dq is not None and isinstance(dq.select, A.Select):
-                sub = self.analyze_select(copy.deepcopy(dq.select))
-                return [n for n, _t in sub.row()]
+            if dq is not None:
+                body = copy.deepcopy(dq.select)
+                if isinstance(body, A.SetOp):
+                    return [
+                        n for n, _t in self.analyze_setop(body).row()
+                    ]
+                if isinstance(body, A.RecursiveQuery):
+                    return [
+                        n for n, _t in self.analyze_recursive(body).row
+                    ]
+                return [
+                    n for n, _t in self.analyze_select(body).row()
+                ]
             self.err(f"no such table: {src.table}", loc)
         if isinstance(src, A.FromSelect):
             body = src.select

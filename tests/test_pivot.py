@@ -224,3 +224,30 @@ def test_pivot_errors(eng):
     ):
         with pytest.raises(SqlppError, match=m):
             eng.fetch_list(bad)
+
+
+def test_pivot_over_view_and_recursive_view(eng, duck):
+    # PIVOT source can be a named view; the desugar resolves its row
+    eng.add_decls(
+        "create query bigsales as select region, yr, amt from sales "
+        "where amt >= 5;"
+    )
+    src = ("select p.region as region, p.y23 as y23 from bigsales "
+           "pivot (sum(amt) for yr in (2023 as y23)) as p "
+           "order by region")
+    rows = sorted(tuple(r) for r in eng.fetch_list(src))
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    want = sorted(tuple(r) for r in duck.execute(select_sql(info)).fetchall())
+    assert rows == want and rows, rows
+    # recursive view as unpivot source
+    eng.add_decls(
+        "create query spine as with recursive t (n, sq) as "
+        "(select 1 as n, 1 as sq union all "
+        "select t.n + 1 as n, (t.n + 1) * (t.n + 1) as sq from t "
+        "where t.n < 3) select n, sq from t;"
+    )
+    src2 = ("select u.k as k, u.v as v from spine "
+            "unpivot (v for k in (n, sq)) as u order by k, v")
+    rows2 = sorted(tuple(r) for r in eng.fetch_list(src2))
+    assert rows2 == [("n", 1), ("n", 2), ("n", 3),
+                     ("sq", 1), ("sq", 4), ("sq", 9)], rows2
