@@ -1135,6 +1135,15 @@ class Analyzer:
                     n for n, _t in self.analyze_select(body).row()
                 ]
             self.err(f"no such table: {src.table}", loc)
+        if isinstance(src, (A.FromPivot, A.FromUnpivot)):
+            # chained suffixes: t PIVOT (...) AS p UNPIVOT (...) AS u
+            # — rewrite the inner node first (mutates it into a
+            # FromSelect), then resolve its columns normally
+            if isinstance(src, A.FromPivot):
+                self._rewrite_pivot(src)
+            else:
+                self._rewrite_unpivot(src)
+            return self._from_src_columns(src, loc)
         if isinstance(src, A.FromSelect):
             body = src.select
             if isinstance(body, A.SetOp):

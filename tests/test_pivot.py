@@ -251,3 +251,31 @@ def test_pivot_over_view_and_recursive_view(eng, duck):
     rows2 = sorted(tuple(r) for r in eng.fetch_list(src2))
     assert rows2 == [("n", 1), ("n", 2), ("n", 3),
                      ("sq", 1), ("sq", 4), ("sq", 9)], rows2
+
+
+def test_pivot_then_unpivot_roundtrip(eng, duck):
+    # chained suffixes: spread by year, then melt back — a
+    # pivot/unpivot round-trip recovers the (region, label, value)
+    # triples for non-NULL cells
+    _differ(
+        eng, duck,
+        "select u.region as region, u.prod as prod, u.k as k, u.v as v "
+        "from sales pivot (sum(amt) for yr in "
+        "(2023 as y23, 2024 as y24)) as p "
+        "unpivot (v for k in (y23, y24)) as u "
+        "order by region, prod, k",
+    )
+
+
+def test_pivot_inside_lateral_body(eng, duck):
+    # a PIVOT inside a correlated LATERAL body analyzes through the
+    # body's own FROM analysis
+    _differ(
+        eng, duck,
+        "select s.region as region, x.y23 as y23 from "
+        "(select region from sales group by region) as s "
+        "cross join lateral (select p.y23 as y23 from "
+        "(select region, yr, amt from sales) as src "
+        "pivot (sum(amt) for yr in (2023 as y23)) as p "
+        "where p.region = s.region) as x order by region",
+    )
