@@ -83,6 +83,10 @@ class Compiler:
         # for the lifetime of one Compiler use, so identity is a safe
         # key.
         self._rec_memo: Dict[int, DataFrame] = {}
+        # table names to re-project with fresh exprIds on every
+        # catalog lookup (set while compiling a non-linear recursive
+        # step, which references the same accumulated table twice)
+        self._fresh_names: frozenset = frozenset()
 
     # -- entry points ------------------------------------------------------
 
@@ -121,10 +125,16 @@ class Compiler:
         TANDEM — every step of iteration i sees every cycle member's
         iteration-(i-1) frontier, and the stratum terminates when ALL
         its frontiers are empty in the same iteration. Mutual cycles
-        are UNION-distinct only (parser-enforced): there the
-        semi-naive tandem fixpoint provably equals the accumulated
-        re-evaluation DuckDB runs, because monotone steps over
-        growing sets yield the same closure.
+        are UNION-distinct only (parser-enforced). Delta-binding is
+        used only for LINEAR steps (exactly one cycle reference),
+        where it provably equals the accumulated closure: a monotone
+        step linear in its cycle table distributes over the union of
+        deltas. NON-LINEAR steps (r19 — a join of two cycle members,
+        or a mutual partner referenced twice; non-linear SELF-joins
+        are a parse error, as in PG) re-evaluate over the ACCUMULATED
+        results each iteration instead; with the new-rows subtract
+        this is the terminating stratified-closure evaluation, probed
+        equal to DuckDB's native mutual recursion.
 
         Scale shape: per iteration, UNION-distinct costs one distinct
         exchange over the step output plus one anti-join against the
@@ -172,26 +182,63 @@ class Compiler:
                 for _i in range(max_iter):
                     if all(f.isEmpty() for f in frontiers.values()):
                         break
-                    # every step of this iteration sees every cycle
-                    # member's PREVIOUS frontier (tandem working
-                    # tables) and earlier strata's full results
-                    self.catalog = {
-                        **orig_catalog, **results, **frontiers,
-                    }
                     new: Dict[str, DataFrame] = {}
                     for m in ms:
-                        nxt = branch(m.step_ctx, m.row)
+                        # a LINEAR step (exactly one cycle reference)
+                        # sees every cycle member's PREVIOUS frontier
+                        # (tandem semi-naive working tables); a
+                        # NON-LINEAR step (two cycle tables, or a
+                        # mutual partner referenced twice) re-evaluates
+                        # over the ACCUMULATED results, because
+                        # delta x delta misses new x old combinations
+                        # — the subtract below keeps the re-evaluated
+                        # closure terminating (UNION-distinct only,
+                        # parser-enforced). Both bindings see earlier
+                        # strata's full results.
+                        if getattr(m, "nonlinear", False):
+                            self.catalog = {**orig_catalog, **results}
+                            self._fresh_names = frozenset(
+                                mm.name for mm in ms
+                            )
+                        else:
+                            self.catalog = {
+                                **orig_catalog, **results, **frontiers,
+                            }
+                        try:
+                            nxt = branch(m.step_ctx, m.row)
+                        finally:
+                            self._fresh_names = frozenset()
                         if not m.union_all:
                             nxt = nxt.distinct().subtract(
                                 results[m.name]
                             )
                         new[m.name] = nxt.localCheckpoint(eager=True)
                     frontiers = new
+                    has_nonlinear = any(
+                        getattr(m, "nonlinear", False) for m in ms
+                    )
                     for m in ms:
                         if not frontiers[m.name].isEmpty():
-                            results[m.name] = results[m.name].union(
+                            merged = results[m.name].union(
                                 frontiers[m.name]
                             )
+                            if has_nonlinear:
+                                # non-linear steps SELF-JOIN the
+                                # accumulated table; keep it a flat
+                                # LogicalRDD (a growing Union plan
+                                # self-joined under subtract trips
+                                # Spark's Union constraint rewrite —
+                                # NoSuchElementException in
+                                # UnionBase.rewriteConstraints) and
+                                # cap the re-evaluation plan depth.
+                                # Cost: one executor-local rewrite of
+                                # the accumulated rows per iteration —
+                                # the same order as the accumulated
+                                # re-evaluation itself.
+                                merged = merged.localCheckpoint(
+                                    eager=True
+                                )
+                            results[m.name] = merged
                 else:
                     names = ", ".join(m.name for m in ms)
                     raise SqlppError(
@@ -647,6 +694,14 @@ class Compiler:
             df = self.catalog.get(fr.table)
             if df is None:
                 raise SqlppError(f"table not registered in catalog: {fr.table}")
+            if fr.table in self._fresh_names:
+                # non-linear recursive steps (r19) reference the same
+                # accumulated table twice; a fresh-exprId projection
+                # per LOOKUP keeps the two join sides independent
+                # plans (Spark's self-join attribute dedup leaves
+                # stale exprIds in the plan constraints, which the
+                # localCheckpoint constraint rewrite then trips over)
+                df = df.select(*[F.col(c).alias(c) for c in df.columns])
             return df.alias(name)
         if isinstance(fr, A.FromSelect):
             rel = ctx.rels[fr.alias]

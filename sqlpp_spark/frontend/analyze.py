@@ -301,6 +301,9 @@ class RecMemberInfo:
     base_ctx: object
     step_ctx: object
     union_all: bool
+    # non-linear step (cycle referenced more than once): the compiler
+    # binds cycle names to ACCUMULATED results, not deltas
+    nonlinear: bool = False
 
 
 @dataclass
@@ -516,7 +519,7 @@ class Analyzer:
                     )
                     minfos[i] = RecMemberInfo(
                         m.name, rows[i], base_ctxs[i], step_ctxs[i],
-                        m.union_all,
+                        m.union_all, nonlinear=getattr(m, "nonlinear", False),
                     )
             if isinstance(q.main, A.SetOp):
                 main_ctx = self.analyze_setop(q.main)

@@ -466,6 +466,10 @@ class RecMember:
     union_all: bool = False
     refs: frozenset = frozenset()
     scc: int = 0
+    # True when the step's total cycle-reference count exceeds one
+    # (non-linear rule): the compiler must re-evaluate over the
+    # accumulated results instead of delta-binding (parser-computed)
+    nonlinear: bool = False
     loc: Loc = NO_LOC
 
 

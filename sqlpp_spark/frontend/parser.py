@@ -210,10 +210,41 @@ class Parser:
                         "(use UNION — bag semantics over a cycle "
                         "do not terminate)"
                     )
+                # linearity (r19): delta-binding (the semi-naive
+                # working table) is only equivalent to the closure
+                # when a step references its cycle exactly once.
+                #   - a SELF reference appearing more than once
+                #     (non-linear self-join, e.g. tc JOIN tc) is a
+                #     located error — PG rejects the same shape
+                #     ("recursive reference ... must not appear more
+                #     than once") and DuckDB's working-table answer
+                #     there (delta x delta: only power-of-two path
+                #     lengths survive, probed) is not the closure any
+                #     user means; the linear form (tc JOIN edges)
+                #     expresses the same queries.
+                #   - a step referencing MULTIPLE cycle tables (or a
+                #     mutual partner twice) is marked non-linear: the
+                #     compiler re-evaluates it over the ACCUMULATED
+                #     results (stratified-closure semantics — probed
+                #     equal to DuckDB's native mutual evaluation),
+                #     because delta x delta would miss new x old rows.
+                n_self = _count_refs(step, name)
+                if n_self > 1:
+                    self.fail(
+                        f"recursive CTE {name!r}: the recursive "
+                        "self-reference must not appear more than "
+                        f"once in the step (found {n_self}); rewrite "
+                        "the non-linear self-join as a linear step "
+                        "over the base relation"
+                    )
+                n_cycle_refs = sum(
+                    _count_refs(step, cn) for cn in cycle_names
+                )
                 members.append(A.RecMember(
                     name=name, columns=columns, base=base, step=step,
                     union_all=all_, refs=refs[i],
-                    scc=stratum_of[scc_of[i]], loc=loc,
+                    scc=stratum_of[scc_of[i]],
+                    nonlinear=n_cycle_refs > 1, loc=loc,
                 ))
             else:
                 if columns:
@@ -1767,6 +1798,34 @@ def _refs_table(q, name) -> bool:
             if _refs_table(sub, name):
                 return True
     return False
+
+
+def _count_refs(q, name) -> int:
+    """Occurrence count of table *name* in a (possibly compound)
+    select body — FROM items, joins, derived tables, pivot sources,
+    and subqueries in expressions. Drives the linearity check on
+    recursive steps: a step is LINEAR iff its total cycle-reference
+    count is exactly one; only then is the tandem delta-binding
+    (semi-naive) evaluation equivalent to the accumulated fixpoint."""
+    if isinstance(q, A.SetOp):
+        return _count_refs(q.left, name) + _count_refs(q.right, name)
+
+    def in_from(f) -> int:
+        if isinstance(f, A.FromTable):
+            return 1 if f.table == name else 0
+        if isinstance(f, A.FromJoin):
+            return in_from(f.left) + in_from(f.right)
+        if isinstance(f, A.FromSelect):
+            return _count_refs(f.select, name)
+        if isinstance(f, (A.FromPivot, A.FromUnpivot)):
+            return in_from(f.src)
+        return 0
+
+    n = in_from(q.from_) if q.from_ is not None else 0
+    for ex in _cte_exprs(q):
+        for sub in A.iter_subquery_selects(ex):
+            n += _count_refs(sub, name)
+    return n
 
 
 def _sccs(names: list, refs: list) -> list:

@@ -1622,6 +1622,48 @@ _sqlpp(
 )
 
 _sqlpp(
+    # r19: NON-LINEAR mutual recursion (ADVICE r18 medium) — steps
+    # referencing TWO cycle tables (odd's step: even JOIN odd) or a
+    # partner twice (even's step: odd JOIN odd). The compiler detects
+    # non-linear steps (parser._count_refs) and re-evaluates them
+    # over the ACCUMULATED results instead of delta-binding, because
+    # delta x delta misses new x old row combinations (tandem
+    # semi-naive is only closure-complete for linear steps). Odd/even
+    # path lengths over the 9-node nationkey chain: the closure is
+    # 20 odd + 16 even pairs; the pre-fix tandem loop loses the
+    # len>=5 odd and len>=4 even paths (14 + 10). DuckDB runs the
+    # same mutual recursion natively as oracle (probed: its mutual
+    # evaluation computes the same closure).
+    "sqlpp_recursive_nonlinear",
+    "with recursive odd (s, d) as ("
+    "select n.n_nationkey as s, n.n_nationkey + 1 as d from nation as n "
+    "where n.n_nationkey < 8 "
+    "union "
+    "select ev.s as s, o.d as d from even as ev join odd as o "
+    "on ev.d = o.s), "
+    "even (s, d) as ("
+    "select x.n_nationkey as s, x.n_nationkey + 2 as d from nation as x "
+    "where x.n_nationkey < 7 "
+    "union "
+    "select o1.s as s, o2.d as d from odd as o1 join odd as o2 "
+    "on o1.d = o2.s) "
+    "select 1 as parity, s, d from odd "
+    "union all select 0 as parity, s, d from even "
+    "order by parity, s, d",
+    "WITH RECURSIVE odd (s, d) AS ("
+    "SELECT n_nationkey, n_nationkey + 1 FROM nation WHERE n_nationkey < 8 "
+    "UNION "
+    "SELECT ev.s, o.d FROM even ev JOIN odd o ON ev.d = o.s), "
+    "even (s, d) AS ("
+    "SELECT n_nationkey, n_nationkey + 2 FROM nation WHERE n_nationkey < 7 "
+    "UNION "
+    "SELECT o1.s, o2.d FROM odd o1 JOIN odd o2 ON o1.d = o2.s) "
+    "SELECT 1 AS parity, s, d FROM odd "
+    "UNION ALL SELECT 0 AS parity, s, d FROM even "
+    "ORDER BY parity, s, d",
+)
+
+_sqlpp(
     # r18: PIVOT (beyond reference and beyond r17) — order counts per
     # nation spread across order-status columns. The engine desugars
     # to grouped conditional aggregation (ONE hash aggregate over ONE

@@ -537,3 +537,77 @@ def test_recursive_view_with_mutual_members(eng, duck):
     info = Analyzer(eng.env, src).analyze_query(parse_query(src))
     assert sorted(r[0] for r in duck.execute(select_sql(info)).fetchall()) \
         == [1, 4, 5, 6, 8]
+
+
+def test_multilinear_mutual_step_two_cycle_tables(eng, duck):
+    # r19 (ADVICE medium): a step joining TWO cycle tables must see
+    # new x old row combinations, not just delta x delta. Odd/even
+    # path lengths over the chain 1 -> 2 -> ... -> 8: tandem
+    # delta-binding loses len-5/len-7 odd paths and len-4/len-6 even
+    # paths (pre-fix result 12/8 rows); the accumulated re-evaluation
+    # returns the full closure 16/12 — which is also what DuckDB's
+    # native mutual recursion computes (probed).
+    _differ(
+        eng, duck,
+        "with recursive "
+        "odd (s, d) as ("
+        "select e.id as s, e.id + 1 as d from edges as e where e.id < 8 "
+        "union "
+        "select ev.s as s, o.d as d from even as ev join odd as o "
+        "on ev.d = o.s), "
+        "even (s, d) as ("
+        "select x.id as s, x.id + 2 as d from edges as x where x.id < 7 "
+        "union "
+        "select o1.s as s, o2.d as d from odd as o1 join odd as o2 "
+        "on o1.d = o2.s) "
+        "select 1 as tag, s, d from odd "
+        "union all select 2 as tag, s, d from even",
+    )
+
+
+def test_multilinear_closure_row_counts(eng):
+    # belt-and-braces against the fixture accidentally losing the
+    # long-path structure the differential relies on
+    rows = eng.fetch_list(
+        "with recursive "
+        "odd (s, d) as ("
+        "select e.id as s, e.id + 1 as d from edges as e where e.id < 8 "
+        "union "
+        "select ev.s as s, o.d as d from even as ev join odd as o "
+        "on ev.d = o.s), "
+        "even (s, d) as ("
+        "select x.id as s, x.id + 2 as d from edges as x where x.id < 7 "
+        "union "
+        "select o1.s as s, o2.d as d from odd as o1 join odd as o2 "
+        "on o1.d = o2.s) "
+        "select (select count(1) as c from odd group by ()) as n_odd, "
+        "(select count(1) as c from even group by ()) as n_even"
+    )
+    assert rows == [(16, 12)]
+
+
+def test_nonlinear_self_join_is_located_error(eng):
+    # PG rejects the same shape; DuckDB's working-table answer for a
+    # self-join step (delta x delta -- only power-of-two path lengths
+    # survive, probed) is not the closure anyone means. Located error
+    # beats silently-wrong rows.
+    with pytest.raises(SqlppError, match="must not appear more than once"):
+        eng.fetch_list(
+            "with recursive tc (s, d) as ("
+            "select e.id as s, e.id + 1 as d from edges as e where e.id < 8 "
+            "union "
+            "select a.s as s, b.d as d from tc as a join tc as b "
+            "on a.d = b.s) "
+            "select s, d from tc"
+        )
+
+
+def test_nonlinear_self_ref_in_subquery_counted(eng):
+    # the reference count walks subqueries in expressions too
+    with pytest.raises(SqlppError, match="must not appear more than once"):
+        eng.fetch_list(
+            "with recursive t (n) as (select 1 as n union "
+            "select n + 1 as n from t where n < 5 and "
+            "exists (select 1 as x from t where n < 3)) "
+            "select n from t"
+        )
