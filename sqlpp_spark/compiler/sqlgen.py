@@ -608,13 +608,31 @@ class SqlGen:
             if fr.kind == "cross":
                 return f"{left} {kw} {right}"
             on_sql = self.expr(fr.on)
+
+            def _refs_rel(e, rel: str) -> bool:
+                # structural walk for elaborated ERef nodes bound to
+                # *rel* — r19 (ADVICE): the old substring probe on the
+                # printed ON SQL was fooled by the alias text occurring
+                # inside a string literal
+                if isinstance(e, A.ERef):
+                    return e.rel == rel
+                for v in vars(e).values():
+                    if isinstance(v, A.Expr) and _refs_rel(v, rel):
+                        return True
+                    if isinstance(v, list) and any(
+                        isinstance(y, A.Expr) and _refs_rel(y, rel)
+                        for y in v
+                    ):
+                        return True
+                return False
+
             if (
                 self.dialect == "duckdb"
                 and fr.kind != "inner"
                 and isinstance(fr.right, A.FromSelect)
                 and getattr(fr.right, "lateral", False)
                 and not (isinstance(fr.on, A.ELit) and fr.on.value is True)
-                and f"{_q(fr.right.alias)}." not in on_sql
+                and not _refs_rel(fr.on, fr.right.alias)
             ):
                 # PROBED (r18): DuckDB's binder requires a non-inner
                 # LATERAL ON to compare the two sides; an outer-only

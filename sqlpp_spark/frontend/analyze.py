@@ -1165,21 +1165,34 @@ class Analyzer:
     def _bare_names(e) -> set:
         """Bare column names referenced by an expression (EName
         leaves; navigation roots count as scope uses, rejected by the
-        pivot rewrite's callers via the synthesized re-analysis)."""
+        pivot rewrite's callers via the synthesized re-analysis).
+        Walks EVERY child-expression field generically — r19 (ADVICE):
+        the old expr/args-only walk missed EInList.items, EIn.exprs,
+        EWindow partition/order keys and EMatch branches, leaving a
+        column referenced only there in the implicit PIVOT group
+        keys. Subquery SELECT bodies are separate scopes and are
+        deliberately not entered (Select/SetOp are not Expr nodes)."""
         out: set = set()
 
         def walk(x):
             if isinstance(x, A.EName):
                 out.add(x.name)
                 return
-            for attr in ("expr", "args"):
-                v = getattr(x, attr, None)
-                if isinstance(v, list):
-                    for y in v:
-                        if y is not None:
-                            walk(y)
-                elif v is not None:
+            for v in vars(x).values():
+                if isinstance(v, A.Expr):
                     walk(v)
+                elif isinstance(v, list):
+                    for y in v:
+                        if isinstance(y, A.Expr):
+                            walk(y)
+                        elif y is not None and isinstance(
+                            getattr(y, "expr", None), A.Expr
+                        ):  # OrderItem
+                            walk(y.expr)
+                        elif y is not None and isinstance(
+                            getattr(y, "body", None), A.Expr
+                        ):  # EMatchBranch
+                            walk(y.body)
 
         walk(e)
         return out
@@ -1225,7 +1238,16 @@ class Analyzer:
                 self.err(
                     "PIVOT IN values must be non-NULL literals", loc,
                 )
-            out = name if name is not None else str(lit.value)
+            # default output names use SQL literal rendering — a bool
+            # renders 'true'/'false' (Python str() would give
+            # 'True'/'False', diverging from Spark and the DuckDB
+            # native-PIVOT oracle)
+            if name is not None:
+                out = name
+            elif isinstance(lit.value, bool):
+                out = "true" if lit.value else "false"
+            else:
+                out = str(lit.value)
             if out in seen:
                 self.err(
                     f"duplicate PIVOT output column `{out}` (use AS "

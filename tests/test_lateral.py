@@ -466,3 +466,32 @@ def test_lateral_agg_duckdb_completion_injection(eng):
             "group by ()) as x order by oid")
     info2 = Analyzer(eng.env, src2).analyze_query(parse_query(src2))
     assert "__sqlpp_comp" not in select_sql(info2)
+
+
+def test_duckdb_outer_only_on_guard_is_structural(eng):
+    # r19 (ADVICE): the DuckDB non-inner LATERAL ON divergence guard
+    # must decide structurally (ERef walk), not by substring-matching
+    # the printed SQL — an alias text occurring inside a string
+    # literal used to suppress the divergence error, and the query
+    # then failed with a raw DuckDB binder error downstream.
+    src = (
+        "select t1.id as oid, x.n as n from t1 left join lateral "
+        "(select count(1) as n from t2 where t2.grp = t1.grp "
+        "group by ()) as x "
+        "on t1.val < 10 or '\"x\".n' = 'q' order by oid"
+    )
+    info = Analyzer(eng.env, src).analyze_query(parse_query(src))
+    with pytest.raises(SqlppError, match="backend divergence"):
+        select_sql(info)
+
+
+def test_duckdb_two_sided_on_with_alias_text_in_literal(eng, duck):
+    # the inverse: a genuinely two-sided ON containing the alias text
+    # in a literal must still print and match
+    _differ(
+        eng, duck,
+        "select t1.id as oid, x.n as n from t1 left join lateral "
+        "(select count(1) as n from t2 where t2.grp = t1.grp "
+        "group by ()) as x "
+        "on x.n < t1.val and 'x.' = 'x.' order by oid",
+    )

@@ -279,3 +279,55 @@ def test_pivot_inside_lateral_body(eng, duck):
         "pivot (sum(amt) for yr in (2023 as y23)) as p "
         "where p.region = s.region) as x order by region",
     )
+
+
+def test_pivot_agg_arg_inlist_column_not_group_key(eng, duck):
+    # r19 (ADVICE): a column referenced ONLY inside an IN-list of the
+    # pivot aggregate argument ('a' in (prod) puts prod in
+    # EInList.items, which the old expr/args-only walker missed) must
+    # NOT stay in the implicit group keys — Spark's rule groups by
+    # columns not referenced by the pivot clause, and DuckDB's native
+    # PIVOT agrees. Pre-fix this grouped by prod too (extra rows).
+    _differ(
+        eng, duck,
+        "select p.region as region, p.y23 as y23, p.y24 as y24 "
+        "from sales pivot (sum(case when 'a' in (prod) then amt "
+        "else 0 end) for yr in (2023 as y23, 2024 as y24)) as p "
+        "order by region",
+    )
+
+
+def test_pivot_unnamed_boolean_value_column_names(eng, duck):
+    # r19 (ADVICE): unnamed boolean IN values must synthesize
+    # 'true'/'false' column names (SQL literal rendering), not
+    # Python's 'True'/'False' — DuckDB's native PIVOT (probed) and
+    # Spark both lowercase. The engine dialect has no quoted
+    # identifiers, so the open select carries the synthesized names
+    # through and the check is on the analyzed row + values against
+    # DuckDB's native boolean PIVOT.
+    src = (
+        "select p.region as region from "
+        "(select region as region, prod = 'a' as isa, amt as amt "
+        "from sales) as s0 "
+        "pivot (count(amt) for isa in (true, false)) as p "
+        "order by region"
+    )
+    q = parse_query(src)
+    Analyzer(eng.env, src).analyze_query(q)
+    # the analyzer mutated FromPivot -> FromSelect in place; its
+    # synthesized value-column names must be the SQL renderings
+    import sqlpp_spark.frontend.ast as A
+
+    fr = q.from_
+    assert isinstance(fr, A.FromSelect)
+    names = [f.name for f in fr.select.fields]
+    assert names == ["region", "true", "false"], names
+    # and the engine rows still agree with DuckDB's native boolean
+    # PIVOT (values leg)
+    rows = sorted(tuple(r) for r in eng.fetch_list(src))
+    want = sorted(tuple(r) for r in duck.execute(
+        "SELECT region FROM (SELECT region, prod = 'a' AS isa, amt "
+        "FROM sales) PIVOT (count(amt) FOR isa IN (true, false)) "
+        "ORDER BY region"
+    ).fetchall())
+    assert rows == want
