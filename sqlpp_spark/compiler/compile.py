@@ -758,6 +758,10 @@ class Compiler:
             sub, keys = self._corr_sub_frame(
                 sub_ctx, corr, alias, binds, extra_fields=True
             )
+        elif any(op != "=" for op, _ie, _oe in corr):
+            # r19: single ordered theta correlation (analyzer-
+            # enforced) — banded per-probe top-k
+            return self._join_lateral_theta_topk(fr, left, binds)
         else:
             # top-k per key: rebuild FROM + residual WHERE (the _corr
             # conjuncts live in the join condition), carry the ORDER
@@ -833,6 +837,218 @@ class Compiler:
             # — drop them before the full-row distinct
             out = out.drop(*keys).distinct().drop(rid)
         return out
+
+    def _join_lateral_theta_topk(self, fr: "A.FromJoin", left: DataFrame,
+                                 binds: Bindings) -> DataFrame:
+        """Theta-correlated LATERAL top-k (r19, r18 verdict task 2) —
+        the last LATERAL shape the engine rejected:
+
+            ... FROM o CROSS JOIN LATERAL
+                (SELECT s.a FROM s WHERE s.v < o.val
+                 ORDER BY s.price DESC LIMIT k) AS x
+
+        Per outer row: the top-k (by the body ORDER BY) of the sub
+        rows satisfying a SINGLE ordered theta correlation
+        (analyzer-enforced: exactly one of <, <=, >, >=; no equality
+        mixing). The result depends only on the PROBE VALUE (the
+        outer side of the theta), so the engine evaluates per
+        DISTINCT probe value and equi-joins back — never a
+        per-outer-row rescan.
+
+        Two strategies, same chooser policy as the quantifier band
+        join (_theta_cells_banded):
+
+        NESTED LOOP (below threshold): distinct probes x sub theta
+        join, one window per probe value — D*S comparisons, correct
+        and cheapest at small sizes.
+
+        BANDED (D*S >= spark.sqlpp.lateral.bandedThreshold, default
+        1e8): width_bucket the sub's theta key into NB value buckets.
+        For a probe in bucket p under `<`, every sub row in a
+        STRICTLY lower bucket satisfies the theta by construction
+        (sub.v < bucket_start(p) <= o.val), so the candidate set is
+        (all lower buckets) UNION (own bucket, theta-checked):
+        1. per-bucket top-h rows (h = offset+limit; ONE window over
+           sub partitioned by bucket) -> S' with <= NB*h rows
+           (metadata scale, broadcastable);
+        2. prefix completion: for each bucket p, the top-h of S'
+           rows strictly below (above, for >/>=) p — a spine join
+           (NB+2 buckets x S', bounded by NB^2*h/2 rows independent
+           of data size; NB auto-shrinks to keep this ~8e6) plus one
+           window per bucket. Sound+complete: the true top-h of a
+           union of buckets is contained in the union of per-bucket
+           top-h sets;
+        3. candidates per probe = broadcast-join its bucket's prefix
+           top-h + the in-bucket theta-checked rows (the D*S/NB
+           residual term — the only data-dependent comparisons);
+        4. final window per probe value, row_number in
+           (offset, offset+limit].
+        OFFSET without LIMIT cannot bound the per-bucket windows —
+        it stays on the nested loop (documented).
+
+        A NULL probe value satisfies no theta: CROSS drops the outer
+        row, LEFT keeps it with a NULL body side — both fall out of
+        the plain-equality join-back. Sub rows with a NULL theta key
+        are dropped up front.
+
+        CAVEAT: like the quantifier chooser, this runs bounded eager
+        jobs at plan time (sub count, probe checkpoint+count, 1-row
+        min/max)."""
+        lat = fr.right
+        sub_ctx, corr = lat.sub_ctx, lat.corr
+        sel = sub_ctx.select
+        op, ie, oe = corr[0][0], corr[0][1], corr[0][2]
+        alias = self._fresh("__latt")
+        pv = f"{alias}_pv"
+        key = f"{alias}_k"
+        # body frame: FROM + residual (non-corr) WHERE, projected
+        # fields + theta key + order columns
+        sub = self._compile_from(sub_ctx, sel.from_, binds)
+        if sel.where is not None:
+            for conj in _split_conjuncts(sel.where):
+                if getattr(conj, "_corr", False):
+                    continue
+                sub = self._apply_predicate(sub, sub_ctx, conj, binds)
+        fields = [f for f in sub_ctx.fields if f.is_used]
+        cols = [
+            self.expr(f.expr, binds, {}).alias(f.out_name)
+            for f in fields
+        ]
+        fnames = [f.out_name for f in fields]
+        onames = [f"{alias}_o{i}" for i in range(len(sel.order_by))]
+        ocols = [
+            self.expr(o.expr, binds, {}).alias(n)
+            for n, o in zip(onames, sel.order_by)
+        ]
+        sub = sub.select(
+            *cols, self.expr(ie, binds, {}).alias(key), *ocols
+        ).where(F.col(key).isNotNull())
+        order = [
+            self._order_col(F.col(n), o)
+            for n, o in zip(onames, sel.order_by)
+        ]
+        lo = _const_int(sel.offset, binds) if sel.offset is not None else 0
+        hi = (
+            lo + _const_int(sel.limit, binds)
+            if sel.limit is not None else None
+        )
+        pv_expr = self.expr(oe, binds, {})
+        probes = (
+            left.select(pv_expr.alias(pv))
+            .where(F.col(pv).isNotNull())
+            .distinct()
+        )
+        res = self._theta_topk_frame(
+            sub, probes, op, key, pv, fnames, onames, order, lo, hi,
+        )
+        res = res.alias(lat.alias)
+        cond = pv_expr == F.col(f"{lat.alias}.{pv}")
+        if fr.kind != "cross" and not (
+            isinstance(fr.on, A.ELit) and fr.on.value is True
+        ):
+            cond = cond & self.expr(fr.on, binds, {})
+        how = "inner" if fr.kind == "cross" else fr.kind
+        return left.join(res, on=cond, how=how).drop(pv)
+
+    def _theta_topk_frame(
+        self, sub: DataFrame, probes: DataFrame, op: str, key: str,
+        pv: str, fnames: List[str], onames: List[str], order, lo: int,
+        hi: Optional[int],
+    ) -> DataFrame:
+        """Per-distinct-probe top-k rows of ``sub`` under
+        ``sub[key] <op> probe[pv]`` — strategy chooser + both
+        lowerings for _join_lateral_theta_topk. Returns a frame of
+        (pv, *fnames)."""
+        from pyspark.sql import Window as W
+        from pyspark.sql.types import NumericType
+
+        conf = self.spark.conf
+        threshold = float(
+            conf.get("spark.sqlpp.lateral.bandedThreshold", "1e8")
+        )
+        sub_floor = int(
+            conf.get("spark.sqlpp.lateral.bandedSubFloor", "10000")
+        )
+        nb = int(conf.get("spark.sqlpp.lateral.bandedBuckets", "1024"))
+        numeric = isinstance(
+            sub.schema[key].dataType, NumericType
+        ) and isinstance(probes.schema[pv].dataType, NumericType)
+        banded = False
+        if numeric and hi is not None:
+            s_rows = sub.count()
+            if s_rows >= sub_floor:
+                probes = probes.localCheckpoint(eager=True)
+                d_rows = probes.count()
+                banded = d_rows * s_rows >= threshold
+        rn = f"{pv}_rn"
+        pw = W.partitionBy(F.col(pv)).orderBy(*order)
+
+        def take(frame: DataFrame) -> DataFrame:
+            out = frame.withColumn(rn, F.row_number().over(pw))
+            cond = F.col(rn) > lo
+            if hi is not None:
+                cond = cond & (F.col(rn) <= hi)
+            return out.where(cond).select(F.col(pv), *fnames)
+
+        if not banded:
+            joined = probes.join(
+                sub, on=self._cmp_col(op, F.col(key), F.col(pv)),
+                how="inner",
+            )
+            return take(joined)
+        # ---- banded ----
+        lohi = sub.agg(
+            F.min(F.col(key).cast("double")).alias("lo"),
+            F.max(F.col(key).cast("double")).alias("hi"),
+        ).collect()[0]
+        klo, khi = float(lohi["lo"]), float(lohi["hi"])
+        if khi <= klo:
+            khi = klo + 1.0
+        # keep the spine join (<= nb^2 * h / 2 rows) bounded ~8e6
+        nb = max(8, min(nb, int((1.6e7 / max(hi, 1)) ** 0.5)))
+
+        def bkt(c: Column) -> Column:
+            return F.width_bucket(
+                c.cast("double"), F.lit(klo), F.lit(khi), F.lit(nb)
+            )
+
+        sb, pb, bp = f"{pv}_sb", f"{pv}_pb", f"{pv}_bp"
+        sub_b = sub.withColumn(sb, bkt(F.col(key)).cast("int"))
+        probes_b = probes.withColumn(pb, bkt(F.col(pv)).cast("int"))
+        bw = W.partitionBy(F.col(sb)).orderBy(*order)
+        sprime = (
+            sub_b.withColumn(rn, F.row_number().over(bw))
+            .where(F.col(rn) <= hi)
+            .drop(rn)
+            .localCheckpoint(eager=True)
+        )
+        # prefix completion WITHOUT a non-equi join: each per-bucket
+        # top-h row fans out map-side (sequence+explode) to every
+        # bucket it is strictly below (above, for >/>=), then one
+        # window per target bucket keeps that bucket's top-h — every
+        # join in the banded plan stays a HASH equi-join
+        span = (
+            F.sequence(F.col(sb) + 1, F.lit(nb + 1))
+            if op in ("<", "<=")
+            else F.sequence(F.lit(0), F.col(sb) - 1)
+        )
+        prefw = W.partitionBy(F.col(bp)).orderBy(*order)
+        prefix = (
+            sprime.withColumn(bp, F.explode(span))
+            .withColumn(rn, F.row_number().over(prefw))
+            .where(F.col(rn) <= hi)
+            .drop(rn)
+        )
+        cand1 = probes_b.join(
+            F.broadcast(prefix), on=F.col(pb) == F.col(bp), how="inner"
+        ).select(F.col(pv), *fnames, *onames)
+        cand2 = probes_b.join(
+            sub_b,
+            on=(F.col(sb) == F.col(pb))
+            & self._cmp_col(op, F.col(key), F.col(pv)),
+            how="inner",
+        ).select(F.col(pv), *fnames, *onames)
+        return take(cand1.unionByName(cand2))
 
     def _join_lateral_agg(self, fr: "A.FromJoin", left: DataFrame,
                           binds: Bindings) -> DataFrame:

@@ -1460,7 +1460,7 @@ def select_sql(
 
 def statement_sql(
     env, src: str, params: Optional[Dict[str, object]] = None,
-    dialect: str = "duckdb",
+    dialect: str = "duckdb", pivot_values=None,
 ) -> str:
     """Render any sqlpp statement — SELECT (elaborated), INSERT
     VALUES/SELECT (+ SET sugar, ON CONFLICT, RETURNING), UPDATE
@@ -1494,7 +1494,13 @@ def statement_sql(
             return f" WHERE {g.expr(welab)}"
         return f" WHERE {g.expr(where)}"
     if isinstance(q, (A.Select, A.SetOp, A.RecursiveQuery)):
-        return select_sql(analyze(env, src), params, dialect)
+        # pivot_values: engine hook for dynamic PIVOT IN-list
+        # discovery (r19) — pure-frontend printing of a dynamic
+        # pivot without it is a located error
+        return select_sql(
+            analyze(env, src, pivot_values=pivot_values),
+            params, dialect,
+        )
 
     def returning(fields) -> str:
         if not fields:

@@ -291,6 +291,65 @@ class SqlppEngine:
         # when set, storage writes stage instead of committing
         self._txn: Optional[StagedTxn] = None
 
+    # -- analysis ----------------------------------------------------------
+
+    def _an(self, src: str) -> Analyzer:
+        """Analyzer wired to this engine (r19: carries the dynamic
+        PIVOT value-discovery hook — pure-frontend Analyzer uses
+        raise a located error on a missing IN list instead)."""
+        an = Analyzer(self.env, src)
+        an.pivot_values = self._pivot_values
+        return an
+
+    def _pivot_values(self, src_node, col: str, loc) -> list:
+        """Dynamic PIVOT IN-list discovery (r19): ONE bounded
+        plan-time DISTINCT job over the pivot column of the (copied)
+        source relation, capped by ``spark.sqlpp.pivot.maxValues``
+        (default 1000 — a 10k-column pivot is an outage, not a
+        query). Same documented eager-at-plan-time caveat as the
+        banded quantifier chooser (compiler/compile.py): bounded,
+        dimension-scale, and the only data-dependent plan input."""
+        import copy as _copy
+
+        cap = int(self.spark.conf.get("spark.sqlpp.pivot.maxValues",
+                                      "1000"))
+        sel = A.Select(
+            fields=[A.Field(
+                expr=A.EName(name=col, loc=loc), name=col, loc=loc,
+            )],
+            from_=_copy.deepcopy(src_node), distinct=True, loc=loc,
+        )
+        info = self._an("").analyze_query(sel)
+        comp = Compiler(self.spark, self.catalog)
+        rows = comp.compile_query(info).limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise SqlppError(
+                f"dynamic PIVOT: more than {cap} distinct values in "
+                f"`{col}` (set spark.sqlpp.pivot.maxValues to raise "
+                "the cap, or write an explicit IN list)", loc,
+            )
+        vals = sorted(r[0] for r in rows if r[0] is not None)
+        out = []
+        for v in vals:
+            if isinstance(v, bool):
+                kind = "bool"
+            elif isinstance(v, int):
+                kind = "int"
+            elif isinstance(v, str):
+                kind = "string"
+            else:
+                raise SqlppError(
+                    "dynamic PIVOT supports int/string/bool pivot "
+                    f"columns (got {type(v).__name__}); write an "
+                    "explicit IN list", loc,
+                )
+            out.append((A.ELit(value=v, lit_kind=kind, loc=loc), None))
+        if not out:
+            raise SqlppError(
+                f"dynamic PIVOT: no non-NULL values in `{col}`", loc,
+            )
+        return out
+
     # -- registration ------------------------------------------------------
 
     def add_decls(self, src: str) -> None:
@@ -349,7 +408,7 @@ class SqlppEngine:
 
     def prepare(self, src: str) -> PreparedQuery:
         q = parse_query(src)
-        an = Analyzer(self.env, src)
+        an = self._an(src)
         if isinstance(q, (A.Select, A.SetOp, A.RecursiveQuery)):
             info = an.analyze_query(q)
             return PreparedQuery(self, info)
@@ -414,7 +473,7 @@ class SqlppEngine:
 
         p = Parser(expr_src)
         e = p.expr()
-        an = Analyzer(self.env, expr_src)
+        an = self._an(expr_src)
         elab, _ = an.infer_expr(prepared.info.ctx, e)
         comp = Compiler(self.spark, self.catalog)
         return comp.expr(elab, Bindings({}), {})
@@ -453,7 +512,7 @@ class SqlppEngine:
         path = self._managed(ins.table)
         cols = self._table_fields(ins.table)
         cur = self._managed_df(ins.table, path)
-        an = Analyzer(self.env, src)
+        an = self._an(src)
         comp = Compiler(self.spark, self.catalog)
         binds = Bindings(params)
         if ins.values is not None:
@@ -565,7 +624,7 @@ class SqlppEngine:
         if upd.from_ is not None:
             f = upd.from_
             sel.from_ = A.FromJoin(sel.from_, f, "inner", None)
-        an = Analyzer(self.env, src)
+        an = self._an(src)
         from sqlpp_spark.frontend.analyze import SelectCtx, TableRel
 
         ctx = SelectCtx(sel)
@@ -787,7 +846,7 @@ class SqlppEngine:
         path = self._managed(dele.table)
         cols = self._table_fields(dele.table)
         cur = self._managed_df(dele.table, path).alias(dele.table)
-        an = Analyzer(self.env, src)
+        an = self._an(src)
         from sqlpp_spark.frontend.analyze import SelectCtx, TableRel
 
         ctx = SelectCtx(A.Select())
@@ -821,7 +880,7 @@ class SqlppEngine:
         from sqlpp_spark.frontend.analyze import Analyzer, SelectCtx, TableRel
 
         tcols = self._table_fields(table)
-        an = Analyzer(self.env, src)
+        an = self._an(src)
         ctx = SelectCtx(A.Select(from_=A.FromTable(table, None)))
         ctx.rels[table] = TableRel(table, tcols, table=table)
         comp = Compiler(self.spark, self.catalog)
@@ -875,7 +934,7 @@ class SqlppEngine:
         self.catalog[table] = self._read_managed_path(path)
 
     def prepare_select_in(self, src: str, sel: A.Select):
-        an = Analyzer(self.env, src)
+        an = self._an(src)
         if isinstance(sel, A.SetOp):  # r14: INSERT ... compound SELECT
             return an.analyze_setop(sel)
         return an.analyze_select(sel)

@@ -392,6 +392,11 @@ class Analyzer:
         self.env = env
         self.src = src
         self.params: Dict[str, ParamEntry] = {}
+        # r19 dynamic PIVOT hook: callable(src_from_node, col, loc)
+        # -> [(ELit, None), ...], injected by the engine (one bounded
+        # DISTINCT job, capped by spark.sqlpp.pivot.maxValues);
+        # None in pure-frontend contexts -> located error
+        self.pivot_values = None
 
     def err(self, msg: str, loc: Optional[Loc] = None):
         raise SqlppError(msg, loc, self.src or None)
@@ -1087,12 +1092,29 @@ class Analyzer:
         for f in sub_ctx.fields:
             self._forbid_windows(f.expr, "a LATERAL body")
         if sel.limit is not None or sel.offset is not None:
-            if any(op != "=" for op, _ie, _oe in corr):
-                self.err(
-                    "LIMIT in a LATERAL body requires equality-only "
-                    "correlation (per-probe top-k under a theta "
-                    "correlation would be quadratic)", lat.loc,
-                )
+            thetas = [op for op, _ie, _oe in corr if op != "="]
+            if thetas:
+                # r19 (verdict task 2): a SINGLE ordered theta
+                # correlation lowers through the banded range-bucket
+                # machinery (compile._join_lateral_theta_topk:
+                # per-bucket window top-k + prefix completion), the
+                # same shape that killed the quantifier nested loop.
+                # Multiple thetas / non-ordered ops / eq+theta mixes
+                # stay located errors (no non-quadratic lowering).
+                if len(thetas) > 1 or thetas[0] not in (
+                    "<", "<=", ">", ">="
+                ):
+                    self.err(
+                        "LIMIT in a LATERAL body supports at most one "
+                        "ordered (<, <=, >, >=) theta correlation",
+                        lat.loc,
+                    )
+                if len(thetas) != len(corr):
+                    self.err(
+                        "LIMIT in a LATERAL body cannot mix equality "
+                        "and theta correlation (use a derived table "
+                        "per key, or drop the LIMIT)", lat.loc,
+                    )
             if not sel.order_by:
                 self.err(
                     "LIMIT in a LATERAL body requires ORDER BY "
@@ -1209,18 +1231,36 @@ class Analyzer:
         every source column not referenced by the pivot clause
         (Spark's rule). Mutates fr into the FromSelect in place."""
         loc = fr.loc
-        if fr.agg_fn.lower() not in AGG_FNS:
-            self.err(
-                f"PIVOT aggregate `{fr.agg_fn}` is not an aggregate "
-                "function", loc,
-            )
+        aggs = list(getattr(fr, "aggs", None) or
+                    [(fr.agg_fn, fr.agg_arg, None)])
+        for agg_fn, _arg, _nm in aggs:
+            if agg_fn.lower() not in AGG_FNS:
+                self.err(
+                    f"PIVOT aggregate `{agg_fn}` is not an aggregate "
+                    "function", loc,
+                )
         src_cols = self._from_src_columns(fr.src, loc)
         if fr.pivot_col not in src_cols:
             self.err(
                 f"PIVOT column `{fr.pivot_col}` is not a column of "
                 "the source", loc,
             )
-        agg_refs = self._bare_names(fr.agg_arg)
+        if getattr(fr, "dynamic", False) and not fr.values:
+            # r19: IN list omitted — one plan-time DISTINCT job over
+            # the pivot column (engine-provided hook; pure-frontend
+            # callers like the SQL printers see the already-
+            # substituted values because the engine discovers before
+            # analysis re-runs)
+            if self.pivot_values is None:
+                self.err(
+                    "dynamic PIVOT (no IN list) requires an engine "
+                    "session to discover the values", loc,
+                )
+            fr.values = self.pivot_values(fr.src, fr.pivot_col, loc)
+            fr.dynamic = False
+        agg_refs: set = set()
+        for _fn, arg, _nm in aggs:
+            agg_refs |= self._bare_names(arg)
         others = [
             c for c in src_cols
             if c != fr.pivot_col and c not in agg_refs
@@ -1243,38 +1283,45 @@ class Analyzer:
             # 'True'/'False', diverging from Spark and the DuckDB
             # native-PIVOT oracle)
             if name is not None:
-                out = name
+                vname = name
             elif isinstance(lit.value, bool):
-                out = "true" if lit.value else "false"
+                vname = "true" if lit.value else "false"
             else:
-                out = str(lit.value)
-            if out in seen:
-                self.err(
-                    f"duplicate PIVOT output column `{out}` (use AS "
-                    "to rename)", loc,
+                vname = str(lit.value)
+            for agg_fn, agg_arg, agg_name in aggs:
+                # multi-aggregate naming: {value}_{aggname} (the
+                # Spark/DuckDB convention, probed); single aggregate
+                # keeps the bare value name
+                out = (
+                    vname if len(aggs) == 1 else f"{vname}_{agg_name}"
                 )
-            seen.add(out)
-            case = A.EApp(
-                fn="case",
-                args=[
-                    A.EApp(
-                        fn="=",
-                        args=[
-                            A.EName(name=fr.pivot_col, loc=loc),
-                            copy.deepcopy(lit),
-                        ],
-                        loc=loc,
-                    ),
-                    copy.deepcopy(fr.agg_arg),
-                ],
-                loc=loc,
-            )
-            fields.append(
-                A.Field(
-                    expr=A.EApp(fn=fr.agg_fn, args=[case], loc=loc),
-                    name=out, explicit_name=True, loc=loc,
+                if out in seen:
+                    self.err(
+                        f"duplicate PIVOT output column `{out}` (use "
+                        "AS to rename)", loc,
+                    )
+                seen.add(out)
+                case = A.EApp(
+                    fn="case",
+                    args=[
+                        A.EApp(
+                            fn="=",
+                            args=[
+                                A.EName(name=fr.pivot_col, loc=loc),
+                                copy.deepcopy(lit),
+                            ],
+                            loc=loc,
+                        ),
+                        copy.deepcopy(agg_arg),
+                    ],
+                    loc=loc,
                 )
-            )
+                fields.append(
+                    A.Field(
+                        expr=A.EApp(fn=agg_fn, args=[case], loc=loc),
+                        name=out, explicit_name=True, loc=loc,
+                    )
+                )
         sel = A.Select(
             fields=fields, from_=fr.src,
             group_by=[A.EName(name=c, loc=loc) for c in others],
@@ -1302,17 +1349,21 @@ class Analyzer:
         (DuckDB/PG share generate_series). Mutates fr in place."""
         loc = fr.loc
         src_cols = self._from_src_columns(fr.src, loc)
-        names = [c for c, _l in fr.cols]
-        if len(set(names)) != len(names):
+        val_names = list(getattr(fr, "val_names", None) or [fr.val_name])
+        groups = [
+            (g if isinstance(g, tuple) else (g,), l) for g, l in fr.cols
+        ]
+        flat = [c for g, _l in groups for c in g]
+        if len(set(flat)) != len(flat):
             self.err("duplicate UNPIVOT source column", loc)
-        for c in names:
+        for c in flat:
             if c not in src_cols:
                 self.err(
                     f"UNPIVOT column `{c}` is not a column of the "
                     "source", loc,
                 )
-        others = [c for c in src_cols if c not in set(names)]
-        for out in (fr.val_name, fr.name_name):
+        others = [c for c in src_cols if c not in set(flat)]
+        for out in (*val_names, fr.name_name):
             if out in others:
                 self.err(
                     f"UNPIVOT output column `{out}` collides with a "
@@ -1333,16 +1384,24 @@ class Analyzer:
                 then,
             ]
 
+        # multi-column groups (r19): one value CASE per value column,
+        # all dispatched on the same spine index; default labels join
+        # the group's source columns with '_' (DuckDB's rule, probed)
         name_args: list = []
-        val_args: list = []
-        for i, (c, label) in enumerate(fr.cols, start=1):
+        val_args: list = [[] for _ in val_names]
+        for i, (g, label) in enumerate(groups, start=1):
             name_args += when(
-                i, A.ELit(value=label if label is not None else c,
-                          lit_kind="string", loc=loc)
+                i, A.ELit(
+                    value=label if label is not None else "_".join(g),
+                    lit_kind="string", loc=loc,
+                )
             )
-            val_args += when(i, A.EName(name=c, loc=loc))
+            for j, c in enumerate(g):
+                val_args[j] += when(i, A.EName(name=c, loc=loc))
         name_case = A.EApp(fn="case", args=list(name_args), loc=loc)
-        val_case = A.EApp(fn="case", args=list(val_args), loc=loc)
+        val_cases = [
+            A.EApp(fn="case", args=list(a), loc=loc) for a in val_args
+        ]
         fields = [
             A.Field(
                 expr=A.EName(name=c, loc=loc), name=c,
@@ -1354,22 +1413,34 @@ class Analyzer:
             expr=name_case, name=fr.name_name, explicit_name=True,
             loc=loc,
         ))
-        fields.append(A.Field(
-            expr=val_case, name=fr.val_name, explicit_name=True,
-            loc=loc,
-        ))
+        for vn, vc in zip(val_names, val_cases):
+            fields.append(A.Field(
+                expr=vc, name=vn, explicit_name=True, loc=loc,
+            ))
         series = A.FromSeries(
             A.ELit(value=1, lit_kind="int", loc=loc),
-            A.ELit(value=len(fr.cols), lit_kind="int", loc=loc),
+            A.ELit(value=len(groups), lit_kind="int", loc=loc),
             None, "__unp", idx, loc=loc,
         )
         join = A.FromJoin(fr.src, series, "cross", None, loc=loc)
         where = None
         if not fr.include_nulls:
-            where = A.EApp(
-                fn="IS NOT NULL", args=[copy.deepcopy(val_case)],
-                loc=loc,
-            )
+            # EXCLUDE NULLS (default) drops a row when ANY value
+            # column is NULL — DuckDB's probed multi-column rule,
+            # pinned because DuckDB's native UNPIVOT is the oracle
+            # for the original-source differential leg. (Spark's
+            # native UNPIVOT keeps partially-NULL rows and drops only
+            # all-NULL ones — a probed engine divergence; the engine
+            # desugars rather than using Spark's native form, so the
+            # pin holds on both sides.)
+            where = None
+            for vc in val_cases:
+                c = A.EApp(
+                    fn="IS NOT NULL", args=[copy.deepcopy(vc)], loc=loc,
+                )
+                where = c if where is None else A.EApp(
+                    fn="and", args=[where, c], loc=loc,
+                )
         sel = A.Select(fields=fields, from_=join, where=where, loc=loc)
         fr_sel = A.FromSelect(sel, fr.alias, loc=loc)
         fr.__class__ = A.FromSelect
@@ -3622,7 +3693,8 @@ def _iter_apps(e: A.Expr):
             yield from _iter_apps(br.body)
 
 
-def analyze(env: Env, src: str) -> QueryInfo:
+def analyze(env: Env, src: str, pivot_values=None) -> QueryInfo:
     q = parse_query(src)
     an = Analyzer(env, src)
+    an.pivot_values = pivot_values
     return an.analyze_query(q)

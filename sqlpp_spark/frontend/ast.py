@@ -420,11 +420,20 @@ class FromPivot:
     source column not referenced by the pivot clause (Spark's rule)."""
 
     src: object = None  # FromTable | FromSelect
-    agg_fn: str = ""
+    agg_fn: str = ""  # first aggregate (compat accessor)
     agg_arg: Expr = None
     pivot_col: str = ""
     values: List[tuple] = field(default_factory=list)  # (ELit, name|None)
     alias: Optional[str] = None
+    # r19: full aggregate list [(fn, arg, name|None), ...]; multiple
+    # aggregates require AS names (parser-enforced — unnamed
+    # multi-agg columns like '2023_sum(amt)' are unreferenceable in
+    # a dialect without quoted identifiers)
+    aggs: List[tuple] = field(default_factory=list)
+    # r19: IN list omitted — values discovered at plan time by one
+    # DISTINCT job over the pivot column (engine-provided hook,
+    # capped by spark.sqlpp.pivot.maxValues)
+    dynamic: bool = False
     loc: Loc = NO_LOC
 
 
@@ -441,9 +450,13 @@ class FromUnpivot:
     keeps the single scan and runs natively on every SQL backend."""
 
     src: object = None  # FromTable | FromSelect
-    val_name: str = ""
+    val_name: str = ""  # first value column (compat accessor)
     name_name: str = ""
-    cols: List[tuple] = field(default_factory=list)  # (col, label|None)
+    # (cols_tuple, label|None) — cols_tuple arity == len(val_names)
+    # (r19 multi-column groups; the single-column form is arity 1)
+    cols: List[tuple] = field(default_factory=list)
+    # r19: all value columns, e.g. UNPIVOT ((a, b) FOR k IN ((c1, c2)))
+    val_names: List[str] = field(default_factory=list)
     include_nulls: bool = False
     alias: Optional[str] = None
     loc: Loc = NO_LOC

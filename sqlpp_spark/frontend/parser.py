@@ -899,43 +899,74 @@ class Parser:
             start = self.cur.loc
             self.expect_punct("(")
             if kind == "pivot":
-                agg_fn = self.expect_ident().value
-                self.expect_punct("(")
-                agg_arg = self.expr()
-                self.expect_punct(")")
-                self._expect_ident_kw("for")
-                col = self.expect_ident().value
-                self.expect_kw("in")
-                self.expect_punct("(")
-                values: list = []
+                aggs: list = []
                 while True:
-                    v = self.expr()
-                    name = None
+                    agg_fn = self.expect_ident().value
+                    self.expect_punct("(")
+                    agg_arg = self.expr()
+                    self.expect_punct(")")
+                    agg_name = None
                     if self.eat_kw("as"):
-                        name = self.expect_ident().value
-                    values.append((v, name))
+                        agg_name = self.expect_ident().value
+                    aggs.append((agg_fn, agg_arg, agg_name))
                     if not self.eat_punct(","):
                         break
-                self.expect_punct(")")
+                if len(aggs) > 1 and any(n is None for _f, _a, n in aggs):
+                    self.fail(
+                        "multi-aggregate PIVOT requires AS names on "
+                        "every aggregate (unnamed columns like "
+                        "'2023_sum(amt)' cannot be referenced)"
+                    )
+                self._expect_ident_kw("for")
+                col = self.expect_ident().value
+                values: list = []
+                dynamic = True
+                if self.eat_kw("in"):
+                    dynamic = False
+                    self.expect_punct("(")
+                    while True:
+                        v = self.expr()
+                        name = None
+                        if self.eat_kw("as"):
+                            name = self.expect_ident().value
+                        values.append((v, name))
+                        if not self.eat_punct(","):
+                            break
+                    self.expect_punct(")")
                 self.expect_punct(")")
                 if not self.eat_kw("as"):
                     self.fail("PIVOT requires AS <alias>")
                 alias = self.expect_ident().value
-                if not values:
+                if not values and not dynamic:
                     self.fail("PIVOT needs at least one IN value")
                 item = A.FromPivot(
-                    item, agg_fn, agg_arg, col, values, alias,
+                    item, aggs[0][0], aggs[0][1], col, values, alias,
+                    aggs=aggs, dynamic=dynamic,
                     loc=Loc.span(start, self.toks[self.i - 1].loc),
                 )
             else:
-                val_name = self.expect_ident().value
+                # single form:  (v FOR k IN (c1 [AS 'l'], ...))
+                # multi  form:  ((a, b) FOR k IN ((c1, c2) [AS 'l'], ...))
+                if self.eat_punct("("):
+                    val_names = [self.expect_ident().value]
+                    while self.eat_punct(","):
+                        val_names.append(self.expect_ident().value)
+                    self.expect_punct(")")
+                else:
+                    val_names = [self.expect_ident().value]
                 self._expect_ident_kw("for")
                 name_name = self.expect_ident().value
                 self.expect_kw("in")
                 self.expect_punct("(")
                 cols: list = []
                 while True:
-                    c = self.expect_ident().value
+                    if self.eat_punct("("):
+                        grp = [self.expect_ident().value]
+                        while self.eat_punct(","):
+                            grp.append(self.expect_ident().value)
+                        self.expect_punct(")")
+                    else:
+                        grp = [self.expect_ident().value]
                     label = None
                     if self.eat_kw("as"):
                         t = self.cur
@@ -944,7 +975,13 @@ class Parser:
                             self.advance()
                         else:
                             label = self.expect_ident().value
-                    cols.append((c, label))
+                    if len(grp) != len(val_names):
+                        self.fail(
+                            f"UNPIVOT group ({', '.join(grp)}) has "
+                            f"{len(grp)} columns but the value list "
+                            f"names {len(val_names)}"
+                        )
+                    cols.append((tuple(grp), label))
                     if not self.eat_punct(","):
                         break
                 self.expect_punct(")")
@@ -952,10 +989,14 @@ class Parser:
                 if not self.eat_kw("as"):
                     self.fail("UNPIVOT requires AS <alias>")
                 alias = self.expect_ident().value
-                if val_name == name_name:
+                if len(set(val_names)) != len(val_names):
+                    self.fail("duplicate UNPIVOT value column name")
+                if name_name in val_names:
                     self.fail("UNPIVOT value and name columns must differ")
                 item = A.FromUnpivot(
-                    item, val_name, name_name, cols, include_nulls, alias,
+                    item, val_names[0], name_name, cols,
+                    val_names=val_names, include_nulls=include_nulls,
+                    alias=alias,
                     loc=Loc.span(start, self.toks[self.i - 1].loc),
                 )
         return item

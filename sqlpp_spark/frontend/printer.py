@@ -231,23 +231,41 @@ def _from_str(fr) -> str:
         kw = "lateral " if getattr(fr, "lateral", False) else ""
         return f"{kw}({inner}) AS {fr.alias}"
     if isinstance(fr, A.FromPivot):
-        vals = ", ".join(
-            expr_str(v) + (f" as {n}" if n else "")
-            for v, n in fr.values
+        aggs = getattr(fr, "aggs", None) or [(fr.agg_fn, fr.agg_arg, None)]
+        agg_txt = ", ".join(
+            f"{fn}({expr_str(arg)})" + (f" as {nm}" if nm else "")
+            for fn, arg, nm in aggs
         )
+        if getattr(fr, "dynamic", False) and not fr.values:
+            in_txt = ""
+        else:
+            vals = ", ".join(
+                expr_str(v) + (f" as {n}" if n else "")
+                for v, n in fr.values
+            )
+            in_txt = f" in ({vals})"
         return (
-            f"{_from_str(fr.src)} pivot ({fr.agg_fn}"
-            f"({expr_str(fr.agg_arg)}) for {fr.pivot_col} in ({vals})) "
-            f"as {fr.alias}"
+            f"{_from_str(fr.src)} pivot ({agg_txt} "
+            f"for {fr.pivot_col}{in_txt}) as {fr.alias}"
         )
     if isinstance(fr, A.FromUnpivot):
         mode = "include nulls " if fr.include_nulls else ""
+        val_names = getattr(fr, "val_names", None) or [fr.val_name]
+        vtxt = (
+            val_names[0] if len(val_names) == 1
+            else "(" + ", ".join(val_names) + ")"
+        )
+
+        def grp(g) -> str:
+            cs = g if isinstance(g, tuple) else (g,)
+            return cs[0] if len(cs) == 1 else "(" + ", ".join(cs) + ")"
+
         cols = ", ".join(
-            c + (f" as '{l}'" if l is not None else "")
-            for c, l in fr.cols
+            grp(g) + (f" as '{l}'" if l is not None else "")
+            for g, l in fr.cols
         )
         return (
-            f"{_from_str(fr.src)} unpivot {mode}({fr.val_name} for "
+            f"{_from_str(fr.src)} unpivot {mode}({vtxt} for "
             f"{fr.name_name} in ({cols})) as {fr.alias}"
         )
     if isinstance(fr, A.FromSeries):

@@ -1462,6 +1462,34 @@ _sqlpp(
 )
 
 _sqlpp(
+    # r19 (r18 verdict task 2): THETA-correlated LATERAL top-k — the
+    # last LATERAL shape the engine rejected. Per customer: the two
+    # most expensive orders (any customer's) still strictly below
+    # that customer's account balance — a pure ordered-theta
+    # correlation (no equality key). The compiler evaluates per
+    # DISTINCT probe value; above spark.sqlpp.lateral.bandedThreshold
+    # it switches to the banded per-bucket-top-k + prefix-completion
+    # plan (all hash equi-joins, plan-pinned in test_plans.py).
+    # DuckDB runs the same correlated LATERAL natively as oracle.
+    "sqlpp_lateral_theta_topk",
+    "select c.ck as custkey, x.okey as okey, x.price as price "
+    "from (select c_custkey as ck, c_acctbal as bal from customer "
+    "where c_custkey <= 200) as c cross join lateral ("
+    "select o.o_orderkey as okey, o.o_totalprice as price "
+    "from orders as o where o.o_totalprice < c.bal "
+    "order by o.o_totalprice desc, o.o_orderkey asc limit 2) as x "
+    "order by custkey, okey",
+    "SELECT c.ck AS custkey, x.okey AS okey, x.price AS price "
+    "FROM (SELECT c_custkey AS ck, c_acctbal AS bal FROM customer "
+    "WHERE c_custkey <= 200) c CROSS JOIN LATERAL ("
+    "SELECT o_orderkey AS okey, o_totalprice AS price "
+    "FROM orders o WHERE o.o_totalprice < c.bal "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) x "
+    "ORDER BY custkey, okey",
+    headline=True,
+)
+
+_sqlpp(
     # r17: theta EXISTS min/max reduction — suppliers out-balanced by
     # a same-nation customer. Single non-equality conjunct, so
     # existence reduces exactly to max(c_acctbal) per nation
@@ -1710,4 +1738,96 @@ _sqlpp(
     "FROM nation GROUP BY n_regionkey) s "
     "UNPIVOT (v FOR metric IN (n_nations, key_sum)) u "
     "ORDER BY rk, metric",
+)
+
+_sqlpp(
+    # r19 (r18 verdict task 3): MULTI-AGGREGATE PIVOT — several
+    # AS-named aggregates per value; output columns follow the
+    # {value}_{aggname} convention (probed equal in Spark and
+    # DuckDB). Still ONE hash aggregate over ONE scan. DuckDB runs
+    # the identical multi-aggregate standard form natively as oracle.
+    "sqlpp_pivot_multi_agg",
+    "select p.nation_name as nation_name, "
+    "p.open_o_c as open_c, cast(p.open_o_s as float) as open_s, "
+    "p.done_f_c as done_c, cast(p.done_f_s as float) as done_s from "
+    "(select n.n_name as nation_name, o.o_orderstatus as st, "
+    "o.o_totalprice as price from orders as o "
+    "join customer as c on c.c_custkey = o.o_custkey "
+    "join nation as n on n.n_nationkey = c.c_nationkey) as src "
+    "pivot (count(price) as c, sum(price) as s for st in "
+    "('O' as open_o, 'F' as done_f)) as p order by nation_name",
+    "SELECT nation_name, \"open_o_c\" AS open_c, "
+    "CAST(\"open_o_s\" AS DOUBLE) AS open_s, "
+    "\"done_f_c\" AS done_c, CAST(\"done_f_s\" AS DOUBLE) AS done_s "
+    "FROM (SELECT n_name AS nation_name, o_orderstatus AS st, "
+    "o_totalprice AS price FROM orders "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation ON n_nationkey = c_nationkey) src "
+    "PIVOT (count(price) AS c, sum(price) AS s FOR st IN "
+    "('O' AS open_o, 'F' AS done_f)) p ORDER BY nation_name",
+)
+
+_sqlpp(
+    # r19: MULTI-COLUMN UNPIVOT groups — (count, sum) pairs melt
+    # together under one key column; EXCLUDE NULLS (default) drops a
+    # row when ANY value column is NULL (DuckDB's probed rule,
+    # pinned — the engine desugars, so the pin holds on both legs).
+    "sqlpp_unpivot_multi",
+    "select u.rk as rk, u.status as status, u.cnt as cnt, "
+    "cast(u.amt as float) as amt from "
+    "(select n.n_regionkey as rk, "
+    "count_if(o.o_orderstatus = 'O') as open_n, "
+    "sum(case when o.o_orderstatus = 'O' then o.o_totalprice end) "
+    "as open_amt, "
+    "count_if(o.o_orderstatus = 'F') as done_n, "
+    "sum(case when o.o_orderstatus = 'F' then o.o_totalprice end) "
+    "as done_amt from orders as o "
+    "join customer as c on c.c_custkey = o.o_custkey "
+    "join nation as n on n.n_nationkey = c.c_nationkey "
+    "group by n.n_regionkey) as s "
+    "unpivot ((cnt, amt) for status in "
+    "((open_n, open_amt) as 'open', (done_n, done_amt) as 'done')) "
+    "as u order by rk, status",
+    "SELECT u.rk AS rk, u.status AS status, u.cnt AS cnt, "
+    "CAST(u.amt AS DOUBLE) AS amt FROM "
+    "(SELECT n_regionkey AS rk, "
+    "count(*) FILTER (o_orderstatus = 'O') AS open_n, "
+    "sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) "
+    "AS open_amt, "
+    "count(*) FILTER (o_orderstatus = 'F') AS done_n, "
+    "sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) "
+    "AS done_amt FROM orders "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation ON n_nationkey = c_nationkey "
+    "GROUP BY n_regionkey) s "
+    "UNPIVOT ((cnt, amt) FOR status IN "
+    "((open_n, open_amt) AS 'open', (done_n, done_amt) AS 'done')) "
+    "u ORDER BY rk, status",
+)
+
+_sqlpp(
+    # r19: DYNAMIC PIVOT — no IN list; the engine discovers the
+    # distinct pivot values with ONE bounded plan-time DISTINCT job
+    # (capped by spark.sqlpp.pivot.maxValues, default 1000; a
+    # 10k-column pivot is an outage, not a query — same documented
+    # eager-plan-job precedent as the banded quantifier chooser).
+    # Oracle: DuckDB's genuinely dynamic PIVOT-ON-USING statement as
+    # a subquery — an independent implementation of the discovery.
+    "sqlpp_pivot_dynamic",
+    "select p.nation_name as nation_name, "
+    "cast(p.F as float) as f_total, cast(p.O as float) as o_total, "
+    "cast(p.P as float) as p_total from "
+    "(select n.n_name as nation_name, o.o_orderstatus as st, "
+    "o.o_totalprice as price from orders as o "
+    "join customer as c on c.c_custkey = o.o_custkey "
+    "join nation as n on n.n_nationkey = c.c_nationkey) as src "
+    "pivot (sum(price) for st) as p order by nation_name",
+    "SELECT nation_name, CAST(\"F\" AS DOUBLE) AS f_total, "
+    "CAST(\"O\" AS DOUBLE) AS o_total, "
+    "CAST(\"P\" AS DOUBLE) AS p_total FROM "
+    "(PIVOT (SELECT n_name AS nation_name, o_orderstatus AS st, "
+    "o_totalprice AS price FROM orders "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation ON n_nationkey = c_nationkey) "
+    "ON st USING sum(price)) ORDER BY nation_name",
 )

@@ -331,3 +331,157 @@ def test_pivot_unnamed_boolean_value_column_names(eng, duck):
         "ORDER BY region"
     ).fetchall())
     assert rows == want
+
+
+def _wide(eng, duck, spark):
+    WIDE = [(1, 10, 11, 20, 21), (2, 30, None, 40, 41),
+            (3, None, None, 50, None)]
+    eng.add_decls(
+        "create table wide (id int not null, a1 int, b1 int, "
+        "a2 int, b2 int);"
+    )
+    eng.register_df("wide", spark.createDataFrame(
+        WIDE, "id long, a1 long, b1 long, a2 long, b2 long"))
+    duck.execute(
+        "CREATE TABLE wide (id BIGINT, a1 BIGINT, b1 BIGINT, "
+        "a2 BIGINT, b2 BIGINT)"
+    )
+    duck.executemany("INSERT INTO wide VALUES (?,?,?,?,?)", WIDE)
+
+
+def test_pivot_multi_aggregate_differential(eng, duck):
+    # r19 (verdict task 3): several aggregates per PIVOT, AS-named;
+    # output columns {value}_{aggname} (Spark/DuckDB convention,
+    # probed) — DuckDB runs the identical multi-aggregate form
+    # natively as the original-source oracle leg.
+    _differ(
+        eng, duck,
+        "select p.region as region, p.prod as prod, "
+        "p.y23_s as y23_s, p.y23_c as y23_c, p.y24_s as y24_s, "
+        "p.y24_c as y24_c from sales "
+        "pivot (sum(amt) as s, count(amt) as c "
+        "for yr in (2023 as y23, 2024 as y24)) as p "
+        "order by region, prod",
+    )
+
+
+def test_unpivot_multi_column_differential(eng, duck, spark):
+    # r19: multi-column UNPIVOT groups; labeled and default
+    # ('a1_b1'-style, probed DuckDB rule) names
+    _wide(eng, duck, spark)
+    for src in (
+        "select u.id as id, u.k as k, u.a as a, u.b as b from wide "
+        "unpivot ((a, b) for k in ((a1, b1) as 'one', "
+        "(a2, b2) as 'two')) as u order by id, k",
+        "select u.id as id, u.k as k, u.a as a, u.b as b from wide "
+        "unpivot include nulls ((a, b) for k in ((a1, b1), "
+        "(a2, b2))) as u order by id, k",
+    ):
+        _differ(eng, duck, src)
+
+
+def test_unpivot_multi_exclude_nulls_any_rule(eng, duck, spark):
+    # EXCLUDE NULLS (default) drops a row when ANY value column is
+    # NULL — DuckDB's probed multi-column rule, pinned (Spark's
+    # native UNPIVOT drops only all-NULL rows; the engine desugars,
+    # so the pin holds on both differential legs)
+    _wide(eng, duck, spark)
+    rows = eng.fetch_list(
+        "select u.id as id, u.k as k from wide "
+        "unpivot ((a, b) for k in ((a1, b1) as 'one', "
+        "(a2, b2) as 'two')) as u order by id, k"
+    )
+    assert [tuple(r) for r in rows] == [
+        (1, "one"), (1, "two"), (2, "two"),
+    ]
+
+
+def test_pivot_dynamic_in_differential(eng, duck):
+    # r19: IN list omitted — the engine discovers the values with ONE
+    # bounded plan-time DISTINCT job (spark.sqlpp.pivot.maxValues
+    # cap). Oracle: DuckDB's genuinely dynamic PIVOT-ON-USING
+    # statement as a subquery.
+    src = (
+        "select p.region as region, p.prod as prod from sales "
+        "pivot (sum(amt) for yr) as p order by region, prod"
+    )
+    # the engine-wired analyzer discovers the ascending value list
+    # (2023..2025 in the fixture) and mutates the AST in place
+    q = parse_query(src)
+    eng._an(src).analyze_query(q)
+    import sqlpp_spark.frontend.ast as A
+
+    fr = q.from_
+    assert isinstance(fr, A.FromSelect)
+    assert [f.name for f in fr.select.fields] == [
+        "region", "prod", "2023", "2024", "2025",
+    ]
+    # values: engine vs DuckDB's genuinely dynamic PIVOT-ON-USING
+    got_proj = sorted(
+        tuple(repr(x) for x in r) for r in eng.fetch_list(src)
+    )
+    want_proj = sorted(
+        tuple(repr(x) for x in r) for r in duck.execute(
+            "SELECT region, prod FROM "
+            "(PIVOT sales ON yr USING sum(amt)) ORDER BY region, prod"
+        ).fetchall()
+    )
+    assert got_proj == want_proj
+    # printed-SQL leg: the prepared info carries the substituted
+    # literal IN values, so the desugared SQL runs on DuckDB
+    sql = select_sql(eng.prepare(src).info)
+    want_printed = sorted(
+        tuple(repr(x) for x in r) for r in duck.execute(sql).fetchall()
+    )
+    assert got_proj == want_printed
+
+
+def test_pivot_dynamic_cap_and_frontend_errors(eng, spark):
+    spark.conf.set("spark.sqlpp.pivot.maxValues", "2")
+    try:
+        with pytest.raises(SqlppError, match="more than 2 distinct"):
+            eng.fetch_list(
+                "select p.prod as prod from sales "
+                "pivot (sum(amt) for yr) as p"
+            )
+    finally:
+        spark.conf.unset("spark.sqlpp.pivot.maxValues")
+    # pure-frontend analysis (no engine session) cannot discover
+    with pytest.raises(SqlppError, match="requires an engine session"):
+        Analyzer(eng.env, "x").analyze_query(parse_query(
+            "select p.prod as prod from sales "
+            "pivot (sum(amt) for yr) as p"
+        ))
+
+
+def test_pivot_multi_agg_and_unpivot_parse_errors(eng):
+    with pytest.raises(SqlppError, match="requires AS names"):
+        parse_query(
+            "select p.region as region from sales "
+            "pivot (sum(amt), count(amt) for yr in (2023 as a)) as p"
+        )
+    with pytest.raises(SqlppError, match="has 1 columns but"):
+        parse_query(
+            "select u.id as id from wide "
+            "unpivot ((a, b) for k in (a1, (a2, b2))) as u"
+        )
+
+
+def test_pivot_new_forms_fmt_roundtrip(eng, duck, spark):
+    from sqlpp_spark.frontend.printer import format_query
+
+    _wide(eng, duck, spark)
+    for src in (
+        "select p.region as region, p.y23_s as y23_s from sales "
+        "pivot (sum(amt) as s, count(amt) as c "
+        "for yr in (2023 as y23)) as p order by region",
+        "select u.id as id, u.k as k, u.a as a from wide "
+        "unpivot ((a, b) for k in ((a1, b1) as 'one')) as u "
+        "order by id",
+        "select p.region as region from sales "
+        "pivot (sum(amt) for yr) as p order by region",
+    ):
+        out = format_query(parse_query(src))
+        rows1 = sorted(tuple(r) for r in eng.fetch_list(src))
+        rows2 = sorted(tuple(r) for r in eng.fetch_list(out))
+        assert rows1 == rows2, out

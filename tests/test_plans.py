@@ -775,3 +775,55 @@ def test_theta_quantifier_banded_no_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert "HashJoin" in p, p
+
+
+def test_lateral_theta_topk_banded_no_nested_loop(spark, sf_dir):
+    """r19 theta-correlated LATERAL top-k (r18 verdict task 2): past
+    the comparison threshold the lowering switches from the
+    distinct-probe nested loop to the banded per-bucket-top-k plan —
+    prefix completion fans out map-side (sequence+explode), so every
+    join in the plan is a HASH equi-join (bucket id / probe value),
+    no BroadcastNestedLoopJoin or CartesianProduct anywhere."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from sqlpp_spark.engine import SqlppEngine
+
+    eng = SqlppEngine(spark)
+    eng.register_df(
+        "probe_t",
+        spark.range(1000).select(
+            F.col("id").alias("oid"),
+            F.pmod(F.hash("id"), F.lit(500)).alias("p"),
+        ),
+    )
+    eng.register_df(
+        "sub_t",
+        spark.range(1000).select(
+            F.col("id").alias("sid"),
+            F.pmod(F.hash(F.col("id") + 1), F.lit(500)).alias("v"),
+            F.pmod(F.hash(F.col("id") + 2), F.lit(100)).alias("amt"),
+        ),
+    )
+    spark.conf.set("spark.sqlpp.lateral.bandedSubFloor", "1")
+    spark.conf.set("spark.sqlpp.lateral.bandedThreshold", "1")
+    try:
+        df = eng.query(
+            "select o.oid as oid, x.sid as sid from probe_t as o "
+            "cross join lateral (select s.sid as sid from sub_t as s "
+            "where s.v < o.p order by s.amt desc, s.sid asc limit 3) "
+            "as x"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+    finally:
+        spark.conf.unset("spark.sqlpp.lateral.bandedSubFloor")
+        spark.conf.unset("spark.sqlpp.lateral.bandedThreshold")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "HashJoin" in p, p
+    assert "Generate" in p, p  # the sequence+explode prefix fan-out

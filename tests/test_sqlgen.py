@@ -778,7 +778,10 @@ def test_sqlgen_agrees_with_handwritten_oracles(spark, sf_dir):
         )
     key = lambda row: tuple(repr(v) for v in row)  # noqa: E731
     for name, (src, params) in sorted(SQLPP_SOURCES.items()):
-        gen_sql = statement_sql(eng.env, src, params or None)
+        gen_sql = statement_sql(
+            eng.env, src, params or None,
+            pivot_values=eng._pivot_values,
+        )
         got = sorted((tuple(r) for r in con.execute(gen_sql).fetchall()), key=key)
         want = sorted(
             (tuple(r) for r in con.execute(REGISTRY[name].oracle).fetchall()),
