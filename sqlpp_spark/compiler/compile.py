@@ -970,11 +970,25 @@ class Compiler:
             conf.get("spark.sqlpp.lateral.bandedSubFloor", "10000")
         )
         nb = int(conf.get("spark.sqlpp.lateral.bandedBuckets", "1024"))
-        numeric = isinstance(
-            sub.schema[key].dataType, NumericType
-        ) and isinstance(probes.schema[pv].dataType, NumericType)
+
+        def mono(dt) -> Optional[object]:
+            # monotone double view of the theta key for width_bucket:
+            # numerics cast directly; DATE/TIMESTAMP (the as-of-join
+            # case) go through epoch seconds — bucketing only needs
+            # ANY monotone numeric view, the residual theta still
+            # compares the original values
+            from pyspark.sql.types import DateType, TimestampType
+
+            if isinstance(dt, NumericType):
+                return lambda c: c.cast("double")
+            if isinstance(dt, (DateType, TimestampType)):
+                return lambda c: c.cast("timestamp").cast("double")
+            return None
+
+        key_num = mono(sub.schema[key].dataType)
+        pv_num = mono(probes.schema[pv].dataType)
         banded = False
-        if numeric and hi is not None:
+        if key_num is not None and pv_num is not None and hi is not None:
             s_rows = sub.count()
             if s_rows >= sub_floor:
                 probes = probes.localCheckpoint(eager=True)
@@ -998,23 +1012,25 @@ class Compiler:
             return take(joined)
         # ---- banded ----
         lohi = sub.agg(
-            F.min(F.col(key).cast("double")).alias("lo"),
-            F.max(F.col(key).cast("double")).alias("hi"),
+            F.min(key_num(F.col(key))).alias("lo"),
+            F.max(key_num(F.col(key))).alias("hi"),
         ).collect()[0]
         klo, khi = float(lohi["lo"]), float(lohi["hi"])
         if khi <= klo:
             khi = klo + 1.0
-        # keep the spine join (<= nb^2 * h / 2 rows) bounded ~8e6
+        # keep the prefix fan-out (<= nb^2 * h / 2 rows) bounded ~8e6
         nb = max(8, min(nb, int((1.6e7 / max(hi, 1)) ** 0.5)))
 
         def bkt(c: Column) -> Column:
-            return F.width_bucket(
-                c.cast("double"), F.lit(klo), F.lit(khi), F.lit(nb)
-            )
+            return F.width_bucket(c, F.lit(klo), F.lit(khi), F.lit(nb))
 
         sb, pb, bp = f"{pv}_sb", f"{pv}_pb", f"{pv}_bp"
-        sub_b = sub.withColumn(sb, bkt(F.col(key)).cast("int"))
-        probes_b = probes.withColumn(pb, bkt(F.col(pv)).cast("int"))
+        sub_b = sub.withColumn(
+            sb, bkt(key_num(F.col(key))).cast("int")
+        )
+        probes_b = probes.withColumn(
+            pb, bkt(pv_num(F.col(pv))).cast("int")
+        )
         bw = W.partitionBy(F.col(sb)).orderBy(*order)
         sprime = (
             sub_b.withColumn(rn, F.row_number().over(bw))

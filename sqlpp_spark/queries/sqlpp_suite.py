@@ -1490,6 +1490,29 @@ _sqlpp(
 )
 
 _sqlpp(
+    # r19: the AS-OF JOIN shape — per order, the LATEST lineitem (any
+    # order's) shipped strictly before that order's date. DATE theta
+    # keys band through a monotone epoch view (bucketing needs only a
+    # monotone numeric view; the residual theta compares the original
+    # dates). LEFT keeps orders predating every shipment.
+    "sqlpp_lateral_asof",
+    "select o.okey as okey, x.eid as ship_okey, x.sd as ship_date "
+    "from (select o_orderkey as okey, o_orderdate as od from orders "
+    "where o_orderkey < 400) as o left join lateral ("
+    "select l.l_orderkey as eid, l.l_shipdate as sd from lineitem as l "
+    "where l.l_shipdate < o.od "
+    "order by l.l_shipdate desc, l.l_orderkey asc, "
+    "l.l_linenumber asc limit 1) as x on true order by okey",
+    "SELECT o.okey AS okey, x.eid AS ship_okey, x.sd AS ship_date "
+    "FROM (SELECT o_orderkey AS okey, o_orderdate AS od FROM orders "
+    "WHERE o_orderkey < 400) o LEFT JOIN LATERAL ("
+    "SELECT l_orderkey AS eid, l_shipdate AS sd FROM lineitem l "
+    "WHERE l.l_shipdate < o.od "
+    "ORDER BY l_shipdate DESC, l_orderkey ASC, "
+    "l_linenumber ASC LIMIT 1) x ON TRUE ORDER BY okey",
+)
+
+_sqlpp(
     # r17: theta EXISTS min/max reduction — suppliers out-balanced by
     # a same-nation customer. Single non-equality conjunct, so
     # existence reduces exactly to max(c_acctbal) per nation

@@ -560,3 +560,43 @@ def test_lateral_theta_topk_differential_forced_banded(eng, duck, spark):
         spark.conf.unset("spark.sqlpp.lateral.bandedThreshold")
         spark.conf.unset("spark.sqlpp.lateral.bandedSubFloor")
         spark.conf.unset("spark.sqlpp.lateral.bandedBuckets")
+
+
+def test_lateral_theta_topk_asof_dates(eng, duck, spark):
+    # r19: the as-of-join shape — DATE theta keys band through a
+    # monotone epoch view (bucketing only needs a monotone numeric
+    # view; the residual theta compares the original values). Run
+    # auto (nested loop at this size) AND forced banded.
+    import datetime as dt
+
+    EV = [(i, dt.date(2024, 1 + (i * 7) % 12, 1 + (i * 13) % 28), i * 10)
+          for i in range(40)]
+    AS_OF = [(j, dt.date(2024, 1 + (j * 5) % 12, 1 + (j * 11) % 28))
+             for j in range(15)]
+    eng.add_decls(
+        "create table ev (eid int not null, d date not null, "
+        "v int not null);"
+        "create table probes (pid int not null, cut date not null);"
+    )
+    eng.register_df("ev", spark.createDataFrame(
+        EV, "eid long, d date, v long"))
+    eng.register_df("probes", spark.createDataFrame(
+        AS_OF, "pid long, cut date"))
+    duck.execute("CREATE TABLE ev (eid BIGINT, d DATE, v BIGINT)")
+    duck.executemany("INSERT INTO ev VALUES (?,?,?)", EV)
+    duck.execute("CREATE TABLE probes (pid BIGINT, cut DATE)")
+    duck.executemany("INSERT INTO probes VALUES (?,?)", AS_OF)
+    src = (
+        "select p.pid as pid, x.eid as eid from probes as p "
+        "left join lateral (select e.eid as eid from ev as e "
+        "where e.d < p.cut order by e.d desc, e.eid asc limit 1) as x "
+        "on true order by pid, eid"
+    )
+    _differ(eng, duck, src)
+    spark.conf.set("spark.sqlpp.lateral.bandedThreshold", "1")
+    spark.conf.set("spark.sqlpp.lateral.bandedSubFloor", "1")
+    try:
+        _differ(eng, duck, src)
+    finally:
+        spark.conf.unset("spark.sqlpp.lateral.bandedThreshold")
+        spark.conf.unset("spark.sqlpp.lateral.bandedSubFloor")

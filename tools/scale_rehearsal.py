@@ -4,12 +4,19 @@ at sf0.1 vs a 10× synthetic corpus, per dedup/text/ANN/pipeline
 headline row.
 
 Fixture (/tmp/scale10, rebuilt if absent): 10 copies of sf0.1
-``documents`` with per-copy word-shuffled text (same length and word
-histogram, different shingles — so cross-copy docs are NOT near-dups
-and pair counts stay realistic) and 10 copies of ``embeddings`` with
+``documents`` with per-copy ZIPF-SYNTHESIZED text (r19, r18 verdict
+task 4: the earlier word-shuffle kept each original's word multiset,
+which inflated the shingle document-frequency distribution the
+Σdf²-driven ngram auto-strategy keys on — shuffle ratio x26 at sf1
+was a fixture artifact). Each unseeded copy-doc keeps its original
+LENGTH but draws words log-uniformly (Zipf s≈1) from the corpus'
+top-8192 vocabulary with an xxhash64-keyed inverse CDF — realistic
+head-heavy shingle df, unique text per (doc, copy), near-zero
+cross-copy Jaccard. ~1% of docs stay seeded cross-copy near-dup
+clusters (original order, one-word mutation). ``embeddings`` get the
 deterministic per-copy coordinate perturbation. All transforms are
-plain Spark SQL expressions (xxhash64-keyed sorts), so the fixture is
-deterministic. Other tables symlink to sf0.1.
+plain Spark SQL expressions, so the fixture is deterministic. Other
+tables symlink to sf0.1.
 
 Shuffle bytes come from the Spark UI REST API (the tool runs its own
 session with the UI enabled): per query, the delta of
@@ -84,36 +91,53 @@ def build_fixture(spark: SparkSession) -> None:
     os.makedirs(SCALE10)
     docs = spark.read.parquet(f"{SF01}/documents.parquet")
     emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    # r19 (r18 verdict task 4): corpus vocabulary for the Zipf
+    # synthesis — top-8192 words by frequency, one bounded job at
+    # fixture-build time
+    vocab = [
+        r["w"] for r in (
+            docs.select(F.explode(F.split("text", " ")).alias("w"))
+            .groupBy("w").count()
+            .orderBy(F.desc("count"), F.asc("w"))
+            .limit(8192).collect()
+        )
+    ]
+    nvocab = len(vocab)
+    vlit = F.array(*[F.lit(w) for w in vocab])
     doc_parts, emb_parts = [], []
     for i in range(COPIES):
-        # per-copy word shuffle: sort words by a copy-keyed hash —
-        # same words/length, disjoint shingles across copies
         words = F.split(F.col("text"), " ")
-        shuffled = F.array_join(
+        # per-copy Zipf synthesis (r19): original length, words drawn
+        # log-uniformly over rank (inverse CDF of Zipf s≈1:
+        # rank = V^u) with an xxhash64-keyed uniform per position —
+        # head-heavy, realistic shingle df; unique text per
+        # (doc, copy). The earlier word-shuffle kept each doc's word
+        # multiset and inflated shingle df (sf1 shuffle x26 artifact).
+        did, ci = F.col("doc_id"), F.lit(i)
+        synth = F.array_join(
             F.transform(
-                F.array_sort(
-                    F.transform(
-                        words,
-                        lambda w, p: F.struct(
-                            F.xxhash64(w, p, F.col("doc_id"), F.lit(i)).alias("k"),
-                            w.alias("w"),
-                        ),
-                    )
+                F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1))),
+                lambda k: F.element_at(
+                    vlit,
+                    F.least(
+                        F.lit(nvocab),
+                        F.pow(
+                            F.lit(float(nvocab)),
+                            F.pmod(F.xxhash64(did, ci, k),
+                                   F.lit(1_000_000))
+                            / F.lit(1_000_000.0),
+                        ).cast("int"),
+                    ),
                 ),
-                lambda s: s["w"],
             ),
             " ",
         )
-        # r18 (r17 verdict task 5): the word shuffle destroys ALL
-        # near-dup structure (it is doc_id-keyed, so even within-copy
-        # former near-dups diverge), which left dedup_minhash /
-        # dedup_ngram_jaccard returning 0 rows at sf1 — the rehearsal
-        # validated wall/shuffle but not result quality. SEED ~1% of
-        # docs as near-dup clusters: those keep their ORIGINAL word
-        # order with one copy-keyed word replaced, so each seeded doc
-        # forms a 10-member cross-copy near-dup cluster (single-word
-        # edit ≈ 0.9+ shingle Jaccard on these corpus lengths) while
-        # never being an EXACT duplicate.
+        # r18 (r17 verdict task 5): SEED ~1% of docs as near-dup
+        # clusters: those keep their ORIGINAL word order with one
+        # copy-keyed word replaced, so each seeded doc forms a
+        # 10-member cross-copy near-dup cluster (single-word edit ≈
+        # 0.9+ shingle Jaccard on these corpus lengths) while never
+        # being an EXACT duplicate.
         seeded = F.col("doc_id") % 100 == 7
         mutated = F.array_join(
             F.concat(
@@ -123,7 +147,7 @@ def build_fixture(spark: SparkSession) -> None:
             ),
             " ",
         )
-        text_i = F.when(seeded, mutated).otherwise(shuffled)
+        text_i = F.when(seeded, mutated).otherwise(synth)
         doc_parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * ID_STRIDE)).alias("doc_id"),

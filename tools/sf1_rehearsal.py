@@ -119,6 +119,14 @@ def main() -> None:
     build_sf1(spark)
     _ensure_loaded()
     names = [n for n, s in sorted(REGISTRY.items()) if s.headline]
+    # r19 (r18 verdict task 5): pin the newer operators' predicted-
+    # linear shapes too, beyond the headline set
+    extra = [
+        "sqlpp_pivot", "sqlpp_unpivot", "sqlpp_recursive_mutual",
+        "sqlpp_lateral_agg_keyed", "sqlpp_recursive_nonlinear",
+        "sqlpp_pivot_dynamic", "sqlpp_unpivot_multi",
+    ]
+    names += [n for n in extra if n not in names]
     results = {}
     for name in names:
         b = REGISTRY[name].builder
