@@ -110,25 +110,40 @@ def build_fixture(spark: SparkSession) -> None:
         # per-copy Zipf synthesis (r19): original length, words drawn
         # log-uniformly over rank (inverse CDF of Zipf s≈1:
         # rank = V^u) with an xxhash64-keyed uniform per position —
-        # head-heavy, realistic shingle df; unique text per
+        # head-heavy Zipf head + Heaps rare tail; unique text per
         # (doc, copy). The earlier word-shuffle kept each doc's word
         # multiset and inflated shingle df (sf1 shuffle x26 artifact).
         did, ci = F.col("doc_id"), F.lit(i)
+        # 70% of positions draw from the Zipf head (log-uniform rank
+        # over the shared vocab); 30% draw Heaps-tail rare tokens from
+        # a 1M-token space (df stays O(1) as the corpus grows) — real
+        # corpora grow vocabulary, and without the tail EVERY shingle's
+        # df scales with the corpus (the documented fixed-vocabulary
+        # quadratic corner the prefix strategy cannot escape)
+        zipf_word = lambda k: F.element_at(  # noqa: E731
+            vlit,
+            F.least(
+                F.lit(nvocab),
+                F.pow(
+                    F.lit(float(nvocab)),
+                    F.pmod(F.xxhash64(did, ci, k), F.lit(1_000_000))
+                    / F.lit(1_000_000.0),
+                ).cast("int"),
+            ),
+        )
+        rare_word = lambda k: F.concat(  # noqa: E731
+            F.lit("w"),
+            F.pmod(F.xxhash64(did, ci, k, F.lit(13)),
+                   F.lit(1_000_000)).cast("string"),
+        )
         synth = F.array_join(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1))),
-                lambda k: F.element_at(
-                    vlit,
-                    F.least(
-                        F.lit(nvocab),
-                        F.pow(
-                            F.lit(float(nvocab)),
-                            F.pmod(F.xxhash64(did, ci, k),
-                                   F.lit(1_000_000))
-                            / F.lit(1_000_000.0),
-                        ).cast("int"),
-                    ),
-                ),
+                lambda k: F.when(
+                    F.pmod(F.xxhash64(did, ci, k, F.lit(7)),
+                           F.lit(10)) < 3,
+                    rare_word(k),
+                ).otherwise(zipf_word(k)),
             ),
             " ",
         )
