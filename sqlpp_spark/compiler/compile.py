@@ -133,8 +133,13 @@ class Compiler:
         or a mutual partner referenced twice; non-linear SELF-joins
         are a parse error, as in PG) re-evaluate over the ACCUMULATED
         results each iteration instead; with the new-rows subtract
-        this is the terminating stratified-closure evaluation, probed
-        equal to DuckDB's native mutual recursion.
+        this is the terminating stratified-closure evaluation — the
+        datalog least fixpoint, pinned as THE semantics (a Hypothesis
+        sweep proved DuckDB's native mutual evaluation is neither the
+        closure nor pure working-table binding in general, and PG
+        rejects mutual recursion outright, so the independent oracle
+        for non-linear shapes is a brute-force fixpoint, not another
+        SQL engine — tests/test_recursive_cte.py).
 
         Scale shape: per iteration, UNION-distinct costs one distinct
         exchange over the step output plus one anti-join against the

@@ -1683,8 +1683,11 @@ _sqlpp(
     # path lengths over the 9-node nationkey chain: the closure is
     # 20 odd + 16 even pairs; the pre-fix tandem loop loses the
     # len>=5 odd and len>=4 even paths (14 + 10). DuckDB runs the
-    # same mutual recursion natively as oracle (probed: its mutual
-    # evaluation computes the same closure).
+    # same mutual recursion natively as oracle — probed to compute
+    # the same closure ON THIS multi-derivable chain shape (its
+    # general non-linear evaluation is operationally different;
+    # tests/test_recursive_cte.py pins the engine's closure semantics
+    # against an independent Python fixpoint).
     "sqlpp_recursive_nonlinear",
     "with recursive odd (s, d) as ("
     "select n.n_nationkey as s, n.n_nationkey + 1 as d from nation as n "

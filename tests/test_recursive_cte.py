@@ -340,6 +340,66 @@ if _HAS_HYP:
         want2 = sorted(tuple(r) for r in duck.execute(src).fetchall())
         assert rows == want == want2, src
 
+    @st.composite
+    def _nonlinear_mutual_params(draw):
+        """Random NON-LINEAR mutual cycles (r19, ADVICE r18 medium):
+        a's step joins its partner b TWICE; b's step is linear in a.
+        Modular affine pair-steps over a bounded non-negative domain —
+        monotone, always terminating under set semantics."""
+        return (
+            draw(st.integers(0, 3)),  # sa
+            draw(st.integers(0, 3)),  # sb
+            draw(st.integers(0, 3)),  # p1
+            draw(st.integers(1, 4)),  # p2
+            draw(st.integers(5, 9)),  # m
+            draw(st.sampled_from(["<=", "<", ">="])),
+        )
+
+    @settings(
+        max_examples=20, deadline=None, derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(_nonlinear_mutual_params())
+    def test_nonlinear_mutual_property_closure(eng, params):
+        """Engine vs an independent PYTHON datalog fixpoint — not
+        DuckDB: the engine pins the stratified CLOSURE for non-linear
+        mutual steps, and Hypothesis found that DuckDB's native
+        mutual evaluation is NEITHER the closure NOR pure
+        working-table binding in general (it matched the closure on
+        the odd/even chain probe, but on
+        a(0): (2x+y)%5 from b x<=y / b(0): (a+1)%5 it returned
+        a={0,2,3,4}, b={0,1,3,4} — exactly the pure-delta answer,
+        missing closure rows a=1, b=2). PG rejects mutual recursion
+        outright, so there is no second SQL engine to pin against —
+        the brute-force fixpoint below IS the semantics."""
+        import operator
+
+        sa, sb, p1, p2, m, cmp_ = params
+        ops = {"<=": operator.le, "<": operator.lt, ">=": operator.ge}
+        a, b = {sa}, {sb}
+        while True:
+            na = {
+                (2 * x + y + p1) % m
+                for x in b for y in b if ops[cmp_](x, y)
+            }
+            nb = {(x + p2) % m for x in a}
+            if na <= a and nb <= b:
+                break
+            a |= na
+            b |= nb
+        want = sorted([("a", n) for n in a] + [("b", n) for n in b])
+        src = (
+            f"with recursive a (n) as (select {sa} as n union "
+            f"select (x.n * 2 + y.n + {p1}) % {m} as n "
+            f"from b as x join b as y on x.n {cmp_} y.n), "
+            f"b (n) as (select {sb} as n union "
+            f"select (a.n + {p2}) % {m} as n from a) "
+            "select 'a' as s, n from a "
+            "union all select 'b' as s, n from b"
+        )
+        rows = sorted(tuple(r) for r in eng.fetch_list(src))
+        assert rows == want, src
+
 
 def test_recursive_view_and_derived_table(eng, duck):
     # r17: CREATE QUERY with a WITH RECURSIVE body (recursive view)
