@@ -1656,9 +1656,23 @@ class Compiler:
             return None
         op = corr[0][0]
         key = keys[0]
-        if not isinstance(sub_df.schema[key].dataType, NumericType):
+
+        def mono(dt):
+            # r19: temporal theta keys band too (the as-of EXISTS /
+            # quantifier case) — bucketing needs only a MONOTONE
+            # numeric view of the key; the residual comparisons still
+            # use the original values
+            from pyspark.sql.types import DateType, TimestampType
+
+            if isinstance(dt, NumericType):
+                return lambda c: c.cast("double")
+            if isinstance(dt, (DateType, TimestampType)):
+                return lambda c: c.cast("timestamp").cast("double")
             return None
-        if not isinstance(probe.schema[po[0]].dataType, NumericType):
+
+        key_num = mono(sub_df.schema[key].dataType)
+        pv_num = mono(probe.schema[po[0]].dataType)
+        if key_num is None or pv_num is None:
             return None
         conf = self.spark.conf
         threshold = float(
@@ -1685,17 +1699,15 @@ class Compiler:
         if d_rows * s_rows < threshold:
             return None
         lohi = sub_k.agg(
-            F.min(F.col(key).cast("double")).alias("lo"),
-            F.max(F.col(key).cast("double")).alias("hi"),
+            F.min(key_num(F.col(key))).alias("lo"),
+            F.max(key_num(F.col(key))).alias("hi"),
         ).collect()[0]
         lo, hi = float(lohi["lo"]), float(lohi["hi"])
         if hi <= lo:
             hi = lo + 1.0
 
         def bkt(c: Column) -> Column:
-            return F.width_bucket(
-                c.cast("double"), F.lit(lo), F.lit(hi), F.lit(nb)
-            )
+            return F.width_bucket(c, F.lit(lo), F.lit(hi), F.lit(nb))
 
         cnt, cntn, mn, mx = names[:4]
         sm = names[4] if len(names) > 4 else None
@@ -1708,7 +1720,9 @@ class Compiler:
         ]
         if sm is not None:
             cells.append(F.sum(F.col(col0)).alias("_sm"))
-        per_bucket = sub_k.groupBy(bkt(F.col(key)).alias("_b")).agg(*cells)
+        per_bucket = sub_k.groupBy(
+            bkt(key_num(F.col(key))).alias("_b")
+        ).agg(*cells)
         spine = self.spark.range(0, nb + 2).select(
             F.col("id").cast("int").alias("_b")
         )
@@ -1725,8 +1739,8 @@ class Compiler:
         if sm is not None:
             pref_cells.append(F.sum("_sm").over(w).alias("_psm"))
         prefix = dense.select(*pref_cells)
-        probe_b = probe.withColumn("_pb", bkt(F.col(po[0])))
-        sub_b = sub_k.withColumn("_sb", bkt(F.col(key)))
+        probe_b = probe.withColumn("_pb", bkt(pv_num(F.col(po[0]))))
+        sub_b = sub_k.withColumn("_sb", bkt(key_num(F.col(key))))
         part_cells = [
             F.count(F.lit(1)).alias("_qc"),
             F.count(F.col(col0)).alias("_qcn"),

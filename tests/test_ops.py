@@ -1466,3 +1466,50 @@ def test_bfs_distance_frontier(spark):
     assert out == {1: 0, 9: 0, 2: 1, 3: 1, 4: 2}  # 3 via 9 beats 1→2→3
     out2 = {r.node: r.hops for r in bfs_distance(edges, srcs, max_hops=1).collect()}
     assert out2 == {1: 0, 9: 0, 2: 1, 3: 1}
+
+
+def test_contamination_flags_exact_13grams(spark):
+    """r19 directed cases for ops/corpus.contamination at the
+    published 13-gram setting: a doc containing a benchmark 13-gram
+    mid-text is flagged with the distinct-gram hit count; clean docs
+    and sub-13-word docs are not; normalization (case/whitespace)
+    applies on both sides."""
+    from sqlpp_spark.ops.corpus import contamination as benchmark_contamination
+
+    bench_sent = " ".join(f"b{i}" for i in range(13))
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark sentence verbatim mid-text
+            (1, "intro words " + bench_sent + " trailing tail"),
+            # case/whitespace variant still matches (normalization)
+            (2, "X  " + bench_sent.upper() + "  y"),
+            # clean
+            (3, " ".join(f"c{i}" for i in range(40))),
+            # shares only 12 of the 13 words in order -> no 13-gram
+            (4, " ".join(f"b{i}" for i in range(12)) + " zz done"),
+            # shorter than 13 words, even if a prefix of the bench
+            (5, " ".join(f"b{i}" for i in range(9))),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_sent)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in benchmark_contamination(corpus, bench, n=13).collect()
+    }
+    assert out == {1: 1, 2: 1}
+    # a doc overlapping TWO distinct benchmark grams counts both
+    bench2 = spark.createDataFrame(
+        [(100, bench_sent + " b13")], "doc_id long, text string"
+    )
+    corpus2 = spark.createDataFrame(
+        [(7, "pad " + bench_sent + " b13 pad2")],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in benchmark_contamination(corpus2, bench2, n=13).collect()
+    }
+    assert out2 == {7: 2}

@@ -827,3 +827,31 @@ def test_lateral_theta_topk_banded_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "HashJoin" in p, p
     assert "Generate" in p, p  # the sequence+explode prefix fan-out
+
+
+def test_decontaminate_broadcast_no_text_shuffle(spark, sf_dir):
+    """r19 decontamination: benchmark grams broadcast; the corpus
+    side reaches the join map-side — no SortMergeJoin, no exchange
+    carrying the text column."""
+    import contextlib
+    import io
+    import re
+
+    from sqlpp_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["corpus_decontaminate"].builder(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # no HASH exchange moves the raw text (the only text-carrying
+    # exchange allowed is ensure_parallelism's input-proportional
+    # RoundRobin repartition, which disappears on well-partitioned
+    # cluster inputs — the join/aggregate shuffles carry grams and
+    # ids only)
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)*?Arguments.*", p):
+        if "hashpartitioning" in m.group(0):
+            assert "text#" not in m.group(0), m.group(0)

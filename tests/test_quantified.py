@@ -332,3 +332,45 @@ def test_quantified_and_distinct_from_in_dml(spark, tmp_path):
     assert sorted((r[0], r[1]) for r in eng.fetch_list(
         "select id, val from t1"
     )) == [(1, 5), (3, 0), (4, 0)]
+
+
+def test_quantified_theta_banded_temporal_keys(spark, eng, duck):
+    # r19: DATE theta correlation keys band through a monotone epoch
+    # view (the as-of EXISTS/quantifier shape) — forced banded vs
+    # DuckDB on both legs, NULL-bearing dates included
+    import datetime as dt
+
+    EV = [(i, dt.date(2024, 1 + (i * 7) % 12, 1 + (i * 13) % 28),
+           (i * 37) % 90) for i in range(30)]
+    PR = [(j, dt.date(2024, 1 + (j * 5) % 12, 1 + (j * 11) % 28),
+           (j * 17) % 90) for j in range(12)] + [(99, None, 5)]
+    eng.add_decls(
+        "create table dev (eid int not null, d date, v int not null);"
+        "create table dpr (pid int not null, cut date, x int not null);"
+    )
+    eng.register_df("dev", spark.createDataFrame(
+        EV, "eid long, d date, v long"))
+    eng.register_df("dpr", spark.createDataFrame(
+        PR, "pid long, cut date, x long"))
+    duck.execute("CREATE TABLE dev (eid BIGINT, d DATE, v BIGINT)")
+    duck.executemany("INSERT INTO dev VALUES (?,?,?)", EV)
+    duck.execute("CREATE TABLE dpr (pid BIGINT, cut DATE, x BIGINT)")
+    duck.executemany("INSERT INTO dpr VALUES (?,?,?)", PR)
+    spark.conf.set("spark.sqlpp.quantifier.bandedSubFloor", "1")
+    spark.conf.set("spark.sqlpp.quantifier.bandedThreshold", "1")
+    spark.conf.set("spark.sqlpp.quantifier.bandedBuckets", "8")
+    try:
+        for src in (
+            "select p.pid as pid, (p.x > any (select e.v from dev as e "
+            "where e.d < p.cut)) as f from dpr as p order by pid",
+            "select p.pid as pid, (p.x <= all (select e.v from dev as e "
+            "where e.d >= p.cut)) as f from dpr as p order by pid",
+            "select p.pid as pid from dpr as p where exists ("
+            "select 1 as one from dev as e where e.d <= p.cut) "
+            "order by pid",
+        ):
+            _differ(eng, duck, src)
+    finally:
+        spark.conf.unset("spark.sqlpp.quantifier.bandedSubFloor")
+        spark.conf.unset("spark.sqlpp.quantifier.bandedThreshold")
+        spark.conf.unset("spark.sqlpp.quantifier.bandedBuckets")
