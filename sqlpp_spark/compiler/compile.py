@@ -902,12 +902,18 @@ class Compiler:
         lat = fr.right
         sub_ctx, corr = lat.sub_ctx, lat.corr
         sel = sub_ctx.select
-        op, ie, oe = corr[0][0], corr[0][1], corr[0][2]
+        theta_ix = next(
+            i for i, (o, _ie, _oe) in enumerate(corr) if o != "="
+        )
+        op, ie, oe = corr[theta_ix]
+        eqs = [c for i, c in enumerate(corr) if i != theta_ix]
         alias = self._fresh("__latt")
         pv = f"{alias}_pv"
         key = f"{alias}_k"
+        ekn = [f"{alias}_ek{i}" for i in range(len(eqs))]  # sub side
+        epn = [f"{alias}_ep{i}" for i in range(len(eqs))]  # probe side
         # body frame: FROM + residual (non-corr) WHERE, projected
-        # fields + theta key + order columns
+        # fields + correlation keys + order columns
         sub = self._compile_from(sub_ctx, sel.from_, binds)
         if sel.where is not None:
             for conj in _split_conjuncts(sel.where):
@@ -925,8 +931,12 @@ class Compiler:
             self.expr(o.expr, binds, {}).alias(n)
             for n, o in zip(onames, sel.order_by)
         ]
+        ekcols = [
+            self.expr(eie, binds, {}).alias(n)
+            for n, (_op, eie, _oe) in zip(ekn, eqs)
+        ]
         sub = sub.select(
-            *cols, self.expr(ie, binds, {}).alias(key), *ocols
+            *cols, self.expr(ie, binds, {}).alias(key), *ekcols, *ocols
         ).where(F.col(key).isNotNull())
         order = [
             self._order_col(F.col(n), o)
@@ -938,22 +948,60 @@ class Compiler:
             if sel.limit is not None else None
         )
         pv_expr = self.expr(oe, binds, {})
-        probes = (
-            left.select(pv_expr.alias(pv))
-            .where(F.col(pv).isNotNull())
-            .distinct()
-        )
-        res = self._theta_topk_frame(
-            sub, probes, op, key, pv, fnames, onames, order, lo, hi,
-        )
+        ep_exprs = [
+            self.expr(eoe, binds, {}) for _op, _ie, eoe in eqs
+        ]
+        if eqs:
+            # MIXED equality + theta (r19): the equality keys hash-
+            # partition the work — the same join shape the non-LIMIT
+            # eq+theta lateral already runs — so the per-probe-tuple
+            # window costs D_g x S_g per equality group, never the
+            # global D x S quadratic. Probe = distinct
+            # (eq keys..., theta value) tuples; NULL in any probe
+            # column matches nothing (plain = / theta on NULL) and is
+            # excluded up front.
+            probes = left.select(
+                *[e.alias(n) for e, n in zip(ep_exprs, epn)],
+                pv_expr.alias(pv),
+            )
+            notnull = F.col(pv).isNotNull()
+            for n in epn:
+                notnull = notnull & F.col(n).isNotNull()
+            probes = probes.where(notnull).distinct()
+            jcond = self._cmp_col(op, F.col(key), F.col(pv))
+            for sk, pk in zip(ekn, epn):
+                jcond = (F.col(sk) == F.col(pk)) & jcond
+            joined = probes.join(sub, on=jcond, how="inner")
+            from pyspark.sql import Window as W
+
+            rn = f"{pv}_rn"
+            pw = W.partitionBy(
+                *[F.col(n) for n in epn], F.col(pv)
+            ).orderBy(*order)
+            out = joined.withColumn(rn, F.row_number().over(pw))
+            fcond = F.col(rn) > lo
+            if hi is not None:
+                fcond = fcond & (F.col(rn) <= hi)
+            res = out.where(fcond).select(*epn, F.col(pv), *fnames)
+        else:
+            probes = (
+                left.select(pv_expr.alias(pv))
+                .where(F.col(pv).isNotNull())
+                .distinct()
+            )
+            res = self._theta_topk_frame(
+                sub, probes, op, key, pv, fnames, onames, order, lo, hi,
+            )
         res = res.alias(lat.alias)
         cond = pv_expr == F.col(f"{lat.alias}.{pv}")
+        for e, n in zip(ep_exprs, epn):
+            cond = (e == F.col(f"{lat.alias}.{n}")) & cond
         if fr.kind != "cross" and not (
             isinstance(fr.on, A.ELit) and fr.on.value is True
         ):
             cond = cond & self.expr(fr.on, binds, {})
         how = "inner" if fr.kind == "cross" else fr.kind
-        return left.join(res, on=cond, how=how).drop(pv)
+        return left.join(res, on=cond, how=how).drop(pv, *epn)
 
     def _theta_topk_frame(
         self, sub: DataFrame, probes: DataFrame, op: str, key: str,

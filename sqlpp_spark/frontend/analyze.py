@@ -1095,12 +1095,18 @@ class Analyzer:
             thetas = [op for op, _ie, _oe in corr if op != "="]
             if thetas:
                 # r19 (verdict task 2): a SINGLE ordered theta
-                # correlation lowers through the banded range-bucket
-                # machinery (compile._join_lateral_theta_topk:
-                # per-bucket window top-k + prefix completion), the
-                # same shape that killed the quantifier nested loop.
-                # Multiple thetas / non-ordered ops / eq+theta mixes
-                # stay located errors (no non-quadratic lowering).
+                # correlation is supported — alone, it lowers through
+                # the banded range-bucket machinery
+                # (compile._join_lateral_theta_topk: per-bucket window
+                # top-k + prefix completion, the same shape that
+                # killed the quantifier nested loop); MIXED with
+                # equality conjuncts (the per-entity as-of join:
+                # "top-k events of THIS key before t"), the equality
+                # keys hash-partition the work and the per-probe-tuple
+                # window is the same join shape the non-LIMIT
+                # eq+theta lateral already runs. Multiple thetas /
+                # non-ordered ops stay located errors (no
+                # non-quadratic lowering).
                 if len(thetas) > 1 or thetas[0] not in (
                     "<", "<=", ">", ">="
                 ):
@@ -1108,12 +1114,6 @@ class Analyzer:
                         "LIMIT in a LATERAL body supports at most one "
                         "ordered (<, <=, >, >=) theta correlation",
                         lat.loc,
-                    )
-                if len(thetas) != len(corr):
-                    self.err(
-                        "LIMIT in a LATERAL body cannot mix equality "
-                        "and theta correlation (use a derived table "
-                        "per key, or drop the LIMIT)", lat.loc,
                     )
             if not sel.order_by:
                 self.err(

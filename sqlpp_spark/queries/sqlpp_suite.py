@@ -1513,6 +1513,31 @@ _sqlpp(
 )
 
 _sqlpp(
+    # r19: MIXED equality + theta LATERAL top-k — the per-entity
+    # as-of shape ("top-k of THIS customer's orders strictly below
+    # that customer's balance"). The equality key hash-partitions the
+    # decorrelated join (the same shape the non-LIMIT eq+theta
+    # lateral runs), so the per-probe-tuple window costs D_g x S_g
+    # per customer, never a global quadratic. LEFT keeps customers
+    # with no qualifying order.
+    "sqlpp_lateral_asof_keyed",
+    "select c.ck as custkey, x.okey as okey from "
+    "(select c_custkey as ck, c_acctbal as bal from customer "
+    "where c_custkey <= 500) as c left join lateral ("
+    "select o.o_orderkey as okey from orders as o "
+    "where o.o_custkey = c.ck and o.o_totalprice < c.bal "
+    "order by o.o_totalprice desc, o.o_orderkey asc limit 2) as x "
+    "on true order by custkey, okey",
+    "SELECT c.ck AS custkey, x.okey AS okey FROM "
+    "(SELECT c_custkey AS ck, c_acctbal AS bal FROM customer "
+    "WHERE c_custkey <= 500) c LEFT JOIN LATERAL ("
+    "SELECT o_orderkey AS okey FROM orders o "
+    "WHERE o.o_custkey = c.ck AND o.o_totalprice < c.bal "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) x "
+    "ON TRUE ORDER BY custkey, okey",
+)
+
+_sqlpp(
     # r17: theta EXISTS min/max reduction — suppliers out-balanced by
     # a same-nation customer. Single non-equality conjunct, so
     # existence reduces exactly to max(c_acctbal) per nation

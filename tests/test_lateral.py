@@ -169,12 +169,6 @@ def test_lateral_errors(eng):
         ("select t1.id from t1 cross join lateral "
          "(select t2.amt from t2 where t2.grp = t1.grp limit 2) as x",
          "requires ORDER BY"),
-        # LIMIT with MIXED equality + theta correlation (a single
-        # ordered theta alone is supported since r19)
-        ("select t1.id from t1 cross join lateral "
-         "(select t2.amt from t2 where t2.grp = t1.grp "
-         "and t2.id < t1.id order by t2.amt limit 2) as x",
-         "cannot mix equality and theta"),
         # LIMIT with two theta correlations
         ("select t1.id from t1 cross join lateral "
          "(select t2.amt from t2 where t2.id < t1.id "
@@ -538,6 +532,23 @@ THETA_TOPK_SOURCES = (
     "select t1.id as oid, x.v as v from t1 cross join lateral "
     "(select t2.amt * 2 as v from t2 where t2.amt < t1.val "
     "order by t2.id asc limit 2) as x order by oid, v",
+    # r19: MIXED equality + theta — the per-entity as-of shape
+    # ("top-k of THIS group's rows below the outer value")
+    "select t1.id as oid, x.sid as sid from t1 cross join lateral "
+    "(select t2.id as sid from t2 where t2.grp = t1.grp "
+    "and t2.amt < t1.val order by t2.amt desc, t2.id asc limit 2) "
+    "as x order by oid, sid",
+    # mixed, LEFT ON true: outer rows without matches survive with
+    # NULLs (incl. NULL eq key / NULL theta probe)
+    "select t1.id as oid, x.sid as sid from t1 left join lateral "
+    "(select t2.id as sid from t2 where t2.grp = t1.grp "
+    "and t2.amt >= t1.val order by t2.amt asc, t2.id asc "
+    "limit 1) as x on true order by oid, sid",
+    # mixed with offset and an expression equality key
+    "select t1.id as oid, x.sid as sid from t1 cross join lateral "
+    "(select t2.id as sid from t2 where t2.grp + 1 = t1.grp + 1 "
+    "and t2.amt > t1.val order by t2.amt asc, t2.id asc "
+    "limit 2 offset 1) as x order by oid, sid",
 )
 
 
