@@ -855,3 +855,47 @@ def test_decontaminate_broadcast_no_text_shuffle(spark, sf_dir):
     for m in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)*?Arguments.*", p):
         if "hashpartitioning" in m.group(0):
             assert "text#" not in m.group(0), m.group(0)
+
+
+def test_lateral_mixed_eq_theta_topk_hash_join(spark, sf_dir):
+    """r19 mixed equality+theta LATERAL top-k (per-entity as-of): the
+    equality conjunct must reach the join as a HASH key with the
+    theta as residual — no BroadcastNestedLoopJoin, no cartesian."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from sqlpp_spark.engine import SqlppEngine
+
+    eng = SqlppEngine(spark)
+    eng.register_df(
+        "probe_t",
+        spark.range(2000).select(
+            F.col("id").alias("oid"),
+            F.pmod(F.hash("id"), F.lit(200)).alias("grp"),
+            F.pmod(F.hash(F.col("id") + 5), F.lit(500)).alias("p"),
+        ),
+    )
+    eng.register_df(
+        "sub_t",
+        spark.range(2000).select(
+            F.col("id").alias("sid"),
+            F.pmod(F.hash(F.col("id") + 1), F.lit(200)).alias("grp"),
+            F.pmod(F.hash(F.col("id") + 2), F.lit(500)).alias("v"),
+            F.pmod(F.hash(F.col("id") + 3), F.lit(100)).alias("amt"),
+        ),
+    )
+    df = eng.query(
+        "select o.oid as oid, x.sid as sid from probe_t as o "
+        "cross join lateral (select s.sid as sid from sub_t as s "
+        "where s.grp = o.grp and s.v < o.p "
+        "order by s.amt desc, s.sid asc limit 2) as x"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "HashJoin" in p, p
