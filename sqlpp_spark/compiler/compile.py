@@ -175,17 +175,26 @@ class Compiler:
             for stratum in rec.strata:
                 ms = [rec.members[i] for i in stratum]
                 frontiers: Dict[str, DataFrame] = {}
+                # r19 opt (guide §1.2/§5): LAZY localCheckpoint + one
+                # count() per frontier — the count job materializes the
+                # checkpoint blocks AND returns the exact row count, so
+                # the separate eager-checkpoint job and the per-frontier
+                # isEmpty() jobs (two per frontier per iteration)
+                # disappear: one bounded Spark job per member per
+                # superstep instead of three.
+                counts: Dict[str, int] = {}
                 for m in ms:
                     # bases may reference earlier strata (completed)
                     self.catalog = {**orig_catalog, **results}
                     b = branch(m.base_ctx, m.row)
                     if not m.union_all:
                         b = b.distinct()
-                    f = b.localCheckpoint(eager=True)
+                    f = b.localCheckpoint(eager=False)
+                    counts[m.name] = f.count()
                     frontiers[m.name] = f
                     results[m.name] = f
                 for _i in range(max_iter):
-                    if all(f.isEmpty() for f in frontiers.values()):
+                    if all(c == 0 for c in counts.values()):
                         break
                     new: Dict[str, DataFrame] = {}
                     for m in ms:
@@ -214,16 +223,19 @@ class Compiler:
                         finally:
                             self._fresh_names = frozenset()
                         if not m.union_all:
-                            nxt = nxt.distinct().subtract(
-                                results[m.name]
-                            )
-                        new[m.name] = nxt.localCheckpoint(eager=True)
+                            # subtract IS "EXCEPT DISTINCT": it dedups
+                            # its left side, so no .distinct() first —
+                            # one aggregate exchange per iteration
+                            # instead of two
+                            nxt = nxt.subtract(results[m.name])
+                        new[m.name] = nxt.localCheckpoint(eager=False)
+                        counts[m.name] = new[m.name].count()
                     frontiers = new
                     has_nonlinear = any(
                         getattr(m, "nonlinear", False) for m in ms
                     )
                     for m in ms:
-                        if not frontiers[m.name].isEmpty():
+                        if counts[m.name] > 0:
                             merged = results[m.name].union(
                                 frontiers[m.name]
                             )

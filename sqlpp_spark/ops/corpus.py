@@ -1210,6 +1210,23 @@ def heavy_hitters(
 
     if toks is None:
         toks = token_stream(df, text_col)
+        # r19 opt (guide §2.3 "aggregate before you shuffle" applied to
+        # the plan-time job): N = Σ per-row token counts — a scan-stage
+        # aggregate with no explode — instead of counting the exploded
+        # token stream. Equal to toks.count() exactly: split-on-' ' of
+        # the normalized text yields only '' extras (empty/NULL docs),
+        # dropped by both formulations (pinned in tests/test_corpus.py).
+        narr = F.split(normalize_text(F.col(text_col)), " ")
+        n_total = (
+            df.select(
+                F.sum(
+                    F.size(F.filter(narr, lambda t: t != F.lit("")))
+                ).alias("n")
+            ).first()["n"]
+            or 0
+        )
+    else:
+        n_total = toks.count()  # one scalar; the threshold is metadata
 
     def mg(batches):
         for pdf in batches:
@@ -1234,7 +1251,6 @@ def heavy_hitters(
         .mapInPandas(mg, "token string")
         .distinct()
     )
-    n_total = toks.count()  # one scalar; the threshold is metadata
     thresh = n_total // k
     return (
         toks.join(F.broadcast(cands), on="token", how="left_semi")

@@ -583,3 +583,29 @@ def test_cms_overestimates_and_is_partitioning_independent(spark):
         for r in cms_counts(df.repartition(7), d=4, w=64, k=k).collect()
     }
     assert est == est2
+
+
+def test_heavy_hitters_scan_stage_total_equals_stream_count(spark):
+    """r19 opt: heavy_hitters' plan-time N is now a scan-stage sum of
+    per-row token counts; it must equal count(token_stream) exactly,
+    including NULL / empty / whitespace-only / multi-space docs."""
+    from pyspark.sql import functions as F
+
+    from sqlpp_spark.ops.corpus import token_stream
+    from sqlpp_spark.ops.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b  c"),
+            (2, ""),
+            (3, None),
+            (4, "   "),
+            (5, "the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    narr = F.split(normalize_text(F.col("text")), " ")
+    n_scan = df.select(
+        F.sum(F.size(F.filter(narr, lambda t: t != F.lit("")))).alias("n")
+    ).first()["n"]
+    assert n_scan == token_stream(df).count() == 6

@@ -1513,3 +1513,71 @@ def test_contamination_flags_exact_13grams(spark):
         for r in benchmark_contamination(corpus2, bench2, n=13).collect()
     }
     assert out2 == {7: 2}
+
+
+def test_marker_fusion_counts_identical(spark):
+    """r19 opt: the fused one-pass marker extraction must count exactly
+    like independent per-word \\b-regex scans — including hyphen-split
+    tokens, markers embedded in longer words (no match), shared-prefix
+    markers (de/der), the cross-language duplicate ('la'), NULL and
+    empty text."""
+    from pyspark.sql import functions as F
+
+    from sqlpp_spark.ops.text import (
+        LANG_MARKERS, _count_word, _marker_matches, _count_in,
+        lang_id, lang_scores, quality_score,
+    )
+
+    rows = [
+        (1, "the cat and the dog of de-la maison"),
+        (2, "der die und derby under dethe"),
+        (3, "le la et el la de"),
+        (4, ""),
+        (5, None),
+        (6, "nothing matches here xyz"),
+        (7, "la la la der de el the of and und die le et"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = F.col("text")
+    words = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    fused = df.select(
+        "doc_id",
+        *[_count_in(_marker_matches(c), w).alias(f"f_{w}") for w in words],
+    ).collect()
+    sep = df.select(
+        "doc_id", *[_count_word(c, w).alias(f"s_{w}") for w in words]
+    ).collect()
+    for fr, sr in zip(
+        sorted(fused, key=lambda r: r["doc_id"]),
+        sorted(sep, key=lambda r: r["doc_id"]),
+    ):
+        for w in words:
+            assert fr[f"f_{w}"] == sr[f"s_{w}"], (fr["doc_id"], w)
+    # composite outputs stay deterministic and sane on the same rows
+    out = {
+        r["doc_id"]: (r["lp"], r["q"])
+        for r in df.select(
+            "doc_id",
+            lang_id(c).alias("lp"),
+            quality_score(c).alias("q"),
+        ).collect()
+    }
+    assert out[3][0] == "es"  # 4-4 tie with fr, broken by fold order
+    assert out[6][0] == "und"
+    assert out[5] == ("und", None)  # NULL text: conditions all NULL
+    # lang_scores equals the per-word sums per language
+    ls = df.select(
+        "doc_id",
+        *[
+            v.alias(f"ls_{k}")
+            for k, v in sorted(lang_scores(c).items())
+        ],
+    ).collect()
+    for r in ls:
+        base = next(x for x in sep if x["doc_id"] == r["doc_id"])
+        for lang, ws in LANG_MARKERS.items():
+            want = None
+            vals = [base[f"s_{w}"] for w in ws]
+            if all(v is not None for v in vals):
+                want = sum(vals)
+            assert r[f"ls_{lang}"] == want, (r["doc_id"], lang)
