@@ -121,11 +121,53 @@ try:
     )
     def test_hist_quantile_property(spark, data):
         """Random groups/values (ties, negatives, nulls, mixed
-        magnitudes): histogram quantiles stay bit-equal to
-        F.percentile."""
+        magnitudes): histogram quantiles stay bit-equal to the PINNED
+        interpolation semantics — (hi-pos)·v_lo + (pos-lo)·v_hi, the
+        formula DuckDB quantile_cont (the driver oracle) executes.
+
+        The reference is a Python replay of that formula, NOT
+        F.percentile: Spark's Percentile short-circuits tied keys
+        (``if higherKey == lowerKey return lowerKey``) while the lerp
+        of a tied value can round one ulp away (e.g. two 5e-324 rows
+        at p=0.5 lerp to 0.0 — verified identical in DuckDB 1.0 — and
+        a r19 sweep found normal-value examples too), so bit-equality
+        with F.percentile is provably unattainable on tied keys while
+        matching the oracle. The real-table tests above keep the
+        F.percentile cross-check on tie-safe integer domains."""
         df = spark.createDataFrame(data, "g string, v double")
         got = quantile_cont_hist(df, ["g"], "v", PS, NAMES)
-        _assert_bit_equal(got, _reference(df, "g", "v"), "g")
+        exp = {}
+        by_g: dict = {}
+        for g, v in data:
+            by_g.setdefault(g, [])
+            if v is not None:
+                by_g[g].append(v)
+        for g, vs in by_g.items():
+            vs.sort()
+            row = []
+            for p in PS:
+                if not vs:
+                    row.append(None)
+                    continue
+                pos = p * (len(vs) - 1)
+                lo, hi = math.floor(pos), math.ceil(pos)
+                if lo == hi:
+                    row.append(vs[lo])
+                else:
+                    row.append(
+                        (hi - pos) * vs[lo] + (pos - lo) * vs[hi]
+                    )
+            exp[g] = row
+        got_rows = {r["g"]: [r[n] for n in NAMES] for r in got.collect()}
+        assert set(got_rows) == set(exp)
+        for g in exp:
+            for a, b in zip(got_rows[g], exp[g]):
+                if b is None:
+                    assert a is None, (g, a, b)
+                else:
+                    assert a == b or (
+                        math.isnan(a) and math.isnan(b)
+                    ), (g, a, b)
 except ImportError:  # pragma: no cover
     pass
 
@@ -191,3 +233,22 @@ def test_hist_quantile_bigint_beyond_double_precision(spark):
         df.groupBy("g", F.col("v").alias("val")).count().collect()
     )
     assert len(hist_rows) == 4
+
+
+def test_hist_quantile_subnormal_ties_match_duckdb(spark):
+    """The corner that split the engines (r19): two tied subnormal
+    values at p=0.5 — the pinned lerp gives 0.0 (0.5*5e-324 rounds to
+    zero twice), which is exactly what DuckDB quantile_cont (the
+    driver oracle) computes; F.percentile would return 5e-324."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [("b", 5e-324), ("b", 5e-324)], "g string, v double"
+    )
+    got = quantile_cont_hist(df, ["g"], "v", [0.5, 0.25], ["p50", "p25"])
+    r = got.collect()[0]
+    want = duckdb.connect().execute(
+        "SELECT quantile_cont(x, 0.5), quantile_cont(x, 0.25) "
+        "FROM (VALUES (5e-324),(5e-324)) t(x)"
+    ).fetchone()
+    assert (r["p50"], r["p25"]) == want == (0.0, 5e-324)
