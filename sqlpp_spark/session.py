@@ -52,6 +52,24 @@ def get_spark(app_name: str = "sqlpp_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r19 opt (guide §3.1/§9): let the planner pick shuffled-hash
+        # over sort-merge when its size conditions hold, and let AQE
+        # rewrite SMJ→SHJ at runtime when every post-shuffle partition
+        # is under the local-map threshold. Interleaved same-session
+        # A/B at sf0.1: 0.82–0.95× on the join-heavy headline rows
+        # (dedup_minhash 0.73×), no regression. Scale-safe: SHJ fires
+        # only under the planner's size conditions, the AQE rewrite is
+        # bounded by the 128m per-partition build cap, and AQE skew
+        # splitting still applies — both knobs parameterized for
+        # cluster tuning.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_MAX", "128m"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -94,7 +94,10 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
         with contextlib.redirect_stdout(buf):
             joined.explain("formatted")
         plan = buf.getvalue()
-        assert "SortMergeJoin" in plan
+        # r19: with preferSortMergeJoin=false the planner may pick
+        # either shuffle-free flavor over bucketed inputs; the
+        # contract this test pins is ZERO exchanges, not the flavor
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
         import re
 
         assert not re.search(r"\(\d+\) Exchange\b", plan), plan

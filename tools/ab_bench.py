@@ -81,7 +81,21 @@ SHARED_24 = SHARED_23 + [
     "corpus_heavy_hitters",
 ]
 
+# the full 28-query r19 headline set (r19 optimization round: A/B
+# evidence for the optimization wave vs the round-start pin b892e27)
+SHARED_28 = SHARED_24 + [
+    "sqlpp_docs_quality",
+    "sqlpp_recursive_spine",
+    "sqlpp_lateral_topk",
+    "sqlpp_lateral_theta_topk",
+    "sqlpp_lateral_agg",
+]
+# SHARED_24 still names the demoted fixed-cell ann_knn_graph; the r19
+# headline replaced it with the auto twin (already in SHARED_21).
+SHARED_28 = [q for q in SHARED_28 if q != "ann_knn_graph"]
+
 SETS["shared13"] = SHARED_13
+SETS["shared28"] = SHARED_28
 SETS["shared21"] = SHARED_21
 SETS["shared23"] = SHARED_23
 SETS["shared24"] = SHARED_24
