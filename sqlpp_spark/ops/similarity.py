@@ -277,14 +277,116 @@ def _nearest_cells(
 CELL_EXPR_MAX = 32
 
 
+def _with_probe_cells_numpy(
+    df: DataFrame, vec_col: str, centroids: list, ids: list,
+    n_probe: int, out_col: str,
+) -> DataFrame:
+    """Arrow-batched numpy nearest-cells kernel (see _with_probe_cells
+    docstring for the bit-equality argument). Sorts the (id, centroid)
+    pairs by cell id first so the stable argsort tie-break equals the
+    (dist, cell) struct sort regardless of caller order."""
+    import numpy as np  # noqa: F401 — import error triggers fallback
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    ids_sorted = [int(ids[i]) for i in order]
+    cents_sorted = [[float(x) for x in centroids[i]] for i in order]
+    in_cols = list(df.columns)
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(LongType()), True)]
+    )
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cents_sorted, dtype=np.float64)  # k × dim
+        id_arr = np.asarray(ids_sorted, dtype=np.int64)
+        k, dim = C.shape
+        # cap the n×k distance matrix at ~32 MB per chunk
+        chunk = max(1, (1 << 22) // max(k, 1))
+        for pdf in batches:
+            vs = pdf[vec_col]
+            notnull = vs.notna().to_numpy()
+            # NULL vector parity with the HOF path: every distance is
+            # NULL, the (dist, cell) struct sort puts NULL distances
+            # first, ties break by ascending cell — i.e. the first
+            # n_probe cell ids (pinned in test_ops)
+            null_probes = [int(c) for c in ids_sorted[:n_probe]]
+            probes: list = [
+                None if nn else list(null_probes) for nn in notnull
+            ]
+            idx = np.flatnonzero(notnull)
+            for s in range(0, len(idx), chunk):
+                sel = idx[s : s + chunk]
+                V = np.asarray(
+                    [np.asarray(vs.iat[i], dtype=np.float64) for i in sel]
+                )
+                # dim-by-dim left fold, vectorized across (rows, cells):
+                # the exact op sequence of the HOF path — (v_j - c_j)
+                # squared in double, then acc + sq, j ascending
+                acc = np.zeros((len(sel), k))
+                for j in range(dim):
+                    d = V[:, j][:, None] - C[:, j][None, :]
+                    acc = acc + d * d
+                # stable argsort over distances with cells ascending ==
+                # array_sort((dist, cell)) tie-break
+                top = np.argsort(acc, axis=1, kind="stable")[:, :n_probe]
+                cells = id_arr[top]
+                for row_i, row_cells in zip(sel, cells):
+                    probes[row_i] = row_cells.tolist()
+            out = pdf.copy()
+            out[out_col] = probes
+            yield out
+
+    return df.select(*in_cols).mapInPandas(assign, schema)
+
+
 def _with_probe_cells(
     df: DataFrame, vec_col: str, centroids: list, cell_ids: list | None,
     n_probe: int, out_col: str,
 ) -> DataFrame:
-    """Column-path nearest-cells: broadcast-crossJoin a single row
-    holding array<struct<cell,cv>> and rank with HOFs row-locally —
-    no shuffle, no per-centroid expression growth."""
+    """Nearest-cells assignment for √n-grown cell counts.
+
+    r19 opt (guide §4.2): the default path is an Arrow-batched numpy
+    kernel — the per-row fold over ALL k centroids was the measured
+    hot spot of the auto kNN graph (interpreted higher-order-function
+    evaluation, ~1.1 s of the 1.4 s row at sf0.1; at the √n rule's
+    real-scale k≈31k cells per 10⁹ vectors an interpreted fold is
+    impractical, while a batched numpy distance kernel is the standard
+    production shape). Bit-equality with the HOF/oracle arithmetic is
+    preserved by construction and pinned in tests/test_ops.py:
+
+    - accumulation runs dim-by-dim in the SAME left-fold order
+      (vectorized across rows, sequential across dims), each step the
+      same IEEE double ops: (cast - c_j) squared, then acc + sq;
+    - ranking is a STABLE argsort over the distances with the
+      centroid list in ascending cell-id order — identical to the
+      array_sort((dist, cell)) tie-break.
+
+    ``spark.sqlpp.ann.pythonProbes=false`` falls back to the previous
+    pure-JVM broadcast-crossJoin + HOF path (kept for Spark Connect
+    sessions and as the equality reference)."""
     ids = cell_ids if cell_ids is not None else list(range(len(centroids)))
+    use_numpy = True
+    try:
+        use_numpy = (
+            df.sparkSession.conf.get(
+                "spark.sqlpp.ann.pythonProbes", "true"
+            ).lower() == "true"
+        )
+    except Exception:
+        pass
+    if use_numpy:
+        try:
+            return _with_probe_cells_numpy(
+                df, vec_col, centroids, ids, n_probe, out_col
+            )
+        except ImportError:  # numpy/pandas unavailable: JVM fallback
+            pass
     cells = [(int(i), [float(x) for x in c]) for i, c in zip(ids, centroids)]
     spark = df.sparkSession
     cf = F.broadcast(spark.createDataFrame(

@@ -1581,3 +1581,50 @@ def test_marker_fusion_counts_identical(spark):
             if all(v is not None for v in vals):
                 want = sum(vals)
             assert r[f"ls_{lang}"] == want, (r["doc_id"], lang)
+
+
+def test_probe_cells_numpy_equals_hof_path(spark):
+    """r19 opt: the Arrow/numpy nearest-cells kernel must reproduce the
+    JVM HOF path bit-for-bit — same dim-by-dim fold order, same
+    (dist, cell) stable tie-break — on real sf0.1 embeddings with a
+    √n-scale cell count (the sf0.01 oracle gate only exercises the
+    ≤32-cell literal path, so this pin is the coverage for the scale
+    path). Also covers NULL vectors and shuffled cell-id order."""
+    from pyspark.sql import functions as F
+
+    from sqlpp_spark.ops.similarity import (
+        _with_probe_cells, _with_probe_cells_numpy, pivot_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    cents, cids = pivot_centroids(emb, 45)
+    base = emb.select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("v")
+    ).limit(500)
+    # inject a NULL vector row to pin NULL-propagation parity
+    null_row = base.limit(1).select(
+        (F.col("vid") + 10_000_000).alias("vid"),
+        F.lit(None).cast(base.schema["v"].dataType).alias("v"),
+    )
+    base = base.union(null_row)
+    spark.conf.set("spark.sqlpp.ann.pythonProbes", "false")
+    try:
+        hof = {
+            r["vid"]: r["p"]
+            for r in _with_probe_cells(base, "v", cents, cids, 2, "p")
+            .select("vid", "p").collect()
+        }
+    finally:
+        spark.conf.set("spark.sqlpp.ann.pythonProbes", "true")
+    # scramble centroid order: the kernel must sort by cell id itself
+    perm = list(range(len(cids)))[::-1]
+    np_path = {
+        r["vid"]: r["p"]
+        for r in _with_probe_cells_numpy(
+            base, "v", [cents[i] for i in perm], [cids[i] for i in perm],
+            2, "p",
+        ).select("vid", "p").collect()
+    }
+    assert set(hof) == set(np_path) and len(hof) == 501
+    for vid, p in hof.items():
+        assert np_path[vid] == p, (vid, p, np_path[vid])
