@@ -413,6 +413,58 @@ def _with_probe_cells(
     return df.crossJoin(cf).withColumn(out_col, probes).drop("__cells")
 
 
+def _pair_cosine_numpy(
+    pairs: DataFrame, a_col: str, b_col: str, out_col: str,
+) -> DataFrame:
+    """Arrow-batched cosine for (query, candidate) vector pairs — the
+    numpy twin of ``cosine_sim`` with the identical IEEE op sequence:
+    three dim-ascending left folds (dot, |a|², |b|²), correctly-rounded
+    sqrt, one division. Bit-equality pinned in tests/test_ops.py. The
+    pair stage is the other n^1.5-growth fold of the kNN graph (pairs
+    ≈ n·n_probe·cell_size, each an interpreted dim-fold on the HOF
+    path)."""
+    import numpy as np  # noqa: F401 — ImportError triggers caller fallback
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    keep = [c for c in pairs.columns if c not in (a_col, b_col)]
+    schema = StructType(
+        [pairs.schema[c] for c in keep]
+        + [StructField(out_col, DoubleType(), True)]
+    )
+
+    def cos(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf[keep].copy()
+                out[out_col] = np.array([], dtype=np.float64)
+                yield out
+                continue
+            A = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[a_col]]
+            )
+            B = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[b_col]]
+            )
+            n = A.shape[0]
+            dot = np.zeros(n)
+            sa = np.zeros(n)
+            sb = np.zeros(n)
+            for j in range(A.shape[1]):
+                x, y = A[:, j], B[:, j]
+                dot = dot + x * y
+                sa = sa + x * x
+                sb = sb + y * y
+            out = pdf[keep].copy()
+            out[out_col] = dot / (np.sqrt(sa) * np.sqrt(sb))
+            yield out
+
+    return pairs.mapInPandas(cos, schema)
+
+
 def pivot_centroids(
     corpus: DataFrame, n_cells: int = 16,
     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -862,14 +914,36 @@ def knn_graph(
         F.col("vid").alias("query_id"), F.col("v").alias("qv"),
         F.explode("__probes").alias("cell"),
     )
-    scored = (
+    # r19 opt (guide §4.2): the per-pair cosine is the other fold that
+    # grows n^1.5 under the √n rule (pairs ≈ n·n_probe·cell_size); the
+    # default path hands Arrow batches of the joined pairs to the
+    # numpy twin of cosine_sim (bit-equal op sequence, pinned).
+    # spark.sqlpp.ann.pythonCosine=false keeps the pure-JVM HOF path.
+    pairs = (
         q.join(c, on="cell")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
+        .select("query_id", "cand_id", "qv", "cv")
+    )
+    use_py_cos = True
+    try:
+        use_py_cos = (
+            corpus.sparkSession.conf.get(
+                "spark.sqlpp.ann.pythonCosine", "true"
+            ).lower() == "true"
+        )
+    except Exception:
+        pass
+    scored = None
+    if use_py_cos:
+        try:
+            scored = _pair_cosine_numpy(pairs, "qv", "cv", "cos")
+        except ImportError:
+            scored = None
+    if scored is None:
+        scored = pairs.select(
             "query_id", "cand_id",
             cosine_sim(F.col("qv"), F.col("cv")).alias("cos"),
         )
-    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     out = (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1628,3 +1628,58 @@ def test_probe_cells_numpy_equals_hof_path(spark):
     assert set(hof) == set(np_path) and len(hof) == 501
     for vid, p in hof.items():
         assert np_path[vid] == p, (vid, p, np_path[vid])
+
+
+def test_pair_cosine_numpy_equals_hof(spark):
+    """r19 opt: the Arrow/numpy pair-cosine must equal cosine_sim
+    bit-for-bit on real embeddings (same three dim-ascending folds,
+    sqrt, division)."""
+    from pyspark.sql import functions as F
+
+    from sqlpp_spark.ops.dedup import cosine_sim
+    from sqlpp_spark.ops.similarity import _pair_cosine_numpy
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    a = emb.select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("qv")
+    ).limit(60)
+    b = emb.select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("cv")
+    ).limit(60)
+    pairs = a.crossJoin(b)
+    hof = {
+        (r["ida"], r["idb"]): r["cos"]
+        for r in pairs.select(
+            "ida", "idb", cosine_sim(F.col("qv"), F.col("cv")).alias("cos")
+        ).collect()
+    }
+    npv = {
+        (r["ida"], r["idb"]): r["cos"]
+        for r in _pair_cosine_numpy(pairs, "qv", "cv", "cos").collect()
+    }
+    assert set(hof) == set(npv) and len(hof) == 3600
+    for k, v in hof.items():
+        assert npv[k] == v, (k, v, npv[k])
+
+
+def test_knn_graph_output_identical_across_cosine_paths(spark):
+    """The full auto kNN graph row set must be identical whichever
+    cosine/probe path executes."""
+    from sqlpp_spark.ops import release_intermediates
+    from sqlpp_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    spec = REGISTRY["ann_knn_graph_auto"]
+    sf = "/root/testdata/sf0.01"
+    out = {}
+    for flag in ("true", "false"):
+        spark.conf.set("spark.sqlpp.ann.pythonProbes", flag)
+        spark.conf.set("spark.sqlpp.ann.pythonCosine", flag)
+        try:
+            df = spec.builder(spark, sf)
+            out[flag] = sorted(map(tuple, df.collect()))
+            release_intermediates(df)
+        finally:
+            spark.conf.set("spark.sqlpp.ann.pythonProbes", "true")
+            spark.conf.set("spark.sqlpp.ann.pythonCosine", "true")
+    assert out["true"] == out["false"] and len(out["true"]) > 0
