@@ -671,3 +671,67 @@ def test_nonlinear_self_ref_in_subquery_counted(eng):
             "exists (select 1 as x from t where n < 3)) "
             "select n from t"
         )
+
+
+# -- superstep unrolling (r19 optimization) ---------------------------------
+# A solo linear UNION ALL member evaluates spark.sqlpp.recursive.unroll
+# steps per Spark job (tagged union, one localCheckpoint, count-by-tag);
+# rows must be identical to the one-step-per-job path for every unroll
+# factor, including terminations that fall mid-batch.
+
+
+def _with_unroll(spark, u):
+    spark.conf.set("spark.sqlpp.recursive.unroll", str(u))
+
+
+def test_unroll_factors_row_identical(spark, eng, duck):
+    # 10 steps: terminates mid-batch for u in {3, 4}, on-boundary for 5
+    src = (
+        "with recursive t (n) as (select 1 as n union all "
+        "select n + 1 as n from t where n < 10) select n from t"
+    )
+    try:
+        for u in (1, 2, 3, 4, 5, 16):
+            _with_unroll(spark, u)
+            _differ(eng, duck, src)
+    finally:
+        spark.conf.unset("spark.sqlpp.recursive.unroll")
+
+
+def test_unroll_discards_steps_after_empty_frontier(spark, eng, duck):
+    # A step that is NON-EMPTY on an empty working table (NOT EXISTS
+    # over the recursive name): the sequential loop stops before ever
+    # evaluating it, so the unrolled batch must discard every tag at or
+    # after the first empty one — otherwise the phantom 100-row leaks.
+    src = (
+        "with recursive t (n) as (select 1 as n union all "
+        "select 100 as n from edges as e where e.id = 1 "
+        "and not exists (select 1 as x from t as x)) "
+        "select n from t"
+    )
+    try:
+        for u in (1, 4):
+            _with_unroll(spark, u)
+            _differ(eng, duck, src)
+            assert sorted(r[0] for r in eng.fetch_list(src)) == [1]
+    finally:
+        spark.conf.unset("spark.sqlpp.recursive.unroll")
+
+
+def test_unroll_partition_count_stays_bounded(spark, eng):
+    # the batch union carries K x the frontier's partitions and the next
+    # frontier is a filter of it: without the narrow coalesce the width
+    # multiplies per batch (1 -> 4 -> 16 -> 64 on a generator spine).
+    src = (
+        "with recursive t (n) as (select 1 as n union all "
+        "select n + 1 as n from t where n < 12) select n from t"
+    )
+    try:
+        _with_unroll(spark, 4)
+        df = eng.query(src)
+        # observed 32 (= local parallelism) with the coalesce; the
+        # un-coalesced union multiplies per batch (32*(1+4+16+64))
+        assert df.rdd.getNumPartitions() <= 64
+        assert sorted(r[0] for r in df.collect()) == list(range(1, 13))
+    finally:
+        spark.conf.unset("spark.sqlpp.recursive.unroll")
