@@ -656,7 +656,7 @@ def pagerank(
         F.when(F.col("__is_seed"), F.lit(unit)).otherwise(F.lit(0))
         .cast("bigint").alias("pr"),
     )
-    for _ in range(n_iter):
+    for _i in range(n_iter):
         sums = (
             adj.join(pr, on=adj.s == pr.node)
             .select(F.col("t"), F.expr("pr div __deg").alias("__c"))
@@ -674,7 +674,12 @@ def pagerank(
                     )
                 ).cast("bigint").alias("pr"),
             )
-            .localCheckpoint()
+            # r19 opt (guide §1.2/§2.4): the loop makes no driver
+            # decision, so the checkpoint cut-points stay LAZY and
+            # the whole chain runs as one job at the caller's action
+            # (each iteration is one barrier fewer); an eager flush
+            # every 4th iteration bounds plan depth for large n_iter.
+            .localCheckpoint(eager=(_i % 4 == 3))
         )
     out = pr
     out._sqlpp_persisted = [adj]
@@ -720,7 +725,7 @@ def label_propagate(
     )
     labels = nodes.select("node", F.col("__seed").alias("label"))
     cnt_max = 1 << 20
-    for _ in range(n_iter):
+    for _i in range(n_iter):
         msgs = (
             sym.join(labels, on=sym.s == labels.node)
             .filter(F.col("label").isNotNull())
@@ -752,7 +757,11 @@ def label_propagate(
                 # label (no labeled neighbor brings no new info)
                 F.coalesce("__seed", "__new", "__prev").alias("label"),
             )
-            .localCheckpoint()
+            # r19 opt: lazy cut-points, eager flush every 4th round —
+            # same single-job rationale as pagerank above. The LAST
+            # round is always eager: sym is unpersisted right below,
+            # so the chain must be materialized before it goes.
+            .localCheckpoint(eager=(_i % 4 == 3 or _i == n_iter - 1))
         )
     sym.unpersist()
     return labels
@@ -877,10 +886,16 @@ def bfs_distance(
             .agg(F.min(F.col("hops") + 1).alias("hops"))
         )
         new = cand.join(dist.select("node"), on="node", how="left_anti")
-        new = new.localCheckpoint()
-        if new.isEmpty():
+        # r19 opt (guide §1.2): lazy checkpoint + count() — the count
+        # job materializes the checkpoint blocks AND is the emptiness
+        # probe, and the settled-union checkpoint stays lazy (it
+        # materializes inside the NEXT hop's count job): one bounded
+        # Spark job per hop instead of three (eager checkpoint +
+        # isEmpty + eager union checkpoint).
+        new = new.localCheckpoint(eager=False)
+        if new.count() == 0:
             break
-        dist = dist.unionByName(new).localCheckpoint()
+        dist = dist.unionByName(new).localCheckpoint(eager=False)
         frontier = new
     adj.unpersist()
     return dist
