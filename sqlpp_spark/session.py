@@ -70,6 +70,18 @@ def get_spark(app_name: str = "sqlpp_spark", cpus: int | None = None) -> SparkSe
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_MAX", "128m"),
         )
+        # r19 (guide §2.3): shuffle/broadcast codec, measured both ways
+        # in an interleaved two-round A/B at sf0.1 — zstd is 0.87x on
+        # pipeline_clean_corpus (the largest text-payload shuffle) but
+        # 1.1-1.2x on the small-broadcast rows (q5/q10/funnel: per-task
+        # decompress latency), wash on minhash/ngram. One codec governs
+        # both surfaces, so the local default stays lz4 and the knob is
+        # the cluster lever: on a real network the ratio win dominates
+        # (set SPARK_GRAFT_IO_CODEC=zstd there).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
