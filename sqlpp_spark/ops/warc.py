@@ -368,6 +368,69 @@ WARC_RECORD_SCHEMA = (
 )
 
 
+_WARC_RECORD_COLS = (
+    "archive_id", "rec_type", "target_uri", "content_length",
+    "http_status", "body", "decoded",
+)
+
+
+def _append_warc_rows(out: dict, aid, b: bytes) -> None:
+    """Append ``warc_records``' rows for ONE payload to a column dict
+    — the single definition of the per-payload parse contract, shared
+    by the staged and fused readers: one row per record, HTTP-response
+    blocks split into status/body, and a malformed OR record-less
+    payload yields exactly one decoded=false row."""
+
+    def emit(rt, uri, cl, status, body, ok):
+        out["archive_id"].append(aid)
+        out["rec_type"].append(rt)
+        out["target_uri"].append(uri)
+        out["content_length"].append(cl)
+        out["http_status"].append(status)
+        out["body"].append(body)
+        out["decoded"].append(ok)
+
+    emitted = 0
+    try:
+        for headers, block in parse_warc(b):
+            lower = {k.lower(): v for k, v in headers.items()}
+            rt = lower.get("warc-type", "")
+            status, _hh, body = (
+                split_http_response(block)
+                if rt == "response" else (None, {}, block)
+            )
+            emit(
+                rt, lower.get("warc-target-uri", ""),
+                len(block), status,
+                body.decode("utf-8", "replace"), True,
+            )
+            emitted += 1
+    except WarcError:
+        emit("", "", 0, None, "", False)
+        emitted += 1
+    if emitted == 0:
+        # empty/record-less payload: parse_warc returns [] without
+        # raising — the contract is still one decoded=false row per
+        # bad archive
+        emit("", "", 0, None, "", False)
+
+
+def _payload_chunks(b: bytes, max_chunk_bytes: int, strict: bool) -> list:
+    """Record-boundary chunk spans for one payload, with the
+    ``segment_warc_archives`` fallback contract: malformed payloads
+    pass through un-split (or raise under ``strict``); an empty or
+    record-less payload is one whole-payload chunk."""
+    try:
+        chunks = segment_warc(b, max_chunk_bytes, strict)
+    except WarcError:
+        if strict:
+            raise
+        chunks = [(0, len(b))] if b else []
+    if not chunks:
+        chunks = [(0, len(b))]
+    return chunks
+
+
 def warc_records(df: DataFrame) -> DataFrame:
     """One row per WARC record of each binary archive payload
     (columns: archive_id, payload). HTTP-response bodies decode to
@@ -375,45 +438,10 @@ def warc_records(df: DataFrame) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in (
-                "archive_id", "rec_type", "target_uri", "content_length",
-                "http_status", "body", "decoded",
-            )}
-
-            def emit(aid, rt, uri, cl, status, body, ok):
-                out["archive_id"].append(aid)
-                out["rec_type"].append(rt)
-                out["target_uri"].append(uri)
-                out["content_length"].append(cl)
-                out["http_status"].append(status)
-                out["body"].append(body)
-                out["decoded"].append(ok)
-
+            out = {k: [] for k in _WARC_RECORD_COLS}
             for aid, payload in zip(pdf["archive_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                emitted = 0
-                try:
-                    for headers, block in parse_warc(b):
-                        lower = {k.lower(): v for k, v in headers.items()}
-                        rt = lower.get("warc-type", "")
-                        status, _hh, body = (
-                            split_http_response(block)
-                            if rt == "response" else (None, {}, block)
-                        )
-                        emit(
-                            aid, rt, lower.get("warc-target-uri", ""),
-                            len(block), status,
-                            body.decode("utf-8", "replace"), True,
-                        )
-                        emitted += 1
-                except WarcError:
-                    emit(aid, "", "", 0, None, "", False)
-                    emitted += 1
-                if emitted == 0:
-                    # empty/record-less payload: parse_warc returns []
-                    # without raising — the contract is still one
-                    # decoded=false row per bad archive
-                    emit(aid, "", "", 0, None, "", False)
+                _append_warc_rows(out, aid, b)
             yield pd.DataFrame(out)
 
     return ensure_parallelism(df.select("archive_id", "payload")).mapInPandas(
@@ -448,14 +476,7 @@ def segment_warc_archives(
                    "payload": []}
             for aid, payload in zip(pdf["archive_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                try:
-                    chunks = segment_warc(b, max_chunk_bytes, strict)
-                except WarcError:
-                    if strict:
-                        raise
-                    chunks = [(0, len(b))] if b else []
-                if not chunks:
-                    chunks = [(0, len(b))]
+                chunks = _payload_chunks(b, max_chunk_bytes, strict)
                 for i, (s, e) in enumerate(chunks):
                     out["archive_id"].append(aid)
                     out["chunk_no"].append(i)
@@ -490,11 +511,62 @@ def warc_records_segmented(
     archives shuffle, solo archives don't) was evaluated and
     rejected: a DataFrame consumed by two union branches re-executes
     its whole lineage, so the "gate" re-ran the upstream synthesis/
-    scan twice and cost more than it saved at both corpus shapes."""
-    segs = segment_warc_archives(df, max_chunk_bytes, strict)
+    scan twice and cost more than it saved at both corpus shapes.
+
+    r19 (spread=False only): segment + parse run FUSED inside ONE
+    mapInPandas. The staged form made the archive bytes cross the
+    JVM↔Python Arrow boundary three times (into the segmenter, out
+    as chunk rows, back into the parser); with no shuffle between
+    the stages that is pure serialization overhead, so the fused
+    form segments and parses in the same Python worker pass — the
+    payload crosses once. Rows are identical by construction (the
+    per-payload chunking and per-chunk parse contracts are the
+    SHARED helpers ``_payload_chunks`` / ``_append_warc_rows``, and
+    chunk order is the staged path's partition order). The staged
+    path's batch-bytes bound is kept on the OUTPUT side: accumulated
+    rows flush whenever their source-chunk bytes pass a frame cap,
+    so one yielded frame never aggregates more decoded payload than
+    a staged run's input batch would."""
     if spread:
+        segs = segment_warc_archives(df, max_chunk_bytes, strict)
         segs = segs.repartition("archive_id", "chunk_no")
-    return warc_records(segs)
+        return warc_records(segs)
+
+    return ensure_parallelism(df.select("archive_id", "payload")).mapInPandas(
+        _seg_parse_batches(max_chunk_bytes, strict), WARC_RECORD_SCHEMA
+    )
+
+
+def _seg_parse_batches(max_chunk_bytes: int, strict: bool):
+    """Batch function of the FUSED segment+parse reader: chunk each
+    payload at record boundaries and parse the chunks in the same
+    Python pass. Yielded frames are bounded on the OUTPUT side — rows
+    flush whenever their source-chunk bytes pass a frame cap (or the
+    Arrow row cap), so one frame never aggregates more decoded
+    payload than a staged run's input batch would."""
+    frame_bytes = max(max_chunk_bytes, 1 << 20) * 16
+    frame_rows = 10_000
+
+    def seg_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {k: [] for k in _WARC_RECORD_COLS}
+        n_bytes = 0
+        for pdf in batches:
+            for aid, payload in zip(pdf["archive_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                for s, e in _payload_chunks(b, max_chunk_bytes, strict):
+                    _append_warc_rows(out, aid, b[s:e])
+                    n_bytes += e - s
+                    if (
+                        n_bytes >= frame_bytes
+                        or len(out["archive_id"]) >= frame_rows
+                    ):
+                        yield pd.DataFrame(out)
+                        out = {k: [] for k in _WARC_RECORD_COLS}
+                        n_bytes = 0
+        if out["archive_id"]:
+            yield pd.DataFrame(out)
+
+    return seg_parse
 
 
 def synthesize_warc_media(
@@ -506,7 +578,16 @@ def synthesize_warc_media(
     HTML page built from the document text by a fixed template — so
     record parsing, HTTP splitting AND the html_text extraction chain
     are all SQL-verifiable end to end."""
-    schema = "archive_id long, payload binary"
+    cols = [id_col, text_col] + ([uri_col] if uri_col else [])
+    return ensure_parallelism(df.select(*cols)).mapInPandas(
+        _warc_media_gen(id_col, text_col, uri_col),
+        "archive_id long, payload binary",
+    )
+
+
+def _warc_media_gen(id_col: str, text_col: str, uri_col: "str | None"):
+    """Batch function of ``synthesize_warc_media`` (factored out so the
+    fused reader below can compose it with the parse pass)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -551,5 +632,31 @@ def synthesize_warc_media(
                 out["payload"].append(write_warc(records))
             yield pd.DataFrame(out)
 
+    return gen
+
+
+def synthesize_warc_records(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    uri_col: "str | None" = None, max_chunk_bytes: int = 1 << 20,
+    strict: bool = False,
+) -> DataFrame:
+    """FUSED synthesize→segment→parse (r19, §4 of the optimization
+    guide): row-identical to
+    ``warc_records_segmented(synthesize_warc_media(df), spread=False)``
+    — it composes the exact same batch functions — but in ONE
+    mapInPandas, so the WARC archive bytes never cross the
+    JVM↔Python Arrow boundary at all (the staged form shipped them
+    out of the synthesizer and back into the parser) and the plan
+    carries one Python stage instead of two (one fewer
+    ensure_parallelism partition probe at plan-build time, which the
+    bench's timed region pays per run)."""
+    gen = _warc_media_gen(id_col, text_col, uri_col)
+    seg_parse = _seg_parse_batches(max_chunk_bytes, strict)
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from seg_parse(gen(batches))
+
     cols = [id_col, text_col] + ([uri_col] if uri_col else [])
-    return ensure_parallelism(df.select(*cols)).mapInPandas(gen, schema)
+    return ensure_parallelism(df.select(*cols)).mapInPandas(
+        fused, WARC_RECORD_SCHEMA
+    )

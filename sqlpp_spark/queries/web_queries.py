@@ -579,14 +579,15 @@ def web_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     row cap; measured FASTER than the direct reader in
     WARC_SEGMENT_REHEARSAL.json). Segmentation is invisible to the
     record stream, so the oracle is unchanged."""
-    from sqlpp_spark.ops.warc import (
-        html_text_col, synthesize_warc_media, warc_records_segmented,
-    )
+    from sqlpp_spark.ops.warc import html_text_col, synthesize_warc_records
 
     d = table(spark, sf_dir, "documents")
-    # spread=False: per-document archives never split, so the chunk
-    # repartition would be a pure payload shuffle with nothing to gain
-    recs = warc_records_segmented(synthesize_warc_media(d), spread=False)
+    # spread=False shape, r19-fused: per-document archives never split,
+    # so the chunk repartition would be a pure payload shuffle with
+    # nothing to gain — and the fused synthesize→segment→parse keeps
+    # the archive bytes out of the Arrow boundary entirely (rows
+    # identical by construction, pinned in tests/test_warc.py)
+    recs = synthesize_warc_records(d)
     return (
         recs.filter((F.col("rec_type") == "response")
                     & (F.col("http_status") == 200))
@@ -831,13 +832,15 @@ def pipeline_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqlpp_spark.ops import dedup as D
     from sqlpp_spark.ops import text as X
     from sqlpp_spark.ops.corpus import exact_k_sample
-    from sqlpp_spark.ops.warc import (
-        html_text_col, synthesize_warc_media, warc_records_segmented,
-    )
+    from sqlpp_spark.ops.warc import html_text_col, synthesize_warc_records
 
     d = _with_url4(table(spark, sf_dir, "documents"))
-    archives = synthesize_warc_media(d, uri_col="url")
-    recs = warc_records_segmented(archives, spread=False).filter(
+    # r19: synthesize→segment→parse run FUSED in one mapInPandas (the
+    # spread=False shape — per-document archives never split): the
+    # WARC bytes never cross the Arrow boundary, and the plan carries
+    # one Python stage instead of three (rows identical by
+    # construction, pinned in tests/test_warc.py)
+    recs = synthesize_warc_records(d, uri_col="url").filter(
         (F.col("rec_type") == "response") & (F.col("http_status") == 200)
     )
     docs = recs.select(

@@ -418,19 +418,31 @@ def test_multimodal_decode_stage_parallelism(spark, sf_dir):
 
 
 def test_crawl_capstone_segmented_cached_docs_narrow_rank(spark, sf_dir):
-    """Pins the crawl capstone's r12 shape. (1) The WARC path is the
-    SEGMENTED reader (synthesize + segment + parse = three
-    mapInPandas stages) with spread=False: no exchange re-shuffles
-    the chunk payloads (hashpartitioning on chunk_no would be the
-    single-row-archive spread shuffle the capstone deliberately
-    skips). (2) The extracted docs frame is persisted and REUSED —
-    InMemoryTableScan must feed both the rank branch and the text
-    branch. (3) The domain-cap rank windows are NARROW: document text
-    must not enter any Window input (the pre-r12 shape shuffled full
-    text through both rank exchanges). (4) Picks come back as a semi
-    join, never a nested loop."""
+    """Pins the crawl capstone's r12 shape, r19-tightened. (1) The
+    WARC path is the FUSED segmented reader (r19: synthesize +
+    segment + parse composed into ONE mapInPandas stage — the staged
+    form was three, with the archive bytes crossing the Arrow
+    boundary between each) in the spread=False shape: no exchange
+    re-shuffles the chunk payloads (hashpartitioning on chunk_no
+    would be the single-row-archive spread shuffle the capstone
+    deliberately skips). (2) The extracted docs frame is persisted
+    and REUSED — InMemoryTableScan must feed both the rank branch and
+    the text branch. (3) The domain-cap rank windows are NARROW:
+    document text must not enter any Window input (the pre-r12 shape
+    shuffled full text through both rank exchanges). (4) Picks come
+    back as a semi join, never a nested loop."""
     p = plan_of(spark, sf_dir, "pipeline_crawl_ingest")
-    assert len(re.findall(r"\(\d+\) MapInPandas", p)) >= 3
+    # ONE Python stage: the staged reader printed 6 MapInPandas detail
+    # headers (3 nodes x 2 lineage prints); the fused reader prints 2
+    n_py = len(re.findall(r"\(\d+\) MapInPandas", p))
+    assert 1 <= n_py <= 2
+    # the fusion invariant itself: no MapInPandas ever feeds another
+    # (directly or through a Project) anywhere in the printed trees
+    assert not re.search(
+        r"MapInPandas \(\d+\)\n\s*\+- (\* )?(Project \(\d+\)\n\s*\+- )?"
+        r"MapInPandas",
+        p,
+    )
     assert len(re.findall(r"\(\d+\) InMemoryTableScan", p)) >= 2
     assert "LeftSemi" in p
     assert "NestedLoop" not in p

@@ -118,6 +118,80 @@ def test_warc_segmented_spark_parse_bounded(spark):
     assert sum(1 for r in segmented if not r.decoded) == 1  # the junk row
 
 
+def test_warc_fused_spread_false_identical(spark):
+    """spread=False fuses segment+parse into ONE mapInPandas (r19):
+    rows must be identical to the staged reader and the direct parse
+    — multi-chunk archive, junk payload, and a record count past the
+    fused reader's 10k-row flush boundary all included — and the
+    fused plan must carry exactly one MapInPandas node above the
+    scan (the staged form has two)."""
+    import contextlib
+    import io
+
+    from sqlpp_spark.ops.warc import warc_records, warc_records_segmented
+
+    recs = [
+        ({"WARC-Type": "response", "WARC-Target-URI": f"http://e/{i}"},
+         http_response_block(200, "text/html", f"<p>d{i}</p>".encode()))
+        for i in range(11_000)  # > the fused reader's frame_rows cap
+    ]
+    data = write_warc(recs)
+    df = spark.createDataFrame(
+        [(1, bytearray(data)), (2, bytearray(b"junk"))],
+        "archive_id long, payload binary",
+    )
+    cap = 64 * 1024
+    fused_df = warc_records_segmented(df, cap, spread=False)
+    fused = fused_df.collect()
+    staged = warc_records_segmented(df, cap, spread=True).collect()
+    direct = warc_records(df).collect()
+    key = lambda r: (r.archive_id, r.rec_type, r.target_uri,  # noqa: E731
+                     r.content_length, r.http_status, r.body, r.decoded)
+    assert sorted(map(key, fused)) == sorted(map(key, staged))
+    assert sorted(map(key, fused)) == sorted(map(key, direct))
+    assert sum(1 for r in fused if not r.decoded) == 1  # the junk row
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fused_df.explain("formatted")
+    # formatted explain prints each node twice (tree + details): one
+    # MapInPandas node = 2 occurrences; the staged form would show 4
+    assert buf.getvalue().count("MapInPandas") == 2
+
+
+def test_warc_synth_records_fused_identical(spark):
+    """synthesize_warc_records (r19) composes the synthesize and
+    segment+parse batch functions in ONE mapInPandas; rows must be
+    identical to the staged synthesize→segmented-parse composition,
+    uri column included, and the plan must carry exactly one
+    MapInPandas node."""
+    import contextlib
+    import io
+
+    from sqlpp_spark.ops.warc import (
+        synthesize_warc_media, synthesize_warc_records,
+        warc_records_segmented,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text body {i} " * (i + 1), f"http://x{i}.example.com/p")
+         for i in range(40)],
+        "doc_id long, text string, url string",
+    )
+    fused_df = synthesize_warc_records(df, uri_col="url")
+    fused = fused_df.collect()
+    staged = warc_records_segmented(
+        synthesize_warc_media(df, uri_col="url"), spread=False
+    ).collect()
+    key = lambda r: (r.archive_id, r.rec_type, r.target_uri,  # noqa: E731
+                     r.content_length, r.http_status, r.body, r.decoded)
+    assert sorted(map(key, fused)) == sorted(map(key, staged))
+    assert len(fused) == 3 * 40  # warcinfo + request + response per doc
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fused_df.explain("formatted")
+    assert buf.getvalue().count("MapInPandas") == 2  # one node, printed twice
+
+
 def test_warc_malformed_payloads_raise():
     good = write_warc([({"WARC-Type": "resource"}, b"xyz")])
     for bad in (

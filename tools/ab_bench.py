@@ -134,7 +134,10 @@ def main() -> None:
     global QUERY_SET
     commit = sys.argv[1] if len(sys.argv) > 1 else "324000e"
     pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    QUERY_SET = SETS[sys.argv[3] if len(sys.argv) > 3 else "shared24"]
+    setname = sys.argv[3] if len(sys.argv) > 3 else "shared24"
+    # a name not in SETS is an ad-hoc comma-separated query list, so a
+    # single-operator change can A/B just its affected rows
+    QUERY_SET = SETS.get(setname) or setname.split(",")
     wt = os.path.join(REPO, ".ab", commit)
     if not os.path.isdir(wt):
         subprocess.run(
