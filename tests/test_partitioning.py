@@ -175,3 +175,82 @@ def test_zorder_layout_tightens_both_dimensions(spark):
     avg_xr = sum(p.xr for p in parts) / len(parts)
     avg_yr = sum(p.yr for p in parts) / len(parts)
     assert avg_xr <= 16 and avg_yr <= 16, (avg_xr, avg_yr)
+
+
+# ---------------------------------------------------------------------------
+# ensure_parallelism: job-free repartition decision (r19)
+# ---------------------------------------------------------------------------
+
+
+def _jobs_run(spark, fn):
+    """Count Spark jobs triggered while fn() runs."""
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = fn()
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    return out, after - before
+
+
+def test_ensure_parallelism_decides_without_running_jobs(spark):
+    """Under AQE, df.rdd.getNumPartitions() on a shuffle-bearing plan
+    EXECUTES the upstream query stages to learn the coalesced count —
+    the old probe silently ran part of the query at plan-build time.
+    The guard must now decide job-free on such plans: (1) a small
+    coalescable-shuffle frame (ENSURE_REQUIREMENTS) repartitions to
+    target with zero jobs, (2) a frame downstream of an explicit
+    repartition(target) (REPARTITION_BY_NUM, never AQE-coalesced) is
+    left alone with zero jobs."""
+    from sqlpp_spark.ops import _needs_repartition_metadata
+
+    target = spark.sparkContext.defaultParallelism
+    base = spark.range(10_000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+
+    agg = base.groupBy("k").agg(F.sum("v").alias("s"))  # coalescable
+    (decision, jobs) = _jobs_run(
+        spark, lambda: _needs_repartition_metadata(agg, target)
+    )
+    assert decision is True
+    assert jobs == 0
+
+    pinned = base.repartition(target).select(
+        F.col("k"), (F.col("v") * 2).alias("w")
+    )  # REPARTITION_BY_NUM: arrives with exactly `target` partitions
+    (decision, jobs) = _jobs_run(
+        spark, lambda: _needs_repartition_metadata(pinned, target)
+    )
+    assert decision is False
+    assert jobs == 0
+
+    under = base.repartition(max(1, target // 2)).select("k")
+    (decision, jobs) = _jobs_run(
+        spark, lambda: _needs_repartition_metadata(under, target)
+    )
+    assert decision is True
+    assert jobs == 0
+
+    narrow = base.filter(F.col("k") > 3)  # shuffle-free: caller probes
+    (decision, jobs) = _jobs_run(
+        spark, lambda: _needs_repartition_metadata(narrow, target)
+    )
+    assert decision is None
+    assert jobs == 0
+
+
+def test_ensure_parallelism_end_to_end_shapes(spark):
+    """The guard's observable contract is unchanged: an
+    under-partitioned narrow frame gains a round-robin repartition; a
+    frame already at target partitions (via explicit repartition)
+    gains nothing."""
+    from sqlpp_spark.ops import ensure_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    one = spark.createDataFrame(
+        [(i, i * 2) for i in range(100)], "a long, b long"
+    ).coalesce(1)
+    guarded = ensure_parallelism(one)
+    assert guarded.rdd.getNumPartitions() >= min(target, 100)
+
+    pinned = spark.range(1000).repartition(target).select("id")
+    assert ensure_parallelism(pinned) is pinned
