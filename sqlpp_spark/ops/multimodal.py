@@ -1055,13 +1055,22 @@ def synthesize_jpeg_media(
     the decode-success flag are — a hash-green oracle row proves the
     corresponding entropy-decode paths run and recover exact
     dimensions."""
-    import numpy as np
-
-    from sqlpp_spark.ops import imagecodec as IC
-
     if family not in ("baseline", "progressive", "mixed"):
         raise ValueError(f"unknown JPEG family {family!r}")
     schema = "media_id long, payload binary"
+    gen = _jpeg_media_batches(id_col, family)
+    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+
+
+def _jpeg_media_batches(id_col: str, family: str):
+    """Per-batch JPEG synthesis closure shared by the staged
+    (``synthesize_jpeg_media``) and fused
+    (``synthesize_and_decode_jpeg_media``) paths — the single encode
+    contract is what makes the two paths row-identical by
+    construction (the WARC-fusion argument, OPTIMIZATION_r19.md #10)."""
+    import numpy as np
+
+    from sqlpp_spark.ops import imagecodec as IC
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         subs = ("420", "422", "444")
@@ -1088,7 +1097,40 @@ def synthesize_jpeg_media(
                 out["payload"].append(enc(img, quality=85, subsampling=sub))
             yield pd.DataFrame(out)
 
-    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+    return gen
+
+
+def synthesize_and_decode_jpeg_media(
+    df: DataFrame, id_col: str = "doc_id", family: str = "mixed",
+    fallback: bool = True,
+) -> DataFrame:
+    """FUSED synthesize→decode in ONE mapInPandas stage (guide §4.1,
+    §4.3 — the r19 WARC-fusion shape applied to the JPEG oracle row):
+    the staged composition ``decode_image(synthesize_jpeg_media(df))``
+    runs two chained Python stages with no shuffle between them, so
+    every encoded payload crosses the JVM↔Python Arrow boundary twice
+    (out of the encoder stage, back into the decoder stage) for zero
+    replanning benefit. Here the payload is born and decoded inside
+    one Python worker pass: only ``id_col`` crosses inbound and the
+    small FEATURE_SCHEMA rows cross outbound.
+
+    Row-identity with the staged path is by construction — the
+    per-batch encode closure (``_jpeg_media_batches``) and the
+    per-batch decode body (``_decode_pdf``) are the same objects the
+    staged operators run, composed 1:1 per batch — and is pinned by
+    tests/test_multimodal.py::test_jpeg_fused_synth_decode_identical.
+    """
+    if family not in ("baseline", "progressive", "mixed"):
+        raise ValueError(f"unknown JPEG family {family!r}")
+    gen = _jpeg_media_batches(id_col, family)
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in gen(batches):
+            yield _decode_pdf(pdf, fallback)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        fused, FEATURE_SCHEMA
+    )
 
 
 def jpeg_arith_equivalence(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1315,25 +1357,32 @@ def decode_image(df: DataFrame, fallback: bool = True) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                "media_id": [], "width": [], "height": [], "channels": [],
-                "payload_bytes": [], "mean_byte": [], "decoded": [],
-            }
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload) if payload is not None else b""
-                w, h, ch, mean, dec = _decode_one(b, fallback)
-                out["media_id"].append(mid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["channels"].append(ch)
-                out["payload_bytes"].append(len(b))
-                out["mean_byte"].append(mean)
-                out["decoded"].append(dec)
-            yield pd.DataFrame(out)
+            yield _decode_pdf(pdf, fallback)
 
     return ensure_parallelism(df.select("media_id", "payload")).mapInPandas(
         decode_batches, FEATURE_SCHEMA
     )
+
+
+def _decode_pdf(pdf: pd.DataFrame, fallback: bool) -> pd.DataFrame:
+    """Per-batch decode body shared by ``decode_image`` and the fused
+    ``synthesize_and_decode_jpeg_media`` — one decode contract, so the
+    fused and staged plans are row-identical by construction."""
+    out = {
+        "media_id": [], "width": [], "height": [], "channels": [],
+        "payload_bytes": [], "mean_byte": [], "decoded": [],
+    }
+    for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+        b = bytes(payload) if payload is not None else b""
+        w, h, ch, mean, dec = _decode_one(b, fallback)
+        out["media_id"].append(mid)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["channels"].append(ch)
+        out["payload_bytes"].append(len(b))
+        out["mean_byte"].append(mean)
+        out["decoded"].append(dec)
+    return pd.DataFrame(out)
 
 
 def fake_decode(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:

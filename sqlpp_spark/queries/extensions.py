@@ -782,11 +782,19 @@ def multimodal_jpeg_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame
     project — geometry and the decode-success flag. decoded=1 holds
     ONLY if the full entropy decode succeeded (header-only parsing
     reports false), so a hash-green row certifies real baseline AND
-    progressive pixel decode driver-side."""
-    from sqlpp_spark.ops.multimodal import decode_image, synthesize_jpeg_media
+    progressive pixel decode driver-side.
+
+    r19 opt (guide §4.1/§4.3 — OPTIMIZATION_r19.md #12): synth and
+    decode run FUSED in one mapInPandas stage, so the JPEG payloads
+    never cross the JVM↔Python Arrow boundary (the staged
+    ``decode_image(synthesize_jpeg_media(d))`` shipped every payload
+    out of the encoder stage and back into the decoder stage);
+    row-identity with the staged form is pinned in
+    tests/test_multimodal.py::test_jpeg_fused_synth_decode_identical."""
+    from sqlpp_spark.ops.multimodal import synthesize_and_decode_jpeg_media
 
     d = table(spark, sf_dir, "documents")
-    return decode_image(synthesize_jpeg_media(d)).select(
+    return synthesize_and_decode_jpeg_media(d).select(
         "media_id", "width", "height", "channels",
         F.col("decoded").cast("bigint").alias("decoded"),
     )

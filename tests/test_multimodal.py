@@ -962,3 +962,43 @@ def test_video_fingerprint_order_sensitive(spark):
     assert got[1].video_fp == got[3].video_fp
     assert got[1].video_fp != got[2].video_fp
     assert not got[4].decoded
+
+
+def test_jpeg_fused_synth_decode_identical(spark, sf_dir):
+    """r19 #12: the FUSED synthesize→decode stage must return exactly
+    the rows of the staged ``decode_image(synthesize_jpeg_media(d))``
+    composition — both paths run the same per-batch encode closure and
+    the same per-batch decode body, composed 1:1 — and its plan must
+    carry ONE MapInPandas node where the staged form chained two (the
+    JPEG payloads never cross the Arrow boundary in the fused shape)."""
+    import contextlib
+    import io
+
+    from sqlpp_spark.ops.multimodal import (
+        synthesize_and_decode_jpeg_media,
+        synthesize_jpeg_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fused = synthesize_and_decode_jpeg_media(docs)
+    staged = decode_image(synthesize_jpeg_media(docs))
+    f_rows = sorted(fused.collect(), key=lambda r: r.media_id)
+    s_rows = sorted(staged.collect(), key=lambda r: r.media_id)
+    assert f_rows and f_rows == s_rows
+    assert all(r.decoded for r in f_rows)  # real entropy decode ran
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        # a FRESH frame: an executed one prints initial + final AQE
+        # plans (doubling every node count)
+        synthesize_and_decode_jpeg_media(docs).explain("formatted")
+    # one MapInPandas node = 2 occurrences (header + details); the
+    # staged form prints 4
+    assert buf.getvalue().count("MapInPandas") == 2
+
+
+def test_jpeg_fused_rejects_unknown_family(spark, sf_dir):
+    from sqlpp_spark.ops.multimodal import synthesize_and_decode_jpeg_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="unknown JPEG family"):
+        synthesize_and_decode_jpeg_media(docs, family="nope")
