@@ -55,13 +55,15 @@ def get_spark(app_name: str = "sqlpp_spark", cpus: int | None = None) -> SparkSe
         # r19 opt (guide §3.1/§9): let the planner pick shuffled-hash
         # over sort-merge when its size conditions hold, and let AQE
         # rewrite SMJ→SHJ at runtime when every post-shuffle partition
-        # is under the local-map threshold. Interleaved same-session
-        # A/B at sf0.1: 0.82–0.95× on the join-heavy headline rows
-        # (dedup_minhash 0.73×), no regression. Scale-safe: SHJ fires
-        # only under the planner's size conditions, the AQE rewrite is
-        # bounded by the 128m per-partition build cap, and AQE skew
-        # splitting still applies — both knobs parameterized for
-        # cluster tuning.
+        # is under the local-map threshold. Re-measured (see
+        # OPTIMIZATION_r19.md #1): a plan NO-OP at sf0.1 — every
+        # headline join is already broadcast or a similar-sized SMJ
+        # the planner correctly refuses to hash-build — so this is the
+        # guide-baseline for CLUSTER scale, not a local win. Scale-
+        # safe: SHJ fires only under the planner's size conditions,
+        # the AQE rewrite is bounded by the 128m per-partition build
+        # cap, and AQE skew splitting still applies — both knobs
+        # parameterized for cluster tuning.
         .config(
             "spark.sql.join.preferSortMergeJoin",
             os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
