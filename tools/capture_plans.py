@@ -20,7 +20,7 @@ import contextlib  # noqa: E402
 import io  # noqa: E402
 
 from sqlpp_spark.ops import release_intermediates  # noqa: E402
-from sqlpp_spark.queries import REGISTRY, headline_queries  # noqa: E402
+from sqlpp_spark.queries import REGISTRY, _ensure_loaded, headline_queries  # noqa: E402
 from sqlpp_spark.session import get_spark  # noqa: E402
 
 
@@ -29,6 +29,7 @@ def main() -> None:
     suffix = sys.argv[2] if len(sys.argv) > 2 else "before"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if len(sys.argv) > 3:
+        _ensure_loaded()  # explicit names need the full registry loaded
         names = [s.strip() for s in sys.argv[3].split(",") if s.strip()]
         specs = {n: REGISTRY[n] for n in names}
     else:
