@@ -82,19 +82,15 @@ def synthesize_media(
     )
 
 
-def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """REAL PNG payloads with CLOSED-FORM pixel content: per doc, a
-    grayscale w×h image with pixel(x, y) = (x + 3y + doc_id) mod 256,
-    w = doc_id%13+4, h = doc_id%11+4, encoded by the pure-numpy codec
-    inside mapInPandas. Because the pixels are a formula, the decoded
-    geometry and EXACT pixel mean are computable in plain SQL — this is
-    what lets a DuckDB oracle verify real image decode end-to-end
-    (something a corpus of opaque bytes can never offer)."""
+def _png_media_batches(id_col: str):
+    """Per-batch PNG synthesis closure shared by the staged
+    (``synthesize_png_media``) and fused (``synthesize_and_decode_media``)
+    paths — one encode contract keeps the two paths row-identical by
+    construction (the WARC/JPEG-fusion argument, OPTIMIZATION_r19.md
+    #10/#12)."""
     import numpy as np
 
     from sqlpp_spark.ops import imagecodec as IC
-
-    schema = "media_id long, payload binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,7 +104,21 @@ def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["payload"].append(IC.encode_png(img))
             yield pd.DataFrame(out)
 
-    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+    return gen
+
+
+def synthesize_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL PNG payloads with CLOSED-FORM pixel content: per doc, a
+    grayscale w×h image with pixel(x, y) = (x + 3y + doc_id) mod 256,
+    w = doc_id%13+4, h = doc_id%11+4, encoded by the pure-numpy codec
+    inside mapInPandas. Because the pixels are a formula, the decoded
+    geometry and EXACT pixel mean are computable in plain SQL — this is
+    what lets a DuckDB oracle verify real image decode end-to-end
+    (something a corpus of opaque bytes can never offer)."""
+    gen = _png_media_batches(id_col)
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        gen, "media_id long, payload binary"
+    )
 
 
 def synthesize_webp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -121,11 +131,18 @@ def synthesize_webp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     LZ77, and a meta-prefix (huffman-image) stream — so ONE SQL oracle
     certifies every inverse-transform decode path at once (all six
     variants decode to the identical formula)."""
+    gen = _webp_media_batches(id_col)
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+
+
+def _webp_media_batches(id_col: str):
+    """Per-batch WebP(VP8L) synthesis closure — shared staged/fused
+    encode contract (see ``_png_media_batches``)."""
     import numpy as np
 
     from sqlpp_spark.ops import webpcodec as WC
-
-    schema = "media_id long, payload binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -157,7 +174,7 @@ def synthesize_webp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["payload"].append(data)
             yield pd.DataFrame(out)
 
-    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+    return gen
 
 
 def synthesize_webp_lossy_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -170,6 +187,15 @@ def synthesize_webp_lossy_media(df: DataFrame, id_col: str = "doc_id") -> DataFr
     mean per variant. The three streams cover B_PRED-heavy noise,
     16x16-mode + strong-loop-filter gradients, and odd-geometry
     partial edge macroblocks."""
+    gen = _webp_lossy_media_batches(id_col)
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+
+
+def _webp_lossy_media_batches(id_col: str):
+    """Per-batch VP8-lossy synthesis closure — shared staged/fused
+    encode contract (see ``_png_media_batches``)."""
     import base64
 
     from sqlpp_spark.ops.vp8codec import CONFORMANCE_STREAMS
@@ -178,7 +204,6 @@ def synthesize_webp_lossy_media(df: DataFrame, id_col: str = "doc_id") -> DataFr
         base64.b64decode(CONFORMANCE_STREAMS[k])
         for k in ("noise48_q75", "grad64x80_q40", "mixed33x47_q90")
     ]
-    schema = "media_id long, payload binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -188,7 +213,7 @@ def synthesize_webp_lossy_media(df: DataFrame, id_col: str = "doc_id") -> DataFr
                 "payload": [streams[d % 3] for d in ids],
             })
 
-    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+    return gen
 
 
 def synthesize_heif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -368,11 +393,18 @@ def synthesize_png_variants_media(df: DataFrame, id_col: str = "doc_id") -> Data
     mean*256), and the plain baseline — one corpus exercising
     deinterlacing, PLTE lookup and 16-bit unpacking with
     SQL-recomputable decoded stats."""
+    gen = _png_variants_media_batches(id_col)
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        gen, "media_id long, variant int, payload binary"
+    )
+
+
+def _png_variants_media_batches(id_col: str):
+    """Per-batch PNG-variants synthesis closure — shared staged/fused
+    encode contract (see ``_png_media_batches``)."""
     import numpy as np
 
     from sqlpp_spark.ops import imagecodec as IC
-
-    schema = "media_id long, variant int, payload binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gray_palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
@@ -403,7 +435,7 @@ def synthesize_png_variants_media(df: DataFrame, id_col: str = "doc_id") -> Data
                 out["payload"].append(payload)
             yield pd.DataFrame(out)
 
-    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+    return gen
 
 
 def synthesize_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -412,11 +444,18 @@ def synthesize_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     decoded RGB channel equals the formula), interlaced on odd ids,
     with a second identical frame on ids % 3 == 0 (first-frame decode
     must ignore it). SQL recomputes geometry and the exact mean."""
+    gen = _gif_media_batches(id_col)
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+
+
+def _gif_media_batches(id_col: str):
+    """Per-batch GIF synthesis closure — shared staged/fused encode
+    contract (see ``_png_media_batches``)."""
     import numpy as np
 
     from sqlpp_spark.ops import gifcodec as GC
-
-    schema = "media_id long, payload binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
@@ -436,7 +475,7 @@ def synthesize_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+    return gen
 
 
 def synthesize_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -444,11 +483,18 @@ def synthesize_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     through a gray palette, rotating 8-bit plain / 8-bit RLE8 /
     24-bit / top-down variants by id, all decoding to the same
     SQL-recomputable stats."""
+    gen = _bmp_media_batches(id_col)
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+
+
+def _bmp_media_batches(id_col: str):
+    """Per-batch BMP synthesis closure — shared staged/fused encode
+    contract (see ``_png_media_batches``)."""
     import numpy as np
 
     from sqlpp_spark.ops import bmpcodec as BC
-
-    schema = "media_id long, payload binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
@@ -472,18 +518,25 @@ def synthesize_bmp_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["payload"].append(payload)
             yield pd.DataFrame(out)
 
-    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+    return gen
 
 
 def synthesize_tiff_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL TIFF payloads with CLOSED-FORM pixels — formula grayscale
     rotating through uncompressed / TIFF-LZW / PackBits compression,
     II / MM byte orders and multi-strip layouts by id."""
+    gen = _tiff_media_batches(id_col)
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+
+
+def _tiff_media_batches(id_col: str):
+    """Per-batch TIFF synthesis closure — shared staged/fused encode
+    contract (see ``_png_media_batches``)."""
     import numpy as np
 
     from sqlpp_spark.ops import tiffcodec as TC
-
-    schema = "media_id long, payload binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         comps = (1, 5, 32773)
@@ -505,7 +558,7 @@ def synthesize_tiff_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+    return gen
 
 
 def synthesize_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1018,11 +1071,18 @@ def synthesize_jpeg_lossless_media(df: DataFrame, id_col: str = "doc_id") -> Dat
     bit-exact, the decoded MEAN is SQL-recomputable — full pixel
     verification for a real JPEG family (lossy DCT JPEGs can only
     oracle geometry)."""
+    gen = _jpeg_lossless_media_batches(id_col)
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+
+
+def _jpeg_lossless_media_batches(id_col: str):
+    """Per-batch lossless-JPEG synthesis closure — shared staged/fused
+    encode contract (see ``_png_media_batches``)."""
     import numpy as np
 
     from sqlpp_spark.ops import imagecodec as IC
-
-    schema = "media_id long, payload binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1038,7 +1098,7 @@ def synthesize_jpeg_lossless_media(df: DataFrame, id_col: str = "doc_id") -> Dat
                 )
             yield pd.DataFrame(out)
 
-    return ensure_parallelism(df.select(id_col)).mapInPandas(gen, schema)
+    return gen
 
 
 def synthesize_jpeg_media(
@@ -1123,6 +1183,49 @@ def synthesize_and_decode_jpeg_media(
     if family not in ("baseline", "progressive", "mixed"):
         raise ValueError(f"unknown JPEG family {family!r}")
     gen = _jpeg_media_batches(id_col, family)
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in gen(batches):
+            yield _decode_pdf(pdf, fallback)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        fused, FEATURE_SCHEMA
+    )
+
+
+def synthesize_and_decode_media(
+    df: DataFrame, family: str, id_col: str = "doc_id",
+    fallback: bool = True,
+) -> DataFrame:
+    """FUSED synthesize→decode in ONE mapInPandas stage for the
+    non-JPEG media families (guide §4.1, §4.3 — the r19 WARC/JPEG
+    fusion shape, OPTIMIZATION_r19.md #10/#12, applied to every
+    remaining ``decode_image(synthesize_X_media(df))`` registry row):
+    the staged composition runs two chained Python stages with no
+    shuffle between them, so every encoded payload crosses the
+    JVM↔Python Arrow boundary twice for zero replanning benefit. Here
+    the payload is born and decoded inside one Python worker pass —
+    only ``id_col`` crosses inbound and the small FEATURE_SCHEMA rows
+    cross outbound.
+
+    Row-identity with the staged path is by construction: the
+    per-batch encode closure (``_<family>_media_batches``) and the
+    per-batch decode body (``_decode_pdf``) are the same objects the
+    staged operators run, composed 1:1 per batch — pinned per family
+    by tests/test_multimodal.py::test_fused_synth_decode_identical."""
+    factories = {
+        "png": _png_media_batches,
+        "png_variants": _png_variants_media_batches,
+        "webp": _webp_media_batches,
+        "webp_lossy": _webp_lossy_media_batches,
+        "gif": _gif_media_batches,
+        "bmp": _bmp_media_batches,
+        "tiff": _tiff_media_batches,
+        "jpeg_lossless": _jpeg_lossless_media_batches,
+    }
+    if family not in factories:
+        raise ValueError(f"unknown media family {family!r}")
+    gen = factories[family](id_col)
 
     def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in gen(batches):

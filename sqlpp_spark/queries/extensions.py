@@ -670,11 +670,16 @@ def multimodal_webp_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame
     color-transform/meta-prefix streams, yet every variant must decode
     to the identical formula — so this ONE hash-green row certifies
     every inverse-transform path, the cache, and the huffman machinery
-    end to end against DuckDB's recomputation from the formula alone."""
-    from sqlpp_spark.ops.multimodal import decode_image, synthesize_webp_media
+    end to end against DuckDB's recomputation from the formula alone.
+
+    r19 opt (guide §4.1/§4.3): synth+decode run FUSED in one
+    mapInPandas stage (``synthesize_and_decode_media``) so payloads
+    never cross the Arrow boundary; row-identity with the staged form
+    is pinned in tests/test_multimodal.py."""
+    from sqlpp_spark.ops.multimodal import synthesize_and_decode_media
 
     d = table(spark, sf_dir, "documents")
-    return decode_image(synthesize_webp_media(d)).select(
+    return synthesize_and_decode_media(d, "webp").select(
         "media_id", "width", "height", "channels", "mean_byte",
         F.col("decoded").cast("bigint").alias("decoded"),
     )
@@ -710,13 +715,14 @@ def multimodal_webp_lossy_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the decoded geometry and the exact RGB pixel mean per stream
     (values certified by the libwebp interop, then frozen here). A
     hash-green row certifies the full binary path — RIFF walk, VP8 key
-    frame decode, BT.601 conversion, pixel stats — per document id."""
-    from sqlpp_spark.ops.multimodal import (
-        decode_image, synthesize_webp_lossy_media,
-    )
+    frame decode, BT.601 conversion, pixel stats — per document id.
+
+    r19 opt (guide §4.1/§4.3): fused synth+decode, one mapInPandas
+    stage (``synthesize_and_decode_media``)."""
+    from sqlpp_spark.ops.multimodal import synthesize_and_decode_media
 
     d = table(spark, sf_dir, "documents")
-    return decode_image(synthesize_webp_lossy_media(d)).select(
+    return synthesize_and_decode_media(d, "webp_lossy").select(
         "media_id", "width", "height", "channels", "mean_byte",
         F.col("decoded").cast("bigint").alias("decoded"),
     )
@@ -752,11 +758,14 @@ def multimodal_png_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     another; DuckDB recomputes the exact decoded geometry AND pixel
     mean from the formula alone. A hash-green row here proves the
     binary decode path (chunk walk, inflate, unfilter, mean) end to
-    end — the assurance plain rows-only multimodal entries can't give."""
-    from sqlpp_spark.ops.multimodal import decode_image, synthesize_png_media
+    end — the assurance plain rows-only multimodal entries can't give.
+
+    r19 opt (guide §4.1/§4.3): fused synth+decode, one mapInPandas
+    stage (``synthesize_and_decode_media``)."""
+    from sqlpp_spark.ops.multimodal import synthesize_and_decode_media
 
     d = table(spark, sf_dir, "documents")
-    return decode_image(synthesize_png_media(d)).select(
+    return synthesize_and_decode_media(d, "png").select(
         "media_id", "width", "height", "channels", "mean_byte",
         F.col("decoded").cast("bigint").alias("decoded"),
     )
@@ -938,13 +947,14 @@ def multimodal_jpeg_lossless_oracle(spark: SparkSession, sf_dir: str) -> DataFra
     payloads rotating through all 7 predictors decode bit-exactly, so
     DuckDB verifies geometry AND the exact pixel mean — the full-pixel
     check the lossy JPEG entry can't offer. Closes the round-7
-    'lossless JPEG' codec boundary."""
-    from sqlpp_spark.ops.multimodal import (
-        decode_image, synthesize_jpeg_lossless_media,
-    )
+    'lossless JPEG' codec boundary.
+
+    r19 opt (guide §4.1/§4.3): fused synth+decode, one mapInPandas
+    stage (``synthesize_and_decode_media``)."""
+    from sqlpp_spark.ops.multimodal import synthesize_and_decode_media
 
     d = table(spark, sf_dir, "documents")
-    return decode_image(synthesize_jpeg_lossless_media(d)).select(
+    return synthesize_and_decode_media(d, "jpeg_lossless").select(
         "media_id", "width", "height", "channels", "mean_byte",
         F.col("decoded").cast("bigint").alias("decoded"),
     )
@@ -1011,13 +1021,14 @@ def multimodal_png_variants_oracle(spark: SparkSession, sf_dir: str) -> DataFram
     mean per variant (the 16-bit variant's mean is the formula mean
     × 256; the palette variant's gray palette makes all three decoded
     channels equal the formula). A hash-green row certifies
-    deinterlacing, palette lookup and 16-bit unpacking driver-side."""
-    from sqlpp_spark.ops.multimodal import (
-        decode_image, synthesize_png_variants_media,
-    )
+    deinterlacing, palette lookup and 16-bit unpacking driver-side.
+
+    r19 opt (guide §4.1/§4.3): fused synth+decode, one mapInPandas
+    stage (``synthesize_and_decode_media``)."""
+    from sqlpp_spark.ops.multimodal import synthesize_and_decode_media
 
     d = table(spark, sf_dir, "documents")
-    return decode_image(synthesize_png_variants_media(d)).select(
+    return synthesize_and_decode_media(d, "png_variants").select(
         "media_id",
         (F.col("media_id") % 4).cast("int").alias("variant"),
         "width", "height", "channels", "mean_byte",
@@ -1054,11 +1065,14 @@ def multimodal_gif_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixels make every decoded channel equal the formula, so DuckDB
     verifies geometry AND the exact decoded mean; odd ids are
     interlaced and every third payload carries a second frame the
-    first-frame decode must skip."""
-    from sqlpp_spark.ops.multimodal import decode_image, synthesize_gif_media
+    first-frame decode must skip.
+
+    r19 opt (guide §4.1/§4.3): fused synth+decode, one mapInPandas
+    stage (``synthesize_and_decode_media``)."""
+    from sqlpp_spark.ops.multimodal import synthesize_and_decode_media
 
     d = table(spark, sf_dir, "documents")
-    return decode_image(synthesize_gif_media(d)).select(
+    return synthesize_and_decode_media(d, "gif").select(
         "media_id", "width", "height", "channels", "mean_byte",
         F.col("decoded").cast("bigint").alias("decoded"),
     )
@@ -1091,11 +1105,14 @@ def multimodal_bmp_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLED BMP decode (ops/bmpcodec.py): gray-palette formula
     pixels rotate through 8-bit plain, RLE8, 24-bit BGR and top-down
     variants; DuckDB verifies geometry and the exact decoded mean for
-    all of them."""
-    from sqlpp_spark.ops.multimodal import decode_image, synthesize_bmp_media
+    all of them.
+
+    r19 opt (guide §4.1/§4.3): fused synth+decode, one mapInPandas
+    stage (``synthesize_and_decode_media``)."""
+    from sqlpp_spark.ops.multimodal import synthesize_and_decode_media
 
     d = table(spark, sf_dir, "documents")
-    return decode_image(synthesize_bmp_media(d)).select(
+    return synthesize_and_decode_media(d, "bmp").select(
         "media_id", "width", "height", "channels", "mean_byte",
         F.col("decoded").cast("bigint").alias("decoded"),
     )
@@ -1128,11 +1145,14 @@ def multimodal_tiff_decode_oracle(spark: SparkSession, sf_dir: str) -> DataFrame
     """ORACLED TIFF decode (ops/tiffcodec.py): formula grayscale
     rotating through no-compression / TIFF-LZW (MSB-first,
     early-change) / PackBits, both byte orders, varying strip
-    heights; DuckDB verifies geometry and the exact decoded mean."""
-    from sqlpp_spark.ops.multimodal import decode_image, synthesize_tiff_media
+    heights; DuckDB verifies geometry and the exact decoded mean.
+
+    r19 opt (guide §4.1/§4.3): fused synth+decode, one mapInPandas
+    stage (``synthesize_and_decode_media``)."""
+    from sqlpp_spark.ops.multimodal import synthesize_and_decode_media
 
     d = table(spark, sf_dir, "documents")
-    return decode_image(synthesize_tiff_media(d)).select(
+    return synthesize_and_decode_media(d, "tiff").select(
         "media_id", "width", "height", "channels", "mean_byte",
         F.col("decoded").cast("bigint").alias("decoded"),
     )

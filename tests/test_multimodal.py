@@ -1002,3 +1002,54 @@ def test_jpeg_fused_rejects_unknown_family(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError, match="unknown JPEG family"):
         synthesize_and_decode_jpeg_media(docs, family="nope")
+
+
+_FUSED_FAMILIES = {
+    "png": "synthesize_png_media",
+    "png_variants": "synthesize_png_variants_media",
+    "webp": "synthesize_webp_media",
+    "webp_lossy": "synthesize_webp_lossy_media",
+    "gif": "synthesize_gif_media",
+    "bmp": "synthesize_bmp_media",
+    "tiff": "synthesize_tiff_media",
+    "jpeg_lossless": "synthesize_jpeg_lossless_media",
+}
+
+
+@pytest.mark.parametrize("family", sorted(_FUSED_FAMILIES))
+def test_fused_synth_decode_identical(spark, sf_dir, family):
+    """r19 #13 (the #12 JPEG shape generalized): for every remaining
+    ``decode_image(synthesize_X_media(d))`` registry row, the FUSED
+    single-stage operator must return exactly the staged composition's
+    rows — both paths run the same per-batch encode closure
+    (``_<family>_media_batches``) and the same per-batch decode body
+    (``_decode_pdf``), composed 1:1 — and its plan must carry ONE
+    MapInPandas node where the staged form chained two."""
+    import contextlib
+    import io
+
+    from sqlpp_spark.ops import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fused = MM.synthesize_and_decode_media(docs, family)
+    staged = decode_image(getattr(MM, _FUSED_FAMILIES[family])(docs))
+    f_rows = sorted(fused.collect(), key=lambda r: r.media_id)
+    s_rows = sorted(staged.collect(), key=lambda r: r.media_id)
+    assert f_rows and f_rows == s_rows
+    assert all(r.decoded for r in f_rows)  # the real decode ran
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        # a FRESH frame: an executed one prints initial + final AQE
+        # plans (doubling every node count)
+        MM.synthesize_and_decode_media(docs, family).explain("formatted")
+    # one MapInPandas node = 2 occurrences (header + details); the
+    # staged form prints 4
+    assert buf.getvalue().count("MapInPandas") == 2
+
+
+def test_fused_media_rejects_unknown_family(spark, sf_dir):
+    from sqlpp_spark.ops.multimodal import synthesize_and_decode_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="unknown media family"):
+        synthesize_and_decode_media(docs, "nope")
