@@ -79,6 +79,9 @@ def web_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocklist = spark.createDataFrame(
         [(x,) for x in BLOCKED_DOMAINS], "domain string"
     )
+    # driver-local twin: lets filter_blocked_domains enumerate label
+    # counts without a plan-time Spark job (r19, guide §1.2)
+    blocklist._sqlpp_local_domains = list(BLOCKED_DOMAINS)
     kept = W.filter_blocked_domains(d, blocklist)
     return (
         kept.select(

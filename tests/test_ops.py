@@ -1009,6 +1009,59 @@ def test_registrable_domain_psl_plan_is_broadcast_hash(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_registrable_domain_psl_builds_job_free(spark):
+    """r19: a psl_rules_df frame carries its driver-local parsed rows,
+    so with_registrable_domain derives the per-label-count join loop
+    in plain Python — the build must run ZERO Spark jobs (the old
+    distinct().collect() cost 0.4-2.2 s per builder invocation), and
+    the derived counts must be decision-equivalent: a frame with the
+    local rows stripped (the collect path) yields identical rows."""
+    from sqlpp_spark.ops.web import psl_rules_df, with_registrable_domain
+
+    rules = ["com", "co.uk", "*.ck", "!www.ck", "github.io"]
+    hosts = [("x.example.com",), ("a.b.co.uk",), ("foo.bar.ck",),
+             ("www.ck",), ("u.github.io",), ("10.1.2.3",), ("localhost",)]
+    df = spark.createDataFrame(hosts, "host string")
+    psl = psl_rules_df(spark, rules)
+    assert psl._sqlpp_psl_rows  # the driver-local twin is attached
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = with_registrable_domain(df, "host", psl, "rd")
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "PSL join-plan derivation ran Spark jobs"
+    fast = sorted(map(tuple, out.collect()))
+    stripped = psl_rules_df(spark, rules)
+    del stripped._sqlpp_psl_rows
+    slow = sorted(map(tuple,
+                      with_registrable_domain(df, "host", stripped, "rd")
+                      .collect()))
+    assert fast == slow
+
+
+def test_filter_blocked_domains_local_list_job_free(spark):
+    """Blocklist twin of the PSL job-free fast path: a blocklist frame
+    carrying ``_sqlpp_local_domains`` enumerates label counts without
+    a plan-time job, and filters exactly like the collect path."""
+    from sqlpp_spark.ops.web import filter_blocked_domains
+
+    blocked = ["bad.com", "spam.co.uk", "evil.net"]
+    urls = [("https://x.bad.com/a",), ("https://good.org/b",),
+            ("https://a.spam.co.uk/c",), ("https://evil.net/d",)]
+    df = spark.createDataFrame(urls, "url string")
+    bl = spark.createDataFrame([(x,) for x in blocked], "domain string")
+    bl._sqlpp_local_domains = list(blocked)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    fast_df = filter_blocked_domains(df, bl)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "blocklist label enumeration ran Spark jobs"
+    bl2 = spark.createDataFrame([(x,) for x in blocked], "domain string")
+    slow_df = filter_blocked_domains(df, bl2)
+    assert sorted(map(tuple, fast_df.collect())) == sorted(
+        map(tuple, slow_df.collect())
+    )
+
+
 def test_domain_cap_with_psl_private_suffix_quotas(spark):
     """domain_cap(psl=...) with github.io as a (private) suffix caps
     each user page separately; the PSL-lite default would merge every
