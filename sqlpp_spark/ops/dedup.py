@@ -557,30 +557,11 @@ def ngram_jaccard_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        cand.count()  # eager: the id-prune branch and the verify join both read it
-        # verify: per-doc hash sets, candidate side hash-joined twice.
-        # r19 (guide §3.2): only docs that appear in a candidate pair
-        # need their set — the semi-join prunes the collect_set
-        # aggregation to candidate docs instead of shuffling per-doc
-        # sets for the WHOLE corpus (PPJoin verification fetches only
-        # candidate records; at web scale candidates << corpus, so
-        # the full-corpus set agg dominated the verify stage). Rows
-        # are unchanged by construction: the verify join reads sets
-        # only for ids present in cand.
-        cand_ids = (
-            cand.select(F.col("id_a").alias(id_col))
-            .unionByName(cand.select(F.col("id_b").alias(id_col)))
-            .distinct()
-        )
-        sets = (
-            sh.join(cand_ids, on=id_col, how="left_semi")
-            .groupBy(id_col)
-            .agg(
-                F.collect_set("sh_hash").alias("shs"),
-                F.count(F.lit(1)).alias("sz"),
-            )
+        # verify: per-doc hash sets, candidate side hash-joined twice
+        sets = sh.groupBy(id_col).agg(
+            F.collect_set("sh_hash").alias("shs"),
+            F.count(F.lit(1)).alias("sz"),
         )
         inter = (
             cand.join(
@@ -633,8 +614,6 @@ def ngram_jaccard_pairs(
     )
     # release via ops.release_intermediates
     out._sqlpp_persisted = [sh] if freq is None else [sh, freq]
-    if strategy == "prefix":
-        out._sqlpp_persisted = [*out._sqlpp_persisted, cand]
     out._sqlpp_jaccard_strategy = strategy  # observable for tests/tuning
     return out
 
@@ -703,25 +682,10 @@ def shingle_containment_pairs(
         .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cand.count()  # eager: the id-prune branch and the verify join both read it
-    # r19 (guide §3.2): prune the per-doc set aggregation to docs that
-    # appear in a candidate pair — same verification-fetches-only-
-    # candidates shape as ngram_jaccard_pairs; rows unchanged by
-    # construction (the verify join reads sets only for cand ids).
-    cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .unionByName(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sets = (
-        sh.join(cand_ids, on=id_col, how="left_semi")
-        .groupBy(id_col)
-        .agg(
-            F.collect_set("sh_hash").alias("shs"),
-            F.count(F.lit(1)).alias("sz"),
-        )
+    sets = sh.groupBy(id_col).agg(
+        F.collect_set("sh_hash").alias("shs"),
+        F.count(F.lit(1)).alias("sz"),
     )
     inter = (
         cand.join(
@@ -752,7 +716,7 @@ def shingle_containment_pairs(
         F.col("sz_a").cast("long").alias("sz_a"),
         F.col("sz_b").cast("long").alias("sz_b"),
     ).filter(F.col("containment") >= threshold)
-    out._sqlpp_persisted = [sh, cand]
+    out._sqlpp_persisted = [sh]
     return out
 
 

@@ -595,37 +595,6 @@ def test_ngram_jaccard_strategies_agree(spark, docs):
     assert base == pref and len(base) > 0
 
 
-def test_prefix_verify_prunes_sets_to_candidate_docs(spark, docs):
-    """r19 (guide §3.2): the PPJoin verify stage must aggregate per-doc
-    shingle sets ONLY for docs that appear in a candidate pair — the
-    plan carries a LeftSemi prune of the shingle table into the
-    collect_set aggregation (full-corpus set aggregation was the
-    verify stage's dominant shuffle; candidates << corpus at scale),
-    and the candidate table is persisted so its two consumers (the id
-    prune and the verify join) don't recompute the candidate join.
-    Output equality is pinned by test_ngram_jaccard_strategies_agree
-    (prefix == join) and the dedup_containment DuckDB oracle row."""
-    import contextlib
-    import io
-
-    from sqlpp_spark.ops import release_intermediates
-    from sqlpp_spark.ops.dedup import (
-        ngram_jaccard_pairs, shingle_containment_pairs,
-    )
-
-    for out in (
-        ngram_jaccard_pairs(docs, threshold=0.3, strategy="prefix"),
-        shingle_containment_pairs(docs, threshold=0.3),
-    ):
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            out.explain("formatted")
-        plan = buf.getvalue()
-        assert "LeftSemi" in plan, "verify sets not pruned to candidates"
-        assert "InMemoryTableScan" in plan, "candidate table not persisted"
-        release_intermediates(out)
-
-
 def test_ngram_jaccard_auto_picks_prefix_on_zipf_head(spark):
     """strategy="auto" must engage prefix filtering when the shingle
     document-frequency head is hot (a shared boilerplate phrase in
