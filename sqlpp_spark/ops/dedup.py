@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sqlpp_spark.ops import ensure_parallelism
+from sqlpp_spark.ops._exprcache import cached_expr, cached_exprs
 from sqlpp_spark.ops.hashing import (
     HASH_MOD, MINHASH_A, N_PERMS, hash64, perm_hash,
 )
@@ -32,10 +33,19 @@ from sqlpp_spark.ops.text import normalize_text
 # ---------------------------------------------------------------------------
 
 
+def content_hash64(text_col: str = "text") -> Column:
+    """Memoized ``hash64(normalize_text(text_col))`` tree (the same
+    tree as text.fingerprint — shared cache key)."""
+    return cached_expr(
+        ("fingerprint", text_col),
+        lambda: hash64(normalize_text(F.col(text_col))),
+    )
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical (normalized) docs: canonical id = min id,
     n_dups = group size. One shuffle on the 60-bit content hash."""
-    h = hash64(normalize_text(F.col(text_col))).alias("content_hash")
+    h = content_hash64(text_col).alias("content_hash")
     df = ensure_parallelism(df)
     return (
         df.select(F.col(id_col), h)
@@ -62,7 +72,7 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def _shingle_rows(
     df: DataFrame, text_col: str, id_col: str, k: int,
-    fast_hash: bool = False,
+    fast_hash: bool = False, carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc, shingle_hash) rows (NOT deduplicated) with the shingle
     built inside whole-stage codegen: explode a position sequence,
@@ -70,21 +80,43 @@ def _shingle_rows(
     higher-order functions (transform/zip_with) run interpreted, so
     this explode form is ~2× their throughput on the same data —
     byte-identical shingle strings either way. Docs shorter than k
-    tokens produce one whole-doc shingle (position marker 0)."""
-    h = F.xxhash64 if fast_hash else hash64
+    tokens produce one whole-doc shingle (position marker 0).
+
+    ``carry_cols`` are per-doc columns replicated onto every shingle
+    row — they ride only to the map-side partial aggregation of the
+    consumer's groupBy(doc), so a fused caller (pipeline_clean_corpus)
+    can compute doc-level metadata and shingles in ONE text pass."""
     df = ensure_parallelism(df)
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    # constant unresolved trees, memoized (driver-side py4j cost —
+    # ops/_exprcache.py); aliases applied fresh at each use
+    toks = cached_expr(
+        ("shingle_toks", text_col),
+        lambda: F.split(normalize_text(F.col(text_col)), " "),
+    )
+    n_toks = cached_expr(("shingle_ntoks", text_col), lambda: F.size(toks))
+    pos = cached_expr(
+        ("shingle_pos", k),
+        lambda: F.when(
+            F.col("__n") >= k, F.sequence(F.lit(1), F.col("__n") - (k - 1))
+        ).otherwise(F.array(F.lit(0))),
+    )
+    sh_hash = cached_expr(
+        ("shingle_hash", k, fast_hash),
+        lambda: (F.xxhash64 if fast_hash else hash64)(
+            F.when(
+                F.col("__i") > 0,
+                F.array_join(F.slice("__t", F.col("__i"), k), " "),
+            ).otherwise(F.array_join("__t", " "))
+        ),
+    )
+    carry = [F.col(c) for c in carry_cols]
     base = df.select(
-        F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n")
+        F.col(id_col), *carry, toks.alias("__t"), n_toks.alias("__n")
     ).filter(F.col("__n") > 0)
-    pos = F.when(
-        F.col("__n") >= k, F.sequence(F.lit(1), F.col("__n") - (k - 1))
-    ).otherwise(F.array(F.lit(0)))
-    ex = base.select(F.col(id_col), F.col("__t"), F.explode(pos).alias("__i"))
-    sh = F.when(
-        F.col("__i") > 0, F.array_join(F.slice("__t", F.col("__i"), k), " ")
-    ).otherwise(F.array_join("__t", " "))
-    return ex.select(F.col(id_col), h(sh).alias("sh_hash"))
+    ex = base.select(
+        F.col(id_col), *carry, F.col("__t"), F.explode(pos).alias("__i")
+    )
+    return ex.select(F.col(id_col), *carry, sh_hash.alias("sh_hash"))
 
 
 def shingle_hashes(
@@ -157,15 +189,21 @@ def _banded_rows(
     raw throughput in production."""
     _check_bands(n_perms, bands)
     rows = n_perms // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                hash64(
-                    F.concat_ws(",", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-                ).alias("bh"),
+    band_hashes = cached_exprs(
+        ("band_hashes", n_perms, bands),
+        lambda: [
+            hash64(
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                )
             )
             for b in range(bands)
+        ],
+    )
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), bh.alias("bh"))
+            for b, bh in enumerate(band_hashes)
         ]
     )
     return sigs.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
@@ -294,23 +332,55 @@ def minhash_near_duplicates(
     enriched = (
         _shingle_rows(df, text_col, id_col, k)
         .groupBy(id_col)
-        .agg(
-            F.collect_set("sh_hash").alias("shs"),
-            *[
-                F.min(perm_hash(F.col("sh_hash"), i)).alias(f"mh{i}")
-                for i in range(N_PERMS)
-            ],
-        )
+        .agg(*minhash_enrich_aggs())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     enriched.count()  # eager: four branches would race a lazy persist
-    sigs = enriched.drop("shs")
-    cands = _band_pairs(sigs, id_col, persist_banded=False)
+    out = verified_pairs_from_enriched(enriched, id_col, threshold)
+    # caller releases the cached enriched frame via
+    # ops.release_intermediates(result) after materializing
+    out._sqlpp_persisted = [enriched]
+    return out
+
+
+def minhash_enrich_aggs(n_perms: int = N_PERMS) -> list[Column]:
+    """The per-doc aggregate columns of the MinHash pipeline: the
+    distinct shingle-hash set (Jaccard verification) plus the n_perms
+    signature mins — shared between minhash_near_duplicates and fused
+    callers that fold extra doc-level aggregates into the same
+    groupBy (pipeline_clean_corpus)."""
+    mins = cached_exprs(
+        ("minhash_mins", "sh_hash", n_perms),
+        lambda: [
+            F.min(perm_hash(F.col("sh_hash"), i)) for i in range(n_perms)
+        ],
+    )
+    collect = cached_expr(
+        ("collect_set", "sh_hash"), lambda: F.collect_set("sh_hash")
+    )
+    return [
+        collect.alias("shs"),
+        *[m.alias(f"mh{i}") for i, m in enumerate(mins)],
+    ]
+
+
+def verified_pairs_from_enriched(
+    enriched: DataFrame, id_col: str = "doc_id", threshold: float = 0.7,
+    n_perms: int = N_PERMS, bands: int = 4,
+) -> DataFrame:
+    """LSH banding + exact-Jaccard verification over a (persisted)
+    per-doc frame carrying ``shs`` and ``mh0..mh{n-1}``. Band hashes
+    are doc-local functions of the signature columns, so filtering
+    ``enriched`` BEFORE this call (e.g. to exact-dedup survivors)
+    yields exactly the pairs a from-scratch run over the filtered
+    corpus would."""
+    sigs = enriched.select(id_col, *[f"mh{i}" for i in range(n_perms)])
+    cands = _band_pairs(sigs, id_col, n_perms, bands, persist_banded=False)
     a = enriched.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
     b = enriched.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
     union = F.size("shs_a") + F.size("shs_b") - inter
-    out = (
+    return (
         cands.join(a, on="id_a")
         .join(b, on="id_b")
         .select(
@@ -319,10 +389,6 @@ def minhash_near_duplicates(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    # caller releases the cached enriched frame via
-    # ops.release_intermediates(result) after materializing
-    out._sqlpp_persisted = [enriched]
-    return out
 
 
 def connected_components(

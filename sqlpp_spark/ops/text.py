@@ -266,24 +266,40 @@ _MC = {w: f"__mc_{i}" for i, w in enumerate(_UNIQUE_MARKERS)}
 
 def _with_marker_counts(df: DataFrame, text_col: str) -> DataFrame:
     # one fused regex pass (materialized as a real column so the share
-    # is guaranteed, not CSE-dependent), then cheap array filters
-    c = F.col(text_col)
-    tmp = df.select("*", _marker_matches(c).alias("__mm"))
+    # is guaranteed, not CSE-dependent), then cheap array filters.
+    # Constant unresolved trees are memoized (ops/_exprcache.py);
+    # aliases stay per-call.
+    from sqlpp_spark.ops._exprcache import cached_expr, cached_exprs
+
+    mm = cached_expr(
+        ("marker_matches", text_col),
+        lambda: _marker_matches(F.col(text_col)),
+    )
+    counts = cached_exprs(
+        ("marker_counts", tuple(_MC)),
+        lambda: [_count_in(F.col("__mm"), w) for w in _MC],
+    )
+    tmp = df.select("*", mm.alias("__mm"))
     return tmp.select(
         *df.columns,
-        *[_count_in(F.col("__mm"), w).alias(col) for w, col in _MC.items()],
+        *[cnt.alias(col) for cnt, col in zip(counts, _MC.values())],
     )
 
 
 def _lang_id_from_counts() -> Column:
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in sorted(LANG_MARKERS):  # same fold order as lang_id
-        s = sum((F.col(_MC[w]) for w in LANG_MARKERS[lang]), F.lit(0))
-        take = s > best_score
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(take, s).otherwise(best_score)
-    return best_lang
+    from sqlpp_spark.ops._exprcache import cached_expr
+
+    def _build() -> Column:
+        best_lang = F.lit("und")
+        best_score = F.lit(0)
+        for lang in sorted(LANG_MARKERS):  # same fold order as lang_id
+            s = sum((F.col(_MC[w]) for w in LANG_MARKERS[lang]), F.lit(0))
+            take = s > best_score
+            best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(take, s).otherwise(best_score)
+        return best_lang
+
+    return cached_expr(("lang_id_from_counts", tuple(_MC)), _build)
 
 
 def _quality_from_counts(c: Column) -> Column:
@@ -309,13 +325,17 @@ def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``lang_pred`` and ``quality`` columns with the shared-marker
     formulation (identical values to lang_id/quality_score)."""
     from sqlpp_spark.ops import ensure_parallelism
+    from sqlpp_spark.ops._exprcache import cached_expr
 
     df = ensure_parallelism(df)
-    c = F.col(text_col)
+    quality = cached_expr(
+        ("quality_from_counts", text_col),
+        lambda: _quality_from_counts(F.col(text_col)),
+    )
     out = _with_marker_counts(df, text_col).select(
         *df.columns,
         _lang_id_from_counts().alias("lang_pred"),
-        _quality_from_counts(c).alias("quality"),
+        quality.alias("quality"),
     )
     return out
 
@@ -324,17 +344,32 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document stats frame (markers computed once,
     shared between lang_pred and quality)."""
     from sqlpp_spark.ops import ensure_parallelism
+    from sqlpp_spark.ops._exprcache import cached_expr, cached_exprs
 
     df = ensure_parallelism(df)
-    c = F.col(text_col)
+    stats = cached_exprs(
+        ("text_stats_cols", text_col),
+        lambda: [
+            F.length(F.col(text_col)).cast("bigint"),
+            token_count(F.col(text_col)),
+            word_token_count(F.col(text_col)),
+        ],
+    )
+    quality = cached_expr(
+        ("quality_from_counts", text_col),
+        lambda: _quality_from_counts(F.col(text_col)),
+    )
+    fp = cached_expr(
+        ("fingerprint", text_col), lambda: fingerprint(F.col(text_col))
+    )
     return _with_marker_counts(df, text_col).select(
         "doc_id",
-        F.length(c).cast("bigint").alias("n_chars"),
-        token_count(c).alias("n_tokens"),
-        word_token_count(c).alias("n_word_tokens"),
+        stats[0].alias("n_chars"),
+        stats[1].alias("n_tokens"),
+        stats[2].alias("n_word_tokens"),
         _lang_id_from_counts().alias("lang_pred"),
-        _quality_from_counts(c).alias("quality"),
-        fingerprint(c).alias("fp"),
+        quality.alias("quality"),
+        fp.alias("fp"),
     )
 
 

@@ -376,42 +376,54 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the higher id of each verified pair). Returns the surviving
     corpus with language + quality annotations.
 
-    Scale design — TEXT NEVER SHUFFLES: the dedup decision runs over a
-    narrow (doc_id, content_hash, lang_pred, quality) frame (one regex
-    + md5 pass in the scan stage, then a 16-byte-row groupBy); the
-    minhash stage re-reads the parquet for the surviving docs instead
-    of dragging text through a shuffle — a columnar re-scan is cheaper
-    than shuffling text at any scale, and the semi-join that prunes it
-    is broadcast locally / shuffled-by-id at 100 TB (AQE's call)."""
+    Scale design — TEXT NEVER SHUFFLES, and is READ ONCE: a single
+    scan stage computes the content hash, annotations, shingle-hash
+    set and all 16 MinHash signature mins per quality-passing doc
+    (one regex-normalize pass feeding both the md5 content hash and
+    the shingle explode, doc-level columns riding the partial agg as
+    first()), so the dedup decisions run over one narrow persisted
+    frame. Exact-dedup then prunes the FRAME, not the parquet: LSH
+    band hashes and shingle sets are doc-local, so banding the
+    survivors of the persisted frame yields bit-identical pairs to
+    re-scanning the surviving documents — the second parquet pass,
+    second normalize and the scan-pruning semi-join of the staged
+    form all disappear (guide §1.2 step 1 / §2.4)."""
     from pyspark import StorageLevel
-
-    from sqlpp_spark.ops.hashing import hash64
-    from sqlpp_spark.ops.text import normalize_text
 
     docs = table(spark, sf_dir, "documents")
     ann = X.annotate(docs.select("doc_id", _T, "lang"))
-    meta = (
-        ann.select(
-            "doc_id",
-            hash64(normalize_text(F.col(_T))).alias("__ch"),
-            "lang_pred",
-            "quality",
+    meta = ann.select(
+        "doc_id",
+        _T,
+        D.content_hash64(_T).alias("__ch"),
+        "lang_pred",
+        "quality",
+    ).filter(F.col("quality") >= 0.5)
+    enriched = (
+        D._shingle_rows(
+            meta, _T, "doc_id", 3,
+            carry_cols=("__ch", "lang_pred", "quality"),
         )
-        .filter(F.col("quality") >= 0.5)
+        .groupBy("doc_id")
+        .agg(
+            F.first("__ch").alias("__ch"),
+            F.first("lang_pred").alias("lang_pred"),
+            F.first("quality").alias("quality"),
+            *D.minhash_enrich_aggs(),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    meta.count()  # eager: keep_ids and the final projection both read it
-    keep_ids = meta.groupBy("__ch").agg(F.min("doc_id").alias("doc_id"))
-    kept_docs = docs.join(keep_ids, on="doc_id", how="left_semi")
-    pairs = D.minhash_near_duplicates(kept_docs, threshold=0.7)
+    enriched.count()  # eager: five downstream branches read it
+    keep_ids = enriched.groupBy("__ch").agg(F.min("doc_id").alias("doc_id"))
+    kept = enriched.join(keep_ids, on="doc_id", how="left_semi")
+    pairs = D.verified_pairs_from_enriched(kept, "doc_id", threshold=0.7)
     removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     out = (
-        meta.join(keep_ids, on="doc_id", how="left_semi")
-        .join(removed, on="doc_id", how="left_anti")
+        kept.join(removed, on="doc_id", how="left_anti")
         .select("doc_id", "lang_pred", "quality")
     )
     # release via ops.release_intermediates(out) once materialized
-    out._sqlpp_persisted = [meta, *getattr(pairs, "_sqlpp_persisted", ())]
+    out._sqlpp_persisted = [enriched]
     return out
 
 
